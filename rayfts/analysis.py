@@ -1,0 +1,136 @@
+"""Analyzer: ES ``standard``-analyzer-like tokenization, fully vectorized.
+
+The reference's entire full-text surface is the ES mapping
+(``/root/reference/src/main/resources/plugin.properties:10-11``): ``tags.name*``
+fields get an ``analyzed`` multi_field (standard analyzer: Unicode word
+segmentation + lowercase, no stopwords) next to a ``not_analyzed`` exact twin.
+Here the ``text`` column is the analyzed field; ``role``/``tool`` are the
+keyword (``not_analyzed``) twins kept raw.
+
+Token spec (deterministic, shared by engine, pure-Python oracle and the
+DuckDB oracle SQL): lowercase the text, then a token is a maximal run of
+``[\\p{L}\\p{N}_]`` (Unicode letters/digits plus underscore — matching
+UAX#29's ExtendNumLet join of ``foo_bar``). Implemented with RE2 classes in
+Arrow/DuckDB and ``\\w`` in the Python oracle; these agree on all fixture
+text (precomposed Unicode letters). Known residual divergence vs Lucene's
+StandardTokenizer: combining marks and a few joiner categories — documented
+deviation, consistent across every in-repo path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2 split pattern: anything that is NOT a word codepoint breaks a token.
+SPLIT_PATTERN = r"[^\p{L}\p{N}_]+"
+# Same class for DuckDB's regexp_extract_all (RE2 as well).
+DUCKDB_TOKEN_PATTERN = r"[\p{L}\p{N}_]+"
+
+
+def tokenize(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """string array -> list<string> of lowercase tokens (empties removed later)."""
+    low = pc.utf8_lower(texts)
+    return pc.split_pattern_regex(low, pattern=SPLIT_PATTERN)
+
+
+def flatten_tokens(
+    token_lists: pa.ChunkedArray | pa.Array,
+) -> tuple[pa.Array, np.ndarray]:
+    """list<string> -> (flat tokens with empties dropped, parent row index)."""
+    if isinstance(token_lists, pa.ChunkedArray):
+        token_lists = token_lists.combine_chunks()
+    flat = pc.list_flatten(token_lists)
+    parent = pc.list_parent_indices(token_lists)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = flat.filter(keep)
+    parent = parent.filter(keep).to_numpy(zero_copy_only=False)
+    return flat, parent
+
+
+def analyze_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"):
+    """One Arrow batch -> (term-frequency table, per-row doc lengths).
+
+    Returns:
+      tf_table: pa.Table(term:string, doc_id:int64, tf:int32) — one row per
+                distinct (term, doc) pair in the batch, sorted by (term, doc_id).
+      doc_lens: np.ndarray[int32] token count per input row (the BM25 |d|).
+    """
+    n_rows = batch.num_rows
+    flat, parent = flatten_tokens(tokenize(batch[text_col]))
+    doc_lens = np.bincount(parent, minlength=n_rows).astype(np.int32)
+    doc_ids_col = batch[id_col].to_numpy(zero_copy_only=False)
+    tok_docs = pa.array(doc_ids_col[parent], type=pa.int64())
+    pairs = pa.table({"term": flat, "doc_id": tok_docs})
+    tf = pairs.group_by(["term", "doc_id"], use_threads=False).aggregate(
+        [("doc_id", "count")]
+    )
+    tf = tf.rename_columns(["term", "doc_id", "tf"])
+    tf = tf.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    return (
+        pa.table(
+            {
+                "term": tf["term"],
+                "doc_id": tf["doc_id"],
+                "tf": pc.cast(tf["tf"], pa.int32()),
+            }
+        ),
+        doc_lens,
+    )
+
+
+def analyze_batch_with_dl(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"):
+    """Like analyze_batch but the tf table also carries dl (doc token count)
+    per posting row, plus returns the per-row doc lengths for the norms file."""
+    n_rows = batch.num_rows
+    flat, parent = flatten_tokens(tokenize(batch[text_col]))
+    doc_lens = np.bincount(parent, minlength=n_rows).astype(np.int32)
+    doc_ids_col = batch[id_col].to_numpy(zero_copy_only=False)
+    pairs = pa.table(
+        {
+            "term": flat,
+            "doc_id": pa.array(doc_ids_col[parent], type=pa.int64()),
+            "dl": pa.array(doc_lens[parent], type=pa.int32()),
+        }
+    )
+    tf = pairs.group_by(["term", "doc_id"], use_threads=False).aggregate(
+        [("doc_id", "count"), ("dl", "min")]
+    )
+    tf = tf.rename_columns(["term", "doc_id", "tf", "dl"])
+    tf = tf.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    tf = pa.table(
+        {
+            "term": tf["term"],
+            "doc_id": tf["doc_id"],
+            "tf": pc.cast(tf["tf"], pa.int32()),
+            "dl": tf["dl"],
+        }
+    )
+    return tf, doc_lens
+
+
+def partial_postings_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Map-side combiner: one batch -> one partial-postings row per distinct term.
+
+    Returns (partials, doc_lens):
+      partials: pa.Table(term:string, doc_ids:list<int64>, tfs:list<int32>,
+                dls:list<int32>, df_partial:int64)
+      doc_lens: np.ndarray[int32] per input row (written to the norms file).
+
+    doc_ids ascending within each partial; each doc lives in exactly one
+    batch, so partials for a term across batches have disjoint doc sets and
+    merge by concat+sort. This is the pre-aggregation that keeps the term
+    shuffle payload at O(postings), not O(token occurrences) (SURVEY A3/ST1;
+    analog of the reference's per-type EntityBuffer bulk batching,
+    utils/EntityBuffer.java:22-33).
+    """
+    tf, doc_lens = analyze_batch_with_dl(batch, text_col=text_col, id_col=id_col)
+    # tf is sorted by (term, doc_id): list-aggregate preserves that order
+    # with use_threads=False.
+    grouped = tf.group_by(["term"], use_threads=False).aggregate(
+        [("doc_id", "list"), ("tf", "list"), ("dl", "list"), ("doc_id", "count")]
+    )
+    return grouped.rename_columns(["term", "doc_ids", "tfs", "dls", "df_partial"]), doc_lens

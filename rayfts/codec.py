@@ -1,0 +1,136 @@
+"""Posting-list compression: delta + LEB128 varint, block max-impact metadata.
+
+The reference delegates posting storage to Lucene (opaque to the plugin);
+the north star requires it explicit here: ``term -> sorted docID deltas
+with varint compression plus per-block max-impact metadata``.
+
+All encode/decode paths are numpy-vectorized — no per-value Python loop —
+so they stay fast inside ``map_batches`` / ``map_groups`` hot stages.
+
+Wire format of one posting list (one term):
+  doc_bytes  : varint(delta(doc_ids))     deltas: first = doc_ids[0], then diffs
+  tf_bytes   : varint(tfs)
+  blocks     : per 128-posting block: (last_doc_id:int64, offset:int32 into
+               posting index space, max_tf:int32) — enough to reconstruct
+               block-max impact bounds at query time for any (k1, b, avgdl).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # postings per skip block (Lucene uses 128 too)
+
+_U64 = np.uint64
+_SEVEN = _U64(7)
+_LOW7 = _U64(0x7F)
+_CONT = np.uint8(0x80)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array, fully vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + one extra per 7 bits above the first 7
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        nbytes += (v >= (_U64(1) << _U64(shift))).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    starts = ends - nbytes
+    out = np.zeros(total, dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        mask = nbytes > j
+        chunk = ((v[mask] >> (_SEVEN * _U64(j))) & _LOW7).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > j)
+        out[starts[mask] + j] = chunk | np.where(cont, _CONT, np.uint8(0))
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array, fully vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & _CONT) == 0
+    ends = np.flatnonzero(is_end)
+    nvals = ends.size
+    starts = np.empty(nvals, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    value_idx = np.repeat(np.arange(nvals, dtype=np.int64), lengths)
+    pos_in_value = np.arange(b.size, dtype=np.int64) - starts[value_idx]
+    acc = np.zeros(nvals, dtype=np.uint64)
+    np.add.at(
+        acc,
+        value_idx,
+        (b & np.uint8(0x7F)).astype(np.uint64) << (pos_in_value.astype(np.uint64) * _SEVEN),
+    )
+    return acc
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-ascending int64 ids -> gap array (first value kept as-is)."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return a.astype(np.uint64)
+    out = np.empty(a.size, dtype=np.uint64)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:], casting="unsafe")
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.int64))
+
+
+BLOCK_DTYPE = np.dtype(
+    [("last_doc", "<i8"), ("start", "<i4"), ("max_tf", "<i4"), ("min_dl", "<i4")]
+)
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray | None = None
+) -> tuple[bytes, bytes, bytes]:
+    """Compress one term's postings (doc_ids strictly ascending).
+
+    Returns (doc_bytes, tf_bytes, block_bytes). block_bytes is the skip
+    metadata: for each BLOCK_SIZE-chunk, (last_doc_id:int64, start:int32,
+    max_tf:int32, min_dl:int32) little-endian — start is the posting index of
+    the block's first entry, so blocks are independently addressable after
+    full decode (and concatenable across disjoint doc_id ranges, which is
+    what makes hot-term salting by doc range mergeable; SURVEY §4 skew row).
+
+    (max_tf, min_dl) give a query-time block-max BM25 upper bound that does
+    NOT depend on global stats at build time: the per-term score is
+    increasing in tf and decreasing in dl, so
+    impact(block) <= idf*(k1+1)*max_tf / (max_tf + k1*(1-b+b*min_dl/avgdl)).
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int32)
+    if dls is None:
+        dls = np.zeros(doc_ids.size, dtype=np.int32)
+    dls = np.ascontiguousarray(dls, dtype=np.int32)
+    n = doc_ids.size
+    doc_bytes = varint_encode(delta_encode(doc_ids))
+    tf_bytes = varint_encode(tfs.astype(np.uint64))
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blocks = np.empty(nblocks, dtype=BLOCK_DTYPE)
+    for i in range(nblocks):
+        lo = i * BLOCK_SIZE
+        hi = min(n, lo + BLOCK_SIZE)
+        blocks[i] = (doc_ids[hi - 1], lo, int(tfs[lo:hi].max()), int(dls[lo:hi].min()))
+    return doc_bytes, tf_bytes, blocks.tobytes()
+
+
+def decode_postings(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    doc_ids = delta_decode(varint_decode(doc_bytes))
+    tfs = varint_decode(tf_bytes).astype(np.int32)
+    return doc_ids, tfs
+
+
+def decode_blocks(block_bytes: bytes) -> np.ndarray:
+    return np.frombuffer(block_bytes, dtype=BLOCK_DTYPE)

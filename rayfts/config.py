@@ -1,0 +1,51 @@
+"""Job configuration — mirror of the reference's Parameters cascade.
+
+Reference: ``utils/Parameters.java:9-26`` (knob inventory) and
+``ElasticSearchWriterFactory.buildPluginParameters``
+(``ElasticSearchWriterFactory.java:46-73``) — precedence = shipped defaults
+-> optional config file -> explicit overrides. Same precedence here:
+dataclass defaults -> ``from_file`` (JSON) -> ``replace(...)`` kwargs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class IndexJobConfig:
+    # index lifecycle (ref: index.name / index.create, plugin.properties:6-7)
+    index_dir: str = "/tmp/rayfts_index"
+    overwrite: bool = True          # ref drops existing index (IndexAdminService.java:22)
+    resume: bool = False            # OUR addition: skip manifest-complete partitions
+
+    # analyzer / schema (ref: mappings plugin.properties:10-11)
+    text_col: str = "text"
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")   # ES _id analog
+    keyword_cols: tuple[str, ...] = ("role", "tool")      # not_analyzed twins
+
+    # batching (ref: bulk sizes 5000/500, plugin.properties:15-16)
+    analyze_batch_size: int = 8192
+    merge_batch_size: int = 1024
+
+    # parallelism (ref: worker pool 5, queue 100, plugin.properties:14,17)
+    actor_pool_size: tuple[int, int] = (1, 8)
+    num_docstore_partitions: int = 0   # 0 = one per sorted block
+    term_buckets: int = 32             # postings layout shards (ref: ES shards=5)
+
+    # BM25 (Lucene defaults; north_star)
+    k1: float = 1.2
+    b: float = 0.75
+
+    @staticmethod
+    def from_file(path: str, **overrides) -> "IndexJobConfig":
+        with open(path) as f:
+            data = json.load(f)
+        data.update(overrides)
+        fields = {f.name for f in dataclasses.fields(IndexJobConfig)}
+        return IndexJobConfig(**{k: v for k, v in data.items() if k in fields})
+
+    def replace(self, **kw) -> "IndexJobConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,153 @@
+"""E2E conformance: build over the seeded corpus, verify against the oracle.
+
+Analog of the reference's integration suite (PluginIntegrationITest exact-count
+asserts; EntityDaoITest round-trip + order-preservation + missing-id tests).
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayfts.config import IndexJobConfig
+from rayfts.build import build_index
+from rayfts.fixtures import REFERENCE_QUERIES, generate_transcripts, write_transcripts
+from rayfts.oracle import BruteForceIndex
+from rayfts.search import Searcher, run_queries
+
+N_CONVS = 50
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    write_transcripts(str(d), n_convs=N_CONVS, seed=SEED)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def index_dir(corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("index")
+    cfg = IndexJobConfig(index_dir=str(d), term_buckets=8)
+    build_index(corpus, cfg=cfg, rows_per_part=100)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    t = generate_transcripts(N_CONVS, seed=SEED)
+    t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    docs = {i: s for i, s in enumerate(t["text"].to_pylist())}
+    return BruteForceIndex(docs), t
+
+
+def test_corpus_stats_match_oracle(index_dir, oracle):
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    assert s.N == idx.N
+    assert s.manifest["total_dl"] == idx.total_dl
+    assert abs(s.avgdl - idx.avgdl) < 1e-9
+    # df for probe terms (analog of the exact 777/57 count asserts)
+    for term in ["the", "a", "w0007", "bash", "héllo", "foo_bar", "longturn", "zzzz_absent"]:
+        p = s.lookup(term)
+        assert (p.df if p else 0) == idx.df.get(term, 0), term
+
+
+def test_docstore_roundtrip_text_equality(index_dir, oracle):
+    """Per-turn text equality under stable (conv_id, turn_idx) order —
+    the per-row invariant from BASELINE.json input_hint."""
+    import pyarrow.parquet as pq
+
+    _, expected = oracle
+    got = pq.read_table(os.path.join(index_dir, "docstore")).sort_by(
+        [("doc_id", "ascending")]
+    )
+    assert got.num_rows == expected.num_rows
+    assert got["doc_id"].to_pylist() == list(range(expected.num_rows))
+    for col in ("conv_id", "turn_idx", "role", "text", "tool"):
+        assert got[col].to_pylist() == expected[col].to_pylist(), col
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+@pytest.mark.parametrize("algo", ["taat", "wand"])
+def test_reference_queries_rank_identical(index_dir, oracle, algo, k):
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    for q in REFERENCE_QUERIES:
+        expected = idx.search(q, k=k)
+        got = s.search(q, k=k, algo=algo)
+        assert [d for d, _ in got] == [d for d, _ in expected], (q, algo, k)
+        for (d1, s1), (d2, s2) in zip(got, expected):
+            assert abs(s1 - s2) < 1e-9, (q, d1, s1, s2)
+
+
+def test_wand_equals_taat_exactly(index_dir):
+    s = Searcher(index_dir)
+    for q in REFERENCE_QUERIES + ["w0000 w0001 w0002 the a to ok bash"]:
+        assert s.search(q, k=25, algo="wand") == s.search(q, k=25, algo="taat"), q
+
+
+def test_case_variant_query(index_dir):
+    s = Searcher(index_dir)
+    assert s.search("The", k=10) == s.search("the", k=10)
+
+
+def test_absent_term_empty(index_dir):
+    assert Searcher(index_dir).search("zzzz_absent", k=10) == []
+
+
+def test_equal_scores_tiebreak_doc_id(index_dir, oracle):
+    """Two identical texts in different convs -> equal scores, doc_id asc."""
+    idx, expected = oracle
+    s = Searcher(index_dir)
+    hits = s.search("same text across convs", k=10)
+    assert len(hits) >= 2
+    assert hits[0][0] < hits[1][0]
+    assert abs(hits[0][1] - hits[1][1]) < 1e-12
+
+
+def test_get_order_preserving_and_missing_raises(index_dir, oracle):
+    _, expected = oracle
+    s = Searcher(index_dir)
+    keys = [
+        (expected["conv_id"][5].as_py(), expected["turn_idx"][5].as_py()),
+        (expected["conv_id"][0].as_py(), expected["turn_idx"][0].as_py()),
+        (expected["conv_id"][9].as_py(), expected["turn_idx"][9].as_py()),
+    ]
+    got = s.get(keys)
+    assert list(zip(got["conv_id"].to_pylist(), got["turn_idx"].to_pylist())) == [
+        (k[0], k[1]) for k in keys
+    ]
+    with pytest.raises(KeyError):
+        s.get([("conv-99999", 0)])
+    got2 = s.get_by_doc_id([7, 3, 7])
+    assert got2["doc_id"].to_pylist() == [7, 3, 7]
+    with pytest.raises(KeyError):
+        s.get_by_doc_id([10**9])
+
+
+def test_count_with_keyword_filters(index_dir, oracle):
+    _, expected = oracle
+    s = Searcher(index_dir)
+    roles = expected["role"].to_pylist()
+    assert s.count() == len(roles)
+    assert s.count(role="tool") == sum(1 for r in roles if r == "tool")
+    assert s.count(role="user", tool=None) >= 0  # null filter path doesn't crash
+
+
+def test_distributed_query_runner(index_dir, oracle):
+    idx, _ = oracle
+    out = (
+        run_queries(index_dir, REFERENCE_QUERIES, k=5, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    for qid, q in enumerate(REFERENCE_QUERIES):
+        expected = idx.search(q, k=5)
+        sub = out[out.query_id == qid]
+        assert list(sub.doc_id) == [d for d, _ in expected], q
+        np.testing.assert_allclose(
+            list(sub.score), [sc for _, sc in expected], rtol=0, atol=1e-9
+        )

@@ -1,0 +1,86 @@
+"""Codec unit tests — round-trip + block metadata (FIXTURES.md §2).
+
+Analog of the reference's golden/codec-level unit tests
+(model/entity/ESNodeUTest.java byte-exact JSON asserts): exact byte-level
+expectations for the posting wire format.
+"""
+
+import numpy as np
+import pytest
+
+from rayfts.codec import (
+    BLOCK_SIZE,
+    decode_blocks,
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_known_bytes():
+    assert varint_encode(np.array([0])) == b"\x00"
+    assert varint_encode(np.array([1])) == b"\x01"
+    assert varint_encode(np.array([127])) == b"\x7f"
+    assert varint_encode(np.array([128])) == b"\x80\x01"
+    assert varint_encode(np.array([300])) == b"\xac\x02"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_varint_roundtrip_random(seed):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << 56, size=10_000, dtype=np.uint64)
+    vals[:100] = rng.integers(0, 128, size=100)  # exercise 1-byte path
+    vals[100] = 0
+    out = varint_decode(varint_encode(vals))
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_delta_roundtrip():
+    ids = np.array([3, 7, 8, 1000, 10**12], dtype=np.int64)
+    np.testing.assert_array_equal(delta_decode(delta_encode(ids)), ids)
+
+
+def test_empty():
+    assert varint_encode(np.empty(0, np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_postings_roundtrip_and_blocks():
+    rng = np.random.default_rng(42)
+    n = 5 * BLOCK_SIZE + 17
+    doc_ids = np.sort(rng.choice(10**9, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=n).astype(np.int32)
+    dls = rng.integers(1, 500, size=n).astype(np.int32)
+    db, tb, bb = encode_postings(doc_ids, tfs, dls)
+    d2, t2 = decode_postings(db, tb)
+    np.testing.assert_array_equal(d2, doc_ids)
+    np.testing.assert_array_equal(t2, tfs)
+    blocks = decode_blocks(bb)
+    assert len(blocks) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    for i, blk in enumerate(blocks):
+        lo, hi = i * BLOCK_SIZE, min(n, (i + 1) * BLOCK_SIZE)
+        assert blk["last_doc"] == doc_ids[hi - 1]
+        assert blk["start"] == lo
+        assert blk["max_tf"] == tfs[lo:hi].max()
+        assert blk["min_dl"] == dls[lo:hi].min()
+
+
+def test_merge_of_disjoint_partials_equals_whole():
+    """Partial postings from disjoint doc ranges concat+sort to the same
+    encoding as a single-shot encode (the hot-term salting premise)."""
+    rng = np.random.default_rng(7)
+    doc_ids = np.sort(rng.choice(10**6, size=1000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 9, size=1000).astype(np.int32)
+    dls = rng.integers(1, 99, size=1000).astype(np.int32)
+    whole = encode_postings(doc_ids, tfs, dls)
+    cut = 400
+    parts = [(doc_ids[:cut], tfs[:cut], dls[:cut]), (doc_ids[cut:], tfs[cut:], dls[cut:])]
+    m_doc = np.concatenate([p[0] for p in parts])
+    m_tf = np.concatenate([p[1] for p in parts])
+    m_dl = np.concatenate([p[2] for p in parts])
+    order = np.argsort(m_doc, kind="stable")
+    merged = encode_postings(m_doc[order], m_tf[order], m_dl[order])
+    assert merged == whole
