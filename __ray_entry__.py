@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the rayfts engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in rayfts) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data extras); ``oracle_sql()`` carries the
+DuckDB-equivalent SQL for everything SQL-expressible. Column names match
+exactly between both sides (driver hashes values after sorting columns by
+name). Float-valued results are rounded identically (see notes per query).
 """
 
 from __future__ import annotations
@@ -18,27 +15,194 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from rayfts import pipelines as P
+
+# Token class shared with rayfts.analysis.SPLIT_PATTERN (RE2 in both engines).
+_TOK = r"[\p{L}\p{N}_]+"
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    f"'{_TOK}')) AS term FROM documents)"
+)
+
+_DL_CTE = (
+    "dl AS (SELECT d.doc_id, count(t.term) AS dl "
+    "FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id)"
+)
+
+
+def _bm25_sql(query_terms: list[str], k: int) -> str:
+    vals = ",".join(f"('{t}')" for t in query_terms)
+    return f"""
+WITH {_TOKS_CTE},
+{_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms(term) AS (VALUES {vals}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+              ORDER BY tf.term ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index over the
+    documents corpus and run a fixed query set through the distributed
+    query runner. Returns a Dataset of (query_id, query, rank, doc_id,
+    score) hits."""
+    from rayfts.search import run_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = P.documents_index(sf_dir)
+    flagship_queries = [
+        P.BM25_QUERY,
+        P.BM25_QUERY_HOT,
+        "window scan merge",
+        "zz_absent_zz",
+        "The Data",
+    ]
+    return run_queries(index_dir, flagship_queries, k=10, concurrency=(1, 2))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # full-text core (SURVEY §2: M9 analyzer, A3/A4 stats, T1 top-k,
+        # S8 doc-by-id, M4/M6 round-trip)
+        "fts_term_stats": P.fts_term_stats,
+        "fts_doc_stats": P.fts_doc_stats,
+        "fts_bm25_top10": P.fts_bm25_top10,
+        "fts_bm25_top10_wand": P.fts_bm25_top10_wand,
+        "fts_bm25_hot_top20": P.fts_bm25_hot_top20,
+        "fts_term_doc_count": P.fts_term_doc_count,
+        "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
+        # keyword / relational / windowed (M1 filters, A1 counts, J1 join,
+        # W-series windows)
+        "keyword_count_by_lang": P.keyword_count_by_lang,
+        "events_tumbling_1h": P.events_tumbling_1h,
+        "q1_pricing": P.q1_pricing,
+        "join_revenue_by_segment": P.join_revenue_by_segment,
+        # training-data extras (dedup / similarity / text analysis)
+        "dedup_exact": P.dedup_exact_q,
+        "dedup_minhash": P.dedup_minhash_q,
+        "knn_cosine_top10": P.knn_cosine_top10,
+        "knn_cosine_lsh": P.knn_cosine_lsh_q,
+        "text_token_stats": P.text_token_stats,
+        "text_quality": P.text_quality,
+        "lang_id": P.lang_id_q,
+        "text_fingerprint": P.text_fingerprint_q,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ",".join(f"'{s}'" for s in P.STOPWORDS_SQL)
+    token_stats_core = f"""
+WITH {_TOKS_CTE},
+st AS (
+  SELECT d.doc_id,
+         count(t.term) AS token_cnt,
+         count(CASE WHEN t.term IN ({stop_list}) THEN 1 END) AS stop_cnt,
+         coalesce(sum(length(t.term)), 0) AS len_sum
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+)"""
+    return {
+        "fts_term_stats": f"""
+WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM toks GROUP BY term
+""",
+        "fts_doc_stats": f"""
+WITH {_TOKS_CTE},
+{_DL_CTE}
+SELECT doc_id, dl FROM dl
+""",
+        "fts_bm25_top10": _bm25_sql(sorted(set(P.BM25_QUERY.split())), 10),
+        "fts_bm25_top10_wand": _bm25_sql(sorted(set(P.BM25_QUERY.split())), 10),
+        "fts_bm25_hot_top20": _bm25_sql(sorted(set(P.BM25_QUERY_HOT.split())), 20),
+        "fts_term_doc_count": f"""
+WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE term IN ({",".join(f"'{t}'" for t in P.PROBE_TERMS)})
+GROUP BY term
+""",
+        "fts_docstore_roundtrip": "SELECT doc_id, text FROM documents",
+        "keyword_count_by_lang": (
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "events_tumbling_1h": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100.0) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100.0) AS BIGINT) AS sum_qty_cents,
+       CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT) AS sum_base_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0) AS BIGINT) AS sum_disc_cents,
+       count(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""",
+        "join_revenue_by_segment": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice) * 100.0) AS BIGINT) AS total_revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS dup_cnt
+FROM documents GROUP BY 1
+""",
+        "knn_cosine_top10": """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = 0
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+dots AS (
+  SELECT v.vec_id, sum(v.val * q.val) AS dot,
+         sum(v.val * v.val) AS n2, sum(q.val * q.val) AS q2
+  FROM v JOIN q USING (i) GROUP BY v.vec_id
+)
+SELECT vec_id,
+       CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
+FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
+""",
+        "text_token_stats": f"""{token_stats_core}
+SELECT doc_id, token_cnt, stop_cnt,
+       stop_cnt * 1.0 / greatest(token_cnt, 1) AS stop_ratio,
+       len_sum * 1.0 / greatest(token_cnt, 1) AS avg_token_len
+FROM st
+""",
+        "text_quality": f"""{token_stats_core}
+SELECT doc_id, token_cnt,
+       stop_cnt * 1.0 / greatest(token_cnt, 1) AS stop_ratio,
+       least(token_cnt / 64.0, 1.0)
+         * (0.5 + 0.5 * least((stop_cnt * 1.0 / greatest(token_cnt, 1)) * 4.0, 1.0))
+         AS quality
+FROM st
+""",
+        # dedup_minhash / knn_cosine_lsh / lang_id / text_fingerprint:
+        # intentionally no SQL oracle (LSH banding, heuristic model and
+        # rolling hash are not SQL-expressible) -> rows-only check.
+    }

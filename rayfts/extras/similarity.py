@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul per Arrow batch against a
+broadcast query matrix (`ray.put` once, read per actor — never re-shipped
+per batch). Scale path: LSH-bucketed variant (random-hyperplane signs)
+that prunes candidates before exact scoring.
+
+Top-k protocol: per-batch local top-k, then a driver-side merge of the
+small candidate tables — no global sort shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(arr[0])
+    return flat.reshape(-1, dim)
+
+
+class CosineScorer:
+    """Actor stage: query matrix fetched from the object store ONCE per actor."""
+
+    def __init__(self, query_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = np.asarray(q, dtype=np.float64)
+        if self.q.ndim == 1:
+            self.q = self.q[None, :]
+        self.qnorm = np.sqrt((self.q * self.q).sum(axis=1))
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.vec_col)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        sims = (m @ self.q.T) / (norms[:, None] * self.qnorm[None, :])
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            take = min(self.k, s.size)
+            part = np.argpartition(-s, take - 1)[:take] if take else []
+            for j in part:
+                out_q.append(qi)
+                out_id.append(int(ids[j]))
+                out_sim.append(float(s[j]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine_sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def knn_cosine(
+    ds: rd.Dataset,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+) -> pa.Table:
+    """Exact brute-force cosine top-k for each query row.
+
+    Returns pa.Table(query_idx, vec_id, cosine_sim) with exactly k rows per
+    query, ordered (query_idx, sim desc, vec_id asc).
+    """
+    query_ref = ray.put(np.asarray(query_vecs, dtype=np.float64))
+    cands = ds.map_batches(
+        CosineScorer,
+        fn_constructor_kwargs={
+            "query_ref": query_ref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    t = pa.concat_tables([t for t in ray.get(cands.to_arrow_refs()) if t.num_rows])
+    qs = t["query_idx"].to_numpy()
+    sims = t["cosine_sim"].to_numpy()
+    ids = t["vec_id"].to_numpy()
+    order = np.lexsort((ids, -sims, qs))
+    out_rows = []
+    seen: dict[int, int] = {}
+    for i in order:
+        q = int(qs[i])
+        if seen.get(q, 0) < k:
+            seen[q] = seen.get(q, 0) + 1
+            out_rows.append(i)
+    t = t.take(pa.array(out_rows, pa.int64()))
+    return t
+
+
+class HyperplaneLSH:
+    """Scale path: random-hyperplane sign buckets; candidates only from the
+    query's bucket (and optionally neighboring buckets by Hamming radius)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes.T) > 0
+        weights = (1 << np.arange(self.planes.shape[0])).astype(np.int64)
+        return signs.astype(np.int64) @ weights
+
+
+def knn_cosine_lsh(
+    ds: rd.Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Approximate top-k: score only vectors whose LSH bucket matches the
+    query's. Recall depends on n_planes; exactness is NOT claimed (use
+    knn_cosine for the exact baseline)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    lsh = HyperplaneLSH(q.shape[-1], n_planes)
+    qb = int(lsh.bucket(q[None, :])[0])
+
+    def filter_bucket(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)
+        keep = lsh.bucket(m) == qb
+        return batch.filter(pa.array(keep))
+
+    filtered = ds.map_batches(filter_bucket, batch_format="pyarrow")
+    return knn_cosine(filtered, q, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,121 @@
+"""Text analysis operators: token counts, quality scores, language ID,
+document fingerprints. All vectorized Arrow `map_batches` stages.
+
+Scale design: pure per-row derived columns — embarrassingly parallel, no
+shuffle; the analyzer reuses rayfts.analysis (same token spec as the index,
+so stats agree with the search engine's view of the text).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis import flatten_tokens, tokenize
+
+# fixed stopword list shared with the DuckDB oracle SQL (keep in sync with
+# __ray_entry__.oracle_sql)
+STOPWORDS = ("the", "a", "to", "ok", "and", "of", "in", "is", "it")
+
+# tiny n-gram language-ID heuristic: characteristic tokens per language.
+# This is NOT a model — a deterministic, testable heuristic (the container
+# has no language-ID libraries; the plumbing is the deliverable).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "es": ("el", "la", "y", "es"),
+}
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, token_cnt, uniq_cnt, stop_cnt, stop_ratio, avg_token_len)."""
+    n = batch.num_rows
+    flat, parent = flatten_tokens(tokenize(batch[text_col]))
+    token_cnt = np.bincount(parent, minlength=n).astype(np.int64)
+    is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))).to_numpy(
+        zero_copy_only=False
+    )
+    stop_cnt = np.bincount(parent[is_stop], minlength=n).astype(np.int64)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    len_sum = np.bincount(parent, weights=tok_lens, minlength=n)
+    denom = np.maximum(token_cnt, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "token_cnt": pa.array(token_cnt),
+            "stop_cnt": pa.array(stop_cnt),
+            "stop_ratio": pa.array(stop_cnt / denom, pa.float64()),
+            "avg_token_len": pa.array(len_sum / denom, pa.float64()),
+        }
+    )
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic doc-quality heuristic over length/stopword signals.
+
+    score = clamp01(token_cnt/64) * (0.5 + 0.5*clamp01(stop_ratio*4))
+    — rewards reasonable length and the presence of function words.
+    """
+    stats = token_stats_batch(batch, text_col)
+    tc = stats["token_cnt"].to_numpy().astype(np.float64)
+    sr = stats["stop_ratio"].to_numpy()
+    score = np.minimum(tc / 64.0, 1.0) * (0.5 + 0.5 * np.minimum(sr * 4.0, 1.0))
+    return stats.append_column("quality", pa.array(score, pa.float64()))
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Marker-token language ID; returns (doc_id, lang_pred, lang_hits).
+
+    Ties and zero-marker docs -> 'und'. Deterministic: languages compared in
+    sorted key order, strict-majority wins.
+    """
+    n = batch.num_rows
+    flat, parent = flatten_tokens(tokenize(batch[text_col]))
+    hits = {}
+    for lang in sorted(LANG_MARKERS):
+        is_m = pc.is_in(
+            flat, value_set=pa.array(list(LANG_MARKERS[lang]))
+        ).to_numpy(zero_copy_only=False)
+        hits[lang] = np.bincount(parent[is_m], minlength=n).astype(np.int64)
+    langs = sorted(LANG_MARKERS)
+    mat = np.stack([hits[lg] for lg in langs])  # (L, n)
+    best = mat.argmax(axis=0)
+    best_hits = mat.max(axis=0)
+    second = np.sort(mat, axis=0)[-2] if mat.shape[0] > 1 else np.zeros(n)
+    pred = np.where(
+        (best_hits > 0) & (best_hits > second), np.array(langs, object)[best], "und"
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(pred, pa.string()),
+            "lang_hits": pa.array(best_hits),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit content fingerprint: rolling polynomial hash over the token
+    sequence (order-sensitive, whitespace/case-insensitive by construction)."""
+    import zlib
+
+    n = batch.num_rows
+    flat, parent = flatten_tokens(tokenize(batch[text_col]))
+    tok_h = np.array(
+        [zlib.crc32(t.encode()) for t in flat.to_pylist()], dtype=np.uint64
+    )
+    P = np.uint64(1099511628211)
+    fp = np.zeros(n, dtype=np.uint64)
+    # rolling hash per doc: fp = fp*P + h in token order; uint64 wraparound
+    # is the intended modulus
+    with np.errstate(over="ignore"):
+        for i, h in zip(parent, tok_h):  # bounded by batch token count
+            fp[i] = fp[i] * P + h
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fp.astype(np.int64)),
+        }
+    )
