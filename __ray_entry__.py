@@ -49,8 +49,8 @@ df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scores AS (
   SELECT tf.doc_id,
          sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-              * tf.tf * (1.2 + 1.0)
-              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+              * ( tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
               ORDER BY tf.term ) AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id

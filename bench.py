@@ -1,0 +1,205 @@
+"""Headline benchmark: transcript index build + BM25 query throughput.
+
+Prints ONE JSON line:
+  {"metric": "rayfts_index_plus_query_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-phase seconds + rates...}, "sf": <sf>, "num_cpus": N}
+
+Input: deterministic seeded transcript corpus (BASELINE.json input_hint
+shape) sized by the sf factor of $GRAFT_SF_DIR (default /root/testdata/sf0.1
+-> ~600k turns), generated once to /tmp and cached; plus the sf dir's
+documents.parquet indexed as a secondary corpus.
+
+--scaling: runs this same benchmark in two fresh processes at
+num_cpus=8 and num_cpus=32 (N and 4N) over the same cached input and
+reports both throughputs + scaling efficiency (sandbox evidence protocol
+for the north rule's N vs 4N cluster criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+# --scaling runs a MULT-x corpus + workload so parallel work dominates the
+# fixed pipeline/orchestration costs at both CPU levels
+MULT = int(os.environ.get("GRAFT_SCALE_MULT", "1"))
+QUERY_REPEAT = 100 * MULT  # reference set x repeats + generated queries
+
+
+def sf_factor(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+def corpus_path(sf: float) -> str:
+    n_convs = max(200, int(920_000 * sf * MULT))
+    return f"/tmp/rayfts_bench/corpus_c{n_convs}_s{SEED}", n_convs
+
+
+def ensure_corpus(sf: float) -> tuple[str, int]:
+    from rayfts.fixtures import write_transcripts
+
+    path, n_convs = corpus_path(sf)
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_transcripts(path, n_convs=n_convs, seed=SEED)
+        open(marker, "w").close()
+    return path, n_convs
+
+
+def query_workload() -> list[str]:
+    import numpy as np
+
+    from rayfts.fixtures import REFERENCE_QUERIES
+
+    rng = np.random.default_rng(7)
+    gen = [
+        f"w{rng.integers(0, 5000):04d} w{rng.integers(0, 5000):04d}"
+        for _ in range(300 * MULT)
+    ]
+    return list(REFERENCE_QUERIES) * QUERY_REPEAT + gen
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.search import Searcher, run_queries
+
+    sf = sf_factor(SF_DIR)
+    corpus, n_convs = ensure_corpus(sf)
+
+    # warm page cache (untimed) so both scaling levels measure compute+shuffle
+    for f in sorted(os.listdir(corpus)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(corpus, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+    index_dir = f"/tmp/rayfts_bench/index_c{n_convs}_cpu{NUM_CPUS}"
+    cfg = IndexJobConfig(
+        index_dir=index_dir,
+        term_buckets=64,
+        analyze_batch_size=8192,
+        actor_pool_size=(1, max(2, NUM_CPUS - 2)),
+    )
+
+    t0 = time.perf_counter()
+    manifest = build_index(corpus, cfg=cfg, rows_per_part=65_536)
+    build_sec = time.perf_counter() - t0
+    n_docs = manifest["n_docs"]
+
+    queries = query_workload()
+    t0 = time.perf_counter()
+    hits = run_queries(
+        index_dir, queries, k=10, algo="taat",
+        concurrency=(1, max(2, NUM_CPUS // 2)),
+    )
+    n_hits = hits.count()
+    query_sec = time.perf_counter() - t0
+
+    # untimed sanity: WAND == TAAT on the reference set (rank+score identity
+    # vs the brute-force oracle is pinned at test scale in tests/)
+    s = Searcher(index_dir)
+    from rayfts.fixtures import REFERENCE_QUERIES
+
+    consistent = all(
+        s.search(q, k=10, algo="wand") == s.search(q, k=10, algo="taat")
+        for q in REFERENCE_QUERIES
+    )
+
+    result = {
+        "metric": "rayfts_index_plus_query_sec",
+        "value": round(build_sec + query_sec, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build_sec": round(build_sec, 3),
+            "query_sec": round(query_sec, 3),
+            "docstore_sec": manifest["metrics"]["docstore_sec"],
+            "postings_sec": manifest["metrics"]["postings_sec"],
+            "turns_per_sec": round(n_docs / build_sec, 1),
+            "queries_per_sec": round(len(queries) / query_sec, 1),
+            "n_turns": n_docs,
+            "n_terms": manifest["n_terms"],
+            "n_queries": len(queries),
+            "n_hits": n_hits,
+            "postings_bytes": manifest["postings_bytes"],
+            "wand_taat_consistent": consistent,
+        },
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    mult = int(os.environ.get("GRAFT_SCALE_MULT", "4"))
+    global MULT
+    MULT = mult
+    ensure_corpus(sf_factor(SF_DIR))  # generate once, outside both timed runs
+
+    def run_at(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALE_MULT=str(mult)
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run_at(lo), run_at(hi)
+    tp_lo = r_lo["queries"]["turns_per_sec"]
+    tp_hi = r_hi["queries"]["turns_per_sec"]
+    qp_lo = r_lo["queries"]["queries_per_sec"]
+    qp_hi = r_hi["queries"]["queries_per_sec"]
+    return {
+        "metric": "rayfts_scaling_efficiency",
+        "value": round((tp_hi / tp_lo) / (hi / lo), 3),
+        "unit": "efficiency",
+        "queries": {
+            f"turns_per_sec_cpu{lo}": tp_lo,
+            f"turns_per_sec_cpu{hi}": tp_hi,
+            f"queries_per_sec_cpu{lo}": qp_lo,
+            f"queries_per_sec_cpu{hi}": qp_hi,
+            "build_scaling_efficiency": round((tp_hi / tp_lo) / (hi / lo), 3),
+            "query_scaling_efficiency": round((qp_hi / qp_lo) / (hi / lo), 3),
+            f"total_sec_cpu{lo}": r_lo["value"],
+            f"total_sec_cpu{hi}": r_hi["value"],
+        },
+        "sf": r_hi["sf"],
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

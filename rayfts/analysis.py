@@ -94,11 +94,13 @@ def analyze_batch_with_dl(batch: pa.Table, text_col: str = "text", id_col: str =
             "dl": pa.array(doc_lens[parent], type=pa.int32()),
         }
     )
+    # use_threads=False => group output is FIRST-SEEN order. pairs are in
+    # doc-major order (parent ascending), so within every term the doc_ids
+    # appear ascending — no sort needed before the per-term list-aggregation.
     tf = pairs.group_by(["term", "doc_id"], use_threads=False).aggregate(
         [("doc_id", "count"), ("dl", "min")]
     )
     tf = tf.rename_columns(["term", "doc_id", "tf", "dl"])
-    tf = tf.sort_by([("term", "ascending"), ("doc_id", "ascending")])
     tf = pa.table(
         {
             "term": tf["term"],
@@ -128,8 +130,8 @@ def partial_postings_batch(
     utils/EntityBuffer.java:22-33).
     """
     tf, doc_lens = analyze_batch_with_dl(batch, text_col=text_col, id_col=id_col)
-    # tf is sorted by (term, doc_id): list-aggregate preserves that order
-    # with use_threads=False.
+    # tf rows are doc-ascending within each term (first-seen group order) and
+    # list-aggregate preserves input order with use_threads=False.
     grouped = tf.group_by(["term"], use_threads=False).aggregate(
         [("doc_id", "list"), ("tf", "list"), ("dl", "list"), ("doc_id", "count")]
     )

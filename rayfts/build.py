@@ -91,14 +91,14 @@ def _count_rows(block: pa.Table) -> int:
     return block.num_rows
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _write_docstore_part(
     slices: list,
     part_id: int,
     offset: int,
     docstore_dir: str,
     index_dir: str,
-) -> dict:
+):
     """Assemble one docstore partition from sorted block slices, assign the
     dense doc_id range [offset, offset+rows), write atomically, checkpoint.
 
@@ -133,7 +133,7 @@ def _write_docstore_part(
         "bytes": os.path.getsize(final),
     }
     write_checkpoint(index_dir, "docstore", f"part-{part_id:06d}", info)
-    return info
+    return info, t
 
 
 def _plan_partitions(counts: list[int], rows_per_part: int):
@@ -183,28 +183,39 @@ def build_docstore(
 
     plans = _plan_partitions(counts, rows_per_part)
     done = read_checkpoints(index_dir, "docstore") if cfg.resume else {}
-    futures = []
+    info_futures, part_refs = [], []
     infos = []
+    any_skipped = False
     for part_id, offset, slices in plans:
         unit = f"part-{part_id:06d}"
         if unit in done and os.path.exists(
             os.path.join(docstore_dir, f"{unit}.parquet")
         ):
             infos.append(done[unit])
+            any_skipped = True
             continue
-        futures.append(
-            _write_docstore_part.remote(
-                [(block_refs[b], s, e) for b, s, e in slices],
-                part_id,
-                offset,
-                docstore_dir,
-                index_dir,
-            )
+        info_ref, tbl_ref = _write_docstore_part.remote(
+            [(block_refs[b], s, e) for b, s, e in slices],
+            part_id,
+            offset,
+            docstore_dir,
+            index_dir,
         )
-    infos.extend(ray.get(futures))
+        info_futures.append(info_ref)
+        part_refs.append(tbl_ref)
+    infos.extend(ray.get(info_futures))
     infos.sort(key=lambda i: i["part_id"])
     total_rows = sum(i["rows"] for i in infos)
-    return {"partitions": infos, "rows": total_rows, "num_partitions": len(infos)}
+    return {
+        "partitions": infos,
+        "rows": total_rows,
+        "num_partitions": len(infos),
+        # fresh build: id-assigned blocks are still in the object store —
+        # the postings stage consumes them directly (no disk round-trip).
+        # On resume some partitions were skipped, so fall back to reading
+        # the docstore files (lineage-correct either way).
+        "_block_refs": None if any_skipped else part_refs,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -212,31 +223,34 @@ def build_docstore(
 # ---------------------------------------------------------------------------
 
 
-class AnalyzePartials:
-    """Actor-pool stage (SURVEY ST1): setup once per actor, work per batch.
+def analyze_partials_fn(
+    batch: pa.Table, norms_dir: str, text_col: str, num_buckets: int = 64
+) -> pa.Table:
+    """Analyze stage (SURVEY M9/ST1), run as stateless elastic tasks.
 
-    Emits partial-postings rows; as a side effect writes the batch's norms
-    (doc_id, dl) file named by its doc_id range — deterministic and disjoint
-    across batches, so retries overwrite idempotently.
+    Emits partial-postings rows keyed by ``bucket = crc32(term) % B`` — the
+    merge shuffles on the BUCKET, not the term: range-partitioning on raw
+    terms puts the (alphabetically adjacent) Zipf-head terms into one range
+    and creates a straggler reduce partition (observed: one 436 MB block,
+    18.9 s task); hashing mixes hot terms evenly across buckets.
+
+    As a side effect writes the batch's norms (doc_id, dl) file named by
+    its doc_id range — deterministic and disjoint across batches, so
+    retries overwrite idempotently.
     """
-
-    def __init__(self, norms_dir: str, text_col: str):
-        self.norms_dir = norms_dir
-        self.text_col = text_col
-        os.makedirs(norms_dir, exist_ok=True)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        partials, doc_lens = partial_postings_batch(batch, text_col=self.text_col)
-        doc_ids = batch["doc_id"].combine_chunks()
-        lo = pc.min(doc_ids).as_py()
-        hi = pc.max(doc_ids).as_py()
-        norms = pa.table(
-            {"doc_id": doc_ids, "dl": pa.array(doc_lens, type=pa.int32())}
-        )
-        tmp = os.path.join(self.norms_dir, f".dl-{lo}-{hi}.tmp")
-        pq.write_table(norms, tmp)
-        os.replace(tmp, os.path.join(self.norms_dir, f"dl-{lo}-{hi}.parquet"))
-        return partials
+    partials, doc_lens = partial_postings_batch(batch, text_col=text_col)
+    partials = partials.append_column(
+        "bucket", _term_buckets_arrow(partials["term"], num_buckets)
+    )
+    doc_ids = batch["doc_id"].combine_chunks()
+    lo = pc.min(doc_ids).as_py()
+    hi = pc.max(doc_ids).as_py()
+    os.makedirs(norms_dir, exist_ok=True)
+    norms = pa.table({"doc_id": doc_ids, "dl": pa.array(doc_lens, type=pa.int32())})
+    tmp = os.path.join(norms_dir, f".dl-{lo}-{hi}.tmp")
+    pq.write_table(norms, tmp)
+    os.replace(tmp, os.path.join(norms_dir, f"dl-{lo}-{hi}.parquet"))
+    return partials
 
 
 # ---------------------------------------------------------------------------
@@ -244,39 +258,77 @@ class AnalyzePartials:
 # ---------------------------------------------------------------------------
 
 
-class MergeEncodeTerm:
-    """map_groups fn: one term's partials -> one encoded postings row."""
+def merge_encode_bucket(group: pa.Table) -> pa.Table:
+    """map_groups fn: ALL partials of one hash bucket -> encoded postings
+    rows (one per term).
 
-    def __init__(self, num_buckets: int):
-        self.num_buckets = num_buckets
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        term = group["term"][0].as_py()
-        doc_ids = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in group["doc_ids"].to_pylist()]
+    Avoids Arrow take/sort on chunked list columns entirely (observed to be
+    10x+ slower than the encode itself on 200+-chunk groups): walks each
+    chunk's flattened values + offsets, gathers per-term slices, then
+    delta+varint encodes per term.
+    """
+    if group.num_rows == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int32()),
+                "df": pa.array([], pa.int64()),
+                "cf": pa.array([], pa.int64()),
+                "doc_bytes": pa.array([], pa.binary()),
+                "tf_bytes": pa.array([], pa.binary()),
+                "block_bytes": pa.array([], pa.binary()),
+            }
         )
-        tfs = np.concatenate(
-            [np.asarray(x, dtype=np.int32) for x in group["tfs"].to_pylist()]
-        )
-        dls = np.concatenate(
-            [np.asarray(x, dtype=np.int32) for x in group["dls"].to_pylist()]
-        )
+    bucket = int(group["bucket"][0].as_py())
+    per_term: dict[str, list] = {}
+    # operate per original chunk: flatten is cheap per chunk, and no Arrow
+    # take/sort ever touches the list columns
+    doc_col = group["doc_ids"]
+    tf_col = group["tfs"]
+    dl_col = group["dls"]
+    term_col = group["term"]
+    for ci in range(doc_col.num_chunks):
+        dch = doc_col.chunk(ci)
+        tch = tf_col.chunk(ci)
+        lch = dl_col.chunk(ci)
+        terms_py = term_col.chunk(ci).to_pylist()
+        fd = dch.flatten().to_numpy(zero_copy_only=False)
+        ft = tch.flatten().to_numpy(zero_copy_only=False)
+        fl = lch.flatten().to_numpy(zero_copy_only=False)
+        # offsets of a SLICED ListArray are raw (not rebased to flatten()'s
+        # output) — rebase by the first offset
+        offs = dch.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        for i, term in enumerate(terms_py):
+            v0, v1 = offs[i], offs[i + 1]
+            per_term.setdefault(term, []).append((fd[v0:v1], ft[v0:v1], fl[v0:v1]))
+    out_terms, out_df, out_cf = [], [], []
+    out_doc_b, out_tf_b, out_blk_b = [], [], []
+    for term in sorted(per_term):
+        slices = per_term[term]
+        doc_ids = np.concatenate([x[0] for x in slices]).astype(np.int64)
+        tfs = np.concatenate([x[1] for x in slices]).astype(np.int32)
+        dls = np.concatenate([x[2] for x in slices]).astype(np.int32)
         order = np.argsort(doc_ids, kind="stable")
         doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
         doc_bytes, tf_bytes, block_bytes = encode_postings(doc_ids, tfs, dls)
-        return pa.table(
-            {
-                "term": pa.array([term], pa.string()),
-                "bucket": pa.array(
-                    [term_bucket_py(term, self.num_buckets)], pa.int32()
-                ),
-                "df": pa.array([int(doc_ids.size)], pa.int64()),
-                "cf": pa.array([int(tfs.sum())], pa.int64()),
-                "doc_bytes": pa.array([doc_bytes], pa.binary()),
-                "tf_bytes": pa.array([tf_bytes], pa.binary()),
-                "block_bytes": pa.array([block_bytes], pa.binary()),
-            }
-        )
+        out_terms.append(term)
+        out_df.append(int(doc_ids.size))
+        out_cf.append(int(tfs.sum()))
+        out_doc_b.append(doc_bytes)
+        out_tf_b.append(tf_bytes)
+        out_blk_b.append(block_bytes)
+    return pa.table(
+        {
+            "term": pa.array(out_terms, pa.string()),
+            "bucket": pa.array([bucket] * len(out_terms), pa.int32()),
+            "df": pa.array(out_df, pa.int64()),
+            "cf": pa.array(out_cf, pa.int64()),
+            "doc_bytes": pa.array(out_doc_b, pa.binary()),
+            "tf_bytes": pa.array(out_tf_b, pa.binary()),
+            "block_bytes": pa.array(out_blk_b, pa.binary()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -322,7 +374,11 @@ def build_index(
                 )
             else:
                 input_files.append(p)
-        ds = rd.read_parquet(input_files)
+        # parallelize the read/sort regardless of input file count: a
+        # 3-file corpus would otherwise become <=3 blocks and the sort's
+        # map+reduce would run on 1-3 tasks (observed: 1-task sort at sf0.1)
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        ds = rd.read_parquet(input_files, override_num_blocks=max(ncpu * 2, len(input_files)))
 
     # ---- stage 1: docstore (sort + dense doc_id + partitioned write) ----
     t0 = time.perf_counter()
@@ -330,7 +386,12 @@ def build_index(
         doc_info = read_checkpoints(index_dir, "stage")["docstore"]["result"]
     else:
         doc_info = build_docstore(ds, index_dir, cfg, rows_per_part)
-        write_checkpoint(index_dir, "stage", "docstore", {"result": doc_info})
+        write_checkpoint(
+            index_dir,
+            "stage",
+            "docstore",
+            {"result": {k: v for k, v in doc_info.items() if not k.startswith("_")}},
+        )
     metrics["docstore_sec"] = round(time.perf_counter() - t0, 3)
     n_docs = doc_info["rows"]
 
@@ -342,22 +403,32 @@ def build_index(
         for stale in (postings_dir, norms_dir):
             if os.path.isdir(stale):
                 shutil.rmtree(stale)  # batch boundaries may differ run-to-run
-        docstore_paths = os.path.join(index_dir, "docstore")
-        analyzed = rd.read_parquet(
-            docstore_paths, columns=["doc_id", cfg.text_col]
-        ).map_batches(
-            AnalyzePartials,
-            fn_constructor_kwargs={"norms_dir": norms_dir, "text_col": cfg.text_col},
+        block_refs = doc_info.get("_block_refs")
+        if block_refs:
+            src = rd.from_arrow_refs(block_refs).map_batches(
+                lambda t: t.select(["doc_id", cfg.text_col]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        else:
+            src = rd.read_parquet(
+                os.path.join(index_dir, "docstore"),
+                columns=["doc_id", cfg.text_col],
+            )
+        analyzed = src.map_batches(
+            analyze_partials_fn,
+            fn_kwargs={
+                "norms_dir": norms_dir,
+                "text_col": cfg.text_col,
+                "num_buckets": cfg.term_buckets,
+            },
             batch_format="pyarrow",
             batch_size=cfg.analyze_batch_size,
             zero_copy_batch=True,
-            concurrency=cfg.actor_pool_size,
         )
-        merged = analyzed.groupby("term").map_groups(
-            MergeEncodeTerm,
-            fn_constructor_kwargs={"num_buckets": cfg.term_buckets},
+        merged = analyzed.groupby("bucket").map_groups(
+            merge_encode_bucket,
             batch_format="pyarrow",
-            concurrency=cfg.actor_pool_size,
         )
         merged.write_parquet(postings_dir, partition_cols=["bucket"])
         write_checkpoint(index_dir, "stage", "postings", {})
@@ -381,6 +452,7 @@ def build_index(
             f"norms rows {n_norms} != docstore rows {n_docs} — inconsistent build"
         )
 
+    doc_info = {k: v for k, v in doc_info.items() if not k.startswith("_")}
     manifest = {
         "format_version": FORMAT_VERSION,
         "n_docs": n_docs,

@@ -12,7 +12,7 @@ Spec pinned here:
   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))          [Lucene BM25]
   score(q,d) = sum over UNIQUE query terms t (ascending term order,
                float64 accumulation in that order):
-               qtf(t) * idf(t) * tf(t,d)*(k1+1) / (tf(t,d) + k1*(1-b+b*dl/avgdl))
+               qtf(t)*idf(t) * ( tf(t,d)*(k1+1) / (tf(t,d) + k1*(1-b+b*dl/avgdl)) )
   where qtf(t) = multiplicity of t in the query (repeated query terms
   count multiply, like duplicate TermQuery clauses in a BooleanQuery).
   Match semantics: OR — only docs containing >=1 query term are hits.
@@ -67,6 +67,10 @@ class BruteForceIndex:
                 if f == 0:
                     continue
                 norm = self.k1 * (1.0 - self.b + self.b * self.dl[doc_id] / self.avgdl)
-                scores[doc_id] = scores.get(doc_id, 0.0) + w * f * (self.k1 + 1.0) / (f + norm)
+                # op order pinned: w * (tf_part) — tf_part is the
+                # query-independent factor the engine precomputes per term
+                scores[doc_id] = scores.get(doc_id, 0.0) + w * (
+                    f * (self.k1 + 1.0) / (f + norm)
+                )
         hits = sorted(scores.items(), key=lambda it: (-it[1], it[0]))
         return hits[:k]

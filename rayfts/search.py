@@ -43,11 +43,15 @@ def tokenize_query(q: str) -> list[str]:
 
 
 class Postings:
-    __slots__ = ("term", "df", "cf", "doc_ids", "tfs", "blocks")
+    __slots__ = ("term", "df", "cf", "doc_ids", "tfs", "blocks", "tf_part", "block_ub")
 
-    def __init__(self, term, df, cf, doc_ids, tfs, blocks):
+    def __init__(self, term, df, cf, doc_ids, tfs, blocks, tf_part=None):
         self.term, self.df, self.cf = term, df, cf
         self.doc_ids, self.tfs, self.blocks = doc_ids, tfs, blocks
+        # query-independent BM25 factor per posting:
+        #   tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+        self.tf_part = tf_part
+        self.block_ub = None  # per-block max of tf_part (pruning bound)
 
 
 class Searcher:
@@ -75,32 +79,68 @@ class Searcher:
         norms = pq.read_table(os.path.join(index_dir, "norms"))
         self.dl = np.zeros(self.N, dtype=np.int32)
         self.dl[norms["doc_id"].to_numpy()] = norms["dl"].to_numpy()
-        self._postings_ds = pads.dataset(
-            os.path.join(index_dir, "postings"), partitioning="hive"
-        )
+        self._postings_dir = os.path.join(index_dir, "postings")
+        self._postings_ds = pads.dataset(self._postings_dir, partitioning="hive")
         self._docstore_dir = os.path.join(index_dir, "docstore")
         self._cache: dict[str, Postings | None] = {}
+        # bucket -> {term: encoded row dict}; a query term loads its whole
+        # hash bucket once (one columnar file read) and every later term in
+        # that bucket is a dict hit — the per-actor state that makes the
+        # QueryRunner pool amortize I/O (SURVEY ST5).
+        self._buckets: dict[int, dict[str, dict]] = {}
+        # (query, k) -> top-k result; deterministic over an immutable
+        # published index, cleared wholesale at 4096 entries
+        self._result_cache: dict[tuple, list] = {}
 
     # ------------------------------------------------------------------
     # postings access
     # ------------------------------------------------------------------
 
+    def _load_bucket(self, bucket: int) -> dict[str, dict]:
+        cached = self._buckets.get(bucket)
+        if cached is not None:
+            return cached
+        t = self._postings_ds.to_table(filter=(pads.field("bucket") == bucket))
+        rows: dict[str, dict] = {}
+        terms = t["term"].to_pylist()
+        cols = {
+            c: t[c] for c in ("df", "cf", "doc_bytes", "tf_bytes", "block_bytes")
+        }
+        for i, term in enumerate(terms):
+            rows[term] = {c: cols[c][i].as_py() for c in cols}
+        self._buckets[bucket] = rows
+        return rows
+
     def lookup(self, term: str) -> Postings | None:
         if term in self._cache:
             return self._cache[term]
         bucket = term_bucket_py(term, self.num_buckets)
-        t = self._postings_ds.to_table(
-            filter=(pads.field("bucket") == bucket) & (pads.field("term") == term)
-        )
-        if t.num_rows == 0:
+        row = self._load_bucket(bucket).get(term)
+        if row is None:
             self._cache[term] = None
             return None
-        row = {c: t[c][0].as_py() for c in ("df", "cf", "doc_bytes", "tf_bytes", "block_bytes")}
         doc_ids, tfs = decode_postings(row["doc_bytes"], row["tf_bytes"])
+        doc_ids = doc_ids.astype(np.int64)
+        tfs_f = tfs.astype(np.float64)
+        dls = self.dl[doc_ids].astype(np.float64)
+        tf_part = tfs_f * (self.k1 + 1.0) / (
+            tfs_f + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+        )
+        blocks = decode_blocks(row["block_bytes"])
         p = Postings(
             term, row["df"], row["cf"],
-            doc_ids.astype(np.int64), tfs, decode_blocks(row["block_bytes"]),
+            doc_ids, tfs, blocks, tf_part,
         )
+        # per-block upper bound of tf_part (query-independent): the
+        # vectorized block-max pruning input. Same monotone expression as
+        # the real factor, evaluated at (max_tf, min_dl) -> provably >= any
+        # posting's tf_part in the block (see codec.encode_postings).
+        mt = blocks["max_tf"].astype(np.float64)
+        md = blocks["min_dl"].astype(np.float64)
+        p_block_ub = mt * (self.k1 + 1.0) / (
+            mt + self.k1 * (1.0 - self.b + self.b * md / self.avgdl)
+        )
+        p.block_ub = p_block_ub
         self._cache[term] = p
         return p
 
@@ -111,8 +151,14 @@ class Searcher:
     # BM25 search
     # ------------------------------------------------------------------
 
-    def search(self, query: str, k: int = 10, algo: str = "wand"):
-        """Top-k [(doc_id, score)] — (score desc, doc_id asc)."""
+    def search(self, query: str, k: int = 10, algo: str = "taat"):
+        """Top-k [(doc_id, score)] — (score desc, doc_id asc).
+
+        algo="taat": vectorized term-at-a-time union (default; O(total
+        postings) numpy, the throughput path). algo="wand": doc-at-a-time
+        block-max WAND (the skipping executor). Both accumulate per-doc
+        contributions in ascending unique-term order -> bit-identical.
+        """
         if k <= 0:
             return []
         qtf = Counter(tokenize_query(query))
@@ -122,34 +168,114 @@ class Searcher:
         if not plist:
             return []
         if algo == "taat":
-            return self._search_taat(plist, k)
+            key = (query, k)
+            cached = self._result_cache.get(key)
+            if cached is not None:
+                return list(cached)
+            if len(plist) == 1:
+                out = self._search_single_pruned(plist[0], k)
+            else:
+                out = self._search_taat(plist, k)
+            if len(self._result_cache) >= 4096:
+                self._result_cache.clear()
+            self._result_cache[key] = out
+            return list(out)
         return self._search_wand(plist, k)
 
     def _term_weight(self, qtf: int, df: int) -> float:
         return qtf * self.idf(df)
 
+    def _search_single_pruned(self, entry, k):
+        """Exact single-term top-k with block-max pruning.
+
+        Blocks are processed in DESCENDING bound order in chunks; a
+        candidate pool keeps only docs with score >= the running kth score
+        (ties kept for the doc_id-asc tie-break), so the loop is O(total
+        postings) worst case and stops early once the next bound is
+        strictly below the kth score. Contribution op order identical to
+        the oracle (w * tf_part)."""
+        term, qn, p = entry
+        w = self._term_weight(qn, p.df)
+        n = p.doc_ids.size
+        nblocks = p.block_ub.size
+        if nblocks <= 4:
+            return self._topk_from(p.doc_ids, w * p.tf_part, k)
+        order = np.argsort(-p.block_ub, kind="stable")
+        bounds = w * p.block_ub[order]
+        pool_docs = np.empty(0, np.int64)
+        pool_scores = np.empty(0, np.float64)
+        kth = -np.inf
+        CHUNK = 64
+        for c0 in range(0, nblocks, CHUNK):
+            if pool_scores.size >= k and bounds[c0] < kth:
+                break
+            js = order[c0 : c0 + CHUNK]
+            parts_d, parts_s = [], []
+            for j in js:
+                lo = int(j) * 128
+                hi = min(n, lo + 128)
+                parts_d.append(p.doc_ids[lo:hi])
+                parts_s.append(w * p.tf_part[lo:hi])
+            pool_docs = np.concatenate([pool_docs] + parts_d)
+            pool_scores = np.concatenate([pool_scores] + parts_s)
+            if pool_scores.size > k:
+                kth = -np.partition(-pool_scores, k - 1)[k - 1]
+                keep = pool_scores >= kth  # keep boundary ties
+                pool_docs = pool_docs[keep]
+                pool_scores = pool_scores[keep]
+        return self._topk_from(pool_docs, pool_scores, k)
+
+    def _topk_from(self, docs, scores, k):
+        take = min(k, docs.size)
+        if docs.size > take:
+            kth = np.partition(-scores, take - 1)[take - 1]
+            cand = np.flatnonzero(-scores <= kth)
+        else:
+            cand = np.arange(docs.size)
+        order = cand[np.lexsort((docs[cand], -scores[cand]))][:take]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
     def _search_taat(self, plist, k):
-        scores = np.zeros(self.N, dtype=np.float64)
+        """Vectorized term-at-a-time scoring into a reusable dense
+        accumulator (one float64 slot per doc of this segment — per-segment
+        N is bounded in the sharded design, so this is O(segment) memory
+        held once per actor). Each term scatter-adds its contributions in
+        ascending-term order — per doc that is exactly the oracle's float64
+        accumulation order, so scores are bit-identical to the spec."""
+        buf = getattr(self, "_score_buf", None)
+        if buf is None or buf.size != self.N:
+            buf = self._score_buf = np.zeros(self.N, dtype=np.float64)
+        touched = []
         for term, qn, p in plist:  # ascending term order == oracle order
             w = self._term_weight(qn, p.df)
-            tfs = p.tfs.astype(np.float64)
-            dls = self.dl[p.doc_ids].astype(np.float64)
-            contrib = w * tfs * (self.k1 + 1.0) / (
-                tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
-            )
-            scores[p.doc_ids] += contrib
-        idx = np.flatnonzero(scores > 0.0)
-        sc = scores[idx]
-        order = np.lexsort((idx, -sc))[:k]
-        return [(int(idx[i]), float(sc[i])) for i in order]
+            buf[p.doc_ids] += w * p.tf_part  # doc_ids unique within a term
+            touched.append(p.doc_ids)
+        total_touched = sum(t.size for t in touched)
+        if total_touched * 8 < self.N:
+            # sparse query: unique over the touched ids beats scanning N
+            idx = np.unique(np.concatenate(touched))
+        else:
+            idx = np.flatnonzero(buf > 0.0)  # contributions strictly positive
+        scores = buf[idx].copy()
+        for t in touched:  # reset only touched slots for the next query
+            buf[t] = 0.0
+        take = min(k, idx.size)
+        if idx.size > take:
+            kth = np.partition(-scores, take - 1)[take - 1]
+            cand = np.flatnonzero(-scores <= kth)  # keep boundary ties
+        else:
+            cand = np.arange(idx.size)
+        order = cand[np.lexsort((idx[cand], -scores[cand]))][:take]
+        return [(int(idx[i]), float(scores[i])) for i in order]
 
     def _score_one(self, doc_id: int, entries) -> float:
         """Score one doc given [(weight, tf, dl)] in ascending-term order —
         the exact float64 op sequence of the oracle/TAAT."""
         score = 0.0
         for w, tf, dl in entries:
-            score += w * tf * (self.k1 + 1.0) / (
-                tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+            score += w * (
+                tf * (self.k1 + 1.0)
+                / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
             )
         return score
 
@@ -167,7 +293,7 @@ class Searcher:
             blk = p.blocks
             mt = blk["max_tf"].astype(np.float64)
             md = blk["min_dl"].astype(np.float64)
-            ubs = c.w * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * md / avgdl))
+            ubs = c.w * (mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * md / avgdl)))
             c.ub = float(ubs.max())
             curs.append(c)
 
@@ -292,7 +418,7 @@ class QueryRunner:
     (state loaded once, SURVEY ST5/actor-pool rule).
     """
 
-    def __init__(self, index_dir: str, k: int = 10, algo: str = "wand"):
+    def __init__(self, index_dir: str, k: int = 10, algo: str = "taat"):
         self.searcher = Searcher(index_dir)
         self.k = k
         self.algo = algo
@@ -323,7 +449,7 @@ def run_queries(
     index_dir: str,
     queries: list[str],
     k: int = 10,
-    algo: str = "wand",
+    algo: str = "taat",
     concurrency=(1, 8),
 ):
     """Run a query set as a Ray Data pipeline; returns a Dataset of hits."""
