@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": P.events_tumbling_1h,
         "q1_pricing": P.q1_pricing,
         "join_revenue_by_segment": P.join_revenue_by_segment,
+        "semi_join_lineitem_part": P.semi_join_lineitem_part,
+        "union_distinct_keys": P.union_distinct_keys,
+        "events_top20_by_value": P.events_top20_by_value,
         # training-data extras (dedup / similarity / text analysis)
         "dedup_exact": P.dedup_exact_q,
         "dedup_minhash": P.dedup_minhash_q,
@@ -163,6 +166,23 @@ SELECT c_mktsegment, count(*) AS n_orders,
        CAST(round(sum(o_totalprice) * 100.0) AS BIGINT) AS total_revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
+""",
+        "semi_join_lineitem_part": """
+SELECT l_partkey, count(*) AS n_items,
+       CAST(round(sum(l_quantity) * 100.0) AS BIGINT) AS sum_qty_cents
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+GROUP BY 1
+""",
+        "union_distinct_keys": """
+SELECT count(DISTINCT id) AS n_distinct FROM (
+  SELECT o_custkey AS id FROM orders
+  UNION ALL SELECT c_custkey FROM customer
+)
+""",
+        "events_top20_by_value": """
+SELECT event_id, CAST(round(value * 100.0) AS BIGINT) AS value_cents
+FROM events ORDER BY value DESC, event_id LIMIT 20
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

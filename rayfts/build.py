@@ -13,25 +13,31 @@ built explicitly:
        driver touches ONLY per-block row counts, never rows)
     -> docstore partitions written by raw Ray tasks (temp+rename,
        per-partition checkpoint + lineage)                      [S7/M4]
-    -> map_batches(AnalyzePartials)  partial postings + norms side-files
-                                                                [M9/ST1]
-    -> groupby(term).map_groups(merge, sort, delta+varint encode,
-       block max-impact)             (the term-sharded shuffle)  [T3/A3]
-    -> postings parquet partitioned by bucket=hash(term)%B
+    -> per-partition analyze: partials pre-aggregated per batch, split
+       into bucket=crc32(term)%B shards; norms side-files       [M9/ST1]
+    -> hand-rolled hash shuffle: one merge task per bucket gathers its
+       shard from every analyze output, merges, doc_id-sorts,
+       delta+varint encodes with block max-impact metadata      [T3/A3]
+    -> postings/bucket-NNNN.parquet (one file per bucket,
+       per-bucket checkpoint)
     -> global stats (N, avgdl, df) + atomic manifest publish    [A3/S10]
 
 Scale notes (100 TB design):
-  * The only all-to-all exchanges are the docID sort and the term groupby;
-    the term shuffle moves pre-aggregated partials (O(postings)), not raw
-    tokens. Hot terms ("the", tool names) are bounded per-batch by the
-    map-side combine; their merge groups are single tasks — the salting
-    escape hatch (split encode by doc_id range, concat delta blocks) is
-    documented in codec.encode_postings and planned behind
-    ``hot_term_df_threshold``.
+  * The only all-to-all exchanges are the docID sort and the postings
+    bucket shuffle; the bucket shuffle moves pre-aggregated partials
+    (O(postings), not O(token occurrences)). Shuffling on hashed buckets
+    (not raw terms) spreads the Zipf-head terms evenly — range
+    partitioning on terms measured a 436 MB straggler reduce block.
+    The bucket exchange is raw Ray tasks (map num_returns=B, reduce
+    per bucket): the Dataset groupby expression of the same exchange
+    measured 3-10x slower (sort shuffle + chunked-list take) and flat
+    8->32 CPU scaling. At 10^12 turns raise term_buckets and add one
+    hierarchical combine level per bucket.
   * The driver never materializes rows: docID assignment reads block
     metadata only; all writes happen in tasks.
   * Norms/docstore/postings are partitioned files -> a rerun with
-    resume=True skips checkpointed units.
+    resume=True skips checkpointed docstore partitions and postings
+    buckets individually.
 """
 
 from __future__ import annotations
@@ -64,7 +70,7 @@ from .manifest import (
 
 logger = logging.getLogger(__name__)
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # 2: flat bucket-NNNN.parquet postings layout
 
 
 def term_bucket_py(term: str, num_buckets: int) -> int:
@@ -91,20 +97,10 @@ def _count_rows(block: pa.Table) -> int:
     return block.num_rows
 
 
-@ray.remote(num_returns=2)
-def _write_docstore_part(
-    slices: list,
-    part_id: int,
-    offset: int,
-    docstore_dir: str,
-    index_dir: str,
-):
-    """Assemble one docstore partition from sorted block slices, assign the
-    dense doc_id range [offset, offset+rows), write atomically, checkpoint.
-
-    Raises on failure so Ray retries the task — deliberately NOT the
-    reference's swallow-bulk-errors behavior (dao/EntityDao.java:155-159);
-    a partial index must never be published.
+@ray.remote
+def _assemble_part(slices: list, offset: int) -> pa.Table:
+    """Assemble one docstore partition from sorted block slices and assign
+    its dense doc_id range [offset, offset+rows).
 
     ``slices`` items are (ObjectRef[pa.Table], start, stop): refs nested in
     a list are NOT auto-dereferenced by Ray, so resolve them here (and only
@@ -115,7 +111,21 @@ def _write_docstore_part(
     ]
     t = pa.concat_tables(tables)
     ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
-    t = t.add_column(0, "doc_id", ids)
+    return t.add_column(0, "doc_id", ids)
+
+
+@ray.remote
+def _write_docstore_part(
+    t: pa.Table, part_id: int, offset: int, docstore_dir: str, index_dir: str
+) -> dict:
+    """Write one assembled partition atomically + checkpoint it. Runs
+    CONCURRENTLY with the analyze stage (which consumes the assembled
+    table from the object store, not the file).
+
+    Raises on failure so Ray retries the task — deliberately NOT the
+    reference's swallow-bulk-errors behavior (dao/EntityDao.java:155-159);
+    a partial index must never be published.
+    """
     fname = f"part-{part_id:06d}.parquet"
     final = os.path.join(docstore_dir, fname)
     tmp = final + ".tmp"
@@ -133,7 +143,7 @@ def _write_docstore_part(
         "bytes": os.path.getsize(final),
     }
     write_checkpoint(index_dir, "docstore", f"part-{part_id:06d}", info)
-    return info, t
+    return info
 
 
 def _plan_partitions(counts: list[int], rows_per_part: int):
@@ -194,27 +204,28 @@ def build_docstore(
             infos.append(done[unit])
             any_skipped = True
             continue
-        info_ref, tbl_ref = _write_docstore_part.remote(
-            [(block_refs[b], s, e) for b, s, e in slices],
-            part_id,
-            offset,
-            docstore_dir,
-            index_dir,
+        tbl_ref = _assemble_part.remote(
+            [(block_refs[b], s, e) for b, s, e in slices], offset
         )
-        info_futures.append(info_ref)
+        info_futures.append(
+            _write_docstore_part.remote(
+                tbl_ref, part_id, offset, docstore_dir, index_dir
+            )
+        )
         part_refs.append(tbl_ref)
-    infos.extend(ray.get(info_futures))
-    infos.sort(key=lambda i: i["part_id"])
-    total_rows = sum(i["rows"] for i in infos)
+    total_rows = int(sum(counts))
     return {
-        "partitions": infos,
+        "partitions": infos,  # checkpointed (skipped) partitions only, so far
         "rows": total_rows,
-        "num_partitions": len(infos),
+        "num_partitions": len(plans),
         # fresh build: id-assigned blocks are still in the object store —
-        # the postings stage consumes them directly (no disk round-trip).
+        # the postings stage consumes them directly (no disk round-trip)
+        # WHILE the parquet writes proceed concurrently; the write futures
+        # are joined before the manifest is published.
         # On resume some partitions were skipped, so fall back to reading
         # the docstore files (lineage-correct either way).
         "_block_refs": None if any_skipped else part_refs,
+        "_info_futures": info_futures,
     }
 
 
@@ -226,7 +237,7 @@ def build_docstore(
 def analyze_partials_fn(
     batch: pa.Table, norms_dir: str, text_col: str, num_buckets: int = 64
 ) -> pa.Table:
-    """Analyze stage (SURVEY M9/ST1), run as stateless elastic tasks.
+    """Analyze one batch (SURVEY M9/ST1).
 
     Emits partial-postings rows keyed by ``bucket = crc32(term) % B`` — the
     merge shuffles on the BUCKET, not the term: range-partitioning on raw
@@ -251,6 +262,86 @@ def analyze_partials_fn(
     pq.write_table(norms, tmp)
     os.replace(tmp, os.path.join(norms_dir, f"dl-{lo}-{hi}.parquet"))
     return partials
+
+
+@ray.remote
+def _analyze_partition(
+    src, norms_dir: str, text_col: str, num_buckets: int, batch_size: int
+):
+    """Map side of the hand-rolled hash shuffle: one docstore partition ->
+    ``num_buckets`` partial-postings shards (returned as num_buckets
+    objects via ``num_returns``).
+
+    The Dataset ``groupby(bucket).map_groups`` expression of this exchange
+    measured 3-10x slower at 2.4M turns (sort-based shuffle + chunked-list
+    ``take`` in the reduce) and showed no CPU scaling 8->32; per SURVEY §2
+    custom-operator rule (c), THE wide shuffle drops to raw Ray tasks:
+    map tasks split partials by bucket, one reduce task per bucket gathers
+    its shards from every map output. Everything else stays Dataset-based.
+
+    ``src`` is either a pa.Table (object-store handoff from the docstore
+    stage) or a parquet file path (resume path).
+    """
+    if isinstance(src, str):
+        t = pq.read_table(src, columns=["doc_id", text_col])
+    else:
+        t = src.select(["doc_id", text_col])
+    parts = []
+    for off in range(0, t.num_rows, batch_size):
+        parts.append(
+            analyze_partials_fn(
+                t.slice(off, batch_size), norms_dir, text_col, num_buckets
+            )
+        )
+    allp = pa.concat_tables(parts) if parts else None
+    out = []
+    if allp is None or allp.num_rows == 0:
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "doc_ids": pa.array([], pa.list_(pa.int64())),
+                "tfs": pa.array([], pa.list_(pa.int32())),
+                "dls": pa.array([], pa.list_(pa.int32())),
+                "df_partial": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+        return tuple([empty] * num_buckets)
+    buckets_np = allp["bucket"].to_numpy()
+    order = np.argsort(buckets_np, kind="stable")
+    sorted_t = allp.take(pa.array(order))
+    sb = buckets_np[order]
+    bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
+    for b in range(num_buckets):
+        out.append(sorted_t.slice(int(bounds[b]), int(bounds[b + 1] - bounds[b])))
+    return tuple(out)
+
+
+@ray.remote
+def _merge_write_bucket(bucket_id: int, postings_dir: str, index_dir: str, *shards):
+    """Reduce side: gather one bucket's shards, merge+encode, write the
+    bucket file atomically, checkpoint (per-bucket resume granularity)."""
+    tables = [s for s in shards if s.num_rows]
+    merged = (
+        merge_encode_bucket(pa.concat_tables(tables))
+        if tables
+        else merge_encode_bucket(pa.table({"bucket": pa.array([], pa.int32())}))
+    )
+    os.makedirs(postings_dir, exist_ok=True)
+    fname = f"bucket-{bucket_id:04d}.parquet"
+    final = os.path.join(postings_dir, fname)
+    tmp = final + ".tmp"
+    pq.write_table(merged, tmp)
+    os.replace(tmp, final)
+    info = {
+        "bucket": bucket_id,
+        "file": f"postings/{fname}",
+        "terms": merged.num_rows,
+        "cf_total": int(pc.sum(merged["cf"]).as_py() or 0) if merged.num_rows else 0,
+        "postings_bytes": os.path.getsize(final),
+    }
+    write_checkpoint(index_dir, "postings", f"bucket-{bucket_id:04d}", info)
+    return info
 
 
 # ---------------------------------------------------------------------------
@@ -386,52 +477,46 @@ def build_index(
         doc_info = read_checkpoints(index_dir, "stage")["docstore"]["result"]
     else:
         doc_info = build_docstore(ds, index_dir, cfg, rows_per_part)
-        write_checkpoint(
-            index_dir,
-            "stage",
-            "docstore",
-            {"result": {k: v for k, v in doc_info.items() if not k.startswith("_")}},
-        )
+        # stage checkpoint is written after the write futures are joined
+        # (below) — recording it here would list incomplete partitions
     metrics["docstore_sec"] = round(time.perf_counter() - t0, 3)
     n_docs = doc_info["rows"]
 
-    # ---- stage 2: analyze -> partials -> term merge -> postings ----
+    # ---- stage 2: analyze -> bucket hash shuffle (raw tasks) -> postings ----
     t0 = time.perf_counter()
     postings_dir = os.path.join(index_dir, "postings")
     norms_dir = os.path.join(index_dir, "norms")
-    if not (cfg.resume and checkpoint_done(index_dir, "stage", "postings")):
-        for stale in (postings_dir, norms_dir):
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)  # batch boundaries may differ run-to-run
-        block_refs = doc_info.get("_block_refs")
-        if block_refs:
-            src = rd.from_arrow_refs(block_refs).map_batches(
-                lambda t: t.select(["doc_id", cfg.text_col]),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
+    B = cfg.term_buckets
+    done_buckets = read_checkpoints(index_dir, "postings") if cfg.resume else {}
+    missing = [
+        b
+        for b in range(B)
+        if f"bucket-{b:04d}" not in done_buckets
+        or not os.path.exists(os.path.join(postings_dir, f"bucket-{b:04d}.parquet"))
+    ]
+    bucket_infos = [
+        done_buckets[f"bucket-{b:04d}"] for b in range(B) if b not in set(missing)
+    ]
+    if missing:
+        if os.path.isdir(norms_dir):
+            shutil.rmtree(norms_dir)  # analyze rewrites norms deterministically
+        sources = doc_info.get("_block_refs") or [
+            os.path.join(index_dir, p["file"]) for p in doc_info["partitions"]
+        ]
+        shard_lists = [
+            _analyze_partition.options(num_returns=B).remote(
+                src, norms_dir, cfg.text_col, B, cfg.analyze_batch_size
             )
-        else:
-            src = rd.read_parquet(
-                os.path.join(index_dir, "docstore"),
-                columns=["doc_id", cfg.text_col],
+            for src in sources
+        ]
+        merge_futs = [
+            _merge_write_bucket.remote(
+                b, postings_dir, index_dir, *[sl[b] for sl in shard_lists]
             )
-        analyzed = src.map_batches(
-            analyze_partials_fn,
-            fn_kwargs={
-                "norms_dir": norms_dir,
-                "text_col": cfg.text_col,
-                "num_buckets": cfg.term_buckets,
-            },
-            batch_format="pyarrow",
-            batch_size=cfg.analyze_batch_size,
-            zero_copy_batch=True,
-        )
-        merged = analyzed.groupby("bucket").map_groups(
-            merge_encode_bucket,
-            batch_format="pyarrow",
-        )
-        merged.write_parquet(postings_dir, partition_cols=["bucket"])
-        write_checkpoint(index_dir, "stage", "postings", {})
+            for b in missing
+        ]
+        bucket_infos.extend(ray.get(merge_futs))
+    bucket_infos.sort(key=lambda i: i["bucket"])
     metrics["postings_sec"] = round(time.perf_counter() - t0, 3)
 
     # ---- stage 3: global stats + manifest publish (refresh analog) ----
@@ -439,13 +524,21 @@ def build_index(
     norms_tbl = pq.read_table(norms_dir, columns=["dl"])
     total_dl = int(pc.sum(norms_tbl["dl"]).as_py() or 0)
     n_norms = norms_tbl.num_rows
-    post_meta = pq.read_table(postings_dir, columns=["df", "cf"])
-    n_terms = post_meta.num_rows
-    postings_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(postings_dir)
-        for f in files
-    )
+    n_terms = sum(i["terms"] for i in bucket_infos)
+    postings_bytes = sum(i["postings_bytes"] for i in bucket_infos)
+    # join the overlapped docstore writes before publishing anything
+    if doc_info.get("_info_futures"):
+        written = ray.get(doc_info["_info_futures"])
+        doc_info["partitions"] = sorted(
+            list(doc_info["partitions"]) + written, key=lambda i: i["part_id"]
+        )
+        doc_info["_info_futures"] = None
+        write_checkpoint(
+            index_dir,
+            "stage",
+            "docstore",
+            {"result": {k: v for k, v in doc_info.items() if not k.startswith("_")}},
+        )
     metrics["stats_sec"] = round(time.perf_counter() - t0, 3)
     if n_norms != n_docs:
         raise RuntimeError(
@@ -460,6 +553,7 @@ def build_index(
         "avgdl": (total_dl / n_docs) if n_docs else 0.0,
         "n_terms": n_terms,
         "postings_bytes": postings_bytes,
+        "postings_files": [i["file"] for i in bucket_infos],
         "term_buckets": cfg.term_buckets,
         "k1": cfg.k1,
         "b": cfg.b,

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a ``kind`` and a
+JSON ``meta`` string. The Ray-side plumbing — schema, small batch sizes for
+wide rows, actor-pool decode stages, output layout — is real and tested;
+the actual codec decode is STUBBED: the container ships no image/audio
+libraries, so ``MediaDecoder`` tries to import them and otherwise uses a
+deterministic header-parsing fake (clearly marked). Swapping in a real
+decoder is a one-method change.
+
+Scale notes: binary rows are wide — the decode stage uses small
+``batch_size`` so batch x concurrency fits worker heaps (driver brief:
+"large binary payloads need small batches"), and the stage is an actor
+pool so codec setup happens once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),      # "image" | "audio" | "video"
+        ("payload", pa.binary()),   # opaque encoded bytes
+        ("meta", pa.string()),      # JSON: {"format": ..., "w": ..., "h": ...}
+    ]
+)
+
+_MAGIC = b"RFTS"
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media: payload = MAGIC + kind byte + w/h (be16) +
+    seeded noise bytes. Stands in for real encoded frames."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    ids, ks, payloads, metas = [], [], [], []
+    for i in range(n):
+        kind = kinds[i % 3]
+        w = int(rng.integers(16, 512))
+        h = int(rng.integers(16, 512))
+        body = rng.integers(0, 256, size=int(rng.integers(200, 2000)), dtype=np.uint8)
+        payload = (
+            _MAGIC
+            + bytes([kinds.index(kind)])
+            + w.to_bytes(2, "big")
+            + h.to_bytes(2, "big")
+            + body.tobytes()
+        )
+        ids.append(i)
+        ks.append(kind)
+        payloads.append(payload)
+        metas.append(json.dumps({"format": "rfts-fake", "w": w, "h": h}))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(ks, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        }
+    )
+
+
+class MediaDecoder:
+    """Actor-pool decode stage: codec setup ONCE per actor in __init__.
+
+    Emits per-item features: (media_id, kind, width, height, n_bytes,
+    content_hash, feat: list<float> 8-dim deterministic descriptor).
+    """
+
+    def __init__(self):
+        self.real_codec = None
+        try:  # real decoders, if the environment ever ships them
+            import PIL.Image  # noqa: F401
+
+            self.real_codec = "pillow"
+        except ImportError:
+            self.real_codec = None  # deterministic fake below
+
+    def _decode_one(self, payload: bytes):
+        if self.real_codec is not None:
+            # Real path intentionally unimplemented in this container —
+            # plumbing is the deliverable (driver brief: stub the decode).
+            raise NotImplementedError("real codec path not available in sandbox")
+        if payload[:4] != _MAGIC:
+            raise ValueError("unrecognized media payload")
+        w = int.from_bytes(payload[5:7], "big")
+        h = int.from_bytes(payload[7:9], "big")
+        return w, h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, widths, heights, sizes, hashes, feats = [], [], [], [], [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            w, h = self._decode_one(payload)
+            digest = hashlib.md5(payload).digest()
+            feat = [
+                b / 255.0
+                for b in digest[:8]
+            ]  # deterministic 8-dim descriptor stand-in
+            ids.append(mid)
+            kinds.append(kind)
+            widths.append(w)
+            heights.append(h)
+            sizes.append(len(payload))
+            hashes.append(zlib.crc32(payload))
+            feats.append(feat)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+                "content_hash": pa.array(hashes, pa.int64()),
+                "feat": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+def decode_media(ds, concurrency=(1, 4), batch_size: int = 32):
+    """The decode pipeline: small batches (wide binary rows), actor pool."""
+    return ds.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -56,8 +56,15 @@ def documents_index(sf_dir: str) -> str:
     """
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     index_dir = f"/tmp/rayfts_qidx/{tag}"
-    if os.path.exists(os.path.join(index_dir, "manifest.json")):
-        return index_dir
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        import json
+
+        from .build import FORMAT_VERSION
+
+        with open(manifest_path) as f:
+            if json.load(f).get("format_version") == FORMAT_VERSION:
+                return index_dir
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet")).map_batches(
         lambda t: t.rename_columns(
             ["src_doc_id" if c == "doc_id" else c for c in t.column_names]
@@ -344,6 +351,88 @@ def join_revenue_by_segment(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 # training-data extras
 # ---------------------------------------------------------------------------
+
+
+def semi_join_lineitem_part(sf_dir: str) -> rd.Dataset:
+    """Semi-join (J2, the --used-node analog): lineitems whose partkey is in
+    a filtered part set — broadcast the key set, filter inside map_batches
+    (no shuffle), then aggregate."""
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
+    )
+    keys = part.filter(pc.greater(part["p_size"], 25))["p_partkey"]
+    key_ref = ray.put(set(keys.to_pylist()))
+
+    class SemiFilter:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([k in self.keys for k in batch["l_partkey"].to_pylist()])
+            return batch.filter(mask)
+
+    agg = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity"],
+        )
+        .map_batches(
+            SemiFilter,
+            fn_constructor_kwargs={"ref": key_ref},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .groupby("l_partkey")
+        .aggregate(Count(), Sum("l_quantity"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "n_items": pc.cast(t["count()"], pa.int64()),
+                "sum_qty_cents": pc.cast(
+                    pc.round(pc.multiply(t["sum(l_quantity)"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def union_distinct_keys(sf_dir: str) -> pa.Table:
+    """Union (D2 analog): orders.o_custkey UNION ALL customer.c_custkey ->
+    distinct count via ds.union + groupby."""
+    a = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(
+        lambda t: pa.table({"id": t["o_custkey"]}), batch_format="pyarrow"
+    )
+    b = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(
+        lambda t: pa.table({"id": pc.cast(t["c_custkey"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    n = a.union(b).groupby("id").count().count()
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def events_top20_by_value(sf_dir: str) -> pa.Table:
+    """Global sort + limit (T1/T2 top-k with secondary key): top 20 events
+    by value desc, event_id asc tiebreak."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value_cents": pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+            ),
+        }
+    )
 
 
 def dedup_exact_q(sf_dir: str):

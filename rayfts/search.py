@@ -79,8 +79,12 @@ class Searcher:
         norms = pq.read_table(os.path.join(index_dir, "norms"))
         self.dl = np.zeros(self.N, dtype=np.int32)
         self.dl[norms["doc_id"].to_numpy()] = norms["dl"].to_numpy()
+        if m.get("format_version") != 2:
+            raise ValueError(
+                f"index at {index_dir} has format_version="
+                f"{m.get('format_version')} — rebuild with this engine version"
+            )
         self._postings_dir = os.path.join(index_dir, "postings")
-        self._postings_ds = pads.dataset(self._postings_dir, partitioning="hive")
         self._docstore_dir = os.path.join(index_dir, "docstore")
         self._cache: dict[str, Postings | None] = {}
         # bucket -> {term: encoded row dict}; a query term loads its whole
@@ -97,10 +101,16 @@ class Searcher:
     # ------------------------------------------------------------------
 
     def _load_bucket(self, bucket: int) -> dict[str, dict]:
+        import os
+
         cached = self._buckets.get(bucket)
         if cached is not None:
             return cached
-        t = self._postings_ds.to_table(filter=(pads.field("bucket") == bucket))
+        path = os.path.join(self._postings_dir, f"bucket-{bucket:04d}.parquet")
+        if not os.path.exists(path):
+            self._buckets[bucket] = {}
+            return {}
+        t = pq.read_table(path)
         rows: dict[str, dict] = {}
         terms = t["term"].to_pylist()
         cols = {

@@ -1,0 +1,162 @@
+"""Tests for training-data extras: dedup, similarity, text stats, multimodal,
+and the post-build hook surface."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def test_exact_dedup_keeps_min_id():
+    from rayfts.extras.dedup import exact_dedup
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([3, 1, 2, 9], pa.int64()),
+                "text": pa.array(["same", "same", "other", "same"]),
+            }
+        )
+    )
+    out = {r["text_hash"]: r for r in exact_dedup(ds).take_all()}
+    assert len(out) == 2
+    by_cnt = sorted(out.values(), key=lambda r: -r["dup_cnt"])
+    assert by_cnt[0]["dup_cnt"] == 3 and by_cnt[0]["keep_doc_id"] == 1
+    assert by_cnt[1]["dup_cnt"] == 1 and by_cnt[1]["keep_doc_id"] == 2
+
+
+def test_minhash_clusters_near_duplicates():
+    from rayfts.extras.dedup import minhash_dedup
+
+    # near-dup = one word changed in a 100-distinct-word doc (J ~ 0.94);
+    # LSH banding needs high Jaccard to fire (P(band)=J^rows_per_band)
+    base = " ".join(f"tok{i:03d}" for i in range(100))
+    near = base.replace("tok050", "changed")
+    texts = [base, near, "completely different text about ray data pipelines " * 5]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    t = minhash_dedup(ds, threshold=0.5)
+    clusters = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert clusters[0] == clusters[1] == 0  # near-dups share min-id cluster
+    assert clusters[2] == 2
+
+
+def test_minhash_signature_deterministic():
+    from rayfts.extras.dedup import MinHasher
+
+    a = MinHasher().signature("a b c d e f g".split())
+    b = MinHasher().signature("a b c d e f g".split())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_knn_cosine_exact_topk():
+    from rayfts.extras.similarity import knn_cosine
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    q = vecs[7].astype(np.float64)
+    t = knn_cosine(ds, q, k=5)
+    sims = (vecs.astype(np.float64) @ q) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    expected = np.lexsort((np.arange(200), -sims))[:5]
+    assert t["vec_id"].to_pylist() == expected.tolist()
+    assert t["vec_id"].to_pylist()[0] == 7  # self is the nearest
+
+
+def test_textstats_quality_and_langid():
+    from rayfts.extras.textstats import lang_id_batch, quality_score_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog is of the house",
+                    "der hund und die katze ist",
+                    "xyz qrs tuv",
+                ]
+            ),
+        }
+    )
+    q = quality_score_batch(batch)
+    assert q["stop_cnt"].to_pylist()[0] == 6  # the x3, and, is, of
+    assert 0 < q["quality"].to_pylist()[0] <= 1.0
+    lid = lang_id_batch(batch)
+    assert lid["lang_pred"].to_pylist() == ["en", "de", "und"]
+
+
+def test_fingerprint_order_sensitive():
+    from rayfts.extras.textstats import fingerprint_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c", "c b a", "A  b C"]),
+        }
+    )
+    fp = fingerprint_batch(batch)["fingerprint"].to_pylist()
+    assert fp[0] != fp[1]  # order matters
+    assert fp[0] == fp[2]  # case/whitespace do not
+
+
+def test_multimodal_decode_plumbing():
+    from rayfts.extras.multimodal import decode_media, synth_media_table
+
+    t = synth_media_table(24, seed=1)
+    out = decode_media(rd.from_arrow(t), concurrency=(1, 2), batch_size=8).take_all()
+    assert len(out) == 24
+    metas = {r["media_id"]: r for r in out}
+    import json
+
+    for i in range(24):
+        meta = json.loads(t["meta"][i].as_py())
+        assert metas[i]["width"] == meta["w"]
+        assert metas[i]["height"] == meta["h"]
+        assert len(metas[i]["feat"]) == 8
+
+
+def test_media_decoder_rejects_garbage():
+    from rayfts.extras.multimodal import MediaDecoder
+
+    d = MediaDecoder()
+    with pytest.raises((ValueError, NotImplementedError)):
+        d._decode_one(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09")
+
+
+def test_hooks_run_and_abort_on_failure(tmp_path):
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+    from rayfts.hooks import ToolSubIndexBuilder, run_builders
+
+    corpus = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    write_transcripts(corpus, n_convs=10, seed=42)
+    build_index(corpus, cfg=IndexJobConfig(index_dir=idx, term_buckets=4))
+
+    results = run_builders(
+        idx,
+        [
+            ToolSubIndexBuilder(),
+            "rayfts.hooks.FailingBuilder",  # dotted-path load (ref reflective)
+            ToolSubIndexBuilder(),  # must NOT run (abort-on-first-failure)
+        ],
+    )
+    assert [r["status"] for r in results] == ["ok", "error"]
+    assert len(results) == 2  # third builder aborted, ref :69-72 semantics
+    import os
+
+    assert os.path.exists(os.path.join(results[0]["artifact"], "_SUMMARY.json"))
