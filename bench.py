@@ -50,12 +50,12 @@ def corpus_path(sf: float) -> str:
 
 
 def ensure_corpus(sf: float) -> tuple[str, int]:
-    from rayfts.fixtures import write_transcripts
+    from rayfts.fixtures import write_transcripts_chunked
 
     path, n_convs = corpus_path(sf)
     marker = os.path.join(path, "_COMPLETE")
     if not os.path.exists(marker):
-        write_transcripts(path, n_convs=n_convs, seed=SEED)
+        write_transcripts_chunked(path, n_convs=n_convs, seed=SEED)
         open(marker, "w").close()
     return path, n_convs
 

@@ -172,6 +172,22 @@ def _plan_partitions(counts: list[int], rows_per_part: int):
     return plans
 
 
+def dedup_by_key(ds: rd.Dataset, key_cols, order_col: str = "ts") -> rd.Dataset:
+    """Exact key dedup, last-write-wins (SURVEY D1): the ES index-by-_id
+    upsert (dao/EntityDao.java:96,114) collapses duplicate keys to one doc.
+    Batch analog of "last write": the row with the max ``order_col``
+    (ties: stable sort keeps the later input row). One extra key shuffle —
+    only enabled via cfg.dedup_keys when inputs may contain duplicates."""
+
+    def keep_last(g: pa.Table) -> pa.Table:
+        if g.num_rows == 1:
+            return g
+        g = g.sort_by([(order_col, "ascending")])
+        return g.slice(g.num_rows - 1, 1)
+
+    return ds.groupby(list(key_cols)).map_groups(keep_last, batch_format="pyarrow")
+
+
 def build_docstore(
     ds: rd.Dataset, index_dir: str, cfg: IndexJobConfig, rows_per_part: int
 ) -> dict:
@@ -179,6 +195,8 @@ def build_docstore(
     docstore_dir = os.path.join(index_dir, "docstore")
     os.makedirs(docstore_dir, exist_ok=True)
 
+    if cfg.dedup_keys:
+        ds = dedup_by_key(ds, cfg.key_cols, cfg.dedup_order_col)
     sorted_ds = ds.sort(list(cfg.key_cols))
     mat = sorted_ds.materialize()
     block_refs, counts = [], []

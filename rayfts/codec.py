@@ -134,3 +134,47 @@ def decode_postings(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.n
 
 def decode_blocks(block_bytes: bytes) -> np.ndarray:
     return np.frombuffer(block_bytes, dtype=BLOCK_DTYPE)
+
+
+def concat_postings(parts: list[tuple[bytes, bytes, bytes]]) -> tuple[bytes, bytes, bytes]:
+    """Concatenate independently-encoded posting chunks whose doc_id ranges
+    are disjoint and ascending (chunk i's last doc < chunk i+1's first doc).
+
+    This is the hot-term SALTING primitive (SURVEY §4 skew row): at 10^12
+    scale a single hot term's postings are encoded per doc-range salt by
+    separate tasks, then stitched with this O(sum bytes) concat — only the
+    first varint of each subsequent chunk is rewritten (rebased from
+    absolute doc_id to the delta vs the previous chunk's last doc).
+    tf streams and block metadata concatenate unchanged (block `start`
+    indices are shifted by the preceding posting count).
+    """
+    parts = [p for p in parts if p[2]]  # drop empty chunks
+    if not parts:
+        return b"", b"", b""
+    if len(parts) == 1:
+        return parts[0]
+    out_doc = bytearray()
+    out_tf = bytearray()
+    out_blocks = []
+    prev_last = None
+    n_so_far = 0
+    for doc_b, tf_b, blk_b in parts:
+        blocks = np.frombuffer(blk_b, dtype=BLOCK_DTYPE).copy()
+        vals = varint_decode(doc_b)
+        if prev_last is None:
+            out_doc += doc_b
+        else:
+            first_abs = int(vals[0])
+            if first_abs <= prev_last:
+                raise ValueError(
+                    f"chunks not disjoint-ascending: {first_abs} <= {prev_last}"
+                )
+            rebased = varint_encode(np.array([first_abs - prev_last], dtype=np.uint64))
+            first_len = len(varint_encode(vals[:1]))
+            out_doc += rebased + doc_b[first_len:]
+        prev_last = int(blocks["last_doc"][-1])
+        blocks["start"] += n_so_far
+        n_so_far += int(vals.size)
+        out_blocks.append(blocks)
+        out_tf += tf_b
+    return bytes(out_doc), bytes(out_tf), np.concatenate(out_blocks).tobytes()

@@ -24,6 +24,8 @@ class IndexJobConfig:
     # analyzer / schema (ref: mappings plugin.properties:10-11)
     text_col: str = "text"
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")   # ES _id analog
+    dedup_keys: bool = False    # ES upsert analog: collapse duplicate keys
+    dedup_order_col: str = "ts" # ...keeping the row with the max value here
     keyword_cols: tuple[str, ...] = ("role", "tool")      # not_analyzed twins
 
     # batching (ref: bulk sizes 5000/500, plugin.properties:15-16)

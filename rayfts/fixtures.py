@@ -56,8 +56,14 @@ def _zipf_probs(s: float = 1.1) -> np.ndarray:
     return p / p.sum()
 
 
-def generate_transcripts(n_convs: int = 50, seed: int = 42) -> pa.Table:
-    """Build the corpus table. Deterministic in (n_convs, seed) only."""
+def generate_transcripts(
+    n_convs: int = 50, seed: int = 42, conv_offset: int = 0
+) -> pa.Table:
+    """Build the corpus table. Deterministic in (n_convs, seed, conv_offset).
+
+    ``conv_offset`` shifts the conv numbering so large corpora can be
+    generated in independent deterministic chunks (see
+    write_transcripts_chunked)."""
     rng = np.random.default_rng(seed)
     vocab = _vocab()
     probs = _zipf_probs()
@@ -67,7 +73,9 @@ def generate_transcripts(n_convs: int = 50, seed: int = 42) -> pa.Table:
     n_turns = int(turns_per_conv.sum())
 
     conv_idx = np.repeat(np.arange(n_convs), turns_per_conv)
-    conv_ids = np.array([f"conv-{i:05d}" for i in range(n_convs)], dtype=object)[conv_idx]
+    conv_ids = np.array(
+        [f"conv-{i + conv_offset:07d}" for i in range(n_convs)], dtype=object
+    )[conv_idx]
     turn_idx = (
         np.arange(n_turns) - np.repeat(np.cumsum(turns_per_conv) - turns_per_conv, turns_per_conv)
     ).astype(np.int32)
@@ -108,7 +116,7 @@ def generate_transcripts(n_convs: int = 50, seed: int = 42) -> pa.Table:
 
     ts = (
         EPOCH_2026_US
-        + conv_idx.astype(np.int64) * 86_400_000_000
+        + (conv_idx + conv_offset).astype(np.int64) * 86_400_000_000
         + turn_idx.astype(np.int64) * 1_000_000
     )
 
@@ -139,4 +147,28 @@ def write_transcripts(
             t.slice(i * rows_per_file, rows_per_file),
             os.path.join(path, f"part-{i:05d}.parquet"),
         )
+    return path
+
+
+def write_transcripts_chunked(
+    path: str,
+    n_convs: int,
+    seed: int = 42,
+    convs_per_chunk: int = 200_000,
+) -> str:
+    """Large-corpus writer: independent deterministic chunks (seed+i,
+    conv_offset) so generation is O(chunk) memory and restartable."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    i = 0
+    for off in range(0, n_convs, convs_per_chunk):
+        n = min(convs_per_chunk, n_convs - off)
+        fpath = os.path.join(path, f"part-{i:05d}.parquet")
+        if not os.path.exists(fpath):
+            t = generate_transcripts(n, seed=seed + i, conv_offset=off)
+            tmp = fpath + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, fpath)
+        i += 1
     return path

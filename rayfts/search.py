@@ -475,3 +475,112 @@ def run_queries(
         batch_size=max(1, len(queries) // 64) if queries else 1,
         concurrency=concurrency,
     )
+
+
+class MultiSearcher:
+    """Segment-sharded search — the multi-node query architecture.
+
+    At 10^12 turns one index is built per doc-range shard (segment); a
+    query fans out to per-segment searchers and merges their top-k. BM25
+    must use GLOBAL statistics (N, avgdl, df summed across segments — what
+    Lucene does across its segments), so scores are identical to a single
+    index over the union corpus; tests pin rank+score equality.
+
+    Segments must cover disjoint dense doc_id ranges in segment order
+    (segment i's global ids = offset_i + local ids, offsets from cumulative
+    N) — which is exactly what building per doc-range partition produces.
+    """
+
+    def __init__(self, index_dirs: list[str]):
+        self.segments = [Searcher(d) for d in index_dirs]
+        self.N = sum(s.N for s in self.segments)
+        total_dl = sum(s.manifest["total_dl"] for s in self.segments)
+        self.avgdl = (total_dl / self.N) if self.N else 0.0
+        self.k1 = self.segments[0].k1
+        self.b = self.segments[0].b
+        self.offsets = np.cumsum([0] + [s.N for s in self.segments])[:-1]
+        self._tf_part_cache: dict[tuple[int, str], np.ndarray] = {}
+
+    def idf(self, df: int) -> float:
+        return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+
+    def _tf_part(self, si: int, term: str, p: Postings) -> np.ndarray:
+        """Query-independent factor recomputed against GLOBAL avgdl."""
+        key = (si, term)
+        cached = self._tf_part_cache.get(key)
+        if cached is not None:
+            return cached
+        seg = self.segments[si]
+        tfs = p.tfs.astype(np.float64)
+        dls = seg.dl[p.doc_ids].astype(np.float64)
+        out = tfs * (self.k1 + 1.0) / (
+            tfs + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+        )
+        self._tf_part_cache[key] = out
+        return out
+
+    def search(self, query: str, k: int = 10):
+        """Top-k [(global_doc_id, score)] — (score desc, doc_id asc)."""
+        if k <= 0:
+            return []
+        qtf = Counter(tokenize_query(query))
+        terms = sorted(qtf)
+        # global df per term = sum of segment dfs (A3 merged stats)
+        seg_postings: list[list] = [[] for _ in self.segments]
+        weights: dict[str, float] = {}
+        for term in terms:
+            df_global = 0
+            per_seg = []
+            for si, seg in enumerate(self.segments):
+                p = seg.lookup(term)
+                per_seg.append(p)
+                if p is not None:
+                    df_global += p.df
+            if df_global == 0:
+                continue
+            weights[term] = qtf[term] * self.idf(df_global)
+            for si, p in enumerate(per_seg):
+                if p is not None:
+                    seg_postings[si].append((term, p))
+        if not weights:
+            return []
+        # score each segment with the global weights, merge candidates
+        all_docs, all_scores = [], []
+        for si, plist in enumerate(seg_postings):
+            if not plist:
+                continue
+            seg = self.segments[si]
+            buf = np.zeros(seg.N, dtype=np.float64)
+            touched = []
+            for term, p in plist:  # terms iterate in ascending order
+                buf[p.doc_ids] += weights[term] * self._tf_part(si, term, p)
+                touched.append(p.doc_ids)
+            idx = (
+                np.unique(np.concatenate(touched))
+                if sum(t.size for t in touched) * 8 < seg.N
+                else np.flatnonzero(buf > 0.0)
+            )
+            all_docs.append(idx + self.offsets[si])
+            all_scores.append(buf[idx].copy())
+        docs = np.concatenate(all_docs)
+        scores = np.concatenate(all_scores)
+        take = min(k, docs.size)
+        if docs.size > take:
+            kth = np.partition(-scores, take - 1)[take - 1]
+            cand = np.flatnonzero(-scores <= kth)
+        else:
+            cand = np.arange(docs.size)
+        order = cand[np.lexsort((docs[cand], -scores[cand]))][:take]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+    def get_by_global_doc_id(self, doc_ids: list[int]) -> pa.Table:
+        """Order-preserving multiget routed to the owning segment."""
+        tables = []
+        for d in doc_ids:
+            si = int(np.searchsorted(self.offsets, d, side="right") - 1)
+            local = int(d) - int(self.offsets[si])
+            if local >= self.segments[si].N:
+                raise KeyError(f"document not found: global doc_id={d}")
+            t = self.segments[si].get_by_doc_id([local])
+            tables.append(t)
+        return pa.concat_tables(tables)

@@ -151,3 +151,36 @@ def test_distributed_query_runner(index_dir, oracle):
         np.testing.assert_allclose(
             list(sub.score), [sc for _, sc in expected], rtol=0, atol=1e-9
         )
+
+
+def test_dedup_keys_upsert_semantics(tmp_path):
+    """Duplicate (conv_id, turn_idx) keys collapse to the max-ts row
+    (ES index-by-_id upsert analog, dao/EntityDao.java:96,114)."""
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+
+    t = generate_transcripts(6, seed=42)
+    dup = t.slice(2, 1).to_pylist()[0]
+    dup["text"] = "updated text wins"
+    dup["ts"] = dup["ts"].replace(year=2027)
+    full = pa.concat_tables([t, pa.Table.from_pylist([dup], schema=t.schema)])
+
+    d = str(tmp_path / "idx")
+    m = build_index(
+        rd.from_arrow(full),
+        cfg=IndexJobConfig(index_dir=d, term_buckets=4, dedup_keys=True),
+    )
+    assert m["n_docs"] == t.num_rows  # duplicate collapsed
+    store = pq2.read_table(os.path.join(d, "docstore"))
+    key = (dup["conv_id"], dup["turn_idx"])
+    row = store.filter(
+        pa.compute.and_(
+            pa.compute.equal(store["conv_id"], key[0]),
+            pa.compute.equal(store["turn_idx"], key[1]),
+        )
+    )
+    assert row.num_rows == 1
+    assert row["text"][0].as_py() == "updated text wins"

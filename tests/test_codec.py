@@ -84,3 +84,31 @@ def test_merge_of_disjoint_partials_equals_whole():
     order = np.argsort(m_doc, kind="stable")
     merged = encode_postings(m_doc[order], m_tf[order], m_dl[order])
     assert merged == whole
+
+
+def test_concat_postings_equals_whole_encode():
+    """Salting mechanics: per-doc-range encoded chunks stitch back to the
+    byte-exact single-shot encoding."""
+    from rayfts.codec import concat_postings
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    doc_ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 9, size=n).astype(np.int32)
+    dls = rng.integers(1, 99, size=n).astype(np.int32)
+    whole = encode_postings(doc_ids, tfs, dls)
+    cuts = [0, 257, 640, n]  # non-block-aligned salt boundaries
+    parts = [
+        encode_postings(doc_ids[a:b], tfs[a:b], dls[a:b])
+        for a, b in zip(cuts[:-1], cuts[1:])
+    ]
+    stitched = concat_postings(parts)
+    s_docs, s_tfs = decode_postings(stitched[0], stitched[1])
+    np.testing.assert_array_equal(s_docs, doc_ids)
+    np.testing.assert_array_equal(s_tfs, tfs)
+    # block metadata: same last_doc/max_tf/min_dl content per chunk-block
+    blocks = decode_blocks(stitched[2])
+    assert blocks["last_doc"][-1] == doc_ids[-1]
+    assert (blocks["start"] < n).all() and (np.diff(blocks["start"]) > 0).all()
+    with pytest.raises(ValueError, match="disjoint"):
+        concat_postings([parts[1], parts[0]])

@@ -1,0 +1,60 @@
+"""Segment-sharded search must be EXACTLY equivalent to one global index.
+
+This pins the 10^12-scale query architecture: per-segment searchers with
+merged global statistics produce rank- AND score-identical top-k vs a
+single index over the union corpus.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from rayfts.build import build_index
+from rayfts.config import IndexJobConfig
+from rayfts.fixtures import REFERENCE_QUERIES, generate_transcripts
+from rayfts.search import MultiSearcher, Searcher
+
+
+@pytest.fixture(scope="module")
+def indexes(tmp_path_factory):
+    import ray.data as rd
+
+    root = tmp_path_factory.mktemp("multi")
+    t = generate_transcripts(40, seed=42)
+    # split by conv range so segment order matches global (conv_id) order
+    cut = "conv-0000020"
+    a = t.filter(pc.less(t["conv_id"], cut))
+    b = t.filter(pc.greater_equal(t["conv_id"], cut))
+    dirs = {}
+    for name, tbl in [("full", t), ("a", a), ("b", b)]:
+        d = str(root / name)
+        build_index(
+            rd.from_arrow(tbl), cfg=IndexJobConfig(index_dir=d, term_buckets=4)
+        )
+        dirs[name] = d
+    return dirs
+
+
+def test_sharded_equals_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    assert multi.N == single.N
+    assert abs(multi.avgdl - single.avgdl) < 1e-12
+    for q in REFERENCE_QUERIES + ["the a to ok", "w0001 w0002 bash"]:
+        s_hits = single.search(q, k=25)
+        m_hits = multi.search(q, k=25)
+        assert [d for d, _ in m_hits] == [d for d, _ in s_hits], q
+        for (d1, s1), (d2, s2) in zip(m_hits, s_hits):
+            assert abs(s1 - s2) < 1e-12, (q, d1, s1, s2)
+
+
+def test_sharded_multiget_routing(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    ids = [0, single.N - 1, 5]
+    got = multi.get_by_global_doc_id(ids)
+    exp = single.get_by_doc_id(ids)
+    assert got["conv_id"].to_pylist() == exp["conv_id"].to_pylist()
+    assert got["text"].to_pylist() == exp["text"].to_pylist()
+    with pytest.raises(KeyError):
+        multi.get_by_global_doc_id([10**9])
