@@ -31,6 +31,8 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
+import ray
+
 from .build import term_bucket_py
 from .codec import decode_blocks, decode_postings
 from .manifest import load_manifest
@@ -428,8 +430,13 @@ class QueryRunner:
     (state loaded once, SURVEY ST5/actor-pool rule).
     """
 
-    def __init__(self, index_dir: str, k: int = 10, algo: str = "taat"):
-        self.searcher = Searcher(index_dir)
+    def __init__(self, index_dir: str = None, k: int = 10, algo: str = "taat",
+                 shared_handle=None):
+        self.searcher = (
+            SharedSearcher(shared_handle)
+            if shared_handle is not None
+            else Searcher(index_dir)
+        )
         self.k = k
         self.algo = algo
 
@@ -461,8 +468,13 @@ def run_queries(
     k: int = 10,
     algo: str = "taat",
     concurrency=(1, 8),
+    shared_handle=None,
 ):
-    """Run a query set as a Ray Data pipeline; returns a Dataset of hits."""
+    """Run a query set as a Ray Data pipeline; returns a Dataset of hits.
+
+    Pass ``shared_handle`` (a SharedIndexHandle) to serve from the shared
+    decoded segment — actors then read zero-copy object-store views instead
+    of each decoding the postings themselves."""
     import ray.data as rd
 
     qds = rd.from_items(
@@ -470,7 +482,12 @@ def run_queries(
     )
     return qds.map_batches(
         QueryRunner,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "algo": algo},
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "k": k,
+            "algo": algo,
+            "shared_handle": shared_handle,
+        },
         batch_format="pyarrow",
         batch_size=max(1, len(queries) // 64) if queries else 1,
         concurrency=concurrency,
@@ -584,3 +601,129 @@ class MultiSearcher:
             t = self.segments[si].get_by_doc_id([local])
             tables.append(t)
         return pa.concat_tables(tables)
+
+
+# ---------------------------------------------------------------------------
+# shared decoded segment: decode once, zero-copy views in every query actor
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _decode_bucket_shared(path: str, k1: float, b: float, avgdl: float, dl):
+    """Decode one postings bucket into flat numpy arrays + per-term slices.
+
+    Runs as a Ray task (64 buckets decode in parallel); the returned dict
+    lands in the object store where every query actor on the node gets
+    ZERO-COPY views — per-actor warmup (varint decode + tf_part compute of
+    hot terms, the dominant query-phase cost at 10^7 docs) is paid once
+    per node instead of once per actor.
+    """
+    import os
+
+    if not os.path.exists(path):
+        return {"terms": {}, "doc_ids": np.empty(0, np.int64),
+                "tf_part": np.empty(0, np.float64),
+                "block_ub": np.empty(0, np.float64)}
+    t = pq.read_table(path)
+    # dl arrives auto-dereferenced (top-level ObjectRef arg) — zero-copy view
+    doc_parts, tfp_parts, ub_parts = [], [], []
+    terms: dict[str, tuple] = {}
+    p_off = 0
+    b_off = 0
+    for i in range(t.num_rows):
+        term = t["term"][i].as_py()
+        doc_ids, tfs = decode_postings(
+            t["doc_bytes"][i].as_py(), t["tf_bytes"][i].as_py()
+        )
+        doc_ids = doc_ids.astype(np.int64)
+        tfs_f = tfs.astype(np.float64)
+        dls = dl[doc_ids].astype(np.float64)
+        tf_part = tfs_f * (k1 + 1.0) / (tfs_f + k1 * (1.0 - b + b * dls / avgdl))
+        blocks = decode_blocks(t["block_bytes"][i].as_py())
+        mt = blocks["max_tf"].astype(np.float64)
+        md = blocks["min_dl"].astype(np.float64)
+        ub = mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * md / avgdl))
+        n, nb = doc_ids.size, ub.size
+        terms[term] = (p_off, p_off + n, int(t["df"][i].as_py()), b_off, b_off + nb)
+        doc_parts.append(doc_ids)
+        tfp_parts.append(tf_part)
+        ub_parts.append(ub)
+        p_off += n
+        b_off += nb
+    return {
+        "terms": terms,
+        "doc_ids": np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64),
+        "tf_part": np.concatenate(tfp_parts) if tfp_parts else np.empty(0, np.float64),
+        "block_ub": np.concatenate(ub_parts) if ub_parts else np.empty(0, np.float64),
+    }
+
+
+class SharedIndexHandle:
+    """Driver-side handle: small — holds only object refs + stats."""
+
+    def __init__(self, index_dir: str):
+        import os
+
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        if self.manifest.get("format_version") != 2:
+            raise ValueError("index format mismatch")
+        norms = pq.read_table(os.path.join(index_dir, "norms"))
+        dl = np.zeros(self.manifest["n_docs"], dtype=np.int32)
+        dl[norms["doc_id"].to_numpy()] = norms["dl"].to_numpy()
+        self.dl_ref = ray.put(dl)
+        m = self.manifest
+        self.bucket_refs = {
+            bkt: _decode_bucket_shared.remote(
+                os.path.join(index_dir, "postings", f"bucket-{bkt:04d}.parquet"),
+                m["k1"], m["b"], m["avgdl"], self.dl_ref,
+            )
+            for bkt in range(m["term_buckets"])
+        }
+
+
+class SharedSearcher(Searcher):
+    """Searcher over a SharedIndexHandle: no file I/O, no per-actor decode —
+    all postings are zero-copy views into shared object-store arrays.
+    Supports the TAAT executors (the throughput path); WAND needs the raw
+    block struct and stays on the file-based Searcher."""
+
+    def __init__(self, handle: SharedIndexHandle):  # noqa: super not called
+        m = handle.manifest
+        self.index_dir = handle.index_dir
+        self.manifest = m
+        self.N = m["n_docs"]
+        self.avgdl = float(m["avgdl"])
+        self.k1 = float(m["k1"])
+        self.b = float(m["b"])
+        self.num_buckets = m["term_buckets"]
+        self.dl = ray.get(handle.dl_ref)
+        self._handle = handle
+        self._shared_buckets: dict[int, dict] = {}
+        self._cache: dict[str, Postings | None] = {}
+        self._result_cache: dict[tuple, list] = {}
+
+    def lookup(self, term: str) -> Postings | None:
+        cached = self._cache.get(term)
+        if cached is not None or term in self._cache:
+            return cached
+        bkt = term_bucket_py(term, self.num_buckets)
+        data = self._shared_buckets.get(bkt)
+        if data is None:
+            data = ray.get(self._handle.bucket_refs[bkt])
+            self._shared_buckets[bkt] = data
+        meta = data["terms"].get(term)
+        if meta is None:
+            self._cache[term] = None
+            return None
+        p0, p1, df, b0, b1 = meta
+        p = Postings(term, df, 0, data["doc_ids"][p0:p1], None, None,
+                     data["tf_part"][p0:p1])
+        p.block_ub = data["block_ub"][b0:b1]
+        self._cache[term] = p
+        return p
+
+    def search(self, query: str, k: int = 10, algo: str = "taat"):
+        if algo != "taat":
+            raise ValueError("SharedSearcher supports algo='taat' only")
+        return super().search(query, k, algo)

@@ -184,3 +184,28 @@ def test_dedup_keys_upsert_semantics(tmp_path):
     )
     assert row.num_rows == 1
     assert row["text"][0].as_py() == "updated text wins"
+
+
+def test_shared_searcher_identical(index_dir):
+    """SharedSearcher (object-store decoded segment) must match the
+    file-based Searcher exactly, including through the query pipeline."""
+    from rayfts.search import SharedIndexHandle, SharedSearcher
+
+    handle = SharedIndexHandle(index_dir)
+    shared = SharedSearcher(handle)
+    plain = Searcher(index_dir)
+    for q in REFERENCE_QUERIES + ["the a w0003", "zzzz_absent"]:
+        assert shared.search(q, k=25) == plain.search(q, k=25), q
+    out = (
+        run_queries(index_dir, list(REFERENCE_QUERIES), k=5, concurrency=(1, 2),
+                    shared_handle=handle)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    base = (
+        run_queries(index_dir, list(REFERENCE_QUERIES), k=5, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    assert out.doc_id.tolist() == base.doc_id.tolist()
+    assert out.score.tolist() == base.score.tolist()
