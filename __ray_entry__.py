@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extras (dedup / similarity / text analysis)
         "dedup_exact": P.dedup_exact_q,
         "dedup_minhash": P.dedup_minhash_q,
+        "dedup_simhash": P.dedup_simhash_q,
+        "embedding_near_dup": P.embedding_near_dup_q,
         "knn_cosine_top10": P.knn_cosine_top10,
         "knn_cosine_lsh": P.knn_cosine_lsh_q,
         "text_token_stats": P.text_token_stats,

@@ -107,7 +107,6 @@ def run_bench() -> dict:
         index_dir=index_dir,
         term_buckets=64,
         analyze_batch_size=8192,
-        actor_pool_size=(1, max(2, NUM_CPUS - 2)),
     )
 
     t0 = time.perf_counter()
@@ -119,6 +118,9 @@ def run_bench() -> dict:
     # amortized across all query actors)
     t0 = time.perf_counter()
     handle = SharedIndexHandle(index_dir)
+    import ray as _ray
+
+    _ray.wait(list(handle.bucket_refs.values()), num_returns=len(handle.bucket_refs))
     queries = query_workload()
     t_q = time.perf_counter()
     hits = run_queries(
@@ -167,7 +169,7 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    mult = int(os.environ.get("GRAFT_SCALE_MULT", "4"))
+    mult = int(os.environ.get("GRAFT_SCALE_MULT", "16"))
     global MULT
     MULT = mult
     ensure_corpus(sf_factor(SF_DIR))  # generate once, outside both timed runs
@@ -190,7 +192,7 @@ def run_scaling() -> dict:
     # measurement windows (verified with pure-CPU/memory microbenchmarks);
     # alternate the two levels and keep the best run per level so a
     # throttled window doesn't masquerade as a scaling result
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     levels = os.environ.get("GRAFT_SCALING_LEVELS", "8,32")
     lo, hi = (int(x) for x in levels.split(","))
     runs_lo, runs_hi = [], []

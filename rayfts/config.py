@@ -33,6 +33,7 @@ class IndexJobConfig:
     merge_batch_size: int = 1024
 
     # parallelism (ref: worker pool 5, queue 100, plugin.properties:14,17)
+    # query actor pools; the build uses elastic stateless tasks
     actor_pool_size: tuple[int, int] = (1, 8)
     num_docstore_partitions: int = 0   # 0 = one per sorted block
     term_buckets: int = 32             # postings layout shards (ref: ES shards=5)

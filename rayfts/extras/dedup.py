@@ -242,3 +242,156 @@ def minhash_dedup(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """Actor-pool stage: 64-bit SimHash over token crc32-derived hashes.
+
+    sig bit b = sign of sum over tokens of tf * (+1 if bit b of h(token)
+    else -1). Near-dup candidates = docs sharing a 16-bit band (4 bands),
+    verified by Hamming distance <= ``max_hamming``.
+    """
+
+    def __init__(self, bands: int = 4):
+        self.bands = bands
+        self.band_bits = 64 // bands
+
+    @staticmethod
+    def signature(tokens: list[str]) -> int:
+        if not tokens:
+            return 0
+        from collections import Counter as _C
+
+        acc = np.zeros(64, dtype=np.int64)
+        for tok, tf in _C(tokens).items():
+            # md5, not crc32: crc is GF(2)-linear, so similar tokens give
+            # correlated bit patterns and the per-bit sums stop behaving
+            # like independent random walks (measured: hamming distance of
+            # a 1-word edit did not shrink with doc length)
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += tf * (2 * bits.astype(np.int64) - 1)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        return int(sig)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        token_lists = tokenize(batch["text"]).to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        out_band, out_key, out_doc, out_sig = [], [], [], []
+        for doc_id, toks in zip(doc_ids, token_lists):
+            toks = [t for t in toks if t]
+            sig = self.signature(toks)
+            for b in range(self.bands):
+                key = (sig >> (b * self.band_bits)) & ((1 << self.band_bits) - 1)
+                out_band.append(b)
+                out_key.append(key)
+                out_doc.append(doc_id)
+                out_sig.append(sig - (1 << 63))  # store as signed int64
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "sig": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    concurrency=(1, 4),
+) -> pa.Table:
+    """Near-dedup clusters via SimHash banding + Hamming verification.
+    Returns pa.Table(doc_id, cluster_id) (cluster = min doc_id of the
+    connected component). Same band-groupby -> candidate-pairs -> driver
+    union-find shape as minhash_dedup (candidates << corpus assumption)."""
+    if text_col != "text" or id_col != "doc_id":
+        ds = ds.map_batches(
+            lambda t: pa.table({"doc_id": t[id_col], "text": t[text_col]}),
+            batch_format="pyarrow",
+        )
+    bands_ds = ds.map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=concurrency
+    )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group["doc_id"].to_pylist(), group["sig"].to_pylist())
+        )
+        a_out, b_out = [], []
+        anchor_doc, anchor_sig = rows[0]
+        for doc, sig in rows[1:]:
+            a_out.append(anchor_doc)
+            b_out.append(doc)
+        return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+
+    import ray as _ray
+
+    pair_tables = [
+        t
+        for t in _ray.get(
+            bands_ds.groupby(["band_id", "band_hash"])
+            .map_groups(emit_pairs, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    cand = set()
+    for t in pair_tables:
+        cand.update(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+
+    # collect signatures of candidate docs for Hamming verification
+    need = sorted({d for p in cand for d in p})
+    sigs: dict[int, int] = {}
+    if need:
+        id_arr = pa.array(need, pa.int64())
+        sub = bands_ds.map_batches(
+            lambda t: t.filter(pa.compute.is_in(t["doc_id"], value_set=id_arr)),
+            batch_format="pyarrow",
+        ).take_all()
+        for row in sub:
+            sigs[row["doc_id"]] = row["sig"] + (1 << 63)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx > ry:
+                rx, ry = ry, rx
+            parent[ry] = rx
+
+    for a, b in sorted(cand):
+        if a in sigs and b in sigs and hamming64(sigs[a], sigs[b]) <= max_hamming:
+            union(a, b)
+
+    all_ids = sorted(r["doc_id"] for r in ds.select_columns(["doc_id"]).take_all())
+    return pa.table(
+        {
+            "doc_id": pa.array(all_ids, pa.int64()),
+            "cluster_id": pa.array([find(d) for d in all_ids], pa.int64()),
+        }
+    )

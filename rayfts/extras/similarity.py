@@ -138,3 +138,86 @@ def knn_cosine_lsh(
 
     filtered = ds.map_batches(filter_bucket, batch_format="pyarrow")
     return knn_cosine(filtered, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_near_dup(
+    ds: rd.Dataset,
+    threshold: float = 0.98,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Embedding-cosine near-duplicate clusters: hyperplane-LSH buckets ->
+    in-bucket exact cosine >= threshold pairs -> driver union-find.
+    Returns pa.Table(vec_id, cluster_id); cluster = min vec_id of the
+    component. Candidates only form within a bucket (documented recall
+    limit of single-table LSH; raise n_planes tables for higher recall)."""
+    import pyarrow.compute as pc
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    lsh = HyperplaneLSH(dim, n_planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)
+        return pa.table(
+            {
+                "bucket": pa.array(lsh.bucket(m), pa.int64()),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        m = _batch_matrix(group, vec_col)
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        sims = (m @ m.T) / (norms[:, None] * norms[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        return pa.table(
+            {
+                "a": pa.array(ids[iu[keep]], pa.int64()),
+                "b": pa.array(ids[ju[keep]], pa.int64()),
+            }
+        )
+
+    pair_tables = [
+        t
+        for t in ray.get(
+            bucketed.groupby("bucket")
+            .map_groups(pairs_in_bucket, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx > ry:
+                rx, ry = ry, rx
+            parent[ry] = rx
+
+    for t in pair_tables:
+        for a, b in sorted(zip(t["a"].to_pylist(), t["b"].to_pylist())):
+            union(a, b)
+    all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
+    return pa.table(
+        {
+            id_col: pa.array(all_ids, pa.int64()),
+            "cluster_id": pa.array([find(d) for d in all_ids], pa.int64()),
+        }
+    )

@@ -447,6 +447,21 @@ def dedup_minhash_q(sf_dir: str) -> pa.Table:
     return minhash_dedup(_docs(sf_dir))
 
 
+def dedup_simhash_q(sf_dir: str) -> pa.Table:
+    from .extras.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir))
+
+
+def embedding_near_dup_q(sf_dir: str) -> pa.Table:
+    from .extras.similarity import embedding_near_dup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup(ds, threshold=0.95)
+
+
 def knn_cosine_top10(sf_dir: str) -> pa.Table:
     from .extras.similarity import knn_cosine
 

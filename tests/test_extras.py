@@ -160,3 +160,49 @@ def test_hooks_run_and_abort_on_failure(tmp_path):
     import os
 
     assert os.path.exists(os.path.join(results[0]["artifact"], "_SUMMARY.json"))
+
+
+def test_simhash_clusters_near_duplicates():
+    from rayfts.extras.dedup import SimHasher, hamming64, simhash_dedup
+
+    base = " ".join(f"tok{i:04d}" for i in range(500))
+    near = base.replace("tok0250", "changed")
+    sig_a = SimHasher.signature(base.split())
+    sig_b = SimHasher.signature(near.split())
+    assert hamming64(sig_a, sig_b) <= 3  # one word flip -> few bits
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [base, near, "entirely different corpus of words " * 10]
+                ),
+            }
+        )
+    )
+    t = simhash_dedup(ds)
+    clusters = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert clusters[0] == clusters[1] == 0
+    assert clusters[2] == 2
+
+
+def test_embedding_near_dup_clusters():
+    from rayfts.extras.similarity import embedding_near_dup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(32)
+    near = base + rng.standard_normal(32) * 0.01     # cosine ~ 0.9999
+    far = rng.standard_normal(32)
+    vecs = np.stack([base, near, far]).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([10, 11, 12], pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    t = embedding_near_dup(ds, threshold=0.98)
+    clusters = dict(zip(t["vec_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert clusters[10] == clusters[11] == 10
+    assert clusters[12] == 12
