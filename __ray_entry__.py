@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": P.embedding_near_dup_q,
         "knn_cosine_top10": P.knn_cosine_top10,
         "knn_cosine_lsh": P.knn_cosine_lsh_q,
+        "knn_cosine_ivf": P.knn_cosine_ivf_q,
         "text_token_stats": P.text_token_stats,
         "text_quality": P.text_quality,
         "lang_id": P.lang_id_q,

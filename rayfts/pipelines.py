@@ -502,6 +502,26 @@ def knn_cosine_lsh_q(sf_dir: str) -> pa.Table:
     )
 
 
+def knn_cosine_ivf_q(sf_dir: str) -> pa.Table:
+    from .extras.similarity import knn_cosine_ivf
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q0.filter(pc.equal(q0["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    t = knn_cosine_ivf(ds, qvec, k=10, n_centroids=8, nprobe=3)
+    return pa.table(
+        {
+            "vec_id": t["vec_id"],
+            "cosine_sim_e6": pc.cast(
+                pc.round(pc.multiply(t["cosine_sim"], 1e6)), pa.int64()
+            ),
+        }
+    )
+
+
 def text_token_stats(sf_dir: str) -> rd.Dataset:
     from .extras.textstats import token_stats_batch
 

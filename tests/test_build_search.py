@@ -209,3 +209,24 @@ def test_shared_searcher_identical(index_dir):
     )
     assert out.doc_id.tolist() == base.doc_id.tolist()
     assert out.score.tolist() == base.score.tolist()
+
+
+def test_golden_exact_counts(index_dir):
+    """Frozen literal expectations for the seed=42 sf-small corpus — the
+    analog of the reference's exact '777 nodes, 57 ways' asserts
+    (integration/PluginIntegrationITest.java:44-45). These numbers were
+    computed once by the brute-force oracle and frozen; any engine change
+    that shifts them is a correctness regression, not a tune."""
+    s = Searcher(index_dir)
+    assert s.N == 356
+    assert s.manifest["total_dl"] == 19450
+    assert s.manifest["n_terms"] == 1678
+    golden_df = {
+        "the": 181, "a": 204, "to": 208, "ok": 193,
+        "bash": 205, "read": 202, "write": 183, "grep": 187, "edit": 207,
+        "w0007": 99, "héllo": 1, "foo_bar": 1, "longturn": 1,
+    }
+    for term, df in golden_df.items():
+        assert s.lookup(term).df == df, term
+    top3 = [(d, round(sc, 6)) for d, sc in s.search("w0007 bash", k=3)]
+    assert top3 == [(218, 2.951148), (228, 2.905533), (243, 2.877895)]

@@ -206,3 +206,26 @@ def test_embedding_near_dup_clusters():
     clusters = dict(zip(t["vec_id"].to_pylist(), t["cluster_id"].to_pylist()))
     assert clusters[10] == clusters[11] == 10
     assert clusters[12] == 12
+
+
+def test_knn_ivf_full_probe_equals_exact():
+    from rayfts.extras.similarity import knn_cosine, knn_cosine_ivf
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    q = vecs[3].astype(np.float64)
+    exact = knn_cosine(ds, q, k=5)
+    full_probe = knn_cosine_ivf(ds, q, k=5, n_centroids=8, nprobe=8)
+    assert full_probe["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+    # pruned probe: self vector must still be found (its centroid is probed first)
+    pruned = knn_cosine_ivf(ds, q, k=5, n_centroids=8, nprobe=2)
+    assert pruned["vec_id"].to_pylist()[0] == 3
+    assert len(pruned["vec_id"]) == 5
