@@ -1,0 +1,141 @@
+"""CLI entry points — the plugin-registration analog (SURVEY S2).
+
+The reference registers ``write-elasticsearch`` / ``wes`` task names with
+Osmosis (ElasticSearchWriterPluginLoader.java:12-18); here the engine is
+driven as ``python -m rayfts.cli <command>``:
+
+  build   --input DIR --index DIR [--resume] [--config cfg.json] ...
+  search  --index DIR --query "..." [-k 10] [--algo taat|wand]
+  get     --index DIR --conv-id C --turn-idx N
+  count   --index DIR [--role R] [--tool T]
+  info    --index DIR
+
+Owns its Ray session (guarded init — the driver contract forbids init
+inside library code, but a CLI process is its own driver).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args) -> int:
+    ray = _ray_session()
+    from .build import build_index
+    from .config import IndexJobConfig
+
+    cfg = (
+        IndexJobConfig.from_file(args.config)
+        if args.config
+        else IndexJobConfig()
+    )
+    cfg = cfg.replace(index_dir=args.index, resume=args.resume)
+    if args.dedup_keys:
+        cfg = cfg.replace(dedup_keys=True)
+    manifest = build_index(args.input, cfg=cfg, rows_per_part=args.rows_per_part)
+    print(json.dumps(manifest["metrics"]))
+    ray.shutdown()
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .search import Searcher
+
+    s = Searcher(args.index)
+    for rank, (doc_id, score) in enumerate(
+        s.search(args.query, k=args.k, algo=args.algo), 1
+    ):
+        print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
+    return 0
+
+
+def cmd_get(args) -> int:
+    from .search import Searcher
+
+    t = Searcher(args.index).get([(args.conv_id, args.turn_idx)])
+    print(json.dumps(t.to_pylist()[0], default=str))
+    return 0
+
+
+def cmd_count(args) -> int:
+    from .search import Searcher
+
+    filters = {}
+    if args.role:
+        filters["role"] = args.role
+    if args.tool:
+        filters["tool"] = args.tool
+    print(Searcher(args.index).count(**filters))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .manifest import load_manifest
+
+    m = load_manifest(args.index)
+    print(json.dumps({k: m[k] for k in
+                      ("n_docs", "n_terms", "avgdl", "postings_bytes",
+                       "term_buckets", "metrics")}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rayfts")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--config")
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--dedup-keys", action="store_true")
+    b.add_argument("--rows-per-part", type=int, default=250_000)
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--algo", default="taat", choices=["taat", "wand"])
+    s.set_defaults(fn=cmd_search)
+
+    g = sub.add_parser("get")
+    g.add_argument("--index", required=True)
+    g.add_argument("--conv-id", required=True)
+    g.add_argument("--turn-idx", type=int, required=True)
+    g.set_defaults(fn=cmd_get)
+
+    c = sub.add_parser("count")
+    c.add_argument("--index", required=True)
+    c.add_argument("--role")
+    c.add_argument("--tool")
+    c.set_defaults(fn=cmd_count)
+
+    i = sub.add_parser("info")
+    i.add_argument("--index", required=True)
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
