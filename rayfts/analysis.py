@@ -80,38 +80,6 @@ def analyze_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def analyze_batch_with_dl(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"):
-    """Like analyze_batch but the tf table also carries dl (doc token count)
-    per posting row, plus returns the per-row doc lengths for the norms file."""
-    n_rows = batch.num_rows
-    flat, parent = flatten_tokens(tokenize(batch[text_col]))
-    doc_lens = np.bincount(parent, minlength=n_rows).astype(np.int32)
-    doc_ids_col = batch[id_col].to_numpy(zero_copy_only=False)
-    pairs = pa.table(
-        {
-            "term": flat,
-            "doc_id": pa.array(doc_ids_col[parent], type=pa.int64()),
-            "dl": pa.array(doc_lens[parent], type=pa.int32()),
-        }
-    )
-    # use_threads=False => group output is FIRST-SEEN order. pairs are in
-    # doc-major order (parent ascending), so within every term the doc_ids
-    # appear ascending — no sort needed before the per-term list-aggregation.
-    tf = pairs.group_by(["term", "doc_id"], use_threads=False).aggregate(
-        [("doc_id", "count"), ("dl", "min")]
-    )
-    tf = tf.rename_columns(["term", "doc_id", "tf", "dl"])
-    tf = pa.table(
-        {
-            "term": tf["term"],
-            "doc_id": tf["doc_id"],
-            "tf": pc.cast(tf["tf"], pa.int32()),
-            "dl": tf["dl"],
-        }
-    )
-    return tf, doc_lens
-
-
 def partial_postings_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
 ):

@@ -96,3 +96,29 @@ def test_overwrite_drops_existing(corpus, tmp_path_factory):
     assert not os.path.exists(marker)
     for q in REFERENCE_QUERIES:
         Searcher(d).search(q, k=5)  # index healthy after rebuild
+
+
+def test_resume_rebuilds_only_missing_bucket(corpus, tmp_path_factory):
+    """Per-bucket postings checkpoints: losing one bucket file reruns only
+    that bucket's merge (the others' files are untouched)."""
+    import pyarrow.parquet as pq2
+
+    d = str(tmp_path_factory.mktemp("index_b"))
+    cfg = IndexJobConfig(index_dir=d, term_buckets=4)
+    m1 = build_index(corpus, cfg=cfg, rows_per_part=50)
+    victim = os.path.join(d, "postings", "bucket-0002.parquet")
+    before = pq2.read_table(victim)
+    keep_file = os.path.join(d, "postings", "bucket-0001.parquet")
+    os.remove(victim)
+    os.remove(os.path.join(d, "_checkpoints", "postings", "bucket-0002.json"))
+    os.remove(os.path.join(d, "manifest.json"))
+    mtime_keep = os.path.getmtime(keep_file)
+
+    m2 = build_index(corpus, cfg=cfg.replace(resume=True), rows_per_part=50)
+    assert os.path.getmtime(keep_file) == mtime_keep  # untouched bucket
+    after = pq2.read_table(victim)
+    assert after.sort_by([("term", "ascending")]).equals(
+        before.sort_by([("term", "ascending")])
+    )
+    assert m2["n_terms"] == m1["n_terms"]
+    assert Searcher(d).search("the w0007", k=5)
