@@ -188,26 +188,90 @@ def dedup_by_key(ds: rd.Dataset, key_cols, order_col: str = "ts") -> rd.Dataset:
     return ds.groupby(list(key_cols)).map_groups(keep_last, batch_format="pyarrow")
 
 
+@ray.remote(num_returns=2)
+def _load_and_check_sorted(path: str, key_cols: list):
+    """Load one input file and verify it is key-sorted (vectorized lexicographic
+    non-decreasing check). Returns (meta, table): meta carries first/last key
+    + row count so the driver can verify the files chain into a global order
+    without touching rows."""
+    t = pq.read_table(path)
+    n = t.num_rows
+    if n == 0:
+        return {"sorted": True, "rows": 0, "first": None, "last": None}, t
+    decided = np.zeros(n - 1, dtype=bool)
+    out_of_order = np.zeros(n - 1, dtype=bool)
+    for c in key_cols:
+        col = t[c].combine_chunks()
+        a, b = col.slice(0, n - 1), col.slice(1)
+        lt = pc.less(a, b).to_numpy(zero_copy_only=False)
+        gt = pc.greater(a, b).to_numpy(zero_copy_only=False)
+        out_of_order |= ~decided & gt
+        decided |= lt | gt
+    meta = {
+        "sorted": not bool(out_of_order.any()),
+        "rows": n,
+        "first": tuple(t[c][0].as_py() for c in key_cols),
+        "last": tuple(t[c][n - 1].as_py() for c in key_cols),
+    }
+    return meta, t
+
+
+def _sorted_input_fastpath(input_files: list[str], key_cols) -> tuple | None:
+    """Verified sorted-input fast path: if every input file is key-sorted and
+    the files chain into disjoint non-decreasing key ranges, the global sort
+    shuffle is unnecessary — the files ARE the sorted blocks. This is
+    DETECTED (every file's order is checked vectorized), never assumed; any
+    violation falls back to the sort. Typical win: range-partitioned
+    exports, log-structured corpora (the docstore stage drops from
+    sort-shuffle cost to a parallel read)."""
+    pairs = [
+        _load_and_check_sorted.remote(f, list(key_cols)) for f in input_files
+    ]
+    metas = ray.get([p[0] for p in pairs])
+    if not all(m["sorted"] for m in metas):
+        return None
+    nonempty = [(m, pairs[i][1]) for i, m in enumerate(metas) if m["rows"]]
+    nonempty.sort(key=lambda mt: mt[0]["first"])
+    for (m1, _), (m2, _) in zip(nonempty[:-1], nonempty[1:]):
+        if m1["last"] > m2["first"]:
+            return None  # overlapping ranges -> need the real sort
+    return (
+        [t_ref for _, t_ref in nonempty],
+        [m["rows"] for m, _ in nonempty],
+    )
+
+
 def build_docstore(
-    ds: rd.Dataset, index_dir: str, cfg: IndexJobConfig, rows_per_part: int
+    ds: rd.Dataset,
+    index_dir: str,
+    cfg: IndexJobConfig,
+    rows_per_part: int,
+    input_files: list[str] | None = None,
 ) -> dict:
-    """Sort by key, assign dense doc_ids, write partitioned docstore."""
+    """Sort by key (or take the verified sorted-input fast path), assign
+    dense doc_ids, write partitioned docstore."""
     docstore_dir = os.path.join(index_dir, "docstore")
     os.makedirs(docstore_dir, exist_ok=True)
 
     if cfg.dedup_keys:
         ds = dedup_by_key(ds, cfg.key_cols, cfg.dedup_order_col)
-    sorted_ds = ds.sort(list(cfg.key_cols))
-    mat = sorted_ds.materialize()
-    block_refs, counts = [], []
-    for bundle in mat.iter_internal_ref_bundles():
-        for blk_ref, meta in bundle.blocks:
-            block_refs.append(blk_ref)
-            counts.append(
-                meta.num_rows
-                if meta.num_rows is not None
-                else ray.get(_count_rows.remote(blk_ref))
-            )
+
+    fast = None
+    if input_files and not cfg.dedup_keys and cfg.detect_sorted_input:
+        fast = _sorted_input_fastpath(input_files, cfg.key_cols)
+    if fast is not None:
+        block_refs, counts = fast
+    else:
+        mat = ds.sort(list(cfg.key_cols)).materialize()
+        block_refs, counts = [], []
+        for bundle in mat.iter_internal_ref_bundles():
+            for blk_ref, meta in bundle.blocks:
+                block_refs.append(blk_ref)
+                counts.append(
+                    meta.num_rows
+                    if meta.num_rows is not None
+                    else ray.get(_count_rows.remote(blk_ref))
+                )
 
     plans = _plan_partitions(counts, rows_per_part)
     done = read_checkpoints(index_dir, "docstore") if cfg.resume else {}
@@ -494,7 +558,9 @@ def build_index(
     if cfg.resume and checkpoint_done(index_dir, "stage", "docstore"):
         doc_info = read_checkpoints(index_dir, "stage")["docstore"]["result"]
     else:
-        doc_info = build_docstore(ds, index_dir, cfg, rows_per_part)
+        doc_info = build_docstore(
+            ds, index_dir, cfg, rows_per_part, input_files=input_files or None
+        )
         # stage checkpoint is written after the write futures are joined
         # (below) — recording it here would list incomplete partitions
     metrics["docstore_sec"] = round(time.perf_counter() - t0, 3)

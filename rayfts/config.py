@@ -26,6 +26,7 @@ class IndexJobConfig:
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")   # ES _id analog
     dedup_keys: bool = False    # ES upsert analog: collapse duplicate keys
     dedup_order_col: str = "ts" # ...keeping the row with the max value here
+    detect_sorted_input: bool = True  # verified fast path skipping the sort
     keyword_cols: tuple[str, ...] = ("role", "tool")      # not_analyzed twins
 
     # batching (ref: bulk sizes 5000/500, plugin.properties:15-16)

@@ -230,3 +230,73 @@ def test_golden_exact_counts(index_dir):
         assert s.lookup(term).df == df, term
     top3 = [(d, round(sc, 6)) for d, sc in s.search("w0007 bash", k=3)]
     assert top3 == [(218, 2.951148), (228, 2.905533), (243, 2.877895)]
+
+
+def test_sorted_input_fastpath_equals_sort(tmp_path):
+    """The verified sorted-input fast path must produce the identical index
+    as the sort path, and must FALL BACK when files overlap or are
+    unsorted."""
+    import pyarrow.parquet as pq2
+
+    from rayfts.build import _sorted_input_fastpath, build_index
+
+    t = generate_transcripts(30, seed=42).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    corpus = tmp_path / "sorted_corpus"
+    corpus.mkdir()
+    half = t.num_rows // 2
+    pq2.write_table(t.slice(0, half), str(corpus / "part-0.parquet"))
+    pq2.write_table(t.slice(half), str(corpus / "part-1.parquet"))
+
+    d_fast = str(tmp_path / "idx_fast")
+    d_sort = str(tmp_path / "idx_sort")
+    m_fast = build_index(
+        str(corpus), cfg=IndexJobConfig(index_dir=d_fast, term_buckets=4)
+    )
+    m_sort = build_index(
+        str(corpus),
+        cfg=IndexJobConfig(
+            index_dir=d_sort, term_buckets=4, detect_sorted_input=False
+        ),
+    )
+    assert m_fast["n_docs"] == m_sort["n_docs"]
+    assert m_fast["avgdl"] == m_sort["avgdl"]
+    import pyarrow.compute as pc2
+
+    a = pq2.read_table(os.path.join(d_fast, "docstore")).sort_by(
+        [("doc_id", "ascending")]
+    )
+    b = pq2.read_table(os.path.join(d_sort, "docstore")).sort_by(
+        [("doc_id", "ascending")]
+    )
+    assert a["conv_id"].to_pylist() == b["conv_id"].to_pylist()
+    assert a["text"].to_pylist() == b["text"].to_pylist()
+    for q in REFERENCE_QUERIES:
+        assert Searcher(d_fast).search(q, k=10) == Searcher(d_sort).search(q, k=10)
+
+    # unsorted file -> no fast path
+    shuf = tmp_path / "shuffled"
+    shuf.mkdir()
+    import numpy as np2
+
+    perm = np2.random.default_rng(0).permutation(t.num_rows)
+    pq2.write_table(t.take(pa.array(perm)), str(shuf / "part-0.parquet"))
+    assert (
+        _sorted_input_fastpath(
+            [str(shuf / "part-0.parquet")], ("conv_id", "turn_idx")
+        )
+        is None
+    )
+    # overlapping ranges -> no fast path
+    overl = tmp_path / "overlap"
+    overl.mkdir()
+    pq2.write_table(t, str(overl / "part-0.parquet"))
+    pq2.write_table(t, str(overl / "part-1.parquet"))
+    assert (
+        _sorted_input_fastpath(
+            [str(overl / f"part-{i}.parquet") for i in (0, 1)],
+            ("conv_id", "turn_idx"),
+        )
+        is None
+    )
