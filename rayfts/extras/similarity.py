@@ -152,8 +152,6 @@ def embedding_near_dup(
     Returns pa.Table(vec_id, cluster_id); cluster = min vec_id of the
     component. Candidates only form within a bucket (documented recall
     limit of single-table LSH; raise n_planes tables for higher recall)."""
-    import pyarrow.compute as pc
-
     first = ds.take(1)[0]
     dim = len(first[vec_col])
     lsh = HyperplaneLSH(dim, n_planes)
