@@ -275,16 +275,16 @@ def build_docstore(
 
     plans = _plan_partitions(counts, rows_per_part)
     done = read_checkpoints(index_dir, "docstore") if cfg.resume else {}
-    info_futures, part_refs = [], []
+    info_futures = []
     infos = []
-    any_skipped = False
+    part_srcs = []  # per-partition analyze source, in plan order
     for part_id, offset, slices in plans:
         unit = f"part-{part_id:06d}"
-        if unit in done and os.path.exists(
-            os.path.join(docstore_dir, f"{unit}.parquet")
-        ):
+        fpath = os.path.join(docstore_dir, f"{unit}.parquet")
+        if unit in done and os.path.exists(fpath):
             infos.append(done[unit])
-            any_skipped = True
+            # checkpointed partition: analyze re-reads the parquet file
+            part_srcs.append(fpath)
             continue
         tbl_ref = _assemble_part.remote(
             [(block_refs[b], s, e) for b, s, e in slices], offset
@@ -294,19 +294,21 @@ def build_docstore(
                 tbl_ref, part_id, offset, docstore_dir, index_dir
             )
         )
-        part_refs.append(tbl_ref)
+        # fresh/rebuilt partition: the id-assigned table is still in the
+        # object store — analyze consumes it directly (no disk round-trip)
+        # WHILE the parquet write proceeds concurrently; the write futures
+        # are joined before the manifest is published. Carrying the ref
+        # here (not doc_info['partitions'], which at analyze time lists
+        # only checkpointed partitions) is what keeps a resume with BOTH a
+        # docstore partition and a postings bucket missing consistent —
+        # analyze must cover every partition or norms != docstore rows.
+        part_srcs.append(tbl_ref)
     total_rows = int(sum(counts))
     return {
         "partitions": infos,  # checkpointed (skipped) partitions only, so far
         "rows": total_rows,
         "num_partitions": len(plans),
-        # fresh build: id-assigned blocks are still in the object store —
-        # the postings stage consumes them directly (no disk round-trip)
-        # WHILE the parquet writes proceed concurrently; the write futures
-        # are joined before the manifest is published.
-        # On resume some partitions were skipped, so fall back to reading
-        # the docstore files (lineage-correct either way).
-        "_block_refs": None if any_skipped else part_refs,
+        "_part_srcs": part_srcs,
         "_info_futures": info_futures,
     }
 
@@ -584,7 +586,11 @@ def build_index(
     if missing:
         if os.path.isdir(norms_dir):
             shutil.rmtree(norms_dir)  # analyze rewrites norms deterministically
-        sources = doc_info.get("_block_refs") or [
+        # one source per planned partition: rebuilt partitions are live
+        # object-store refs, checkpointed ones are their parquet files (the
+        # stage-checkpoint resume path has no refs — all partitions are on
+        # disk then)
+        sources = doc_info.get("_part_srcs") or [
             os.path.join(index_dir, p["file"]) for p in doc_info["partitions"]
         ]
         shard_lists = [

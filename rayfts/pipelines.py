@@ -54,7 +54,13 @@ def documents_index(sf_dir: str) -> str:
     is dense from 0 the engine's assigned dense doc_id coincides — but the
     mapping is carried explicitly and never assumed.
     """
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    # content fingerprint in the tag: a changed documents.parquet at the
+    # same path must never serve results from a stale cached index
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     index_dir = f"/tmp/rayfts_qidx/{tag}"
     manifest_path = os.path.join(index_dir, "manifest.json")
     if os.path.exists(manifest_path):

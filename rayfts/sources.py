@@ -68,7 +68,11 @@ def read_transcripts_json(paths: str | list[str]) -> rd.Dataset:
         elif pa.types.is_string(ts.type):
             import pyarrow.compute as pc
 
-            ts = pc.strptime(ts, format="%Y-%m-%dT%H:%M:%S.%f", unit="us")
+            # ISO strings may or may not carry fractional seconds — both are
+            # valid interchange shapes (and may be mixed row-to-row). Arrow's
+            # native ISO-8601 timestamp cast accepts both (strptime's %f is
+            # not supported by Arrow at all); unparseable rows raise.
+            ts = pc.cast(ts, pa.timestamp("us"))
         batch = batch.drop_columns(["ts"]).append_column("ts", ts)
         return batch
 

@@ -98,6 +98,37 @@ def test_overwrite_drops_existing(corpus, tmp_path_factory):
         Searcher(d).search(q, k=5)  # index healthy after rebuild
 
 
+def test_resume_docstore_partition_and_bucket_both_missing(corpus, tmp_path_factory):
+    """The state a mid-build crash leaves (docstore writes overlap the
+    postings stage): one docstore partition AND one postings bucket missing
+    together. The analyze rerun must cover the REBUILT partition too (its
+    table ref, not doc_info['partitions'], which only lists checkpointed
+    ones) or the build aborts with norms rows != docstore rows."""
+    d = str(tmp_path_factory.mktemp("index_rb"))
+    cfg = IndexJobConfig(index_dir=d, term_buckets=4)
+    m1 = build_index(corpus, cfg=cfg, rows_per_part=50)
+    search1 = Searcher(d).search("the w0007", k=10)
+    baseline = _docstore_content(d)
+
+    # crash state: docstore partition 1 and postings bucket 2 both lost
+    victim_part = m1["docstore"]["partitions"][1]
+    os.remove(os.path.join(d, victim_part["file"]))
+    os.remove(os.path.join(d, "_checkpoints", "docstore", "part-000001.json"))
+    os.remove(os.path.join(d, "postings", "bucket-0002.parquet"))
+    os.remove(os.path.join(d, "_checkpoints", "postings", "bucket-0002.json"))
+    stage_ckpt = os.path.join(d, "_checkpoints", "stage", "docstore.json")
+    if os.path.exists(stage_ckpt):
+        os.remove(stage_ckpt)
+    os.remove(os.path.join(d, "manifest.json"))
+
+    m2 = build_index(corpus, cfg=cfg.replace(resume=True), rows_per_part=50)
+    assert m2["n_docs"] == m1["n_docs"]
+    assert m2["n_terms"] == m1["n_terms"]
+    assert m2["avgdl"] == m1["avgdl"]
+    assert _docstore_content(d) == baseline
+    assert Searcher(d).search("the w0007", k=10) == search1
+
+
 def test_resume_rebuilds_only_missing_bucket(corpus, tmp_path_factory):
     """Per-bucket postings checkpoints: losing one bucket file reruns only
     that bucket's merge (the others' files are untouched)."""

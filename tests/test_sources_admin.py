@@ -30,6 +30,29 @@ def test_json_source_normalizes_schema(tmp_path):
         assert f_.name in out.column_names
 
 
+def test_json_source_iso_timestamps_with_and_without_fraction(tmp_path):
+    """Both ISO shapes are valid interchange — '2026-01-01T00:00:00' (no
+    fractional seconds) must parse, mixed in one file with fractional rows."""
+    from rayfts.sources import read_transcripts_json
+
+    rows = [
+        {"conv_id": "c0", "turn_idx": 0, "role": "user", "text": "hi",
+         "tool": None, "ts": "2026-01-01T00:00:00"},
+        {"conv_id": "c0", "turn_idx": 1, "role": "assistant", "text": "yo",
+         "tool": None, "ts": "2026-01-01T00:00:01.250000"},
+    ]
+    path = tmp_path / "iso.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = pa.Table.from_pandas(
+        read_transcripts_json(str(path)).to_pandas(), preserve_index=False
+    ).sort_by([("turn_idx", "ascending")])
+    ts = out["ts"].to_pylist()
+    assert ts[0].isoformat() == "2026-01-01T00:00:00"
+    assert ts[1].isoformat() == "2026-01-01T00:00:01.250000"
+
+
 def test_json_source_missing_column_raises(tmp_path):
     from rayfts.sources import read_transcripts_json
 
