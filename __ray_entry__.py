@@ -16,6 +16,7 @@ from collections.abc import Callable
 from typing import Any
 
 from rayfts import pipelines as P
+from rayfts.extras import oracles as _X
 
 # Token class shared with rayfts.analysis.SPLIT_PATTERN (RE2 in both engines).
 _TOK = r"[\p{L}\p{N}_]+"
@@ -225,7 +226,19 @@ SELECT doc_id, token_cnt,
          AS quality
 FROM st
 """,
-        # dedup_minhash / knn_cosine_lsh / lang_id / text_fingerprint:
-        # intentionally no SQL oracle (LSH banding, heuristic model and
-        # rolling hash are not SQL-expressible) -> rows-only check.
+        # near-dedup / LSH / text-analysis extras: every hash in the engine
+        # spec (md5-lower64 tokens == DuckDB md5_number_lower, C-fold mod
+        # 2^64 via HUGEINT, integer-fraction Jaccard threshold, seeded
+        # hyperplane literals) was chosen to be SQL-replicable, so these
+        # get REAL value oracles (generated in rayfts.extras.oracles).
+        "dedup_minhash": _X.minhash_dedup_sql(),
+        "dedup_simhash": _X.simhash_dedup_sql(),
+        "embedding_near_dup": _X.embedding_near_dup_sql(threshold=0.95, dim=64),
+        "knn_cosine_lsh": _X.knn_lsh_sql(k=10, n_planes=4, dim=64),
+        "lang_id": _X.lang_id_sql(),
+        "text_fingerprint": _X.fingerprint_sql(),
+        # knn_cosine_ivf: intentionally no SQL oracle — replicating the
+        # seeded k-means training in SQL is float-order-sensitive (near-tie
+        # assignments flip) -> rows-only check; the probe-pruned storage
+        # contract is pinned by pytest instead.
     }

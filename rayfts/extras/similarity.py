@@ -140,18 +140,27 @@ def knn_cosine_lsh(
     return knn_cosine(filtered, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
+PAIRWISE_CHUNK = 1024  # rows of the in-bucket similarity matrix per matmul
+
+
 def embedding_near_dup(
     ds: rd.Dataset,
     threshold: float = 0.98,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> pa.Table:
+) -> rd.Dataset:
     """Embedding-cosine near-duplicate clusters: hyperplane-LSH buckets ->
-    in-bucket exact cosine >= threshold pairs -> driver union-find.
-    Returns pa.Table(vec_id, cluster_id); cluster = min vec_id of the
-    component. Candidates only form within a bucket (documented recall
-    limit of single-table LSH; raise n_planes tables for higher recall)."""
+    in-bucket exact cosine >= threshold pairs -> driver union-find over the
+    PAIRS only -> broadcast-label map_batches. Returns
+    Dataset(vec_id, cluster_id); cluster = min vec_id of the component.
+    Candidates only form within a bucket (documented recall limit of
+    single-table LSH; raise n_planes tables for higher recall). The
+    in-bucket pairwise matmul is CHUNKED (PAIRWISE_CHUNK rows at a time) so
+    a dense bucket never materializes an unbounded n^2 similarity matrix in
+    one allocation."""
+    from .hashing import components_min_label, label_dataset
+
     first = ds.take(1)[0]
     dim = len(first[vec_col])
     lsh = HyperplaneLSH(dim, n_planes)
@@ -175,13 +184,26 @@ def embedding_near_dup(
         ids, m = ids[order], m[order]
         norms = np.sqrt((m * m).sum(axis=1))
         norms[norms == 0] = 1.0
-        sims = (m @ m.T) / (norms[:, None] * norms[None, :])
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
+        mn = m / norms[:, None]
+        g = len(ids)
+        out_a, out_b = [], []
+        for i0 in range(0, g, PAIRWISE_CHUNK):
+            i1 = min(g, i0 + PAIRWISE_CHUNK)
+            sims = mn[i0:i1] @ mn.T  # (chunk, g)
+            ri, cj = np.nonzero(sims >= threshold)
+            keep = (ri + i0) < cj  # upper triangle only
+            out_a.append(ids[ri[keep] + i0])
+            out_b.append(ids[cj[keep]])
         return pa.table(
             {
-                "a": pa.array(ids[iu[keep]], pa.int64()),
-                "b": pa.array(ids[ju[keep]], pa.int64()),
+                "a": pa.array(
+                    np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "b": pa.array(
+                    np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -194,31 +216,11 @@ def embedding_near_dup(
         )
         if t.num_rows
     ]
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            if rx > ry:
-                rx, ry = ry, rx
-            parent[ry] = rx
-
+    pairs: set[tuple[int, int]] = set()
     for t in pair_tables:
-        for a, b in sorted(zip(t["a"].to_pylist(), t["b"].to_pylist())):
-            union(a, b)
-    all_ids = sorted(r[id_col] for r in ds.select_columns([id_col]).take_all())
-    return pa.table(
-        {
-            id_col: pa.array(all_ids, pa.int64()),
-            "cluster_id": pa.array([find(d) for d in all_ids], pa.int64()),
-        }
-    )
+        pairs.update(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    roots = components_min_label(pairs)
+    return label_dataset(ds.select_columns([id_col]), roots, id_col=id_col)
 
 
 class IVFQuantizer:
@@ -263,6 +265,115 @@ class IVFQuantizer:
         return np.argsort(-sims)[:nprobe]
 
 
+def build_ivf_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build a persisted IVF index: per-centroid PARTITION FILES so queries
+    read only the probed partitions off storage — the scale path for 10^9+
+    vectors (a probe-filter over a full scan reads everything; partitioned
+    files read ~nprobe/C of the corpus).
+
+    Layout: ``index_dir/vectors/centroid=K/*.parquet`` + ``centroids.npy``
+    + ``ivf.json``. The quantizer trains on a driver-side sample
+    (``train_sample`` rows — documented small); assignment is a vectorized
+    broadcast matmul per batch.
+    """
+    import json
+    import os
+
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    quant = IVFQuantizer.train(sample, n_centroids)
+    cent_ref = ray.put(quant.centroids)
+
+    class AssignCentroid:
+        def __init__(self, ref):
+            self.quant = IVFQuantizer(
+                ref if isinstance(ref, np.ndarray) else ray.get(ref)
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch, vec_col)
+            cid = self.quant.assign(m).astype(np.int32)
+            return batch.append_column("centroid", pa.array(cid, pa.int32()))
+
+    vec_dir = os.path.join(index_dir, "vectors")
+    ds.map_batches(
+        AssignCentroid,
+        fn_constructor_kwargs={"ref": cent_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).write_parquet(vec_dir, partition_cols=["centroid"])
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), quant.centroids)
+    meta = {
+        "n_centroids": int(quant.centroids.shape[0]),
+        "dim": int(quant.centroids.shape[1]),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    with open(os.path.join(index_dir, "ivf.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def probed_partition_dirs(index_dir: str, query_vec: np.ndarray, nprobe: int) -> list[str]:
+    """The partition directories an ``nprobe`` query touches (and ONLY
+    those — the probe-pruned read set)."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    quant = IVFQuantizer(centroids)
+    probes = quant.probe(query_vec, nprobe)
+    dirs = [
+        os.path.join(index_dir, "vectors", f"centroid={int(p)}") for p in probes
+    ]
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def ivf_search(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Probe-pruned ANN over a built IVF index: reads ONLY the nprobe
+    partition directories, then exact-scores the survivors."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ivf.json")) as f:
+        meta = json.load(f)
+    dirs = probed_partition_dirs(index_dir, query_vec, nprobe)
+    if not dirs:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine_sim": pa.array([], pa.float64()),
+            }
+        )
+    files = sorted(
+        os.path.join(d, f)
+        for d in dirs
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    sub = rd.read_parquet(files, columns=[meta["id_col"], meta["vec_col"]])
+    return knn_cosine(
+        sub,
+        np.asarray(query_vec, dtype=np.float64),
+        k=k,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )
+
+
 def knn_cosine_ivf(
     ds: rd.Dataset,
     query_vec: np.ndarray,
@@ -272,34 +383,24 @@ def knn_cosine_ivf(
     train_sample: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_dir: str | None = None,
 ) -> pa.Table:
-    """IVF-style approximate top-k: train a coarse quantizer on a sample,
-    keep only vectors whose centroid is among the query's ``nprobe``
-    nearest, exact-score the survivors. nprobe == n_centroids -> exact
-    (scans everything); smaller nprobe trades recall for a ~C/nprobe scan
-    reduction — the scale path for 10^9+ vectors (per-centroid partition
-    files + probe-pruned reads)."""
-    sample_rows = ds.limit(train_sample).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
-    quant = IVFQuantizer.train(sample, n_centroids)
-    probes = set(int(p) for p in quant.probe(query_vec, nprobe))
-    quant_ref = ray.put(quant.centroids)
+    """IVF-style approximate top-k: build (or reuse) the per-centroid
+    partitioned index, then probe-pruned read + exact scoring.
+    nprobe == n_centroids -> exact (reads every partition); smaller nprobe
+    trades recall for a ~nprobe/C read reduction."""
+    import os
+    import tempfile
 
-    class ProbeFilter:
-        def __init__(self, ref, probes):
-            self.quant = IVFQuantizer(ref if isinstance(ref, np.ndarray) else ray.get(ref))
-            self.probes = probes
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _batch_matrix(batch, vec_col)
-            keep = np.isin(self.quant.assign(m), list(self.probes))
-            return batch.filter(pa.array(keep))
-
-    filtered = ds.map_batches(
-        ProbeFilter,
-        fn_constructor_kwargs={"ref": quant_ref, "probes": probes},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-    return knn_cosine(filtered, np.asarray(query_vec, dtype=np.float64), k=k,
-                      id_col=id_col, vec_col=vec_col)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="rayfts_ivf_")
+    if not os.path.exists(os.path.join(index_dir, "ivf.json")):
+        build_ivf_index(
+            ds,
+            index_dir,
+            n_centroids=n_centroids,
+            train_sample=train_sample,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    return ivf_search(index_dir, query_vec, k=k, nprobe=nprobe)

@@ -98,24 +98,39 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit content fingerprint: rolling polynomial hash over the token
-    sequence (order-sensitive, whitespace/case-insensitive by construction)."""
-    import zlib
+    sequence (order-sensitive, whitespace/case-insensitive by construction).
+
+    fp(doc) = fold(acc = acc*P + h(token)) mod 2^64 with h = md5-lower64
+    (DuckDB ``md5_number_lower``) and P small enough for HUGEINT SQL math —
+    the whole fold is computed VECTORIZED via the closed form
+    fp = sum_i h_i * P^(L-1-i) mod 2^64 (one md5 per distinct token, numpy
+    power-table gather + scatter-add; no per-token Python loop). The SQL
+    oracle replicates it exactly (see __ray_entry__.oracle_sql).
+    """
+    from .hashing import FOLD_C, U64, hash_tokens_unique
 
     n = batch.num_rows
     flat, parent = flatten_tokens(tokenize(batch[text_col]))
-    tok_h = np.array(
-        [zlib.crc32(t.encode()) for t in flat.to_pylist()], dtype=np.uint64
-    )
-    P = np.uint64(1099511628211)
-    fp = np.zeros(n, dtype=np.uint64)
-    # rolling hash per doc: fp = fp*P + h in token order; uint64 wraparound
-    # is the intended modulus
-    with np.errstate(over="ignore"):
-        for i, h in zip(parent, tok_h):  # bounded by batch token count
-            fp[i] = fp[i] * P + h
+    fp = np.zeros(n, dtype=U64)
+    if len(flat):
+        h = hash_tokens_unique(flat)
+        L = np.bincount(parent, minlength=n)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(L, out=starts[1:])
+        pos = np.arange(h.size, dtype=np.int64) - starts[parent]
+        exp = (L[parent] - 1 - pos).astype(np.int64)
+        maxe = int(exp.max())
+        with np.errstate(over="ignore"):
+            pows = np.empty(maxe + 1, dtype=U64)
+            pows[0] = 1
+            if maxe:
+                np.multiply.accumulate(
+                    np.full(maxe, FOLD_C, dtype=U64), out=pows[1:]
+                )
+            np.add.at(fp, parent, h * pows[exp])
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "fingerprint": pa.array(fp.astype(np.int64)),
+            "fingerprint": pa.array(fp.view(np.int64)),
         }
     )

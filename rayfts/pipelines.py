@@ -509,15 +509,25 @@ def knn_cosine_lsh_q(sf_dir: str) -> pa.Table:
 
 
 def knn_cosine_ivf_q(sf_dir: str) -> pa.Table:
+    """IVF over the PERSISTED per-centroid partition files (probe-pruned
+    reads — only nprobe partitions are opened); the index is built once and
+    cached keyed by content fingerprint."""
     from .extras.similarity import knn_cosine_ivf
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    tag = hashlib.md5(
+        f"{os.path.abspath(emb_path)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
     qvec = np.asarray(
         q0.filter(pc.equal(q0["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
     )
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-    t = knn_cosine_ivf(ds, qvec, k=10, n_centroids=8, nprobe=3)
+    t = knn_cosine_ivf(
+        ds, qvec, k=10, n_centroids=8, nprobe=3,
+        index_dir=f"/tmp/rayfts_ivf/{tag}",
+    )
     return pa.table(
         {
             "vec_id": t["vec_id"],

@@ -40,7 +40,9 @@ def test_minhash_clusters_near_duplicates():
         )
     )
     t = minhash_dedup(ds, threshold=0.5)
-    clusters = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert isinstance(t, rd.Dataset)  # distributed labeling, no driver table
+    rows = t.take_all()
+    clusters = {r["doc_id"]: r["cluster_id"] for r in rows}
     assert clusters[0] == clusters[1] == 0  # near-dups share min-id cluster
     assert clusters[2] == 2
 
@@ -51,6 +53,36 @@ def test_minhash_signature_deterministic():
     a = MinHasher().signature("a b c d e f g".split())
     b = MinHasher().signature("a b c d e f g".split())
     np.testing.assert_array_equal(a, b)
+
+
+def test_minhash_batch_matches_per_doc_reference():
+    """The vectorized batch signature path must agree with the per-doc
+    reference path for every doc in a mixed batch (incl. short docs < k
+    tokens and an empty doc)."""
+    from rayfts.analysis import flatten_tokens, tokenize
+    from rayfts.extras.dedup import MinHasher, SimHasher
+    from rayfts.extras.hashing import hash_tokens_unique
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two",          # short: single fold shingle
+        "solo",             # short: L=1
+        "",                 # empty: sig = M61 everywhere / simhash 0
+        "alpha beta gamma delta epsilon zeta eta theta iota",
+    ]
+    batch = pa.table({"text": pa.array(texts)})
+    flat, parent = flatten_tokens(tokenize(batch["text"]))
+    flat_h = hash_tokens_unique(flat)
+
+    mh = MinHasher()
+    sig_batch = mh.signatures_batch(flat_h, parent, len(texts))
+    for i, txt in enumerate(texts):
+        ref = mh.signature(txt.lower().split())
+        np.testing.assert_array_equal(sig_batch[:, i], ref, err_msg=f"doc {i}")
+
+    sh_batch = SimHasher.signatures_batch(flat_h, parent, len(texts))
+    for i, txt in enumerate(texts):
+        assert int(sh_batch[i]) == SimHasher.signature(txt.lower().split()), i
 
 
 def test_knn_cosine_exact_topk():
@@ -181,7 +213,8 @@ def test_simhash_clusters_near_duplicates():
         )
     )
     t = simhash_dedup(ds)
-    clusters = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert isinstance(t, rd.Dataset)
+    clusters = {r["doc_id"]: r["cluster_id"] for r in t.take_all()}
     assert clusters[0] == clusters[1] == 0
     assert clusters[2] == 2
 
@@ -203,12 +236,13 @@ def test_embedding_near_dup_clusters():
         )
     )
     t = embedding_near_dup(ds, threshold=0.98)
-    clusters = dict(zip(t["vec_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert isinstance(t, rd.Dataset)
+    clusters = {r["vec_id"]: r["cluster_id"] for r in t.take_all()}
     assert clusters[10] == clusters[11] == 10
     assert clusters[12] == 12
 
 
-def test_knn_ivf_full_probe_equals_exact():
+def test_knn_ivf_full_probe_equals_exact(tmp_path):
     from rayfts.extras.similarity import knn_cosine, knn_cosine_ivf
 
     rng = np.random.default_rng(1)
@@ -223,9 +257,55 @@ def test_knn_ivf_full_probe_equals_exact():
     )
     q = vecs[3].astype(np.float64)
     exact = knn_cosine(ds, q, k=5)
-    full_probe = knn_cosine_ivf(ds, q, k=5, n_centroids=8, nprobe=8)
+    idx = str(tmp_path / "ivf")
+    full_probe = knn_cosine_ivf(ds, q, k=5, n_centroids=8, nprobe=8, index_dir=idx)
     assert full_probe["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
-    # pruned probe: self vector must still be found (its centroid is probed first)
-    pruned = knn_cosine_ivf(ds, q, k=5, n_centroids=8, nprobe=2)
+    # pruned probe: self vector must still be found (its centroid is probed
+    # first); the index dir is reused, not rebuilt
+    pruned = knn_cosine_ivf(ds, q, k=5, n_centroids=8, nprobe=2, index_dir=idx)
     assert pruned["vec_id"].to_pylist()[0] == 3
     assert len(pruned["vec_id"]) == 5
+
+
+def test_ivf_reads_only_probed_partitions(tmp_path):
+    """The IVF scale contract: an nprobe query touches exactly the probed
+    per-centroid partition directories, and every hit comes from them."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayfts.extras.similarity import (
+        build_ivf_index,
+        ivf_search,
+        probed_partition_dirs,
+    )
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx, n_centroids=8, train_sample=400)
+    parts = [d for d in os.listdir(os.path.join(idx, "vectors")) if "=" in d]
+    assert 1 < len(parts) <= meta["n_centroids"]
+    # every vector landed in exactly one partition
+    total = sum(
+        pq.read_table(os.path.join(idx, "vectors", d)).num_rows for d in parts
+    )
+    assert total == 400
+
+    q = vecs[9].astype(np.float64)
+    dirs = probed_partition_dirs(idx, q, nprobe=2)
+    assert len(dirs) == 2
+    allowed = set()
+    for d in dirs:
+        allowed.update(pq.read_table(d)["vec_id"].to_pylist())
+    hits = ivf_search(idx, q, k=5, nprobe=2)
+    assert set(hits["vec_id"].to_pylist()) <= allowed
+    assert hits["vec_id"].to_pylist()[0] == 9  # self in the top probe
