@@ -14,7 +14,7 @@ built explicitly:
     -> docstore partitions written by raw Ray tasks (temp+rename,
        per-partition checkpoint + lineage)                      [S7/M4]
     -> per-partition analyze: partials pre-aggregated per batch, split
-       into bucket=crc32(term)%B shards; norms side-files       [M9/ST1]
+       into bucket=fnv1a(term)%B shards; norms side-files       [M9/ST1]
     -> hand-rolled hash shuffle: one merge task per bucket gathers its
        shard from every analyze output, merges, doc_id-sorts,
        delta+varint encodes with block max-impact metadata      [T3/A3]
@@ -47,7 +47,6 @@ import logging
 import os
 import shutil
 import time
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -70,21 +69,46 @@ from .manifest import (
 
 logger = logging.getLogger(__name__)
 
-FORMAT_VERSION = 2  # 2: flat bucket-NNNN.parquet postings layout
+FORMAT_VERSION = 3  # 3: FNV-1a term bucket hash; 2: flat bucket layout
+
+# FNV-1a 64-bit: chosen over round-1's crc32 because it vectorizes — the
+# numpy kernel below hashes a whole Arrow string column with one pass per
+# BYTE POSITION (loop length = longest term, vectorized across all terms),
+# no per-term Python call in the analyze hot path.
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
 
 
 def term_bucket_py(term: str, num_buckets: int) -> int:
-    """Deterministic term -> bucket hash (crc32; stable across processes,
-    unlike Python's seeded hash())."""
-    return zlib.crc32(term.encode("utf-8")) % num_buckets
+    """Deterministic term -> bucket hash (FNV-1a 64 over UTF-8 bytes;
+    stable across processes, unlike Python's seeded hash()). Pure-Python
+    reference of the vectorized kernel (property-tested equal)."""
+    h = _FNV_OFFSET
+    for byte in term.encode("utf-8"):
+        h = ((h ^ byte) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return h % num_buckets
 
 
 def _term_buckets_arrow(terms: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    """Vectorized FNV-1a 64 over an Arrow string column: operate directly on
+    the UTF-8 data buffer + offsets; one vectorized update per byte
+    position j over all terms still longer than j."""
     arr = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
-    py = arr.to_pylist()
-    return pa.array(
-        [zlib.crc32(t.encode("utf-8")) % num_buckets for t in py], type=pa.int32()
-    )
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.int32())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, lens = offsets[:-1], np.diff(offsets)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max())):
+            m = lens > j
+            h[m] = (h[m] ^ data[starts[m] + j].astype(np.uint64)) * prime
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32), type=pa.int32())
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +347,7 @@ def analyze_partials_fn(
 ) -> pa.Table:
     """Analyze one batch (SURVEY M9/ST1).
 
-    Emits partial-postings rows keyed by ``bucket = crc32(term) % B`` — the
+    Emits partial-postings rows keyed by ``bucket = fnv1a64(term) % B`` — the
     merge shuffles on the BUCKET, not the term: range-partitioning on raw
     terms puts the (alphabetically adjacent) Zipf-head terms into one range
     and creates a straggler reduce partition (observed: one 436 MB block,

@@ -307,17 +307,24 @@ def join_revenue_by_segment(sf_dir: str) -> rd.Dataset:
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
+    # broadcast the small side ONCE as Arrow arrays; per batch the probe is
+    # a vectorized pc.index_in + take (no Python loop over keys)
     seg_map_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+        (
+            pc.cast(cust["c_custkey"].combine_chunks(), pa.int64()),
+            cust["c_mktsegment"].combine_chunks(),
+        )
     )
 
     class JoinSegment:
         def __init__(self, ref):
-            self.seg = ray.get(ref)
+            self.keys, self.segs = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_custkey"].to_pylist()
-            seg = pa.array([self.seg.get(k) for k in keys], pa.string())
+            idx = pc.index_in(
+                pc.cast(batch["o_custkey"], pa.int64()), value_set=self.keys
+            )
+            seg = pc.take(self.segs, idx)  # null index -> null segment
             out = pa.table(
                 {"c_mktsegment": seg, "o_totalprice": batch["o_totalprice"]}
             )
@@ -367,14 +374,16 @@ def semi_join_lineitem_part(sf_dir: str) -> rd.Dataset:
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
     )
     keys = part.filter(pc.greater(part["p_size"], 25))["p_partkey"]
-    key_ref = ray.put(set(keys.to_pylist()))
+    key_ref = ray.put(pc.cast(keys.combine_chunks(), pa.int64()))
 
     class SemiFilter:
         def __init__(self, ref):
-            self.keys = ray.get(ref)
+            self.keys = ray.get(ref)  # broadcast Arrow key array, once/actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([k in self.keys for k in batch["l_partkey"].to_pylist()])
+            mask = pc.is_in(
+                pc.cast(batch["l_partkey"], pa.int64()), value_set=self.keys
+            )
             return batch.filter(mask)
 
     agg = (
@@ -408,29 +417,50 @@ def semi_join_lineitem_part(sf_dir: str) -> rd.Dataset:
 def union_distinct_keys(sf_dir: str) -> pa.Table:
     """Union (D2 analog): orders.o_custkey UNION ALL customer.c_custkey ->
     distinct count via ds.union + groupby."""
+    # map-side unique shrinks the distinct shuffle to per-block key sets
     a = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
     ).map_batches(
-        lambda t: pa.table({"id": t["o_custkey"]}), batch_format="pyarrow"
+        lambda t: pa.table({"id": pc.unique(t["o_custkey"].combine_chunks())}),
+        batch_format="pyarrow",
     )
     b = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
     ).map_batches(
-        lambda t: pa.table({"id": pc.cast(t["c_custkey"], pa.int64())}),
+        lambda t: pa.table(
+            {"id": pc.cast(pc.unique(t["c_custkey"].combine_chunks()), pa.int64())}
+        ),
         batch_format="pyarrow",
     )
     n = a.union(b).groupby("id").count().count()
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
 
 
-def events_top20_by_value(sf_dir: str) -> pa.Table:
-    """Global sort + limit (T1/T2 top-k with secondary key): top 20 events
-    by value desc, event_id asc tiebreak."""
+def events_top20_by_value(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k with secondary key (T1/T2): per-block partial top-k inside
+    map_batches, then a driver merge of the tiny candidates — NO global
+    sort shuffle for 20 rows (a ds.sort here is a full range-exchange)."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
     )
-    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
-    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("value", "descending"), ("event_id", "ascending")],
+        )
+        return batch.take(idx.slice(0, k))
+
+    cands = pa.concat_tables(
+        t for t in ray.get(
+            ds.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    )
+    idx = pc.sort_indices(
+        cands, sort_keys=[("value", "descending"), ("event_id", "ascending")]
+    )
+    t = cands.take(idx.slice(0, k))
     return pa.table(
         {
             "event_id": pc.cast(t["event_id"], pa.int64()),

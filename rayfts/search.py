@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from .build import term_bucket_py
+from .build import FORMAT_VERSION, term_bucket_py
 from .codec import decode_blocks, decode_postings
 from .manifest import load_manifest
 
@@ -81,7 +81,7 @@ class Searcher:
         norms = pq.read_table(os.path.join(index_dir, "norms"))
         self.dl = np.zeros(self.N, dtype=np.int32)
         self.dl[norms["doc_id"].to_numpy()] = norms["dl"].to_numpy()
-        if m.get("format_version") != 2:
+        if m.get("format_version") != FORMAT_VERSION:
             raise ValueError(
                 f"index at {index_dir} has format_version="
                 f"{m.get('format_version')} — rebuild with this engine version"
@@ -666,7 +666,7 @@ class SharedIndexHandle:
 
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
-        if self.manifest.get("format_version") != 2:
+        if self.manifest.get("format_version") != FORMAT_VERSION:
             raise ValueError("index format mismatch")
         norms = pq.read_table(os.path.join(index_dir, "norms"))
         dl = np.zeros(self.manifest["n_docs"], dtype=np.int32)

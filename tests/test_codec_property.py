@@ -67,3 +67,34 @@ def test_concat_any_split(ids, cut):
     d2, t2 = decode_postings(st_doc, st_tf)
     np.testing.assert_array_equal(d2, ids)
     np.testing.assert_array_equal(t2, tfs)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=100, deadline=None)
+def test_term_bucket_kernel_matches_python(terms, buckets):
+    """The vectorized FNV-1a Arrow-buffer kernel must agree with the
+    pure-Python reference for arbitrary unicode terms (incl. empty,
+    multi-byte, and sliced arrays)."""
+    import pyarrow as pa
+
+    from rayfts.build import _term_buckets_arrow, term_bucket_py
+
+    arr = pa.array(terms, pa.string())
+    got = _term_buckets_arrow(arr, buckets).to_pylist()
+    exp = [term_bucket_py(t, buckets) for t in terms]
+    assert got == exp
+    # sliced array (non-zero offset) must hash identically
+    if len(terms) > 1:
+        got2 = _term_buckets_arrow(arr.slice(1), buckets).to_pylist()
+        assert got2 == exp[1:]
