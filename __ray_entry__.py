@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bm25_hot_top20": P.fts_bm25_hot_top20,
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
+        "fts_tags_filter_count": P.fts_tags_filter_count,  # F7 dynamic tags
         # keyword / relational / windowed (M1 filters, A1 counts, J1 join,
         # W-series windows)
         "keyword_count_by_lang": P.keyword_count_by_lang,
@@ -147,6 +148,10 @@ WHERE term IN ({",".join(f"'{t}'" for t in P.PROBE_TERMS)})
 GROUP BY term
 """,
         "fts_docstore_roundtrip": "SELECT doc_id, text FROM documents",
+        "fts_tags_filter_count": (
+            "SELECT lang AS tag_value, count(*) AS n_docs "
+            "FROM documents GROUP BY lang"
+        ),
         "keyword_count_by_lang": (
             "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
         ),

@@ -46,3 +46,49 @@ def refresh(index_dir: str) -> dict:
     m = load_manifest(index_dir)
     publish_manifest(index_dir, m)
     return m
+
+
+# ---------------------------------------------------------------------------
+# doc-exclusion tombstones — the per-doc delete analog
+# ---------------------------------------------------------------------------
+
+TOMBSTONES_NAME = "tombstones.json"
+
+
+def exclude_docs(index_dir: str, doc_ids) -> list[int]:
+    """Tombstone doc ids: the analog of the reference's per-doc delete
+    (dao/EntityDao.java:269-280 delete(Class,long);
+    service/IndexAdminService.java:72-78 deleteDocument) for an immutable
+    batch index — the Lucene deleted-docs-bitset pattern. Excluded docs
+    never appear in top-k, multiget raises for them, and count() skips
+    them. Visible to Searchers constructed AFTER the write (the refresh
+    semantic); postings/docstore files are untouched, so a tombstone is
+    cheap and reversible (clear_exclusions). Typical use: post-hoc
+    contamination removal from a training corpus."""
+    import json
+
+    from .manifest import _atomic_write_json
+
+    current = set(excluded_docs(index_dir))
+    current.update(int(d) for d in doc_ids)
+    out = sorted(current)
+    _atomic_write_json(
+        os.path.join(index_dir, TOMBSTONES_NAME), {"excluded": out}
+    )
+    return out
+
+
+def clear_exclusions(index_dir: str) -> None:
+    p = os.path.join(index_dir, TOMBSTONES_NAME)
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def excluded_docs(index_dir: str) -> list[int]:
+    import json
+
+    p = os.path.join(index_dir, TOMBSTONES_NAME)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [int(d) for d in json.load(f).get("excluded", [])]

@@ -121,8 +121,45 @@ def _count_rows(block: pa.Table) -> int:
     return block.num_rows
 
 
+def pack_tags(t: pa.Table, cols: tuple[str, ...]) -> pa.Table:
+    """F7 dynamic tags: pack ``cols`` into a ``tags: map<string,string>``
+    column (ref ESEntity tags map, ESEntity.java:14,18-22; dynamic mapping
+    templates plugin.properties:10-11). Null values are OMITTED from the
+    row's map — dynamic-map semantics, vectorized (no per-row Python).
+    Entry order per row = declared column order."""
+    n = t.num_rows
+    rows_l, keyn_l, item_l = [], [], []
+    for j, c in enumerate(cols):
+        col = pc.cast(t[c], pa.string()).combine_chunks()
+        idxs = np.flatnonzero(pc.is_valid(col).to_numpy(zero_copy_only=False))
+        rows_l.append(idxs)
+        keyn_l.append(np.full(idxs.size, j, dtype=np.int64))
+        item_l.append(col.take(pa.array(idxs, pa.int64())))
+    rows = np.concatenate(rows_l) if rows_l else np.empty(0, np.int64)
+    keyn = np.concatenate(keyn_l) if keyn_l else np.empty(0, np.int64)
+    order = np.lexsort((keyn, rows))  # row-major, then declared col order
+    keys = pa.array(np.asarray(cols, dtype=object)[keyn[order]], pa.string())
+    items = (
+        pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in item_l])
+        .take(pa.array(order, pa.int64()))
+        if item_l
+        else pa.array([], pa.string())
+    )
+    counts = np.bincount(rows, minlength=n) if rows.size else np.zeros(n, np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    tags = pa.MapArray.from_arrays(pa.array(offsets), keys, items)
+    return t.append_column("tags", tags)
+
+
+def tags_lookup(tags_col, key: str):
+    """Vectorized map-key lookup: tags['key'] per row (null if absent)."""
+    arr = tags_col.combine_chunks() if isinstance(tags_col, pa.ChunkedArray) else tags_col
+    return pc.map_lookup(arr, query_key=key, occurrence="first")
+
+
 @ray.remote
-def _assemble_part(slices: list, offset: int) -> pa.Table:
+def _assemble_part(slices: list, offset: int, tag_map_cols: tuple = ()) -> pa.Table:
     """Assemble one docstore partition from sorted block slices and assign
     its dense doc_id range [offset, offset+rows).
 
@@ -134,6 +171,8 @@ def _assemble_part(slices: list, offset: int) -> pa.Table:
         ray.get(ref).slice(start, stop - start) for ref, start, stop in slices
     ]
     t = pa.concat_tables(tables)
+    if tag_map_cols:
+        t = pack_tags(t, tuple(tag_map_cols))
     ids = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
     return t.add_column(0, "doc_id", ids)
 
@@ -311,7 +350,8 @@ def build_docstore(
             part_srcs.append(fpath)
             continue
         tbl_ref = _assemble_part.remote(
-            [(block_refs[b], s, e) for b, s, e in slices], offset
+            [(block_refs[b], s, e) for b, s, e in slices], offset,
+            cfg.tag_map_cols,
         )
         info_futures.append(
             _write_docstore_part.remote(

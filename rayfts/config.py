@@ -28,6 +28,11 @@ class IndexJobConfig:
     dedup_order_col: str = "ts" # ...keeping the row with the max value here
     detect_sorted_input: bool = True  # verified fast path skipping the sort
     keyword_cols: tuple[str, ...] = ("role", "tool")      # not_analyzed twins
+    # F7 dynamic tags: pack these columns into a map<string,string> `tags`
+    # column carried through the docstore (ref ESEntity.java:14,18-22 tags
+    # map + dynamic mapping templates, plugin.properties:10-11); null
+    # values are omitted per row (dynamic-map semantics)
+    tag_map_cols: tuple[str, ...] = ()
 
     # batching (ref: bulk sizes 5000/500, plugin.properties:15-16)
     analyze_batch_size: int = 8192

@@ -59,7 +59,7 @@ def documents_index(sf_dir: str) -> str:
     # content fingerprint in the tag: a changed documents.parquet at the
     # same path must never serve results from a stale cached index
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|tags1".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/rayfts_qidx/{tag}"
     manifest_path = os.path.join(index_dir, "manifest.json")
@@ -81,6 +81,9 @@ def documents_index(sf_dir: str) -> str:
         index_dir=index_dir,
         key_cols=("src_doc_id",),
         keyword_cols=("lang", "source"),
+        # F7 dynamic tags: carry (lang, source) as a map<string,string>
+        # column through the docstore too
+        tag_map_cols=("lang", "source"),
         term_buckets=16,
     )
     build_index(ds, cfg=cfg, rows_per_part=100_000)
@@ -189,6 +192,33 @@ def fts_docstore_roundtrip(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 # keyword / relational / windowed operators (M1, A1, J-series analogs)
 # ---------------------------------------------------------------------------
+
+
+def fts_tags_filter_count(sf_dir: str) -> rd.Dataset:
+    """F7 dynamic-tags surface: count docs per tags['lang'] value read from
+    the docstore's map<string,string> column via a vectorized map_lookup —
+    proving the tag map survives write/read and is keyword-filterable
+    (ref: dynamic tags map ESEntity.java:14,18-22 + not_analyzed template
+    plugin.properties:11)."""
+    from .build import tags_lookup
+
+    index_dir = documents_index(sf_dir)
+    ds = rd.read_parquet(os.path.join(index_dir, "docstore"), columns=["tags"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        return pa.table({"tag_value": tags_lookup(batch["tags"], "lang")})
+
+    agg = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("tag_value")
+        .aggregate(Count())
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"tag_value": t["tag_value"], "n_docs": pc.cast(t["count()"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def keyword_count_by_lang(sf_dir: str) -> rd.Dataset:

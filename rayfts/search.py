@@ -88,6 +88,13 @@ class Searcher:
             )
         self._postings_dir = os.path.join(index_dir, "postings")
         self._docstore_dir = os.path.join(index_dir, "docstore")
+        # doc-exclusion tombstones (per-doc delete analog): loaded at
+        # construction — the refresh semantic, like Lucene's deleted-docs
+        # bitset being segment-reader state
+        from .admin import excluded_docs
+
+        self.excluded = np.array(excluded_docs(index_dir), dtype=np.int64)
+        self._excluded_set = set(self.excluded.tolist())
         self._cache: dict[str, Postings | None] = {}
         # bucket -> {term: encoded row dict}; a query term loads its whole
         # hash bucket once (one columnar file read) and every later term in
@@ -226,8 +233,13 @@ class Searcher:
             for j in js:
                 lo = int(j) * 128
                 hi = min(n, lo + 128)
-                parts_d.append(p.doc_ids[lo:hi])
-                parts_s.append(w * p.tf_part[lo:hi])
+                d = p.doc_ids[lo:hi]
+                s = w * p.tf_part[lo:hi]
+                if self.excluded.size:
+                    keep = ~np.isin(d, self.excluded)
+                    d, s = d[keep], s[keep]
+                parts_d.append(d)
+                parts_s.append(s)
             pool_docs = np.concatenate([pool_docs] + parts_d)
             pool_scores = np.concatenate([pool_scores] + parts_s)
             if pool_scores.size > k:
@@ -268,6 +280,8 @@ class Searcher:
             idx = np.unique(np.concatenate(touched))
         else:
             idx = np.flatnonzero(buf > 0.0)  # contributions strictly positive
+        if self.excluded.size:
+            idx = idx[~np.isin(idx, self.excluded)]
         scores = buf[idx].copy()
         for t in touched:  # reset only touched slots for the next query
             buf[t] = 0.0
@@ -280,19 +294,15 @@ class Searcher:
         order = cand[np.lexsort((idx[cand], -scores[cand]))][:take]
         return [(int(idx[i]), float(scores[i])) for i in order]
 
-    def _score_one(self, doc_id: int, entries) -> float:
-        """Score one doc given [(weight, tf, dl)] in ascending-term order —
-        the exact float64 op sequence of the oracle/TAAT."""
-        score = 0.0
-        for w, tf, dl in entries:
-            score += w * (
-                tf * (self.k1 + 1.0)
-                / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
-            )
-        return score
-
     def _search_wand(self, plist, k):
-        k1, b, avgdl = self.k1, self.b, self.avgdl
+        """Block-max WAND over (tf_part, block_ub) — the precomputed
+        query-independent factors, so the SAME executor serves both the
+        file-based Searcher and the zero-copy SharedSearcher (round-1 kept
+        WAND file-only because it reached for the raw block structs; the
+        bounds and scores only ever need tf_part/block_ub). Scoring
+        accumulates w * tf_part[i] in ascending-term order — the identical
+        float64 op sequence as TAAT/the oracle (tf_part is the same
+        elementwise expression), so results stay bit-identical."""
 
         class Cur:
             __slots__ = ("term", "w", "p", "i", "ub")
@@ -302,11 +312,7 @@ class Searcher:
             c = Cur()
             c.term, c.p, c.i = term, p, 0
             c.w = self._term_weight(qn, p.df)
-            blk = p.blocks
-            mt = blk["max_tf"].astype(np.float64)
-            md = blk["min_dl"].astype(np.float64)
-            ubs = c.w * (mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * md / avgdl)))
-            c.ub = float(ubs.max())
+            c.ub = float((c.w * p.block_ub).max())
             curs.append(c)
 
         INF = np.iinfo(np.int64).max
@@ -338,15 +344,16 @@ class Searcher:
                 break
             if cur_doc(curs[0]) == pivot_doc:
                 on_doc = [c for c in curs if cur_doc(c) == pivot_doc]
-                on_doc.sort(key=lambda c: c.term)
-                dl = float(self.dl[pivot_doc])
-                entries = [(c.w, float(c.p.tfs[c.i]), dl) for c in on_doc]
-                score = self._score_one(pivot_doc, entries)
-                item = (score, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
+                if pivot_doc not in self._excluded_set:
+                    on_doc.sort(key=lambda c: c.term)
+                    score = 0.0
+                    for c in on_doc:  # ascending-term order == oracle order
+                        score += c.w * float(c.p.tf_part[c.i])
+                    item = (score, -pivot_doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
                 for c in on_doc:
                     c.i += 1
             else:
@@ -376,11 +383,14 @@ class Searcher:
         tix = t["turn_idx"].to_pylist()
         for i, key in enumerate(zip(cid, tix)):
             index[key] = i
+        doc_ids = t["doc_id"].to_pylist() if "doc_id" in t.column_names else None
         rows = []
         for key in keys:
             key = (key[0], int(key[1]))
             if key not in index:
                 raise KeyError(f"document not found: {key}")
+            if doc_ids is not None and doc_ids[index[key]] in self._excluded_set:
+                raise KeyError(f"document excluded (tombstoned): {key}")
             rows.append(index[key])
         return t.take(pa.array(rows, pa.int64()))
 
@@ -404,6 +414,8 @@ class Searcher:
         index = {d: i for i, d in enumerate(t["doc_id"].to_pylist())} if t else {}
         rows = []
         for d in doc_ids:
+            if int(d) in self._excluded_set:
+                raise KeyError(f"document excluded (tombstoned): doc_id={d}")
             if int(d) not in index:
                 raise KeyError(f"document not found: doc_id={d}")
             rows.append(index[int(d)])
@@ -413,12 +425,14 @@ class Searcher:
         """Doc count with optional keyword-column equality filters
         (ref: index count API, PluginIntegrationITest.java:44-45)."""
         if not equals:
-            return self.N
+            return self.N - int(self.excluded.size)
         ds = pads.dataset(self._docstore_dir)
         expr = None
         for col, val in equals.items():
             e = pads.field(col) == val
             expr = e if expr is None else (expr & e)
+        if self.excluded.size:
+            expr = expr & ~pads.field("doc_id").isin(self.excluded.tolist())
         return ds.count_rows(filter=expr)
 
 
@@ -577,6 +591,8 @@ class MultiSearcher:
                 if sum(t.size for t in touched) * 8 < seg.N
                 else np.flatnonzero(buf > 0.0)
             )
+            if seg.excluded.size:  # per-segment tombstones (local ids)
+                idx = idx[~np.isin(idx, seg.excluded)]
             all_docs.append(idx + self.offsets[si])
             all_scores.append(buf[idx].copy())
         docs = np.concatenate(all_docs)
@@ -672,6 +688,9 @@ class SharedIndexHandle:
         dl = np.zeros(self.manifest["n_docs"], dtype=np.int32)
         dl[norms["doc_id"].to_numpy()] = norms["dl"].to_numpy()
         self.dl_ref = ray.put(dl)
+        from .admin import excluded_docs
+
+        self.excluded = np.array(excluded_docs(index_dir), dtype=np.int64)
         m = self.manifest
         self.bucket_refs = {
             bkt: _decode_bucket_shared.remote(
@@ -685,8 +704,9 @@ class SharedIndexHandle:
 class SharedSearcher(Searcher):
     """Searcher over a SharedIndexHandle: no file I/O, no per-actor decode —
     all postings are zero-copy views into shared object-store arrays.
-    Supports the TAAT executors (the throughput path); WAND needs the raw
-    block struct and stays on the file-based Searcher."""
+    Serves BOTH executors: TAAT (the throughput path) and block-max WAND
+    (the skipping path runs on tf_part/block_ub, which the shared decode
+    provides)."""
 
     def __init__(self, handle: SharedIndexHandle):  # noqa: super not called
         m = handle.manifest
@@ -702,6 +722,10 @@ class SharedSearcher(Searcher):
         self._shared_buckets: dict[int, dict] = {}
         self._cache: dict[str, Postings | None] = {}
         self._result_cache: dict[tuple, list] = {}
+        # tombstones snapshot travels with the handle (all actors see the
+        # same exclusion state the handle was built with)
+        self.excluded = handle.excluded
+        self._excluded_set = set(self.excluded.tolist())
 
     def lookup(self, term: str) -> Postings | None:
         cached = self._cache.get(term)
@@ -723,7 +747,3 @@ class SharedSearcher(Searcher):
         self._cache[term] = p
         return p
 
-    def search(self, query: str, k: int = 10, algo: str = "taat"):
-        if algo != "taat":
-            raise ValueError("SharedSearcher supports algo='taat' only")
-        return super().search(query, k, algo)

@@ -196,6 +196,13 @@ def test_shared_searcher_identical(index_dir):
     plain = Searcher(index_dir)
     for q in REFERENCE_QUERIES + ["the a w0003", "zzzz_absent"]:
         assert shared.search(q, k=25) == plain.search(q, k=25), q
+        # WAND runs on the shared zero-copy segment too (tf_part/block_ub
+        # are all the skipping executor needs) — bit-identical across all
+        # four (searcher x executor) combinations
+        assert shared.search(q, k=25, algo="wand") == plain.search(q, k=25), q
+        assert shared.search(q, k=25, algo="wand") == plain.search(
+            q, k=25, algo="wand"
+        ), q
     out = (
         run_queries(index_dir, list(REFERENCE_QUERIES), k=5, concurrency=(1, 2),
                     shared_handle=handle)
@@ -300,3 +307,78 @@ def test_sorted_input_fastpath_equals_sort(tmp_path):
         )
         is None
     )
+
+
+def test_tombstone_exclusion(tmp_path_factory, corpus):
+    """Per-doc delete analog (ref dao/EntityDao.java:269-280,
+    IndexAdminService.java:72-78): an excluded doc never appears in top-k
+    (taat, wand, shared), multiget raises for it, count() skips it, and
+    clearing restores everything — postings files untouched."""
+    from rayfts.admin import clear_exclusions, exclude_docs
+    from rayfts.search import SharedIndexHandle, SharedSearcher
+
+    d = str(tmp_path_factory.mktemp("index_tomb"))
+    build_index(corpus, cfg=IndexJobConfig(index_dir=d, term_buckets=4))
+    s0 = Searcher(d)
+    q = "the w0007"
+    base = s0.search(q, k=10)
+    assert base
+    victim = base[0][0]
+
+    exclude_docs(d, [victim])
+    s1 = Searcher(d)  # tombstones are searcher-construction state (refresh)
+    for algo in ("taat", "wand"):
+        hits = s1.search(q, k=10, algo=algo)
+        assert victim not in [doc for doc, _ in hits], algo
+    shared = SharedSearcher(SharedIndexHandle(d))
+    assert victim not in [doc for doc, _ in shared.search(q, k=10)]
+    assert victim not in [doc for doc, _ in shared.search(q, k=10, algo="wand")]
+    # the survivors keep their exact scores (no stats rewrite — Lucene
+    # deleted-docs semantics: stats reflect the segment, not the deletes)
+    kept = [h for h in base if h[0] != victim]
+    assert s1.search(q, k=len(kept))[: len(kept)] == kept[: len(kept)]
+
+    with pytest.raises(KeyError, match="excluded"):
+        s1.get_by_doc_id([victim])
+    assert s1.count() == s0.count() - 1
+
+    clear_exclusions(d)
+    s2 = Searcher(d)
+    assert s2.search(q, k=10) == base
+    assert s2.count() == s0.count()
+
+
+def test_tag_map_column(tmp_path):
+    """F7 dynamic tags: (role, tool) packed into a map<string,string>
+    column, carried through the docstore parquet; null tool is OMITTED
+    from that row's map (dynamic-map semantics), and map_lookup reads the
+    values back vectorized."""
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+
+    from rayfts.build import tags_lookup
+
+    t = generate_transcripts(8, seed=42)
+    d = str(tmp_path / "idx")
+    build_index(
+        rd.from_arrow(t),
+        cfg=IndexJobConfig(
+            index_dir=d, term_buckets=4, tag_map_cols=("role", "tool")
+        ),
+    )
+    store = pq2.read_table(os.path.join(d, "docstore")).sort_by(
+        [("doc_id", "ascending")]
+    )
+    assert "tags" in store.column_names
+    roles = store["role"].to_pylist()
+    tools = store["tool"].to_pylist()
+    tags = store["tags"].to_pylist()
+    for i, entries in enumerate(tags):
+        m = dict(entries)
+        assert m["role"] == roles[i]
+        if tools[i] is None:
+            assert "tool" not in m  # nulls omitted, not stored as null
+        else:
+            assert m["tool"] == tools[i]
+    looked = tags_lookup(store["tags"], "role").to_pylist()
+    assert looked == roles
