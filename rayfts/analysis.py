@@ -80,6 +80,58 @@ def analyze_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def partial_stream_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Map-side combiner, STREAM form (the shuffle-payload-optimized path):
+    one batch -> term-major partial posting streams ready for one-shot
+    varint encoding.
+
+    Returns (terms, df, doc_gaps, tfs, doc_lens):
+      terms    : pa.StringArray, one row per distinct term (sorted);
+      df       : np.int64 postings per term (segment lengths);
+      doc_gaps : np.uint64 doc-id delta stream, term-major — each term
+                 segment's FIRST value is the absolute doc_id
+                 (codec delta_encode convention), later values are gaps;
+      tfs      : np.uint32 term frequencies aligned with doc_gaps;
+      doc_lens : np.int32 token count per input row (norms).
+
+    Compared to the list-of-int64 partial tables this is what the bucket
+    exchange ships after varint encoding: ~1-2 bytes per posting instead of
+    16 (int64 doc + int32 tf + int32 dl) — the doc-length stream is dropped
+    entirely from the shuffle (the reduce reads a broadcast dl array).
+    """
+    n = batch.num_rows
+    flat, parent = flatten_tokens(tokenize(batch[text_col]))
+    doc_lens = np.bincount(parent, minlength=n).astype(np.int32)
+    if len(flat) == 0:
+        return (
+            pa.array([], pa.string()),
+            np.empty(0, np.int64),
+            np.empty(0, np.uint64),
+            np.empty(0, np.uint32),
+            doc_lens,
+        )
+    doc_ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+    denc = pc.dictionary_encode(flat)
+    tidx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    key = tidx * n + parent
+    uk, counts = np.unique(key, return_counts=True)
+    t_of = uk // n
+    r_of = (uk % n).astype(np.int64)
+    change = np.flatnonzero(np.diff(t_of)) + 1
+    offsets = np.concatenate([[0], change, [uk.size]]).astype(np.int64)
+    term_ids = t_of[np.concatenate([[0], change])]
+    terms = denc.dictionary.take(pa.array(term_ids, pa.int64()))
+    docs = doc_ids_np[r_of].astype(np.int64)
+    with np.errstate(over="ignore"):
+        gaps = docs.astype(np.uint64)
+        gaps[1:] = gaps[1:] - docs[:-1].astype(np.uint64)
+        starts = offsets[:-1]
+        gaps[starts] = docs[starts].astype(np.uint64)
+    return terms, np.diff(offsets), gaps, counts.astype(np.uint32), doc_lens
+
+
 def partial_postings_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
 ):

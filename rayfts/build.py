@@ -56,8 +56,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from .analysis import partial_postings_batch
-from .codec import encode_postings
+from .analysis import partial_stream_batch
+from .codec import encode_postings, segmented_delta_decode
 from .config import IndexJobConfig
 from .manifest import (
     checkpoint_done,
@@ -382,26 +382,10 @@ def build_docstore(
 # ---------------------------------------------------------------------------
 
 
-def analyze_partials_fn(
-    batch: pa.Table, norms_dir: str, text_col: str, num_buckets: int = 64
-) -> pa.Table:
-    """Analyze one batch (SURVEY M9/ST1).
-
-    Emits partial-postings rows keyed by ``bucket = fnv1a64(term) % B`` — the
-    merge shuffles on the BUCKET, not the term: range-partitioning on raw
-    terms puts the (alphabetically adjacent) Zipf-head terms into one range
-    and creates a straggler reduce partition (observed: one 436 MB block,
-    18.9 s task); hashing mixes hot terms evenly across buckets.
-
-    As a side effect writes the batch's norms (doc_id, dl) file named by
-    its doc_id range — deterministic and disjoint across batches, so
-    retries overwrite idempotently.
-    """
-    partials, doc_lens = partial_postings_batch(batch, text_col=text_col)
-    partials = partials.append_column(
-        "bucket", _term_buckets_arrow(partials["term"], num_buckets)
-    )
-    doc_ids = batch["doc_id"].combine_chunks()
+def _write_norms(norms_dir: str, doc_ids: pa.Array, doc_lens: np.ndarray) -> None:
+    """Norms (doc_id, dl) side-file named by the slice's doc range —
+    deterministic and disjoint across batches, so retries overwrite
+    idempotently."""
     lo = pc.min(doc_ids).as_py()
     hi = pc.max(doc_ids).as_py()
     os.makedirs(norms_dir, exist_ok=True)
@@ -409,7 +393,15 @@ def analyze_partials_fn(
     tmp = os.path.join(norms_dir, f".dl-{lo}-{hi}.tmp")
     pq.write_table(norms, tmp)
     os.replace(tmp, os.path.join(norms_dir, f"dl-{lo}-{hi}.parquet"))
-    return partials
+
+
+def _empty_shard() -> dict:
+    return {
+        "term": pa.array([], pa.string()),
+        "df": np.empty(0, np.int64),
+        "doc_buf": b"",
+        "tf_buf": b"",
+    }
 
 
 @ray.remote
@@ -417,64 +409,232 @@ def _analyze_partition(
     src, norms_dir: str, text_col: str, num_buckets: int, batch_size: int
 ):
     """Map side of the hand-rolled hash shuffle: one docstore partition ->
-    ``num_buckets`` partial-postings shards (returned as num_buckets
-    objects via ``num_returns``).
+    ``num_buckets`` VARINT-ENCODED shard dicts + the partition's dl array
+    (``num_buckets + 1`` returns).
+
+    Shard payload (what actually crosses the exchange) is the stream form:
+    per shard a term column, per-term posting counts, and two contiguous
+    varint buffers — delta-coded doc ids (each term segment's first value
+    absolute) and tfs. That is ~1-2 bytes per posting vs the 16 bytes of
+    the round-1 list-of-int64 partials; the per-posting doc-length stream
+    is dropped from the shuffle entirely (the reduce reads a broadcast dl
+    array instead). Shuffling on ``bucket = fnv1a64(term) % B`` — not term
+    ranges — keeps the Zipf head spread evenly (a term-range partition
+    measured a 436 MB straggler block in round 1). Encoding is ONE
+    vectorized varint pass over the whole partition's stream; per-bucket
+    slicing uses byte lengths computed analytically (codec.varint_nbytes),
+    so no per-term Python runs here.
 
     The Dataset ``groupby(bucket).map_groups`` expression of this exchange
-    measured 3-10x slower at 2.4M turns (sort-based shuffle + chunked-list
-    ``take`` in the reduce) and showed no CPU scaling 8->32; per SURVEY §2
-    custom-operator rule (c), THE wide shuffle drops to raw Ray tasks:
-    map tasks split partials by bucket, one reduce task per bucket gathers
-    its shards from every map output. Everything else stays Dataset-based.
-
-    ``src`` is either a pa.Table (object-store handoff from the docstore
-    stage) or a parquet file path (resume path).
+    measured 3-10x slower at 2.4M turns and showed no CPU scaling 8->32;
+    per SURVEY §2 custom-operator rule (c), THE wide shuffle is raw Ray
+    tasks. ``src`` is either a pa.Table (object-store handoff from the
+    docstore stage) or a parquet file path (resume path).
     """
+    from .codec import varint_encode, varint_nbytes
+
     if isinstance(src, str):
         t = pq.read_table(src, columns=["doc_id", text_col])
     else:
         t = src.select(["doc_id", text_col])
-    parts = []
+    terms_l, df_l, gaps_l, tfs_l, dl_l = [], [], [], [], []
     for off in range(0, t.num_rows, batch_size):
-        parts.append(
-            analyze_partials_fn(
-                t.slice(off, batch_size), norms_dir, text_col, num_buckets
+        b = t.slice(off, batch_size)
+        terms, df, gaps, tfs, dls = partial_stream_batch(b, text_col=text_col)
+        _write_norms(norms_dir, b["doc_id"].combine_chunks(), dls)
+        dl_l.append(dls)
+        if len(terms):
+            terms_l.append(
+                terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
             )
-        )
-    allp = pa.concat_tables(parts) if parts else None
+            df_l.append(df)
+            gaps_l.append(gaps)
+            tfs_l.append(tfs)
+    lo = int(t["doc_id"][0].as_py()) if t.num_rows else 0
+    dl_part = {
+        "lo": lo,
+        "dl": np.concatenate(dl_l) if dl_l else np.empty(0, np.int32),
+    }
+    if not terms_l:
+        return tuple([_empty_shard()] * num_buckets) + (dl_part,)
+    terms_all = pa.concat_arrays(terms_l)
+    df_all = np.concatenate(df_l)
+    gaps_all = np.concatenate(gaps_l)
+    tfs_all = np.concatenate(tfs_l)
+    buckets = _term_buckets_arrow(terms_all, num_buckets).to_numpy()
+    order = np.argsort(buckets, kind="stable")
+    # vectorized segment gather: reorder both value streams into bucket-
+    # sorted row order in one fancy-index pass
+    nrows = df_all.size
+    seg_starts = np.zeros(nrows, np.int64)
+    np.cumsum(df_all[:-1], out=seg_starts[1:])
+    lens = df_all[order]
+    src_starts = seg_starts[order]
+    total = int(lens.sum())
+    out_starts = np.zeros(nrows, np.int64)
+    np.cumsum(lens[:-1], out=out_starts[1:])
+    idx = np.repeat(src_starts - out_starts, lens) + np.arange(total)
+    gaps_o = gaps_all[idx]
+    tfs_o = tfs_all[idx]
+    doc_buf = varint_encode(gaps_o)
+    tf_buf = varint_encode(tfs_o)
+    row_doc_nb = np.add.reduceat(varint_nbytes(gaps_o), out_starts)
+    row_tf_nb = np.add.reduceat(varint_nbytes(tfs_o), out_starts)
+    terms_sorted = terms_all.take(pa.array(order, pa.int64()))
+    df_sorted = df_all[order]
+    sb = buckets[order]
+    bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
+    doc_bb = np.zeros(nrows + 1, np.int64)
+    np.cumsum(row_doc_nb, out=doc_bb[1:])
+    tf_bb = np.zeros(nrows + 1, np.int64)
+    np.cumsum(row_tf_nb, out=tf_bb[1:])
     out = []
-    if allp is None or allp.num_rows == 0:
-        empty = pa.table(
+    for b in range(num_buckets):
+        r0, r1 = int(bounds[b]), int(bounds[b + 1])
+        if r0 == r1:
+            out.append(_empty_shard())
+            continue
+        out.append(
             {
-                "term": pa.array([], pa.string()),
-                "doc_ids": pa.array([], pa.list_(pa.int64())),
-                "tfs": pa.array([], pa.list_(pa.int32())),
-                "dls": pa.array([], pa.list_(pa.int32())),
-                "df_partial": pa.array([], pa.int64()),
-                "bucket": pa.array([], pa.int32()),
+                "term": terms_sorted.slice(r0, r1 - r0),
+                "df": df_sorted[r0:r1],
+                "doc_buf": doc_buf[doc_bb[r0] : doc_bb[r1]],
+                "tf_buf": tf_buf[tf_bb[r0] : tf_bb[r1]],
             }
         )
-        return tuple([empty] * num_buckets)
-    buckets_np = allp["bucket"].to_numpy()
-    order = np.argsort(buckets_np, kind="stable")
-    sorted_t = allp.take(pa.array(order))
-    sb = buckets_np[order]
-    bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
-    for b in range(num_buckets):
-        out.append(sorted_t.slice(int(bounds[b]), int(bounds[b + 1] - bounds[b])))
-    return tuple(out)
+    return tuple(out) + (dl_part,)
 
 
 @ray.remote
-def _merge_write_bucket(bucket_id: int, postings_dir: str, index_dir: str, *shards):
-    """Reduce side: gather one bucket's shards, merge+encode, write the
-    bucket file atomically, checkpoint (per-bucket resume granularity)."""
-    tables = [s for s in shards if s.num_rows]
-    merged = (
-        merge_encode_bucket(pa.concat_tables(tables))
-        if tables
-        else merge_encode_bucket(pa.table({"bucket": pa.array([], pa.int32())}))
+def _assemble_dl(n_docs: int, *dl_parts) -> np.ndarray:
+    """Dense doc-length array from the per-partition pieces; broadcast once
+    via its object ref to every bucket merge (zero-copy plasma view) so the
+    shuffle never carries per-posting doc lengths."""
+    dl = np.zeros(n_docs, dtype=np.int32)
+    for p in dl_parts:
+        dl[p["lo"] : p["lo"] + p["dl"].size] = p["dl"]
+    return dl
+
+
+def _empty_postings_table() -> pa.Table:
+    return pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int32()),
+            "df": pa.array([], pa.int64()),
+            "cf": pa.array([], pa.int64()),
+            "doc_bytes": pa.array([], pa.binary()),
+            "tf_bytes": pa.array([], pa.binary()),
+            "block_bytes": pa.array([], pa.binary()),
+        }
     )
+
+
+@ray.remote
+def _merge_write_bucket(
+    bucket_id: int, postings_dir: str, index_dir: str, dl: np.ndarray, *shards
+):
+    """Reduce side: gather one bucket's varint shards from every map task,
+    decode each ONCE (vectorized stream decode + segmented delta), order
+    rows by (term, first_doc) with an Arrow sort, gather the value streams
+    into term-contiguous layout with one fancy-index pass, then
+    delta+varint encode per term with block max-impact metadata. Writes the
+    bucket file atomically + checkpoints (per-bucket resume granularity).
+
+    ``dl`` arrives auto-dereferenced from the broadcast _assemble_dl ref.
+    Per-term doc ids are already ascending after the (term, first_doc)
+    ordering — each doc lives in exactly one batch and batch doc-ranges are
+    disjoint — the sort fallback below is a cheap safety net, not the path.
+    """
+    from .codec import varint_decode
+
+    terms_p, df_p, docs_p, tfs_p = [], [], [], []
+    for sh in shards:
+        if sh["df"].size == 0:
+            continue
+        df = sh["df"]
+        seg_starts = np.zeros(df.size, np.int64)
+        np.cumsum(df[:-1], out=seg_starts[1:])
+        gaps = varint_decode(np.frombuffer(sh["doc_buf"], np.uint8))
+        docs_p.append(segmented_delta_decode(gaps, seg_starts))
+        tfs_p.append(
+            varint_decode(np.frombuffer(sh["tf_buf"], np.uint8)).astype(np.int32)
+        )
+        terms_p.append(
+            sh["term"].combine_chunks()
+            if isinstance(sh["term"], pa.ChunkedArray)
+            else sh["term"]
+        )
+        df_p.append(df)
+    if not terms_p:
+        merged = _empty_postings_table()
+    else:
+        terms_all = pa.concat_arrays(terms_p)
+        df_all = np.concatenate(df_p)
+        docs_all = np.concatenate(docs_p)
+        tfs_all = np.concatenate(tfs_p)
+        nrows = df_all.size
+        row_starts = np.zeros(nrows, np.int64)
+        np.cumsum(df_all[:-1], out=row_starts[1:])
+        first_doc = docs_all[row_starts]
+        rt = pa.table(
+            {
+                "term": terms_all,
+                "fd": pa.array(first_doc, pa.int64()),
+                "row": pa.array(np.arange(nrows), pa.int64()),
+            }
+        )
+        order = rt.sort_by(
+            [("term", "ascending"), ("fd", "ascending")]
+        )["row"].to_numpy()
+        lens = df_all[order]
+        src_starts = row_starts[order]
+        total = int(lens.sum())
+        out_starts = np.zeros(nrows, np.int64)
+        np.cumsum(lens[:-1], out=out_starts[1:])
+        idx = np.repeat(src_starts - out_starts, lens) + np.arange(total)
+        docs_o = docs_all[idx]
+        tfs_o = tfs_all[idx]
+        terms_sorted = terms_all.take(pa.array(order, pa.int64()))
+        if nrows > 1:
+            neq = pc.not_equal(
+                terms_sorted.slice(1), terms_sorted.slice(0, nrows - 1)
+            ).to_numpy(zero_copy_only=False)
+            term_row_starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        else:
+            term_row_starts = np.zeros(1, np.int64)
+        term_post_starts = out_starts[term_row_starts]
+        term_post_ends = np.append(term_post_starts[1:], total)
+        uniq_terms = terms_sorted.take(
+            pa.array(term_row_starts, pa.int64())
+        ).to_pylist()
+        out_terms, out_df, out_cf = [], [], []
+        out_doc_b, out_tf_b, out_blk_b = [], [], []
+        for ti, term in enumerate(uniq_terms):
+            p0, p1 = int(term_post_starts[ti]), int(term_post_ends[ti])
+            d = docs_o[p0:p1]
+            f = tfs_o[p0:p1]
+            if d.size > 1 and not (d[1:] > d[:-1]).all():
+                o2 = np.argsort(d, kind="stable")
+                d, f = d[o2], f[o2]
+            doc_bytes, tf_bytes, block_bytes = encode_postings(d, f, dl[d])
+            out_terms.append(term)
+            out_df.append(int(d.size))
+            out_cf.append(int(f.sum()))
+            out_doc_b.append(doc_bytes)
+            out_tf_b.append(tf_bytes)
+            out_blk_b.append(block_bytes)
+        merged = pa.table(
+            {
+                "term": pa.array(out_terms, pa.string()),
+                "bucket": pa.array([bucket_id] * len(out_terms), pa.int32()),
+                "df": pa.array(out_df, pa.int64()),
+                "cf": pa.array(out_cf, pa.int64()),
+                "doc_bytes": pa.array(out_doc_b, pa.binary()),
+                "tf_bytes": pa.array(out_tf_b, pa.binary()),
+                "block_bytes": pa.array(out_blk_b, pa.binary()),
+            }
+        )
     os.makedirs(postings_dir, exist_ok=True)
     fname = f"bucket-{bucket_id:04d}.parquet"
     final = os.path.join(postings_dir, fname)
@@ -490,84 +650,6 @@ def _merge_write_bucket(bucket_id: int, postings_dir: str, index_dir: str, *shar
     }
     write_checkpoint(index_dir, "postings", f"bucket-{bucket_id:04d}", info)
     return info
-
-
-# ---------------------------------------------------------------------------
-# term merge -> encoded segment
-# ---------------------------------------------------------------------------
-
-
-def merge_encode_bucket(group: pa.Table) -> pa.Table:
-    """map_groups fn: ALL partials of one hash bucket -> encoded postings
-    rows (one per term).
-
-    Avoids Arrow take/sort on chunked list columns entirely (observed to be
-    10x+ slower than the encode itself on 200+-chunk groups): walks each
-    chunk's flattened values + offsets, gathers per-term slices, then
-    delta+varint encodes per term.
-    """
-    if group.num_rows == 0:
-        return pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "bucket": pa.array([], pa.int32()),
-                "df": pa.array([], pa.int64()),
-                "cf": pa.array([], pa.int64()),
-                "doc_bytes": pa.array([], pa.binary()),
-                "tf_bytes": pa.array([], pa.binary()),
-                "block_bytes": pa.array([], pa.binary()),
-            }
-        )
-    bucket = int(group["bucket"][0].as_py())
-    per_term: dict[str, list] = {}
-    # operate per original chunk: flatten is cheap per chunk, and no Arrow
-    # take/sort ever touches the list columns
-    doc_col = group["doc_ids"]
-    tf_col = group["tfs"]
-    dl_col = group["dls"]
-    term_col = group["term"]
-    for ci in range(doc_col.num_chunks):
-        dch = doc_col.chunk(ci)
-        tch = tf_col.chunk(ci)
-        lch = dl_col.chunk(ci)
-        terms_py = term_col.chunk(ci).to_pylist()
-        fd = dch.flatten().to_numpy(zero_copy_only=False)
-        ft = tch.flatten().to_numpy(zero_copy_only=False)
-        fl = lch.flatten().to_numpy(zero_copy_only=False)
-        # offsets of a SLICED ListArray are raw (not rebased to flatten()'s
-        # output) — rebase by the first offset
-        offs = dch.offsets.to_numpy(zero_copy_only=False)
-        offs = offs - offs[0]
-        for i, term in enumerate(terms_py):
-            v0, v1 = offs[i], offs[i + 1]
-            per_term.setdefault(term, []).append((fd[v0:v1], ft[v0:v1], fl[v0:v1]))
-    out_terms, out_df, out_cf = [], [], []
-    out_doc_b, out_tf_b, out_blk_b = [], [], []
-    for term in sorted(per_term):
-        slices = per_term[term]
-        doc_ids = np.concatenate([x[0] for x in slices]).astype(np.int64)
-        tfs = np.concatenate([x[1] for x in slices]).astype(np.int32)
-        dls = np.concatenate([x[2] for x in slices]).astype(np.int32)
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        doc_bytes, tf_bytes, block_bytes = encode_postings(doc_ids, tfs, dls)
-        out_terms.append(term)
-        out_df.append(int(doc_ids.size))
-        out_cf.append(int(tfs.sum()))
-        out_doc_b.append(doc_bytes)
-        out_tf_b.append(tf_bytes)
-        out_blk_b.append(block_bytes)
-    return pa.table(
-        {
-            "term": pa.array(out_terms, pa.string()),
-            "bucket": pa.array([bucket] * len(out_terms), pa.int32()),
-            "df": pa.array(out_df, pa.int64()),
-            "cf": pa.array(out_cf, pa.int64()),
-            "doc_bytes": pa.array(out_doc_b, pa.binary()),
-            "tf_bytes": pa.array(out_tf_b, pa.binary()),
-            "block_bytes": pa.array(out_blk_b, pa.binary()),
-        }
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -658,14 +740,18 @@ def build_index(
             os.path.join(index_dir, p["file"]) for p in doc_info["partitions"]
         ]
         shard_lists = [
-            _analyze_partition.options(num_returns=B).remote(
+            _analyze_partition.options(num_returns=B + 1).remote(
                 src, norms_dir, cfg.text_col, B, cfg.analyze_batch_size
             )
             for src in sources
         ]
+        # last return of each map task = the partition's dl slice; assemble
+        # the dense dl array once and broadcast its ref to every merge (the
+        # shuffle itself never carries per-posting doc lengths)
+        dl_ref = _assemble_dl.remote(n_docs, *[sl[B] for sl in shard_lists])
         merge_futs = [
             _merge_write_bucket.remote(
-                b, postings_dir, index_dir, *[sl[b] for sl in shard_lists]
+                b, postings_dir, index_dir, dl_ref, *[sl[b] for sl in shard_lists]
             )
             for b in missing
         ]

@@ -72,6 +72,36 @@ def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:
     return acc
 
 
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (same formula varint_encode uses) —
+    lets callers slice a stream-encoded buffer per logical row without
+    decoding it."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        nbytes += (v >= (_U64(1) << _U64(shift))).astype(np.int64)
+    return nbytes
+
+
+def segmented_delta_decode(gaps: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Decode a CONCATENATED delta stream where each segment's first value
+    is absolute (codec delta_encode convention per segment), in one
+    vectorized pass: abs[i] = cumsum(gaps)[i] - cumsum(gaps)[seg_start-1].
+    uint64 wraparound keeps the subtraction exact even if the global cumsum
+    overflows."""
+    g = np.ascontiguousarray(gaps, dtype=np.uint64)
+    if g.size == 0:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        S = np.cumsum(g, dtype=np.uint64)
+        seg_corr = np.where(
+            seg_starts > 0, S[np.maximum(seg_starts, 1) - 1], np.uint64(0)
+        )
+        lens = np.diff(np.append(seg_starts, g.size))
+        corr = np.repeat(seg_corr, lens)
+        return (S - corr).astype(np.int64)
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-ascending int64 ids -> gap array (first value kept as-is)."""
     a = np.ascontiguousarray(sorted_ids, dtype=np.int64)
