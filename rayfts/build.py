@@ -57,7 +57,7 @@ import ray
 import ray.data as rd
 
 from .analysis import partial_stream_batch
-from .codec import encode_postings, segmented_delta_decode
+from .codec import encode_postings
 from .config import IndexJobConfig
 from .manifest import (
     checkpoint_done,
@@ -399,31 +399,50 @@ def _empty_shard() -> dict:
     return {
         "term": pa.array([], pa.string()),
         "df": np.empty(0, np.int64),
+        "first_doc": np.empty(0, np.int64),
         "doc_buf": b"",
         "tf_buf": b"",
+        "doc_codec": "u16",
+        "tf_codec": "u16",
     }
 
 
 @ray.remote
 def _analyze_partition(
-    src, norms_dir: str, text_col: str, num_buckets: int, batch_size: int
+    src,
+    norms_dir: str,
+    text_col: str,
+    num_buckets: int,
+    batch_size: int,
+    exchange_codec: str = "u16",
 ):
     """Map side of the hand-rolled hash shuffle: one docstore partition ->
-    ``num_buckets`` VARINT-ENCODED shard dicts + the partition's dl array
+    ``num_buckets`` stream-encoded shard dicts + the partition's dl array
     (``num_buckets + 1`` returns).
 
     Shard payload (what actually crosses the exchange) is the stream form:
-    per shard a term column, per-term posting counts, and two contiguous
-    varint buffers — delta-coded doc ids (each term segment's first value
-    absolute) and tfs. That is ~1-2 bytes per posting vs the 16 bytes of
-    the round-1 list-of-int64 partials; the per-posting doc-length stream
-    is dropped from the shuffle entirely (the reduce reads a broadcast dl
-    array instead). Shuffling on ``bucket = fnv1a64(term) % B`` — not term
-    ranges — keeps the Zipf head spread evenly (a term-range partition
-    measured a 436 MB straggler block in round 1). Encoding is ONE
-    vectorized varint pass over the whole partition's stream; per-bucket
-    slicing uses byte lengths computed analytically (codec.varint_nbytes),
-    so no per-term Python runs here.
+    per shard a term column, per-term posting counts + absolute first doc
+    ids (one int64 per row), and two contiguous value buffers — doc-id
+    GAPS (0 at each segment start; the absolute start rides in the
+    first_doc column) and tfs. Codec per cfg.exchange_codec:
+
+      u16 (default)  : fixed-width little-endian u16 (u32 fallback per
+                       stream on overflow) — 4 B/posting vs the 16 B of
+                       round-1's list<int64> partials, at pure cast cost.
+                       Gaps within one analyze batch are < batch doc span,
+                       so u16 is the common case by construction.
+      varint         : LEB128 streams, ~1-2 B/posting (~8x cut) — measured
+                       1.8x slower end-to-end on this memory-bandwidth-
+                       bound single node (extra encode/decode passes), the
+                       right knob when the exchange crosses a network.
+
+    The per-posting doc-length stream is dropped from the shuffle entirely
+    (the reduce reads a broadcast dl array instead). Shuffling on
+    ``bucket = fnv1a64(term) % B`` — not term ranges — keeps the Zipf head
+    spread evenly (a term-range partition measured a 436 MB straggler
+    block in round 1). Encoding is one vectorized pass over the whole
+    partition's stream; per-bucket slicing uses byte lengths computed
+    analytically, so no per-term Python runs here.
 
     The Dataset ``groupby(bucket).map_groups`` expression of this exchange
     measured 3-10x slower at 2.4M turns and showed no CPU scaling 8->32;
@@ -473,13 +492,30 @@ def _analyze_partition(
     total = int(lens.sum())
     out_starts = np.zeros(nrows, np.int64)
     np.cumsum(lens[:-1], out=out_starts[1:])
-    idx = np.repeat(src_starts - out_starts, lens) + np.arange(total)
+    from .codec import run_ranges
+
+    idx = run_ranges(src_starts, out_starts, total)
     gaps_o = gaps_all[idx]
     tfs_o = tfs_all[idx]
-    doc_buf = varint_encode(gaps_o)
-    tf_buf = varint_encode(tfs_o)
-    row_doc_nb = np.add.reduceat(varint_nbytes(gaps_o), out_starts)
-    row_tf_nb = np.add.reduceat(varint_nbytes(tfs_o), out_starts)
+    # absolute segment starts move to a per-row column; the stream keeps 0
+    # there so every stream value is a small gap
+    first_doc = gaps_o[out_starts].astype(np.int64)
+    gaps_o[out_starts] = 0
+    if exchange_codec == "varint":
+        doc_buf = varint_encode(gaps_o)
+        tf_buf = varint_encode(tfs_o)
+        row_doc_nb = np.add.reduceat(varint_nbytes(gaps_o), out_starts)
+        row_tf_nb = np.add.reduceat(varint_nbytes(tfs_o), out_starts)
+        doc_codec = tf_codec = "varint"
+    else:
+        doc_dt = np.uint16 if int(gaps_o.max(initial=0)) < 65536 else np.uint32
+        tf_dt = np.uint16 if int(tfs_o.max(initial=0)) < 65536 else np.uint32
+        doc_buf = gaps_o.astype(doc_dt).tobytes()
+        tf_buf = tfs_o.astype(tf_dt).tobytes()
+        row_doc_nb = lens * np.dtype(doc_dt).itemsize
+        row_tf_nb = lens * np.dtype(tf_dt).itemsize
+        doc_codec = "u16" if doc_dt is np.uint16 else "u32"
+        tf_codec = "u16" if tf_dt is np.uint16 else "u32"
     terms_sorted = terms_all.take(pa.array(order, pa.int64()))
     df_sorted = df_all[order]
     sb = buckets[order]
@@ -496,10 +532,18 @@ def _analyze_partition(
             continue
         out.append(
             {
-                "term": terms_sorted.slice(r0, r1 - r0),
+                # concat_arrays compacts the slice: pickling a bare Arrow
+                # Array SLICE serializes the whole underlying buffer (the
+                # full partition term column, x64 shards — measured 780 KB
+                # shipped for a 12 KB logical slice); Ray's zero-copy Arrow
+                # serializer only covers pa.Table, not arrays in dicts
+                "term": pa.concat_arrays([terms_sorted.slice(r0, r1 - r0)]),
                 "df": df_sorted[r0:r1],
+                "first_doc": first_doc[r0:r1],
                 "doc_buf": doc_buf[doc_bb[r0] : doc_bb[r1]],
                 "tf_buf": tf_buf[tf_bb[r0] : tf_bb[r1]],
+                "doc_codec": doc_codec,
+                "tf_codec": tf_codec,
             }
         )
     return tuple(out) + (dl_part,)
@@ -546,7 +590,12 @@ def _merge_write_bucket(
     ordering — each doc lives in exactly one batch and batch doc-ranges are
     disjoint — the sort fallback below is a cheap safety net, not the path.
     """
-    from .codec import varint_decode
+    from .codec import segmented_prefix_sum, varint_decode
+
+    def decode_stream(buf: bytes, codec: str) -> np.ndarray:
+        if codec == "varint":
+            return varint_decode(np.frombuffer(buf, np.uint8))
+        return np.frombuffer(buf, np.uint16 if codec == "u16" else np.uint32)
 
     terms_p, df_p, docs_p, tfs_p = [], [], [], []
     for sh in shards:
@@ -555,11 +604,9 @@ def _merge_write_bucket(
         df = sh["df"]
         seg_starts = np.zeros(df.size, np.int64)
         np.cumsum(df[:-1], out=seg_starts[1:])
-        gaps = varint_decode(np.frombuffer(sh["doc_buf"], np.uint8))
-        docs_p.append(segmented_delta_decode(gaps, seg_starts))
-        tfs_p.append(
-            varint_decode(np.frombuffer(sh["tf_buf"], np.uint8)).astype(np.int32)
-        )
+        gaps = decode_stream(sh["doc_buf"], sh["doc_codec"])
+        docs_p.append(segmented_prefix_sum(gaps, seg_starts, sh["first_doc"]))
+        tfs_p.append(decode_stream(sh["tf_buf"], sh["tf_codec"]).astype(np.int32))
         terms_p.append(
             sh["term"].combine_chunks()
             if isinstance(sh["term"], pa.ChunkedArray)
@@ -587,12 +634,14 @@ def _merge_write_bucket(
         order = rt.sort_by(
             [("term", "ascending"), ("fd", "ascending")]
         )["row"].to_numpy()
+        from .codec import run_ranges
+
         lens = df_all[order]
         src_starts = row_starts[order]
         total = int(lens.sum())
         out_starts = np.zeros(nrows, np.int64)
         np.cumsum(lens[:-1], out=out_starts[1:])
-        idx = np.repeat(src_starts - out_starts, lens) + np.arange(total)
+        idx = run_ranges(src_starts, out_starts, total)
         docs_o = docs_all[idx]
         tfs_o = tfs_all[idx]
         terms_sorted = terms_all.take(pa.array(order, pa.int64()))
@@ -741,7 +790,8 @@ def build_index(
         ]
         shard_lists = [
             _analyze_partition.options(num_returns=B + 1).remote(
-                src, norms_dir, cfg.text_col, B, cfg.analyze_batch_size
+                src, norms_dir, cfg.text_col, B, cfg.analyze_batch_size,
+                cfg.exchange_codec,
             )
             for src in sources
         ]

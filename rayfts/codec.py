@@ -83,6 +83,54 @@ def varint_nbytes(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
+def run_spread(values: np.ndarray, seg_starts: np.ndarray, total: int) -> np.ndarray:
+    """``np.repeat(values, seg_lens)`` for contiguous segments starting at
+    ``seg_starts`` (seg_starts[0] == 0), via scatter + cumsum.
+    np.repeat with per-element counts measured ~10 us PER SEGMENT of fixed
+    overhead (0.39 s for 39k segments); this is three linear passes.
+    uint64 wraparound in the diff/cumsum round-trips exactly."""
+    out = np.zeros(total, dtype=values.dtype)
+    if total == 0 or values.size == 0:
+        return out
+    with np.errstate(over="ignore"):
+        out[0] = values[0]
+        out[seg_starts[1:]] = values[1:] - values[:-1]
+        np.cumsum(out, out=out)
+    return out
+
+
+def run_ranges(starts: np.ndarray, seg_starts: np.ndarray, total: int) -> np.ndarray:
+    """Gather-index stream of consecutive runs: for each segment s (contiguous
+    output range seg_starts[s]..), emit starts[s], starts[s]+1, ... — the
+    fancy-index array for a segmented gather. Single allocation + one
+    scatter + one in-place cumsum (a run_spread + arange + add measured 3x
+    the memory traffic in fresh-page writes)."""
+    out = np.ones(total, dtype=np.int64)
+    if total == 0 or starts.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    lens = np.diff(np.append(seg_starts, total))
+    out[0] = starts[0]
+    out[seg_starts[1:]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    np.cumsum(out, out=out)
+    return out
+
+
+def segmented_prefix_sum(
+    gaps: np.ndarray, seg_starts: np.ndarray, firsts: np.ndarray
+) -> np.ndarray:
+    """Decode a concatenated gap stream whose segment FIRST values are 0 and
+    whose absolute segment starts live in ``firsts`` (one per segment):
+    abs[i] = firsts[seg] + sum(gaps[seg_start..i]). One cumsum + one repeat;
+    uint64 wraparound keeps it exact across segment boundaries."""
+    g = np.ascontiguousarray(gaps, dtype=np.uint64)
+    if g.size == 0:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        S = np.cumsum(g, dtype=np.uint64)
+        base = firsts.astype(np.uint64) - S[seg_starts]
+        return (S + run_spread(base, seg_starts, g.size)).astype(np.int64)
+
+
 def segmented_delta_decode(gaps: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
     """Decode a CONCATENATED delta stream where each segment's first value
     is absolute (codec delta_encode convention per segment), in one
@@ -97,8 +145,7 @@ def segmented_delta_decode(gaps: np.ndarray, seg_starts: np.ndarray) -> np.ndarr
         seg_corr = np.where(
             seg_starts > 0, S[np.maximum(seg_starts, 1) - 1], np.uint64(0)
         )
-        lens = np.diff(np.append(seg_starts, g.size))
-        corr = np.repeat(seg_corr, lens)
+        corr = run_spread(seg_corr, seg_starts, g.size)
         return (S - corr).astype(np.int64)
 
 

@@ -48,6 +48,17 @@ class IndexJobConfig:
     k1: float = 1.2
     b: float = 0.75
 
+    # postings-exchange stream codec: "u16" ships doc-gap/tf streams as
+    # fixed-width little-endian ints (u32 fallback per stream if values
+    # overflow) — 4x fewer bytes than raw int64 lists at pure cast cost,
+    # the right default when the exchange is an in-memory object-store copy
+    # (single node / colocated). "varint" LEB128-encodes the streams
+    # (~1-2 B/posting, ~8x cut) — measured 1.8x slower end-to-end on a
+    # memory-bandwidth-bound single node (extra encode/decode passes), but
+    # the right choice when the exchange crosses a real network at
+    # multi-node scale. Both produce byte-identical index files.
+    exchange_codec: str = "u16"
+
     @staticmethod
     def from_file(path: str, **overrides) -> "IndexJobConfig":
         with open(path) as f:

@@ -382,3 +382,37 @@ def test_tag_map_column(tmp_path):
             assert m["tool"] == tools[i]
     looked = tags_lookup(store["tags"], "role").to_pylist()
     assert looked == roles
+
+
+def test_exchange_codecs_build_identical_indexes(corpus, tmp_path_factory):
+    """The u16 (fixed-width) and varint exchange codecs must produce
+    byte-identical postings files — the codec only changes what crosses
+    the shuffle, never the published index."""
+    import hashlib as _h
+
+    import pyarrow.parquet as pq2
+
+    dirs = {}
+    for codec in ("u16", "varint"):
+        d = str(tmp_path_factory.mktemp(f"index_{codec}"))
+        build_index(
+            corpus,
+            cfg=IndexJobConfig(index_dir=d, term_buckets=4, exchange_codec=codec),
+            rows_per_part=100,
+        )
+        dirs[codec] = d
+
+    def bucket_hashes(d):
+        out = {}
+        for f in sorted(os.listdir(os.path.join(d, "postings"))):
+            t = pq2.read_table(os.path.join(d, "postings", f))
+            h = _h.md5()
+            for c in t.column_names:
+                for v in t[c].to_pylist():
+                    h.update(repr(v).encode())
+            out[f] = h.hexdigest()
+        return out
+
+    assert bucket_hashes(dirs["u16"]) == bucket_hashes(dirs["varint"])
+    q = "the w0007 bash"
+    assert Searcher(dirs["u16"]).search(q, k=10) == Searcher(dirs["varint"]).search(q, k=10)
