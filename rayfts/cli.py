@@ -8,6 +8,7 @@ driven as ``python -m rayfts.cli <command>``:
   search  --index DIR --query "..." [-k 10] [--algo taat|wand]
   get     --index DIR --conv-id C --turn-idx N
   count   --index DIR [--role R] [--tool T]
+  exclude --index DIR [--doc-ids 1,2,3 | --clear]
   info    --index DIR
 
 Owns its Ray session (guarded init — the driver contract forbids init
@@ -87,6 +88,19 @@ def cmd_count(args) -> int:
     return 0
 
 
+def cmd_exclude(args) -> int:
+    """Tombstone doc ids (per-doc delete analog; ref EntityDao.delete,
+    dao/EntityDao.java:269-280) or clear all tombstones."""
+    from .admin import clear_exclusions, exclude_docs, excluded_docs
+
+    if args.clear:
+        clear_exclusions(args.index)
+    elif args.doc_ids:
+        exclude_docs(args.index, [int(d) for d in args.doc_ids.split(",")])
+    print(json.dumps({"excluded": excluded_docs(args.index)}))
+    return 0
+
+
 def cmd_info(args) -> int:
     from .manifest import load_manifest
 
@@ -128,6 +142,12 @@ def main(argv=None) -> int:
     c.add_argument("--role")
     c.add_argument("--tool")
     c.set_defaults(fn=cmd_count)
+
+    e = sub.add_parser("exclude")
+    e.add_argument("--index", required=True)
+    e.add_argument("--doc-ids", help="comma-separated doc ids to tombstone")
+    e.add_argument("--clear", action="store_true")
+    e.set_defaults(fn=cmd_exclude)
 
     i = sub.add_parser("info")
     i.add_argument("--index", required=True)
