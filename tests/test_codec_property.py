@@ -98,3 +98,43 @@ def test_term_bucket_kernel_matches_python(terms, buckets):
     if len(terms) > 1:
         got2 = _term_buckets_arrow(arr.slice(1), buckets).to_pylist()
         assert got2 == exp[1:]
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60),
+    st.integers(min_value=0, max_value=2**40),
+)
+@settings(max_examples=100, deadline=None)
+def test_segmented_helpers_match_numpy_reference(lens, base):
+    """run_spread/run_ranges/segmented_prefix_sum vs plain numpy refs."""
+    import numpy as np
+
+    from rayfts.codec import run_ranges, run_spread, segmented_prefix_sum
+
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    seg_starts = np.zeros(lens.size, np.int64)
+    np.cumsum(lens[:-1], out=seg_starts[1:])
+    rng = np.random.default_rng(base % 2**32)
+    vals = rng.integers(0, 2**50, lens.size).astype(np.int64)
+    np.testing.assert_array_equal(
+        run_spread(vals, seg_starts, total), np.repeat(vals, lens)
+    )
+    starts = rng.integers(0, 2**30, lens.size).astype(np.int64)
+    expected_idx = np.concatenate(
+        [np.arange(s, s + ln) for s, ln in zip(starts, lens)]
+    )
+    np.testing.assert_array_equal(
+        run_ranges(starts, seg_starts, total), expected_idx
+    )
+    # segmented_prefix_sum: gaps with 0 at starts + absolute firsts
+    gaps = rng.integers(0, 1000, total).astype(np.uint64)
+    gaps[seg_starts] = 0
+    firsts = rng.integers(0, 2**40, lens.size).astype(np.int64)
+    expected = np.concatenate(
+        [f + np.cumsum(gaps[s : s + ln].astype(np.int64))
+         for f, s, ln in zip(firsts, seg_starts, lens)]
+    )
+    np.testing.assert_array_equal(
+        segmented_prefix_sum(gaps, seg_starts, firsts), expected
+    )
