@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..analysis import flatten_tokens, tokenize
+from ..analysis import tokens_flat
 from .hashing import (
     FOLD_C,
     U64,
@@ -236,7 +236,7 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         """batch(doc_id, text) -> (band_id, band_hash, doc_id) rows."""
         n = batch.num_rows
-        flat, parent = flatten_tokens(tokenize(batch["text"]))
+        flat, parent = tokens_flat(batch["text"])
         flat_h = hash_tokens_unique(flat)
         sig = self.signatures_batch(flat_h, parent, n)
         bh = self.band_hashes(sig)  # (bands, n)
@@ -301,7 +301,7 @@ class _ShingleEmitter:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
             )
-        flat, parent = flatten_tokens(tokenize(sub["text"]))
+        flat, parent = tokens_flat(sub["text"])
         flat_h = hash_tokens_unique(flat)
         sh, sh_parent = shingle_hashes_batch(flat_h, parent, sub.num_rows, self.k)
         doc_ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -435,7 +435,7 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        flat, parent = flatten_tokens(tokenize(batch["text"]))
+        flat, parent = tokens_flat(batch["text"])
         flat_h = hash_tokens_unique(flat)
         sig = self.signatures_batch(flat_h, parent, n)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..analysis import flatten_tokens, tokenize
+from ..analysis import tokens_flat
 
 # fixed stopword list shared with the DuckDB oracle SQL (keep in sync with
 # __ray_entry__.oracle_sql)
@@ -32,7 +32,7 @@ LANG_MARKERS = {
 def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """(doc_id, token_cnt, uniq_cnt, stop_cnt, stop_ratio, avg_token_len)."""
     n = batch.num_rows
-    flat, parent = flatten_tokens(tokenize(batch[text_col]))
+    flat, parent = tokens_flat(batch[text_col])
     token_cnt = np.bincount(parent, minlength=n).astype(np.int64)
     is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))).to_numpy(
         zero_copy_only=False
@@ -72,7 +72,7 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     sorted key order, strict-majority wins.
     """
     n = batch.num_rows
-    flat, parent = flatten_tokens(tokenize(batch[text_col]))
+    flat, parent = tokens_flat(batch[text_col])
     hits = {}
     for lang in sorted(LANG_MARKERS):
         is_m = pc.is_in(
@@ -110,7 +110,7 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     from .hashing import FOLD_C, U64, hash_tokens_unique
 
     n = batch.num_rows
-    flat, parent = flatten_tokens(tokenize(batch[text_col]))
+    flat, parent = tokens_flat(batch[text_col])
     fp = np.zeros(n, dtype=U64)
     if len(flat):
         h = hash_tokens_unique(flat)

@@ -125,10 +125,10 @@ def fts_term_stats(sf_dir: str) -> rd.Dataset:
 
 def fts_doc_stats(sf_dir: str) -> rd.Dataset:
     """(doc_id, dl) — BM25 doc-length input (M8 analog)."""
-    from .analysis import flatten_tokens, tokenize
+    from .analysis import tokens_flat
 
     def dl(batch: pa.Table) -> pa.Table:
-        _, parent = flatten_tokens(tokenize(batch["text"]))
+        _, parent = tokens_flat(batch["text"])
         lens = np.bincount(parent, minlength=batch.num_rows).astype(np.int64)
         return pa.table({"doc_id": batch["doc_id"], "dl": pa.array(lens)})
 
