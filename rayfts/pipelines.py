@@ -100,23 +100,30 @@ def _dense_to_src(index_dir: str) -> np.ndarray:
 
 
 def fts_term_stats(sf_dir: str) -> rd.Dataset:
-    """(term, df, cf) over documents.text — A3/A4 corpus statistics."""
-    def tf_rows(batch: pa.Table) -> pa.Table:
+    """(term, df, cf) over documents.text — A3/A4 corpus statistics.
+
+    Map-side combine: each batch ships ONE row per distinct term
+    (df_partial, cf_partial) instead of one per (term, doc) pair, so the
+    term shuffle moves O(vocab x batches), not O(postings)."""
+    def partial(batch: pa.Table) -> pa.Table:
         tf, _ = analyze_batch(batch)
-        return tf
+        g = tf.group_by("term", use_threads=False).aggregate(
+            [("doc_id", "count"), ("tf", "sum")]
+        )
+        return g.rename_columns(["term", "df_p", "cf_p"])
 
     agg = (
         _docs(sf_dir)
-        .map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term")
-        .aggregate(Count(), Sum("tf"))
+        .aggregate(Sum("df_p"), Sum("cf_p"))
     )
     return agg.map_batches(
         lambda t: pa.table(
             {
                 "term": t["term"],
-                "df": pc.cast(t["count()"], pa.int64()),
-                "cf": pc.cast(t["sum(tf)"], pa.int64()),
+                "df": pc.cast(t["sum(df_p)"], pa.int64()),
+                "cf": pc.cast(t["sum(cf_p)"], pa.int64()),
             }
         ),
         batch_format="pyarrow",
@@ -223,14 +230,19 @@ def fts_tags_filter_count(sf_dir: str) -> rd.Dataset:
 
 def keyword_count_by_lang(sf_dir: str) -> rd.Dataset:
     """not_analyzed keyword aggregation (A1 per-type counts analog)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang", use_threads=False).aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "n_p"])
+
     agg = (
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("lang")
-        .aggregate(Count())
+        .aggregate(Sum("n_p"))
     )
     return agg.map_batches(
         lambda t: pa.table(
-            {"lang": t["lang"], "n_docs": pc.cast(t["count()"], pa.int64())}
+            {"lang": t["lang"], "n_docs": pc.cast(t["sum(n_p)"], pa.int64())}
         ),
         batch_format="pyarrow",
     )
@@ -241,34 +253,40 @@ def events_tumbling_1h(sf_dir: str) -> rd.Dataset:
     (event_type, window_start, n_events, sum_value)."""
     HOUR_US = 3_600_000_000
 
-    def add_window(batch: pa.Table) -> pa.Table:
+    def window_partial(batch: pa.Table) -> pa.Table:
+        """Map-side combine: one row per (event_type, window) per batch —
+        the shuffle moves per-batch window aggregates, not raw events."""
         us = pc.cast(batch["ts"], pa.int64())
         win = pc.multiply(pc.divide(us, HOUR_US), HOUR_US)  # int64 divide truncates; ts>0 so == floor
-        return pa.table(
+        t = pa.table(
             {
                 "event_type": batch["event_type"],
                 "window_start": pc.cast(win, pa.timestamp("us")),
                 "value": batch["value"],
             }
         )
+        g = t.group_by(["event_type", "window_start"], use_threads=False).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_start", "n_p", "sum_p"])
 
     agg = (
         rd.read_parquet(
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_type", "ts", "value"],
         )
-        .map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(window_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(), Sum("value"))
+        .aggregate(Sum("n_p"), Sum("sum_p"))
     )
     return agg.map_batches(
         lambda t: pa.table(
             {
                 "event_type": t["event_type"],
                 "window_start": t["window_start"],
-                "n_events": pc.cast(t["count()"], pa.int64()),
+                "n_events": pc.cast(t["sum(n_p)"], pa.int64()),
                 "sum_value_cents": pc.cast(
-                    pc.round(pc.multiply(t["sum(value)"], 100.0)), pa.int64()
+                    pc.round(pc.multiply(t["sum(sum_p)"], 100.0)), pa.int64()
                 ),
             }
         ),
@@ -358,8 +376,14 @@ def join_revenue_by_segment(sf_dir: str) -> rd.Dataset:
             out = pa.table(
                 {"c_mktsegment": seg, "o_totalprice": batch["o_totalprice"]}
             )
-            # inner-join semantics: drop orders with no matching customer
-            return out.filter(pc.is_valid(out["c_mktsegment"]))
+            # inner-join semantics: drop orders with no matching customer;
+            # then map-side combine — the shuffle moves one row per
+            # segment per batch (5 segments), not per order
+            out = out.filter(pc.is_valid(out["c_mktsegment"]))
+            g = out.group_by("c_mktsegment", use_threads=False).aggregate(
+                [("o_totalprice", "count"), ("o_totalprice", "sum")]
+            )
+            return g.rename_columns(["c_mktsegment", "n_p", "sum_p"])
 
     agg = (
         rd.read_parquet(
@@ -373,17 +397,17 @@ def join_revenue_by_segment(sf_dir: str) -> rd.Dataset:
             concurrency=(1, 4),
         )
         .groupby("c_mktsegment")
-        .aggregate(Count(), Sum("o_totalprice"))
+        .aggregate(Sum("n_p"), Sum("sum_p"))
     )
     return agg.map_batches(
         lambda t: pa.table(
             {
                 "c_mktsegment": t["c_mktsegment"],
-                "n_orders": pc.cast(t["count()"], pa.int64()),
+                "n_orders": pc.cast(t["sum(n_p)"], pa.int64()),
                 # integer cents: double decimal-rounding differs between
                 # engines at the ulp level; scaled-int compare is exact
                 "total_revenue_cents": pc.cast(
-                    pc.round(pc.multiply(t["sum(o_totalprice)"], 100.0)), pa.int64()
+                    pc.round(pc.multiply(t["sum(sum_p)"], 100.0)), pa.int64()
                 ),
             }
         ),
@@ -414,7 +438,12 @@ def semi_join_lineitem_part(sf_dir: str) -> rd.Dataset:
             mask = pc.is_in(
                 pc.cast(batch["l_partkey"], pa.int64()), value_set=self.keys
             )
-            return batch.filter(mask)
+            sub = batch.filter(mask)
+            # map-side combine before the key shuffle
+            g = sub.group_by("l_partkey", use_threads=False).aggregate(
+                [("l_quantity", "count"), ("l_quantity", "sum")]
+            )
+            return g.rename_columns(["l_partkey", "n_p", "sum_p"])
 
     agg = (
         rd.read_parquet(
@@ -428,15 +457,15 @@ def semi_join_lineitem_part(sf_dir: str) -> rd.Dataset:
             concurrency=(1, 4),
         )
         .groupby("l_partkey")
-        .aggregate(Count(), Sum("l_quantity"))
+        .aggregate(Sum("n_p"), Sum("sum_p"))
     )
     return agg.map_batches(
         lambda t: pa.table(
             {
                 "l_partkey": t["l_partkey"],
-                "n_items": pc.cast(t["count()"], pa.int64()),
+                "n_items": pc.cast(t["sum(n_p)"], pa.int64()),
                 "sum_qty_cents": pc.cast(
-                    pc.round(pc.multiply(t["sum(l_quantity)"], 100.0)), pa.int64()
+                    pc.round(pc.multiply(t["sum(sum_p)"], 100.0)), pa.int64()
                 ),
             }
         ),
