@@ -294,7 +294,8 @@ class Searcher:
         order = cand[np.lexsort((idx[cand], -scores[cand]))][:take]
         return [(int(idx[i]), float(scores[i])) for i in order]
 
-    def _search_wand(self, plist, k):
+    def _search_wand(self, plist, k, weights: dict | None = None,
+                     excluded_set=None):
         """Block-max WAND over (tf_part, block_ub) — the precomputed
         query-independent factors, so the SAME executor serves both the
         file-based Searcher and the zero-copy SharedSearcher (round-1 kept
@@ -302,7 +303,14 @@ class Searcher:
         bounds and scores only ever need tf_part/block_ub). Scoring
         accumulates w * tf_part[i] in ascending-term order — the identical
         float64 op sequence as TAAT/the oracle (tf_part is the same
-        elementwise expression), so results stay bit-identical."""
+        elementwise expression), so results stay bit-identical.
+
+        ``weights`` overrides the per-term weight (MultiSearcher passes
+        GLOBAL-df weights so per-segment WAND scores equal the global
+        index's); the Postings in plist must then carry tf_part/block_ub
+        computed against the matching (global) avgdl."""
+        if excluded_set is None:
+            excluded_set = self._excluded_set
 
         class Cur:
             __slots__ = ("term", "w", "p", "i", "ub")
@@ -311,7 +319,10 @@ class Searcher:
         for term, qn, p in plist:
             c = Cur()
             c.term, c.p, c.i = term, p, 0
-            c.w = self._term_weight(qn, p.df)
+            c.w = (
+                weights[term] if weights is not None
+                else self._term_weight(qn, p.df)
+            )
             c.ub = float((c.w * p.block_ub).max())
             curs.append(c)
 
@@ -344,7 +355,7 @@ class Searcher:
                 break
             if cur_doc(curs[0]) == pivot_doc:
                 on_doc = [c for c in curs if cur_doc(c) == pivot_doc]
-                if pivot_doc not in self._excluded_set:
+                if pivot_doc not in excluded_set:
                     on_doc.sort(key=lambda c: c.term)
                     score = 0.0
                     for c in on_doc:  # ascending-term order == oracle order
@@ -550,8 +561,29 @@ class MultiSearcher:
         self._tf_part_cache[key] = out
         return out
 
-    def search(self, query: str, k: int = 10):
-        """Top-k [(global_doc_id, score)] — (score desc, doc_id asc)."""
+    def _global_postings(self, si: int, term: str, p: Postings) -> Postings:
+        """Per-segment Postings view recomputed against GLOBAL avgdl
+        (tf_part + block upper bounds) — what per-segment WAND needs to
+        produce globally-correct scores."""
+        gp = Postings(
+            term, p.df, p.cf, p.doc_ids, p.tfs, p.blocks,
+            self._tf_part(si, term, p),
+        )
+        blk = p.blocks
+        mt = blk["max_tf"].astype(np.float64)
+        md = blk["min_dl"].astype(np.float64)
+        gp.block_ub = mt * (self.k1 + 1.0) / (
+            mt + self.k1 * (1.0 - self.b + self.b * md / self.avgdl)
+        )
+        return gp
+
+    def search(self, query: str, k: int = 10, algo: str = "taat"):
+        """Top-k [(global_doc_id, score)] — (score desc, doc_id asc).
+
+        algo="wand": block-max WAND runs per segment with GLOBAL term
+        weights and global-avgdl factors, then the per-segment top-k heaps
+        merge — identical results to the TAAT path and to a single global
+        index (pinned by tests)."""
         if k <= 0:
             return []
         qtf = Counter(tokenize_query(query))
@@ -575,6 +607,21 @@ class MultiSearcher:
                     seg_postings[si].append((term, p))
         if not weights:
             return []
+        if algo == "wand":
+            merged: list[tuple[int, float]] = []
+            for si, plist in enumerate(seg_postings):
+                if not plist:
+                    continue
+                seg = self.segments[si]
+                gplist = [
+                    (term, qtf[term], self._global_postings(si, term, p))
+                    for term, p in plist
+                ]
+                hits = seg._search_wand(gplist, k, weights=weights)
+                off = int(self.offsets[si])
+                merged.extend((doc + off, sc) for doc, sc in hits)
+            merged.sort(key=lambda h: (-h[1], h[0]))
+            return merged[:k]
         # score each segment with the global weights, merge candidates
         all_docs, all_scores = [], []
         for si, plist in enumerate(seg_postings):

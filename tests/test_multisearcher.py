@@ -46,6 +46,10 @@ def test_sharded_equals_global(indexes):
         assert [d for d, _ in m_hits] == [d for d, _ in s_hits], q
         for (d1, s1), (d2, s2) in zip(m_hits, s_hits):
             assert abs(s1 - s2) < 1e-12, (q, d1, s1, s2)
+        # per-segment block-max WAND with global weights merges to the
+        # SAME top-k (bit-identical scores) as the global index
+        w_hits = multi.search(q, k=25, algo="wand")
+        assert w_hits == m_hits, q
 
 
 def test_sharded_multiget_routing(indexes):
