@@ -550,6 +550,55 @@ def _analyze_partition(
 
 
 @ray.remote
+def _combine_shards(*shards) -> dict:
+    """Hierarchical-combine level (tree reduce) for one bucket: pure
+    concatenation of shard dicts — streams are either self-delimiting
+    (varint) or fixed-width with counts in ``df``, so NO decode/re-encode
+    happens here. Mixed u16/u32 doc/tf streams are widened to u32 first
+    (a cast, the only non-concat work). At 10^6 map partitions this keeps
+    any single gather at ``merge_fanin`` inputs."""
+    live = [s for s in shards if s["df"].size]
+    if not live:
+        return _empty_shard()
+
+    def widen(key_buf: str, key_codec: str) -> tuple[bytes, str]:
+        codecs = {s[key_codec] for s in live}
+        if len(codecs) == 1:
+            return b"".join(s[key_buf] for s in live), codecs.pop()
+        assert "varint" not in codecs, "cannot mix varint with fixed-width"
+        parts = []
+        for s in live:
+            if s[key_codec] == "u16":
+                parts.append(
+                    np.frombuffer(s[key_buf], np.uint16)
+                    .astype(np.uint32)
+                    .tobytes()
+                )
+            else:
+                parts.append(s[key_buf])
+        return b"".join(parts), "u32"
+
+    doc_buf, doc_codec = widen("doc_buf", "doc_codec")
+    tf_buf, tf_codec = widen("tf_buf", "tf_codec")
+    return {
+        "term": pa.concat_arrays(
+            [
+                s["term"].combine_chunks()
+                if isinstance(s["term"], pa.ChunkedArray)
+                else s["term"]
+                for s in live
+            ]
+        ),
+        "df": np.concatenate([s["df"] for s in live]),
+        "first_doc": np.concatenate([s["first_doc"] for s in live]),
+        "doc_buf": doc_buf,
+        "tf_buf": tf_buf,
+        "doc_codec": doc_codec,
+        "tf_codec": tf_codec,
+    }
+
+
+@ray.remote
 def _assemble_dl(n_docs: int, *dl_parts) -> np.ndarray:
     """Dense doc-length array from the per-partition pieces; broadcast once
     via its object ref to every bucket merge (zero-copy plasma view) so the
@@ -799,9 +848,21 @@ def build_index(
         # the dense dl array once and broadcast its ref to every merge (the
         # shuffle itself never carries per-posting doc lengths)
         dl_ref = _assemble_dl.remote(n_docs, *[sl[B] for sl in shard_lists])
+
+        def bucket_shards(b: int) -> list:
+            shards = [sl[b] for sl in shard_lists]
+            fanin = cfg.merge_fanin
+            # tree reduce: cap any single gather at `fanin` inputs
+            while fanin and len(shards) > fanin:
+                shards = [
+                    _combine_shards.remote(*shards[i : i + fanin])
+                    for i in range(0, len(shards), fanin)
+                ]
+            return shards
+
         merge_futs = [
             _merge_write_bucket.remote(
-                b, postings_dir, index_dir, dl_ref, *[sl[b] for sl in shard_lists]
+                b, postings_dir, index_dir, dl_ref, *bucket_shards(b)
             )
             for b in missing
         ]
@@ -811,9 +872,13 @@ def build_index(
 
     # ---- stage 3: global stats + manifest publish (refresh analog) ----
     t0 = time.perf_counter()
-    norms_tbl = pq.read_table(norms_dir, columns=["dl"])
-    total_dl = int(pc.sum(norms_tbl["dl"]).as_py() or 0)
-    n_norms = norms_tbl.num_rows
+    if os.path.isdir(norms_dir):
+        norms_tbl = pq.read_table(norms_dir, columns=["dl"])
+        total_dl = int(pc.sum(norms_tbl["dl"]).as_py() or 0)
+        n_norms = norms_tbl.num_rows
+    else:  # empty corpus: analyze never wrote a norms file
+        total_dl = 0
+        n_norms = 0
     n_terms = sum(i["terms"] for i in bucket_infos)
     postings_bytes = sum(i["postings_bytes"] for i in bucket_infos)
     # join the overlapped docstore writes before publishing anything

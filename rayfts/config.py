@@ -59,6 +59,13 @@ class IndexJobConfig:
     # multi-node scale. Both produce byte-identical index files.
     exchange_codec: str = "u16"
 
+    # hierarchical combine: when a bucket merge would gather more than
+    # this many map shards, insert an intermediate concat level (tree
+    # reduce) — at 10^6 partitions a flat gather per bucket is the
+    # bottleneck. 0 disables (flat gather; fine up to ~10^3 partitions).
+    # Combining is pure stream/array concatenation — no decode/re-encode.
+    merge_fanin: int = 0
+
     @staticmethod
     def from_file(path: str, **overrides) -> "IndexJobConfig":
         with open(path) as f:

@@ -78,9 +78,11 @@ class Searcher:
         self.b = float(m["b"])
         self.num_buckets = m["term_buckets"]
         # dense norms: doc_id -> dl (doc_ids are dense 0..N-1 by construction)
-        norms = pq.read_table(os.path.join(index_dir, "norms"))
         self.dl = np.zeros(self.N, dtype=np.int32)
-        self.dl[norms["doc_id"].to_numpy()] = norms["dl"].to_numpy()
+        norms_dir = os.path.join(index_dir, "norms")
+        if os.path.isdir(norms_dir):  # absent only for an empty corpus
+            norms = pq.read_table(norms_dir)
+            self.dl[norms["doc_id"].to_numpy()] = norms["dl"].to_numpy()
         if m.get("format_version") != FORMAT_VERSION:
             raise ValueError(
                 f"index at {index_dir} has format_version="
@@ -731,9 +733,11 @@ class SharedIndexHandle:
         self.manifest = load_manifest(index_dir)
         if self.manifest.get("format_version") != FORMAT_VERSION:
             raise ValueError("index format mismatch")
-        norms = pq.read_table(os.path.join(index_dir, "norms"))
         dl = np.zeros(self.manifest["n_docs"], dtype=np.int32)
-        dl[norms["doc_id"].to_numpy()] = norms["dl"].to_numpy()
+        norms_dir = os.path.join(index_dir, "norms")
+        if os.path.isdir(norms_dir):  # absent only for an empty corpus
+            norms = pq.read_table(norms_dir)
+            dl[norms["doc_id"].to_numpy()] = norms["dl"].to_numpy()
         self.dl_ref = ray.put(dl)
         from .admin import excluded_docs
 

@@ -416,3 +416,55 @@ def test_exchange_codecs_build_identical_indexes(corpus, tmp_path_factory):
     assert bucket_hashes(dirs["u16"]) == bucket_hashes(dirs["varint"])
     q = "the w0007 bash"
     assert Searcher(dirs["u16"]).search(q, k=10) == Searcher(dirs["varint"]).search(q, k=10)
+
+
+def test_empty_corpus_builds_and_searches(tmp_path):
+    """Degenerate input: zero rows must publish a valid (empty) index —
+    searches return [], count is 0, no crash anywhere in the pipeline."""
+    import ray.data as rd
+
+    from rayfts.fixtures import TRANSCRIPT_SCHEMA
+
+    empty = pa.Table.from_pylist([], schema=TRANSCRIPT_SCHEMA)
+    d = str(tmp_path / "idx")
+    m = build_index(
+        rd.from_arrow(empty), cfg=IndexJobConfig(index_dir=d, term_buckets=4)
+    )
+    assert m["n_docs"] == 0 and m["n_terms"] == 0 and m["avgdl"] == 0.0
+    s = Searcher(d)
+    assert s.search("anything", k=5) == []
+    assert s.count() == 0
+
+
+def test_hierarchical_combine_identical_index(corpus, tmp_path_factory):
+    """merge_fanin=2 inserts tree-combine levels into the bucket exchange;
+    the published index must be identical to the flat gather."""
+    import hashlib as _h
+
+    import pyarrow.parquet as pq2
+
+    dirs = {}
+    for fanin in (0, 2):
+        d = str(tmp_path_factory.mktemp(f"index_fanin{fanin}"))
+        build_index(
+            corpus,
+            cfg=IndexJobConfig(index_dir=d, term_buckets=4, merge_fanin=fanin),
+            rows_per_part=100,  # many partitions -> several combine levels
+        )
+        dirs[fanin] = d
+
+    def bucket_hashes(d):
+        out = {}
+        for f in sorted(os.listdir(os.path.join(d, "postings"))):
+            t = pq2.read_table(os.path.join(d, "postings", f))
+            h = _h.md5()
+            for c in t.column_names:
+                for v in t[c].to_pylist():
+                    h.update(repr(v).encode())
+            out[f] = h.hexdigest()
+        return out
+
+    assert bucket_hashes(dirs[0]) == bucket_hashes(dirs[2])
+    assert Searcher(dirs[0]).search("the w0007", k=10) == Searcher(
+        dirs[2]
+    ).search("the w0007", k=10)
