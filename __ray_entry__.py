@@ -158,27 +158,31 @@ GROUP BY term
         "events_tumbling_1h": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
-       CAST(round(sum(value) * 100.0) AS BIGINT) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """,
+        # per-row integer cents BEFORE the sums: float-accumulated cents
+        # hit a rounding boundary at ~1e9-cent magnitudes (one ulp flipped
+        # a cent at sf0.1); integer sums are order-independent and exact
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus,
-       CAST(round(sum(l_quantity) * 100.0) AS BIGINT) AS sum_qty_cents,
-       CAST(round(sum(l_extendedprice) * 100.0) AS BIGINT) AS sum_base_cents,
-       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100.0) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
        count(*) AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2
 """,
         "join_revenue_by_segment": """
 SELECT c_mktsegment, count(*) AS n_orders,
-       CAST(round(sum(o_totalprice) * 100.0) AS BIGINT) AS total_revenue_cents
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 """,
         "semi_join_lineitem_part": """
 SELECT l_partkey, count(*) AS n_items,
-       CAST(round(sum(l_quantity) * 100.0) AS BIGINT) AS sum_qty_cents
+       CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_cents
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
 GROUP BY 1

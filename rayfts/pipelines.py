@@ -262,11 +262,15 @@ def events_tumbling_1h(sf_dir: str) -> rd.Dataset:
             {
                 "event_type": batch["event_type"],
                 "window_start": pc.cast(win, pa.timestamp("us")),
-                "value": batch["value"],
+                # integer cents per row BEFORE the sums: float-accumulated
+                # cents can flip a rounding boundary at large magnitudes
+                "value_c": pc.cast(
+                    pc.round(pc.multiply(batch["value"], 100.0)), pa.int64()
+                ),
             }
         )
         g = t.group_by(["event_type", "window_start"], use_threads=False).aggregate(
-            [("value", "count"), ("value", "sum")]
+            [("value_c", "count"), ("value_c", "sum")]
         )
         return g.rename_columns(["event_type", "window_start", "n_p", "sum_p"])
 
@@ -285,9 +289,7 @@ def events_tumbling_1h(sf_dir: str) -> rd.Dataset:
                 "event_type": t["event_type"],
                 "window_start": t["window_start"],
                 "n_events": pc.cast(t["sum(n_p)"], pa.int64()),
-                "sum_value_cents": pc.cast(
-                    pc.round(pc.multiply(t["sum(sum_p)"], 100.0)), pa.int64()
-                ),
+                "sum_value_cents": pc.cast(t["sum(sum_p)"], pa.int64()),
             }
         ),
         batch_format="pyarrow",
@@ -296,17 +298,36 @@ def events_tumbling_1h(sf_dir: str) -> rd.Dataset:
 
 def q1_pricing(sf_dir: str) -> rd.Dataset:
     """TPC-H-Q1-style scan+filter+aggregate over lineitem (M1/A-series):
-    pre-aggregated map-side, tiny global groupby."""
+    pre-aggregated map-side, tiny global groupby.
+
+    Values convert to INTEGER cents per row BEFORE aggregation (the money
+    columns are 2-decimal), so the sums are order-independent and exact —
+    float-accumulated cents hit a rounding boundary at ~1e9-cent
+    magnitudes (observed: one ulp flipped sum_disc by a cent at sf0.1).
+    disc_e4 = price_cents * (100 - disc_cents) is exact in 1e-4 dollars.
+    """
     CUTOFF = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
+
+    def cents(col) -> pa.Array:
+        return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
 
     def partial(batch: pa.Table) -> pa.Table:
         b = batch.filter(pc.less_equal(batch["l_shipdate"], CUTOFF))
-        disc_price = pc.multiply(
-            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        price_c = cents(b["l_extendedprice"])
+        disc_c = cents(b["l_discount"])
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_c": cents(b["l_quantity"]),
+                "base_c": price_c,
+                "disc_e4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c)
+                ),
+            }
         )
-        b = b.append_column("disc_price", disc_price)
-        g = b.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+        g = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("qty_c", "sum"), ("base_c", "sum"), ("disc_e4", "sum"), ("qty_c", "count")]
         )
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_base", "sum_disc", "n_rows"]
@@ -333,15 +354,9 @@ def q1_pricing(sf_dir: str) -> rd.Dataset:
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "sum_qty_cents": pc.cast(
-                    pc.round(pc.multiply(t["sum(sum_qty)"], 100.0)), pa.int64()
-                ),
-                "sum_base_cents": pc.cast(
-                    pc.round(pc.multiply(t["sum(sum_base)"], 100.0)), pa.int64()
-                ),
-                "sum_disc_cents": pc.cast(
-                    pc.round(pc.multiply(t["sum(sum_disc)"], 100.0)), pa.int64()
-                ),
+                "sum_qty_cents": pc.cast(t["sum(sum_qty)"], pa.int64()),
+                "sum_base_cents": pc.cast(t["sum(sum_base)"], pa.int64()),
+                "sum_disc_e4": pc.cast(t["sum(sum_disc)"], pa.int64()),
                 "n_rows": pc.cast(t["sum(n_rows)"], pa.int64()),
             }
         ),
@@ -380,8 +395,17 @@ def join_revenue_by_segment(sf_dir: str) -> rd.Dataset:
             # then map-side combine — the shuffle moves one row per
             # segment per batch (5 segments), not per order
             out = out.filter(pc.is_valid(out["c_mktsegment"]))
+            out = pa.table(
+                {
+                    "c_mktsegment": out["c_mktsegment"],
+                    "price_c": pc.cast(
+                        pc.round(pc.multiply(out["o_totalprice"], 100.0)),
+                        pa.int64(),
+                    ),
+                }
+            )
             g = out.group_by("c_mktsegment", use_threads=False).aggregate(
-                [("o_totalprice", "count"), ("o_totalprice", "sum")]
+                [("price_c", "count"), ("price_c", "sum")]
             )
             return g.rename_columns(["c_mktsegment", "n_p", "sum_p"])
 
@@ -404,11 +428,8 @@ def join_revenue_by_segment(sf_dir: str) -> rd.Dataset:
             {
                 "c_mktsegment": t["c_mktsegment"],
                 "n_orders": pc.cast(t["sum(n_p)"], pa.int64()),
-                # integer cents: double decimal-rounding differs between
-                # engines at the ulp level; scaled-int compare is exact
-                "total_revenue_cents": pc.cast(
-                    pc.round(pc.multiply(t["sum(sum_p)"], 100.0)), pa.int64()
-                ),
+                # integer cents summed exactly (per-row conversion)
+                "total_revenue_cents": pc.cast(t["sum(sum_p)"], pa.int64()),
             }
         ),
         batch_format="pyarrow",
@@ -439,9 +460,18 @@ def semi_join_lineitem_part(sf_dir: str) -> rd.Dataset:
                 pc.cast(batch["l_partkey"], pa.int64()), value_set=self.keys
             )
             sub = batch.filter(mask)
+            sub = pa.table(
+                {
+                    "l_partkey": sub["l_partkey"],
+                    "qty_c": pc.cast(
+                        pc.round(pc.multiply(sub["l_quantity"], 100.0)),
+                        pa.int64(),
+                    ),
+                }
+            )
             # map-side combine before the key shuffle
             g = sub.group_by("l_partkey", use_threads=False).aggregate(
-                [("l_quantity", "count"), ("l_quantity", "sum")]
+                [("qty_c", "count"), ("qty_c", "sum")]
             )
             return g.rename_columns(["l_partkey", "n_p", "sum_p"])
 
@@ -464,9 +494,7 @@ def semi_join_lineitem_part(sf_dir: str) -> rd.Dataset:
             {
                 "l_partkey": t["l_partkey"],
                 "n_items": pc.cast(t["sum(n_p)"], pa.int64()),
-                "sum_qty_cents": pc.cast(
-                    pc.round(pc.multiply(t["sum(sum_p)"], 100.0)), pa.int64()
-                ),
+                "sum_qty_cents": pc.cast(t["sum(sum_p)"], pa.int64()),
             }
         ),
         batch_format="pyarrow",
