@@ -196,10 +196,15 @@ def encode_postings(
     tf_bytes = varint_encode(tfs.astype(np.uint64))
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     blocks = np.empty(nblocks, dtype=BLOCK_DTYPE)
-    for i in range(nblocks):
-        lo = i * BLOCK_SIZE
-        hi = min(n, lo + BLOCK_SIZE)
-        blocks[i] = (doc_ids[hi - 1], lo, int(tfs[lo:hi].max()), int(dls[lo:hi].min()))
+    if nblocks:
+        # vectorized block metadata (a per-block Python loop is 75k
+        # iterations for a 9.6M-posting hot term)
+        starts = np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE
+        ends = np.minimum(starts + BLOCK_SIZE, n)
+        blocks["last_doc"] = doc_ids[ends - 1]
+        blocks["start"] = starts.astype(np.int32)
+        blocks["max_tf"] = np.maximum.reduceat(tfs, starts)
+        blocks["min_dl"] = np.minimum.reduceat(dls, starts)
     return doc_bytes, tf_bytes, blocks.tobytes()
 
 

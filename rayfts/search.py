@@ -695,21 +695,26 @@ def _decode_bucket_shared(path: str, k1: float, b: float, avgdl: float, dl):
     terms: dict[str, tuple] = {}
     p_off = 0
     b_off = 0
+    # bulk-convert the columns once (per-cell .as_py() in the loop measured
+    # as the decode-phase hot spot at large vocabularies)
+    term_l = t["term"].to_pylist()
+    doc_b_l = t["doc_bytes"].to_pylist()
+    tf_b_l = t["tf_bytes"].to_pylist()
+    blk_b_l = t["block_bytes"].to_pylist()
+    df_l = t["df"].to_pylist()
     for i in range(t.num_rows):
-        term = t["term"][i].as_py()
-        doc_ids, tfs = decode_postings(
-            t["doc_bytes"][i].as_py(), t["tf_bytes"][i].as_py()
-        )
+        term = term_l[i]
+        doc_ids, tfs = decode_postings(doc_b_l[i], tf_b_l[i])
         doc_ids = doc_ids.astype(np.int64)
         tfs_f = tfs.astype(np.float64)
         dls = dl[doc_ids].astype(np.float64)
         tf_part = tfs_f * (k1 + 1.0) / (tfs_f + k1 * (1.0 - b + b * dls / avgdl))
-        blocks = decode_blocks(t["block_bytes"][i].as_py())
+        blocks = decode_blocks(blk_b_l[i])
         mt = blocks["max_tf"].astype(np.float64)
         md = blocks["min_dl"].astype(np.float64)
         ub = mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * md / avgdl))
         n, nb = doc_ids.size, ub.size
-        terms[term] = (p_off, p_off + n, int(t["df"][i].as_py()), b_off, b_off + nb)
+        terms[term] = (p_off, p_off + n, int(df_l[i]), b_off, b_off + nb)
         doc_parts.append(doc_ids)
         tfp_parts.append(tf_part)
         ub_parts.append(ub)
