@@ -246,8 +246,28 @@ FROM st
         "knn_cosine_lsh": _X.knn_lsh_sql(k=10, n_planes=4, dim=64),
         "lang_id": _X.lang_id_sql(),
         "text_fingerprint": _X.fingerprint_sql(),
-        # knn_cosine_ivf: intentionally no SQL oracle — replicating the
-        # seeded k-means training in SQL is float-order-sensitive (near-tie
-        # assignments flip) -> rows-only check; the probe-pruned storage
-        # contract is pinned by pytest instead.
+        # knn_cosine_ivf: the gate query probes ALL centroids — exact by
+        # construction — so the partitioned-storage round-trip faces the
+        # same top-k value oracle as brute force. (Replicating the seeded
+        # k-means in SQL for a PRUNED probe would be float-order-sensitive;
+        # the nprobe < C read-pruning contract is pinned by pytest.)
+        "knn_cosine_ivf": """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = 0
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+dots AS (
+  SELECT v.vec_id, sum(v.val * q.val) AS dot,
+         sum(v.val * v.val) AS n2, sum(q.val * q.val) AS q2
+  FROM v JOIN q USING (i) GROUP BY v.vec_id
+)
+SELECT vec_id,
+       CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
+FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
+""",
     }

@@ -626,9 +626,17 @@ def knn_cosine_lsh_q(sf_dir: str) -> pa.Table:
 
 
 def knn_cosine_ivf_q(sf_dir: str) -> pa.Table:
-    """IVF over the PERSISTED per-centroid partition files (probe-pruned
-    reads — only nprobe partitions are opened); the index is built once and
-    cached keyed by content fingerprint."""
+    """IVF over the PERSISTED per-centroid partition files; the index is
+    built once and cached keyed by content fingerprint.
+
+    The gate query probes ALL centroids (nprobe == n_centroids), which is
+    EXACT by construction — so this row faces the same DuckDB top-k value
+    oracle as brute force, verifying the partitioned storage round-trip
+    (no vector lost or duplicated by the k-means split, probe ordering,
+    per-partition reads, merge). The recall-tradeoff path (nprobe < C
+    reads only the probed partition files) is pinned by
+    tests/test_extras.py::test_ivf_reads_only_probed_partitions.
+    """
     from .extras.similarity import knn_cosine_ivf
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -642,7 +650,7 @@ def knn_cosine_ivf_q(sf_dir: str) -> pa.Table:
     )
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
     t = knn_cosine_ivf(
-        ds, qvec, k=10, n_centroids=8, nprobe=3,
+        ds, qvec, k=10, n_centroids=8, nprobe=8,
         index_dir=f"/tmp/rayfts_ivf/{tag}",
     )
     return pa.table(
