@@ -309,3 +309,54 @@ def test_ivf_reads_only_probed_partitions(tmp_path):
     hits = ivf_search(idx, q, k=5, nprobe=2)
     assert set(hits["vec_id"].to_pylist()) <= allowed
     assert hits["vec_id"].to_pylist()[0] == 9  # self in the top probe
+
+
+def test_media_resize_and_frame_sampling():
+    """Resize preserves aspect ratio within max_side and keeps the schema;
+    frame sampling explodes each video into ceil(n_frames/every_n) rows
+    and emits nothing for images/audio."""
+    import json
+    import math
+
+    from rayfts.extras.multimodal import (
+        decode_media,
+        resize_media,
+        sample_frames,
+        synth_media_table,
+    )
+
+    t = synth_media_table(30, seed=7)
+    ds = rd.from_arrow(t)
+
+    resized = resize_media(ds, max_side=64, concurrency=(1, 2), batch_size=8)
+    out = decode_media(resized, concurrency=(1, 2), batch_size=8).take_all()
+    assert len(out) == 30
+    for r in out:
+        assert max(r["width"], r["height"]) <= 64
+        meta = json.loads(t.filter(
+            pa.compute.equal(t["media_id"], r["media_id"])
+        )["meta"][0].as_py())
+        ow, oh = meta["w"], meta["h"]
+        scale = min(1.0, 64 / max(ow, oh))
+        assert (r["width"], r["height"]) == (
+            max(1, int(ow * scale)),
+            max(1, int(oh * scale)),
+        )
+
+    frames = sample_frames(ds, every_n=4, concurrency=(1, 2), batch_size=8).take_all()
+    videos = {
+        row["media_id"].as_py() if hasattr(row["media_id"], "as_py") else row["media_id"]: json.loads(row["meta"].as_py() if hasattr(row["meta"], "as_py") else row["meta"])
+        for row in t.to_pylist()
+        if row["kind"] == "video"
+    }
+    by_vid = {}
+    for f in frames:
+        by_vid.setdefault(f["media_id"], []).append(f)
+    assert set(by_vid) == set(videos)  # only videos emit frames
+    for vid, fs in by_vid.items():
+        assert len(fs) == math.ceil(videos[vid]["n_frames"] / 4)
+        idxs = sorted(f["frame_idx"] for f in fs)
+        assert idxs == list(range(0, videos[vid]["n_frames"], 4))
+        for f in fs:
+            assert f["ts_ms"] == int(f["frame_idx"] * 100)
+            assert len(f["frame_bytes"]) > 0
