@@ -209,10 +209,10 @@ def mem_envelope(procs: int, iters: int = 12) -> float:
 
 def run_scaling() -> dict:
     mult = int(os.environ.get("GRAFT_SCALE_MULT", "16"))
-    # default levels 4,16: BOTH below this host's measured ~16-proc memory-
-    # bandwidth saturation point (BASELINE.md envelope microbenchmarks), so
-    # the ratio measures the ENGINE's scaling, not the host ceiling —
-    # 8->32 on this VM measures bandwidth saturation (0.35 in round 1)
+    # default levels 2,8 — the official below-ceiling pair: the engine at
+    # 4 cpus already sits at ~55% of this host's aggregate memory-bandwidth
+    # ceiling, so 4->16 and 8->32 ratios measure the shared bus, not the
+    # engine (BASELINE.md envelope microbenchmarks + ceiling analysis)
     global MULT
     MULT = mult
     ensure_corpus(sf_factor(SF_DIR))  # generate once, outside both timed runs
@@ -236,7 +236,7 @@ def run_scaling() -> dict:
     # alternate the two levels and keep the best run per level so a
     # throttled window doesn't masquerade as a scaling result
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-    levels = os.environ.get("GRAFT_SCALING_LEVELS", "4,16")
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "2,8")
     lo, hi = (int(x) for x in levels.split(","))
     runs_lo, runs_hi = [], []
     env_lo = env_hi = 0.0
