@@ -9,10 +9,12 @@ shape) sized by the sf factor of $GRAFT_SF_DIR (default /root/testdata/sf0.1
 -> ~600k turns), generated once to /tmp and cached; plus the sf dir's
 documents.parquet indexed as a secondary corpus.
 
---scaling: runs this same benchmark in two fresh processes at
-num_cpus=8 and num_cpus=32 (N and 4N) over the same cached input and
-reports both throughputs + scaling efficiency (sandbox evidence protocol
-for the north rule's N vs 4N cluster criterion — see BASELINE.md).
+--scaling: runs this same benchmark in two fresh processes at N and 4N
+logical CPUs (default 2 and 8 — the below-ceiling pair for this host)
+over the same cached input, probes the memory-bandwidth envelope in the
+same window, and reports both throughputs + scaling efficiency (sandbox
+evidence protocol for the north rule's N vs 4N cluster criterion — see
+BASELINE.md).
 """
 
 from __future__ import annotations
