@@ -261,13 +261,74 @@ class Searcher:
         order = cand[np.lexsort((docs[cand], -scores[cand]))][:take]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
+    # docs-per-term cap under which a term is "essential" for MaxScore
+    MAXSCORE_DF_CAP = 4096
+
+    def _search_maxscore(self, plist, k):
+        """Vectorized MaxScore: exact top-k that touches hot posting lists
+        only at CANDIDATE positions.
+
+        Essential lists = the low-df terms (df <= MAXSCORE_DF_CAP, always
+        at least the smallest); candidates = union of their doc ids. Every
+        candidate's EXACT score accumulates in ascending-term order (the
+        oracle's float op sequence — non-essential contributions come from
+        a vectorized searchsorted gather instead of a full scatter). Any
+        doc outside the candidates scores at most
+        B = sum of non-essential w*max(tf_part); if the kth candidate
+        score beats B (with the WAND slop), the result is provably the
+        global top-k. Returns None when pruning cannot apply (all terms
+        cold/hot, too few candidates, or bound not beaten) — caller falls
+        back to the full TAAT scatter. Measured: 2-term Zipf workloads are
+        dominated by one hot + one cold term, where this skips the
+        hot-list scatter entirely."""
+        if len(plist) < 2:
+            return None
+        by_df = sorted(plist, key=lambda e: e[2].df)
+        essential = [e for e in by_df if e[2].df <= self.MAXSCORE_DF_CAP]
+        if not essential:
+            essential = [by_df[0]]
+        ess_terms = {e[0] for e in essential}
+        non_ess = [e for e in plist if e[0] not in ess_terms]
+        if not non_ess:
+            return None
+        slop = 1.0 + 1e-12
+        B = sum(
+            self._term_weight(qn, p.df) * float(p.block_ub.max())
+            for _, qn, p in non_ess
+        ) * slop
+        cands = (
+            essential[0][2].doc_ids
+            if len(essential) == 1
+            else np.unique(np.concatenate([e[2].doc_ids for e in essential]))
+        )
+        if self.excluded.size:
+            cands = cands[~np.isin(cands, self.excluded)]
+        if cands.size < k:
+            return None
+        scores = np.zeros(cands.size, dtype=np.float64)
+        for term, qn, p in plist:  # ascending term order == oracle order
+            w = self._term_weight(qn, p.df)
+            pos = np.searchsorted(p.doc_ids, cands)
+            pos_c = np.minimum(pos, p.doc_ids.size - 1)
+            hit = p.doc_ids[pos_c] == cands
+            scores[hit] += w * p.tf_part[pos_c[hit]]
+        kth = -np.partition(-scores, k - 1)[k - 1]
+        if not kth > B:
+            return None  # a hot-only doc could reach the top-k: fall back
+        return self._topk_from(cands, scores, k)
+
     def _search_taat(self, plist, k):
         """Vectorized term-at-a-time scoring into a reusable dense
         accumulator (one float64 slot per doc of this segment — per-segment
         N is bounded in the sharded design, so this is O(segment) memory
         held once per actor). Each term scatter-adds its contributions in
         ascending-term order — per doc that is exactly the oracle's float64
-        accumulation order, so scores are bit-identical to the spec."""
+        accumulation order, so scores are bit-identical to the spec.
+        Multi-term queries first try the MaxScore path (exact, candidate-
+        only work); this full scatter is the fallback."""
+        out = self._search_maxscore(plist, k)
+        if out is not None:
+            return out
         buf = getattr(self, "_score_buf", None)
         if buf is None or buf.size != self.N:
             buf = self._score_buf = np.zeros(self.N, dtype=np.float64)

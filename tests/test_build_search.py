@@ -468,3 +468,24 @@ def test_hierarchical_combine_identical_index(corpus, tmp_path_factory):
     assert Searcher(dirs[0]).search("the w0007", k=10) == Searcher(
         dirs[2]
     ).search("the w0007", k=10)
+
+
+def test_maxscore_prune_bit_identical(index_dir):
+    """The MaxScore candidate-only path must return EXACTLY what the full
+    TAAT scatter returns (it falls back whenever its bound cannot prove
+    pruning) — across hot+cold mixes, all-hot, all-cold, absent terms, and
+    k larger than the candidate sets."""
+    s_fast = Searcher(index_dir)
+    s_full = Searcher(index_dir)
+    s_full._search_maxscore = lambda plist, k: None  # force the full path
+    queries = [
+        "the w0007",          # hot + cold
+        "the a",              # hot + hot
+        "w0007 w0008",        # cold + cold
+        "the w0007 bash ok",  # mixed
+        "zzzz_absent the",    # absent + hot
+        "same text across convs",
+    ] + list(REFERENCE_QUERIES)
+    for q in queries:
+        for k in (1, 5, 25, 200):
+            assert s_fast.search(q, k=k) == s_full.search(q, k=k), (q, k)
