@@ -269,7 +269,6 @@ def test_sorted_input_fastpath_equals_sort(tmp_path):
     )
     assert m_fast["n_docs"] == m_sort["n_docs"]
     assert m_fast["avgdl"] == m_sort["avgdl"]
-    import pyarrow.compute as pc2
 
     a = pq2.read_table(os.path.join(d_fast, "docstore")).sort_by(
         [("doc_id", "ascending")]
