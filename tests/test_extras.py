@@ -360,3 +360,29 @@ def test_media_resize_and_frame_sampling():
         for f in fs:
             assert f["ts_ms"] == int(f["frame_idx"] * 100)
             assert len(f["frame_bytes"]) > 0
+
+
+def test_cluster_labeling_streams_large_dataset():
+    """The round-1 scale-killer was a driver-side take_all() over the whole
+    corpus for (id, cluster_id) labeling. The broadcast labeler must stream
+    a corpus far larger than the candidate set: 300k ids, 50-entry root
+    map, consumed batch-by-batch (never materialized on the driver), with
+    every mapped and unmapped id labeled correctly."""
+    from rayfts.extras.hashing import label_dataset
+
+    n = 300_000
+    roots = {i * 37: (i * 37) % 11 for i in range(50)}
+    ds = rd.range(n).map_batches(
+        lambda b: pa.table({"doc_id": pa.array(b["id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    labeled = label_dataset(ds, roots, id_col="doc_id")
+    assert isinstance(labeled, rd.Dataset)
+    seen = 0
+    for batch in labeled.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids = batch["doc_id"].to_numpy()
+        cl = batch["cluster_id"].to_numpy()
+        seen += len(ids)
+        expect = np.array([roots.get(int(i), int(i)) for i in ids])
+        np.testing.assert_array_equal(cl, expect)
+    assert seen == n
