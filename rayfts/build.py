@@ -639,7 +639,11 @@ def _merge_write_bucket(
     ordering — each doc lives in exactly one batch and batch doc-ranges are
     disjoint — the sort fallback below is a cheap safety net, not the path.
     """
-    from .codec import segmented_prefix_sum, varint_decode
+    from .codec import (
+        encode_postings_segmented,
+        segmented_prefix_sum,
+        varint_decode,
+    )
 
     def decode_stream(buf: bytes, codec: str) -> np.ndarray:
         if codec == "varint":
@@ -702,35 +706,41 @@ def _merge_write_bucket(
         else:
             term_row_starts = np.zeros(1, np.int64)
         term_post_starts = out_starts[term_row_starts]
-        term_post_ends = np.append(term_post_starts[1:], total)
-        uniq_terms = terms_sorted.take(
-            pa.array(term_row_starts, pa.int64())
-        ).to_pylist()
-        out_terms, out_df, out_cf = [], [], []
-        out_doc_b, out_tf_b, out_blk_b = [], [], []
-        for ti, term in enumerate(uniq_terms):
-            p0, p1 = int(term_post_starts[ti]), int(term_post_ends[ti])
-            d = docs_o[p0:p1]
-            f = tfs_o[p0:p1]
-            if d.size > 1 and not (d[1:] > d[:-1]).all():
-                o2 = np.argsort(d, kind="stable")
-                d, f = d[o2], f[o2]
-            doc_bytes, tf_bytes, block_bytes = encode_postings(d, f, dl[d])
-            out_terms.append(term)
-            out_df.append(int(d.size))
-            out_cf.append(int(f.sum()))
-            out_doc_b.append(doc_bytes)
-            out_tf_b.append(tf_bytes)
-            out_blk_b.append(block_bytes)
+        uniq_terms = terms_sorted.take(pa.array(term_row_starts, pa.int64()))
+        # per-term doc ids are ascending by construction (disjoint batch doc
+        # ranges ordered by first_doc); verify vectorized and repair only
+        # the violating segments (cheap safety net, not the path)
+        if total > 1:
+            is_start = np.zeros(total, dtype=bool)
+            is_start[term_post_starts] = True
+            bad = np.flatnonzero((docs_o[1:] <= docs_o[:-1]) & ~is_start[1:])
+            if bad.size:
+                term_post_ends = np.append(term_post_starts[1:], total)
+                segs = np.unique(
+                    np.searchsorted(term_post_starts, bad + 1, side="right") - 1
+                )
+                for ti in segs:
+                    p0, p1 = int(term_post_starts[ti]), int(term_post_ends[ti])
+                    o2 = np.argsort(docs_o[p0:p1], kind="stable")
+                    docs_o[p0:p1] = docs_o[p0:p1][o2]
+                    tfs_o[p0:p1] = tfs_o[p0:p1][o2]
+        # segmented encode: the whole bucket's terms in one vectorized pass
+        # (byte-identical to per-term encode_postings; round-2 verdict #4
+        # removed the ~vocab/B-iteration Python loop here)
+        doc_arr, tf_arr, blk_arr, df_out, cf_out = encode_postings_segmented(
+            docs_o, tfs_o, dl[docs_o], term_post_starts, total
+        )
         merged = pa.table(
             {
-                "term": pa.array(out_terms, pa.string()),
-                "bucket": pa.array([bucket_id] * len(out_terms), pa.int32()),
-                "df": pa.array(out_df, pa.int64()),
-                "cf": pa.array(out_cf, pa.int64()),
-                "doc_bytes": pa.array(out_doc_b, pa.binary()),
-                "tf_bytes": pa.array(out_tf_b, pa.binary()),
-                "block_bytes": pa.array(out_blk_b, pa.binary()),
+                "term": uniq_terms,
+                "bucket": pa.array(
+                    np.full(len(uniq_terms), bucket_id, np.int32), pa.int32()
+                ),
+                "df": pa.array(df_out, pa.int64()),
+                "cf": pa.array(cf_out, pa.int64()),
+                "doc_bytes": doc_arr,
+                "tf_bytes": tf_arr,
+                "block_bytes": blk_arr,
             }
         )
     os.makedirs(postings_dir, exist_ok=True)

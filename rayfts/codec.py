@@ -208,6 +208,92 @@ def encode_postings(
     return doc_bytes, tf_bytes, blocks.tobytes()
 
 
+def _binary_from_lengths(data: bytes, lengths: np.ndarray):
+    """Zero-copy pa.binary() array over a concatenated byte stream sliced by
+    per-row lengths (offsets built analytically — no per-row Python slicing)."""
+    import pyarrow as pa
+
+    offs = np.zeros(lengths.size + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    if offs[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            "bucket byte stream exceeds 2 GiB — raise term_buckets so each "
+            "bucket file stays below the pa.binary() offset limit"
+        )
+    return pa.Array.from_buffers(
+        pa.binary(),
+        int(lengths.size),
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()), pa.py_buffer(data)],
+    )
+
+
+def encode_postings_segmented(
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    seg_starts: np.ndarray,
+    total: int,
+):
+    """Encode MANY terms' postings in one vectorized pass.
+
+    ``docs``/``tfs``/``dls`` are the bucket's posting streams laid out
+    term-contiguously (term i owns ``[seg_starts[i], seg_starts[i+1])``,
+    tiling ``[0, total)``); doc ids must be ascending within each segment.
+    Byte-identical to calling :func:`encode_postings` per term (LEB128 is
+    per-value, so stream concatenation == per-term concatenation; block
+    tiling restarts at each segment start) — pinned by tests — but with NO
+    per-term Python loop: a real vocabulary is ~10M terms and a per-term
+    call is 150k+ Python iterations per bucket (round-2 verdict item 4).
+
+    Returns (doc_bytes, tf_bytes, block_bytes) as pa.binary() arrays plus
+    (df, cf) int64 arrays, one row per term.
+    """
+    nseg = seg_starts.size
+    if nseg == 0 or total == 0:
+        import pyarrow as pa
+
+        empty_b = pa.array([], pa.binary())
+        empty_i = np.empty(0, np.int64)
+        return empty_b, empty_b, empty_b, empty_i, empty_i
+    docs = np.ascontiguousarray(docs, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int32)
+    dls = np.ascontiguousarray(dls, dtype=np.int32)
+    df = np.diff(np.append(seg_starts, total))
+    # per-segment delta: first value absolute, rest gaps
+    gaps = np.empty(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        gaps[0] = docs[0]
+        np.subtract(docs[1:], docs[:-1], out=gaps[1:], casting="unsafe")
+        gaps[seg_starts] = docs[seg_starts]
+    doc_stream = varint_encode(gaps)
+    tf_stream = varint_encode(tfs.astype(np.uint64))
+    doc_lens = np.add.reduceat(varint_nbytes(gaps), seg_starts)
+    tf_lens = np.add.reduceat(varint_nbytes(tfs.astype(np.uint64)), seg_starts)
+    # block metadata: blocks tile each segment in BLOCK_SIZE chunks
+    nblocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    tot_blocks = int(nblocks.sum())
+    blk_of_term = np.repeat(np.arange(nseg, dtype=np.int64), nblocks)
+    blk_cum = np.zeros(nseg, np.int64)
+    np.cumsum(nblocks[:-1], out=blk_cum[1:])
+    blk_in_term = np.arange(tot_blocks, dtype=np.int64) - blk_cum[blk_of_term]
+    bstarts = seg_starts[blk_of_term] + BLOCK_SIZE * blk_in_term
+    bends = np.minimum(bstarts + BLOCK_SIZE, (seg_starts + df)[blk_of_term])
+    blocks = np.empty(tot_blocks, dtype=BLOCK_DTYPE)
+    blocks["last_doc"] = docs[bends - 1]
+    blocks["start"] = (BLOCK_SIZE * blk_in_term).astype(np.int32)
+    # reduceat over the GLOBAL streams: block ranges tile [0, total), so
+    # segment [bstarts[i], bstarts[i+1]) == block i's posting range exactly
+    blocks["max_tf"] = np.maximum.reduceat(tfs, bstarts)
+    blocks["min_dl"] = np.minimum.reduceat(dls, bstarts)
+    doc_arr = _binary_from_lengths(doc_stream, doc_lens)
+    tf_arr = _binary_from_lengths(tf_stream, tf_lens)
+    blk_arr = _binary_from_lengths(
+        blocks.tobytes(), nblocks * BLOCK_DTYPE.itemsize
+    )
+    cf = np.add.reduceat(tfs.astype(np.int64), seg_starts)
+    return doc_arr, tf_arr, blk_arr, df.astype(np.int64), cf
+
+
 def decode_postings(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
     doc_ids = delta_decode(varint_decode(doc_bytes))
     tfs = varint_decode(tf_bytes).astype(np.int32)

@@ -112,3 +112,45 @@ def test_concat_postings_equals_whole_encode():
     assert (blocks["start"] < n).all() and (np.diff(blocks["start"]) > 0).all()
     with pytest.raises(ValueError, match="disjoint"):
         concat_postings([parts[1], parts[0]])
+
+
+def test_segmented_encode_byte_identical_to_per_term():
+    """encode_postings_segmented must be byte-identical to per-term
+    encode_postings — the bucket-reduce hot path relies on it."""
+    from rayfts.codec import encode_postings_segmented
+
+    rng = np.random.default_rng(3)
+    docs_l, tfs_l, dls_l, starts = [], [], [], []
+    off = 0
+    # segment sizes straddle block boundaries: 1, <128, ==128, >128, >>128
+    for n in (1, 7, 128, 129, 400, 1000, 2, 128 * 3):
+        ids = np.sort(rng.choice(50_000, size=n, replace=False)).astype(np.int64)
+        docs_l.append(ids)
+        tfs_l.append(rng.integers(1, 300, n).astype(np.int32))
+        dls_l.append(rng.integers(1, 500, n).astype(np.int32))
+        starts.append(off)
+        off += n
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+    seg_starts = np.array(starts, np.int64)
+    doc_a, tf_a, blk_a, df, cf = encode_postings_segmented(
+        docs, tfs, dls, seg_starts, off
+    )
+    for i in range(len(docs_l)):
+        eb, et, ebl = encode_postings(docs_l[i], tfs_l[i], dls_l[i])
+        assert doc_a[i].as_py() == eb
+        assert tf_a[i].as_py() == et
+        assert blk_a[i].as_py() == ebl
+        assert df[i] == docs_l[i].size
+        assert cf[i] == int(tfs_l[i].sum())
+
+
+def test_segmented_encode_empty():
+    from rayfts.codec import encode_postings_segmented
+
+    doc_a, tf_a, blk_a, df, cf = encode_postings_segmented(
+        np.empty(0, np.int64), np.empty(0, np.int32), np.empty(0, np.int32),
+        np.empty(0, np.int64), 0,
+    )
+    assert len(doc_a) == 0 and df.size == 0
