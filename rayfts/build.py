@@ -415,6 +415,7 @@ def _analyze_partition(
     num_buckets: int,
     batch_size: int,
     exchange_codec: str = "u16",
+    hot_terms: list[str] | None = None,
 ):
     """Map side of the hand-rolled hash shuffle: one docstore partition ->
     ``num_buckets`` stream-encoded shard dicts + the partition's dl array
@@ -474,13 +475,24 @@ def _analyze_partition(
         "lo": lo,
         "dl": np.concatenate(dl_l) if dl_l else np.empty(0, np.int32),
     }
+    hot_terms = hot_terms or []
+    n_shards = num_buckets + len(hot_terms)
     if not terms_l:
-        return tuple([_empty_shard()] * num_buckets) + (dl_part,)
+        return tuple([_empty_shard()] * n_shards) + (dl_part,)
     terms_all = pa.concat_arrays(terms_l)
     df_all = np.concatenate(df_l)
     gaps_all = np.concatenate(gaps_l)
     tfs_all = np.concatenate(tfs_l)
     buckets = _term_buckets_arrow(terms_all, num_buckets).to_numpy()
+    if hot_terms:
+        # hot terms bypass their natural bucket: shard num_buckets+h carries
+        # ONLY hot term h's rows, so the reduce can merge it per docID salt
+        # range in parallel tasks (SURVEY §4 skew row)
+        hidx = pc.fill_null(
+            pc.index_in(terms_all, value_set=pa.array(hot_terms, pa.string())),
+            -1,
+        ).to_numpy(zero_copy_only=False)
+        buckets = np.where(hidx >= 0, num_buckets + hidx, buckets).astype(np.int32)
     order = np.argsort(buckets, kind="stable")
     # vectorized segment gather: reorder both value streams into bucket-
     # sorted row order in one fancy-index pass
@@ -519,13 +531,13 @@ def _analyze_partition(
     terms_sorted = terms_all.take(pa.array(order, pa.int64()))
     df_sorted = df_all[order]
     sb = buckets[order]
-    bounds = np.searchsorted(sb, np.arange(num_buckets + 1))
+    bounds = np.searchsorted(sb, np.arange(n_shards + 1))
     doc_bb = np.zeros(nrows + 1, np.int64)
     np.cumsum(row_doc_nb, out=doc_bb[1:])
     tf_bb = np.zeros(nrows + 1, np.int64)
     np.cumsum(row_tf_nb, out=tf_bb[1:])
     out = []
-    for b in range(num_buckets):
+    for b in range(n_shards):
         r0, r1 = int(bounds[b]), int(bounds[b + 1])
         if r0 == r1:
             out.append(_empty_shard())
@@ -609,6 +621,164 @@ def _assemble_dl(n_docs: int, *dl_parts) -> np.ndarray:
     return dl
 
 
+def _decode_stream(buf: bytes, codec: str) -> np.ndarray:
+    """Decode one exchange value stream (shared by bucket + salt merges)."""
+    from .codec import varint_decode
+
+    if codec == "varint":
+        return varint_decode(np.frombuffer(buf, np.uint8))
+    return np.frombuffer(buf, np.uint16 if codec == "u16" else np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# hot-term salting (SURVEY §4 skew row; round-2 verdict item 1)
+#
+# Ref analog: ES spreads _id across 5 shards (plugin.properties:8). A
+# Zipf-head term's merge is split by contiguous docID salt range: analyze
+# routes the hot term's shards to a dedicated virtual shard per term; each
+# salt range merges in its own task; 128-aligned encode ranges make the
+# final codec.concat_postings stitch BYTE-IDENTICAL to an unsalted encode
+# (interior blocks are always full, varint is per-value). The stitched row
+# then joins its natural bucket's table in term-sorted position.
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _detect_hot_terms(
+    src, text_col: str, sample_rows: int, threshold: int, n_docs: int, max_hot: int
+) -> list[str]:
+    """Skew pre-pass: estimate global df per term from a bounded sample of
+    the FIRST docstore partition (deterministic — same sample regardless of
+    parallelism level, so the hot set is resume/scaling stable). Zipf-head
+    terms appear in any sample by definition; the estimate only needs to be
+    right about the head. Returns the (<= max_hot) terms whose estimated
+    global df >= threshold, sorted."""
+    from .analysis import tokens_flat
+
+    t = (
+        pq.read_table(src, columns=[text_col])
+        if isinstance(src, str)
+        else src.select([text_col])
+    )
+    t = t.slice(0, sample_rows)
+    n_sample = t.num_rows
+    if n_sample == 0:
+        return []
+    flat, parent = tokens_flat(t[text_col])
+    if len(flat) == 0:
+        return []
+    denc = pc.dictionary_encode(
+        flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    )
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # df in sample = distinct (term, doc) pairs per term
+    key = idx * np.int64(n_sample) + parent.astype(np.int64)
+    uk = np.unique(key)
+    df = np.bincount(uk // n_sample, minlength=len(denc.dictionary))
+    est = df.astype(np.float64) * (float(n_docs) / n_sample)
+    hot_idx = np.flatnonzero(est >= threshold)
+    if hot_idx.size > max_hot:
+        hot_idx = hot_idx[np.argsort(-df[hot_idx], kind="stable")[:max_hot]]
+        hot_idx.sort()
+    return sorted(
+        denc.dictionary.take(pa.array(hot_idx, pa.int64())).to_pylist()
+    )
+
+
+@ray.remote(num_returns=3)
+def _merge_salt_part(*shards):
+    """Merge ONE hot term's shards from one contiguous docID salt range:
+    decode each stream once, order segments by first_doc, gather. Returns
+    (count, docs, tfs) — the arrays stay in the object store so the
+    aligned-range encode tasks read them zero-copy."""
+    from .codec import run_ranges, segmented_prefix_sum
+
+    docs_p, tfs_p, df_p, first_p = [], [], [], []
+    for sh in shards:
+        if sh["df"].size == 0:
+            continue
+        df = sh["df"]
+        seg_starts = np.zeros(df.size, np.int64)
+        np.cumsum(df[:-1], out=seg_starts[1:])
+        gaps = _decode_stream(sh["doc_buf"], sh["doc_codec"])
+        docs_p.append(segmented_prefix_sum(gaps, seg_starts, sh["first_doc"]))
+        tfs_p.append(_decode_stream(sh["tf_buf"], sh["tf_codec"]).astype(np.int32))
+        df_p.append(df)
+        first_p.append(sh["first_doc"])
+    if not docs_p:
+        return 0, np.empty(0, np.int64), np.empty(0, np.int32)
+    docs_all = np.concatenate(docs_p)
+    tfs_all = np.concatenate(tfs_p)
+    df_all = np.concatenate(df_p)
+    firsts = np.concatenate(first_p)
+    order = np.argsort(firsts, kind="stable")
+    row_starts = np.zeros(df_all.size, np.int64)
+    np.cumsum(df_all[:-1], out=row_starts[1:])
+    lens = df_all[order]
+    src_starts = row_starts[order]
+    total = int(lens.sum())
+    out_starts = np.zeros(df_all.size, np.int64)
+    np.cumsum(lens[:-1], out=out_starts[1:])
+    idx = run_ranges(src_starts, out_starts, total)
+    docs_o = docs_all[idx]
+    tfs_o = tfs_all[idx]
+    if docs_o.size > 1 and not (docs_o[1:] > docs_o[:-1]).all():
+        o2 = np.argsort(docs_o, kind="stable")  # safety net, not the path
+        docs_o, tfs_o = docs_o[o2], tfs_o[o2]
+    return int(docs_o.size), docs_o, tfs_o
+
+
+@ray.remote
+def _encode_salt_range(
+    dl: np.ndarray, lo: int, hi: int, part_starts, part_counts,
+    docs_refs: list, tfs_refs: list,
+) -> dict:
+    """Encode the hot term's global posting range [lo, hi) — slices the salt
+    parts it overlaps (zero-copy object-store views). Interior range starts
+    are multiples of BLOCK_SIZE, so every interior block is full and the
+    stitched block metadata equals a whole-list encode byte-for-byte."""
+    docs_p, tfs_p = [], []
+    for gstart, cnt, dref, tref in zip(part_starts, part_counts, docs_refs, tfs_refs):
+        if gstart + cnt <= lo or gstart >= hi:
+            continue  # no overlap: never fetched
+        d = ray.get(dref)
+        f = ray.get(tref)
+        s0, s1 = max(lo - gstart, 0), min(hi - gstart, cnt)
+        docs_p.append(d[s0:s1])
+        tfs_p.append(f[s0:s1])
+    docs = np.concatenate(docs_p)
+    tfs = np.concatenate(tfs_p)
+    doc_b, tf_b, blk_b = encode_postings(docs, tfs, dl[docs])
+    return {
+        "doc_bytes": doc_b,
+        "tf_bytes": tf_b,
+        "block_bytes": blk_b,
+        "df": int(docs.size),
+        "cf": int(tfs.sum()),
+    }
+
+
+@ray.remote
+def _stitch_hot_term(term: str, bucket_id: int, *parts) -> dict:
+    """O(sum bytes) stitch of the salt-encoded chunks (concat_postings
+    rebases only each chunk's first varint and shifts block starts)."""
+    from .codec import concat_postings
+
+    live = [p for p in parts if p["df"]]
+    doc_b, tf_b, blk_b = concat_postings(
+        [(p["doc_bytes"], p["tf_bytes"], p["block_bytes"]) for p in live]
+    )
+    return {
+        "term": term,
+        "bucket": bucket_id,
+        "df": sum(p["df"] for p in live),
+        "cf": sum(p["cf"] for p in live),
+        "doc_bytes": doc_b,
+        "tf_bytes": tf_b,
+        "block_bytes": blk_b,
+    }
+
+
 def _empty_postings_table() -> pa.Table:
     return pa.table(
         {
@@ -625,7 +795,8 @@ def _empty_postings_table() -> pa.Table:
 
 @ray.remote
 def _merge_write_bucket(
-    bucket_id: int, postings_dir: str, index_dir: str, dl: np.ndarray, *shards
+    bucket_id: int, postings_dir: str, index_dir: str, dl: np.ndarray,
+    hot_rows: list, *shards
 ):
     """Reduce side: gather one bucket's varint shards from every map task,
     decode each ONCE (vectorized stream decode + segmented delta), order
@@ -639,16 +810,7 @@ def _merge_write_bucket(
     ordering — each doc lives in exactly one batch and batch doc-ranges are
     disjoint — the sort fallback below is a cheap safety net, not the path.
     """
-    from .codec import (
-        encode_postings_segmented,
-        segmented_prefix_sum,
-        varint_decode,
-    )
-
-    def decode_stream(buf: bytes, codec: str) -> np.ndarray:
-        if codec == "varint":
-            return varint_decode(np.frombuffer(buf, np.uint8))
-        return np.frombuffer(buf, np.uint16 if codec == "u16" else np.uint32)
+    from .codec import encode_postings_segmented, segmented_prefix_sum
 
     terms_p, df_p, docs_p, tfs_p = [], [], [], []
     for sh in shards:
@@ -657,9 +819,9 @@ def _merge_write_bucket(
         df = sh["df"]
         seg_starts = np.zeros(df.size, np.int64)
         np.cumsum(df[:-1], out=seg_starts[1:])
-        gaps = decode_stream(sh["doc_buf"], sh["doc_codec"])
+        gaps = _decode_stream(sh["doc_buf"], sh["doc_codec"])
         docs_p.append(segmented_prefix_sum(gaps, seg_starts, sh["first_doc"]))
-        tfs_p.append(decode_stream(sh["tf_buf"], sh["tf_codec"]).astype(np.int32))
+        tfs_p.append(_decode_stream(sh["tf_buf"], sh["tf_codec"]).astype(np.int32))
         terms_p.append(
             sh["term"].combine_chunks()
             if isinstance(sh["term"], pa.ChunkedArray)
@@ -742,6 +904,30 @@ def _merge_write_bucket(
                 "tf_bytes": tf_arr,
                 "block_bytes": blk_arr,
             }
+        )
+    if hot_rows:
+        # stitched hot terms rejoin their natural bucket in term-sorted
+        # position — the file is byte-identical to an unsalted build
+        rows = ray.get(list(hot_rows))  # refs in a list arg: resolve here
+        hot_tbl = pa.table(
+            {
+                "term": pa.array([r["term"] for r in rows], pa.string()),
+                "bucket": pa.array(
+                    np.full(len(rows), bucket_id, np.int32), pa.int32()
+                ),
+                "df": pa.array([r["df"] for r in rows], pa.int64()),
+                "cf": pa.array([r["cf"] for r in rows], pa.int64()),
+                "doc_bytes": pa.array([r["doc_bytes"] for r in rows], pa.binary()),
+                "tf_bytes": pa.array([r["tf_bytes"] for r in rows], pa.binary()),
+                "block_bytes": pa.array(
+                    [r["block_bytes"] for r in rows], pa.binary()
+                ),
+            }
+        )
+        merged = (
+            pa.concat_tables([merged, hot_tbl])
+            .sort_by([("term", "ascending")])
+            .combine_chunks()
         )
     os.makedirs(postings_dir, exist_ok=True)
     fname = f"bucket-{bucket_id:04d}.parquet"
@@ -847,17 +1033,29 @@ def build_index(
         sources = doc_info.get("_part_srcs") or [
             os.path.join(index_dir, p["file"]) for p in doc_info["partitions"]
         ]
+        # hot-term resolution: explicit config terms + sample-pre-pass
+        # detection (deterministic — first partition, fixed sample size)
+        hot_terms = sorted(set(cfg.salt_hot_terms))
+        if cfg.salt_df_threshold > 0 and sources and n_docs:
+            detected = ray.get(
+                _detect_hot_terms.remote(
+                    sources[0], cfg.text_col, cfg.hot_sample_rows,
+                    cfg.salt_df_threshold, n_docs, cfg.max_hot_terms,
+                )
+            )
+            hot_terms = sorted(set(hot_terms) | set(detected))
+        H = len(hot_terms)
         shard_lists = [
-            _analyze_partition.options(num_returns=B + 1).remote(
+            _analyze_partition.options(num_returns=B + H + 1).remote(
                 src, norms_dir, cfg.text_col, B, cfg.analyze_batch_size,
-                cfg.exchange_codec,
+                cfg.exchange_codec, hot_terms,
             )
             for src in sources
         ]
         # last return of each map task = the partition's dl slice; assemble
         # the dense dl array once and broadcast its ref to every merge (the
         # shuffle itself never carries per-posting doc lengths)
-        dl_ref = _assemble_dl.remote(n_docs, *[sl[B] for sl in shard_lists])
+        dl_ref = _assemble_dl.remote(n_docs, *[sl[B + H] for sl in shard_lists])
 
         def bucket_shards(b: int) -> list:
             shards = [sl[b] for sl in shard_lists]
@@ -870,13 +1068,75 @@ def build_index(
                 ]
             return shards
 
+        # salted hot-term pipeline: per hot term, merge each contiguous
+        # docID salt range in parallel, encode 128-aligned ranges, stitch
+        # with concat_postings; the stitched row joins its natural bucket
+        missing_set = set(missing)
+        hot_rows: dict[int, list] = {}
+        if H:
+            P = len(sources)
+            S = max(1, min(cfg.hot_term_salts, P))
+            salt_of_part = (np.arange(P) * S) // P
+            salt_shards = {
+                s: [p for p in range(P) if salt_of_part[p] == s]
+                for s in range(S)
+            }
+            plans = []  # (term, nat_bucket, [(cnt_ref, docs_ref, tfs_ref)])
+            for h, term in enumerate(hot_terms):
+                nat_b = term_bucket_py(term, B)
+                if nat_b not in missing_set:
+                    continue  # bucket checkpointed: its hot row already on disk
+                triples = [
+                    _merge_salt_part.options(num_returns=3).remote(
+                        *[shard_lists[p][B + h] for p in parts]
+                    )
+                    for parts in salt_shards.values()
+                    if parts
+                ]
+                plans.append((term, nat_b, triples))
+            # one driver round-trip for ALL hot terms' salt counts
+            all_counts = ray.get(
+                [tr[0] for _, _, triples in plans for tr in triples]
+            )
+            ci = 0
+            for term, nat_b, triples in plans:
+                counts = all_counts[ci : ci + len(triples)]
+                ci += len(triples)
+                total = int(sum(counts))
+                if total == 0:
+                    continue  # term absent from corpus: no row (== unsalted)
+                cum = np.zeros(len(counts) + 1, np.int64)
+                np.cumsum(counts, out=cum[1:])
+                from .codec import BLOCK_SIZE
+
+                bnds = (
+                    [0]
+                    + [int((c // BLOCK_SIZE) * BLOCK_SIZE) for c in cum[1:-1]]
+                    + [total]
+                )
+                docs_refs = [tr[1] for tr in triples]
+                tfs_refs = [tr[2] for tr in triples]
+                enc_refs = [
+                    _encode_salt_range.remote(
+                        dl_ref, lo2, hi2, cum[:-1].tolist(), counts,
+                        docs_refs, tfs_refs,
+                    )
+                    for lo2, hi2 in zip(bnds[:-1], bnds[1:])
+                    if lo2 < hi2
+                ]
+                hot_rows.setdefault(nat_b, []).append(
+                    _stitch_hot_term.remote(term, nat_b, *enc_refs)
+                )
+
         merge_futs = [
             _merge_write_bucket.remote(
-                b, postings_dir, index_dir, dl_ref, *bucket_shards(b)
+                b, postings_dir, index_dir, dl_ref, hot_rows.get(b, []),
+                *bucket_shards(b)
             )
             for b in missing
         ]
         bucket_infos.extend(ray.get(merge_futs))
+        metrics["hot_terms_salted"] = hot_terms
     bucket_infos.sort(key=lambda i: i["bucket"])
     metrics["postings_sec"] = round(time.perf_counter() - t0, 3)
 

@@ -59,6 +59,21 @@ class IndexJobConfig:
     # multi-node scale. Both produce byte-identical index files.
     exchange_codec: str = "u16"
 
+    # hot-term salting (SURVEY §4 skew row; ref analog: ES hashes _id
+    # across 5 shards, plugin.properties:8). A Zipf-head term ("the") at
+    # 10^12 turns has ~10^11 postings — without salting ONE reduce task
+    # decodes/sorts/encodes all of them. With salting, a hot term's shards
+    # bypass the natural bucket and are merged per contiguous docID salt
+    # range by parallel tasks (each encodes a 128-aligned posting range),
+    # then stitched with codec.concat_postings — the bucket file is
+    # BYTE-IDENTICAL to the unsalted build (pinned by tests).
+    salt_hot_terms: tuple[str, ...] = ()  # explicit hot terms (always salted)
+    salt_df_threshold: int = 0   # >0: auto-detect terms with estimated
+                                 # global df >= threshold via a sample pre-pass
+    hot_term_salts: int = 4      # parallel salt ranges per hot term
+    hot_sample_rows: int = 50_000  # pre-pass sample size (first partition)
+    max_hot_terms: int = 64      # detection cap (highest-df first)
+
     # hierarchical combine: when a bucket merge would gather more than
     # this many map shards, insert an intermediate concat level (tree
     # reduce) — at 10^6 partitions a flat gather per bucket is the

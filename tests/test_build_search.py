@@ -488,3 +488,57 @@ def test_maxscore_prune_bit_identical(index_dir):
     for q in queries:
         for k in (1, 5, 25, 200):
             assert s_fast.search(q, k=k) == s_full.search(q, k=k), (q, k)
+
+
+def test_hot_term_salting_byte_identical(corpus, tmp_path_factory):
+    """SURVEY §4 skew row: a forced-hot term merged via parallel docID salt
+    ranges + concat_postings stitch must produce bucket FILES byte-identical
+    to the unsalted build (round-2 verdict item 1's done-criterion)."""
+    base = str(tmp_path_factory.mktemp("unsalted"))
+    salted = str(tmp_path_factory.mktemp("salted"))
+    cfg = IndexJobConfig(index_dir=base, term_buckets=8)
+    build_index(corpus, cfg=cfg, rows_per_part=100)
+    # "the" is the Zipf head of the fixture corpus; also salt a mid-df term,
+    # a term colliding into the same bucket set, and an ABSENT term
+    build_index(
+        corpus,
+        cfg=cfg.replace(
+            index_dir=salted,
+            salt_hot_terms=("the", "to", "w0007", "zz-absent-term"),
+            hot_term_salts=3,
+        ),
+        rows_per_part=100,
+    )
+    for f in sorted(os.listdir(os.path.join(base, "postings"))):
+        with open(os.path.join(base, "postings", f), "rb") as fh:
+            b1 = fh.read()
+        with open(os.path.join(salted, "postings", f), "rb") as fh:
+            b2 = fh.read()
+        assert b1 == b2, f"bucket file {f} differs under salting"
+    q = "the w0007 bash"
+    assert Searcher(base).search(q, k=10) == Searcher(salted).search(q, k=10)
+
+
+def test_hot_term_autodetection_salts_zipf_head(corpus, tmp_path_factory):
+    """salt_df_threshold > 0 runs the sample pre-pass; the detected set must
+    contain the corpus's Zipf head and the index must stay byte-identical."""
+    base = str(tmp_path_factory.mktemp("unsalted2"))
+    auto = str(tmp_path_factory.mktemp("auto"))
+    cfg = IndexJobConfig(index_dir=base, term_buckets=4)
+    build_index(corpus, cfg=cfg, rows_per_part=100)
+    m = build_index(
+        corpus,
+        cfg=cfg.replace(
+            index_dir=auto, salt_df_threshold=50, hot_term_salts=2,
+            hot_sample_rows=200,
+        ),
+        rows_per_part=100,
+    )
+    hot = m["metrics"]["hot_terms_salted"]
+    assert "the" in hot, hot
+    for f in sorted(os.listdir(os.path.join(base, "postings"))):
+        with open(os.path.join(base, "postings", f), "rb") as fh:
+            b1 = fh.read()
+        with open(os.path.join(auto, "postings", f), "rb") as fh:
+            b2 = fh.read()
+        assert b1 == b2, f"bucket file {f} differs under auto-salting"
