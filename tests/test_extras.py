@@ -433,3 +433,29 @@ def test_minhash_distributed_verify_dup_heavy_corpus():
     out = minhash_dedup(ds, threshold=0.8).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == expect
+
+
+def test_embedding_near_dup_degenerate_bucket_bounded():
+    """A degenerate ALL-ONE-BUCKET all-duplicate input (20k near-identical
+    vectors) must complete with bounded allocations: the in-bucket pass is
+    chunked min-label propagation emitting O(g) edges, not O(g^2) pairs
+    (round-2 verdict item 3)."""
+    import ray.data as rd
+
+    from rayfts.extras.similarity import embedding_near_dup
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(16)
+    n = 20_000
+    vecs = np.tile(base, (n, 1)) + 1e-9 * rng.standard_normal((n, 16))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    out = embedding_near_dup(
+        rd.from_arrow(t), threshold=0.98, n_planes=8
+    ).to_pandas()
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()  # one component, min-id root
