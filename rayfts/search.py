@@ -45,7 +45,10 @@ def tokenize_query(q: str) -> list[str]:
 
 
 class Postings:
-    __slots__ = ("term", "df", "cf", "doc_ids", "tfs", "blocks", "tf_part", "block_ub")
+    __slots__ = (
+        "term", "df", "cf", "doc_ids", "tfs", "blocks", "tf_part",
+        "block_ub", "live_mask",
+    )
 
     def __init__(self, term, df, cf, doc_ids, tfs, blocks, tf_part=None):
         self.term, self.df, self.cf = term, df, cf
@@ -54,6 +57,10 @@ class Postings:
         #   tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
         self.tf_part = tf_part
         self.block_ub = None  # per-block max of tf_part (pruning bound)
+        # tombstones: bool mask per posting (None = no exclusions). When
+        # set, block_ub is recomputed over LIVE postings only, so a block
+        # whose docs are all excluded carries ub 0 and is never touched
+        self.live_mask = None
 
 
 class Searcher:
@@ -98,6 +105,7 @@ class Searcher:
         self.excluded = np.array(excluded_docs(index_dir), dtype=np.int64)
         self._excluded_set = set(self.excluded.tolist())
         self._cache: dict[str, Postings | None] = {}
+        self._blocks_scored = 0  # pruning instrumentation (tests/diagnostics)
         # bucket -> {term: encoded row dict}; a query term loads its whole
         # hash bucket once (one columnar file read) and every later term in
         # that bucket is a dict hit — the per-actor state that makes the
@@ -162,8 +170,23 @@ class Searcher:
             mt + self.k1 * (1.0 - self.b + self.b * md / self.avgdl)
         )
         p.block_ub = p_block_ub
+        self._apply_tombstones(p)
         self._cache[term] = p
         return p
+
+    def _apply_tombstones(self, p: Postings) -> None:
+        """Per-posting live mask + tombstone-TIGHTENED block bounds (once
+        per term per searcher, cached with the postings): excluded hot docs
+        no longer shape the MaxScore/WAND upper bounds, and fully-excluded
+        blocks drop to ub 0 so the pruned executors skip them entirely."""
+        if not self.excluded.size:
+            return
+        live = ~np.isin(p.doc_ids, self.excluded)
+        p.live_mask = live
+        starts = p.blocks["start"].astype(np.int64)
+        p.block_ub = np.maximum.reduceat(
+            np.where(live, p.tf_part, 0.0), starts
+        )
 
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
@@ -220,25 +243,34 @@ class Searcher:
         n = p.doc_ids.size
         nblocks = p.block_ub.size
         if nblocks <= 4:
-            return self._topk_from(p.doc_ids, w * p.tf_part, k)
+            if p.live_mask is None:
+                return self._topk_from(p.doc_ids, w * p.tf_part, k)
+            return self._topk_from(
+                p.doc_ids[p.live_mask], w * p.tf_part[p.live_mask], k
+            )
         order = np.argsort(-p.block_ub, kind="stable")
+        if p.live_mask is not None:
+            # tombstone-tightened bounds: ub == 0 <=> every posting in the
+            # block is excluded (live BM25 factors are strictly positive)
+            order = order[p.block_ub[order] > 0.0]
         bounds = w * p.block_ub[order]
         pool_docs = np.empty(0, np.int64)
         pool_scores = np.empty(0, np.float64)
         kth = -np.inf
         CHUNK = 64
-        for c0 in range(0, nblocks, CHUNK):
+        for c0 in range(0, order.size, CHUNK):
             if pool_scores.size >= k and bounds[c0] < kth:
                 break
             js = order[c0 : c0 + CHUNK]
+            self._blocks_scored += int(js.size)
             parts_d, parts_s = [], []
             for j in js:
                 lo = int(j) * 128
                 hi = min(n, lo + 128)
                 d = p.doc_ids[lo:hi]
                 s = w * p.tf_part[lo:hi]
-                if self.excluded.size:
-                    keep = ~np.isin(d, self.excluded)
+                if p.live_mask is not None:
+                    keep = p.live_mask[lo:hi]
                     d, s = d[keep], s[keep]
                 parts_d.append(d)
                 parts_s.append(s)
@@ -296,13 +328,14 @@ class Searcher:
             self._term_weight(qn, p.df) * float(p.block_ub.max())
             for _, qn, p in non_ess
         ) * slop
+        def live_ids(p):
+            return p.doc_ids if p.live_mask is None else p.doc_ids[p.live_mask]
+
         cands = (
-            essential[0][2].doc_ids
+            live_ids(essential[0][2])
             if len(essential) == 1
-            else np.unique(np.concatenate([e[2].doc_ids for e in essential]))
+            else np.unique(np.concatenate([live_ids(e[2]) for e in essential]))
         )
-        if self.excluded.size:
-            cands = cands[~np.isin(cands, self.excluded)]
         if cands.size < k:
             return None
         scores = np.zeros(cands.size, dtype=np.float64)
@@ -594,10 +627,19 @@ class MultiSearcher:
     Segments must cover disjoint dense doc_id ranges in segment order
     (segment i's global ids = offset_i + local ids, offsets from cumulative
     N) — which is exactly what building per doc-range partition produces.
+
+    Entries may be index dirs (file-based Searcher per segment) or
+    SharedIndexHandle instances (zero-copy SharedSearcher per segment —
+    the multi-node query architecture with the decode-once object-store
+    path; the shared payload carries raw tfs + block structs so the
+    global-stats recompute works identically).
     """
 
-    def __init__(self, index_dirs: list[str]):
-        self.segments = [Searcher(d) for d in index_dirs]
+    def __init__(self, index_dirs: list):
+        self.segments = [
+            SharedSearcher(d) if isinstance(d, SharedIndexHandle) else Searcher(d)
+            for d in index_dirs
+        ]
         self.N = sum(s.N for s in self.segments)
         total_dl = sum(s.manifest["total_dl"] for s in self.segments)
         self.avgdl = (total_dl / self.N) if self.N else 0.0
@@ -746,13 +788,17 @@ def _decode_bucket_shared(path: str, k1: float, b: float, avgdl: float, dl):
     """
     import os
 
+    from .codec import BLOCK_DTYPE
+
     if not os.path.exists(path):
         return {"terms": {}, "doc_ids": np.empty(0, np.int64),
                 "tf_part": np.empty(0, np.float64),
+                "tfs": np.empty(0, np.int32),
+                "blocks": np.empty(0, BLOCK_DTYPE),
                 "block_ub": np.empty(0, np.float64)}
     t = pq.read_table(path)
     # dl arrives auto-dereferenced (top-level ObjectRef arg) — zero-copy view
-    doc_parts, tfp_parts, ub_parts = [], [], []
+    doc_parts, tfp_parts, ub_parts, tf_parts, blk_parts = [], [], [], [], []
     terms: dict[str, tuple] = {}
     p_off = 0
     b_off = 0
@@ -779,12 +825,19 @@ def _decode_bucket_shared(path: str, k1: float, b: float, avgdl: float, dl):
         doc_parts.append(doc_ids)
         tfp_parts.append(tf_part)
         ub_parts.append(ub)
+        tf_parts.append(tfs.astype(np.int32))
+        blk_parts.append(blocks)
         p_off += n
         b_off += nb
     return {
         "terms": terms,
         "doc_ids": np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64),
         "tf_part": np.concatenate(tfp_parts) if tfp_parts else np.empty(0, np.float64),
+        # raw tfs + block structs ride along (int32 + 20 B/block): they let
+        # a MultiSearcher over shared segments recompute tf_part/block_ub
+        # against GLOBAL stats, and tombstone tightening find block starts
+        "tfs": np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int32),
+        "blocks": np.concatenate(blk_parts) if blk_parts else np.empty(0, BLOCK_DTYPE),
         "block_ub": np.concatenate(ub_parts) if ub_parts else np.empty(0, np.float64),
     }
 
@@ -839,6 +892,7 @@ class SharedSearcher(Searcher):
         self._shared_buckets: dict[int, dict] = {}
         self._cache: dict[str, Postings | None] = {}
         self._result_cache: dict[tuple, list] = {}
+        self._blocks_scored = 0
         # tombstones snapshot travels with the handle (all actors see the
         # same exclusion state the handle was built with)
         self.excluded = handle.excluded
@@ -858,9 +912,12 @@ class SharedSearcher(Searcher):
             self._cache[term] = None
             return None
         p0, p1, df, b0, b1 = meta
-        p = Postings(term, df, 0, data["doc_ids"][p0:p1], None, None,
-                     data["tf_part"][p0:p1])
+        p = Postings(
+            term, df, 0, data["doc_ids"][p0:p1], data["tfs"][p0:p1],
+            data["blocks"][b0:b1], data["tf_part"][p0:p1],
+        )
         p.block_ub = data["block_ub"][b0:b1]
+        self._apply_tombstones(p)
         self._cache[term] = p
         return p
 

@@ -542,3 +542,47 @@ def test_hot_term_autodetection_salts_zipf_head(corpus, tmp_path_factory):
         with open(os.path.join(auto, "postings", f), "rb") as fh:
             b2 = fh.read()
         assert b1 == b2, f"bucket file {f} differs under auto-salting"
+
+
+def test_tombstone_block_skipping_and_single_term(tmp_path_factory, corpus):
+    """Round-2 verdict item 6: (a) REGRESSION — a single-term query must not
+    leak a tombstoned doc through the few-blocks early path; (b) a large
+    exclusion set covering whole blocks tightens block bounds to 0 so the
+    pruned executor touches FEWER blocks, with results identical to
+    filtering the unexcluded ranking."""
+    from rayfts.admin import exclude_docs
+    from rayfts.search import SharedIndexHandle, SharedSearcher
+
+    big = str(tmp_path_factory.mktemp("corpus_tomb2"))
+    write_transcripts(big, n_convs=600, seed=7)  # "the" df >> 8 blocks
+    d = str(tmp_path_factory.mktemp("index_tomb2"))
+    build_index(big, cfg=IndexJobConfig(index_dir=d, term_buckets=4))
+    s0 = Searcher(d)
+
+    # (a) single-term leak regression (df small -> nblocks <= 4 early path)
+    victim = s0.search("w0007", k=1)[0][0]
+    exclude_docs(d, [victim])
+    s1 = Searcher(d)
+    assert victim not in [doc for doc, _ in s1.search("w0007", k=10)]
+
+    # (b) exclude every doc of blocks 2..5 of the hottest term
+    p = s0.lookup("the")
+    assert p.block_ub.size > 8, "fixture corpus should give 'the' many blocks"
+    kill = p.doc_ids[2 * 128 : 6 * 128].tolist()
+    exclude_docs(d, kill)  # appends to the previous exclusion
+    s2 = Searcher(d)
+    full = s0.search("the", k=s0.N)
+    gone = set(kill) | {victim}
+    expect = [h for h in full if h[0] not in gone][:10]
+    for algo in ("taat", "wand"):
+        assert s2.search("the", k=10, algo=algo) == expect, algo
+    shared = SharedSearcher(SharedIndexHandle(d))
+    assert shared.search("the", k=10) == expect
+    assert shared.search("the", k=10, algo="wand") == expect
+    # fewer blocks touched: 4 whole blocks carry ub 0 and are never sliced
+    s0._blocks_scored = 0
+    s0.search("the", k=10)
+    base_blocks = s0._blocks_scored
+    s2._blocks_scored = 0
+    s2.search("the", k=10)
+    assert s2._blocks_scored <= base_blocks - 4
