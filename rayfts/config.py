@@ -83,11 +83,61 @@ class IndexJobConfig:
 
     @staticmethod
     def from_file(path: str, **overrides) -> "IndexJobConfig":
-        with open(path) as f:
-            data = json.load(f)
+        """Load config from JSON or ``.properties`` (key=value) — the
+        reference's file format (ElasticSearchWriterFactory.java:51-54,
+        utils/Parameters.java:51-82). Same precedence either way:
+        defaults -> file -> explicit overrides. Properties values are
+        coerced by the target field's type (bool/int/float/tuple via
+        comma-split)."""
+        if path.endswith(".properties"):
+            data = _parse_properties(path)
+        else:
+            with open(path) as f:
+                data = json.load(f)
         data.update(overrides)
         fields = {f.name for f in dataclasses.fields(IndexJobConfig)}
         return IndexJobConfig(**{k: v for k, v in data.items() if k in fields})
 
     def replace(self, **kw) -> "IndexJobConfig":
         return dataclasses.replace(self, **kw)
+
+
+def _parse_properties(path: str) -> dict:
+    """Java-style ``key=value`` properties: '#'/'!' comments, blank lines
+    skipped, values type-coerced to the matching dataclass field (booleans
+    accept true/false/yes/no/1/0; tuple fields split on commas)."""
+    import typing
+
+    hints = typing.get_type_hints(IndexJobConfig)
+    fields = {f.name: f for f in dataclasses.fields(IndexJobConfig)}
+    out: dict = {}
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line[0] in "#!":
+                continue
+            if "=" not in line:
+                raise ValueError(f"malformed properties line: {raw!r}")
+            key, _, val = line.partition("=")
+            key, val = key.strip(), val.strip()
+            if key not in fields:
+                out[key] = val  # unknown keys dropped by from_file (ref-compat)
+                continue
+            hint = hints[key]
+            origin = typing.get_origin(hint)
+            if hint is bool:
+                out[key] = val.lower() in ("true", "yes", "1")
+            elif hint is int:
+                out[key] = int(val)
+            elif hint is float:
+                out[key] = float(val)
+            elif origin is tuple:
+                items = [v.strip() for v in val.split(",") if v.strip()]
+                args = typing.get_args(hint)
+                if args and args[0] is int:
+                    out[key] = tuple(int(v) for v in items)
+                else:
+                    out[key] = tuple(items)
+            else:
+                out[key] = val
+    return out

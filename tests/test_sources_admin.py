@@ -99,3 +99,78 @@ def test_config_cascade(tmp_path):
     assert c.b == 0.75           # default preserved
     c2 = c.replace(b=0.5)
     assert c2.b == 0.5 and c.b == 0.75
+
+
+def test_config_cascade_properties_file(tmp_path):
+    """.properties key=value files load with the same precedence as JSON
+    (ref ElasticSearchWriterFactory.java:51-54, utils/Parameters.java:51-82),
+    with type coercion per field."""
+    from rayfts.config import IndexJobConfig
+
+    p = tmp_path / "job.properties"
+    p.write_text(
+        "# reference-style properties file\n"
+        "! alt comment\n"
+        "k1=1.5\n"
+        "term_buckets=7\n"
+        "overwrite=false\n"
+        "detect_sorted_input=yes\n"
+        "keyword_cols=role, tool\n"
+        "salt_hot_terms=the,a\n"
+        "unknown.key=ignored\n"
+    )
+    c = IndexJobConfig.from_file(str(p), term_buckets=9)
+    assert c.k1 == 1.5
+    assert c.term_buckets == 9        # explicit override wins
+    assert c.overwrite is False
+    assert c.detect_sorted_input is True
+    assert c.keyword_cols == ("role", "tool")
+    assert c.salt_hot_terms == ("the", "a")
+    assert c.b == 0.75                # default preserved
+
+
+def test_build_from_json_identical_to_parquet_build(tmp_path):
+    """E2E source parity (round-2 verdict item 8): building the index from a
+    JSON-lines export (ISO timestamps) through read_transcripts_json must
+    produce postings files BYTE-identical to the parquet build and an
+    equal docstore. JSON is the convert-at-read path: it normalizes to
+    TRANSCRIPT_SCHEMA batches and flows through the same sort + build."""
+    import pyarrow.parquet as pq
+
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import generate_transcripts
+    from rayfts.sources import read_transcripts_json
+
+    t = generate_transcripts(20, seed=42)
+    pq_path = tmp_path / "corpus.parquet"
+    pq.write_table(t, pq_path)
+    jl_path = tmp_path / "corpus.jsonl"
+    with open(jl_path, "w") as f:
+        for r in t.to_pylist():
+            r = dict(r)
+            r["ts"] = r["ts"].isoformat()
+            f.write(json.dumps(r) + "\n")
+
+    d_pq = str(tmp_path / "idx_pq")
+    d_js = str(tmp_path / "idx_js")
+    build_index(
+        str(pq_path), cfg=IndexJobConfig(index_dir=d_pq, term_buckets=4)
+    )
+    build_index(
+        read_transcripts_json(str(jl_path)),
+        cfg=IndexJobConfig(index_dir=d_js, term_buckets=4),
+    )
+    for f_ in sorted(os.listdir(os.path.join(d_pq, "postings"))):
+        with open(os.path.join(d_pq, "postings", f_), "rb") as fh:
+            b1 = fh.read()
+        with open(os.path.join(d_js, "postings", f_), "rb") as fh:
+            b2 = fh.read()
+        assert b1 == b2, f_
+    s1 = pq.read_table(os.path.join(d_pq, "docstore")).sort_by(
+        [("doc_id", "ascending")]
+    )
+    s2 = pq.read_table(os.path.join(d_js, "docstore")).sort_by(
+        [("doc_id", "ascending")]
+    )
+    assert s1.equals(s2.select(s1.column_names).cast(s1.schema))
