@@ -85,6 +85,10 @@ def documents_index(sf_dir: str) -> str:
         # column through the docstore too
         tag_map_cols=("lang", "source"),
         term_buckets=16,
+        # hot-term salting on the flagship path too (bucket files are
+        # byte-identical to an unsalted build — pinned by tests)
+        salt_df_threshold=200,
+        hot_term_salts=4,
     )
     build_index(ds, cfg=cfg, rows_per_part=100_000)
     return index_dir
