@@ -130,13 +130,23 @@ class Searcher:
             self._buckets[bucket] = {}
             return {}
         t = pq.read_table(path)
-        rows: dict[str, dict] = {}
-        terms = t["term"].to_pylist()
+        # bulk column conversion (one Arrow->py pass per column; the
+        # per-cell .as_py() loop measured as the warm-up hot spot at large
+        # vocabularies — same fix the shared decode path carries)
         cols = {
-            c: t[c] for c in ("df", "cf", "doc_bytes", "tf_bytes", "block_bytes")
+            c: t[c].to_pylist()
+            for c in ("term", "df", "cf", "doc_bytes", "tf_bytes", "block_bytes")
         }
-        for i, term in enumerate(terms):
-            rows[term] = {c: cols[c][i].as_py() for c in cols}
+        rows: dict[str, dict] = {
+            term: {
+                "df": cols["df"][i],
+                "cf": cols["cf"][i],
+                "doc_bytes": cols["doc_bytes"][i],
+                "tf_bytes": cols["tf_bytes"][i],
+                "block_bytes": cols["block_bytes"][i],
+            }
+            for i, term in enumerate(cols["term"])
+        }
         self._buckets[bucket] = rows
         return rows
 

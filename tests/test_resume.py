@@ -153,3 +153,31 @@ def test_resume_rebuilds_only_missing_bucket(corpus, tmp_path_factory):
     )
     assert m2["n_terms"] == m1["n_terms"]
     assert Searcher(d).search("the w0007", k=5)
+
+
+def test_resume_missing_bucket_with_salted_hot_term(corpus, tmp_path_factory):
+    """Resume x salting: deleting a bucket that holds a SALTED hot term and
+    resuming must re-run the salted merge pipeline for that bucket only and
+    reproduce the file byte-identically."""
+    import os
+
+    from rayfts.build import build_index, term_bucket_py
+    from rayfts.config import IndexJobConfig
+
+    d = str(tmp_path_factory.mktemp("idx_salt_resume"))
+    cfg = IndexJobConfig(
+        index_dir=d, term_buckets=4, salt_hot_terms=("the",), hot_term_salts=3
+    )
+    build_index(corpus, cfg=cfg, rows_per_part=100)
+    hot_bucket = term_bucket_py("the", 4)
+    f = os.path.join(d, "postings", f"bucket-{hot_bucket:04d}.parquet")
+    with open(f, "rb") as fh:
+        want = fh.read()
+    os.remove(f)
+    os.remove(
+        os.path.join(d, "_checkpoints", "postings", f"bucket-{hot_bucket:04d}.json")
+    )
+    build_index(corpus, cfg=cfg.replace(resume=True), rows_per_part=100)
+    with open(f, "rb") as fh:
+        got = fh.read()
+    assert got == want
