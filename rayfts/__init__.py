@@ -21,6 +21,7 @@ Layout:
   oracle     - brute-force pure-Python BM25 oracle             [SURVEY §5]
   manifest   - per-partition checkpoint manifest, atomic publish
   hooks      - post-build IndexBuilder extension surface       [SURVEY X1]
+  segments   - segmented multi-node builds + MultiSearcher root (SCALE.md)
   extras/    - training-data-pipeline operators: dedup, similarity
                search, text stats, multimodal plumbing
 """

@@ -88,3 +88,51 @@ def test_sharded_over_shared_segments_identical(indexes):
     ids = [0, single.N - 1, 5]
     got = shared.get_by_global_doc_id(ids)
     assert got["text"].to_pylist() == single.get_by_doc_id(ids)["text"].to_pylist()
+
+
+def test_build_segments_api(tmp_path_factory):
+    """segments.build_segments + open_multisearcher: the packaged multi-node
+    composition is bit-identical to one global index, verifies disjoint
+    key ranges, and serves the shared zero-copy path."""
+    import ray.data as rd
+
+    from rayfts.segments import build_segments, open_multisearcher
+
+    root = str(tmp_path_factory.mktemp("segroot"))
+    t = generate_transcripts(40, seed=42)
+    cut1, cut2 = "conv-0000014", "conv-0000028"
+    parts = [
+        t.filter(pc.less(t["conv_id"], cut1)),
+        t.filter(
+            pc.and_(
+                pc.greater_equal(t["conv_id"], cut1), pc.less(t["conv_id"], cut2)
+            )
+        ),
+        t.filter(pc.greater_equal(t["conv_id"], cut2)),
+    ]
+    full_dir = str(tmp_path_factory.mktemp("segfull"))
+    build_index(
+        rd.from_arrow(t), cfg=IndexJobConfig(index_dir=full_dir, term_buckets=4)
+    )
+    dirs = build_segments(
+        [rd.from_arrow(p) for p in parts],
+        root,
+        cfg=IndexJobConfig(term_buckets=4),
+    )
+    assert len(dirs) == 3
+    single = Searcher(full_dir)
+    for shared in (False, True):
+        ms = open_multisearcher(root, shared=shared)
+        assert ms.N == single.N
+        for q in REFERENCE_QUERIES + ["the a to ok"]:
+            assert ms.search(q, k=20) == single.search(q, k=20), (q, shared)
+
+    # overlapping segment inputs must raise (W2 invariant at segment level)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="overlap"):
+        build_segments(
+            [rd.from_arrow(parts[1]), rd.from_arrow(parts[0])],
+            str(tmp_path_factory.mktemp("segbad")),
+            cfg=IndexJobConfig(term_buckets=4),
+        )
