@@ -538,12 +538,12 @@ class _ShingleEmitter:
     def __init__(self, ids_ref, shingle_k: int):
         ids = ray.get(ids_ref) if not isinstance(ids_ref, np.ndarray) else ids_ref
         self.ids = ids  # sorted int64
+        # Arrow value_set built ONCE per actor (ST1 rule), not per batch
+        self.ids_arr = pa.array(ids, pa.int64())
         self.k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.is_in(batch["doc_id"], value_set=pa.array(self.ids, pa.int64()))
+        keep = pc.is_in(batch["doc_id"], value_set=self.ids_arr)
         sub = batch.filter(keep)
         if sub.num_rows == 0:
             return pa.table(
