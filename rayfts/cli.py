@@ -101,6 +101,45 @@ def cmd_exclude(args) -> int:
     return 0
 
 
+def cmd_build_segments(args) -> int:
+    """One resumable index per key-range input (SCALE.md segmenting):
+    --inputs takes comma-separated parquet dirs/files, one SEGMENT each,
+    in ascending key order (verified from the built docstores)."""
+    ray = _ray_session()
+    from .config import IndexJobConfig
+    from .segments import build_segments
+
+    cfg = (
+        IndexJobConfig.from_file(args.config)
+        if args.config
+        else IndexJobConfig()
+    )
+    cfg = cfg.replace(resume=args.resume)
+    dirs = build_segments(
+        [p.strip() for p in args.inputs.split(",")],
+        args.root,
+        cfg=cfg,
+        rows_per_part=args.rows_per_part,
+    )
+    print(json.dumps({"segments": dirs}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_search_root(args) -> int:
+    """Query a segment root through MultiSearcher (global stats merge)."""
+    ray = _ray_session()
+    from .segments import open_multisearcher
+
+    ms = open_multisearcher(args.root, shared=args.shared)
+    for rank, (doc_id, score) in enumerate(
+        ms.search(args.query, k=args.k, algo=args.algo), 1
+    ):
+        print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_info(args) -> int:
     from .manifest import load_manifest
 
@@ -148,6 +187,24 @@ def main(argv=None) -> int:
     e.add_argument("--doc-ids", help="comma-separated doc ids to tombstone")
     e.add_argument("--clear", action="store_true")
     e.set_defaults(fn=cmd_exclude)
+
+    bs = sub.add_parser("build-segments")
+    bs.add_argument("--inputs", required=True,
+                    help="comma-separated inputs, one segment each, key-ordered")
+    bs.add_argument("--root", required=True)
+    bs.add_argument("--config")
+    bs.add_argument("--resume", action="store_true")
+    bs.add_argument("--rows-per-part", type=int, default=250_000)
+    bs.set_defaults(fn=cmd_build_segments)
+
+    sr = sub.add_parser("search-root")
+    sr.add_argument("--root", required=True)
+    sr.add_argument("--query", required=True)
+    sr.add_argument("-k", type=int, default=10)
+    sr.add_argument("--algo", default="taat", choices=["taat", "wand"])
+    sr.add_argument("--shared", action="store_true",
+                    help="decode segments once into the object store")
+    sr.set_defaults(fn=cmd_search_root)
 
     i = sub.add_parser("info")
     i.add_argument("--index", required=True)
