@@ -139,8 +139,11 @@ def run_bench() -> dict:
     hits = run_queries(
         index_dir, queries, k=10, algo="taat",
         # fixed-size pool: autoscaling from 1 lags the whole phase
-        # (measured 703 vs 1408 q/s at 16 actors)
-        concurrency=max(2, NUM_CPUS * 3 // 4),
+        # (measured 703 vs 1408 q/s at 16 actors). Pool size == NUM_CPUS so
+        # the actor:cpu ratio is IDENTICAL at every scaling level — the old
+        # 3//4 sizing gave 2 actors at 2 cpus but 6 at 8, a structural 0.75
+        # ceiling baked into the measured query scaling efficiency
+        concurrency=max(2, NUM_CPUS),
         shared_handle=handle,
     )
     n_hits = hits.count()
