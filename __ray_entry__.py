@@ -32,7 +32,9 @@ _DL_CTE = (
 )
 
 
-def _bm25_sql(query_terms: list[str], k: int) -> str:
+def _bm25_sql(query_terms: list[str], k: int, where_sql: str = "") -> str:
+    """``where_sql`` restricts the FINAL hits (Lucene filtered-query
+    semantics: df/avgdl/N stay corpus-global, the filter only prunes)."""
     vals = ",".join(f"('{t}')" for t in query_terms)
     return f"""
 WITH {_TOKS_CTE},
@@ -56,8 +58,9 @@ scores AS (
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
-SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
-FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6
+FROM scores s2 JOIN documents d2 USING (doc_id) {where_sql}
+ORDER BY s2.score DESC, s2.doc_id LIMIT {k}
 """
 
 
@@ -89,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bm25_top10": P.fts_bm25_top10,
         "fts_bm25_top10_wand": P.fts_bm25_top10_wand,
         "fts_bm25_hot_top20": P.fts_bm25_hot_top20,
+        "fts_bm25_filtered_top10": P.fts_bm25_filtered_top10,
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
         "fts_tags_filter_count": P.fts_tags_filter_count,  # F7 dynamic tags
@@ -140,6 +144,9 @@ SELECT doc_id, dl FROM dl
 """,
         "fts_bm25_top10": _bm25_sql(sorted(set(P.BM25_QUERY.split())), 10),
         "fts_bm25_top10_wand": _bm25_sql(sorted(set(P.BM25_QUERY.split())), 10),
+        "fts_bm25_filtered_top10": _bm25_sql(
+            sorted(set(P.BM25_QUERY.split())), 10, "WHERE d2.lang = 'en'"
+        ),
         "fts_bm25_hot_top20": _bm25_sql(sorted(set(P.BM25_QUERY_HOT.split())), 20),
         "fts_term_doc_count": f"""
 WITH {_TOKS_CTE}

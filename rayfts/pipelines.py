@@ -175,6 +175,22 @@ def fts_bm25_hot_top20(sf_dir: str) -> pa.Table:
     return _bm25(sf_dir, BM25_QUERY_HOT, 20, "wand")
 
 
+def fts_bm25_filtered_top10(sf_dir: str) -> pa.Table:
+    """Filtered BM25 (ES filtered-search analog, ESNodeITest.java:61-172
+    with the geo filter swapped for a keyword column): top-10 restricted
+    to lang='en', scoring statistics GLOBAL (Lucene filter semantics)."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search(BM25_QUERY, k=10, where={"lang": "en"})
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in hits], pa.int64()),
+            "score_e6": pa.array([round(sc * 1e6) for _, sc in hits], pa.int64()),
+        }
+    )
+
+
 def fts_term_doc_count(sf_dir: str) -> pa.Table:
     """df for fixed probe terms (exact-count conformance, A2 analog)."""
     index_dir = documents_index(sf_dir)

@@ -105,6 +105,7 @@ class Searcher:
         self.excluded = np.array(excluded_docs(index_dir), dtype=np.int64)
         self._excluded_set = set(self.excluded.tolist())
         self._cache: dict[str, Postings | None] = {}
+        self._filter_masks: dict[tuple, np.ndarray] = {}
         self._blocks_scored = 0  # pruning instrumentation (tests/diagnostics)
         # bucket -> {term: encoded row dict}; a query term loads its whole
         # hash bucket once (one columnar file read) and every later term in
@@ -201,17 +202,43 @@ class Searcher:
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
+    def filter_mask(self, **equals) -> np.ndarray:
+        """Dense doc_id -> bool mask for keyword-column equality filters
+        (built once per distinct filter per searcher from a column-pruned
+        docstore read; ref analog: ES filtered search, the GeoShape/
+        GeoDistance-filter tests ESNodeITest.java:61-172 with the payload
+        swapped for keyword columns)."""
+        key = tuple(sorted(equals.items()))
+        cached = self._filter_masks.get(key)
+        if cached is not None:
+            return cached
+        ds = pads.dataset(self._docstore_dir)
+        expr = None
+        for col, val in equals.items():
+            e = pads.field(col).is_null() if val is None else (pads.field(col) == val)
+            expr = e if expr is None else (expr & e)
+        t = ds.to_table(filter=expr, columns=["doc_id"])
+        mask = np.zeros(self.N, dtype=bool)
+        mask[t["doc_id"].to_numpy(zero_copy_only=False)] = True
+        self._filter_masks[key] = mask
+        return mask
+
     # ------------------------------------------------------------------
     # BM25 search
     # ------------------------------------------------------------------
 
-    def search(self, query: str, k: int = 10, algo: str = "taat"):
+    def search(self, query: str, k: int = 10, algo: str = "taat",
+               where: dict | None = None):
         """Top-k [(doc_id, score)] — (score desc, doc_id asc).
 
         algo="taat": vectorized term-at-a-time union (default; O(total
         postings) numpy, the throughput path). algo="wand": doc-at-a-time
         block-max WAND (the skipping executor). Both accumulate per-doc
         contributions in ascending unique-term order -> bit-identical.
+
+        ``where`` restricts hits to docs matching keyword-column equality
+        filters (Lucene filtered-query semantics: scoring statistics stay
+        GLOBAL — the filter prunes candidates, never reweights).
         """
         if k <= 0:
             return []
@@ -221,25 +248,26 @@ class Searcher:
         plist = [(t, q, p) for t, q, p in plist if p is not None]
         if not plist:
             return []
+        mask = self.filter_mask(**where) if where else None
         if algo == "taat":
-            key = (query, k)
+            key = (query, k, tuple(sorted(where.items())) if where else None)
             cached = self._result_cache.get(key)
             if cached is not None:
                 return list(cached)
             if len(plist) == 1:
-                out = self._search_single_pruned(plist[0], k)
+                out = self._search_single_pruned(plist[0], k, mask)
             else:
-                out = self._search_taat(plist, k)
+                out = self._search_taat(plist, k, mask)
             if len(self._result_cache) >= 4096:
                 self._result_cache.clear()
             self._result_cache[key] = out
             return list(out)
-        return self._search_wand(plist, k)
+        return self._search_wand(plist, k, mask=mask)
 
     def _term_weight(self, qtf: int, df: int) -> float:
         return qtf * self.idf(df)
 
-    def _search_single_pruned(self, entry, k):
+    def _search_single_pruned(self, entry, k, mask=None):
         """Exact single-term top-k with block-max pruning.
 
         Blocks are processed in DESCENDING bound order in chunks; a
@@ -253,11 +281,13 @@ class Searcher:
         n = p.doc_ids.size
         nblocks = p.block_ub.size
         if nblocks <= 4:
-            if p.live_mask is None:
-                return self._topk_from(p.doc_ids, w * p.tf_part, k)
-            return self._topk_from(
-                p.doc_ids[p.live_mask], w * p.tf_part[p.live_mask], k
-            )
+            d, sc = p.doc_ids, w * p.tf_part
+            if p.live_mask is not None:
+                d, sc = d[p.live_mask], sc[p.live_mask]
+            if mask is not None:
+                keep = mask[d]
+                d, sc = d[keep], sc[keep]
+            return self._topk_from(d, sc, k)
         order = np.argsort(-p.block_ub, kind="stable")
         if p.live_mask is not None:
             # tombstone-tightened bounds: ub == 0 <=> every posting in the
@@ -281,6 +311,9 @@ class Searcher:
                 s = w * p.tf_part[lo:hi]
                 if p.live_mask is not None:
                     keep = p.live_mask[lo:hi]
+                    d, s = d[keep], s[keep]
+                if mask is not None:
+                    keep = mask[d]
                     d, s = d[keep], s[keep]
                 parts_d.append(d)
                 parts_s.append(s)
@@ -306,7 +339,7 @@ class Searcher:
     # docs-per-term cap under which a term is "essential" for MaxScore
     MAXSCORE_DF_CAP = 4096
 
-    def _search_maxscore(self, plist, k):
+    def _search_maxscore(self, plist, k, mask=None):
         """Vectorized MaxScore: exact top-k that touches hot posting lists
         only at CANDIDATE positions.
 
@@ -346,6 +379,8 @@ class Searcher:
             if len(essential) == 1
             else np.unique(np.concatenate([live_ids(e[2]) for e in essential]))
         )
+        if mask is not None:
+            cands = cands[mask[cands]]
         if cands.size < k:
             return None
         scores = np.zeros(cands.size, dtype=np.float64)
@@ -360,7 +395,7 @@ class Searcher:
             return None  # a hot-only doc could reach the top-k: fall back
         return self._topk_from(cands, scores, k)
 
-    def _search_taat(self, plist, k):
+    def _search_taat(self, plist, k, mask=None):
         """Vectorized term-at-a-time scoring into a reusable dense
         accumulator (one float64 slot per doc of this segment — per-segment
         N is bounded in the sharded design, so this is O(segment) memory
@@ -369,7 +404,7 @@ class Searcher:
         accumulation order, so scores are bit-identical to the spec.
         Multi-term queries first try the MaxScore path (exact, candidate-
         only work); this full scatter is the fallback."""
-        out = self._search_maxscore(plist, k)
+        out = self._search_maxscore(plist, k, mask)
         if out is not None:
             return out
         buf = getattr(self, "_score_buf", None)
@@ -388,6 +423,8 @@ class Searcher:
             idx = np.flatnonzero(buf > 0.0)  # contributions strictly positive
         if self.excluded.size:
             idx = idx[~np.isin(idx, self.excluded)]
+        if mask is not None:
+            idx = idx[mask[idx]]
         scores = buf[idx].copy()
         for t in touched:  # reset only touched slots for the next query
             buf[t] = 0.0
@@ -401,7 +438,7 @@ class Searcher:
         return [(int(idx[i]), float(scores[i])) for i in order]
 
     def _search_wand(self, plist, k, weights: dict | None = None,
-                     excluded_set=None):
+                     excluded_set=None, mask=None):
         """Block-max WAND over (tf_part, block_ub) — the precomputed
         query-independent factors, so the SAME executor serves both the
         file-based Searcher and the zero-copy SharedSearcher (round-1 kept
@@ -461,7 +498,9 @@ class Searcher:
                 break
             if cur_doc(curs[0]) == pivot_doc:
                 on_doc = [c for c in curs if cur_doc(c) == pivot_doc]
-                if pivot_doc not in excluded_set:
+                if pivot_doc not in excluded_set and (
+                    mask is None or mask[pivot_doc]
+                ):
                     on_doc.sort(key=lambda c: c.term)
                     score = 0.0
                     for c in on_doc:  # ascending-term order == oracle order
@@ -692,13 +731,15 @@ class MultiSearcher:
         )
         return gp
 
-    def search(self, query: str, k: int = 10, algo: str = "taat"):
+    def search(self, query: str, k: int = 10, algo: str = "taat",
+               where: dict | None = None):
         """Top-k [(global_doc_id, score)] — (score desc, doc_id asc).
 
         algo="wand": block-max WAND runs per segment with GLOBAL term
         weights and global-avgdl factors, then the per-segment top-k heaps
         merge — identical results to the TAAT path and to a single global
-        index (pinned by tests)."""
+        index (pinned by tests). ``where`` applies per-segment keyword
+        filters (local docstore masks; scoring stats stay global)."""
         if k <= 0:
             return []
         qtf = Counter(tokenize_query(query))
@@ -732,7 +773,10 @@ class MultiSearcher:
                     (term, qtf[term], self._global_postings(si, term, p))
                     for term, p in plist
                 ]
-                hits = seg._search_wand(gplist, k, weights=weights)
+                hits = seg._search_wand(
+                    gplist, k, weights=weights,
+                    mask=seg.filter_mask(**where) if where else None,
+                )
                 off = int(self.offsets[si])
                 merged.extend((doc + off, sc) for doc, sc in hits)
             merged.sort(key=lambda h: (-h[1], h[0]))
@@ -755,6 +799,9 @@ class MultiSearcher:
             )
             if seg.excluded.size:  # per-segment tombstones (local ids)
                 idx = idx[~np.isin(idx, seg.excluded)]
+            if where:
+                m = seg.filter_mask(**where)
+                idx = idx[m[idx]]
             all_docs.append(idx + self.offsets[si])
             all_scores.append(buf[idx].copy())
         docs = np.concatenate(all_docs)
@@ -899,9 +946,15 @@ class SharedSearcher(Searcher):
         self.num_buckets = m["term_buckets"]
         self.dl = ray.get(handle.dl_ref)
         self._handle = handle
+        import os as _os
+
+        # docstore path for filter_mask / multiget (file-side; the hot
+        # postings stay zero-copy shared)
+        self._docstore_dir = _os.path.join(handle.index_dir, "docstore")
         self._shared_buckets: dict[int, dict] = {}
         self._cache: dict[str, Postings | None] = {}
         self._result_cache: dict[tuple, list] = {}
+        self._filter_masks: dict[tuple, np.ndarray] = {}
         self._blocks_scored = 0
         # tombstones snapshot travels with the handle (all actors see the
         # same exclusion state the handle was built with)

@@ -476,7 +476,7 @@ def test_maxscore_prune_bit_identical(index_dir):
     k larger than the candidate sets."""
     s_fast = Searcher(index_dir)
     s_full = Searcher(index_dir)
-    s_full._search_maxscore = lambda plist, k: None  # force the full path
+    s_full._search_maxscore = lambda plist, k, mask=None: None  # force full path
     queries = [
         "the w0007",          # hot + cold
         "the a",              # hot + hot
@@ -586,3 +586,38 @@ def test_tombstone_block_skipping_and_single_term(tmp_path_factory, corpus):
     s2._blocks_scored = 0
     s2.search("the", k=10)
     assert s2._blocks_scored <= base_blocks - 4
+
+
+def test_filtered_search_all_executors(index_dir, oracle):
+    """Filtered BM25 (ref analog: ES filtered search, ESNodeITest.java
+    filter tests with the geo payload swapped for keyword columns): hits
+    restrict to the keyword filter, scores keep GLOBAL stats — equal to
+    filtering the unfiltered ranking. All executors + shared agree."""
+    import pyarrow.parquet as pq2
+
+    from rayfts.search import SharedIndexHandle, SharedSearcher
+
+    s = Searcher(index_dir)
+    store = pq2.read_table(
+        os.path.join(index_dir, "docstore"), columns=["doc_id", "role"]
+    ).sort_by([("doc_id", "ascending")])
+    roles = store["role"].to_pylist()
+    shared = SharedSearcher(SharedIndexHandle(index_dir))
+    for q in ["the w0007 bash", "the a", "w0007"]:
+        full = s.search(q, k=s.N)
+        for role in ("user", "tool"):
+            expect = [h for h in full if roles[h[0]] == role][:10]
+            got = s.search(q, k=10, where={"role": role})
+            assert got == expect, (q, role)
+            assert s.search(q, k=10, algo="wand", where={"role": role}) == expect
+            assert shared.search(q, k=10, where={"role": role}) == expect
+    # filters compose (role AND tool), and a no-match filter returns []
+    tools = pq2.read_table(
+        os.path.join(index_dir, "docstore"), columns=["doc_id", "tool"]
+    ).sort_by([("doc_id", "ascending")])["tool"].to_pylist()
+    full = s.search("the", k=s.N)
+    expect2 = [
+        h for h in full if roles[h[0]] == "tool" and tools[h[0]] == "bash"
+    ][:5]
+    assert s.search("the", k=5, where={"role": "tool", "tool": "bash"}) == expect2
+    assert s.search("the", k=5, where={"role": "no-such-role"}) == []
