@@ -163,20 +163,26 @@ def analyze_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
 
 
 def partial_stream_batch(
-    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+    positions: bool = False,
 ):
     """Map-side combiner, STREAM form (the shuffle-payload-optimized path):
     one batch -> term-major partial posting streams ready for one-shot
     varint encoding.
 
-    Returns (terms, df, doc_gaps, tfs, doc_lens):
+    Returns (terms, df, doc_gaps, tfs, doc_lens, pos_gaps):
       terms    : pa.StringArray, one row per distinct term (sorted);
       df       : np.int64 postings per term (segment lengths);
       doc_gaps : np.uint64 doc-id delta stream, term-major — each term
                  segment's FIRST value is the absolute doc_id
                  (codec delta_encode convention), later values are gaps;
       tfs      : np.uint32 term frequencies aligned with doc_gaps;
-      doc_lens : np.int32 token count per input row (norms).
+      doc_lens : np.int32 token count per input row (norms);
+      pos_gaps : np.uint32 within-doc token-position stream (Lucene .pos
+                 analog), occurrence-major aligned with the posting stream
+                 (posting j owns the next tfs[j] values); per (term, doc)
+                 group the FIRST value is the absolute 0-based position,
+                 later values are gaps. None when ``positions`` is False.
 
     Compared to the list-of-int64 partial tables this is what the bucket
     exchange ships after varint encoding: ~1-2 bytes per posting instead of
@@ -193,12 +199,38 @@ def partial_stream_batch(
             np.empty(0, np.uint64),
             np.empty(0, np.uint32),
             doc_lens,
+            np.empty(0, np.uint32) if positions else None,
         )
     doc_ids_np = batch[id_col].to_numpy(zero_copy_only=False)
     denc = pc.dictionary_encode(flat)
     tidx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     key = tidx * n + parent
-    uk, counts = np.unique(key, return_counts=True)
+    pos_gaps = None
+    if positions:
+        # stable sort keeps same-(term,doc) occurrences in original token
+        # order == ascending within-doc position
+        from .codec import run_spread
+
+        ntok = key.size
+        run_starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(parent)) + 1]
+        ).astype(np.int64)
+        pos_in_doc = np.arange(ntok, dtype=np.int64) - run_spread(
+            run_starts, run_starts, ntok
+        )
+        occ_order = np.argsort(key, kind="stable")
+        sk = key[occ_order]
+        change_o = np.flatnonzero(np.diff(sk)) + 1
+        group_starts = np.concatenate([[0], change_o]).astype(np.int64)
+        uk = sk[group_starts]
+        counts = np.diff(np.append(group_starts, ntok))
+        ps = pos_in_doc[occ_order]
+        pg = ps.copy()
+        pg[1:] -= ps[:-1]
+        pg[group_starts] = ps[group_starts]
+        pos_gaps = pg.astype(np.uint32)
+    else:
+        uk, counts = np.unique(key, return_counts=True)
     t_of = uk // n
     r_of = (uk % n).astype(np.int64)
     change = np.flatnonzero(np.diff(t_of)) + 1
@@ -211,7 +243,7 @@ def partial_stream_batch(
         gaps[1:] = gaps[1:] - docs[:-1].astype(np.uint64)
         starts = offsets[:-1]
         gaps[starts] = docs[starts].astype(np.uint64)
-    return terms, np.diff(offsets), gaps, counts.astype(np.uint32), doc_lens
+    return terms, np.diff(offsets), gaps, counts.astype(np.uint32), doc_lens, pos_gaps
 
 
 def partial_postings_batch(

@@ -404,6 +404,8 @@ def _empty_shard() -> dict:
         "tf_buf": b"",
         "doc_codec": "u16",
         "tf_codec": "u16",
+        "pos_buf": b"",
+        "pos_codec": "u16",
     }
 
 
@@ -416,6 +418,7 @@ def _analyze_partition(
     batch_size: int,
     exchange_codec: str = "u16",
     hot_terms: list[str] | None = None,
+    index_positions: bool = False,
 ):
     """Map side of the hand-rolled hash shuffle: one docstore partition ->
     ``num_buckets`` stream-encoded shard dicts + the partition's dl array
@@ -457,10 +460,12 @@ def _analyze_partition(
         t = pq.read_table(src, columns=["doc_id", text_col])
     else:
         t = src.select(["doc_id", text_col])
-    terms_l, df_l, gaps_l, tfs_l, dl_l = [], [], [], [], []
+    terms_l, df_l, gaps_l, tfs_l, dl_l, pos_l = [], [], [], [], [], []
     for off in range(0, t.num_rows, batch_size):
         b = t.slice(off, batch_size)
-        terms, df, gaps, tfs, dls = partial_stream_batch(b, text_col=text_col)
+        terms, df, gaps, tfs, dls, pgaps = partial_stream_batch(
+            b, text_col=text_col, positions=index_positions
+        )
         _write_norms(norms_dir, b["doc_id"].combine_chunks(), dls)
         dl_l.append(dls)
         if len(terms):
@@ -470,6 +475,8 @@ def _analyze_partition(
             df_l.append(df)
             gaps_l.append(gaps)
             tfs_l.append(tfs)
+            if index_positions:
+                pos_l.append(pgaps)
     lo = int(t["doc_id"][0].as_py()) if t.num_rows else 0
     dl_part = {
         "lo": lo,
@@ -509,6 +516,31 @@ def _analyze_partition(
     idx = run_ranges(src_starts, out_starts, total)
     gaps_o = gaps_all[idx]
     tfs_o = tfs_all[idx]
+    # positions ride the exchange as a third stream, gathered by the SAME
+    # row permutation at OCCURRENCE granularity (posting j owns tfs[j]
+    # consecutive values; per-(term,doc) delta groups move intact)
+    pos_buf, pos_codec, pos_bb = b"", "u16", None
+    if index_positions:
+        pos_all = np.concatenate(pos_l) if pos_l else np.empty(0, np.uint32)
+        row_occ = np.add.reduceat(tfs_all.astype(np.int64), seg_starts)
+        occ_src_starts = np.zeros(nrows, np.int64)
+        np.cumsum(row_occ[:-1], out=occ_src_starts[1:])
+        occ_lens = row_occ[order]
+        occ_out_starts = np.zeros(nrows, np.int64)
+        np.cumsum(occ_lens[:-1], out=occ_out_starts[1:])
+        idxo = run_ranges(occ_src_starts[order], occ_out_starts, int(pos_all.size))
+        pos_o = pos_all[idxo]
+        if exchange_codec == "varint":
+            pos_buf = varint_encode(pos_o)
+            row_pos_nb = np.add.reduceat(varint_nbytes(pos_o), occ_out_starts)
+            pos_codec = "varint"
+        else:
+            pos_dt = np.uint16 if int(pos_o.max(initial=0)) < 65536 else np.uint32
+            pos_buf = pos_o.astype(pos_dt).tobytes()
+            row_pos_nb = occ_lens * np.dtype(pos_dt).itemsize
+            pos_codec = "u16" if pos_dt is np.uint16 else "u32"
+        pos_bb = np.zeros(nrows + 1, np.int64)
+        np.cumsum(row_pos_nb, out=pos_bb[1:])
     # absolute segment starts move to a per-row column; the stream keeps 0
     # there so every stream value is a small gap
     first_doc = gaps_o[out_starts].astype(np.int64)
@@ -556,6 +588,10 @@ def _analyze_partition(
                 "tf_buf": tf_buf[tf_bb[r0] : tf_bb[r1]],
                 "doc_codec": doc_codec,
                 "tf_codec": tf_codec,
+                "pos_buf": (
+                    pos_buf[pos_bb[r0] : pos_bb[r1]] if pos_bb is not None else b""
+                ),
+                "pos_codec": pos_codec,
             }
         )
     return tuple(out) + (dl_part,)
@@ -592,6 +628,7 @@ def _combine_shards(*shards) -> dict:
 
     doc_buf, doc_codec = widen("doc_buf", "doc_codec")
     tf_buf, tf_codec = widen("tf_buf", "tf_codec")
+    pos_buf, pos_codec = widen("pos_buf", "pos_codec")
     return {
         "term": pa.concat_arrays(
             [
@@ -607,6 +644,8 @@ def _combine_shards(*shards) -> dict:
         "tf_buf": tf_buf,
         "doc_codec": doc_codec,
         "tf_codec": tf_codec,
+        "pos_buf": pos_buf,
+        "pos_codec": pos_codec,
     }
 
 
@@ -685,15 +724,16 @@ def _detect_hot_terms(
     )
 
 
-@ray.remote(num_returns=3)
-def _merge_salt_part(*shards):
+@ray.remote(num_returns=4)
+def _merge_salt_part(index_positions: bool, *shards):
     """Merge ONE hot term's shards from one contiguous docID salt range:
     decode each stream once, order segments by first_doc, gather. Returns
-    (count, docs, tfs) — the arrays stay in the object store so the
-    aligned-range encode tasks read them zero-copy."""
+    (count, docs, tfs, pos_gaps) — the arrays stay in the object store so
+    the aligned-range encode tasks read them zero-copy. ``pos_gaps`` is the
+    occurrence-major per-doc delta stream (empty when positions are off)."""
     from .codec import run_ranges, segmented_prefix_sum
 
-    docs_p, tfs_p, df_p, first_p = [], [], [], []
+    docs_p, tfs_p, df_p, first_p, pos_p = [], [], [], [], []
     for sh in shards:
         if sh["df"].size == 0:
             continue
@@ -703,10 +743,15 @@ def _merge_salt_part(*shards):
         gaps = _decode_stream(sh["doc_buf"], sh["doc_codec"])
         docs_p.append(segmented_prefix_sum(gaps, seg_starts, sh["first_doc"]))
         tfs_p.append(_decode_stream(sh["tf_buf"], sh["tf_codec"]).astype(np.int32))
+        if index_positions:
+            pos_p.append(
+                _decode_stream(sh["pos_buf"], sh["pos_codec"]).astype(np.uint32)
+            )
         df_p.append(df)
         first_p.append(sh["first_doc"])
+    empty_pos = np.empty(0, np.uint32)
     if not docs_p:
-        return 0, np.empty(0, np.int64), np.empty(0, np.int32)
+        return 0, np.empty(0, np.int64), np.empty(0, np.int32), empty_pos
     docs_all = np.concatenate(docs_p)
     tfs_all = np.concatenate(tfs_p)
     df_all = np.concatenate(df_p)
@@ -722,23 +767,48 @@ def _merge_salt_part(*shards):
     idx = run_ranges(src_starts, out_starts, total)
     docs_o = docs_all[idx]
     tfs_o = tfs_all[idx]
+    pos_o = empty_pos
+    if index_positions:
+        pos_all = np.concatenate(pos_p) if pos_p else empty_pos
+        row_occ = np.add.reduceat(tfs_all.astype(np.int64), row_starts)
+        occ_src = np.zeros(df_all.size, np.int64)
+        np.cumsum(row_occ[:-1], out=occ_src[1:])
+        occ_lens = row_occ[order]
+        occ_out = np.zeros(df_all.size, np.int64)
+        np.cumsum(occ_lens[:-1], out=occ_out[1:])
+        idxo = run_ranges(occ_src[order], occ_out, int(pos_all.size))
+        pos_o = pos_all[idxo]
     if docs_o.size > 1 and not (docs_o[1:] > docs_o[:-1]).all():
         o2 = np.argsort(docs_o, kind="stable")  # safety net, not the path
+        if index_positions and pos_o.size:
+            occ_pre = np.zeros(docs_o.size, np.int64)
+            np.cumsum(tfs_o[:-1].astype(np.int64), out=occ_pre[1:])
+            occ_out2 = np.zeros(docs_o.size, np.int64)
+            np.cumsum(tfs_o[o2][:-1].astype(np.int64), out=occ_out2[1:])
+            gi = run_ranges(occ_pre[o2], occ_out2, int(pos_o.size))
+            pos_o = pos_o[gi]
         docs_o, tfs_o = docs_o[o2], tfs_o[o2]
-    return int(docs_o.size), docs_o, tfs_o
+    return int(docs_o.size), docs_o, tfs_o, pos_o
 
 
 @ray.remote
 def _encode_salt_range(
     dl: np.ndarray, lo: int, hi: int, part_starts, part_counts,
-    docs_refs: list, tfs_refs: list,
+    docs_refs: list, tfs_refs: list, pos_refs: list | None = None,
 ) -> dict:
     """Encode the hot term's global posting range [lo, hi) — slices the salt
     parts it overlaps (zero-copy object-store views). Interior range starts
     are multiples of BLOCK_SIZE, so every interior block is full and the
-    stitched block metadata equals a whole-list encode byte-for-byte."""
-    docs_p, tfs_p = [], []
-    for gstart, cnt, dref, tref in zip(part_starts, part_counts, docs_refs, tfs_refs):
+    stitched block metadata equals a whole-list encode byte-for-byte.
+
+    With positions, each posting's occurrence group ([cumsum(tfs)] slice of
+    the part's pos stream) travels with it; groups are self-contained
+    (first value absolute within the doc), so range slicing at posting
+    boundaries needs no re-delta."""
+    docs_p, tfs_p, pos_p = [], [], []
+    for i, (gstart, cnt, dref, tref) in enumerate(
+        zip(part_starts, part_counts, docs_refs, tfs_refs)
+    ):
         if gstart + cnt <= lo or gstart >= hi:
             continue  # no overlap: never fetched
         d = ray.get(dref)
@@ -746,16 +816,26 @@ def _encode_salt_range(
         s0, s1 = max(lo - gstart, 0), min(hi - gstart, cnt)
         docs_p.append(d[s0:s1])
         tfs_p.append(f[s0:s1])
+        if pos_refs is not None:
+            p = ray.get(pos_refs[i])
+            occ = np.zeros(cnt + 1, np.int64)
+            np.cumsum(f.astype(np.int64), out=occ[1:])
+            pos_p.append(p[occ[s0] : occ[s1]])
     docs = np.concatenate(docs_p)
     tfs = np.concatenate(tfs_p)
     doc_b, tf_b, blk_b = encode_postings(docs, tfs, dl[docs])
-    return {
+    out = {
         "doc_bytes": doc_b,
         "tf_bytes": tf_b,
         "block_bytes": blk_b,
         "df": int(docs.size),
         "cf": int(tfs.sum()),
     }
+    if pos_refs is not None:
+        from .codec import varint_encode
+
+        out["pos_bytes"] = varint_encode(np.concatenate(pos_p))
+    return out
 
 
 @ray.remote
@@ -768,7 +848,7 @@ def _stitch_hot_term(term: str, bucket_id: int, *parts) -> dict:
     doc_b, tf_b, blk_b = concat_postings(
         [(p["doc_bytes"], p["tf_bytes"], p["block_bytes"]) for p in live]
     )
-    return {
+    out = {
         "term": term,
         "bucket": bucket_id,
         "df": sum(p["df"] for p in live),
@@ -777,26 +857,32 @@ def _stitch_hot_term(term: str, bucket_id: int, *parts) -> dict:
         "tf_bytes": tf_b,
         "block_bytes": blk_b,
     }
+    if live and "pos_bytes" in live[0]:
+        # per-doc position groups are self-contained: byte concat == the
+        # unsalted whole-stream encode (LEB128 is per-value)
+        out["pos_bytes"] = b"".join(p["pos_bytes"] for p in live)
+    return out
 
 
-def _empty_postings_table() -> pa.Table:
-    return pa.table(
-        {
-            "term": pa.array([], pa.string()),
-            "bucket": pa.array([], pa.int32()),
-            "df": pa.array([], pa.int64()),
-            "cf": pa.array([], pa.int64()),
-            "doc_bytes": pa.array([], pa.binary()),
-            "tf_bytes": pa.array([], pa.binary()),
-            "block_bytes": pa.array([], pa.binary()),
-        }
-    )
+def _empty_postings_table(index_positions: bool = False) -> pa.Table:
+    cols = {
+        "term": pa.array([], pa.string()),
+        "bucket": pa.array([], pa.int32()),
+        "df": pa.array([], pa.int64()),
+        "cf": pa.array([], pa.int64()),
+        "doc_bytes": pa.array([], pa.binary()),
+        "tf_bytes": pa.array([], pa.binary()),
+        "block_bytes": pa.array([], pa.binary()),
+    }
+    if index_positions:
+        cols["pos_bytes"] = pa.array([], pa.binary())
+    return pa.table(cols)
 
 
 @ray.remote
 def _merge_write_bucket(
     bucket_id: int, postings_dir: str, index_dir: str, dl: np.ndarray,
-    hot_rows: list, *shards
+    hot_rows: list, index_positions: bool, *shards
 ):
     """Reduce side: gather one bucket's varint shards from every map task,
     decode each ONCE (vectorized stream decode + segmented delta), order
@@ -812,7 +898,7 @@ def _merge_write_bucket(
     """
     from .codec import encode_postings_segmented, segmented_prefix_sum
 
-    terms_p, df_p, docs_p, tfs_p = [], [], [], []
+    terms_p, df_p, docs_p, tfs_p, pos_p = [], [], [], [], []
     for sh in shards:
         if sh["df"].size == 0:
             continue
@@ -822,6 +908,10 @@ def _merge_write_bucket(
         gaps = _decode_stream(sh["doc_buf"], sh["doc_codec"])
         docs_p.append(segmented_prefix_sum(gaps, seg_starts, sh["first_doc"]))
         tfs_p.append(_decode_stream(sh["tf_buf"], sh["tf_codec"]).astype(np.int32))
+        if index_positions:
+            pos_p.append(
+                _decode_stream(sh["pos_buf"], sh["pos_codec"]).astype(np.uint32)
+            )
         terms_p.append(
             sh["term"].combine_chunks()
             if isinstance(sh["term"], pa.ChunkedArray)
@@ -829,7 +919,7 @@ def _merge_write_bucket(
         )
         df_p.append(df)
     if not terms_p:
-        merged = _empty_postings_table()
+        merged = _empty_postings_table(index_positions)
     else:
         terms_all = pa.concat_arrays(terms_p)
         df_all = np.concatenate(df_p)
@@ -859,6 +949,21 @@ def _merge_write_bucket(
         idx = run_ranges(src_starts, out_starts, total)
         docs_o = docs_all[idx]
         tfs_o = tfs_all[idx]
+        pos_o = None
+        if index_positions:
+            # occurrence-level gather by the SAME row permutation: row r's
+            # position payload is the next sum(tfs of row r) stream values
+            pos_all = np.concatenate(pos_p) if pos_p else np.empty(0, np.uint32)
+            row_occ = np.add.reduceat(tfs_all.astype(np.int64), row_starts)
+            occ_src_starts = np.zeros(nrows, np.int64)
+            np.cumsum(row_occ[:-1], out=occ_src_starts[1:])
+            occ_lens = row_occ[order]
+            occ_out_starts = np.zeros(nrows, np.int64)
+            np.cumsum(occ_lens[:-1], out=occ_out_starts[1:])
+            idxo = run_ranges(
+                occ_src_starts[order], occ_out_starts, int(pos_all.size)
+            )
+            pos_o = pos_all[idxo]
         terms_sorted = terms_all.take(pa.array(order, pa.int64()))
         if nrows > 1:
             neq = pc.not_equal(
@@ -881,9 +986,24 @@ def _merge_write_bucket(
                 segs = np.unique(
                     np.searchsorted(term_post_starts, bad + 1, side="right") - 1
                 )
+                occ_pre = None
+                if pos_o is not None:
+                    occ_pre = np.zeros(total + 1, np.int64)
+                    np.cumsum(tfs_o, out=occ_pre[1:])
                 for ti in segs:
                     p0, p1 = int(term_post_starts[ti]), int(term_post_ends[ti])
                     o2 = np.argsort(docs_o[p0:p1], kind="stable")
+                    if pos_o is not None:
+                        # per-posting position groups move intact with their
+                        # posting (each group's first value is absolute
+                        # within its doc, so no re-delta is needed)
+                        q0, q1 = int(occ_pre[p0]), int(occ_pre[p1])
+                        loc_starts = occ_pre[p0:p1][o2] - q0
+                        loc_lens = tfs_o[p0:p1][o2].astype(np.int64)
+                        loc_out = np.zeros(o2.size, np.int64)
+                        np.cumsum(loc_lens[:-1], out=loc_out[1:])
+                        gi = run_ranges(loc_starts, loc_out, q1 - q0)
+                        pos_o[q0:q1] = pos_o[q0:q1][gi]
                     docs_o[p0:p1] = docs_o[p0:p1][o2]
                     tfs_o[p0:p1] = tfs_o[p0:p1][o2]
         # segmented encode: the whole bucket's terms in one vectorized pass
@@ -892,38 +1012,52 @@ def _merge_write_bucket(
         doc_arr, tf_arr, blk_arr, df_out, cf_out = encode_postings_segmented(
             docs_o, tfs_o, dl[docs_o], term_post_starts, total
         )
-        merged = pa.table(
-            {
-                "term": uniq_terms,
-                "bucket": pa.array(
-                    np.full(len(uniq_terms), bucket_id, np.int32), pa.int32()
-                ),
-                "df": pa.array(df_out, pa.int64()),
-                "cf": pa.array(cf_out, pa.int64()),
-                "doc_bytes": doc_arr,
-                "tf_bytes": tf_arr,
-                "block_bytes": blk_arr,
-            }
-        )
+        cols = {
+            "term": uniq_terms,
+            "bucket": pa.array(
+                np.full(len(uniq_terms), bucket_id, np.int32), pa.int32()
+            ),
+            "df": pa.array(df_out, pa.int64()),
+            "cf": pa.array(cf_out, pa.int64()),
+            "doc_bytes": doc_arr,
+            "tf_bytes": tf_arr,
+            "block_bytes": blk_arr,
+        }
+        if pos_o is not None:
+            # the stream is already per-(term,doc) delta groups; one varint
+            # pass + analytic per-term byte lengths (no per-term loop)
+            from .codec import _binary_from_lengths, varint_encode, varint_nbytes
+
+            occ_prefix = np.zeros(total + 1, np.int64)
+            np.cumsum(tfs_o, out=occ_prefix[1:])
+            term_occ_starts = occ_prefix[term_post_starts]
+            pos_stream = varint_encode(pos_o)
+            if pos_o.size:
+                term_pos_nb = np.add.reduceat(varint_nbytes(pos_o), term_occ_starts)
+            else:
+                term_pos_nb = np.zeros(term_post_starts.size, np.int64)
+            cols["pos_bytes"] = _binary_from_lengths(pos_stream, term_pos_nb)
+        merged = pa.table(cols)
     if hot_rows:
         # stitched hot terms rejoin their natural bucket in term-sorted
         # position — the file is byte-identical to an unsalted build
         rows = ray.get(list(hot_rows))  # refs in a list arg: resolve here
-        hot_tbl = pa.table(
-            {
-                "term": pa.array([r["term"] for r in rows], pa.string()),
-                "bucket": pa.array(
-                    np.full(len(rows), bucket_id, np.int32), pa.int32()
-                ),
-                "df": pa.array([r["df"] for r in rows], pa.int64()),
-                "cf": pa.array([r["cf"] for r in rows], pa.int64()),
-                "doc_bytes": pa.array([r["doc_bytes"] for r in rows], pa.binary()),
-                "tf_bytes": pa.array([r["tf_bytes"] for r in rows], pa.binary()),
-                "block_bytes": pa.array(
-                    [r["block_bytes"] for r in rows], pa.binary()
-                ),
-            }
-        )
+        hcols = {
+            "term": pa.array([r["term"] for r in rows], pa.string()),
+            "bucket": pa.array(
+                np.full(len(rows), bucket_id, np.int32), pa.int32()
+            ),
+            "df": pa.array([r["df"] for r in rows], pa.int64()),
+            "cf": pa.array([r["cf"] for r in rows], pa.int64()),
+            "doc_bytes": pa.array([r["doc_bytes"] for r in rows], pa.binary()),
+            "tf_bytes": pa.array([r["tf_bytes"] for r in rows], pa.binary()),
+            "block_bytes": pa.array(
+                [r["block_bytes"] for r in rows], pa.binary()
+            ),
+        }
+        if index_positions:
+            hcols["pos_bytes"] = pa.array([r["pos_bytes"] for r in rows], pa.binary())
+        hot_tbl = pa.table(hcols)
         merged = (
             pa.concat_tables([merged, hot_tbl])
             .sort_by([("term", "ascending")])
@@ -1048,7 +1182,7 @@ def build_index(
         shard_lists = [
             _analyze_partition.options(num_returns=B + H + 1).remote(
                 src, norms_dir, cfg.text_col, B, cfg.analyze_batch_size,
-                cfg.exchange_codec, hot_terms,
+                cfg.exchange_codec, hot_terms, cfg.index_positions,
             )
             for src in sources
         ]
@@ -1081,14 +1215,15 @@ def build_index(
                 s: [p for p in range(P) if salt_of_part[p] == s]
                 for s in range(S)
             }
-            plans = []  # (term, nat_bucket, [(cnt_ref, docs_ref, tfs_ref)])
+            plans = []  # (term, nat_bucket, [(cnt_ref, docs_ref, tfs_ref, pos_ref)])
             for h, term in enumerate(hot_terms):
                 nat_b = term_bucket_py(term, B)
                 if nat_b not in missing_set:
                     continue  # bucket checkpointed: its hot row already on disk
                 triples = [
-                    _merge_salt_part.options(num_returns=3).remote(
-                        *[shard_lists[p][B + h] for p in parts]
+                    _merge_salt_part.options(num_returns=4).remote(
+                        cfg.index_positions,
+                        *[shard_lists[p][B + h] for p in parts],
                     )
                     for parts in salt_shards.values()
                     if parts
@@ -1116,10 +1251,13 @@ def build_index(
                 )
                 docs_refs = [tr[1] for tr in triples]
                 tfs_refs = [tr[2] for tr in triples]
+                pos_refs = (
+                    [tr[3] for tr in triples] if cfg.index_positions else None
+                )
                 enc_refs = [
                     _encode_salt_range.remote(
                         dl_ref, lo2, hi2, cum[:-1].tolist(), counts,
-                        docs_refs, tfs_refs,
+                        docs_refs, tfs_refs, pos_refs,
                     )
                     for lo2, hi2 in zip(bnds[:-1], bnds[1:])
                     if lo2 < hi2
@@ -1131,7 +1269,7 @@ def build_index(
         merge_futs = [
             _merge_write_bucket.remote(
                 b, postings_dir, index_dir, dl_ref, hot_rows.get(b, []),
-                *bucket_shards(b)
+                cfg.index_positions, *bucket_shards(b)
             )
             for b in missing
         ]
@@ -1182,6 +1320,7 @@ def build_index(
         "term_buckets": cfg.term_buckets,
         "k1": cfg.k1,
         "b": cfg.b,
+        "positions": cfg.index_positions,
         "key_cols": list(cfg.key_cols),
         "text_col": cfg.text_col,
         "docstore": doc_info,

@@ -48,6 +48,14 @@ class IndexJobConfig:
     k1: float = 1.2
     b: float = 0.75
 
+    # positional postings (Lucene .pos analog): store each term occurrence's
+    # within-doc token position as a third varint stream per term, enabling
+    # phrase queries (Searcher.search_phrase). Off by default — positions
+    # roughly double the analyze/shuffle payload (one value per token
+    # occurrence instead of one per distinct (term, doc) pair), the classic
+    # Lucene index-options trade-off (docs_and_freqs vs ..._and_positions).
+    index_positions: bool = False
+
     # postings-exchange stream codec: "u16" ships doc-gap/tf streams as
     # fixed-width little-endian ints (u32 fallback per stream if values
     # overflow) — 4x fewer bytes than raw int64 lists at pure cast cost,

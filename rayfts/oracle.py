@@ -37,6 +37,7 @@ class BruteForceIndex:
 
     def __init__(self, docs: dict[int, str], k1: float = 1.2, b: float = 0.75):
         self.k1, self.b = k1, b
+        self.texts: dict[int, str] = dict(docs)
         self.doc_tfs: dict[int, Counter] = {}
         self.dl: dict[int, int] = {}
         self.df: Counter = Counter()
@@ -55,7 +56,11 @@ class BruteForceIndex:
         df = self.df.get(term, 0)
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(self, query: str, k: int = 10, mode: str = "or",
+               must_not: str | None = None) -> list[tuple[int, float]]:
+        """``mode="and"``: hits must contain ALL query terms (ES bool must
+        rewrite — scores still sum every term's contribution).
+        ``must_not``: drop docs containing ANY of its analyzed terms."""
         qtf = Counter(tokenize(query))
         scores: dict[int, float] = {}
         for term in sorted(qtf):          # fixed accumulation order
@@ -72,5 +77,57 @@ class BruteForceIndex:
                 scores[doc_id] = scores.get(doc_id, 0.0) + w * (
                     f * (self.k1 + 1.0) / (f + norm)
                 )
+        if mode == "and":
+            need = set(qtf)
+            scores = {
+                d: s for d, s in scores.items()
+                if all(self.doc_tfs[d].get(t, 0) > 0 for t in need)
+            }
+        if must_not:
+            ban = set(tokenize(must_not))
+            scores = {
+                d: s for d, s in scores.items()
+                if not any(self.doc_tfs[d].get(t, 0) > 0 for t in ban)
+            }
         hits = sorted(scores.items(), key=lambda it: (-it[1], it[0]))
         return hits[:k]
+
+    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact-phrase (slop=0) spec — the Lucene PhraseQuery analog:
+        pf(d) = number of positions where every phrase slot's term appears
+        consecutively; W = sum over SLOTS (phrase order, duplicates count
+        multiply) of idf(df(slot term));
+        score = W * pf*(k1+1)/(pf + k1*(1-b+b*dl/avgdl)).
+        Order: (score desc, doc_id asc)."""
+        slots = tokenize(phrase)
+        if not slots or any(t not in self.df for t in set(slots)):
+            return []
+        W = 0.0
+        for t in slots:  # slot order — the engine accumulates identically
+            W += self.idf(t)
+        hits = []
+        for doc_id, text in self.texts.items():
+            toks = tokenize(text)
+            pf = sum(
+                1
+                for s in range(len(toks) - len(slots) + 1)
+                if toks[s : s + len(slots)] == slots
+            )
+            if pf == 0:
+                continue
+            norm = self.k1 * (1.0 - self.b + self.b * self.dl[doc_id] / self.avgdl)
+            hits.append((doc_id, W * (pf * (self.k1 + 1.0) / (pf + norm))))
+        hits.sort(key=lambda it: (-it[1], it[0]))
+        return hits[:k]
+
+    def prefix_docs(self, prefix: str, limit: int = 20) -> list[tuple[int, int]]:
+        """ES prefix-query analog (constant-score rewrite over the expanded
+        term set): (doc_id, number of DISTINCT matching terms in the doc),
+        ascending doc_id, first ``limit`` docs."""
+        terms = {t for t in self.df if t.startswith(prefix)}
+        out = []
+        for doc_id in sorted(self.doc_tfs):
+            n = sum(1 for t in self.doc_tfs[doc_id] if t in terms)
+            if n:
+                out.append((doc_id, n))
+        return out[:limit]

@@ -47,7 +47,7 @@ def tokenize_query(q: str) -> list[str]:
 class Postings:
     __slots__ = (
         "term", "df", "cf", "doc_ids", "tfs", "blocks", "tf_part",
-        "block_ub", "live_mask",
+        "block_ub", "live_mask", "pos_bytes", "pos", "occ_off",
     )
 
     def __init__(self, term, df, cf, doc_ids, tfs, blocks, tf_part=None):
@@ -61,6 +61,11 @@ class Postings:
         # set, block_ub is recomputed over LIVE postings only, so a block
         # whose docs are all excluded carries ub 0 and is never touched
         self.live_mask = None
+        # positional sidecar (Lucene .pos analog; only when the index was
+        # built with cfg.index_positions): encoded stream + lazy decode
+        self.pos_bytes = None
+        self.pos = None       # flat absolute within-doc positions
+        self.occ_off = None   # posting j owns pos[occ_off[j]:occ_off[j+1]]
 
 
 class Searcher:
@@ -134,10 +139,11 @@ class Searcher:
         # bulk column conversion (one Arrow->py pass per column; the
         # per-cell .as_py() loop measured as the warm-up hot spot at large
         # vocabularies — same fix the shared decode path carries)
-        cols = {
-            c: t[c].to_pylist()
-            for c in ("term", "df", "cf", "doc_bytes", "tf_bytes", "block_bytes")
-        }
+        names = ["term", "df", "cf", "doc_bytes", "tf_bytes", "block_bytes"]
+        has_pos = "pos_bytes" in t.schema.names
+        if has_pos:
+            names.append("pos_bytes")
+        cols = {c: t[c].to_pylist() for c in names}
         rows: dict[str, dict] = {
             term: {
                 "df": cols["df"][i],
@@ -145,6 +151,7 @@ class Searcher:
                 "doc_bytes": cols["doc_bytes"][i],
                 "tf_bytes": cols["tf_bytes"][i],
                 "block_bytes": cols["block_bytes"][i],
+                "pos_bytes": cols["pos_bytes"][i] if has_pos else None,
             }
             for i, term in enumerate(cols["term"])
         }
@@ -171,6 +178,7 @@ class Searcher:
             term, row["df"], row["cf"],
             doc_ids, tfs, blocks, tf_part,
         )
+        p.pos_bytes = row.get("pos_bytes")
         # per-block upper bound of tf_part (query-independent): the
         # vectorized block-max pruning input. Same monotone expression as
         # the real factor, evaluated at (max_tf, min_dl) -> provably >= any
@@ -224,11 +232,185 @@ class Searcher:
         return mask
 
     # ------------------------------------------------------------------
+    # positional postings / phrase match (Lucene .pos + PhraseQuery analog)
+    # ------------------------------------------------------------------
+
+    def _positions(self, p: Postings) -> tuple[np.ndarray, np.ndarray]:
+        """Decode (once per term per searcher) the positional sidecar ->
+        (pos, occ_off): posting j's within-doc positions are
+        ``pos[occ_off[j]:occ_off[j+1]]``, strictly ascending."""
+        if p.pos is None:
+            if p.pos_bytes is None:
+                raise ValueError(
+                    "index has no positional postings — build with "
+                    "cfg.index_positions=True to run phrase queries"
+                )
+            from .codec import segmented_delta_decode, varint_decode
+
+            occ_off = np.zeros(p.tfs.size + 1, np.int64)
+            np.cumsum(p.tfs.astype(np.int64), out=occ_off[1:])
+            gaps = varint_decode(p.pos_bytes)
+            p.pos = segmented_delta_decode(gaps, occ_off[:-1])
+            p.occ_off = occ_off
+        return p.pos, p.occ_off
+
+    def _phrase_freqs(self, slots: list[str]):
+        """Exact-adjacency phrase frequencies, fully vectorized.
+
+        Returns (docs, pf, dfs): docs containing the consecutive phrase
+        (ascending), phrase occurrence count per doc, and the per-SLOT df
+        list (for the idf-sum weight). Empty result when any slot's term
+        is absent. Candidate docs = intersection of the slot terms'
+        posting lists (smallest df first); adjacency is checked with one
+        integer-key ``isin`` per slot over (doc, position) keys — no
+        per-doc Python loop.
+        """
+        from .codec import run_ranges, run_spread
+
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64), [])
+        uniq = sorted(set(slots))
+        post = {t: self.lookup(t) for t in uniq}
+        if any(post[t] is None for t in uniq):
+            return empty
+        dfs = [post[t].df for t in slots]
+        ordered = sorted(uniq, key=lambda t: post[t].df)
+        cand = post[ordered[0]].doc_ids
+        for t in ordered[1:]:
+            cand = np.intersect1d(cand, post[t].doc_ids, assume_unique=True)
+        if cand.size == 0:
+            return empty
+        # key space: doc*L + within-doc position; L exceeds any position
+        # by more than the phrase length, so shifted keys never collide
+        # across docs
+        L = int(self.dl.max(initial=0)) + len(slots) + 2
+
+        def slot_keys(term: str, shift: int) -> np.ndarray:
+            p = post[term]
+            pos, occ = self._positions(p)
+            j = np.searchsorted(p.doc_ids, cand)  # every cand present
+            lens = occ[j + 1] - occ[j]
+            out_starts = np.zeros(j.size, np.int64)
+            np.cumsum(lens[:-1], out=out_starts[1:])
+            tot = int(lens.sum())
+            gi = run_ranges(occ[j], out_starts, tot)
+            doc_key = run_spread((cand * L).astype(np.int64), out_starts, tot)
+            return doc_key + pos[gi] - shift
+
+        k0 = slot_keys(slots[0], 0)
+        surv = np.ones(k0.size, dtype=bool)
+        for i in range(1, len(slots)):
+            surv &= np.isin(k0, slot_keys(slots[i], i))
+            if not surv.any():
+                return empty
+        starts = k0[surv]
+        docs, pf = np.unique(starts // L, return_counts=True)
+        return docs.astype(np.int64), pf.astype(np.int64), dfs
+
+    def search_phrase(self, phrase: str, k: int = 10,
+                      where: dict | None = None):
+        """Exact phrase (slop=0) top-k [(doc_id, score)] — the Lucene
+        PhraseQuery analog (requires a positional index). Scoring spec
+        (pinned in oracle.py): W = sum over phrase SLOTS of idf(df of the
+        slot's term) — duplicate slots count multiply, like repeated terms
+        in Lucene's PhraseQuery idf sum — and
+        score = W * pf*(k1+1)/(pf + k1*(1-b+b*dl/avgdl)) with pf = number
+        of exact phrase occurrences. Order: (score desc, doc_id asc)."""
+        if k <= 0:
+            return []
+        slots = tokenize_query(phrase)
+        if not slots:
+            return []
+        docs, pf, dfs = self._phrase_freqs(slots)
+        if docs.size == 0:
+            return []
+        if self.excluded.size:
+            keep = ~np.isin(docs, self.excluded)
+            docs, pf = docs[keep], pf[keep]
+        if where:
+            m = self.filter_mask(**where)
+            keep = m[docs]
+            docs, pf = docs[keep], pf[keep]
+        if docs.size == 0:
+            return []
+        W = 0.0
+        for df in dfs:  # slot order == oracle accumulation order
+            W += self.idf(df)
+        pff = pf.astype(np.float64)
+        dls = self.dl[docs].astype(np.float64)
+        scores = W * (
+            pff * (self.k1 + 1.0)
+            / (pff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
+        )
+        return self._topk_from(docs, scores, k)
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 4096) -> list[str]:
+        """Term-dictionary prefix scan (ES PrefixQuery term expansion):
+        vectorized ``pc.starts_with`` over each bucket file's term column —
+        a column-pruned read that never touches posting bytes. Returns the
+        matching terms sorted, truncated to the FIRST ``max_expansions``
+        (the ES max_expansions guard — deterministic lowest-terms-first)."""
+        import os
+
+        out: list[str] = []
+        for b in range(self.num_buckets):
+            path = os.path.join(self._postings_dir, f"bucket-{b:04d}.parquet")
+            if not os.path.exists(path):
+                continue
+            terms = pq.read_table(path, columns=["term"])["term"]
+            m = pc.starts_with(terms, pattern=prefix)
+            out.extend(terms.filter(m).to_pylist())
+        out.sort()
+        return out[:max_expansions]
+
+    def prefix_docs(self, prefix: str, limit: int = 20,
+                    max_expansions: int = 4096) -> list[tuple[int, int]]:
+        """ES prefix-query analog (constant-score rewrite): docs containing
+        at least one term with the prefix, ascending doc_id, first
+        ``limit``; each with its count of DISTINCT matching terms. One
+        bincount-style scatter per expanded term — no per-doc loop."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return []
+        counts = np.zeros(self.N, dtype=np.int32)
+        for t in terms:
+            p = self.lookup(t)
+            if p is not None:
+                counts[p.doc_ids] += 1  # doc_ids unique within a term
+        if self.excluded.size:
+            counts[self.excluded] = 0
+        docs = np.flatnonzero(counts)[:limit]
+        return [(int(d), int(counts[d])) for d in docs]
+
+    def _bool_mask(self, and_plist, must_not: str | None):
+        """Dense doc mask for ES bool-query semantics: ``and_plist``
+        (term, qtf, Postings) entries must ALL contain a doc (conjunctive
+        rewrite of the must clauses); ``must_not`` excludes docs containing
+        ANY of its analyzed terms. Returns None when unrestricted."""
+        m = None
+        if and_plist:
+            ordered = sorted(and_plist, key=lambda e: e[2].df)
+            cand = ordered[0][2].doc_ids
+            for e in ordered[1:]:
+                cand = np.intersect1d(cand, e[2].doc_ids, assume_unique=True)
+            m = np.zeros(self.N, dtype=bool)
+            m[cand] = True
+        if must_not:
+            for t in sorted(set(tokenize_query(must_not))):
+                p = self.lookup(t)
+                if p is None:
+                    continue
+                if m is None:
+                    m = np.ones(self.N, dtype=bool)
+                m[p.doc_ids] = False
+        return m
+
+    # ------------------------------------------------------------------
     # BM25 search
     # ------------------------------------------------------------------
 
     def search(self, query: str, k: int = 10, algo: str = "taat",
-               where: dict | None = None):
+               where: dict | None = None, mode: str = "or",
+               must_not: str | None = None):
         """Top-k [(doc_id, score)] — (score desc, doc_id asc).
 
         algo="taat": vectorized term-at-a-time union (default; O(total
@@ -239,6 +421,12 @@ class Searcher:
         ``where`` restricts hits to docs matching keyword-column equality
         filters (Lucene filtered-query semantics: scoring statistics stay
         GLOBAL — the filter prunes candidates, never reweights).
+
+        ES bool-query analog: ``mode="and"`` keeps only docs matching ALL
+        query terms (conjunctive must clauses — scores still sum every
+        term's BM25 contribution); ``must_not`` drops docs containing any
+        of its analyzed terms. Both are doc-set restrictions like
+        ``where``: statistics stay global.
         """
         if k <= 0:
             return []
@@ -248,9 +436,18 @@ class Searcher:
         plist = [(t, q, p) for t, q, p in plist if p is not None]
         if not plist:
             return []
+        if mode == "and" and len(plist) < len(terms):
+            return []  # a required term is absent from the corpus
         mask = self.filter_mask(**where) if where else None
+        if mode == "and" or must_not:
+            bm = self._bool_mask(plist if mode == "and" else None, must_not)
+            if bm is not None:
+                mask = bm if mask is None else (mask & bm)
         if algo == "taat":
-            key = (query, k, tuple(sorted(where.items())) if where else None)
+            key = (
+                query, k, tuple(sorted(where.items())) if where else None,
+                mode, must_not,
+            )
             cached = self._result_cache.get(key)
             if cached is not None:
                 return list(cached)
@@ -732,14 +929,19 @@ class MultiSearcher:
         return gp
 
     def search(self, query: str, k: int = 10, algo: str = "taat",
-               where: dict | None = None):
+               where: dict | None = None, mode: str = "or",
+               must_not: str | None = None):
         """Top-k [(global_doc_id, score)] — (score desc, doc_id asc).
 
         algo="wand": block-max WAND runs per segment with GLOBAL term
         weights and global-avgdl factors, then the per-segment top-k heaps
         merge — identical results to the TAAT path and to a single global
         index (pinned by tests). ``where`` applies per-segment keyword
-        filters (local docstore masks; scoring stats stay global)."""
+        filters (local docstore masks; scoring stats stay global).
+
+        ``mode="and"`` / ``must_not`` distribute cleanly: every doc lives
+        in exactly one segment, so the global conjunction equals the local
+        conjunction inside the owning segment."""
         if k <= 0:
             return []
         qtf = Counter(tokenize_query(query))
@@ -763,19 +965,35 @@ class MultiSearcher:
                     seg_postings[si].append((term, p))
         if not weights:
             return []
+        if mode == "and" and len(weights) < len(terms):
+            return []  # a required term is absent from the whole corpus
+
+        def seg_mask(si: int):
+            seg = self.segments[si]
+            m = seg.filter_mask(**where) if where else None
+            if mode == "and" or must_not:
+                and_pl = None
+                if mode == "and":
+                    and_pl = [(t, 1, p) for t, p in seg_postings[si]]
+                bm = seg._bool_mask(and_pl, must_not)
+                if bm is not None:
+                    m = bm if m is None else (m & bm)
+            return m
+
         if algo == "wand":
             merged: list[tuple[int, float]] = []
             for si, plist in enumerate(seg_postings):
                 if not plist:
                     continue
+                if mode == "and" and len(plist) < len(terms):
+                    continue  # this segment lacks a required term entirely
                 seg = self.segments[si]
                 gplist = [
                     (term, qtf[term], self._global_postings(si, term, p))
                     for term, p in plist
                 ]
                 hits = seg._search_wand(
-                    gplist, k, weights=weights,
-                    mask=seg.filter_mask(**where) if where else None,
+                    gplist, k, weights=weights, mask=seg_mask(si),
                 )
                 off = int(self.offsets[si])
                 merged.extend((doc + off, sc) for doc, sc in hits)
@@ -785,6 +1003,8 @@ class MultiSearcher:
         all_docs, all_scores = [], []
         for si, plist in enumerate(seg_postings):
             if not plist:
+                continue
+            if mode == "and" and len(plist) < len(terms):
                 continue
             seg = self.segments[si]
             buf = np.zeros(seg.N, dtype=np.float64)
@@ -799,11 +1019,13 @@ class MultiSearcher:
             )
             if seg.excluded.size:  # per-segment tombstones (local ids)
                 idx = idx[~np.isin(idx, seg.excluded)]
-            if where:
-                m = seg.filter_mask(**where)
+            m = seg_mask(si)
+            if m is not None:
                 idx = idx[m[idx]]
             all_docs.append(idx + self.offsets[si])
             all_scores.append(buf[idx].copy())
+        if not all_docs:
+            return []
         docs = np.concatenate(all_docs)
         scores = np.concatenate(all_scores)
         take = min(k, docs.size)
@@ -814,6 +1036,84 @@ class MultiSearcher:
             cand = np.arange(docs.size)
         order = cand[np.lexsort((docs[cand], -scores[cand]))][:take]
         return [(int(docs[i]), float(scores[i])) for i in order]
+
+    def search_phrase(self, phrase: str, k: int = 10,
+                      where: dict | None = None):
+        """Sharded exact-phrase top-k under GLOBAL statistics: phrase
+        frequencies are computed inside each segment (a phrase never spans
+        segments — docs are whole), W sums global-df idfs in slot order,
+        and the saturation uses the global avgdl — identical to a single
+        positional index over the union corpus (pinned by tests)."""
+        if k <= 0:
+            return []
+        slots = tokenize_query(phrase)
+        if not slots:
+            return []
+        uniq = sorted(set(slots))
+        df_g = {t: 0 for t in uniq}
+        for seg in self.segments:
+            for t in uniq:
+                p = seg.lookup(t)
+                if p is not None:
+                    df_g[t] += p.df
+        if any(df_g[t] == 0 for t in uniq):
+            return []
+        W = 0.0
+        for t in slots:  # slot order == oracle accumulation order
+            W += self.idf(df_g[t])
+        all_docs, all_scores = [], []
+        for si, seg in enumerate(self.segments):
+            docs, pf, _ = seg._phrase_freqs(slots)
+            if docs.size == 0:
+                continue
+            if seg.excluded.size:
+                keep = ~np.isin(docs, seg.excluded)
+                docs, pf = docs[keep], pf[keep]
+            if where:
+                m = seg.filter_mask(**where)
+                keep = m[docs]
+                docs, pf = docs[keep], pf[keep]
+            if docs.size == 0:
+                continue
+            pff = pf.astype(np.float64)
+            dls = seg.dl[docs].astype(np.float64)
+            scores = W * (
+                pff * (self.k1 + 1.0)
+                / (pff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
+            )
+            all_docs.append(docs + self.offsets[si])
+            all_scores.append(scores)
+        if not all_docs:
+            return []
+        docs = np.concatenate(all_docs)
+        scores = np.concatenate(all_scores)
+        take = min(k, docs.size)
+        if docs.size > take:
+            kth = np.partition(-scores, take - 1)[take - 1]
+            cand = np.flatnonzero(-scores <= kth)
+        else:
+            cand = np.arange(docs.size)
+        order = cand[np.lexsort((docs[cand], -scores[cand]))][:take]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+    def prefix_docs(self, prefix: str, limit: int = 20,
+                    max_expansions: int = 4096) -> list[tuple[int, int]]:
+        """Sharded prefix-docs: segments own ascending global id ranges, so
+        per-segment first-``limit`` lists concatenate in order and truncate
+        — no global materialization. ``max_expansions`` applies per segment
+        (keep it above the true expansion for cross-shard determinism)."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, n)
+                for d, n in seg.prefix_docs(
+                    prefix, limit=limit, max_expansions=max_expansions
+                )
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
 
     def get_by_global_doc_id(self, doc_ids: list[int]) -> pa.Table:
         """Order-preserving multiget routed to the owning segment."""
@@ -856,6 +1156,7 @@ def _decode_bucket_shared(path: str, k1: float, b: float, avgdl: float, dl):
     t = pq.read_table(path)
     # dl arrives auto-dereferenced (top-level ObjectRef arg) — zero-copy view
     doc_parts, tfp_parts, ub_parts, tf_parts, blk_parts = [], [], [], [], []
+    pos_parts = []
     terms: dict[str, tuple] = {}
     p_off = 0
     b_off = 0
@@ -866,6 +1167,8 @@ def _decode_bucket_shared(path: str, k1: float, b: float, avgdl: float, dl):
     tf_b_l = t["tf_bytes"].to_pylist()
     blk_b_l = t["block_bytes"].to_pylist()
     df_l = t["df"].to_pylist()
+    has_pos = "pos_bytes" in t.schema.names
+    pos_b_l = t["pos_bytes"].to_pylist() if has_pos else None
     for i in range(t.num_rows):
         term = term_l[i]
         doc_ids, tfs = decode_postings(doc_b_l[i], tf_b_l[i])
@@ -884,19 +1187,38 @@ def _decode_bucket_shared(path: str, k1: float, b: float, avgdl: float, dl):
         ub_parts.append(ub)
         tf_parts.append(tfs.astype(np.int32))
         blk_parts.append(blocks)
+        if has_pos:
+            from .codec import segmented_delta_decode, varint_decode
+
+            occ = np.zeros(n, np.int64)
+            np.cumsum(tfs[:-1].astype(np.int64), out=occ[1:])
+            pos_parts.append(
+                segmented_delta_decode(varint_decode(pos_b_l[i]), occ)
+            )
         p_off += n
         b_off += nb
-    return {
+    tfs_all = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int32)
+    out = {
         "terms": terms,
         "doc_ids": np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64),
         "tf_part": np.concatenate(tfp_parts) if tfp_parts else np.empty(0, np.float64),
         # raw tfs + block structs ride along (int32 + 20 B/block): they let
         # a MultiSearcher over shared segments recompute tf_part/block_ub
         # against GLOBAL stats, and tombstone tightening find block starts
-        "tfs": np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int32),
+        "tfs": tfs_all,
         "blocks": np.concatenate(blk_parts) if blk_parts else np.empty(0, BLOCK_DTYPE),
         "block_ub": np.concatenate(ub_parts) if ub_parts else np.empty(0, np.float64),
     }
+    if has_pos:
+        # decoded ABSOLUTE positions + global occurrence prefix: a term's
+        # pos slice is pos[occ[p0]:occ[p1]], zero-copy per actor
+        occ_all = np.zeros(tfs_all.size + 1, np.int64)
+        np.cumsum(tfs_all.astype(np.int64), out=occ_all[1:])
+        out["pos"] = (
+            np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
+        )
+        out["occ"] = occ_all
+    return out
 
 
 class SharedIndexHandle:
@@ -980,6 +1302,10 @@ class SharedSearcher(Searcher):
             data["blocks"][b0:b1], data["tf_part"][p0:p1],
         )
         p.block_ub = data["block_ub"][b0:b1]
+        if "pos" in data:
+            occ = data["occ"]
+            p.pos = data["pos"][occ[p0] : occ[p1]]
+            p.occ_off = occ[p0 : p1 + 1] - occ[p0]
         self._apply_tombstones(p)
         self._cache[term] = p
         return p

@@ -1,0 +1,223 @@
+"""Positional postings + phrase/bool/prefix queries — conformance + layout.
+
+The positional sidecar is the Lucene .pos analog (SURVEY T3 extension);
+phrase scoring is the PhraseQuery analog with the spec pinned in
+``rayfts.oracle.BruteForceIndex.search_phrase``. Tests verify:
+  * engine phrase top-k rank+score-identical to the oracle (file, shared
+    and sharded executors);
+  * decoded positions equal the re-tokenized corpus exactly;
+  * salted positional builds stay byte-identical to unsalted ones (the
+    concat-stitch invariant extends to the .pos stream);
+  * both exchange codecs produce identical positional indexes;
+  * ES bool-query semantics (mode="and" / must_not) and prefix expansion
+    match the oracle across executors.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from rayfts.build import build_index
+from rayfts.config import IndexJobConfig
+from rayfts.fixtures import generate_transcripts, write_transcripts
+from rayfts.oracle import BruteForceIndex, tokenize
+from rayfts.search import MultiSearcher, Searcher, SharedIndexHandle, SharedSearcher
+
+N_CONVS = 50
+SEED = 42
+
+PHRASES = [
+    "same text across",        # fixture sentinel rows (2 docs)
+    "the w0007",
+    "the a",                   # hot bigram, many docs
+    "a the",
+    "the the",                 # repeated slot
+    "to ok the",               # hot trigram
+    "zzzz_absent the",         # absent term -> empty
+    "w0007",                   # single-slot degenerate
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pcorpus")
+    write_transcripts(str(d), n_convs=N_CONVS, seed=SEED)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def pos_index(corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pindex")
+    cfg = IndexJobConfig(index_dir=str(d), term_buckets=8, index_positions=True)
+    build_index(corpus, cfg=cfg, rows_per_part=100)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    t = generate_transcripts(N_CONVS, seed=SEED)
+    t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    docs = {i: s for i, s in enumerate(t["text"].to_pylist())}
+    return BruteForceIndex(docs)
+
+
+def _rounded(hits):
+    return [(d, round(s, 9)) for d, s in hits]
+
+
+def test_phrase_rank_identical(pos_index, oracle):
+    s = Searcher(pos_index)
+    for phrase in PHRASES:
+        assert _rounded(s.search_phrase(phrase, k=10)) == _rounded(
+            oracle.search_phrase(phrase, k=10)
+        ), phrase
+
+
+def test_phrase_shared_and_sharded_identical(corpus, pos_index, oracle, tmp_path_factory):
+    from rayfts.segments import build_segments, open_multisearcher
+
+    ss = SharedSearcher(SharedIndexHandle(pos_index))
+    root = tmp_path_factory.mktemp("psegs")
+    files = sorted(
+        os.path.join(corpus, f) for f in os.listdir(corpus) if f.endswith(".parquet")
+    )
+    # split the corpus in sorted halves -> 2 disjoint key-range segments
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(files).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(root / "h0.parquet"))
+    pq.write_table(t.slice(half), str(root / "h1.parquet"))
+    cfg = IndexJobConfig(term_buckets=8, index_positions=True)
+    build_segments(
+        [str(root / "h0.parquet"), str(root / "h1.parquet")],
+        str(root / "idx"),
+        cfg,
+        rows_per_part=100,
+    )
+    ms = open_multisearcher(str(root / "idx"))
+    for phrase in PHRASES:
+        want = _rounded(oracle.search_phrase(phrase, k=10))
+        assert _rounded(ss.search_phrase(phrase, k=10)) == want, f"shared {phrase}"
+        assert _rounded(ms.search_phrase(phrase, k=10)) == want, f"sharded {phrase}"
+
+
+def test_positions_roundtrip_exact(pos_index, oracle):
+    """Decoded positions == the re-tokenized corpus, term by term."""
+    s = Searcher(pos_index)
+    tok_docs = {d: tokenize(t) for d, t in oracle.texts.items()}
+    for term in ["the", "w0007", "same", "longturn", "foo_bar"]:
+        p = s.lookup(term)
+        assert p is not None, term
+        pos, occ = s._positions(p)
+        for j, doc in enumerate(p.doc_ids.tolist()):
+            want = [i for i, t in enumerate(tok_docs[doc]) if t == term]
+            got = pos[occ[j] : occ[j + 1]].tolist()
+            assert got == want, (term, doc)
+
+
+def test_phrase_requires_positional_index(corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("nopos")
+    build_index(
+        corpus,
+        cfg=IndexJobConfig(index_dir=str(d), term_buckets=8),
+        rows_per_part=100,
+    )
+    s = Searcher(str(d))
+    with pytest.raises(ValueError, match="positions"):
+        s.search_phrase("the a", k=5)
+
+
+def _bucket_bytes(d):
+    out = {}
+    pdir = os.path.join(d, "postings")
+    for f in sorted(os.listdir(pdir)):
+        with open(os.path.join(pdir, f), "rb") as fh:
+            out[f] = fh.read()
+    return out
+
+
+def test_salted_positional_build_byte_identical(corpus, pos_index, tmp_path_factory):
+    """Hot-term salting must stitch the .pos stream too: per-doc position
+    groups are self-contained, so the salted bucket files equal the
+    unsalted positional build byte-for-byte."""
+    d = tmp_path_factory.mktemp("psalt")
+    cfg = IndexJobConfig(
+        index_dir=str(d), term_buckets=8, index_positions=True,
+        salt_hot_terms=("the", "w0007"), hot_term_salts=3,
+    )
+    build_index(corpus, cfg=cfg, rows_per_part=100)
+    assert _bucket_bytes(str(d)) == _bucket_bytes(pos_index)
+
+
+def test_varint_exchange_positional_identical(corpus, pos_index, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pvarint")
+    cfg = IndexJobConfig(
+        index_dir=str(d), term_buckets=8, index_positions=True,
+        exchange_codec="varint",
+    )
+    build_index(corpus, cfg=cfg, rows_per_part=100)
+    assert _bucket_bytes(str(d)) == _bucket_bytes(pos_index)
+
+
+BOOL_CASES = [
+    ("the w0007", "and", None),
+    ("the a to", "and", None),
+    ("w0007 bash", "and", None),
+    ("the zzzz_absent", "and", None),      # required term absent -> []
+    ("the w0007", "or", "bash"),
+    ("the a", "or", "w0007 ok"),
+    ("the a to", "and", "w0042"),
+]
+
+
+def test_bool_and_must_not_match_oracle(pos_index, oracle):
+    s = Searcher(pos_index)
+    ss = SharedSearcher(SharedIndexHandle(pos_index))
+    for q, mode, mn in BOOL_CASES:
+        want = _rounded(oracle.search(q, k=10, mode=mode, must_not=mn))
+        for algo in ("taat", "wand"):
+            got = _rounded(s.search(q, k=10, algo=algo, mode=mode, must_not=mn))
+            assert got == want, (q, mode, mn, algo)
+        got = _rounded(ss.search(q, k=10, mode=mode, must_not=mn))
+        assert got == want, (q, mode, mn, "shared")
+
+
+def test_bool_sharded_identical(pos_index, oracle, tmp_path_factory):
+    ms = MultiSearcher([pos_index])  # 1-segment MultiSearcher == global
+    for q, mode, mn in BOOL_CASES:
+        want = _rounded(oracle.search(q, k=10, mode=mode, must_not=mn))
+        for algo in ("taat", "wand"):
+            got = _rounded(ms.search(q, k=10, algo=algo, mode=mode, must_not=mn))
+            assert got == want, (q, mode, mn, algo)
+
+
+def test_prefix_docs_match_oracle(pos_index, oracle):
+    s = Searcher(pos_index)
+    for prefix in ["w00", "w0007", "the", "zz", "long"]:
+        assert s.prefix_docs(prefix, limit=25) == oracle.prefix_docs(
+            prefix, limit=25
+        ), prefix
+    # expansion list is sorted + truncated deterministically
+    exp = s.expand_prefix("w00", max_expansions=5)
+    assert exp == sorted(exp) and len(exp) == 5
+
+
+def test_phrase_and_prefix_respect_tombstones(corpus, tmp_path_factory, oracle):
+    from rayfts.admin import exclude_docs
+
+    d = tmp_path_factory.mktemp("ptomb")
+    cfg = IndexJobConfig(index_dir=str(d), term_buckets=8, index_positions=True)
+    build_index(corpus, cfg=cfg, rows_per_part=100)
+    s0 = Searcher(str(d))
+    base = s0.search_phrase("same text across", k=10)
+    assert len(base) == 2
+    dead = base[0][0]
+    exclude_docs(str(d), [dead])
+    s1 = Searcher(str(d))
+    hits = s1.search_phrase("same text across", k=10)
+    assert [h[0] for h in hits] == [h[0] for h in base if h[0] != dead]
+    assert all(d_ != dead for d_, _ in s1.prefix_docs("same", limit=50))
