@@ -32,10 +32,23 @@ _DL_CTE = (
 )
 
 
-def _bm25_sql(query_terms: list[str], k: int, where_sql: str = "") -> str:
+def _bm25_sql(query_terms: list[str], k: int, where_sql: str = "",
+              require_all: bool = False, must_not: list[str] | None = None) -> str:
     """``where_sql`` restricts the FINAL hits (Lucene filtered-query
-    semantics: df/avgdl/N stay corpus-global, the filter only prunes)."""
+    semantics: df/avgdl/N stay corpus-global, the filter only prunes).
+    ``require_all`` = ES bool must rewrite (doc must match every query
+    term); ``must_not`` drops docs containing any of the given terms —
+    both are candidate restrictions, never reweights."""
     vals = ",".join(f"('{t}')" for t in query_terms)
+    having = f"HAVING count(*) = {len(query_terms)}" if require_all else ""
+    mn_sql = ""
+    if must_not:
+        mn_terms = ",".join(f"'{t}'" for t in sorted(set(must_not)))
+        mn_sql = (
+            f"AND s2.doc_id NOT IN (SELECT doc_id FROM toks WHERE term IN ({mn_terms}))"
+        )
+        if not where_sql:
+            mn_sql = "WHERE " + mn_sql[4:]
     return f"""
 WITH {_TOKS_CTE},
 {_DL_CTE},
@@ -56,11 +69,58 @@ scores AS (
                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
               ORDER BY tf.term ) AS score
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
-  GROUP BY tf.doc_id
+  GROUP BY tf.doc_id {having}
 )
 SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6
-FROM scores s2 JOIN documents d2 USING (doc_id) {where_sql}
+FROM scores s2 JOIN documents d2 USING (doc_id) {where_sql} {mn_sql}
 ORDER BY s2.score DESC, s2.doc_id LIMIT {k}
+"""
+
+
+def _phrase_sql(slots: list[str], k: int) -> str:
+    """Exact-adjacency phrase oracle: token positions via zipped
+    unnest/generate_subscripts, one self-join per phrase slot, BM25 with
+    pf = adjacency count and W = idf sum in SLOT order (duplicates count
+    multiply) — mirrors oracle.BruteForceIndex.search_phrase exactly."""
+    n = len(slots)
+    df_cols = ",\n               ".join(
+        f"(SELECT count(DISTINCT doc_id) FROM ptoks WHERE term='{t}') AS df{i}"
+        for i, t in enumerate(slots)
+    )
+    slot_ctes = ",\n".join(
+        f"p{i} AS (SELECT doc_id, pos FROM ptoks WHERE term='{t}')"
+        for i, t in enumerate(slots)
+    )
+    joins = "\n  ".join(
+        f"JOIN p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        for i in range(1, n)
+    )
+    w_expr = " + ".join(
+        f"ln(1 + (s.n - f.df{i} + 0.5) / (f.df{i} + 0.5))" for i in range(n)
+    )
+    return f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos FROM lists),
+dl AS (SELECT doc_id, len(l) AS dl FROM lists),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+dfs AS (SELECT {df_cols}),
+{slot_ctes},
+matches AS (
+  SELECT p0.doc_id, count(*) AS pf
+  FROM p0
+  {joins}
+  GROUP BY p0.doc_id
+),
+scores AS (
+  SELECT m.doc_id,
+         ({w_expr})
+           * (m.pf * (1.2 + 1.0) / (m.pf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)))
+           AS score
+  FROM matches m JOIN dl d USING (doc_id) CROSS JOIN stats s CROSS JOIN dfs f
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -93,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bm25_top10_wand": P.fts_bm25_top10_wand,
         "fts_bm25_hot_top20": P.fts_bm25_hot_top20,
         "fts_bm25_filtered_top10": P.fts_bm25_filtered_top10,
+        "fts_phrase_top10": P.fts_phrase_top10,      # positional PhraseQuery
+        "fts_bool_top10": P.fts_bool_top10,          # ES bool must/must_not
+        "fts_prefix_docs": P.fts_prefix_docs,        # PrefixQuery expansion
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
         "fts_tags_filter_count": P.fts_tags_filter_count,  # F7 dynamic tags
@@ -148,6 +211,17 @@ SELECT doc_id, dl FROM dl
             sorted(set(P.BM25_QUERY.split())), 10, "WHERE d2.lang = 'en'"
         ),
         "fts_bm25_hot_top20": _bm25_sql(sorted(set(P.BM25_QUERY_HOT.split())), 20),
+        "fts_phrase_top10": _phrase_sql(P.PHRASE_QUERY.split(), 10),
+        "fts_bool_top10": _bm25_sql(
+            sorted(set(P.BM25_QUERY.split())), 10,
+            require_all=True, must_not=P.BOOL_MUST_NOT.split(),
+        ),
+        "fts_prefix_docs": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
+WHERE term LIKE '{P.PREFIX_QUERY}%'
+GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
         "fts_term_doc_count": f"""
 WITH {_TOKS_CTE}
 SELECT term, count(DISTINCT doc_id) AS df FROM toks

@@ -32,6 +32,9 @@ from .search import Searcher
 # Frozen probe constants shared with oracle_sql (keep in sync).
 BM25_QUERY = "spark join the data"
 BM25_QUERY_HOT = "the customer"
+PHRASE_QUERY = "the data"          # exact-adjacency phrase (slot order matters)
+BOOL_MUST_NOT = "window"           # must_not clause of the bool query
+PREFIX_QUERY = "s"                 # term-dictionary prefix probe
 PROBE_TERMS = ("the", "spark", "join", "window", "zz_absent_zz")
 STOPWORDS_SQL = ("the", "a", "to", "ok", "and", "of", "in", "is", "it")
 
@@ -59,7 +62,7 @@ def documents_index(sf_dir: str) -> str:
     # content fingerprint in the tag: a changed documents.parquet at the
     # same path must never serve results from a stale cached index
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|tags1".encode()
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|pos1".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/rayfts_qidx/{tag}"
     manifest_path = os.path.join(index_dir, "manifest.json")
@@ -89,6 +92,8 @@ def documents_index(sf_dir: str) -> str:
         # byte-identical to an unsalted build — pinned by tests)
         salt_df_threshold=200,
         hot_term_salts=4,
+        # positional postings: phrase queries run over the same cached index
+        index_positions=True,
     )
     build_index(ds, cfg=cfg, rows_per_part=100_000)
     return index_dir
@@ -187,6 +192,54 @@ def fts_bm25_filtered_top10(sf_dir: str) -> pa.Table:
         {
             "doc_id": pa.array([int(to_src[d]) for d, _ in hits], pa.int64()),
             "score_e6": pa.array([round(sc * 1e6) for _, sc in hits], pa.int64()),
+        }
+    )
+
+
+def fts_phrase_top10(sf_dir: str) -> pa.Table:
+    """Exact-phrase top-10 (Lucene PhraseQuery analog over the positional
+    sidecar): pf = adjacency count, W = slot-order idf sum — spec pinned in
+    rayfts.oracle.BruteForceIndex.search_phrase."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search_phrase(PHRASE_QUERY, k=10)
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in hits], pa.int64()),
+            "score_e6": pa.array([round(sc * 1e6) for _, sc in hits], pa.int64()),
+        }
+    )
+
+
+def fts_bool_top10(sf_dir: str) -> pa.Table:
+    """ES bool-query analog: must = all BM25_QUERY terms (conjunctive,
+    scores still sum every term), must_not = BOOL_MUST_NOT. Statistics stay
+    corpus-global — the clauses only restrict the candidate doc set."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search(BM25_QUERY, k=10, mode="and", must_not=BOOL_MUST_NOT)
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in hits], pa.int64()),
+            "score_e6": pa.array([round(sc * 1e6) for _, sc in hits], pa.int64()),
+        }
+    )
+
+
+def fts_prefix_docs(sf_dir: str) -> pa.Table:
+    """ES prefix-query analog (constant-score rewrite): first 20 docs
+    containing a PREFIX_QUERY-prefixed term, with the count of DISTINCT
+    matching terms per doc (term-dictionary expansion, column-pruned)."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    rows = s.prefix_docs(PREFIX_QUERY, limit=20)
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in rows], pa.int64()),
+            "n_terms": pa.array([n for _, n in rows], pa.int64()),
         }
     )
 
