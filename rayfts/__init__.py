@@ -22,6 +22,7 @@ Layout:
   manifest   - per-partition checkpoint manifest, atomic publish
   hooks      - post-build IndexBuilder extension surface       [SURVEY X1]
   segments   - segmented multi-node builds + MultiSearcher root (SCALE.md)
+  compact    - segment compaction / tombstone purge (forceMerge analog)
   extras/    - training-data-pipeline operators: dedup, similarity
                search, text stats, multimodal plumbing
 """

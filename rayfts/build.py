@@ -864,6 +864,163 @@ def _stitch_hot_term(term: str, bucket_id: int, *parts) -> dict:
     return out
 
 
+def _merge_posting_streams(
+    terms_p: list, df_p: list, docs_p: list, tfs_p: list, pos_p: list,
+    dl: np.ndarray, bucket_id: int, index_positions: bool,
+) -> pa.Table:
+    """Merge decoded posting shards into one encoded bucket table.
+
+    Shard i contributes per-row (terms_p[i], df_p[i]) term runs over the
+    flat absolute-docID stream docs_p[i] (+ aligned tfs / occurrence-major
+    positions). Rows are ordered by (term, first_doc) with an Arrow sort,
+    value streams gathered term-contiguously in one fancy-index pass, then
+    delta+varint encoded per term with block max-impact metadata — the
+    shared reduce core of the exchange merge (_merge_write_bucket) AND the
+    segment compactor (rayfts.compact), so both produce byte-identical
+    bucket files to a fresh single build (Lucene SegmentMerger analog).
+    """
+    from .codec import encode_postings_segmented
+
+    terms_all = pa.concat_arrays(terms_p)
+    df_all = np.concatenate(df_p)
+    docs_all = np.concatenate(docs_p)
+    tfs_all = np.concatenate(tfs_p)
+    nrows = df_all.size
+    row_starts = np.zeros(nrows, np.int64)
+    np.cumsum(df_all[:-1], out=row_starts[1:])
+    first_doc = docs_all[row_starts]
+    rt = pa.table(
+        {
+            "term": terms_all,
+            "fd": pa.array(first_doc, pa.int64()),
+            "row": pa.array(np.arange(nrows), pa.int64()),
+        }
+    )
+    order = rt.sort_by(
+        [("term", "ascending"), ("fd", "ascending")]
+    )["row"].to_numpy()
+    from .codec import run_ranges
+
+    lens = df_all[order]
+    src_starts = row_starts[order]
+    total = int(lens.sum())
+    out_starts = np.zeros(nrows, np.int64)
+    np.cumsum(lens[:-1], out=out_starts[1:])
+    idx = run_ranges(src_starts, out_starts, total)
+    docs_o = docs_all[idx]
+    tfs_o = tfs_all[idx]
+    pos_o = None
+    if index_positions:
+        # occurrence-level gather by the SAME row permutation: row r's
+        # position payload is the next sum(tfs of row r) stream values
+        pos_all = np.concatenate(pos_p) if pos_p else np.empty(0, np.uint32)
+        row_occ = np.add.reduceat(tfs_all.astype(np.int64), row_starts)
+        occ_src_starts = np.zeros(nrows, np.int64)
+        np.cumsum(row_occ[:-1], out=occ_src_starts[1:])
+        occ_lens = row_occ[order]
+        occ_out_starts = np.zeros(nrows, np.int64)
+        np.cumsum(occ_lens[:-1], out=occ_out_starts[1:])
+        idxo = run_ranges(
+            occ_src_starts[order], occ_out_starts, int(pos_all.size)
+        )
+        pos_o = pos_all[idxo]
+    terms_sorted = terms_all.take(pa.array(order, pa.int64()))
+    if nrows > 1:
+        neq = pc.not_equal(
+            terms_sorted.slice(1), terms_sorted.slice(0, nrows - 1)
+        ).to_numpy(zero_copy_only=False)
+        term_row_starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+    else:
+        term_row_starts = np.zeros(1, np.int64)
+    term_post_starts = out_starts[term_row_starts]
+    uniq_terms = terms_sorted.take(pa.array(term_row_starts, pa.int64()))
+    # per-term doc ids are ascending by construction (disjoint batch doc
+    # ranges ordered by first_doc); verify vectorized and repair only
+    # the violating segments (cheap safety net, not the path)
+    if total > 1:
+        is_start = np.zeros(total, dtype=bool)
+        is_start[term_post_starts] = True
+        bad = np.flatnonzero((docs_o[1:] <= docs_o[:-1]) & ~is_start[1:])
+        if bad.size:
+            term_post_ends = np.append(term_post_starts[1:], total)
+            segs = np.unique(
+                np.searchsorted(term_post_starts, bad + 1, side="right") - 1
+            )
+            occ_pre = None
+            if pos_o is not None:
+                occ_pre = np.zeros(total + 1, np.int64)
+                np.cumsum(tfs_o, out=occ_pre[1:])
+            for ti in segs:
+                p0, p1 = int(term_post_starts[ti]), int(term_post_ends[ti])
+                o2 = np.argsort(docs_o[p0:p1], kind="stable")
+                if pos_o is not None:
+                    # per-posting position groups move intact with their
+                    # posting (each group's first value is absolute
+                    # within its doc, so no re-delta is needed)
+                    q0, q1 = int(occ_pre[p0]), int(occ_pre[p1])
+                    loc_starts = occ_pre[p0:p1][o2] - q0
+                    loc_lens = tfs_o[p0:p1][o2].astype(np.int64)
+                    loc_out = np.zeros(o2.size, np.int64)
+                    np.cumsum(loc_lens[:-1], out=loc_out[1:])
+                    gi = run_ranges(loc_starts, loc_out, q1 - q0)
+                    pos_o[q0:q1] = pos_o[q0:q1][gi]
+                docs_o[p0:p1] = docs_o[p0:p1][o2]
+                tfs_o[p0:p1] = tfs_o[p0:p1][o2]
+    # segmented encode: the whole bucket's terms in one vectorized pass
+    # (byte-identical to per-term encode_postings; round-2 verdict #4
+    # removed the ~vocab/B-iteration Python loop here)
+    doc_arr, tf_arr, blk_arr, df_out, cf_out = encode_postings_segmented(
+        docs_o, tfs_o, dl[docs_o], term_post_starts, total
+    )
+    cols = {
+        "term": uniq_terms,
+        "bucket": pa.array(
+            np.full(len(uniq_terms), bucket_id, np.int32), pa.int32()
+        ),
+        "df": pa.array(df_out, pa.int64()),
+        "cf": pa.array(cf_out, pa.int64()),
+        "doc_bytes": doc_arr,
+        "tf_bytes": tf_arr,
+        "block_bytes": blk_arr,
+    }
+    if pos_o is not None:
+        # the stream is already per-(term,doc) delta groups; one varint
+        # pass + analytic per-term byte lengths (no per-term loop)
+        from .codec import _binary_from_lengths, varint_encode, varint_nbytes
+
+        occ_prefix = np.zeros(total + 1, np.int64)
+        np.cumsum(tfs_o, out=occ_prefix[1:])
+        term_occ_starts = occ_prefix[term_post_starts]
+        pos_stream = varint_encode(pos_o)
+        if pos_o.size:
+            term_pos_nb = np.add.reduceat(varint_nbytes(pos_o), term_occ_starts)
+        else:
+            term_pos_nb = np.zeros(term_post_starts.size, np.int64)
+        cols["pos_bytes"] = _binary_from_lengths(pos_stream, term_pos_nb)
+    return pa.table(cols)
+
+
+def _write_bucket_file(
+    merged: pa.Table, postings_dir: str, index_dir: str, bucket_id: int
+) -> dict:
+    """Atomic bucket-file write + per-bucket resume checkpoint."""
+    os.makedirs(postings_dir, exist_ok=True)
+    fname = f"bucket-{bucket_id:04d}.parquet"
+    final = os.path.join(postings_dir, fname)
+    tmp = final + ".tmp"
+    pq.write_table(merged, tmp)
+    os.replace(tmp, final)
+    info = {
+        "bucket": bucket_id,
+        "file": f"postings/{fname}",
+        "terms": merged.num_rows,
+        "cf_total": int(pc.sum(merged["cf"]).as_py() or 0) if merged.num_rows else 0,
+        "postings_bytes": os.path.getsize(final),
+    }
+    write_checkpoint(index_dir, "postings", f"bucket-{bucket_id:04d}", info)
+    return info
+
+
 def _empty_postings_table(index_positions: bool = False) -> pa.Table:
     cols = {
         "term": pa.array([], pa.string()),
@@ -896,7 +1053,7 @@ def _merge_write_bucket(
     ordering — each doc lives in exactly one batch and batch doc-ranges are
     disjoint — the sort fallback below is a cheap safety net, not the path.
     """
-    from .codec import encode_postings_segmented, segmented_prefix_sum
+    from .codec import segmented_prefix_sum
 
     terms_p, df_p, docs_p, tfs_p, pos_p = [], [], [], [], []
     for sh in shards:
@@ -921,123 +1078,10 @@ def _merge_write_bucket(
     if not terms_p:
         merged = _empty_postings_table(index_positions)
     else:
-        terms_all = pa.concat_arrays(terms_p)
-        df_all = np.concatenate(df_p)
-        docs_all = np.concatenate(docs_p)
-        tfs_all = np.concatenate(tfs_p)
-        nrows = df_all.size
-        row_starts = np.zeros(nrows, np.int64)
-        np.cumsum(df_all[:-1], out=row_starts[1:])
-        first_doc = docs_all[row_starts]
-        rt = pa.table(
-            {
-                "term": terms_all,
-                "fd": pa.array(first_doc, pa.int64()),
-                "row": pa.array(np.arange(nrows), pa.int64()),
-            }
+        merged = _merge_posting_streams(
+            terms_p, df_p, docs_p, tfs_p, pos_p, dl, bucket_id,
+            index_positions,
         )
-        order = rt.sort_by(
-            [("term", "ascending"), ("fd", "ascending")]
-        )["row"].to_numpy()
-        from .codec import run_ranges
-
-        lens = df_all[order]
-        src_starts = row_starts[order]
-        total = int(lens.sum())
-        out_starts = np.zeros(nrows, np.int64)
-        np.cumsum(lens[:-1], out=out_starts[1:])
-        idx = run_ranges(src_starts, out_starts, total)
-        docs_o = docs_all[idx]
-        tfs_o = tfs_all[idx]
-        pos_o = None
-        if index_positions:
-            # occurrence-level gather by the SAME row permutation: row r's
-            # position payload is the next sum(tfs of row r) stream values
-            pos_all = np.concatenate(pos_p) if pos_p else np.empty(0, np.uint32)
-            row_occ = np.add.reduceat(tfs_all.astype(np.int64), row_starts)
-            occ_src_starts = np.zeros(nrows, np.int64)
-            np.cumsum(row_occ[:-1], out=occ_src_starts[1:])
-            occ_lens = row_occ[order]
-            occ_out_starts = np.zeros(nrows, np.int64)
-            np.cumsum(occ_lens[:-1], out=occ_out_starts[1:])
-            idxo = run_ranges(
-                occ_src_starts[order], occ_out_starts, int(pos_all.size)
-            )
-            pos_o = pos_all[idxo]
-        terms_sorted = terms_all.take(pa.array(order, pa.int64()))
-        if nrows > 1:
-            neq = pc.not_equal(
-                terms_sorted.slice(1), terms_sorted.slice(0, nrows - 1)
-            ).to_numpy(zero_copy_only=False)
-            term_row_starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
-        else:
-            term_row_starts = np.zeros(1, np.int64)
-        term_post_starts = out_starts[term_row_starts]
-        uniq_terms = terms_sorted.take(pa.array(term_row_starts, pa.int64()))
-        # per-term doc ids are ascending by construction (disjoint batch doc
-        # ranges ordered by first_doc); verify vectorized and repair only
-        # the violating segments (cheap safety net, not the path)
-        if total > 1:
-            is_start = np.zeros(total, dtype=bool)
-            is_start[term_post_starts] = True
-            bad = np.flatnonzero((docs_o[1:] <= docs_o[:-1]) & ~is_start[1:])
-            if bad.size:
-                term_post_ends = np.append(term_post_starts[1:], total)
-                segs = np.unique(
-                    np.searchsorted(term_post_starts, bad + 1, side="right") - 1
-                )
-                occ_pre = None
-                if pos_o is not None:
-                    occ_pre = np.zeros(total + 1, np.int64)
-                    np.cumsum(tfs_o, out=occ_pre[1:])
-                for ti in segs:
-                    p0, p1 = int(term_post_starts[ti]), int(term_post_ends[ti])
-                    o2 = np.argsort(docs_o[p0:p1], kind="stable")
-                    if pos_o is not None:
-                        # per-posting position groups move intact with their
-                        # posting (each group's first value is absolute
-                        # within its doc, so no re-delta is needed)
-                        q0, q1 = int(occ_pre[p0]), int(occ_pre[p1])
-                        loc_starts = occ_pre[p0:p1][o2] - q0
-                        loc_lens = tfs_o[p0:p1][o2].astype(np.int64)
-                        loc_out = np.zeros(o2.size, np.int64)
-                        np.cumsum(loc_lens[:-1], out=loc_out[1:])
-                        gi = run_ranges(loc_starts, loc_out, q1 - q0)
-                        pos_o[q0:q1] = pos_o[q0:q1][gi]
-                    docs_o[p0:p1] = docs_o[p0:p1][o2]
-                    tfs_o[p0:p1] = tfs_o[p0:p1][o2]
-        # segmented encode: the whole bucket's terms in one vectorized pass
-        # (byte-identical to per-term encode_postings; round-2 verdict #4
-        # removed the ~vocab/B-iteration Python loop here)
-        doc_arr, tf_arr, blk_arr, df_out, cf_out = encode_postings_segmented(
-            docs_o, tfs_o, dl[docs_o], term_post_starts, total
-        )
-        cols = {
-            "term": uniq_terms,
-            "bucket": pa.array(
-                np.full(len(uniq_terms), bucket_id, np.int32), pa.int32()
-            ),
-            "df": pa.array(df_out, pa.int64()),
-            "cf": pa.array(cf_out, pa.int64()),
-            "doc_bytes": doc_arr,
-            "tf_bytes": tf_arr,
-            "block_bytes": blk_arr,
-        }
-        if pos_o is not None:
-            # the stream is already per-(term,doc) delta groups; one varint
-            # pass + analytic per-term byte lengths (no per-term loop)
-            from .codec import _binary_from_lengths, varint_encode, varint_nbytes
-
-            occ_prefix = np.zeros(total + 1, np.int64)
-            np.cumsum(tfs_o, out=occ_prefix[1:])
-            term_occ_starts = occ_prefix[term_post_starts]
-            pos_stream = varint_encode(pos_o)
-            if pos_o.size:
-                term_pos_nb = np.add.reduceat(varint_nbytes(pos_o), term_occ_starts)
-            else:
-                term_pos_nb = np.zeros(term_post_starts.size, np.int64)
-            cols["pos_bytes"] = _binary_from_lengths(pos_stream, term_pos_nb)
-        merged = pa.table(cols)
     if hot_rows:
         # stitched hot terms rejoin their natural bucket in term-sorted
         # position — the file is byte-identical to an unsalted build
@@ -1063,21 +1107,7 @@ def _merge_write_bucket(
             .sort_by([("term", "ascending")])
             .combine_chunks()
         )
-    os.makedirs(postings_dir, exist_ok=True)
-    fname = f"bucket-{bucket_id:04d}.parquet"
-    final = os.path.join(postings_dir, fname)
-    tmp = final + ".tmp"
-    pq.write_table(merged, tmp)
-    os.replace(tmp, final)
-    info = {
-        "bucket": bucket_id,
-        "file": f"postings/{fname}",
-        "terms": merged.num_rows,
-        "cf_total": int(pc.sum(merged["cf"]).as_py() or 0) if merged.num_rows else 0,
-        "postings_bytes": os.path.getsize(final),
-    }
-    write_checkpoint(index_dir, "postings", f"bucket-{bucket_id:04d}", info)
-    return info
+    return _write_bucket_file(merged, postings_dir, index_dir, bucket_id)
 
 
 # ---------------------------------------------------------------------------

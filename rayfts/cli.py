@@ -126,6 +126,27 @@ def cmd_build_segments(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Merge segments (or rewrite one index) purging tombstones — the ES
+    ``_forcemerge``/expungeDeletes analog (rayfts.compact)."""
+    ray = _ray_session()
+    from .compact import compact_segments
+
+    man = compact_segments(
+        [p.strip() for p in args.segments.split(",")],
+        args.out,
+        rows_per_part=args.rows_per_part,
+        resume=args.resume,
+    )
+    print(json.dumps({
+        "n_docs": man["n_docs"],
+        "purged_tombstones": man["purged_tombstones"],
+        "metrics": man["metrics"],
+    }))
+    ray.shutdown()
+    return 0
+
+
 def cmd_search_root(args) -> int:
     """Query a segment root through MultiSearcher (global stats merge)."""
     ray = _ray_session()
@@ -196,6 +217,14 @@ def main(argv=None) -> int:
     bs.add_argument("--resume", action="store_true")
     bs.add_argument("--rows-per-part", type=int, default=250_000)
     bs.set_defaults(fn=cmd_build_segments)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--segments", required=True,
+                    help="comma-separated built index/segment dirs, key-ordered")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--resume", action="store_true")
+    cp.add_argument("--rows-per-part", type=int, default=250_000)
+    cp.set_defaults(fn=cmd_compact)
 
     sr = sub.add_parser("search-root")
     sr.add_argument("--root", required=True)
