@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_prefix_docs": P.fts_prefix_docs,        # PrefixQuery expansion
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
+        "fts_compact_docstore": P.fts_compact_docstore,  # delete-by-query + forceMerge
         "fts_tags_filter_count": P.fts_tags_filter_count,  # F7 dynamic tags
         # keyword / relational / windowed (M1 filters, A1 counts, J1 join,
         # W-series windows)
@@ -229,6 +230,13 @@ WHERE term IN ({",".join(f"'{t}'" for t in P.PROBE_TERMS)})
 GROUP BY term
 """,
         "fts_docstore_roundtrip": "SELECT doc_id, text FROM documents",
+        # compaction purges doc_id % 10 == 3 and renumbers densely in key
+        # order — row_number over the surviving rows IS the spec
+        "fts_compact_docstore": """
+SELECT row_number() OVER (ORDER BY doc_id) - 1 AS new_doc_id,
+       doc_id AS src_doc_id, text
+FROM documents WHERE doc_id % 10 != 3
+""",
         "fts_tags_filter_count": (
             "SELECT lang AS tag_value, count(*) AS n_docs "
             "FROM documents GROUP BY lang"

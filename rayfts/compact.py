@@ -263,10 +263,15 @@ def compact_segments(
     out_dir: str,
     rows_per_part: int = 250_000,
     resume: bool = False,
+    extra_tombstones: list | None = None,
 ) -> dict:
     """Compact built segments (disjoint ascending key ranges, in list
     order) into one published index at ``out_dir``; tombstones are purged
     and doc ids renumbered densely. Returns the published manifest.
+
+    ``extra_tombstones`` (one sequence of segment-local doc ids per
+    segment, or None) purges additional docs WITHOUT mutating the input
+    segments — the ES delete_by_query + _forcemerge composition.
 
     Invariants carried over from the inputs are VERIFIED, not assumed:
     format_version / term_buckets / k1 / b / positions / text & key cols
@@ -310,9 +315,14 @@ def compact_segments(
     os.makedirs(out_dir, exist_ok=True)
 
     n_docs_list = [m["n_docs"] for m in mans]
-    tombs = [
-        np.asarray(excluded_docs(d), dtype=np.int64) for d in segment_dirs
-    ]
+    if extra_tombstones is not None and len(extra_tombstones) != len(segment_dirs):
+        raise ValueError("extra_tombstones must have one entry per segment")
+    tombs = []
+    for i, d in enumerate(segment_dirs):
+        t = set(excluded_docs(d))
+        if extra_tombstones is not None and extra_tombstones[i] is not None:
+            t.update(int(x) for x in extra_tombstones[i])
+        tombs.append(np.array(sorted(t), dtype=np.int64))
     lives = [n - t.size for n, t in zip(n_docs_list, tombs)]
     offsets = np.zeros(len(lives) + 1, np.int64)
     np.cumsum(lives, out=offsets[1:])

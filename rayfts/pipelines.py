@@ -259,6 +259,40 @@ def fts_term_doc_count(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_compact_docstore(sf_dir: str) -> pa.Table:
+    """Delete-by-query + forceMerge round-trip (S9/compaction analog):
+    purge every doc with src_doc_id % 10 == 3 from the built index via
+    ``compact.compact_segments`` and read back the renumbered docstore.
+    Verifies dense renumbering, tombstone purge, and text round-trip
+    through the real compaction path (not a table-side filter)."""
+    from .compact import compact_segments
+
+    index_dir = documents_index(sf_dir)
+    out_dir = index_dir + "-compacted"
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if not os.path.exists(manifest_path):
+        ds = pq.read_table(
+            os.path.join(index_dir, "docstore"),
+            columns=["doc_id", "src_doc_id"],
+        )
+        src = ds["src_doc_id"].to_numpy()
+        victims = ds["doc_id"].to_numpy()[src % 10 == 3]
+        compact_segments(
+            [index_dir], out_dir, extra_tombstones=[victims]
+        )
+    t = pq.read_table(
+        os.path.join(out_dir, "docstore"),
+        columns=["doc_id", "src_doc_id", "text"],
+    ).sort_by([("doc_id", "ascending")])
+    return pa.table(
+        {
+            "new_doc_id": t["doc_id"],
+            "src_doc_id": t["src_doc_id"],
+            "text": t["text"],
+        }
+    )
+
+
 def fts_docstore_roundtrip(sf_dir: str) -> pa.Table:
     """(doc_id, text) back out of the built docstore — the per-row text
     equality invariant (M4/M6 round-trip analog)."""

@@ -137,6 +137,45 @@ def test_compact_positions_and_multiseg_tombstones(tmp_path_factory):
         assert sa.search_phrase(phrase, k=10) == sb.search_phrase(phrase, k=10)
 
 
+def test_compact_extra_tombstones_delete_by_query(tmp_path_factory):
+    """extra_tombstones == ES delete_by_query + _forcemerge: the extra
+    victims are purged alongside persisted tombstones, the output is
+    byte-identical to a fresh build over the surviving rows, and the
+    INPUT segment is left unmutated (no tombstones written back)."""
+    from rayfts.admin import exclude_docs, excluded_docs
+
+    root = tmp_path_factory.mktemp("cdbq")
+    t = _sorted(generate_transcripts(30, seed=13))
+    n = t.num_rows
+    cfg = IndexJobConfig(term_buckets=4)
+    src = str(root / "src")
+    build_index(rd.from_arrow(t), cfg=cfg.replace(index_dir=src))
+    persisted = [2, 9]
+    exclude_docs(src, persisted)
+    extra = [0, 9, n - 1, n // 3]  # 9 overlaps persisted — must dedup
+
+    dead = set(persisted) | set(extra)
+    live = t.take([i for i in range(n) if i not in dead])
+    fresh = str(root / "fresh")
+    build_index(rd.from_arrow(live), cfg=cfg.replace(index_dir=fresh))
+
+    out = str(root / "compacted")
+    man = compact_segments(
+        [src], out, rows_per_part=250, extra_tombstones=[extra]
+    )
+    assert man["n_docs"] == n - len(dead)
+    assert man["purged_tombstones"] == len(dead)
+    _assert_bucket_files_identical(fresh, out)
+    _assert_stats_equal(fresh, out)
+    # input segment untouched: only the originally persisted tombstones
+    assert excluded_docs(src) == sorted(persisted)
+    sa, sb = Searcher(fresh), Searcher(out)
+    for q in REFERENCE_QUERIES:
+        assert sa.search(q, k=20) == sb.search(q, k=20), q
+    with pytest.raises(ValueError, match="one entry per segment"):
+        compact_segments([src], str(root / "bad"), extra_tombstones=[[], []])
+
+
 def test_compact_resume_rebuilds_only_missing_units(tmp_path_factory):
     root = tmp_path_factory.mktemp("cres")
     t = _sorted(generate_transcripts(20, seed=11))
