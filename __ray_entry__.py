@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_phrase_top10": P.fts_phrase_top10,      # positional PhraseQuery
         "fts_bool_top10": P.fts_bool_top10,          # ES bool must/must_not
         "fts_prefix_docs": P.fts_prefix_docs,        # PrefixQuery expansion
+        "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
         "fts_compact_docstore": P.fts_compact_docstore,  # delete-by-query + forceMerge
@@ -221,6 +222,19 @@ SELECT doc_id, dl FROM dl
 WITH {_TOKS_CTE}
 SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
 WHERE term LIKE '{P.PREFIX_QUERY}%'
+GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
+        # fuzzy expansion = closest-first, lexicographic tie-break, first
+        # 50 (ES max_expansions default) — mirrored exactly by the engine
+        "fts_fuzzy_docs": f"""
+WITH {_TOKS_CTE},
+fz AS (
+  SELECT term FROM (SELECT DISTINCT term FROM toks)
+  WHERE levenshtein(term, '{P.FUZZY_QUERY}') <= {P.FUZZY_EDITS}
+  ORDER BY levenshtein(term, '{P.FUZZY_QUERY}'), term LIMIT 50
+)
+SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
+WHERE term IN (SELECT term FROM fz)
 GROUP BY doc_id ORDER BY doc_id LIMIT 20
 """,
         "fts_term_doc_count": f"""

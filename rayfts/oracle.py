@@ -32,6 +32,21 @@ def tokenize(text: str) -> list[str]:
     return _WORD.findall(text.lower())
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Plain-Python edit distance — the executable spec the engine's
+    vectorized ``levenshtein_vec`` must agree with."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 class BruteForceIndex:
     """In-memory reference index over (doc_id -> text)."""
 
@@ -125,9 +140,38 @@ class BruteForceIndex:
         term set): (doc_id, number of DISTINCT matching terms in the doc),
         ascending doc_id, first ``limit`` docs."""
         terms = {t for t in self.df if t.startswith(prefix)}
+        return self._docs_for_terms(terms, limit)
+
+    def _docs_for_terms(self, terms: set, limit: int) -> list[tuple[int, int]]:
         out = []
         for doc_id in sorted(self.doc_tfs):
             n = sum(1 for t in self.doc_tfs[doc_id] if t in terms)
             if n:
                 out.append((doc_id, n))
         return out[:limit]
+
+    def expand_fuzzy(self, term: str, max_edits: int = 1,
+                     prefix_length: int = 0,
+                     max_expansions: int = 50) -> list[tuple[str, int]]:
+        """FuzzyQuery expansion spec: vocabulary terms within
+        ``max_edits`` Levenshtein distance (exact-prefix ``prefix_length``
+        chars required), closest-first then lexicographic, truncated to
+        ``max_expansions``."""
+        q = tokenize(term)[0]
+        hits = []
+        for t in self.df:
+            if prefix_length and not t.startswith(q[:prefix_length]):
+                continue
+            if abs(len(t) - len(q)) > max_edits:
+                continue
+            d = levenshtein(q, t)
+            if d <= max_edits:
+                hits.append((d, t))
+        hits.sort()
+        return [(t, d) for d, t in hits[:max_expansions]]
+
+    def fuzzy_docs(self, term: str, max_edits: int = 1, limit: int = 20,
+                   prefix_length: int = 0,
+                   max_expansions: int = 50) -> list[tuple[int, int]]:
+        exp = self.expand_fuzzy(term, max_edits, prefix_length, max_expansions)
+        return self._docs_for_terms({t for t, _ in exp}, limit)

@@ -35,6 +35,8 @@ BM25_QUERY_HOT = "the customer"
 PHRASE_QUERY = "the data"          # exact-adjacency phrase (slot order matters)
 BOOL_MUST_NOT = "window"           # must_not clause of the bool query
 PREFIX_QUERY = "s"                 # term-dictionary prefix probe
+FUZZY_QUERY = "bat"                # fuzzy probe (absent term, 6 matches @2)
+FUZZY_EDITS = 2
 PROBE_TERMS = ("the", "spark", "join", "window", "zz_absent_zz")
 STOPWORDS_SQL = ("the", "a", "to", "ok", "and", "of", "in", "is", "it")
 
@@ -235,6 +237,25 @@ def fts_prefix_docs(sf_dir: str) -> pa.Table:
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
     rows = s.prefix_docs(PREFIX_QUERY, limit=20)
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in rows], pa.int64()),
+            "n_terms": pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
+
+
+def fts_fuzzy_docs(sf_dir: str) -> pa.Table:
+    """ES FuzzyQuery analog (constant-score rewrite): first 20 docs
+    containing a term within FUZZY_EDITS Levenshtein distance of
+    FUZZY_QUERY, with the count of DISTINCT matching terms per doc.
+    Expansion is closest-first/lexicographic, truncated at the ES
+    default max_expansions=50 — the DuckDB levenshtein() oracle pins
+    both the distance metric and the selection order."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    rows = s.fuzzy_docs(FUZZY_QUERY, max_edits=FUZZY_EDITS, limit=20)
     to_src = _dense_to_src(index_dir)
     return pa.table(
         {

@@ -44,6 +44,40 @@ def tokenize_query(q: str) -> list[str]:
     return _WORD.findall(q.lower())
 
 
+def levenshtein_vec(q: str, cands: np.ndarray) -> np.ndarray:
+    """Levenshtein distance from ``q`` to every candidate string at once.
+
+    Classic DP with the CANDIDATE axis vectorized: the two scalar loops
+    run over query chars x padded positions (m x L, ~hundreds of numpy
+    ops), never over candidates — one call scores a whole pruned
+    vocabulary slice. Candidates are padded to a fixed-width UCS4 matrix;
+    each row's distance is read at its own true length column."""
+    n = cands.size
+    if n == 0:
+        return np.empty(0, np.int32)
+    U = cands.astype(np.str_)
+    L = U.dtype.itemsize // 4
+    if L == 0:  # all-empty candidates
+        return np.full(n, len(q), np.int32)
+    codes = U.view(np.uint32).reshape(n, L)
+    clens = (codes != 0).sum(axis=1)  # terms never contain NUL
+    m = len(q)
+    qc = np.array([q]).astype(f"U{max(m, 1)}").view(np.uint32)
+    prev = np.broadcast_to(
+        np.arange(L + 1, dtype=np.int32), (n, L + 1)
+    ).copy()
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        neq = codes != qc[i - 1]
+        for j in range(1, L + 1):
+            d = np.minimum(prev[:, j] + 1, prev[:, j - 1] + neq[:, j - 1])
+            np.minimum(d, cur[:, j - 1] + 1, out=d)
+            cur[:, j] = d
+        prev = cur
+    return prev[np.arange(n), clens].astype(np.int32)
+
+
 class Postings:
     __slots__ = (
         "term", "df", "cf", "doc_ids", "tfs", "blocks", "tf_part",
@@ -343,32 +377,77 @@ class Searcher:
         )
         return self._topk_from(docs, scores, k)
 
-    def expand_prefix(self, prefix: str, max_expansions: int = 4096) -> list[str]:
-        """Term-dictionary prefix scan (ES PrefixQuery term expansion):
-        vectorized ``pc.starts_with`` over each bucket file's term column —
-        a column-pruned read that never touches posting bytes. Returns the
-        matching terms sorted, truncated to the FIRST ``max_expansions``
-        (the ES max_expansions guard — deterministic lowest-terms-first)."""
+    def _iter_term_arrays(self):
+        """Yield each bucket's term column as an Arrow array WITHOUT
+        touching posting bytes (column-pruned parquet read). Buckets are
+        independent — a multi-node deployment scans them in parallel
+        tasks; the driver loop here is the single-node composition."""
         import os
 
-        out: list[str] = []
         for b in range(self.num_buckets):
             path = os.path.join(self._postings_dir, f"bucket-{b:04d}.parquet")
             if not os.path.exists(path):
                 continue
-            terms = pq.read_table(path, columns=["term"])["term"]
+            yield pq.read_table(path, columns=["term"])["term"].combine_chunks()
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 4096) -> list[str]:
+        """Term-dictionary prefix scan (ES PrefixQuery term expansion):
+        vectorized ``pc.starts_with`` over each bucket's term column.
+        Returns the matching terms sorted, truncated to the FIRST
+        ``max_expansions`` (the ES max_expansions guard — deterministic
+        lowest-terms-first)."""
+        out: list[str] = []
+        for terms in self._iter_term_arrays():
             m = pc.starts_with(terms, pattern=prefix)
             out.extend(terms.filter(m).to_pylist())
         out.sort()
         return out[:max_expansions]
 
-    def prefix_docs(self, prefix: str, limit: int = 20,
-                    max_expansions: int = 4096) -> list[tuple[int, int]]:
-        """ES prefix-query analog (constant-score rewrite): docs containing
-        at least one term with the prefix, ascending doc_id, first
-        ``limit``; each with its count of DISTINCT matching terms. One
-        bincount-style scatter per expanded term — no per-doc loop."""
-        terms = self.expand_prefix(prefix, max_expansions)
+    def expand_fuzzy(self, term: str, max_edits: int = 1,
+                     prefix_length: int = 0,
+                     max_expansions: int = 50) -> list[tuple[str, int]]:
+        """ES FuzzyQuery term expansion (Lucene TopTermsRewrite analog):
+        vocabulary terms within Levenshtein distance <= ``max_edits`` of
+        the analyzed term, selected CLOSEST-FIRST with lexicographic
+        tie-break, truncated to ``max_expansions``. ``prefix_length``
+        leading chars must match exactly (the ES knob — never fuzzed).
+
+        Vectorized per bucket: candidates are length-band + prefix pruned
+        with Arrow kernels, then ONE banded-DP call (``levenshtein_vec``)
+        scores the whole slice — no per-candidate Python. Returns
+        [(term, distance)] — distance 0 (the exact term) included, as in
+        Lucene."""
+        toks = tokenize_query(term)
+        if len(toks) != 1:
+            raise ValueError("fuzzy query must analyze to exactly one term")
+        q = toks[0]
+        m = len(q)
+        hits: list[tuple[int, str]] = []
+        for terms in self._iter_term_arrays():
+            lens = pc.utf8_length(terms)
+            band = pc.and_(
+                pc.greater_equal(lens, m - max_edits),
+                pc.less_equal(lens, m + max_edits),
+            )
+            if prefix_length > 0:
+                band = pc.and_(
+                    band, pc.starts_with(terms, pattern=q[:prefix_length])
+                )
+            cand = terms.filter(band).to_numpy(zero_copy_only=False)
+            if cand.size == 0:
+                continue
+            dist = levenshtein_vec(q, cand)
+            keep = dist <= max_edits
+            hits.extend(zip(dist[keep].tolist(), cand[keep].tolist()))
+        hits.sort()
+        return [(t, d) for d, t in hits[:max_expansions]]
+
+    def _docs_for_terms(self, terms: list[str],
+                        limit: int) -> list[tuple[int, int]]:
+        """Constant-score multi-term rewrite core: docs containing at
+        least one of ``terms``, ascending doc_id, first ``limit``; each
+        with its count of DISTINCT matching terms. One bincount-style
+        scatter per term — no per-doc loop."""
         if not terms:
             return []
         counts = np.zeros(self.N, dtype=np.int32)
@@ -380,6 +459,24 @@ class Searcher:
             counts[self.excluded] = 0
         docs = np.flatnonzero(counts)[:limit]
         return [(int(d), int(counts[d])) for d in docs]
+
+    def prefix_docs(self, prefix: str, limit: int = 20,
+                    max_expansions: int = 4096) -> list[tuple[int, int]]:
+        """ES prefix-query analog (constant-score rewrite): docs
+        containing at least one term with the prefix."""
+        return self._docs_for_terms(
+            self.expand_prefix(prefix, max_expansions), limit
+        )
+
+    def fuzzy_docs(self, term: str, max_edits: int = 1, limit: int = 20,
+                   prefix_length: int = 0,
+                   max_expansions: int = 50) -> list[tuple[int, int]]:
+        """ES fuzzy-query analog (constant-score rewrite over the fuzzy
+        expansion): docs containing >=1 term within ``max_edits`` of the
+        query term, ascending doc_id, first ``limit``, each with its
+        count of DISTINCT matching terms."""
+        exp = self.expand_fuzzy(term, max_edits, prefix_length, max_expansions)
+        return self._docs_for_terms([t for t, _ in exp], limit)
 
     def _bool_mask(self, and_plist, must_not: str | None):
         """Dense doc mask for ES bool-query semantics: ``and_plist``
@@ -1115,6 +1212,46 @@ class MultiSearcher:
                 break
         return out[:limit]
 
+    def expand_fuzzy(self, term: str, max_edits: int = 1,
+                     prefix_length: int = 0,
+                     max_expansions: int = 50) -> list[tuple[str, int]]:
+        """Sharded fuzzy expansion, EXACT vs a single global index: each
+        segment returns its own top-``max_expansions`` by (distance,
+        term); any term in the global top-K is necessarily in its
+        segment's top-K, so merging and re-truncating is lossless (the
+        standard distributed top-k argument). A term present in several
+        segments has the same distance everywhere."""
+        best: dict[str, int] = {}
+        for seg in self.segments:
+            for t, d in seg.expand_fuzzy(
+                term, max_edits, prefix_length, max_expansions
+            ):
+                best[t] = d
+        ranked = sorted(best.items(), key=lambda e: (e[1], e[0]))
+        return ranked[:max_expansions]
+
+    def fuzzy_docs(self, term: str, max_edits: int = 1, limit: int = 20,
+                   prefix_length: int = 0,
+                   max_expansions: int = 50) -> list[tuple[int, int]]:
+        """Sharded fuzzy-docs: the expansion set is computed GLOBALLY
+        (exact, above) and then scattered to segments, whose ascending
+        global id ranges concatenate in order — unlike prefix_docs, no
+        per-segment max_expansions caveat applies."""
+        exp = [
+            t for t, _ in self.expand_fuzzy(
+                term, max_edits, prefix_length, max_expansions
+            )
+        ]
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, n) for d, n in seg._docs_for_terms(exp, limit)
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
+
     def get_by_global_doc_id(self, doc_ids: list[int]) -> pa.Table:
         """Order-preserving multiget routed to the owning segment."""
         tables = []
@@ -1282,6 +1419,16 @@ class SharedSearcher(Searcher):
         # same exclusion state the handle was built with)
         self.excluded = handle.excluded
         self._excluded_set = set(self.excluded.tolist())
+
+    def _iter_term_arrays(self):
+        """Shared-path vocabulary scan: term keys come from the decoded
+        shared bucket dicts (zero file I/O)."""
+        for bkt in range(self.num_buckets):
+            data = self._shared_buckets.get(bkt)
+            if data is None:
+                data = ray.get(self._handle.bucket_refs[bkt])
+                self._shared_buckets[bkt] = data
+            yield pa.array(list(data["terms"].keys()), type=pa.string())
 
     def lookup(self, term: str) -> Postings | None:
         cached = self._cache.get(term)

@@ -206,6 +206,92 @@ def test_prefix_docs_match_oracle(pos_index, oracle):
     assert exp == sorted(exp) and len(exp) == 5
 
 
+FUZZY_CASES = [
+    # (term, max_edits, prefix_length)
+    ("w0007", 1, 0),    # id-token neighborhood: w0000..w9999 all at d<=1
+    ("w0007", 2, 0),
+    ("w0007", 1, 3),    # exact-prefix knob prunes the neighborhood
+    ("the", 1, 0),
+    ("tha", 1, 0),      # misspelling, exact term absent
+    ("zzzzzz", 2, 0),   # nothing within 2 edits -> empty
+    ("same", 2, 0),
+]
+
+
+def test_fuzzy_expansion_and_docs_match_oracle(pos_index, oracle):
+    s = Searcher(pos_index)
+    for term, me, pl in FUZZY_CASES:
+        assert s.expand_fuzzy(term, me, pl) == oracle.expand_fuzzy(
+            term, me, pl
+        ), (term, me, pl)
+        assert s.fuzzy_docs(term, max_edits=me, limit=25,
+                            prefix_length=pl) == oracle.fuzzy_docs(
+            term, max_edits=me, limit=25, prefix_length=pl
+        ), (term, me, pl)
+    # max_expansions truncation keeps the CLOSEST terms first
+    full = s.expand_fuzzy("w0007", 2, 0, max_expansions=10_000)
+    cut = s.expand_fuzzy("w0007", 2, 0, max_expansions=7)
+    assert cut == full[:7] and [d for _, d in cut] == sorted(d for _, d in cut)
+
+
+def test_fuzzy_vec_kernel_matches_python():
+    import numpy as np
+
+    from rayfts.oracle import levenshtein
+    from rayfts.search import levenshtein_vec
+
+    rng = np.random.default_rng(7)
+    alpha = "abcde_01"
+    cands = np.array(
+        [
+            "".join(rng.choice(list(alpha), size=rng.integers(0, 9)))
+            for _ in range(300)
+        ]
+        + ["", "abc", "abcdefgh"],
+        dtype=object,
+    )
+    for q in ["abc", "a", "abcdefgh", "e0_1d"]:
+        got = levenshtein_vec(q, cands)
+        want = [levenshtein(q, c) for c in cands.tolist()]
+        assert got.tolist() == want, q
+
+
+def test_fuzzy_sharded_and_shared_identical(corpus, pos_index, tmp_path_factory):
+    from rayfts.segments import build_segments, open_multisearcher
+
+    import pyarrow.parquet as pq
+
+    ss = SharedSearcher(SharedIndexHandle(pos_index))
+    root = tmp_path_factory.mktemp("fzseg")
+    files = sorted(
+        os.path.join(corpus, f) for f in os.listdir(corpus) if f.endswith(".parquet")
+    )
+    t = pq.read_table(files).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(root / "h0.parquet"))
+    pq.write_table(t.slice(half), str(root / "h1.parquet"))
+    cfg = IndexJobConfig(term_buckets=8, index_positions=True)
+    build_segments(
+        [str(root / "h0.parquet"), str(root / "h1.parquet")],
+        str(root / "idx"),
+        cfg,
+        rows_per_part=100,
+    )
+    ms = open_multisearcher(str(root / "idx"))
+    s = Searcher(pos_index)
+    for term, me, pl in FUZZY_CASES:
+        want_exp = s.expand_fuzzy(term, me, pl)
+        want_docs = s.fuzzy_docs(term, max_edits=me, limit=25, prefix_length=pl)
+        assert ss.expand_fuzzy(term, me, pl) == want_exp, (term, "shared")
+        assert ss.fuzzy_docs(term, max_edits=me, limit=25,
+                             prefix_length=pl) == want_docs, (term, "shared")
+        assert ms.expand_fuzzy(term, me, pl) == want_exp, (term, "sharded")
+        assert ms.fuzzy_docs(term, max_edits=me, limit=25,
+                             prefix_length=pl) == want_docs, (term, "sharded")
+
+
 def test_phrase_and_prefix_respect_tombstones(corpus, tmp_path_factory, oracle):
     from rayfts.admin import exclude_docs
 
