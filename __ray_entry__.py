@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bool_top10": P.fts_bool_top10,          # ES bool must/must_not
         "fts_prefix_docs": P.fts_prefix_docs,        # PrefixQuery expansion
         "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
+        "fts_facet_source": P.fts_facet_source,      # terms aggregation
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
         "fts_compact_docstore": P.fts_compact_docstore,  # delete-by-query + forceMerge
@@ -236,6 +237,15 @@ fz AS (
 SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
 WHERE term IN (SELECT term FROM fz)
 GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
+        # terms agg over the FULL hit set (docs containing any query
+        # term); bucket order (count desc, value asc) truncated to 8
+        "fts_facet_source": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT source, count(*) AS n_docs FROM documents JOIN hits USING (doc_id)
+GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
 """,
         "fts_term_doc_count": f"""
 WITH {_TOKS_CTE}

@@ -265,6 +265,22 @@ def fts_fuzzy_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_facet_source(sf_dir: str) -> pa.Table:
+    """ES terms-aggregation analog: doc counts per `source` keyword value
+    over ALL docs matching BM25_QUERY (OR semantics — the agg runs on the
+    full hit set, not the top-k page). Buckets ordered (count desc, value
+    asc) and truncated to 8, exercising the deterministic tie-break the
+    oracle mirrors with ORDER BY n_docs DESC, source."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.facet_counts(BM25_QUERY, "source", size=8)
+    return pa.table(
+        {
+            "source": pa.array([v for v, _ in rows], pa.string()),
+            "n_docs": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
 def fts_term_doc_count(sf_dir: str) -> pa.Table:
     """df for fixed probe terms (exact-count conformance, A2 analog)."""
     index_dir = documents_index(sf_dir)

@@ -145,6 +145,7 @@ class Searcher:
         self._excluded_set = set(self.excluded.tolist())
         self._cache: dict[str, Postings | None] = {}
         self._filter_masks: dict[tuple, np.ndarray] = {}
+        self._facet_cols: dict[str, tuple] = {}
         self._blocks_scored = 0  # pruning instrumentation (tests/diagnostics)
         # bucket -> {term: encoded row dict}; a query term loads its whole
         # hash bucket once (one columnar file read) and every later term in
@@ -243,6 +244,69 @@ class Searcher:
 
     def idf(self, df: int) -> float:
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+
+    def _field_codes(self, field: str):
+        """Dense doc_id -> dictionary-code array for a keyword column
+        (one column-pruned docstore read per field per searcher; -1 =
+        null/missing, which forms no bucket — ES terms-agg default)."""
+        cached = self._facet_cols.get(field)
+        if cached is not None:
+            return cached
+        t = pads.dataset(self._docstore_dir).to_table(
+            columns=["doc_id", field]
+        )
+        enc = pc.dictionary_encode(t[field].combine_chunks())
+        idx = pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        codes = np.full(self.N, -1, np.int64)
+        codes[t["doc_id"].to_numpy()] = idx
+        out = (codes, enc.dictionary.to_pylist())
+        self._facet_cols[field] = out
+        return out
+
+    def _facet_hist(self, query: str, field: str,
+                    where: dict | None = None, mode: str = "or",
+                    must_not: str | None = None) -> dict:
+        """Untruncated value -> doc-count histogram over ALL query hits
+        (the per-segment unit a sharded facet sums exactly). No BM25 work
+        runs — the hit set is a dense bool mask from posting unions, the
+        count one bincount over masked codes."""
+        qtf = Counter(tokenize_query(query))
+        terms = sorted(qtf)
+        plist = [(t, qtf[t], self.lookup(t)) for t in terms]
+        plist = [(t, q, p) for t, q, p in plist if p is not None]
+        if not plist or (mode == "and" and len(plist) < len(terms)):
+            return {}
+        hits = np.zeros(self.N, dtype=bool)
+        for _, _, p in plist:
+            ids = (
+                p.doc_ids if p.live_mask is None else p.doc_ids[p.live_mask]
+            )
+            hits[ids] = True
+        if where:
+            hits &= self.filter_mask(**where)
+        if mode == "and" or must_not:
+            bm = self._bool_mask(plist if mode == "and" else None, must_not)
+            if bm is not None:
+                hits &= bm
+        codes, values = self._field_codes(field)
+        sel = codes[hits]
+        cnt = np.bincount(sel[sel >= 0], minlength=len(values))
+        return {v: int(c) for v, c in zip(values, cnt) if c > 0}
+
+    def facet_counts(self, query: str, field: str, size: int = 10,
+                     where: dict | None = None, mode: str = "or",
+                     must_not: str | None = None) -> list[tuple]:
+        """ES terms-aggregation analog: doc counts per value of keyword
+        column ``field`` over ALL docs matching the query (not just the
+        top-k page). Buckets ordered (count desc, value asc), first
+        ``size`` — the ES terms-agg default order. Composes with the same
+        doc-set restrictions as search (where / mode="and" / must_not /
+        tombstones); statistics are exact, not sharded approximations."""
+        hist = self._facet_hist(query, field, where, mode, must_not)
+        ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
+        return ranked[:size]
 
     def filter_mask(self, **equals) -> np.ndarray:
         """Dense doc_id -> bool mask for keyword-column equality filters
@@ -1252,6 +1316,23 @@ class MultiSearcher:
                 break
         return out[:limit]
 
+    def facet_counts(self, query: str, field: str, size: int = 10,
+                     where: dict | None = None, mode: str = "or",
+                     must_not: str | None = None) -> list[tuple]:
+        """Sharded terms-aggregation, EXACT: segments return UNTRUNCATED
+        value histograms (hit sets are disjoint across segments), the
+        driver sums and orders — no ES-style shard_size approximation
+        error. The per-segment payload is O(field cardinality), not
+        O(docs)."""
+        total: dict = {}
+        for seg in self.segments:
+            for v, c in seg._facet_hist(
+                query, field, where, mode, must_not
+            ).items():
+                total[v] = total.get(v, 0) + c
+        ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
+        return ranked[:size]
+
     def get_by_global_doc_id(self, doc_ids: list[int]) -> pa.Table:
         """Order-preserving multiget routed to the owning segment."""
         tables = []
@@ -1414,6 +1495,7 @@ class SharedSearcher(Searcher):
         self._cache: dict[str, Postings | None] = {}
         self._result_cache: dict[tuple, list] = {}
         self._filter_masks: dict[tuple, np.ndarray] = {}
+        self._facet_cols: dict[str, tuple] = {}
         self._blocks_scored = 0
         # tombstones snapshot travels with the handle (all actors see the
         # same exclusion state the handle was built with)

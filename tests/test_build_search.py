@@ -621,3 +621,52 @@ def test_filtered_search_all_executors(index_dir, oracle):
     ][:5]
     assert s.search("the", k=5, where={"role": "tool", "tool": "bash"}) == expect2
     assert s.search("the", k=5, where={"role": "no-such-role"}) == []
+
+
+def test_facet_counts_match_bruteforce(index_dir):
+    """ES terms-aggregation analog: value -> doc-count buckets over ALL
+    query hits (not the top-k page), ordered (count desc, value asc),
+    nulls form no bucket; composes with where/must_not; file and shared
+    executors agree."""
+    from collections import Counter as C
+
+    import pyarrow.parquet as pq2
+
+    from rayfts.search import SharedIndexHandle, SharedSearcher
+
+    s = Searcher(index_dir)
+    store = pq2.read_table(
+        os.path.join(index_dir, "docstore"),
+        columns=["doc_id", "role", "tool"],
+    ).sort_by([("doc_id", "ascending")])
+    roles = store["role"].to_pylist()
+    tools = store["tool"].to_pylist()
+    shared = SharedSearcher(SharedIndexHandle(index_dir))
+
+    def brute(q, col, size=10, pred=None):
+        hits = [d for d, _ in s.search(q, k=s.N)]
+        vals = [
+            col[d] for d in hits
+            if col[d] is not None and (pred is None or pred(d))
+        ]
+        ranked = sorted(C(vals).items(), key=lambda e: (-e[1], e[0]))
+        return ranked[:size]
+
+    for q in ["the w0007 bash", "the a", "w0007", "zzz_absent"]:
+        want = brute(q, roles)
+        assert s.facet_counts(q, "role") == want, q
+        assert shared.facet_counts(q, "role") == want, q
+        # null tool values form no bucket
+        want_t = brute(q, tools)
+        assert s.facet_counts(q, "tool") == want_t, q
+    # size truncation keeps the biggest buckets
+    full = s.facet_counts("the", "tool", size=100)
+    assert s.facet_counts("the", "tool", size=2) == full[:2]
+    # composes with where (counts only filtered hits)
+    want = brute("the", tools, pred=lambda d: roles[d] == "tool")
+    assert s.facet_counts("the", "tool", where={"role": "tool"}) == want
+    # composes with must_not
+    p = s.lookup("bash")
+    dead = set(p.doc_ids.tolist())
+    want = brute("the", roles, pred=lambda d: d not in dead)
+    assert s.facet_counts("the", "role", must_not="bash") == want

@@ -52,6 +52,21 @@ def test_sharded_equals_global(indexes):
         assert w_hits == m_hits, q
 
 
+def test_sharded_facets_equal_global(indexes):
+    """Sharded terms-agg sums untruncated per-segment histograms — exact
+    vs the global index (no shard_size approximation)."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in REFERENCE_QUERIES + ["the a to ok", "zzz_absent"]:
+        for field in ("role", "tool"):
+            assert multi.facet_counts(q, field, size=50) == single.facet_counts(
+                q, field, size=50
+            ), (q, field)
+    assert multi.facet_counts(
+        "the", "tool", where={"role": "tool"}, size=50
+    ) == single.facet_counts("the", "tool", where={"role": "tool"}, size=50)
+
+
 def test_sharded_multiget_routing(indexes):
     single = Searcher(indexes["full"])
     multi = MultiSearcher([indexes["a"], indexes["b"]])
