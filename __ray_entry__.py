@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extras (dedup / similarity / text analysis)
         "dedup_exact": P.dedup_exact_q,
         "dedup_minhash": P.dedup_minhash_q,
+        "decontaminate_ngrams": P.decontaminate_q,   # eval-set leak detection
         "dedup_simhash": P.dedup_simhash_q,
         "embedding_near_dup": P.embedding_near_dup_q,
         "knn_cosine_top10": P.knn_cosine_top10,
@@ -354,6 +355,7 @@ FROM st
         # hyperplane literals) was chosen to be SQL-replicable, so these
         # get REAL value oracles (generated in rayfts.extras.oracles).
         "dedup_minhash": _X.minhash_dedup_sql(),
+        "decontaminate_ngrams": _X.decontaminate_sql(),
         "dedup_simhash": _X.simhash_dedup_sql(),
         "embedding_near_dup": _X.embedding_near_dup_sql(threshold=0.95, dim=64),
         "knn_cosine_lsh": _X.knn_lsh_sql(k=10, n_planes=4, dim=64),

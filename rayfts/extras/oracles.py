@@ -159,6 +159,43 @@ edges AS (
 """
 
 
+def decontaminate_sql(bench_mod: int = 17,
+                      shingle_k: int = DEFAULT_SHINGLE_K) -> str:
+    """Per corpus doc (doc_id % bench_mod != 0): count of DISTINCT k=3
+    shingles shared with the benchmark side (doc_id % bench_mod == 0).
+    Shingle CTE identical to minhash_dedup_sql — the same fold spec the
+    engine's shingle_hashes_batch implements."""
+    assert shingle_k == 3, "SQL generator written for the k=3 spec"
+    C = FOLD_C
+    return f"""
+WITH
+{_toks_cte()},
+th AS (SELECT doc_id, pos, md5_number_lower(term)::HUGEINT AS h FROM tok),
+wn AS (SELECT doc_id, pos, h,
+        lead(h,1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+        lead(h,2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2,
+        count(*) OVER (PARTITION BY doc_id) AS L
+      FROM th),
+sh AS (
+  SELECT doc_id, (((((h*{C})%{W} + h1)%{W})*{C})%{W} + h2)%{W} AS sh
+  FROM wn WHERE h2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN L = 1 THEN h ELSE ((h*{C})%{W} + h1)%{W} END
+  FROM wn WHERE L < 3 AND pos = 1
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT doc_id, count(DISTINCT sh) AS n_hits FROM sh
+  WHERE doc_id % {bench_mod} != 0 AND sh IN (SELECT sh FROM bench)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {bench_mod} != 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash dedup
 # ---------------------------------------------------------------------------

@@ -714,6 +714,28 @@ def dedup_minhash_q(sf_dir: str) -> pa.Table:
     return minhash_dedup(_docs(sf_dir))
 
 
+def decontaminate_q(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination over `documents`: docs with
+    doc_id % 17 == 0 play the eval set; every other doc is scored for
+    distinct shared 3-shingles via the broadcast-membership pipeline
+    (no shuffle, corpus streamed once)."""
+    from .extras.decontam import decontaminate
+
+    def _mod_filter(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 17 == 0) == want_bench))
+
+        return f
+
+    docs = _docs(sf_dir)
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    out = decontaminate(corpus, bench)
+    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    return t.sort_by([("doc_id", "ascending")])
+
+
 def dedup_simhash_q(sf_dir: str) -> pa.Table:
     from .extras.dedup import simhash_dedup
 

@@ -459,3 +459,54 @@ def test_embedding_near_dup_degenerate_bucket_bounded():
     ).to_pandas()
     assert len(out) == n
     assert (out["cluster_id"] == 0).all()  # one component, min-id root
+
+
+def test_decontaminate_matches_shingle_set_reference():
+    """Broadcast n-gram decontamination == per-doc shingle-set
+    intersection counts (the dedup family's shingle_hash_set spec);
+    short (<k tokens) and empty docs follow the fold-all / no-shingle
+    rules; empty benchmark -> all clean."""
+    from rayfts.extras.decontam import decontaminate
+    from rayfts.extras.dedup import shingle_hash_set
+    from rayfts.oracle import tokenize
+
+    bench_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short one",          # <k tokens -> fold-all shingle
+        "",                   # no shingles
+    ]
+    corpus_texts = [
+        "nothing in common here at all friends",
+        "a quick brown fox jumps over fences daily",   # shares 3-grams
+        "the quick brown fox jumps over the lazy dog exactly",  # superset
+        "short one",                                   # exact short match
+        "short two",                                   # different fold-all
+        "",                                            # empty corpus doc
+    ]
+    bench = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(bench_texts))),
+                  "text": bench_texts})
+    )
+    corpus = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(corpus_texts))),
+                  "text": corpus_texts})
+    )
+    out = (
+        decontaminate(corpus, bench)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bench_sh = set().union(
+        *(shingle_hash_set(tokenize(t)) for t in bench_texts)
+    )
+    for i, txt in enumerate(corpus_texts):
+        want = len(shingle_hash_set(tokenize(txt)) & bench_sh)
+        assert out.n_hits[i] == want, txt
+        assert bool(out.contaminated[i]) == (want > 0), txt
+    assert out.n_hits[1] > 0 and out.n_hits[3] > 0
+    assert out.n_hits[0] == 0 and out.n_hits[4] == 0 and out.n_hits[5] == 0
+
+    empty_bench = rd.from_arrow(pa.table({"doc_id": [], "text": []}))
+    out2 = decontaminate(corpus, empty_bench).to_pandas()
+    assert not out2.contaminated.any()
