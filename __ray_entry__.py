@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bm25_top10_wand": P.fts_bm25_top10_wand,
         "fts_bm25_hot_top20": P.fts_bm25_hot_top20,
         "fts_bm25_filtered_top10": P.fts_bm25_filtered_top10,
+        "fts_bm25_range_top10": P.fts_bm25_range_top10,  # ES range query
         "fts_phrase_top10": P.fts_phrase_top10,      # positional PhraseQuery
         "fts_bool_top10": P.fts_bool_top10,          # ES bool must/must_not
         "fts_prefix_docs": P.fts_prefix_docs,        # PrefixQuery expansion
@@ -213,6 +214,10 @@ SELECT doc_id, dl FROM dl
         "fts_bm25_top10_wand": _bm25_sql(sorted(set(P.BM25_QUERY.split())), 10),
         "fts_bm25_filtered_top10": _bm25_sql(
             sorted(set(P.BM25_QUERY.split())), 10, "WHERE d2.lang = 'en'"
+        ),
+        "fts_bm25_range_top10": _bm25_sql(
+            sorted(set(P.BM25_QUERY.split())), 10,
+            "WHERE d2.n_chars >= 200 AND d2.n_chars < 600",
         ),
         "fts_bm25_hot_top20": _bm25_sql(sorted(set(P.BM25_QUERY_HOT.split())), 20),
         "fts_phrase_top10": _phrase_sql(P.PHRASE_QUERY.split(), 10),

@@ -198,6 +198,25 @@ def fts_bm25_filtered_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_bm25_range_top10(sf_dir: str) -> pa.Table:
+    """ES numeric range query composed with BM25 (range-filter analog of
+    the ES mappings the reference enables, plugin.properties:10-11): top-10
+    restricted to 200 <= n_chars < 600; scoring statistics stay GLOBAL
+    (Lucene filter semantics — the filter prunes, never reweights)."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search(
+        BM25_QUERY, k=10, where={"n_chars": {"gte": 200, "lt": 600}}
+    )
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in hits], pa.int64()),
+            "score_e6": pa.array([round(sc * 1e6) for _, sc in hits], pa.int64()),
+        }
+    )
+
+
 def fts_phrase_top10(sf_dir: str) -> pa.Table:
     """Exact-phrase top-10 (Lucene PhraseQuery analog over the positional
     sidecar): pf = adjacency count, W = slot-order idf sum — spec pinned in

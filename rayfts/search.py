@@ -44,6 +44,53 @@ def tokenize_query(q: str) -> list[str]:
     return _WORD.findall(q.lower())
 
 
+_RANGE_OPS = ("gte", "gt", "lte", "lt")
+
+
+def _where_key(where: dict) -> tuple:
+    """Hashable cache key for a ``where`` spec (scalar equality, None for
+    is-null, or an ES-style range dict {gte/gt/lte/lt: bound})."""
+    return tuple(
+        (c, tuple(sorted(v.items())) if isinstance(v, dict) else v)
+        for c, v in sorted(where.items())
+    )
+
+
+def _where_expr(where: dict):
+    """``where`` spec -> pyarrow.dataset filter expression.
+
+    Scalar value = keyword equality; None = is-null; dict = ES range query
+    (``{"gte": lo, "lt": hi}`` etc — ref analog: the ES range filters the
+    plugin's mappings enable on numeric/date fields, plugin.properties:10-11;
+    same doc-set-restriction semantics as the keyword filters)."""
+    expr = None
+    for col, val in sorted(where.items()):
+        f = pads.field(col)
+        if val is None:
+            e = f.is_null()
+        elif isinstance(val, dict):
+            bad = set(val) - set(_RANGE_OPS)
+            if bad or not val:
+                raise ValueError(
+                    f"range filter on {col!r}: ops must be non-empty subset "
+                    f"of {_RANGE_OPS}, got {sorted(val)}"
+                )
+            e = None
+            for op in _RANGE_OPS:
+                if op not in val:
+                    continue
+                b = val[op]
+                cmp = (
+                    f >= b if op == "gte" else f > b if op == "gt"
+                    else f <= b if op == "lte" else f < b
+                )
+                e = cmp if e is None else (e & cmp)
+        else:
+            e = f == val
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
 def levenshtein_vec(q: str, cands: np.ndarray) -> np.ndarray:
     """Levenshtein distance from ``q`` to every candidate string at once.
 
@@ -308,22 +355,20 @@ class Searcher:
         ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
-    def filter_mask(self, **equals) -> np.ndarray:
+    def filter_mask(self, **where) -> np.ndarray:
         """Dense doc_id -> bool mask for keyword-column equality filters
-        (built once per distinct filter per searcher from a column-pruned
-        docstore read; ref analog: ES filtered search, the GeoShape/
-        GeoDistance-filter tests ESNodeITest.java:61-172 with the payload
-        swapped for keyword columns)."""
-        key = tuple(sorted(equals.items()))
+        and ES-style range filters (value = ``{"gte": lo, "lt": hi}``
+        etc — see :func:`_where_expr`). Built once per distinct filter per
+        searcher from a column-pruned docstore read; ref analog: ES
+        filtered search, the GeoShape/GeoDistance-filter tests
+        ESNodeITest.java:61-172 with the payload swapped for keyword /
+        numeric columns."""
+        key = _where_key(where)
         cached = self._filter_masks.get(key)
         if cached is not None:
             return cached
         ds = pads.dataset(self._docstore_dir)
-        expr = None
-        for col, val in equals.items():
-            e = pads.field(col).is_null() if val is None else (pads.field(col) == val)
-            expr = e if expr is None else (expr & e)
-        t = ds.to_table(filter=expr, columns=["doc_id"])
+        t = ds.to_table(filter=_where_expr(where), columns=["doc_id"])
         mask = np.zeros(self.N, dtype=bool)
         mask[t["doc_id"].to_numpy(zero_copy_only=False)] = True
         self._filter_masks[key] = mask
@@ -606,7 +651,7 @@ class Searcher:
                 mask = bm if mask is None else (mask & bm)
         if algo == "taat":
             key = (
-                query, k, tuple(sorted(where.items())) if where else None,
+                query, k, _where_key(where) if where else None,
                 mode, must_not,
             )
             cached = self._result_cache.get(key)
@@ -935,16 +980,13 @@ class Searcher:
             rows.append(index[int(d)])
         return t.take(pa.array(rows, pa.int64()))
 
-    def count(self, **equals) -> int:
-        """Doc count with optional keyword-column equality filters
+    def count(self, **where) -> int:
+        """Doc count with optional keyword-column equality / range filters
         (ref: index count API, PluginIntegrationITest.java:44-45)."""
-        if not equals:
+        if not where:
             return self.N - int(self.excluded.size)
         ds = pads.dataset(self._docstore_dir)
-        expr = None
-        for col, val in equals.items():
-            e = pads.field(col) == val
-            expr = e if expr is None else (expr & e)
+        expr = _where_expr(where)
         if self.excluded.size:
             expr = expr & ~pads.field("doc_id").isin(self.excluded.tolist())
         return ds.count_rows(filter=expr)

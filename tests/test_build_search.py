@@ -623,6 +623,51 @@ def test_filtered_search_all_executors(index_dir, oracle):
     assert s.search("the", k=5, where={"role": "no-such-role"}) == []
 
 
+def test_range_filter_search_and_count(index_dir):
+    """ES range-query analog (the numeric/date range filters the
+    reference's mappings enable, plugin.properties:10-11): where values of
+    the form {"gte": lo, "lt": hi} restrict hits by column range with
+    GLOBAL scoring stats, boundary ops are exact, ranges compose with
+    keyword equality, and count() agrees. All executors + shared agree."""
+    import pyarrow.parquet as pq2
+
+    from rayfts.search import SharedIndexHandle, SharedSearcher
+
+    s = Searcher(index_dir)
+    store = pq2.read_table(
+        os.path.join(index_dir, "docstore"), columns=["doc_id", "ts", "role"]
+    ).sort_by([("doc_id", "ascending")])
+    ts = store["ts"].to_pylist()
+    roles = store["role"].to_pylist()
+    srt = sorted(ts)
+    lo, hi = srt[len(srt) // 4], srt[3 * len(srt) // 4]
+    rng = {"ts": {"gte": lo, "lt": hi}}
+    full = s.search("the", k=s.N)
+    expect = [h for h in full if lo <= ts[h[0]] < hi][:10]
+    assert expect, "fixture ts quartiles should keep some hits"
+    assert s.search("the", k=10, where=rng) == expect
+    assert s.search("the", k=10, algo="wand", where=rng) == expect
+    shared = SharedSearcher(SharedIndexHandle(index_dir))
+    assert shared.search("the", k=10, where=rng) == expect
+    # count() with ranges; boundary ops differ exactly at the bounds
+    assert s.count(ts={"gte": lo, "lt": hi}) == sum(
+        1 for t in ts if lo <= t < hi
+    )
+    assert s.count(ts={"gt": lo, "lte": hi}) == sum(
+        1 for t in ts if lo < t <= hi
+    )
+    # composes with keyword equality in one where spec
+    got = s.search("the", k=10, where={"ts": {"gte": lo, "lt": hi},
+                                       "role": "user"})
+    expect2 = [
+        h for h in full if lo <= ts[h[0]] < hi and roles[h[0]] == "user"
+    ][:10]
+    assert got == expect2
+    # unknown range op is rejected loudly, not silently ignored
+    with pytest.raises(ValueError):
+        s.filter_mask(ts={"between": (lo, hi)})
+
+
 def test_facet_counts_match_bruteforce(index_dir):
     """ES terms-aggregation analog: value -> doc-count buckets over ALL
     query hits (not the top-k page), ordered (count desc, value asc),
