@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_phrase_top10": P.fts_phrase_top10,      # positional PhraseQuery
         "fts_bool_top10": P.fts_bool_top10,          # ES bool must/must_not
         "fts_prefix_docs": P.fts_prefix_docs,        # PrefixQuery expansion
+        "fts_wildcard_docs": P.fts_wildcard_docs,    # WildcardQuery glob
         "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
         "fts_term_doc_count": P.fts_term_doc_count,
@@ -229,6 +230,13 @@ SELECT doc_id, dl FROM dl
 WITH {_TOKS_CTE}
 SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
 WHERE term LIKE '{P.PREFIX_QUERY}%'
+GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
+        # WILDCARD_QUERY "s?a*" == SQL LIKE 's_a%' (? -> _, * -> %)
+        "fts_wildcard_docs": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
+WHERE term LIKE 's_a%'
 GROUP BY doc_id ORDER BY doc_id LIMIT 20
 """,
         # fuzzy expansion = closest-first, lexicographic tie-break, first

@@ -142,6 +142,22 @@ class BruteForceIndex:
         terms = {t for t in self.df if t.startswith(prefix)}
         return self._docs_for_terms(terms, limit)
 
+    def wildcard_docs(self, pattern: str, limit: int = 20) -> list[tuple[int, int]]:
+        """ES wildcard-query spec: anchored glob, ``*`` = any run
+        (incl. empty), ``?`` = exactly one char, all else literal."""
+        import re as _re
+
+        rx = _re.compile(
+            "^"
+            + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pattern
+            )
+            + "$"
+        )
+        terms = {t for t in self.df if rx.match(t)}
+        return self._docs_for_terms(terms, limit)
+
     def _docs_for_terms(self, terms: set, limit: int) -> list[tuple[int, int]]:
         out = []
         for doc_id in sorted(self.doc_tfs):

@@ -35,6 +35,7 @@ BM25_QUERY_HOT = "the customer"
 PHRASE_QUERY = "the data"          # exact-adjacency phrase (slot order matters)
 BOOL_MUST_NOT = "window"           # must_not clause of the bool query
 PREFIX_QUERY = "s"                 # term-dictionary prefix probe
+WILDCARD_QUERY = "s?a*"            # glob probe (scan, small, spark at sf*)
 FUZZY_QUERY = "bat"                # fuzzy probe (absent term, 6 matches @2)
 FUZZY_EDITS = 2
 PROBE_TERMS = ("the", "spark", "join", "window", "zz_absent_zz")
@@ -256,6 +257,23 @@ def fts_prefix_docs(sf_dir: str) -> pa.Table:
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
     rows = s.prefix_docs(PREFIX_QUERY, limit=20)
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in rows], pa.int64()),
+            "n_terms": pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
+
+
+def fts_wildcard_docs(sf_dir: str) -> pa.Table:
+    """ES WildcardQuery analog (constant-score rewrite): first 20 docs
+    containing a term matching the WILDCARD_QUERY glob (`?` = one char,
+    `*` = any run), with the count of DISTINCT matching terms per doc —
+    the DuckDB LIKE 's_a%' oracle pins the glob semantics exactly."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    rows = s.wildcard_docs(WILDCARD_QUERY, limit=20)
     to_src = _dense_to_src(index_dir)
     return pa.table(
         {

@@ -47,6 +47,22 @@ def tokenize_query(q: str) -> list[str]:
 _RANGE_OPS = ("gte", "gt", "lte", "lt")
 
 
+def _wildcard_to_regex(pattern: str) -> str:
+    """ES/Lucene wildcard glob -> anchored regex: ``*`` = any sequence,
+    ``?`` = exactly one char, all else literal (regex metachars escaped).
+    Tokens never contain newlines, so ``.`` is safe."""
+    parts = ["^"]
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    parts.append("$")
+    return "".join(parts)
+
+
 def _where_key(where: dict) -> tuple:
     """Hashable cache key for a ``where`` spec (scalar equality, None for
     is-null, or an ES-style range dict {gte/gt/lte/lt: bound})."""
@@ -511,6 +527,37 @@ class Searcher:
             out.extend(terms.filter(m).to_pylist())
         out.sort()
         return out[:max_expansions]
+
+    def expand_wildcard(self, pattern: str,
+                        max_expansions: int = 4096) -> list[str]:
+        """ES WildcardQuery term expansion: ``*`` matches any character
+        sequence (incl. empty), ``?`` exactly one character, everything
+        else literal. Vectorized: the glob compiles to ONE anchored RE2
+        regex matched against each bucket's term column
+        (``pc.match_substring_regex``) — no per-term Python. Deterministic
+        lowest-terms-first truncation, like expand_prefix. A leading
+        literal run is additionally pre-pruned with ``pc.starts_with``
+        (the Lucene "wildcard should not start with *" perf rule, applied
+        automatically instead of rejected)."""
+        rx = _wildcard_to_regex(pattern)
+        lit = pattern.split("*", 1)[0].split("?", 1)[0]
+        out: list[str] = []
+        for terms in self._iter_term_arrays():
+            if lit:
+                terms = terms.filter(pc.starts_with(terms, pattern=lit))
+            m = pc.match_substring_regex(terms, pattern=rx)
+            out.extend(terms.filter(m).to_pylist())
+        out.sort()
+        return out[:max_expansions]
+
+    def wildcard_docs(self, pattern: str, limit: int = 20,
+                      max_expansions: int = 4096) -> list[tuple[int, int]]:
+        """ES wildcard-query analog (constant-score rewrite): docs
+        containing at least one term matching the glob, ascending doc_id,
+        first ``limit``, each with its count of DISTINCT matching terms."""
+        return self._docs_for_terms(
+            self.expand_wildcard(pattern, max_expansions), limit
+        )
 
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      prefix_length: int = 0,
@@ -1312,6 +1359,24 @@ class MultiSearcher:
                 (d + off, n)
                 for d, n in seg.prefix_docs(
                     prefix, limit=limit, max_expansions=max_expansions
+                )
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
+
+    def wildcard_docs(self, pattern: str, limit: int = 20,
+                      max_expansions: int = 4096) -> list[tuple[int, int]]:
+        """Sharded wildcard-docs: same segment-concatenation argument as
+        prefix_docs (ascending disjoint global id ranges); the per-segment
+        ``max_expansions`` caveat applies identically."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, n)
+                for d, n in seg.wildcard_docs(
+                    pattern, limit=limit, max_expansions=max_expansions
                 )
             )
             if len(out) >= limit:

@@ -206,6 +206,31 @@ def test_prefix_docs_match_oracle(pos_index, oracle):
     assert exp == sorted(exp) and len(exp) == 5
 
 
+def test_wildcard_docs_match_oracle(pos_index, oracle):
+    """ES WildcardQuery analog: glob expansion (* = any run, ? = one
+    char, everything else literal incl. regex metachars) + constant-score
+    rewrite match the oracle; file and sharded executors agree."""
+    s = Searcher(pos_index)
+    ms = MultiSearcher([pos_index])
+    for pattern in [
+        "w0*",        # prefix-shaped glob
+        "w000?",      # fixed-length tail
+        "*0007",      # leading-star (no literal pre-prune possible)
+        "t?e",        # the
+        "*",          # matches every term
+        "w:*",        # ':' must be treated literally -> no matches
+        "zz*zz",      # no matches
+    ]:
+        want = oracle.wildcard_docs(pattern, limit=25)
+        assert s.wildcard_docs(pattern, limit=25) == want, pattern
+        assert ms.wildcard_docs(pattern, limit=25) == want, pattern
+    # expansion list is sorted + truncated deterministically
+    exp = s.expand_wildcard("w0*", max_expansions=5)
+    assert exp == sorted(exp) and len(exp) == 5
+    full = s.expand_wildcard("w0*", max_expansions=10_000)
+    assert exp == full[:5]
+
+
 FUZZY_CASES = [
     # (term, max_edits, prefix_length)
     ("w0007", 1, 0),    # id-token neighborhood: w0000..w9999 all at d<=1
