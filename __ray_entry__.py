@@ -33,7 +33,8 @@ _DL_CTE = (
 
 
 def _bm25_sql(query_terms: list[str], k: int, where_sql: str = "",
-              require_all: bool = False, must_not: list[str] | None = None) -> str:
+              require_all: bool = False, must_not: list[str] | None = None,
+              offset: int = 0) -> str:
     """``where_sql`` restricts the FINAL hits (Lucene filtered-query
     semantics: df/avgdl/N stay corpus-global, the filter only prunes).
     ``require_all`` = ES bool must rewrite (doc must match every query
@@ -73,7 +74,7 @@ scores AS (
 )
 SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6
 FROM scores s2 JOIN documents d2 USING (doc_id) {where_sql} {mn_sql}
-ORDER BY s2.score DESC, s2.doc_id LIMIT {k}
+ORDER BY s2.score DESC, s2.doc_id LIMIT {k} OFFSET {offset}
 """
 
 
@@ -154,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bm25_hot_top20": P.fts_bm25_hot_top20,
         "fts_bm25_filtered_top10": P.fts_bm25_filtered_top10,
         "fts_bm25_range_top10": P.fts_bm25_range_top10,  # ES range query
+        "fts_bm25_page2_offset": P.fts_bm25_page2_offset,  # ES from/size
+        "fts_bm25_page2_cursor": P.fts_bm25_page2_cursor,  # ES search_after
         "fts_phrase_top10": P.fts_phrase_top10,      # positional PhraseQuery
         "fts_bool_top10": P.fts_bool_top10,          # ES bool must/must_not
         "fts_prefix_docs": P.fts_prefix_docs,        # PrefixQuery expansion
@@ -221,6 +224,15 @@ SELECT doc_id, dl FROM dl
             "WHERE d2.n_chars >= 200 AND d2.n_chars < 600",
         ),
         "fts_bm25_hot_top20": _bm25_sql(sorted(set(P.BM25_QUERY_HOT.split())), 20),
+        # both pagination modes face the SAME LIMIT/OFFSET oracle: the
+        # offset path slices a top-20 pool, the cursor path re-enters with
+        # page 1's last hit — rank-identical by construction
+        "fts_bm25_page2_offset": _bm25_sql(
+            sorted(set(P.BM25_QUERY.split())), 10, offset=10
+        ),
+        "fts_bm25_page2_cursor": _bm25_sql(
+            sorted(set(P.BM25_QUERY.split())), 10, offset=10
+        ),
         "fts_phrase_top10": _phrase_sql(P.PHRASE_QUERY.split(), 10),
         "fts_bool_top10": _bm25_sql(
             sorted(set(P.BM25_QUERY.split())), 10,

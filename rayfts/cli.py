@@ -60,10 +60,16 @@ def cmd_build(args) -> int:
 def cmd_search(args) -> int:
     from .search import Searcher
 
+    after = None
+    if args.after:
+        d, sc = args.after.split(",")
+        after = (int(d), float(sc))
     s = Searcher(args.index)
-    for rank, (doc_id, score) in enumerate(
-        s.search(args.query, k=args.k, algo=args.algo), 1
-    ):
+    hits = s.search(
+        args.query, k=args.k, algo=args.algo,
+        offset=args.offset, search_after=after,
+    )
+    for rank, (doc_id, score) in enumerate(hits, 1 + args.offset):
         print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
     return 0
 
@@ -189,6 +195,10 @@ def main(argv=None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--algo", default="taat", choices=["taat", "wand"])
+    s.add_argument("--offset", type=int, default=0,
+                   help="ES from: skip the first N ranked hits")
+    s.add_argument("--after", default=None, metavar="DOC_ID,SCORE",
+                   help="search_after cursor: the previous page's last hit")
     s.set_defaults(fn=cmd_search)
 
     g = sub.add_parser("get")

@@ -183,6 +183,40 @@ def fts_bm25_hot_top20(sf_dir: str) -> pa.Table:
     return _bm25(sf_dir, BM25_QUERY_HOT, 20, "wand")
 
 
+def fts_bm25_page2_offset(sf_dir: str) -> pa.Table:
+    """ES from/size pagination: hits ranked 11-20 via offset=10 — faces a
+    plain SQL LIMIT/OFFSET oracle (the engine slices a top-20 pool)."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search(BM25_QUERY, k=10, offset=10)
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in hits], pa.int64()),
+            "score_e6": pa.array([round(sc * 1e6) for _, sc in hits], pa.int64()),
+        }
+    )
+
+
+def fts_bm25_page2_cursor(sf_dir: str) -> pa.Table:
+    """search_after pagination: page 1's last hit becomes the stateless
+    cursor, page 2 is the top-10 ranked strictly after it — must equal the
+    SAME LIMIT/OFFSET oracle as the offset path (cursor == deep-page scale
+    path: O(k) pool at any depth). Runs through the WAND executor so the
+    skipping path's cursor admission is oracle-checked too."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    page1 = s.search(BM25_QUERY, k=10, algo="wand")
+    hits = s.search(BM25_QUERY, k=10, algo="wand", search_after=page1[-1])
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in hits], pa.int64()),
+            "score_e6": pa.array([round(sc * 1e6) for _, sc in hits], pa.int64()),
+        }
+    )
+
+
 def fts_bm25_filtered_top10(sf_dir: str) -> pa.Table:
     """Filtered BM25 (ES filtered-search analog, ESNodeITest.java:61-172
     with the geo filter swapped for a keyword column): top-10 restricted

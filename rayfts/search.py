@@ -47,6 +47,16 @@ def tokenize_query(q: str) -> list[str]:
 _RANGE_OPS = ("gte", "gt", "lte", "lt")
 
 
+def _after_keep(scores: np.ndarray, docs: np.ndarray, after) -> np.ndarray:
+    """search_after cursor predicate: keep hits ranked strictly AFTER
+    ``after = (score, doc_id)`` in (score desc, doc_id asc) order.
+    Scores are deterministic float64 (bit-identical across executors), so
+    exact equality on the tie leg is sound — the cursor is a previous
+    page's last hit, produced by the same arithmetic."""
+    cs, cd = after
+    return (scores < cs) | ((scores == cs) & (docs > cd))
+
+
 def _wildcard_to_regex(pattern: str) -> str:
     """ES/Lucene wildcard glob -> anchored regex: ``*`` = any sequence,
     ``?`` = exactly one char, all else literal (regex metachars escaped).
@@ -466,16 +476,20 @@ class Searcher:
         return docs.astype(np.int64), pf.astype(np.int64), dfs
 
     def search_phrase(self, phrase: str, k: int = 10,
-                      where: dict | None = None):
+                      where: dict | None = None, offset: int = 0,
+                      search_after: tuple | None = None):
         """Exact phrase (slop=0) top-k [(doc_id, score)] — the Lucene
         PhraseQuery analog (requires a positional index). Scoring spec
         (pinned in oracle.py): W = sum over phrase SLOTS of idf(df of the
         slot's term) — duplicate slots count multiply, like repeated terms
         in Lucene's PhraseQuery idf sum — and
         score = W * pf*(k1+1)/(pf + k1*(1-b+b*dl/avgdl)) with pf = number
-        of exact phrase occurrences. Order: (score desc, doc_id asc)."""
+        of exact phrase occurrences. Order: (score desc, doc_id asc).
+        ``offset`` / ``search_after`` paginate exactly as in search()."""
         if k <= 0:
             return []
+        if offset and search_after is not None:
+            raise ValueError("offset and search_after are mutually exclusive")
         slots = tokenize_query(phrase)
         if not slots:
             return []
@@ -500,7 +514,12 @@ class Searcher:
             pff * (self.k1 + 1.0)
             / (pff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
         )
-        return self._topk_from(docs, scores, k)
+        if search_after is not None:
+            a = (float(search_after[1]), int(search_after[0]))
+            keep = _after_keep(scores, docs, a)
+            docs, scores = docs[keep], scores[keep]
+        out = self._topk_from(docs, scores, k + int(offset))
+        return out[offset:] if offset else out
 
     def _iter_term_arrays(self):
         """Yield each bucket's term column as an Arrow array WITHOUT
@@ -663,7 +682,8 @@ class Searcher:
 
     def search(self, query: str, k: int = 10, algo: str = "taat",
                where: dict | None = None, mode: str = "or",
-               must_not: str | None = None):
+               must_not: str | None = None, offset: int = 0,
+               search_after: tuple | None = None):
         """Top-k [(doc_id, score)] — (score desc, doc_id asc).
 
         algo="taat": vectorized term-at-a-time union (default; O(total
@@ -680,9 +700,28 @@ class Searcher:
         term's BM25 contribution); ``must_not`` drops docs containing any
         of its analyzed terms. Both are doc-set restrictions like
         ``where``: statistics stay global.
+
+        Pagination (ES from/size + search_after analogs):
+        ``offset`` skips the first ``offset`` ranked hits (ES ``from`` —
+        internally a top-(offset+k) then slice, so deep offsets cost
+        O(offset+k) pool like ES). ``search_after=(doc_id, score)`` — the
+        previous page's LAST HIT, passed back verbatim — is the stateless
+        cursor: return the top-k ranked STRICTLY AFTER that sort key —
+        O(k) pool regardless of page depth, the scale path for deep
+        pagination. Scores are deterministic float64 (bit-identical across
+        executors), so the cursor's exact-equality tie leg is sound. The
+        two are mutually exclusive, as in ES.
         """
         if k <= 0:
             return []
+        if offset and search_after is not None:
+            raise ValueError("offset and search_after are mutually exclusive")
+        after = None
+        if search_after is not None:
+            # cursor arrives hit-shaped (doc_id, score); executors compare
+            # (score, doc_id)
+            after = (float(search_after[1]), int(search_after[0]))
+        inner_k = k + int(offset)
         qtf = Counter(tokenize_query(query))
         terms = sorted(qtf)
         plist = [(t, qtf[t], self.lookup(t)) for t in terms]
@@ -699,25 +738,27 @@ class Searcher:
         if algo == "taat":
             key = (
                 query, k, _where_key(where) if where else None,
-                mode, must_not,
+                mode, must_not, offset, after,
             )
             cached = self._result_cache.get(key)
             if cached is not None:
                 return list(cached)
             if len(plist) == 1:
-                out = self._search_single_pruned(plist[0], k, mask)
+                out = self._search_single_pruned(plist[0], inner_k, mask, after)
             else:
-                out = self._search_taat(plist, k, mask)
+                out = self._search_taat(plist, inner_k, mask, after)
+            out = out[offset:] if offset else out
             if len(self._result_cache) >= 4096:
                 self._result_cache.clear()
             self._result_cache[key] = out
             return list(out)
-        return self._search_wand(plist, k, mask=mask)
+        out = self._search_wand(plist, inner_k, mask=mask, after=after)
+        return out[offset:] if offset else out
 
     def _term_weight(self, qtf: int, df: int) -> float:
         return qtf * self.idf(df)
 
-    def _search_single_pruned(self, entry, k, mask=None):
+    def _search_single_pruned(self, entry, k, mask=None, after=None):
         """Exact single-term top-k with block-max pruning.
 
         Blocks are processed in DESCENDING bound order in chunks; a
@@ -736,6 +777,9 @@ class Searcher:
                 d, sc = d[p.live_mask], sc[p.live_mask]
             if mask is not None:
                 keep = mask[d]
+                d, sc = d[keep], sc[keep]
+            if after is not None:
+                keep = _after_keep(sc, d, after)
                 d, sc = d[keep], sc[keep]
             return self._topk_from(d, sc, k)
         order = np.argsort(-p.block_ub, kind="stable")
@@ -765,6 +809,12 @@ class Searcher:
                 if mask is not None:
                     keep = mask[d]
                     d, s = d[keep], s[keep]
+                if after is not None:
+                    # cursor drops only higher-ranked hits, so the running
+                    # kth of the FILTERED pool still upper-bounds every
+                    # unseen block's admissible score: pruning stays exact
+                    keep = _after_keep(s, d, after)
+                    d, s = d[keep], s[keep]
                 parts_d.append(d)
                 parts_s.append(s)
             pool_docs = np.concatenate([pool_docs] + parts_d)
@@ -789,7 +839,7 @@ class Searcher:
     # docs-per-term cap under which a term is "essential" for MaxScore
     MAXSCORE_DF_CAP = 4096
 
-    def _search_maxscore(self, plist, k, mask=None):
+    def _search_maxscore(self, plist, k, mask=None, after=None):
         """Vectorized MaxScore: exact top-k that touches hot posting lists
         only at CANDIDATE positions.
 
@@ -840,12 +890,20 @@ class Searcher:
             pos_c = np.minimum(pos, p.doc_ids.size - 1)
             hit = p.doc_ids[pos_c] == cands
             scores[hit] += w * p.tf_part[pos_c[hit]]
+        if after is not None:
+            # search_after prunes only higher-ranked candidates; any
+            # non-candidate doc is still bounded by B, so the kth-vs-B
+            # completeness proof below is unchanged
+            keep = _after_keep(scores, cands, after)
+            cands, scores = cands[keep], scores[keep]
+            if cands.size < k:
+                return None
         kth = -np.partition(-scores, k - 1)[k - 1]
         if not kth > B:
             return None  # a hot-only doc could reach the top-k: fall back
         return self._topk_from(cands, scores, k)
 
-    def _search_taat(self, plist, k, mask=None):
+    def _search_taat(self, plist, k, mask=None, after=None):
         """Vectorized term-at-a-time scoring into a reusable dense
         accumulator (one float64 slot per doc of this segment — per-segment
         N is bounded in the sharded design, so this is O(segment) memory
@@ -854,7 +912,7 @@ class Searcher:
         accumulation order, so scores are bit-identical to the spec.
         Multi-term queries first try the MaxScore path (exact, candidate-
         only work); this full scatter is the fallback."""
-        out = self._search_maxscore(plist, k, mask)
+        out = self._search_maxscore(plist, k, mask, after)
         if out is not None:
             return out
         buf = getattr(self, "_score_buf", None)
@@ -878,6 +936,9 @@ class Searcher:
         scores = buf[idx].copy()
         for t in touched:  # reset only touched slots for the next query
             buf[t] = 0.0
+        if after is not None:
+            keep = _after_keep(scores, idx, after)
+            idx, scores = idx[keep], scores[keep]
         take = min(k, idx.size)
         if idx.size > take:
             kth = np.partition(-scores, take - 1)[take - 1]
@@ -888,7 +949,7 @@ class Searcher:
         return [(int(idx[i]), float(scores[i])) for i in order]
 
     def _search_wand(self, plist, k, weights: dict | None = None,
-                     excluded_set=None, mask=None):
+                     excluded_set=None, mask=None, after=None):
         """Block-max WAND over (tf_part, block_ub) — the precomputed
         query-independent factors, so the SAME executor serves both the
         file-based Searcher and the zero-copy SharedSearcher (round-1 kept
@@ -955,11 +1016,20 @@ class Searcher:
                     score = 0.0
                     for c in on_doc:  # ascending-term order == oracle order
                         score += c.w * float(c.p.tf_part[c.i])
-                    item = (score, -pivot_doc)
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
+                    # search_after cursor: admit only hits ranked strictly
+                    # after (score desc, doc_id asc); the heap threshold
+                    # then reflects the after-page top-k, so block-max
+                    # pruning stays exact for the page
+                    admit = after is None or (
+                        score < after[0]
+                        or (score == after[0] and pivot_doc > after[1])
+                    )
+                    if admit:
+                        item = (score, -pivot_doc)
+                        if len(heap) < k:
+                            heapq.heappush(heap, item)
+                        elif item > heap[0]:
+                            heapq.heapreplace(heap, item)
                 for c in on_doc:
                     c.i += 1
             else:
@@ -1180,7 +1250,8 @@ class MultiSearcher:
 
     def search(self, query: str, k: int = 10, algo: str = "taat",
                where: dict | None = None, mode: str = "or",
-               must_not: str | None = None):
+               must_not: str | None = None, offset: int = 0,
+               search_after: tuple | None = None):
         """Top-k [(global_doc_id, score)] — (score desc, doc_id asc).
 
         algo="wand": block-max WAND runs per segment with GLOBAL term
@@ -1191,9 +1262,25 @@ class MultiSearcher:
 
         ``mode="and"`` / ``must_not`` distribute cleanly: every doc lives
         in exactly one segment, so the global conjunction equals the local
-        conjunction inside the owning segment."""
+        conjunction inside the owning segment.
+
+        Pagination distributes the same way: the ``search_after`` cursor
+        (GLOBAL doc-id space) is rebased per segment — scores are global
+        (global df weights/avgdl) and segment doc ranges are disjoint, so
+        the global after-predicate equals the local one inside each
+        segment. Each segment returns its after-page top-k and the driver
+        merges k-sized heads — the scatter/gather ES runs across shards.
+        ``offset`` fetches per-segment top-(offset+k) and slices the
+        merge (ES from/size: deep offsets cost O(offset+k) per shard,
+        which is why search_after is the deep-page path there too)."""
         if k <= 0:
             return []
+        if offset and search_after is not None:
+            raise ValueError("offset and search_after are mutually exclusive")
+        g_after = None
+        if search_after is not None:
+            g_after = (float(search_after[1]), int(search_after[0]))
+        inner_k = k + int(offset)
         qtf = Counter(tokenize_query(query))
         terms = sorted(qtf)
         # global df per term = sum of segment dfs (A3 merged stats)
@@ -1242,13 +1329,20 @@ class MultiSearcher:
                     (term, qtf[term], self._global_postings(si, term, p))
                     for term, p in plist
                 ]
-                hits = seg._search_wand(
-                    gplist, k, weights=weights, mask=seg_mask(si),
-                )
                 off = int(self.offsets[si])
+                # rebase the global cursor into this segment's local ids:
+                # global_doc > cd  <=>  local_doc > cd - off
+                seg_after = (
+                    (g_after[0], g_after[1] - off)
+                    if g_after is not None else None
+                )
+                hits = seg._search_wand(
+                    gplist, inner_k, weights=weights, mask=seg_mask(si),
+                    after=seg_after,
+                )
                 merged.extend((doc + off, sc) for doc, sc in hits)
             merged.sort(key=lambda h: (-h[1], h[0]))
-            return merged[:k]
+            return merged[offset:inner_k]
         # score each segment with the global weights, merge candidates
         all_docs, all_scores = [], []
         for si, plist in enumerate(seg_postings):
@@ -1278,14 +1372,19 @@ class MultiSearcher:
             return []
         docs = np.concatenate(all_docs)
         scores = np.concatenate(all_scores)
-        take = min(k, docs.size)
+        if g_after is not None:
+            keep = _after_keep(scores, docs, g_after)
+            docs, scores = docs[keep], scores[keep]
+        take = min(inner_k, docs.size)
+        if take == 0:
+            return []
         if docs.size > take:
             kth = np.partition(-scores, take - 1)[take - 1]
             cand = np.flatnonzero(-scores <= kth)
         else:
             cand = np.arange(docs.size)
         order = cand[np.lexsort((docs[cand], -scores[cand]))][:take]
-        return [(int(docs[i]), float(scores[i])) for i in order]
+        return [(int(docs[i]), float(scores[i])) for i in order][offset:]
 
     def search_phrase(self, phrase: str, k: int = 10,
                       where: dict | None = None):

@@ -476,7 +476,9 @@ def test_maxscore_prune_bit_identical(index_dir):
     k larger than the candidate sets."""
     s_fast = Searcher(index_dir)
     s_full = Searcher(index_dir)
-    s_full._search_maxscore = lambda plist, k, mask=None: None  # force full path
+    s_full._search_maxscore = (
+        lambda plist, k, mask=None, after=None: None  # force full path
+    )
     queries = [
         "the w0007",          # hot + cold
         "the a",              # hot + hot
@@ -715,3 +717,89 @@ def test_facet_counts_match_bruteforce(index_dir):
     dead = set(p.doc_ids.tolist())
     want = brute("the", roles, pred=lambda d: d not in dead)
     assert s.facet_counts("the", "role", must_not="bash") == want
+
+
+# ----------------------------------------------------------------------
+# pagination: ES from/size offset + search_after cursor
+# (ref analog: scroll/pagination over the indexed OSM entities —
+#  the reference pages via ES search APIs; here both page modes are
+#  first-class on every executor)
+# ----------------------------------------------------------------------
+
+PAGE_QUERIES = REFERENCE_QUERIES + ["same text across convs"]  # incl. ties
+
+
+@pytest.mark.parametrize("algo", ["taat", "wand"])
+def test_pagination_offset_matches_slice(index_dir, algo):
+    s = Searcher(index_dir)
+    for q in PAGE_QUERIES:
+        full = s.search(q, k=10**6, algo=algo)
+        for off in (0, 1, 5, 17, 39, len(full), len(full) + 9):
+            page = s.search(q, k=10, algo=algo, offset=off)
+            assert page == full[off:off + 10], (q, algo, off)
+
+
+@pytest.mark.parametrize("algo", ["taat", "wand"])
+def test_search_after_walks_entire_ranking(index_dir, algo):
+    """Cursor pages of size 7 must reconstruct the ENTIRE ranking exactly —
+    covers score ties (equal-score docs split across a page boundary must
+    resume on doc_id) because the fixture corpus contains identical texts."""
+    s = Searcher(index_dir)
+    for q in PAGE_QUERIES:
+        full = s.search(q, k=10**6, algo=algo)
+        walked, cursor = [], None
+        while True:
+            page = s.search(q, k=7, algo=algo, search_after=cursor)
+            if not page:
+                break
+            walked.extend(page)
+            cursor = page[-1]
+            assert len(walked) <= len(full), (q, "cursor loop")
+        assert walked == full, (q, algo)
+
+
+def test_search_after_equals_offset_pages(index_dir):
+    s = Searcher(index_dir)
+    for q in PAGE_QUERIES:
+        p1 = s.search(q, k=10)
+        if not p1:
+            continue
+        assert s.search(q, k=10, search_after=p1[-1]) == \
+            s.search(q, k=10, offset=10), q
+
+
+def test_pagination_composes_with_filters(index_dir):
+    s = Searcher(index_dir)
+    where = {"role": "assistant"}
+    full = s.search("the a to", k=10**6, where=where)
+    page2 = s.search("the a to", k=10, where=where, offset=10)
+    assert page2 == full[10:20]
+    after = s.search("the a to", k=10, where=where, search_after=full[9])
+    assert after == full[10:20]
+
+
+def test_pagination_mutual_exclusion(index_dir):
+    s = Searcher(index_dir)
+    with pytest.raises(ValueError):
+        s.search("the", k=10, offset=5, search_after=(1.0, 3))
+
+
+def test_search_after_exhausted_returns_empty(index_dir):
+    s = Searcher(index_dir)
+    full = s.search("w0007", k=10**6)
+    assert s.search("w0007", k=10, search_after=full[-1]) == []
+    assert s.search("w0007", k=10, search_after=full[-1], algo="wand") == []
+
+
+def test_shared_searcher_pagination_identical(index_dir):
+    from rayfts.search import SharedIndexHandle, SharedSearcher
+
+    s = Searcher(index_dir)
+    sh = SharedSearcher(SharedIndexHandle(index_dir))
+    for q in PAGE_QUERIES:
+        p1 = s.search(q, k=5)
+        if not p1:
+            continue
+        cursor = p1[-1]
+        for kw in ({"offset": 10}, {"search_after": cursor}):
+            assert sh.search(q, k=10, **kw) == s.search(q, k=10, **kw), (q, kw)

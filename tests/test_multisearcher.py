@@ -151,3 +151,25 @@ def test_build_segments_api(tmp_path_factory):
             str(tmp_path_factory.mktemp("segbad")),
             cfg=IndexJobConfig(term_buckets=4),
         )
+
+
+def test_sharded_pagination_equals_global(indexes):
+    """offset and search_after distribute across segments: the global
+    cursor is rebased per segment (disjoint doc ranges + global scores),
+    per-segment after-page top-k heads merge to exactly the single-index
+    page — both executors."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in REFERENCE_QUERIES + ["the a to ok"]:
+        full = single.search(q, k=10**6)
+        if not full:
+            assert multi.search(q, k=10, offset=3) == []
+            continue
+        for algo in ("taat", "wand"):
+            for off in (0, 5, 17, len(full)):
+                assert multi.search(q, k=10, algo=algo, offset=off) == \
+                    full[off:off + 10], (q, algo, off)
+            cursor = full[min(9, len(full) - 1)]
+            got = multi.search(q, k=10, algo=algo, search_after=cursor)
+            want = single.search(q, k=10, search_after=cursor)
+            assert got == want, (q, algo)

@@ -332,3 +332,26 @@ def test_phrase_and_prefix_respect_tombstones(corpus, tmp_path_factory, oracle):
     hits = s1.search_phrase("same text across", k=10)
     assert [h[0] for h in hits] == [h[0] for h in base if h[0] != dead]
     assert all(d_ != dead for d_, _ in s1.prefix_docs("same", limit=50))
+
+
+def test_phrase_pagination(pos_index, oracle):
+    """Phrase pagination: offset slices the full phrase ranking; the
+    search_after cursor walk reconstructs it exactly (ties resume on
+    doc_id)."""
+    s = Searcher(pos_index)
+    for phrase in PHRASES:
+        full = s.search_phrase(phrase, k=10**6)
+        for off in (0, 1, 3, len(full)):
+            assert s.search_phrase(phrase, k=5, offset=off) == \
+                full[off:off + 5], (phrase, off)
+        walked, cursor = [], None
+        while True:
+            page = s.search_phrase(phrase, k=3, search_after=cursor)
+            if not page:
+                break
+            walked.extend(page)
+            cursor = page[-1]
+            assert len(walked) <= len(full), (phrase, "cursor loop")
+        assert walked == full, phrase
+    with pytest.raises(ValueError):
+        s.search_phrase(PHRASES[0], k=3, offset=2, search_after=(0, 1.0))
