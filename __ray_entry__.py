@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_wildcard_docs": P.fts_wildcard_docs,    # WildcardQuery glob
         "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
+        "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
+        "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
         "fts_compact_docstore": P.fts_compact_docstore,  # delete-by-query + forceMerge
@@ -272,6 +274,26 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT source, count(*) AS n_docs FROM documents JOIN hits USING (doc_id)
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
+""",
+        "fts_stats_nchars": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT count(*) AS n_hits,
+       min(n_chars) AS min_nc,
+       max(n_chars) AS max_nc,
+       CAST(sum(n_chars) AS BIGINT) AS sum_nc,
+       CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT) AS avg_e6
+FROM documents JOIN hits USING (doc_id)
+""",
+        "fts_hist_nchars": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM documents JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY 1
 """,
         "fts_term_doc_count": f"""
 WITH {_TOKS_CTE}

@@ -352,6 +352,42 @@ def fts_facet_source(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_stats_nchars(sf_dir: str) -> pa.Table:
+    """ES stats-aggregation analog over the full BM25_QUERY hit set:
+    count/min/max/sum of the numeric n_chars docstore column plus an
+    exact integer-division mean (avg_e6 = sum*1e6 // count — integer
+    arithmetic on both sides, no float-rounding divergence vs SQL)."""
+    s = Searcher(documents_index(sf_dir))
+    st = s.stats_agg(BM25_QUERY, "n_chars")
+    total = int(round(st["sum"]))  # n_chars is integral: float64-exact
+    return pa.table(
+        {
+            "n_hits": pa.array([st["count"]], pa.int64()),
+            "min_nc": pa.array([int(st["min"])], pa.int64()),
+            "max_nc": pa.array([int(st["max"])], pa.int64()),
+            "sum_nc": pa.array([total], pa.int64()),
+            "avg_e6": pa.array(
+                [(total * 1_000_000) // st["count"]], pa.int64()
+            ),
+        }
+    )
+
+
+def fts_hist_nchars(sf_dir: str) -> pa.Table:
+    """ES histogram-aggregation analog: fixed 100-char buckets
+    (key = floor(n_chars/100)*100) over ALL BM25_QUERY hits, non-empty
+    buckets ascending — the date_histogram computation over any epoch
+    column is the identical kernel."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.histogram_agg(BM25_QUERY, "n_chars", 100.0)
+    return pa.table(
+        {
+            "bucket": pa.array([int(b) for b, _ in rows], pa.int64()),
+            "n_docs": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
 def fts_term_doc_count(sf_dir: str) -> pa.Table:
     """df for fixed probe terms (exact-count conformance, A2 analog)."""
     index_dir = documents_index(sf_dir)

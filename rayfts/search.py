@@ -219,6 +219,7 @@ class Searcher:
         self._cache: dict[str, Postings | None] = {}
         self._filter_masks: dict[tuple, np.ndarray] = {}
         self._facet_cols: dict[str, tuple] = {}
+        self._numeric_cols: dict[str, tuple] = {}
         self._blocks_scored = 0  # pruning instrumentation (tests/diagnostics)
         # bucket -> {term: encoded row dict}; a query term loads its whole
         # hash bucket once (one columnar file read) and every later term in
@@ -338,19 +339,19 @@ class Searcher:
         self._facet_cols[field] = out
         return out
 
-    def _facet_hist(self, query: str, field: str,
-                    where: dict | None = None, mode: str = "or",
-                    must_not: str | None = None) -> dict:
-        """Untruncated value -> doc-count histogram over ALL query hits
-        (the per-segment unit a sharded facet sums exactly). No BM25 work
-        runs — the hit set is a dense bool mask from posting unions, the
-        count one bincount over masked codes."""
+    def _hit_mask(self, query: str, where: dict | None = None,
+                  mode: str = "or", must_not: str | None = None):
+        """Dense bool mask of ALL docs matching the query (posting unions,
+        no BM25 work), composed with keyword/range filters, bool-query
+        restrictions, and tombstones — the shared hit-set primitive under
+        every aggregation (terms facets, stats, histograms) and the hit
+        export. Returns None when nothing can match."""
         qtf = Counter(tokenize_query(query))
         terms = sorted(qtf)
         plist = [(t, qtf[t], self.lookup(t)) for t in terms]
         plist = [(t, q, p) for t, q, p in plist if p is not None]
         if not plist or (mode == "and" and len(plist) < len(terms)):
-            return {}
+            return None
         hits = np.zeros(self.N, dtype=bool)
         for _, _, p in plist:
             ids = (
@@ -363,6 +364,18 @@ class Searcher:
             bm = self._bool_mask(plist if mode == "and" else None, must_not)
             if bm is not None:
                 hits &= bm
+        return hits
+
+    def _facet_hist(self, query: str, field: str,
+                    where: dict | None = None, mode: str = "or",
+                    must_not: str | None = None) -> dict:
+        """Untruncated value -> doc-count histogram over ALL query hits
+        (the per-segment unit a sharded facet sums exactly). No BM25 work
+        runs — the hit set is a dense bool mask from posting unions, the
+        count one bincount over masked codes."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {}
         codes, values = self._field_codes(field)
         sel = codes[hits]
         cnt = np.bincount(sel[sel >= 0], minlength=len(values))
@@ -380,6 +393,75 @@ class Searcher:
         hist = self._facet_hist(query, field, where, mode, must_not)
         ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
+
+    def _numeric_col(self, field: str):
+        """Dense doc_id -> value array for a numeric docstore column plus
+        a validity mask (nulls excluded from aggregations, like ES).
+        Column-pruned read, cached per searcher — the numeric analog of
+        ``_field_codes``."""
+        cached = self._numeric_cols.get(field)
+        if cached is not None:
+            return cached
+        ds = pads.dataset(self._docstore_dir)
+        t = ds.to_table(columns=["doc_id", field])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        col = t[field]
+        valid = np.ones(self.N, dtype=bool) if col.null_count == 0 else \
+            np.zeros(self.N, dtype=bool)
+        vals = np.zeros(self.N, dtype=np.float64)
+        if col.null_count:
+            vmask = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            valid[ids[vmask]] = True
+            vals[ids[vmask]] = pc.drop_null(col).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+        else:
+            vals[ids] = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        self._numeric_cols[field] = (vals, valid)
+        return vals, valid
+
+    def stats_agg(self, query: str, field: str, where: dict | None = None,
+                  mode: str = "or", must_not: str | None = None) -> dict:
+        """ES stats-aggregation analog over ALL query hits: count / min /
+        max / sum of numeric docstore column ``field``. No BM25 work —
+        one mask + four numpy reductions. Composes with where / bool
+        restrictions / tombstones like facet_counts; values are exact
+        (not sharded approximations). Keys with no hits -> count=0 and
+        null-ish extrema (None), matching the ES empty-agg shape."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {"count": 0, "min": None, "max": None, "sum": 0.0}
+        vals, valid = self._numeric_col(field)
+        sel = vals[hits & valid]
+        if sel.size == 0:
+            return {"count": 0, "min": None, "max": None, "sum": 0.0}
+        return {
+            "count": int(sel.size),
+            "min": float(sel.min()),
+            "max": float(sel.max()),
+            "sum": float(sel.sum()),
+        }
+
+    def histogram_agg(self, query: str, field: str, interval: float,
+                      where: dict | None = None, mode: str = "or",
+                      must_not: str | None = None) -> list[tuple]:
+        """ES histogram-aggregation analog: fixed-interval buckets over
+        numeric ``field`` for ALL query hits. Bucket key = ES's
+        ``floor(value / interval) * interval``; returns non-empty buckets
+        ascending by key (ES histogram order). A date_histogram with
+        fixed_interval is this exact computation over an epoch column."""
+        if interval <= 0:
+            raise ValueError("interval must be positive")
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        vals, valid = self._numeric_col(field)
+        sel = vals[hits & valid]
+        if sel.size == 0:
+            return []
+        keys = np.floor(sel / interval) * interval
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return [(float(u), int(c)) for u, c in zip(uniq, cnt)]
 
     def filter_mask(self, **where) -> np.ndarray:
         """Dense doc_id -> bool mask for keyword-column equality filters
@@ -1539,6 +1621,38 @@ class MultiSearcher:
         ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
+    def stats_agg(self, query: str, field: str, where: dict | None = None,
+                  mode: str = "or", must_not: str | None = None) -> dict:
+        """Sharded stats-aggregation, EXACT: count/min/max/sum are all
+        associative merges of per-segment partials (hit sets disjoint),
+        so the driver combine is O(segments)."""
+        parts = [
+            seg.stats_agg(query, field, where, mode, must_not)
+            for seg in self.segments
+        ]
+        parts = [p for p in parts if p["count"] > 0]
+        if not parts:
+            return {"count": 0, "min": None, "max": None, "sum": 0.0}
+        return {
+            "count": sum(p["count"] for p in parts),
+            "min": min(p["min"] for p in parts),
+            "max": max(p["max"] for p in parts),
+            "sum": sum(p["sum"] for p in parts),
+        }
+
+    def histogram_agg(self, query: str, field: str, interval: float,
+                      where: dict | None = None, mode: str = "or",
+                      must_not: str | None = None) -> list[tuple]:
+        """Sharded histogram: per-segment bucket maps sum exactly (same
+        fixed bucket keys everywhere); payload O(buckets) per segment."""
+        total: dict = {}
+        for seg in self.segments:
+            for key, c in seg.histogram_agg(
+                query, field, interval, where, mode, must_not
+            ):
+                total[key] = total.get(key, 0) + c
+        return sorted(total.items())
+
     def get_by_global_doc_id(self, doc_ids: list[int]) -> pa.Table:
         """Order-preserving multiget routed to the owning segment."""
         tables = []
@@ -1702,6 +1816,7 @@ class SharedSearcher(Searcher):
         self._result_cache: dict[tuple, list] = {}
         self._filter_masks: dict[tuple, np.ndarray] = {}
         self._facet_cols: dict[str, tuple] = {}
+        self._numeric_cols: dict[str, tuple] = {}
         self._blocks_scored = 0
         # tombstones snapshot travels with the handle (all actors see the
         # same exclusion state the handle was built with)

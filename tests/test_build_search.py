@@ -803,3 +803,69 @@ def test_shared_searcher_pagination_identical(index_dir):
         cursor = p1[-1]
         for kw in ({"offset": 10}, {"search_after": cursor}):
             assert sh.search(q, k=10, **kw) == s.search(q, k=10, **kw), (q, kw)
+
+
+# ----------------------------------------------------------------------
+# stats + histogram aggregations (ES stats-agg / histogram-agg analogs)
+# ----------------------------------------------------------------------
+
+def _brute_hits(index_dir, oracle, q):
+    """Doc ids matching ANY analyzed query term (OR hit set)."""
+    idx, _ = oracle
+    from rayfts.oracle import tokenize
+
+    terms = set(tokenize(q))
+    return {
+        d for d, tf in idx.doc_tfs.items()
+        if any(tf.get(t, 0) > 0 for t in terms)
+    }
+
+
+def test_stats_agg_matches_bruteforce(index_dir, oracle):
+    import pyarrow.parquet as pq
+
+    s = Searcher(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "turn_idx"])
+    tix = np.zeros(s.N, dtype=np.int64)
+    tix[t["doc_id"].to_numpy()] = t["turn_idx"].to_numpy()
+    for q in ["the w0007", "bash", "zzzz_absent", "the a to ok"]:
+        hits = sorted(_brute_hits(index_dir, oracle, q))
+        got = s.stats_agg(q, "turn_idx")
+        if not hits:
+            assert got == {"count": 0, "min": None, "max": None, "sum": 0.0}
+            continue
+        vals = tix[np.array(hits)]
+        assert got["count"] == len(hits), q
+        assert got["min"] == float(vals.min()), q
+        assert got["max"] == float(vals.max()), q
+        assert got["sum"] == float(vals.sum()), q
+
+
+def test_histogram_agg_matches_bruteforce(index_dir, oracle):
+    import pyarrow.parquet as pq
+    from collections import Counter as C
+
+    s = Searcher(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "turn_idx"])
+    tix = np.zeros(s.N, dtype=np.int64)
+    tix[t["doc_id"].to_numpy()] = t["turn_idx"].to_numpy()
+    q = "the a"
+    hits = sorted(_brute_hits(index_dir, oracle, q))
+    want = sorted(C(
+        float(np.floor(tix[d] / 3.0) * 3.0) for d in hits
+    ).items())
+    assert s.histogram_agg(q, "turn_idx", 3.0) == want
+    with pytest.raises(ValueError):
+        s.histogram_agg(q, "turn_idx", 0)
+
+
+def test_aggs_compose_with_filters_and_tombstones(index_dir, oracle):
+    s = Searcher(index_dir)
+    full = s.stats_agg("the a", "turn_idx")
+    filt = s.stats_agg("the a", "turn_idx", where={"role": "user"})
+    assert 0 < filt["count"] < full["count"]
+    # where-restriction == manually intersecting the hit mask
+    m = s._hit_mask("the a", where={"role": "user"})
+    assert filt["count"] == int(m.sum())

@@ -173,3 +173,20 @@ def test_sharded_pagination_equals_global(indexes):
             got = multi.search(q, k=10, algo=algo, search_after=cursor)
             want = single.search(q, k=10, search_after=cursor)
             assert got == want, (q, algo)
+
+
+def test_sharded_aggs_equal_global(indexes):
+    """stats/histogram aggregations merge exactly across segments:
+    count/min/max/sum are associative; histogram bucket keys are global
+    constants. turn_idx sums are integer-valued, so the float64 partial
+    sums are exact and the merge is bit-identical to the global index."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in REFERENCE_QUERIES + ["the a to ok", "zzzz_absent"]:
+        assert multi.stats_agg(q, "turn_idx") == \
+            single.stats_agg(q, "turn_idx"), q
+        assert multi.histogram_agg(q, "turn_idx", 3.0) == \
+            single.histogram_agg(q, "turn_idx", 3.0), q
+    got = multi.stats_agg("the", "turn_idx", where={"role": "user"})
+    want = single.stats_agg("the", "turn_idx", where={"role": "user"})
+    assert got == want
