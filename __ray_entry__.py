@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
+        "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
+        "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
+        "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
         "fts_compact_docstore": P.fts_compact_docstore,  # delete-by-query + forceMerge
@@ -294,6 +297,39 @@ SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
        count(*) AS n_docs
 FROM documents JOIN hits USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        "fts_cardinality_source": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT count(DISTINCT source) AS n_distinct
+FROM documents JOIN hits USING (doc_id)
+""",
+        # ts_epoch is the docstore's synthetic timestamp column — derived
+        # from doc_id with the SAME constants on both sides (TS_EPOCH0 +
+        # 7h per doc); month buckets are true calendar months
+        "fts_date_hist_month": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT CAST(epoch(date_trunc('month',
+         make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+         AS month_start,
+       count(*) AS n_docs
+FROM documents JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""",
+        # quantile_cont == the engine's rank = q*(n-1) linear interpolation
+        "fts_percentiles_nchars": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
+{" UNION ALL ".join(
+    f"SELECT {p} AS pct, CAST(round(quantile_cont(n_chars, {p / 100.0}) * 1e6)"
+    f" AS BIGINT) AS value_e6 FROM v"
+    for p in P.PERCENTS
+)}
 """,
         "fts_term_doc_count": f"""
 WITH {_TOKS_CTE}

@@ -40,6 +40,8 @@ FUZZY_QUERY = "bat"                # fuzzy probe (absent term, 6 matches @2)
 FUZZY_EDITS = 2
 PROBE_TERMS = ("the", "spark", "join", "window", "zz_absent_zz")
 STOPWORDS_SQL = ("the", "a", "to", "ok", "and", "of", "in", "is", "it")
+TS_EPOCH0 = 1_735_689_600          # 2025-01-01T00:00:00Z — synthetic ts base
+PERCENTS = (25.0, 50.0, 75.0, 95.0, 99.0)
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
@@ -65,7 +67,7 @@ def documents_index(sf_dir: str) -> str:
     # content fingerprint in the tag: a changed documents.parquet at the
     # same path must never serve results from a stale cached index
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|pos1".encode()
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|pos2".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/rayfts_qidx/{tag}"
     manifest_path = os.path.join(index_dir, "manifest.json")
@@ -77,11 +79,22 @@ def documents_index(sf_dir: str) -> str:
         with open(manifest_path) as f:
             if json.load(f).get("format_version") == FORMAT_VERSION:
                 return index_dir
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet")).map_batches(
-        lambda t: t.rename_columns(
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
             ["src_doc_id" if c == "doc_id" else c for c in t.column_names]
-        ),
-        batch_format="pyarrow",
+        )
+        # deterministic synthetic timestamp (the documents table carries
+        # none): 2025-01-01T00:00:00Z + 7h per doc — UTC epoch seconds,
+        # derived identically in the DuckDB oracles; exercises the
+        # date_histogram calendar kernel over a real docstore column
+        ts = pc.add(
+            pc.multiply(t["src_doc_id"], pa.scalar(25_200, pa.int64())),
+            pa.scalar(TS_EPOCH0, pa.int64()),
+        )
+        return t.append_column("ts_epoch", ts)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet")).map_batches(
+        prep, batch_format="pyarrow"
     )
     cfg = IndexJobConfig(
         index_dir=index_dir,
@@ -384,6 +397,47 @@ def fts_hist_nchars(sf_dir: str) -> pa.Table:
         {
             "bucket": pa.array([int(b) for b, _ in rows], pa.int64()),
             "n_docs": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
+def fts_cardinality_source(sf_dir: str) -> pa.Table:
+    """ES cardinality-aggregation analog: EXACT distinct count of the
+    `source` keyword column over ALL BM25_QUERY hits (ES approximates with
+    HyperLogLog++; the engine's dictionary-code hit masks make the exact
+    answer one np.unique — see Searcher.cardinality_agg)."""
+    s = Searcher(documents_index(sf_dir))
+    n = s.cardinality_agg(BM25_QUERY, "source")
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def fts_date_hist_month(sf_dir: str) -> pa.Table:
+    """ES date_histogram with calendar_interval=month over ALL BM25_QUERY
+    hits: true calendar buckets (variable month lengths) over the
+    docstore's ts_epoch column via vectorized datetime64 unit casts.
+    Bucket key = epoch seconds of the month start, ascending."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.date_histogram_agg(BM25_QUERY, "ts_epoch", "month")
+    return pa.table(
+        {
+            "month_start": pa.array([b for b, _ in rows], pa.int64()),
+            "n_docs": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
+def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
+    """ES percentiles-aggregation analog: EXACT linear-interpolation
+    percentiles (the quantile_cont definition) of n_chars over ALL
+    BM25_QUERY hits, e6-rounded like every float-valued query here."""
+    s = Searcher(documents_index(sf_dir))
+    pct = s.percentiles_agg(BM25_QUERY, "n_chars", PERCENTS)
+    return pa.table(
+        {
+            "pct": pa.array(list(PERCENTS), pa.float64()),
+            "value_e6": pa.array(
+                [int(round(pct[p] * 1e6)) for p in PERCENTS], pa.int64()
+            ),
         }
     )
 

@@ -57,6 +57,39 @@ def _after_keep(scores: np.ndarray, docs: np.ndarray, after) -> np.ndarray:
     return (scores < cs) | ((scores == cs) & (docs > cd))
 
 
+def calendar_floor(epoch_s: np.ndarray, unit: str) -> np.ndarray:
+    """Vectorized calendar truncation: UTC epoch seconds -> epoch seconds
+    of the containing period's start, via numpy datetime64 unit casts (no
+    Python date objects). ``unit`` is a numpy unit code (m/h/D/W/M/Y).
+    datetime64[W] floors to the Thursday-anchored week (epoch day 0 is a
+    Thursday); shifting by +3 days makes that floor land on Monday (ISO
+    week start — the ES and SQL date_trunc('week') convention)."""
+    t = epoch_s.astype("datetime64[s]")
+    if unit == "W":
+        return (
+            (t + np.timedelta64(3, "D")).astype("datetime64[W]")
+            .astype("datetime64[s]") - np.timedelta64(3 * 86400, "s")
+        ).astype(np.int64)
+    return (
+        t.astype(f"datetime64[{unit}]").astype("datetime64[s]")
+        .astype(np.int64)
+    )
+
+
+def _percentiles_from_sorted(sel: np.ndarray, percents) -> dict:
+    """Linear-interpolation percentiles over an already-sorted array —
+    the SQL quantile_cont / numpy 'linear' definition: rank = q*(n-1),
+    value = v[lo] + frac*(v[hi]-v[lo])."""
+    out = {}
+    for p in percents:
+        rank = (p / 100.0) * (sel.size - 1)
+        lo = int(math.floor(rank))
+        hi = min(lo + 1, sel.size - 1)
+        frac = rank - lo
+        out[float(p)] = float(sel[lo] + frac * (sel[hi] - sel[lo]))
+    return out
+
+
 def _wildcard_to_regex(pattern: str) -> str:
     """ES/Lucene wildcard glob -> anchored regex: ``*`` = any sequence,
     ``?`` = exactly one char, all else literal (regex metachars escaped).
@@ -394,6 +427,22 @@ class Searcher:
         ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
+    def cardinality_agg(self, query: str, field: str,
+                        where: dict | None = None, mode: str = "or",
+                        must_not: str | None = None) -> int:
+        """ES cardinality-aggregation analog over ALL query hits — EXACT
+        distinct count of keyword column ``field`` (ES ships HyperLogLog++
+        approximations; hit sets here are dense masks over dictionary
+        codes, so the exact answer is one np.unique away). Nulls form no
+        value, matching the ES default. Composes with where / bool
+        restrictions / tombstones like every other aggregation."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return 0
+        codes, _ = self._field_codes(field)
+        sel = codes[hits]
+        return int(np.unique(sel[sel >= 0]).size)
+
     def _numeric_col(self, field: str):
         """Dense doc_id -> value array for a numeric docstore column plus
         a validity mask (nulls excluded from aggregations, like ES).
@@ -462,6 +511,69 @@ class Searcher:
         keys = np.floor(sel / interval) * interval
         uniq, cnt = np.unique(keys, return_counts=True)
         return [(float(u), int(c)) for u, c in zip(uniq, cnt)]
+
+    # numpy datetime64 truncation units per ES calendar_interval
+    _CALENDAR_UNITS = {
+        "minute": "m", "hour": "h", "day": "D",
+        "week": "W", "month": "M", "year": "Y",
+    }
+
+    def _date_hist_values(self, query: str, field: str,
+                          calendar_interval: str, where, mode, must_not):
+        unit = self._CALENDAR_UNITS.get(calendar_interval)
+        if unit is None:
+            raise ValueError(
+                f"unsupported calendar_interval: {calendar_interval!r} "
+                f"(one of {sorted(self._CALENDAR_UNITS)})"
+            )
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return None, unit
+        vals, valid = self._numeric_col(field)
+        return vals[hits & valid], unit
+
+    def date_histogram_agg(self, query: str, field: str,
+                           calendar_interval: str = "day",
+                           where: dict | None = None, mode: str = "or",
+                           must_not: str | None = None) -> list[tuple]:
+        """ES date_histogram with a CALENDAR interval (minute/hour/day/
+        week/month/year) over ALL query hits. ``field`` holds UTC epoch
+        SECONDS (ES date fields are epoch millis internally; fixed
+        intervals are plain :meth:`histogram_agg` over the same column).
+        Bucket key = epoch seconds of the truncated period start —
+        months/years are true calendar buckets (variable length), weeks
+        start Monday (ISO, the ES default) — via vectorized numpy
+        datetime64 unit casts, no Python date objects. Non-empty buckets
+        ascending, like ES."""
+        sel, unit = self._date_hist_values(
+            query, field, calendar_interval, where, mode, must_not
+        )
+        if sel is None or sel.size == 0:
+            return []
+        keys = calendar_floor(sel.astype(np.int64), unit)
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return [(int(u), int(c)) for u, c in zip(uniq, cnt)]
+
+    def percentiles_agg(self, query: str, field: str,
+                        percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),
+                        where: dict | None = None, mode: str = "or",
+                        must_not: str | None = None) -> dict:
+        """ES percentiles-aggregation analog over ALL query hits — EXACT
+        linear-interpolation percentiles (the SQL ``quantile_cont`` /
+        ``percentile_cont`` definition: rank = q*(n-1), value =
+        v[lo] + frac*(v[hi]-v[lo]) over the sorted hit values). ES ships
+        t-digest approximations for its fixed per-shard payload budget;
+        a single segment holds its hit values as one numpy array, so the
+        exact answer is one sort. Returns {percent: value}, empty-hit
+        percentiles -> None (the ES null shape)."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {float(p): None for p in percents}
+        vals, valid = self._numeric_col(field)
+        sel = vals[hits & valid]
+        if sel.size == 0:
+            return {float(p): None for p in percents}
+        return _percentiles_from_sorted(np.sort(sel), percents)
 
     def filter_mask(self, **where) -> np.ndarray:
         """Dense doc_id -> bool mask for keyword-column equality filters
@@ -1621,6 +1733,23 @@ class MultiSearcher:
         ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
+    def cardinality_agg(self, query: str, field: str,
+                        where: dict | None = None, mode: str = "or",
+                        must_not: str | None = None) -> int:
+        """Sharded cardinality, EXACT: a count cannot merge (the same
+        value may hit in several segments), so segments return their
+        distinct-VALUE sets (the untruncated facet histogram's keys —
+        O(field cardinality) payload, not O(docs)) and the driver unions.
+        ES needs HyperLogLog sketches here only because its per-shard
+        payload budget is a fixed few KB; for keyword fields the exact
+        set is the same order of magnitude."""
+        values: set = set()
+        for seg in self.segments:
+            values.update(
+                seg._facet_hist(query, field, where, mode, must_not).keys()
+            )
+        return len(values)
+
     def stats_agg(self, query: str, field: str, where: dict | None = None,
                   mode: str = "or", must_not: str | None = None) -> dict:
         """Sharded stats-aggregation, EXACT: count/min/max/sum are all
@@ -1652,6 +1781,49 @@ class MultiSearcher:
             ):
                 total[key] = total.get(key, 0) + c
         return sorted(total.items())
+
+    def date_histogram_agg(self, query: str, field: str,
+                           calendar_interval: str = "day",
+                           where: dict | None = None, mode: str = "or",
+                           must_not: str | None = None) -> list[tuple]:
+        """Sharded date_histogram: calendar bucket keys are global epoch
+        values, so per-segment bucket maps sum exactly; payload
+        O(buckets) per segment."""
+        total: dict = {}
+        for seg in self.segments:
+            for key, c in seg.date_histogram_agg(
+                query, field, calendar_interval, where, mode, must_not
+            ):
+                total[key] = total.get(key, 0) + c
+        return sorted(total.items())
+
+    def percentiles_agg(self, query: str, field: str,
+                        percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),
+                        where: dict | None = None, mode: str = "or",
+                        must_not: str | None = None) -> dict:
+        """Sharded percentiles, EXACT: percentiles don't merge from
+        per-segment percentiles, so segments return their (disjoint) hit
+        VALUE arrays and the driver sorts the concatenation — an
+        O(total hits in field) driver payload, the one aggregation here
+        whose exact form cannot be O(segments). At web scale swap this
+        for mergeable t-digest sketches (what ES does); exactness is the
+        point of this engine's aggregation layer, so the exact form is
+        the default and the payload cost is documented rather than
+        hidden."""
+        parts = []
+        for seg in self.segments:
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                continue
+            vals, valid = seg._numeric_col(field)
+            sel = vals[hits & valid]
+            if sel.size:
+                parts.append(sel)
+        if not parts:
+            return {float(p): None for p in percents}
+        return _percentiles_from_sorted(
+            np.sort(np.concatenate(parts)), percents
+        )
 
     def get_by_global_doc_id(self, doc_ids: list[int]) -> pa.Table:
         """Order-preserving multiget routed to the owning segment."""

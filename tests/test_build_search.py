@@ -861,6 +861,83 @@ def test_histogram_agg_matches_bruteforce(index_dir, oracle):
         s.histogram_agg(q, "turn_idx", 0)
 
 
+def test_cardinality_agg_matches_bruteforce(index_dir, oracle):
+    import pyarrow.parquet as pq
+
+    s = Searcher(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "role"])
+    role = dict(zip(t["doc_id"].to_pylist(), t["role"].to_pylist()))
+    for q in ["the w0007", "bash", "zzzz_absent", "the a to ok"]:
+        hits = _brute_hits(index_dir, oracle, q)
+        want = len({role[d] for d in hits if role[d] is not None})
+        assert s.cardinality_agg(q, "role") == want, q
+
+
+def test_percentiles_agg_matches_numpy(index_dir, oracle):
+    import pyarrow.parquet as pq
+
+    s = Searcher(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "turn_idx"])
+    tix = np.zeros(s.N, dtype=np.int64)
+    tix[t["doc_id"].to_numpy()] = t["turn_idx"].to_numpy()
+    percents = (0.0, 10.0, 50.0, 90.0, 99.5, 100.0)
+    for q in ["the w0007", "bash", "the a to ok"]:
+        vals = tix[np.array(sorted(_brute_hits(index_dir, oracle, q)))]
+        got = s.percentiles_agg(q, "turn_idx", percents)
+        for p in percents:
+            want = float(np.percentile(vals, p, method="linear"))
+            assert got[p] == pytest.approx(want, abs=1e-12), (q, p)
+    empty = s.percentiles_agg("zzzz_absent", "turn_idx", percents)
+    assert all(v is None for v in empty.values())
+
+
+def test_calendar_floor_matches_datetime():
+    """The vectorized datetime64 truncation agrees with Python datetime
+    calendar arithmetic for every supported unit across 1971-2035."""
+    from datetime import datetime, timezone
+
+    from rayfts.search import calendar_floor
+
+    rng = np.random.default_rng(7)
+    epochs = rng.integers(31_536_000, 2_051_222_400, size=500)
+    dts = [datetime.fromtimestamp(int(e), tz=timezone.utc) for e in epochs]
+
+    def ts(dt):
+        return int(dt.timestamp())
+
+    want = {
+        "m": [ts(d.replace(second=0)) for d in dts],
+        "h": [ts(d.replace(minute=0, second=0)) for d in dts],
+        "D": [ts(d.replace(hour=0, minute=0, second=0)) for d in dts],
+        "W": [
+            ts(d.replace(hour=0, minute=0, second=0))
+            - d.weekday() * 86400
+            for d in dts
+        ],
+        "M": [ts(d.replace(day=1, hour=0, minute=0, second=0)) for d in dts],
+        "Y": [
+            ts(d.replace(month=1, day=1, hour=0, minute=0, second=0))
+            for d in dts
+        ],
+    }
+    for unit, exp in want.items():
+        got = calendar_floor(epochs.astype(np.int64), unit)
+        assert got.tolist() == exp, unit
+
+
+def test_date_histogram_agg_counts_and_errors(index_dir, oracle):
+    s = Searcher(index_dir)
+    q = "the a"
+    n_hits = s.stats_agg(q, "turn_idx")["count"]
+    # turn_idx as epoch seconds: every hit lands in the 1970-01-01 minute
+    assert s.date_histogram_agg(q, "turn_idx", "minute") == [(0, n_hits)]
+    assert s.date_histogram_agg("zzzz_absent", "turn_idx", "day") == []
+    with pytest.raises(ValueError):
+        s.date_histogram_agg(q, "turn_idx", "fortnight")
+
+
 def test_aggs_compose_with_filters_and_tombstones(index_dir, oracle):
     s = Searcher(index_dir)
     full = s.stats_agg("the a", "turn_idx")

@@ -190,3 +190,18 @@ def test_sharded_aggs_equal_global(indexes):
     got = multi.stats_agg("the", "turn_idx", where={"role": "user"})
     want = single.stats_agg("the", "turn_idx", where={"role": "user"})
     assert got == want
+
+
+def test_sharded_cardinality_percentiles_datehist_equal_global(indexes):
+    """cardinality (distinct-value-set union), percentiles (sorted merge
+    of disjoint per-segment hit values) and date_histogram (global
+    calendar bucket keys) all merge exactly across segments."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in REFERENCE_QUERIES + ["the a to ok", "zzzz_absent"]:
+        assert multi.cardinality_agg(q, "role") == \
+            single.cardinality_agg(q, "role"), q
+        assert multi.percentiles_agg(q, "turn_idx") == \
+            single.percentiles_agg(q, "turn_idx"), q
+        assert multi.date_histogram_agg(q, "turn_idx", "minute") == \
+            single.date_histogram_agg(q, "turn_idx", "minute"), q
