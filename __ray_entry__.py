@@ -34,14 +34,17 @@ _DL_CTE = (
 
 def _bm25_sql(query_terms: list[str], k: int, where_sql: str = "",
               require_all: bool = False, must_not: list[str] | None = None,
-              offset: int = 0) -> str:
+              offset: int = 0, min_match: int | None = None) -> str:
     """``where_sql`` restricts the FINAL hits (Lucene filtered-query
     semantics: df/avgdl/N stay corpus-global, the filter only prunes).
     ``require_all`` = ES bool must rewrite (doc must match every query
-    term); ``must_not`` drops docs containing any of the given terms —
-    both are candidate restrictions, never reweights."""
+    term); ``must_not`` drops docs containing any of the given terms;
+    ``min_match`` = ES minimum_should_match (>= m distinct terms) —
+    all candidate restrictions, never reweights."""
     vals = ",".join(f"('{t}')" for t in query_terms)
     having = f"HAVING count(*) = {len(query_terms)}" if require_all else ""
+    if min_match is not None:
+        having = f"HAVING count(*) >= {min_match}"
     mn_sql = ""
     if must_not:
         mn_terms = ",".join(f"'{t}'" for t in sorted(set(must_not)))
@@ -157,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bm25_range_top10": P.fts_bm25_range_top10,  # ES range query
         "fts_bm25_page2_offset": P.fts_bm25_page2_offset,  # ES from/size
         "fts_bm25_page2_cursor": P.fts_bm25_page2_cursor,  # ES search_after
+        "fts_bm25_msm2_top10": P.fts_bm25_msm2_top10,  # minimum_should_match
         "fts_phrase_top10": P.fts_phrase_top10,      # positional PhraseQuery
         "fts_bool_top10": P.fts_bool_top10,          # ES bool must/must_not
         "fts_prefix_docs": P.fts_prefix_docs,        # PrefixQuery expansion
@@ -237,6 +241,9 @@ SELECT doc_id, dl FROM dl
         ),
         "fts_bm25_page2_cursor": _bm25_sql(
             sorted(set(P.BM25_QUERY.split())), 10, offset=10
+        ),
+        "fts_bm25_msm2_top10": _bm25_sql(
+            sorted(set(P.BM25_QUERY.split())), 10, min_match=2
         ),
         "fts_phrase_top10": _phrase_sql(P.PHRASE_QUERY.split(), 10),
         "fts_bool_top10": _bm25_sql(

@@ -265,6 +265,26 @@ def fts_bm25_range_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_bm25_msm2_top10(sf_dir: str) -> pa.Table:
+    """ES minimum_should_match analog: BM25 top-10 restricted to docs
+    matching >= 2 distinct query terms (mode='or' with an msm doc-set
+    mask — scoring statistics stay global, like every restriction)."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search(BM25_QUERY, k=10, min_should_match=2)
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
 def fts_phrase_top10(sf_dir: str) -> pa.Table:
     """Exact-phrase top-10 (Lucene PhraseQuery analog over the positional
     sidecar): pf = adjacency count, W = slot-order idf sum — spec pinned in

@@ -847,6 +847,19 @@ class Searcher:
         exp = self.expand_fuzzy(term, max_edits, prefix_length, max_expansions)
         return self._docs_for_terms([t for t, _ in exp], limit)
 
+    def _msm_mask(self, plist, m: int) -> np.ndarray:
+        """ES minimum_should_match analog: dense mask of docs containing
+        at least ``m`` DISTINCT query terms (live postings only). One
+        int16 scatter-add per term — O(total postings), no per-doc
+        Python."""
+        counts = np.zeros(self.N, dtype=np.int16)
+        for _, _, p in plist:
+            ids = (
+                p.doc_ids if p.live_mask is None else p.doc_ids[p.live_mask]
+            )
+            counts[ids] += np.int16(1)
+        return counts >= m
+
     def _bool_mask(self, and_plist, must_not: str | None):
         """Dense doc mask for ES bool-query semantics: ``and_plist``
         (term, qtf, Postings) entries must ALL contain a doc (conjunctive
@@ -877,8 +890,17 @@ class Searcher:
     def search(self, query: str, k: int = 10, algo: str = "taat",
                where: dict | None = None, mode: str = "or",
                must_not: str | None = None, offset: int = 0,
-               search_after: tuple | None = None):
+               search_after: tuple | None = None,
+               min_should_match: int | None = None):
         """Top-k [(doc_id, score)] — (score desc, doc_id asc).
+
+        ``min_should_match`` (ES minimum_should_match, integer form):
+        with mode="or", keep only docs matching at least that many
+        DISTINCT query terms — a doc-set restriction like ``where``
+        (statistics stay global, scores still sum every matched term),
+        composed into every executor. mode="and" is the
+        min_should_match=len(terms) special case; mixing the two is an
+        error, as in ES.
 
         algo="taat": vectorized term-at-a-time union (default; O(total
         postings) numpy, the throughput path). algo="wand": doc-at-a-time
@@ -929,10 +951,19 @@ class Searcher:
             bm = self._bool_mask(plist if mode == "and" else None, must_not)
             if bm is not None:
                 mask = bm if mask is None else (mask & bm)
+        if min_should_match is not None and min_should_match > 1:
+            if mode != "or":
+                raise ValueError(
+                    "min_should_match applies to mode='or' queries only"
+                )
+            if min_should_match > len(plist):
+                return []
+            mm = self._msm_mask(plist, min_should_match)
+            mask = mm if mask is None else (mask & mm)
         if algo == "taat":
             key = (
                 query, k, _where_key(where) if where else None,
-                mode, must_not, offset, after,
+                mode, must_not, offset, after, min_should_match,
             )
             cached = self._result_cache.get(key)
             if cached is not None:
@@ -1445,8 +1476,14 @@ class MultiSearcher:
     def search(self, query: str, k: int = 10, algo: str = "taat",
                where: dict | None = None, mode: str = "or",
                must_not: str | None = None, offset: int = 0,
-               search_after: tuple | None = None):
+               search_after: tuple | None = None,
+               min_should_match: int | None = None):
         """Top-k [(global_doc_id, score)] — (score desc, doc_id asc).
+
+        ``min_should_match`` distributes like mode="and": a doc's matched
+        terms all live in its owning segment, so the global distinct-term
+        count equals the local count and the restriction is a per-segment
+        mask.
 
         algo="wand": block-max WAND runs per segment with GLOBAL term
         weights and global-avgdl factors, then the per-segment top-k heaps
@@ -1499,6 +1536,14 @@ class MultiSearcher:
         if mode == "and" and len(weights) < len(terms):
             return []  # a required term is absent from the whole corpus
 
+        if min_should_match is not None and min_should_match > 1:
+            if mode != "or":
+                raise ValueError(
+                    "min_should_match applies to mode='or' queries only"
+                )
+            if min_should_match > len(weights):
+                return []
+
         def seg_mask(si: int):
             seg = self.segments[si]
             m = seg.filter_mask(**where) if where else None
@@ -1509,6 +1554,12 @@ class MultiSearcher:
                 bm = seg._bool_mask(and_pl, must_not)
                 if bm is not None:
                     m = bm if m is None else (m & bm)
+            if min_should_match is not None and min_should_match > 1:
+                mm = seg._msm_mask(
+                    [(t, 1, p) for t, p in seg_postings[si]],
+                    min_should_match,
+                )
+                m = mm if m is None else (m & mm)
             return m
 
         if algo == "wand":

@@ -805,6 +805,33 @@ def test_shared_searcher_pagination_identical(index_dir):
             assert sh.search(q, k=10, **kw) == s.search(q, k=10, **kw), (q, kw)
 
 
+def test_min_should_match_matches_bruteforce(index_dir, oracle):
+    """ES minimum_should_match: restriction-only semantics — the msm
+    top-k equals the unrestricted ranking filtered to docs matching >= m
+    distinct terms, with identical scores, on every executor."""
+    idx, _ = oracle
+    from rayfts.oracle import tokenize
+
+    s = Searcher(index_dir)
+    q = "the a w0007 bash"
+    terms = sorted(set(tokenize(q)))
+    full = s.search(q, k=100_000)
+    for m in (2, 3, 4):
+        allowed = {
+            d for d, tf in idx.doc_tfs.items()
+            if sum(1 for t in terms if tf.get(t, 0) > 0) >= m
+        }
+        want = [(d, sc) for d, sc in full if d in allowed][:10]
+        for algo in ("taat", "wand"):
+            got = s.search(q, k=10, algo=algo, min_should_match=m)
+            assert got == want, (m, algo)
+    assert s.search(q, k=10, min_should_match=len(terms) + 1) == []
+    # msm=1 / None are no-ops
+    assert s.search(q, k=10, min_should_match=1) == full[:10]
+    with pytest.raises(ValueError):
+        s.search(q, k=10, mode="and", min_should_match=2)
+
+
 # ----------------------------------------------------------------------
 # stats + histogram aggregations (ES stats-agg / histogram-agg analogs)
 # ----------------------------------------------------------------------

@@ -192,6 +192,20 @@ def test_sharded_aggs_equal_global(indexes):
     assert got == want
 
 
+def test_sharded_min_should_match_equals_global(indexes):
+    """msm distributes per segment (a doc's matched terms all live in its
+    owning segment), bit-identical to the global index on both executors."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a w0007", "the a to ok"]:
+        for m in (2, 3):
+            want = single.search(q, k=10, min_should_match=m)
+            assert multi.search(q, k=10, min_should_match=m) == want, (q, m)
+            assert multi.search(
+                q, k=10, algo="wand", min_should_match=m
+            ) == want, (q, m)
+
+
 def test_sharded_cardinality_percentiles_datehist_equal_global(indexes):
     """cardinality (distinct-value-set union), percentiles (sorted merge
     of disjoint per-segment hit values) and date_histogram (global
