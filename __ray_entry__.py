@@ -34,14 +34,20 @@ _DL_CTE = (
 
 def _bm25_sql(query_terms: list[str], k: int, where_sql: str = "",
               require_all: bool = False, must_not: list[str] | None = None,
-              offset: int = 0, min_match: int | None = None) -> str:
+              offset: int = 0, min_match: int | None = None,
+              boosts: dict[str, float] | None = None) -> str:
     """``where_sql`` restricts the FINAL hits (Lucene filtered-query
     semantics: df/avgdl/N stay corpus-global, the filter only prunes).
     ``require_all`` = ES bool must rewrite (doc must match every query
     term); ``must_not`` drops docs containing any of the given terms;
     ``min_match`` = ES minimum_should_match (>= m distinct terms) —
-    all candidate restrictions, never reweights."""
-    vals = ",".join(f"('{t}')" for t in query_terms)
+    all candidate restrictions, never reweights. ``boosts`` maps terms to
+    Lucene clause boosts (default 1.0 — the literal 1.0 multiply is a
+    float no-op, so unboosted oracles are value-identical to before)."""
+    boosts = boosts or {}
+    vals = ",".join(
+        f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in query_terms
+    )
     having = f"HAVING count(*) = {len(query_terms)}" if require_all else ""
     if min_match is not None:
         having = f"HAVING count(*) >= {min_match}"
@@ -60,7 +66,7 @@ stats AS (
   SELECT (SELECT count(*) FROM documents) AS n,
          (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
 ),
-qterms(term) AS (VALUES {vals}),
+qterms(term, boost) AS (VALUES {vals}),
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM toks
   WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
@@ -68,11 +74,12 @@ tf AS (
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scores AS (
   SELECT tf.doc_id,
-         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         sum( (q.boost * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)))
               * ( tf.tf * (1.2 + 1.0)
                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
               ORDER BY tf.term ) AS score
-  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  FROM tf JOIN df USING (term) JOIN qterms q USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id {having}
 )
 SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6
@@ -161,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bm25_page2_offset": P.fts_bm25_page2_offset,  # ES from/size
         "fts_bm25_page2_cursor": P.fts_bm25_page2_cursor,  # ES search_after
         "fts_bm25_msm2_top10": P.fts_bm25_msm2_top10,  # minimum_should_match
+        "fts_bm25_boosted_top10": P.fts_bm25_boosted_top10,  # clause boosts
         "fts_phrase_top10": P.fts_phrase_top10,      # positional PhraseQuery
         "fts_bool_top10": P.fts_bool_top10,          # ES bool must/must_not
         "fts_prefix_docs": P.fts_prefix_docs,        # PrefixQuery expansion
@@ -244,6 +252,9 @@ SELECT doc_id, dl FROM dl
         ),
         "fts_bm25_msm2_top10": _bm25_sql(
             sorted(set(P.BM25_QUERY.split())), 10, min_match=2
+        ),
+        "fts_bm25_boosted_top10": _bm25_sql(
+            sorted(set(P.BM25_QUERY.split())), 10, boosts=P.BM25_BOOSTS
         ),
         "fts_phrase_top10": _phrase_sql(P.PHRASE_QUERY.split(), 10),
         "fts_bool_top10": _bm25_sql(

@@ -43,6 +43,7 @@ REFERENCE_QUERIES = [
     "zzzz_absent",      # absent from corpus -> empty result
     "The",              # case-variant, == "the"
     "w0042 w0100 edit ok",
+    "w0007^2 bash the^0.5",  # Lucene clause boosts (^b multiplies idf weight)
 ]
 
 

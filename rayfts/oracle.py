@@ -26,10 +26,28 @@ import re
 from collections import Counter
 
 _WORD = re.compile(r"\w+", re.UNICODE)
+_BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
 
 def tokenize(text: str) -> list[str]:
     return _WORD.findall(text.lower())
+
+
+def query_weights(query: str) -> dict[str, float]:
+    """Lucene query-string clause boosts, spec form: each whitespace
+    clause may end in ``^boost``; every analyzed term of the clause adds
+    the boost (1.0 when absent) to its weight. Boost-free queries give
+    exactly Counter(tokenize(query)) as floats."""
+    qtf: dict[str, float] = {}
+    for clause in query.split():
+        boost, body = 1.0, clause
+        m = _BOOST.search(clause)
+        if m:
+            boost = float(m.group(1))
+            body = clause[: m.start()]
+        for t in tokenize(body):
+            qtf[t] = qtf.get(t, 0.0) + boost
+    return qtf
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -75,8 +93,9 @@ class BruteForceIndex:
                must_not: str | None = None) -> list[tuple[int, float]]:
         """``mode="and"``: hits must contain ALL query terms (ES bool must
         rewrite — scores still sum every term's contribution).
-        ``must_not``: drop docs containing ANY of its analyzed terms."""
-        qtf = Counter(tokenize(query))
+        ``must_not``: drop docs containing ANY of its analyzed terms.
+        Clause boosts (``spark^3``) multiply that clause's idf weight."""
+        qtf = query_weights(query)
         scores: dict[int, float] = {}
         for term in sorted(qtf):          # fixed accumulation order
             if term not in self.df:

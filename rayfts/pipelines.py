@@ -32,6 +32,8 @@ from .search import Searcher
 # Frozen probe constants shared with oracle_sql (keep in sync).
 BM25_QUERY = "spark join the data"
 BM25_QUERY_HOT = "the customer"
+BM25_BOOSTED = "spark^3 join the^0.5 data"  # Lucene clause boosts
+BM25_BOOSTS = {"spark": 3.0, "the": 0.5}    # oracle twin of the ^ suffixes
 PHRASE_QUERY = "the data"          # exact-adjacency phrase (slot order matters)
 BOOL_MUST_NOT = "window"           # must_not clause of the bool query
 PREFIX_QUERY = "s"                 # term-dictionary prefix probe
@@ -263,6 +265,14 @@ def fts_bm25_range_top10(sf_dir: str) -> pa.Table:
             "score_e6": pa.array([round(sc * 1e6) for _, sc in hits], pa.int64()),
         }
     )
+
+
+def fts_bm25_boosted_top10(sf_dir: str) -> pa.Table:
+    """Lucene query-string clause boosts: 'spark^3 join the^0.5 data' —
+    each ^b multiplies that clause's idf weight (summed across duplicate
+    clauses), reweighting the ranking while statistics stay global. All
+    executors honor the weights (MaxScore/WAND bounds scale with them)."""
+    return _bm25(sf_dir, BM25_BOOSTED, 10, "taat")
 
 
 def fts_bm25_msm2_top10(sf_dir: str) -> pa.Table:

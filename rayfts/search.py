@@ -23,7 +23,6 @@ from __future__ import annotations
 import heapq
 import math
 import re
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -74,6 +73,29 @@ def calendar_floor(epoch_s: np.ndarray, unit: str) -> np.ndarray:
         t.astype(f"datetime64[{unit}]").astype("datetime64[s]")
         .astype(np.int64)
     )
+
+
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+
+
+def parse_query_weights(q: str) -> dict[str, float]:
+    """Lucene query-string clause boosts: each whitespace clause may carry
+    a ``^boost`` suffix ('spark^3 join'); the clause's analyzed terms each
+    add its boost to their weight (unboosted clauses add 1.0, so the
+    boost-free result equals Counter(tokenize_query(q))). Duplicate
+    clauses SUM — the ES should-clause summation: per-clause score =
+    boost * idf * saturation, and saturation depends only on (doc, term),
+    so clauses of one term collapse into one weight."""
+    weights: dict[str, float] = {}
+    for clause in q.split():
+        boost, body = 1.0, clause
+        m = _BOOST_RE.search(clause)
+        if m:
+            boost = float(m.group(1))
+            body = clause[: m.start()]
+        for t in tokenize_query(body):
+            weights[t] = weights.get(t, 0.0) + boost
+    return weights
 
 
 def _percentiles_from_sorted(sel: np.ndarray, percents) -> dict:
@@ -379,7 +401,7 @@ class Searcher:
         restrictions, and tombstones — the shared hit-set primitive under
         every aggregation (terms facets, stats, histograms) and the hit
         export. Returns None when nothing can match."""
-        qtf = Counter(tokenize_query(query))
+        qtf = parse_query_weights(query)
         terms = sorted(qtf)
         plist = [(t, qtf[t], self.lookup(t)) for t in terms]
         plist = [(t, q, p) for t, q, p in plist if p is not None]
@@ -938,7 +960,7 @@ class Searcher:
             # (score, doc_id)
             after = (float(search_after[1]), int(search_after[0]))
         inner_k = k + int(offset)
-        qtf = Counter(tokenize_query(query))
+        qtf = parse_query_weights(query)
         terms = sorted(qtf)
         plist = [(t, qtf[t], self.lookup(t)) for t in terms]
         plist = [(t, q, p) for t, q, p in plist if p is not None]
@@ -1512,7 +1534,7 @@ class MultiSearcher:
         if search_after is not None:
             g_after = (float(search_after[1]), int(search_after[0]))
         inner_k = k + int(offset)
-        qtf = Counter(tokenize_query(query))
+        qtf = parse_query_weights(query)
         terms = sorted(qtf)
         # global df per term = sum of segment dfs (A3 merged stats)
         seg_postings: list[list] = [[] for _ in self.segments]
