@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
+        "fts_sort_by_nchars_top10": P.fts_sort_by_nchars_top10,  # sort-by-field
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
@@ -315,6 +316,13 @@ SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
        count(*) AS n_docs
 FROM documents JOIN hits USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        "fts_sort_by_nchars_top10": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT doc_id, n_chars FROM documents JOIN hits USING (doc_id)
+ORDER BY n_chars DESC, doc_id LIMIT 10
 """,
         "fts_cardinality_source": f"""
 WITH {_TOKS_CTE},

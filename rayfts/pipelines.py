@@ -431,6 +431,24 @@ def fts_hist_nchars(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_sort_by_nchars_top10(sf_dir: str) -> pa.Table:
+    """ES sort-by-field analog: top-10 BM25_QUERY hits ordered by the
+    n_chars docstore column DESC (doc_id asc tie-break) — no relevance
+    scoring runs at all, the ES fast path when sort omits _score."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search_by_field(BM25_QUERY, "n_chars", order="desc", k=10)
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "n_chars": pa.array([int(v) for _, v in hits], pa.int64()),
+        }
+    )
+
+
 def fts_cardinality_source(sf_dir: str) -> pa.Table:
     """ES cardinality-aggregation analog: EXACT distinct count of the
     `source` keyword column over ALL BM25_QUERY hits (ES approximates with

@@ -597,6 +597,57 @@ class Searcher:
             return {float(p): None for p in percents}
         return _percentiles_from_sorted(np.sort(sel), percents)
 
+    def search_by_field(self, query: str, field: str, order: str = "desc",
+                        k: int = 10, where: dict | None = None,
+                        mode: str = "or", must_not: str | None = None):
+        """ES sort-by-field analog: top-k query hits ordered by a
+        docstore column instead of _score (relevance is not computed at
+        all — the ES fast path when sort omits _score). Ties break
+        doc_id ascending; docs missing the field sort LAST (the ES
+        ``missing: _last`` default) in doc_id order. Returns
+        [(doc_id, value)] with value None for missing. Works on numeric
+        and keyword (string) columns; restrictions compose like search."""
+        if order not in ("asc", "desc"):
+            raise ValueError("order must be 'asc' or 'desc'")
+        if k <= 0:
+            return []
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        typ = pads.dataset(self._docstore_dir).schema.field(field).type
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            codes, values = self._field_codes(field)
+            # lexicographic rank of each dictionary code (cached with the
+            # codes themselves via _facet_cols; recomputing argsort on the
+            # small dictionary is O(cardinality log cardinality))
+            rank = np.empty(len(values), dtype=np.int64)
+            rank[np.argsort(np.asarray(values, dtype=object))] = np.arange(
+                len(values)
+            )
+            key = rank[np.clip(codes, 0, None)].astype(np.float64)
+            valid = codes >= 0
+            lookup = values
+        else:
+            key, valid = self._numeric_col(field)
+            lookup = None
+        idx = np.flatnonzero(hits & valid)
+        vals = key[idx]
+        primary = -vals if order == "desc" else vals
+        if idx.size > k:
+            kth = np.partition(primary, k - 1)[k - 1]
+            keep = primary <= kth  # boundary ties kept for doc_id break
+            idx, primary = idx[keep], primary[keep]
+        sel = np.lexsort((idx, primary))[:k]
+        out_ids = idx[sel]
+        if lookup is None:
+            out = [(int(d), float(key[d])) for d in out_ids]
+        else:
+            out = [(int(d), lookup[int(codes[d])]) for d in out_ids]
+        if len(out) < k:  # underfilled pool: missing-field hits, _last
+            rest = np.flatnonzero(hits & ~valid)[: k - len(out)]
+            out.extend((int(d), None) for d in rest)
+        return out
+
     def filter_mask(self, **where) -> np.ndarray:
         """Dense doc_id -> bool mask for keyword-column equality filters
         and ES-style range filters (value = ``{"gte": lo, "lt": hi}``
@@ -1854,6 +1905,30 @@ class MultiSearcher:
             ):
                 total[key] = total.get(key, 0) + c
         return sorted(total.items())
+
+    def search_by_field(self, query: str, field: str, order: str = "desc",
+                        k: int = 10, where: dict | None = None,
+                        mode: str = "or", must_not: str | None = None):
+        """Sharded sort-by-field: each segment returns its top-k by the
+        field (values are RAW column values, comparable globally — never
+        segment-local ranks), the driver merges k-sized heads. Missing-
+        field hits fill last in global doc order; a segment pads its page
+        with missing hits only when it has fewer than k valued hits, which
+        is exactly when the merge could need them."""
+        valued, missing = [], []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            for d, v in seg.search_by_field(
+                query, field, order, k, where, mode, must_not
+            ):
+                (missing if v is None else valued).append((d + off, v))
+        valued.sort(key=lambda e: e[0])
+        valued.sort(key=lambda e: e[1], reverse=(order == "desc"))
+        out = valued[:k]
+        if len(out) < k:
+            missing.sort(key=lambda e: e[0])
+            out.extend(missing[: k - len(out)])
+        return out
 
     def date_histogram_agg(self, query: str, field: str,
                            calendar_interval: str = "day",

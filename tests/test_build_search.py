@@ -805,6 +805,36 @@ def test_shared_searcher_pagination_identical(index_dir):
             assert sh.search(q, k=10, **kw) == s.search(q, k=10, **kw), (q, kw)
 
 
+def test_search_by_field_matches_bruteforce(index_dir, oracle):
+    """ES sort-by-field: numeric asc/desc, keyword (string) lexicographic,
+    missing-field hits last in doc_id order, doc_id asc tie-break."""
+    import pyarrow.parquet as pq
+
+    s = Searcher(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "turn_idx", "tool"])
+    tix = dict(zip(t["doc_id"].to_pylist(), t["turn_idx"].to_pylist()))
+    tool = dict(zip(t["doc_id"].to_pylist(), t["tool"].to_pylist()))
+    q = "the w0007"
+    hits = sorted(_brute_hits(index_dir, oracle, q))
+    for order in ("asc", "desc"):
+        want = sorted(hits)
+        want = sorted(want, key=lambda d: tix[d], reverse=(order == "desc"))
+        want = [(d, float(tix[d])) for d in want][:10]
+        assert s.search_by_field(q, "turn_idx", order, k=10) == want, order
+    # keyword column with nulls: valued hits lexicographic, missing last
+    valued = sorted(
+        [d for d in hits if tool[d] is not None],
+        key=lambda d: (tool[d], d),
+    )
+    missing = [d for d in hits if tool[d] is None]
+    want = ([(d, tool[d]) for d in valued] + [(d, None) for d in missing])[:40]
+    assert s.search_by_field(q, "tool", "asc", k=40) == want
+    assert s.search_by_field("zzzz_absent", "turn_idx") == []
+    with pytest.raises(ValueError):
+        s.search_by_field(q, "turn_idx", order="sideways")
+
+
 def test_min_should_match_matches_bruteforce(index_dir, oracle):
     """ES minimum_should_match: restriction-only semantics — the msm
     top-k equals the unrestricted ranking filtered to docs matching >= m

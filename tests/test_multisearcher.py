@@ -192,6 +192,18 @@ def test_sharded_aggs_equal_global(indexes):
     assert got == want
 
 
+def test_sharded_search_by_field_equals_global(indexes):
+    """Sort-by-field merges raw column values (globally comparable);
+    numeric and keyword-with-nulls pages match the global index."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a w0007", "bash", "zzzz_absent"]:
+        for field, order in (("turn_idx", "desc"), ("turn_idx", "asc"),
+                             ("tool", "asc")):
+            assert multi.search_by_field(q, field, order, k=15) == \
+                single.search_by_field(q, field, order, k=15), (q, field)
+
+
 def test_sharded_min_should_match_equals_global(indexes):
     """msm distributes per segment (a doc's matched terms all live in its
     owning segment), bit-identical to the global index on both executors."""
