@@ -44,13 +44,6 @@ def _bm25_sql(query_terms: list[str], k: int, where_sql: str = "",
     all candidate restrictions, never reweights. ``boosts`` maps terms to
     Lucene clause boosts (default 1.0 — the literal 1.0 multiply is a
     float no-op, so unboosted oracles are value-identical to before)."""
-    boosts = boosts or {}
-    vals = ",".join(
-        f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in query_terms
-    )
-    having = f"HAVING count(*) = {len(query_terms)}" if require_all else ""
-    if min_match is not None:
-        having = f"HAVING count(*) >= {min_match}"
     mn_sql = ""
     if must_not:
         mn_terms = ",".join(f"'{t}'" for t in sorted(set(must_not)))
@@ -59,6 +52,27 @@ def _bm25_sql(query_terms: list[str], k: int, where_sql: str = "",
         )
         if not where_sql:
             mn_sql = "WHERE " + mn_sql[4:]
+    return f"""
+{_bm25_with(query_terms, require_all, min_match, boosts)}
+SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6
+FROM scores s2 JOIN documents d2 USING (doc_id) {where_sql} {mn_sql}
+ORDER BY s2.score DESC, s2.doc_id LIMIT {k} OFFSET {offset}
+"""
+
+
+def _bm25_with(query_terms: list[str], require_all: bool = False,
+               min_match: int | None = None,
+               boosts: dict[str, float] | None = None) -> str:
+    """The shared WITH prefix ending in a ``scores(doc_id, score)`` CTE —
+    BM25 over the OR hit set, accumulation ORDER BY term (the engine's
+    ascending-term float op order)."""
+    boosts = boosts or {}
+    vals = ",".join(
+        f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in query_terms
+    )
+    having = f"HAVING count(*) = {len(query_terms)}" if require_all else ""
+    if min_match is not None:
+        having = f"HAVING count(*) >= {min_match}"
     return f"""
 WITH {_TOKS_CTE},
 {_DL_CTE},
@@ -81,11 +95,7 @@ scores AS (
   FROM tf JOIN df USING (term) JOIN qterms q USING (term)
        JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id {having}
-)
-SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6
-FROM scores s2 JOIN documents d2 USING (doc_id) {where_sql} {mn_sql}
-ORDER BY s2.score DESC, s2.doc_id LIMIT {k} OFFSET {offset}
-"""
+)"""
 
 
 def _phrase_sql(slots: list[str], k: int) -> str:
@@ -175,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_wildcard_docs": P.fts_wildcard_docs,    # WildcardQuery glob
         "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
+        "fts_top_hits_by_source": P.fts_top_hits_by_source,  # top_hits sub-agg
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
         "fts_sort_by_nchars_top10": P.fts_sort_by_nchars_top10,  # sort-by-field
@@ -296,6 +307,27 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT source, count(*) AS n_docs FROM documents JOIN hits USING (doc_id)
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
+""",
+        # terms + top_hits: bucket selection = facet order (count desc,
+        # value asc, top 3); in-bucket ranking = (score desc, doc_id)
+        "fts_top_hits_by_source": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+bucket AS (
+  SELECT source, count(*) AS n_docs
+  FROM documents JOIN scores USING (doc_id)
+  GROUP BY source ORDER BY n_docs DESC, source LIMIT 3
+),
+ranked AS (
+  SELECT d.source, b.n_docs, s2.doc_id, s2.score,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY s2.score DESC, s2.doc_id
+         ) AS rn
+  FROM scores s2 JOIN documents d USING (doc_id)
+       JOIN bucket b ON b.source = d.source
+)
+SELECT source, n_docs, doc_id,
+       CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM ranked WHERE rn <= 2
 """,
         "fts_stats_nchars": f"""
 WITH {_TOKS_CTE},

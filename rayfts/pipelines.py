@@ -395,6 +395,32 @@ def fts_facet_source(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_top_hits_by_source(sf_dir: str) -> pa.Table:
+    """ES terms + top_hits sub-aggregation analog: the 3 biggest `source`
+    buckets over the BM25_QUERY hit set, each with its 2 best-BM25 hits —
+    scores identical to search (same TAAT op order), one scoring pass for
+    all buckets."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    buckets = s.facet_top_hits(BM25_QUERY, "source", size=3, top_n=2)
+    dense_to_src = _dense_to_src(index_dir)
+    src, nd, did, sc = [], [], [], []
+    for v, c, hits in buckets:
+        for d, score in hits:
+            src.append(v)
+            nd.append(c)
+            did.append(int(dense_to_src[d]))
+            sc.append(int(round(score * 1e6)))
+    return pa.table(
+        {
+            "source": pa.array(src, pa.string()),
+            "n_docs": pa.array(nd, pa.int64()),
+            "doc_id": pa.array(did, pa.int64()),
+            "score_e6": pa.array(sc, pa.int64()),
+        }
+    )
+
+
 def fts_stats_nchars(sf_dir: str) -> pa.Table:
     """ES stats-aggregation analog over the full BM25_QUERY hit set:
     count/min/max/sum of the numeric n_chars docstore column plus an

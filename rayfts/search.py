@@ -449,6 +449,53 @@ class Searcher:
         ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
+    def _plist(self, query: str):
+        qtf = parse_query_weights(query)
+        plist = [(t, qtf[t], self.lookup(t)) for t in sorted(qtf)]
+        return [(t, q, p) for t, q, p in plist if p is not None]
+
+    def facet_top_hits(self, query: str, field: str, size: int = 10,
+                       top_n: int = 3, where: dict | None = None,
+                       mode: str = "or", must_not: str | None = None):
+        """ES terms-aggregation + top_hits sub-aggregation analog: the
+        top ``size`` buckets of keyword column ``field`` (count desc,
+        value asc — facet_counts order), each carrying its ``top_n``
+        best-BM25 hits. Scores accumulate once for the WHOLE hit set in
+        the TAAT op order (bit-identical to search), then each bucket
+        takes an argpartition top-n — O(hits + buckets·top_n), not a
+        search per bucket. Returns [(value, count, [(doc_id, score)])]."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        codes, values = self._field_codes(field)
+        sel = codes[hits]
+        cnt = np.bincount(sel[sel >= 0], minlength=len(values))
+        ranked = sorted(
+            ((v, int(c), i) for i, (v, c) in enumerate(zip(values, cnt))
+             if c > 0),
+            key=lambda e: (-e[1], e[0]),
+        )[:size]
+        # dense scores, same float op sequence as _search_taat
+        buf = np.zeros(self.N, dtype=np.float64)
+        for term, qn, p in self._plist(query):
+            w = self._term_weight(qn, p.df)
+            buf[p.doc_ids] += w * p.tf_part
+        out = []
+        for v, c, code in ranked:
+            idx = np.flatnonzero(hits & (codes == code))
+            scores = buf[idx]
+            take = min(top_n, idx.size)
+            if idx.size > take:
+                kth = np.partition(-scores, take - 1)[take - 1]
+                cand = np.flatnonzero(-scores <= kth)
+            else:
+                cand = np.arange(idx.size)
+            order = cand[np.lexsort((idx[cand], -scores[cand]))][:take]
+            out.append(
+                (v, c, [(int(idx[i]), float(scores[i])) for i in order])
+            )
+        return out
+
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",
                         must_not: str | None = None) -> int:
@@ -1856,6 +1903,78 @@ class MultiSearcher:
                 total[v] = total.get(v, 0) + c
         ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
+
+    def facet_top_hits(self, query: str, field: str, size: int = 10,
+                       top_n: int = 3, where: dict | None = None,
+                       mode: str = "or", must_not: str | None = None):
+        """Sharded terms + top_hits: bucket selection is the exact global
+        facet merge; within each chosen bucket every segment scores its
+        hits with GLOBAL-df weights (the sharded-TAAT op sequence, so
+        scores equal the single-index run bit-for-bit) and returns a
+        top_n head; the driver merges heads per bucket — O(size·top_n)
+        per segment, never the hit set."""
+        total: dict = {}
+        for seg in self.segments:
+            for v, c in seg._facet_hist(
+                query, field, where, mode, must_not
+            ).items():
+                total[v] = total.get(v, 0) + c
+        ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))[:size]
+        if not ranked:
+            return []
+        want = [v for v, _ in ranked]
+        qtf = parse_query_weights(query)
+        terms = sorted(qtf)
+        weights = {}
+        for term in terms:
+            df_g = sum(
+                p.df for seg in self.segments
+                if (p := seg.lookup(term)) is not None
+            )
+            if df_g:
+                weights[term] = qtf[term] * self.idf(df_g)
+        heads: dict = {v: [] for v in want}
+        for si, seg in enumerate(self.segments):
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                continue
+            buf = np.zeros(seg.N, dtype=np.float64)
+            for term in terms:
+                p = seg.lookup(term)
+                if p is not None and term in weights:
+                    buf[p.doc_ids] += weights[term] * self._tf_part(
+                        si, term, p
+                    )
+            codes, values = seg._field_codes(field)
+            vmap = {v: i for i, v in enumerate(values)}
+            off = int(self.offsets[si])
+            for v in want:
+                code = vmap.get(v)
+                if code is None:
+                    continue
+                idx = np.flatnonzero(hits & (codes == code))
+                if idx.size == 0:
+                    continue
+                scores = buf[idx]
+                take = min(top_n, idx.size)
+                if idx.size > take:
+                    kth = np.partition(-scores, take - 1)[take - 1]
+                    cand = np.flatnonzero(-scores <= kth)
+                else:
+                    cand = np.arange(idx.size)
+                order = cand[
+                    np.lexsort((idx[cand], -scores[cand]))
+                ][:take]
+                heads[v].extend(
+                    (int(idx[i]) + off, float(scores[i])) for i in order
+                )
+        return [
+            (
+                v, c,
+                sorted(heads[v], key=lambda h: (-h[1], h[0]))[:top_n],
+            )
+            for v, c in ranked
+        ]
 
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",

@@ -995,6 +995,26 @@ def test_date_histogram_agg_counts_and_errors(index_dir, oracle):
         s.date_histogram_agg(q, "turn_idx", "fortnight")
 
 
+def test_facet_top_hits_matches_search(index_dir, oracle):
+    """terms + top_hits: bucket order == facet_counts; in-bucket hits ==
+    the full ranking filtered to the bucket (identical scores — the
+    sub-agg never reweights)."""
+    import pyarrow.parquet as pq
+
+    s = Searcher(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "role"])
+    role = dict(zip(t["doc_id"].to_pylist(), t["role"].to_pylist()))
+    q = "the w0007 bash"
+    full = s.search(q, k=100_000)
+    got = s.facet_top_hits(q, "role", size=3, top_n=4)
+    assert [(v, c) for v, c, _ in got] == s.facet_counts(q, "role", size=3)
+    for v, _, hits in got:
+        want = [(d, sc) for d, sc in full if role[d] == v][:4]
+        assert hits == want, v
+    assert s.facet_top_hits("zzzz_absent", "role") == []
+
+
 def test_aggs_compose_with_filters_and_tombstones(index_dir, oracle):
     s = Searcher(index_dir)
     full = s.stats_agg("the a", "turn_idx")

@@ -192,6 +192,16 @@ def test_sharded_aggs_equal_global(indexes):
     assert got == want
 
 
+def test_sharded_facet_top_hits_equals_global(indexes):
+    """top_hits heads merge bit-identically: global bucket selection +
+    per-segment global-weight scoring == the single-index sub-agg."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a w0007", "bash w0001", "zzzz_absent"]:
+        assert multi.facet_top_hits(q, "role", size=3, top_n=3) == \
+            single.facet_top_hits(q, "role", size=3, top_n=3), q
+
+
 def test_sharded_search_by_field_equals_global(indexes):
     """Sort-by-field merges raw column values (globally comparable);
     numeric and keyword-with-nulls pages match the global index."""
