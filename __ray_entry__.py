@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
+        "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
         "fts_compact_docstore": P.fts_compact_docstore,  # delete-by-query + forceMerge
@@ -388,6 +389,12 @@ v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
     f" AS BIGINT) AS value_e6 FROM v"
     for p in P.PERCENTS
 )}
+""",
+        "fts_export_hits": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT doc_id, lang FROM documents JOIN hits USING (doc_id)
 """,
         "fts_term_doc_count": f"""
 WITH {_TOKS_CTE}

@@ -516,6 +516,24 @@ def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_export_hits(sf_dir: str) -> rd.Dataset:
+    """ES scroll analog, Ray-native: stream EVERY BM25_QUERY hit out of
+    the docstore as a Dataset (broadcast packed bitmask + vectorized
+    map_batches filter, pruned columns) — the full-result-set path that
+    must never land on the driver."""
+    from .export import export_hits
+
+    index_dir = documents_index(sf_dir)
+    ds = export_hits(index_dir, BM25_QUERY, columns=["src_doc_id", "lang"])
+
+    def present(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["src_doc_id"], "lang": t["lang"]}
+        )
+
+    return ds.map_batches(present, batch_format="pyarrow")
+
+
 def fts_term_doc_count(sf_dir: str) -> pa.Table:
     """df for fixed probe terms (exact-count conformance, A2 analog)."""
     index_dir = documents_index(sf_dir)

@@ -995,6 +995,24 @@ def test_date_histogram_agg_counts_and_errors(index_dir, oracle):
         s.date_histogram_agg(q, "turn_idx", "fortnight")
 
 
+def test_export_hits_streams_full_hit_set(index_dir, oracle):
+    """Scroll analog: the exported Dataset carries exactly the hit set,
+    composes with restrictions, and prunes columns."""
+    from rayfts.export import export_hits
+
+    q = "the w0007"
+    ds = export_hits(index_dir, q, columns=["conv_id"])
+    got = ds.to_pandas()
+    assert sorted(got.columns) == ["conv_id", "doc_id"]
+    assert sorted(got["doc_id"]) == sorted(_brute_hits(index_dir, oracle, q))
+    s = Searcher(index_dir)
+    filt = export_hits(index_dir, q, columns=["role"],
+                       where={"role": "user"}).to_pandas()
+    assert set(filt["role"]) == {"user"}
+    assert len(filt) == int(s._hit_mask(q, where={"role": "user"}).sum())
+    assert export_hits(index_dir, "zzzz_absent").count() == 0
+
+
 def test_facet_top_hits_matches_search(index_dir, oracle):
     """terms + top_hits: bucket order == facet_counts; in-bucket hits ==
     the full ranking filtered to the bucket (identical scores — the
