@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
+        "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
@@ -389,6 +390,30 @@ v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
     f" AS BIGINT) AS value_e6 FROM v"
     for p in P.PERCENTS
 )}
+""",
+        # highlight: first matching token position via the SAME position
+        # space as the engine's sidecar (token index, 0-based); snippet =
+        # 1-based inclusive list_slice of the analyzed tokens
+        "fts_highlight_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+topk AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10),
+lists AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM topk)
+),
+pt AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+       FROM lists),
+firstpos AS (
+  SELECT doc_id, min(pos) AS fp FROM pt
+  WHERE term IN ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})
+  GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(round(t.score * 1e6) AS BIGINT) AS score_e6,
+       f.fp AS first_pos, l.l[f.fp + 1] AS first_term,
+       array_to_string(
+         l.l[greatest(f.fp + 1 - 3, 1):least(f.fp + 1 + 3, len(l.l))], ' '
+       ) AS snippet
+FROM topk t JOIN firstpos f USING (doc_id) JOIN lists l USING (doc_id)
 """,
         "fts_export_hits": f"""
 WITH {_TOKS_CTE},

@@ -516,6 +516,31 @@ def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_highlight_top10(sf_dir: str) -> pa.Table:
+    """ES highlight analog: first query-term occurrence per top-10 hit,
+    located from the positional sidecar (term-vectors strategy, no text
+    re-analysis), plus a ±3-token analyzed snippet."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    rows = s.highlight(BM25_QUERY, k=10, window=3)
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, *_ in rows], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc, *_ in rows], pa.int64()
+            ),
+            "first_pos": pa.array([p for _, _, p, _, _ in rows], pa.int64()),
+            "first_term": pa.array(
+                [t for _, _, _, t, _ in rows], pa.string()
+            ),
+            "snippet": pa.array([sn for *_, sn in rows], pa.string()),
+        }
+    )
+
+
 def fts_export_hits(sf_dir: str) -> rd.Dataset:
     """ES scroll analog, Ray-native: stream EVERY BM25_QUERY hit out of
     the docstore as a Dataset (broadcast packed bitmask + vectorized

@@ -75,6 +75,14 @@ def calendar_floor(epoch_s: np.ndarray, unit: str) -> np.ndarray:
     )
 
 
+def _snippet(text: str, pos: int, window: int) -> str:
+    """Analyzed-token snippet: the tokens within ±window of token index
+    ``pos``, space-joined (the deterministic, SQL-replicable fragment
+    shape — list_slice over regexp_extract_all on the oracle side)."""
+    toks = tokenize_query(text)
+    return " ".join(toks[max(pos - window, 0) : pos + window + 1])
+
+
 _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
 
@@ -736,6 +744,52 @@ class Searcher:
             p.pos = segmented_delta_decode(gaps, occ_off[:-1])
             p.occ_off = occ_off
         return p.pos, p.occ_off
+
+    def _first_match(self, terms: list[str], docs: np.ndarray):
+        """(first_pos, first_term) of the earliest occurrence of ANY of
+        ``terms`` in each doc (positional sidecar, no text re-analysis):
+        per term one searchsorted into its posting list + one gather of
+        each doc's first position (positions are ascending within a
+        doc). Docs matching no term get (-1, None)."""
+        best = np.full(docs.size, np.iinfo(np.int64).max, np.int64)
+        best_term: list = [None] * docs.size
+        for t in sorted(set(terms)):
+            p = self.lookup(t)
+            if p is None:
+                continue
+            pos, occ = self._positions(p)
+            j = np.searchsorted(p.doc_ids, docs)
+            jc = np.minimum(j, p.doc_ids.size - 1)
+            have = p.doc_ids[jc] == docs
+            fp = pos[occ[jc]]
+            upd = have & (fp < best)
+            best[upd] = fp[upd]
+            for i in np.flatnonzero(upd):
+                best_term[i] = t
+        best[best == np.iinfo(np.int64).max] = -1
+        return best, best_term
+
+    def highlight(self, query: str, k: int = 10, window: int = 3,
+                  algo: str = "taat", **kw):
+        """ES highlight analog over the top-k hits: the FIRST occurrence
+        of any query term per hit, located from the positional sidecar
+        (not by re-analyzing stored text — the term-vectors highlight
+        strategy), plus a snippet of the analyzed tokens within ±window
+        of the match. Returns [(doc_id, score, first_pos, first_term,
+        snippet)] in ranking order. Requires cfg.index_positions=True."""
+        hits = self.search(query, k=k, algo=algo, **kw)
+        if not hits:
+            return []
+        docs = np.array([d for d, _ in hits], np.int64)
+        terms = sorted(parse_query_weights(query))
+        fp, ft = self._first_match(terms, docs)
+        texts = self.get_by_doc_id([int(d) for d in docs])[
+            "text"
+        ].to_pylist()
+        return [
+            (d, sc, int(p), t, _snippet(txt, int(p), window))
+            for (d, sc), p, t, txt in zip(hits, fp, ft, texts)
+        ]
 
     def _phrase_freqs(self, slots: list[str]):
         """Exact-adjacency phrase frequencies, fully vectorized.
@@ -2091,6 +2145,29 @@ class MultiSearcher:
         return _percentiles_from_sorted(
             np.sort(np.concatenate(parts)), percents
         )
+
+    def highlight(self, query: str, k: int = 10, window: int = 3, **kw):
+        """Sharded highlight: rank globally, then each owning segment
+        locates first matches in ITS positional sidecar and reads ITS
+        stored text — O(k) work total, routed like multiget."""
+        hits = self.search(query, k=k, **kw)
+        if not hits:
+            return []
+        terms = sorted(parse_query_weights(query))
+        docs = np.array([d for d, _ in hits], np.int64)
+        si_arr = np.searchsorted(self.offsets, docs, side="right") - 1
+        detail: dict = {}
+        for si in np.unique(si_arr):
+            seg = self.segments[int(si)]
+            sel = si_arr == si
+            local = (docs[sel] - int(self.offsets[si])).astype(np.int64)
+            fp, ft = seg._first_match(terms, local)
+            texts = seg.get_by_doc_id([int(d) for d in local])[
+                "text"
+            ].to_pylist()
+            for g, p, t, txt in zip(docs[sel], fp, ft, texts):
+                detail[int(g)] = (int(p), t, _snippet(txt, int(p), window))
+        return [(d, sc, *detail[d]) for d, sc in hits]
 
     def get_by_global_doc_id(self, doc_ids: list[int]) -> pa.Table:
         """Order-preserving multiget routed to the owning segment."""

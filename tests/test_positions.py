@@ -195,6 +195,64 @@ def test_bool_sharded_identical(pos_index, oracle, tmp_path_factory):
             assert got == want, (q, mode, mn, algo)
 
 
+def test_highlight_matches_tokenized_text(pos_index, oracle):
+    """Highlight locates the first query-term occurrence from the
+    positional sidecar; cross-checked against re-tokenized stored text,
+    which the engine never reads for this."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayfts.oracle import tokenize
+
+    s = Searcher(pos_index)
+    t = pq.read_table(os.path.join(pos_index, "docstore"),
+                      columns=["doc_id", "text"])
+    txt = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    q = "w0007 bash the"
+    got = s.highlight(q, k=10, window=3)
+    assert [(d, sc) for d, sc, *_ in got] == s.search(q, k=10)
+    terms = set(q.split())
+    for d, _, p, term, snip in got:
+        toks = tokenize(txt[d])
+        assert p == min(i for i, tok in enumerate(toks) if tok in terms)
+        assert toks[p] == term
+        assert snip == " ".join(toks[max(p - 3, 0) : p + 4])
+    assert s.highlight("zzzz_absent") == []
+
+
+def test_sharded_highlight_equals_global(corpus, pos_index, tmp_path_factory):
+    """Two positional segments: global ranking + per-segment sidecar
+    lookups reproduce the single-index highlight exactly."""
+    import pyarrow.compute as pc_
+
+    import ray.data as rd
+
+    from rayfts.fixtures import generate_transcripts
+
+    root = tmp_path_factory.mktemp("hseg")
+    t = generate_transcripts(50, seed=42)  # same corpus as pos_index
+    cut = "conv-0000025"
+    dirs = []
+    for name, tbl in [
+        ("a", t.filter(pc_.less(t["conv_id"], cut))),
+        ("b", t.filter(pc_.greater_equal(t["conv_id"], cut))),
+    ]:
+        d = str(root / name)
+        build_index(
+            rd.from_arrow(tbl),
+            cfg=IndexJobConfig(
+                index_dir=d, term_buckets=8, index_positions=True
+            ),
+        )
+        dirs.append(d)
+    single = Searcher(pos_index)
+    multi = MultiSearcher(dirs)
+    for q in ["w0007 bash the", "the a", "zzzz_absent"]:
+        assert multi.highlight(q, k=10, window=2) == \
+            single.highlight(q, k=10, window=2), q
+
+
 def test_prefix_docs_match_oracle(pos_index, oracle):
     s = Searcher(pos_index)
     for prefix in ["w00", "w0007", "the", "zz", "long"]:
