@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
         "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
+        "fts_more_like_this": P.fts_more_like_this,  # MLT query
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
@@ -390,6 +391,43 @@ v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
     f" AS BIGINT) AS value_e6 FROM v"
     for p in P.PERCENTS
 )}
+""",
+        # more_like_this: the term-selection spec (tf*idf desc, term asc,
+        # top 25, tf>=1 df>=2) is replicated exactly, then plain BM25
+        # over the selected terms excluding the source doc
+        "fts_more_like_this": f"""
+WITH {_TOKS_CTE},
+{_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+dtf AS (SELECT term, count(*) AS f FROM toks WHERE doc_id = {P.MLT_DOC}
+        GROUP BY term),
+adf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+qsel AS (
+  SELECT t.term FROM dtf t JOIN adf a USING (term) CROSS JOIN stats s
+  WHERE t.f >= 1 AND a.df >= 2
+  ORDER BY t.f * ln(1 + (s.n - a.df + 0.5) / (a.df + 0.5)) DESC, t.term
+  LIMIT 25
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qsel) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ( tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+              ORDER BY tf.term ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores WHERE doc_id != {P.MLT_DOC}
+ORDER BY score DESC, doc_id LIMIT 10
 """,
         # highlight: first matching token position via the SAME position
         # space as the engine's sidecar (token index, 0-based); snippet =

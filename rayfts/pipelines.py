@@ -41,6 +41,7 @@ WILDCARD_QUERY = "s?a*"            # glob probe (scan, small, spark at sf*)
 FUZZY_QUERY = "bat"                # fuzzy probe (absent term, 6 matches @2)
 FUZZY_EDITS = 2
 PROBE_TERMS = ("the", "spark", "join", "window", "zz_absent_zz")
+MLT_DOC = 7                        # more_like_this probe document (src id)
 STOPWORDS_SQL = ("the", "a", "to", "ok", "and", "of", "in", "is", "it")
 TS_EPOCH0 = 1_735_689_600          # 2025-01-01T00:00:00Z — synthetic ts base
 PERCENTS = (25.0, 50.0, 75.0, 95.0, 99.0)
@@ -511,6 +512,28 @@ def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
             "pct": pa.array(list(PERCENTS), pa.float64()),
             "value_e6": pa.array(
                 [int(round(pct[p] * 1e6)) for p in PERCENTS], pa.int64()
+            ),
+        }
+    )
+
+
+def fts_more_like_this(sf_dir: str) -> pa.Table:
+    """ES more_like_this analog: select doc MLT_DOC's top-25 tf*idf terms
+    (tf>=1, df>=2, term-asc ties), run them as an unboosted OR query,
+    exclude the source doc, top-10."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    dense_to_src = _dense_to_src(index_dir)
+    inv = np.empty_like(dense_to_src)
+    inv[dense_to_src] = np.arange(dense_to_src.size)
+    hits = s.more_like_this(int(inv[MLT_DOC]), k=10)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
             ),
         }
     )

@@ -1447,6 +1447,44 @@ class Searcher:
     # point lookups / counts (ref: EntityDao.find/findAll, count)
     # ------------------------------------------------------------------
 
+    def mlt_terms(self, doc_id: int, max_query_terms: int = 25,
+                  min_term_freq: int = 1, min_doc_freq: int = 2):
+        """ES more_like_this term selection: re-analyze the source doc's
+        stored text (the ES default when term vectors aren't stored),
+        keep terms with tf >= min_term_freq and df >= min_doc_freq, rank
+        by tf*idf desc (term asc ties), first max_query_terms."""
+        txt = self.get_by_doc_id([int(doc_id)])["text"][0].as_py()
+        tf: dict[str, int] = {}
+        for t in tokenize_query(txt):
+            tf[t] = tf.get(t, 0) + 1
+        cands = []
+        for term, f in tf.items():
+            if f < min_term_freq:
+                continue
+            p = self.lookup(term)
+            if p is None or p.df < min_doc_freq:
+                continue
+            cands.append((-(f * self.idf(p.df)), term))
+        cands.sort()
+        return [t for _, t in cands[:max_query_terms]]
+
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_query_terms: int = 25, min_term_freq: int = 1,
+                       min_doc_freq: int = 2, algo: str = "taat", **kw):
+        """ES more_like_this query: select the source doc's most
+        significant terms (see mlt_terms), run them as an OR query (each
+        clause weight 1 — the unboosted ES default), and exclude the
+        source doc itself from the page. Ref analog: ES MLT API; the
+        selection/scoring spec is pinned SQL-replicably (tf*idf with the
+        engine's BM25 idf)."""
+        terms = self.mlt_terms(
+            doc_id, max_query_terms, min_term_freq, min_doc_freq
+        )
+        if not terms:
+            return []
+        hits = self.search(" ".join(sorted(terms)), k=k + 1, algo=algo, **kw)
+        return [h for h in hits if h[0] != int(doc_id)][:k]
+
     def get(self, keys: list[tuple]) -> pa.Table:
         """Order-preserving multiget by (conv_id, turn_idx). Missing key ->
         KeyError (analog of DaoException, dao/EntityDao.java:241-243)."""

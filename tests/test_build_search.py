@@ -995,6 +995,31 @@ def test_date_histogram_agg_counts_and_errors(index_dir, oracle):
         s.date_histogram_agg(q, "turn_idx", "fortnight")
 
 
+def test_more_like_this_matches_bruteforce(index_dir, oracle):
+    """MLT term selection (tf*idf desc, term asc, df/tf floors) and the
+    resulting source-excluded ranking match a recompute from the oracle's
+    doc_tfs/df tables."""
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    for doc in (0, 17, 123):
+        tf = idx.doc_tfs[doc]
+        cands = sorted(
+            (-(f * idx.idf(t)), t)
+            for t, f in tf.items()
+            if f >= 1 and idx.df.get(t, 0) >= 2
+        )
+        terms = [t for _, t in cands[:25]]
+        assert s.mlt_terms(doc) == terms, doc
+        want = [
+            h for h in idx.search(" ".join(sorted(terms)), k=11)
+            if h[0] != doc
+        ][:10]
+        got = s.more_like_this(doc, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], doc
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, abs=1e-9), doc
+
+
 def test_export_hits_streams_full_hit_set(index_dir, oracle):
     """Scroll analog: the exported Dataset carries exactly the hit set,
     composes with restrictions, and prunes columns."""
