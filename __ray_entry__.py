@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
         "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
         "fts_more_like_this": P.fts_more_like_this,  # MLT query
+        "fts_function_score_top10": P.fts_function_score_top10,  # function_score
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
@@ -391,6 +392,16 @@ v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
     f" AS BIGINT) AS value_e6 FROM v"
     for p in P.PERCENTS
 )}
+""",
+        # function_score: rescore = score * ln(1 + n_chars), identical op
+        # sequence engine-side (np.log(1.0 + v), not log1p)
+        "fts_function_score_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+SELECT s2.doc_id,
+       CAST(round(s2.score * ln(1 + 1.0 * d2.n_chars) * 1e6) AS BIGINT)
+         AS score_e6
+FROM scores s2 JOIN documents d2 USING (doc_id)
+ORDER BY s2.score * ln(1 + 1.0 * d2.n_chars) DESC, s2.doc_id LIMIT 10
 """,
         # more_like_this: the term-selection spec (tf*idf desc, term asc,
         # top 25, tf>=1 df>=2) is replicated exactly, then plain BM25

@@ -517,6 +517,26 @@ def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_function_score_top10(sf_dir: str) -> pa.Table:
+    """ES function_score analog (field_value_factor, modifier=log1p,
+    boost_mode=multiply): final = BM25 * ln(1 + n_chars) — the whole hit
+    set rescores in one vectorized multiply, never a per-candidate loop."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.function_score(BM25_QUERY, "n_chars", k=10, modifier="log1p")
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
 def fts_more_like_this(sf_dir: str) -> pa.Table:
     """ES more_like_this analog: select doc MLT_DOC's top-25 tf*idf terms
     (tf>=1, df>=2, term-asc ties), run them as an unboosted OR query,

@@ -1447,6 +1447,52 @@ class Searcher:
     # point lookups / counts (ref: EntityDao.find/findAll, count)
     # ------------------------------------------------------------------
 
+    # function_score field_value_factor modifiers (vectorized, float64).
+    # log1p is computed as log(1.0 + v) — the exact op sequence of the
+    # SQL oracle's ln(1 + x) — rather than np.log1p (which differs in the
+    # last ulp for large v and could flip an e6-rounded comparison).
+    _FVF_MODIFIERS = {
+        "none": lambda v: v,
+        "log1p": lambda v: np.log(1.0 + v),
+        "sqrt": np.sqrt,
+        "square": np.square,
+    }
+
+    def function_score(self, query: str, field: str, k: int = 10,
+                       modifier: str = "log1p", factor: float = 1.0,
+                       where: dict | None = None, mode: str = "or",
+                       must_not: str | None = None):
+        """ES function_score query with a field_value_factor function,
+        boost_mode=multiply: final = BM25(query, doc) *
+        modifier(factor * field). Rescoring can reorder ANY hit into the
+        top-k, so the whole hit set is scored once (dense TAAT buf, the
+        facet_top_hits pass) and the factor applies as one vectorized
+        multiply — never a per-candidate loop. Docs with a null field get
+        factor 1.0 (ES missing-value passthrough). Ties break doc_id
+        asc."""
+        fn = self._FVF_MODIFIERS.get(modifier)
+        if fn is None:
+            raise ValueError(
+                f"unsupported modifier: {modifier!r} "
+                f"(one of {sorted(self._FVF_MODIFIERS)})"
+            )
+        if k <= 0:
+            return []
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        buf = np.zeros(self.N, dtype=np.float64)
+        for term, qn, p in self._plist(query):
+            w = self._term_weight(qn, p.df)
+            buf[p.doc_ids] += w * p.tf_part
+        vals, valid = self._numeric_col(field)
+        idx = np.flatnonzero(hits)
+        fvf = np.ones(idx.size, np.float64)
+        v = valid[idx]
+        fvf[v] = fn(factor * vals[idx][v])
+        scores = buf[idx] * fvf
+        return self._topk_from(idx, scores, k)
+
     def mlt_terms(self, doc_id: int, max_query_terms: int = 25,
                   min_term_freq: int = 1, min_doc_freq: int = 2):
         """ES more_like_this term selection: re-analyze the source doc's
@@ -2183,6 +2229,56 @@ class MultiSearcher:
         return _percentiles_from_sorted(
             np.sort(np.concatenate(parts)), percents
         )
+
+    def function_score(self, query: str, field: str, k: int = 10,
+                       modifier: str = "log1p", factor: float = 1.0,
+                       where: dict | None = None, mode: str = "or",
+                       must_not: str | None = None):
+        """Sharded function_score: per-segment dense scoring with
+        GLOBAL-df weights, the local field factor applied vectorized,
+        per-segment top-k heads merged — rescored scores are globally
+        comparable because both factors (weights, field values) are."""
+        fn = Searcher._FVF_MODIFIERS.get(modifier)
+        if fn is None:
+            raise ValueError(f"unsupported modifier: {modifier!r}")
+        if k <= 0:
+            return []
+        qtf = parse_query_weights(query)
+        terms = sorted(qtf)
+        weights = {}
+        for term in terms:
+            df_g = sum(
+                p.df for seg in self.segments
+                if (p := seg.lookup(term)) is not None
+            )
+            if df_g:
+                weights[term] = qtf[term] * self.idf(df_g)
+        if not weights:
+            return []
+        merged: list[tuple[int, float]] = []
+        for si, seg in enumerate(self.segments):
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                continue
+            buf = np.zeros(seg.N, dtype=np.float64)
+            for term in terms:
+                p = seg.lookup(term)
+                if p is not None and term in weights:
+                    buf[p.doc_ids] += weights[term] * self._tf_part(
+                        si, term, p
+                    )
+            vals, valid = seg._numeric_col(field)
+            idx = np.flatnonzero(hits)
+            fvf = np.ones(idx.size, np.float64)
+            v = valid[idx]
+            fvf[v] = fn(factor * vals[idx][v])
+            off = int(self.offsets[si])
+            merged.extend(
+                (d + off, sc)
+                for d, sc in seg._topk_from(idx, buf[idx] * fvf, k)
+            )
+        merged.sort(key=lambda h: (-h[1], h[0]))
+        return merged[:k]
 
     def highlight(self, query: str, k: int = 10, window: int = 3, **kw):
         """Sharded highlight: rank globally, then each owning segment

@@ -995,6 +995,31 @@ def test_date_histogram_agg_counts_and_errors(index_dir, oracle):
         s.date_histogram_agg(q, "turn_idx", "fortnight")
 
 
+def test_function_score_matches_bruteforce(index_dir, oracle):
+    """field_value_factor rescoring: final = BM25 * ln(1+field), ranked
+    over the WHOLE hit set (a rescore can promote any hit into the
+    top-k), doc_id-asc ties, null fields pass through with factor 1."""
+    import pyarrow.parquet as pq
+
+    s = Searcher(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "turn_idx"])
+    tix = dict(zip(t["doc_id"].to_pylist(), t["turn_idx"].to_pylist()))
+    q = "the w0007 bash"
+    full = s.search(q, k=100_000)
+    resc = sorted(
+        ((d, sc * float(np.log(1.0 + float(tix[d])))) for d, sc in full),
+        key=lambda h: (-h[1], h[0]),
+    )[:10]
+    got = s.function_score(q, "turn_idx", k=10, modifier="log1p")
+    assert [d for d, _ in got] == [d for d, _ in resc]
+    for (_, a), (_, b) in zip(got, resc):
+        assert a == pytest.approx(b, abs=1e-12)
+    assert s.function_score("zzzz_absent", "turn_idx") == []
+    with pytest.raises(ValueError):
+        s.function_score(q, "turn_idx", modifier="cube")
+
+
 def test_more_like_this_matches_bruteforce(index_dir, oracle):
     """MLT term selection (tf*idf desc, term asc, df/tf floors) and the
     resulting source-excluded ranking match a recompute from the oracle's

@@ -192,6 +192,16 @@ def test_sharded_aggs_equal_global(indexes):
     assert got == want
 
 
+def test_sharded_function_score_equals_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a w0007", "bash w0001", "zzzz_absent"]:
+        for mod in ("log1p", "sqrt"):
+            assert multi.function_score(q, "turn_idx", k=10, modifier=mod) \
+                == single.function_score(q, "turn_idx", k=10, modifier=mod), \
+                (q, mod)
+
+
 def test_sharded_facet_top_hits_equals_global(indexes):
     """top_hits heads merge bit-identically: global bucket selection +
     per-segment global-weight scoring == the single-index sub-agg."""
