@@ -62,10 +62,12 @@ ORDER BY s2.score DESC, s2.doc_id LIMIT {k} OFFSET {offset}
 
 def _bm25_with(query_terms: list[str], require_all: bool = False,
                min_match: int | None = None,
-               boosts: dict[str, float] | None = None) -> str:
+               boosts: dict[str, float] | None = None,
+               stops: tuple = ()) -> str:
     """The shared WITH prefix ending in a ``scores(doc_id, score)`` CTE —
     BM25 over the OR hit set, accumulation ORDER BY term (the engine's
-    ascending-term float op order)."""
+    ascending-term float op order). ``stops`` filters the token stream
+    (index-time StopFilter twin): df, dl and avgdl all reflect it."""
     boosts = boosts or {}
     vals = ",".join(
         f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in query_terms
@@ -73,8 +75,16 @@ def _bm25_with(query_terms: list[str], require_all: bool = False,
     having = f"HAVING count(*) = {len(query_terms)}" if require_all else ""
     if min_match is not None:
         having = f"HAVING count(*) >= {min_match}"
+    toks_cte = _TOKS_CTE
+    if stops:
+        stop_list = ",".join(f"'{s}'" for s in sorted(stops))
+        toks_cte = (
+            "toks AS (SELECT doc_id, term FROM (SELECT doc_id, "
+            f"unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term "
+            f"FROM documents) WHERE term NOT IN ({stop_list}))"
+        )
     return f"""
-WITH {_TOKS_CTE},
+WITH {toks_cte},
 {_DL_CTE},
 stats AS (
   SELECT (SELECT count(*) FROM documents) AS n,
@@ -195,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
         "fts_more_like_this": P.fts_more_like_this,  # MLT query
         "fts_function_score_top10": P.fts_function_score_top10,  # function_score
+        "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
@@ -392,6 +403,14 @@ v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
     f" AS BIGINT) AS value_e6 FROM v"
     for p in P.PERCENTS
 )}
+""",
+        # analyzer stopwords: the SAME stop list filters the token stream
+        # (df/dl/avgdl all shift) and the query — one analyzer both sides
+        "fts_stop_bm25_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())), stops=P.STOPWORDS_SQL)}
+SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6
+FROM scores s2
+ORDER BY s2.score DESC, s2.doc_id LIMIT 10
 """,
         # function_score: rescore = score * ln(1 + n_chars), identical op
         # sequence engine-side (np.log(1.0 + v), not log1p)

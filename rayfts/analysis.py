@@ -131,16 +131,20 @@ def tokens_flat(texts: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray
     return flat, parent
 
 
-def analyze_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"):
+def analyze_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id", stopwords=None):
     """One Arrow batch -> (term-frequency table, per-row doc lengths).
 
     Returns:
       tf_table: pa.Table(term:string, doc_id:int64, tf:int32) — one row per
                 distinct (term, doc) pair in the batch, sorted by (term, doc_id).
-      doc_lens: np.ndarray[int32] token count per input row (the BM25 |d|).
+      doc_lens: np.ndarray[int32] token count per input row (the BM25 |d|,
+                counting only tokens that survive the optional stop filter).
     """
     n_rows = batch.num_rows
     flat, parent = tokens_flat(batch[text_col])
+    if stopwords and len(flat):
+        flat, parent, _ = stop_filter(flat, parent, None, stopwords)
     doc_lens = np.bincount(parent, minlength=n_rows).astype(np.int32)
     doc_ids_col = batch[id_col].to_numpy(zero_copy_only=False)
     tok_docs = pa.array(doc_ids_col[parent], type=pa.int64())
@@ -162,9 +166,27 @@ def analyze_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def stop_filter(flat: pa.Array, parent: np.ndarray,
+                pos_in_doc: np.ndarray | None, stopwords):
+    """Lucene StopFilter semantics: drop stop tokens from the term
+    stream but PRESERVE position increments — ``pos_in_doc`` (computed
+    over the unfiltered stream) keeps gaps where stopwords stood, so
+    phrase matching across removed stopwords behaves like Lucene's
+    enablePositionIncrements=true. Norms (doc_lens) count EMITTED tokens
+    only, like Lucene's length norm after filtering."""
+    keep = pc.invert(
+        pc.is_in(flat, value_set=pa.array(sorted(stopwords), pa.string()))
+    ).to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    if pos_in_doc is not None:
+        pos_in_doc = pos_in_doc[keep]
+    return flat, parent, pos_in_doc
+
+
 def partial_stream_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
-    positions: bool = False,
+    positions: bool = False, stopwords=None,
 ):
     """Map-side combiner, STREAM form (the shuffle-payload-optimized path):
     one batch -> term-major partial posting streams ready for one-shot
@@ -191,6 +213,23 @@ def partial_stream_batch(
     """
     n = batch.num_rows
     flat, parent = tokens_flat(batch[text_col])
+    pos_in_doc = None
+    if positions and parent.size:
+        # within-doc position of EVERY token, computed BEFORE any stop
+        # filtering so removed stopwords leave gaps (Lucene increments)
+        from .codec import run_spread
+
+        ntok_all = parent.size
+        run_starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(parent)) + 1]
+        ).astype(np.int64)
+        pos_in_doc = np.arange(ntok_all, dtype=np.int64) - run_spread(
+            run_starts, run_starts, ntok_all
+        )
+    if stopwords and len(flat):
+        flat, parent, pos_in_doc = stop_filter(
+            flat, parent, pos_in_doc, stopwords
+        )
     doc_lens = np.bincount(parent, minlength=n).astype(np.int32)
     if len(flat) == 0:
         return (
@@ -209,15 +248,7 @@ def partial_stream_batch(
     if positions:
         # stable sort keeps same-(term,doc) occurrences in original token
         # order == ascending within-doc position
-        from .codec import run_spread
-
         ntok = key.size
-        run_starts = np.concatenate(
-            [[0], np.flatnonzero(np.diff(parent)) + 1]
-        ).astype(np.int64)
-        pos_in_doc = np.arange(ntok, dtype=np.int64) - run_spread(
-            run_starts, run_starts, ntok
-        )
         occ_order = np.argsort(key, kind="stable")
         sk = key[occ_order]
         change_o = np.flatnonzero(np.diff(sk)) + 1

@@ -419,6 +419,7 @@ def _analyze_partition(
     exchange_codec: str = "u16",
     hot_terms: list[str] | None = None,
     index_positions: bool = False,
+    stopwords: tuple = (),
 ):
     """Map side of the hand-rolled hash shuffle: one docstore partition ->
     ``num_buckets`` stream-encoded shard dicts + the partition's dl array
@@ -464,7 +465,8 @@ def _analyze_partition(
     for off in range(0, t.num_rows, batch_size):
         b = t.slice(off, batch_size)
         terms, df, gaps, tfs, dls, pgaps = partial_stream_batch(
-            b, text_col=text_col, positions=index_positions
+            b, text_col=text_col, positions=index_positions,
+            stopwords=stopwords,
         )
         _write_norms(norms_dir, b["doc_id"].combine_chunks(), dls)
         dl_l.append(dls)
@@ -1213,6 +1215,7 @@ def build_index(
             _analyze_partition.options(num_returns=B + H + 1).remote(
                 src, norms_dir, cfg.text_col, B, cfg.analyze_batch_size,
                 cfg.exchange_codec, hot_terms, cfg.index_positions,
+                tuple(cfg.stopwords),
             )
             for src in sources
         ]
@@ -1351,6 +1354,7 @@ def build_index(
         "k1": cfg.k1,
         "b": cfg.b,
         "positions": cfg.index_positions,
+        "stopwords": sorted(cfg.stopwords),
         "key_cols": list(cfg.key_cols),
         "text_col": cfg.text_col,
         "docstore": doc_info,

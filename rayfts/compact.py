@@ -286,7 +286,7 @@ def compact_segments(
     head = mans[0]
     for d, m in zip(segment_dirs, mans):
         for k in ("format_version", "term_buckets", "k1", "b", "positions",
-                  "text_col", "key_cols"):
+                  "text_col", "key_cols", "stopwords"):
             if m.get(k) != head.get(k):
                 raise ValueError(
                     f"segment {d} disagrees on {k!r}: {m.get(k)!r} != "
@@ -418,6 +418,7 @@ def compact_segments(
         "k1": head["k1"],
         "b": head["b"],
         "positions": positions,
+        "stopwords": list(head.get("stopwords", [])),
         "key_cols": list(head.get("key_cols", [])),
         "text_col": head.get("text_col", "text"),
         "docstore": {

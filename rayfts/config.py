@@ -28,6 +28,15 @@ class IndexJobConfig:
     dedup_order_col: str = "ts" # ...keeping the row with the max value here
     detect_sorted_input: bool = True  # verified fast path skipping the sort
     keyword_cols: tuple[str, ...] = ("role", "tool")      # not_analyzed twins
+    # Index-time stop list (Lucene StopFilter / ES analyzer stopwords):
+    # stop tokens are dropped from postings AND norms (dl counts emitted
+    # tokens), but their POSITIONS remain as gaps in the positional
+    # sidecar (enablePositionIncrements=true), so phrase queries across
+    # removed stopwords keep Lucene semantics. The list is recorded in
+    # the manifest and applied to queries by every Searcher (same
+    # analyzer at index and query time).
+    stopwords: tuple[str, ...] = ()
+
     # F7 dynamic tags: pack these columns into a map<string,string> `tags`
     # column carried through the docstore (ref ESEntity.java:14,18-22 tags
     # map + dynamic mapping templates, plugin.properties:10-11); null

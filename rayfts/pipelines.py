@@ -118,6 +118,42 @@ def documents_index(sf_dir: str) -> str:
     return index_dir
 
 
+def documents_stop_index(sf_dir: str) -> str:
+    """Build (once, cached) the STOP-FILTERED index over `documents` —
+    the ES analyzer-with-stopwords configuration (STOPWORDS_SQL is the
+    stop list on both the engine and oracle sides)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|stop1".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/rayfts_qidx/{tag}"
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        import json
+
+        from .build import FORMAT_VERSION
+
+        with open(manifest_path) as f:
+            if json.load(f).get("format_version") == FORMAT_VERSION:
+                return index_dir
+    ds = rd.read_parquet(src).map_batches(
+        lambda t: t.rename_columns(
+            ["src_doc_id" if c == "doc_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    cfg = IndexJobConfig(
+        index_dir=index_dir,
+        key_cols=("src_doc_id",),
+        keyword_cols=("lang", "source"),
+        term_buckets=16,
+        stopwords=STOPWORDS_SQL,
+    )
+    build_index(ds, cfg=cfg, rows_per_part=100_000)
+    return index_dir
+
+
 def _dense_to_src(index_dir: str) -> np.ndarray:
     t = pq.read_table(
         os.path.join(index_dir, "docstore"), columns=["doc_id", "src_doc_id"]
@@ -512,6 +548,26 @@ def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
             "pct": pa.array(list(PERCENTS), pa.float64()),
             "value_e6": pa.array(
                 [int(round(pct[p] * 1e6)) for p in PERCENTS], pa.int64()
+            ),
+        }
+    )
+
+
+def fts_stop_bm25_top10(sf_dir: str) -> pa.Table:
+    """BM25 over the STOP-FILTERED index: 'the' in BM25_QUERY is dropped
+    by the analyzer (query side too), df/dl/avgdl all reflect the stop
+    filter — the ES analyzer-stopwords configuration end to end."""
+    index_dir = documents_stop_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search(BM25_QUERY, k=10)
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
             ),
         }
     )

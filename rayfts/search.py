@@ -259,6 +259,11 @@ class Searcher:
         self.k1 = float(m["k1"])
         self.b = float(m["b"])
         self.num_buckets = m["term_buckets"]
+        # index-time stop list (Lucene StopFilter): the SAME analyzer
+        # runs at query time, so stop terms are dropped from queries too
+        # (mode="and" must not treat an index-absent stopword as a failed
+        # required clause — the ES behavior)
+        self.stopwords = frozenset(m.get("stopwords", ()))
         # dense norms: doc_id -> dl (doc_ids are dense 0..N-1 by construction)
         self.dl = np.zeros(self.N, dtype=np.int32)
         norms_dir = os.path.join(index_dir, "norms")
@@ -409,7 +414,7 @@ class Searcher:
         restrictions, and tombstones — the shared hit-set primitive under
         every aggregation (terms facets, stats, histograms) and the hit
         export. Returns None when nothing can match."""
-        qtf = parse_query_weights(query)
+        qtf = self._qweights(query)
         terms = sorted(qtf)
         plist = [(t, qtf[t], self.lookup(t)) for t in terms]
         plist = [(t, q, p) for t, q, p in plist if p is not None]
@@ -457,8 +462,16 @@ class Searcher:
         ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
-    def _plist(self, query: str):
+    def _qweights(self, query: str) -> dict[str, float]:
+        """Query-side analyzer: clause weights with the index's stop list
+        applied (the query runs through the same analyzer as indexing)."""
         qtf = parse_query_weights(query)
+        if self.stopwords:
+            qtf = {t: v for t, v in qtf.items() if t not in self.stopwords}
+        return qtf
+
+    def _plist(self, query: str):
+        qtf = self._qweights(query)
         plist = [(t, qtf[t], self.lookup(t)) for t in sorted(qtf)]
         return [(t, q, p) for t, q, p in plist if p is not None]
 
@@ -781,7 +794,7 @@ class Searcher:
         if not hits:
             return []
         docs = np.array([d for d, _ in hits], np.int64)
-        terms = sorted(parse_query_weights(query))
+        terms = sorted(self._qweights(query))
         fp, ft = self._first_match(terms, docs)
         texts = self.get_by_doc_id([int(d) for d in docs])[
             "text"
@@ -805,11 +818,20 @@ class Searcher:
         from .codec import run_ranges, run_spread
 
         empty = (np.empty(0, np.int64), np.empty(0, np.int64), [])
-        uniq = sorted(set(slots))
+        # slots: plain term list (shift = slot index) or (term, shift)
+        # pairs — the stop-filtered form, where removed stopwords leave
+        # position GAPS between the surviving slots (Lucene increments).
+        # Shifts are rebased so the first surviving slot anchors at 0
+        # (only RELATIVE positions constrain a phrase).
+        if slots and isinstance(slots[0], tuple):
+            pairs = [(t, s - slots[0][1]) for t, s in slots]
+        else:
+            pairs = list(zip(slots, range(len(slots))))
+        uniq = sorted({t for t, _ in pairs})
         post = {t: self.lookup(t) for t in uniq}
         if any(post[t] is None for t in uniq):
             return empty
-        dfs = [post[t].df for t in slots]
+        dfs = [post[t].df for t, _ in pairs]
         ordered = sorted(uniq, key=lambda t: post[t].df)
         cand = post[ordered[0]].doc_ids
         for t in ordered[1:]:
@@ -817,9 +839,9 @@ class Searcher:
         if cand.size == 0:
             return empty
         # key space: doc*L + within-doc position; L exceeds any position
-        # by more than the phrase length, so shifted keys never collide
+        # by more than the max slot shift, so shifted keys never collide
         # across docs
-        L = int(self.dl.max(initial=0)) + len(slots) + 2
+        L = int(self.dl.max(initial=0)) + pairs[-1][1] + len(pairs) + 2
 
         def slot_keys(term: str, shift: int) -> np.ndarray:
             p = post[term]
@@ -833,10 +855,10 @@ class Searcher:
             doc_key = run_spread((cand * L).astype(np.int64), out_starts, tot)
             return doc_key + pos[gi] - shift
 
-        k0 = slot_keys(slots[0], 0)
+        k0 = slot_keys(pairs[0][0], pairs[0][1])
         surv = np.ones(k0.size, dtype=bool)
-        for i in range(1, len(slots)):
-            surv &= np.isin(k0, slot_keys(slots[i], i))
+        for term, shift in pairs[1:]:
+            surv &= np.isin(k0, slot_keys(term, shift))
             if not surv.any():
                 return empty
         starts = k0[surv]
@@ -859,6 +881,13 @@ class Searcher:
         if offset and search_after is not None:
             raise ValueError("offset and search_after are mutually exclusive")
         slots = tokenize_query(phrase)
+        if self.stopwords:
+            # stop slots drop but their positions stay as GAPS (Lucene
+            # StopFilter + PhraseQuery enablePositionIncrements)
+            slots = [
+                (t, i) for i, t in enumerate(slots)
+                if t not in self.stopwords
+            ]
         if not slots:
             return []
         docs, pf, dfs = self._phrase_freqs(slots)
@@ -1112,7 +1141,7 @@ class Searcher:
             # (score, doc_id)
             after = (float(search_after[1]), int(search_after[0]))
         inner_k = k + int(offset)
-        qtf = parse_query_weights(query)
+        qtf = self._qweights(query)
         terms = sorted(qtf)
         plist = [(t, qtf[t], self.lookup(t)) for t in terms]
         plist = [(t, q, p) for t, q, p in plist if p is not None]
@@ -1715,6 +1744,15 @@ class MultiSearcher:
         self._tf_part_cache[key] = out
         return out
 
+    def _qweights(self, query: str) -> dict[str, float]:
+        """Stop-aware clause weights — segments share one analyzer config,
+        so the first segment's stop list is THE stop list."""
+        qtf = parse_query_weights(query)
+        stops = self.segments[0].stopwords if self.segments else frozenset()
+        if stops:
+            qtf = {t: v for t, v in qtf.items() if t not in stops}
+        return qtf
+
     def _global_postings(self, si: int, term: str, p: Postings) -> Postings:
         """Per-segment Postings view recomputed against GLOBAL avgdl
         (tf_part + block upper bounds) — what per-segment WAND needs to
@@ -1770,7 +1808,7 @@ class MultiSearcher:
         if search_after is not None:
             g_after = (float(search_after[1]), int(search_after[0]))
         inner_k = k + int(offset)
-        qtf = parse_query_weights(query)
+        qtf = self._qweights(query)
         terms = sorted(qtf)
         # global df per term = sum of segment dfs (A3 merged stats)
         seg_postings: list[list] = [[] for _ in self.segments]
@@ -1899,9 +1937,16 @@ class MultiSearcher:
         if k <= 0:
             return []
         slots = tokenize_query(phrase)
+        stops = self.segments[0].stopwords if self.segments else frozenset()
+        if stops:
+            slots = [(t, i) for i, t in enumerate(slots) if t not in stops]
         if not slots:
             return []
-        uniq = sorted(set(slots))
+        terms_in_order = (
+            [t for t, _ in slots] if slots and isinstance(slots[0], tuple)
+            else list(slots)
+        )
+        uniq = sorted(set(terms_in_order))
         df_g = {t: 0 for t in uniq}
         for seg in self.segments:
             for t in uniq:
@@ -1911,7 +1956,7 @@ class MultiSearcher:
         if any(df_g[t] == 0 for t in uniq):
             return []
         W = 0.0
-        for t in slots:  # slot order == oracle accumulation order
+        for t in terms_in_order:  # slot order == oracle accumulation order
             W += self.idf(df_g[t])
         all_docs, all_scores = [], []
         for si, seg in enumerate(self.segments):
@@ -2061,7 +2106,7 @@ class MultiSearcher:
         if not ranked:
             return []
         want = [v for v, _ in ranked]
-        qtf = parse_query_weights(query)
+        qtf = self._qweights(query)
         terms = sorted(qtf)
         weights = {}
         for term in terms:
@@ -2243,7 +2288,7 @@ class MultiSearcher:
             raise ValueError(f"unsupported modifier: {modifier!r}")
         if k <= 0:
             return []
-        qtf = parse_query_weights(query)
+        qtf = self._qweights(query)
         terms = sorted(qtf)
         weights = {}
         for term in terms:
@@ -2287,7 +2332,7 @@ class MultiSearcher:
         hits = self.search(query, k=k, **kw)
         if not hits:
             return []
-        terms = sorted(parse_query_weights(query))
+        terms = sorted(self._qweights(query))
         docs = np.array([d for d, _ in hits], np.int64)
         si_arr = np.searchsorted(self.offsets, docs, side="right") - 1
         detail: dict = {}
@@ -2454,6 +2499,7 @@ class SharedSearcher(Searcher):
         self.k1 = float(m["k1"])
         self.b = float(m["b"])
         self.num_buckets = m["term_buckets"]
+        self.stopwords = frozenset(m.get("stopwords", ()))
         self.dl = ray.get(handle.dl_ref)
         self._handle = handle
         import os as _os

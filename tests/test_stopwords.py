@@ -1,0 +1,171 @@
+"""Index-time stop filtering — Lucene StopFilter / ES analyzer stopwords.
+
+Spec pinned here:
+  * stop tokens emit NO postings and do not count toward dl (norms);
+  * their POSITIONS remain as gaps in the positional sidecar
+    (enablePositionIncrements=true), so a phrase across a removed
+    stopword matches whatever token occupies the gap;
+  * the same stop list applies to queries (one analyzer), so a stop
+    term inside a mode="and" query is dropped, not treated as a failed
+    required clause.
+"""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from rayfts.build import build_index
+from rayfts.config import IndexJobConfig
+from rayfts.fixtures import REFERENCE_QUERIES, generate_transcripts
+from rayfts.oracle import BruteForceIndex, tokenize
+from rayfts.search import (
+    MultiSearcher,
+    Searcher,
+    SharedIndexHandle,
+    SharedSearcher,
+)
+
+STOPS = ("the", "a", "to", "ok")
+N_CONVS = 40
+SEED = 42
+
+
+def _table():
+    t = generate_transcripts(N_CONVS, seed=SEED)
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+@pytest.fixture(scope="module")
+def stop_index(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stopidx")
+    build_index(
+        rd.from_arrow(_table()),
+        cfg=IndexJobConfig(
+            index_dir=str(d), term_buckets=8, index_positions=True,
+            stopwords=STOPS,
+        ),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def stop_oracle():
+    """BruteForceIndex over stop-FILTERED text: tf/df/dl then equal the
+    stop-analyzed index's statistics exactly."""
+    t = _table()
+    docs = {
+        i: " ".join(tok for tok in tokenize(s) if tok not in STOPS)
+        for i, s in enumerate(t["text"].to_pylist())
+    }
+    return BruteForceIndex(docs), t
+
+
+def test_stop_terms_absent_and_norms_filtered(stop_index, stop_oracle):
+    idx, _ = stop_oracle
+    s = Searcher(stop_index)
+    for t in STOPS:
+        assert s.lookup(t) is None, t
+    assert s.manifest["total_dl"] == idx.total_dl
+    assert abs(s.avgdl - idx.avgdl) < 1e-9
+    for term in ["w0007", "bash", "edit"]:
+        p = s.lookup(term)
+        assert (p.df if p else 0) == idx.df.get(term, 0), term
+
+
+def test_stop_index_rank_identical(stop_index, stop_oracle):
+    """Queries containing stopwords rank identically to the filtered
+    oracle on every executor (the stop terms drop on both sides)."""
+    idx, _ = stop_oracle
+    s = Searcher(stop_index)
+    ss = SharedSearcher(SharedIndexHandle(stop_index))
+    for q in REFERENCE_QUERIES + ["the a to ok", "the w0007 bash"]:
+        want = idx.search(q, k=10)
+        for ex, algo in ((s, "taat"), (s, "wand"), (ss, "taat")):
+            got = ex.search(q, k=10, algo=algo)
+            assert [d for d, _ in got] == [d for d, _ in want], (q, algo)
+            for (_, a), (_, b) in zip(got, want):
+                assert a == pytest.approx(b, abs=1e-9), (q, algo)
+
+
+def test_stop_term_in_and_query_is_dropped_not_required(stop_index):
+    """ES behavior: the analyzer removes 'the' BEFORE the must check, so
+    mode='and' with a stopword equals the query without it — not []."""
+    s = Searcher(stop_index)
+    got = s.search("the w0007 bash", k=10, mode="and")
+    want = s.search("w0007 bash", k=10, mode="and")
+    assert got == want and got
+    # all-stopword query -> no terms -> empty
+    assert s.search("the a to", k=10) == []
+
+
+def test_phrase_across_stopword_gap(stop_index, stop_oracle):
+    """'x the y' matches docs where y sits two RAW positions after x —
+    the removed stopword leaves a position gap that any token of the doc
+    may occupy (Lucene enablePositionIncrements)."""
+    idx, t = stop_oracle
+    s = Searcher(stop_index)
+    raw = [tokenize(x) for x in t["text"].to_pylist()]
+    # pick the most frequent (tok[i], tok[i+2]) non-stop pair from data
+    from collections import Counter
+
+    pairs = Counter()
+    for toks in raw:
+        for i in range(len(toks) - 2):
+            if toks[i] not in STOPS and toks[i + 2] not in STOPS:
+                pairs[(toks[i], toks[i + 2])] += 1
+    (x, y), _ = pairs.most_common(1)[0]
+    expect = {}
+    for d, toks in enumerate(raw):
+        pf = sum(
+            1 for i in range(len(toks) - 2)
+            if toks[i] == x and toks[i + 2] == y
+        )
+        if pf:
+            expect[d] = pf
+    assert expect, "fixture should contain gap-phrase matches"
+    got = s.search_phrase(f"{x} the {y}", k=len(expect) + 5)
+    assert {d: None for d, _ in got}.keys() == expect.keys()
+    # scores follow the phrase spec with pf over the gap matches
+    W = idx.idf(x) + idx.idf(y)
+    for d, sc in got:
+        pf = expect[d]
+        dl = idx.dl[d]
+        want = W * (
+            pf * (idx.k1 + 1.0)
+            / (pf + idx.k1 * (1.0 - idx.b + idx.b * dl / idx.avgdl))
+        )
+        assert sc == pytest.approx(want, abs=1e-9), d
+    # leading stopword: phrase reduces to the surviving slots, rebased
+    assert s.search_phrase("the w0007", k=10) == \
+        s.search_phrase("w0007", k=10)
+
+
+def test_sharded_stop_index_equals_global(stop_index, tmp_path_factory):
+    import pyarrow.compute as pc
+
+    t = _table()
+    cut = "conv-0000020"
+    root = tmp_path_factory.mktemp("stopseg")
+    dirs = []
+    for name, tbl in [
+        ("a", t.filter(pc.less(t["conv_id"], cut))),
+        ("b", t.filter(pc.greater_equal(t["conv_id"], cut))),
+    ]:
+        d = str(root / name)
+        build_index(
+            rd.from_arrow(tbl),
+            cfg=IndexJobConfig(
+                index_dir=d, term_buckets=8, index_positions=True,
+                stopwords=STOPS,
+            ),
+        )
+        dirs.append(d)
+    single = Searcher(stop_index)
+    multi = MultiSearcher(dirs)
+    for q in ["the w0007 bash", "the a to ok", "w0007"]:
+        assert multi.search(q, k=10) == single.search(q, k=10), q
+        assert multi.search(q, k=10, algo="wand") == \
+            single.search(q, k=10), q
+    assert multi.search_phrase("the w0007", k=10) == \
+        single.search_phrase("the w0007", k=10)
