@@ -155,6 +155,51 @@ FROM scores ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def _phrase_scores_ctes(slots: list[str]) -> str:
+    """Phrase-score CTE chain (ph_-prefixed, terminating in
+    ph_scores(doc_id, score)) that composes AFTER _bm25_with — it reuses
+    that prefix's dl/stats CTEs (no stop filter on the flagship index,
+    so dl == len(token list))."""
+    n = len(slots)
+    df_cols = ",\n         ".join(
+        f"(SELECT count(DISTINCT doc_id) FROM ph_ptoks WHERE term='{t}') AS df{i}"
+        for i, t in enumerate(slots)
+    )
+    slot_ctes = ",\n".join(
+        f"ph_p{i} AS (SELECT doc_id, pos FROM ph_ptoks WHERE term='{t}')"
+        for i, t in enumerate(slots)
+    )
+    joins = "\n  ".join(
+        f"JOIN ph_p{i} ON ph_p{i}.doc_id = ph_p0.doc_id "
+        f"AND ph_p{i}.pos = ph_p0.pos + {i}"
+        for i in range(1, n)
+    )
+    w_expr = " + ".join(
+        f"ln(1 + (s.n - f.df{i} + 0.5) / (f.df{i} + 0.5))" for i in range(n)
+    )
+    return f"""
+ph_lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+             FROM documents),
+ph_ptoks AS (SELECT doc_id, unnest(l) AS term,
+                    generate_subscripts(l, 1) - 1 AS pos FROM ph_lists),
+ph_dfs AS (SELECT {df_cols}),
+{slot_ctes},
+ph_matches AS (
+  SELECT ph_p0.doc_id, count(*) AS pf
+  FROM ph_p0
+  {joins}
+  GROUP BY ph_p0.doc_id
+),
+ph_scores AS (
+  SELECT m.doc_id,
+         ({w_expr})
+           * (m.pf * (1.2 + 1.0)
+              / (m.pf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM ph_matches m JOIN dl d USING (doc_id)
+       CROSS JOIN stats s CROSS JOIN ph_dfs f
+)"""
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: build the inverted index over the
     documents corpus and run a fixed query set through the distributed
@@ -206,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_more_like_this": P.fts_more_like_this,  # MLT query
         "fts_function_score_top10": P.fts_function_score_top10,  # function_score
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
+        "fts_rescore_top10": P.fts_rescore_top10,    # rescore window API
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
@@ -403,6 +449,21 @@ v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
     f" AS BIGINT) AS value_e6 FROM v"
     for p in P.PERCENTS
 )}
+""",
+        # rescore: top-30 window by base score, combined = 1*base +
+        # 2*phrase (docs without the phrase keep their weighted base)
+        "fts_rescore_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+{_phrase_scores_ctes(P.PHRASE_QUERY.split())},
+win AS (
+  SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 30
+)
+SELECT w.doc_id,
+       CAST(round((1.0 * w.score + 2.0 * coalesce(p.score, 0)) * 1e6)
+            AS BIGINT) AS score_e6
+FROM win w LEFT JOIN ph_scores p USING (doc_id)
+ORDER BY (1.0 * w.score + 2.0 * coalesce(p.score, 0)) DESC, w.doc_id
+LIMIT 10
 """,
         # analyzer stopwords: the SAME stop list filters the token stream
         # (df/dl/avgdl all shift) and the query — one analyzer both sides

@@ -553,6 +553,30 @@ def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_rescore_top10(sf_dir: str) -> pa.Table:
+    """ES rescore API analog: BM25_QUERY retrieves a 30-hit window, the
+    PHRASE_QUERY rescorer re-ranks ONLY that window (combined = 1.0*bm25
+    + 2.0*phrase_score, score_mode=total) — positional work never touches
+    the full hit set."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.rescore(
+        BM25_QUERY, PHRASE_QUERY, window_size=30, k=10,
+        query_weight=1.0, rescore_weight=2.0,
+    )
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
 def fts_stop_bm25_top10(sf_dir: str) -> pa.Table:
     """BM25 over the STOP-FILTERED index: 'the' in BM25_QUERY is dropped
     by the analyzer (query side too), df/dl/avgdl all reflect the stop

@@ -918,6 +918,47 @@ class Searcher:
         out = self._topk_from(docs, scores, k + int(offset))
         return out[offset:] if offset else out
 
+    def rescore(self, query: str, rescore_phrase: str,
+                window_size: int = 50, k: int = 10,
+                query_weight: float = 1.0, rescore_weight: float = 1.0,
+                algo: str = "taat", **kw):
+        """ES rescore API (score_mode=total, the default): re-rank only
+        the top ``window_size`` hits of the cheap ``query`` by
+        combined = query_weight*bm25 + rescore_weight*phrase_score —
+        phrase matching (the expensive positional work) runs against the
+        WINDOW, never the full hit set, which is the whole point of the
+        ES rescorer. Docs without the phrase keep their weighted base
+        score. Returns top-k of the window, (combined desc, doc_id asc)."""
+        base = self.search(query, k=window_size, algo=algo, **kw)
+        if not base:
+            return []
+        slots = tokenize_query(rescore_phrase)
+        if self.stopwords:
+            slots = [
+                (t, i) for i, t in enumerate(slots)
+                if t not in self.stopwords
+            ]
+        pscore: dict[int, float] = {}
+        if slots:
+            docs, pf, dfs = self._phrase_freqs(slots)
+            if docs.size:
+                W = 0.0
+                for df in dfs:
+                    W += self.idf(df)
+                pff = pf.astype(np.float64)
+                dls = self.dl[docs].astype(np.float64)
+                sc = W * (
+                    pff * (self.k1 + 1.0)
+                    / (pff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
+                )
+                pscore = dict(zip(docs.tolist(), sc.tolist()))
+        combined = [
+            (d, query_weight * s + rescore_weight * pscore.get(d, 0.0))
+            for d, s in base
+        ]
+        combined.sort(key=lambda h: (-h[1], h[0]))
+        return combined[:k]
+
     def _iter_term_arrays(self):
         """Yield each bucket's term column as an Arrow array WITHOUT
         touching posting bytes (column-pruned parquet read). Buckets are

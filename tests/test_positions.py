@@ -195,6 +195,25 @@ def test_bool_sharded_identical(pos_index, oracle, tmp_path_factory):
             assert got == want, (q, mode, mn, algo)
 
 
+def test_rescore_window_matches_manual(pos_index, oracle):
+    """ES rescore: combined = qw*base + rw*phrase over the top-window
+    ONLY — membership comes from the base ranking, docs outside the
+    window can never enter, phrase-less docs keep their weighted base."""
+    s = Searcher(pos_index)
+    q, ph, win = "the w0007 bash", "the a", 15
+    base = s.search(q, k=win)
+    psc = dict(s.search_phrase(ph, k=10**6))
+    want = sorted(
+        ((d, 1.0 * sc + 2.0 * psc.get(d, 0.0)) for d, sc in base),
+        key=lambda h: (-h[1], h[0]),
+    )[:10]
+    got = s.rescore(q, ph, window_size=win, k=10,
+                    query_weight=1.0, rescore_weight=2.0)
+    assert got == want
+    assert {d for d, _ in got} <= {d for d, _ in base}
+    assert s.rescore("zzzz_absent", ph) == []
+
+
 def test_highlight_matches_tokenized_text(pos_index, oracle):
     """Highlight locates the first query-term occurrence from the
     positional sidecar; cross-checked against re-tokenized stored text,
