@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_function_score_top10": P.fts_function_score_top10,  # function_score
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_rescore_top10": P.fts_rescore_top10,    # rescore window API
+        "fts_synonym_top10": P.fts_synonym_top10,    # SynonymQuery expansion
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
@@ -449,6 +450,43 @@ v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
     f" AS BIGINT) AS value_e6 FROM v"
     for p in P.PERCENTS
 )}
+""",
+        # SynonymQuery: per clause group, df = max over members (blended),
+        # tf = sum of member tfs; one idf*saturation term per group,
+        # accumulated in head-term order
+        "fts_synonym_top10": f"""
+WITH {_TOKS_CTE},
+{_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+qgroups(gterm, term) AS (VALUES {",".join(
+    f"('{h}', '{m}')"
+    for h in sorted(set(P.SYN_QUERY.split()))
+    for m in [h, *P.SYNONYMS.get(h, ())]
+)}),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+dfg AS (
+  SELECT g.gterm, max(coalesce(d.df, 0)) AS df
+  FROM qgroups g LEFT JOIN dft d USING (term) GROUP BY g.gterm
+),
+tfg AS (
+  SELECT g.gterm, t.doc_id, count(*) AS tf
+  FROM toks t JOIN qgroups g USING (term) GROUP BY 1, 2
+),
+scores AS (
+  SELECT tfg.doc_id,
+         sum( ln(1 + (s.n - dfg.df + 0.5) / (dfg.df + 0.5))
+              * ( tfg.tf * (1.2 + 1.0)
+                  / (tfg.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+              ORDER BY tfg.gterm ) AS score
+  FROM tfg JOIN dfg USING (gterm) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE dfg.df > 0
+  GROUP BY tfg.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """,
         # rescore: top-30 window by base score, combined = 1*base +
         # 2*phrase (docs without the phrase keep their weighted base)

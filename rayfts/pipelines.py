@@ -34,6 +34,8 @@ BM25_QUERY = "spark join the data"
 BM25_QUERY_HOT = "the customer"
 BM25_BOOSTED = "spark^3 join the^0.5 data"  # Lucene clause boosts
 BM25_BOOSTS = {"spark": 3.0, "the": 0.5}    # oracle twin of the ^ suffixes
+SYN_QUERY = "spark join scan"               # synonym-expansion probe
+SYNONYMS = {"join": ("merge",), "scan": ("filter",)}
 PHRASE_QUERY = "the data"          # exact-adjacency phrase (slot order matters)
 BOOL_MUST_NOT = "window"           # must_not clause of the bool query
 PREFIX_QUERY = "s"                 # term-dictionary prefix probe
@@ -548,6 +550,26 @@ def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
             "pct": pa.array(list(PERCENTS), pa.float64()),
             "value_e6": pa.array(
                 [int(round(pct[p] * 1e6)) for p in PERCENTS], pa.int64()
+            ),
+        }
+    )
+
+
+def fts_synonym_top10(sf_dir: str) -> pa.Table:
+    """Query-time synonym expansion (Lucene SynonymQuery): each clause
+    of SYN_QUERY scores as one pseudo-term over its group — df = max of
+    the group (blended), tf = sum of the group's tfs per doc."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.synonym_search(SYN_QUERY, SYNONYMS, k=10)
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
             ),
         }
     )

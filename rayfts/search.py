@@ -918,6 +918,68 @@ class Searcher:
         out = self._topk_from(docs, scores, k + int(offset))
         return out[offset:] if offset else out
 
+    def synonym_search(self, query: str, synonyms: dict, k: int = 10,
+                       where: dict | None = None,
+                       must_not: str | None = None):
+        """Query-time synonym expansion with Lucene SynonymQuery
+        semantics (what ES's synonym filter produces for a match query):
+        each query clause becomes the group {term} ∪ synonyms[term],
+        scored as ONE pseudo-term — df = MAX over the group (the
+        SynonymQuery blended df), tf = SUM of the group's tfs in the doc,
+        one idf·saturation contribution per group. Groups accumulate in
+        ascending head-term order (the deterministic op sequence).
+        Restrictions compose as usual; stop terms drop per the index
+        analyzer."""
+        if k <= 0:
+            return []
+        qtf = self._qweights(query)
+        if not qtf:
+            return []
+        buf = np.zeros(self.N, dtype=np.float64)
+        hit = np.zeros(self.N, dtype=bool)
+        tf_sum = np.zeros(self.N, dtype=np.float64)
+        for term in sorted(qtf):
+            group = [term] + sorted(
+                t for t in synonyms.get(term, ())
+                if t not in self.stopwords
+            )
+            plist = [p for t in group if (p := self.lookup(t)) is not None]
+            if not plist:
+                continue
+            df_b = max(p.df for p in plist)
+            touched = []
+            for p in plist:
+                ids = (
+                    p.doc_ids if p.live_mask is None
+                    else p.doc_ids[p.live_mask]
+                )
+                tfs = (
+                    p.tfs if p.live_mask is None else p.tfs[p.live_mask]
+                )
+                tf_sum[ids] += tfs
+                touched.append(ids)
+            idx = np.unique(np.concatenate(touched))
+            w = qtf[term] * self.idf(df_b)
+            tf = tf_sum[idx]
+            dls = self.dl[idx].astype(np.float64)
+            buf[idx] += w * (
+                tf * (self.k1 + 1.0)
+                / (tf + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
+            )
+            hit[idx] = True
+            tf_sum[idx] = 0.0  # reset only touched slots
+        idx = np.flatnonzero(hit)
+        if self.excluded.size:
+            idx = idx[~np.isin(idx, self.excluded)]
+        if where:
+            m = self.filter_mask(**where)
+            idx = idx[m[idx]]
+        if must_not:
+            bm = self._bool_mask(None, must_not)
+            if bm is not None:
+                idx = idx[bm[idx]]
+        return self._topk_from(idx, buf[idx], k)
+
     def rescore(self, query: str, rescore_phrase: str,
                 window_size: int = 50, k: int = 10,
                 query_weight: float = 1.0, rescore_weight: float = 1.0,

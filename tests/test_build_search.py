@@ -995,6 +995,40 @@ def test_date_histogram_agg_counts_and_errors(index_dir, oracle):
         s.date_histogram_agg(q, "turn_idx", "fortnight")
 
 
+def test_synonym_search_matches_bruteforce(index_dir, oracle):
+    """SynonymQuery semantics: per group df = max over members, tf = sum
+    of member tfs, one idf*saturation contribution per group in
+    head-term order."""
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    q = "w0007 edit"
+    syns = {"w0007": ("w0001",), "edit": ("bash",)}
+    want_scores = {}
+    for head in sorted(set(q.split())):
+        group = [head, *syns.get(head, ())]
+        df_b = max(idx.df.get(t, 0) for t in group)
+        if df_b == 0:
+            continue
+        w = 1.0 * float(np.log(1.0 + (idx.N - df_b + 0.5) / (df_b + 0.5)))
+        for d, tf in idx.doc_tfs.items():
+            t_sum = sum(tf.get(t, 0) for t in group)
+            if t_sum == 0:
+                continue
+            norm = idx.k1 * (1.0 - idx.b + idx.b * idx.dl[d] / idx.avgdl)
+            want_scores[d] = want_scores.get(d, 0.0) + w * (
+                t_sum * (idx.k1 + 1.0) / (t_sum + norm)
+            )
+    want = sorted(want_scores.items(), key=lambda h: (-h[1], h[0]))[:10]
+    got = s.synonym_search(q, syns, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+    # no synonyms == plain search
+    assert s.synonym_search("w0007 bash", {}, k=10) == \
+        s.search("w0007 bash", k=10)
+    assert s.synonym_search("zzzz_absent", {"zzzz_absent": ("zzz2",)}) == []
+
+
 def test_function_score_matches_bruteforce(index_dir, oracle):
     """field_value_factor rescoring: final = BM25 * ln(1+field), ranked
     over the WHOLE hit set (a rescore can promote any hit into the
