@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_rescore_top10": P.fts_rescore_top10,    # rescore window API
         "fts_synonym_top10": P.fts_synonym_top10,    # SynonymQuery expansion
+        "fts_multi_match_top10": P.fts_multi_match_top10,  # most_fields
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
@@ -450,6 +451,46 @@ v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
     f" AS BIGINT) AS value_e6 FROM v"
     for p in P.PERCENTS
 )}
+""",
+        # multi_match most_fields: per-FIELD BM25 statistics (each field
+        # is its own index), contributions summed ORDER BY (field, term)
+        # — the engine's field-name-asc, term-asc accumulation order
+        "fts_multi_match_top10": f"""
+WITH ttoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}'))
+               AS term FROM documents),
+tdl AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN ttoks t USING (doc_id) GROUP BY d.doc_id),
+stoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(source), '{_TOK}'))
+          AS term FROM documents),
+sdl AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN stoks t USING (doc_id) GROUP BY d.doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM tdl) * 1.0 / (SELECT count(*) FROM documents) AS t_avgdl,
+              (SELECT sum(dl) FROM sdl) * 1.0 / (SELECT count(*) FROM documents) AS s_avgdl),
+qt(term) AS (VALUES {",".join(f"('{t}')" for t in sorted(set(P.MULTI_QUERY.split())))}),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+stf AS (SELECT doc_id, term, count(*) AS tf FROM stoks
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+contribs AS (
+  SELECT stf.doc_id, 'source' AS fld, stf.term,
+         ({P.MULTI_BOOSTS["source"]!r} * ln(1 + (st.n - sdf.df + 0.5) / (sdf.df + 0.5)))
+           * (stf.tf * (1.2 + 1.0)
+              / (stf.tf + 1.2 * (1.0 - 0.75 + 0.75 * sdl.dl / st.s_avgdl))) AS c
+  FROM stf JOIN sdf USING (term) JOIN sdl USING (doc_id) CROSS JOIN st
+  UNION ALL
+  SELECT ttf.doc_id, 'text' AS fld, ttf.term,
+         ({P.MULTI_BOOSTS["text"]!r} * ln(1 + (st.n - tdf.df + 0.5) / (tdf.df + 0.5)))
+           * (ttf.tf * (1.2 + 1.0)
+              / (ttf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / st.t_avgdl))) AS c
+  FROM ttf JOIN tdf USING (term) JOIN tdl USING (doc_id) CROSS JOIN st
+),
+scores AS (SELECT doc_id, sum(c ORDER BY fld, term) AS score
+           FROM contribs GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """,
         # SynonymQuery: per clause group, df = max over members (blended),
         # tf = sum of member tfs; one idf*saturation term per group,

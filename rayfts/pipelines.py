@@ -36,6 +36,8 @@ BM25_BOOSTED = "spark^3 join the^0.5 data"  # Lucene clause boosts
 BM25_BOOSTS = {"spark": 3.0, "the": 0.5}    # oracle twin of the ^ suffixes
 SYN_QUERY = "spark join scan"               # synonym-expansion probe
 SYNONYMS = {"join": ("merge",), "scan": ("filter",)}
+MULTI_QUERY = "spark data src7"             # multi_match probe (text+source)
+MULTI_BOOSTS = {"text": 1.0, "source": 2.0}
 PHRASE_QUERY = "the data"          # exact-adjacency phrase (slot order matters)
 BOOL_MUST_NOT = "window"           # must_not clause of the bool query
 PREFIX_QUERY = "s"                 # term-dictionary prefix probe
@@ -151,6 +153,42 @@ def documents_stop_index(sf_dir: str) -> str:
         keyword_cols=("lang", "source"),
         term_buckets=16,
         stopwords=STOPWORDS_SQL,
+    )
+    build_index(ds, cfg=cfg, rows_per_part=100_000)
+    return index_dir
+
+
+def documents_source_index(sf_dir: str) -> str:
+    """Build (once, cached) a SECOND field index over `documents` —
+    text_col='source' — sharing the text index's doc space: the Lucene
+    per-field-index model behind multi_match."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|srcf1".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/rayfts_qidx/{tag}"
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        import json
+
+        from .build import FORMAT_VERSION
+
+        with open(manifest_path) as f:
+            if json.load(f).get("format_version") == FORMAT_VERSION:
+                return index_dir
+    ds = rd.read_parquet(src).map_batches(
+        lambda t: t.rename_columns(
+            ["src_doc_id" if c == "doc_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    cfg = IndexJobConfig(
+        index_dir=index_dir,
+        key_cols=("src_doc_id",),
+        text_col="source",
+        keyword_cols=("lang",),
+        term_buckets=4,
     )
     build_index(ds, cfg=cfg, rows_per_part=100_000)
     return index_dir
@@ -550,6 +588,34 @@ def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
             "pct": pa.array(list(PERCENTS), pa.float64()),
             "value_e6": pa.array(
                 [int(round(pct[p] * 1e6)) for p in PERCENTS], pa.int64()
+            ),
+        }
+    )
+
+
+def fts_multi_match_top10(sf_dir: str) -> pa.Table:
+    """ES multi_match type=most_fields: MULTI_QUERY scored over the text
+    index (boost 1) AND the source field index (boost 2) — per-field
+    statistics, summed contributions in (field, term) order."""
+    from .search import MultiFieldSearcher
+
+    text_dir = documents_index(sf_dir)
+    src_dir = documents_source_index(sf_dir)
+    mf = MultiFieldSearcher(
+        {
+            "text": (Searcher(text_dir), MULTI_BOOSTS["text"]),
+            "source": (Searcher(src_dir), MULTI_BOOSTS["source"]),
+        }
+    )
+    hits = mf.search(MULTI_QUERY, k=10)
+    dense_to_src = _dense_to_src(text_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
             ),
         }
     )

@@ -1724,6 +1724,68 @@ class Searcher:
         return ds.count_rows(filter=expr)
 
 
+class MultiFieldSearcher:
+    """ES multi_match with type=most_fields: one index per FIELD over
+    the SAME doc space (the Lucene model — every field is its own
+    inverted index with its own df/dl/avgdl statistics); the doc score
+    is the sum over fields of boost_f * BM25_f(query, doc).
+
+    Accumulation order is deterministic: fields in ascending name order,
+    terms ascending within each field — the op sequence the SQL oracle
+    mirrors with sum(... ORDER BY field, term). Ref analog: the
+    plugin's multi-property ES documents (ESShape/tags all queryable);
+    at scale each field index shards independently and this composes
+    per-segment like MultiSearcher."""
+
+    def __init__(self, fields: dict[str, tuple]):
+        if not fields:
+            raise ValueError("fields must map name -> (Searcher, boost)")
+        self.fields = dict(fields)
+        ns = {s.N for s, _ in self.fields.values()}
+        if len(ns) != 1:
+            raise ValueError(
+                f"field indexes disagree on doc count: {sorted(ns)} — "
+                "multi_match requires one shared doc space"
+            )
+        self.N = ns.pop()
+
+    def search(self, query: str, k: int = 10,
+               where: dict | None = None, must_not: str | None = None):
+        """Top-k [(doc_id, score)] under most_fields summation. ``where``
+        / ``must_not`` evaluate against the FIRST field's docstore (all
+        fields share one doc space, so any index's docstore serves)."""
+        if k <= 0:
+            return []
+        buf = np.zeros(self.N, dtype=np.float64)
+        hit = np.zeros(self.N, dtype=bool)
+        for name in sorted(self.fields):
+            s, boost = self.fields[name]
+            for term, qn, p in s._plist(query):
+                w = boost * s._term_weight(qn, p.df)
+                ids = (
+                    p.doc_ids if p.live_mask is None
+                    else p.doc_ids[p.live_mask]
+                )
+                tfp = (
+                    p.tf_part if p.live_mask is None
+                    else p.tf_part[p.live_mask]
+                )
+                buf[ids] += w * tfp
+                hit[ids] = True
+        idx = np.flatnonzero(hit)
+        first = self.fields[sorted(self.fields)[0]][0]
+        if first.excluded.size:
+            idx = idx[~np.isin(idx, first.excluded)]
+        if where:
+            m = first.filter_mask(**where)
+            idx = idx[m[idx]]
+        if must_not:
+            bm = first._bool_mask(None, must_not)
+            if bm is not None:
+                idx = idx[bm[idx]]
+        return first._topk_from(idx, buf[idx], k)
+
+
 class QueryRunner:
     """map_batches actor: batch of query rows -> top-k hit rows.
 

@@ -995,6 +995,40 @@ def test_date_histogram_agg_counts_and_errors(index_dir, oracle):
         s.date_histogram_agg(q, "turn_idx", "fortnight")
 
 
+def test_multi_match_most_fields(corpus, index_dir, oracle, tmp_path_factory):
+    """multi_match most_fields: a second field index (text_col='tool',
+    mostly null) over the SAME doc space; score = 1*text + 2*tool with
+    each field's own df/dl/avgdl statistics."""
+    from rayfts.search import MultiFieldSearcher
+
+    d = tmp_path_factory.mktemp("toolidx")
+    cfg = IndexJobConfig(index_dir=str(d), term_buckets=4, text_col="tool")
+    build_index(corpus, cfg=cfg, rows_per_part=100)
+    idx_text, t = oracle
+    tool_docs = {
+        i: (v if v is not None else "")
+        for i, v in enumerate(t["tool"].to_pylist())
+    }
+    idx_tool = BruteForceIndex(tool_docs)
+    mf = MultiFieldSearcher(
+        {"text": (Searcher(index_dir), 1.0), "tool": (Searcher(str(d)), 2.0)}
+    )
+    q = "w0007 bash edit"
+    a = dict(idx_text.search(q, k=10**6))
+    b = dict(idx_tool.search(q, k=10**6))
+    combined = {
+        doc: 1.0 * a.get(doc, 0.0) + 2.0 * b.get(doc, 0.0)
+        for doc in set(a) | set(b)
+    }
+    want = sorted(combined.items(), key=lambda h: (-h[1], h[0]))[:10]
+    got = mf.search(q, k=10)
+    assert [x for x, _ in got] == [x for x, _ in want]
+    for (_, x), (_, y) in zip(got, want):
+        assert x == pytest.approx(y, abs=1e-9)
+    with pytest.raises(ValueError):
+        MultiFieldSearcher({})
+
+
 def test_synonym_search_matches_bruteforce(index_dir, oracle):
     """SynonymQuery semantics: per group df = max over members, tf = sum
     of member tfs, one idf*saturation contribution per group in
