@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
         "fts_sort_by_nchars_top10": P.fts_sort_by_nchars_top10,  # sort-by-field
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
+        "fts_composite_page2": P.fts_composite_page2,  # composite agg cursor
+        "fts_significant_terms": P.fts_significant_terms,  # significant_terms
         "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
         "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
@@ -425,6 +427,36 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT count(DISTINCT source) AS n_distinct
 FROM documents JOIN hits USING (doc_id)
+""",
+        # composite agg: value-asc buckets, after_key == OFFSET here
+        # (values are unique and ordered)
+        "fts_composite_page2": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT source, count(*) AS n_docs FROM documents JOIN hits USING (doc_id)
+GROUP BY source ORDER BY source OFFSET 5 LIMIT 5
+""",
+        # significant_terms (JLH): score = (fg/nh - df/n) * ((fg/nh)/(df/n)),
+        # identical float op order engine-side
+        "fts_significant_terms": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+fg AS (SELECT term, count(DISTINCT doc_id) AS fg FROM toks
+       JOIN hits USING (doc_id) GROUP BY term),
+bg AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+c AS (SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT count(*) FROM hits) AS nh)
+SELECT term, fg, df,
+       CAST(round(((fg * 1.0 / nh - df * 1.0 / n)
+                   * ((fg * 1.0 / nh) / (df * 1.0 / n))) * 1e6) AS BIGINT)
+         AS score_e6
+FROM fg JOIN bg USING (term) CROSS JOIN c
+WHERE fg >= 3 AND fg * 1.0 / nh > df * 1.0 / n
+ORDER BY (fg * 1.0 / nh - df * 1.0 / n) * ((fg * 1.0 / nh) / (df * 1.0 / n))
+         DESC, term
+LIMIT 10
 """,
         # ts_epoch is the docstore's synthetic timestamp column — derived
         # from doc_id with the SAME constants on both sides (TS_EPOCH0 +

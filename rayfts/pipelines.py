@@ -552,6 +552,43 @@ def fts_sort_by_nchars_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_composite_page2(sf_dir: str) -> pa.Table:
+    """ES composite-aggregation analog: value-ascending source buckets
+    over the BM25_QUERY hit set, page 2 of size 5 via the after_key
+    cursor (page 1's last value passed back — the stateless agg cursor
+    for unbounded-cardinality aggregations)."""
+    s = Searcher(documents_index(sf_dir))
+    page1 = s.composite_agg(BM25_QUERY, "source", size=5)
+    rows = (
+        s.composite_agg(BM25_QUERY, "source", size=5, after_key=page1[-1][0])
+        if page1 else []
+    )
+    return pa.table(
+        {
+            "source": pa.array([v for v, _ in rows], pa.string()),
+            "n_docs": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
+def fts_significant_terms(sf_dir: str) -> pa.Table:
+    """ES significant_terms analog: the 10 most overrepresented terms in
+    the BM25_QUERY hit set vs the corpus (JLH score), foreground dfs
+    from one vectorized re-analysis of the hit docs."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.significant_terms(BM25_QUERY, size=10, min_doc_count=3)
+    return pa.table(
+        {
+            "term": pa.array([t for t, *_ in rows], pa.string()),
+            "fg": pa.array([f for _, f, _, _ in rows], pa.int64()),
+            "df": pa.array([d for _, _, d, _ in rows], pa.int64()),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for *_, sc in rows], pa.int64()
+            ),
+        }
+    )
+
+
 def fts_cardinality_source(sf_dir: str) -> pa.Table:
     """ES cardinality-aggregation analog: EXACT distinct count of the
     `source` keyword column over ALL BM25_QUERY hits (ES approximates with

@@ -533,6 +533,79 @@ class Searcher:
         sel = codes[hits]
         return int(np.unique(sel[sel >= 0]).size)
 
+    def composite_agg(self, query: str, field: str, size: int = 10,
+                      after_key: str | None = None,
+                      where: dict | None = None, mode: str = "or",
+                      must_not: str | None = None) -> list[tuple]:
+        """ES composite-aggregation analog (single terms source): facet
+        buckets in VALUE-ascending order, paginated by ``after_key`` —
+        the stateless agg cursor (pass the last page's final value back)
+        that lets a consumer stream an unbounded-cardinality aggregation
+        in bounded pages, unlike the top-size truncation of facet_counts.
+        Per-page work stays one bincount; the cursor is a vectorized
+        value comparison, never a scan resumption."""
+        hist = self._facet_hist(query, field, where, mode, must_not)
+        rows = sorted(hist.items())
+        if after_key is not None:
+            import bisect
+
+            rows = rows[bisect.bisect_right(rows, (after_key, float("inf"))):]
+        return rows[:size]
+
+    def significant_terms(self, query: str, size: int = 10,
+                          min_doc_count: int = 3,
+                          where: dict | None = None, mode: str = "or",
+                          must_not: str | None = None):
+        """ES significant_terms analog: terms overrepresented in the
+        query hit set vs the corpus, scored with the JLH heuristic
+        score = (fgp - bgp) * (fgp / bgp), fgp = fg_df/n_hits,
+        bgp = df/N. Foreground dfs come from re-analyzing the HIT DOCS'
+        stored text (one vectorized tokens_flat + distinct-(doc,term)
+        bincount — O(hit text), the ES sampler strategy, never an index
+        scan); background dfs are index lookups for just the candidate
+        terms. Terms with fg_df < min_doc_count or fgp <= bgp drop (the
+        ES noise floor). Returns [(term, fg_df, df, score)] ordered
+        (score desc, term asc), first ``size``."""
+        from .analysis import tokens_flat
+
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        idx = np.flatnonzero(hits)
+        n_hits = int(idx.size)
+        if n_hits == 0:
+            return []
+        texts = self.get_by_doc_id([int(d) for d in idx])["text"]
+        flat, parent = tokens_flat(texts.combine_chunks())
+        if self.stopwords and len(flat):
+            from .analysis import stop_filter
+
+            flat, parent, _ = stop_filter(flat, parent, None, self.stopwords)
+        if len(flat) == 0:
+            return []
+        denc = pc.dictionary_encode(flat)
+        tidx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nvocab = len(denc.dictionary)
+        # distinct (term, doc) pairs -> foreground df per candidate term
+        pair = np.unique(tidx * n_hits + parent)
+        fg_counts = np.bincount(pair // n_hits, minlength=nvocab)
+        vocab = denc.dictionary.to_pylist()
+        out = []
+        for ti in np.flatnonzero(fg_counts >= min_doc_count):
+            term = vocab[int(ti)]
+            p = self.lookup(term)
+            if p is None:
+                continue
+            df = int(p.df)
+            fg = int(fg_counts[ti])
+            fgp = fg / n_hits
+            bgp = df / self.N
+            if fgp <= bgp:
+                continue  # not overrepresented vs the background
+            out.append((term, fg, df, (fgp - bgp) * (fgp / bgp)))
+        out.sort(key=lambda e: (-e[3], e[0]))
+        return out[:size]
+
     def _numeric_col(self, field: str):
         """Dense doc_id -> value array for a numeric docstore column plus
         a validity mask (nulls excluded from aggregations, like ES).

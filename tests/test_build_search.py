@@ -918,6 +918,50 @@ def test_histogram_agg_matches_bruteforce(index_dir, oracle):
         s.histogram_agg(q, "turn_idx", 0)
 
 
+def test_composite_agg_paginates_all_buckets(index_dir, oracle):
+    """Walking the composite cursor reproduces the full value-asc facet
+    histogram in bounded pages, no overlap, no gaps."""
+    s = Searcher(index_dir)
+    q = "the a"
+    full = sorted(s._facet_hist(q, "role").items())
+    pages, after = [], None
+    while True:
+        page = s.composite_agg(q, "role", size=2, after_key=after)
+        if not page:
+            break
+        pages.extend(page)
+        after = page[-1][0]
+    assert pages == full
+    assert s.composite_agg("zzzz_absent", "role") == []
+
+
+def test_significant_terms_matches_bruteforce(index_dir, oracle):
+    """JLH scoring over the hit set vs a full recompute from doc_tfs."""
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    q = "w0007 bash"
+    hits = _brute_hits(index_dir, oracle, q)
+    nh, n = len(hits), idx.N
+    fg: dict[str, int] = {}
+    for d in hits:
+        for t in idx.doc_tfs[d]:
+            fg[t] = fg.get(t, 0) + 1
+    want = []
+    for t, f in fg.items():
+        df = idx.df[t]
+        fgp, bgp = f / nh, df / n
+        if f >= 3 and fgp > bgp:
+            want.append((t, f, df, (fgp - bgp) * (fgp / bgp)))
+    want.sort(key=lambda e: (-e[3], e[0]))
+    got = s.significant_terms(q, size=10, min_doc_count=3)
+    assert [(t, f, d) for t, f, d, _ in got] == \
+        [(t, f, d) for t, f, d, _ in want[:10]]
+    for (_, _, _, a), (_, _, _, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-12)
+    # the query's own terms should surface as significant
+    assert "w0007" in {t for t, *_ in got}
+
+
 def test_cardinality_agg_matches_bruteforce(index_dir, oracle):
     import pyarrow.parquet as pq
 
