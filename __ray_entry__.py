@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
         "fts_sort_by_nchars_top10": P.fts_sort_by_nchars_top10,  # sort-by-field
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
+        "fts_suggest_term": P.fts_suggest_term,      # term suggester
+        "fts_suggest_completion": P.fts_suggest_completion,  # completion
+        "fts_suggest_phrase": P.fts_suggest_phrase,  # phrase suggester (LM)
         "fts_composite_page2": P.fts_composite_page2,  # composite agg cursor
         "fts_significant_terms": P.fts_significant_terms,  # significant_terms
         "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
@@ -427,6 +430,89 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT count(DISTINCT source) AS n_distinct
 FROM documents JOIN hits USING (doc_id)
+""",
+        # term suggester: normalized-Levenshtein rule replicated exactly
+        # (score = 1 - dist/max(len(token), len(term)); missing-mode inputs
+        # chosen OOV; prefix_length=1, max_edits=2, accuracy=0.5, size=5)
+        "fts_suggest_term": f"""
+WITH {_TOKS_CTE},
+v AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+inp(token) AS (VALUES {",".join(f"('{t}')" for t in P.SUGGEST_TEXT.split())}),
+cand AS (
+  SELECT i.token, v.term, v.df, 1.0 - levenshtein(v.term, i.token)
+           / greatest(length(i.token), length(v.term)) AS score
+  FROM inp i JOIN v ON v.term LIKE substr(i.token, 1, 1) || '%'
+  WHERE levenshtein(v.term, i.token) BETWEEN 1 AND 2
+    AND NOT EXISTS (SELECT 1 FROM v vv WHERE vv.term = i.token)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY token ORDER BY score DESC, df DESC, term) AS rn
+  FROM cand WHERE score >= 0.5
+)
+SELECT token, term AS suggestion, df,
+       CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM ranked WHERE rn <= 5
+""",
+        # completion suggester: prefix completions weighted by df
+        "fts_suggest_completion": f"""
+WITH {_TOKS_CTE},
+v AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, df FROM v WHERE term LIKE '{P.COMPLETE_PREFIX}%'
+ORDER BY df DESC, term LIMIT 10
+""",
+        # phrase suggester: StupidBackoff bigram LM replicated float-op
+        # exact — uni(w) = (cf+0.5)/(total+1), S = bg/cf(a) | 0.4*uni(b),
+        # score = ln(uni(w0)) + ln(S(w1|w0)); candidates per slot = the
+        # original token + term-suggester top-3 (always mode)
+        "fts_suggest_phrase": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+v AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+      FROM ptoks GROUP BY term),
+tot AS (SELECT sum(cf) * 1.0 AS total FROM v),
+big AS (SELECT a.term AS ta, b.term AS tb, count(*) AS c
+        FROM ptoks a JOIN ptoks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+c0 AS (
+  SELECT term, df, 1.0 - levenshtein(term, '{P.PHRASE_SUGGEST_TEXT.split()[0]}')
+           / greatest({len(P.PHRASE_SUGGEST_TEXT.split()[0])}, length(term)) AS score
+  FROM v WHERE term LIKE '{P.PHRASE_SUGGEST_TEXT.split()[0][0]}%'
+    AND levenshtein(term, '{P.PHRASE_SUGGEST_TEXT.split()[0]}') BETWEEN 1 AND 2
+),
+c0top AS (SELECT term FROM c0 WHERE score >= 0.5
+          ORDER BY score DESC, df DESC, term LIMIT 3),
+cand0 AS (SELECT '{P.PHRASE_SUGGEST_TEXT.split()[0]}' AS w
+          UNION ALL SELECT term FROM c0top),
+c1 AS (
+  SELECT term, df, 1.0 - levenshtein(term, '{P.PHRASE_SUGGEST_TEXT.split()[1]}')
+           / greatest({len(P.PHRASE_SUGGEST_TEXT.split()[1])}, length(term)) AS score
+  FROM v WHERE term LIKE '{P.PHRASE_SUGGEST_TEXT.split()[1][0]}%'
+    AND levenshtein(term, '{P.PHRASE_SUGGEST_TEXT.split()[1]}') BETWEEN 1 AND 2
+),
+c1top AS (SELECT term FROM c1 WHERE score >= 0.5
+          ORDER BY score DESC, df DESC, term LIMIT 3),
+cand1 AS (SELECT '{P.PHRASE_SUGGEST_TEXT.split()[1]}' AS w
+          UNION ALL SELECT term FROM c1top),
+ph AS (SELECT c0.w AS w0, c1.w AS w1 FROM cand0 c0 CROSS JOIN cand1 c1
+       WHERE NOT (c0.w = '{P.PHRASE_SUGGEST_TEXT.split()[0]}'
+                  AND c1.w = '{P.PHRASE_SUGGEST_TEXT.split()[1]}')),
+scored AS (
+  SELECT w0 || ' ' || w1 AS phrase,
+    ln((coalesce((SELECT cf FROM v WHERE term = w0), 0) + 0.5) / (total + 1.0))
+    + CASE WHEN coalesce((SELECT c FROM big WHERE ta = w0 AND tb = w1), 0) > 0
+        THEN ln((SELECT c FROM big WHERE ta = w0 AND tb = w1) * 1.0
+                / (SELECT cf FROM v WHERE term = w0))
+        ELSE ln(0.4 * ((coalesce((SELECT cf FROM v WHERE term = w1), 0) + 0.5)
+                       / (total + 1.0)))
+      END AS score
+  FROM ph CROSS JOIN tot
+)
+SELECT phrase, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scored ORDER BY score DESC, phrase LIMIT 3
 """,
         # composite agg: value-asc buckets, after_key == OFFSET here
         # (values are unique and ordered)

@@ -45,6 +45,9 @@ WILDCARD_QUERY = "s?a*"            # glob probe (scan, small, spark at sf*)
 FUZZY_QUERY = "bat"                # fuzzy probe (absent term, 6 matches @2)
 FUZZY_EDITS = 2
 PROBE_TERMS = ("the", "spark", "join", "window", "zz_absent_zz")
+SUGGEST_TEXT = "bacth jion"        # term-suggester probes (both OOV at sf*)
+COMPLETE_PREFIX = "s"              # completion-suggester prefix probe
+PHRASE_SUGGEST_TEXT = "smal jion"  # phrase-suggester probe (2 OOV slots)
 MLT_DOC = 7                        # more_like_this probe document (src id)
 STOPWORDS_SQL = ("the", "a", "to", "ok", "and", "of", "in", "is", "it")
 TS_EPOCH0 = 1_735_689_600          # 2025-01-01T00:00:00Z — synthetic ts base
@@ -584,6 +587,53 @@ def fts_significant_terms(sf_dir: str) -> pa.Table:
             "df": pa.array([d for _, _, d, _ in rows], pa.int64()),
             "score_e6": pa.array(
                 [int(round(sc * 1e6)) for *_, sc in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def fts_suggest_term(sf_dir: str) -> pa.Table:
+    """ES term-suggester analog: spelling corrections for the OOV probe
+    tokens from the index term dictionary (normalized-Levenshtein score,
+    suggest_mode=missing defaults)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.suggest_term(SUGGEST_TEXT)
+    return pa.table(
+        {
+            "token": pa.array([t for t, *_ in rows], pa.string()),
+            "suggestion": pa.array([c for _, c, _, _ in rows], pa.string()),
+            "df": pa.array([d for _, _, d, _ in rows], pa.int64()),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for *_, sc in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def fts_suggest_completion(sf_dir: str) -> pa.Table:
+    """ES completion-suggester analog: top prefix completions by weight
+    (weight = df on this corpus)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.suggest_completion(COMPLETE_PREFIX, size=10)
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in rows], pa.string()),
+            "df": pa.array([d for _, d in rows], pa.int64()),
+        }
+    )
+
+
+def fts_suggest_phrase(sf_dir: str) -> pa.Table:
+    """ES phrase-suggester analog: whole-phrase corrections of the 2-slot
+    OOV probe ranked by the StupidBackoff bigram LM over the positional
+    index (max_errors=2 so both slots may correct)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.suggest_phrase(PHRASE_SUGGEST_TEXT, size=3, max_errors=2)
+    return pa.table(
+        {
+            "phrase": pa.array([p for p, _ in rows], pa.string()),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in rows], pa.int64()
             ),
         }
     )

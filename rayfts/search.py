@@ -238,7 +238,146 @@ class Postings:
         self.occ_off = None   # posting j owns pos[occ_off[j]:occ_off[j+1]]
 
 
-class Searcher:
+class SuggestAPI:
+    """ES _suggest API analogs, shared by Searcher and MultiSearcher.
+
+    The host class provides four primitives: ``_suggest_candidates``
+    (spell-check candidate scan), ``_dict_stats`` (df/cf without posting
+    decode), ``_completion_rows`` (untruncated prefix rows),
+    ``_bigram_count`` (positional adjacent-pair count) and
+    ``_total_tokens``. Sharded (MultiSearcher) overrides of those
+    primitives merge per-segment values — dfs/cfs/bigrams SUM across
+    disjoint doc spaces, distances are string-only — so every suggester
+    is bit-identical to a single global index (pinned by tests)."""
+
+    def suggest_term(self, text: str, size: int = 5,
+                     suggest_mode: str = "missing", max_edits: int = 2,
+                     prefix_length: int = 1, min_word_length: int = 4,
+                     accuracy: float = 0.5) -> list[tuple]:
+        """ES term-suggester analog (the _suggest term suggester backed by
+        Lucene's DirectSpellChecker; the reference indexes into the same
+        ES node that serves _suggest). Per analyzed token (input order,
+        every occurrence): dictionary terms within ``max_edits``, scored
+        with normalized Levenshtein similarity
+        score = 1 - dist/max(len(token), len(term)) (the documented
+        stand-in for Lucene's internal string distance — identical rule
+        on the SQL-oracle side), kept when score >= ``accuracy``, ordered
+        (score desc, df desc, term asc), first ``size`` per token.
+        ``suggest_mode``: 'missing' (default — suggest only for tokens
+        absent from the index), 'popular' (only candidates with df > the
+        token's df), 'always'. Tokens shorter than ``min_word_length``
+        produce no suggestions (the ES knob). Returns flat rows
+        [(token, suggestion, df, score)]."""
+        if suggest_mode not in ("missing", "popular", "always"):
+            raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+        out: list[tuple] = []
+        for tok in tokenize_query(text):
+            if len(tok) < min_word_length:
+                continue
+            df_tok = self._dict_stats(tok)[0]
+            if suggest_mode == "missing" and df_tok > 0:
+                continue
+            terms, dfs, dists = self._suggest_candidates(
+                tok, max_edits, prefix_length
+            )
+            if terms.size == 0:
+                continue
+            lens = np.array([len(t) for t in terms], dtype=np.int64)
+            scores = 1.0 - dists / np.maximum(len(tok), lens)
+            keep = scores >= accuracy
+            if suggest_mode == "popular":
+                keep &= dfs > df_tok
+            rows = sorted(
+                zip(terms[keep].tolist(), dfs[keep].tolist(),
+                    scores[keep].tolist()),
+                key=lambda r: (-r[2], -r[1], r[0]),
+            )[:size]
+            out.extend((tok, str(t), int(d), float(s)) for t, d, s in rows)
+        return out
+
+    def suggest_completion(self, prefix: str, size: int = 5) -> list[tuple]:
+        """ES completion-suggester analog: top ``size`` dictionary terms
+        with ``prefix``, ranked by weight (weight = df — the natural
+        stand-in for the ES doc-supplied weight on this corpus), ties
+        term-asc. Returns [(term, df)]."""
+        rows = self._completion_rows(prefix)
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return [(str(t), int(d)) for t, d in rows[:size]]
+
+    def suggest_phrase(self, text: str, size: int = 3,
+                       max_errors: int = 1, candidates_per_slot: int = 3,
+                       discount: float = 0.4, max_edits: int = 2,
+                       prefix_length: int = 1, min_word_length: int = 4,
+                       accuracy: float = 0.5) -> list[tuple[str, float]]:
+        """ES phrase-suggester analog (NoisyChannelSpellChecker + the
+        default StupidBackoff language model): whole-phrase corrections
+        ranked by a bigram LM over the positional index.
+
+        Per slot the candidates are the original token plus the term
+        suggester's top ``candidates_per_slot`` (suggest_mode='always',
+        so real-word errors correct too); candidate phrases change at
+        most ``max_errors`` slots. Scoring (float op order pinned for the
+        SQL oracle):
+            uni(w)  = (cf(w) + 0.5) / (total_tokens + 1.0)
+            S(b|a)  = bigram(a,b)/cf(a) if bigram > 0 else discount*uni(b)
+            score   = ln(uni(w0)) + sum_i ln(S(w_i|w_{i-1}))
+        total_tokens = sum of all doc lengths; the +0.5/+1 floor keeps
+        OOV input tokens finite (ES reserves vocabulary mass similarly).
+        Returns [(phrase, score)] (score desc, phrase asc), the input
+        phrase itself excluded, first ``size``. Bigram counts are ONE
+        positional posting intersection per distinct adjacent pair —
+        never a corpus scan."""
+        toks = tokenize_query(text)
+        if not toks:
+            return []
+        total = self._total_tokens()
+
+        def uni(t: str) -> float:
+            return (self._dict_stats(t)[1] + 0.5) / (total + 1.0)
+
+        slot_cands: list[list[str]] = []
+        for tok in toks:
+            cands = [tok]
+            for _, s, _, _ in self.suggest_term(
+                tok, size=candidates_per_slot, suggest_mode="always",
+                max_edits=max_edits, prefix_length=prefix_length,
+                min_word_length=min_word_length, accuracy=accuracy,
+            ):
+                if s not in cands:
+                    cands.append(s)
+            slot_cands.append(cands)
+
+        phrases: list[tuple[str, ...]] = []
+
+        def gen(i: int, cur: list, errs: int) -> None:
+            if i == len(toks):
+                phrases.append(tuple(cur))
+                return
+            for c in slot_cands[i]:
+                e = errs + (c != toks[i])
+                if e <= max_errors:
+                    cur.append(c)
+                    gen(i + 1, cur, e)
+                    cur.pop()
+
+        gen(0, [], 0)
+        scored: list[tuple[str, float]] = []
+        orig = " ".join(toks)
+        for ph in phrases:
+            sc = math.log(uni(ph[0]))
+            for a, b in zip(ph, ph[1:]):
+                c = self._bigram_count(a, b)
+                sc += math.log(
+                    c / self._dict_stats(a)[1] if c > 0 else discount * uni(b)
+                )
+            s = " ".join(ph)
+            if s != orig:
+                scored.append((s, sc))
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        return scored[:size]
+
+
+class Searcher(SuggestAPI):
     """Reader over a published index directory (manifest-gated).
 
     Designed as the per-actor state of a query actor pool: construct once
@@ -1226,6 +1365,103 @@ class Searcher:
         exp = self.expand_fuzzy(term, max_edits, prefix_length, max_expansions)
         return self._docs_for_terms([t for t, _ in exp], limit)
 
+    # ------------------------------------------------------------------
+    # suggesters (ES _suggest API analogs) — shared surface in SuggestAPI;
+    # the Searcher-side primitives live here
+    # ------------------------------------------------------------------
+
+    def _total_tokens(self) -> float:
+        return float(self.dl.sum())
+
+    def _term_dict(self):
+        """Cached (terms, dfs, cfs, lens) numpy views of the term
+        dictionary, one tuple per bucket — a column-pruned parquet read
+        (term/df/cf only, never posting bytes). This is the standard
+        memory cost of a spell checker (the Lucene FST analog); buckets
+        are independent, so a multi-node deployment scans them in
+        parallel tasks and each query node caches only its share."""
+        import os
+
+        cached = getattr(self, "_term_dict_cache", None)
+        if cached is not None:
+            return cached
+        out = []
+        for b in range(self.num_buckets):
+            path = os.path.join(self._postings_dir, f"bucket-{b:04d}.parquet")
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path, columns=["term", "df", "cf"])
+            terms = t["term"].combine_chunks()
+            out.append((
+                # unicode dtype once at load (np.char kernels need it)
+                terms.to_numpy(zero_copy_only=False).astype(str),
+                t["df"].to_numpy(zero_copy_only=False),
+                t["cf"].to_numpy(zero_copy_only=False),
+                pc.utf8_length(terms).to_numpy(zero_copy_only=False),
+            ))
+        self._term_dict_cache = out
+        return out
+
+    def _dict_stats(self, term: str) -> tuple[int, int]:
+        """(df, cf) from the bucket dictionary WITHOUT decoding postings —
+        the cheap lookup suggesters and language models need."""
+        row = self._load_bucket(term_bucket_py(term, self.num_buckets)).get(term)
+        return (0, 0) if row is None else (int(row["df"]), int(row["cf"]))
+
+    def _suggest_candidates(self, tok: str, max_edits: int,
+                            prefix_length: int):
+        """Vectorized spell-check candidate scan: dictionary terms within
+        ``max_edits`` of ``tok`` (distance >= 1 — never the token itself),
+        length-band + prefix pruned per bucket, ONE banded-DP
+        levenshtein_vec call per bucket slice. Returns parallel numpy
+        arrays (terms, dfs, dists)."""
+        m = len(tok)
+        pre = tok[:prefix_length] if prefix_length > 0 else ""
+        ts, ds, es = [], [], []
+        for terms, dfs, _, lens in self._term_dict():
+            band = (lens >= m - max_edits) & (lens <= m + max_edits)
+            band_idx = np.flatnonzero(band)
+            if pre and band_idx.size:
+                band_idx = band_idx[np.char.startswith(terms[band_idx], pre)]
+            if band_idx.size == 0:
+                continue
+            cand = terms[band_idx]
+            dist = levenshtein_vec(tok, cand)
+            keep = (dist <= max_edits) & (dist >= 1)
+            ts.append(cand[keep])
+            ds.append(dfs[band_idx][keep])
+            es.append(dist[keep])
+        if not ts:
+            z = np.empty(0)
+            return z.astype(str), z.astype(np.int64), z.astype(np.int64)
+        return np.concatenate(ts), np.concatenate(ds), np.concatenate(es)
+
+    def _completion_rows(self, prefix: str) -> list[tuple]:
+        """UNTRUNCATED (term, df) rows with ``prefix`` — one vectorized
+        prefix scan over the cached term dictionary (the FST analog).
+        Untruncated so the sharded merge can sum dfs losslessly, exactly
+        like facet_counts' untruncated histograms."""
+        rows: list[tuple] = []
+        for terms, dfs, _, _ in self._term_dict():
+            pm = np.char.startswith(terms, prefix)
+            rows.extend(zip(terms[pm].tolist(), dfs[pm].tolist()))
+        return rows
+
+    def _bigram_count(self, a: str, b: str) -> int:
+        """Corpus count of the adjacent bigram ``a b`` from the positional
+        sidecar (one _phrase_freqs intersection, cached per pair)."""
+        cache = getattr(self, "_bigram_cache", None)
+        if cache is None:
+            cache = self._bigram_cache = {}
+        key = (a, b)
+        if key not in cache:
+            if self._dict_stats(a)[0] == 0 or self._dict_stats(b)[0] == 0:
+                cache[key] = 0
+            else:
+                _, pf, _ = self._phrase_freqs([a, b])
+                cache[key] = int(pf.sum())
+        return cache[key]
+
     def _msm_mask(self, plist, m: int) -> np.ndarray:
         """ES minimum_should_match analog: dense mask of docs containing
         at least ``m`` DISTINCT query terms (live postings only). One
@@ -1931,7 +2167,7 @@ def run_queries(
     )
 
 
-class MultiSearcher:
+class MultiSearcher(SuggestAPI):
     """Segment-sharded search — the multi-node query architecture.
 
     At 10^12 turns one index is built per doc-range shard (segment); a
@@ -2285,6 +2521,52 @@ class MultiSearcher:
                 best[t] = d
         ranked = sorted(best.items(), key=lambda e: (e[1], e[0]))
         return ranked[:max_expansions]
+
+    # --- sharded suggester primitives (SuggestAPI consumes these) ---
+
+    def _total_tokens(self) -> float:
+        return float(sum(s.manifest["total_dl"] for s in self.segments))
+
+    def _dict_stats(self, term: str) -> tuple[int, int]:
+        """Global (df, cf): per-segment values SUM — disjoint doc spaces,
+        exactly Lucene's cross-segment term statistics."""
+        df = cf = 0
+        for seg in self.segments:
+            d, c = seg._dict_stats(term)
+            df += d
+            cf += c
+        return df, cf
+
+    def _suggest_candidates(self, tok: str, max_edits: int,
+                            prefix_length: int):
+        """Global candidate scan: per-segment scans are UNTRUNCATED, so
+        merging (df summed; distance identical — string-only) is exact."""
+        agg: dict[str, list] = {}
+        for seg in self.segments:
+            ts, ds, es = seg._suggest_candidates(tok, max_edits, prefix_length)
+            for t, d, e in zip(ts.tolist(), ds.tolist(), es.tolist()):
+                cur = agg.get(t)
+                if cur is None:
+                    agg[t] = [d, e]
+                else:
+                    cur[0] += d
+        if not agg:
+            z = np.empty(0)
+            return z.astype(str), z.astype(np.int64), z.astype(np.int64)
+        terms = np.array(sorted(agg), dtype=object)
+        dfs = np.array([agg[t][0] for t in terms], dtype=np.int64)
+        dists = np.array([agg[t][1] for t in terms], dtype=np.int64)
+        return terms, dfs, dists
+
+    def _completion_rows(self, prefix: str) -> list[tuple]:
+        agg: dict[str, int] = {}
+        for seg in self.segments:
+            for t, d in seg._completion_rows(prefix):
+                agg[t] = agg.get(t, 0) + int(d)
+        return list(agg.items())
+
+    def _bigram_count(self, a: str, b: str) -> int:
+        return sum(seg._bigram_count(a, b) for seg in self.segments)
 
     def fuzzy_docs(self, term: str, max_edits: int = 1, limit: int = 20,
                    prefix_length: int = 0,
@@ -2742,9 +3024,12 @@ class SharedSearcher(Searcher):
         self._handle = handle
         import os as _os
 
-        # docstore path for filter_mask / multiget (file-side; the hot
-        # postings stay zero-copy shared)
+        # docstore + term-dictionary paths for filter_mask / multiget /
+        # suggesters (file-side, column-pruned — like the docstore, these
+        # aren't the zero-copy hot scoring path)
         self._docstore_dir = _os.path.join(handle.index_dir, "docstore")
+        self._postings_dir = _os.path.join(handle.index_dir, "postings")
+        self._buckets: dict[int, dict[str, dict]] = {}
         self._shared_buckets: dict[int, dict] = {}
         self._cache: dict[str, Postings | None] = {}
         self._result_cache: dict[tuple, list] = {}
