@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
         "fts_sort_by_nchars_top10": P.fts_sort_by_nchars_top10,  # sort-by-field
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
+        "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_suggest_term": P.fts_suggest_term,      # term suggester
         "fts_suggest_completion": P.fts_suggest_completion,  # completion
         "fts_suggest_phrase": P.fts_suggest_phrase,  # phrase suggester (LM)
@@ -259,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_rescore_top10": P.fts_rescore_top10,    # rescore window API
         "fts_synonym_top10": P.fts_synonym_top10,    # SynonymQuery expansion
         "fts_multi_match_top10": P.fts_multi_match_top10,  # most_fields
+        "fts_dis_max_top10": P.fts_dis_max_top10,    # best_fields / dis_max
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
@@ -430,6 +432,19 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT count(DISTINCT source) AS n_distinct
 FROM documents JOIN hits USING (doc_id)
+""",
+        # field collapsing: best hit per source (row_number twin of the
+        # engine's per-group lexsort argmax), groups ranked by best hit
+        "fts_collapse_by_source": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+grp AS (
+  SELECT s2.doc_id, s2.score, d2.source,
+         row_number() OVER (PARTITION BY d2.source
+                            ORDER BY s2.score DESC, s2.doc_id) AS rn
+  FROM scores s2 JOIN documents d2 USING (doc_id)
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6, source
+FROM grp WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 10
 """,
         # term suggester: normalized-Levenshtein rule replicated exactly
         # (score = 1 - dist/max(len(token), len(term)); missing-mode inputs
@@ -607,6 +622,59 @@ contribs AS (
 ),
 scores AS (SELECT doc_id, sum(c ORDER BY fld, term) AS score
            FROM contribs GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # best_fields / dis_max: same per-field contribs, combined as
+        # greatest + tie_breaker * rest (engine op order: per-field sums
+        # terms-asc, total summed fields-asc = ss + ts)
+        "fts_dis_max_top10": f"""
+WITH ttoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}'))
+               AS term FROM documents),
+tdl AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN ttoks t USING (doc_id) GROUP BY d.doc_id),
+stoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(source), '{_TOK}'))
+          AS term FROM documents),
+sdl AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN stoks t USING (doc_id) GROUP BY d.doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM tdl) * 1.0 / (SELECT count(*) FROM documents) AS t_avgdl,
+              (SELECT sum(dl) FROM sdl) * 1.0 / (SELECT count(*) FROM documents) AS s_avgdl),
+qt(term) AS (VALUES {",".join(f"('{t}')" for t in sorted(set(P.MULTI_QUERY.split())))}),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+stf AS (SELECT doc_id, term, count(*) AS tf FROM stoks
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+tsc AS (
+  SELECT ttf.doc_id, sum(
+         ({P.MULTI_BOOSTS["text"]!r} * ln(1 + (st.n - tdf.df + 0.5) / (tdf.df + 0.5)))
+           * (ttf.tf * (1.2 + 1.0)
+              / (ttf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / st.t_avgdl)))
+         ORDER BY ttf.term) AS s
+  FROM ttf JOIN tdf USING (term) JOIN tdl USING (doc_id) CROSS JOIN st
+  GROUP BY ttf.doc_id
+),
+ssc AS (
+  SELECT stf.doc_id, sum(
+         ({P.MULTI_BOOSTS["source"]!r} * ln(1 + (st.n - sdf.df + 0.5) / (sdf.df + 0.5)))
+           * (stf.tf * (1.2 + 1.0)
+              / (stf.tf + 1.2 * (1.0 - 0.75 + 0.75 * sdl.dl / st.s_avgdl)))
+         ORDER BY stf.term) AS s
+  FROM stf JOIN sdf USING (term) JOIN sdl USING (doc_id) CROSS JOIN st
+  GROUP BY stf.doc_id
+),
+allsc AS (
+  SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+         coalesce(t.s, 0.0) AS ts, coalesce(s.s, 0.0) AS ss
+  FROM tsc t FULL OUTER JOIN ssc s ON t.doc_id = s.doc_id
+),
+scores AS (
+  SELECT doc_id,
+         greatest(ts, ss) + 0.3 * ((ss + ts) - greatest(ts, ss)) AS score
+  FROM allsc
+)
 SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
 FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """,

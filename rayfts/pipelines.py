@@ -592,6 +592,22 @@ def fts_significant_terms(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_collapse_by_source(sf_dir: str) -> pa.Table:
+    """ES field-collapsing analog: top-10 BM25 hits with each `source`
+    value contributing only its single best hit."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.search_collapse(BM25_QUERY, "source", k=10)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in rows], pa.int64()),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc, _ in rows], pa.int64()
+            ),
+            "source": pa.array([v for _, _, v in rows], pa.string()),
+        }
+    )
+
+
 def fts_suggest_term(sf_dir: str) -> pa.Table:
     """ES term-suggester analog: spelling corrections for the OOV probe
     tokens from the index term dictionary (normalized-Levenshtein score,
@@ -695,6 +711,36 @@ def fts_multi_match_top10(sf_dir: str) -> pa.Table:
         }
     )
     hits = mf.search(MULTI_QUERY, k=10)
+    dense_to_src = _dense_to_src(text_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
+def fts_dis_max_top10(sf_dir: str) -> pa.Table:
+    """ES multi_match type=best_fields (Lucene DisjunctionMaxQuery,
+    tie_breaker=0.3): per-field BM25 with each field's own statistics,
+    doc score = best field + 0.3 * the others."""
+    from .search import MultiFieldSearcher
+
+    text_dir = documents_index(sf_dir)
+    src_dir = documents_source_index(sf_dir)
+    mf = MultiFieldSearcher(
+        {
+            "text": (Searcher(text_dir), MULTI_BOOSTS["text"]),
+            "source": (Searcher(src_dir), MULTI_BOOSTS["source"]),
+        }
+    )
+    hits = mf.search(
+        MULTI_QUERY, k=10, match_type="best_fields", tie_breaker=0.3
+    )
     dense_to_src = _dense_to_src(text_dir)
     return pa.table(
         {

@@ -656,6 +656,52 @@ class Searcher(SuggestAPI):
             )
         return out
 
+    def _collapse_groups(self, query: str, field: str,
+                         where: dict | None = None, mode: str = "or",
+                         must_not: str | None = None) -> list[tuple]:
+        """UNTRUNCATED per-group best hits: one row per distinct value of
+        ``field`` in the hit set — [(value, doc_id, score)], the single
+        best hit per group (score desc, doc_id asc within the group).
+        Missing field (-1 code) forms ONE null group, the ES collapse
+        semantics. Scores accumulate in the search() TAAT op order
+        (bit-identical); group argmax is one lexsort + unique — no
+        per-group scan. Untruncated so the sharded merge is exact,
+        like facet_counts' histograms."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return []
+        codes, values = self._field_codes(field)
+        buf = np.zeros(self.N, dtype=np.float64)
+        for term, qn, p in self._plist(query):
+            w = self._term_weight(qn, p.df)
+            buf[p.doc_ids] += w * p.tf_part
+        scores = buf[idx]
+        grp = codes[idx]
+        order = np.lexsort((idx, -scores))
+        _, first = np.unique(grp[order], return_index=True)
+        best = order[first]
+        return [
+            (values[int(grp[i])] if grp[i] >= 0 else None,
+             int(idx[i]), float(scores[i]))
+            for i in best
+        ]
+
+    def search_collapse(self, query: str, field: str, k: int = 10,
+                        where: dict | None = None, mode: str = "or",
+                        must_not: str | None = None) -> list[tuple]:
+        """ES field-collapsing analog (the `collapse` search-body option):
+        top-``k`` hits where each distinct value of keyword column
+        ``field`` contributes only its single best hit; groups rank by
+        that best hit (score desc, doc_id asc). Docs missing the field
+        collapse into one null group (value None). Returns
+        [(doc_id, score, value)]."""
+        groups = self._collapse_groups(query, field, where, mode, must_not)
+        groups.sort(key=lambda g: (-g[2], g[1]))
+        return [(d, s, v) for v, d, s in groups[:k]]
+
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",
                         must_not: str | None = None) -> int:
@@ -2059,28 +2105,67 @@ class MultiFieldSearcher:
         self.N = ns.pop()
 
     def search(self, query: str, k: int = 10,
-               where: dict | None = None, must_not: str | None = None):
-        """Top-k [(doc_id, score)] under most_fields summation. ``where``
-        / ``must_not`` evaluate against the FIRST field's docstore (all
-        fields share one doc space, so any index's docstore serves)."""
+               where: dict | None = None, must_not: str | None = None,
+               match_type: str = "most_fields", tie_breaker: float = 0.0):
+        """Top-k [(doc_id, score)].
+
+        ``match_type="most_fields"`` (default): score = sum over fields
+        of boost_f * BM25_f — one dense accumulation in (field, term)
+        order, the op sequence the SQL oracle mirrors.
+
+        ``match_type="best_fields"``: the ES default multi_match type —
+        Lucene DisjunctionMaxQuery. score = max over fields of the
+        per-field score + tie_breaker * (sum of the OTHER fields), i.e.
+        m + tie_breaker * (total - m) with per-field scores accumulated
+        terms-ascending and total summed fields-ascending (op order
+        pinned for the oracle). tie_breaker=0 is pure dis_max.
+
+        ``where`` / ``must_not`` evaluate against the FIRST field's
+        docstore (all fields share one doc space)."""
         if k <= 0:
             return []
-        buf = np.zeros(self.N, dtype=np.float64)
+        if match_type not in ("most_fields", "best_fields"):
+            raise ValueError(f"unknown match_type {match_type!r}")
         hit = np.zeros(self.N, dtype=bool)
-        for name in sorted(self.fields):
-            s, boost = self.fields[name]
-            for term, qn, p in s._plist(query):
-                w = boost * s._term_weight(qn, p.df)
-                ids = (
-                    p.doc_ids if p.live_mask is None
-                    else p.doc_ids[p.live_mask]
-                )
-                tfp = (
-                    p.tf_part if p.live_mask is None
-                    else p.tf_part[p.live_mask]
-                )
-                buf[ids] += w * tfp
-                hit[ids] = True
+        if match_type == "most_fields":
+            buf = np.zeros(self.N, dtype=np.float64)
+            for name in sorted(self.fields):
+                s, boost = self.fields[name]
+                for term, qn, p in s._plist(query):
+                    w = boost * s._term_weight(qn, p.df)
+                    ids = (
+                        p.doc_ids if p.live_mask is None
+                        else p.doc_ids[p.live_mask]
+                    )
+                    tfp = (
+                        p.tf_part if p.live_mask is None
+                        else p.tf_part[p.live_mask]
+                    )
+                    buf[ids] += w * tfp
+                    hit[ids] = True
+        else:
+            mx = tot = None
+            for name in sorted(self.fields):
+                s, boost = self.fields[name]
+                fb = np.zeros(self.N, dtype=np.float64)
+                for term, qn, p in s._plist(query):
+                    w = boost * s._term_weight(qn, p.df)
+                    ids = (
+                        p.doc_ids if p.live_mask is None
+                        else p.doc_ids[p.live_mask]
+                    )
+                    tfp = (
+                        p.tf_part if p.live_mask is None
+                        else p.tf_part[p.live_mask]
+                    )
+                    fb[ids] += w * tfp
+                    hit[ids] = True
+                if mx is None:
+                    mx, tot = fb, fb.copy()
+                else:
+                    np.maximum(mx, fb, out=mx)
+                    tot += fb
+            buf = mx + tie_breaker * (tot - mx)
         idx = np.flatnonzero(hit)
         first = self.fields[sorted(self.fields)[0]][0]
         if first.excluded.size:
@@ -2678,6 +2763,57 @@ class MultiSearcher(SuggestAPI):
             )
             for v, c in ranked
         ]
+
+    def search_collapse(self, query: str, field: str, k: int = 10,
+                        where: dict | None = None, mode: str = "or",
+                        must_not: str | None = None) -> list[tuple]:
+        """Sharded field collapsing, EXACT vs a single global index: a
+        group (field value) may span segments, so every segment returns
+        its UNTRUNCATED per-group best scored with GLOBAL-df weights (the
+        sharded-TAAT op sequence — scores bit-identical to the single
+        index) and the driver keeps each value's global best, then ranks
+        groups. Payload ∝ distinct values per segment, never the hit
+        set."""
+        qtf = self._qweights(query)
+        terms = sorted(qtf)
+        weights = {}
+        for term in terms:
+            df_g = sum(
+                p.df for seg in self.segments
+                if (p := seg.lookup(term)) is not None
+            )
+            if df_g:
+                weights[term] = qtf[term] * self.idf(df_g)
+        best: dict = {}
+        for si, seg in enumerate(self.segments):
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                continue
+            idx = np.flatnonzero(hits)
+            if idx.size == 0:
+                continue
+            buf = np.zeros(seg.N, dtype=np.float64)
+            for term in terms:
+                p = seg.lookup(term)
+                if p is not None and term in weights:
+                    buf[p.doc_ids] += weights[term] * self._tf_part(
+                        si, term, p
+                    )
+            codes, values = seg._field_codes(field)
+            scores = buf[idx]
+            grp = codes[idx]
+            order = np.lexsort((idx, -scores))
+            _, first = np.unique(grp[order], return_index=True)
+            off = int(self.offsets[si])
+            for i in order[first]:
+                v = values[int(grp[i])] if grp[i] >= 0 else None
+                cand = (float(scores[i]), int(idx[i]) + off)
+                cur = best.get(v)
+                if cur is None or (-cand[0], cand[1]) < (-cur[0], cur[1]):
+                    best[v] = cand
+        rows = [(d, s, v) for v, (s, d) in best.items()]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
 
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",

@@ -918,6 +918,34 @@ def test_histogram_agg_matches_bruteforce(index_dir, oracle):
         s.histogram_agg(q, "turn_idx", 0)
 
 
+def test_search_collapse_matches_bruteforce(index_dir, oracle):
+    """Field collapsing == full ranking reduced to best-hit-per-group."""
+    import pyarrow.dataset as pads
+
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    t = pads.dataset(os.path.join(index_dir, "docstore")).to_table(
+        columns=["doc_id", "role"]
+    )
+    role = dict(zip(t["doc_id"].to_pylist(), t["role"].to_pylist()))
+    for q in ["the w0007 bash", "zzzz_absent", "w0003"]:
+        full = idx.search(q, k=idx.N)
+        best: dict = {}
+        for d, sc in full:  # already (score desc, doc asc)
+            v = role.get(d)
+            if v not in best:
+                best[v] = (d, sc)
+        want = sorted(best.values(), key=lambda h: (-h[1], h[0]))[:10]
+        got = s.search_collapse(q, "role", k=10)
+        assert [(d, v) for d, _, v in got] == \
+            [(d, role[d]) for d, _ in want], q
+        for (gd, gs, _), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), (q, gd)
+    # each group value appears at most once
+    vals = [v for _, _, v in s.search_collapse("the a", "role", k=50)]
+    assert len(vals) == len(set(vals))
+
+
 def test_composite_agg_paginates_all_buckets(index_dir, oracle):
     """Walking the composite cursor reproduces the full value-asc facet
     histogram in bounded pages, no overlap, no gaps."""
@@ -1071,6 +1099,23 @@ def test_multi_match_most_fields(corpus, index_dir, oracle, tmp_path_factory):
         assert x == pytest.approx(y, abs=1e-9)
     with pytest.raises(ValueError):
         MultiFieldSearcher({})
+    # best_fields / dis_max: max + tie_breaker * rest, per-field stats
+    for tb in (0.0, 0.3):
+        combined = {
+            doc: max(1.0 * a.get(doc, 0.0), 2.0 * b.get(doc, 0.0))
+            + tb * (
+                (2.0 * b.get(doc, 0.0) + 1.0 * a.get(doc, 0.0))
+                - max(1.0 * a.get(doc, 0.0), 2.0 * b.get(doc, 0.0))
+            )
+            for doc in set(a) | set(b)
+        }
+        want = sorted(combined.items(), key=lambda h: (-h[1], h[0]))[:10]
+        got = mf.search(q, k=10, match_type="best_fields", tie_breaker=tb)
+        assert [x for x, _ in got] == [x for x, _ in want], tb
+        for (_, x), (_, y) in zip(got, want):
+            assert x == pytest.approx(y, abs=1e-9)
+    with pytest.raises(ValueError):
+        mf.search(q, match_type="cross_fields")
 
 
 def test_synonym_search_matches_bruteforce(index_dir, oracle):

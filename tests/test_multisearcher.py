@@ -67,6 +67,21 @@ def test_sharded_facets_equal_global(indexes):
     ) == single.facet_counts("the", "tool", where={"role": "tool"}, size=50)
 
 
+def test_sharded_collapse_equals_global(indexes):
+    """Groups span segments; the per-segment untruncated best-merge must
+    equal the single-index collapse bit-for-bit."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in REFERENCE_QUERIES + ["the a to ok"]:
+        for field in ("role", "tool"):
+            s_rows = single.search_collapse(q, field, k=20)
+            m_rows = multi.search_collapse(q, field, k=20)
+            assert [(d, v) for d, _, v in m_rows] == \
+                [(d, v) for d, _, v in s_rows], (q, field)
+            for (_, a, _), (_, b, _) in zip(m_rows, s_rows):
+                assert abs(a - b) < 1e-12, (q, field)
+
+
 def test_sharded_multiget_routing(indexes):
     single = Searcher(indexes["full"])
     multi = MultiSearcher([indexes["a"], indexes["b"]])
