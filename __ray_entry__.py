@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_sort_by_nchars_top10": P.fts_sort_by_nchars_top10,  # sort-by-field
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
+        "fts_range_nchars": P.fts_range_nchars,      # range aggregation
+        "fts_filters_agg": P.fts_filters_agg,        # filters aggregation
         "fts_suggest_term": P.fts_suggest_term,      # term suggester
         "fts_suggest_completion": P.fts_suggest_completion,  # completion
         "fts_suggest_phrase": P.fts_suggest_phrase,  # phrase suggester (LM)
@@ -432,6 +434,36 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT count(DISTINCT source) AS n_distinct
 FROM documents JOIN hits USING (doc_id)
+""",
+        # range agg: independent from-inclusive/to-exclusive buckets
+        "fts_range_nchars": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+h AS (SELECT n_chars, lang, source FROM documents JOIN hits USING (doc_id))
+SELECT * FROM (VALUES
+{",".join(
+    "  ('" + ("*" if f is None else str(f)) + "-" + ("*" if t is None else str(t))
+    + "', (SELECT count(*) FROM h WHERE 1=1"
+    + (f" AND n_chars >= {f}" if f is not None else "")
+    + (f" AND n_chars < {t}" if t is not None else "") + "))"
+    for f, t in P.RANGE_BUCKETS
+)}
+) t(bucket, n_docs)
+""",
+        # filters agg: named keyword-filter buckets over the hit set
+        "fts_filters_agg": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+h AS (SELECT lang, source FROM documents JOIN hits USING (doc_id))
+SELECT * FROM (VALUES
+{",".join(
+    "  ('" + name + "', (SELECT count(*) FROM h WHERE "
+    + " AND ".join(f"{col} = '{val}'" for col, val in flt.items()) + "))"
+    for name, flt in P.FILTER_BUCKETS
+)}
+) t(name, n_docs)
 """,
         # field collapsing: best hit per source (row_number twin of the
         # engine's per-group lexsort argmax), groups ranked by best hit

@@ -592,6 +592,39 @@ def fts_significant_terms(sf_dir: str) -> pa.Table:
     )
 
 
+RANGE_BUCKETS = ((None, 150), (150, 300), (300, None), (100, 400))
+FILTER_BUCKETS = (
+    ("english", {"lang": "en"}),
+    ("de_src7", {"lang": "de", "source": "src7"}),
+)
+
+
+def fts_range_nchars(sf_dir: str) -> pa.Table:
+    """ES range-aggregation analog: independent (possibly overlapping)
+    n_chars buckets counted over the full BM25_QUERY hit set."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.range_agg(BM25_QUERY, "n_chars", list(RANGE_BUCKETS))
+    return pa.table(
+        {
+            "bucket": pa.array([k for k, _ in rows], pa.string()),
+            "n_docs": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
+def fts_filters_agg(sf_dir: str) -> pa.Table:
+    """ES filters-aggregation analog: named keyword-filter buckets
+    counted over the full BM25_QUERY hit set."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.filters_agg(BM25_QUERY, dict(FILTER_BUCKETS))
+    return pa.table(
+        {
+            "name": pa.array([n for n, _ in rows], pa.string()),
+            "n_docs": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
 def fts_collapse_by_source(sf_dir: str) -> pa.Table:
     """ES field-collapsing analog: top-10 BM25 hits with each `source`
     value contributing only its single best hit."""

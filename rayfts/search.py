@@ -136,6 +136,11 @@ def _wildcard_to_regex(pattern: str) -> str:
     return "".join(parts)
 
 
+def _range_agg_key(f, t) -> str:
+    """ES range-agg bucket key: "from-to" with '*' for an open end."""
+    return f"{'*' if f is None else f}-{'*' if t is None else t}"
+
+
 def _where_key(where: dict) -> tuple:
     """Hashable cache key for a ``where`` spec (scalar equality, None for
     is-null, or an ES-style range dict {gte/gt/lte/lt: bound})."""
@@ -859,6 +864,59 @@ class Searcher(SuggestAPI):
         keys = np.floor(sel / interval) * interval
         uniq, cnt = np.unique(keys, return_counts=True)
         return [(float(u), int(c)) for u, c in zip(uniq, cnt)]
+
+    def range_agg(self, query: str, field: str, ranges: list,
+                  where: dict | None = None, mode: str = "or",
+                  must_not: str | None = None) -> list[tuple]:
+        """ES range-aggregation analog over ALL query hits: each
+        (from_, to) bucket counts hits with from_ <= value < to (None =
+        unbounded, the ES from-inclusive / to-exclusive rule). Buckets
+        are INDEPENDENT — they may overlap or leave gaps, exactly as ES
+        evaluates each range on its own. Nulls are excluded. Returns
+        [(key, count)] in input order, key = the ES "from-to" string
+        with '*' for an open end."""
+        keys = [_range_agg_key(f, t) for f, t in ranges]
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return [(k, 0) for k in keys]
+        vals, valid = self._numeric_col(field)
+        v = vals[hits & valid]
+        out = []
+        for (f, t), key in zip(ranges, keys):
+            m = np.ones(v.size, dtype=bool)
+            if f is not None:
+                m &= v >= f
+            if t is not None:
+                m &= v < t
+            out.append((key, int(m.sum())))
+        return out
+
+    def filters_agg(self, query: str, filters: dict,
+                    where: dict | None = None, mode: str = "or",
+                    must_not: str | None = None) -> list[tuple]:
+        """ES filters-aggregation analog: named filter buckets (keyword /
+        range where-dicts, the filter_mask surface) counted over the SAME
+        query hit set; buckets independent, overlap fine. Returns
+        [(name, count)] in input order."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        out = []
+        for name, flt in filters.items():
+            if hits is None:
+                out.append((name, 0))
+                continue
+            out.append((name, int((hits & self.filter_mask(**flt)).sum())))
+        return out
+
+    def missing_agg(self, query: str, field: str,
+                    where: dict | None = None, mode: str = "or",
+                    must_not: str | None = None) -> int:
+        """ES missing-aggregation analog: count of query hits whose
+        keyword ``field`` is null."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return 0
+        codes, _ = self._field_codes(field)
+        return int((hits & (codes < 0)).sum())
 
     # numpy datetime64 truncation units per ES calendar_interval
     _CALENDAR_UNITS = {
@@ -2863,6 +2921,39 @@ class MultiSearcher(SuggestAPI):
             ):
                 total[key] = total.get(key, 0) + c
         return sorted(total.items())
+
+    def range_agg(self, query: str, field: str, ranges: list,
+                  where: dict | None = None, mode: str = "or",
+                  must_not: str | None = None) -> list[tuple]:
+        """Sharded range agg: identical bucket definitions everywhere, so
+        per-segment counts sum positionally — exact."""
+        segs = [
+            seg.range_agg(query, field, ranges, where, mode, must_not)
+            for seg in self.segments
+        ]
+        return [
+            (rows[0][0], sum(r[1] for r in rows)) for rows in zip(*segs)
+        ]
+
+    def filters_agg(self, query: str, filters: dict,
+                    where: dict | None = None, mode: str = "or",
+                    must_not: str | None = None) -> list[tuple]:
+        """Sharded filters agg: named buckets sum across segments."""
+        segs = [
+            seg.filters_agg(query, filters, where, mode, must_not)
+            for seg in self.segments
+        ]
+        return [
+            (rows[0][0], sum(r[1] for r in rows)) for rows in zip(*segs)
+        ]
+
+    def missing_agg(self, query: str, field: str,
+                    where: dict | None = None, mode: str = "or",
+                    must_not: str | None = None) -> int:
+        return sum(
+            seg.missing_agg(query, field, where, mode, must_not)
+            for seg in self.segments
+        )
 
     def search_by_field(self, query: str, field: str, order: str = "desc",
                         k: int = 10, where: dict | None = None,

@@ -918,6 +918,44 @@ def test_histogram_agg_matches_bruteforce(index_dir, oracle):
         s.histogram_agg(q, "turn_idx", 0)
 
 
+def test_range_filters_missing_aggs_match_bruteforce(index_dir, oracle):
+    import pyarrow.dataset as pads
+
+    idx, t = oracle
+    s = Searcher(index_dir)
+    q = "the w0007"
+    hits = _brute_hits(index_dir, oracle, q)
+    dls = {d: idx.dl[d] for d in hits}
+    # range agg over the dl-like numeric column: use turn_idx
+    tvals = dict(enumerate(t["turn_idx"].to_pylist()))
+    ranges = [(None, 2), (2, 5), (5, None), (1, 4)]
+    got = s.range_agg(q, "turn_idx", ranges)
+    for (f, to), (key, c) in zip(ranges, got):
+        want = sum(
+            1 for d in hits
+            if (f is None or tvals[d] >= f) and (to is None or tvals[d] < to)
+        )
+        assert c == want, key
+    assert got[0][0] == "*-2" and got[2][0] == "5-*"
+    assert s.range_agg("zzzz_absent", "turn_idx", ranges) == [
+        ("*-2", 0), ("2-5", 0), ("5-*", 0), ("1-4", 0)
+    ]
+    # filters agg: named role buckets
+    roles = dict(enumerate(t["role"].to_pylist()))
+    flt = {"users": {"role": "user"}, "tools": {"role": "tool"}}
+    got = s.filters_agg(q, flt)
+    assert got == [
+        ("users", sum(1 for d in hits if roles[d] == "user")),
+        ("tools", sum(1 for d in hits if roles[d] == "tool")),
+    ]
+    # missing agg: tool column is null off tool turns
+    tools = dict(enumerate(t["tool"].to_pylist()))
+    assert s.missing_agg(q, "tool") == sum(
+        1 for d in hits if tools[d] is None
+    )
+    assert s.missing_agg("zzzz_absent", "tool") == 0
+
+
 def test_search_collapse_matches_bruteforce(index_dir, oracle):
     """Field collapsing == full ranking reduced to best-hit-per-group."""
     import pyarrow.dataset as pads

@@ -82,6 +82,18 @@ def test_sharded_collapse_equals_global(indexes):
                 assert abs(a - b) < 1e-12, (q, field)
 
 
+def test_sharded_range_filters_missing_equal_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    q = "the w0007"
+    ranges = [(None, 2), (2, 5), (5, None)]
+    assert multi.range_agg(q, "turn_idx", ranges) == \
+        single.range_agg(q, "turn_idx", ranges)
+    flt = {"users": {"role": "user"}, "tools": {"role": "tool"}}
+    assert multi.filters_agg(q, flt) == single.filters_agg(q, flt)
+    assert multi.missing_agg(q, "tool") == single.missing_agg(q, "tool")
+
+
 def test_sharded_multiget_routing(indexes):
     single = Searcher(indexes["full"])
     multi = MultiSearcher([indexes["a"], indexes["b"]])
