@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_sort_by_nchars_top10": P.fts_sort_by_nchars_top10,  # sort-by-field
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
+        "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
         "fts_range_nchars": P.fts_range_nchars,      # range aggregation
         "fts_filters_agg": P.fts_filters_agg,        # filters aggregation
         "fts_suggest_term": P.fts_suggest_term,      # term suggester
@@ -434,6 +435,46 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT count(DISTINCT source) AS n_distinct
 FROM documents JOIN hits USING (doc_id)
+""",
+        # match_phrase_prefix: last slot expanded (sorted-first, max 50),
+        # pf sums disjoint member alignments, W = fixed idfs + blended
+        # idf (df = max over expansion members) in engine op order
+        "fts_phrase_prefix_top10": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+dl AS (SELECT doc_id, len(l) AS dl FROM lists),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT sum(dl) FROM dl) * 1.0
+                   / (SELECT count(*) FROM documents) AS avgdl),
+exp AS (SELECT DISTINCT term FROM ptoks
+        WHERE term LIKE '{P.PHRASE_PREFIX_QUERY.split()[-1]}%'
+        ORDER BY term LIMIT 50),
+dfb AS (SELECT max(df) AS v FROM (
+  SELECT count(DISTINCT doc_id) AS df FROM ptoks
+  WHERE term IN (SELECT term FROM exp) GROUP BY term)),
+f0 AS (SELECT count(DISTINCT doc_id) AS df FROM ptoks
+       WHERE term = '{P.PHRASE_PREFIX_QUERY.split()[0]}'),
+p0 AS (SELECT doc_id, pos FROM ptoks
+       WHERE term = '{P.PHRASE_PREFIX_QUERY.split()[0]}'),
+pl AS (SELECT doc_id, pos FROM ptoks
+       WHERE term IN (SELECT term FROM exp)),
+matches AS (SELECT p0.doc_id, count(*) AS pf
+            FROM p0 JOIN pl ON pl.doc_id = p0.doc_id
+                           AND pl.pos = p0.pos + 1
+            GROUP BY 1),
+scores AS (
+  SELECT m.doc_id,
+         (ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+          + ln(1 + (s.n - b.v + 0.5) / (b.v + 0.5)))
+           * (m.pf * (1.2 + 1.0)
+              / (m.pf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+  FROM matches m JOIN dl d USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN f0 f CROSS JOIN dfb b
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """,
         # range agg: independent from-inclusive/to-exclusive buckets
         "fts_range_nchars": f"""

@@ -592,11 +592,31 @@ def fts_significant_terms(sf_dir: str) -> pa.Table:
     )
 
 
+PHRASE_PREFIX_QUERY = "the s"      # match_phrase_prefix probe (6 expansions)
 RANGE_BUCKETS = ((None, 150), (150, 300), (300, None), (100, 400))
 FILTER_BUCKETS = (
     ("english", {"lang": "en"}),
     ("de_src7", {"lang": "de", "source": "src7"}),
 )
+
+
+def fts_phrase_prefix_top10(sf_dir: str) -> pa.Table:
+    """ES match_phrase_prefix analog: exact-adjacency phrase with the
+    last slot prefix-expanded (MultiPhraseQuery), blended-df idf for the
+    expanded position."""
+    s = Searcher(documents_index(sf_dir))
+    hits = s.search_phrase_prefix(PHRASE_PREFIX_QUERY, k=10)
+    dense_to_src = _dense_to_src(documents_index(sf_dir))
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
 
 
 def fts_range_nchars(sf_dir: str) -> pa.Table:

@@ -1234,6 +1234,80 @@ class Searcher(SuggestAPI):
         out = self._topk_from(docs, scores, k + int(offset))
         return out[offset:] if offset else out
 
+    def search_phrase_prefix(self, phrase: str, k: int = 10,
+                             max_expansions: int = 50,
+                             where: dict | None = None) -> list[tuple]:
+        """ES match_phrase_prefix analog (Lucene MultiPhraseQuery with a
+        prefix-expanded final position): exact-adjacency phrase whose
+        LAST slot matches any dictionary term with that prefix
+        (``expand_prefix`` — lowest-terms-first, ``max_expansions``).
+
+        Scoring spec (pinned in the SQL oracle): expansion members
+        occupy DISJOINT positions (one token per position), so
+        pf(doc) = sum over members of the exact-phrase freq with that
+        member as the last slot; W = idf sum over the FIXED slots (slot
+        order) + ONE blended idf for the expanded position with
+        df_blend = max over members' df (the SynonymQuery blend this
+        engine already uses for multi-term positions);
+        score = W * pf*(k1+1)/(pf + k1*(1-b+b*dl/avgdl)).
+        Order (score desc, doc_id asc). Stop slots keep position gaps,
+        as in search_phrase."""
+        if k <= 0:
+            return []
+        slots = tokenize_query(phrase)
+        if not slots:
+            return []
+        prefix = slots[-1]
+        exp = self.expand_prefix(prefix, max_expansions)
+        if not exp:
+            return []
+        fixed = slots[:-1]
+        pairs = list(zip(fixed, range(len(fixed))))
+        if self.stopwords:
+            pairs = [(t, i) for t, i in pairs if t not in self.stopwords]
+        last_shift = len(slots) - 1
+        d_parts, f_parts = [], []
+        fixed_dfs = None
+        df_blend = 0
+        for member in exp:
+            docs, pf, dfs = self._phrase_freqs(
+                pairs + [(member, last_shift)]
+            )
+            p = self.lookup(member)
+            df_blend = max(df_blend, p.df if p is not None else 0)
+            if docs.size == 0:
+                continue
+            if fixed_dfs is None:
+                fixed_dfs = dfs[:-1]
+            d_parts.append(docs)
+            f_parts.append(pf)
+        if not d_parts:
+            return []
+        alld = np.concatenate(d_parts)
+        docs, inv = np.unique(alld, return_inverse=True)
+        pf = np.zeros(docs.size, dtype=np.int64)
+        np.add.at(pf, inv, np.concatenate(f_parts))
+        if self.excluded.size:
+            keep = ~np.isin(docs, self.excluded)
+            docs, pf = docs[keep], pf[keep]
+        if where:
+            m = self.filter_mask(**where)
+            keep = m[docs]
+            docs, pf = docs[keep], pf[keep]
+        if docs.size == 0:
+            return []
+        W = 0.0
+        for df in fixed_dfs:  # fixed-slot order, then the blended slot
+            W += self.idf(df)
+        W += self.idf(df_blend)
+        pff = pf.astype(np.float64)
+        dls = self.dl[docs].astype(np.float64)
+        scores = W * (
+            pff * (self.k1 + 1.0)
+            / (pff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
+        )
+        return self._topk_from(docs, scores, k)
+
     def synonym_search(self, query: str, synonyms: dict, k: int = 10,
                        where: dict | None = None,
                        must_not: str | None = None):

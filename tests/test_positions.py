@@ -105,6 +105,47 @@ def test_phrase_shared_and_sharded_identical(corpus, pos_index, oracle, tmp_path
         assert _rounded(ms.search_phrase(phrase, k=10)) == want, f"sharded {phrase}"
 
 
+def test_phrase_prefix_matches_bruteforce(pos_index, oracle):
+    """match_phrase_prefix: pf sums disjoint member alignments, W = fixed
+    idfs + blended (max-df) idf for the expanded position — recomputed
+    from raw token lists."""
+    import math
+
+    s = Searcher(pos_index)
+    tok_docs = {d: tokenize(t) for d, t in oracle.texts.items()}
+    for phrase, me in [("the w00", 5), ("the a w00", 50), ("w0007", 3),
+                       ("the zzzz_absent", 5)]:
+        slots = phrase.split()
+        prefix, fixed = slots[-1], slots[:-1]
+        exp = sorted(t for t in oracle.df if t.startswith(prefix))[:me]
+        want = []
+        if exp:
+            dfb = max(oracle.df[t] for t in exp)
+            W = 0.0
+            for t in fixed:
+                W += oracle.idf(t)
+            W += math.log(1.0 + (oracle.N - dfb + 0.5) / (dfb + 0.5))
+            eset = set(exp)
+            for d, toks in tok_docs.items():
+                n = len(slots)
+                pf = sum(
+                    1 for i in range(len(toks) - n + 1)
+                    if toks[i:i + n - 1] == fixed and toks[i + n - 1] in eset
+                )
+                if pf:
+                    norm = oracle.k1 * (
+                        1.0 - oracle.b + oracle.b * oracle.dl[d] / oracle.avgdl
+                    )
+                    want.append(
+                        (d, W * (pf * (oracle.k1 + 1.0) / (pf + norm)))
+                    )
+            want.sort(key=lambda h: (-h[1], h[0]))
+        got = s.search_phrase_prefix(phrase, k=10, max_expansions=me)
+        assert [d for d, _ in got] == [d for d, _ in want[:10]], phrase
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, rel=1e-9), phrase
+
+
 def test_positions_roundtrip_exact(pos_index, oracle):
     """Decoded positions == the re-tokenized corpus, term by term."""
     s = Searcher(pos_index)
