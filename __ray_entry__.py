@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
+        "fts_regexp_docs": P.fts_regexp_docs,        # RegexpQuery
+        "fts_terms_set_docs": P.fts_terms_set_docs,  # terms_set query
         "fts_range_nchars": P.fts_range_nchars,      # range aggregation
         "fts_filters_agg": P.fts_filters_agg,        # filters aggregation
         "fts_suggest_term": P.fts_suggest_term,      # term suggester
@@ -435,6 +437,22 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT count(DISTINCT source) AS n_distinct
 FROM documents JOIN hits USING (doc_id)
+""",
+        # regexp query: DuckDB regexp_full_match == the engine's anchored
+        # RE2 over the term dictionary (both are RE2)
+        "fts_regexp_docs": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
+WHERE regexp_full_match(term, '{P.REGEXP_QUERY}')
+GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
+        # terms_set: >= min distinct terms of the set
+        "fts_terms_set_docs": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
+WHERE term IN ({",".join(f"'{t}'" for t in sorted(P.TERMS_SET))})
+GROUP BY doc_id HAVING count(DISTINCT term) >= {P.TERMS_SET_MIN}
+ORDER BY doc_id LIMIT 20
 """,
         # match_phrase_prefix: last slot expanded (sorted-first, max 50),
         # pf sums disjoint member alignments, W = fixed idfs + blended

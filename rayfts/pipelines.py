@@ -593,11 +593,40 @@ def fts_significant_terms(sf_dir: str) -> pa.Table:
 
 
 PHRASE_PREFIX_QUERY = "the s"      # match_phrase_prefix probe (6 expansions)
+REGEXP_QUERY = "(sc|sp)a.*"        # anchored RegexpQuery probe (scan, spark)
+TERMS_SET = ("spark", "join", "data", "window")  # terms_set probe
+TERMS_SET_MIN = 2
 RANGE_BUCKETS = ((None, 150), (150, 300), (300, None), (100, 400))
 FILTER_BUCKETS = (
     ("english", {"lang": "en"}),
     ("de_src7", {"lang": "de", "source": "src7"}),
 )
+
+
+def fts_regexp_docs(sf_dir: str) -> pa.Table:
+    """ES regexp-query analog: docs containing a term fully matching the
+    anchored pattern (constant-score rewrite)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.regexp_docs(REGEXP_QUERY, limit=20)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "n_terms": pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
+
+
+def fts_terms_set_docs(sf_dir: str) -> pa.Table:
+    """ES terms_set-query analog: docs matching >= TERMS_SET_MIN distinct
+    terms of the set."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.terms_set_docs(list(TERMS_SET), TERMS_SET_MIN, limit=20)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "n_terms": pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
 
 
 def fts_phrase_prefix_top10(sf_dir: str) -> pa.Table:

@@ -1533,6 +1533,68 @@ class Searcher(SuggestAPI):
             self.expand_prefix(prefix, max_expansions), limit
         )
 
+    def expand_regexp(self, pattern: str,
+                      max_expansions: int = 4096) -> list[str]:
+        """ES RegexpQuery term expansion: the pattern is ANCHORED over
+        the whole term (Lucene regexp semantics — not a substring
+        search). Vectorized: one RE2 match over each bucket's term
+        column; deterministic lowest-terms-first truncation like
+        expand_prefix/expand_wildcard."""
+        rx = f"^(?:{pattern})$"
+        out: list[str] = []
+        for terms in self._iter_term_arrays():
+            m = pc.match_substring_regex(terms, pattern=rx)
+            out.extend(terms.filter(m).to_pylist())
+        out.sort()
+        return out[:max_expansions]
+
+    def regexp_docs(self, pattern: str, limit: int = 20,
+                    max_expansions: int = 4096) -> list[tuple[int, int]]:
+        """ES regexp-query analog (constant-score rewrite): docs
+        containing at least one term fully matching the anchored
+        pattern, ascending doc_id, first ``limit``, each with its count
+        of DISTINCT matching terms."""
+        return self._docs_for_terms(
+            self.expand_regexp(pattern, max_expansions), limit
+        )
+
+    def terms_set_docs(self, terms: list[str], min_match: int,
+                       limit: int = 20) -> list[tuple[int, int]]:
+        """ES terms_set-query analog (constant minimum_should_match_field):
+        docs containing at least ``min_match`` DISTINCT terms of the set,
+        ascending doc_id, first ``limit``, each with its distinct-match
+        count. One bincount-style scatter per term."""
+        if min_match < 1:
+            raise ValueError("min_match must be >= 1")
+        uniq = sorted(set(terms))
+        counts = np.zeros(self.N, dtype=np.int32)
+        for t in uniq:
+            p = self.lookup(t)
+            if p is not None:
+                counts[p.doc_ids] += 1
+        if self.excluded.size:
+            counts[self.excluded] = 0
+        docs = np.flatnonzero(counts >= min_match)[:limit]
+        return [(int(d), int(counts[d])) for d in docs]
+
+    def exists_docs(self, field: str, limit: int = 20) -> list[int]:
+        """ES exists-query analog: docs whose keyword ``field`` is
+        non-null, ascending doc_id, first ``limit`` (constant score —
+        like the other rewrites, the doc list IS the result)."""
+        codes, _ = self._field_codes(field)
+        live = codes >= 0
+        if self.excluded.size:
+            live[self.excluded] = False
+        return [int(d) for d in np.flatnonzero(live)[:limit]]
+
+    def exists_count(self, field: str) -> int:
+        """Count form of the exists query (tombstone-aware)."""
+        codes, _ = self._field_codes(field)
+        live = codes >= 0
+        if self.excluded.size:
+            live[self.excluded] = False
+        return int(live.sum())
+
     def fuzzy_docs(self, term: str, max_edits: int = 1, limit: int = 20,
                    prefix_length: int = 0,
                    max_expansions: int = 50) -> list[tuple[int, int]]:
@@ -2720,6 +2782,41 @@ class MultiSearcher(SuggestAPI):
             if len(out) >= limit:
                 break
         return out[:limit]
+
+    def regexp_docs(self, pattern: str, limit: int = 20,
+                    max_expansions: int = 4096) -> list[tuple[int, int]]:
+        """Sharded regexp-docs: segment-concatenation like wildcard_docs
+        (the per-segment max_expansions caveat applies identically)."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, n)
+                for d, n in seg.regexp_docs(
+                    pattern, limit=limit, max_expansions=max_expansions
+                )
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
+
+    def terms_set_docs(self, terms: list[str], min_match: int,
+                       limit: int = 20) -> list[tuple[int, int]]:
+        """Sharded terms_set: a doc lives in exactly one segment, so
+        per-segment results concatenate in ascending global order."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, n)
+                for d, n in seg.terms_set_docs(terms, min_match, limit)
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
+
+    def exists_count(self, field: str) -> int:
+        return sum(seg.exists_count(field) for seg in self.segments)
 
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      prefix_length: int = 0,

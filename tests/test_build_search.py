@@ -918,6 +918,41 @@ def test_histogram_agg_matches_bruteforce(index_dir, oracle):
         s.histogram_agg(q, "turn_idx", 0)
 
 
+def test_regexp_terms_set_exists_match_bruteforce(index_dir, oracle):
+    import re
+
+    idx, t = oracle
+    s = Searcher(index_dir)
+    # regexp: anchored full-term match (Lucene semantics)
+    pat = "w00(07|11)|ba.*"
+    rx = re.compile(f"^(?:{pat})$")
+    match_terms = {tm for tm in idx.df if rx.fullmatch(tm) or rx.match(tm)}
+    want = sorted(
+        (d, sum(1 for tm in tf if tm in match_terms))
+        for d, tf in idx.doc_tfs.items()
+        if any(tm in match_terms for tm in tf)
+    )[:20]
+    assert s.regexp_docs(pat, limit=20) == want
+    assert s.regexp_docs("zzz+", limit=20) == []
+    # terms_set: >= m distinct members
+    terms, m = ["the", "w0007", "bash", "grep"], 3
+    want = sorted(
+        (d, c) for d, c in (
+            (d, sum(1 for tm in terms if tf.get(tm, 0) > 0))
+            for d, tf in idx.doc_tfs.items()
+        ) if c >= m
+    )[:20]
+    assert s.terms_set_docs(terms, m, limit=20) == want
+    with pytest.raises(ValueError):
+        s.terms_set_docs(terms, 0)
+    # exists: non-null keyword field
+    tools = t["tool"].to_pylist()
+    want_ids = [i for i, v in enumerate(tools) if v is not None]
+    assert s.exists_docs("tool", limit=15) == want_ids[:15]
+    assert s.exists_count("tool") == len(want_ids)
+    assert s.exists_count("role") == idx.N
+
+
 def test_range_filters_missing_aggs_match_bruteforce(index_dir, oracle):
     import pyarrow.dataset as pads
 
