@@ -92,3 +92,81 @@ def excluded_docs(index_dir: str) -> list[int]:
         return []
     with open(p) as f:
         return [int(d) for d in json.load(f).get("excluded", [])]
+
+
+# ---------------------------------------------------------------------------
+# index aliases — the ES alias API analog
+# ---------------------------------------------------------------------------
+
+ALIASES_NAME = "aliases.json"
+
+
+def _aliases_path(registry_dir: str) -> str:
+    return os.path.join(registry_dir, ALIASES_NAME)
+
+
+def list_aliases(registry_dir: str) -> dict[str, list[str]]:
+    """alias -> [index_dir, ...] from the registry (empty if none)."""
+    import json
+
+    p = _aliases_path(registry_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {a: list(dirs) for a, dirs in json.load(f).items()}
+
+
+def set_alias(registry_dir: str, alias: str, index_dirs) -> dict:
+    """ES alias-API analog (POST _aliases add): point ``alias`` at one or
+    more PUBLISHED indexes, atomically replacing any previous targets —
+    the atomic-swap pattern a batch rebuild needs (build the new index,
+    repoint the alias, readers never see a half state; the reference's
+    single `index.name` property is this without the indirection,
+    plugin.properties:6). Every target must be published
+    (fail-don't-swallow, like the S7 bulk-write rule)."""
+    from .manifest import _atomic_write_json
+
+    dirs = [str(d) for d in (
+        [index_dirs] if isinstance(index_dirs, (str, os.PathLike))
+        else index_dirs
+    )]
+    if not dirs:
+        raise ValueError("alias needs at least one index dir")
+    for d in dirs:
+        if not index_exists(d):
+            raise FileNotFoundError(f"alias target is not a published index: {d}")
+    os.makedirs(registry_dir, exist_ok=True)
+    aliases = list_aliases(registry_dir)
+    aliases[alias] = dirs
+    _atomic_write_json(_aliases_path(registry_dir), aliases)
+    return aliases
+
+
+def delete_alias(registry_dir: str, alias: str) -> bool:
+    """Remove an alias (the indexes it points at are untouched)."""
+    from .manifest import _atomic_write_json
+
+    aliases = list_aliases(registry_dir)
+    if alias not in aliases:
+        return False
+    del aliases[alias]
+    _atomic_write_json(_aliases_path(registry_dir), aliases)
+    return True
+
+
+def resolve_alias(registry_dir: str, alias: str) -> list[str]:
+    aliases = list_aliases(registry_dir)
+    if alias not in aliases:
+        raise KeyError(f"unknown alias {alias!r}")
+    return aliases[alias]
+
+
+def open_alias(registry_dir: str, alias: str):
+    """Open a reader through an alias: one target -> Searcher, several ->
+    MultiSearcher over them in registry order (the ES search-an-alias
+    behavior for multi-index aliases; targets must be disjoint dense
+    doc-range segments in order, as MultiSearcher requires)."""
+    from .search import MultiSearcher, Searcher
+
+    dirs = resolve_alias(registry_dir, alias)
+    return Searcher(dirs[0]) if len(dirs) == 1 else MultiSearcher(dirs)

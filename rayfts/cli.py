@@ -167,6 +167,20 @@ def cmd_search_root(args) -> int:
     return 0
 
 
+def cmd_alias(args) -> int:
+    from .admin import delete_alias, list_aliases, set_alias
+
+    if args.action == "set":
+        if not args.targets:
+            raise SystemExit("alias set needs --targets")
+        set_alias(args.registry, args.name, args.targets)
+    elif args.action == "delete":
+        if not delete_alias(args.registry, args.name):
+            raise SystemExit(f"unknown alias {args.name!r}")
+    print(json.dumps(list_aliases(args.registry)))
+    return 0
+
+
 def cmd_info(args) -> int:
     from .manifest import load_manifest
 
@@ -248,6 +262,13 @@ def main(argv=None) -> int:
     i = sub.add_parser("info")
     i.add_argument("--index", required=True)
     i.set_defaults(fn=cmd_info)
+
+    al = sub.add_parser("alias", help="ES alias API analog")
+    al.add_argument("action", choices=["set", "delete", "list"])
+    al.add_argument("--registry", required=True)
+    al.add_argument("--name", default="")
+    al.add_argument("--targets", nargs="*", default=[])
+    al.set_defaults(fn=cmd_alias)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -2212,6 +2212,47 @@ class Searcher(SuggestAPI):
         hits = self.search(" ".join(sorted(terms)), k=k + 1, algo=algo, **kw)
         return [h for h in hits if h[0] != int(doc_id)][:k]
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """ES _explain API analog: per-clause breakdown of one (query,
+        doc) BM25 score. Returns {"doc_id", "matched", "score",
+        "details": [{term, boost, df, idf, tf, dl, tf_part,
+        contribution}]} with clauses in ascending-term order — summing
+        the contributions in that order reproduces search()'s score
+        bit-for-bit (pinned by test). A tombstoned doc is matched=False
+        with no details, like an ES explain against a deleted doc
+        resolving to non-matching."""
+        if not 0 <= doc_id < self.N:
+            raise KeyError(f"doc_id {doc_id} out of range")
+        out = {"doc_id": int(doc_id), "matched": False, "score": 0.0,
+               "details": []}
+        if doc_id in self._excluded_set:
+            return out
+        qtf = self._qweights(query)
+        total = 0.0
+        for term in sorted(qtf):
+            p = self.lookup(term)
+            if p is None:
+                continue
+            j = int(np.searchsorted(p.doc_ids, doc_id))
+            if j >= p.doc_ids.size or p.doc_ids[j] != doc_id:
+                continue
+            w = self._term_weight(qtf[term], p.df)
+            c = w * float(p.tf_part[j])
+            total += c
+            out["details"].append({
+                "term": term,
+                "boost": float(qtf[term]),
+                "df": int(p.df),
+                "idf": self.idf(p.df),
+                "tf": int(p.tfs[j]),
+                "dl": int(self.dl[doc_id]),
+                "tf_part": float(p.tf_part[j]),
+                "contribution": c,
+            })
+        out["matched"] = bool(out["details"])
+        out["score"] = total
+        return out
+
     def get(self, keys: list[tuple]) -> pa.Table:
         """Order-preserving multiget by (conv_id, turn_idx). Missing key ->
         KeyError (analog of DaoException, dao/EntityDao.java:241-243)."""

@@ -918,6 +918,34 @@ def test_histogram_agg_matches_bruteforce(index_dir, oracle):
         s.histogram_agg(q, "turn_idx", 0)
 
 
+def test_explain_reproduces_search_scores(index_dir, oracle):
+    """Summing explain()'s per-clause contributions in clause order is
+    bit-identical to search()'s score for every top hit."""
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    for q in REFERENCE_QUERIES + ["the w0007 bash", "spark^3 the"]:
+        for d, sc in s.search(q, k=10):
+            ex = s.explain(q, d)
+            assert ex["matched"] and ex["doc_id"] == d
+            assert ex["score"] == sc, (q, d)
+            total = 0.0
+            for det in ex["details"]:
+                assert det["contribution"] == pytest.approx(
+                    det["boost"] * det["idf"] * det["tf_part"], rel=1e-12
+                )
+                total += det["contribution"]
+            assert total == sc
+            assert [det["term"] for det in ex["details"]] == sorted(
+                {det["term"] for det in ex["details"]}
+            )
+    # non-matching doc
+    miss = s.explain("zzzz_absent", 0)
+    assert miss == {"doc_id": 0, "matched": False, "score": 0.0,
+                    "details": []}
+    with pytest.raises(KeyError):
+        s.explain("the", 10**9)
+
+
 def test_regexp_terms_set_exists_match_bruteforce(index_dir, oracle):
     import re
 

@@ -86,6 +86,44 @@ def test_admin_lifecycle(tmp_path):
     assert delete_index(idx) is False
 
 
+def test_alias_lifecycle_and_atomic_swap(tmp_path):
+    """ES alias analog: set/resolve/delete, unpublished-target rejection,
+    the atomic rebuild-and-repoint swap, and a multi-index alias opening
+    as a MultiSearcher."""
+    from rayfts.admin import (
+        delete_alias, list_aliases, open_alias, resolve_alias, set_alias,
+    )
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+    from rayfts.search import MultiSearcher, Searcher
+
+    corpus = str(tmp_path / "c")
+    write_transcripts(corpus, n_convs=5, seed=42)
+    reg = str(tmp_path / "reg")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    with pytest.raises(FileNotFoundError):
+        set_alias(reg, "live", a)  # unpublished target rejected
+    build_index(corpus, cfg=IndexJobConfig(index_dir=a, term_buckets=4))
+    set_alias(reg, "live", a)
+    assert resolve_alias(reg, "live") == [a]
+    s = open_alias(reg, "live")
+    assert isinstance(s, Searcher) and s.N > 0
+    # rebuild into b, repoint atomically — readers opened after see b
+    build_index(corpus, cfg=IndexJobConfig(index_dir=b, term_buckets=4))
+    set_alias(reg, "live", b)
+    assert open_alias(reg, "live").index_dir == b
+    # multi-index alias opens the sharded reader
+    set_alias(reg, "both", [a, b])
+    ms = open_alias(reg, "both")
+    assert isinstance(ms, MultiSearcher) and ms.N == 2 * s.N
+    assert sorted(list_aliases(reg)) == ["both", "live"]
+    assert delete_alias(reg, "live") is True
+    assert delete_alias(reg, "live") is False
+    with pytest.raises(KeyError):
+        resolve_alias(reg, "live")
+
+
 def test_config_cascade(tmp_path):
     """defaults -> file -> explicit overrides (ref precedence,
     ElasticSearchWriterFactory.java:46-73)."""
