@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
+        "fts_extended_stats": P.fts_extended_stats,  # extended_stats agg
+        "fts_weighted_avg": P.fts_weighted_avg,      # weighted_avg agg
         "fts_regexp_docs": P.fts_regexp_docs,        # RegexpQuery
         "fts_terms_set_docs": P.fts_terms_set_docs,  # terms_set query
         "fts_range_nchars": P.fts_range_nchars,      # range aggregation
@@ -436,6 +438,28 @@ WITH {_TOKS_CTE},
 hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT count(DISTINCT source) AS n_distinct
+FROM documents JOIN hits USING (doc_id)
+""",
+        # extended_stats: integer-exact sum/sum_sq + variance numerator
+        "fts_extended_stats": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT count(*) AS n_hits,
+       CAST(sum(n_chars) AS BIGINT) AS sum_nc,
+       CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq,
+       CAST(count(*) * sum(n_chars * n_chars)
+            - sum(n_chars) * sum(n_chars) AS BIGINT) AS var_num
+FROM documents JOIN hits USING (doc_id)
+""",
+        # weighted_avg: exact integer numerator/denominator
+        "fts_weighted_avg": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT count(*) AS n_hits,
+       CAST(sum(n_chars * doc_id) AS BIGINT) AS num,
+       CAST(sum(doc_id) AS BIGINT) AS den
 FROM documents JOIN hits USING (doc_id)
 """,
         # regexp query: DuckDB regexp_full_match == the engine's anchored

@@ -603,6 +603,37 @@ FILTER_BUCKETS = (
 )
 
 
+def fts_extended_stats(sf_dir: str) -> pa.Table:
+    """ES extended_stats analog over the BM25_QUERY hit set: exact
+    integer sum/sum_sq plus the integer variance numerator
+    n·sum_sq − sum² (variance = that / n², float-free compare)."""
+    s = Searcher(documents_index(sf_dir))
+    st = s.extended_stats_agg(BM25_QUERY, "n_chars")
+    n, total, sum_sq = st["count"], int(st["sum"]), int(st["sum_sq"])
+    return pa.table(
+        {
+            "n_hits": pa.array([n], pa.int64()),
+            "sum_nc": pa.array([total], pa.int64()),
+            "sum_sq": pa.array([sum_sq], pa.int64()),
+            "var_num": pa.array([n * sum_sq - total * total], pa.int64()),
+        }
+    )
+
+
+def fts_weighted_avg(sf_dir: str) -> pa.Table:
+    """ES weighted_avg analog (value=n_chars, weight=doc_id): exact
+    integer numerator/denominator."""
+    s = Searcher(documents_index(sf_dir))
+    st = s.weighted_avg_agg(BM25_QUERY, "n_chars", "doc_id")
+    return pa.table(
+        {
+            "n_hits": pa.array([st["count"]], pa.int64()),
+            "num": pa.array([int(st["num"])], pa.int64()),
+            "den": pa.array([int(st["den"])], pa.int64()),
+        }
+    )
+
+
 def fts_regexp_docs(sf_dir: str) -> pa.Table:
     """ES regexp-query analog: docs containing a term fully matching the
     anchored pattern (constant-score rewrite)."""

@@ -805,7 +805,8 @@ class Searcher(SuggestAPI):
         if cached is not None:
             return cached
         ds = pads.dataset(self._docstore_dir)
-        t = ds.to_table(columns=["doc_id", field])
+        cols = ["doc_id"] if field == "doc_id" else ["doc_id", field]
+        t = ds.to_table(columns=cols)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         col = t[field]
         valid = np.ones(self.N, dtype=bool) if col.null_count == 0 else \
@@ -842,6 +843,74 @@ class Searcher(SuggestAPI):
             "min": float(sel.min()),
             "max": float(sel.max()),
             "sum": float(sel.sum()),
+        }
+
+    def extended_stats_agg(self, query: str, field: str,
+                           where: dict | None = None, mode: str = "or",
+                           must_not: str | None = None) -> dict:
+        """ES extended_stats analog: stats_agg plus sum_of_squares and
+        the population variance/std. For integral columns count/min/max/
+        sum/sum_sq are EXACT integers (int64 reductions), so the oracle
+        can verify variance with pure integer arithmetic:
+        n² · variance = n·sum_sq − sum² (the driver query emits exactly
+        that product). std_dev = sqrt(variance) provided as a float."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        base = {"count": 0, "min": None, "max": None, "sum": 0,
+                "sum_sq": 0, "variance": None, "std_dev": None}
+        if hits is None:
+            return base
+        vals, valid = self._numeric_col(field)
+        sel = vals[hits & valid]
+        if sel.size == 0:
+            return base
+        n = int(sel.size)
+        if np.all(sel == np.floor(sel)):  # integral column: exact int path
+            s_i = sel.astype(np.int64)
+            total = int(s_i.sum())
+            sum_sq = int((s_i * s_i).sum())
+            var = (n * sum_sq - total * total) / (n * n)
+        else:
+            total = float(sel.sum())
+            sum_sq = float((sel * sel).sum())
+            var = (n * sum_sq - total * total) / (n * n)
+        return {
+            "count": n,
+            "min": float(sel.min()),
+            "max": float(sel.max()),
+            "sum": total,
+            "sum_sq": sum_sq,
+            "variance": var,
+            "std_dev": math.sqrt(max(var, 0.0)),
+        }
+
+    def weighted_avg_agg(self, query: str, field: str, weight_field: str,
+                         where: dict | None = None, mode: str = "or",
+                         must_not: str | None = None) -> dict:
+        """ES weighted_avg analog: sum(value·weight)/sum(weight) over the
+        hit set; rows where either column is null drop (the ES
+        value/weight missing rule without configured defaults). Integral
+        columns keep the numerator/denominator exact for the oracle."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {"count": 0, "num": 0, "den": 0, "value": None}
+        v, vok = self._numeric_col(field)
+        w, wok = self._numeric_col(weight_field)
+        m = hits & vok & wok
+        if not m.any():
+            return {"count": 0, "num": 0, "den": 0, "value": None}
+        vs, ws = v[m], w[m]
+        if np.all(vs == np.floor(vs)) and np.all(ws == np.floor(ws)):
+            vi, wi = vs.astype(np.int64), ws.astype(np.int64)
+            num = int((vi * wi).sum())
+            den = int(wi.sum())
+        else:
+            num = float((vs * ws).sum())
+            den = float(ws.sum())
+        return {
+            "count": int(m.sum()),
+            "num": num,
+            "den": den,
+            "value": num / den if den else None,
         }
 
     def histogram_agg(self, query: str, field: str, interval: float,
@@ -2212,6 +2281,24 @@ class Searcher(SuggestAPI):
         hits = self.search(" ".join(sorted(terms)), k=k + 1, algo=algo, **kw)
         return [h for h in hits if h[0] != int(doc_id)][:k]
 
+    def termvectors(self, doc_id: int) -> list[tuple]:
+        """ES _termvectors API analog: [(term, tf, positions)] for one
+        doc, term-ascending. Computed by re-analyzing the stored text —
+        the ES path when the mapping stores no term vectors; the SAME
+        analyzer (incl. stop filter with position gaps) runs both sides,
+        so the output equals the doc's slice of the inverted index
+        (pinned by test against decoded positional postings)."""
+        from .analysis import tokens_flat
+
+        texts = self.get_by_doc_id([int(doc_id)])["text"]
+        flat, _ = tokens_flat(texts.combine_chunks())
+        out: dict[str, list[int]] = {}
+        for i, t in enumerate(flat.to_pylist()):
+            if self.stopwords and t in self.stopwords:
+                continue  # stop slot drops, position gap stays
+            out.setdefault(t, []).append(i)
+        return [(t, len(ps), ps) for t, ps in sorted(out.items())]
+
     def explain(self, query: str, doc_id: int) -> dict:
         """ES _explain API analog: per-clause breakdown of one (query,
         doc) BM25 score. Returns {"doc_id", "matched", "score",
@@ -3133,6 +3220,60 @@ class MultiSearcher(SuggestAPI):
             ):
                 total[key] = total.get(key, 0) + c
         return sorted(total.items())
+
+    def extended_stats_agg(self, query: str, field: str,
+                           where: dict | None = None, mode: str = "or",
+                           must_not: str | None = None) -> dict:
+        """Sharded extended_stats: count/sum/sum_sq SUM and min/max merge
+        across segments; variance recomputed from the exact totals —
+        identical to the single-index run on integral columns."""
+        n = 0
+        total = sum_sq = 0
+        mn = mx = None
+        for seg in self.segments:
+            st = seg.extended_stats_agg(query, field, where, mode, must_not)
+            if st["count"] == 0:
+                continue
+            n += st["count"]
+            total += st["sum"]
+            sum_sq += st["sum_sq"]
+            mn = st["min"] if mn is None else min(mn, st["min"])
+            mx = st["max"] if mx is None else max(mx, st["max"])
+        if n == 0:
+            return {"count": 0, "min": None, "max": None, "sum": 0,
+                    "sum_sq": 0, "variance": None, "std_dev": None}
+        var = (n * sum_sq - total * total) / (n * n)
+        return {"count": n, "min": mn, "max": mx, "sum": total,
+                "sum_sq": sum_sq, "variance": var,
+                "std_dev": math.sqrt(max(var, 0.0))}
+
+    def weighted_avg_agg(self, query: str, field: str, weight_field: str,
+                         where: dict | None = None, mode: str = "or",
+                         must_not: str | None = None) -> dict:
+        """Sharded weighted_avg: exact numerator/denominator sums."""
+        n = 0
+        num = den = 0
+        for seg in self.segments:
+            st = seg.weighted_avg_agg(
+                query, field, weight_field, where, mode, must_not
+            )
+            n += st["count"]
+            num += st["num"]
+            den += st["den"]
+        if n == 0:
+            return {"count": 0, "num": 0, "den": 0, "value": None}
+        return {"count": n, "num": num, "den": den,
+                "value": num / den if den else None}
+
+    def termvectors(self, doc_id: int) -> list[tuple]:
+        """Sharded termvectors: route the global id to its owning
+        segment (offsets are cumulative segment sizes)."""
+        si = int(np.searchsorted(self.offsets, doc_id, side="right")) - 1
+        seg = self.segments[si]
+        local = int(doc_id) - int(self.offsets[si])
+        if not 0 <= local < seg.N:
+            raise KeyError(f"doc_id {doc_id} out of range")
+        return seg.termvectors(local)
 
     def range_agg(self, query: str, field: str, ranges: list,
                   where: dict | None = None, mode: str = "or",

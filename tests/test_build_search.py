@@ -918,6 +918,33 @@ def test_histogram_agg_matches_bruteforce(index_dir, oracle):
         s.histogram_agg(q, "turn_idx", 0)
 
 
+def test_extended_stats_weighted_avg_match_bruteforce(index_dir, oracle):
+    idx, t = oracle
+    s = Searcher(index_dir)
+    q = "the w0007"
+    hits = sorted(_brute_hits(index_dir, oracle, q))
+    tv = dict(enumerate(t["turn_idx"].to_pylist()))
+    vals = [tv[d] for d in hits]
+    n = len(vals)
+    st = s.extended_stats_agg(q, "turn_idx")
+    assert st["count"] == n
+    assert st["sum"] == sum(vals)
+    assert st["sum_sq"] == sum(v * v for v in vals)
+    var = (n * st["sum_sq"] - st["sum"] ** 2) / (n * n)
+    assert st["variance"] == var and st["std_dev"] == pytest.approx(var**0.5)
+    empty = s.extended_stats_agg("zzzz_absent", "turn_idx")
+    assert empty["count"] == 0 and empty["variance"] is None
+    # weighted_avg: turn_idx self-weighted (integral, exact int path)
+    wa = s.weighted_avg_agg(q, "turn_idx", "turn_idx")
+    num = sum(tv[d] * tv[d] for d in hits)
+    den = sum(tv[d] for d in hits)
+    assert (wa["num"], wa["den"]) == (num, den)
+    assert wa["value"] == num / den
+    assert s.weighted_avg_agg("zzzz_absent", "turn_idx", "turn_idx") == {
+        "count": 0, "num": 0, "den": 0, "value": None
+    }
+
+
 def test_explain_reproduces_search_scores(index_dir, oracle):
     """Summing explain()'s per-clause contributions in clause order is
     bit-identical to search()'s score for every top hit."""

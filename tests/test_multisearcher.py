@@ -92,6 +92,12 @@ def test_sharded_range_filters_missing_equal_global(indexes):
     flt = {"users": {"role": "user"}, "tools": {"role": "tool"}}
     assert multi.filters_agg(q, flt) == single.filters_agg(q, flt)
     assert multi.missing_agg(q, "tool") == single.missing_agg(q, "tool")
+    assert multi.extended_stats_agg(q, "turn_idx") == \
+        single.extended_stats_agg(q, "turn_idx")
+    assert multi.weighted_avg_agg(q, "turn_idx", "turn_idx") == \
+        single.weighted_avg_agg(q, "turn_idx", "turn_idx")
+    for d in (0, 5, single.N - 1):
+        assert multi.termvectors(d) == single.termvectors(d)
 
 
 def test_sharded_multiget_routing(indexes):

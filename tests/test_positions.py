@@ -105,6 +105,24 @@ def test_phrase_shared_and_sharded_identical(corpus, pos_index, oracle, tmp_path
         assert _rounded(ms.search_phrase(phrase, k=10)) == want, f"sharded {phrase}"
 
 
+def test_termvectors_match_positional_index(pos_index, oracle):
+    """Re-analysis termvectors == the doc's slice of the decoded
+    positional postings, term by term."""
+    s = Searcher(pos_index)
+    for doc in [0, 7, s.N - 1]:
+        tv = s.termvectors(doc)
+        assert tv == sorted(tv)  # term-ascending
+        toks = tokenize(oracle.texts[doc])
+        assert sum(tf for _, tf, _ in tv) == len(toks)
+        for term, tf, positions in tv:
+            p = s.lookup(term)
+            j = int(np.searchsorted(p.doc_ids, doc))
+            assert p.doc_ids[j] == doc
+            pos, occ = s._positions(p)
+            assert pos[occ[j]:occ[j + 1]].tolist() == positions, term
+            assert p.tfs[j] == tf
+
+
 def test_phrase_prefix_matches_bruteforce(pos_index, oracle):
     """match_phrase_prefix: pf sums disjoint member alignments, W = fixed
     idfs + blended (max-df) idf for the expanded position — recomputed
