@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
+        "fts_span_near_docs": P.fts_span_near_docs,  # span_near query
         "fts_extended_stats": P.fts_extended_stats,  # extended_stats agg
         "fts_weighted_avg": P.fts_weighted_avg,      # weighted_avg agg
         "fts_regexp_docs": P.fts_regexp_docs,        # RegexpQuery
@@ -439,6 +440,28 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT count(DISTINCT source) AS n_distinct
 FROM documents JOIN hits USING (doc_id)
+""",
+        # span_near: in-order chains p1<p2<p3 with end-start-(n-1)<=slop,
+        # chain count = the engine's relational spec verbatim
+        "fts_span_near_docs": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+{",".join(
+    f"p{i} AS (SELECT doc_id, pos FROM ptoks WHERE term = '{t}')"
+    for i, t in enumerate(P.SPAN_TERMS)
+)}
+SELECT a.doc_id, count(*) AS n_matches
+FROM p0 a
+{" ".join(
+    f"JOIN p{i} s{i} ON s{i}.doc_id = a.doc_id AND s{i}.pos > "
+    + ("a.pos" if i == 1 else f"s{i - 1}.pos")
+    for i in range(1, len(P.SPAN_TERMS))
+)}
+WHERE s{len(P.SPAN_TERMS) - 1}.pos
+      <= a.pos + {len(P.SPAN_TERMS) - 1 + P.SPAN_SLOP}
+GROUP BY a.doc_id ORDER BY a.doc_id LIMIT 20
 """,
         # extended_stats: integer-exact sum/sum_sq + variance numerator
         "fts_extended_stats": f"""

@@ -594,6 +594,8 @@ def fts_significant_terms(sf_dir: str) -> pa.Table:
 
 PHRASE_PREFIX_QUERY = "the s"      # match_phrase_prefix probe (6 expansions)
 REGEXP_QUERY = "(sc|sp)a.*"        # anchored RegexpQuery probe (scan, spark)
+SPAN_TERMS = ("the", "data", "batch")  # span_near probe (in order)
+SPAN_SLOP = 4
 TERMS_SET = ("spark", "join", "data", "window")  # terms_set probe
 TERMS_SET_MIN = 2
 RANGE_BUCKETS = ((None, 150), (150, 300), (300, None), (100, 400))
@@ -601,6 +603,19 @@ FILTER_BUCKETS = (
     ("english", {"lang": "en"}),
     ("de_src7", {"lang": "de", "source": "src7"}),
 )
+
+
+def fts_span_near_docs(sf_dir: str) -> pa.Table:
+    """ES span_near analog (in_order, total-slack slop): docs with the
+    SPAN_TERMS chain within SPAN_SLOP, each with its chain count."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.span_near_docs(list(SPAN_TERMS), SPAN_SLOP, limit=20)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "n_matches": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
 
 
 def fts_extended_stats(sf_dir: str) -> pa.Table:

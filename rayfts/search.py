@@ -1377,6 +1377,80 @@ class Searcher(SuggestAPI):
         )
         return self._topk_from(docs, scores, k)
 
+    def span_near_docs(self, terms: list[str], slop: int = 0,
+                       limit: int = 20) -> list[tuple[int, int]]:
+        """ES span_near-query analog (in_order=true, constant score):
+        docs where the terms appear in slot order within total slack
+        ``slop`` — a match is a strictly-increasing position chain
+        p1 < p2 < ... < pn with pn - p1 - (n-1) <= slop (Lucene's
+        end-minus-start matchLength rule); ``n_matches`` counts ALL such
+        chains, the relational spec the SQL oracle replicates with
+        inequality joins. slop=0 is exact-adjacency chains.
+
+        Vectorized: candidate docs = posting intersection
+        (smallest-df first); chain states then expand slot by slot with
+        two searchsorted bounds per state and segmented gathers
+        (run_ranges/run_spread) — work O(total chains), never a per-doc
+        Python loop. Returns [(doc_id, n_matches)] ascending, first
+        ``limit``."""
+        from .codec import run_ranges, run_spread
+
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        if not terms:
+            return []
+        n = len(terms)
+        uniq = sorted(set(terms))
+        post = {t: self.lookup(t) for t in uniq}
+        if any(post[t] is None for t in uniq):
+            return []
+        ordered = sorted(uniq, key=lambda t: post[t].df)
+        cand = post[ordered[0]].doc_ids
+        for t in ordered[1:]:
+            cand = np.intersect1d(cand, post[t].doc_ids, assume_unique=True)
+        if self.excluded.size:
+            cand = cand[~np.isin(cand, self.excluded)]
+        if cand.size == 0:
+            return []
+        # key space margin covers pos + (n-1) + slop staying in-doc
+        L = int(self.dl.max(initial=0)) + n + slop + 2
+
+        def slot_keys(term: str) -> np.ndarray:
+            p = post[term]
+            pos, occ = self._positions(p)
+            j = np.searchsorted(p.doc_ids, cand)
+            lens = occ[j + 1] - occ[j]
+            out_starts = np.zeros(j.size, np.int64)
+            np.cumsum(lens[:-1], out=out_starts[1:])
+            tot = int(lens.sum())
+            gi = run_ranges(occ[j], out_starts, tot)
+            doc_key = run_spread((cand * L).astype(np.int64), out_starts, tot)
+            return doc_key + pos[gi]
+
+        keys = [slot_keys(t) for t in terms]
+        start = keys[0]
+        cur = start
+        bound_off = n - 1 + slop
+        for i in range(1, n):
+            ki = keys[i]
+            lo = np.searchsorted(ki, cur, side="right")
+            hi = np.searchsorted(ki, start + bound_off, side="right")
+            cnt = hi - lo
+            keep = cnt > 0
+            lo, start, cnt = lo[keep], start[keep], cnt[keep]
+            if start.size == 0:
+                return []
+            out_starts = np.zeros(start.size, np.int64)
+            np.cumsum(cnt[:-1], out=out_starts[1:])
+            tot = int(cnt.sum())
+            gi = run_ranges(lo, out_starts, tot)
+            cur = ki[gi]
+            start = run_spread(start, out_starts, tot)
+        docs, m = np.unique(start // L, return_counts=True)
+        return [
+            (int(d), int(c)) for d, c in zip(docs[:limit], m[:limit])
+        ]
+
     def synonym_search(self, query: str, synonyms: dict, k: int = 10,
                        where: dict | None = None,
                        must_not: str | None = None):
@@ -2945,6 +3019,21 @@ class MultiSearcher(SuggestAPI):
 
     def exists_count(self, field: str) -> int:
         return sum(seg.exists_count(field) for seg in self.segments)
+
+    def span_near_docs(self, terms: list[str], slop: int = 0,
+                       limit: int = 20) -> list[tuple[int, int]]:
+        """Sharded span_near: chains never cross docs, so per-segment
+        results concatenate in ascending global order."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, c)
+                for d, c in seg.span_near_docs(terms, slop, limit)
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
 
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      prefix_length: int = 0,

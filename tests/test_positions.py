@@ -105,6 +105,42 @@ def test_phrase_shared_and_sharded_identical(corpus, pos_index, oracle, tmp_path
         assert _rounded(ms.search_phrase(phrase, k=10)) == want, f"sharded {phrase}"
 
 
+def test_span_near_matches_bruteforce(pos_index, oracle):
+    """Chain counting: all strictly-increasing in-order position chains
+    with end - start - (n-1) <= slop, recomputed with nested loops."""
+    from itertools import product
+
+    s = Searcher(pos_index)
+    tok_docs = {d: tokenize(t) for d, t in oracle.texts.items()}
+    cases = [
+        (["the", "w0007"], 0), (["the", "w0007"], 3),
+        (["the", "a", "the"], 2), (["w0007", "bash"], 5),
+        (["the", "zzzz_absent"], 4),
+    ]
+    for terms, slop in cases:
+        n = len(terms)
+        want = []
+        for d, toks in tok_docs.items():
+            slots = [
+                [i for i, t in enumerate(toks) if t == term]
+                for term in terms
+            ]
+            c = sum(
+                1 for chain in product(*slots)
+                if all(b > a for a, b in zip(chain, chain[1:]))
+                and chain[-1] - chain[0] - (n - 1) <= slop
+            )
+            if c:
+                want.append((d, c))
+        want.sort()
+        got = s.span_near_docs(terms, slop, limit=10**6)
+        assert got == want, (terms, slop)
+    assert s.span_near_docs(["the", "w0007"], 0, limit=3) == \
+        s.span_near_docs(["the", "w0007"], 0, limit=10**6)[:3]
+    with pytest.raises(ValueError):
+        s.span_near_docs(["the"], -1)
+
+
 def test_termvectors_match_positional_index(pos_index, oracle):
     """Re-analysis termvectors == the doc's slice of the decoded
     positional postings, term by term."""
