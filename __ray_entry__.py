@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
+        "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
         "fts_span_near_docs": P.fts_span_near_docs,  # span_near query
         "fts_extended_stats": P.fts_extended_stats,  # extended_stats agg
         "fts_weighted_avg": P.fts_weighted_avg,      # weighted_avg agg
@@ -440,6 +441,18 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT count(DISTINCT source) AS n_distinct
 FROM documents JOIN hits USING (doc_id)
+""",
+        # has_child (join field): parents ranked by best child score
+        "fts_has_child_by_source": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+grp AS (
+  SELECT d2.source AS parent, max(s2.score) AS score,
+         count(*) AS n_children
+  FROM scores s2 JOIN documents d2 USING (doc_id)
+  GROUP BY d2.source
+)
+SELECT parent, CAST(round(score * 1e6) AS BIGINT) AS score_e6, n_children
+FROM grp ORDER BY score DESC, parent LIMIT 10
 """,
         # span_near: in-order chains p1<p2<p3 with end-start-(n-1)<=slop,
         # chain count = the engine's relational spec verbatim

@@ -605,6 +605,22 @@ FILTER_BUCKETS = (
 )
 
 
+def fts_has_child_by_source(sf_dir: str) -> pa.Table:
+    """ES has_child analog over the `source` join field: top parents by
+    best-matching child (score_mode=max)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.has_child_search(BM25_QUERY, "source", k=10, score_mode="max")
+    return pa.table(
+        {
+            "parent": pa.array([v for v, _, _ in rows], pa.string()),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc, _ in rows], pa.int64()
+            ),
+            "n_children": pa.array([n for _, _, n in rows], pa.int64()),
+        }
+    )
+
+
 def fts_span_near_docs(sf_dir: str) -> pa.Table:
     """ES span_near analog (in_order, total-slack slop): docs with the
     SPAN_TERMS chain within SPAN_SLOP, each with its chain count."""

@@ -707,6 +707,78 @@ class Searcher(SuggestAPI):
         groups.sort(key=lambda g: (-g[2], g[1]))
         return [(d, s, v) for v, d, s in groups[:k]]
 
+    def _parent_group_stats(self, query: str, parent_field: str,
+                            where: dict | None = None, mode: str = "or",
+                            must_not: str | None = None) -> dict:
+        """Per-parent aggregates for the join-field (has_child) search:
+        parent value -> [sum_score, max_score, n_children] over ALL hits.
+        One TAAT pass (scores bit-identical to search), then vectorized
+        group scatter (np.add.at / np.maximum.at over dictionary codes).
+        Sum accumulates in ascending-doc order (the SQL oracle's
+        sum(... ORDER BY doc_id)). UNTRUNCATED so the sharded merge is
+        exact — parents span segments."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {}
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return {}
+        codes, values = self._field_codes(parent_field)
+        buf = np.zeros(self.N, dtype=np.float64)
+        for term, qn, p in self._plist(query):
+            w = self._term_weight(qn, p.df)
+            buf[p.doc_ids] += w * p.tf_part
+        grp = codes[idx]
+        keep = grp >= 0  # children without a parent value drop
+        grp, scores = grp[keep], buf[idx[keep]]
+        if grp.size == 0:
+            return {}
+        nvals = len(values)
+        sums = np.zeros(nvals, dtype=np.float64)
+        np.add.at(sums, grp, scores)  # ascending-doc accumulation
+        maxs = np.full(nvals, -np.inf)
+        np.maximum.at(maxs, grp, scores)
+        cnts = np.bincount(grp, minlength=nvals)
+        return {
+            values[int(g)]: [float(sums[g]), float(maxs[g]), int(cnts[g])]
+            for g in np.unique(grp)
+        }
+
+    def has_child_search(self, query: str, parent_field: str, k: int = 10,
+                         score_mode: str = "max",
+                         min_children: int = 1,
+                         where: dict | None = None, mode: str = "or",
+                         must_not: str | None = None) -> list[tuple]:
+        """ES has_child-query analog over a join FIELD: the index stores
+        child docs (turns) carrying their parent key (conv_id — the
+        transcript parent/child relation; generic for any keyword
+        column). Returns the top-``k`` PARENTS whose children match the
+        query, scored per the ES score_mode: 'max' (default), 'sum',
+        'avg' (sum/count, one division), or 'none' (constant 0 —
+        filter-only, ranked by parent value asc). ``min_children`` is
+        the ES min_children gate. Order (score desc, parent asc).
+        Returns [(parent_value, score, n_children)]."""
+        if score_mode not in ("max", "sum", "avg", "none"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        stats = self._parent_group_stats(
+            query, parent_field, where, mode, must_not
+        )
+        rows = []
+        for v, (s_sum, s_max, n) in stats.items():
+            if n < min_children:
+                continue
+            if score_mode == "max":
+                sc = s_max
+            elif score_mode == "sum":
+                sc = s_sum
+            elif score_mode == "avg":
+                sc = s_sum / n
+            else:
+                sc = 0.0
+            rows.append((v, sc, n))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
+
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",
                         must_not: str | None = None) -> int:
@@ -3209,6 +3281,63 @@ class MultiSearcher(SuggestAPI):
             )
             for v, c in ranked
         ]
+
+    def _parent_group_stats(self, query: str, parent_field: str,
+                            where: dict | None = None, mode: str = "or",
+                            must_not: str | None = None) -> dict:
+        """Sharded per-parent aggregates: parents span segments, so each
+        segment returns UNTRUNCATED groups scored with GLOBAL-df weights
+        (the sharded-TAAT op sequence) and the driver merges — sums and
+        counts add, maxes max."""
+        qtf = self._qweights(query)
+        terms = sorted(qtf)
+        weights = {}
+        for term in terms:
+            df_g = sum(
+                p.df for seg in self.segments
+                if (p := seg.lookup(term)) is not None
+            )
+            if df_g:
+                weights[term] = qtf[term] * self.idf(df_g)
+        total: dict = {}
+        for si, seg in enumerate(self.segments):
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                continue
+            idx = np.flatnonzero(hits)
+            if idx.size == 0:
+                continue
+            buf = np.zeros(seg.N, dtype=np.float64)
+            for term in terms:
+                p = seg.lookup(term)
+                if p is not None and term in weights:
+                    buf[p.doc_ids] += weights[term] * self._tf_part(
+                        si, term, p
+                    )
+            codes, values = seg._field_codes(parent_field)
+            grp = codes[idx]
+            keep = grp >= 0
+            grp, scores = grp[keep], buf[idx[keep]]
+            if grp.size == 0:
+                continue
+            nvals = len(values)
+            sums = np.zeros(nvals, dtype=np.float64)
+            np.add.at(sums, grp, scores)
+            maxs = np.full(nvals, -np.inf)
+            np.maximum.at(maxs, grp, scores)
+            cnts = np.bincount(grp, minlength=nvals)
+            for g in np.unique(grp):
+                v = values[int(g)]
+                cur = total.get(v)
+                if cur is None:
+                    total[v] = [float(sums[g]), float(maxs[g]), int(cnts[g])]
+                else:
+                    cur[0] += float(sums[g])
+                    cur[1] = max(cur[1], float(maxs[g]))
+                    cur[2] += int(cnts[g])
+        return total
+
+    has_child_search = Searcher.has_child_search
 
     def search_collapse(self, query: str, field: str, k: int = 10,
                         where: dict | None = None, mode: str = "or",

@@ -918,6 +918,40 @@ def test_histogram_agg_matches_bruteforce(index_dir, oracle):
         s.histogram_agg(q, "turn_idx", 0)
 
 
+def test_has_child_search_matches_bruteforce(index_dir, oracle):
+    """Join-field parent search: every ES score_mode recomputed from the
+    full ranking grouped by conv_id."""
+    idx, t = oracle
+    s = Searcher(index_dir)
+    convs = dict(enumerate(t["conv_id"].to_pylist()))
+    q = "the w0007 bash"
+    full = idx.search(q, k=idx.N)
+    groups: dict = {}
+    for d, sc in sorted(full):  # ascending doc: the engine's sum order
+        g = groups.setdefault(convs[d], [0.0, -1e18, 0])
+        g[0] += sc
+        g[1] = max(g[1], sc)
+        g[2] += 1
+    for sm, pick in [("max", lambda g: g[1]), ("sum", lambda g: g[0]),
+                     ("avg", lambda g: g[0] / g[2]),
+                     ("none", lambda g: 0.0)]:
+        want = sorted(
+            ((v, pick(g), g[2]) for v, g in groups.items()),
+            key=lambda r: (-r[1], r[0]),
+        )[:10]
+        got = s.has_child_search(q, "conv_id", k=10, score_mode=sm)
+        assert [(v, n) for v, _, n in got] == \
+            [(v, n) for v, _, n in want], sm
+        for (_, a, _), (_, b, _) in zip(got, want):
+            assert a == pytest.approx(b, rel=1e-9), sm
+    # min_children gate
+    mc = s.has_child_search(q, "conv_id", k=50, min_children=3)
+    assert all(n >= 3 for _, _, n in mc)
+    assert s.has_child_search("zzzz_absent", "conv_id") == []
+    with pytest.raises(ValueError):
+        s.has_child_search(q, "conv_id", score_mode="product")
+
+
 def test_extended_stats_weighted_avg_match_bruteforce(index_dir, oracle):
     idx, t = oracle
     s = Searcher(index_dir)

@@ -98,6 +98,14 @@ def test_sharded_range_filters_missing_equal_global(indexes):
         single.weighted_avg_agg(q, "turn_idx", "turn_idx")
     for d in (0, 5, single.N - 1):
         assert multi.termvectors(d) == single.termvectors(d)
+    # has_child: parents span segments; scores equal within float merge
+    for sm in ("max", "sum", "avg", "none"):
+        s_rows = single.has_child_search(q, "conv_id", k=30, score_mode=sm)
+        m_rows = multi.has_child_search(q, "conv_id", k=30, score_mode=sm)
+        assert [(v, n) for v, _, n in m_rows] == \
+            [(v, n) for v, _, n in s_rows], sm
+        for (_, a, _), (_, b, _) in zip(m_rows, s_rows):
+            assert a == pytest.approx(b, abs=1e-12), sm
 
 
 def test_sharded_multiget_routing(indexes):
