@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
+        "fts_percolate": P.fts_percolate,            # percolator (streaming)
         "fts_span_near_docs": P.fts_span_near_docs,  # span_near query
         "fts_extended_stats": P.fts_extended_stats,  # extended_stats agg
         "fts_weighted_avg": P.fts_weighted_avg,      # weighted_avg agg
@@ -441,6 +442,22 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT count(DISTINCT source) AS n_distinct
 FROM documents JOIN hits USING (doc_id)
+""",
+        # percolator: term/bool query registry matched per doc
+        "fts_percolate": f"""
+WITH {_TOKS_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT doc_id, 'pq_spark_and_join' AS query_id FROM dt
+WHERE term IN ('join', 'spark') GROUP BY doc_id HAVING count(*) = 2
+UNION ALL
+SELECT doc_id, 'pq_window' FROM dt
+WHERE term = 'window'
+  AND doc_id NOT IN (SELECT doc_id FROM dt WHERE term = 'slow')
+GROUP BY doc_id
+UNION ALL
+SELECT doc_id, 'pq_two_of' FROM dt
+WHERE term IN ('batch', 'scan', 'sort')
+GROUP BY doc_id HAVING count(*) >= 2
 """,
         # has_child (join field): parents ranked by best child score
         "fts_has_child_by_source": f"""

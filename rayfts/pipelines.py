@@ -605,6 +605,34 @@ FILTER_BUCKETS = (
 )
 
 
+PERC_QUERIES = {
+    "pq_spark_and_join": {"query": "spark join", "mode": "and"},
+    "pq_window": {"query": "window", "must_not": "slow"},
+    "pq_two_of": {"query": "batch scan sort", "min_match": 2},
+}
+
+
+def fts_percolate(sf_dir: str):
+    """ES percolate analog as a streaming Ray Data stage: route every
+    document to the registered queries it matches (actor-pool
+    map_batches; the query registry loads once per actor). Returns the
+    lazy Dataset of (doc_id, query_id) matches."""
+    import ray.data as rd
+
+    from .percolate import PercolateRunner
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return ds.map_batches(
+        PercolateRunner,
+        fn_constructor_kwargs={"queries": PERC_QUERIES, "id_col": "doc_id"},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
 def fts_has_child_by_source(sf_dir: str) -> pa.Table:
     """ES has_child analog over the `source` join field: top parents by
     best-matching child (score_mode=max)."""

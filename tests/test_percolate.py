@@ -1,0 +1,103 @@
+"""Percolator (reverse search) conformance: vectorized batch matcher vs a
+per-row brute force, spec validation, and the Ray Data actor-pool stage."""
+
+import pyarrow as pa
+import pytest
+
+from rayfts.fixtures import generate_transcripts
+from rayfts.oracle import tokenize
+from rayfts.percolate import PercolateRunner, Percolator
+
+QUERIES = {
+    "q_and": {"query": "w0007 bash", "mode": "and"},
+    "q_or": {"query": "grep sed awk"},
+    "q_not": {"query": "the", "must_not": "w0007 bash"},
+    "q_two": {"query": "the a to ok", "min_match": 2},
+}
+
+
+def _brute(texts, queries):
+    out = []
+    for row, text in enumerate(texts):
+        toks = set(tokenize(text))
+        for qid in sorted(queries):
+            spec = queries[qid]
+            qt = set(tokenize(spec["query"]))
+            req = spec.get(
+                "min_match",
+                len(qt) if spec.get("mode") == "and" else 1,
+            )
+            if len(toks & qt) < req:
+                continue
+            if toks & set(tokenize(spec.get("must_not", ""))):
+                continue
+            out.append((row, qid))
+    return out
+
+
+@pytest.fixture(scope="module")
+def texts():
+    t = generate_transcripts(30, seed=42)
+    t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return t["text"].to_pylist()
+
+
+def test_percolate_matches_bruteforce(texts):
+    p = Percolator(QUERIES)
+    got = p.percolate_table(pa.table({"text": pa.array(texts)}))
+    rows = list(zip(got["row"].to_pylist(), got["query_id"].to_pylist()))
+    assert rows == _brute(texts, QUERIES)
+    # id_col passthrough
+    ids = [f"d{i:04d}" for i in range(len(texts))]
+    got2 = p.percolate_table(
+        pa.table({"text": pa.array(texts), "k": pa.array(ids)}), id_col="k"
+    )
+    assert got2["k"].to_pylist() == [ids[r] for r, _ in rows]
+    # empty batch
+    empty = p.percolate_table(pa.table({"text": pa.array([], pa.string())}))
+    assert empty.num_rows == 0
+
+
+def test_percolate_spec_validation():
+    with pytest.raises(ValueError, match="at least one"):
+        Percolator({})
+    with pytest.raises(ValueError, match="no terms"):
+        Percolator({"q": {"query": "   "}})
+    with pytest.raises(ValueError, match="mode"):
+        Percolator({"q": {"query": "a", "mode": "xor"}})
+    with pytest.raises(ValueError, match="min_match"):
+        Percolator({"q": {"query": "a b", "min_match": 3}})
+    # stopwords filter the query side too (one analyzer everywhere)
+    p = Percolator({"q": {"query": "the bash"}}, stopwords=("the",))
+    t = p.percolate_table(pa.table({"text": pa.array(["the the the"])}))
+    assert t.num_rows == 0
+
+
+def test_percolate_ray_stage(texts, tmp_path):
+    """The map_batches actor-pool stage equals the local matcher."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        path,
+    )
+    ds = rd.read_parquet(path).map_batches(
+        PercolateRunner,
+        fn_constructor_kwargs={"queries": QUERIES, "id_col": "doc_id"},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    got = sorted(
+        zip(
+            ds.to_pandas()["doc_id"].tolist(),
+            ds.to_pandas()["query_id"].tolist(),
+        )
+    )
+    assert got == _brute(texts, QUERIES)
