@@ -94,6 +94,53 @@ def excluded_docs(index_dir: str) -> list[int]:
         return [int(d) for d in json.load(f).get("excluded", [])]
 
 
+def reindex(src_index_dir: str, index_dir: str, where: dict | None = None,
+            rows_per_part: int = 250_000, **cfg_overrides) -> dict:
+    """ES _reindex analog: build a NEW index from an existing index's
+    docstore — the original source is not needed. The new config starts
+    from the SOURCE manifest (key_cols, text_col, k1/b, term_buckets,
+    positions, stopwords); pass overrides to change the mapping (the ES
+    migrate-to-new-analyzer/mapping use, e.g. ``stopwords=(...)`` or
+    ``index_positions=True``). ``where`` is reindex-with-query (the same
+    filter surface as filter_mask, pushed down into the parquet read);
+    tombstoned docs DROP — deletes don't survive a reindex, exactly ES.
+    Streaming: docstore parquet -> filter -> the standard build
+    pipeline; nothing materializes on the driver. Returns the new
+    manifest."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .build import build_index
+    from .config import IndexJobConfig
+    from .search import _where_expr
+
+    m = load_manifest(src_index_dir)
+    base = dict(
+        index_dir=index_dir,
+        key_cols=tuple(m["key_cols"]),
+        text_col=m["text_col"],
+        k1=m["k1"],
+        b=m["b"],
+        term_buckets=m["term_buckets"],
+        index_positions=bool(m.get("positions", False)),
+        stopwords=tuple(m.get("stopwords", ())),
+    )
+    base.update(cfg_overrides)
+    cfg = IndexJobConfig(**base)
+    expr = _where_expr(where) if where else None
+    excl = excluded_docs(src_index_dir)
+    if excl:
+        live = ~pc.field("doc_id").isin(excl)
+        expr = live if expr is None else expr & live
+    docstore = os.path.join(src_index_dir, "docstore")
+    ds = rd.read_parquet(docstore, **({"filter": expr} if expr is not None else {}))
+    # the new build re-derives dense doc_ids from key_cols
+    ds = ds.map_batches(
+        lambda t: t.drop_columns(["doc_id"]), batch_format="pyarrow"
+    )
+    return build_index(ds, cfg=cfg, rows_per_part=rows_per_part)
+
+
 # ---------------------------------------------------------------------------
 # index aliases — the ES alias API analog
 # ---------------------------------------------------------------------------

@@ -86,6 +86,45 @@ def test_admin_lifecycle(tmp_path):
     assert delete_index(idx) is False
 
 
+def test_reindex_full_filtered_and_remapped(tmp_path):
+    """ES _reindex analog: full reindex is search-identical; a where
+    filter subsets; tombstones drop; a mapping override (stopwords)
+    takes effect in the new index."""
+    from rayfts.admin import exclude_docs, reindex
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+    from rayfts.search import Searcher
+
+    corpus = str(tmp_path / "c")
+    write_transcripts(corpus, n_convs=10, seed=42)
+    src = str(tmp_path / "src")
+    build_index(corpus, cfg=IndexJobConfig(index_dir=src, term_buckets=4))
+    s0 = Searcher(src)
+    # 1) plain reindex == the source, query for query
+    m = reindex(src, str(tmp_path / "full"))
+    s1 = Searcher(str(tmp_path / "full"))
+    assert s1.N == s0.N
+    for q in ("the w0007 bash", "grep sed"):
+        assert s1.search(q, k=20) == s0.search(q, k=20), q
+    # 2) reindex-with-query: only user turns survive
+    reindex(src, str(tmp_path / "users"), where={"role": "user"})
+    s2 = Searcher(str(tmp_path / "users"))
+    assert s2.N == s0.count(role="user")
+    assert s2.count(role="tool") == 0
+    # 3) tombstoned docs do not survive a reindex
+    exclude_docs(src, [0, 1, 2])
+    reindex(src, str(tmp_path / "purged"))
+    s3 = Searcher(str(tmp_path / "purged"))
+    assert s3.N == s0.N - 3
+    assert s3.excluded.size == 0
+    # 4) mapping override: a stopword vanishes from the new index
+    reindex(src, str(tmp_path / "stopped"), stopwords=("the",))
+    s4 = Searcher(str(tmp_path / "stopped"))
+    assert s4.lookup("the") is None and s0.lookup("the") is not None
+    assert m["n_docs"] == s0.N
+
+
 def test_alias_lifecycle_and_atomic_swap(tmp_path):
     """ES alias analog: set/resolve/delete, unpublished-target rejection,
     the atomic rebuild-and-repoint swap, and a multi-index alias opening
