@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_composite_page2": P.fts_composite_page2,  # composite agg cursor
         "fts_significant_terms": P.fts_significant_terms,  # significant_terms
         "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
+        "fts_date_hist_pipeline": P.fts_date_hist_pipeline,  # pipeline aggs
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
         "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
         "fts_more_like_this": P.fts_more_like_this,  # MLT query
@@ -740,6 +741,24 @@ SELECT CAST(epoch(date_trunc('month',
        count(*) AS n_docs
 FROM documents JOIN hits USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        # pipeline aggs: window functions over the date_histogram buckets
+        "fts_date_hist_pipeline": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT CAST(epoch(date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+           AS month_start,
+         count(*) AS n_docs
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+)
+SELECT month_start, n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY month_start) AS BIGINT) AS cum_docs,
+       CAST(n_docs - coalesce(lag(n_docs) OVER (ORDER BY month_start), 0)
+            AS BIGINT) AS deriv
+FROM hist ORDER BY month_start
 """,
         # quantile_cont == the engine's rank = q*(n-1) linear interpolation
         "fts_percentiles_nchars": f"""

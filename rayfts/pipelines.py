@@ -852,6 +852,26 @@ def fts_date_hist_month(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_date_hist_pipeline(sf_dir: str) -> pa.Table:
+    """ES pipeline aggregations (cumulative_sum + derivative) over the
+    calendar date_histogram buckets; the first bucket's derivative diffs
+    against 0 (coalesce(lag, 0) — the documented divergence)."""
+    from .search import pipeline_aggs
+
+    s = Searcher(documents_index(sf_dir))
+    rows = pipeline_aggs(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "month")
+    )
+    return pa.table(
+        {
+            "month_start": pa.array([r[0] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "cum_docs": pa.array([r[2] for r in rows], pa.int64()),
+            "deriv": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
     """ES percentiles-aggregation analog: EXACT linear-interpolation
     percentiles (the quantile_cont definition) of n_chars over ALL

@@ -141,6 +141,44 @@ def _range_agg_key(f, t) -> str:
     return f"{'*' if f is None else f}-{'*' if t is None else t}"
 
 
+def pipeline_aggs(buckets: list[tuple], cumulative: bool = True,
+                  derivative: bool = True,
+                  selector=None, sort_desc_by_count: int | None = None):
+    """ES pipeline-aggregation analogs over parent-agg buckets
+    [(key, count)] (histogram / date_histogram / terms output):
+
+    - cumulative_sum: running total in key order;
+    - derivative: count minus the previous bucket's count (the FIRST
+      bucket diffs against 0 — coalesce(lag, 0), the documented
+      divergence from ES omitting the key, chosen so every row is
+      defined for the SQL oracle);
+    - bucket_selector: ``selector(key, count)`` predicate drops buckets
+      AFTER the cumulative/derivative pass (ES evaluation order);
+    - bucket_sort: ``sort_desc_by_count=k`` re-orders the surviving
+      buckets (count desc, key asc) and truncates to k.
+
+    Pure post-processing over O(buckets) driver-side rows — the parent
+    aggregation did the distributed work; sharded executors reuse this
+    verbatim on their merged buckets."""
+    out = []
+    cum = 0
+    prev = 0
+    for key, cnt in buckets:
+        cum += cnt
+        row = [key, cnt]
+        if cumulative:
+            row.append(cum)
+        if derivative:
+            row.append(cnt - prev)
+        prev = cnt
+        out.append(tuple(row))
+    if selector is not None:
+        out = [r for r in out if selector(r[0], r[1])]
+    if sort_desc_by_count is not None:
+        out = sorted(out, key=lambda r: (-r[1], r[0]))[:sort_desc_by_count]
+    return out
+
+
 def _where_key(where: dict) -> tuple:
     """Hashable cache key for a ``where`` spec (scalar equality, None for
     is-null, or an ES-style range dict {gte/gt/lte/lt: bound})."""

@@ -918,6 +918,26 @@ def test_histogram_agg_matches_bruteforce(index_dir, oracle):
         s.histogram_agg(q, "turn_idx", 0)
 
 
+def test_pipeline_aggs_over_histogram(index_dir, oracle):
+    from rayfts.search import pipeline_aggs
+
+    s = Searcher(index_dir)
+    buckets = s.histogram_agg("the a", "turn_idx", 2.0)
+    rows = pipeline_aggs(buckets)
+    cum = 0
+    prev = 0
+    for (k, c), (k2, c2, cm, dv) in zip(buckets, rows):
+        cum += c
+        assert (k2, c2, cm, dv) == (k, c, cum, c - prev)
+        prev = c
+    # bucket_selector drops, bucket_sort reorders + truncates
+    kept = pipeline_aggs(buckets, selector=lambda k, c: c > buckets[0][1])
+    assert all(c > buckets[0][1] for _, c, _, _ in kept)
+    top2 = pipeline_aggs(buckets, sort_desc_by_count=2)
+    assert len(top2) == 2 and top2[0][1] >= top2[1][1]
+    assert pipeline_aggs([]) == []
+
+
 def test_has_child_search_matches_bruteforce(index_dir, oracle):
     """Join-field parent search: every ES score_mode recomputed from the
     full ranking grouped by conv_id."""
