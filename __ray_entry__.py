@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_terms_set_docs": P.fts_terms_set_docs,  # terms_set query
         "fts_range_nchars": P.fts_range_nchars,      # range aggregation
         "fts_filters_agg": P.fts_filters_agg,        # filters aggregation
+        "fts_adjacency_matrix": P.fts_adjacency_matrix,  # adjacency_matrix
         "fts_suggest_term": P.fts_suggest_term,      # term suggester
         "fts_suggest_completion": P.fts_suggest_completion,  # completion
         "fts_suggest_phrase": P.fts_suggest_phrase,  # phrase suggester (LM)
@@ -300,6 +301,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": P.lang_id_q,
         "text_fingerprint": P.text_fingerprint_q,
     }
+
+
+def _adjacency_values() -> str:
+    """VALUES rows for the adjacency_matrix oracle: every named filter
+    plus every pairwise AND, keys sorted with the ES 'a&b' rule."""
+    cond = lambda flt: " AND ".join(  # noqa: E731
+        f"{c} = '{v}'" for c, v in flt.items()
+    )
+    names = sorted(P.ADJ_FILTERS)
+    rows = []
+    for i, a in enumerate(names):
+        rows.append((a, cond(P.ADJ_FILTERS[a])))
+        for b in names[i + 1:]:
+            rows.append((
+                f"{a}&{b}",
+                cond(P.ADJ_FILTERS[a]) + " AND " + cond(P.ADJ_FILTERS[b]),
+            ))
+    return ",\n".join(
+        f"  ('{k}', (SELECT count(*) FROM h WHERE {c}))" for k, c in rows
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -601,6 +622,17 @@ SELECT * FROM (VALUES
     for name, flt in P.FILTER_BUCKETS
 )}
 ) t(name, n_docs)
+""",
+        # adjacency_matrix: named filters + pairwise intersections,
+        # empty buckets omitted
+        "fts_adjacency_matrix": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+h AS (SELECT lang, source FROM documents JOIN hits USING (doc_id))
+SELECT * FROM (VALUES
+{_adjacency_values()}
+) t(key, n_docs) WHERE n_docs > 0
 """,
         # field collapsing: best hit per source (row_number twin of the
         # engine's per-group lexsort argmax), groups ranked by best hit

@@ -751,6 +751,26 @@ def fts_range_nchars(sf_dir: str) -> pa.Table:
     )
 
 
+ADJ_FILTERS = {
+    "en": {"lang": "en"},
+    "de": {"lang": "de"},
+    "s7": {"source": "src7"},
+}
+
+
+def fts_adjacency_matrix(sf_dir: str) -> pa.Table:
+    """ES adjacency_matrix analog: per-filter and pairwise-intersection
+    counts over the BM25_QUERY hit set."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.adjacency_matrix_agg(BM25_QUERY, ADJ_FILTERS)
+    return pa.table(
+        {
+            "key": pa.array([k for k, _ in rows], pa.string()),
+            "n_docs": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
 def fts_filters_agg(sf_dir: str) -> pa.Table:
     """ES filters-aggregation analog: named keyword-filter buckets
     counted over the full BM25_QUERY hit set."""

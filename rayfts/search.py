@@ -1097,6 +1097,31 @@ class Searcher(SuggestAPI):
         codes, _ = self._field_codes(field)
         return int((hits & (codes < 0)).sum())
 
+    def adjacency_matrix_agg(self, query: str, filters: dict,
+                             where: dict | None = None, mode: str = "or",
+                             must_not: str | None = None) -> list[tuple]:
+        """ES adjacency_matrix-aggregation analog: hit counts for every
+        named filter AND every pairwise intersection (key "a&b", names
+        sorted — the ES key rule), empty buckets omitted. One filter
+        mask per name, one AND per pair. Returns [(key, count)] sorted
+        by key."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        names = sorted(filters)
+        if hits is None:
+            return []
+        masks = {n: hits & self.filter_mask(**filters[n]) for n in names}
+        out = []
+        for i, a in enumerate(names):
+            c = int(masks[a].sum())
+            if c:
+                out.append((a, c))
+            for b in names[i + 1:]:
+                c = int((masks[a] & masks[b]).sum())
+                if c:
+                    out.append((f"{a}&{b}", c))
+        out.sort()
+        return out
+
     # numpy datetime64 truncation units per ES calendar_interval
     _CALENDAR_UNITS = {
         "minute": "m", "hour": "h", "day": "D",
@@ -3563,6 +3588,19 @@ class MultiSearcher(SuggestAPI):
             seg.missing_agg(query, field, where, mode, must_not)
             for seg in self.segments
         )
+
+    def adjacency_matrix_agg(self, query: str, filters: dict,
+                             where: dict | None = None, mode: str = "or",
+                             must_not: str | None = None) -> list[tuple]:
+        """Sharded adjacency_matrix: intersections never cross docs, so
+        per-segment bucket counts sum by key."""
+        total: dict = {}
+        for seg in self.segments:
+            for key, c in seg.adjacency_matrix_agg(
+                query, filters, where, mode, must_not
+            ):
+                total[key] = total.get(key, 0) + c
+        return sorted(total.items())
 
     def search_by_field(self, query: str, field: str, order: str = "desc",
                         k: int = 10, where: dict | None = None,

@@ -1092,6 +1092,17 @@ def test_range_filters_missing_aggs_match_bruteforce(index_dir, oracle):
         ("users", sum(1 for d in hits if roles[d] == "user")),
         ("tools", sum(1 for d in hits if roles[d] == "tool")),
     ]
+    # adjacency_matrix: filters + pairwise intersections, empties omitted
+    adj = {"u": {"role": "user"}, "t": {"role": "tool"},
+           "a": {"role": "assistant"}}
+    got = s.adjacency_matrix_agg(q, adj)
+    want = []
+    for name, r in [("a", "assistant"), ("t", "tool"), ("u", "user")]:
+        c = sum(1 for d in hits if roles[d] == r)
+        if c:
+            want.append((name, c))
+    assert got == sorted(want)  # same-column pairs always intersect empty
+    assert s.adjacency_matrix_agg("zzzz_absent", adj) == []
     # missing agg: tool column is null off tool turns
     tools = dict(enumerate(t["tool"].to_pylist()))
     assert s.missing_agg(q, "tool") == sum(
