@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_synonym_top10": P.fts_synonym_top10,    # SynonymQuery expansion
         "fts_multi_match_top10": P.fts_multi_match_top10,  # most_fields
         "fts_dis_max_top10": P.fts_dis_max_top10,    # best_fields / dis_max
+        "fts_cross_fields_top10": P.fts_cross_fields_top10,  # cross_fields
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
@@ -893,6 +894,53 @@ scores AS (
   SELECT doc_id,
          greatest(ts, ss) + 0.3 * ((ss + ts) - greatest(ts, ss)) AS score
   FROM allsc
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # cross_fields: blended idf (df = max over fields) * best-field
+        # saturation, summed terms-ascending
+        "fts_cross_fields_top10": f"""
+WITH ttoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}'))
+               AS term FROM documents),
+tdl AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN ttoks t USING (doc_id) GROUP BY d.doc_id),
+stoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(source), '{_TOK}'))
+          AS term FROM documents),
+sdl AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN stoks t USING (doc_id) GROUP BY d.doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT sum(dl) FROM tdl) * 1.0 / (SELECT count(*) FROM documents) AS t_avgdl,
+              (SELECT sum(dl) FROM sdl) * 1.0 / (SELECT count(*) FROM documents) AS s_avgdl),
+qt(term) AS (VALUES {",".join(f"('{t}')" for t in sorted(set(P.MULTI_QUERY.split())))}),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+stf AS (SELECT doc_id, term, count(*) AS tf FROM stoks
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+dfb AS (SELECT q.term,
+               greatest(coalesce(tdf.df, 0), coalesce(sdf.df, 0)) AS df
+        FROM qt q LEFT JOIN tdf USING (term) LEFT JOIN sdf USING (term)),
+sats AS (
+  SELECT stf.doc_id, stf.term,
+         ({P.MULTI_BOOSTS["source"]!r} * (stf.tf * (1.2 + 1.0)
+           / (stf.tf + 1.2 * (1.0 - 0.75 + 0.75 * sdl.dl / st.s_avgdl)))) AS c
+  FROM stf JOIN sdl USING (doc_id) CROSS JOIN st
+  UNION ALL
+  SELECT ttf.doc_id, ttf.term,
+         ({P.MULTI_BOOSTS["text"]!r} * (ttf.tf * (1.2 + 1.0)
+           / (ttf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / st.t_avgdl)))) AS c
+  FROM ttf JOIN tdl USING (doc_id) CROSS JOIN st
+),
+tmax AS (SELECT doc_id, term, max(c) AS c FROM sats GROUP BY 1, 2),
+scores AS (
+  SELECT t.doc_id,
+         sum((1.0 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))) * t.c
+             ORDER BY t.term) AS score
+  FROM tmax t JOIN dfb d USING (term) CROSS JOIN st
+  WHERE d.df > 0
+  GROUP BY t.doc_id
 )
 SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
 FROM scores ORDER BY score DESC, doc_id LIMIT 10

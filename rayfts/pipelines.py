@@ -966,6 +966,34 @@ def fts_dis_max_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_cross_fields_top10(sf_dir: str) -> pa.Table:
+    """ES multi_match type=cross_fields (Lucene BlendedTermQuery): one
+    blended idf per term (df = max across fields), saturation = best
+    field's boosted tf_part."""
+    from .search import MultiFieldSearcher
+
+    text_dir = documents_index(sf_dir)
+    src_dir = documents_source_index(sf_dir)
+    mf = MultiFieldSearcher(
+        {
+            "text": (Searcher(text_dir), MULTI_BOOSTS["text"]),
+            "source": (Searcher(src_dir), MULTI_BOOSTS["source"]),
+        }
+    )
+    hits = mf.search(MULTI_QUERY, k=10, match_type="cross_fields")
+    dense_to_src = _dense_to_src(text_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
 def fts_synonym_top10(sf_dir: str) -> pa.Table:
     """Query-time synonym expansion (Lucene SynonymQuery): each clause
     of SYN_QUERY scores as one pseudo-term over its group — df = max of

@@ -2655,10 +2655,47 @@ class MultiFieldSearcher:
         docstore (all fields share one doc space)."""
         if k <= 0:
             return []
-        if match_type not in ("most_fields", "best_fields"):
+        if match_type not in ("most_fields", "best_fields", "cross_fields"):
             raise ValueError(f"unknown match_type {match_type!r}")
         hit = np.zeros(self.N, dtype=bool)
-        if match_type == "most_fields":
+        if match_type == "cross_fields":
+            # Lucene BlendedTermQuery analog: per TERM, df blends to the
+            # max across fields (one idf — the term is one concept split
+            # over fields), saturation = max over fields of
+            # boost_f * tf_part_f, contribution = blended_w * that max;
+            # terms accumulate ascending. Op order pinned for the oracle:
+            # sum over terms of w_t * greatest_f(boost_f * sat_f).
+            first = self.fields[sorted(self.fields)[0]][0]
+            qtf = first._qweights(query)
+            buf = np.zeros(self.N, dtype=np.float64)
+            for term in sorted(qtf):
+                df_blend = 0
+                posts = []
+                for name in sorted(self.fields):
+                    s, boost = self.fields[name]
+                    p = s.lookup(term)
+                    if p is not None:
+                        df_blend = max(df_blend, p.df)
+                        posts.append((boost, p))
+                if df_blend == 0:
+                    continue
+                w = qtf[term] * first.idf(df_blend)
+                tmp = np.zeros(self.N, dtype=np.float64)
+                for boost, p in posts:
+                    ids = (
+                        p.doc_ids if p.live_mask is None
+                        else p.doc_ids[p.live_mask]
+                    )
+                    tfp = (
+                        p.tf_part if p.live_mask is None
+                        else p.tf_part[p.live_mask]
+                    )
+                    np.maximum.at(tmp, ids, boost * tfp)
+                    hit[ids] = True
+                touched = np.flatnonzero(tmp)
+                buf_touched = buf[touched] + w * tmp[touched]
+                buf[touched] = buf_touched
+        elif match_type == "most_fields":
             buf = np.zeros(self.N, dtype=np.float64)
             for name in sorted(self.fields):
                 s, boost = self.fields[name]

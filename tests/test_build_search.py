@@ -1307,8 +1307,41 @@ def test_multi_match_most_fields(corpus, index_dir, oracle, tmp_path_factory):
         assert [x for x, _ in got] == [x for x, _ in want], tb
         for (_, x), (_, y) in zip(got, want):
             assert x == pytest.approx(y, abs=1e-9)
+    # cross_fields: one blended idf per term, max saturation over fields
+    def sat(idx2, doc, term):
+        f = idx2.doc_tfs[doc].get(term, 0)
+        if f == 0:
+            return 0.0
+        norm = idx2.k1 * (
+            1.0 - idx2.b + idx2.b * idx2.dl[doc] / idx2.avgdl
+        )
+        return f * (idx2.k1 + 1.0) / (f + norm)
+
+    import math
+
+    combined = {}
+    for doc in set(a) | set(b):
+        sc = 0.0
+        for term in sorted(set(q.split())):
+            df_blend = max(idx_text.df.get(term, 0), idx_tool.df.get(term, 0))
+            if df_blend == 0:
+                continue
+            m = max(1.0 * sat(idx_text, doc, term),
+                    2.0 * sat(idx_tool, doc, term))
+            if m:
+                w = math.log(
+                    1.0 + (idx_text.N - df_blend + 0.5) / (df_blend + 0.5)
+                )
+                sc += w * m
+        if sc:
+            combined[doc] = sc
+    want = sorted(combined.items(), key=lambda h: (-h[1], h[0]))[:10]
+    got = mf.search(q, k=10, match_type="cross_fields")
+    assert [x for x, _ in got] == [x for x, _ in want]
+    for (_, x), (_, y) in zip(got, want):
+        assert x == pytest.approx(y, abs=1e-9)
     with pytest.raises(ValueError):
-        mf.search(q, match_type="cross_fields")
+        mf.search(q, match_type="phrase_fields")
 
 
 def test_synonym_search_matches_bruteforce(index_dir, oracle):
