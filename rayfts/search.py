@@ -1324,6 +1324,58 @@ class Searcher(SuggestAPI):
             for (d, sc), p, t, txt in zip(hits, fp, ft, texts)
         ]
 
+    def _all_matches(self, terms: list[str], docs: list[int]) -> dict:
+        """doc -> sorted [(pos, term)] of EVERY query-term occurrence,
+        from the positional sidecar (one searchsorted + occ-slice gather
+        per term over the k docs — no text re-analysis)."""
+        darr = np.array(docs, np.int64)
+        matches: dict[int, list] = {int(d): [] for d in docs}
+        for t in sorted(set(terms)):
+            p = self.lookup(t)
+            if p is None:
+                continue
+            pos, occ = self._positions(p)
+            j = np.searchsorted(p.doc_ids, darr)
+            jc = np.minimum(j, p.doc_ids.size - 1)
+            have = p.doc_ids[jc] == darr
+            for i in np.flatnonzero(have):
+                s, e = int(occ[jc[i]]), int(occ[jc[i] + 1])
+                matches[int(darr[i])].extend(
+                    (int(pp), t) for pp in pos[s:e]
+                )
+        for d in matches:
+            matches[d].sort()
+        return matches
+
+    def highlight_fragments(self, query: str, k: int = 10,
+                            window: int = 3, n_fragments: int = 3,
+                            algo: str = "taat", **kw) -> list[tuple]:
+        """ES highlight with number_of_fragments: up to ``n_fragments``
+        NON-OVERLAPPING snippets per hit (matches taken in position
+        order; a match inside the previous fragment's ±window span is
+        absorbed by it — the ES fragment-merging behavior). Returns
+        [(doc_id, score, [(pos, term, snippet), ...])] in ranking
+        order."""
+        hits = self.search(query, k=k, algo=algo, **kw)
+        if not hits:
+            return []
+        docs = [int(d) for d, _ in hits]
+        matches = self._all_matches(sorted(self._qweights(query)), docs)
+        texts = self.get_by_doc_id(docs)["text"].to_pylist()
+        out = []
+        for (d, sc), txt in zip(hits, texts):
+            frags = []
+            next_ok = -1
+            for ppos, t in matches[int(d)]:
+                if ppos < next_ok:
+                    continue
+                frags.append((ppos, t, _snippet(txt, ppos, window)))
+                if len(frags) >= n_fragments:
+                    break
+                next_ok = ppos + 2 * window + 1
+            out.append((d, sc, frags))
+        return out
+
     def _phrase_freqs(self, slots: list[str]):
         """Exact-adjacency phrase frequencies, fully vectorized.
 
@@ -3778,6 +3830,37 @@ class MultiSearcher(SuggestAPI):
             for g, p, t, txt in zip(docs[sel], fp, ft, texts):
                 detail[int(g)] = (int(p), t, _snippet(txt, int(p), window))
         return [(d, sc, *detail[d]) for d, sc in hits]
+
+    def highlight_fragments(self, query: str, k: int = 10,
+                            window: int = 3, n_fragments: int = 3,
+                            **kw) -> list[tuple]:
+        """Sharded multi-fragment highlight: rank globally, each owning
+        segment gathers its docs' match positions + text — O(k) total."""
+        hits = self.search(query, k=k, **kw)
+        if not hits:
+            return []
+        terms = sorted(self._qweights(query))
+        docs = np.array([d for d, _ in hits], np.int64)
+        si_arr = np.searchsorted(self.offsets, docs, side="right") - 1
+        detail: dict = {}
+        for si in np.unique(si_arr):
+            seg = self.segments[int(si)]
+            sel = si_arr == si
+            local = [int(d) - int(self.offsets[si]) for d in docs[sel]]
+            matches = seg._all_matches(terms, local)
+            texts = seg.get_by_doc_id(local)["text"].to_pylist()
+            for g, ld, txt in zip(docs[sel], local, texts):
+                frags = []
+                next_ok = -1
+                for ppos, t in matches[ld]:
+                    if ppos < next_ok:
+                        continue
+                    frags.append((ppos, t, _snippet(txt, ppos, window)))
+                    if len(frags) >= n_fragments:
+                        break
+                    next_ok = ppos + 2 * window + 1
+                detail[int(g)] = frags
+        return [(d, sc, detail[d]) for d, sc in hits]
 
     def get_by_global_doc_id(self, doc_ids: list[int]) -> pa.Table:
         """Order-preserving multiget routed to the owning segment."""

@@ -103,6 +103,43 @@ def test_phrase_shared_and_sharded_identical(corpus, pos_index, oracle, tmp_path
         want = _rounded(oracle.search_phrase(phrase, k=10))
         assert _rounded(ss.search_phrase(phrase, k=10)) == want, f"shared {phrase}"
         assert _rounded(ms.search_phrase(phrase, k=10)) == want, f"sharded {phrase}"
+    # sharded multi-fragment highlight == single-index fragments
+    single = Searcher(pos_index)
+    q = "the w0007"
+    assert ms.highlight_fragments(q, k=10, window=2) == \
+        single.highlight_fragments(q, k=10, window=2)
+    # sharded span_near == single-index chains
+    for terms, slop in [(["the", "w0007"], 3), (["the", "a", "the"], 2)]:
+        assert ms.span_near_docs(terms, slop, limit=10**6) == \
+            single.span_near_docs(terms, slop, limit=10**6), (terms, slop)
+
+
+def test_highlight_fragments_matches_bruteforce(pos_index, oracle):
+    """Multi-fragment highlight: greedy non-overlapping window selection
+    over ALL query-term occurrences, recomputed from raw tokens."""
+    s = Searcher(pos_index)
+    q, window, nf = "the w0007", 2, 3
+    got = s.highlight_fragments(q, k=10, window=window, n_fragments=nf)
+    assert [(d, sc) for d, sc, _ in got] == s.search(q, k=10)
+    qterms = set(q.split())
+    for d, _, frags in got:
+        toks = tokenize(oracle.texts[d])
+        ms = [(i, t) for i, t in enumerate(toks) if t in qterms]
+        want = []
+        next_ok = -1
+        for ppos, t in ms:
+            if ppos < next_ok:
+                continue
+            lo = max(0, ppos - window)
+            want.append((ppos, t, " ".join(toks[lo:ppos + window + 1])))
+            if len(want) >= nf:
+                break
+            next_ok = ppos + 2 * window + 1
+        assert frags == want, d
+        assert 1 <= len(frags) <= nf
+        # fragments never overlap
+        for (a, *_), (b, *_) in zip(frags, frags[1:]):
+            assert b - a > 2 * window
 
 
 def test_span_near_matches_bruteforce(pos_index, oracle):
