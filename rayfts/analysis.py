@@ -166,6 +166,42 @@ def analyze_batch(batch: pa.Table, text_col: str = "text",
     )
 
 
+def fold_ascii(strings):
+    """ES asciifolding token-filter analog, fully vectorized: NFKD
+    normalize then strip combining marks (é→e, ü→u, ï→i); ASCII input
+    passes through byte-identical. One Arrow kernel chain, no per-token
+    Python."""
+    return pc.replace_substring_regex(
+        pc.utf8_normalize(strings, form="NFKD"),
+        pattern=r"\p{Mn}", replacement="",
+    )
+
+
+class FoldAscii:
+    """Corpus-prep Ray Data stage: fold a text column to ASCII BEFORE
+    indexing (``ds.map_batches(FoldAscii, fn_constructor_kwargs=...,
+    batch_format="pyarrow")``). The engine keeps its one-analyzer
+    invariant — folding lives in the data pipeline, and query strings
+    fold with the SAME kernel via :func:`fold_query` (pinned equal by
+    test). The ES analog is the asciifolding filter in a custom
+    analyzer; on a 100 TB corpus this is exactly where you want it —
+    a streamed vectorized pass, not per-query work."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index(self.text_col)
+        col = batch[self.text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return batch.set_column(i, self.text_col, fold_ascii(col))
+
+
+def fold_query(q: str) -> str:
+    """Query-side twin of :class:`FoldAscii` — same kernel, one value."""
+    return fold_ascii(pa.array([q]))[0].as_py()
+
+
 def stop_filter(flat: pa.Array, parent: np.ndarray,
                 pos_in_doc: np.ndarray | None, stopwords):
     """Lucene StopFilter semantics: drop stop tokens from the term

@@ -86,6 +86,44 @@ def test_admin_lifecycle(tmp_path):
     assert delete_index(idx) is False
 
 
+def test_fold_ascii_stage_and_query_twin(tmp_path):
+    """asciifolding: the prep stage folds the corpus, fold_query folds
+    the query with the SAME kernel — accented and plain forms meet."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayfts.analysis import FoldAscii, fold_ascii, fold_query
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.search import Searcher
+
+    assert fold_ascii(pa.array(["héllo", "Ünïté", "plain"])).to_pylist() == \
+        ["hello", "Unite", "plain"]
+    assert fold_query("héllo WÖRLD") == "hello WORLD"
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c0"] * 3),
+            "turn_idx": pa.array([0, 1, 2], pa.int64()),
+            "role": pa.array(["user"] * 3),
+            "text": pa.array(["héllo wörld", "hello again", "naïve plan"]),
+            "tool": pa.array([None] * 3, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).map_batches(
+        FoldAscii, batch_format="pyarrow", concurrency=1
+    )
+    idx = str(tmp_path / "folded")
+    build_index(ds, cfg=IndexJobConfig(index_dir=idx, term_buckets=2))
+    s = Searcher(idx)
+    # accented and plain forms now share one posting list
+    assert s.lookup("hello").df == 2
+    assert s.lookup("héllo") is None
+    assert s.lookup("naive").df == 1
+    # folded query finds the folded index
+    assert [d for d, _ in s.search(fold_query("hÉllo"), k=5)] == \
+        [d for d, _ in s.search("hello", k=5)]
+
+
 def test_reindex_full_filtered_and_remapped(tmp_path):
     """ES _reindex analog: full reindex is search-identical; a where
     filter subsets; tombstones drop; a mapping override (stopwords)
