@@ -784,7 +784,7 @@ class Searcher(SuggestAPI):
 
     def has_child_search(self, query: str, parent_field: str, k: int = 10,
                          score_mode: str = "max",
-                         min_children: int = 1,
+                         min_children: int = 1, inner_hits: int = 0,
                          where: dict | None = None, mode: str = "or",
                          must_not: str | None = None) -> list[tuple]:
         """ES has_child-query analog over a join FIELD: the index stores
@@ -795,7 +795,10 @@ class Searcher(SuggestAPI):
         'avg' (sum/count, one division), or 'none' (constant 0 —
         filter-only, ranked by parent value asc). ``min_children`` is
         the ES min_children gate. Order (score desc, parent asc).
-        Returns [(parent_value, score, n_children)]."""
+        Returns [(parent_value, score, n_children)] — with
+        ``inner_hits=n`` each row gains a 4th element: that parent's
+        top-n children [(doc_id, score)] (the ES inner_hits block),
+        gathered for the k SELECTED parents only."""
         if score_mode not in ("max", "sum", "avg", "none"):
             raise ValueError(f"unknown score_mode {score_mode!r}")
         stats = self._parent_group_stats(
@@ -815,7 +818,48 @@ class Searcher(SuggestAPI):
                 sc = 0.0
             rows.append((v, sc, n))
         rows.sort(key=lambda r: (-r[1], r[0]))
-        return rows[:k]
+        rows = rows[:k]
+        if inner_hits > 0 and rows:
+            heads = self._parent_inner_hits(
+                query, parent_field, [v for v, _, _ in rows], inner_hits,
+                where, mode, must_not,
+            )
+            rows = [(v, sc, n, heads.get(v, [])) for v, sc, n in rows]
+        return rows
+
+    def _parent_inner_hits(self, query: str, parent_field: str,
+                           parents: list, top_n: int,
+                           where=None, mode="or", must_not=None) -> dict:
+        """parent value -> its top-n matching children [(doc, score)] —
+        one dense TAAT pass + per-SELECTED-parent argpartition (the
+        facet_top_hits kernel keyed by the join field)."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {}
+        codes, values = self._field_codes(parent_field)
+        vmap = {v: i for i, v in enumerate(values)}
+        buf = np.zeros(self.N, dtype=np.float64)
+        for term, qn, p in self._plist(query):
+            w = self._term_weight(qn, p.df)
+            buf[p.doc_ids] += w * p.tf_part
+        out: dict = {}
+        for v in parents:
+            code = vmap.get(v)
+            if code is None:
+                continue
+            idx = np.flatnonzero(hits & (codes == code))
+            if idx.size == 0:
+                continue
+            scores = buf[idx]
+            take = min(top_n, idx.size)
+            if idx.size > take:
+                kth = np.partition(-scores, take - 1)[take - 1]
+                cand = np.flatnonzero(-scores <= kth)
+            else:
+                cand = np.arange(idx.size)
+            order = cand[np.lexsort((idx[cand], -scores[cand]))][:take]
+            out[v] = [(int(idx[i]), float(scores[i])) for i in order]
+        return out
 
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",
@@ -3490,6 +3534,60 @@ class MultiSearcher(SuggestAPI):
         return total
 
     has_child_search = Searcher.has_child_search
+
+    def _parent_inner_hits(self, query: str, parent_field: str,
+                           parents: list, top_n: int,
+                           where=None, mode="or", must_not=None) -> dict:
+        """Sharded inner_hits: every owning segment returns a top_n head
+        per selected parent (global-df weights), the driver merges —
+        O(k·top_n) payload per segment."""
+        qtf = self._qweights(query)
+        terms = sorted(qtf)
+        weights = {}
+        for term in terms:
+            df_g = sum(
+                p.df for seg in self.segments
+                if (p := seg.lookup(term)) is not None
+            )
+            if df_g:
+                weights[term] = qtf[term] * self.idf(df_g)
+        heads: dict = {v: [] for v in parents}
+        for si, seg in enumerate(self.segments):
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                continue
+            buf = np.zeros(seg.N, dtype=np.float64)
+            for term in terms:
+                p = seg.lookup(term)
+                if p is not None and term in weights:
+                    buf[p.doc_ids] += weights[term] * self._tf_part(
+                        si, term, p
+                    )
+            codes, values = seg._field_codes(parent_field)
+            vmap = {v: i for i, v in enumerate(values)}
+            off = int(self.offsets[si])
+            for v in parents:
+                code = vmap.get(v)
+                if code is None:
+                    continue
+                idx = np.flatnonzero(hits & (codes == code))
+                if idx.size == 0:
+                    continue
+                scores = buf[idx]
+                take = min(top_n, idx.size)
+                if idx.size > take:
+                    kth = np.partition(-scores, take - 1)[take - 1]
+                    cand = np.flatnonzero(-scores <= kth)
+                else:
+                    cand = np.arange(idx.size)
+                order = cand[np.lexsort((idx[cand], -scores[cand]))][:take]
+                heads[v].extend(
+                    (int(idx[i]) + off, float(scores[i])) for i in order
+                )
+        return {
+            v: sorted(h, key=lambda e: (-e[1], e[0]))[:top_n]
+            for v, h in heads.items() if h
+        }
 
     def search_collapse(self, query: str, field: str, k: int = 10,
                         where: dict | None = None, mode: str = "or",

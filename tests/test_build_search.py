@@ -964,6 +964,14 @@ def test_has_child_search_matches_bruteforce(index_dir, oracle):
             [(v, n) for v, _, n in want], sm
         for (_, a, _), (_, b, _) in zip(got, want):
             assert a == pytest.approx(b, rel=1e-9), sm
+    # inner_hits: each selected parent's top children == the full ranking
+    # restricted to that conv
+    ih = s.has_child_search(q, "conv_id", k=5, inner_hits=2)
+    for v, _, n, kids in ih:
+        want_kids = [(d, sc) for d, sc in full if convs[d] == v][:2]
+        assert [(d, round(sc, 9)) for d, sc in kids] == \
+            [(d, round(sc, 9)) for d, sc in want_kids], v
+        assert len(kids) == min(2, n)
     # min_children gate
     mc = s.has_child_search(q, "conv_id", k=50, min_children=3)
     assert all(n >= 3 for _, _, n in mc)

@@ -106,6 +106,13 @@ def test_sharded_range_filters_missing_equal_global(indexes):
             [(v, n) for v, _, n in s_rows], sm
         for (_, a, _), (_, b, _) in zip(m_rows, s_rows):
             assert a == pytest.approx(b, abs=1e-12), sm
+    s_ih = single.has_child_search(q, "conv_id", k=5, inner_hits=3)
+    m_ih = multi.has_child_search(q, "conv_id", k=5, inner_hits=3)
+    for (v1, _, n1, k1), (v2, _, n2, k2) in zip(s_ih, m_ih):
+        assert (v1, n1) == (v2, n2)
+        assert [d for d, _ in k1] == [d for d, _ in k2]
+        for (_, a), (_, b) in zip(k1, k2):
+            assert a == pytest.approx(b, abs=1e-12)
 
 
 def test_sharded_multiget_routing(indexes):
