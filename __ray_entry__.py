@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
+        "fts_query_string_top10": P.fts_query_string_top10,  # query_string
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
         "fts_percolate": P.fts_percolate,            # percolator (streaming)
         "fts_span_near_docs": P.fts_span_near_docs,  # span_near query
@@ -481,6 +482,18 @@ UNION ALL
 SELECT doc_id, 'pq_two_of' FROM dt
 WHERE term IN ('batch', 'scan', 'sort')
 GROUP BY doc_id HAVING count(*) >= 2
+""",
+        # query_string: required phrase + boosted shoulds + negated term;
+        # score = coalesce(term bm25, 0) + phrase score (engine op order)
+        "fts_query_string_top10": f"""
+{_bm25_with(["join", "spark"], boosts={"join": 2.0})},
+{_phrase_scores_ctes(["the", "batch"])}
+SELECT p.doc_id,
+       CAST(round((coalesce(s2.score, 0.0) + p.score) * 1e6) AS BIGINT)
+         AS score_e6
+FROM ph_scores p LEFT JOIN scores s2 USING (doc_id)
+WHERE p.doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'window')
+ORDER BY (coalesce(s2.score, 0.0) + p.score) DESC, p.doc_id LIMIT 10
 """,
         # has_child (join field): parents ranked by best child score
         "fts_has_child_by_source": f"""

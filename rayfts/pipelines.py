@@ -595,6 +595,7 @@ def fts_significant_terms(sf_dir: str) -> pa.Table:
 PHRASE_PREFIX_QUERY = "the s"      # match_phrase_prefix probe (6 expansions)
 REGEXP_QUERY = "(sc|sp)a.*"        # anchored RegexpQuery probe (scan, spark)
 SPAN_TERMS = ("the", "data", "batch")  # span_near probe (in order)
+QS_QUERY = '+"the batch" spark join^2 -window'  # query_string probe
 SPAN_SLOP = 4
 TERMS_SET = ("spark", "join", "data", "window")  # terms_set probe
 TERMS_SET_MIN = 2
@@ -630,6 +631,22 @@ def fts_percolate(sf_dir: str):
         fn_constructor_kwargs={"queries": PERC_QUERIES, "id_col": "doc_id"},
         batch_format="pyarrow",
         concurrency=2,
+    )
+
+
+def fts_query_string_top10(sf_dir: str) -> pa.Table:
+    """ES query_string analog: '+\"the batch\" spark join^2 -window' —
+    required phrase, boosted + plain should terms, negated term, one
+    bool-composed scoring pass."""
+    s = Searcher(documents_index(sf_dir))
+    hits = s.query_string(QS_QUERY, k=10)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
     )
 
 

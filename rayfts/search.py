@@ -136,6 +136,38 @@ def _wildcard_to_regex(pattern: str) -> str:
     return "".join(parts)
 
 
+_QS_CLAUSE_RE = re.compile(r'([+-]?)("[^"]*"|\S+)')
+
+
+def parse_query_string(q: str) -> dict:
+    """ES query_string mini-grammar parser. Clause syntax:
+    ``+clause`` must, ``-clause`` must_not, ``"a b"`` phrase (with an
+    optional +/- sign), ``term^2`` clause boost, bare = should. Returns
+    {"must": [(raw_clause, boost)], "should": [...],
+     "must_not": [raw_clause], "phrases": [(sign, raw_phrase)]} with
+    phrases in input order; analysis (tokenize + stop filter) happens at
+    execution so the index analyzer governs, like every other query."""
+    out = {"must": [], "should": [], "must_not": [], "phrases": []}
+    for sign, body in _QS_CLAUSE_RE.findall(q):
+        if body.startswith('"'):
+            out["phrases"].append((sign, body.strip('"')))
+            continue
+        boost = 1.0
+        m = _BOOST_RE.search(body)
+        if m:
+            boost = float(m.group(1))
+            body = body[: m.start()]
+        if not body:
+            continue
+        if sign == "-":
+            out["must_not"].append(body)
+        elif sign == "+":
+            out["must"].append((body, boost))
+        else:
+            out["should"].append((body, boost))
+    return out
+
+
 def _range_agg_key(f, t) -> str:
     """ES range-agg bucket key: "from-to" with '*' for an open end."""
     return f"{'*' if f is None else f}-{'*' if t is None else t}"
@@ -1607,6 +1639,105 @@ class Searcher(SuggestAPI):
             / (pff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
         )
         return self._topk_from(docs, scores, k)
+
+    def _present_mask(self, terms: list[str]) -> np.ndarray:
+        """Dense mask of docs containing ANY of the analyzed terms (live
+        postings only)."""
+        m = np.zeros(self.N, dtype=bool)
+        for t in terms:
+            p = self.lookup(t)
+            if p is None:
+                continue
+            ids = p.doc_ids if p.live_mask is None else p.doc_ids[p.live_mask]
+            m[ids] = True
+        return m
+
+    def query_string(self, q: str, k: int = 10,
+                     where: dict | None = None) -> list[tuple]:
+        """ES query_string analog (Lucene BooleanQuery composition of
+        the parsed clauses — see :func:`parse_query_string`):
+
+        - every TERM clause (must + should) scores boost·idf·tf_part,
+          accumulated terms-ascending with same-term boosts SUMMED
+          (Lucene repeated-clause behavior);
+        - every non-negated PHRASE clause scores the search_phrase spec
+          (W = slot idf sum, saturated pf), added in input order;
+        - ``+`` clauses are REQUIRED (a must clause analyzing entirely
+          to stopwords drops, the stop-analyzer rule); ``-`` clauses
+          exclude; with no must clauses at least one scoring clause must
+          match (Lucene's pure-should minimum);
+        - order (score desc, doc_id asc), ``where`` filters hits.
+        Phrase clauses need a positional index."""
+        if k <= 0:
+            return []
+        cl = parse_query_string(q)
+        weights: dict[str, float] = {}
+        for body, boost in cl["must"] + cl["should"]:
+            for t in tokenize_query(body):
+                if self.stopwords and t in self.stopwords:
+                    continue
+                weights[t] = weights.get(t, 0.0) + boost
+        buf = np.zeros(self.N, dtype=np.float64)
+        hit = np.zeros(self.N, dtype=bool)
+        for term in sorted(weights):
+            p = self.lookup(term)
+            if p is None:
+                continue
+            w = weights[term] * self.idf(p.df)
+            ids = p.doc_ids if p.live_mask is None else p.doc_ids[p.live_mask]
+            tfp = p.tf_part if p.live_mask is None else p.tf_part[p.live_mask]
+            buf[ids] += w * tfp
+            hit[ids] = True
+        phrase_docs: list[tuple[str, np.ndarray]] = []
+        for sign, raw in cl["phrases"]:
+            slots = tokenize_query(raw)
+            if self.stopwords:
+                slots = [
+                    (t, i) for i, t in enumerate(slots)
+                    if t not in self.stopwords
+                ]
+            if not slots:
+                continue
+            docs, pf, dfs = self._phrase_freqs(slots)
+            phrase_docs.append((sign, docs))
+            if sign == "-" or docs.size == 0:
+                continue
+            W = 0.0
+            for df in dfs:
+                W += self.idf(df)
+            pff = pf.astype(np.float64)
+            dls = self.dl[docs].astype(np.float64)
+            buf[docs] += W * (
+                pff * (self.k1 + 1.0)
+                / (pff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl))
+            )
+            hit[docs] = True
+        # every doc satisfying the musts matched a scoring clause, so the
+        # pure-should >=1 minimum and the must case both start from `hit`
+        ok = hit
+        for body, _ in cl["must"]:
+            for t in tokenize_query(body):
+                if self.stopwords and t in self.stopwords:
+                    continue  # stop must-clause drops (stop-analyzer rule)
+                ok = ok & self._present_mask([t])
+        for body in cl["must_not"]:
+            ok = ok & ~self._present_mask(tokenize_query(body))
+        for sign, docs in phrase_docs:
+            m = np.zeros(self.N, dtype=bool)
+            m[docs] = True
+            if sign == "+":
+                ok = ok & m
+            elif sign == "-":
+                ok = ok & ~m
+        if self.excluded.size:
+            ok = ok.copy()
+            ok[self.excluded] = False
+        if where:
+            ok = ok & self.filter_mask(**where)
+        idx = np.flatnonzero(ok)
+        if idx.size == 0:
+            return []
+        return self._topk_from(idx, buf[idx], k)
 
     def span_near_docs(self, terms: list[str], slop: int = 0,
                        limit: int = 20) -> list[tuple[int, int]]:

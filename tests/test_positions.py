@@ -114,6 +114,77 @@ def test_phrase_shared_and_sharded_identical(corpus, pos_index, oracle, tmp_path
             single.span_near_docs(terms, slop, limit=10**6), (terms, slop)
 
 
+def test_query_string_matches_bruteforce(pos_index, oracle):
+    """Parsed bool composition: must/must_not/should terms + signed
+    phrases + boosts, recomputed clause by clause."""
+    import math
+
+    s = Searcher(pos_index)
+    cases = [
+        '+"the w0007" bash grep^2 -sed',
+        'w0007 bash',                      # pure should
+        '+w0007 +bash -"the a"',           # must terms + neg phrase
+        '-w0007 bash',                     # neg term
+        '+zzzz_absent bash',               # impossible must -> empty
+    ]
+    for q in cases:
+        from rayfts.search import parse_query_string
+        cl = parse_query_string(q)
+        weights: dict = {}
+        for body, boost in cl["must"] + cl["should"]:
+            for t in tokenize(body):
+                weights[t] = weights.get(t, 0.0) + boost
+        want = {}
+        for d, toks_text in oracle.texts.items():
+            toks = tokenize(toks_text)
+            tset = set(toks)
+            sc = 0.0
+            matched = False
+            for term in sorted(weights):
+                f = oracle.doc_tfs[d].get(term, 0)
+                if not f or term not in oracle.df:
+                    continue
+                matched = True
+                norm = oracle.k1 * (
+                    1.0 - oracle.b + oracle.b * oracle.dl[d] / oracle.avgdl
+                )
+                sc += (weights[term] * oracle.idf(term)) * (
+                    f * (oracle.k1 + 1.0) / (f + norm)
+                )
+            ok = True
+            for sign, raw in cl["phrases"]:
+                slots = tokenize(raw)
+                n = len(slots)
+                pf = sum(
+                    1 for i in range(len(toks) - n + 1)
+                    if toks[i:i + n] == slots
+                )
+                if sign == "-":
+                    ok &= pf == 0
+                    continue
+                if pf:
+                    matched = True
+                    W = sum(oracle.idf(t) for t in slots)
+                    norm = oracle.k1 * (
+                        1.0 - oracle.b + oracle.b * oracle.dl[d] / oracle.avgdl
+                    )
+                    sc += W * (pf * (oracle.k1 + 1.0) / (pf + norm))
+                if sign == "+":
+                    ok &= pf > 0
+            for body, _ in cl["must"]:
+                for t in tokenize(body):
+                    ok &= t in tset
+            for body in cl["must_not"]:
+                ok &= not (set(tokenize(body)) & tset)
+            if ok and matched:
+                want[d] = sc
+        exp = sorted(want.items(), key=lambda h: (-h[1], h[0]))[:10]
+        got = s.query_string(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, a), (_, b) in zip(got, exp):
+            assert a == pytest.approx(b, rel=1e-9), q
+
+
 def test_highlight_fragments_matches_bruteforce(pos_index, oracle):
     """Multi-fragment highlight: greedy non-overlapping window selection
     over ALL query-term occurrences, recomputed from raw tokens."""
