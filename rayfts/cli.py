@@ -65,12 +65,40 @@ def cmd_search(args) -> int:
         d, sc = args.after.split(",")
         after = (int(d), float(sc))
     s = Searcher(args.index)
-    hits = s.search(
-        args.query, k=args.k, algo=args.algo,
-        offset=args.offset, search_after=after,
-    )
+    if args.kind == "phrase":
+        hits = s.search_phrase(
+            args.query, k=args.k, offset=args.offset, search_after=after,
+        )
+    elif args.kind == "query_string":
+        hits = s.query_string(args.query, k=args.k)
+    else:
+        hits = s.search(
+            args.query, k=args.k, algo=args.algo,
+            offset=args.offset, search_after=after,
+        )
     for rank, (doc_id, score) in enumerate(hits, 1 + args.offset):
         print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    from .search import Searcher
+
+    s = Searcher(args.index)
+    if args.kind == "completion":
+        rows = s.suggest_completion(args.text, size=args.size)
+        out = [{"term": t, "df": d} for t, d in rows]
+    elif args.kind == "phrase":
+        rows = s.suggest_phrase(args.text, size=args.size)
+        out = [{"phrase": p, "score": sc} for p, sc in rows]
+    else:
+        rows = s.suggest_term(args.text, size=args.size)
+        out = [
+            {"token": tok, "suggestion": t, "df": d, "score": sc}
+            for tok, t, d, sc in rows
+        ]
+    for row in out:
+        print(json.dumps(row))
     return 0
 
 
@@ -213,7 +241,18 @@ def main(argv=None) -> int:
                    help="ES from: skip the first N ranked hits")
     s.add_argument("--after", default=None, metavar="DOC_ID,SCORE",
                    help="search_after cursor: the previous page's last hit")
+    s.add_argument("--kind", default="match",
+                   choices=["match", "phrase", "query_string"],
+                   help="query body type (the msearch per-line analog)")
     s.set_defaults(fn=cmd_search)
+
+    sg = sub.add_parser("suggest", help="ES _suggest API analog")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--text", required=True)
+    sg.add_argument("--kind", default="term",
+                    choices=["term", "phrase", "completion"])
+    sg.add_argument("--size", type=int, default=5)
+    sg.set_defaults(fn=cmd_suggest)
 
     g = sub.add_parser("get")
     g.add_argument("--index", required=True)

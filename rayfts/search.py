@@ -2993,11 +2993,27 @@ class QueryRunner:
         self.k = k
         self.algo = algo
 
+    def _run_one(self, q: str, kind: str):
+        """Dispatch one query row by its ``kind`` (the msearch body-type
+        analog): 'match' (default BM25), 'phrase', 'query_string'."""
+        if kind == "phrase":
+            return self.searcher.search_phrase(q, k=self.k)
+        if kind == "query_string":
+            return self.searcher.query_string(q, k=self.k)
+        return self.searcher.search(q, k=self.k, algo=self.algo)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = (
+            batch["kind"].to_pylist()
+            if "kind" in batch.column_names
+            else ["match"] * batch.num_rows
+        )
         qids, queries, ranks, docs, scores = [], [], [], [], []
-        for qid, q in zip(batch["query_id"].to_pylist(), batch["query"].to_pylist()):
+        for qid, q, kind in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist(), kinds
+        ):
             for rank, (doc_id, score) in enumerate(
-                self.searcher.search(q, k=self.k, algo=self.algo), start=1
+                self._run_one(q, kind), start=1
             ):
                 qids.append(qid)
                 queries.append(q)
@@ -3023,16 +3039,23 @@ def run_queries(
     concurrency=(1, 8),
     shared_handle=None,
 ):
-    """Run a query set as a Ray Data pipeline; returns a Dataset of hits.
+    """Run a query set as a Ray Data pipeline; returns a Dataset of hits
+    — the ES _msearch analog. Each query may be a plain string (BM25
+    match) or a ``(query, kind)`` pair with kind in
+    {'match', 'phrase', 'query_string'} (the msearch per-line body type).
 
     Pass ``shared_handle`` (a SharedIndexHandle) to serve from the shared
     decoded segment — actors then read zero-copy object-store views instead
     of each decoding the postings themselves."""
     import ray.data as rd
 
-    qds = rd.from_items(
-        [{"query_id": i, "query": q} for i, q in enumerate(queries)]
-    )
+    rows = []
+    for i, q in enumerate(queries):
+        if isinstance(q, tuple):
+            rows.append({"query_id": i, "query": q[0], "kind": q[1]})
+        else:
+            rows.append({"query_id": i, "query": q, "kind": "match"})
+    qds = rd.from_items(rows)
     return qds.map_batches(
         QueryRunner,
         fn_constructor_kwargs={

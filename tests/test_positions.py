@@ -114,6 +114,29 @@ def test_phrase_shared_and_sharded_identical(corpus, pos_index, oracle, tmp_path
             single.span_near_docs(terms, slop, limit=10**6), (terms, slop)
 
 
+def test_run_queries_mixed_kinds(pos_index, oracle):
+    """The distributed runner dispatches per-row kinds (_msearch body
+    types) and equals the direct calls."""
+    from rayfts.search import run_queries
+
+    s = Searcher(pos_index)
+    mixed = [
+        "the w0007",
+        ("the w0007", "phrase"),
+        ('+"the w0007" bash -sed', "query_string"),
+    ]
+    out = run_queries(pos_index, mixed, k=5, concurrency=(1, 2)).to_pandas()
+    for qid, want in [
+        (0, s.search("the w0007", k=5)),
+        (1, s.search_phrase("the w0007", k=5)),
+        (2, s.query_string('+"the w0007" bash -sed', k=5)),
+    ]:
+        got = out[out.query_id == qid].sort_values("rank")
+        assert got.doc_id.tolist() == [d for d, _ in want], qid
+        for a, (_, b) in zip(got.score.tolist(), want):
+            assert a == pytest.approx(b, rel=1e-12)
+
+
 def test_query_string_matches_bruteforce(pos_index, oracle):
     """Parsed bool composition: must/must_not/should terms + signed
     phrases + boosts, recomputed clause by clause."""
