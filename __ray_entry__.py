@@ -482,6 +482,16 @@ UNION ALL
 SELECT doc_id, 'pq_two_of' FROM dt
 WHERE term IN ('batch', 'scan', 'sort')
 GROUP BY doc_id HAVING count(*) >= 2
+UNION ALL
+SELECT DISTINCT a.doc_id, 'pq_phrase' FROM
+  (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+   FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+         FROM documents)) a
+JOIN (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+            FROM documents)) b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'the' AND b.term = 'batch'
 """,
         # query_string: required phrase + boosted shoulds + negated term;
         # score = coalesce(term bm25, 0) + phrase score (engine op order)

@@ -12,9 +12,12 @@ query registry loads once per actor, batches stream through).
 Supported query surface (documented subset of the ES percolator, which
 accepts arbitrary queries): analyzed term queries with ``mode`` "or"
 (default, ES should/match semantics: >= 1 distinct term) or "and" (ES
-bool.must: every distinct term), plus ``must_not`` (no banned term) and
-``min_match`` (explicit minimum_should_match count overriding mode).
-The SAME analyzer runs over incoming docs as over queries.
+bool.must: every distinct term), exact-adjacency PHRASE queries
+(``{"phrase": "a b"}`` — term prefilter then one vectorized
+position-key adjacency pass over the whole batch, the match_phrase
+percolation case), plus ``must_not`` (no banned term) and ``min_match``
+(explicit minimum_should_match count overriding mode). The SAME
+analyzer runs over incoming docs as over queries.
 """
 
 from __future__ import annotations
@@ -46,19 +49,39 @@ class Percolator:
         self.term_qids: dict[str, list[int]] = {}
         self.term_bans: dict[str, list[int]] = {}
         stops = frozenset(stopwords)
+        self.phrases: dict[int, list[str]] = {}
         for qid, spec in queries.items():
-            toks = sorted(
-                t for t in set(tokenize_query(spec["query"]))
-                if t not in stops
-            )
-            if not toks:
-                raise ValueError(f"query {qid!r} analyzes to no terms")
-            mode = spec.get("mode", "or")
-            if mode not in ("or", "and"):
-                raise ValueError(f"unknown mode {mode!r} for query {qid!r}")
-            req = spec.get("min_match", len(toks) if mode == "and" else 1)
-            if not 1 <= req <= len(toks):
-                raise ValueError(f"min_match out of range for {qid!r}")
+            if "phrase" in spec:
+                if "query" in spec:
+                    raise ValueError(
+                        f"query {qid!r}: phrase and query are exclusive"
+                    )
+                slots = [
+                    t for t in tokenize_query(spec["phrase"])
+                    if t not in stops
+                ]
+                if not slots:
+                    raise ValueError(f"query {qid!r} analyzes to no terms")
+                toks = sorted(set(slots))
+                # prefilter: every slot term present; adjacency verified
+                # in ONE batch-wide position-key pass afterwards
+                self.phrases[qidx[qid]] = slots
+                req = len(toks)
+            else:
+                toks = sorted(
+                    t for t in set(tokenize_query(spec["query"]))
+                    if t not in stops
+                )
+                if not toks:
+                    raise ValueError(f"query {qid!r} analyzes to no terms")
+                mode = spec.get("mode", "or")
+                if mode not in ("or", "and"):
+                    raise ValueError(
+                        f"unknown mode {mode!r} for query {qid!r}"
+                    )
+                req = spec.get("min_match", len(toks) if mode == "and" else 1)
+                if not 1 <= req <= len(toks):
+                    raise ValueError(f"min_match out of range for {qid!r}")
             self.req[qidx[qid]] = req
             for t in toks:
                 self.term_qids.setdefault(t, []).append(qidx[qid])
@@ -122,6 +145,13 @@ class Percolator:
                     + np.concatenate(ban_qid)
                 )
                 ukey = ukey[~np.isin(ukey, bkey)]
+            if self.phrases and ukey.size:
+                vmap = {v: i for i, v in enumerate(vocab)}
+                pos = self._pos_in_doc(parent)
+                for qx, slots in self.phrases.items():
+                    pd = self._phrase_docs(slots, tidx, parent, pos, vmap)
+                    is_q = (ukey % self.nq) == qx
+                    ukey = ukey[~is_q | np.isin(ukey // self.nq, pd)]
             rows = ukey // self.nq
             qids = ukey % self.nq
         else:
@@ -139,6 +169,42 @@ class Percolator:
         return pa.table(
             {"row": pa.array(rows, pa.int64()), "query_id": qcol}
         )
+
+
+    @staticmethod
+    def _pos_in_doc(parent: np.ndarray) -> np.ndarray:
+        """Within-doc position of every token (tokens arrive doc-major
+        from the analyzer) — one diff + segmented subtraction."""
+        from .codec import run_spread
+
+        n = parent.size
+        if n == 0:
+            return np.empty(0, np.int64)
+        run_starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(parent)) + 1]
+        ).astype(np.int64)
+        return np.arange(n, dtype=np.int64) - run_spread(
+            run_starts, run_starts, n
+        )
+
+    def _phrase_docs(self, slots: list[str], tidx: np.ndarray,
+                     parent: np.ndarray, pos: np.ndarray,
+                     vmap: dict) -> np.ndarray:
+        """Batch rows where the slots occur ADJACENTLY: the _phrase_freqs
+        position-key pattern applied to the incoming batch's token stream
+        (one isin per slot — no per-row Python)."""
+        codes = [vmap.get(t, -1) for t in slots]
+        if any(c < 0 for c in codes):
+            return np.empty(0, np.int64)
+        L = int(np.bincount(parent).max()) + len(slots) + 2
+        key = parent.astype(np.int64) * L + pos
+        k0 = key[tidx == codes[0]]
+        surv = np.ones(k0.size, dtype=bool)
+        for i, c in enumerate(codes[1:], 1):
+            surv &= np.isin(k0 + i, key[tidx == c])
+            if not surv.any():
+                return np.empty(0, np.int64)
+        return np.unique(k0[surv] // L)
 
 
 class PercolateRunner:

@@ -610,6 +610,7 @@ PERC_QUERIES = {
     "pq_spark_and_join": {"query": "spark join", "mode": "and"},
     "pq_window": {"query": "window", "must_not": "slow"},
     "pq_two_of": {"query": "batch scan sort", "min_match": 2},
+    "pq_phrase": {"phrase": "the batch"},
 }
 
 

@@ -58,6 +58,43 @@ def test_percolate_matches_bruteforce(texts):
     assert empty.num_rows == 0
 
 
+def test_percolate_phrase_queries(texts):
+    """Phrase percolation: adjacency verified on the batch token stream,
+    vs per-row brute force."""
+    queries = {
+        "p_hot": {"phrase": "the a"},
+        "p_w": {"phrase": "the w0007"},
+        "p_not": {"phrase": "same text across"},
+        "p_absent": {"phrase": "zzzz absent phrase"},
+        "p_banned": {"phrase": "the a", "must_not": "w0007"},
+    }
+    p = Percolator(queries)
+    got = list(zip(
+        *[c.to_pylist() for c in p.percolate_table(
+            pa.table({"text": pa.array(texts)})
+        ).columns]
+    ))
+    want = []
+    for row, text in enumerate(texts):
+        toks = tokenize(text)
+        for qid in sorted(queries):
+            slots = tokenize(queries[qid]["phrase"])
+            n = len(slots)
+            ok = any(
+                toks[i:i + n] == slots
+                for i in range(len(toks) - n + 1)
+            )
+            if ok and not (
+                set(tokenize(queries[qid].get("must_not", ""))) & set(toks)
+            ):
+                want.append((row, qid))
+    assert got == want
+    assert any(q == "p_hot" for _, q in want)       # non-trivial probe
+    assert all(q != "p_absent" for _, q in want)
+    with pytest.raises(ValueError, match="exclusive"):
+        Percolator({"q": {"phrase": "a b", "query": "c"}})
+
+
 def test_percolate_spec_validation():
     with pytest.raises(ValueError, match="at least one"):
         Percolator({})
