@@ -928,6 +928,39 @@ class Searcher(SuggestAPI):
             rows = rows[bisect.bisect_right(rows, (after_key, float("inf"))):]
         return rows[:size]
 
+    def _sig_foreground(self, query: str, where=None, mode="or",
+                        must_not=None) -> tuple[int, dict]:
+        """(n_hits, term -> foreground df) from ONE vectorized
+        re-analysis of the hit docs' stored text — the per-segment unit
+        the sharded significant_terms sums."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return 0, {}
+        idx = np.flatnonzero(hits)
+        n_hits = int(idx.size)
+        if n_hits == 0:
+            return 0, {}
+        from .analysis import tokens_flat
+
+        texts = self.get_by_doc_id([int(d) for d in idx])["text"]
+        flat, parent = tokens_flat(texts.combine_chunks())
+        if self.stopwords and len(flat):
+            from .analysis import stop_filter
+
+            flat, parent, _ = stop_filter(flat, parent, None, self.stopwords)
+        if len(flat) == 0:
+            return n_hits, {}
+        denc = pc.dictionary_encode(flat)
+        tidx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nvocab = len(denc.dictionary)
+        pair = np.unique(tidx * n_hits + parent)
+        fg_counts = np.bincount(pair // n_hits, minlength=nvocab)
+        vocab = denc.dictionary.to_pylist()
+        return n_hits, {
+            vocab[int(i)]: int(fg_counts[i])
+            for i in np.flatnonzero(fg_counts)
+        }
+
     def significant_terms(self, query: str, size: int = 10,
                           min_doc_count: int = 3,
                           where: dict | None = None, mode: str = "or",
@@ -942,43 +975,21 @@ class Searcher(SuggestAPI):
         terms. Terms with fg_df < min_doc_count or fgp <= bgp drop (the
         ES noise floor). Returns [(term, fg_df, df, score)] ordered
         (score desc, term asc), first ``size``."""
-        from .analysis import tokens_flat
-
-        hits = self._hit_mask(query, where, mode, must_not)
-        if hits is None:
-            return []
-        idx = np.flatnonzero(hits)
-        n_hits = int(idx.size)
+        n_hits, fg = self._sig_foreground(query, where, mode, must_not)
         if n_hits == 0:
             return []
-        texts = self.get_by_doc_id([int(d) for d in idx])["text"]
-        flat, parent = tokens_flat(texts.combine_chunks())
-        if self.stopwords and len(flat):
-            from .analysis import stop_filter
-
-            flat, parent, _ = stop_filter(flat, parent, None, self.stopwords)
-        if len(flat) == 0:
-            return []
-        denc = pc.dictionary_encode(flat)
-        tidx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        nvocab = len(denc.dictionary)
-        # distinct (term, doc) pairs -> foreground df per candidate term
-        pair = np.unique(tidx * n_hits + parent)
-        fg_counts = np.bincount(pair // n_hits, minlength=nvocab)
-        vocab = denc.dictionary.to_pylist()
         out = []
-        for ti in np.flatnonzero(fg_counts >= min_doc_count):
-            term = vocab[int(ti)]
-            p = self.lookup(term)
-            if p is None:
+        for term, f in fg.items():
+            if f < min_doc_count:
                 continue
-            df = int(p.df)
-            fg = int(fg_counts[ti])
-            fgp = fg / n_hits
+            df = self._dict_stats(term)[0]
+            if df == 0:
+                continue
+            fgp = f / n_hits
             bgp = df / self.N
             if fgp <= bgp:
                 continue  # not overrepresented vs the background
-            out.append((term, fg, df, (fgp - bgp) * (fgp / bgp)))
+            out.append((term, f, df, (fgp - bgp) * (fgp / bgp)))
         out.sort(key=lambda e: (-e[3], e[0]))
         return out[:size]
 
@@ -3520,6 +3531,57 @@ class MultiSearcher(SuggestAPI):
 
     def _bigram_count(self, a: str, b: str) -> int:
         return sum(seg._bigram_count(a, b) for seg in self.segments)
+
+    def composite_agg(self, query: str, field: str, size: int = 10,
+                      after_key: str | None = None,
+                      where: dict | None = None, mode: str = "or",
+                      must_not: str | None = None) -> list[tuple]:
+        """Sharded composite aggregation: UNTRUNCATED per-segment value
+        histograms sum (exact, the facet merge), then the same stateless
+        after_key cursor pages the merged buckets."""
+        import bisect
+
+        total: dict = {}
+        for seg in self.segments:
+            for v, c in seg._facet_hist(
+                query, field, where, mode, must_not
+            ).items():
+                total[v] = total.get(v, 0) + c
+        rows = sorted(total.items())
+        if after_key is not None:
+            rows = rows[bisect.bisect_right(rows, (after_key, float("inf"))):]
+        return rows[:size]
+
+    def significant_terms(self, query: str, size: int = 10,
+                          min_doc_count: int = 3,
+                          where: dict | None = None, mode: str = "or",
+                          must_not: str | None = None):
+        """Sharded significant_terms: per-segment foreground dfs SUM
+        (hit sets are disjoint), background dfs and N are the global
+        sums — identical JLH inputs to a single global index."""
+        n_hits = 0
+        fg: dict[str, int] = {}
+        for seg in self.segments:
+            nh, f = seg._sig_foreground(query, where, mode, must_not)
+            n_hits += nh
+            for t, c in f.items():
+                fg[t] = fg.get(t, 0) + c
+        if n_hits == 0:
+            return []
+        out = []
+        for term, f in fg.items():
+            if f < min_doc_count:
+                continue
+            df = self._dict_stats(term)[0]
+            if df == 0:
+                continue
+            fgp = f / n_hits
+            bgp = df / self.N
+            if fgp <= bgp:
+                continue
+            out.append((term, f, df, (fgp - bgp) * (fgp / bgp)))
+        out.sort(key=lambda e: (-e[3], e[0]))
+        return out[:size]
 
     def fuzzy_docs(self, term: str, max_edits: int = 1, limit: int = 20,
                    prefix_length: int = 0,

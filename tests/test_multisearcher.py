@@ -106,6 +106,19 @@ def test_sharded_range_filters_missing_equal_global(indexes):
             [(v, n) for v, _, n in s_rows], sm
         for (_, a, _), (_, b, _) in zip(m_rows, s_rows):
             assert a == pytest.approx(b, abs=1e-12), sm
+    # composite + significant_terms: sharded == single
+    pages_s = single.composite_agg(q, "role", size=2)
+    assert multi.composite_agg(q, "role", size=2) == pages_s
+    if pages_s:
+        ak = pages_s[-1][0]
+        assert multi.composite_agg(q, "role", size=2, after_key=ak) == \
+            single.composite_agg(q, "role", size=2, after_key=ak)
+    s_sig = single.significant_terms(q, size=10)
+    m_sig = multi.significant_terms(q, size=10)
+    assert [(t, f, d) for t, f, d, _ in m_sig] == \
+        [(t, f, d) for t, f, d, _ in s_sig]
+    for (*_, a), (*_, b) in zip(m_sig, s_sig):
+        assert a == pytest.approx(b, rel=1e-12)
     s_ih = single.has_child_search(q, "conv_id", k=5, inner_hits=3)
     m_ih = multi.has_child_search(q, "conv_id", k=5, inner_hits=3)
     for (v1, _, n1, k1), (v2, _, n2, k2) in zip(s_ih, m_ih):
