@@ -70,6 +70,10 @@ def cmd_search(args) -> int:
             args.query, k=args.k, offset=args.offset, search_after=after,
         )
     elif args.kind == "query_string":
+        if args.offset or after is not None:
+            raise SystemExit(
+                "--offset/--after are not supported with --kind query_string"
+            )
         hits = s.query_string(args.query, k=args.k)
     else:
         hits = s.search(

@@ -49,23 +49,28 @@ class Percolator:
         self.term_qids: dict[str, list[int]] = {}
         self.term_bans: dict[str, list[int]] = {}
         stops = frozenset(stopwords)
-        self.phrases: dict[int, list[str]] = {}
+        self.phrases: dict[int, list[tuple[str, int]]] = {}
         for qid, spec in queries.items():
             if "phrase" in spec:
                 if "query" in spec:
                     raise ValueError(
                         f"query {qid!r}: phrase and query are exclusive"
                     )
-                slots = [
-                    t for t in tokenize_query(spec["phrase"])
+                # stop slots drop but their positions stay as GAPS —
+                # the same enablePositionIncrements semantics as
+                # search_phrase (shifts rebased to the first survivor)
+                pairs = [
+                    (t, i)
+                    for i, t in enumerate(tokenize_query(spec["phrase"]))
                     if t not in stops
                 ]
-                if not slots:
+                if not pairs:
                     raise ValueError(f"query {qid!r} analyzes to no terms")
-                toks = sorted(set(slots))
+                pairs = [(t, s - pairs[0][1]) for t, s in pairs]
+                toks = sorted({t for t, _ in pairs})
                 # prefilter: every slot term present; adjacency verified
                 # in ONE batch-wide position-key pass afterwards
-                self.phrases[qidx[qid]] = slots
+                self.phrases[qidx[qid]] = pairs
                 req = len(toks)
             else:
                 toks = sorted(
@@ -85,8 +90,14 @@ class Percolator:
             self.req[qidx[qid]] = req
             for t in toks:
                 self.term_qids.setdefault(t, []).append(qidx[qid])
-            for t in sorted(set(tokenize_query(spec.get("must_not", "")))):
+            # must_not runs through the same analyzer: a banned stopword
+            # has no postings index-side, so it bans nothing here either
+            for t in sorted(
+                set(tokenize_query(spec.get("must_not", ""))) - stops
+            ):
                 self.term_bans.setdefault(t, []).append(qidx[qid])
+        # every term any query mentions — the O(registry) scan list
+        self.reg_terms = sorted(set(self.term_qids) | set(self.term_bans))
         self.nq = len(self.query_ids)
 
     def percolate_table(self, batch: pa.Table,
@@ -110,20 +121,29 @@ class Percolator:
         hit_qid: list[np.ndarray] = []
         ban_doc: list[np.ndarray] = []
         ban_qid: list[np.ndarray] = []
+        reg_codes: dict[str, int] = {}
         if len(flat):
             denc = pc.dictionary_encode(flat)
             tidx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             # distinct (term, doc) pairs, term-major -> contiguous runs
             pair = np.unique(tidx * ndocs + parent)
             t_arr, d_arr = pair // ndocs, pair % ndocs
-            run_starts = np.flatnonzero(
-                np.diff(t_arr, prepend=t_arr[0] - 1)
-            )
-            run_ends = np.append(run_starts[1:], t_arr.size)
-            vocab = denc.dictionary.to_pylist()
-            for s, e in zip(run_starts.tolist(), run_ends.tolist()):
-                term = vocab[int(t_arr[s])]
-                docs = d_arr[s:e]
+            # O(registry) scan: locate ONLY registered terms in the batch
+            # dictionary (pc.index_in), then slice each term's doc run
+            # with two searchsorteds — batch vocabulary size never enters
+            hits_idx = pc.index_in(
+                pa.array(self.reg_terms, pa.string()),
+                value_set=denc.dictionary,
+            ).to_pylist()
+            for term, code in zip(self.reg_terms, hits_idx):
+                if code is None:
+                    continue
+                reg_codes[term] = int(code)
+                lo = int(np.searchsorted(t_arr, code))
+                hi = int(np.searchsorted(t_arr, code, side="right"))
+                if lo == hi:
+                    continue
+                docs = d_arr[lo:hi]
                 qs = self.term_qids.get(term)
                 if qs:
                     hit_doc.append(np.repeat(docs, len(qs)))
@@ -146,10 +166,9 @@ class Percolator:
                 )
                 ukey = ukey[~np.isin(ukey, bkey)]
             if self.phrases and ukey.size:
-                vmap = {v: i for i, v in enumerate(vocab)}
                 pos = self._pos_in_doc(parent)
-                for qx, slots in self.phrases.items():
-                    pd = self._phrase_docs(slots, tidx, parent, pos, vmap)
+                for qx, pairs in self.phrases.items():
+                    pd = self._phrase_docs(pairs, tidx, parent, pos, reg_codes)
                     is_q = (ukey % self.nq) == qx
                     ukey = ukey[~is_q | np.isin(ukey // self.nq, pd)]
             rows = ukey // self.nq
@@ -187,21 +206,25 @@ class Percolator:
             run_starts, run_starts, n
         )
 
-    def _phrase_docs(self, slots: list[str], tidx: np.ndarray,
+    def _phrase_docs(self, pairs: list[tuple[str, int]], tidx: np.ndarray,
                      parent: np.ndarray, pos: np.ndarray,
-                     vmap: dict) -> np.ndarray:
-        """Batch rows where the slots occur ADJACENTLY: the _phrase_freqs
-        position-key pattern applied to the incoming batch's token stream
-        (one isin per slot — no per-row Python)."""
-        codes = [vmap.get(t, -1) for t in slots]
+                     reg_codes: dict) -> np.ndarray:
+        """Batch rows where the slot pairs (term, shift) occur at their
+        RELATIVE positions (gaps from dropped stopwords included): the
+        _phrase_freqs position-key pattern applied to the incoming
+        batch's token stream (one isin per slot — no per-row Python).
+        Batch positions are unfiltered, so index-side gap semantics line
+        up exactly."""
+        codes = [reg_codes.get(t, -1) for t, _ in pairs]
         if any(c < 0 for c in codes):
             return np.empty(0, np.int64)
-        L = int(np.bincount(parent).max()) + len(slots) + 2
+        max_shift = pairs[-1][1]
+        L = int(np.bincount(parent).max()) + max_shift + 2
         key = parent.astype(np.int64) * L + pos
         k0 = key[tidx == codes[0]]
         surv = np.ones(k0.size, dtype=bool)
-        for i, c in enumerate(codes[1:], 1):
-            surv &= np.isin(k0 + i, key[tidx == c])
+        for (t, shift), c in list(zip(pairs, codes))[1:]:
+            surv &= np.isin(k0 + shift, key[tidx == c])
             if not surv.any():
                 return np.empty(0, np.int64)
         return np.unique(k0[surv] // L)

@@ -136,23 +136,30 @@ def _wildcard_to_regex(pattern: str) -> str:
     return "".join(parts)
 
 
-_QS_CLAUSE_RE = re.compile(r'([+-]?)("[^"]*"|\S+)')
+_QS_CLAUSE_RE = re.compile(r'([+-]?)("[^"]*"(?:\^\d+(?:\.\d+)?)?|\S+)')
 
 
 def parse_query_string(q: str) -> dict:
     """ES query_string mini-grammar parser. Clause syntax:
     ``+clause`` must, ``-clause`` must_not, ``"a b"`` phrase (with an
-    optional +/- sign), ``term^2`` clause boost, bare = should. Returns
+    optional +/- sign and ``"a b"^2`` boost), ``term^2`` clause boost,
+    bare = should. Returns
     {"must": [(raw_clause, boost)], "should": [...],
-     "must_not": [raw_clause], "phrases": [(sign, raw_phrase)]} with
-    phrases in input order; analysis (tokenize + stop filter) happens at
-    execution so the index analyzer governs, like every other query."""
+     "must_not": [raw_clause], "phrases": [(sign, raw_phrase, boost)]}
+    with phrases in input order; analysis (tokenize + stop filter)
+    happens at execution so the index analyzer governs, like every other
+    query."""
     out = {"must": [], "should": [], "must_not": [], "phrases": []}
     for sign, body in _QS_CLAUSE_RE.findall(q):
-        if body.startswith('"'):
-            out["phrases"].append((sign, body.strip('"')))
-            continue
         boost = 1.0
+        if body.startswith('"'):
+            raw = body
+            m = _BOOST_RE.search(raw)
+            if m and raw.endswith(m.group(0)):
+                boost = float(m.group(1))
+                raw = raw[: m.start()]
+            out["phrases"].append((sign, raw.strip('"'), boost))
+            continue
         m = _BOOST_RE.search(body)
         if m:
             boost = float(m.group(1))
@@ -452,6 +459,64 @@ class SuggestAPI:
         return scored[:size]
 
 
+    def composite_agg(self, query: str, field: str, size: int = 10,
+                      after_key=None,
+                      where: dict | None = None, mode: str = "or",
+                      must_not: str | None = None) -> list[tuple]:
+        """ES composite-aggregation analog (single terms source): facet
+        buckets in VALUE-ascending order, paginated by ``after_key`` —
+        the stateless agg cursor (pass the last page's final value back)
+        that lets a consumer stream an unbounded-cardinality aggregation
+        in bounded pages. Per-page work is one merged histogram + a
+        vectorized cursor bisect — never a scan resumption. The host
+        class provides ``_merged_facet_hist`` (single index: one
+        bincount; sharded: summed untruncated per-segment histograms, so
+        pages are exact)."""
+        import bisect
+
+        rows = sorted(
+            self._merged_facet_hist(query, field, where, mode, must_not)
+            .items()
+        )
+        if after_key is not None:
+            rows = rows[bisect.bisect_right(rows, (after_key, float("inf"))):]
+        return rows[:size]
+
+    def significant_terms(self, query: str, size: int = 10,
+                          min_doc_count: int = 3,
+                          where: dict | None = None, mode: str = "or",
+                          must_not: str | None = None):
+        """ES significant_terms analog: terms overrepresented in the
+        query hit set vs the corpus, scored with the JLH heuristic
+        score = (fgp - bgp) * (fgp / bgp), fgp = fg_df/n_hits,
+        bgp = df/N. Foreground dfs come from re-analyzing the HIT DOCS'
+        stored text (O(hit text), the ES sampler strategy, never an
+        index scan — ``_merged_sig_foreground``: one vectorized pass per
+        index, per-segment sums when sharded); background dfs are
+        dictionary lookups for just the candidate terms (no posting
+        decode). Terms with fg_df < min_doc_count or fgp <= bgp drop
+        (the ES noise floor). Returns [(term, fg_df, df, score)] ordered
+        (score desc, term asc), first ``size`` — ONE scoring loop shared
+        by the single and sharded executors."""
+        n_hits, fg = self._merged_sig_foreground(query, where, mode, must_not)
+        if n_hits == 0:
+            return []
+        out = []
+        for term, f in fg.items():
+            if f < min_doc_count:
+                continue
+            df = self._dict_stats(term)[0]
+            if df == 0:
+                continue
+            fgp = f / n_hits
+            bgp = df / self.N
+            if fgp <= bgp:
+                continue  # not overrepresented vs the background
+            out.append((term, f, df, (fgp - bgp) * (fgp / bgp)))
+        out.sort(key=lambda e: (-e[3], e[0]))
+        return out[:size]
+
+
 class Searcher(SuggestAPI):
     """Reader over a published index directory (manifest-gated).
 
@@ -711,10 +776,7 @@ class Searcher(SuggestAPI):
             key=lambda e: (-e[1], e[0]),
         )[:size]
         # dense scores, same float op sequence as _search_taat
-        buf = np.zeros(self.N, dtype=np.float64)
-        for term, qn, p in self._plist(query):
-            w = self._term_weight(qn, p.df)
-            buf[p.doc_ids] += w * p.tf_part
+        buf = self._dense_scores(query)
         out = []
         for v, c, code in ranked:
             idx = np.flatnonzero(hits & (codes == code))
@@ -730,6 +792,18 @@ class Searcher(SuggestAPI):
                 (v, c, [(int(idx[i]), float(scores[i])) for i in order])
             )
         return out
+
+    def _dense_scores(self, query: str) -> np.ndarray:
+        """THE dense TAAT accumulation (one buf[p.doc_ids] += w*tf_part
+        scatter per term, terms ascending) — the single definition every
+        grouped-scoring feature (facet_top_hits, collapse, has_child,
+        inner_hits) shares so their scores stay bit-identical to
+        search() by construction."""
+        buf = np.zeros(self.N, dtype=np.float64)
+        for term, qn, p in self._plist(query):
+            w = self._term_weight(qn, p.df)
+            buf[p.doc_ids] += w * p.tf_part
+        return buf
 
     def _collapse_groups(self, query: str, field: str,
                          where: dict | None = None, mode: str = "or",
@@ -749,10 +823,7 @@ class Searcher(SuggestAPI):
         if idx.size == 0:
             return []
         codes, values = self._field_codes(field)
-        buf = np.zeros(self.N, dtype=np.float64)
-        for term, qn, p in self._plist(query):
-            w = self._term_weight(qn, p.df)
-            buf[p.doc_ids] += w * p.tf_part
+        buf = self._dense_scores(query)
         scores = buf[idx]
         grp = codes[idx]
         order = np.lexsort((idx, -scores))
@@ -787,32 +858,48 @@ class Searcher(SuggestAPI):
         Sum accumulates in ascending-doc order (the SQL oracle's
         sum(... ORDER BY doc_id)). UNTRUNCATED so the sharded merge is
         exact — parents span segments."""
+        return self._parent_group_stats_ex(
+            query, parent_field, where, mode, must_not
+        )[0]
+
+    def _parent_axis(self, query: str, parent_field: str,
+                     where=None, mode="or", must_not=None):
+        """(hits, idx, buf, codes, values) or None — ONE hit-mask +
+        dense-score pass shared between group stats and inner hits (an
+        inner_hits query pays the dominant cost once, not twice)."""
         hits = self._hit_mask(query, where, mode, must_not)
         if hits is None:
-            return {}
+            return None
         idx = np.flatnonzero(hits)
         if idx.size == 0:
-            return {}
+            return None
         codes, values = self._field_codes(parent_field)
-        buf = np.zeros(self.N, dtype=np.float64)
-        for term, qn, p in self._plist(query):
-            w = self._term_weight(qn, p.df)
-            buf[p.doc_ids] += w * p.tf_part
+        return hits, idx, self._dense_scores(query), codes, values
+
+    def _parent_group_stats_ex(self, query: str, parent_field: str,
+                               where=None, mode="or",
+                               must_not=None) -> tuple[dict, object]:
+        """(stats, axis) — axis is reusable by _parent_inner_hits."""
+        axis = self._parent_axis(query, parent_field, where, mode, must_not)
+        if axis is None:
+            return {}, None
+        hits, idx, buf, codes, values = axis
         grp = codes[idx]
         keep = grp >= 0  # children without a parent value drop
         grp, scores = grp[keep], buf[idx[keep]]
         if grp.size == 0:
-            return {}
+            return {}, axis
         nvals = len(values)
         sums = np.zeros(nvals, dtype=np.float64)
         np.add.at(sums, grp, scores)  # ascending-doc accumulation
         maxs = np.full(nvals, -np.inf)
         np.maximum.at(maxs, grp, scores)
         cnts = np.bincount(grp, minlength=nvals)
-        return {
+        stats = {
             values[int(g)]: [float(sums[g]), float(maxs[g]), int(cnts[g])]
             for g in np.unique(grp)
         }
+        return stats, axis
 
     def has_child_search(self, query: str, parent_field: str, k: int = 10,
                          score_mode: str = "max",
@@ -833,7 +920,7 @@ class Searcher(SuggestAPI):
         gathered for the k SELECTED parents only."""
         if score_mode not in ("max", "sum", "avg", "none"):
             raise ValueError(f"unknown score_mode {score_mode!r}")
-        stats = self._parent_group_stats(
+        stats, axis = self._parent_group_stats_ex(
             query, parent_field, where, mode, must_not
         )
         rows = []
@@ -854,26 +941,28 @@ class Searcher(SuggestAPI):
         if inner_hits > 0 and rows:
             heads = self._parent_inner_hits(
                 query, parent_field, [v for v, _, _ in rows], inner_hits,
-                where, mode, must_not,
+                where, mode, must_not, axis=axis,
             )
             rows = [(v, sc, n, heads.get(v, [])) for v, sc, n in rows]
         return rows
 
     def _parent_inner_hits(self, query: str, parent_field: str,
                            parents: list, top_n: int,
-                           where=None, mode="or", must_not=None) -> dict:
+                           where=None, mode="or", must_not=None,
+                           axis=None) -> dict:
         """parent value -> its top-n matching children [(doc, score)] —
-        one dense TAAT pass + per-SELECTED-parent argpartition (the
-        facet_top_hits kernel keyed by the join field)."""
-        hits = self._hit_mask(query, where, mode, must_not)
-        if hits is None:
+        per-SELECTED-parent argpartition over the dense scores (the
+        facet_top_hits kernel keyed by the join field). ``axis`` reuses
+        has_child_search's hit-mask + score pass instead of recomputing
+        it."""
+        if axis is None:
+            axis = self._parent_axis(
+                query, parent_field, where, mode, must_not
+            )
+        if axis is None:
             return {}
-        codes, values = self._field_codes(parent_field)
+        hits, _, buf, codes, values = axis
         vmap = {v: i for i, v in enumerate(values)}
-        buf = np.zeros(self.N, dtype=np.float64)
-        for term, qn, p in self._plist(query):
-            w = self._term_weight(qn, p.df)
-            buf[p.doc_ids] += w * p.tf_part
         out: dict = {}
         for v in parents:
             code = vmap.get(v)
@@ -909,24 +998,11 @@ class Searcher(SuggestAPI):
         sel = codes[hits]
         return int(np.unique(sel[sel >= 0]).size)
 
-    def composite_agg(self, query: str, field: str, size: int = 10,
-                      after_key: str | None = None,
-                      where: dict | None = None, mode: str = "or",
-                      must_not: str | None = None) -> list[tuple]:
-        """ES composite-aggregation analog (single terms source): facet
-        buckets in VALUE-ascending order, paginated by ``after_key`` —
-        the stateless agg cursor (pass the last page's final value back)
-        that lets a consumer stream an unbounded-cardinality aggregation
-        in bounded pages, unlike the top-size truncation of facet_counts.
-        Per-page work stays one bincount; the cursor is a vectorized
-        value comparison, never a scan resumption."""
-        hist = self._facet_hist(query, field, where, mode, must_not)
-        rows = sorted(hist.items())
-        if after_key is not None:
-            import bisect
-
-            rows = rows[bisect.bisect_right(rows, (after_key, float("inf"))):]
-        return rows[:size]
+    def _merged_facet_hist(self, query: str, field: str,
+                           where=None, mode="or", must_not=None) -> dict:
+        """SuggestAPI.composite_agg primitive: the single-index value
+        histogram IS the merged histogram."""
+        return self._facet_hist(query, field, where, mode, must_not)
 
     def _sig_foreground(self, query: str, where=None, mode="or",
                         must_not=None) -> tuple[int, dict]:
@@ -961,37 +1037,7 @@ class Searcher(SuggestAPI):
             for i in np.flatnonzero(fg_counts)
         }
 
-    def significant_terms(self, query: str, size: int = 10,
-                          min_doc_count: int = 3,
-                          where: dict | None = None, mode: str = "or",
-                          must_not: str | None = None):
-        """ES significant_terms analog: terms overrepresented in the
-        query hit set vs the corpus, scored with the JLH heuristic
-        score = (fgp - bgp) * (fgp / bgp), fgp = fg_df/n_hits,
-        bgp = df/N. Foreground dfs come from re-analyzing the HIT DOCS'
-        stored text (one vectorized tokens_flat + distinct-(doc,term)
-        bincount — O(hit text), the ES sampler strategy, never an index
-        scan); background dfs are index lookups for just the candidate
-        terms. Terms with fg_df < min_doc_count or fgp <= bgp drop (the
-        ES noise floor). Returns [(term, fg_df, df, score)] ordered
-        (score desc, term asc), first ``size``."""
-        n_hits, fg = self._sig_foreground(query, where, mode, must_not)
-        if n_hits == 0:
-            return []
-        out = []
-        for term, f in fg.items():
-            if f < min_doc_count:
-                continue
-            df = self._dict_stats(term)[0]
-            if df == 0:
-                continue
-            fgp = f / n_hits
-            bgp = df / self.N
-            if fgp <= bgp:
-                continue  # not overrepresented vs the background
-            out.append((term, f, df, (fgp - bgp) * (fgp / bgp)))
-        out.sort(key=lambda e: (-e[3], e[0]))
-        return out[:size]
+    _merged_sig_foreground = _sig_foreground
 
     def _numeric_col(self, field: str):
         """Dense doc_id -> value array for a numeric docstore column plus
@@ -1700,7 +1746,7 @@ class Searcher(SuggestAPI):
             buf[ids] += w * tfp
             hit[ids] = True
         phrase_docs: list[tuple[str, np.ndarray]] = []
-        for sign, raw in cl["phrases"]:
+        for sign, raw, pboost in cl["phrases"]:
             slots = tokenize_query(raw)
             if self.stopwords:
                 slots = [
@@ -1716,6 +1762,7 @@ class Searcher(SuggestAPI):
             W = 0.0
             for df in dfs:
                 W += self.idf(df)
+            W = pboost * W  # phrase clause boost ("a b"^2); 1.0 is exact
             pff = pf.astype(np.float64)
             dls = self.dl[docs].astype(np.float64)
             buf[docs] += W * (
@@ -2734,9 +2781,13 @@ class Searcher(SuggestAPI):
         the ES path when the mapping stores no term vectors; the SAME
         analyzer (incl. stop filter with position gaps) runs both sides,
         so the output equals the doc's slice of the inverted index
-        (pinned by test against decoded positional postings)."""
+        (pinned by test against decoded positional postings). A
+        tombstoned doc raises KeyError — ES _termvectors on a deleted
+        doc reports found=false; deleted content must not resurface."""
         from .analysis import tokens_flat
 
+        if int(doc_id) in self._excluded_set:
+            raise KeyError(f"document {doc_id} is deleted (tombstoned)")
         texts = self.get_by_doc_id([int(doc_id)])["text"]
         flat, _ = tokens_flat(texts.combine_chunks())
         out: dict[str, list[int]] = {}
@@ -3006,11 +3057,14 @@ class QueryRunner:
 
     def _run_one(self, q: str, kind: str):
         """Dispatch one query row by its ``kind`` (the msearch body-type
-        analog): 'match' (default BM25), 'phrase', 'query_string'."""
+        analog): 'match' (default BM25), 'phrase', 'query_string'. An
+        unknown kind raises — never a silent BM25 fallback."""
         if kind == "phrase":
             return self.searcher.search_phrase(q, k=self.k)
         if kind == "query_string":
             return self.searcher.query_string(q, k=self.k)
+        if kind != "match":
+            raise ValueError(f"unknown query kind {kind!r}")
         return self.searcher.search(q, k=self.k, algo=self.algo)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -3131,6 +3185,34 @@ class MultiSearcher(SuggestAPI):
         )
         self._tf_part_cache[key] = out
         return out
+
+    def _global_weights(self, query: str) -> tuple[list, dict]:
+        """(sorted terms, {term: qtf * idf(global df)}) — the sharded-TAAT
+        weight set every grouped-scoring feature shares (scores equal the
+        single-index run bit-for-bit by the _tf_part/global-avgdl
+        recompute)."""
+        qtf = self._qweights(query)
+        terms = sorted(qtf)
+        weights: dict[str, float] = {}
+        for term in terms:
+            df_g = sum(
+                p.df for seg in self.segments
+                if (p := seg.lookup(term)) is not None
+            )
+            if df_g:
+                weights[term] = qtf[term] * self.idf(df_g)
+        return terms, weights
+
+    def _seg_dense_scores(self, si: int, seg, terms: list,
+                          weights: dict) -> np.ndarray:
+        """One segment's dense score buffer under GLOBAL weights — the
+        sharded twin of Searcher._dense_scores."""
+        buf = np.zeros(seg.N, dtype=np.float64)
+        for term in terms:
+            p = seg.lookup(term)
+            if p is not None and term in weights:
+                buf[p.doc_ids] += weights[term] * self._tf_part(si, term, p)
+        return buf
 
     def _qweights(self, query: str) -> dict[str, float]:
         """Stop-aware clause weights — segments share one analyzer config,
@@ -3532,33 +3614,25 @@ class MultiSearcher(SuggestAPI):
     def _bigram_count(self, a: str, b: str) -> int:
         return sum(seg._bigram_count(a, b) for seg in self.segments)
 
-    def composite_agg(self, query: str, field: str, size: int = 10,
-                      after_key: str | None = None,
-                      where: dict | None = None, mode: str = "or",
-                      must_not: str | None = None) -> list[tuple]:
-        """Sharded composite aggregation: UNTRUNCATED per-segment value
-        histograms sum (exact, the facet merge), then the same stateless
-        after_key cursor pages the merged buckets."""
-        import bisect
-
+    def _merged_facet_hist(self, query: str, field: str,
+                           where=None, mode="or", must_not=None) -> dict:
+        """SuggestAPI.composite_agg primitive: UNTRUNCATED per-segment
+        value histograms sum (exact, the facet merge) — the shared
+        cursor then pages the merged buckets."""
         total: dict = {}
         for seg in self.segments:
             for v, c in seg._facet_hist(
                 query, field, where, mode, must_not
             ).items():
                 total[v] = total.get(v, 0) + c
-        rows = sorted(total.items())
-        if after_key is not None:
-            rows = rows[bisect.bisect_right(rows, (after_key, float("inf"))):]
-        return rows[:size]
+        return total
 
-    def significant_terms(self, query: str, size: int = 10,
-                          min_doc_count: int = 3,
-                          where: dict | None = None, mode: str = "or",
-                          must_not: str | None = None):
-        """Sharded significant_terms: per-segment foreground dfs SUM
-        (hit sets are disjoint), background dfs and N are the global
-        sums — identical JLH inputs to a single global index."""
+    def _merged_sig_foreground(self, query: str, where=None, mode="or",
+                               must_not=None) -> tuple[int, dict]:
+        """SuggestAPI.significant_terms primitive: per-segment foreground
+        dfs SUM (hit sets are disjoint) — with _dict_stats' global df
+        sums the shared JLH loop sees identical inputs to a single
+        index."""
         n_hits = 0
         fg: dict[str, int] = {}
         for seg in self.segments:
@@ -3566,22 +3640,7 @@ class MultiSearcher(SuggestAPI):
             n_hits += nh
             for t, c in f.items():
                 fg[t] = fg.get(t, 0) + c
-        if n_hits == 0:
-            return []
-        out = []
-        for term, f in fg.items():
-            if f < min_doc_count:
-                continue
-            df = self._dict_stats(term)[0]
-            if df == 0:
-                continue
-            fgp = f / n_hits
-            bgp = df / self.N
-            if fgp <= bgp:
-                continue
-            out.append((term, f, df, (fgp - bgp) * (fgp / bgp)))
-        out.sort(key=lambda e: (-e[3], e[0]))
-        return out[:size]
+        return n_hits, fg
 
     def fuzzy_docs(self, term: str, max_edits: int = 1, limit: int = 20,
                    prefix_length: int = 0,
@@ -3641,28 +3700,13 @@ class MultiSearcher(SuggestAPI):
         if not ranked:
             return []
         want = [v for v, _ in ranked]
-        qtf = self._qweights(query)
-        terms = sorted(qtf)
-        weights = {}
-        for term in terms:
-            df_g = sum(
-                p.df for seg in self.segments
-                if (p := seg.lookup(term)) is not None
-            )
-            if df_g:
-                weights[term] = qtf[term] * self.idf(df_g)
+        terms, weights = self._global_weights(query)
         heads: dict = {v: [] for v in want}
         for si, seg in enumerate(self.segments):
             hits = seg._hit_mask(query, where, mode, must_not)
             if hits is None:
                 continue
-            buf = np.zeros(seg.N, dtype=np.float64)
-            for term in terms:
-                p = seg.lookup(term)
-                if p is not None and term in weights:
-                    buf[p.doc_ids] += weights[term] * self._tf_part(
-                        si, term, p
-                    )
+            buf = self._seg_dense_scores(si, seg, terms, weights)
             codes, values = seg._field_codes(field)
             vmap = {v: i for i, v in enumerate(values)}
             off = int(self.offsets[si])
@@ -3701,16 +3745,7 @@ class MultiSearcher(SuggestAPI):
         segment returns UNTRUNCATED groups scored with GLOBAL-df weights
         (the sharded-TAAT op sequence) and the driver merges — sums and
         counts add, maxes max."""
-        qtf = self._qweights(query)
-        terms = sorted(qtf)
-        weights = {}
-        for term in terms:
-            df_g = sum(
-                p.df for seg in self.segments
-                if (p := seg.lookup(term)) is not None
-            )
-            if df_g:
-                weights[term] = qtf[term] * self.idf(df_g)
+        terms, weights = self._global_weights(query)
         total: dict = {}
         for si, seg in enumerate(self.segments):
             hits = seg._hit_mask(query, where, mode, must_not)
@@ -3719,13 +3754,7 @@ class MultiSearcher(SuggestAPI):
             idx = np.flatnonzero(hits)
             if idx.size == 0:
                 continue
-            buf = np.zeros(seg.N, dtype=np.float64)
-            for term in terms:
-                p = seg.lookup(term)
-                if p is not None and term in weights:
-                    buf[p.doc_ids] += weights[term] * self._tf_part(
-                        si, term, p
-                    )
+            buf = self._seg_dense_scores(si, seg, terms, weights)
             codes, values = seg._field_codes(parent_field)
             grp = codes[idx]
             keep = grp >= 0
@@ -3751,34 +3780,29 @@ class MultiSearcher(SuggestAPI):
 
     has_child_search = Searcher.has_child_search
 
+    def _parent_group_stats_ex(self, query: str, parent_field: str,
+                               where=None, mode="or", must_not=None):
+        """Sharded twin: no reusable single axis exists (per-segment
+        buffers) — inner hits run the inherent two-phase fetch (select
+        parents globally, then O(k·top_n) heads per segment)."""
+        return self._parent_group_stats(
+            query, parent_field, where, mode, must_not
+        ), None
+
     def _parent_inner_hits(self, query: str, parent_field: str,
                            parents: list, top_n: int,
-                           where=None, mode="or", must_not=None) -> dict:
+                           where=None, mode="or", must_not=None,
+                           axis=None) -> dict:
         """Sharded inner_hits: every owning segment returns a top_n head
         per selected parent (global-df weights), the driver merges —
-        O(k·top_n) payload per segment."""
-        qtf = self._qweights(query)
-        terms = sorted(qtf)
-        weights = {}
-        for term in terms:
-            df_g = sum(
-                p.df for seg in self.segments
-                if (p := seg.lookup(term)) is not None
-            )
-            if df_g:
-                weights[term] = qtf[term] * self.idf(df_g)
+        O(k·top_n) payload per segment (``axis`` unused: two-phase)."""
+        terms, weights = self._global_weights(query)
         heads: dict = {v: [] for v in parents}
         for si, seg in enumerate(self.segments):
             hits = seg._hit_mask(query, where, mode, must_not)
             if hits is None:
                 continue
-            buf = np.zeros(seg.N, dtype=np.float64)
-            for term in terms:
-                p = seg.lookup(term)
-                if p is not None and term in weights:
-                    buf[p.doc_ids] += weights[term] * self._tf_part(
-                        si, term, p
-                    )
+            buf = self._seg_dense_scores(si, seg, terms, weights)
             codes, values = seg._field_codes(parent_field)
             vmap = {v: i for i, v in enumerate(values)}
             off = int(self.offsets[si])
@@ -3815,16 +3839,7 @@ class MultiSearcher(SuggestAPI):
         index) and the driver keeps each value's global best, then ranks
         groups. Payload ∝ distinct values per segment, never the hit
         set."""
-        qtf = self._qweights(query)
-        terms = sorted(qtf)
-        weights = {}
-        for term in terms:
-            df_g = sum(
-                p.df for seg in self.segments
-                if (p := seg.lookup(term)) is not None
-            )
-            if df_g:
-                weights[term] = qtf[term] * self.idf(df_g)
+        terms, weights = self._global_weights(query)
         best: dict = {}
         for si, seg in enumerate(self.segments):
             hits = seg._hit_mask(query, where, mode, must_not)
@@ -3833,13 +3848,7 @@ class MultiSearcher(SuggestAPI):
             idx = np.flatnonzero(hits)
             if idx.size == 0:
                 continue
-            buf = np.zeros(seg.N, dtype=np.float64)
-            for term in terms:
-                p = seg.lookup(term)
-                if p is not None and term in weights:
-                    buf[p.doc_ids] += weights[term] * self._tf_part(
-                        si, term, p
-                    )
+            buf = self._seg_dense_scores(si, seg, terms, weights)
             codes, values = seg._field_codes(field)
             scores = buf[idx]
             grp = codes[idx]
@@ -4085,16 +4094,7 @@ class MultiSearcher(SuggestAPI):
             raise ValueError(f"unsupported modifier: {modifier!r}")
         if k <= 0:
             return []
-        qtf = self._qweights(query)
-        terms = sorted(qtf)
-        weights = {}
-        for term in terms:
-            df_g = sum(
-                p.df for seg in self.segments
-                if (p := seg.lookup(term)) is not None
-            )
-            if df_g:
-                weights[term] = qtf[term] * self.idf(df_g)
+        terms, weights = self._global_weights(query)
         if not weights:
             return []
         merged: list[tuple[int, float]] = []
@@ -4102,13 +4102,7 @@ class MultiSearcher(SuggestAPI):
             hits = seg._hit_mask(query, where, mode, must_not)
             if hits is None:
                 continue
-            buf = np.zeros(seg.N, dtype=np.float64)
-            for term in terms:
-                p = seg.lookup(term)
-                if p is not None and term in weights:
-                    buf[p.doc_ids] += weights[term] * self._tf_part(
-                        si, term, p
-                    )
+            buf = self._seg_dense_scores(si, seg, terms, weights)
             vals, valid = seg._numeric_col(field)
             idx = np.flatnonzero(hits)
             fvf = np.ones(idx.size, np.float64)

@@ -339,6 +339,8 @@ def test_tombstone_exclusion(tmp_path_factory, corpus):
 
     with pytest.raises(KeyError, match="excluded"):
         s1.get_by_doc_id([victim])
+    with pytest.raises(KeyError, match="deleted"):
+        s1.termvectors(victim)  # deleted content must not resurface
     assert s1.count() == s0.count() - 1
 
     clear_exclusions(d)

@@ -95,6 +95,25 @@ def test_percolate_phrase_queries(texts):
         Percolator({"q": {"phrase": "a b", "query": "c"}})
 
 
+def test_percolate_stopword_semantics():
+    """One analyzer everywhere: phrase stop slots keep position GAPS
+    (enablePositionIncrements, like search_phrase) and a banned stopword
+    bans nothing (it has no postings index-side either)."""
+    p = Percolator({"q": {"phrase": "big red dog"}}, stopwords=("red",))
+    t = p.percolate_table(pa.table({"text": pa.array(
+        ["big red dog here", "big dog here", "big blue dog here"]
+    )}))
+    # the gap position must stay: any filler matches, adjacency does not
+    assert t["row"].to_pylist() == [0, 2]
+    p2 = Percolator(
+        {"q": {"query": "bash", "must_not": "the"}}, stopwords=("the",)
+    )
+    t2 = p2.percolate_table(
+        pa.table({"text": pa.array(["the bash prompt"])})
+    )
+    assert t2.num_rows == 1
+
+
 def test_percolate_spec_validation():
     with pytest.raises(ValueError, match="at least one"):
         Percolator({})

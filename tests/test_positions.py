@@ -135,6 +135,11 @@ def test_run_queries_mixed_kinds(pos_index, oracle):
         assert got.doc_id.tolist() == [d for d, _ in want], qid
         for a, (_, b) in zip(got.score.tolist(), want):
             assert a == pytest.approx(b, rel=1e-12)
+    # unknown kinds raise — never a silent BM25 fallback
+    from rayfts.search import QueryRunner
+
+    with pytest.raises(ValueError, match="kind"):
+        QueryRunner(pos_index, k=3)._run_one("the", "phrse")
 
 
 def test_query_string_matches_bruteforce(pos_index, oracle):
@@ -149,6 +154,7 @@ def test_query_string_matches_bruteforce(pos_index, oracle):
         '+w0007 +bash -"the a"',           # must terms + neg phrase
         '-w0007 bash',                     # neg term
         '+zzzz_absent bash',               # impossible must -> empty
+        '"the w0007"^3 bash',              # boosted phrase clause
     ]
     for q in cases:
         from rayfts.search import parse_query_string
@@ -175,7 +181,7 @@ def test_query_string_matches_bruteforce(pos_index, oracle):
                     f * (oracle.k1 + 1.0) / (f + norm)
                 )
             ok = True
-            for sign, raw in cl["phrases"]:
+            for sign, raw, pb in cl["phrases"]:
                 slots = tokenize(raw)
                 n = len(slots)
                 pf = sum(
@@ -187,7 +193,7 @@ def test_query_string_matches_bruteforce(pos_index, oracle):
                     continue
                 if pf:
                     matched = True
-                    W = sum(oracle.idf(t) for t in slots)
+                    W = pb * sum(oracle.idf(t) for t in slots)
                     norm = oracle.k1 * (
                         1.0 - oracle.b + oracle.b * oracle.dl[d] / oracle.avgdl
                     )
