@@ -248,7 +248,12 @@ def run_scaling() -> dict:
     # alternate the two levels and keep the best run per level so a
     # throttled window doesn't masquerade as a scaling result
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-    levels = os.environ.get("GRAFT_SCALING_LEVELS", "2,8")
+    # default pair 1,4: the BELOW-CEILING N -> 4N pair for the round-3
+    # engine — its +21% per-core build speed saturates this host's memory
+    # bandwidth above ~4 procs (measured: the envelope probe itself stops
+    # scaling past 4, BASELINE.md runs 2-4), exactly why round 2 moved
+    # from 8,32 down to 2,8. Levels stay selectable via the env var.
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "1,4")
     lo, hi = (int(x) for x in levels.split(","))
     runs_lo, runs_hi = [], []
     env_lo = env_hi = 0.0
