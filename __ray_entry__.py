@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # W-series windows)
         "keyword_count_by_lang": P.keyword_count_by_lang,
         "events_tumbling_1h": P.events_tumbling_1h,
+        "events_sessionize": P.events_sessionize,    # session windows
         "q1_pricing": P.q1_pricing,
         "join_revenue_by_segment": P.join_revenue_by_segment,
         "semi_join_lineitem_part": P.semi_join_lineitem_part,
@@ -1131,6 +1132,27 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
+""",
+        # session windows: lag-gap break flags + running sum = session id
+        "events_sessionize": f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+o AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {P.SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+       count(*) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS dur_us
+FROM s GROUP BY user_id, sid
 """,
         # per-row integer cents BEFORE the sums: float-accumulated cents
         # hit a rounding boundary at ~1e9-cent magnitudes (one ulp flipped

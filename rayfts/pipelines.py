@@ -1320,6 +1320,50 @@ def events_tumbling_1h(sf_dir: str) -> rd.Dataset:
     )
 
 
+SESSION_GAP_US = 1_800_000_000  # 30-min inactivity gap
+
+
+def events_sessionize(sf_dir: str) -> rd.Dataset:
+    """Session windows (gap-based sessionization — the W-series analog a
+    transcript/telemetry pipeline actually needs): per user, events
+    closer than SESSION_GAP_US belong to one session. One hash shuffle
+    on user_id, then a fully vectorized per-group pass (sort + diff +
+    cumsum + reduceat boundaries) — per-user groups are small; a
+    pathological single-user firehose would salt by time range first.
+    Returns one row per session: (user_id, session_start_us, n_events,
+    dur_us)."""
+
+    def sessionize(g: pa.Table) -> pa.Table:
+        us = g["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        eid = g["event_id"].combine_chunks().to_numpy()
+        order = np.lexsort((eid, us))  # (ts, event_id) — tie-stable
+        us = us[order]
+        new = np.ones(us.size, dtype=bool)
+        new[1:] = np.diff(us) > SESSION_GAP_US
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], us.size) - 1
+        uid = int(g["user_id"][0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * starts.size, pa.int64()),
+                "session_start_us": pa.array(us[starts], pa.int64()),
+                "n_events": pa.array(
+                    (ends - starts + 1).astype("int64"), pa.int64()
+                ),
+                "dur_us": pa.array(us[ends] - us[starts], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id"],
+        )
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pyarrow")
+    )
+
+
 def q1_pricing(sf_dir: str) -> rd.Dataset:
     """TPC-H-Q1-style scan+filter+aggregate over lineitem (M1/A-series):
     pre-aggregated map-side, tiny global groupby.

@@ -920,6 +920,35 @@ def test_histogram_agg_matches_bruteforce(index_dir, oracle):
         s.histogram_agg(q, "turn_idx", 0)
 
 
+def test_sessionize_gap_semantics():
+    """Gap-based session windows: boundary inclusive/exclusive pinned
+    (gap == GAP stays one session; gap > GAP splits)."""
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from rayfts.pipelines import SESSION_GAP_US, events_sessionize
+
+    g = SESSION_GAP_US
+    ts = [0, g, 2 * g + 1, 2 * g + 2]  # [0,g] one session; then a split
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(4), pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array([7] * 4, pa.int64()),
+                }
+            ),
+            f"{d}/events.parquet",
+        )
+        rows = sorted(
+            events_sessionize(d).to_pandas().itertuples(index=False)
+        )
+    assert [(r.session_start_us, r.n_events, r.dur_us) for r in rows] == [
+        (0, 2, g), (2 * g + 1, 2, 1)
+    ]
+
+
 def test_pipeline_aggs_over_histogram(index_dir, oracle):
     from rayfts.search import pipeline_aggs
 
