@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_count_by_lang": P.keyword_count_by_lang,
         "events_tumbling_1h": P.events_tumbling_1h,
         "events_sessionize": P.events_sessionize,    # session windows
+        "sample_split_counts": P.sample_split_counts,  # hash holdout split
         "q1_pricing": P.q1_pricing,
         "join_revenue_by_segment": P.join_revenue_by_segment,
         "semi_join_lineitem_part": P.semi_join_lineitem_part,
@@ -1132,6 +1133,17 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
+""",
+        # hash split: md5-prefix bucket rule replicated verbatim
+        "sample_split_counts": """
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'holdout' END AS split,
+       count(*) AS n_docs, count(DISTINCT bucket) AS n_buckets
+FROM b GROUP BY 1
 """,
         # session windows: lag-gap break flags + running sum = session id
         "events_sessionize": f"""

@@ -1320,6 +1320,42 @@ def events_tumbling_1h(sf_dir: str) -> rd.Dataset:
     )
 
 
+def sample_split_counts(sf_dir: str) -> pa.Table:
+    """Deterministic hash-split of documents into train/holdout (90/100
+    md5 buckets keyed on doc_id — rerun-stable, shuffle-free): per-split
+    doc count + distinct bucket count. The streaming splitter is
+    `extras.sampling.split_dataset`; only the ≤100-row (split, bucket)
+    histogram reaches the driver."""
+    from .extras.sampling import split_dataset
+
+    ds = split_dataset(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ),
+        "doc_id",
+        buckets=100,
+        train_buckets=90,
+    )
+    t = ds.groupby(["split", "bucket"]).count().to_pandas()
+    g = (
+        t.groupby("split")
+        .agg(n_docs=("count()", "sum"), n_buckets=("bucket", "nunique"))
+        .reset_index()
+        .sort_values("split")
+    )
+    return pa.table(
+        {
+            "split": pa.array(g["split"].tolist(), pa.string()),
+            "n_docs": pa.array(
+                [int(v) for v in g["n_docs"]], pa.int64()
+            ),
+            "n_buckets": pa.array(
+                [int(v) for v in g["n_buckets"]], pa.int64()
+            ),
+        }
+    )
+
+
 SESSION_GAP_US = 1_800_000_000  # 30-min inactivity gap
 
 

@@ -510,3 +510,41 @@ def test_decontaminate_matches_shingle_set_reference():
     empty_bench = rd.from_arrow(pa.table({"doc_id": [], "text": []}))
     out2 = decontaminate(corpus, empty_bench).to_pandas()
     assert not out2.contaminated.any()
+
+
+def test_hash_split_deterministic_and_key_stable():
+    """Deterministic holdout splitting: the md5-prefix bucket rule is
+    rerun-stable, matches a direct recompute, respects the train
+    fraction, and keeps every row of one key in one split."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayfts.extras.sampling import SplitAssigner, hash_bucket, split_dataset
+
+    keys = [f"conv-{i:05d}" for i in range(500)] * 2  # every key twice
+    t = pa.table({"k": pa.array(keys), "v": pa.array(range(1000))})
+    out = split_dataset(rd.from_arrow(t), "k", buckets=100,
+                        train_buckets=80).to_pandas()
+    # rule == direct recompute
+    want = [
+        int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 100 for k in keys
+    ]
+    assert out.bucket.tolist() == want
+    assert (out.split == "train").equals(out.bucket < 80)
+    # key-stable: both copies of a key share bucket+split
+    g = out.groupby("k")[["bucket"]].nunique()
+    assert (g.bucket == 1).all()
+    # fraction lands near the target (md5 is uniform)
+    frac = (out.split == "train").mean()
+    assert 0.7 < frac < 0.9
+    # rerun identical
+    out2 = split_dataset(rd.from_arrow(t), "k", buckets=100,
+                         train_buckets=80).to_pandas()
+    assert out2.bucket.tolist() == out.bucket.tolist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SplitAssigner("k", buckets=10, train_buckets=11)
+    assert hash_bucket([], 10).size == 0
