@@ -94,6 +94,63 @@ def excluded_docs(index_dir: str) -> list[int]:
         return [int(d) for d in json.load(f).get("excluded", [])]
 
 
+def snapshot(index_dir: str, snapshot_dir: str) -> dict:
+    """ES _snapshot analog: copy a PUBLISHED index to ``snapshot_dir``
+    with the manifest written LAST (temp-free: the copy is only readable
+    once its manifest lands, the same publish gate every reader trusts).
+    Tombstones travel with the snapshot (point-in-time state). Returns
+    the snapshot's manifest."""
+    if not index_exists(index_dir):
+        raise FileNotFoundError(f"not a published index: {index_dir}")
+    if os.path.exists(snapshot_dir) and os.listdir(snapshot_dir):
+        raise FileExistsError(f"snapshot target not empty: {snapshot_dir}")
+    os.makedirs(snapshot_dir, exist_ok=True)
+    manifest_src = os.path.join(index_dir, MANIFEST_NAME)
+    for root, _, files in os.walk(index_dir):
+        rel = os.path.relpath(root, index_dir)
+        dst_root = os.path.join(snapshot_dir, rel) if rel != "." else snapshot_dir
+        os.makedirs(dst_root, exist_ok=True)
+        for f in files:
+            src = os.path.join(root, f)
+            if src == manifest_src:
+                continue  # manifest publishes last
+            shutil.copy2(src, os.path.join(dst_root, f))
+    m = load_manifest(index_dir)
+    publish_manifest(snapshot_dir, m)
+    return m
+
+
+def restore(snapshot_dir: str, index_dir: str) -> dict:
+    """ES _restore analog: materialize a snapshot as a fresh index
+    (drop-if-exists, like createIndex — IndexAdminService.java:22)."""
+    if not index_exists(snapshot_dir):
+        raise FileNotFoundError(f"not a published snapshot: {snapshot_dir}")
+    delete_index(index_dir)
+    return snapshot(snapshot_dir, index_dir)
+
+
+def rollover(registry_dir: str, alias: str, new_index_dir: str,
+             max_docs: int) -> bool:
+    """ES rollover-API analog over the alias registry: when the alias's
+    NEWEST target has reached ``max_docs``, append ``new_index_dir`` (a
+    published index over the next key range) as the new write target —
+    the alias keeps EVERY generation, so opening it searches all of them
+    as a MultiSearcher (targets must be disjoint ascending key-range
+    segments, which sequential rollover produces naturally). Returns
+    True when rolled, False when the current target is still under the
+    threshold."""
+    dirs = resolve_alias(registry_dir, alias)
+    newest = load_manifest(dirs[-1])
+    if newest["n_docs"] < max_docs:
+        return False
+    if not index_exists(new_index_dir):
+        raise FileNotFoundError(
+            f"rollover target is not a published index: {new_index_dir}"
+        )
+    set_alias(registry_dir, alias, dirs + [new_index_dir])
+    return True
+
+
 def reindex(src_index_dir: str, index_dir: str, where: dict | None = None,
             rows_per_part: int = 250_000, **cfg_overrides) -> dict:
     """ES _reindex analog: build a NEW index from an existing index's

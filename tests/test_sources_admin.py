@@ -86,6 +86,50 @@ def test_admin_lifecycle(tmp_path):
     assert delete_index(idx) is False
 
 
+def test_snapshot_restore_and_rollover(tmp_path):
+    """Snapshot copies publish-gated (manifest last), restore is
+    drop-and-recreate, rollover appends a generation once the newest
+    target hits max_docs — and the rolled alias searches ALL
+    generations."""
+    from rayfts.admin import (
+        exclude_docs, index_exists, open_alias, resolve_alias, restore,
+        rollover, set_alias, snapshot,
+    )
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+    from rayfts.search import MultiSearcher, Searcher
+
+    corpus = str(tmp_path / "c")
+    write_transcripts(corpus, n_convs=6, seed=42)
+    a = str(tmp_path / "a")
+    build_index(corpus, cfg=IndexJobConfig(index_dir=a, term_buckets=4))
+    s0 = Searcher(a)
+    exclude_docs(a, [0])
+    # snapshot carries point-in-time state (incl. tombstones)
+    snap = str(tmp_path / "snap")
+    snapshot(a, snap)
+    with pytest.raises(FileExistsError):
+        snapshot(a, snap)
+    rest = str(tmp_path / "rest")
+    restore(snap, rest)
+    s1 = Searcher(rest)
+    assert s1.N == s0.N and 0 in s1._excluded_set
+    q = "the w0007"
+    assert s1.search(q, k=10) == Searcher(a).search(q, k=10)
+    # rollover: under threshold -> no-op; at threshold -> new generation
+    reg = str(tmp_path / "reg")
+    set_alias(reg, "live", a)
+    b = str(tmp_path / "b")
+    with pytest.raises(FileNotFoundError):
+        rollover(reg, "live", b, max_docs=1)
+    assert rollover(reg, "live", rest, max_docs=10**9) is False
+    assert rollover(reg, "live", rest, max_docs=1) is True
+    assert resolve_alias(reg, "live") == [a, rest]
+    ms = open_alias(reg, "live")
+    assert isinstance(ms, MultiSearcher) and ms.N == 2 * s0.N
+
+
 def test_fold_ascii_stage_and_query_twin(tmp_path):
     """asciifolding: the prep stage folds the corpus, fold_query folds
     the query with the SAME kernel — accented and plain forms meet."""
