@@ -203,6 +203,21 @@ def test_shared_searcher_identical(index_dir):
         assert shared.search(q, k=25, algo="wand") == plain.search(
             q, k=25, algo="wand"
         ), q
+    # grouped-scoring features ride the shared segment too (the shared
+    # _dense_scores path over zero-copy postings)
+    q = "the w0007 bash"
+    assert shared.search_collapse(q, "role", k=10) == \
+        plain.search_collapse(q, "role", k=10)
+    assert shared.has_child_search(q, "conv_id", k=5, inner_hits=2) == \
+        plain.has_child_search(q, "conv_id", k=5, inner_hits=2)
+    assert shared.facet_top_hits(q, "role", size=3, top_n=2) == \
+        plain.facet_top_hits(q, "role", size=3, top_n=2)
+    assert shared.composite_agg(q, "role", size=2) == \
+        plain.composite_agg(q, "role", size=2)
+    assert shared.significant_terms(q, size=5) == \
+        plain.significant_terms(q, size=5)
+    assert shared.query_string('+w0007 bash -sed') == \
+        plain.query_string('+w0007 bash -sed')
     out = (
         run_queries(index_dir, list(REFERENCE_QUERIES), k=5, concurrency=(1, 2),
                     shared_handle=handle)
