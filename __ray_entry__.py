@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
         "fts_sort_by_nchars_top10": P.fts_sort_by_nchars_top10,  # sort-by-field
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
+        "fts_boosting_top10": P.fts_boosting_top10,  # boosting (soft must_not)
+        "fts_decay_nchars_top10": P.fts_decay_nchars_top10,  # gauss decay
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
         "fts_query_string_top10": P.fts_query_string_top10,  # query_string
@@ -648,6 +650,35 @@ SELECT * FROM (VALUES
     for name, flt in P.FILTER_BUCKETS
 )}
 ) t(name, n_docs)
+""",
+        # boosting query: demote-not-exclude (score * nb | 1.0)
+        "fts_boosting_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+SELECT s2.doc_id,
+       CAST(round((s2.score * CASE WHEN s2.doc_id IN
+         (SELECT doc_id FROM toks WHERE term = '{P.BOOL_MUST_NOT}')
+         THEN 0.5 ELSE 1.0 END) * 1e6) AS BIGINT) AS score_e6
+FROM scores s2
+ORDER BY s2.score * CASE WHEN s2.doc_id IN
+  (SELECT doc_id FROM toks WHERE term = '{P.BOOL_MUST_NOT}')
+  THEN 0.5 ELSE 1.0 END DESC, s2.doc_id
+LIMIT 10
+""",
+        # gauss decay: factor == decay at |v-origin| == scale; float op
+        # order matches the engine verbatim
+        "fts_decay_nchars_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+SELECT s2.doc_id,
+       CAST(round((s2.score * exp(
+         (-((CAST(d2.n_chars AS DOUBLE) - 200.0)
+            * (CAST(d2.n_chars AS DOUBLE) - 200.0)))
+         * ln(1.0 / 0.5) / (100.0 * 100.0))) * 1e6) AS BIGINT) AS score_e6
+FROM scores s2 JOIN documents d2 USING (doc_id)
+ORDER BY s2.score * exp(
+  (-((CAST(d2.n_chars AS DOUBLE) - 200.0)
+     * (CAST(d2.n_chars AS DOUBLE) - 200.0)))
+  * ln(1.0 / 0.5) / (100.0 * 100.0)) DESC, s2.doc_id
+LIMIT 10
 """,
         # adjacency_matrix: named filters + pairwise intersections,
         # empty buckets omitted

@@ -802,6 +802,39 @@ def fts_filters_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_boosting_top10(sf_dir: str) -> pa.Table:
+    """ES boosting-query analog: BM25_QUERY hits with docs containing
+    the negative term demoted by 0.5 instead of excluded."""
+    s = Searcher(documents_index(sf_dir))
+    hits = s.boosting_search(BM25_QUERY, BOOL_MUST_NOT, negative_boost=0.5,
+                             k=10)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
+def fts_decay_nchars_top10(sf_dir: str) -> pa.Table:
+    """ES function_score gauss-decay analog: BM25_QUERY rescored by
+    exp-decay of |n_chars - 200| with scale 100 (factor 0.5 at the
+    scale boundary)."""
+    s = Searcher(documents_index(sf_dir))
+    hits = s.decay_score(BM25_QUERY, "n_chars", origin=200.0, scale=100.0,
+                         k=10)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
 def fts_collapse_by_source(sf_dir: str) -> pa.Table:
     """ES field-collapsing analog: top-10 BM25 hits with each `source`
     value contributing only its single best hit."""

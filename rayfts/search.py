@@ -2737,6 +2737,62 @@ class Searcher(SuggestAPI):
         scores = buf[idx] * fvf
         return self._topk_from(idx, scores, k)
 
+    def boosting_search(self, positive: str, negative: str,
+                        negative_boost: float = 0.5, k: int = 10,
+                        where: dict | None = None) -> list[tuple]:
+        """ES boosting-query analog: hits of the ``positive`` query keep
+        their BM25 score, but docs ALSO matching any ``negative`` term
+        are DEMOTED — multiplied by ``negative_boost`` — instead of
+        excluded (the soft must_not). One dense pass + one vectorized
+        where-multiply (base * nb vs base * 1.0, both exact float
+        no-op/scale — op order pinned for the oracle)."""
+        if not 0.0 <= negative_boost <= 1.0:
+            raise ValueError("negative_boost must be in [0, 1]")
+        if k <= 0:
+            return []
+        hits = self._hit_mask(positive, where)
+        if hits is None:
+            return []
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return []
+        buf = self._dense_scores(positive)
+        neg = self._present_mask(tokenize_query(negative))
+        scores = buf[idx] * np.where(neg[idx], negative_boost, 1.0)
+        return self._topk_from(idx, scores, k)
+
+    def decay_score(self, query: str, field: str, origin: float,
+                    scale: float, k: int = 10, decay: float = 0.5,
+                    where: dict | None = None) -> list[tuple]:
+        """ES function_score gauss-decay analog (boost_mode=multiply,
+        offset=0): final = BM25 * exp(-(v-origin)² · ln(1/decay) / scale²)
+        — at |v-origin| == scale the factor is exactly ``decay`` (the ES
+        contract). The whole hit set rescores in one vectorized exp;
+        docs with a null field pass through with factor 1.0 (ES
+        missing-value rule). Float op order pinned for the oracle:
+        exp((-(d*d)) * ln(1/decay) / (scale*scale))."""
+        if not 0.0 < decay < 1.0:
+            raise ValueError("decay must be in (0, 1)")
+        if scale <= 0:
+            raise ValueError("scale must be positive")
+        if k <= 0:
+            return []
+        hits = self._hit_mask(query, where)
+        if hits is None:
+            return []
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return []
+        buf = self._dense_scores(query)
+        vals, valid = self._numeric_col(field)
+        fac = np.ones(idx.size, np.float64)
+        v = valid[idx]
+        d = vals[idx][v] - origin
+        lam = math.log(1.0 / decay)
+        fac[v] = np.exp((-(d * d)) * lam / (scale * scale))
+        scores = buf[idx] * fac
+        return self._topk_from(idx, scores, k)
+
     def mlt_terms(self, doc_id: int, max_query_terms: int = 25,
                   min_term_freq: int = 1, min_doc_freq: int = 2):
         """ES more_like_this term selection: re-analyze the source doc's

@@ -984,6 +984,52 @@ def test_pipeline_aggs_over_histogram(index_dir, oracle):
     assert pipeline_aggs([]) == []
 
 
+def test_boosting_and_decay_match_bruteforce(index_dir, oracle):
+    import math
+
+    idx, t = oracle
+    s = Searcher(index_dir)
+    q, negq = "the w0007 bash", "grep sed"
+    base = dict(idx.search(q, k=idx.N))
+    negset = set(negq.split())
+    # boosting: demote, never exclude
+    want = sorted(
+        (
+            (d, sc * (0.25 if any(idx.doc_tfs[d].get(t_, 0) for t_ in negset)
+                      else 1.0))
+            for d, sc in base.items()
+        ),
+        key=lambda h: (-h[1], h[0]),
+    )[:10]
+    got = s.boosting_search(q, negq, negative_boost=0.25, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-9)
+    demoted = {d for d, _ in got if any(
+        idx.doc_tfs[d].get(t_, 0) for t_ in negset)}
+    assert s.boosting_search(q, "zzzz_absent", k=10) == s.search(q, k=10)
+    with pytest.raises(ValueError):
+        s.boosting_search(q, negq, negative_boost=1.5)
+    # gauss decay on turn_idx: factor == decay at |v-origin| == scale
+    tv = dict(enumerate(t["turn_idx"].to_pylist()))
+    lam = math.log(1.0 / 0.5)
+    want = sorted(
+        (
+            (d, sc * math.exp((-((tv[d] - 2.0) * (tv[d] - 2.0)))
+                              * lam / (3.0 * 3.0)))
+            for d, sc in base.items()
+        ),
+        key=lambda h: (-h[1], h[0]),
+    )[:10]
+    got = s.decay_score(q, "turn_idx", origin=2.0, scale=3.0, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-9)
+    with pytest.raises(ValueError):
+        s.decay_score(q, "turn_idx", origin=0, scale=0)
+    assert demoted is not None  # demotion set exercised above
+
+
 def test_has_child_search_matches_bruteforce(index_dir, oracle):
     """Join-field parent search: every ES score_mode recomputed from the
     full ranking grouped by conv_id."""
