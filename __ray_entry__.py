@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_sort_by_nchars_top10": P.fts_sort_by_nchars_top10,  # sort-by-field
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_boosting_top10": P.fts_boosting_top10,  # boosting (soft must_not)
+        "fts_random_score_top10": P.fts_random_score_top10,  # seeded random
         "fts_decay_nchars_top10": P.fts_decay_nchars_top10,  # gauss decay
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
@@ -650,6 +651,20 @@ SELECT * FROM (VALUES
     for name, flt in P.FILTER_BUCKETS
 )}
 ) t(name, n_docs)
+""",
+        # random_score: seeded md5-prefix factor, deterministic
+        "fts_random_score_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+SELECT s2.doc_id,
+       CAST(round((s2.score *
+         (CAST(('0x' || substr(md5('7:' || CAST(s2.doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) / 4294967296.0)) * 1e6)
+            AS BIGINT) AS score_e6
+FROM scores s2
+ORDER BY s2.score *
+  (CAST(('0x' || substr(md5('7:' || CAST(s2.doc_id AS VARCHAR)),
+                 1, 8)) AS BIGINT) / 4294967296.0) DESC, s2.doc_id
+LIMIT 10
 """,
         # boosting query: demote-not-exclude (score * nb | 1.0)
         "fts_boosting_top10": f"""

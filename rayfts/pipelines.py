@@ -802,6 +802,21 @@ def fts_filters_agg(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_random_score_top10(sf_dir: str) -> pa.Table:
+    """ES random_score analog (seed 7): deterministic seeded shuffle of
+    the BM25_QUERY hit set — the reproducible-sampling contract."""
+    s = Searcher(documents_index(sf_dir))
+    hits = s.random_score(BM25_QUERY, seed=7, k=10)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
 def fts_boosting_top10(sf_dir: str) -> pa.Table:
     """ES boosting-query analog: BM25_QUERY hits with docs containing
     the negative term demoted by 0.5 instead of excluded."""

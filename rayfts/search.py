@@ -2793,6 +2793,39 @@ class Searcher(SuggestAPI):
         scores = buf[idx] * fac
         return self._topk_from(idx, scores, k)
 
+    def random_score(self, query: str, seed: int = 0, k: int = 10,
+                     where: dict | None = None) -> list[tuple]:
+        """ES function_score random_score analog — SEEDED and
+        deterministic (same seed -> same ranking on any machine, the
+        reproducible-sampling contract): factor = first 8 hex chars of
+        md5(f"{seed}:{doc_id}") / 2^32 in [0,1), boost_mode=multiply.
+        The md5 rule is the same one the hash-split stage pins for its
+        SQL twin; the per-hit digest is C-bound and touches the hit set
+        only."""
+        import hashlib
+
+        if k <= 0:
+            return []
+        hits = self._hit_mask(query, where)
+        if hits is None:
+            return []
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return []
+        buf = self._dense_scores(query)
+        fac = np.fromiter(
+            (
+                int(hashlib.md5(
+                    f"{seed}:{d}".encode()
+                ).hexdigest()[:8], 16)
+                for d in idx.tolist()
+            ),
+            dtype=np.float64,
+            count=idx.size,
+        ) / 4294967296.0
+        scores = buf[idx] * fac
+        return self._topk_from(idx, scores, k)
+
     def mlt_terms(self, doc_id: int, max_query_terms: int = 25,
                   min_term_freq: int = 1, min_doc_freq: int = 2):
         """ES more_like_this term selection: re-analyze the source doc's

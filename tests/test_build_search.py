@@ -1028,6 +1028,23 @@ def test_boosting_and_decay_match_bruteforce(index_dir, oracle):
     with pytest.raises(ValueError):
         s.decay_score(q, "turn_idx", origin=0, scale=0)
     assert demoted is not None  # demotion set exercised above
+    # random_score: seeded determinism + md5 rule
+    import hashlib
+
+    r1 = s.random_score(q, seed=3, k=10)
+    assert r1 == s.random_score(q, seed=3, k=10)
+    assert r1 != s.random_score(q, seed=4, k=10)
+    want = sorted(
+        (
+            (d, sc * (int(hashlib.md5(f"3:{d}".encode()).hexdigest()[:8],
+                          16) / 4294967296.0))
+            for d, sc in base.items()
+        ),
+        key=lambda h: (-h[1], h[0]),
+    )[:10]
+    assert [d for d, _ in r1] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(r1, want):
+        assert a == pytest.approx(b, rel=1e-9)
 
 
 def test_has_child_search_matches_bruteforce(index_dir, oracle):
