@@ -138,3 +138,24 @@ def test_segmented_helpers_match_numpy_reference(lens, base):
     np.testing.assert_array_equal(
         segmented_prefix_sum(gaps, seg_starts, firsts), expected
     )
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_parse_query_string_total(q):
+    """The query_string grammar is TOTAL: any input parses without
+    raising, clause classifications are structurally sound, and boosts
+    are finite positive floats."""
+    from rayfts.search import parse_query_string
+
+    out = parse_query_string(q)
+    assert set(out) == {"must", "should", "must_not", "phrases"}
+    for body, boost in out["must"] + out["should"]:
+        assert body and isinstance(boost, float) and boost > 0
+        assert not body.startswith(("+", "-")) or len(body) > 1
+    for body in out["must_not"]:
+        assert isinstance(body, str) and body
+    for sign, raw, boost in out["phrases"]:
+        assert sign in ("", "+", "-")
+        assert isinstance(raw, str)
+        assert isinstance(boost, float) and boost > 0
