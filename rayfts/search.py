@@ -2864,6 +2864,30 @@ class Searcher(SuggestAPI):
         hits = self.search(" ".join(sorted(terms)), k=k + 1, algo=algo, **kw)
         return [h for h in hits if h[0] != int(doc_id)][:k]
 
+    def field_caps(self) -> dict:
+        """ES _field_caps API analog: docstore columns -> capability
+        descriptors (Arrow type; whether the field is the ANALYZED text
+        field, a filterable keyword/numeric, or the id), plus index-level
+        stats — the schema-discovery call a query UI issues first."""
+        schema = pads.dataset(self._docstore_dir).schema
+        text_col = self.manifest.get("text_col", "text")
+        out = {}
+        for f in schema:
+            out[f.name] = {
+                "type": str(f.type),
+                "analyzed": f.name == text_col,
+                "searchable": f.name == text_col,
+                "filterable": f.name != text_col,
+                "positions": bool(self.manifest.get("positions"))
+                if f.name == text_col else False,
+            }
+        return {
+            "fields": out,
+            "n_docs": self.N,
+            "n_terms": self.manifest.get("n_terms"),
+            "stopwords": sorted(self.stopwords),
+        }
+
     def termvectors(self, doc_id: int) -> list[tuple]:
         """ES _termvectors API analog: [(term, tf, positions)] for one
         doc, term-ascending. Computed by re-analyzing the stored text —

@@ -86,6 +86,29 @@ def test_admin_lifecycle(tmp_path):
     assert delete_index(idx) is False
 
 
+def test_field_caps(tmp_path):
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+    from rayfts.search import Searcher
+
+    corpus = str(tmp_path / "c")
+    write_transcripts(corpus, n_convs=4, seed=42)
+    d = str(tmp_path / "i")
+    build_index(
+        corpus,
+        cfg=IndexJobConfig(index_dir=d, term_buckets=4,
+                           index_positions=True),
+    )
+    caps = Searcher(d).field_caps()
+    f = caps["fields"]
+    assert f["text"]["analyzed"] and f["text"]["positions"]
+    assert f["role"]["filterable"] and not f["role"]["analyzed"]
+    assert f["turn_idx"]["type"].startswith("int")
+    assert caps["n_docs"] > 0 and caps["n_terms"] > 0
+    assert caps["stopwords"] == []
+
+
 def test_snapshot_restore_and_rollover(tmp_path):
     """Snapshot copies publish-gated (manifest last), restore is
     drop-and-recreate, rollover appends a generation once the newest
