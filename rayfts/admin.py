@@ -102,8 +102,16 @@ def snapshot(index_dir: str, snapshot_dir: str) -> dict:
     the snapshot's manifest."""
     if not index_exists(index_dir):
         raise FileNotFoundError(f"not a published index: {index_dir}")
-    if os.path.exists(snapshot_dir) and os.listdir(snapshot_dir):
+    if os.path.exists(snapshot_dir) and (
+        not os.path.isdir(snapshot_dir) or os.listdir(snapshot_dir)
+    ):
         raise FileExistsError(f"snapshot target not empty: {snapshot_dir}")
+    # manifest read FIRST: the copied bytes and the published manifest
+    # are the same generation even if a writer republishes mid-copy
+    # (the copy may include newer files, but the manifest only names
+    # state it saw — readers trust the manifest, so the snapshot is a
+    # consistent point-in-time view)
+    m = load_manifest(index_dir)
     os.makedirs(snapshot_dir, exist_ok=True)
     manifest_src = os.path.join(index_dir, MANIFEST_NAME)
     for root, _, files in os.walk(index_dir):
@@ -115,7 +123,6 @@ def snapshot(index_dir: str, snapshot_dir: str) -> dict:
             if src == manifest_src:
                 continue  # manifest publishes last
             shutil.copy2(src, os.path.join(dst_root, f))
-    m = load_manifest(index_dir)
     publish_manifest(snapshot_dir, m)
     return m
 
@@ -140,8 +147,12 @@ def rollover(registry_dir: str, alias: str, new_index_dir: str,
     True when rolled, False when the current target is still under the
     threshold."""
     dirs = resolve_alias(registry_dir, alias)
+    if new_index_dir in dirs:
+        return False  # idempotent: a retried rollover never duplicates
     newest = load_manifest(dirs[-1])
-    if newest["n_docs"] < max_docs:
+    # live docs, like ES max_docs (deletes don't count toward the gate)
+    live = newest["n_docs"] - len(excluded_docs(dirs[-1]))
+    if live < max_docs:
         return False
     if not index_exists(new_index_dir):
         raise FileNotFoundError(

@@ -25,18 +25,26 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
-def hash_bucket(keys: list[str], buckets: int = 100) -> np.ndarray:
-    """md5-prefix bucket per key (one C-speed md5 per row; the per-row
-    digest is unavoidable without an Arrow md5 kernel — same note as
-    exact_dedup)."""
+def md5_prefix_u32(keys) -> np.ndarray:
+    """THE md5-prefix rule (first 8 hex chars as an int in [0, 2^32)) —
+    the single definition shared by the hash-split stage and
+    ``Searcher.random_score`` so their DuckDB oracle twin
+    (``CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT)``) stays pinned to
+    one implementation. One C-speed md5 per row; unavoidable without an
+    Arrow md5 kernel — same note as exact_dedup."""
     return np.fromiter(
         (
-            int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16) % buckets
+            int(hashlib.md5(k.encode("utf-8")).hexdigest()[:8], 16)
             for k in keys
         ),
         dtype=np.int64,
         count=len(keys),
     )
+
+
+def hash_bucket(keys: list[str], buckets: int = 100) -> np.ndarray:
+    """md5-prefix bucket per key (see md5_prefix_u32)."""
+    return md5_prefix_u32(keys) % buckets
 
 
 class SplitAssigner:
@@ -47,6 +55,8 @@ class SplitAssigner:
 
     def __init__(self, key_col: str, buckets: int = 100,
                  train_buckets: int = 90):
+        if buckets <= 0:
+            raise ValueError("buckets must be positive")
         if not 0 <= train_buckets <= buckets:
             raise ValueError("train_buckets must be within [0, buckets]")
         self.key_col = key_col

@@ -2799,10 +2799,11 @@ class Searcher(SuggestAPI):
         deterministic (same seed -> same ranking on any machine, the
         reproducible-sampling contract): factor = first 8 hex chars of
         md5(f"{seed}:{doc_id}") / 2^32 in [0,1), boost_mode=multiply.
-        The md5 rule is the same one the hash-split stage pins for its
-        SQL twin; the per-hit digest is C-bound and touches the hit set
-        only."""
-        import hashlib
+        The md5 rule is the ONE implementation the hash-split stage also
+        uses (extras.sampling.md5_prefix_u32 — shared so the SQL twin
+        stays pinned); the per-hit digest is C-bound and touches the hit
+        set only."""
+        from .extras.sampling import md5_prefix_u32
 
         if k <= 0:
             return []
@@ -2813,16 +2814,9 @@ class Searcher(SuggestAPI):
         if idx.size == 0:
             return []
         buf = self._dense_scores(query)
-        fac = np.fromiter(
-            (
-                int(hashlib.md5(
-                    f"{seed}:{d}".encode()
-                ).hexdigest()[:8], 16)
-                for d in idx.tolist()
-            ),
-            dtype=np.float64,
-            count=idx.size,
-        ) / 4294967296.0
+        fac = md5_prefix_u32(
+            [f"{seed}:{d}" for d in idx.tolist()]
+        ).astype(np.float64) / 4294967296.0
         scores = buf[idx] * fac
         return self._topk_from(idx, scores, k)
 

@@ -547,4 +547,6 @@ def test_hash_split_deterministic_and_key_stable():
 
     with _pytest.raises(ValueError):
         SplitAssigner("k", buckets=10, train_buckets=11)
+    with _pytest.raises(ValueError):
+        SplitAssigner("k", buckets=0, train_buckets=0)
     assert hash_bucket([], 10).size == 0

@@ -147,7 +147,12 @@ def test_snapshot_restore_and_rollover(tmp_path):
     with pytest.raises(FileNotFoundError):
         rollover(reg, "live", b, max_docs=1)
     assert rollover(reg, "live", rest, max_docs=10**9) is False
+    # the gate counts LIVE docs (tombstones excluded, ES max_docs)
+    assert rollover(reg, "live", rest, max_docs=s0.N) is False
     assert rollover(reg, "live", rest, max_docs=1) is True
+    assert resolve_alias(reg, "live") == [a, rest]
+    # retried rollover with the same target is idempotent
+    assert rollover(reg, "live", rest, max_docs=1) is False
     assert resolve_alias(reg, "live") == [a, rest]
     ms = open_alias(reg, "live")
     assert isinstance(ms, MultiSearcher) and ms.N == 2 * s0.N
