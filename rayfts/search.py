@@ -485,20 +485,27 @@ class SuggestAPI:
     def significant_terms(self, query: str, size: int = 10,
                           min_doc_count: int = 3,
                           where: dict | None = None, mode: str = "or",
-                          must_not: str | None = None):
+                          must_not: str | None = None,
+                          sample_size: int | None = None):
         """ES significant_terms analog: terms overrepresented in the
         query hit set vs the corpus, scored with the JLH heuristic
         score = (fgp - bgp) * (fgp / bgp), fgp = fg_df/n_hits,
         bgp = df/N. Foreground dfs come from re-analyzing the HIT DOCS'
-        stored text (O(hit text), the ES sampler strategy, never an
-        index scan — ``_merged_sig_foreground``: one vectorized pass per
-        index, per-segment sums when sharded); background dfs are
-        dictionary lookups for just the candidate terms (no posting
-        decode). Terms with fg_df < min_doc_count or fgp <= bgp drop
-        (the ES noise floor). Returns [(term, fg_df, df, score)] ordered
-        (score desc, term asc), first ``size`` — ONE scoring loop shared
-        by the single and sharded executors."""
-        n_hits, fg = self._merged_sig_foreground(query, where, mode, must_not)
+        stored text (O(hit text), never an index scan —
+        ``_merged_sig_foreground``: one vectorized pass per index,
+        per-segment sums when sharded); background dfs are dictionary
+        lookups for just the candidate terms (no posting decode).
+        ``sample_size`` = the ES sampler/shard_size knob, applied PER
+        SEGMENT when sharded (exactly ES): None = exact over all hits,
+        an int bounds the re-analyzed text to the top hits by score —
+        the 100 TB path for Zipf-head queries. Terms with
+        fg_df < min_doc_count or fgp <= bgp drop (the ES noise floor).
+        Returns [(term, fg_df, df, score)] ordered (score desc, term
+        asc), first ``size`` — ONE scoring loop shared by the single and
+        sharded executors."""
+        n_hits, fg = self._merged_sig_foreground(
+            query, where, mode, must_not, sample_size
+        )
         if n_hits == 0:
             return []
         out = []
@@ -1005,14 +1012,27 @@ class Searcher(SuggestAPI):
         return self._facet_hist(query, field, where, mode, must_not)
 
     def _sig_foreground(self, query: str, where=None, mode="or",
-                        must_not=None) -> tuple[int, dict]:
+                        must_not=None,
+                        sample_size: int | None = None) -> tuple[int, dict]:
         """(n_hits, term -> foreground df) from ONE vectorized
         re-analysis of the hit docs' stored text — the per-segment unit
-        the sharded significant_terms sums."""
+        the sharded significant_terms sums. ``sample_size`` is the ES
+        sampler/shard_size scale knob: None = exact over ALL hits (the
+        oracle mode — at a Zipf-head query that text volume approaches
+        the corpus); an int re-analyzes only the top-``sample_size``
+        hits by BM25 (deterministic: score desc, doc asc), which is how
+        ES actually runs significant_terms under a sampler agg."""
         hits = self._hit_mask(query, where, mode, must_not)
         if hits is None:
             return 0, {}
         idx = np.flatnonzero(hits)
+        if sample_size is not None and idx.size > sample_size:
+            buf = self._dense_scores(query)
+            scores = buf[idx]
+            kth = np.partition(-scores, sample_size - 1)[sample_size - 1]
+            cand = np.flatnonzero(-scores <= kth)
+            order = cand[np.lexsort((idx[cand], -scores[cand]))]
+            idx = np.sort(idx[order[:sample_size]])
         n_hits = int(idx.size)
         if n_hits == 0:
             return 0, {}
@@ -3735,15 +3755,20 @@ class MultiSearcher(SuggestAPI):
         return total
 
     def _merged_sig_foreground(self, query: str, where=None, mode="or",
-                               must_not=None) -> tuple[int, dict]:
+                               must_not=None,
+                               sample_size: int | None = None
+                               ) -> tuple[int, dict]:
         """SuggestAPI.significant_terms primitive: per-segment foreground
         dfs SUM (hit sets are disjoint) — with _dict_stats' global df
         sums the shared JLH loop sees identical inputs to a single
-        index."""
+        index. ``sample_size`` bounds each SEGMENT's re-analyzed text
+        (the ES per-shard shard_size semantics)."""
         n_hits = 0
         fg: dict[str, int] = {}
         for seg in self.segments:
-            nh, f = seg._sig_foreground(query, where, mode, must_not)
+            nh, f = seg._sig_foreground(
+                query, where, mode, must_not, sample_size
+            )
             n_hits += nh
             for t, c in f.items():
                 fg[t] = fg.get(t, 0) + c

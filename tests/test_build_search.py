@@ -1302,6 +1302,17 @@ def test_significant_terms_matches_bruteforce(index_dir, oracle):
         assert a == pytest.approx(b, rel=1e-12)
     # the query's own terms should surface as significant
     assert "w0007" in {t for t, *_ in got}
+    # sampler knob: >= hits is exact; a small sample stays well-formed
+    assert s.significant_terms(q, size=10, min_doc_count=3,
+                               sample_size=10**9) == got
+    sampled = s.significant_terms(q, size=10, min_doc_count=1,
+                                  sample_size=5)
+    assert sampled and all(f <= 5 for _, f, _, _ in sampled)
+    scores = [sc for *_, sc in sampled]
+    assert scores == sorted(scores, reverse=True)
+    # deterministic: the sample is top-hits-by-score, not random
+    assert sampled == s.significant_terms(q, size=10, min_doc_count=1,
+                                          sample_size=5)
 
 
 def test_cardinality_agg_matches_bruteforce(index_dir, oracle):
