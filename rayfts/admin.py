@@ -106,23 +106,35 @@ def snapshot(index_dir: str, snapshot_dir: str) -> dict:
         not os.path.isdir(snapshot_dir) or os.listdir(snapshot_dir)
     ):
         raise FileExistsError(f"snapshot target not empty: {snapshot_dir}")
-    # manifest read FIRST: the copied bytes and the published manifest
-    # are the same generation even if a writer republishes mid-copy
-    # (the copy may include newer files, but the manifest only names
-    # state it saw — readers trust the manifest, so the snapshot is a
-    # consistent point-in-time view)
+    # manifest AND tombstones read FIRST: the copied bytes and the
+    # published manifest are the same generation even if a writer
+    # republishes mid-copy (the copy may include newer files, but the
+    # manifest only names state it saw — readers trust the manifest).
+    # Tombstones are mutated in place (not manifest-gated), so a delete
+    # racing the file walk could otherwise land tombstones NEWER than
+    # the captured manifest generation; capturing them up front keeps
+    # the point-in-time claim honest under concurrent writers.
     m = load_manifest(index_dir)
+    excluded_at_capture = excluded_docs(index_dir)
     os.makedirs(snapshot_dir, exist_ok=True)
     manifest_src = os.path.join(index_dir, MANIFEST_NAME)
+    tombstones_src = os.path.join(index_dir, TOMBSTONES_NAME)
     for root, _, files in os.walk(index_dir):
         rel = os.path.relpath(root, index_dir)
         dst_root = os.path.join(snapshot_dir, rel) if rel != "." else snapshot_dir
         os.makedirs(dst_root, exist_ok=True)
         for f in files:
             src = os.path.join(root, f)
-            if src == manifest_src:
-                continue  # manifest publishes last
+            if src in (manifest_src, tombstones_src):
+                continue  # manifest publishes last; tombstones = capture
             shutil.copy2(src, os.path.join(dst_root, f))
+    if excluded_at_capture:
+        from .manifest import _atomic_write_json
+
+        _atomic_write_json(
+            os.path.join(snapshot_dir, TOMBSTONES_NAME),
+            {"excluded": excluded_at_capture},
+        )
     publish_manifest(snapshot_dir, m)
     return m
 

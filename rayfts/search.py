@@ -164,7 +164,10 @@ def parse_query_string(q: str) -> dict:
         if m:
             boost = float(m.group(1))
             body = body[: m.start()]
-        if not body:
+        if not body or body in ("+", "-"):
+            # a bare sign char is not a clause: the regex lets `-`/`+-`
+            # match with the sign folded into the body; dropping it keeps
+            # the grammar total (lone signs analyze to zero tokens anyway)
             continue
         if sign == "-":
             out["must_not"].append(body)
@@ -1563,10 +1566,15 @@ class Searcher(SuggestAPI):
             cand = np.intersect1d(cand, post[t].doc_ids, assume_unique=True)
         if cand.size == 0:
             return empty
-        # key space: doc*L + within-doc position; L exceeds any position
-        # by more than the max slot shift, so shifted keys never collide
-        # across docs
-        L = int(self.dl.max(initial=0)) + pairs[-1][1] + len(pairs) + 2
+        # key space: doc*L + within-doc position; L exceeds any STORED
+        # position by more than the max slot shift, so shifted keys never
+        # collide across docs. dl under-bounds on a stopword index (dl
+        # counts emitted tokens, stored positions keep the gaps), so L is
+        # derived from the involved postings' own max position.
+        maxpos = max(
+            int(self._positions(post[t])[0].max(initial=0)) for t in uniq
+        )
+        L = maxpos + pairs[-1][1] + len(pairs) + 2
 
         def slot_keys(term: str, shift: int) -> np.ndarray:
             p = post[term]
@@ -1852,8 +1860,14 @@ class Searcher(SuggestAPI):
             cand = cand[~np.isin(cand, self.excluded)]
         if cand.size == 0:
             return []
-        # key space margin covers pos + (n-1) + slop staying in-doc
-        L = int(self.dl.max(initial=0)) + n + slop + 2
+        # key space margin covers pos + (n-1) + slop staying in-doc; like
+        # _phrase_freqs, L derives from the postings' own max STORED
+        # position (dl under-bounds it on a stopword index — positions
+        # keep the gaps stop-filtered tokens leave behind)
+        maxpos = max(
+            int(self._positions(post[t])[0].max(initial=0)) for t in uniq
+        )
+        L = maxpos + n + slop + 2
 
         def slot_keys(term: str) -> np.ndarray:
             p = post[term]
@@ -3287,6 +3301,20 @@ class MultiSearcher(SuggestAPI):
             SharedSearcher(d) if isinstance(d, SharedIndexHandle) else Searcher(d)
             for d in index_dirs
         ]
+        # analyzer/scoring config must agree across segments: queries are
+        # analyzed ONCE with segments[0]'s stop list and scored with its
+        # k1/b, so a disagreeing segment would silently get the wrong
+        # analysis (mirrors compact_segments' build-config check)
+        head = self.segments[0].manifest
+        for s in self.segments[1:]:
+            for key in ("stopwords", "k1", "b", "text_col"):
+                if s.manifest.get(key) != head.get(key):
+                    raise ValueError(
+                        f"segment {s.index_dir!r} disagrees on {key!r}: "
+                        f"{s.manifest.get(key)!r} != {head.get(key)!r} — "
+                        "all MultiSearcher segments must share one "
+                        "analyzer/scoring config"
+                    )
         self.N = sum(s.N for s in self.segments)
         total_dl = sum(s.manifest["total_dl"] for s in self.segments)
         self.avgdl = (total_dl / self.N) if self.N else 0.0

@@ -158,6 +158,63 @@ def test_snapshot_restore_and_rollover(tmp_path):
     assert isinstance(ms, MultiSearcher) and ms.N == 2 * s0.N
 
 
+def test_snapshot_tombstones_are_point_in_time(tmp_path, monkeypatch):
+    """A delete racing the snapshot's file walk must NOT leak into the
+    snapshot: tombstones are captured once alongside the manifest, so
+    the snapshot's excluded set is exactly the capture-time set even
+    when exclude_docs runs mid-copy."""
+    import shutil as _sh
+
+    from rayfts import admin as adm
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+
+    corpus = str(tmp_path / "c")
+    write_transcripts(corpus, n_convs=6, seed=42)
+    a = str(tmp_path / "a")
+    build_index(corpus, cfg=IndexJobConfig(index_dir=a, term_buckets=4))
+    adm.exclude_docs(a, [0])
+
+    real_copy2 = _sh.copy2
+    raced = {"done": False}
+
+    def racing_copy2(src, dst, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            adm.exclude_docs(a, [1])  # concurrent writer mid-walk
+        return real_copy2(src, dst, **kw)
+
+    monkeypatch.setattr("rayfts.admin.shutil.copy2", racing_copy2)
+    snap = str(tmp_path / "snap")
+    adm.snapshot(a, snap)
+    assert raced["done"]
+    assert adm.excluded_docs(snap) == [0]       # capture-time state only
+    assert adm.excluded_docs(a) == [0, 1]       # source moved on
+
+
+def test_multisearcher_rejects_mismatched_analyzer_config(tmp_path):
+    """Segments built with different stop lists (or k1/b) silently
+    mis-analyze queries — MultiSearcher must refuse to open them."""
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+    from rayfts.search import MultiSearcher
+
+    corpus = str(tmp_path / "c")
+    write_transcripts(corpus, n_convs=4, seed=42)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(corpus, cfg=IndexJobConfig(index_dir=a, term_buckets=4))
+    build_index(corpus, cfg=IndexJobConfig(
+        index_dir=b, term_buckets=4, stopwords=("the",)))
+    with pytest.raises(ValueError, match="stopwords"):
+        MultiSearcher([a, b])
+    # same config still opens fine
+    c = str(tmp_path / "c2")
+    build_index(corpus, cfg=IndexJobConfig(index_dir=c, term_buckets=4))
+    assert MultiSearcher([a, c]).N > 0
+
+
 def test_fold_ascii_stage_and_query_twin(tmp_path):
     """asciifolding: the prep stage folds the corpus, fold_query folds
     the query with the SAME kernel — accented and plain forms meet."""

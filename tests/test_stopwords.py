@@ -141,6 +141,58 @@ def test_phrase_across_stopword_gap(stop_index, stop_oracle):
         s.search_phrase("w0007", k=10)
 
 
+def test_phrase_keyspace_survives_stopword_dense_doc(tmp_path_factory):
+    """Regression: a doc whose STORED positions far exceed its
+    stop-filtered dl ('the '*40 + payload → dl=2, max position=41) must
+    not overflow the (doc, position) key space used by _phrase_freqs /
+    span_near_docs — L is derived from the postings' max position, not
+    dl. Before the fix this raised IndexError (phantom doc ids) or
+    silently returned wrong docs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    texts = [
+        "the " * 40 + "alpha beta",   # doc 0: dl=2, positions 40,41
+        "alpha gamma beta",           # doc 1: alpha..beta NOT adjacent
+        "beta alpha",                 # doc 2: reversed
+        "the alpha the beta the",     # doc 3: alpha@1 beta@3 (gap)
+    ]
+    n = len(texts)
+    t = pa.table({
+        "conv_id": pa.array([f"conv-{i:07d}" for i in range(n)]),
+        "turn_idx": pa.array([0] * n, pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array(texts),
+        "tool": pa.array([None] * n, pa.string()),
+        "ts": pa.array([1_000_000 * i for i in range(n)],
+                       pa.timestamp("us")),
+    })
+    d = tmp_path_factory.mktemp("stopdense")
+    build_index(
+        rd.from_arrow(t),
+        cfg=IndexJobConfig(
+            index_dir=str(d), term_buckets=4, index_positions=True,
+            stopwords=("the",),
+        ),
+    )
+    s = Searcher(str(d))
+    hits = s.search_phrase("alpha beta", k=10)
+    assert [doc for doc, _ in hits] == [0]
+    # 'alpha the beta' = alpha with beta two raw positions later — the
+    # gap may hold ANY token: doc 3 (gap=the) and doc 1 (gap=gamma);
+    # doc 3 ranks first (smaller dl)
+    assert [doc for doc, _ in s.search_phrase("alpha the beta", k=10)] \
+        == [3, 1]
+    # span_near over the same corpus: in-order chains within slop
+    assert s.span_near_docs(["alpha", "beta"], slop=0) == [(0, 1)]
+    assert sorted(s.span_near_docs(["alpha", "beta"], slop=1)) == \
+        [(0, 1), (1, 1), (3, 1)]
+    # phrase_prefix shares _phrase_freqs; suggest path shares _bigram_count
+    assert [doc for doc, _ in s.search_phrase_prefix("alpha bet", k=10)] \
+        == [0]
+    assert s._bigram_count("alpha", "beta") == 1
+
+
 def test_sharded_stop_index_equals_global(stop_index, tmp_path_factory):
     import pyarrow.compute as pc
 
