@@ -294,6 +294,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_lineitem_part": P.semi_join_lineitem_part,
         "union_distinct_keys": P.union_distinct_keys,
         "events_top20_by_value": P.events_top20_by_value,
+        # geo family (the reference's query payload: GeoDistance filter,
+        # geo-distance sort, geo_bounding_box, geo_centroid — over a
+        # deterministic (lat, lon) grid derived from event ids)
+        "fts_geo_distance_sort": P.geo_distance_sort_q,
+        "fts_geo_bbox_count": P.geo_bbox_count_q,
+        "fts_geo_centroid": P.geo_centroid_q,
         # training-data extras (dedup / similarity / text analysis)
         "dedup_exact": P.dedup_exact_q,
         "dedup_minhash": P.dedup_minhash_q,
@@ -328,6 +334,33 @@ def _adjacency_values() -> str:
     return ",\n".join(
         f"  ('{k}', (SELECT count(*) FROM h WHERE {c}))" for k, c in rows
     )
+
+
+# Shared CTE for the geo oracles: derived grid points + haversine
+# distance to GEO_ORIGIN (pipelines.GEO_* constants inlined — keep in
+# sync). Term order mirrors rayfts.geo.haversine_km:
+#   a = sin(dphi/2)^2 + (cos(phi0) * cos(phi) * sin(dlmb/2)^2)
+#   d = 2 * R * asin(sqrt(least(a, 1)))
+_GEO_DIST_CTE = """
+WITH pts AS (
+  SELECT event_id,
+         (user_id * 7919) % 18000 AS lat_e2,
+         (event_id * 104729) % 36000 AS lon_e2,
+         ((user_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM events
+), d AS (
+  SELECT event_id, lat_e2, lon_e2,
+         2.0 * 6371.0088 * asin(sqrt(least(
+           sin(radians(lat - 37.77) / 2.0)
+             * sin(radians(lat - 37.77) / 2.0)
+           + (cos(radians(37.77)) * cos(radians(lat))
+              * (sin(radians(lon - (-122.42)) / 2.0)
+                 * sin(radians(lon - (-122.42)) / 2.0))),
+           1.0))) AS dist_km
+  FROM pts
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1247,6 +1280,33 @@ SELECT count(DISTINCT id) AS n_distinct FROM (
         "events_top20_by_value": """
 SELECT event_id, CAST(round(value * 100.0) AS BIGINT) AS value_cents
 FROM events ORDER BY value DESC, event_id LIMIT 20
+""",
+        # geo oracles: lat/lon derive from the ids via exact integer
+        # arithmetic (see pipelines._events_geo); the haversine term
+        # order mirrors rayfts.geo.haversine_km exactly so both sides
+        # produce bit-equal doubles before the e6 rounding.
+        "fts_geo_distance_sort": _GEO_DIST_CTE + """
+SELECT event_id,
+       CAST(round(dist_km * 1e6) AS BIGINT) AS dist_e6
+FROM d WHERE dist_km <= 3000.0
+ORDER BY dist_km, event_id LIMIT 20
+""",
+        "fts_geo_bbox_count": """
+WITH pts AS (
+  SELECT ((user_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM events
+)
+SELECT count(*) AS n FROM pts
+WHERE lat BETWEEN 20.0 AND 60.0 AND lon BETWEEN -30.0 AND 60.0
+""",
+        "fts_geo_centroid": _GEO_DIST_CTE + """
+SELECT count(*) AS n,
+       CAST(round(((sum(lat_e2)::DOUBLE / count(*)) / 100.0 - 90.0) * 1e6)
+            AS BIGINT) AS lat_e6,
+       CAST(round(((sum(lon_e2)::DOUBLE / count(*)) / 100.0 - 180.0) * 1e6)
+            AS BIGINT) AS lon_e6
+FROM d WHERE dist_km <= 3000.0
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,

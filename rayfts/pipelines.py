@@ -1675,6 +1675,99 @@ def union_distinct_keys(sf_dir: str) -> pa.Table:
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
 
 
+# geo probe constants (shared with oracle_sql — keep in sync). The events
+# table has no geometry, so lat/lon derive DETERMINISTICALLY from the ids
+# via integer arithmetic that SQL reproduces exactly: the only float ops
+# are the final /100.0 - offset, identical on both sides.
+GEO_ORIGIN = (37.77, -122.42)        # query origin (lat, lon), SF-ish
+GEO_RADIUS_KM = 3000.0
+GEO_K = 20
+GEO_BOX_TL = (60.0, -30.0)           # top-left (lat, lon)
+GEO_BOX_BR = (20.0, 60.0)            # bottom-right (lat, lon)
+
+
+def _events_geo(sf_dir: str) -> rd.Dataset:
+    """events + derived (lat, lon) point per event: lat/lon centidegree
+    grids from user_id/event_id (exact int arithmetic; see GEO_* note).
+    lat_e2/lon_e2 carry the exact integer micro-units so downstream
+    centroids can aggregate without float summation-order drift."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].combine_chunks().to_numpy()
+        uid = batch["user_id"].combine_chunks().to_numpy()
+        lat_e2 = (uid.astype(np.int64) * 7919) % 18000
+        lon_e2 = (eid.astype(np.int64) * 104729) % 36000
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "lat": pa.array(lat_e2 / 100.0 - 90.0, pa.float64()),
+                "lon": pa.array(lon_e2 / 100.0 - 180.0, pa.float64()),
+                "lat_e2": pa.array(lat_e2, pa.int64()),
+                "lon_e2": pa.array(lon_e2, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def geo_distance_sort_q(sf_dir: str) -> pa.Table:
+    """GeoDistance filter + geo-distance sort (ESNodeITest.java:138-194
+    semantics): the GEO_K events nearest GEO_ORIGIN within
+    GEO_RADIUS_KM, (dist asc, event_id asc)."""
+    from .geo import geo_distance_topk
+
+    t = geo_distance_topk(
+        _events_geo(sf_dir), "lat", "lon", GEO_ORIGIN,
+        k=GEO_K, id_col="event_id", radius_km=GEO_RADIUS_KM,
+    )
+    return pa.table(
+        {
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "dist_e6": pc.cast(
+                pc.round(pc.multiply(t["dist_km"], 1e6)), pa.int64()
+            ),
+        }
+    )
+
+
+def geo_bbox_count_q(sf_dir: str) -> pa.Table:
+    """geo_bounding_box filter consumed as a count (pure comparisons on
+    the derived grid — no trig, exact on both sides)."""
+    from .geo import geo_bounding_box_count
+
+    n = geo_bounding_box_count(
+        _events_geo(sf_dir), "lat", "lon", GEO_BOX_TL, GEO_BOX_BR
+    )
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def geo_centroid_q(sf_dir: str) -> pa.Table:
+    """geo_centroid aggregation (ESShape.java:160-185 mean-of-points)
+    over the events within GEO_RADIUS_KM of GEO_ORIGIN. Aggregates the
+    exact integer micro-unit columns, so the mean is deterministic
+    (block order can't drift the sum); the final division sequence is
+    mirrored in the SQL oracle."""
+    from .geo import geo_centroid, geo_distance_filter
+
+    within = geo_distance_filter(
+        _events_geo(sf_dir), "lat", "lon", GEO_ORIGIN, GEO_RADIUS_KM
+    )
+    lat_u, lon_u, n = geo_centroid(within, "lat_e2", "lon_e2")
+    lat = lat_u / 100.0 - 90.0
+    lon = lon_u / 100.0 - 180.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "lat_e6": pa.array([int(np.round(lat * 1e6))], pa.int64()),
+            "lon_e6": pa.array([int(np.round(lon * 1e6))], pa.int64()),
+        }
+    )
+
+
 def events_top20_by_value(sf_dir: str, k: int = 20) -> pa.Table:
     """Top-k with secondary key (T1/T2): per-block partial top-k inside
     map_batches, then a driver merge of the tiny candidates — NO global
