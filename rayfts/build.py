@@ -179,7 +179,8 @@ def _assemble_part(slices: list, offset: int, tag_map_cols: tuple = ()) -> pa.Ta
 
 @ray.remote
 def _write_docstore_part(
-    t: pa.Table, part_id: int, offset: int, docstore_dir: str, index_dir: str
+    t: pa.Table, part_id: int, offset: int, docstore_dir: str,
+    index_dir: str, key_cols: tuple = (),
 ) -> dict:
     """Write one assembled partition atomically + checkpoint it. Runs
     CONCURRENTLY with the analyze stage (which consumes the assembled
@@ -205,6 +206,15 @@ def _write_docstore_part(
         "checksum": checksum,
         "bytes": os.path.getsize(final),
     }
+    if key_cols and t.num_rows:
+        # the global sort makes each partition a contiguous key range —
+        # record it so point gets prune to owning partitions (lineage
+        # metadata, like min/max_doc_id); JSON-safe key types only
+        lo = [t[c][0].as_py() for c in key_cols]
+        hi = [t[c][t.num_rows - 1].as_py() for c in key_cols]
+        if all(isinstance(v, (str, int, float, bool)) for v in lo + hi):
+            info["min_key"] = lo
+            info["max_key"] = hi
     write_checkpoint(index_dir, "docstore", f"part-{part_id:06d}", info)
     return info
 
@@ -355,7 +365,8 @@ def build_docstore(
         )
         info_futures.append(
             _write_docstore_part.remote(
-                tbl_ref, part_id, offset, docstore_dir, index_dir
+                tbl_ref, part_id, offset, docstore_dir, index_dir,
+                tuple(cfg.key_cols),
             )
         )
         # fresh/rebuilt partition: the id-assigned table is still in the

@@ -40,10 +40,11 @@ from ..analysis import tokens_flat
 from .hashing import (
     FOLD_C,
     U64,
-    components_min_label,
+    components_min_label_from_blocks,
     hash_tokens_unique,
     label_dataset,
     md5_lower64,
+    spanning_edges,
     u64_to_i64,
 )
 
@@ -604,7 +605,7 @@ def minhash_dedup(
         concurrency=concurrency,
     )
     pairs_ds = _candidate_pairs_ds(bands_ds).materialize()
-    verified: set[tuple[int, int]] = set()
+    roots: dict[int, int] = {}
     need = _candidate_ids(pairs_ds)
     if need.size:
         ids_ref = ray.put(need)
@@ -616,15 +617,19 @@ def minhash_dedup(
         )
         tnum, tden = threshold_fraction(threshold)
         ver_ds = _verified_pairs_distributed(pairs_ds, sh_ds, tnum, tden)
-        for t in ray.get(ver_ds.to_arrow_refs()):
-            if t.num_rows:
-                verified.update(
-                    zip(
-                        t["a"].to_numpy(zero_copy_only=False).tolist(),
-                        t["b"].to_numpy(zero_copy_only=False).tolist(),
-                    )
-                )
-    roots = components_min_label(verified)
+        # driver bound on an all-duplicates corpus: verified pairs can
+        # approach the per-bucket cap squared, but (1) spanning_edges
+        # pre-collapses each block map-side to <= its distinct ids and
+        # (2) the driver unions edges STREAMING (iter_batches with
+        # backpressure) into a parent map that is O(candidate ids) —
+        # never O(pairs) — so the only driver-resident state is the
+        # broadcastable root map labeling already requires.
+        collapsed = ver_ds.map_batches(
+            spanning_edges, batch_format="pyarrow"
+        )
+        roots = components_min_label_from_blocks(
+            collapsed.iter_batches(batch_format="pyarrow")
+        )
     return label_dataset(ds.select_columns(["doc_id"]), roots, id_col="doc_id")
 
 
@@ -764,14 +769,14 @@ def simhash_dedup(
             }
         )
 
-    refs = (
+    ver_ds = (
         bands_ds.groupby(["band_id", "band_hash"])
         .map_groups(verified_pairs, batch_format="pyarrow")
-        .to_arrow_refs()
+        .map_batches(spanning_edges, batch_format="pyarrow")
     )
-    verified: set[tuple[int, int]] = set()
-    for t in ray.get(refs):
-        if t.num_rows:
-            verified.update(zip(t["a"].to_pylist(), t["b"].to_pylist()))
-    roots = components_min_label(verified)
+    # streaming union (same driver bound as minhash_dedup: O(candidate
+    # ids) parent map, edge blocks pre-collapsed map-side)
+    roots = components_min_label_from_blocks(
+        ver_ds.iter_batches(batch_format="pyarrow")
+    )
     return label_dataset(ds.select_columns(["doc_id"]), roots, id_col="doc_id")

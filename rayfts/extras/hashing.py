@@ -82,14 +82,18 @@ def u64_view_i64(u: np.ndarray) -> np.ndarray:
     return u.view(np.int64)
 
 
-def components_min_label(pairs: set[tuple[int, int]]) -> dict[int, int]:
-    """Union-find over verified pairs; returns a FULLY-COMPRESSED
-    {member -> min id of its component} map for non-singleton members only.
-    The map is O(candidate docs) — small by the candidates << corpus
-    assumption — and broadcastable."""
-    parent: dict[int, int] = {}
+class UnionFind:
+    """Streaming union-find with min-label roots. Edges arrive in any
+    order and may repeat; memory is O(distinct touched ids) — NEVER
+    O(edges) — which is what bounds the driver on a pathological
+    all-duplicates corpus (the edge set can approach |corpus|^2 per
+    bucket cap, the node set cannot exceed the corpus)."""
 
-    def find(x: int) -> int:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        parent = self.parent
         r = x
         while parent.get(r, r) != r:
             r = parent[r]
@@ -97,13 +101,82 @@ def components_min_label(pairs: set[tuple[int, int]]) -> dict[int, int]:
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in sorted(pairs):
-        ra, rb = find(a), find(b)
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
         if ra != rb:
             if ra > rb:
                 ra, rb = rb, ra
-            parent[rb] = ra
-    return {x: find(x) for x in parent}
+            # min-id root: component label = min member, independent of
+            # edge arrival order (connectivity + min are order-free)
+            self.parent[rb] = ra
+
+    def union_edge_block(self, a: np.ndarray, b: np.ndarray) -> None:
+        """Union one verified-pair block (two int arrays) without ever
+        materializing the pair set."""
+        union = self.union
+        for x, y in zip(a.tolist(), b.tolist()):
+            union(x, y)
+
+    def min_label_map(self) -> dict[int, int]:
+        """FULLY-COMPRESSED {member -> min id of its component} for
+        non-singleton members only — O(touched ids), broadcastable."""
+        return {x: self.find(x) for x in self.parent}
+
+
+def components_min_label(pairs) -> dict[int, int]:
+    """Union-find over verified pairs (any iterable of (a, b)); returns
+    the min-label root map (see UnionFind.min_label_map). The map is
+    O(candidate docs) — small by the candidates << corpus assumption —
+    and broadcastable."""
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    return uf.min_label_map()
+
+
+def spanning_edges(batch: pa.Table) -> pa.Table:
+    """Per-block pre-collapse for verified-pair streams: run a LOCAL
+    union-find over the block's (a, b) pairs and emit only the
+    spanning-forest edges (member -> local root). Output rows are
+    bounded by the block's distinct ids (minus components) however many
+    duplicate/cyclic pairs the block carries — the map-side combiner
+    that keeps the driver's edge intake near the node count."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    uf = UnionFind()
+    uf.union_edge_block(
+        batch["a"].to_numpy(zero_copy_only=False),
+        batch["b"].to_numpy(zero_copy_only=False),
+    )
+    roots = uf.min_label_map()
+    a_out, b_out = [], []
+    for x, r in roots.items():
+        if x != r:
+            a_out.append(r)
+            b_out.append(x)
+    return pa.table(
+        {
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+        }
+    )
+
+
+def components_min_label_from_blocks(tables) -> dict[int, int]:
+    """Streaming min-label components over an iterable of Arrow tables
+    with (a, b) verified-pair columns: edges are consumed block by
+    block, so driver memory is O(distinct candidate ids), not
+    O(verified pairs)."""
+    uf = UnionFind()
+    for t in tables:
+        if t.num_rows:
+            uf.union_edge_block(
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False),
+            )
+    return uf.min_label_map()
 
 
 class ClusterLabeler:

@@ -85,24 +85,32 @@ class MediaDecoder:
     """
 
     def __init__(self):
-        self.real_codec = None
-        try:  # real decoders, if the environment ever ships them
-            import PIL.Image  # noqa: F401
+        self._pil = None
+        try:  # real decoder, if the environment ships it (setup once/actor)
+            import PIL.Image as _pil
 
-            self.real_codec = "pillow"
+            self._pil = _pil
         except ImportError:
-            self.real_codec = None  # deterministic fake below
+            self._pil = None
+        self.real_codec = "pillow" if self._pil is not None else None
 
     def _decode_one(self, payload: bytes):
-        if self.real_codec is not None:
-            # Real path intentionally unimplemented in this container —
-            # plumbing is the deliverable (driver brief: stub the decode).
-            raise NotImplementedError("real codec path not available in sandbox")
-        if payload[:4] != _MAGIC:
-            raise ValueError("unrecognized media payload")
-        w = int.from_bytes(payload[5:7], "big")
-        h = int.from_bytes(payload[7:9], "big")
-        return w, h
+        if payload[:4] == _MAGIC:
+            # deterministic fake container (the sandbox default): header
+            # carries the dimensions directly
+            w = int.from_bytes(payload[5:7], "big")
+            h = int.from_bytes(payload[7:9], "big")
+            return w, h
+        if self._pil is not None:
+            # real path: decode actual PNG/JPEG/... bytes via Pillow
+            import io
+
+            with self._pil.open(io.BytesIO(payload)) as im:
+                return int(im.width), int(im.height)
+        raise NotImplementedError(
+            "payload is not the fake container and no image codec is "
+            "installed — pip install Pillow to decode real formats"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, kinds, widths, heights, sizes, hashes, feats = [], [], [], [], [], [], []

@@ -167,7 +167,7 @@ def embedding_near_dup(
     thresholds are near-cliques, so 1-2 passes in practice). Output is
     O(g) spanning edges, so a degenerate all-duplicate bucket emits g rows
     instead of g^2/2."""
-    from .hashing import components_min_label, label_dataset
+    from .hashing import label_dataset
 
     first = ds.take(1)[0]
     dim = len(first[vec_col])
@@ -226,19 +226,18 @@ def embedding_near_dup(
             }
         )
 
-    pair_tables = [
-        t
-        for t in ray.get(
-            bucketed.groupby("bucket")
-            .map_groups(pairs_in_bucket, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    pairs: set[tuple[int, int]] = set()
-    for t in pair_tables:
-        pairs.update(zip(t["a"].to_pylist(), t["b"].to_pylist()))
-    roots = components_min_label(pairs)
+    from .hashing import components_min_label_from_blocks, spanning_edges
+
+    ver_ds = (
+        bucketed.groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .map_batches(spanning_edges, batch_format="pyarrow")
+    )
+    # streaming union: pre-collapsed edge blocks, O(candidate ids)
+    # driver state (see dedup.minhash_dedup's bound note)
+    roots = components_min_label_from_blocks(
+        ver_ds.iter_batches(batch_format="pyarrow")
+    )
     return label_dataset(ds.select_columns([id_col]), roots, id_col=id_col)
 
 

@@ -2979,12 +2979,49 @@ class Searcher(SuggestAPI):
         out["score"] = total
         return out
 
+    def _partitions_for_keys(self, first_key_values) -> list[dict]:
+        """Docstore partitions whose recorded key range may hold any of
+        the first-key-col values (manifest lineage: the global sort makes
+        each partition a contiguous key range). Pre-min_key manifests
+        fall back to all partitions. At 10^5-6 docstore files this is
+        what keeps a point get from scanning every parquet footer."""
+        import bisect
+
+        parts = self.manifest.get("docstore", {}).get("partitions", [])
+        if not parts or "min_key" not in parts[0]:
+            return list(parts)
+        vals = sorted(first_key_values)
+        out = []
+        for p in parts:
+            lo, hi = p["min_key"][0], p["max_key"][0]
+            i = bisect.bisect_left(vals, lo)
+            if i < len(vals) and vals[i] <= hi:
+                out.append(p)
+        return out
+
     def get(self, keys: list[tuple]) -> pa.Table:
         """Order-preserving multiget by (conv_id, turn_idx). Missing key ->
-        KeyError (analog of DaoException, dao/EntityDao.java:241-243)."""
-        conv_ids = list({k[0] for k in keys})
-        ds = pads.dataset(self._docstore_dir)
-        t = ds.to_table(filter=pads.field("conv_id").isin(conv_ids))
+        KeyError (analog of DaoException, dao/EntityDao.java:241-243).
+        Reads ONLY the owning docstore partitions (manifest key ranges),
+        like get_by_doc_id — never the whole docstore dataset."""
+        import os as _os
+
+        if not keys:
+            raise ValueError("get() needs at least one key")
+        conv_ids = sorted({k[0] for k in keys})
+        parts = self._partitions_for_keys(conv_ids)
+        tables = [
+            pq.read_table(
+                _os.path.join(self.index_dir, p["file"]),
+                filters=[("conv_id", "in", conv_ids)],
+            )
+            for p in parts
+        ]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            missing = (keys[0][0], int(keys[0][1])) if keys else None
+            raise KeyError(f"document not found: {missing}")
+        t = pa.concat_tables(tables)
         index = {}
         cid = t["conv_id"].to_pylist()
         tix = t["turn_idx"].to_pylist()

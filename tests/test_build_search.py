@@ -128,6 +128,42 @@ def test_get_order_preserving_and_missing_raises(index_dir, oracle):
         s.get_by_doc_id([10**9])
 
 
+def test_get_reads_only_owning_partitions(index_dir, oracle, monkeypatch):
+    """Point-get scale contract (mirror of the IVF probe-pruning test):
+    get(keys) opens exactly the docstore partitions whose manifest key
+    range owns the requested conv_ids — never the whole docstore."""
+    _, expected = oracle
+    s = Searcher(index_dir)
+    parts = s.manifest["docstore"]["partitions"]
+    assert len(parts) > 3 and "min_key" in parts[0]
+
+    opened = []
+    import rayfts.search as S
+
+    real = S.pq.read_table
+
+    def spy(path, *a, **kw):
+        opened.append(os.path.basename(str(path)))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(S.pq, "read_table", spy)
+    # one key from the FIRST partition, one from the LAST
+    first_key = (expected["conv_id"][0].as_py(),
+                 expected["turn_idx"][0].as_py())
+    n = expected.num_rows
+    last_key = (expected["conv_id"][n - 1].as_py(),
+                expected["turn_idx"][n - 1].as_py())
+    got = s.get([last_key, first_key])
+    assert got.num_rows == 2
+    owning = {
+        os.path.basename(p["file"])
+        for p in parts
+        if p["min_key"][0] <= first_key[0] <= p["max_key"][0]
+        or p["min_key"][0] <= last_key[0] <= p["max_key"][0]
+    }
+    assert set(opened) == owning and len(opened) < len(parts)
+
+
 def test_count_with_keyword_filters(index_dir, oracle):
     _, expected = oracle
     s = Searcher(index_dir)

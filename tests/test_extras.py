@@ -168,6 +168,30 @@ def test_media_decoder_rejects_garbage():
         d._decode_one(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09")
 
 
+def test_media_decoder_real_codec_branch():
+    """When Pillow is installed, non-fake payloads decode for real
+    (skipped in codec-less containers — the fake-container branch above
+    covers the plumbing there)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from rayfts.extras.multimodal import MediaDecoder
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    d = MediaDecoder()
+    assert d.real_codec == "pillow"
+    assert d._decode_one(buf.getvalue()) == (37, 21)
+    # fake-container payloads still take the header path with Pillow present
+    from rayfts.extras.multimodal import synth_media_table
+
+    t = synth_media_table(3, seed=1)
+    import json as _json
+
+    meta = _json.loads(t["meta"][0].as_py())
+    assert d._decode_one(t["payload"][0].as_py()) == (meta["w"], meta["h"])
+
+
 def test_hooks_run_and_abort_on_failure(tmp_path):
     from rayfts.build import build_index
     from rayfts.config import IndexJobConfig
@@ -386,6 +410,52 @@ def test_cluster_labeling_streams_large_dataset():
         expect = np.array([roots.get(int(i), int(i)) for i in ids])
         np.testing.assert_array_equal(cl, expect)
     assert seen == n
+
+
+def test_union_find_streaming_bound_and_equivalence():
+    """The driver bound on pathological dup rates (round-3 verdict item
+    7): spanning_edges pre-collapses each block to <= its distinct ids,
+    and the streaming union's parent map is O(nodes) — NEVER O(edges) —
+    while labeling exactly like the set-based union-find. Exercised at
+    5M edges over 50k nodes (100x edge blow-up)."""
+    from rayfts.extras.hashing import (
+        UnionFind,
+        components_min_label,
+        components_min_label_from_blocks,
+        spanning_edges,
+    )
+
+    rng = np.random.default_rng(3)
+    n_nodes, n_edges = 50_000, 5_000_000
+    n_comp = 500  # nodes 0..499 seed 500 components of 100 nodes each
+    a = rng.integers(0, n_nodes, size=n_edges, dtype=np.int64)
+    # connect each node to another node of the SAME residue class mod
+    # n_comp -> exactly n_comp components, massively redundant edges
+    b = (a + rng.integers(1, n_nodes // n_comp, size=n_edges) * n_comp) % n_nodes
+    blocks = [
+        pa.table({"a": pa.array(a[i: i + 250_000]),
+                  "b": pa.array(b[i: i + 250_000])})
+        for i in range(0, n_edges, 250_000)
+    ]
+    # map-side pre-collapse: every block shrinks to <= distinct ids
+    collapsed = [spanning_edges(t) for t in blocks]
+    for raw, sm in zip(blocks, collapsed):
+        distinct = len(
+            set(raw["a"].to_pylist()) | set(raw["b"].to_pylist())
+        )
+        assert sm.num_rows < distinct <= raw.num_rows * 2
+    roots_stream = components_min_label_from_blocks(iter(collapsed))
+    # parent map is O(nodes), not O(edges)
+    uf = UnionFind()
+    for t in collapsed:
+        uf.union_edge_block(t["a"].to_numpy(), t["b"].to_numpy())
+    assert len(uf.parent) < n_nodes
+    # equivalence with the set-based reference on the full edge list
+    want = components_min_label(set(zip(a.tolist(), b.tolist())))
+    assert roots_stream == want
+    # every node's label is its residue class representative
+    for x, r in roots_stream.items():
+        assert r == x % n_comp
 
 
 def test_minhash_distributed_verify_dup_heavy_corpus():

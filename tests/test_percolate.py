@@ -150,10 +150,54 @@ def test_percolate_ray_stage(texts, tmp_path):
         batch_format="pyarrow",
         concurrency=2,
     )
-    got = sorted(
-        zip(
-            ds.to_pandas()["doc_id"].tolist(),
-            ds.to_pandas()["query_id"].tolist(),
-        )
-    )
+    # ONE execution: two to_pandas() calls re-run the pipeline and Ray
+    # Data does not guarantee block order across runs — zipping columns
+    # from separate executions misaligns rows intermittently
+    df = ds.to_pandas()
+    got = sorted(zip(df["doc_id"].tolist(), df["query_id"].tolist()))
     assert got == _brute(texts, QUERIES)
+
+
+def test_percolator_registry_scale_memory_bound():
+    """SCALE.md claim made test: registry state is ∝ registered queries
+    (term -> qid postings over QUERY terms), percolation holds NO
+    per-corpus state — 100k registered queries build in bounded memory
+    and a batch percolates against them correctly."""
+    import tracemalloc
+
+    n_q, vocab = 100_000, 50_000
+    queries = {
+        f"q{i:06d}": {"query": f"w{i % vocab:05d} w{(i * 7 + 1) % vocab:05d}",
+                      "mode": "and"}
+        for i in range(n_q)
+    }
+    tracemalloc.start()
+    p = Percolator(queries)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # ~200k (term, qid) postings; generous ceiling that still catches a
+    # per-corpus or quadratic blow-up by orders of magnitude
+    assert peak < 400 * 1024 * 1024, peak
+    assert len(p.term_qids) <= 2 * n_q
+    assert sum(len(v) for v in p.term_qids.values()) == 2 * n_q
+
+    # registry state does not grow with percolated corpus
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(
+                [
+                    "w00000 w00001 filler",   # matches q000000
+                    "w00000 alone",           # AND fails
+                    "nothing registered",
+                ]
+            ),
+        }
+    )
+    before = (len(p.term_qids), sum(len(v) for v in p.term_qids.values()))
+    out = p.percolate_table(batch, id_col="doc_id")
+    # both q000000 and q050000 register {w00000, w00001} (i mod vocab)
+    assert out["query_id"].to_pylist() == ["q000000", "q050000"]
+    assert out["doc_id"].to_pylist() == [0, 0]
+    after = (len(p.term_qids), sum(len(v) for v in p.term_qids.values()))
+    assert before == after
