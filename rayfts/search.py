@@ -139,6 +139,15 @@ def _wildcard_to_regex(pattern: str) -> str:
 _QS_CLAUSE_RE = re.compile(r'([+-]?)("[^"]*"(?:\^\d+(?:\.\d+)?)?|\S+)')
 
 
+def _parse_boost(digits: str) -> float:
+    """Boost suffix digits -> finite non-negative float. ``^0`` is legal
+    Lucene (clause matches, contributes zero score); a digit string long
+    enough to overflow float (>=1e309) falls back to boost 1.0 so the
+    grammar stays total with finite weights."""
+    v = float(digits)
+    return v if math.isfinite(v) else 1.0
+
+
 def parse_query_string(q: str) -> dict:
     """ES query_string mini-grammar parser. Clause syntax:
     ``+clause`` must, ``-clause`` must_not, ``"a b"`` phrase (with an
@@ -156,13 +165,13 @@ def parse_query_string(q: str) -> dict:
             raw = body
             m = _BOOST_RE.search(raw)
             if m and raw.endswith(m.group(0)):
-                boost = float(m.group(1))
+                boost = _parse_boost(m.group(1))
                 raw = raw[: m.start()]
             out["phrases"].append((sign, raw.strip('"'), boost))
             continue
         m = _BOOST_RE.search(body)
         if m:
-            boost = float(m.group(1))
+            boost = _parse_boost(m.group(1))
             body = body[: m.start()]
         if not body or body in ("+", "-"):
             # a bare sign char is not a clause: the regex lets `-`/`+-`

@@ -145,13 +145,17 @@ def test_segmented_helpers_match_numpy_reference(lens, base):
 def test_parse_query_string_total(q):
     """The query_string grammar is TOTAL: any input parses without
     raising, clause classifications are structurally sound, and boosts
-    are finite positive floats."""
+    are finite non-negative floats (Lucene accepts ``term^0``: the
+    clause still matches, it just contributes zero score)."""
+    import math
+
     from rayfts.search import parse_query_string
 
     out = parse_query_string(q)
     assert set(out) == {"must", "should", "must_not", "phrases"}
     for body, boost in out["must"] + out["should"]:
-        assert body and isinstance(boost, float) and boost > 0
+        assert body and isinstance(boost, float)
+        assert boost >= 0 and math.isfinite(boost)
         assert not body.startswith(("+", "-")) or len(body) > 1
     for body in out["must_not"]:
         assert isinstance(body, str) and body
