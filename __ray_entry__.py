@@ -300,6 +300,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_geo_distance_sort": P.geo_distance_sort_q,
         "fts_geo_bbox_count": P.geo_bbox_count_q,
         "fts_geo_centroid": P.geo_centroid_q,
+        "fts_geo_polygon_count": P.geo_polygon_count_q,
+        "fts_geo_bounds": P.geo_bounds_q,
+        "fts_geo_distance_ranges": P.geo_distance_ranges_q,
+        "fts_geohash_grid": P.geohash_grid_q,
+        "fts_way_shapes": P.way_shapes_q,  # ESWay/ESShape.build pipeline
         # training-data extras (dedup / similarity / text analysis)
         "dedup_exact": P.dedup_exact_q,
         "dedup_minhash": P.dedup_minhash_q,
@@ -360,6 +365,116 @@ WITH pts AS (
            1.0))) AS dist_km
   FROM pts
 )
+"""
+
+
+def _poly_half_plane_pred() -> str:
+    """Strict half-plane containment predicate for the convex CCW
+    GEO_POLY over columns (lat, lon): cross((v_j - v_i), (p - v_i)) > 0
+    for every edge. Legal as the geo_polygon oracle ONLY because the
+    polygon is convex and its edges avoid the data grid (see
+    pipelines.GEO_POLY note); the engine side is general ray casting."""
+    terms = []
+    poly = P.GEO_POLY
+    for i in range(len(poly)):
+        (yi, xi), (yj, xj) = poly[i], poly[(i + 1) % len(poly)]
+        terms.append(
+            f"(({xj!r} - {xi!r}) * (lat - {yi!r})"
+            f" - ({yj!r} - {yi!r}) * (lon - {xi!r})) > 0"
+        )
+    return "(" + "\n   AND ".join(terms) + ")"
+
+
+def _morton_expr(lon_bits: int, lat_bits: int) -> str:
+    """Integer arithmetic for the geohash bit-interleave (lon bit j ->
+    global bit 2j+1, lat bit j -> 2j, lon first): ordering by this value
+    IS ordering by the geohash string (the base32 alphabet is
+    monotonic), which is the engine's tie order in geohash_grid."""
+    parts = []
+    for j in range(lon_bits):
+        parts.append(f"((lon_bin // {1 << j}) % 2) * {1 << (2 * j + 1)}")
+    for j in range(lat_bits):
+        parts.append(f"((lat_bin // {1 << j}) % 2) * {1 << (2 * j)}")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _geo_ring_values() -> str:
+    """VALUES rows (key, lo, hi) for the geo_distance ring buckets,
+    [from, to) with open ends; key strings are exactly the engine's
+    search._range_agg_key('from-to', '*' for open) over the same
+    Python float reprs so the join keys match byte-for-byte."""
+    from rayfts.search import _range_agg_key
+
+    bounds = [None, *[float(v) for v in P.GEO_RING_EDGES_KM], None]
+    rows = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        lo_s = "NULL" if lo is None else f"{lo!r}"
+        hi_s = "NULL" if hi is None else f"{hi!r}"
+        rows.append(f"('{_range_agg_key(lo, hi)}', {lo_s}, {hi_s})")
+    return ", ".join(rows)
+
+
+# way-shape oracle: mirrors pipelines.way_shapes_q term for term. All
+# shoelace / centroid sums are exact BIGINT in centidegree units; only
+# the length leg sums float sqrt terms (meter-precision rounding
+# absorbs summation-order ulps). Vertex order = event_id; closure =
+# natural (first == last) or the even-user spec rule.
+_WAY_SHAPES_SQL = """
+WITH pts AS (
+  SELECT user_id, event_id,
+         (user_id * 7919 + event_id * 31) % 18000 AS y,
+         (event_id * 104729) % 36000 AS x
+  FROM events
+), bounds AS (
+  SELECT user_id, count(*) AS n,
+         arg_min(x, event_id) AS fx, arg_min(y, event_id) AS fy,
+         arg_max(x, event_id) AS lx, arg_max(y, event_id) AS ly
+  FROM pts GROUP BY user_id
+), seq AS (
+  SELECT p.user_id, p.x, p.y, b.n,
+         (b.n > 1 AND ((b.fx = b.lx AND b.fy = b.ly)
+                       OR p.user_id % 2 = 0)) AS closed,
+         (b.n > 1 AND b.fx = b.lx AND b.fy = b.ly) AS nat_closed,
+         b.fx, b.fy,
+         lead(p.x) OVER (PARTITION BY p.user_id ORDER BY p.event_id) AS nx,
+         lead(p.y) OVER (PARTITION BY p.user_id ORDER BY p.event_id) AS ny
+  FROM pts p JOIN bounds b USING (user_id)
+), edges AS (
+  SELECT user_id, n, closed, x, y,
+         coalesce(nx, CASE WHEN closed AND NOT nat_closed THEN fx END) AS ex,
+         coalesce(ny, CASE WHEN closed AND NOT nat_closed THEN fy END) AS ey
+  FROM seq
+), agg AS (
+  SELECT user_id, max(n) AS n_pts, bool_or(closed) AS closed,
+         sum(CASE WHEN ex IS NOT NULL THEN
+             sqrt(((ex - x) * (ex - x) + (ey - y) * (ey - y))::DOUBLE)
+             END) AS seglen,
+         sum(CASE WHEN ex IS NOT NULL THEN x * ey - ex * y END) AS s2,
+         sum(CASE WHEN ex IS NOT NULL
+             THEN (x + ex) * (x * ey - ex * y) END) AS cxn,
+         sum(CASE WHEN ex IS NOT NULL
+             THEN (y + ey) * (x * ey - ex * y) END) AS cyn
+  FROM edges GROUP BY user_id
+)
+SELECT user_id, n_pts,
+  CASE WHEN n_pts = 1 THEN 'POINT'
+       WHEN closed THEN 'POLYGON' ELSE 'LINESTRING' END AS stype,
+  CAST(round(coalesce(seglen, 0.0) / 100.0
+             * (pi() / 180.0 * 6371.0088) * 1e3) AS BIGINT) AS length_m,
+  CASE WHEN closed THEN
+    CAST(round(abs(s2::DOUBLE) / 2.0 / 1e4
+               * ((pi() / 180.0 * 6371.0088) * (pi() / 180.0 * 6371.0088))
+               * 1e6) AS BIGINT)
+  ELSE 0 END AS area_e6,
+  CASE WHEN closed AND s2 <> 0 THEN
+    CAST(round((cyn::DOUBLE / (3.0 * s2) / 100.0 - 90.0) * 1e6) AS BIGINT)
+  END AS clat_e6,
+  CASE WHEN closed AND s2 <> 0 THEN
+    CAST(round((cxn::DOUBLE / (3.0 * s2) / 100.0 - 180.0) * 1e6) AS BIGINT)
+  END AS clon_e6
+FROM agg
+ORDER BY area_e6 DESC, length_m DESC, user_id LIMIT 20
 """
 
 
@@ -1308,6 +1423,49 @@ SELECT count(*) AS n,
             AS BIGINT) AS lon_e6
 FROM d WHERE dist_km <= 3000.0
 """,
+        "fts_geo_polygon_count": f"""
+WITH pts AS (
+  SELECT ((user_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM events
+)
+SELECT count(*) AS n FROM pts
+WHERE {_poly_half_plane_pred()}
+""",
+        "fts_geo_bounds": _GEO_DIST_CTE + """
+SELECT count(*) AS n,
+       CAST(round((max(lat_e2) / 100.0 - 90.0) * 1e6) AS BIGINT) AS top_e6,
+       CAST(round((min(lon_e2) / 100.0 - 180.0) * 1e6) AS BIGINT) AS left_e6,
+       CAST(round((min(lat_e2) / 100.0 - 90.0) * 1e6) AS BIGINT)
+         AS bottom_e6,
+       CAST(round((max(lon_e2) / 100.0 - 180.0) * 1e6) AS BIGINT)
+         AS right_e6
+FROM d WHERE dist_km <= 3000.0
+""",
+        "fts_geo_distance_ranges": _GEO_DIST_CTE + f"""
+SELECT k.key, count(d.event_id) AS doc_count
+FROM (VALUES {_geo_ring_values()}) AS k(key, lo, hi)
+LEFT JOIN d ON (k.lo IS NULL OR d.dist_km >= k.lo)
+           AND (k.hi IS NULL OR d.dist_km < k.hi)
+GROUP BY k.key
+""",
+        "fts_geohash_grid": f"""
+WITH pts AS (
+  SELECT ((user_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM events
+), bins AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT) AS lon_bin,
+         CAST(floor((lat + 90.0) / 180.0 * 32) AS BIGINT) AS lat_bin
+  FROM pts
+), cells AS (
+  SELECT lon_bin, lat_bin, count(*) AS doc_count
+  FROM bins GROUP BY 1, 2
+)
+SELECT lon_bin, lat_bin, doc_count FROM cells
+ORDER BY doc_count DESC, {_morton_expr(5, 5)} LIMIT {P.GEOHASH_TOP_N}
+""",
+        "fts_way_shapes": _WAY_SHAPES_SQL,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
        count(*) AS dup_cnt

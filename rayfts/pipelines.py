@@ -1684,6 +1684,21 @@ GEO_RADIUS_KM = 3000.0
 GEO_K = 20
 GEO_BOX_TL = (60.0, -30.0)           # top-left (lat, lon)
 GEO_BOX_BR = (20.0, 60.0)            # bottom-right (lat, lon)
+# convex CCW pentagon (lat, lon); vertices sit on half/1.5-centi
+# offsets chosen so NO centidegree grid point lies exactly on any edge
+# (verified in exact 0.005-unit integer arithmetic: every edge's
+# interior lattice points have at least one odd coordinate; min
+# grid-to-edge distance ~4e-7 deg, far above float noise) — which makes
+# the engine's ray-casting and the oracle's strict half-plane test
+# provably agree on the data (test_geo pins it)
+GEO_POLY = [(10.005, -40.005), (-20.005, -20.005), (-15.005, 25.005),
+            (15.015, 40.005), (30.005, 5.005)]
+GEO_RING_EDGES_KM = [1000.0, 3000.0, 8000.0]  # geo_distance agg rings
+# precision 2 = 32x32 cells: the derived grid has only ~n_users distinct
+# latitudes, so finer cells would be all count-1 (a tie-order test, not
+# an aggregation test); at 2 the cells hold meaningful counts
+GEOHASH_PRECISION = 2
+GEOHASH_TOP_N = 15
 
 
 def _events_geo(sf_dir: str) -> rd.Dataset:
@@ -1766,6 +1781,181 @@ def geo_centroid_q(sf_dir: str) -> pa.Table:
             "lon_e6": pa.array([int(np.round(lon * 1e6))], pa.int64()),
         }
     )
+
+
+def geo_polygon_count_q(sf_dir: str) -> pa.Table:
+    """ES geo_polygon query consumed as a count. The engine filter is
+    general even-odd ray casting (rayfts.geo.point_in_polygon); the SQL
+    oracle uses the convex half-plane test, legal because GEO_POLY is
+    convex and its edges avoid the centidegree data grid (vertices sit
+    on .005 half-centi offsets) — agreement of the two predicates on
+    this polygon is pinned by test_geo.test_raycast_equals_halfplane."""
+    from .geo import geo_polygon_count
+
+    n = geo_polygon_count(_events_geo(sf_dir), "lat", "lon", GEO_POLY)
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def geo_bounds_q(sf_dir: str) -> pa.Table:
+    """ES geo_bounds aggregation over the events within GEO_RADIUS_KM of
+    GEO_ORIGIN: the tight box as e6-rounded ints (pure min/max on exact
+    grid values — deterministic on both sides)."""
+    from .geo import geo_bounds, geo_distance_filter
+
+    within = geo_distance_filter(
+        _events_geo(sf_dir), "lat", "lon", GEO_ORIGIN, GEO_RADIUS_KM
+    )
+    top, left, bottom, right, n = geo_bounds(within, "lat", "lon")
+    e6 = lambda v: int(np.round(v * 1e6))  # noqa: E731
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "top_e6": pa.array([e6(top)], pa.int64()),
+        "left_e6": pa.array([e6(left)], pa.int64()),
+        "bottom_e6": pa.array([e6(bottom)], pa.int64()),
+        "right_e6": pa.array([e6(right)], pa.int64()),
+    })
+
+
+def geo_distance_ranges_q(sf_dir: str) -> pa.Table:
+    """ES geo_distance aggregation: doc counts per distance ring around
+    GEO_ORIGIN with boundaries GEO_RING_EDGES_KM ([from, to) buckets,
+    keyed like the range agg)."""
+    from .geo import geo_distance_range_counts
+
+    rows = geo_distance_range_counts(
+        _events_geo(sf_dir), "lat", "lon", GEO_ORIGIN, GEO_RING_EDGES_KM
+    )
+    return pa.table({
+        "key": pa.array([k for k, _ in rows], pa.string()),
+        "doc_count": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
+def geohash_grid_q(sf_dir: str) -> pa.Table:
+    """ES geohash_grid aggregation at precision GEOHASH_PRECISION: top
+    GEOHASH_TOP_N cells by doc count (count desc, geohash asc). The
+    contract row carries the cell's integer (lon_bin, lat_bin) decoded
+    from the geohash string so the SQL oracle can reproduce the cell by
+    plain float binning — the string<->bins bijection is pinned by the
+    public-vector tests in test_geo."""
+    from .geo import geohash_decode_bins, geohash_grid
+
+    cells = geohash_grid(
+        _events_geo(sf_dir), "lat", "lon",
+        precision=GEOHASH_PRECISION, top_n=GEOHASH_TOP_N,
+    )
+    bins = [geohash_decode_bins(h) for h, _ in cells]
+    return pa.table({
+        "lon_bin": pa.array([b[0] for b in bins], pa.int64()),
+        "lat_bin": pa.array([b[1] for b in bins], pa.int64()),
+        "doc_count": pa.array([c for _, c in cells], pa.int64()),
+    })
+
+
+def _events_geo_path(sf_dir: str) -> rd.Dataset:
+    """events + derived path vertices in integer centidegree units for
+    the way-shape pipeline. UNLIKE _events_geo (whose lat is constant
+    per user — fine for point queries, degenerate for polygons), both
+    coordinates vary within a user here:
+
+        y = (user_id*7919 + event_id*31) % 18000   # lat centi-units
+        x = (event_id*104729) % 36000              # lon centi-units
+
+    Exact int64 arithmetic; the SQL oracle repeats it verbatim."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].combine_chunks().to_numpy().astype(np.int64)
+        uid = batch["user_id"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "y": pa.array((uid * 7919 + eid * 31) % 18000, pa.int64()),
+            "x": pa.array((eid * 104729) % 36000, pa.int64()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def way_shapes_q(sf_dir: str, k: int = 20) -> pa.Table:
+    """The ESWay/ESShape.build() pipeline (ESWay.java:18-33 +
+    ESShape.java:160-228): each user's events, ordered by event_id, form
+    one way's vertex list; the shape is classified POINT / LINESTRING /
+    POLYGON (ESShape.java:176-187 — with the spec twist that EVEN user
+    ids are closed by appending the first vertex, since derived grids
+    rarely self-close), then planar degree-space length, shoelace area
+    and the JTS area centroid are computed exactly as the reference
+    converts them (degrees2Dist / degree2ToKm2).
+
+    Determinism contract with the SQL oracle: shoelace cross terms and
+    centroid numerators are EXACT int64 sums over centidegree units
+    (translation/scale handled in one final float sequence mirrored in
+    the SQL); only the length leg sums per-segment float sqrt terms, so
+    it rounds at meter (e3) precision. One groupby shuffle on user_id,
+    vectorized per-group kernel (sessionize's shape); per-way vertex
+    lists are small — a monster way would salt by vertex range first.
+
+    Returns the k largest ways (area desc, length desc, user asc)."""
+    from .geo import DEG_TO_KM
+
+    def shape_kernel(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].combine_chunks().to_numpy()
+        order = np.argsort(eid)  # event_id is unique -> total order
+        x = g["x"].combine_chunks().to_numpy()[order].astype(np.int64)
+        y = g["y"].combine_chunks().to_numpy()[order].astype(np.int64)
+        uid = int(g["user_id"][0].as_py())
+        n_pts = x.size
+        nat_closed = n_pts > 1 and x[0] == x[-1] and y[0] == y[-1]
+        if n_pts > 1 and uid % 2 == 0 and not nat_closed:
+            x = np.append(x, x[0])
+            y = np.append(y, y[0])
+        closed = n_pts > 1 and (nat_closed or uid % 2 == 0)
+        stype = ("POINT" if n_pts == 1
+                 else "POLYGON" if closed else "LINESTRING")
+        # exact-int squared lengths (centi-units < 2^53), then one
+        # correctly-rounded sqrt each — bit-identical to the oracle's
+        # sqrt((dx*dx + dy*dy)::DOUBLE); np.hypot would NOT be
+        dx = np.diff(x)
+        dy = np.diff(y)
+        seg = np.sqrt((dx * dx + dy * dy).astype(np.float64))
+        length_km = float(seg.sum()) / 100.0 * DEG_TO_KM
+        area_e6, clat_e6, clon_e6 = 0, None, None
+        if closed:
+            cross = x[:-1] * y[1:] - x[1:] * y[:-1]  # exact int64
+            s2 = int(cross.sum())
+            area_km2 = abs(float(s2)) / 2.0 / 1e4 * (DEG_TO_KM * DEG_TO_KM)
+            area_e6 = int(np.round(area_km2 * 1e6))
+            if s2 != 0:
+                cx = float(int(((x[:-1] + x[1:]) * cross).sum())) / (3.0 * s2)
+                cy = float(int(((y[:-1] + y[1:]) * cross).sum())) / (3.0 * s2)
+                clat_e6 = int(np.round((cy / 100.0 - 90.0) * 1e6))
+                clon_e6 = int(np.round((cx / 100.0 - 180.0) * 1e6))
+        return pa.table({
+            "user_id": pa.array([uid], pa.int64()),
+            "n_pts": pa.array([n_pts], pa.int64()),
+            "stype": pa.array([stype], pa.string()),
+            "length_m": pa.array(
+                [int(np.round(length_km * 1e3))], pa.int64()
+            ),
+            "area_e6": pa.array([area_e6], pa.int64()),
+            "clat_e6": pa.array([clat_e6], pa.int64()),
+            "clon_e6": pa.array([clon_e6], pa.int64()),
+        })
+
+    shapes = (
+        _events_geo_path(sf_dir)
+        .groupby("user_id")
+        .map_groups(shape_kernel, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(shapes.to_arrow_refs()) if b.num_rows]
+    )
+    keys = [("area_e6", "descending"), ("length_m", "descending"),
+            ("user_id", "ascending")]
+    return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, k))
 
 
 def events_top20_by_value(sf_dir: str, k: int = 20) -> pa.Table:

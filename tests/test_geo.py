@@ -255,3 +255,202 @@ def test_sharded_geo_distance_equals_global(ray_session, tmp_path):
         a = single.search_geo_distance("lat", "lon", SF, k=15, **kwargs)
         b = multi.search_geo_distance("lat", "lon", SF, k=15, **kwargs)
         assert a == b, kwargs
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: geo_polygon / geo_bounds / distance rings /
+# geohash_grid / planar ESShape math
+# ---------------------------------------------------------------------------
+
+
+def _half_plane_inside(lats, lons, poly):
+    """Strict half-plane containment for a convex CCW polygon — the
+    oracle-side predicate (__ray_entry__._poly_half_plane_pred)."""
+    inside = np.ones(np.asarray(lats).shape, dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        (yi, xi), (yj, xj) = poly[i], poly[(i + 1) % n]
+        inside &= ((xj - xi) * (lats - yi) - (yj - yi) * (lons - xi)) > 0
+    return inside
+
+
+def test_raycast_equals_halfplane():
+    """The general ray-casting filter and the convex half-plane oracle
+    agree on every centidegree data-grid point near GEO_POLY — the
+    agreement the fts_geo_polygon_count oracle depends on."""
+    from rayfts.geo import point_in_polygon
+    from rayfts.pipelines import GEO_POLY
+
+    # the exact value sets _events_geo can produce, meshed dense around
+    # the polygon's bbox (plus margin)
+    lat_vals = np.arange(0, 18000, dtype=np.int64) / 100.0 - 90.0
+    lon_vals = np.arange(0, 36000, dtype=np.int64) / 100.0 - 180.0
+    lat_vals = lat_vals[(lat_vals >= -25.0) & (lat_vals <= 35.0)]
+    lon_vals = lon_vals[(lon_vals >= -45.0) & (lon_vals <= 45.0)]
+    # mesh in chunks to bound memory (~6000 x 9000 grid)
+    for chunk in np.array_split(lat_vals, 12):
+        glat, glon = np.meshgrid(chunk, lon_vals, indexing="ij")
+        glat, glon = glat.ravel(), glon.ravel()
+        rc = point_in_polygon(glat, glon, GEO_POLY)
+        hp = _half_plane_inside(glat, glon, GEO_POLY)
+        assert np.array_equal(rc, hp)
+
+
+def test_raycast_nonconvex_and_boundary():
+    """Ray casting is general: a concave 'arrow' polygon classifies the
+    notch correctly, and the half-open edge rule keeps left/bottom
+    boundary inclusion consistent (no double counting on shared edges)."""
+    from rayfts.geo import point_in_polygon
+
+    arrow = [(0.0, 0.0), (4.0, 2.0), (0.0, 4.0), (1.5, 2.0)]  # (lat, lon)
+    lats = np.array([1.0, 2.0, 0.5, 2.0, 3.5])
+    lons = np.array([2.0, 1.2, 2.0, 2.5, 2.0])
+    got = point_in_polygon(lats, lons, arrow)
+    #       notch(out) in  notch(out) in   near-tip(in)
+    assert got.tolist() == [False, True, False, True, True]
+    # two rectangles sharing an edge: every point claimed exactly once
+    left = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    right = [(0.0, 1.0), (0.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
+    pts_lat = np.array([0.5, 0.5, 0.5])
+    pts_lon = np.array([0.5, 1.0, 1.5])  # middle point ON shared edge
+    a = point_in_polygon(pts_lat, pts_lon, left)
+    b = point_in_polygon(pts_lat, pts_lon, right)
+    assert np.array_equal(a ^ b, np.array([True, True, True]))
+
+
+def test_geohash_public_vectors():
+    """Public geohash test vectors (the canonical examples from the
+    original geohash.org description): ezs42 and u4pruydqqvj."""
+    from rayfts.geo import geohash_encode
+
+    got5 = geohash_encode(np.array([42.605]), np.array([-5.603]), 5)
+    assert got5.tolist() == ["ezs42"]
+    got11 = geohash_encode(
+        np.array([57.64911]), np.array([10.40744]), 11
+    )
+    assert got11.tolist() == ["u4pruydqqvj"]
+
+
+def test_geohash_decode_bins_roundtrip():
+    from rayfts.geo import _geohash_bins, geohash_decode_bins, geohash_encode
+
+    rng = np.random.default_rng(11)
+    lats = rng.uniform(-90, 90, 200)
+    lons = rng.uniform(-180, 180, 200)
+    for prec in (1, 2, 5, 7):
+        h = geohash_encode(lats, lons, prec)
+        lon_bin, lat_bin, _, _ = _geohash_bins(lats, lons, prec)
+        dec = np.array([geohash_decode_bins(s) for s in h])
+        assert np.array_equal(dec[:, 0], lon_bin)
+        assert np.array_equal(dec[:, 1], lat_bin)
+
+
+def test_geohash_string_order_is_morton_order():
+    """Sorting by geohash string == sorting by the interleaved-bit
+    integer (base32 alphabet is monotonic) — the tie-order equivalence
+    the fts_geohash_grid oracle's ORDER BY relies on."""
+    from rayfts.geo import _geohash_bins, geohash_encode
+
+    rng = np.random.default_rng(13)
+    lats = rng.uniform(-90, 90, 500)
+    lons = rng.uniform(-180, 180, 500)
+    h = geohash_encode(lats, lons, 2)
+    lon_bin, lat_bin, lon_bits, lat_bits = _geohash_bins(lats, lons, 2)
+    morton = np.zeros(len(h), dtype=np.int64)
+    for j in range(lon_bits):
+        morton += ((lon_bin >> j) & 1) << (2 * j + 1)
+    for j in range(lat_bits):
+        morton += ((lat_bin >> j) & 1) << (2 * j)
+    order_str = np.argsort(h, kind="stable")
+    order_int = np.argsort(morton, kind="stable")
+    assert np.array_equal(h[order_str], h[order_int])
+
+
+def test_geo_polygon_bounds_rings_grid_vs_brute(ray_session):
+    """Dataset-level geo aggregations match a numpy brute force on
+    random points."""
+    from rayfts.geo import (
+        geo_bounds,
+        geo_distance_range_counts,
+        geo_polygon_count,
+        geohash_encode,
+        geohash_grid,
+        haversine_km,
+        point_in_polygon,
+    )
+
+    t = _points(800, seed=21)
+    ds = rd.from_arrow(t).repartition(5)
+    lats = t["lat"].to_numpy()
+    lons = t["lon"].to_numpy()
+
+    poly = [(10.0, -40.0), (-20.0, -20.0), (-15.0, 25.0), (15.0, 40.0),
+            (30.0, 5.0)]
+    assert geo_polygon_count(ds, "lat", "lon", poly) == int(
+        point_in_polygon(lats, lons, poly).sum()
+    )
+
+    top, left, bottom, right, n = geo_bounds(ds, "lat", "lon")
+    assert (top, left, bottom, right, n) == (
+        lats.max(), lons.min(), lats.min(), lons.max(), len(lats)
+    )
+
+    edges = [1000.0, 3000.0, 8000.0]
+    rows = geo_distance_range_counts(ds, "lat", "lon", SF, edges)
+    d = haversine_km(lats, lons, *SF)
+    expect = np.bincount(np.searchsorted(edges, d, side="right"),
+                         minlength=4)
+    assert [c for _, c in rows] == expect.tolist()
+    assert [k for k, _ in rows] == [
+        "*-1000.0", "1000.0-3000.0", "3000.0-8000.0", "8000.0-*"
+    ]
+
+    cells = geohash_grid(ds, "lat", "lon", precision=2, top_n=10)
+    h = geohash_encode(lats, lons, 2)
+    uniq, cnt = np.unique(h, return_counts=True)
+    brute = sorted(zip(uniq.tolist(), cnt.tolist()),
+                   key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert cells == brute
+
+
+def test_planar_shape_math():
+    """ESShape.build() planar parity (ESShape.java:160-228): unit
+    square ring -> area DEG_TO_KM^2, perimeter 4*DEG_TO_KM, centroid at
+    the center; degeneracy chain polygon->line->point."""
+    from rayfts.geo import (
+        DEG_TO_KM,
+        planar_centroid,
+        planar_length_km,
+        shape_type,
+        shoelace_area_km2,
+    )
+
+    sq_lat = np.array([0.0, 0.0, 1.0, 1.0, 0.0])
+    sq_lon = np.array([10.0, 11.0, 11.0, 10.0, 10.0])
+    assert shape_type(sq_lat, sq_lon) == "POLYGON"
+    assert shoelace_area_km2(sq_lat, sq_lon) == pytest.approx(
+        DEG_TO_KM * DEG_TO_KM
+    )
+    assert planar_length_km(sq_lat, sq_lon) == pytest.approx(4 * DEG_TO_KM)
+    clat, clon = planar_centroid(sq_lat, sq_lon)
+    assert (clat, clon) == (pytest.approx(0.5), pytest.approx(10.5))
+
+    # open L-line: length-weighted midpoint centroid
+    l_lat = np.array([0.0, 0.0, 2.0])
+    l_lon = np.array([0.0, 2.0, 2.0])
+    assert shape_type(l_lat, l_lon) == "LINESTRING"
+    assert shoelace_area_km2(l_lat, l_lon) == 0.0
+    clat, clon = planar_centroid(l_lat, l_lon)
+    assert (clat, clon) == (pytest.approx(0.5), pytest.approx(1.5))
+
+    # zero-area ring falls back to the line centroid
+    z_lat = np.array([0.0, 0.0, 0.0])
+    z_lon = np.array([0.0, 2.0, 0.0])
+    clat, clon = planar_centroid(z_lat, z_lon)
+    assert (clat, clon) == (pytest.approx(0.0), pytest.approx(1.0))
+
+    # single point
+    assert shape_type(np.array([3.0]), np.array([4.0])) == "POINT"
+    assert planar_centroid(np.array([3.0]), np.array([4.0])) == (3.0, 4.0)
+    with pytest.raises(ValueError):
+        shape_type(np.array([]), np.array([]))
