@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_geo_distance_ranges": P.geo_distance_ranges_q,
         "fts_geohash_grid": P.geohash_grid_q,
         "fts_way_shapes": P.way_shapes_q,  # ESWay/ESShape.build pipeline
+        "fts_geotile_grid": P.geotile_grid_q,
+        "fts_way_envelope_relations": P.way_envelope_relations_q,
         # training-data extras (dedup / similarity / text analysis)
         "dedup_exact": P.dedup_exact_q,
         "dedup_minhash": P.dedup_minhash_q,
@@ -1466,6 +1468,65 @@ SELECT lon_bin, lat_bin, doc_count FROM cells
 ORDER BY doc_count DESC, {_morton_expr(5, 5)} LIMIT {P.GEOHASH_TOP_N}
 """,
         "fts_way_shapes": _WAY_SHAPES_SQL,
+        # geotile: mercator y mirrors geo.geotile_bins term for term
+        # (radians -> tan + 1/cos -> ln -> /pi); both sides clamp the
+        # bins because the +-85.0511287798066 lat clamp can land an ulp
+        # past the pole tile boundary
+        "fts_geotile_grid": f"""
+WITH pts AS (
+  SELECT ((user_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM events
+), bins AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0
+             * {1 << P.GEOTILE_ZOOM}) AS BIGINT), 0),
+           {(1 << P.GEOTILE_ZOOM) - 1}) AS tile_x,
+         least(greatest(CAST(floor(
+             (1.0 - ln(tan(radians(lc)) + 1.0 / cos(radians(lc))) / pi())
+             / 2.0 * {1 << P.GEOTILE_ZOOM}) AS BIGINT), 0),
+           {(1 << P.GEOTILE_ZOOM) - 1}) AS tile_y
+  FROM (SELECT lon, least(greatest(lat, -85.0511287798066),
+                          85.0511287798066) AS lc FROM pts)
+), cells AS (
+  SELECT tile_x, tile_y, count(*) AS doc_count
+  FROM bins GROUP BY 1, 2
+)
+SELECT tile_x, tile_y, doc_count FROM cells
+ORDER BY doc_count DESC, tile_x, tile_y LIMIT {P.GEOTILE_TOP_N}
+""",
+        # envelope relations: CASE order == the engine's overwrite
+        # precedence (DISJOINT > WITHIN > CONTAINS > INTERSECTS); pure
+        # integer comparisons, exact on both sides. Clustered vertex
+        # grid (_events_geo_cluster): per-user center + per-user span
+        # so every relation class is populated at sf0.01+
+        "fts_way_envelope_relations": f"""
+WITH pts AS (
+  SELECT user_id,
+         (user_id * 7919) % 18000
+           + (event_id * 31) % (100 + (user_id % 8) * 2600) AS y,
+         (user_id * 104729) % 36000
+           + (event_id * 53) % (200 + (user_id % 8) * 5200) AS x
+  FROM events
+), env AS (
+  SELECT user_id, min(y) AS ymin, max(y) AS ymax,
+         min(x) AS xmin, max(x) AS xmax
+  FROM pts GROUP BY user_id
+), rel AS (
+  SELECT CASE
+    WHEN xmax < {P.WAY_QUERY_ENV[1]} OR xmin > {P.WAY_QUERY_ENV[3]}
+      OR ymax < {P.WAY_QUERY_ENV[0]} OR ymin > {P.WAY_QUERY_ENV[2]}
+      THEN 'DISJOINT'
+    WHEN xmin >= {P.WAY_QUERY_ENV[1]} AND xmax <= {P.WAY_QUERY_ENV[3]}
+      AND ymin >= {P.WAY_QUERY_ENV[0]} AND ymax <= {P.WAY_QUERY_ENV[2]}
+      THEN 'WITHIN'
+    WHEN xmin <= {P.WAY_QUERY_ENV[1]} AND xmax >= {P.WAY_QUERY_ENV[3]}
+      AND ymin <= {P.WAY_QUERY_ENV[0]} AND ymax >= {P.WAY_QUERY_ENV[2]}
+      THEN 'CONTAINS'
+    ELSE 'INTERSECTS' END AS relation
+  FROM env
+)
+SELECT relation, count(*) AS n FROM rel GROUP BY relation ORDER BY relation
+""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
        count(*) AS dup_cnt

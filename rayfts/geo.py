@@ -517,3 +517,96 @@ def geohash_grid(
     for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
         acc[r["cell"]] = acc.get(r["cell"], 0) + r["n"]
     return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+
+
+# ---------------------------------------------------------------------------
+# geotile_grid aggregation (ES geo_point bucketing on web-mercator
+# "zoom/x/y" slippy-map tiles). x is linear in lon; y is the mercator
+# projection with the standard +-85.0511287798066 latitude clamp
+# (atan(sinh(pi)) — the square-world bound). Bins are plain ints so the
+# SQL oracle reproduces them with the same double expression; tile
+# boundaries are transcendental in lat, so no finite data grid point
+# lies exactly on one.
+# ---------------------------------------------------------------------------
+
+MERCATOR_LAT_MAX = 85.0511287798066
+
+
+def geotile_bins(
+    lats: np.ndarray, lons: np.ndarray, zoom: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(tile_x, tile_y) slippy-map tile coordinates at ``zoom`` for each
+    (lat, lon) degree pair. Math order is pinned (radians -> tan + sec
+    -> log -> /pi) and mirrored term-for-term by the SQL oracle."""
+    n = 1 << zoom
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    lat_c = np.clip(lats, -MERCATOR_LAT_MAX, MERCATOR_LAT_MAX)
+    x = np.floor((lons + 180.0) / 360.0 * n).astype(np.int64)
+    rad = np.radians(lat_c)
+    merc = np.log(np.tan(rad) + 1.0 / np.cos(rad))
+    y = np.floor((1.0 - merc / np.pi) / 2.0 * n).astype(np.int64)
+    np.clip(x, 0, n - 1, out=x)  # lon == 180 edge
+    np.clip(y, 0, n - 1, out=y)  # clamp rounding at the poles
+    return x, y
+
+
+def geotile_grid(
+    ds: rd.Dataset, lat_col: str, lon_col: str,
+    zoom: int = 7, top_n: int = 10,
+) -> list[tuple[int, int, int]]:
+    """ES geotile_grid aggregation: top ``top_n`` tiles by doc count at
+    ``zoom``, as (tile_x, tile_y, count) ordered count desc then (x, y)
+    asc (deterministic tie order; ES leaves ties unspecified). Same
+    map-side-combine shape as geohash_grid: per-block distinct-cell
+    partials (bounded by 4^zoom per block), tiny driver merge."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x, y = geotile_bins(_np(batch[lat_col]), _np(batch[lon_col]), zoom)
+        key = x * (np.int64(1) << np.int64(zoom)) + y
+        cells, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "cell": pa.array(cells),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    acc: dict[int, int] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        acc[r["cell"]] = acc.get(r["cell"], 0) + r["n"]
+    n = 1 << zoom
+    ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    return [(int(c) // n, int(c) % n, int(cnt)) for c, cnt in ranked]
+
+
+# ---------------------------------------------------------------------------
+# geo_shape envelope relations (the reference's GeoShape post-filter:
+# ESNodeITest.java:61-130 / ESWayITest.java:97-160 filter ways/nodes by
+# a square shape, default ES ShapeRelation INTERSECTS). Envelope
+# algebra over (ymin, xmin, ymax, xmax) boxes; callers bring exact
+# integer coordinates so the SQL oracle is pure comparisons.
+# ---------------------------------------------------------------------------
+
+DISJOINT, INTERSECTS, WITHIN, CONTAINS = (
+    "DISJOINT", "INTERSECTS", "WITHIN", "CONTAINS",
+)
+
+
+def envelope_relation(
+    ymin: np.ndarray, xmin: np.ndarray, ymax: np.ndarray, xmax: np.ndarray,
+    query_env: tuple[float, float, float, float],
+) -> np.ndarray:
+    """Vectorized box-vs-box relation classification against a query
+    envelope (qymin, qxmin, qymax, qxmax). Mutually exclusive classes,
+    checked in ES precedence order: DISJOINT (no overlap, boundary
+    touch counts as overlap like ES INTERSECTS), WITHIN (way box inside
+    the query box, boundary-inclusive), CONTAINS (way box covers the
+    query box), else INTERSECTS (partial overlap)."""
+    qymin, qxmin, qymax, qxmax = query_env
+    disjoint = (xmax < qxmin) | (xmin > qxmax) | (ymax < qymin) | (ymin > qymax)
+    within = (xmin >= qxmin) & (xmax <= qxmax) & (ymin >= qymin) & (ymax <= qymax)
+    contains = (xmin <= qxmin) & (xmax >= qxmax) & (ymin <= qymin) & (ymax >= qymax)
+    out = np.full(ymin.shape, INTERSECTS, dtype=object)
+    out[contains] = CONTAINS
+    out[within] = WITHIN  # a box equal to the query env counts as WITHIN
+    out[disjoint] = DISJOINT
+    return out

@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from .analysis import analyze_batch
 from .build import build_index
@@ -1699,6 +1699,13 @@ GEO_RING_EDGES_KM = [1000.0, 3000.0, 8000.0]  # geo_distance agg rings
 # an aggregation test); at 2 the cells hold meaningful counts
 GEOHASH_PRECISION = 2
 GEOHASH_TOP_N = 15
+GEOTILE_ZOOM = 7                      # 128x128 web-mercator tiles
+GEOTILE_TOP_N = 15
+# query envelope for the GeoShape-relation pipeline, in the clustered
+# way grid's centidegree units (ymin, xmin, ymax, xmax) — sized so all
+# four relation classes are populated at sf0.01+ against the per-user
+# span distribution of _events_geo_cluster
+WAY_QUERY_ENV = (4000, 9000, 12000, 27000)
 
 
 def _events_geo(sf_dir: str) -> rd.Dataset:
@@ -1956,6 +1963,118 @@ def way_shapes_q(sf_dir: str, k: int = 20) -> pa.Table:
     keys = [("area_e6", "descending"), ("length_m", "descending"),
             ("user_id", "ascending")]
     return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, k))
+
+
+def geotile_grid_q(sf_dir: str) -> pa.Table:
+    """ES geotile_grid aggregation at zoom GEOTILE_ZOOM: top
+    GEOTILE_TOP_N web-mercator tiles by doc count (count desc, then
+    (x, y) asc). Tiles are exposed as integer (tile_x, tile_y) columns
+    so the SQL oracle reproduces them with the same pinned double
+    expression (mercator boundaries are transcendental in lat, so no
+    grid point sits on one)."""
+    from .geo import geotile_grid
+
+    tiles = geotile_grid(
+        _events_geo(sf_dir), "lat", "lon",
+        zoom=GEOTILE_ZOOM, top_n=GEOTILE_TOP_N,
+    )
+    return pa.table({
+        "tile_x": pa.array([t[0] for t in tiles], pa.int64()),
+        "tile_y": pa.array([t[1] for t in tiles], pa.int64()),
+        "doc_count": pa.array([t[2] for t in tiles], pa.int64()),
+    })
+
+
+def _events_geo_cluster(sf_dir: str) -> rd.Dataset:
+    """events + derived CLUSTERED way vertices: each user's points sit
+    inside a per-user box (center from user_id, per-user span cycling
+    small..world-sized via ``user_id % 8``) so way envelopes range from
+    tiny to env-covering and all four shape relations are populated:
+
+        y = (user_id*7919) % 18000 + (event_id*31) % (100 + (user_id%8)*2600)
+        x = (user_id*104729) % 36000 + (event_id*53) % (200 + (user_id%8)*5200)
+
+    Planar (unwrapped) exact int64 coordinates; the SQL oracle repeats
+    the expressions verbatim. _events_geo_path keeps the uniform scatter
+    (right for the shape-math pipeline); this one exists because a
+    scatter envelope always covers any fixed query box."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].combine_chunks().to_numpy().astype(np.int64)
+        uid = batch["user_id"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "y": pa.array(
+                (uid * 7919) % 18000 + (eid * 31) % (100 + (uid % 8) * 2600),
+                pa.int64()),
+            "x": pa.array(
+                (uid * 104729) % 36000 + (eid * 53) % (200 + (uid % 8) * 5200),
+                pa.int64()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def way_envelope_relations_q(sf_dir: str) -> pa.Table:
+    """The GeoShape post-filter analog (ESNodeITest.java:61-130,
+    ESWayITest.java:97-160: filter ways by a square shape, ES default
+    relation INTERSECTS): classify every way's envelope against
+    WAY_QUERY_ENV and count per relation class. Envelope build is a
+    map-side combine (per-block per-user min/max partials) followed by
+    one keyed groupby aggregate over the tiny partials — never a
+    row-level shuffle; classification is a final vectorized pass.
+    Exact integer centidegree coordinates end to end."""
+    from .geo import envelope_relation
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].combine_chunks().to_numpy().astype(np.int64)
+        x = batch["x"].combine_chunks().to_numpy().astype(np.int64)
+        y = batch["y"].combine_chunks().to_numpy().astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid, x, y = uid[order], x[order], y[order]
+        users, starts = np.unique(uid, return_index=True)
+        return pa.table({
+            "user_id": pa.array(users),
+            "ymin": pa.array(np.minimum.reduceat(y, starts)),
+            "ymax": pa.array(np.maximum.reduceat(y, starts)),
+            "xmin": pa.array(np.minimum.reduceat(x, starts)),
+            "xmax": pa.array(np.maximum.reduceat(x, starts)),
+        })
+
+    envs = (
+        _events_geo_cluster(sf_dir)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ymin"), Max("ymax"), Min("xmin"), Max("xmax"))
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        rel = envelope_relation(
+            batch["min(ymin)"].combine_chunks().to_numpy(),
+            batch["min(xmin)"].combine_chunks().to_numpy(),
+            batch["max(ymax)"].combine_chunks().to_numpy(),
+            batch["max(xmax)"].combine_chunks().to_numpy(),
+            WAY_QUERY_ENV,
+        )
+        keys, counts = np.unique(rel.astype(str), return_counts=True)
+        return pa.table({
+            "relation": pa.array(keys.tolist(), pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    acc: dict[str, int] = {}
+    for r in envs.map_batches(classify, batch_format="pyarrow").take_all():
+        acc[r["relation"]] = acc.get(r["relation"], 0) + r["n"]
+    rows = sorted(acc.items())
+    return pa.table({
+        "relation": pa.array([k for k, _ in rows], pa.string()),
+        "n": pa.array([v for _, v in rows], pa.int64()),
+    })
 
 
 def events_top20_by_value(sf_dir: str, k: int = 20) -> pa.Table:

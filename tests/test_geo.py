@@ -454,3 +454,50 @@ def test_planar_shape_math():
     assert planar_centroid(np.array([3.0]), np.array([4.0])) == (3.0, 4.0)
     with pytest.raises(ValueError):
         shape_type(np.array([]), np.array([]))
+
+
+def test_geotile_public_vectors():
+    """Slippy-map tile vectors: London at zoom 10 is tile 10/511/340
+    (OSM wiki example); zoom 0 is the single world tile; the mercator
+    lat clamp maps pole-adjacent points to the edge tile rows."""
+    from rayfts.geo import geotile_bins
+
+    x, y = geotile_bins(np.array([51.5074]), np.array([-0.1278]), 10)
+    assert (x[0], y[0]) == (511, 340)
+    x, y = geotile_bins(np.array([51.5074]), np.array([-0.1278]), 0)
+    assert (x[0], y[0]) == (0, 0)
+    x, y = geotile_bins(np.array([89.99, -89.99]), np.array([0.0, 0.0]), 7)
+    assert y[0] == 0 and y[1] == 127
+    # x edges
+    x, y = geotile_bins(np.array([0.0, 0.0]), np.array([-180.0, 179.99]), 7)
+    assert x[0] == 0 and x[1] == 127
+
+
+def test_envelope_relation_classes():
+    from rayfts.geo import envelope_relation
+
+    env = (10.0, 20.0, 30.0, 40.0)  # (qymin, qxmin, qymax, qxmax)
+    ymin = np.array([35.0, 12.0, 5.0, 5.0, 10.0, 30.0])
+    xmin = np.array([50.0, 22.0, 15.0, 25.0, 20.0, 40.0])
+    ymax = np.array([45.0, 28.0, 35.0, 25.0, 30.0, 50.0])
+    xmax = np.array([60.0, 38.0, 45.0, 35.0, 40.0, 60.0])
+    got = envelope_relation(ymin, xmin, ymax, xmax, env).tolist()
+    #     disjoint  within  contains  overlap-partial  equal  edge-touch
+    assert got == ["DISJOINT", "WITHIN", "CONTAINS", "INTERSECTS",
+                   "WITHIN", "INTERSECTS"]
+
+
+def test_geotile_grid_vs_brute(ray_session):
+    from rayfts.geo import geotile_bins, geotile_grid
+
+    t = _points(800, seed=33)
+    ds = rd.from_arrow(t).repartition(5)
+    lats = t["lat"].to_numpy()
+    lons = t["lon"].to_numpy()
+    got = geotile_grid(ds, "lat", "lon", zoom=4, top_n=10)
+    x, y = geotile_bins(lats, lons, 4)
+    key = x * 16 + y
+    uniq, cnt = np.unique(key, return_counts=True)
+    brute = sorted(zip(uniq.tolist(), cnt.tolist()),
+                   key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(k // 16, k % 16, c) for k, c in brute]
