@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
         "fts_percolate": P.fts_percolate,            # percolator (streaming)
         "fts_span_near_docs": P.fts_span_near_docs,  # span_near query
+        "fts_span_first_docs": P.fts_span_first_docs,  # span_first query
         "fts_extended_stats": P.fts_extended_stats,  # extended_stats agg
         "fts_weighted_avg": P.fts_weighted_avg,      # weighted_avg agg
         "fts_regexp_docs": P.fts_regexp_docs,        # RegexpQuery
@@ -272,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
         "fts_more_like_this": P.fts_more_like_this,  # MLT query
         "fts_function_score_top10": P.fts_function_score_top10,  # function_score
+        "fts_rank_feature_top10": P.fts_rank_feature_top10,  # saturation boost
+        "fts_distance_feature_top10": P.fts_distance_feature_top10,
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_rescore_top10": P.fts_rescore_top10,    # rescore window API
         "fts_synonym_top10": P.fts_synonym_top10,    # SynonymQuery expansion
@@ -318,8 +321,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": P.knn_cosine_ivf_q,
         "text_token_stats": P.text_token_stats,
         "text_quality": P.text_quality,
+        "text_repetition": P.text_repetition_q,
         "lang_id": P.lang_id_q,
         "text_fingerprint": P.text_fingerprint_q,
+        "fts_terms_subagg": P.terms_subagg_q,
+        "fts_multi_terms": P.multi_terms_q,
+        "fts_rare_terms": P.rare_terms_q,
     }
 
 
@@ -693,6 +700,16 @@ FROM p0 a
 WHERE s{len(P.SPAN_TERMS) - 1}.pos
       <= a.pos + {len(P.SPAN_TERMS) - 1 + P.SPAN_SLOP}
 GROUP BY a.doc_id ORDER BY a.doc_id LIMIT 20
+""",
+        # span_first: 0-based position < end, per-doc qualifying count
+        "fts_span_first_docs": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists)
+SELECT doc_id, count(*) AS n_matches FROM ptoks
+WHERE term = '{P.SPAN_FIRST_TERM}' AND pos < {P.SPAN_FIRST_END}
+GROUP BY doc_id ORDER BY doc_id LIMIT 20
 """,
         # extended_stats: integer-exact sum/sum_sq + variance numerator
         "fts_extended_stats": f"""
@@ -1236,6 +1253,37 @@ SELECT s2.doc_id,
 FROM scores s2 JOIN documents d2 USING (doc_id)
 ORDER BY s2.score * ln(1 + 1.0 * d2.n_chars) DESC, s2.doc_id LIMIT 10
 """,
+        # rank_feature saturation: additive boost * v/(v + pivot), same
+        # float op order as the engine (divide, * boost, + base)
+        "fts_rank_feature_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+SELECT s2.doc_id,
+       CAST(round((s2.score + {P.RANK_FEATURE_BOOST!r} *
+         (CAST(d2.n_chars AS DOUBLE)
+          / (CAST(d2.n_chars AS DOUBLE) + {P.RANK_FEATURE_PIVOT!r})))
+         * 1e6) AS BIGINT) AS score_e6
+FROM scores s2 JOIN documents d2 USING (doc_id)
+ORDER BY s2.score + {P.RANK_FEATURE_BOOST!r} *
+  (CAST(d2.n_chars AS DOUBLE)
+   / (CAST(d2.n_chars AS DOUBLE) + {P.RANK_FEATURE_PIVOT!r})) DESC,
+  s2.doc_id
+LIMIT 10
+""",
+        # distance_feature: additive boost * pivot/(pivot + |v-origin|)
+        "fts_distance_feature_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+SELECT s2.doc_id,
+       CAST(round((s2.score + {P.DIST_FEATURE_BOOST!r} *
+         ({P.DIST_FEATURE_PIVOT!r} / ({P.DIST_FEATURE_PIVOT!r}
+           + abs(CAST(d2.n_chars AS DOUBLE) - {P.DIST_FEATURE_ORIGIN!r}))))
+         * 1e6) AS BIGINT) AS score_e6
+FROM scores s2 JOIN documents d2 USING (doc_id)
+ORDER BY s2.score + {P.DIST_FEATURE_BOOST!r} *
+  ({P.DIST_FEATURE_PIVOT!r} / ({P.DIST_FEATURE_PIVOT!r}
+    + abs(CAST(d2.n_chars AS DOUBLE) - {P.DIST_FEATURE_ORIGIN!r}))) DESC,
+  s2.doc_id
+LIMIT 10
+""",
         # more_like_this: the term-selection spec (tf*idf desc, term asc,
         # top 25, tf>=1 df>=2) is replicated exactly, then plain BM25
         # over the selected terms excluding the source doc
@@ -1564,6 +1612,73 @@ SELECT doc_id, token_cnt,
          * (0.5 + 0.5 * least((stop_cnt * 1.0 / greatest(token_cnt, 1)) * 4.0, 1.0))
          AS quality
 FROM st
+""",
+        # Gopher repetition signals: positional toks CTE (parallel unnest
+        # keeps token order), (doc, term) and (doc, 2-gram) multiplicity
+        # counts, same float divisions as the numpy kernel
+        "text_repetition": f"""
+WITH docs_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(range(1, len(arr) + 1)) AS pos
+  FROM docs_arr
+),
+tc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS token_cnt, count(*) AS uniq_cnt,
+               max(c) AS top_c
+        FROM tc GROUP BY 1),
+grams AS (
+  SELECT a.doc_id, a.term AS t1, b.term AS t2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+gc AS (SELECT doc_id, t1, t2, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+gagg AS (SELECT doc_id, sum(c) AS n_grams,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos
+         FROM gc GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(a.token_cnt, 0) AS BIGINT) AS token_cnt,
+  CAST(coalesce(a.uniq_cnt, 0) AS BIGINT) AS uniq_cnt,
+  CASE WHEN coalesce(a.token_cnt, 0) > 0
+       THEN 1.0 - a.uniq_cnt * 1.0 / a.token_cnt ELSE 0.0 END
+    AS dup_token_frac,
+  CASE WHEN coalesce(a.token_cnt, 0) > 0
+       THEN a.top_c * 1.0 / a.token_cnt ELSE 0.0 END AS top_token_frac,
+  CASE WHEN coalesce(g.n_grams, 0) > 0
+       THEN g.dup_pos * 1.0 / g.n_grams ELSE 0.0 END AS dup_2gram_frac
+FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN gagg g USING (doc_id)
+""",
+        # multi_terms: compound-key buckets, count desc then keys asc
+        "fts_multi_terms": f"""
+SELECT source, lang, count(*) AS doc_count
+FROM documents GROUP BY 1, 2
+ORDER BY doc_count DESC, source, lang LIMIT {P.MULTI_TERMS_TOP_N}
+""",
+        # rare_terms: df <= max_doc_count, ordered df asc then term asc
+        "fts_rare_terms": f"""
+WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+HAVING count(DISTINCT doc_id) <= {P.RARE_TERMS_MAX_DF}
+ORDER BY df, term LIMIT {P.RARE_TERMS_TOP_N}
+""",
+        # nested terms agg: parents ranked (count desc, key asc) LIMIT 5,
+        # children ranked inside each kept parent LIMIT 3 via row_number
+        "fts_terms_subagg": """
+WITH par AS (
+  SELECT source, count(*) AS source_count FROM documents GROUP BY 1
+  ORDER BY source_count DESC, source LIMIT 5
+),
+kid AS (
+  SELECT d.source, d.lang, count(*) AS lang_count,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY count(*) DESC, d.lang) AS rk
+  FROM documents d JOIN par USING (source)
+  GROUP BY d.source, d.lang
+)
+SELECT k.source, p.source_count, k.lang, k.lang_count
+FROM kid k JOIN par p USING (source) WHERE k.rk <= 3
 """,
         # near-dedup / LSH / text-analysis extras: every hash in the engine
         # spec (md5-lower64 tokens == DuckDB md5_number_lower, C-fold mod

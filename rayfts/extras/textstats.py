@@ -96,6 +96,80 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    \"Scaling Language Models\" §A1.1 repetition filters, adapted to the
+    index tokenizer): per doc,
+
+    - ``dup_token_frac``  = 1 - distinct_tokens / token_cnt
+    - ``top_token_frac``  = count(most frequent token) / token_cnt
+    - ``dup_2gram_frac``  = (positions covered by a 2-gram occurring
+                             more than once in the doc) / total 2-grams
+
+    All-zero for empty docs / docs with < 2 tokens (gram leg). Exact
+    integer counting, one float division at the end — the SQL oracle
+    (__ray_entry__) repeats the same divisions so values match bitwise.
+    Fully vectorized: dictionary-encode tokens once, then np.unique /
+    bincount / reduceat — no per-row Python. Scale: pure per-row derived
+    columns, no shuffle."""
+    n = batch.num_rows
+    flat, parent = tokens_flat(batch[text_col])
+    token_cnt = np.bincount(parent, minlength=n).astype(np.int64)
+    out_uniq = np.zeros(n, dtype=np.int64)
+    out_top = np.zeros(n, dtype=np.int64)
+    n_grams = np.zeros(n, dtype=np.int64)
+    dup_gram_pos = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        tid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = int(tid.max()) + 1
+        # (doc, token) multiplicities -> distinct count + per-doc max
+        key = parent.astype(np.int64) * V + tid
+        uniq_keys, counts = np.unique(key, return_counts=True)
+        docs_of = uniq_keys // V
+        out_uniq = np.bincount(docs_of, minlength=n).astype(np.int64)
+        np.maximum.at(out_top, docs_of, counts)  # scatter-max per doc
+        # adjacent-token 2-grams within a doc
+        same = parent[1:] == parent[:-1]
+        if same.any():
+            gdoc = parent[:-1][same].astype(np.int64)
+            gram = tid[:-1][same] * V + tid[1:][same]
+            # factorize grams, then count (doc, gram) multiplicities
+            _, g_id = np.unique(gram, return_inverse=True)
+            G = int(g_id.max()) + 1
+            gkey = gdoc * G + g_id
+            _, gk_inv, gk_cnt = np.unique(
+                gkey, return_inverse=True, return_counts=True
+            )
+            n_grams = np.bincount(gdoc, minlength=n).astype(np.int64)
+            dup_mask = gk_cnt[gk_inv] > 1
+            dup_gram_pos = np.bincount(
+                gdoc[dup_mask], minlength=n
+            ).astype(np.int64)
+    denom = np.maximum(token_cnt, 1).astype(np.float64)
+    gdenom = np.maximum(n_grams, 1).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "token_cnt": pa.array(token_cnt),
+            "uniq_cnt": pa.array(out_uniq),
+            "dup_token_frac": pa.array(
+                np.where(token_cnt > 0, 1.0 - out_uniq / denom, 0.0),
+                pa.float64(),
+            ),
+            "top_token_frac": pa.array(
+                np.where(token_cnt > 0, out_top / denom, 0.0), pa.float64()
+            ),
+            "dup_2gram_frac": pa.array(
+                np.where(n_grams > 0, dup_gram_pos / gdenom, 0.0),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit content fingerprint: rolling polynomial hash over the token
     sequence (order-sensitive, whitespace/case-insensitive by construction).

@@ -680,6 +680,24 @@ def fts_span_near_docs(sf_dir: str) -> pa.Table:
     )
 
 
+SPAN_FIRST_TERM = "data"
+SPAN_FIRST_END = 5
+
+
+def fts_span_first_docs(sf_dir: str) -> pa.Table:
+    """ES span_first analog: docs where SPAN_FIRST_TERM occurs at a
+    0-based position < SPAN_FIRST_END, with the qualifying-occurrence
+    count; doc_id asc, first 20."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.span_first_docs(SPAN_FIRST_TERM, SPAN_FIRST_END, limit=20)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "n_matches": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
 def fts_extended_stats(sf_dir: str) -> pa.Table:
     """ES extended_stats analog over the BM25_QUERY hit set: exact
     integer sum/sum_sq plus the integer variance numerator
@@ -1131,6 +1149,59 @@ def fts_function_score_top10(sf_dir: str) -> pa.Table:
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
     hits = s.function_score(BM25_QUERY, "n_chars", k=10, modifier="log1p")
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
+RANK_FEATURE_PIVOT = 300.0
+RANK_FEATURE_BOOST = 1.5
+DIST_FEATURE_ORIGIN = 400.0
+DIST_FEATURE_PIVOT = 100.0
+DIST_FEATURE_BOOST = 2.0
+
+
+def fts_rank_feature_top10(sf_dir: str) -> pa.Table:
+    """ES rank_feature (saturation) analog: final = BM25 +
+    boost * n_chars/(n_chars + pivot) — additive should clause, whole
+    hit set rescored in one vectorized pass."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.rank_feature(
+        BM25_QUERY, "n_chars", pivot=RANK_FEATURE_PIVOT,
+        k=10, boost=RANK_FEATURE_BOOST,
+    )
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
+def fts_distance_feature_top10(sf_dir: str) -> pa.Table:
+    """ES distance_feature analog over a numeric field: final = BM25 +
+    boost * pivot/(pivot + |n_chars - origin|) — proximity-to-origin
+    additive boost, exactly boost/2 at distance == pivot."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.distance_feature(
+        BM25_QUERY, "n_chars", origin=DIST_FEATURE_ORIGIN,
+        pivot=DIST_FEATURE_PIVOT, k=10, boost=DIST_FEATURE_BOOST,
+    )
     dense_to_src = _dense_to_src(index_dir)
     return pa.table(
         {
@@ -2265,6 +2336,136 @@ def lang_id_q(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(
         lang_id_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def text_repetition_q(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition signals per document (dup-token /
+    top-token / duplicate-2-gram fractions): one streaming map_batches
+    pass, no shuffle."""
+    from .extras.textstats import repetition_stats_batch
+
+    return _docs(sf_dir).map_batches(
+        repetition_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def terms_subagg_q(sf_dir: str, parent_n: int = 5, child_n: int = 3) -> pa.Table:
+    """ES nested terms aggregation: terms agg on ``source`` with a terms
+    SUB-aggregation on ``lang`` — top ``parent_n`` sources by doc count
+    (count desc, key asc) and, within each, the top ``child_n`` langs
+    (count desc, key asc). One pre-aggregation inside map_batches (per
+    block, per (source, lang) counts — the combiner), then a tiny keyed
+    groupby over the partials; ranking happens on the O(sources×langs)
+    result table on the driver. Scale: rows shuffled = distinct pairs
+    per block, never documents."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"source": g["source"], "lang": g["lang"], "n": g["count_all"]}
+        )
+
+    parts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "lang"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n"))
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    )
+    src = t["source"].to_pylist()
+    lang = t["lang"].to_pylist()
+    cnt = t["sum(n)"].to_pylist()
+    per_src: dict[str, int] = {}
+    pairs: dict[str, list[tuple[str, int]]] = {}
+    for s, lg, c in zip(src, lang, cnt):
+        per_src[s] = per_src.get(s, 0) + int(c)
+        pairs.setdefault(s, []).append((lg, int(c)))
+    top_src = sorted(per_src.items(), key=lambda kv: (-kv[1], kv[0]))[:parent_n]
+    rows = []
+    for s, tot in top_src:
+        kids = sorted(pairs[s], key=lambda kv: (-kv[1], kv[0]))[:child_n]
+        for lg, c in kids:
+            rows.append((s, tot, lg, c))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "source_count": pa.array([r[1] for r in rows], pa.int64()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "lang_count": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+MULTI_TERMS_TOP_N = 12
+# max_doc_count sits between the planted rare term (df=25) and the
+# Zipf body (~370+ of 500 docs at sf0.01) but below the densest terms,
+# so the result exercises the df cut, asc ordering AND term tie-breaks
+RARE_TERMS_MAX_DF = 380
+RARE_TERMS_TOP_N = 20
+
+
+def multi_terms_q(sf_dir: str) -> pa.Table:
+    """ES multi_terms aggregation: doc counts per COMPOUND key
+    (source, lang), top MULTI_TERMS_TOP_N buckets ordered count desc
+    then keys asc — the flat compound-key cousin of terms_subagg. Same
+    combiner shape: per-block pair counts, keyed groupby over partials,
+    driver ranks the O(pairs) result."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"source": g["source"], "lang": g["lang"], "n": g["count_all"]}
+        )
+
+    parts = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "lang"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n"))
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    )
+    rows = sorted(
+        zip(t["source"].to_pylist(), t["lang"].to_pylist(),
+            (int(c) for c in t["sum(n)"].to_pylist())),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:MULTI_TERMS_TOP_N]
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "doc_count": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def rare_terms_q(sf_dir: str) -> pa.Table:
+    """ES rare_terms aggregation over the analyzed text: terms whose doc
+    frequency is <= RARE_TERMS_MAX_DF (the ES max_doc_count knob),
+    ordered df asc then term asc, first RARE_TERMS_TOP_N. Rides the
+    map-side-combined term-stats pipeline — the long tail is exactly
+    what the combiner ships cheaply (one partial row per distinct term
+    per block)."""
+    stats = fts_term_stats(sf_dir)
+
+    def keep_rare(t: pa.Table) -> pa.Table:
+        m = pc.less_equal(t["df"], RARE_TERMS_MAX_DF)
+        t = t.filter(m)
+        return pa.table({"term": t["term"], "df": t["df"]})
+
+    t = pa.concat_tables(
+        [b for b in ray.get(
+            stats.map_batches(keep_rare, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if b.num_rows]
+    )
+    keys = [("df", "ascending"), ("term", "ascending")]
+    return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, RARE_TERMS_TOP_N))
 
 
 def text_fingerprint_q(sf_dir: str) -> rd.Dataset:

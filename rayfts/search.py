@@ -1965,6 +1965,35 @@ class Searcher(SuggestAPI):
             (int(d), int(c)) for d, c in zip(docs[:limit], m[:limit])
         ]
 
+    def span_first_docs(self, term: str, end: int,
+                        limit: int = 20) -> list[tuple[int, int]]:
+        """ES span_first-query analog (span_term inside): docs where
+        ``term`` occurs at a 0-based token position < ``end`` (Lucene's
+        span end = pos+1 must be <= end), with n_matches = number of
+        qualifying occurrences. Vectorized: one boolean cut over the
+        term's flat positional sidecar + a bincount per posting slot —
+        O(occurrences of term), no per-doc loop. Tombstoned docs
+        filtered. Returns [(doc_id, n_matches)] doc_id asc, first
+        ``limit``."""
+        if end <= 0:
+            raise ValueError("end must be positive")
+        p = self.lookup(term)
+        if p is None:
+            return []
+        pos, occ = self._positions(p)
+        lens = (occ[1:] - occ[:-1]).astype(np.int64)
+        slot_of = np.repeat(np.arange(p.doc_ids.size, dtype=np.int64), lens)
+        cnt = np.bincount(
+            slot_of[pos < end], minlength=p.doc_ids.size
+        ).astype(np.int64)
+        keep = cnt > 0
+        docs = p.doc_ids[keep]
+        cnt = cnt[keep]
+        if self.excluded.size:
+            live = ~np.isin(docs, self.excluded)
+            docs, cnt = docs[live], cnt[live]
+        return [(int(d), int(c)) for d, c in zip(docs[:limit], cnt[:limit])]
+
     def synonym_search(self, query: str, synonyms: dict, k: int = 10,
                        where: dict | None = None,
                        must_not: str | None = None):
@@ -2887,6 +2916,61 @@ class Searcher(SuggestAPI):
         scores = buf[idx] * fac
         return self._topk_from(idx, scores, k)
 
+    def rank_feature(self, query: str, field: str, pivot: float,
+                     k: int = 10, boost: float = 1.0,
+                     where: dict | None = None) -> list[tuple]:
+        """ES rank_feature query (saturation function, the default) as an
+        additive should clause: final = BM25(query) +
+        boost * (v / (v + pivot)). ES derives a default pivot from the
+        index-wide geometric mean; here it is explicit for determinism.
+        Docs missing the field contribute 0 from the feature (the
+        should-clause no-match). One dense pass + one vectorized
+        saturation add — float op order pinned for the SQL oracle:
+        boost * (v / (v + pivot)), then + base."""
+        if pivot <= 0:
+            raise ValueError("pivot must be positive")
+        if k <= 0:
+            return []
+        hits = self._hit_mask(query, where)
+        if hits is None:
+            return []
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return []
+        buf = self._dense_scores(query)
+        vals, valid = self._numeric_col(field)
+        add = np.zeros(idx.size, np.float64)
+        v = valid[idx]
+        x = vals[idx][v]
+        add[v] = boost * (x / (x + pivot))
+        return self._topk_from(idx, buf[idx] + add, k)
+
+    def distance_feature(self, query: str, field: str, origin: float,
+                         pivot: float, k: int = 10, boost: float = 1.0,
+                         where: dict | None = None) -> list[tuple]:
+        """ES distance_feature query over a numeric field: final =
+        BM25(query) + boost * (pivot / (pivot + |v - origin|)) — additive
+        proximity boost that is ``boost/2`` exactly at distance pivot
+        (the ES contract). Missing-field docs add 0. Op order pinned:
+        abs-diff, pivot/(pivot+d), * boost, + base."""
+        if pivot <= 0:
+            raise ValueError("pivot must be positive")
+        if k <= 0:
+            return []
+        hits = self._hit_mask(query, where)
+        if hits is None:
+            return []
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return []
+        buf = self._dense_scores(query)
+        vals, valid = self._numeric_col(field)
+        add = np.zeros(idx.size, np.float64)
+        v = valid[idx]
+        d = np.abs(vals[idx][v] - origin)
+        add[v] = boost * (pivot / (pivot + d))
+        return self._topk_from(idx, buf[idx] + add, k)
+
     def random_score(self, query: str, seed: int = 0, k: int = 10,
                      where: dict | None = None) -> list[tuple]:
         """ES function_score random_score analog — SEEDED and
@@ -3802,6 +3886,21 @@ class MultiSearcher(SuggestAPI):
                 break
         return out[:limit]
 
+    def span_first_docs(self, term: str, end: int,
+                        limit: int = 20) -> list[tuple[int, int]]:
+        """Sharded span_first: positions are per-doc, so per-segment
+        results concatenate in ascending global order."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, c)
+                for d, c in seg.span_first_docs(term, end, limit)
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
+
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      prefix_length: int = 0,
                      max_expansions: int = 50) -> list[tuple[str, int]]:
@@ -4394,6 +4493,76 @@ class MultiSearcher(SuggestAPI):
             merged.extend(
                 (d + off, sc)
                 for d, sc in seg._topk_from(idx, buf[idx] * fvf, k)
+            )
+        merged.sort(key=lambda h: (-h[1], h[0]))
+        return merged[:k]
+
+    def rank_feature(self, query: str, field: str, pivot: float,
+                     k: int = 10, boost: float = 1.0,
+                     where: dict | None = None) -> list[tuple]:
+        """Sharded rank_feature: per-segment dense BM25 with GLOBAL-df
+        weights + the local saturation add (field values are globally
+        comparable as-is), per-segment top-k heads merged — bit-identical
+        to the single-index run."""
+        if pivot <= 0:
+            raise ValueError("pivot must be positive")
+        if k <= 0:
+            return []
+        terms, weights = self._global_weights(query)
+        if not weights:
+            return []
+        merged: list[tuple[int, float]] = []
+        for si, seg in enumerate(self.segments):
+            hits = seg._hit_mask(query, where)
+            if hits is None:
+                continue
+            idx = np.flatnonzero(hits)
+            if idx.size == 0:
+                continue
+            buf = self._seg_dense_scores(si, seg, terms, weights)
+            vals, valid = seg._numeric_col(field)
+            add = np.zeros(idx.size, np.float64)
+            v = valid[idx]
+            x = vals[idx][v]
+            add[v] = boost * (x / (x + pivot))
+            off = int(self.offsets[si])
+            merged.extend(
+                (d + off, sc)
+                for d, sc in seg._topk_from(idx, buf[idx] + add, k)
+            )
+        merged.sort(key=lambda h: (-h[1], h[0]))
+        return merged[:k]
+
+    def distance_feature(self, query: str, field: str, origin: float,
+                         pivot: float, k: int = 10, boost: float = 1.0,
+                         where: dict | None = None) -> list[tuple]:
+        """Sharded distance_feature: same global-weight + local additive
+        structure as rank_feature."""
+        if pivot <= 0:
+            raise ValueError("pivot must be positive")
+        if k <= 0:
+            return []
+        terms, weights = self._global_weights(query)
+        if not weights:
+            return []
+        merged: list[tuple[int, float]] = []
+        for si, seg in enumerate(self.segments):
+            hits = seg._hit_mask(query, where)
+            if hits is None:
+                continue
+            idx = np.flatnonzero(hits)
+            if idx.size == 0:
+                continue
+            buf = self._seg_dense_scores(si, seg, terms, weights)
+            vals, valid = seg._numeric_col(field)
+            add = np.zeros(idx.size, np.float64)
+            v = valid[idx]
+            d = np.abs(vals[idx][v] - origin)
+            add[v] = boost * (pivot / (pivot + d))
+            off = int(self.offsets[si])
+            merged.extend(
+                (g + off, sc)
+                for g, sc in seg._topk_from(idx, buf[idx] + add, k)
             )
         merged.sort(key=lambda h: (-h[1], h[0]))
         return merged[:k]

@@ -1642,3 +1642,55 @@ def test_aggs_compose_with_filters_and_tombstones(index_dir, oracle):
     # where-restriction == manually intersecting the hit mask
     m = s._hit_mask("the a", where={"role": "user"})
     assert filt["count"] == int(m.sum())
+
+
+def test_rank_feature_matches_bruteforce(index_dir, oracle):
+    """rank_feature saturation: final = BM25 + boost * v/(v+pivot),
+    additive should clause over the whole hit set, doc_id-asc ties."""
+    import pyarrow.parquet as pq
+
+    s = Searcher(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "turn_idx"])
+    tix = dict(zip(t["doc_id"].to_pylist(), t["turn_idx"].to_pylist()))
+    q = "the w0007 bash"
+    full = s.search(q, k=100_000)
+    want = sorted(
+        ((d, sc + 1.5 * (float(tix[d]) / (float(tix[d]) + 2.0)))
+         for d, sc in full),
+        key=lambda h: (-h[1], h[0]),
+    )[:10]
+    got = s.rank_feature(q, "turn_idx", pivot=2.0, k=10, boost=1.5)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-12)
+    assert s.rank_feature("zzzz_absent", "turn_idx", pivot=2.0) == []
+    with pytest.raises(ValueError):
+        s.rank_feature(q, "turn_idx", pivot=0.0)
+
+
+def test_distance_feature_matches_bruteforce(index_dir, oracle):
+    """distance_feature: final = BM25 + boost * pivot/(pivot+|v-origin|);
+    the boost is exactly boost/2 at |v-origin| == pivot."""
+    import pyarrow.parquet as pq
+
+    s = Searcher(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "turn_idx"])
+    tix = dict(zip(t["doc_id"].to_pylist(), t["turn_idx"].to_pylist()))
+    q = "the w0007 bash"
+    full = s.search(q, k=100_000)
+    want = sorted(
+        ((d, sc + 2.0 * (1.0 / (1.0 + abs(float(tix[d]) - 3.0))))
+         for d, sc in full),
+        key=lambda h: (-h[1], h[0]),
+    )[:10]
+    got = s.distance_feature(q, "turn_idx", origin=3.0, pivot=1.0,
+                             k=10, boost=2.0)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-12)
+    assert s.distance_feature("zzzz_absent", "turn_idx",
+                              origin=0.0, pivot=1.0) == []
+    with pytest.raises(ValueError):
+        s.distance_feature(q, "turn_idx", origin=0.0, pivot=-1.0)

@@ -620,3 +620,127 @@ def test_hash_split_deterministic_and_key_stable():
     with _pytest.raises(ValueError):
         SplitAssigner("k", buckets=0, train_buckets=0)
     assert hash_bucket([], 10).size == 0
+
+
+def test_repetition_stats_brute_force():
+    """repetition_stats_batch == a per-row Python recount (brute force)."""
+    import re
+
+    from rayfts.extras.textstats import repetition_stats_batch
+
+    texts = [
+        "a a a b",                 # heavy repeat: 2-grams a-a a-a a-b
+        "one two three four",      # all distinct
+        "x y x y x",               # alternating: every 2-gram duplicated
+        "",                        # empty
+        "solo",                    # one token, no 2-grams
+        "Ab ab AB cd",             # case folding collapses to one token
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = repetition_stats_batch(batch).to_pydict()
+    tok_re = re.compile(r"[\w]+", re.UNICODE)
+    for i, txt in enumerate(texts):
+        toks = tok_re.findall(txt.lower())
+        tc = len(toks)
+        uniq = len(set(toks))
+        top = max((toks.count(t) for t in set(toks)), default=0)
+        grams = list(zip(toks, toks[1:]))
+        from collections import Counter
+
+        gcnt = Counter(grams)
+        dup_pos = sum(c for c in gcnt.values() if c > 1)
+        assert got["token_cnt"][i] == tc
+        assert got["uniq_cnt"][i] == uniq
+        assert got["dup_token_frac"][i] == (
+            1.0 - uniq / max(tc, 1) if tc else 0.0
+        )
+        assert got["top_token_frac"][i] == (top / max(tc, 1) if tc else 0.0)
+        assert got["dup_2gram_frac"][i] == (
+            dup_pos / len(grams) if grams else 0.0
+        )
+
+
+def test_repetition_stats_doc_boundary():
+    """2-grams never span documents: two docs whose concatenation would
+    create a duplicate 2-gram stay independent."""
+    from rayfts.extras.textstats import repetition_stats_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        # doc0 ends "p q", doc1 starts "q p" — crossing would fabricate dups
+        "text": pa.array(["p q", "q p"]),
+    })
+    got = repetition_stats_batch(batch).to_pydict()
+    assert got["dup_2gram_frac"] == [0.0, 0.0]
+    assert got["dup_token_frac"] == [0.0, 0.0]
+
+
+def test_terms_subagg_vs_pandas(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from rayfts.pipelines import terms_subagg_q
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "text": ["t"] * n,
+        "lang": rng.choice(["en", "de", "fr", "es", "und"], n),
+        "source": rng.choice([f"s{i}" for i in range(8)], n),
+        "n_chars": np.ones(n, np.int64),
+    })
+    df.to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    got = terms_subagg_q(str(tmp_path), parent_n=4, child_n=2).to_pandas()
+
+    pc_ = (
+        df.groupby("source").size().reset_index(name="source_count")
+        .sort_values(["source_count", "source"], ascending=[False, True])
+        .head(4)
+    )
+    rows = []
+    for _, p in pc_.iterrows():
+        kids = (
+            df[df.source == p.source].groupby("lang").size()
+            .reset_index(name="lang_count")
+            .sort_values(["lang_count", "lang"], ascending=[False, True])
+            .head(2)
+        )
+        for _, k in kids.iterrows():
+            rows.append((p.source, p.source_count, k.lang, k.lang_count))
+    want = pd.DataFrame(rows, columns=["source", "source_count", "lang", "lang_count"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_multi_terms_vs_pandas(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from rayfts.pipelines import MULTI_TERMS_TOP_N, multi_terms_q
+
+    rng = np.random.default_rng(13)
+    n = 300
+    df = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "text": ["t"] * n,
+        "lang": rng.choice(["en", "de", "fr"], n),
+        "source": rng.choice([f"s{i}" for i in range(6)], n),
+        "n_chars": np.ones(n, np.int64),
+    })
+    df.to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    got = multi_terms_q(str(tmp_path)).to_pandas()
+    want = (
+        df.groupby(["source", "lang"]).size().reset_index(name="doc_count")
+        .sort_values(["doc_count", "source", "lang"],
+                     ascending=[False, True, True])
+        .head(MULTI_TERMS_TOP_N).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

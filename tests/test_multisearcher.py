@@ -312,3 +312,17 @@ def test_sharded_cardinality_percentiles_datehist_equal_global(indexes):
             single.percentiles_agg(q, "turn_idx"), q
         assert multi.date_histogram_agg(q, "turn_idx", "minute") == \
             single.date_histogram_agg(q, "turn_idx", "minute"), q
+
+
+def test_sharded_feature_queries_equal_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a w0007", "bash w0001", "zzzz_absent"]:
+        assert multi.rank_feature(q, "turn_idx", pivot=2.0, k=10,
+                                  boost=1.5) == \
+            single.rank_feature(q, "turn_idx", pivot=2.0, k=10,
+                                boost=1.5), q
+        assert multi.distance_feature(q, "turn_idx", origin=3.0,
+                                      pivot=1.0, k=10, boost=2.0) == \
+            single.distance_feature(q, "turn_idx", origin=3.0,
+                                    pivot=1.0, k=10, boost=2.0), q

@@ -664,3 +664,53 @@ def test_phrase_pagination(pos_index, oracle):
         assert walked == full, phrase
     with pytest.raises(ValueError):
         s.search_phrase(PHRASES[0], k=3, offset=2, search_after=(0, 1.0))
+
+
+def test_span_first_matches_bruteforce(pos_index, oracle):
+    """span_first: occurrences at 0-based position < end, per-doc count,
+    recomputed with a plain enumerate scan; sharded == single."""
+    s = Searcher(pos_index)
+    tok_docs = {d: tokenize(t) for d, t in oracle.texts.items()}
+    for term, end in [("the", 1), ("the", 4), ("w0007", 6),
+                      ("bash", 2), ("zzzz_absent", 3)]:
+        want = []
+        for d, toks in tok_docs.items():
+            c = sum(1 for i, t in enumerate(toks[:end]) if t == term)
+            if c:
+                want.append((d, c))
+        want.sort()
+        got = s.span_first_docs(term, end, limit=10**6)
+        assert got == want, (term, end)
+    assert s.span_first_docs("the", 4, limit=5) == \
+        s.span_first_docs("the", 4, limit=10**6)[:5]
+    with pytest.raises(ValueError):
+        s.span_first_docs("the", 0)
+
+
+def test_sharded_span_first_equals_global(pos_index, corpus, tmp_path_factory):
+    from rayfts.segments import build_segments, open_multisearcher
+
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("sf_segs")
+    files = sorted(
+        os.path.join(corpus, f)
+        for f in os.listdir(corpus) if f.endswith(".parquet")
+    )
+    t = pq.read_table(files).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(root / "h0.parquet"))
+    pq.write_table(t.slice(half), str(root / "h1.parquet"))
+    build_segments(
+        [str(root / "h0.parquet"), str(root / "h1.parquet")],
+        str(root / "idx"),
+        IndexJobConfig(term_buckets=8, index_positions=True),
+        rows_per_part=100,
+    )
+    multi = open_multisearcher(str(root / "idx"))
+    single = Searcher(pos_index)
+    for term, end in [("the", 3), ("w0007", 6), ("zzzz_absent", 2)]:
+        assert multi.span_first_docs(term, end, limit=10**6) == \
+            single.span_first_docs(term, end, limit=10**6), (term, end)
