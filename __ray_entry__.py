@@ -395,16 +395,32 @@ def _poly_half_plane_pred() -> str:
 
 
 def _morton_expr(lon_bits: int, lat_bits: int) -> str:
-    """Integer arithmetic for the geohash bit-interleave (lon bit j ->
-    global bit 2j+1, lat bit j -> 2j, lon first): ordering by this value
-    IS ordering by the geohash string (the base32 alphabet is
-    monotonic), which is the engine's tie order in geohash_grid."""
+    """Integer arithmetic for the geohash bit-interleave (lon-first from
+    the MSB, alternating): ordering by this value IS ordering by the
+    geohash string (the base32 alphabet is monotonic), which is the
+    engine's tie order in geohash_grid. Bit placement is derived from
+    the widths so both even precisions (lon_bits == lat_bits; lon bit j
+    lands at global 2j+1) and odd precisions (lon_bits == lat_bits + 1;
+    lon bit j lands at global 2j) come out right."""
+    total = lon_bits + lat_bits
     parts = []
     for j in range(lon_bits):
-        parts.append(f"((lon_bin // {1 << j}) % 2) * {1 << (2 * j + 1)}")
+        g = total - 1 - 2 * (lon_bits - 1 - j)
+        parts.append(f"((lon_bin // {1 << j}) % 2) * {1 << g}")
     for j in range(lat_bits):
-        parts.append(f"((lat_bin // {1 << j}) % 2) * {1 << (2 * j)}")
+        g = total - 1 - (2 * (lat_bits - 1 - j) + 1)
+        parts.append(f"((lat_bin // {1 << j}) % 2) * {1 << g}")
     return "(" + " + ".join(parts) + ")"
+
+
+def _geohash_lon_bits() -> int:
+    """Longitude bit width at P.GEOHASH_PRECISION: a geohash char holds
+    5 bits, interleaved lon-first, so lon takes the extra odd bit."""
+    return (5 * P.GEOHASH_PRECISION + 1) // 2
+
+
+def _geohash_lat_bits() -> int:
+    return (5 * P.GEOHASH_PRECISION) // 2
 
 
 def _geo_ring_values() -> str:
@@ -425,10 +441,13 @@ def _geo_ring_values() -> str:
 
 
 # way-shape oracle: mirrors pipelines.way_shapes_q term for term. All
-# shoelace / centroid sums are exact BIGINT in centidegree units; only
-# the length leg sums float sqrt terms (meter-precision rounding
-# absorbs summation-order ulps). Vertex order = event_id; closure =
-# natural (first == last) or the even-user spec rule.
+# sums — shoelace, centroid AND the length leg — are exact integer
+# (BIGINT/HUGEINT) in centidegree units: each segment length snaps to
+# micro-units via floor(sqrt * 1e6 + 0.5) (floor(x+0.5) is identical
+# per-double on numpy and DuckDB, unlike round's half-even vs
+# half-away split), so neither side depends on float summation order.
+# Vertex order = event_id; closure = natural (first == last) or the
+# even-user spec rule.
 _WAY_SHAPES_SQL = """
 WITH pts AS (
   SELECT user_id, event_id,
@@ -457,8 +476,10 @@ WITH pts AS (
 ), agg AS (
   SELECT user_id, max(n) AS n_pts, bool_or(closed) AS closed,
          sum(CASE WHEN ex IS NOT NULL THEN
-             sqrt(((ex - x) * (ex - x) + (ey - y) * (ey - y))::DOUBLE)
-             END) AS seglen,
+             CAST(floor(sqrt(((ex - x) * (ex - x)
+                              + (ey - y) * (ey - y))::DOUBLE)
+                        * 1e6 + 0.5) AS BIGINT)
+             END) AS seglen_u,
          sum(CASE WHEN ex IS NOT NULL THEN x * ey - ex * y END) AS s2,
          sum(CASE WHEN ex IS NOT NULL
              THEN (x + ex) * (x * ey - ex * y) END) AS cxn,
@@ -469,8 +490,9 @@ WITH pts AS (
 SELECT user_id, n_pts,
   CASE WHEN n_pts = 1 THEN 'POINT'
        WHEN closed THEN 'POLYGON' ELSE 'LINESTRING' END AS stype,
-  CAST(round(coalesce(seglen, 0.0) / 100.0
-             * (pi() / 180.0 * 6371.0088) * 1e3) AS BIGINT) AS length_m,
+  CAST(floor(coalesce(seglen_u, 0)::DOUBLE / 1e6 / 100.0
+             * (pi() / 180.0 * 6371.0088) * 1e3 + 0.5) AS BIGINT)
+    AS length_m,
   CASE WHEN closed THEN
     CAST(round(abs(s2::DOUBLE) / 2.0 / 1e4
                * ((pi() / 180.0 * 6371.0088) * (pi() / 180.0 * 6371.0088))
@@ -1499,21 +1521,28 @@ LEFT JOIN d ON (k.lo IS NULL OR d.dist_km >= k.lo)
            AND (k.hi IS NULL OR d.dist_km < k.hi)
 GROUP BY k.key
 """,
+        # bin factors and morton widths derive from the precision knob
+        # (geohash: 5 bits/char, lon gets the extra odd bit) so changing
+        # P.GEOHASH_PRECISION keeps engine and oracle in lockstep
         "fts_geohash_grid": f"""
 WITH pts AS (
   SELECT ((user_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
          ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lon
   FROM events
 ), bins AS (
-  SELECT CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT) AS lon_bin,
-         CAST(floor((lat + 90.0) / 180.0 * 32) AS BIGINT) AS lat_bin
+  SELECT CAST(floor((lon + 180.0) / 360.0
+              * {1 << _geohash_lon_bits()}) AS BIGINT) AS lon_bin,
+         CAST(floor((lat + 90.0) / 180.0
+              * {1 << _geohash_lat_bits()}) AS BIGINT) AS lat_bin
   FROM pts
 ), cells AS (
   SELECT lon_bin, lat_bin, count(*) AS doc_count
   FROM bins GROUP BY 1, 2
 )
 SELECT lon_bin, lat_bin, doc_count FROM cells
-ORDER BY doc_count DESC, {_morton_expr(5, 5)} LIMIT {P.GEOHASH_TOP_N}
+ORDER BY doc_count DESC,
+  {_morton_expr(_geohash_lon_bits(), _geohash_lat_bits())}
+LIMIT {P.GEOHASH_TOP_N}
 """,
         "fts_way_shapes": _WAY_SHAPES_SQL,
         # geotile: mercator y mirrors geo.geotile_bins term for term

@@ -1850,6 +1850,14 @@ def geo_centroid_q(sf_dir: str) -> pa.Table:
         _events_geo(sf_dir), "lat", "lon", GEO_ORIGIN, GEO_RADIUS_KM
     )
     lat_u, lon_u, n = geo_centroid(within, "lat_e2", "lon_e2")
+    if n == 0:
+        # NaN sentinels from the empty hit set -> the oracle's
+        # (n=0, NULL, NULL) row, not a ValueError from rounding NaN
+        return pa.table({
+            "n": pa.array([0], pa.int64()),
+            "lat_e6": pa.array([None], pa.int64()),
+            "lon_e6": pa.array([None], pa.int64()),
+        })
     lat = lat_u / 100.0 - 90.0
     lon = lon_u / 100.0 - 180.0
     return pa.table(
@@ -1884,7 +1892,10 @@ def geo_bounds_q(sf_dir: str) -> pa.Table:
         _events_geo(sf_dir), "lat", "lon", GEO_ORIGIN, GEO_RADIUS_KM
     )
     top, left, bottom, right, n = geo_bounds(within, "lat", "lon")
-    e6 = lambda v: int(np.round(v * 1e6))  # noqa: E731
+    # empty hit set: geo_bounds returns NaN sentinels; emit the same
+    # (n=0, NULL box) row the SQL oracle's count/max-over-nothing yields
+    # instead of crashing on int(round(nan))
+    e6 = lambda v: None if n == 0 else int(np.round(v * 1e6))  # noqa: E731
     return pa.table({
         "n": pa.array([n], pa.int64()),
         "top_e6": pa.array([e6(top)], pa.int64()),
@@ -1968,11 +1979,12 @@ def way_shapes_q(sf_dir: str, k: int = 20) -> pa.Table:
     and the JTS area centroid are computed exactly as the reference
     converts them (degrees2Dist / degree2ToKm2).
 
-    Determinism contract with the SQL oracle: shoelace cross terms and
-    centroid numerators are EXACT int64 sums over centidegree units
-    (translation/scale handled in one final float sequence mirrored in
-    the SQL); only the length leg sums per-segment float sqrt terms, so
-    it rounds at meter (e3) precision. One groupby shuffle on user_id,
+    Determinism contract with the SQL oracle: shoelace cross terms,
+    centroid numerators AND the length leg are EXACT integer sums over
+    centidegree units (segments snap to micro-units via floor(x + 0.5)
+    before summing; translation/scale handled in one final float
+    sequence mirrored in the SQL) — no float-summation-order
+    dependence anywhere. One groupby shuffle on user_id,
     vectorized per-group kernel (sessionize's shape); per-way vertex
     lists are small — a monster way would salt by vertex range first.
 
@@ -1995,29 +2007,50 @@ def way_shapes_q(sf_dir: str, k: int = 20) -> pa.Table:
                  else "POLYGON" if closed else "LINESTRING")
         # exact-int squared lengths (centi-units < 2^53), then one
         # correctly-rounded sqrt each — bit-identical to the oracle's
-        # sqrt((dx*dx + dy*dy)::DOUBLE); np.hypot would NOT be
+        # sqrt((dx*dx + dy*dy)::DOUBLE); np.hypot would NOT be.
+        # Each segment is then snapped to integer micro-units with
+        # floor(x + 0.5) (identical per-double on numpy and DuckDB,
+        # unlike round's half-even vs half-away split) so the length
+        # total is an EXACT integer sum — no dependence on float
+        # summation order between numpy pairwise and DuckDB sum()
         dx = np.diff(x)
         dy = np.diff(y)
-        seg = np.sqrt((dx * dx + dy * dy).astype(np.float64))
-        length_km = float(seg.sum()) / 100.0 * DEG_TO_KM
+        seg_u = np.floor(
+            np.sqrt((dx * dx + dy * dy).astype(np.float64)) * 1e6 + 0.5
+        ).astype(np.int64)
+        # terms <= ~4.03e10 (max planar seg ~40250 centideg * 1e6):
+        # int64-safe below ~2.2e8 segments, exact object sum above
+        len_u = (int(seg_u.sum()) if seg_u.size < 200_000_000
+                 else int(seg_u.astype(object).sum()))
+        length_m = int(np.floor(
+            float(len_u) / 1e6 / 100.0 * DEG_TO_KM * 1e3 + 0.5
+        ))
         area_e6, clat_e6, clon_e6 = 0, None, None
         if closed:
             cross = x[:-1] * y[1:] - x[1:] * y[:-1]  # exact int64
-            s2 = int(cross.sum())
+            # centroid numerator terms reach ~4.7e13 each, so a plain
+            # int64 .sum() wraps silently past ~195k vertices; the SQL
+            # oracle sums in HUGEINT. Accumulate exactly: fast int64
+            # path for normal ways, arbitrary-precision Python-int path
+            # above the safe bound (2**63 / 4.7e13 ~= 1.9e5 terms).
+            def exact_sum(a: np.ndarray) -> int:
+                if a.size < 150_000:
+                    return int(a.sum())
+                return int(a.astype(object).sum())
+
+            s2 = exact_sum(cross)  # terms ~6.5e8: wrap needs ~1.4e10 pts
             area_km2 = abs(float(s2)) / 2.0 / 1e4 * (DEG_TO_KM * DEG_TO_KM)
             area_e6 = int(np.round(area_km2 * 1e6))
             if s2 != 0:
-                cx = float(int(((x[:-1] + x[1:]) * cross).sum())) / (3.0 * s2)
-                cy = float(int(((y[:-1] + y[1:]) * cross).sum())) / (3.0 * s2)
+                cx = float(exact_sum((x[:-1] + x[1:]) * cross)) / (3.0 * s2)
+                cy = float(exact_sum((y[:-1] + y[1:]) * cross)) / (3.0 * s2)
                 clat_e6 = int(np.round((cy / 100.0 - 90.0) * 1e6))
                 clon_e6 = int(np.round((cx / 100.0 - 180.0) * 1e6))
         return pa.table({
             "user_id": pa.array([uid], pa.int64()),
             "n_pts": pa.array([n_pts], pa.int64()),
             "stype": pa.array([stype], pa.string()),
-            "length_m": pa.array(
-                [int(np.round(length_km * 1e3))], pa.int64()
-            ),
+            "length_m": pa.array([length_m], pa.int64()),
             "area_e6": pa.array([area_e6], pa.int64()),
             "clat_e6": pa.array([clat_e6], pa.int64()),
             "clon_e6": pa.array([clon_e6], pa.int64()),
