@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_percolate": P.fts_percolate,            # percolator (streaming)
         "fts_span_near_docs": P.fts_span_near_docs,  # span_near query
         "fts_span_first_docs": P.fts_span_first_docs,  # span_first query
+        "fts_span_or_docs": P.fts_span_or_docs,  # span_or query
+        "fts_span_not_docs": P.fts_span_not_docs,  # span_not query
         "fts_extended_stats": P.fts_extended_stats,  # extended_stats agg
         "fts_weighted_avg": P.fts_weighted_avg,      # weighted_avg agg
         "fts_regexp_docs": P.fts_regexp_docs,        # RegexpQuery
@@ -732,6 +734,32 @@ ptoks AS (SELECT doc_id, unnest(l) AS term,
 SELECT doc_id, count(*) AS n_matches FROM ptoks
 WHERE term = '{P.SPAN_FIRST_TERM}' AND pos < {P.SPAN_FIRST_END}
 GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
+        # span_or: union of single-term spans — total occurrences of any
+        # clause term per doc
+        "fts_span_or_docs": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term FROM lists)
+SELECT doc_id, count(*) AS n_matches FROM ptoks
+WHERE term IN ({",".join(f"'{t}'" for t in sorted(set(P.SPAN_OR_TERMS)))})
+GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
+        # span_not: include occurrences with NO exclude occurrence in
+        # [pos - pre, pos + post] — the engine's window test verbatim
+        "fts_span_not_docs": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists)
+SELECT i.doc_id, count(*) AS n_matches
+FROM ptoks i
+WHERE i.term = '{P.SPAN_NOT_INCLUDE}' AND NOT EXISTS (
+  SELECT 1 FROM ptoks e
+  WHERE e.doc_id = i.doc_id AND e.term = '{P.SPAN_NOT_EXCLUDE}'
+    AND e.pos >= i.pos - {P.SPAN_NOT_PRE}
+    AND e.pos <= i.pos + {P.SPAN_NOT_POST})
+GROUP BY i.doc_id ORDER BY i.doc_id LIMIT 20
 """,
         # extended_stats: integer-exact sum/sum_sq + variance numerator
         "fts_extended_stats": f"""

@@ -698,6 +698,44 @@ def fts_span_first_docs(sf_dir: str) -> pa.Table:
     )
 
 
+SPAN_OR_TERMS = ("vector", "merge", "spark")
+SPAN_NOT_INCLUDE = "data"
+SPAN_NOT_EXCLUDE = "table"
+SPAN_NOT_PRE = 1
+SPAN_NOT_POST = 2
+
+
+def fts_span_or_docs(sf_dir: str) -> pa.Table:
+    """ES span_or analog: docs containing any SPAN_OR_TERMS clause, with
+    n_matches = total occurrences across the clause set; doc_id asc,
+    first 20."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.span_or_docs(list(SPAN_OR_TERMS), limit=20)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "n_matches": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
+def fts_span_not_docs(sf_dir: str) -> pa.Table:
+    """ES span_not analog: occurrences of SPAN_NOT_INCLUDE surviving
+    unless a SPAN_NOT_EXCLUDE occurrence sits within PRE tokens before /
+    POST after; doc_id asc, first 20."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.span_not_docs(
+        SPAN_NOT_INCLUDE, SPAN_NOT_EXCLUDE,
+        pre=SPAN_NOT_PRE, post=SPAN_NOT_POST, limit=20,
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "n_matches": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
 def fts_extended_stats(sf_dir: str) -> pa.Table:
     """ES extended_stats analog over the BM25_QUERY hit set: exact
     integer sum/sum_sq plus the integer variance numerator

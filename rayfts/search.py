@@ -1994,6 +1994,82 @@ class Searcher(SuggestAPI):
             docs, cnt = docs[live], cnt[live]
         return [(int(d), int(c)) for d, c in zip(docs[:limit], cnt[:limit])]
 
+    def span_or_docs(self, terms: list[str],
+                     limit: int = 20) -> list[tuple[int, int]]:
+        """ES span_or-query analog over span_term clauses: the span set
+        is the UNION of each clause term's occurrences, so a doc matches
+        when any clause term occurs and n_matches = total occurrences
+        across the clause set (clauses are a set — duplicate terms count
+        once; single-term spans can't coincide across distinct terms, so
+        the union has no overlap collapsing to do). Purely tf-driven —
+        no positional decode needed. Vectorized: one concat + np.unique
+        inverse + bincount over (doc_ids, tfs) of the present terms.
+        Tombstoned docs filtered. Returns [(doc_id, n_matches)] doc_id
+        asc, first ``limit``."""
+        uniq = sorted(set(terms))
+        plist = [p for t in uniq if (p := self.lookup(t)) is not None]
+        if not plist:
+            return []
+        ids = np.concatenate([p.doc_ids for p in plist])
+        tfs = np.concatenate([p.tfs.astype(np.int64) for p in plist])
+        docs, inv = np.unique(ids, return_inverse=True)
+        cnt = np.bincount(inv, weights=tfs).astype(np.int64)
+        if self.excluded.size:
+            live = ~np.isin(docs, self.excluded)
+            docs, cnt = docs[live], cnt[live]
+        return [(int(d), int(c)) for d, c in zip(docs[:limit], cnt[:limit])]
+
+    def span_not_docs(self, include: str, exclude: str, pre: int = 0,
+                      post: int = 0, limit: int = 20) -> list[tuple[int, int]]:
+        """ES span_not-query analog (span_term include / span_term
+        exclude): occurrences of ``include`` survive unless an
+        occurrence of ``exclude`` sits within ``pre`` tokens before or
+        ``post`` tokens after (Lucene SpanNotQuery's pre/post slack;
+        pre=post=0 is pure same-position overlap, which for distinct
+        single terms never fires). n_matches = surviving occurrences.
+
+        Vectorized: both position sets flatten to doc*L + pos keys
+        (L sized past maxpos + slack so windows can't cross docs); a
+        surviving include key has an EMPTY exclude range
+        [key - pre, key + post], tested with two searchsorted bounds.
+        O(occurrences), no per-doc loop. Returns [(doc_id, n_matches)]
+        doc_id asc, first ``limit``."""
+        if pre < 0 or post < 0:
+            raise ValueError("pre/post must be >= 0")
+        p_inc = self.lookup(include)
+        if p_inc is None:
+            return []
+        pos_i, occ_i = self._positions(p_inc)
+        lens_i = (occ_i[1:] - occ_i[:-1]).astype(np.int64)
+        slot_of = np.repeat(
+            np.arange(p_inc.doc_ids.size, dtype=np.int64), lens_i
+        )
+        p_exc = self.lookup(exclude) if exclude != include else None
+        if p_exc is None and exclude != include:
+            keep = np.ones(pos_i.size, dtype=bool)
+        elif exclude == include:
+            keep = np.zeros(pos_i.size, dtype=bool)  # every span self-kills
+        else:
+            pos_e, _ = self._positions(p_exc)
+            maxpos = max(int(pos_i.max(initial=0)),
+                         int(pos_e.max(initial=0)))
+            L = maxpos + max(pre, post) + 2
+            keys_i = p_inc.doc_ids[slot_of] * L + pos_i
+            lens_e = (p_exc.occ_off[1:] - p_exc.occ_off[:-1]).astype(np.int64)
+            keys_e = np.repeat(p_exc.doc_ids, lens_e) * L + pos_e
+            lo = np.searchsorted(keys_e, keys_i - pre, side="left")
+            hi = np.searchsorted(keys_e, keys_i + post, side="right")
+            keep = lo == hi
+        cnt = np.bincount(
+            slot_of[keep], minlength=p_inc.doc_ids.size
+        ).astype(np.int64)
+        mask = cnt > 0
+        docs, cnt = p_inc.doc_ids[mask], cnt[mask]
+        if self.excluded.size:
+            live = ~np.isin(docs, self.excluded)
+            docs, cnt = docs[live], cnt[live]
+        return [(int(d), int(c)) for d, c in zip(docs[:limit], cnt[:limit])]
+
     def synonym_search(self, query: str, synonyms: dict, k: int = 10,
                        where: dict | None = None,
                        must_not: str | None = None):
@@ -3896,6 +3972,36 @@ class MultiSearcher(SuggestAPI):
             out.extend(
                 (d + off, c)
                 for d, c in seg.span_first_docs(term, end, limit)
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
+
+    def span_or_docs(self, terms: list[str],
+                     limit: int = 20) -> list[tuple[int, int]]:
+        """Sharded span_or: occurrence counts are per-doc, so per-segment
+        results concatenate in ascending global order."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, c) for d, c in seg.span_or_docs(terms, limit)
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
+
+    def span_not_docs(self, include: str, exclude: str, pre: int = 0,
+                      post: int = 0, limit: int = 20) -> list[tuple[int, int]]:
+        """Sharded span_not: the pre/post window never crosses docs, so
+        per-segment results concatenate in ascending global order."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, c)
+                for d, c in seg.span_not_docs(include, exclude, pre, post,
+                                              limit)
             )
             if len(out) >= limit:
                 break

@@ -714,3 +714,63 @@ def test_sharded_span_first_equals_global(pos_index, corpus, tmp_path_factory):
     for term, end in [("the", 3), ("w0007", 6), ("zzzz_absent", 2)]:
         assert multi.span_first_docs(term, end, limit=10**6) == \
             single.span_first_docs(term, end, limit=10**6), (term, end)
+    # span_or / span_not ride the same segment build: per-doc counts,
+    # so sharded concatenation must equal the single index verbatim
+    for terms in (["the", "w0007"], ["bash", "ok"], ["zzzz_absent"]):
+        assert multi.span_or_docs(terms, limit=10**6) == \
+            single.span_or_docs(terms, limit=10**6), terms
+    for inc, exc, pre, post in [("the", "a", 1, 2), ("w0007", "the", 0, 3)]:
+        assert multi.span_not_docs(inc, exc, pre=pre, post=post,
+                                   limit=10**6) == \
+            single.span_not_docs(inc, exc, pre=pre, post=post,
+                                 limit=10**6), (inc, exc)
+
+
+def test_span_or_matches_bruteforce(pos_index, oracle):
+    """span_or: per-doc total occurrences of any clause term, recomputed
+    with a plain token scan; clauses dedupe; absent terms drop out."""
+    s = Searcher(pos_index)
+    tok_docs = {d: tokenize(t) for d, t in oracle.texts.items()}
+    for terms in [["the", "w0007"], ["bash", "ok", "bash"],
+                  ["zzzz_absent"], ["zzzz_absent", "w0007"], []]:
+        uniq = set(terms)
+        want = []
+        for d, toks in tok_docs.items():
+            c = sum(1 for t in toks if t in uniq)
+            if c:
+                want.append((d, c))
+        want.sort()
+        got = s.span_or_docs(terms, limit=10**6)
+        assert got == want, terms
+    assert s.span_or_docs(["the", "w0007"], limit=5) == \
+        s.span_or_docs(["the", "w0007"], limit=10**6)[:5]
+
+
+def test_span_not_matches_bruteforce(pos_index, oracle):
+    """span_not: include occurrences surviving unless an exclude
+    occurrence sits in [pos - pre, pos + post], recomputed with a plain
+    positional scan; include == exclude kills everything."""
+    s = Searcher(pos_index)
+    tok_docs = {d: tokenize(t) for d, t in oracle.texts.items()}
+    cases = [("the", "a", 0, 0), ("the", "a", 1, 2), ("the", "ok", 2, 1),
+             ("w0007", "the", 0, 3), ("the", "zzzz_absent", 1, 1),
+             ("zzzz_absent", "the", 1, 1)]
+    for inc, exc, pre, post in cases:
+        want = []
+        for d, toks in tok_docs.items():
+            ipos = [i for i, t in enumerate(toks) if t == inc]
+            epos = [i for i, t in enumerate(toks) if t == exc]
+            c = sum(
+                1 for p in ipos
+                if not any(p - pre <= q <= p + post for q in epos)
+            )
+            if c:
+                want.append((d, c))
+        want.sort()
+        got = s.span_not_docs(inc, exc, pre=pre, post=post, limit=10**6)
+        assert got == want, (inc, exc, pre, post)
+    assert s.span_not_docs("the", "the", limit=10**6) == []
+    assert s.span_not_docs("the", "a", pre=1, post=2, limit=5) == \
+        s.span_not_docs("the", "a", pre=1, post=2, limit=10**6)[:5]
+    with pytest.raises(ValueError):
+        s.span_not_docs("the", "a", pre=-1)
