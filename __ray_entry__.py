@@ -281,6 +281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_rescore_top10": P.fts_rescore_top10,    # rescore window API
         "fts_synonym_top10": P.fts_synonym_top10,    # SynonymQuery expansion
         "fts_multi_match_top10": P.fts_multi_match_top10,  # most_fields
+        "fts_combined_fields_top10": P.fts_combined_fields_top10,  # BM25F
+        "fts_match_bool_prefix_top10": P.fts_match_bool_prefix_top10,
+        "fts_pinned_top10": P.fts_pinned_top10,  # pinned query
         "fts_dis_max_top10": P.fts_dis_max_top10,    # best_fields / dis_max
         "fts_cross_fields_top10": P.fts_cross_fields_top10,  # cross_fields
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
@@ -1232,6 +1235,95 @@ scores AS (
 )
 SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
 FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # combined_fields (Lucene CombinedFieldQuery / BM25F): ONE
+        # pseudo-field — ctf = ws*tf_s + wt*tf_t (source first, the
+        # engine's ascending-field order), cdl likewise, cavgdl from the
+        # EXACT integer per-field token totals, idf on the blended max
+        # df; saturation on the combined quantities, summed terms-asc
+        "fts_combined_fields_top10": f"""
+WITH ttoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}'))
+               AS term FROM documents),
+tdl AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN ttoks t USING (doc_id) GROUP BY d.doc_id),
+stoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(source), '{_TOK}'))
+          AS term FROM documents),
+sdl AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN stoks t USING (doc_id) GROUP BY d.doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              ({P.MULTI_BOOSTS["source"]!r} * (SELECT sum(dl) FROM sdl)
+               + {P.MULTI_BOOSTS["text"]!r} * (SELECT sum(dl) FROM tdl))
+              / (SELECT count(*) FROM documents) AS cavgdl),
+qt(term) AS (VALUES {",".join(f"('{t}')" for t in sorted(set(P.MULTI_QUERY.split())))}),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+stf AS (SELECT doc_id, term, count(*) AS tf FROM stoks
+        WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+dfb AS (SELECT q.term,
+               greatest(coalesce(tdf.df, 0), coalesce(sdf.df, 0)) AS df
+        FROM qt q LEFT JOIN tdf USING (term) LEFT JOIN sdf USING (term)),
+cf AS (
+  SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+         coalesce(t.term, s.term) AS term,
+         coalesce({P.MULTI_BOOSTS["source"]!r} * s.tf, 0.0)
+           + coalesce({P.MULTI_BOOSTS["text"]!r} * t.tf, 0.0) AS ctf
+  FROM ttf t FULL OUTER JOIN stf s
+    ON t.doc_id = s.doc_id AND t.term = s.term),
+cdl AS (SELECT tdl.doc_id,
+               {P.MULTI_BOOSTS["source"]!r} * sdl.dl
+                 + {P.MULTI_BOOSTS["text"]!r} * tdl.dl AS cdl
+        FROM tdl JOIN sdl USING (doc_id)),
+scores AS (
+  SELECT cf.doc_id,
+         sum((1.0 * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)))
+             * (cf.ctf * (1.2 + 1.0)
+                / (cf.ctf + 1.2 * (1.0 - 0.75 + 0.75 * cdl.cdl / st.cavgdl)))
+             ORDER BY cf.term) AS score
+  FROM cf JOIN dfb d USING (term) JOIN cdl USING (doc_id) CROSS JOIN st
+  WHERE d.df > 0
+  GROUP BY cf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # match_bool_prefix: last token -> constant-score-1.0 prefix
+        # clause (any term LIKE 'p%'), earlier tokens -> BM25 should
+        # clauses; score = bm25_sum + 1.0 (the engine's add order)
+        "fts_match_bool_prefix_top10": f"""
+{_bm25_with(sorted(set(P.MBP_QUERY.split()[:-1])))}
+, pref AS (SELECT DISTINCT doc_id FROM toks
+           WHERE term LIKE '{P.MBP_QUERY.split()[-1]}%')
+, allh AS (
+  SELECT coalesce(s.doc_id, p.doc_id) AS doc_id,
+         coalesce(s.score, 0.0)
+           + (CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS score
+  FROM scores s FULL OUTER JOIN pref p ON s.doc_id = p.doc_id)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM allh ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # pinned: pin rows (input order via prio) above organic hits;
+        # absent pinned ids drop; the rank column pins the promotion
+        # order through the order-insensitive value hash
+        "fts_pinned_top10": f"""
+{_bm25_with(sorted(set(P.PINNED_QUERY.split())))}
+, pin AS (SELECT * FROM (VALUES {",".join(
+    f"({int(i)}, {j})" for j, i in enumerate(P.PINNED_IDS)
+)}) AS v(doc_id, prio)
+          WHERE doc_id IN (SELECT doc_id FROM documents))
+, unioned AS (
+  SELECT p.doc_id, coalesce(s.score, 0.0) AS score, 1 AS pinned, p.prio
+  FROM pin p LEFT JOIN scores s USING (doc_id)
+  UNION ALL
+  SELECT s.doc_id, s.score, 0 AS pinned, NULL AS prio
+  FROM scores s WHERE s.doc_id NOT IN (SELECT doc_id FROM pin))
+SELECT CAST(row_number() OVER
+            (ORDER BY pinned DESC, prio ASC, score DESC, doc_id ASC)
+            AS BIGINT) AS rank,
+       doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6,
+       CAST(pinned AS BIGINT) AS pinned
+FROM unioned ORDER BY rank LIMIT 10
 """,
         # SynonymQuery: per clause group, df = max over members (blended),
         # tf = sum of member tfs; one idf*saturation term per group,

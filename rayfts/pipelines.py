@@ -1116,6 +1116,93 @@ def fts_cross_fields_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_combined_fields_top10(sf_dir: str) -> pa.Table:
+    """ES combined_fields query (Lucene CombinedFieldQuery / BM25F):
+    text+source merge into one pseudo-field — boost-weighted tf/dl
+    sums, blended max-df idf, BM25 saturation on the combined
+    quantities."""
+    from .search import MultiFieldSearcher
+
+    text_dir = documents_index(sf_dir)
+    src_dir = documents_source_index(sf_dir)
+    mf = MultiFieldSearcher(
+        {
+            "text": (Searcher(text_dir), MULTI_BOOSTS["text"]),
+            "source": (Searcher(src_dir), MULTI_BOOSTS["source"]),
+        }
+    )
+    hits = mf.search(MULTI_QUERY, k=10, match_type="combined_fields")
+    dense_to_src = _dense_to_src(text_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
+MBP_QUERY = "data quer"  # match_bool_prefix probe: term clause + prefix
+
+
+def fts_match_bool_prefix_top10(sf_dir: str) -> pa.Table:
+    """ES match_bool_prefix: MBP_QUERY's last token is a prefix clause
+    (constant-score 1.0), earlier tokens BM25 should-clauses."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.match_bool_prefix(MBP_QUERY, k=10)
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
+PINNED_IDS = (42, 7, 9999999, 17)  # src doc ids; the absent one skips
+PINNED_QUERY = BM25_QUERY
+
+
+def fts_pinned_top10(sf_dir: str) -> pa.Table:
+    """ES pinned query: PINNED_IDS promoted above the organic
+    PINNED_QUERY hits in the given order; rank column pins the
+    promotion order through the driver's order-insensitive hash."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    dense_to_src = _dense_to_src(index_dir)
+    src_to_dense = np.full(
+        int(dense_to_src.max(initial=-1)) + 1, -1, dtype=np.int64
+    )
+    src_to_dense[dense_to_src] = np.arange(dense_to_src.size)
+    pinned_dense = [
+        int(src_to_dense[i]) if 0 <= i < src_to_dense.size else -1
+        for i in PINNED_IDS
+    ]
+    rows = s.pinned_search(pinned_dense, PINNED_QUERY, k=10)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _, _ in rows], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc, _ in rows], pa.int64()
+            ),
+            "pinned": pa.array(
+                [int(p) for _, _, p in rows], pa.int64()
+            ),
+        }
+    )
+
+
 def fts_synonym_top10(sf_dir: str) -> pa.Table:
     """Query-time synonym expansion (Lucene SynonymQuery): each clause
     of SYN_QUERY scores as one pseudo-term over its group — df = max of

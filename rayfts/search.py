@@ -2295,6 +2295,89 @@ class Searcher(SuggestAPI):
             self.expand_prefix(prefix, max_expansions), limit
         )
 
+    def match_bool_prefix(self, query: str, k: int = 10,
+                          where: dict | None = None,
+                          max_expansions: int = 4096) -> list[tuple]:
+        """ES match_bool_prefix analog: the analyzed query's LAST token
+        becomes a prefix clause, every earlier token a term
+        should-clause (the ES bool rewrite of match_bool_prefix).
+        Scoring spec (pinned for the SQL oracle): BM25 should-clause
+        contributions for the term clauses in the search() TAAT op
+        order, plus a CONSTANT 1.0 for docs containing any term with
+        the prefix (the constant-score multi-term rewrite Lucene uses
+        inside this query). A doc matches if it matches ANY clause;
+        stop tokens drop per the index analyzer (a stop last token
+        leaves a pure term bool). (score desc, doc_id asc), ``where``
+        filters hits."""
+        if k <= 0:
+            return []
+        toks = tokenize_query(query)
+        prefix = (toks[-1] if toks and toks[-1] not in self.stopwords
+                  else None)
+        rest = [t for t in toks[:-1] if t not in self.stopwords]
+        qtf: dict[str, float] = {}
+        for t in rest:
+            qtf[t] = qtf.get(t, 0.0) + 1.0
+        buf = np.zeros(self.N, dtype=np.float64)
+        hits = self._present_mask(sorted(qtf))
+        for term in sorted(qtf):
+            p = self.lookup(term)
+            if p is None:
+                continue
+            buf[p.doc_ids] += self._term_weight(qtf[term], p.df) * p.tf_part
+        if prefix is not None:
+            pm = self._present_mask(
+                self.expand_prefix(prefix, max_expansions)
+            )
+            buf[pm] += 1.0
+            hits |= pm
+        if self.excluded.size:
+            hits[self.excluded] = False
+        if where:
+            hits &= self.filter_mask(**where)
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return []
+        return self._topk_from(idx, buf[idx], k)
+
+    def pinned_search(self, ids: list[int], query: str, k: int = 10,
+                      where: dict | None = None) -> list[tuple]:
+        """ES pinned-query analog: the given doc ids are PROMOTED above
+        every organic hit, in the order given (first pinned id ranks
+        first — the ES pinned contract); organic = search(query) minus
+        the pinned set. Returns [(doc_id, score, pinned)] — score is
+        the doc's organic BM25 score under the same dense TAAT op order
+        (0.0 when no query term matches: pinned docs surface
+        regardless of matching, the deterministic stand-in for ES's
+        artificial descending pin scores). Pinned ids that don't exist,
+        are tombstoned, or fail ``where`` are skipped; duplicates keep
+        the first occurrence."""
+        if k <= 0:
+            return []
+        buf = self._dense_scores(query)
+        fm = self.filter_mask(**where) if where else None
+        out: list[tuple] = []
+        seen: set[int] = set()
+        for d in ids:
+            d = int(d)
+            if d in seen or not 0 <= d < self.N:
+                continue
+            seen.add(d)
+            if self.excluded.size and bool(np.isin(d, self.excluded)):
+                continue
+            if fm is not None and not fm[d]:
+                continue
+            out.append((d, float(buf[d]), True))
+            if len(out) >= k:
+                return out[:k]
+        for d, s in self.search(query, k=k + len(seen), where=where):
+            if d in seen:
+                continue
+            out.append((d, s, False))
+            if len(out) >= k:
+                break
+        return out[:k]
+
     def expand_regexp(self, pattern: str,
                       max_expansions: int = 4096) -> list[str]:
         """ES RegexpQuery term expansion: the pattern is ANCHORED over
@@ -3338,14 +3421,71 @@ class MultiFieldSearcher:
         terms-ascending and total summed fields-ascending (op order
         pinned for the oracle). tie_breaker=0 is pure dis_max.
 
+        ``match_type="combined_fields"``: BM25F over one merged
+        pseudo-field (boost-weighted tf/dl sums, blended max-df idf) —
+        see the branch comment for the pinned op sequence.
+
         ``where`` / ``must_not`` evaluate against the FIRST field's
         docstore (all fields share one doc space)."""
         if k <= 0:
             return []
-        if match_type not in ("most_fields", "best_fields", "cross_fields"):
+        if match_type not in ("most_fields", "best_fields", "cross_fields",
+                              "combined_fields"):
             raise ValueError(f"unknown match_type {match_type!r}")
         hit = np.zeros(self.N, dtype=bool)
-        if match_type == "cross_fields":
+        if match_type == "combined_fields":
+            # ES combined_fields query (Lucene CombinedFieldQuery /
+            # BM25F): fields merge into ONE pseudo-field — per doc-term,
+            # tf = sum over fields of boost_f * tf_f; per doc,
+            # dl = sum of boost_f * dl_f; avgdl from the exact integer
+            # per-field token totals; df blends to the max across fields
+            # (one idf per term). score = sum over terms ascending of
+            # qtf * idf(df_blend) * sat(ctf, cdl) with the BM25
+            # saturation evaluated on the COMBINED quantities. Field
+            # accumulation order is ascending name (two-operand float
+            # adds — order-stable). Op sequence mirrored verbatim in the
+            # SQL oracle.
+            names = sorted(self.fields)
+            first = self.fields[names[0]][0]
+            qtf = first._qweights(query)
+            cdl = np.zeros(self.N, dtype=np.float64)
+            tot_dl = 0.0
+            for name in names:
+                s, w = self.fields[name]
+                cdl += w * s.dl.astype(np.float64)
+                tot_dl += w * float(s.manifest["total_dl"])
+            cavgdl = tot_dl / self.N
+            k1, b = first.k1, first.b
+            buf = np.zeros(self.N, dtype=np.float64)
+            for term in sorted(qtf):
+                ctf = np.zeros(self.N, dtype=np.float64)
+                df_blend = 0
+                for name in names:
+                    s, w = self.fields[name]
+                    p = s.lookup(term)
+                    if p is None:
+                        continue
+                    df_blend = max(df_blend, p.df)
+                    ids = (
+                        p.doc_ids if p.live_mask is None
+                        else p.doc_ids[p.live_mask]
+                    )
+                    tfs = (
+                        p.tfs if p.live_mask is None
+                        else p.tfs[p.live_mask]
+                    )
+                    ctf[ids] += w * tfs.astype(np.float64)
+                    hit[ids] = True
+                if df_blend == 0:
+                    continue
+                wq = qtf[term] * first.idf(df_blend)
+                idx_t = np.flatnonzero(ctf)
+                x = ctf[idx_t]
+                sat = x * (k1 + 1.0) / (
+                    x + k1 * (1.0 - b + b * cdl[idx_t] / cavgdl)
+                )
+                buf[idx_t] += wq * sat
+        elif match_type == "cross_fields":
             # Lucene BlendedTermQuery analog: per TERM, df blends to the
             # max across fields (one idf — the term is one concept split
             # over fields), saturation = max over fields of
@@ -4006,6 +4146,97 @@ class MultiSearcher(SuggestAPI):
             if len(out) >= limit:
                 break
         return out[:limit]
+
+    def match_bool_prefix(self, query: str, k: int = 10,
+                          max_expansions: int = 4096) -> list[tuple]:
+        """Sharded match_bool_prefix, exact vs a single global index:
+        term-clause weights use GLOBAL df/avgdl (the _tf_part recompute)
+        and the prefix expansion set is the union of per-segment
+        expansions re-truncated globally (lossless: a term in the global
+        first-``max_expansions`` is in its segment's first-K), so every
+        doc's score is bit-identical; per-segment top-k merge."""
+        if k <= 0:
+            return []
+        toks = tokenize_query(query)
+        stops = self.segments[0].stopwords if self.segments else frozenset()
+        prefix = toks[-1] if toks and toks[-1] not in stops else None
+        rest = [t for t in toks[:-1] if t not in stops]
+        qtf: dict[str, float] = {}
+        for t in rest:
+            qtf[t] = qtf.get(t, 0.0) + 1.0
+        weights: dict[str, float] = {}
+        for term in sorted(qtf):
+            df_g = sum(
+                p.df for seg in self.segments
+                if (p := seg.lookup(term)) is not None
+            )
+            if df_g:
+                weights[term] = qtf[term] * self.idf(df_g)
+        exp: list[str] = []
+        if prefix is not None:
+            exp = sorted({
+                t for seg in self.segments
+                for t in seg.expand_prefix(prefix, max_expansions)
+            })[:max_expansions]
+        merged: list[tuple] = []
+        for si, seg in enumerate(self.segments):
+            buf = np.zeros(seg.N, dtype=np.float64)
+            hits = seg._present_mask(sorted(qtf))
+            for term in sorted(qtf):
+                p = seg.lookup(term)
+                if p is None or term not in weights:
+                    continue
+                buf[p.doc_ids] += weights[term] * self._tf_part(si, term, p)
+            if exp:
+                pm = seg._present_mask(exp)
+                buf[pm] += 1.0
+                hits |= pm
+            if seg.excluded.size:
+                hits[seg.excluded] = False
+            idx = np.flatnonzero(hits)
+            if idx.size == 0:
+                continue
+            off = int(self.offsets[si])
+            merged.extend(
+                (d + off, s) for d, s in seg._topk_from(idx, buf[idx], k)
+            )
+        merged.sort(key=lambda e: (-e[1], e[0]))
+        return merged[:k]
+
+    def pinned_search(self, ids: list[int], query: str,
+                      k: int = 10) -> list[tuple]:
+        """Sharded pinned query, exact vs a single global index: pinned
+        ids route to their owning segment (offset bisect) and score
+        under the global-stats dense pass; organic = self.search minus
+        the pinned set."""
+        if k <= 0:
+            return []
+        terms, weights = self._global_weights(query)
+        bufs: dict[int, np.ndarray] = {}
+        out: list[tuple] = []
+        seen: set[int] = set()
+        for d in ids:
+            d = int(d)
+            if d in seen or not 0 <= d < self.N:
+                continue
+            seen.add(d)
+            si = int(np.searchsorted(self.offsets, d, side="right")) - 1
+            seg = self.segments[si]
+            loc = d - int(self.offsets[si])
+            if seg.excluded.size and bool(np.isin(loc, seg.excluded)):
+                continue
+            if si not in bufs:
+                bufs[si] = self._seg_dense_scores(si, seg, terms, weights)
+            out.append((d, float(bufs[si][loc]), True))
+            if len(out) >= k:
+                return out[:k]
+        for d, s in self.search(query, k=k + len(seen)):
+            if d in seen:
+                continue
+            out.append((d, s, False))
+            if len(out) >= k:
+                break
+        return out[:k]
 
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      prefix_length: int = 0,

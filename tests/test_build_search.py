@@ -13,7 +13,7 @@ import pytest
 from rayfts.config import IndexJobConfig
 from rayfts.build import build_index
 from rayfts.fixtures import REFERENCE_QUERIES, generate_transcripts, write_transcripts
-from rayfts.oracle import BruteForceIndex
+from rayfts.oracle import BruteForceIndex, tokenize
 from rayfts.search import Searcher, run_queries
 
 N_CONVS = 50
@@ -1510,6 +1510,90 @@ def test_multi_match_most_fields(corpus, index_dir, oracle, tmp_path_factory):
         assert x == pytest.approx(y, abs=1e-9)
     with pytest.raises(ValueError):
         mf.search(q, match_type="phrase_fields")
+    # combined_fields / BM25F: ONE pseudo-field — weighted tf/dl sums,
+    # blended max-df idf, saturation on the combined quantities
+    import math as _math
+
+    from rayfts.oracle import tokenize as _tok
+
+    wt, wo = 1.0, 2.0  # "text" < "tool" — engine field order
+    tok_t = {d: _tok(x) for d, x in idx_text.texts.items()}
+    tok_o = {d: _tok(x) for d, x in tool_docs.items()}
+    N = len(tok_t)
+    cdl = {d: wt * len(tok_t[d]) + wo * len(tok_o[d]) for d in tok_t}
+    cavgdl = (wt * sum(len(v) for v in tok_t.values())
+              + wo * sum(len(v) for v in tok_o.values())) / N
+    combined = {}
+    for term in sorted(set(_tok(q))):
+        df_b = max(
+            sum(1 for v in tok_t.values() if term in v),
+            sum(1 for v in tok_o.values() if term in v),
+        )
+        if df_b == 0:
+            continue
+        w = _math.log(1.0 + (N - df_b + 0.5) / (df_b + 0.5))
+        for d in tok_t:
+            ctf = (wt * tok_t[d].count(term) + wo * tok_o[d].count(term))
+            if ctf == 0:
+                continue
+            sat = ctf * 2.2 / (ctf + 1.2 * (0.25 + 0.75 * cdl[d] / cavgdl))
+            combined[d] = combined.get(d, 0.0) + w * sat
+    want = sorted(combined.items(), key=lambda h: (-h[1], h[0]))[:10]
+    got = mf.search(q, k=10, match_type="combined_fields")
+    assert [x for x, _ in got] == [x for x, _ in want]
+    for (_, x), (_, y) in zip(got, want):
+        assert x == pytest.approx(y, abs=1e-9)
+
+
+def test_match_bool_prefix_matches_bruteforce(index_dir, oracle):
+    """match_bool_prefix: BM25 over all-but-last tokens + constant 1.0
+    for docs containing any term with the last token's prefix."""
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    tok_docs = {d: tokenize(t) for d, t in idx.texts.items()}
+    for q in ["the w00", "bash w0007 ed", "w00", "zzzz_absent qq"]:
+        toks = tokenize(q)
+        rest, prefix = toks[:-1], toks[-1]
+        base = dict(idx.search(" ".join(rest), k=10**6)) if rest else {}
+        pref = {
+            d for d, tk in tok_docs.items()
+            if any(t.startswith(prefix) for t in tk)
+        }
+        comb = {
+            d: base.get(d, 0.0) + (1.0 if d in pref else 0.0)
+            for d in set(base) | pref
+        }
+        want = sorted(comb.items(), key=lambda h: (-h[1], h[0]))[:10]
+        got = s.match_bool_prefix(q, k=10)
+        assert [x for x, _ in got] == [x for x, _ in want], q
+        for (_, x), (_, y) in zip(got, want):
+            assert x == pytest.approx(y, abs=1e-9), q
+    assert s.match_bool_prefix("", k=10) == []
+    assert s.match_bool_prefix("the w00", k=0) == []
+
+
+def test_pinned_search_promotes_in_order(index_dir, oracle):
+    """pinned: given ids first (input order, deduped, absent ids
+    skipped), each with its organic dense score; organic tail excludes
+    the pinned set."""
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    organic = s.search("the w0007 bash", k=10**6)
+    pin = [organic[3][0], 5, 5, s.N + 100, organic[0][0]]
+    got = s.pinned_search(pin, "the w0007 bash", k=10)
+    want_ids = [organic[3][0], 5, organic[0][0]]
+    assert [d for d, _, p in got[:3]] == want_ids
+    assert all(p for _, _, p in got[:3])
+    by_id = dict((d, sc) for d, sc in organic)
+    for d, sc, p in got[:3]:
+        assert sc == pytest.approx(by_id.get(d, 0.0), abs=1e-12)
+    tail = [d for d, _, p in got[3:]]
+    assert all(not p for _, _, p in got[3:])
+    want_tail = [d for d, _ in organic if d not in set(want_ids)][:7]
+    assert tail == want_tail
+    # k smaller than the pin list truncates inside the pins
+    assert [d for d, _, _ in s.pinned_search(pin, "the", k=2)] == \
+        want_ids[:2]
 
 
 def test_synonym_search_matches_bruteforce(index_dir, oracle):

@@ -326,3 +326,17 @@ def test_sharded_feature_queries_equal_global(indexes):
                                       pivot=1.0, k=10, boost=2.0) == \
             single.distance_feature(q, "turn_idx", origin=3.0,
                                     pivot=1.0, k=10, boost=2.0), q
+
+
+def test_sharded_match_bool_prefix_and_pinned_equal_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the w00", "bash w0007 ed", "w00", "zzzz_absent qq"]:
+        assert multi.match_bool_prefix(q, k=10) == \
+            single.match_bool_prefix(q, k=10), q
+    organic = single.search("the w0007", k=6)
+    pin = [organic[2][0], 3, single.N + 99, organic[0][0]]
+    assert multi.pinned_search(pin, "the w0007", k=10) == \
+        single.pinned_search(pin, "the w0007", k=10)
+    assert multi.pinned_search(pin, "the w0007", k=2) == \
+        single.pinned_search(pin, "the w0007", k=2)
