@@ -259,6 +259,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_span_not_docs": P.fts_span_not_docs,  # span_not query
         "fts_extended_stats": P.fts_extended_stats,  # extended_stats agg
         "fts_weighted_avg": P.fts_weighted_avg,      # weighted_avg agg
+        "fts_value_count": P.fts_value_count,        # value_count agg
+        "fts_mad_nchars": P.fts_mad_nchars,          # median_absolute_deviation
+        "fts_boxplot_nchars": P.fts_boxplot_nchars,  # boxplot agg
+        "fts_string_stats_source": P.fts_string_stats_source,  # string_stats
+        "fts_matrix_stats": P.fts_matrix_stats,      # matrix_stats agg
         "fts_regexp_docs": P.fts_regexp_docs,        # RegexpQuery
         "fts_terms_set_docs": P.fts_terms_set_docs,  # terms_set query
         "fts_range_nchars": P.fts_range_nchars,      # range aggregation
@@ -1095,6 +1100,83 @@ v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
     f" AS BIGINT) AS value_e6 FROM v"
     for p in P.PERCENTS
 )}
+""",
+        # value_count: non-null field values over the hit set
+        "fts_value_count": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT count(n_chars) AS n FROM documents JOIN hits USING (doc_id)
+""",
+        # median_absolute_deviation: EXACT quantile_cont medians —
+        # integer inputs make median/mad multiples of 0.25, so the e6
+        # columns are exact on both sides
+        "fts_mad_nchars": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id)),
+med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM v)
+SELECT count(*) AS n,
+  CAST(round((SELECT m FROM med) * 1e6) AS BIGINT) AS median_e6,
+  CAST(round(quantile_cont(abs(n_chars - (SELECT m FROM med)), 0.5)
+             * 1e6) AS BIGINT) AS mad_e6
+FROM v
+""",
+        # boxplot: exact five-number summary, quantile_cont quartiles
+        "fts_boxplot_nchars": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
+SELECT count(*) AS n,
+  CAST(min(n_chars) AS BIGINT) AS min_v,
+  CAST(round(quantile_cont(n_chars, 0.25) * 1e6) AS BIGINT) AS q1_e6,
+  CAST(round(quantile_cont(n_chars, 0.5) * 1e6) AS BIGINT) AS q2_e6,
+  CAST(round(quantile_cont(n_chars, 0.75) * 1e6) AS BIGINT) AS q3_e6,
+  CAST(max(n_chars) AS BIGINT) AS max_v
+FROM v
+""",
+        # string_stats: exact length stats + Shannon entropy of the
+        # character distribution (ascending-char accumulation — the
+        # engine's op order)
+        "fts_string_stats_source": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+sv AS (SELECT source FROM documents JOIN hits USING (doc_id)
+       WHERE source IS NOT NULL),
+ch AS (SELECT unnest(regexp_extract_all(source, '.')) AS c FROM sv),
+cc AS (SELECT c, count(*) AS cnt FROM ch GROUP BY c),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cc)
+SELECT (SELECT count(*) FROM sv) AS n,
+  (SELECT CAST(min(length(source)) AS BIGINT) FROM sv) AS min_len,
+  (SELECT CAST(max(length(source)) AS BIGINT) FROM sv) AS max_len,
+  (SELECT t FROM tot) AS len_sum,
+  CAST(round(-(SELECT sum((cnt::DOUBLE / (SELECT t FROM tot))
+                          * log2(cnt::DOUBLE / (SELECT t FROM tot))
+                          ORDER BY c) FROM cc) * 1e6) AS BIGINT)
+    AS entropy_e6
+""",
+        # matrix_stats: exact integer moment sums for the (n_chars,
+        # doc_id) pair + Pearson correlation (population-vs-sample
+        # normalization cancels)
+        "fts_matrix_stats": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+v AS (SELECT n_chars AS x, doc_id AS y
+      FROM documents JOIN hits USING (doc_id))
+SELECT count(*) AS n,
+  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+  CAST(sum(x * x) AS BIGINT) AS sxx,
+  CAST(sum(y * y) AS BIGINT) AS syy,
+  CAST(sum(x * y) AS BIGINT) AS sxy,
+  CAST(round((count(*) * sum(x * y) - sum(x) * sum(y))::DOUBLE
+             / sqrt(((count(*) * sum(x * x) - sum(x) * sum(x))
+                     * (count(*) * sum(y * y) - sum(y) * sum(y)))::DOUBLE)
+             * 1e6) AS BIGINT) AS corr_e6
+FROM v
 """,
         # multi_match most_fields: per-FIELD BM25 statistics (each field
         # is its own index), contributions summed ORDER BY (field, term)

@@ -1030,6 +1030,82 @@ def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_value_count(sf_dir: str) -> pa.Table:
+    """ES value_count aggregation: non-null n_chars values over the
+    BM25_QUERY hit set."""
+    s = Searcher(documents_index(sf_dir))
+    n = s.value_count_agg(BM25_QUERY, "n_chars")
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def fts_mad_nchars(sf_dir: str) -> pa.Table:
+    """ES median_absolute_deviation (EXACT, quantile_cont median) of
+    n_chars over the BM25_QUERY hits. Integer inputs make median/mad
+    exact multiples of 0.25, so the e6 columns are exact integers on
+    both sides."""
+    s = Searcher(documents_index(sf_dir))
+    st = s.median_absolute_deviation_agg(BM25_QUERY, "n_chars")
+    return pa.table({
+        "n": pa.array([st["count"]], pa.int64()),
+        "median_e6": pa.array([int(round(st["median"] * 1e6))], pa.int64()),
+        "mad_e6": pa.array([int(round(st["mad"] * 1e6))], pa.int64()),
+    })
+
+
+def fts_boxplot_nchars(sf_dir: str) -> pa.Table:
+    """ES boxplot aggregation (EXACT five-number summary,
+    quantile_cont interpolation) of n_chars over the BM25_QUERY hits."""
+    s = Searcher(documents_index(sf_dir))
+    st = s.boxplot_agg(BM25_QUERY, "n_chars")
+    e6 = lambda v: int(round(v * 1e6))  # noqa: E731
+    return pa.table({
+        "n": pa.array([st["count"]], pa.int64()),
+        "min_v": pa.array([int(st["min"])], pa.int64()),
+        "q1_e6": pa.array([e6(st["q1"])], pa.int64()),
+        "q2_e6": pa.array([e6(st["q2"])], pa.int64()),
+        "q3_e6": pa.array([e6(st["q3"])], pa.int64()),
+        "max_v": pa.array([int(st["max"])], pa.int64()),
+    })
+
+
+def fts_string_stats_source(sf_dir: str) -> pa.Table:
+    """ES string_stats aggregation over the source keyword column of
+    the BM25_QUERY hit set: exact length stats + Shannon entropy of
+    the character distribution (ascending-char accumulation, the op
+    order the SQL oracle mirrors)."""
+    s = Searcher(documents_index(sf_dir))
+    st = s.string_stats_agg(BM25_QUERY, "source")
+    return pa.table({
+        "n": pa.array([st["count"]], pa.int64()),
+        "min_len": pa.array([st["min_length"]], pa.int64()),
+        "max_len": pa.array([st["max_length"]], pa.int64()),
+        "len_sum": pa.array([st["len_sum"]], pa.int64()),
+        "entropy_e6": pa.array(
+            [int(round(st["entropy"] * 1e6))], pa.int64()
+        ),
+    })
+
+
+def fts_matrix_stats(sf_dir: str) -> pa.Table:
+    """ES matrix_stats for the (n_chars, doc_id) numeric pair over the
+    BM25_QUERY hits: exact integer moment sums + Pearson correlation
+    (scale-invariant, so the population-vs-sample choice cancels)."""
+    s = Searcher(documents_index(sf_dir))
+    st = s.matrix_stats_agg(BM25_QUERY, "n_chars", "doc_id")
+    return pa.table({
+        "n": pa.array([st["count"]], pa.int64()),
+        "sx": pa.array([int(st["sx"])], pa.int64()),
+        "sy": pa.array([int(st["sy"])], pa.int64()),
+        "sxx": pa.array([int(st["sxx"])], pa.int64()),
+        "syy": pa.array([int(st["syy"])], pa.int64()),
+        "sxy": pa.array([int(st["sxy"])], pa.int64()),
+        "corr_e6": pa.array(
+            [None if st["correlation"] is None
+             else int(round(st["correlation"] * 1e6))], pa.int64()
+        ),
+    })
+
+
 def fts_multi_match_top10(sf_dir: str) -> pa.Table:
     """ES multi_match type=most_fields: MULTI_QUERY scored over the text
     index (boost 1) AND the source field index (boost 2) — per-field

@@ -1188,6 +1188,167 @@ class Searcher(SuggestAPI):
             "value": num / den if den else None,
         }
 
+    def value_count_agg(self, query: str, field: str,
+                        where: dict | None = None, mode: str = "or",
+                        must_not: str | None = None) -> int:
+        """ES value_count-aggregation analog: number of NON-NULL values
+        of ``field`` over ALL query hits (numeric or keyword column —
+        single-valued here, so value count == doc count with the field
+        present). One mask AND."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return 0
+        try:
+            _, valid = self._numeric_col(field)
+        except (ValueError, TypeError, pa.lib.ArrowInvalid,
+                pa.lib.ArrowNotImplementedError):
+            # non-numeric column: fall back to the keyword-code path
+            codes, _ = self._field_codes(field)
+            valid = codes >= 0
+        return int((hits & valid).sum())
+
+    def median_absolute_deviation_agg(self, query: str, field: str,
+                                      where: dict | None = None,
+                                      mode: str = "or",
+                                      must_not: str | None = None) -> dict:
+        """ES median_absolute_deviation analog over ALL query hits —
+        EXACT: median = quantile_cont(0.5) over the sorted hit values
+        (the percentiles_agg rule; ES ships a t-digest approximation),
+        mad = the same median over |value - median|. Float op order
+        pinned for the oracle: abs(v - med), one sort each side."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        base = {"count": 0, "median": None, "mad": None}
+        if hits is None:
+            return base
+        vals, valid = self._numeric_col(field)
+        sel = vals[hits & valid]
+        if sel.size == 0:
+            return base
+        med = _percentiles_from_sorted(np.sort(sel), (50.0,))[50.0]
+        dev = np.abs(sel - med)
+        mad = _percentiles_from_sorted(np.sort(dev), (50.0,))[50.0]
+        return {"count": int(sel.size), "median": med, "mad": mad}
+
+    def boxplot_agg(self, query: str, field: str,
+                    where: dict | None = None, mode: str = "or",
+                    must_not: str | None = None) -> dict:
+        """ES boxplot-aggregation analog over ALL query hits — EXACT
+        five-number summary (min, q1, q2, q3, max) with quantile_cont
+        interpolation (ES ships t-digest; one segment's hit values are
+        one numpy array, so the exact answer is one sort)."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        base = {"count": 0, "min": None, "q1": None, "q2": None,
+                "q3": None, "max": None}
+        if hits is None:
+            return base
+        vals, valid = self._numeric_col(field)
+        sel = vals[hits & valid]
+        if sel.size == 0:
+            return base
+        s = np.sort(sel)
+        q = _percentiles_from_sorted(s, (25.0, 50.0, 75.0))
+        return {
+            "count": int(sel.size),
+            "min": float(s[0]),
+            "q1": q[25.0],
+            "q2": q[50.0],
+            "q3": q[75.0],
+            "max": float(s[-1]),
+        }
+
+    def string_stats_agg(self, query: str, field: str,
+                         where: dict | None = None, mode: str = "or",
+                         must_not: str | None = None) -> dict:
+        """ES string_stats-aggregation analog over ALL query hits:
+        count / min_length / max_length / avg_length of keyword column
+        ``field`` plus the Shannon entropy of its CHARACTER distribution
+        (-sum p_c * log2(p_c)). Length stats come from exact integer
+        sums over the dictionary codes' bincount (O(hits + vocab), the
+        values are touched once each); entropy accumulates in ascending
+        character order (the op sequence the SQL oracle mirrors with
+        sum(... ORDER BY char))."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        base = {"count": 0, "min_length": None, "max_length": None,
+                "len_sum": 0, "entropy": None}
+        if hits is None:
+            return base
+        codes, values = self._field_codes(field)
+        sel = codes[hits]
+        cnt = np.bincount(sel[sel >= 0], minlength=len(values))
+        n = int(cnt.sum())
+        if n == 0:
+            return base
+        lens = np.array([len(v) for v in values], dtype=np.int64)
+        present = cnt > 0
+        len_sum = int((lens * cnt).sum())
+        char_counts: dict[str, int] = {}
+        for v, c in zip(values, cnt):
+            if c == 0:
+                continue
+            for ch in v:
+                char_counts[ch] = char_counts.get(ch, 0) + int(c)
+        total_chars = len_sum
+        ent = 0.0
+        for ch in sorted(char_counts):
+            p = char_counts[ch] / total_chars
+            ent += p * math.log2(p)
+        return {
+            "count": n,
+            "min_length": int(lens[present].min()),
+            "max_length": int(lens[present].max()),
+            "len_sum": len_sum,
+            "entropy": -ent if total_chars else None,
+        }
+
+    def matrix_stats_agg(self, query: str, field_x: str, field_y: str,
+                         where: dict | None = None, mode: str = "or",
+                         must_not: str | None = None) -> dict:
+        """ES matrix_stats-aggregation analog for a numeric field pair
+        over ALL query hits: exact integer moment sums (n, sx, sy, sxx,
+        syy, sxy — rows with either value null drop, the ES multi-field
+        missing rule) plus the derived POPULATION covariance and the
+        Pearson correlation (scale-invariant, so sample-vs-population
+        normalization cancels). Integral columns keep every sum exact
+        for the oracle; derived floats use the pinned op order
+        (n*sxy - sx*sy) / (n*n) and num / sqrt(varx_num * vary_num)."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        base = {"count": 0, "sx": 0, "sy": 0, "sxx": 0, "syy": 0,
+                "sxy": 0, "covariance": None, "correlation": None}
+        if hits is None:
+            return base
+        x, xok = self._numeric_col(field_x)
+        y, yok = self._numeric_col(field_y)
+        m = hits & xok & yok
+        if not m.any():
+            return base
+        xs, ys = x[m], y[m]
+        n = int(m.sum())
+        if np.all(xs == np.floor(xs)) and np.all(ys == np.floor(ys)):
+            xi = xs.astype(np.int64)
+            yi = ys.astype(np.int64)
+            sx, sy = int(xi.sum()), int(yi.sum())
+            sxx = int((xi * xi).sum())
+            syy = int((yi * yi).sum())
+            sxy = int((xi * yi).sum())
+        else:
+            sx, sy = float(xs.sum()), float(ys.sum())
+            sxx = float((xs * xs).sum())
+            syy = float((ys * ys).sum())
+            sxy = float((xs * ys).sum())
+        cov_num = n * sxy - sx * sy
+        varx_num = n * sxx - sx * sx
+        vary_num = n * syy - sy * sy
+        corr = (
+            cov_num / math.sqrt(varx_num * vary_num)
+            if varx_num > 0 and vary_num > 0 else None
+        )
+        return {
+            "count": n, "sx": sx, "sy": sy, "sxx": sxx, "syy": syy,
+            "sxy": sxy,
+            "covariance": cov_num / (n * n),
+            "correlation": corr,
+        }
+
     def histogram_agg(self, query: str, field: str, interval: float,
                       where: dict | None = None, mode: str = "or",
                       must_not: str | None = None) -> list[tuple]:
@@ -4798,6 +4959,135 @@ class MultiSearcher(SuggestAPI):
         return _percentiles_from_sorted(
             np.sort(np.concatenate(parts)), percents
         )
+
+    def _hit_values(self, query: str, field: str, where=None, mode="or",
+                    must_not=None) -> np.ndarray | None:
+        """Concatenated per-segment hit values of a numeric field — the
+        shared payload under the exact order-statistic twins
+        (percentiles / mad / boxplot); disjoint doc spaces make the
+        concatenation THE global value multiset."""
+        parts = []
+        for seg in self.segments:
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                continue
+            vals, valid = seg._numeric_col(field)
+            sel = vals[hits & valid]
+            if sel.size:
+                parts.append(sel)
+        return np.concatenate(parts) if parts else None
+
+    def value_count_agg(self, query: str, field: str,
+                        where: dict | None = None, mode: str = "or",
+                        must_not: str | None = None) -> int:
+        """Sharded value_count: per-segment counts SUM exactly."""
+        return sum(
+            seg.value_count_agg(query, field, where, mode, must_not)
+            for seg in self.segments
+        )
+
+    def median_absolute_deviation_agg(self, query: str, field: str,
+                                      where: dict | None = None,
+                                      mode: str = "or",
+                                      must_not: str | None = None) -> dict:
+        """Sharded mad, EXACT: order statistics don't merge, so the
+        driver sorts the concatenated hit values (the percentiles_agg
+        payload note applies)."""
+        sel = self._hit_values(query, field, where, mode, must_not)
+        if sel is None:
+            return {"count": 0, "median": None, "mad": None}
+        med = _percentiles_from_sorted(np.sort(sel), (50.0,))[50.0]
+        dev = np.abs(sel - med)
+        mad = _percentiles_from_sorted(np.sort(dev), (50.0,))[50.0]
+        return {"count": int(sel.size), "median": med, "mad": mad}
+
+    def boxplot_agg(self, query: str, field: str,
+                    where: dict | None = None, mode: str = "or",
+                    must_not: str | None = None) -> dict:
+        """Sharded boxplot, EXACT: driver-sorted concatenated values."""
+        sel = self._hit_values(query, field, where, mode, must_not)
+        if sel is None:
+            return {"count": 0, "min": None, "q1": None, "q2": None,
+                    "q3": None, "max": None}
+        s = np.sort(sel)
+        q = _percentiles_from_sorted(s, (25.0, 50.0, 75.0))
+        return {"count": int(sel.size), "min": float(s[0]), "q1": q[25.0],
+                "q2": q[50.0], "q3": q[75.0], "max": float(s[-1])}
+
+    def string_stats_agg(self, query: str, field: str,
+                         where: dict | None = None, mode: str = "or",
+                         must_not: str | None = None) -> dict:
+        """Sharded string_stats, EXACT: per-segment length partials and
+        character histograms are integer sums that merge exactly
+        (O(alphabet) payload per segment); entropy recomputes from the
+        MERGED character histogram in the same ascending-char op order
+        as the single index."""
+        n = 0
+        len_sum = 0
+        min_len = None
+        max_len = None
+        chars: dict[str, int] = {}
+        for seg in self.segments:
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                continue
+            codes, values = seg._field_codes(field)
+            sel = codes[hits]
+            cnt = np.bincount(sel[sel >= 0], minlength=len(values))
+            for v, c in zip(values, cnt):
+                if c == 0:
+                    continue
+                c = int(c)
+                n += c
+                len_sum += len(v) * c
+                min_len = len(v) if min_len is None else min(min_len, len(v))
+                max_len = len(v) if max_len is None else max(max_len, len(v))
+                for ch in v:
+                    chars[ch] = chars.get(ch, 0) + c
+        if n == 0:
+            return {"count": 0, "min_length": None, "max_length": None,
+                    "len_sum": 0, "entropy": None}
+        ent = 0.0
+        for ch in sorted(chars):
+            p = chars[ch] / len_sum
+            ent += p * math.log2(p)
+        return {"count": n, "min_length": min_len, "max_length": max_len,
+                "len_sum": len_sum, "entropy": -ent}
+
+    def matrix_stats_agg(self, query: str, field_x: str, field_y: str,
+                         where: dict | None = None, mode: str = "or",
+                         must_not: str | None = None) -> dict:
+        """Sharded matrix_stats, EXACT for integral columns: the moment
+        sums (n, sx, sy, sxx, syy, sxy) are plain integer sums over
+        disjoint doc sets, so per-segment partials ADD; derived floats
+        recompute from the merged sums with the single-index op
+        order."""
+        n = 0
+        sx = sy = sxx = syy = sxy = 0
+        for seg in self.segments:
+            part = seg.matrix_stats_agg(
+                query, field_x, field_y, where, mode, must_not
+            )
+            n += part["count"]
+            sx += part["sx"]
+            sy += part["sy"]
+            sxx += part["sxx"]
+            syy += part["syy"]
+            sxy += part["sxy"]
+        base = {"count": 0, "sx": 0, "sy": 0, "sxx": 0, "syy": 0,
+                "sxy": 0, "covariance": None, "correlation": None}
+        if n == 0:
+            return base
+        cov_num = n * sxy - sx * sy
+        varx_num = n * sxx - sx * sx
+        vary_num = n * syy - sy * sy
+        corr = (
+            cov_num / math.sqrt(varx_num * vary_num)
+            if varx_num > 0 and vary_num > 0 else None
+        )
+        return {"count": n, "sx": sx, "sy": sy, "sxx": sxx, "syy": syy,
+                "sxy": sxy, "covariance": cov_num / (n * n),
+                "correlation": corr}
 
     def function_score(self, query: str, field: str, k: int = 10,
                        modifier: str = "log1p", factor: float = 1.0,

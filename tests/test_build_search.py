@@ -1778,3 +1778,70 @@ def test_distance_feature_matches_bruteforce(index_dir, oracle):
                               origin=0.0, pivot=1.0) == []
     with pytest.raises(ValueError):
         s.distance_feature(q, "turn_idx", origin=0.0, pivot=-1.0)
+
+
+def test_new_metric_aggs_match_bruteforce(index_dir, oracle):
+    """value_count / mad / boxplot / string_stats / matrix_stats over
+    the OR hit set, recomputed from the corpus (numpy quantile 'linear'
+    is the quantile_cont rule the engine pins)."""
+    import math
+    from collections import Counter
+
+    idx, t = oracle
+    s = Searcher(index_dir)
+    q = "the a"
+    qterms = set(tokenize(q))
+    hits = sorted(d for d, tf in idx.doc_tfs.items() if qterms & tf.keys())
+    x = np.array([t["turn_idx"].to_pylist()[d] for d in hits], np.float64)
+
+    tools = t["tool"].to_pylist()
+    assert s.value_count_agg(q, "turn_idx") == len(hits)
+    assert s.value_count_agg(q, "tool") == \
+        sum(1 for d in hits if tools[d] is not None)
+    assert s.value_count_agg("zzzz_absent", "turn_idx") == 0
+
+    st = s.median_absolute_deviation_agg(q, "turn_idx")
+    med = float(np.quantile(x, 0.5))
+    assert st["count"] == len(hits)
+    assert st["median"] == pytest.approx(med, abs=1e-12)
+    assert st["mad"] == pytest.approx(
+        float(np.quantile(np.abs(x - med), 0.5)), abs=1e-12
+    )
+    assert s.median_absolute_deviation_agg("zzzz_absent", "turn_idx") == \
+        {"count": 0, "median": None, "mad": None}
+
+    bp = s.boxplot_agg(q, "turn_idx")
+    assert bp["count"] == len(hits)
+    assert bp["min"] == x.min() and bp["max"] == x.max()
+    for key, p in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
+        assert bp[key] == pytest.approx(float(np.quantile(x, p)), abs=1e-12)
+
+    roles = t["role"].to_pylist()
+    vals = [roles[d] for d in hits if roles[d] is not None]
+    cc = Counter("".join(vals))
+    tot = sum(len(v) for v in vals)
+    ent = -sum((c / tot) * math.log2(c / tot)
+               for _, c in sorted(cc.items()))
+    ss = s.string_stats_agg(q, "role")
+    assert ss["count"] == len(vals)
+    assert ss["min_length"] == min(len(v) for v in vals)
+    assert ss["max_length"] == max(len(v) for v in vals)
+    assert ss["len_sum"] == tot
+    assert ss["entropy"] == pytest.approx(ent, abs=1e-12)
+
+    y = np.array(hits, np.float64)  # doc_id column over the hit set
+    ms = s.matrix_stats_agg(q, "turn_idx", "doc_id")
+    n = len(hits)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    sxy = int((x * y).sum())
+    assert (ms["count"], ms["sx"], ms["sy"], ms["sxx"], ms["syy"],
+            ms["sxy"]) == (n, sx, sy, sxx, syy, sxy)
+    cov_num = n * sxy - sx * sy
+    assert ms["covariance"] == pytest.approx(cov_num / (n * n), abs=1e-9)
+    assert ms["correlation"] == pytest.approx(
+        cov_num / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        abs=1e-12,
+    )
+    empty = s.matrix_stats_agg("zzzz_absent", "turn_idx", "doc_id")
+    assert empty["count"] == 0 and empty["correlation"] is None

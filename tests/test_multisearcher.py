@@ -340,3 +340,22 @@ def test_sharded_match_bool_prefix_and_pinned_equal_global(indexes):
         single.pinned_search(pin, "the w0007", k=10)
     assert multi.pinned_search(pin, "the w0007", k=2) == \
         single.pinned_search(pin, "the w0007", k=2)
+
+
+def test_sharded_new_metric_aggs_equal_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a", "w0007", "zzzz_absent"]:
+        assert multi.value_count_agg(q, "turn_idx") == \
+            single.value_count_agg(q, "turn_idx"), q
+        assert multi.median_absolute_deviation_agg(q, "turn_idx") == \
+            single.median_absolute_deviation_agg(q, "turn_idx"), q
+        assert multi.boxplot_agg(q, "turn_idx") == \
+            single.boxplot_agg(q, "turn_idx"), q
+        assert multi.string_stats_agg(q, "role") == \
+            single.string_stats_agg(q, "role"), q
+        # doc_id is a LOCAL column per segment, so the sharded pair must
+        # use content columns (the single-index doc_id contract queries
+        # run on one index, where dense == global)
+        assert multi.matrix_stats_agg(q, "turn_idx", "turn_idx") == \
+            single.matrix_stats_agg(q, "turn_idx", "turn_idx"), q
