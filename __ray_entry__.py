@@ -17,6 +17,7 @@ from typing import Any
 
 from rayfts import pipelines as P
 from rayfts.extras import oracles as _X
+from rayfts.search import Searcher as _S  # AUTO_DATE_LADDER for the oracle
 
 # Token class shared with rayfts.analysis.SPLIT_PATTERN (RE2 in both engines).
 _TOK = r"[\p{L}\p{N}_]+"
@@ -276,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_significant_terms": P.fts_significant_terms,  # significant_terms
         "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
         "fts_date_hist_pipeline": P.fts_date_hist_pipeline,  # pipeline aggs
+        "fts_date_hist_moving": P.fts_date_hist_moving,  # moving_fn+serial_diff
+        "fts_auto_date_hist": P.fts_auto_date_hist,  # auto_date_histogram
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
         "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
         "fts_more_like_this": P.fts_more_like_this,  # MLT query
@@ -318,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_geo_distance_ranges": P.geo_distance_ranges_q,
         "fts_geohash_grid": P.geohash_grid_q,
         "fts_way_shapes": P.way_shapes_q,  # ESWay/ESShape.build pipeline
+        "fts_geo_line": P.geo_line_q,      # geo_line aggregation
         "fts_geotile_grid": P.geotile_grid_q,
         "fts_way_envelope_relations": P.way_envelope_relations_q,
         # training-data extras (dedup / similarity / text analysis)
@@ -1089,6 +1093,54 @@ SELECT month_start, n_docs,
             AS BIGINT) AS deriv
 FROM hist ORDER BY month_start
 """,
+        # moving_fn: trailing window incl. current (ROWS BETWEEN w-1
+        # PRECEDING), totality at the series head via short windows;
+        # serial_diff: coalesce(lag(n, L), 0) — the derivative convention
+        "fts_date_hist_moving": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT CAST(epoch(date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+           AS month_start,
+         count(*) AS n_docs
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+)
+SELECT month_start, n_docs,
+  CAST(sum(n_docs) OVER w AS BIGINT) AS mov_sum,
+  CAST(count(*) OVER w AS BIGINT) AS mov_cnt,
+  CAST(round((sum(n_docs) OVER w)::DOUBLE / (count(*) OVER w) * 1e6)
+       AS BIGINT) AS mov_avg_e6,
+  CAST(min(n_docs) OVER w AS BIGINT) AS mov_min,
+  CAST(max(n_docs) OVER w AS BIGINT) AS mov_max,
+  CAST(n_docs - coalesce(lag(n_docs, {P.SERIAL_LAG})
+                         OVER (ORDER BY month_start), 0) AS BIGINT) AS sdiff
+FROM hist
+WINDOW w AS (ORDER BY month_start
+             ROWS BETWEEN {P.MOVING_WINDOW - 1} PRECEDING AND CURRENT ROW)
+ORDER BY month_start
+""",
+        # auto_date_histogram: smallest fixed-seconds ladder rung whose
+        # spanned bucket count fits the target, then the plain
+        # floor(ts/i)*i histogram — interval choice mirrored exactly
+        "fts_auto_date_hist": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+v AS (SELECT ({P.TS_EPOCH0} + doc_id * 25200) AS ts
+      FROM documents JOIN hits USING (doc_id)),
+mm AS (SELECT min(ts) AS mn, max(ts) AS mx FROM v),
+ladder(i) AS (VALUES {",".join(f"({v})" for v in _S.AUTO_DATE_LADDER)}),
+sel AS (SELECT coalesce(min(i), {_S.AUTO_DATE_LADDER[-1]}) AS iv
+        FROM ladder, mm
+        WHERE floor(mx / i) - floor(mn / i) + 1 <= {P.AUTO_HIST_TARGET})
+SELECT (SELECT iv FROM sel) AS interval_s,
+       CAST(floor(ts / (SELECT iv FROM sel)) * (SELECT iv FROM sel)
+            AS BIGINT) AS bucket_start,
+       count(*) AS n_docs
+FROM v GROUP BY 2 ORDER BY 2
+""",
         # quantile_cont == the engine's rank = q*(n-1) linear interpolation
         "fts_percentiles_nchars": f"""
 WITH {_TOKS_CTE},
@@ -1747,6 +1799,28 @@ ORDER BY doc_count DESC,
 LIMIT {P.GEOHASH_TOP_N}
 """,
         "fts_way_shapes": _WAY_SHAPES_SQL,
+        # geo_line: per-user track ordered by event_id, truncated to the
+        # first GEO_LINE_SIZE points; exact integer coordinate sums
+        # fingerprint the included prefix
+        "fts_geo_line": f"""
+WITH pts AS (
+  SELECT user_id, event_id,
+         (user_id * 7919 + event_id * 31) % 18000 AS y,
+         (event_id * 104729) % 36000 AS x
+  FROM events
+), rn AS (
+  SELECT user_id, x, y,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_total
+  FROM pts
+)
+SELECT user_id, CAST(max(n_total) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_included,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y
+FROM rn WHERE rn <= {P.GEO_LINE_SIZE}
+GROUP BY user_id ORDER BY max(n_total) DESC, user_id LIMIT 20
+""",
         # geotile: mercator y mirrors geo.geotile_bins term for term
         # (radians -> tan + 1/cos -> ln -> /pi); both sides clamp the
         # bins because the +-85.0511287798066 lat clamp can land an ulp

@@ -1014,6 +1014,56 @@ def fts_date_hist_pipeline(sf_dir: str) -> pa.Table:
     )
 
 
+MOVING_WINDOW = 3  # moving_fn trailing window (incl. current bucket)
+SERIAL_LAG = 2     # serial_diff lag
+
+
+def fts_date_hist_moving(sf_dir: str) -> pa.Table:
+    """ES moving_fn (trailing window including the current bucket —
+    the ROWS BETWEEN w-1 PRECEDING frame) + serial_diff (lag
+    SERIAL_LAG, coalesce-0 under-run) over the monthly date_histogram;
+    mov_avg emitted e6 from the exact (sum, cnt) pair."""
+    from .search import moving_window_aggs
+
+    s = Searcher(documents_index(sf_dir))
+    rows = moving_window_aggs(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "month"),
+        window=MOVING_WINDOW, lag=SERIAL_LAG,
+    )
+    return pa.table({
+        "month_start": pa.array([int(r[0]) for r in rows], pa.int64()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "mov_sum": pa.array([r[2] for r in rows], pa.int64()),
+        "mov_cnt": pa.array([r[3] for r in rows], pa.int64()),
+        "mov_avg_e6": pa.array(
+            [int(round(float(r[2]) / r[3] * 1e6)) for r in rows], pa.int64()
+        ),
+        "mov_min": pa.array([r[4] for r in rows], pa.int64()),
+        "mov_max": pa.array([r[5] for r in rows], pa.int64()),
+        "sdiff": pa.array([r[6] for r in rows], pa.int64()),
+    })
+
+
+AUTO_HIST_TARGET = 12  # auto_date_histogram bucket budget
+
+
+def fts_auto_date_hist(sf_dir: str) -> pa.Table:
+    """ES auto_date_histogram analog: smallest fixed-seconds ladder
+    interval fitting AUTO_HIST_TARGET buckets over the BM25_QUERY hit
+    span, then the plain fixed-interval histogram."""
+    s = Searcher(documents_index(sf_dir))
+    interval, buckets = s.auto_date_histogram_agg(
+        BM25_QUERY, "ts_epoch", AUTO_HIST_TARGET
+    )
+    return pa.table({
+        "interval_s": pa.array([interval] * len(buckets), pa.int64()),
+        "bucket_start": pa.array(
+            [int(k) for k, _ in buckets], pa.int64()
+        ),
+        "n_docs": pa.array([c for _, c in buckets], pa.int64()),
+    })
+
+
 def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
     """ES percentiles-aggregation analog: EXACT linear-interpolation
     percentiles (the quantile_cont definition) of n_chars over ALL
@@ -2140,6 +2190,45 @@ def geohash_grid_q(sf_dir: str) -> pa.Table:
         "lat_bin": pa.array([b[1] for b in bins], pa.int64()),
         "doc_count": pa.array([c for _, c in cells], pa.int64()),
     })
+
+
+GEO_LINE_SIZE = 16
+
+
+def geo_line_q(sf_dir: str, k: int = 20) -> pa.Table:
+    """ES geo_line aggregation analog: per user (group), the track of
+    its event points ordered by event_id (the agg's sort field),
+    truncated to the first GEO_LINE_SIZE points (ES geo_line's ``size``
+    keeps the prefix in sort order). The contract row fingerprints the
+    included prefix with EXACT integer coordinate sums (centidegree
+    units, the _events_geo_path grid); rows ordered total-points desc,
+    user asc, first ``k``. Same shuffle shape as way_shapes_q: one
+    groupby on user_id, vectorized per-group kernel."""
+
+    def line_kernel(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].combine_chunks().to_numpy()
+        order = np.argsort(eid)  # event_id unique -> total order
+        x = g["x"].combine_chunks().to_numpy()[order].astype(np.int64)
+        y = g["y"].combine_chunks().to_numpy()[order].astype(np.int64)
+        inc = min(x.size, GEO_LINE_SIZE)
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+            "n_total": pa.array([x.size], pa.int64()),
+            "n_included": pa.array([inc], pa.int64()),
+            "sum_x": pa.array([int(x[:inc].sum())], pa.int64()),
+            "sum_y": pa.array([int(y[:inc].sum())], pa.int64()),
+        })
+
+    lines = (
+        _events_geo_path(sf_dir)
+        .groupby("user_id")
+        .map_groups(line_kernel, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(lines.to_arrow_refs()) if b.num_rows]
+    )
+    keys = [("n_total", "descending"), ("user_id", "ascending")]
+    return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, k))
 
 
 def _events_geo_path(sf_dir: str) -> rd.Dataset:

@@ -230,6 +230,39 @@ def pipeline_aggs(buckets: list[tuple], cumulative: bool = True,
     return out
 
 
+def moving_window_aggs(buckets: list[tuple], window: int = 3,
+                       lag: int = 1) -> list[tuple]:
+    """ES moving_fn + serial_diff pipeline-aggregation analogs over
+    parent-agg buckets [(key, count)] in key order:
+
+    - moving_fn (MovingFunctions.unweightedAvg/min/max/sum): trailing
+      window of ``window`` buckets INCLUDING the current (the SQL
+      ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW`` frame; series
+      head windows are short, not null — every row defined, the same
+      totality convention as derivative's coalesce);
+    - serial_diff: count minus the count ``lag`` buckets earlier,
+      diffing against 0 while the lag reaches before the series (the
+      coalesce(lag(...), 0) convention shared with derivative).
+
+    Returns [(key, count, mov_sum, mov_cnt, mov_min, mov_max, sdiff)]
+    — mov_avg is mov_sum/mov_cnt, left to the caller so the integer
+    rows stay exact. O(buckets) driver-side post-processing, like
+    pipeline_aggs."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    counts = [c for _, c in buckets]
+    out = []
+    for i, (key, cnt) in enumerate(buckets):
+        w = counts[max(0, i - window + 1): i + 1]
+        prev = counts[i - lag] if i >= lag else 0
+        out.append(
+            (key, cnt, sum(w), len(w), min(w), max(w), cnt - prev)
+        )
+    return out
+
+
 def _where_key(where: dict) -> tuple:
     """Hashable cache key for a ``where`` spec (scalar equality, None for
     is-null, or an ES-style range dict {gte/gt/lte/lt: bound})."""
@@ -1369,6 +1402,43 @@ class Searcher(SuggestAPI):
         keys = np.floor(sel / interval) * interval
         uniq, cnt = np.unique(keys, return_counts=True)
         return [(float(u), int(c)) for u, c in zip(uniq, cnt)]
+
+    # ES auto_date_histogram rounds on a calendar ladder; this engine
+    # pins a FIXED-seconds ladder (1s..1y) so the chosen interval is a
+    # pure function of (min, max, target) both sides of the oracle
+    AUTO_DATE_LADDER = (1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800,
+                        43200, 86400, 604800, 2592000, 7776000, 31536000)
+
+    def auto_date_histogram_agg(self, query: str, field: str,
+                                target_buckets: int = 10,
+                                where: dict | None = None, mode: str = "or",
+                                must_not: str | None = None
+                                ) -> tuple[int, list[tuple]]:
+        """ES auto_date_histogram analog: the SMALLEST ladder interval
+        whose spanned bucket count floor(max/i) - floor(min/i) + 1 fits
+        ``target_buckets`` (falling back to the coarsest rung when even
+        a year overflows); buckets are then histogram_agg's
+        floor(value/interval)*interval keys. Returns
+        (interval_seconds, [(key, count)])."""
+        if target_buckets < 1:
+            raise ValueError("target_buckets must be >= 1")
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return (self.AUTO_DATE_LADDER[-1], [])
+        vals, valid = self._numeric_col(field)
+        sel = vals[hits & valid]
+        if sel.size == 0:
+            return (self.AUTO_DATE_LADDER[-1], [])
+        mn, mx = float(sel.min()), float(sel.max())
+        interval = next(
+            (i for i in self.AUTO_DATE_LADDER
+             if math.floor(mx / i) - math.floor(mn / i) + 1
+             <= target_buckets),
+            self.AUTO_DATE_LADDER[-1],
+        )
+        return interval, self.histogram_agg(
+            query, field, float(interval), where, mode, must_not
+        )
 
     def range_agg(self, query: str, field: str, ranges: list,
                   where: dict | None = None, mode: str = "or",
@@ -4767,6 +4837,32 @@ class MultiSearcher(SuggestAPI):
             ):
                 total[key] = total.get(key, 0) + c
         return sorted(total.items())
+
+    def auto_date_histogram_agg(self, query: str, field: str,
+                                target_buckets: int = 10,
+                                where: dict | None = None, mode: str = "or",
+                                must_not: str | None = None
+                                ) -> tuple[int, list[tuple]]:
+        """Sharded auto_date_histogram: the interval must come from the
+        GLOBAL hit min/max (stats_agg merges them exactly), then the
+        fixed-interval histogram sums per segment — identical to the
+        single-index choice."""
+        if target_buckets < 1:
+            raise ValueError("target_buckets must be >= 1")
+        ladder = Searcher.AUTO_DATE_LADDER
+        st = self.stats_agg(query, field, where, mode, must_not)
+        if st["count"] == 0:
+            return (ladder[-1], [])
+        mn, mx = float(st["min"]), float(st["max"])
+        interval = next(
+            (i for i in ladder
+             if math.floor(mx / i) - math.floor(mn / i) + 1
+             <= target_buckets),
+            ladder[-1],
+        )
+        return interval, self.histogram_agg(
+            query, field, float(interval), where, mode, must_not
+        )
 
     def extended_stats_agg(self, query: str, field: str,
                            where: dict | None = None, mode: str = "or",

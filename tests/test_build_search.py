@@ -1845,3 +1845,46 @@ def test_new_metric_aggs_match_bruteforce(index_dir, oracle):
     )
     empty = s.matrix_stats_agg("zzzz_absent", "turn_idx", "doc_id")
     assert empty["count"] == 0 and empty["correlation"] is None
+
+
+def test_moving_window_and_auto_date_hist(index_dir, oracle):
+    """moving_fn/serial_diff over parent buckets (trailing window incl.
+    current, coalesce-0 lag under-run) + auto_date_histogram interval
+    choice (smallest ladder rung fitting the target)."""
+    from rayfts.search import moving_window_aggs
+
+    buckets = [(0, 3), (10, 1), (20, 4), (30, 1), (40, 5)]
+    rows = moving_window_aggs(buckets, window=3, lag=2)
+    counts = [c for _, c in buckets]
+    for i, (key, cnt, msum, mcnt, mmin, mmax, sdiff) in enumerate(rows):
+        w = counts[max(0, i - 2): i + 1]
+        assert (key, cnt) == buckets[i]
+        assert (msum, mcnt, mmin, mmax) == (sum(w), len(w), min(w), max(w))
+        assert sdiff == cnt - (counts[i - 2] if i >= 2 else 0)
+    with pytest.raises(ValueError):
+        moving_window_aggs(buckets, window=0)
+    with pytest.raises(ValueError):
+        moving_window_aggs(buckets, lag=0)
+
+    import math
+    s = Searcher(index_dir)
+    idx, _ = oracle
+    q = "the a"
+    st = s.stats_agg(q, "turn_idx")
+    interval, got = s.auto_date_histogram_agg(q, "turn_idx", 4)
+    ladder = Searcher.AUTO_DATE_LADDER
+    want_iv = next(
+        i for i in ladder
+        if math.floor(st["max"] / i) - math.floor(st["min"] / i) + 1 <= 4
+    )
+    assert interval == want_iv
+    assert got == s.histogram_agg(q, "turn_idx", float(interval))
+    assert sum(c for _, c in got) == st["count"]
+    assert len(got) <= 4
+    # fine target -> finest rung that fits; absent query -> empty
+    iv1, b1 = s.auto_date_histogram_agg(q, "turn_idx", 10**6)
+    assert iv1 == 1 and len(b1) > 0
+    assert s.auto_date_histogram_agg("zzzz_absent", "turn_idx", 4) == \
+        (ladder[-1], [])
+    with pytest.raises(ValueError):
+        s.auto_date_histogram_agg(q, "turn_idx", 0)

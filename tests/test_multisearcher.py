@@ -359,3 +359,11 @@ def test_sharded_new_metric_aggs_equal_global(indexes):
         # run on one index, where dense == global)
         assert multi.matrix_stats_agg(q, "turn_idx", "turn_idx") == \
             single.matrix_stats_agg(q, "turn_idx", "turn_idx"), q
+
+
+def test_sharded_auto_date_hist_equals_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q, tgt in [("the a", 3), ("w0007", 5), ("zzzz_absent", 4)]:
+        assert multi.auto_date_histogram_agg(q, "turn_idx", tgt) == \
+            single.auto_date_histogram_agg(q, "turn_idx", tgt), q
