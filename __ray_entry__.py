@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_date_hist_pipeline": P.fts_date_hist_pipeline,  # pipeline aggs
         "fts_date_hist_moving": P.fts_date_hist_moving,  # moving_fn+serial_diff
         "fts_auto_date_hist": P.fts_auto_date_hist,  # auto_date_histogram
+        "fts_top_metrics": P.fts_top_metrics,  # top_metrics agg
+        "fts_rank_eval": P.fts_rank_eval,      # rank_eval API
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
         "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
         "fts_more_like_this": P.fts_more_like_this,  # MLT query
@@ -1140,6 +1142,43 @@ SELECT (SELECT iv FROM sel) AS interval_s,
             AS BIGINT) AS bucket_start,
        count(*) AS n_docs
 FROM v GROUP BY 2 ORDER BY 2
+""",
+        # top_metrics: top-size by sort field (doc_id tiebreak, valued
+        # rows only), metrics gathered per row; rank pins the order
+        "fts_top_metrics": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+v AS (SELECT doc_id, n_chars,
+             CAST({P.TS_EPOCH0} + doc_id * 25200 AS BIGINT) AS ts_epoch
+      FROM documents JOIN hits USING (doc_id)
+      WHERE n_chars IS NOT NULL)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS rank,
+         doc_id, n_chars, ts_epoch
+  FROM v
+) WHERE rank <= {P.TOP_METRICS_SIZE} ORDER BY rank
+""",
+        # rank_eval: ranking = the bm25 scores CTE's (score desc, doc_id)
+        # order; judgment = lang='en'; dcg sums 1/log2(rn+1) rank-asc
+        "fts_rank_eval": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+, ranked AS (SELECT s.doc_id,
+             row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rn
+             FROM scores s)
+, rel AS (SELECT r.rn FROM ranked r JOIN documents d USING (doc_id)
+          WHERE r.rn <= {P.RANK_EVAL_K} AND d.lang = 'en')
+SELECT {P.RANK_EVAL_K} AS k,
+  (SELECT count(*) FROM rel) AS rel_at_k,
+  (SELECT count(*) FROM documents WHERE lang = 'en') AS n_rel,
+  CAST(round((SELECT count(*) FROM rel) / {float(P.RANK_EVAL_K)!r} * 1e6)
+       AS BIGINT) AS precision_e6,
+  CAST(round(coalesce(1.0 / (SELECT min(rn) FROM rel), 0.0) * 1e6)
+       AS BIGINT) AS rr_e6,
+  CAST(round(coalesce(
+      (SELECT sum(1.0 / log2(rn + 1) ORDER BY rn) FROM rel), 0.0) * 1e6)
+       AS BIGINT) AS dcg_e6
 """,
         # quantile_cont == the engine's rank = q*(n-1) linear interpolation
         "fts_percentiles_nchars": f"""

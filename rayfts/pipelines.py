@@ -1014,6 +1014,50 @@ def fts_date_hist_pipeline(sf_dir: str) -> pa.Table:
     )
 
 
+TOP_METRICS_SIZE = 3
+
+
+def fts_top_metrics(sf_dir: str) -> pa.Table:
+    """ES top_metrics aggregation: the TOP_METRICS_SIZE hits of
+    BM25_QUERY with the largest n_chars (doc_id tiebreak), each
+    carrying its ts_epoch metric; rank column pins the order."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.top_metrics(
+        BM25_QUERY, "n_chars", ["ts_epoch"], size=TOP_METRICS_SIZE
+    )
+    return pa.table({
+        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _, _ in rows], pa.int64()),
+        "n_chars": pa.array([int(v) for _, v, _ in rows], pa.int64()),
+        "ts_epoch": pa.array(
+            [int(m["ts_epoch"]) for _, _, m in rows], pa.int64()
+        ),
+    })
+
+
+RANK_EVAL_K = 10
+RANK_EVAL_REL = {"lang": "en"}  # judgment set: English docs are relevant
+
+
+def fts_rank_eval(sf_dir: str) -> pa.Table:
+    """ES rank_eval API: precision@k / reciprocal rank / binary-gain
+    DCG of the BM25_QUERY ranking against the lang='en' judgment set
+    (exact metric suite; recall rides as the exact (rel_at_k, n_rel)
+    integer pair)."""
+    s = Searcher(documents_index(sf_dir))
+    ev = s.rank_eval(BM25_QUERY, RANK_EVAL_REL, k=RANK_EVAL_K)
+    return pa.table({
+        "k": pa.array([ev["k"]], pa.int64()),
+        "rel_at_k": pa.array([ev["rel_at_k"]], pa.int64()),
+        "n_rel": pa.array([ev["n_rel"]], pa.int64()),
+        "precision_e6": pa.array(
+            [int(round(ev["precision"] * 1e6))], pa.int64()
+        ),
+        "rr_e6": pa.array([int(round(ev["rr"] * 1e6))], pa.int64()),
+        "dcg_e6": pa.array([int(round(ev["dcg"] * 1e6))], pa.int64()),
+    })
+
+
 MOVING_WINDOW = 3  # moving_fn trailing window (incl. current bucket)
 SERIAL_LAG = 2     # serial_diff lag
 

@@ -1632,6 +1632,71 @@ class Searcher(SuggestAPI):
             out.extend((int(d), None) for d in rest)
         return out
 
+    def top_metrics(self, query: str, sort_field: str,
+                    metric_fields: list[str], size: int = 1,
+                    order: str = "desc", where: dict | None = None,
+                    mode: str = "or", must_not: str | None = None):
+        """ES top_metrics-aggregation analog: the top ``size`` hits by
+        ``sort_field`` (search_by_field's order / doc-id-tiebreak rule,
+        restricted to VALUED sort rows — ES skips docs missing the sort
+        key), each carrying its numeric ``metric_fields`` values (None
+        where a metric is null, the ES missing shape). Returns
+        [(doc_id, sort_value, {metric: value})]."""
+        rows = [
+            (d, v) for d, v in self.search_by_field(
+                query, sort_field, order, size, where, mode, must_not
+            ) if v is not None
+        ]
+        cols = {m: self._numeric_col(m) for m in metric_fields}
+        return [
+            (d, v, {
+                m: (float(vals[d]) if ok[d] else None)
+                for m, (vals, ok) in cols.items()
+            })
+            for d, v in rows
+        ]
+
+    def rank_eval(self, query: str, relevant_where: dict,
+                  k: int = 10) -> dict:
+        """ES rank_eval-API analog for one request: the ranking is
+        search(query, k) (the engine's deterministic BM25 order), the
+        relevance judgment is the doc set matching ``relevant_where``
+        (the filter_mask surface — explicit judgment lists become a
+        where-spec; unlabeled docs count as irrelevant, the ES
+        precision metric's ignore_unlabeled=false). Exact metric suite:
+
+        - precision = rel_in_topk / k
+        - recall    = rel_in_topk / total_relevant (None when none)
+        - rr        = 1 / rank of the first relevant hit (0 when none;
+          the ES mean_reciprocal_rank per-request value)
+        - dcg       = sum over relevant hits of 1 / log2(rank + 1)
+          (ES dcg metric, binary gains, ranks ascending — the pinned
+          float op order)
+
+        Tombstoned docs never rank and never count as relevant."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        hits = self.search(query, k=k)
+        rel = self.filter_mask(**relevant_where)
+        if self.excluded.size:
+            rel = rel.copy()
+            rel[self.excluded] = False
+        n_rel = int(rel.sum())
+        rel_ranks = [i for i, (d, _) in enumerate(hits) if rel[d]]
+        r = len(rel_ranks)
+        dcg = 0.0
+        for i in rel_ranks:
+            dcg += 1.0 / math.log2(i + 2)
+        return {
+            "k": k,
+            "rel_at_k": r,
+            "n_rel": n_rel,
+            "precision": r / k,
+            "recall": (r / n_rel) if n_rel else None,
+            "rr": (1.0 / (rel_ranks[0] + 1)) if rel_ranks else 0.0,
+            "dcg": dcg,
+        }
+
     def search_geo_distance(self, lat_col: str, lon_col: str,
                             origin: tuple, k: int = 10,
                             radius_km: float | None = None,
@@ -5012,6 +5077,67 @@ class MultiSearcher(SuggestAPI):
             missing.sort(key=lambda e: e[0])
             out.extend(missing[: k - len(out)])
         return out
+
+    def top_metrics(self, query: str, sort_field: str,
+                    metric_fields: list[str], size: int = 1,
+                    order: str = "desc", where: dict | None = None,
+                    mode: str = "or", must_not: str | None = None):
+        """Sharded top_metrics: the sharded search_by_field head picks
+        the rows (raw values, globally comparable); each row's metrics
+        read from its owning segment via offset bisect."""
+        rows = [
+            (d, v) for d, v in self.search_by_field(
+                query, sort_field, order, size, where, mode, must_not
+            ) if v is not None
+        ]
+        out = []
+        for d, v in rows:
+            si = int(np.searchsorted(self.offsets, d, side="right")) - 1
+            seg = self.segments[si]
+            loc = d - int(self.offsets[si])
+            md = {}
+            for m in metric_fields:
+                vals, ok = seg._numeric_col(m)
+                md[m] = float(vals[loc]) if ok[loc] else None
+            out.append((d, v, md))
+        return out
+
+    def rank_eval(self, query: str, relevant_where: dict,
+                  k: int = 10) -> dict:
+        """Sharded rank_eval: the ranking is the exact sharded search;
+        relevance membership routes each hit to its owning segment's
+        filter mask, and total_relevant sums the per-segment judgment
+        counts (tombstones excluded) — identical to the single index."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        hits = self.search(query, k=k)
+        masks = []
+        n_rel = 0
+        for seg in self.segments:
+            m = seg.filter_mask(**relevant_where)
+            if seg.excluded.size:
+                m = m.copy()
+                m[seg.excluded] = False
+            masks.append(m)
+            n_rel += int(m.sum())
+        rel_ranks = []
+        for i, (d, _) in enumerate(hits):
+            si = int(np.searchsorted(self.offsets, d, side="right")) - 1
+            if masks[si][d - int(self.offsets[si])]:
+                rel_ranks.append(i)
+        r = len(rel_ranks)
+        dcg = 0.0
+        for i in rel_ranks:
+            dcg += 1.0 / math.log2(i + 2)
+        return {
+            "k": k,
+            "rel_at_k": r,
+            "n_rel": n_rel,
+            "precision": r / k,
+            "recall": (r / n_rel) if n_rel else None,
+            "rr": (1.0 / (rel_ranks[0] + 1)) if rel_ranks else 0.0,
+            "dcg": dcg,
+        }
 
     def date_histogram_agg(self, query: str, field: str,
                            calendar_interval: str = "day",

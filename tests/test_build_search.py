@@ -1888,3 +1888,41 @@ def test_moving_window_and_auto_date_hist(index_dir, oracle):
         (ladder[-1], [])
     with pytest.raises(ValueError):
         s.auto_date_histogram_agg(q, "turn_idx", 0)
+
+
+def test_top_metrics_and_rank_eval(index_dir, oracle):
+    """top_metrics rows == search_by_field head + gathered metrics;
+    rank_eval metrics recomputed from the search page and the judgment
+    mask."""
+    import math
+
+    idx, t = oracle
+    s = Searcher(index_dir)
+    q = "the a"
+    rows = s.top_metrics(q, "turn_idx", ["turn_idx"], size=5)
+    head = [(d, v) for d, v in s.search_by_field(q, "turn_idx", "desc", 5)
+            if v is not None]
+    assert [(d, v) for d, v, _ in rows] == head
+    for d, v, m in rows:
+        assert m["turn_idx"] == v
+    assert s.top_metrics("zzzz_absent", "turn_idx", ["turn_idx"]) == []
+
+    roles = t["role"].to_pylist()
+    ev = s.rank_eval(q, {"role": "user"}, k=10)
+    hits = s.search(q, k=10)
+    rel_ranks = [i for i, (d, _) in enumerate(hits) if roles[d] == "user"]
+    n_rel = sum(1 for r in roles if r == "user")
+    assert ev["k"] == 10 and ev["n_rel"] == n_rel
+    assert ev["rel_at_k"] == len(rel_ranks)
+    assert ev["precision"] == pytest.approx(len(rel_ranks) / 10)
+    assert ev["recall"] == pytest.approx(len(rel_ranks) / n_rel)
+    assert ev["rr"] == pytest.approx(
+        1.0 / (rel_ranks[0] + 1) if rel_ranks else 0.0
+    )
+    assert ev["dcg"] == pytest.approx(
+        sum(1.0 / math.log2(i + 2) for i in rel_ranks), abs=1e-12
+    )
+    none = s.rank_eval("zzzz_absent", {"role": "user"}, k=10)
+    assert none["rel_at_k"] == 0 and none["rr"] == 0.0 and none["dcg"] == 0.0
+    with pytest.raises(ValueError):
+        s.rank_eval(q, {"role": "user"}, k=0)

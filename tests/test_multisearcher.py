@@ -367,3 +367,13 @@ def test_sharded_auto_date_hist_equals_global(indexes):
     for q, tgt in [("the a", 3), ("w0007", 5), ("zzzz_absent", 4)]:
         assert multi.auto_date_histogram_agg(q, "turn_idx", tgt) == \
             single.auto_date_histogram_agg(q, "turn_idx", tgt), q
+
+
+def test_sharded_top_metrics_and_rank_eval_equal_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a", "w0007", "zzzz_absent"]:
+        assert multi.top_metrics(q, "turn_idx", ["turn_idx"], size=5) == \
+            single.top_metrics(q, "turn_idx", ["turn_idx"], size=5), q
+        assert multi.rank_eval(q, {"role": "user"}, k=10) == \
+            single.rank_eval(q, {"role": "user"}, k=10), q
