@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_auto_date_hist": P.fts_auto_date_hist,  # auto_date_histogram
         "fts_top_metrics": P.fts_top_metrics,  # top_metrics agg
         "fts_rank_eval": P.fts_rank_eval,      # rank_eval API
+        "fts_diversified_top10": P.fts_diversified_top10,  # diversified_sampler
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
         "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
         "fts_more_like_this": P.fts_more_like_this,  # MLT query
@@ -1142,6 +1143,22 @@ SELECT (SELECT iv FROM sel) AS interval_s,
             AS BIGINT) AS bucket_start,
        count(*) AS n_docs
 FROM v GROUP BY 2 ORDER BY 2
+""",
+        # diversified_sampler: per-value rank cutoff in the global
+        # (score desc, doc_id) order — row_number PARTITION BY value;
+        # NULL keys never diversify away
+        "fts_diversified_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+, sel AS (
+  SELECT s.doc_id, s.score, d.source,
+         CASE WHEN d.source IS NULL THEN 0
+              ELSE row_number() OVER (PARTITION BY d.source
+                                      ORDER BY s.score DESC, s.doc_id)
+         END AS rnk
+  FROM scores s JOIN documents d USING (doc_id))
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM sel WHERE source IS NULL OR rnk <= {P.DIVERSIFIED_MAX_PER_KEY}
+ORDER BY score DESC, doc_id LIMIT 10
 """,
         # top_metrics: top-size by sort field (doc_id tiebreak, valued
         # rows only), metrics gathered per row; rank pins the order

@@ -1014,6 +1014,29 @@ def fts_date_hist_pipeline(sf_dir: str) -> pa.Table:
     )
 
 
+DIVERSIFIED_MAX_PER_KEY = 2
+
+
+def fts_diversified_top10(sf_dir: str) -> pa.Table:
+    """ES diversified_sampler + top_hits: BM25_QUERY top-10 with at
+    most DIVERSIFIED_MAX_PER_KEY hits per source value (per-value rank
+    cutoff in the global score-desc/doc-asc order; missing keys
+    unlimited)."""
+    s = Searcher(documents_index(sf_dir))
+    hits = s.diversified_top_hits(
+        BM25_QUERY, "source", max_per_key=DIVERSIFIED_MAX_PER_KEY, k=10
+    )
+    dense_to_src = _dense_to_src(documents_index(sf_dir))
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+        ),
+    })
+
+
 TOP_METRICS_SIZE = 3
 
 

@@ -1632,6 +1632,66 @@ class Searcher(SuggestAPI):
             out.extend((int(d), None) for d in rest)
         return out
 
+    def _diversified_candidates(self, query: str, field: str,
+                                max_per_key: int, k: int,
+                                where=None, mode="or", must_not=None):
+        """Per-key top-``max_per_key`` hits in (score desc, doc_id asc)
+        order plus missing-key hits — the diversified_sampler candidate
+        set (UNTRUNCATED keys, so a sharded merge is exact: any globally
+        kept doc is in its segment's per-key top-m). Returns
+        [(doc_id, score, value-or-None)] in rank order."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        buf = self._dense_scores(query)
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return []
+        scores = buf[idx]
+        order = np.lexsort((idx, -scores))
+        codes, values = self._field_codes(field)
+        oc = codes[idx][order]
+        # vectorized per-key cumcount in rank order
+        pos = np.arange(oc.size)
+        srt = np.lexsort((pos, oc))
+        sc = oc[srt]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        grp_start = np.repeat(
+            starts, np.diff(np.r_[starts, np.int64(sc.size)])
+        )
+        cum = np.empty(oc.size, np.int64)
+        cum[srt] = pos - grp_start
+        keep = (oc < 0) | (cum < max_per_key)
+        sel = order[keep]
+        return [
+            (int(idx[i]), float(scores[i]),
+             None if codes[idx[i]] < 0 else values[int(codes[idx[i]])])
+            for i in sel
+        ]
+
+    def diversified_top_hits(self, query: str, field: str,
+                             max_per_key: int = 1, k: int = 10,
+                             where: dict | None = None, mode: str = "or",
+                             must_not: str | None = None):
+        """ES diversified_sampler (+ top_hits consumer) analog: the
+        top-``k`` hits by BM25 with at most ``max_per_key`` docs per
+        value of keyword ``field`` (ES max_docs_per_value; default 1).
+        Spec (pinned for the SQL oracle): a hit survives iff its
+        per-value rank in the full (score desc, doc_id asc) ordering is
+        <= max_per_key — exactly row_number() PARTITION BY value;
+        missing-field docs are never diversified away (the ES
+        missing-key rule). One dense TAAT pass + one lexsort + a
+        vectorized per-key cumcount — no per-bucket loop."""
+        if max_per_key < 1:
+            raise ValueError("max_per_key must be >= 1")
+        if k <= 0:
+            return []
+        return [
+            (d, s) for d, s, _ in self._diversified_candidates(
+                query, field, max_per_key, k, where, mode, must_not
+            )
+        ][:k]
+
     def top_metrics(self, query: str, sort_field: str,
                     metric_fields: list[str], size: int = 1,
                     order: str = "desc", where: dict | None = None,
@@ -5100,6 +5160,65 @@ class MultiSearcher(SuggestAPI):
                 vals, ok = seg._numeric_col(m)
                 md[m] = float(vals[loc]) if ok[loc] else None
             out.append((d, v, md))
+        return out
+
+    def diversified_top_hits(self, query: str, field: str,
+                             max_per_key: int = 1, k: int = 10,
+                             where: dict | None = None, mode: str = "or",
+                             must_not: str | None = None):
+        """Sharded diversified_sampler, exact vs a single global index:
+        a globally kept doc has < max_per_key better same-key docs
+        anywhere, hence < max_per_key in its own segment — so each
+        segment's per-key top-m (+ missing-key hits) candidate set,
+        scored under GLOBAL stats, covers the global walk; the driver
+        re-ranks the merged candidates and re-applies the per-value
+        cutoff. Payload O(keys·m + hits-with-null) per segment."""
+        if max_per_key < 1:
+            raise ValueError("max_per_key must be >= 1")
+        if k <= 0:
+            return []
+        terms, weights = self._global_weights(query)
+        cand: list[tuple] = []
+        for si, seg in enumerate(self.segments):
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                continue
+            buf = self._seg_dense_scores(si, seg, terms, weights)
+            idx = np.flatnonzero(hits)
+            if idx.size == 0:
+                continue
+            scores = buf[idx]
+            order = np.lexsort((idx, -scores))
+            codes, values = seg._field_codes(field)
+            oc = codes[idx][order]
+            pos = np.arange(oc.size)
+            srt = np.lexsort((pos, oc))
+            sc = oc[srt]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            grp_start = np.repeat(
+                starts, np.diff(np.r_[starts, np.int64(sc.size)])
+            )
+            cum = np.empty(oc.size, np.int64)
+            cum[srt] = pos - grp_start
+            keep = (oc < 0) | (cum < max_per_key)
+            off = int(self.offsets[si])
+            for i in order[keep]:
+                c = int(codes[idx[i]])
+                cand.append((
+                    int(idx[i]) + off, float(scores[i]),
+                    None if c < 0 else values[c],
+                ))
+        cand.sort(key=lambda e: (-e[1], e[0]))
+        out = []
+        kept: dict = {}
+        for d, s, v in cand:
+            if v is not None:
+                if kept.get(v, 0) >= max_per_key:
+                    continue
+                kept[v] = kept.get(v, 0) + 1
+            out.append((d, s))
+            if len(out) >= k:
+                break
         return out
 
     def rank_eval(self, query: str, relevant_where: dict,

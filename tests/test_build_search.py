@@ -1926,3 +1926,27 @@ def test_top_metrics_and_rank_eval(index_dir, oracle):
     assert none["rel_at_k"] == 0 and none["rr"] == 0.0 and none["dcg"] == 0.0
     with pytest.raises(ValueError):
         s.rank_eval(q, {"role": "user"}, k=0)
+
+
+def test_diversified_top_hits_matches_bruteforce(index_dir, oracle):
+    """diversified_sampler: per-value rank cutoff over the full BM25
+    ranking (missing keys unlimited), recomputed with a dict walk."""
+    idx, t = oracle
+    s = Searcher(index_dir)
+    tools = t["tool"].to_pylist()
+    for q, m in [("the a", 1), ("the a", 2), ("w0007 bash", 1)]:
+        full = s.search(q, k=10**6)
+        kept: dict = {}
+        want = []
+        for d, sc in full:
+            v = tools[d]
+            if v is not None:
+                if kept.get(v, 0) >= m:
+                    continue
+                kept[v] = kept.get(v, 0) + 1
+            want.append((d, sc))
+        got = s.diversified_top_hits(q, "tool", max_per_key=m, k=10)
+        assert got == want[:10], (q, m)
+    assert s.diversified_top_hits("zzzz_absent", "tool") == []
+    with pytest.raises(ValueError):
+        s.diversified_top_hits("the", "tool", max_per_key=0)

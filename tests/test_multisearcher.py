@@ -377,3 +377,18 @@ def test_sharded_top_metrics_and_rank_eval_equal_global(indexes):
             single.top_metrics(q, "turn_idx", ["turn_idx"], size=5), q
         assert multi.rank_eval(q, {"role": "user"}, k=10) == \
             single.rank_eval(q, {"role": "user"}, k=10), q
+
+
+def test_sharded_diversified_equals_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a", "w0007 bash", "zzzz_absent"]:
+        for m in (1, 2):
+            assert multi.diversified_top_hits(q, "tool", max_per_key=m,
+                                              k=10) == \
+                single.diversified_top_hits(q, "tool", max_per_key=m,
+                                            k=10), (q, m)
+            assert multi.diversified_top_hits(q, "role", max_per_key=m,
+                                              k=15) == \
+                single.diversified_top_hits(q, "role", max_per_key=m,
+                                            k=15), (q, m)
