@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": P.events_tumbling_1h,
         "events_sessionize": P.events_sessionize,    # session windows
         "sample_split_counts": P.sample_split_counts,  # hash holdout split
+        "sample_stratified_counts": P.sample_stratified_counts,  # per-key quota
         "q1_pricing": P.q1_pricing,
         "join_revenue_by_segment": P.join_revenue_by_segment,
         "semi_join_lineitem_part": P.semi_join_lineitem_part,
@@ -1720,6 +1721,26 @@ WITH b AS (
 SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'holdout' END AS split,
        count(*) AS n_docs, count(DISTINCT bucket) AS n_buckets
 FROM b GROUP BY 1
+""",
+        # stratified quota sample: row_number over (md5rank, key) per
+        # stratum — the boundary-broadcast filter's exact SQL twin
+        "sample_stratified_counts": f"""
+WITH r AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS rnk
+  FROM documents WHERE source IS NOT NULL
+),
+k AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY rnk, CAST(doc_id AS VARCHAR)) AS rn
+  FROM r
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM k WHERE rn <= {P.SAMPLE_QUOTA}
+GROUP BY source ORDER BY source
 """,
         # session windows: lag-gap break flags + running sum = session id
         "events_sessionize": f"""

@@ -88,3 +88,99 @@ def split_dataset(ds: rd.Dataset, key_col: str, buckets: int = 100,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def _block_heads(batch: pa.Table, key_col: str, stratum_col: str,
+                 quota: int) -> pa.Table:
+    """Per-block per-stratum q-smallest (rank, key) heads — the exact
+    candidate set (any global top-q member is in its block's top-q).
+    Null strata drop (the documented rule). Vectorized: one lexsort by
+    (stratum code, rank, key) + the per-group cumcount cut — no per-row
+    Python beyond the md5 ranks themselves."""
+    enc = pc.dictionary_encode(batch[stratum_col].combine_chunks())
+    codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+    keys = np.array(
+        [str(k) for k in batch[key_col].to_pylist()], dtype=object
+    )
+    ranks = md5_prefix_u32(keys)
+    order = np.lexsort((keys, ranks, codes))
+    oc = codes[order]
+    pos = np.arange(oc.size)
+    starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+    grp_start = np.repeat(starts, np.diff(np.r_[starts, np.int64(oc.size)]))
+    keep = (oc >= 0) & ((pos - grp_start) < quota)
+    sel = order[keep]
+    return pa.table({
+        "stratum": pc.take(enc.dictionary, pa.array(codes[sel])),
+        "rank": pa.array(ranks[sel], pa.int64()),
+        "key": pa.array(keys[sel].tolist(), pa.string()),
+    })
+
+
+def stratified_boundaries(ds: rd.Dataset, key_col: str, stratum_col: str,
+                          quota: int) -> dict:
+    """Phase 1 of stratified quota sampling: per-stratum selection
+    boundary = the quota-th smallest (md5rank, key) pair. Each block
+    ships at most ``quota`` candidate rows per stratum it contains
+    (O(blocks x strata x quota) total — the small side), the driver
+    merges the heads. Returns {stratum: (rank, key)} — the LARGEST kept
+    pair per stratum."""
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    parts = ds.map_batches(
+        _block_heads,
+        fn_kwargs={"key_col": key_col, "stratum_col": stratum_col,
+                   "quota": quota},
+        batch_format="pyarrow",
+    ).take_all()
+    per: dict = {}
+    for row in parts:
+        per.setdefault(row["stratum"], []).append((row["rank"], row["key"]))
+    return {
+        s: sorted(pairs)[: quota][-1] for s, pairs in per.items()
+    }
+
+
+def stratified_sample(ds: rd.Dataset, key_col: str, stratum_col: str,
+                      quota: int) -> rd.Dataset:
+    """Deterministic per-stratum quota sampling — the per-domain-cap
+    stage of a web-scale training pipeline: keep each stratum's
+    ``quota`` rows with the SMALLEST (md5-prefix rank, key) pairs.
+    Rerun-stable and machine-independent (the hash-split recipe
+    extended with a quota); equivalent to
+    row_number() OVER (PARTITION BY stratum ORDER BY md5rank, key)
+    <= quota, which is the SQL oracle twin.
+
+    Dataflow: block-head candidates -> driver boundary merge
+    (stratified_boundaries, O(strata) broadcast) -> ONE streaming
+    filter pass; rows never shuffle. Unique keys make (rank, key)
+    pairs unique, so the boundary predicate is exactly the row_number
+    cutoff. Null-stratum rows drop."""
+    bounds = stratified_boundaries(ds, key_col, stratum_col, quota)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch[stratum_col].combine_chunks())
+        codes = pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False
+        )
+        vals = enc.dictionary.to_pylist()
+        # per-DISTINCT-value boundary gather (the small side), then one
+        # vectorized (rank, key) tuple compare over the rows
+        has = np.zeros(len(vals) + 1, dtype=bool)
+        br = np.zeros(len(vals) + 1, dtype=np.int64)
+        bk = np.array([""] * (len(vals) + 1), dtype=object)
+        for j, v in enumerate(vals):
+            b = bounds.get(v)
+            if b is not None:
+                has[j], br[j], bk[j] = True, b[0], b[1]
+        keys = np.array(
+            [str(k) for k in batch[key_col].to_pylist()], dtype=object
+        )
+        ranks = md5_prefix_u32(keys)
+        c = np.clip(codes, 0, None)
+        mask = (codes >= 0) & has[c] & (
+            (ranks < br[c]) | ((ranks == br[c]) & (keys <= bk[c]))
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

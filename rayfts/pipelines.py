@@ -1793,6 +1793,52 @@ def sample_split_counts(sf_dir: str) -> pa.Table:
     )
 
 
+SAMPLE_QUOTA = 50  # per-stratum quota (per-domain cap analog)
+
+
+def sample_stratified_counts(sf_dir: str) -> pa.Table:
+    """Deterministic per-stratum quota sampling of documents (stratum =
+    source, key = doc_id, quota = SAMPLE_QUOTA): the per-domain-cap
+    stage. Keeps each stratum's quota rows with the smallest
+    (md5rank, key) pairs — `extras.sampling.stratified_sample`
+    (block-head candidates -> O(strata) boundary broadcast -> one
+    streaming filter). The contract row fingerprints each stratum's
+    kept set with its exact doc_id sum."""
+    from .extras.sampling import stratified_sample
+
+    kept = stratified_sample(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+        ),
+        key_col="doc_id",
+        stratum_col="source",
+        quota=SAMPLE_QUOTA,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source", use_threads=False).aggregate(
+            [("doc_id", "count"), ("doc_id", "sum")]
+        )
+        return pa.table({
+            "source": g["source"],
+            "n": g["doc_id_count"],
+            "s": g["doc_id_sum"],
+        })
+
+    rows = kept.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = rows.groupby("source", as_index=False).agg(
+        n_kept=("n", "sum"), sum_doc_id=("s", "sum")
+    ).sort_values("source")
+    return pa.table({
+        "source": pa.array(g["source"].tolist(), pa.string()),
+        "n_kept": pa.array([int(v) for v in g["n_kept"]], pa.int64()),
+        "sum_doc_id": pa.array(
+            [int(v) for v in g["sum_doc_id"]], pa.int64()
+        ),
+    })
+
+
 SESSION_GAP_US = 1_800_000_000  # 30-min inactivity gap
 
 

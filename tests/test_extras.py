@@ -744,3 +744,53 @@ def test_multi_terms_vs_pandas(ray_session, tmp_path):
         .head(MULTI_TERMS_TOP_N).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stratified_sample_matches_row_number_rule():
+    """Per-stratum quota sampling: kept set == row_number over
+    (md5rank, key-string) per stratum <= quota, recomputed directly;
+    null strata drop; short strata keep everything; rerun identical."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayfts.extras.sampling import (
+        stratified_boundaries, stratified_sample,
+    )
+
+    strata = (["a"] * 40 + ["b"] * 3 + [None] * 5 + ["c"] * 20) * 2
+    t = pa.table({
+        "s": pa.array(strata),
+        "k": pa.array(range(len(strata)), pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    quota = 10
+    out = stratified_sample(ds, "k", "s", quota).to_pandas()
+
+    def rank(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+
+    want: dict = {}
+    for s, k in zip(strata, range(len(strata))):
+        if s is not None:
+            want.setdefault(s, []).append((rank(k), str(k), k))
+    kept = {
+        s: sorted(v)[:quota] for s, v in want.items()
+    }
+    for s, rows in kept.items():
+        got = sorted(out[out.s == s].k.tolist())
+        assert got == sorted(k for _, _, k in rows), s
+    assert not out.s.isna().any()
+    assert len(out[out.s == "b"]) == 6  # 6 rows < quota -> all kept
+    # boundary map is the quota-th smallest pair per stratum
+    b = stratified_boundaries(ds, "k", "s", quota)
+    assert set(b) == {"a", "b", "c"}
+    assert b["a"] == tuple(sorted(want["a"])[:quota][-1][:2])
+    # rerun identical
+    out2 = stratified_sample(rd.from_arrow(t).repartition(4),
+                             "k", "s", quota).to_pandas()
+    assert sorted(out2.k.tolist()) == sorted(out.k.tolist())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_boundaries(ds, "k", "s", 0)
