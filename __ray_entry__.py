@@ -345,6 +345,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_terms_subagg": P.terms_subagg_q,
         "fts_multi_terms": P.multi_terms_q,
         "fts_rare_terms": P.rare_terms_q,
+        # round-5 batch 2: terms_enum API, sibling pipeline aggs,
+        # t_test / scripted_metric aggs, has_parent join, sliced scroll
+        "fts_terms_enum": P.fts_terms_enum,
+        "fts_date_hist_siblings": P.fts_date_hist_siblings,
+        "fts_t_test": P.fts_t_test,
+        "fts_scripted_metric": P.fts_scripted_metric,
+        "fts_has_parent": P.fts_has_parent,
+        "fts_export_slice": P.fts_export_slice,
     }
 
 
@@ -2097,5 +2105,102 @@ dots AS (
 SELECT vec_id,
        CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
 FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
+""",
+        # terms_enum: sorted-term dictionary paging with df (build-time
+        # stats — the corpus has no tombstones, so distinct-doc counts
+        # ARE the dictionary dfs)
+        "fts_terms_enum": f"""
+WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE term LIKE '{P.TERMS_ENUM_PREFIX}%'
+GROUP BY term ORDER BY term LIMIT {P.TERMS_ENUM_SIZE}
+""",
+        # sibling pipeline aggs over the monthly date_histogram buckets;
+        # extreme keys = the ES keys array (ties legal), ascending
+        "fts_date_hist_siblings": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT CAST(epoch(date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+           AS month_start,
+         count(*) AS n_docs
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+)
+SELECT count(*) AS n_buckets,
+       CAST(sum(n_docs) AS BIGINT) AS sum_docs,
+       CAST(min(n_docs) AS BIGINT) AS min_docs,
+       CAST(max(n_docs) AS BIGINT) AS max_docs,
+       CAST(round(sum(n_docs)::DOUBLE / count(*) * 1e6) AS BIGINT) AS avg_e6,
+       (SELECT string_agg(month_start::VARCHAR, ',' ORDER BY month_start)
+        FROM hist WHERE n_docs = (SELECT min(n_docs) FROM hist)) AS min_keys,
+       (SELECT string_agg(month_start::VARCHAR, ',' ORDER BY month_start)
+        FROM hist WHERE n_docs = (SELECT max(n_docs) FROM hist)) AS max_keys
+FROM hist
+""",
+        # t_test (Welch): exact integer moments per lang group over the
+        # hit set, t from the SAME closed form/op order as the engine
+        "fts_t_test": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+m AS (
+  SELECT lang, count(*) AS n, sum(n_chars) AS s,
+         sum(n_chars * n_chars) AS ss
+  FROM documents JOIN hits USING (doc_id)
+  WHERE lang IN ('{P.T_TEST_LANG_A}', '{P.T_TEST_LANG_B}')
+  GROUP BY lang
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       CAST(a.s AS BIGINT) AS sum_a, CAST(b.s AS BIGINT) AS sum_b,
+       CAST(a.ss AS BIGINT) AS sum_sq_a, CAST(b.ss AS BIGINT) AS sum_sq_b,
+       CAST(round(
+         ((a.s / a.n::DOUBLE) - (b.s / b.n::DOUBLE))
+         / sqrt( ((a.n * a.ss - a.s * a.s) / (a.n * (a.n - 1.0))) / a.n
+               + ((b.n * b.ss - b.s * b.s) / (b.n * (b.n - 1.0))) / b.n )
+         * 1e6) AS BIGINT) AS t_e6
+FROM (SELECT * FROM m WHERE lang = '{P.T_TEST_LANG_A}') a,
+     (SELECT * FROM m WHERE lang = '{P.T_TEST_LANG_B}') b
+""",
+        # scripted_metric: covariance numerator n*Sxy - Sx*Sy between
+        # doc_id and n_chars over the hit set — HUGEINT intermediate,
+        # the result fits BIGINT at the tested scales
+        "fts_scripted_metric": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_x,
+       CAST(sum(n_chars) AS BIGINT) AS sum_y,
+       CAST(count(*)::HUGEINT * sum(doc_id * n_chars)::HUGEINT
+            - sum(doc_id)::HUGEINT * sum(n_chars)::HUGEINT
+            AS BIGINT) AS cov_num
+FROM documents JOIN hits USING (doc_id)
+""",
+        # has_parent (join field): children inherit their parent group's
+        # best-child BM25 score; child-side lang filter; order
+        # (parent score desc, doc asc)
+        "fts_has_parent": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+pscore AS (
+  SELECT d2.source AS parent, max(s2.score) AS ps
+  FROM scores s2 JOIN documents d2 USING (doc_id)
+  GROUP BY d2.source
+)
+SELECT d.doc_id, CAST(round(p.ps * 1e6) AS BIGINT) AS score_e6,
+       d.source AS parent
+FROM documents d JOIN pscore p ON d.source = p.parent
+WHERE d.lang = '{P.HAS_PARENT_CHILD_LANG}'
+ORDER BY p.ps DESC, d.doc_id LIMIT 10
+""",
+        # sliced scroll: slice i of max keeps hits with doc_id % max == i
+        # (dense ids == the documents table's dense doc_id here)
+        "fts_export_slice": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT doc_id, lang FROM documents JOIN hits USING (doc_id)
+WHERE doc_id % {P.EXPORT_SLICE_MAX} = {P.EXPORT_SLICE_ID}
 """,
     }

@@ -52,16 +52,30 @@ def export_hits(
     must_not: str | None = None,
     concurrency: int = 4,
     batch_size: int = 8192,
+    slice_id: int | None = None,
+    slice_max: int | None = None,
 ) -> rd.Dataset:
     """Stream EVERY doc matching ``query`` (posting-union hit set, the
     same restriction composition as search: where / mode / must_not /
     tombstones) out of the docstore as a lazy Dataset with pruned
     columns. The bitmask ships to the actor pool once; per-batch work is
-    one gather + one Arrow filter."""
+    one gather + one Arrow filter.
+
+    ``slice_id``/``slice_max`` is the ES sliced-scroll analog: slice
+    ``i`` of ``max`` keeps exactly the hits with dense doc_id % max == i
+    (ES slices on a doc-id hash; dense ids here are already uniform), so
+    ``max`` independent consumers partition one result set with no
+    coordination and their union is exactly the unsliced export. The
+    slice restricts the broadcast MASK — the docstore read is shared
+    machinery either way."""
     s = Searcher(index_dir)
     hits = s._hit_mask(query, where, mode, must_not)
     if hits is None:
         hits = np.zeros(s.N, dtype=bool)
+    if slice_max is not None:
+        if slice_id is None or not (0 <= slice_id < slice_max):
+            raise ValueError("slice_id must be in [0, slice_max)")
+        hits = hits & (np.arange(hits.size) % slice_max == slice_id)
     packed_ref = ray.put(np.packbits(hits))
     cols = None
     if columns is not None:

@@ -2910,3 +2910,156 @@ def text_fingerprint_q(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(
         fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 2: terms_enum API, sibling pipeline aggs, t_test,
+# scripted_metric, has_parent join, sliced export
+# ---------------------------------------------------------------------------
+
+TERMS_ENUM_PREFIX = "s"   # term-dictionary paging probe (shared w/ oracle)
+TERMS_ENUM_SIZE = 15
+
+
+def fts_terms_enum(sf_dir: str) -> pa.Table:
+    """ES _terms_enum API: first TERMS_ENUM_SIZE index terms with
+    TERMS_ENUM_PREFIX, term-ascending, each with its dictionary df —
+    the sorted-term paging call query UIs use for autocomplete."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.terms_enum(TERMS_ENUM_PREFIX, size=TERMS_ENUM_SIZE)
+    return pa.table({
+        "term": pa.array([t for t, _ in rows], pa.string()),
+        "df": pa.array([d for _, d in rows], pa.int64()),
+    })
+
+
+def fts_date_hist_siblings(sf_dir: str) -> pa.Table:
+    """ES sibling pipeline aggs (sum_bucket / avg_bucket / min_bucket /
+    max_bucket / stats_bucket) NEXT TO the monthly date_histogram of
+    BM25_QUERY hits: one summary row; extreme keys emitted as the ES
+    keys ARRAY (comma-joined ascending — ties are legal)."""
+    from .search import sibling_bucket_aggs
+
+    s = Searcher(documents_index(sf_dir))
+    agg = sibling_bucket_aggs(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "month")
+    )
+    return pa.table({
+        "n_buckets": pa.array([agg["n_buckets"]], pa.int64()),
+        "sum_docs": pa.array([agg["sum"]], pa.int64()),
+        "min_docs": pa.array([agg["min"]], pa.int64()),
+        "max_docs": pa.array([agg["max"]], pa.int64()),
+        "avg_e6": pa.array(
+            [int(round(agg["sum"] / agg["n_buckets"] * 1e6))], pa.int64()
+        ),
+        "min_keys": pa.array(
+            [",".join(str(k) for k in agg["min_keys"])], pa.string()
+        ),
+        "max_keys": pa.array(
+            [",".join(str(k) for k in agg["max_keys"])], pa.string()
+        ),
+    })
+
+
+T_TEST_LANG_A = "en"
+T_TEST_LANG_B = "de"
+
+
+def fts_t_test(sf_dir: str) -> pa.Table:
+    """ES t_test aggregation (heteroscedastic / Welch — the ES default)
+    over n_chars of BM25_QUERY hits, population A = lang en vs B = de.
+    Emits the exact sufficient statistics plus t (e6) — the engine's
+    pinned divergence: the statistic, not the p-value (no t-CDF in SQL)."""
+    s = Searcher(documents_index(sf_dir))
+    r = s.t_test_agg(
+        BM25_QUERY, "n_chars",
+        {"lang": T_TEST_LANG_A}, {"lang": T_TEST_LANG_B},
+    )
+    return pa.table({
+        "n_a": pa.array([r["n_a"]], pa.int64()),
+        "n_b": pa.array([r["n_b"]], pa.int64()),
+        "sum_a": pa.array([int(r["sum_a"])], pa.int64()),
+        "sum_b": pa.array([int(r["sum_b"])], pa.int64()),
+        "sum_sq_a": pa.array([int(r["sum_sq_a"])], pa.int64()),
+        "sum_sq_b": pa.array([int(r["sum_sq_b"])], pa.int64()),
+        "t_e6": pa.array([int(round(r["t"] * 1e6))], pa.int64()),
+    })
+
+
+def fts_scripted_metric(sf_dir: str) -> pa.Table:
+    """ES scripted_metric aggregation: per-shard map script gathers the
+    exact (n, Σx, Σy, Σxy) moments of (src_doc_id, n_chars) over the
+    BM25_QUERY hit set (vectorized numpy, ints exact), the reduce script
+    folds shards and emits the covariance NUMERATOR n·Σxy − Σx·Σy — a
+    statistic no built-in agg covers, which is the point of the API."""
+    s = Searcher(documents_index(sf_dir))
+
+    def map_script(fields):
+        x = fields("src_doc_id").astype(np.int64)
+        y = fields("n_chars").astype(np.int64)
+        return (int(x.size), int(x.sum()), int(y.sum()),
+                int((x * y).sum()))
+
+    def reduce_script(states):
+        n = sum(st[0] for st in states)
+        sx = sum(st[1] for st in states)
+        sy = sum(st[2] for st in states)
+        sxy = sum(st[3] for st in states)
+        return {"n": n, "sum_x": sx, "sum_y": sy,
+                "cov_num": n * sxy - sx * sy}
+
+    r = s.scripted_metric(BM25_QUERY, map_script, reduce_script)
+    return pa.table({
+        "n": pa.array([r["n"]], pa.int64()),
+        "sum_x": pa.array([r["sum_x"]], pa.int64()),
+        "sum_y": pa.array([r["sum_y"]], pa.int64()),
+        "cov_num": pa.array([r["cov_num"]], pa.int64()),
+    })
+
+
+HAS_PARENT_CHILD_LANG = "en"   # child-side filter of the has_parent probe
+
+
+def fts_has_parent(sf_dir: str) -> pa.Table:
+    """ES has_parent query over the source join field: top-10 children
+    (lang=en) of the parents matching BM25_QUERY, each child scored by
+    its parent's group score (max child BM25 — the score:true mode),
+    order (parent score desc, doc asc)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.has_parent_search(
+        BM25_QUERY, "source", k=10,
+        child_where={"lang": HAS_PARENT_CHILD_LANG},
+    )
+    dense_to_src = _dense_to_src(documents_index(sf_dir))
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[d]) for d, _, _ in rows], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc, _ in rows], pa.int64()
+        ),
+        "parent": pa.array([p for _, _, p in rows], pa.string()),
+    })
+
+
+EXPORT_SLICE_ID = 1
+EXPORT_SLICE_MAX = 3
+
+
+def fts_export_slice(sf_dir: str) -> rd.Dataset:
+    """ES sliced-scroll analog: slice EXPORT_SLICE_ID of
+    EXPORT_SLICE_MAX of the BM25_QUERY hit export — dense doc_id % max
+    partitioning, so independent consumers split one result set and
+    their union is exactly fts_export_hits."""
+    from .export import export_hits
+
+    index_dir = documents_index(sf_dir)
+    ds = export_hits(
+        index_dir, BM25_QUERY, columns=["src_doc_id", "lang"],
+        slice_id=EXPORT_SLICE_ID, slice_max=EXPORT_SLICE_MAX,
+    )
+
+    def present(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["src_doc_id"], "lang": t["lang"]})
+
+    return ds.map_batches(present, batch_format="pyarrow")

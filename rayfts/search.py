@@ -263,6 +263,37 @@ def moving_window_aggs(buckets: list[tuple], window: int = 3,
     return out
 
 
+def sibling_bucket_aggs(buckets: list[tuple]) -> dict:
+    """ES sibling pipeline-aggregation analogs (max_bucket / min_bucket /
+    sum_bucket / avg_bucket / stats_bucket) over parent-agg buckets
+    [(key, count)] — one scalar summary row computed NEXT TO the parent
+    aggregation (sibling, not nested):
+
+    - sum_bucket / stats_bucket: exact integer count/min/max/sum of the
+      bucket counts; avg left as the exact (sum, n_buckets) pair so the
+      caller controls rounding (the moving_fn convention);
+    - max_bucket / min_bucket: the extreme count PLUS the keys attaining
+      it (ES returns a keys ARRAY because ties are legal; keys ascending).
+
+    Empty parent -> n_buckets=0 with None extrema (the ES empty-agg
+    shape). O(buckets) driver-side post-processing like pipeline_aggs —
+    the parent aggregation did the distributed work, and sharded
+    executors run this verbatim on their exactly-merged buckets."""
+    if not buckets:
+        return {"n_buckets": 0, "sum": 0, "min": None, "max": None,
+                "min_keys": [], "max_keys": []}
+    counts = [c for _, c in buckets]
+    mn, mx = min(counts), max(counts)
+    return {
+        "n_buckets": len(buckets),
+        "sum": sum(counts),
+        "min": mn,
+        "max": mx,
+        "min_keys": sorted(k for k, c in buckets if c == mn),
+        "max_keys": sorted(k for k, c in buckets if c == mx),
+    }
+
+
 def _where_key(where: dict) -> tuple:
     """Hashable cache key for a ``where`` spec (scalar equality, None for
     is-null, or an ES-style range dict {gte/gt/lte/lt: bound})."""
@@ -1034,6 +1065,77 @@ class Searcher(SuggestAPI):
             out[v] = [(int(idx[i]), float(scores[i])) for i in order]
         return out
 
+    def has_parent_search(self, parent_query: str, parent_field: str,
+                          k: int = 10, score: bool = True,
+                          child_where: dict | None = None,
+                          score_mode: str = "max") -> list[tuple]:
+        """ES has_parent-query analog — the dual of has_child over the
+        same join FIELD: return the top-``k`` CHILD docs whose parent
+        matches ``parent_query``, each child inheriting its parent's
+        relevance (the ES ``score: true`` mode; ``score=False`` is the
+        constant-score filter, ranked by doc asc). In this flat model a
+        parent's relevance is its has_child-style group score over its
+        own children (``score_mode`` 'max' default / 'sum' / 'avg' — the
+        same modes has_child exposes), so the two join queries share one
+        group-stats kernel and stay mutually consistent.
+
+        ``child_where`` filters the RETURNED children by keyword equality
+        (the ES inner filter on the child side); tombstoned children never
+        return. Order: (parent_score desc, doc_id asc); with
+        ``score=False`` every score is 0.0 and doc asc alone ranks.
+        Returns [(doc_id, parent_score, parent_value)]. Works unchanged
+        on MultiSearcher (group stats merge exactly; codes resolve per
+        segment in the sharded override)."""
+        if score_mode not in ("max", "sum", "avg"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        stats = self._parent_group_stats(parent_query, parent_field)
+        if not stats:
+            return []
+        pmap = {}
+        for v, (s_sum, s_max, n) in stats.items():
+            pmap[v] = (
+                (s_max if score_mode == "max"
+                 else s_sum if score_mode == "sum"
+                 else s_sum / n) if score else 0.0
+            )
+        return self._children_of_parents(pmap, parent_field, k, child_where)
+
+    def _children_of_parents(self, pmap: dict, parent_field: str, k: int,
+                             child_where: dict | None) -> list[tuple]:
+        """Top-k live children of the scored parents in ``pmap`` (value ->
+        parent score), order (score desc, doc asc) — the has_parent fetch
+        kernel: one code gather + one top-k selection, no per-doc loop."""
+        codes, values = self._field_codes(parent_field)
+        pscore = np.zeros(len(values), dtype=np.float64)
+        qual = np.zeros(len(values), dtype=bool)
+        for i, v in enumerate(values):
+            sc = pmap.get(v)
+            if sc is not None:
+                qual[i] = True
+                pscore[i] = sc
+        keep = codes >= 0
+        m = np.zeros(self.N, dtype=bool)
+        m[keep] = qual[codes[keep]]
+        if self.excluded.size:
+            m[self.excluded] = False
+        if child_where:
+            m &= self.filter_mask(**child_where)
+        idx = np.flatnonzero(m)
+        if idx.size == 0:
+            return []
+        sc = pscore[codes[idx]]
+        take = min(k, idx.size)
+        if idx.size > take:
+            kth = np.partition(-sc, take - 1)[take - 1]
+            cand = np.flatnonzero(-sc <= kth)
+        else:
+            cand = np.arange(idx.size)
+        order = cand[np.lexsort((idx[cand], -sc[cand]))][:take]
+        return [
+            (int(idx[i]), float(sc[i]), values[int(codes[idx[i]])])
+            for i in order
+        ]
+
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",
                         must_not: str | None = None) -> int:
@@ -1190,6 +1292,95 @@ class Searcher(SuggestAPI):
             "variance": var,
             "std_dev": math.sqrt(max(var, 0.0)),
         }
+
+    def _moment_stats(self, query: str, field: str,
+                      where: dict | None = None, mode: str = "or",
+                      must_not: str | None = None) -> tuple:
+        """(n, sum, sum_sq) over the hit set — the t_test sufficient
+        statistics. Integral columns return EXACT int64 sums (the
+        extended_stats convention) so the sharded merge and the SQL
+        oracle agree bit-for-bit; each per-segment partial is O(1) to
+        merge."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return 0, 0, 0
+        vals, valid = self._numeric_col(field)
+        sel = vals[hits & valid]
+        if sel.size == 0:
+            return 0, 0, 0
+        if np.all(sel == np.floor(sel)):
+            s_i = sel.astype(np.int64)
+            return int(sel.size), int(s_i.sum()), int((s_i * s_i).sum())
+        return int(sel.size), float(sel.sum()), float((sel * sel).sum())
+
+    def t_test_agg(self, query: str, field: str, where_a: dict,
+                   where_b: dict, ttype: str = "heteroscedastic",
+                   mode: str = "or", must_not: str | None = None) -> dict:
+        """ES t_test-aggregation analog: two-sample Student t statistic
+        of numeric column ``field`` between two keyword-filtered
+        populations of the SAME query hit set (the ES unpaired forms —
+        'heteroscedastic' = Welch, the ES default, or 'homoscedastic' =
+        pooled variance). DIVERGENCE, pinned for the oracle: ES emits the
+        two-tailed p-value; this engine emits the t statistic plus the
+        exact sufficient statistics (n, sum, sum_sq per group), because
+        the p-value is a monotone function of (t, dof) and SQL engines
+        carry no t-CDF — the statistic is the verifiable quantity.
+
+        Closed forms (one float op order, shared with the SQL oracle):
+        mean = s/n; sample var = (n*ss - s*s) / (n*(n-1));
+        Welch   t = (m1-m2) / sqrt(v1/n1 + v2/n2)
+        pooled  t = (m1-m2) / sqrt(sp2 * (1/n1 + 1/n2)),
+                sp2 = ((n1-1)*v1 + (n2-1)*v2) / (n1+n2-2).
+        Returns {n_a, n_b, sum_a, sum_b, sum_sq_a, sum_sq_b, t} — t None
+        when either group has < 2 values (ES returns null). Sums are
+        exact ints on integral columns, so the sharded t is bit-identical
+        to the single-index t by construction."""
+        if ttype not in ("heteroscedastic", "homoscedastic"):
+            raise ValueError(f"unknown t_test type {ttype!r}")
+        n1, s1, ss1 = self._moment_stats(query, field, where_a, mode,
+                                         must_not)
+        n2, s2, ss2 = self._moment_stats(query, field, where_b, mode,
+                                         must_not)
+        out = {"n_a": n1, "n_b": n2, "sum_a": s1, "sum_b": s2,
+               "sum_sq_a": ss1, "sum_sq_b": ss2, "t": None}
+        if n1 < 2 or n2 < 2:
+            return out
+        m1, m2 = s1 / n1, s2 / n2
+        v1 = (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1))
+        v2 = (n2 * ss2 - s2 * s2) / (n2 * (n2 - 1))
+        if ttype == "heteroscedastic":
+            denom = math.sqrt(v1 / n1 + v2 / n2)
+        else:
+            sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+            denom = math.sqrt(sp2 * (1 / n1 + 1 / n2))
+        out["t"] = (m1 - m2) / denom if denom > 0 else None
+        return out
+
+    def scripted_metric(self, query: str, map_script, reduce_script,
+                        where: dict | None = None, mode: str = "or",
+                        must_not: str | None = None):
+        """ES scripted_metric-aggregation analog: a user-defined
+        map/reduce over the query hit set. ``map_script(fields)`` runs
+        ONCE PER SHARD (this single index = one shard; each MultiSearcher
+        segment = one shard) and returns an arbitrary partial state —
+        ``fields`` is a callable ``name -> np.ndarray`` yielding the
+        hit-selected values of a numeric docstore column, so the script
+        body is vectorized numpy, never a per-doc loop (the init_script +
+        map_script + combine_script of ES collapse into this one
+        per-shard vectorized pass — combine IS the script returning its
+        combined state). ``reduce_script(states)`` folds the per-shard
+        partials into the final result on the driver, exactly ES's
+        reduce_script contract (receives a LIST, one entry per shard
+        that had hits)."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        states = []
+        if hits is not None and hits.any():
+            def fields(name: str) -> np.ndarray:
+                vals, valid = self._numeric_col(name)
+                return vals[hits & valid]
+
+            states.append(map_script(fields))
+        return reduce_script(states)
 
     def weighted_avg_agg(self, query: str, field: str, weight_field: str,
                          where: dict | None = None, mode: str = "or",
@@ -2887,6 +3078,28 @@ class Searcher(SuggestAPI):
             pm = np.char.startswith(terms, prefix)
             rows.extend(zip(terms[pm].tolist(), dfs[pm].tolist()))
         return rows
+
+    def terms_enum(self, prefix: str, size: int = 10,
+                   min_df: int = 1) -> list[tuple[str, int]]:
+        """ES _terms_enum API analog: the first ``size`` index terms with
+        ``prefix``, TERM-ASCENDING (the API's contract is sorted-term
+        paging for query autocomplete), each with its dictionary df.
+        Like ES, this reads the TERM DICTIONARY only — dfs are build-time
+        index statistics and may count tombstoned docs (the documented ES
+        caveat that terms_enum can surface terms only deleted docs
+        contain); ``min_df`` prunes low-frequency noise. One vectorized
+        prefix scan per bucket over the cached dictionary, no posting
+        decode."""
+        rows: list[tuple[str, int]] = []
+        for terms, dfs, _, _ in self._term_dict():
+            pm = np.char.startswith(terms, prefix)
+            if min_df > 1:
+                pm &= dfs >= min_df
+            rows.extend(
+                zip(terms[pm].tolist(), (int(d) for d in dfs[pm]))
+            )
+        rows.sort()
+        return rows[:size]
 
     def _bigram_count(self, a: str, b: str) -> int:
         """Corpus count of the adjacent bigram ``a b`` from the positional
@@ -4828,6 +5041,81 @@ class MultiSearcher(SuggestAPI):
         return total
 
     has_child_search = Searcher.has_child_search
+    has_parent_search = Searcher.has_parent_search
+
+    def _children_of_parents(self, pmap: dict, parent_field: str, k: int,
+                             child_where: dict | None) -> list[tuple]:
+        """Sharded has_parent fetch: each segment selects its own top-k
+        children against the GLOBALLY-merged parent scores (scores are
+        per-parent constants, so per-segment top-k + a k-way merge is
+        exact), doc_ids rebased by the segment offset — O(k) per segment
+        lands on the driver, never a hit set."""
+        rows: list[tuple] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            rows.extend(
+                (d + off, sc, v)
+                for d, sc, v in seg._children_of_parents(
+                    pmap, parent_field, k, child_where
+                )
+            )
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
+
+    def terms_enum(self, prefix: str, size: int = 10,
+                   min_df: int = 1) -> list[tuple[str, int]]:
+        """Sharded _terms_enum: per-segment UNTRUNCATED prefix rows merge
+        by summing dfs per term (the completion-suggester merge), then
+        one global term-ascending truncation — min_df applies AFTER the
+        merge so segment boundaries never change the result."""
+        total: dict = {}
+        for seg in self.segments:
+            for t, df in seg.terms_enum(prefix, size=1 << 30, min_df=1):
+                total[t] = total.get(t, 0) + df
+        rows = sorted(
+            (t, df) for t, df in total.items() if df >= min_df
+        )
+        return rows[:size]
+
+    def _moment_stats(self, query: str, field: str,
+                      where: dict | None = None, mode: str = "or",
+                      must_not: str | None = None) -> tuple:
+        """Sharded t_test sufficient statistics: (n, sum, sum_sq)
+        partials add exactly (int sums stay int), so the merged moments
+        are bit-identical to the single-index pass."""
+        n = 0
+        s = 0
+        ss = 0
+        for seg in self.segments:
+            pn, psum, pss = seg._moment_stats(
+                query, field, where, mode, must_not
+            )
+            n += pn
+            s += psum
+            ss += pss
+        return n, s, ss
+
+    t_test_agg = Searcher.t_test_agg
+
+    def scripted_metric(self, query: str, map_script, reduce_script,
+                        where: dict | None = None, mode: str = "or",
+                        must_not: str | None = None):
+        """Sharded scripted_metric — the shape ES actually runs:
+        map_script once per SEGMENT (shard) over its own hit-selected
+        column views, reduce_script over the list of per-shard states on
+        the driver. Payload to the driver is O(segments) states."""
+        states = []
+        for seg in self.segments:
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None or not hits.any():
+                continue
+
+            def fields(name: str, _seg=seg, _hits=hits) -> np.ndarray:
+                vals, valid = _seg._numeric_col(name)
+                return vals[_hits & valid]
+
+            states.append(map_script(fields))
+        return reduce_script(states)
 
     def _parent_group_stats_ex(self, query: str, parent_field: str,
                                where=None, mode="or", must_not=None):

@@ -1950,3 +1950,164 @@ def test_diversified_top_hits_matches_bruteforce(index_dir, oracle):
     assert s.diversified_top_hits("zzzz_absent", "tool") == []
     with pytest.raises(ValueError):
         s.diversified_top_hits("the", "tool", max_per_key=0)
+
+
+def test_has_parent_matches_bruteforce(index_dir, oracle):
+    """has_parent: children inherit their conv group's has_child-style
+    score; order (parent score desc, doc asc); child_where filters the
+    returned children only."""
+    idx, t = oracle
+    s = Searcher(index_dir)
+    convs = dict(enumerate(t["conv_id"].to_pylist()))
+    roles = dict(enumerate(t["role"].to_pylist()))
+    q = "the w0007 bash"
+    full = dict(idx.search(q, k=idx.N))
+    gmax: dict = {}
+    gsum: dict = {}
+    gcnt: dict = {}
+    for d in sorted(full):
+        v = convs[d]
+        gmax[v] = max(gmax.get(v, -1e18), full[d])
+        gsum[v] = gsum.get(v, 0.0) + full[d]
+        gcnt[v] = gcnt.get(v, 0) + 1
+    for sm, pick in [("max", gmax),
+                     ("sum", gsum),
+                     ("avg", {v: gsum[v] / gcnt[v] for v in gsum})]:
+        want = sorted(
+            ((d, pick[convs[d]], convs[d]) for d in range(idx.N)
+             if convs[d] in pick),
+            key=lambda r: (-r[1], r[0]),
+        )[:10]
+        got = s.has_parent_search(q, "conv_id", k=10, score_mode=sm)
+        assert [(d, v) for d, _, v in got] == [(d, v) for d, _, v in want], sm
+        for (_, a, _), (_, b, _) in zip(got, want):
+            assert a == pytest.approx(b, rel=1e-9), sm
+    # child_where: only docs passing the keyword filter return
+    got = s.has_parent_search(q, "conv_id", k=10,
+                              child_where={"role": "tool"})
+    assert got and all(roles[d] == "tool" for d, _, _ in got)
+    # score=False: constant 0, doc-ascending
+    flat = s.has_parent_search(q, "conv_id", k=10, score=False)
+    assert [sc for _, sc, _ in flat] == [0.0] * len(flat)
+    assert [d for d, _, _ in flat] == sorted(d for d, _, _ in flat)
+    assert s.has_parent_search("zzzz_absent", "conv_id") == []
+    with pytest.raises(ValueError):
+        s.has_parent_search(q, "conv_id", score_mode="product")
+
+
+def test_terms_enum_sorted_paging(index_dir, oracle):
+    """terms_enum: term-ascending dictionary paging with dfs; size
+    truncates, min_df prunes."""
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    want = sorted(
+        (t, df) for t, df in idx.df.items() if t.startswith("w00")
+    )
+    assert s.terms_enum("w00", size=1 << 20) == want
+    assert s.terms_enum("w00", size=3) == want[:3]
+    hi = [(t, df) for t, df in want if df >= 3]
+    assert s.terms_enum("w00", size=1 << 20, min_df=3) == hi
+    assert s.terms_enum("zzzz_absent") == []
+
+
+def test_t_test_agg_matches_closed_form(index_dir, oracle):
+    """t_test: exact integer moments per group; Welch and pooled t match
+    the closed form recomputed from the brute-force hit set."""
+    import math
+
+    idx, t = oracle
+    s = Searcher(index_dir)
+    roles = t["role"].to_pylist()
+    tix = t["turn_idx"].to_pylist()
+    q = "the bash"
+    hits = {d for d, _ in idx.search(q, k=idx.N)}
+    a = [tix[d] for d in hits if roles[d] == "user"]
+    b = [tix[d] for d in hits if roles[d] == "assistant"]
+    n1, s1, ss1 = len(a), sum(a), sum(x * x for x in a)
+    n2, s2, ss2 = len(b), sum(b), sum(x * x for x in b)
+    r = s.t_test_agg(q, "turn_idx", {"role": "user"},
+                     {"role": "assistant"})
+    assert (r["n_a"], r["sum_a"], r["sum_sq_a"]) == (n1, s1, ss1)
+    assert (r["n_b"], r["sum_b"], r["sum_sq_b"]) == (n2, s2, ss2)
+    v1 = (n1 * ss1 - s1 * s1) / (n1 * (n1 - 1))
+    v2 = (n2 * ss2 - s2 * s2) / (n2 * (n2 - 1))
+    t_w = (s1 / n1 - s2 / n2) / math.sqrt(v1 / n1 + v2 / n2)
+    assert r["t"] == pytest.approx(t_w, rel=1e-12)
+    sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+    t_p = (s1 / n1 - s2 / n2) / math.sqrt(sp2 * (1 / n1 + 1 / n2))
+    rp = s.t_test_agg(q, "turn_idx", {"role": "user"},
+                      {"role": "assistant"}, ttype="homoscedastic")
+    assert rp["t"] == pytest.approx(t_p, rel=1e-12)
+    # degenerate group (< 2 values) -> t None, stats still exact
+    r0 = s.t_test_agg("zzzz_absent", "turn_idx",
+                      {"role": "user"}, {"role": "assistant"})
+    assert r0["t"] is None and r0["n_a"] == 0 and r0["n_b"] == 0
+    with pytest.raises(ValueError):
+        s.t_test_agg(q, "turn_idx", {}, {}, ttype="paired")
+
+
+def test_scripted_metric_map_reduce(index_dir, oracle):
+    """scripted_metric: per-shard vectorized map + driver reduce computes
+    a statistic no built-in agg covers (covariance numerator)."""
+    idx, t = oracle
+    s = Searcher(index_dir)
+    q = "the bash"
+    hits = sorted(d for d, _ in idx.search(q, k=idx.N))
+    tix = t["turn_idx"].to_pylist()
+    xs = hits
+    ys = [tix[d] for d in hits]
+    want = len(xs) * sum(x * y for x, y in zip(xs, ys)) \
+        - sum(xs) * sum(ys)
+
+    def map_script(fields):
+        import numpy as np
+
+        x = fields("doc_id").astype(np.int64)
+        y = fields("turn_idx").astype(np.int64)
+        return (int(x.size), int(x.sum()), int(y.sum()),
+                int((x * y).sum()))
+
+    def reduce_script(states):
+        n = sum(st[0] for st in states)
+        return n * sum(st[3] for st in states) \
+            - sum(st[1] for st in states) * sum(st[2] for st in states)
+
+    assert s.scripted_metric(q, map_script, reduce_script) == want
+    # empty hit set -> reduce over zero shard states
+    assert s.scripted_metric("zzzz_absent", map_script,
+                             lambda st: st) == []
+
+
+def test_sibling_bucket_aggs_unit():
+    """sibling pipeline aggs: extremes carry the ES keys ARRAY (ties),
+    sums exact, empty parent -> the ES empty-agg shape."""
+    from rayfts.search import sibling_bucket_aggs
+
+    agg = sibling_bucket_aggs([(10, 4), (20, 1), (30, 4), (40, 1)])
+    assert agg == {"n_buckets": 4, "sum": 10, "min": 1, "max": 4,
+                   "min_keys": [20, 40], "max_keys": [10, 30]}
+    empty = sibling_bucket_aggs([])
+    assert empty["n_buckets"] == 0 and empty["min"] is None \
+        and empty["max_keys"] == []
+
+
+def test_export_slices_partition_hit_set(index_dir, oracle):
+    """Sliced scroll: slices are disjoint, their union is exactly the
+    unsliced export, and each slice holds doc_id % max == id."""
+    from rayfts.export import export_hits
+
+    q = "the w0007 bash"
+    full = sorted(
+        export_hits(index_dir, q, columns=["turn_idx"])
+        .to_pandas()["doc_id"].tolist()
+    )
+    seen = []
+    for i in range(3):
+        part = export_hits(index_dir, q, columns=["turn_idx"],
+                           slice_id=i, slice_max=3).to_pandas()
+        ids = part["doc_id"].tolist()
+        assert all(d % 3 == i for d in ids), i
+        seen.extend(ids)
+    assert sorted(seen) == full
+    with pytest.raises(ValueError):
+        export_hits(index_dir, q, slice_id=3, slice_max=3)

@@ -392,3 +392,48 @@ def test_sharded_diversified_equals_global(indexes):
                                               k=15) == \
                 single.diversified_top_hits(q, "role", max_per_key=m,
                                             k=15), (q, m)
+
+
+def test_sharded_round5_batch2_equal_global(indexes):
+    """terms_enum / t_test / scripted_metric / has_parent: sharded ==
+    global (dictionary dfs sum, moments add exactly, per-shard map
+    states reduce, parent scores merge then children fetch per segment)."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    # terms_enum: summed dictionary dfs, global term-asc truncation
+    for prefix, size, min_df in [("w00", 5, 1), ("w00", 1 << 20, 3),
+                                 ("b", 10, 1), ("zzz", 5, 1)]:
+        assert multi.terms_enum(prefix, size=size, min_df=min_df) == \
+            single.terms_enum(prefix, size=size, min_df=min_df), prefix
+    q = "the bash"
+    # t_test: int moments identical, hence bit-identical t
+    rs = single.t_test_agg(q, "turn_idx", {"role": "user"},
+                           {"role": "assistant"})
+    rm = multi.t_test_agg(q, "turn_idx", {"role": "user"},
+                          {"role": "assistant"})
+    assert rm == rs
+    # scripted_metric: per-shard states reduce to the same exact ints
+    def map_script(fields):
+        import numpy as np
+
+        y = fields("turn_idx").astype(np.int64)
+        return (int(y.size), int(y.sum()), int((y * y).sum()))
+
+    def reduce_script(states):
+        return (sum(s[0] for s in states), sum(s[1] for s in states),
+                sum(s[2] for s in states))
+
+    assert multi.scripted_metric(q, map_script, reduce_script) == \
+        single.scripted_metric(q, map_script, reduce_script)
+    # has_parent: same children, bit-close scores, every score_mode
+    for sm in ("max", "sum", "avg"):
+        hs = single.has_parent_search(q, "conv_id", k=15, score_mode=sm)
+        hm = multi.has_parent_search(q, "conv_id", k=15, score_mode=sm)
+        assert [(d, v) for d, _, v in hm] == [(d, v) for d, _, v in hs], sm
+        for (_, a, _), (_, b, _) in zip(hm, hs):
+            assert abs(a - b) < 1e-12, sm
+    hw = single.has_parent_search(q, "conv_id", k=15,
+                                  child_where={"role": "tool"})
+    mw = multi.has_parent_search(q, "conv_id", k=15,
+                                 child_where={"role": "tool"})
+    assert [(d, v) for d, _, v in mw] == [(d, v) for d, _, v in hw]
