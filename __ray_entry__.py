@@ -353,6 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_scripted_metric": P.fts_scripted_metric,
         "fts_has_parent": P.fts_has_parent,
         "fts_export_slice": P.fts_export_slice,
+        # round-5 batch 3: training-data prep — PII redaction (RE2
+        # kernel chain) + sequence packing (distributed prefix scan)
+        "text_redact": P.text_redact,
+        "pack_chunk_stats": P.pack_chunk_stats,
     }
 
 
@@ -2202,5 +2206,60 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT doc_id, lang FROM documents JOIN hits USING (doc_id)
 WHERE doc_id % {P.EXPORT_SLICE_MAX} = {P.EXPORT_SLICE_ID}
+""",
+        # PII redaction: augmented deterministic spans (ts_epoch
+        # precedent), patterns applied IN ORDER on progressively
+        # redacted text — nested regexp_replace, both engines RE2
+        "text_redact": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com via 10.0.' ||
+         ((doc_id // 256) % 256) || '.' || (doc_id % 256) ||
+         ' call +1555' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+         AS t
+  FROM documents
+),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+       FROM aug),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+              regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t, '\+\d{7,15}\b')) AS n_phone,
+              regexp_replace(t, '\+\d{7,15}\b', '<PHONE>', 'g') AS t
+       FROM s2),
+s4 AS (SELECT doc_id, n_email, n_ipv4, n_phone,
+              len(regexp_extract_all(t, '\b[0-9a-f]{32,}\b')) AS n_hexkey,
+              regexp_replace(t, '\b[0-9a-f]{32,}\b', '<KEY>', 'g') AS t
+       FROM s3)
+SELECT doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_hexkey AS BIGINT) AS n_hexkey,
+       CAST(n_email + n_ipv4 + n_phone + n_hexkey AS BIGINT) AS n_redacted,
+       t AS redacted
+FROM s4
+""",
+        # sequence packing: chunk = exclusive token prefix // budget
+        # (one SQL window) — budget/tokenizer shared with the engine
+        "pack_chunk_stats": f"""
+WITH nt AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_TOK}')) AS ntok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ntok,
+         CAST((sum(ntok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok)
+              // {P.PACK_BUDGET} AS BIGINT) AS chunk_id
+  FROM nt
+)
+SELECT chunk_id, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens
+FROM c GROUP BY chunk_id ORDER BY chunk_id
 """,
     }

@@ -1,0 +1,125 @@
+"""Sequence packing — token-budget chunk assignment for training windows.
+
+A pretraining pipeline concatenates documents into fixed-token context
+windows. The deterministic rule here (SQL-verifiable, order-stable):
+docs in ``doc_id`` order, each doc's chunk is
+
+    chunk_id = (exclusive prefix sum of token counts) // budget
+
+i.e. a doc starts a new chunk exactly when the tokens BEFORE it fill a
+whole number of budgets. Chunks are contiguous doc ranges, a doc never
+splits, and a chunk may overflow the budget by at most one document —
+the classic "greedy fill, close on overflow" packing, expressed as a
+closed form so the oracle is one SQL window function.
+
+Distributed shape (the whole point): a global running sum is the
+textbook two-pass prefix scan —
+
+  pass 1: per-BUCKET token totals (bucket = doc_id // bucket_docs) via
+          map-side partial sums + one O(n_buckets) groupby;
+  driver: exclusive prefix over the sorted bucket totals — O(n_buckets)
+          scalars, never rows;
+  pass 2: ``groupby(bucket).map_groups`` — each bucket sorts its own
+          docs, takes its LOCAL exclusive cumsum, adds the broadcast
+          bucket offset, divides by the budget. Group size is bounded
+          by ``bucket_docs``, so the shuffle is uniform by construction
+          (doc_id buckets, no skew possible).
+
+At 10^12 turns: pass 1 ships one row per bucket per block, the driver
+holds n_buckets ints, pass 2 is a bounded-group shuffle — no stage
+materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..analysis import tokens_flat
+
+
+def _token_counts(batch: pa.Table, text_col: str) -> np.ndarray:
+    _, parent = tokens_flat(batch[text_col])
+    return np.bincount(parent, minlength=batch.num_rows).astype(np.int64)
+
+
+def pack_chunks(ds: rd.Dataset, budget: int, bucket_docs: int = 4096,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> rd.Dataset:
+    """Assign every doc its packing chunk. Returns a Dataset
+    (doc_id, n_tokens, chunk_id). ``budget`` = tokens per context
+    window; ``bucket_docs`` bounds pass-2 group size (tune so one
+    group's rows fit a worker heap)."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ntok = _token_counts(batch, text_col)
+        bucket = ids // bucket_docs
+        uniq, inv = np.unique(bucket, return_inverse=True)
+        sums = np.bincount(inv, weights=ntok).astype(np.int64)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "tok_p": pa.array(sums, pa.int64())})
+
+    # pass 1 + driver prefix: O(n_buckets) scalars on the driver
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("bucket").aggregate(Sum("tok_p"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = totals["bucket"].to_numpy()
+    csum = np.concatenate(
+        [[0], np.cumsum(totals["sum(tok_p)"].to_numpy())[:-1]]
+    )
+    offsets = {int(b): int(o) for b, o in zip(buckets, csum)}
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(id_col)
+        tbl = pa.Table.from_pandas(group, preserve_index=False)
+        ntok = _token_counts(tbl, text_col)
+        bucket = int(group[id_col].iloc[0]) // bucket_docs
+        before = offsets[bucket] + np.concatenate(
+            [[0], np.cumsum(ntok)[:-1]]
+        )
+        return pd.DataFrame({
+            "doc_id": group[id_col].to_numpy(),
+            "n_tokens": ntok,
+            "chunk_id": before // budget,
+        })
+
+    keyed = ds.map_batches(
+        lambda b: b.append_column(
+            "bucket",
+            pa.array(
+                b[id_col].to_numpy(zero_copy_only=False) // bucket_docs,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return keyed.groupby("bucket").map_groups(assign)
+
+
+def chunk_stats(ds: rd.Dataset, budget: int,
+                bucket_docs: int = 4096) -> pa.Table:
+    """Per-chunk (chunk_id, n_docs, tokens) summary — the packing QA
+    view (budget adherence / tail chunk). O(chunks) result."""
+    packed = pack_chunks(ds, budget, bucket_docs=bucket_docs)
+    out = (
+        packed.groupby("chunk_id")
+        .aggregate(Count(), Sum("n_tokens"))
+        .to_pandas()
+        .sort_values("chunk_id")
+    )
+    return pa.table({
+        "chunk_id": pa.array(out["chunk_id"].astype("int64")),
+        "n_docs": pa.array(out["count()"].astype("int64")),
+        "tokens": pa.array(out["sum(n_tokens)"].astype("int64")),
+    })

@@ -3063,3 +3063,53 @@ def fts_export_slice(sf_dir: str) -> rd.Dataset:
         return pa.table({"doc_id": t["src_doc_id"], "lang": t["lang"]})
 
     return ds.map_batches(present, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 3: PII redaction + sequence packing (training-data prep)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048       # tokens per context window (packing probe)
+PACK_BUCKET_DOCS = 64    # small buckets force the multi-bucket prefix path
+
+
+def text_redact(sf_dir: str) -> rd.Dataset:
+    """PII redaction over the documents corpus. The synthetic corpus
+    carries no PII, so each doc is augmented with DETERMINISTIC spans
+    derived from doc_id (the ts_epoch precedent — same constants both
+    sides): an email, an IPv4, a phone. The redaction stage itself is
+    the real vectorized RE2 kernel chain (count + replace per pattern,
+    in order, no Python rows)."""
+    from .extras.redact import redact_batch
+
+    def aug_and_redact(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        s = ids.astype(str)
+        o1 = ((ids // 256) % 256).astype(str)
+        o2 = (ids % 256).astype(str)
+        ph = np.char.zfill((ids % 10_000_000).astype(str), 7)
+        txt = t["text"].to_numpy(zero_copy_only=False).astype(str)
+        aug = txt
+        for piece in (" contact user", s, "@example.com via 10.0.",
+                      o1, ".", o2, " call +1555", ph):
+            aug = np.char.add(aug, piece)
+        return redact_batch(
+            pa.table({"doc_id": t["doc_id"],
+                      "text": pa.array(aug, pa.string())})
+        )
+
+    return _docs(sf_dir).map_batches(
+        aug_and_redact, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pack_chunk_stats(sf_dir: str) -> pa.Table:
+    """Sequence packing: token-budget chunk assignment in doc_id order
+    (chunk = exclusive token prefix sum // PACK_BUDGET — contiguous,
+    never splits a doc), summarized per chunk. Distributed two-pass
+    prefix scan: O(buckets) on the driver, bounded-group shuffle."""
+    from .extras.packing import chunk_stats
+
+    return chunk_stats(
+        _docs(sf_dir), budget=PACK_BUDGET, bucket_docs=PACK_BUCKET_DOCS
+    )

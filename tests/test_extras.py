@@ -794,3 +794,115 @@ def test_stratified_sample_matches_row_number_rule():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stratified_boundaries(ds, "k", "s", 0)
+
+
+def test_redact_batch_patterns_order_and_counts():
+    """PII redaction: every pattern family redacts, counts are per-doc
+    exact, and pattern ORDER is contract (an email consumed first never
+    double-counts as an IP)."""
+    from rayfts.extras.redact import PII_PATTERNS, redact_batch
+
+    texts = [
+        "mail bob.smith+x@sub.example.org now",
+        "host 192.168.1.254 and 10.0.0.1 up",
+        "call +155512345678 today",
+        "key 0123456789abcdef0123456789abcdef leaked",
+        # order dependence: the email eats its dotted-quad host, so no
+        # IPv4 remains for the later pattern
+        "a@1.2.3.44.com",
+        "clean text with no pii at all",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = redact_batch(t)
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0, 1, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 0, 1, 0, 0, 0]
+    assert out["n_hexkey"].to_pylist() == [0, 0, 0, 1, 0, 0]
+    assert out["n_redacted"].to_pylist() == [1, 2, 1, 1, 1, 0]
+    red = out["redacted"].to_pylist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "host <IP> and <IP> up"
+    assert red[2] == "call <PHONE> today"
+    assert red[3] == "key <KEY> leaked"
+    assert red[4] == "<EMAIL>"
+    assert red[5] == texts[5]
+    # kernel == python re, pattern for pattern (RE2 vs re agreement on
+    # this conservative subset)
+    import re
+
+    for name, pat, tok in PII_PATTERNS:
+        col = out[f"n_{name}"].to_pylist()
+        # counts computed on the progressively-redacted stream, so
+        # replay the same order in python
+    stream = list(texts)
+    for name, pat, tok in PII_PATTERNS:
+        want = [len(re.findall(pat, s)) for s in stream]
+        assert out[f"n_{name}"].to_pylist() == want, name
+        stream = [re.sub(pat, tok, s) for s in stream]
+    assert red == stream
+
+
+def test_redact_dataset_streams():
+    from rayfts.extras.redact import redact_dataset
+
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array(
+            [f"u{i}@x.io on 10.0.0.{i % 256}" for i in range(100)],
+            pa.string()),
+    })
+    out = redact_dataset(rd.from_arrow(t).repartition(5)).to_pandas()
+    assert len(out) == 100
+    assert (out.n_email == 1).all() and (out.n_ipv4 == 1).all()
+    assert out.redacted.str.contains("<EMAIL> on <IP>").all()
+
+
+def test_pack_chunks_matches_bruteforce_and_never_splits():
+    """Sequence packing: distributed two-pass prefix == the sequential
+    rule; chunks contiguous in doc order; a doc never splits; input row
+    order / partitioning irrelevant (doc_id order is the contract)."""
+    from rayfts.extras.packing import chunk_stats, pack_chunks
+    from rayfts.analysis import tokens_flat
+
+    rng = np.random.default_rng(7)
+    n = 500
+    texts = [
+        " ".join(f"w{j}" for j in range(int(rng.integers(1, 40))))
+        for _ in range(n)
+    ]
+    ids = np.arange(n, dtype=np.int64)
+    perm = rng.permutation(n)  # scrambled input order
+    t = pa.table({"doc_id": pa.array(ids[perm]),
+                  "text": pa.array([texts[i] for i in perm], pa.string())})
+    budget = 64
+    got = (
+        pack_chunks(rd.from_arrow(t).repartition(7), budget,
+                    bucket_docs=32)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # brute force in doc order
+    ntok = [len(tx.split()) for tx in texts]
+    prefix = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    want_chunk = prefix // budget
+    assert got.doc_id.tolist() == list(range(n))
+    assert got.n_tokens.tolist() == ntok
+    assert got.chunk_id.tolist() == want_chunk.tolist()
+    # contiguity: chunk ids are non-decreasing in doc order
+    assert (np.diff(got.chunk_id.to_numpy()) >= 0).all()
+    # stats view agrees
+    st = chunk_stats(rd.from_arrow(t), budget, bucket_docs=32).to_pandas()
+    agg = got.groupby("chunk_id").agg(
+        n_docs=("doc_id", "size"), tokens=("n_tokens", "sum"))
+    assert st.chunk_id.tolist() == agg.index.tolist()
+    assert st.n_docs.tolist() == agg.n_docs.tolist()
+    assert st.tokens.tolist() == agg.tokens.tolist()
+    # every chunk except possibly the last crosses the budget only via
+    # its final doc (greedy fill, close on overflow)
+    for cid, grp in got.groupby("chunk_id"):
+        toks = grp.n_tokens.to_numpy()
+        starts = prefix[grp.doc_id.to_numpy()]
+        assert (starts // budget == cid).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_chunks(rd.from_arrow(t), 0)
