@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernel chain) + sequence packing (distributed prefix scan)
         "text_redact": P.text_redact,
         "pack_chunk_stats": P.pack_chunk_stats,
+        # round-5 batch 4: ES 8 hybrid retrieval (knn + query sum rule)
+        "fts_hybrid_knn": P.fts_hybrid_knn,
     }
 
 
@@ -2261,5 +2263,38 @@ c AS (
 )
 SELECT chunk_id, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens
 FROM c GROUP BY chunk_id ORDER BY chunk_id
+""",
+
+        # hybrid retrieval: BM25 scores CTE + knn cosine section (the
+        # knn_cosine_top10 formula), sum rule over a FULL OUTER JOIN
+        "fts_hybrid_knn": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+kq AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = {P.HYBRID_QUERY_VEC}
+),
+kv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+kd AS (
+  SELECT kv.vec_id, sum(kv.val * kq.val) AS dot,
+         sum(kv.val * kv.val) AS n2, sum(kq.val * kq.val) AS q2
+  FROM kv JOIN kq USING (i) GROUP BY kv.vec_id
+),
+knn AS (
+  SELECT vec_id AS doc_id, dot / (sqrt(n2) * sqrt(q2)) AS cos
+  FROM kd ORDER BY cos DESC, vec_id LIMIT {P.HYBRID_KNN_K}
+),
+cand AS (
+  SELECT coalesce(s2.doc_id, kn.doc_id) AS doc_id,
+         coalesce(s2.score, 0.0)
+           + coalesce({P.HYBRID_KNN_BOOST} * kn.cos, 0.0) AS h
+  FROM scores s2 FULL OUTER JOIN knn kn USING (doc_id)
+)
+SELECT doc_id, CAST(round(h * 1e6) AS BIGINT) AS score_e6
+FROM cand ORDER BY h DESC, doc_id LIMIT 10
 """,
     }

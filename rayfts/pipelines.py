@@ -3113,3 +3113,53 @@ def pack_chunk_stats(sf_dir: str) -> pa.Table:
     return chunk_stats(
         _docs(sf_dir), budget=PACK_BUDGET, bucket_docs=PACK_BUCKET_DOCS
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 4: hybrid retrieval (ES 8 top-level knn + query)
+# ---------------------------------------------------------------------------
+
+HYBRID_KNN_K = 20       # knn section size (the ES `k` under `knn`)
+HYBRID_KNN_BOOST = 2.0  # knn section boost
+HYBRID_QUERY_VEC = 0    # query vector = embeddings row 0 (deterministic)
+
+
+def fts_hybrid_knn(sf_dir: str) -> pa.Table:
+    """ES 8 hybrid retrieval: top-level `knn` (cosine top-HYBRID_KNN_K
+    over the embeddings table — the DISTRIBUTED ANN stage, per-block
+    matmul + driver merge of O(k) candidates) combined with `query`
+    (BM25_QUERY); scores of the two sections ADD for docs in both —
+    the ES sum rule. vec_id joins documents.doc_id; the src->dense
+    mapping is carried explicitly, never assumed."""
+    import pyarrow.dataset as pads
+
+    from .extras.similarity import knn_cosine
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qrow = pads.dataset(emb_path).to_table(
+        filter=(pads.field("vec_id") == HYBRID_QUERY_VEC)
+    )
+    qvec = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+    knn = knn_cosine(rd.read_parquet(emb_path), qvec, k=HYBRID_KNN_K)
+
+    index_dir = documents_index(sf_dir)
+    dense_to_src = _dense_to_src(index_dir)
+    src_to_dense = np.zeros(dense_to_src.size, dtype=np.int64)
+    src_to_dense[dense_to_src] = np.arange(dense_to_src.size)
+    knn_hits = [
+        (int(src_to_dense[v]), float(c))
+        for v, c in zip(knn["vec_id"].to_pylist(),
+                        knn["cosine_sim"].to_pylist())
+    ]
+    s = Searcher(index_dir)
+    rows = s.knn_hybrid_search(
+        BM25_QUERY, knn_hits, k=10, knn_boost=HYBRID_KNN_BOOST
+    )
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[d]) for d, _ in rows], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in rows], pa.int64()
+        ),
+    })

@@ -1136,6 +1136,48 @@ class Searcher(SuggestAPI):
             for i in order
         ]
 
+    def knn_hybrid_search(self, query: str, knn_hits: list[tuple],
+                          k: int = 10,
+                          knn_boost: float = 1.0) -> list[tuple]:
+        """ES 8 hybrid retrieval (top-level ``knn`` clause combined with
+        ``query``): final score = BM25(query) + knn_boost · similarity
+        for docs in the kNN result set, plain BM25 for text-only hits,
+        boosted similarity alone for vector-only hits — exactly the ES
+        sum-of-sections rule. ``knn_hits`` is the [(doc_id, similarity)]
+        set a distributed ANN stage produced (extras.similarity
+        knn_cosine / LSH / IVF — the num_candidates phase runs OUT THERE
+        over the embeddings Dataset; this method is the O(knn_k) driver
+        combine + one TAAT pass). Candidates = text hits ∪ knn docs,
+        tombstones excluded; order (score desc, doc asc).
+
+        Returns [(doc_id, score)] — scores bit-compatible with search()
+        for docs outside the knn set (same dense TAAT kernel)."""
+        hits = self._hit_mask(query)
+        if hits is not None:
+            buf = self._dense_scores(query)
+            cand = hits.copy()
+        else:
+            buf = np.zeros(self.N, dtype=np.float64)
+            cand = np.zeros(self.N, dtype=bool)
+        for d, sim in knn_hits:
+            if 0 <= d < self.N:
+                buf[d] += knn_boost * sim
+                cand[d] = True
+        if self.excluded.size:
+            cand[self.excluded] = False
+        idx = np.flatnonzero(cand)
+        if idx.size == 0:
+            return []
+        sc = buf[idx]
+        take = min(k, idx.size)
+        if idx.size > take:
+            kth = np.partition(-sc, take - 1)[take - 1]
+            pick = np.flatnonzero(-sc <= kth)
+        else:
+            pick = np.arange(idx.size)
+        order = pick[np.lexsort((idx[pick], -sc[pick]))][:take]
+        return [(int(idx[i]), float(sc[i])) for i in order]
+
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",
                         must_not: str | None = None) -> int:
@@ -5076,6 +5118,47 @@ class MultiSearcher(SuggestAPI):
             (t, df) for t, df in total.items() if df >= min_df
         )
         return rows[:size]
+
+    def knn_hybrid_search(self, query: str, knn_hits: list[tuple],
+                          k: int = 10,
+                          knn_boost: float = 1.0) -> list[tuple]:
+        """Sharded hybrid retrieval: knn doc_ids are GLOBAL — each
+        segment scores its own slice (global-df weights, the sharded
+        TAAT op sequence) plus the knn adds routed by offset, takes a
+        local top-k, and the driver merges O(k·segments) rows — scores
+        identical to the single-index combine by construction."""
+        terms, weights = self._global_weights(query)
+        rows: list[tuple] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            hits = seg._hit_mask(query)
+            if hits is not None:
+                buf = self._seg_dense_scores(si, seg, terms, weights)
+                cand = hits.copy()
+            else:
+                buf = np.zeros(seg.N, dtype=np.float64)
+                cand = np.zeros(seg.N, dtype=bool)
+            for d, sim in knn_hits:
+                ld = d - off
+                if 0 <= ld < seg.N:
+                    buf[ld] += knn_boost * sim
+                    cand[ld] = True
+            if seg.excluded.size:
+                cand[seg.excluded] = False
+            idx = np.flatnonzero(cand)
+            if idx.size == 0:
+                continue
+            sc = buf[idx]
+            take = min(k, idx.size)
+            if idx.size > take:
+                kth = np.partition(-sc, take - 1)[take - 1]
+                pick = np.flatnonzero(-sc <= kth)
+            else:
+                pick = np.arange(idx.size)
+            order = pick[np.lexsort((idx[pick], -sc[pick]))][:take]
+            rows.extend((int(idx[i]) + off, float(sc[i])) for i in order)
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
 
     def _moment_stats(self, query: str, field: str,
                       where: dict | None = None, mode: str = "or",

@@ -2111,3 +2111,31 @@ def test_export_slices_partition_hit_set(index_dir, oracle):
     assert sorted(seen) == full
     with pytest.raises(ValueError):
         export_hits(index_dir, q, slice_id=3, slice_max=3)
+
+
+def test_knn_hybrid_search_sum_rule(index_dir, oracle):
+    """Hybrid knn+query: text-only docs keep BM25, vector-only docs get
+    boost*sim, overlap docs SUM — verified against the brute-force
+    ranking; out-of-range knn ids ignored."""
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    q = "the w0007 bash"
+    full = dict(idx.search(q, k=idx.N))
+    # deterministic fake ANN results: every 7th doc, sim in (0, 1]
+    knn = [(d, ((d * 37) % 100 + 1) / 100.0) for d in range(0, idx.N, 7)]
+    boost = 2.5
+    scores = dict(full)
+    for d, sim in knn:
+        scores[d] = scores.get(d, 0.0) + boost * sim
+    want = sorted(scores.items(), key=lambda r: (-r[1], r[0]))[:10]
+    got = s.knn_hybrid_search(q, knn + [(idx.N + 5, 0.9), (-3, 0.9)],
+                              k=10, knn_boost=boost)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-9)
+    # no text hits: pure vector ranking
+    vec_only = s.knn_hybrid_search("zzzz_absent", knn[:5], k=5,
+                                   knn_boost=1.0)
+    assert [d for d, _ in vec_only] == \
+        [d for d, _ in sorted(knn[:5], key=lambda r: (-r[1], r[0]))]
+    assert s.knn_hybrid_search("zzzz_absent", [], k=5) == []

@@ -437,3 +437,17 @@ def test_sharded_round5_batch2_equal_global(indexes):
     mw = multi.has_parent_search(q, "conv_id", k=15,
                                  child_where={"role": "tool"})
     assert [(d, v) for d, _, v in mw] == [(d, v) for d, _, v in hw]
+
+
+def test_sharded_knn_hybrid_equals_global(indexes):
+    """Hybrid knn+query: per-segment combine with offset-routed knn adds
+    merges to the single-index ranking bit-for-bit."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    knn = [(d, ((d * 13) % 97 + 1) / 97.0) for d in range(0, single.N, 5)]
+    for q in ("the w0007 bash", "zzzz_absent"):
+        hs = single.knn_hybrid_search(q, knn, k=12, knn_boost=1.7)
+        hm = multi.knn_hybrid_search(q, knn, k=12, knn_boost=1.7)
+        assert [d for d, _ in hm] == [d for d, _ in hs], q
+        for (_, a), (_, b) in zip(hm, hs):
+            assert abs(a - b) < 1e-12, q
