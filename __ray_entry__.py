@@ -359,6 +359,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunk_stats": P.pack_chunk_stats,
         # round-5 batch 4: ES 8 hybrid retrieval (knn + query sum rule)
         "fts_hybrid_knn": P.fts_hybrid_knn,
+        # variable_width_histogram: deterministic exact 1D k-means —
+        # intentionally NO oracle_sql entry (the DP optimum is not
+        # SQL-expressible; ES's own result is collection-order-dependent).
+        # The pytest twin proves optimality by exhaustive enumeration.
+        "fts_var_width_hist": P.fts_var_width_hist,
     }
 
 

@@ -3163,3 +3163,25 @@ def fts_hybrid_knn(sf_dir: str) -> pa.Table:
             [int(round(sc * 1e6)) for _, sc in rows], pa.int64()
         ),
     })
+
+
+VAR_WIDTH_BUCKETS = 5
+
+
+def fts_var_width_hist(sf_dir: str) -> pa.Table:
+    """ES variable_width_histogram over n_chars of BM25_QUERY hits —
+    the engine's deterministic exact-1D-k-means variant (ES's own
+    output is collection-order-dependent, so there is no SQL oracle;
+    the pytest twin proves DP optimality by exhaustive partition
+    enumeration)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.variable_width_histogram_agg(
+        BM25_QUERY, "n_chars", buckets=VAR_WIDTH_BUCKETS
+    )
+    return pa.table({
+        "bucket": pa.array(range(len(rows)), pa.int64()),
+        "vmin": pa.array([int(r[0]) for r in rows], pa.int64()),
+        "vmax": pa.array([int(r[1]) for r in rows], pa.int64()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+        "total": pa.array([int(r[3]) for r in rows], pa.int64()),
+    })

@@ -294,6 +294,73 @@ def sibling_bucket_aggs(buckets: list[tuple]) -> dict:
     }
 
 
+def variable_width_buckets(hist: dict, k: int) -> list[tuple]:
+    """ES variable_width_histogram analog, made DETERMINISTIC: ES ships a
+    one-pass approximate clusterer (results depend on shard/collection
+    order); this engine computes the EXACT optimum — the contiguous
+    partition of the value axis into ``k`` clusters minimizing total
+    within-cluster weighted SSE (the 1D k-means objective, solved by
+    dynamic programming over sorted distinct values with O(1) interval
+    costs from prefix sums — the Ckmeans.1d.dp formulation; Wang & Song
+    2011, R Journal 3(2), public algorithm). Ties break toward the
+    SMALLER split index, so the result is a pure function of the value
+    histogram — which is exactly what a sharded merge produces, making
+    sharded == single by construction.
+
+    ``hist`` maps value -> doc count (the per-segment exact histogram).
+    Returns [(min, max, count, sum)] per bucket, value-ascending —
+    count/sum exact ints for integral columns (centroid = sum/count is
+    the caller's division, the engine's exact-pair convention)."""
+    if k < 1:
+        raise ValueError("buckets must be >= 1")
+    if not hist:
+        return []
+    vals = np.array(sorted(hist), dtype=np.float64)
+    w = np.array([hist[v] for v in sorted(hist)], dtype=np.float64)
+    m = vals.size
+    k = min(k, m)
+    cw = np.concatenate([[0.0], np.cumsum(w)])
+    cs = np.concatenate([[0.0], np.cumsum(w * vals)])
+    cq = np.concatenate([[0.0], np.cumsum(w * vals * vals)])
+
+    def cost(a: int, b: int) -> float:
+        # weighted SSE of vals[a..b] inclusive (0-indexed)
+        W = cw[b + 1] - cw[a]
+        S = cs[b + 1] - cs[a]
+        Q = cq[b + 1] - cq[a]
+        return Q - S * S / W
+
+    INF = float("inf")
+    D = np.full((k + 1, m + 1), INF)
+    back = np.zeros((k + 1, m + 1), dtype=np.int64)
+    D[0][0] = 0.0
+    for j in range(1, k + 1):
+        for i in range(j, m + 1):
+            best, barg = INF, j - 1
+            for a in range(j - 1, i):
+                c = D[j - 1][a] + cost(a, i - 1)
+                if c < best - 1e-12:  # strict: ties keep smaller a
+                    best, barg = c, a
+            D[j][i] = best
+            back[j][i] = barg
+    # reconstruct
+    cuts = []
+    i = m
+    for j in range(k, 0, -1):
+        a = int(back[j][i])
+        cuts.append((a, i - 1))
+        i = a
+    cuts.reverse()
+    svals = sorted(hist)
+    out = []
+    for a, b in cuts:
+        seg = svals[a:b + 1]
+        cnt = sum(hist[v] for v in seg)
+        tot = sum(hist[v] * v for v in seg)
+        out.append((seg[0], seg[-1], cnt, tot))
+    return out
+
+
 def _where_key(where: dict) -> tuple:
     """Hashable cache key for a ``where`` spec (scalar equality, None for
     is-null, or an ES-style range dict {gte/gt/lte/lt: bound})."""
@@ -1423,6 +1490,59 @@ class Searcher(SuggestAPI):
 
             states.append(map_script(fields))
         return reduce_script(states)
+
+    def _numeric_value_hist(self, query: str, field: str,
+                            where: dict | None = None, mode: str = "or",
+                            must_not: str | None = None) -> dict:
+        """Exact value -> doc-count histogram of a numeric column over
+        the hit set (one np.unique) — the per-segment unit the
+        variable_width clusterer consumes; sharded merges sum these
+        exactly like facet histograms."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {}
+        vals, valid = self._numeric_col(field)
+        sel = vals[hits & valid]
+        if sel.size == 0:
+            return {}
+        u, c = np.unique(sel, return_counts=True)
+        return {float(v): int(n) for v, n in zip(u, c)}
+
+    def variable_width_histogram_agg(self, query: str, field: str,
+                                     buckets: int = 4,
+                                     where: dict | None = None,
+                                     mode: str = "or",
+                                     must_not: str | None = None
+                                     ) -> list[tuple]:
+        """ES variable_width_histogram analog over the hit set —
+        deterministic exact 1D k-means via :func:`variable_width_buckets`
+        (ES's own result is collection-order-dependent; pinning the
+        optimum makes it reproducible and shard-invariant). Returns
+        [(min, max, count, sum)] value-ascending."""
+        return variable_width_buckets(
+            self._numeric_value_hist(query, field, where, mode, must_not),
+            buckets,
+        )
+
+    def mtermvectors(self, doc_ids: list[int]) -> list[tuple]:
+        """ES _mtermvectors API: termvectors for several docs in ONE
+        call, input-order-preserving, missing/tombstoned doc -> KeyError
+        (the multiget S8 convention — fail loudly, never silently skip).
+        Returns [(doc_id, termvectors_rows)]."""
+        return [(int(d), self.termvectors(int(d))) for d in doc_ids]
+
+    def shards(self) -> list[dict]:
+        """ES _search_shards / _cat/shards analog: one descriptor per
+        shard — a single index is one shard. Fields: doc offset, total
+        docs, live docs, index path — what a router needs to plan a
+        sharded query."""
+        return [{
+            "shard": 0,
+            "offset": 0,
+            "n_docs": int(self.N),
+            "live_docs": int(self.N - self.excluded.size),
+            "index_dir": self.index_dir,
+        }]
 
     def weighted_avg_agg(self, query: str, field: str, weight_field: str,
                          where: dict | None = None, mode: str = "or",
@@ -5179,6 +5299,37 @@ class MultiSearcher(SuggestAPI):
         return n, s, ss
 
     t_test_agg = Searcher.t_test_agg
+
+    def _numeric_value_hist(self, query: str, field: str,
+                            where: dict | None = None, mode: str = "or",
+                            must_not: str | None = None) -> dict:
+        """Sharded value histogram: per-segment exact histograms sum —
+        so the variable_width DP sees the SAME input as a single index
+        and (deterministic tie-breaks) returns the same buckets."""
+        total: dict = {}
+        for seg in self.segments:
+            for v, c in seg._numeric_value_hist(
+                query, field, where, mode, must_not
+            ).items():
+                total[v] = total.get(v, 0) + c
+        return total
+
+    variable_width_histogram_agg = Searcher.variable_width_histogram_agg
+
+    def mtermvectors(self, doc_ids: list[int]) -> list[tuple]:
+        """Sharded _mtermvectors: each doc routes to its owning segment
+        (global-id offsets), input order preserved, missing raises."""
+        return [(int(d), self.termvectors(int(d))) for d in doc_ids]
+
+    def shards(self) -> list[dict]:
+        """ES _search_shards analog: one descriptor per segment."""
+        return [{
+            "shard": si,
+            "offset": int(self.offsets[si]),
+            "n_docs": int(seg.N),
+            "live_docs": int(seg.N - seg.excluded.size),
+            "index_dir": seg.index_dir,
+        } for si, seg in enumerate(self.segments)]
 
     def scripted_metric(self, query: str, map_script, reduce_script,
                         where: dict | None = None, mode: str = "or",

@@ -2139,3 +2139,80 @@ def test_knn_hybrid_search_sum_rule(index_dir, oracle):
     assert [d for d, _ in vec_only] == \
         [d for d, _ in sorted(knn[:5], key=lambda r: (-r[1], r[0]))]
     assert s.knn_hybrid_search("zzzz_absent", [], k=5) == []
+
+
+def test_variable_width_buckets_exact_optimum():
+    """DP == exhaustive enumeration of every contiguous k-partition
+    (weighted SSE objective) on random small histograms; plus shape
+    properties and degenerate cases."""
+    from itertools import combinations
+
+    from rayfts.search import variable_width_buckets
+
+    rng = np.random.default_rng(3)
+
+    def sse(vals, w):
+        W = w.sum()
+        mu = (vals * w).sum() / W
+        return (w * (vals - mu) ** 2).sum()
+
+    for trial in range(8):
+        m = int(rng.integers(3, 9))
+        vals = np.sort(rng.choice(np.arange(0, 50), size=m, replace=False)
+                       ).astype(float)
+        w = rng.integers(1, 6, size=m).astype(float)
+        hist = {float(v): int(c) for v, c in zip(vals, w)}
+        for k in range(1, m + 1):
+            got = variable_width_buckets(hist, k)
+            got_cost = 0.0
+            for vmin, vmax, _, _ in got:
+                sel = (vals >= vmin) & (vals <= vmax)
+                got_cost += sse(vals[sel], w[sel])
+            best = min(
+                sum(
+                    sse(vals[a:b], w[a:b])
+                    for a, b in zip((0,) + cuts, cuts + (m,))
+                )
+                for cuts in combinations(range(1, m), k - 1)
+            )
+            assert got_cost == pytest.approx(best, abs=1e-9), (trial, k)
+            # coverage: counts sum, buckets ordered and disjoint
+            assert sum(r[2] for r in got) == int(w.sum())
+            for (a, b), (c, d) in zip(
+                [(r[0], r[1]) for r in got],
+                [(r[0], r[1]) for r in got[1:]],
+            ):
+                assert b < c
+    # k >= distinct values: one bucket per value
+    hist = {1.0: 2, 5.0: 1}
+    assert variable_width_buckets(hist, 10) == \
+        [(1.0, 1.0, 2, 2.0), (5.0, 5.0, 1, 5.0)]
+    assert variable_width_buckets({}, 3) == []
+    with pytest.raises(ValueError):
+        variable_width_buckets(hist, 0)
+
+
+def test_variable_width_agg_mtermvectors_shards(index_dir, oracle):
+    """Searcher surface: variable_width over the hit set consumes the
+    exact value histogram; mtermvectors preserves order and raises on
+    missing; shards() descriptor is coherent."""
+    idx, t = oracle
+    s = Searcher(index_dir)
+    q = "the bash"
+    hits = sorted(d for d, _ in idx.search(q, k=idx.N))
+    tix = t["turn_idx"].to_pylist()
+    vals = [tix[d] for d in hits]
+    rows = s.variable_width_histogram_agg(q, "turn_idx", buckets=3)
+    assert sum(r[2] for r in rows) == len(vals)
+    assert sum(r[3] for r in rows) == sum(vals)
+    assert rows[0][0] == min(vals) and rows[-1][1] == max(vals)
+    # mtermvectors == per-doc termvectors, order preserved
+    got = s.mtermvectors([5, 2, 9])
+    assert [d for d, _ in got] == [5, 2, 9]
+    for d, tv in got:
+        assert tv == s.termvectors(d)
+    with pytest.raises(KeyError):
+        s.mtermvectors([0, 10 ** 9])
+    sh = s.shards()
+    assert len(sh) == 1 and sh[0]["n_docs"] == idx.N \
+        and sh[0]["live_docs"] == idx.N

@@ -451,3 +451,17 @@ def test_sharded_knn_hybrid_equals_global(indexes):
         assert [d for d, _ in hm] == [d for d, _ in hs], q
         for (_, a), (_, b) in zip(hm, hs):
             assert abs(a - b) < 1e-12, q
+
+
+def test_sharded_var_width_mtv_shards_equal_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    q = "the bash"
+    assert multi.variable_width_histogram_agg(q, "turn_idx", buckets=4) \
+        == single.variable_width_histogram_agg(q, "turn_idx", buckets=4)
+    ids = [3, multi.N - 1, 0]
+    assert multi.mtermvectors(ids) == single.mtermvectors(ids)
+    sh = multi.shards()
+    assert len(sh) == 2
+    assert sh[0]["offset"] == 0 and sh[1]["offset"] == sh[0]["n_docs"]
+    assert sum(x["n_docs"] for x in sh) == single.N
