@@ -364,6 +364,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-expressible; ES's own result is collection-order-dependent).
         # The pytest twin proves optimality by exhaustive enumeration.
         "fts_var_width_hist": P.fts_var_width_hist,
+        # round-5 batch 6: ES similarity modules (same index, pluggable
+        # scoring — classic TF-IDF is the reference-era ES default)
+        "fts_lmd_top10": P.fts_lmd_top10,
+        "fts_classic_top10": P.fts_classic_top10,
+        "fts_boolean_top10": P.fts_boolean_top10,
     }
 
 
@@ -2301,5 +2306,55 @@ cand AS (
 )
 SELECT doc_id, CAST(round(h * 1e6) AS BIGINT) AS score_e6
 FROM cand ORDER BY h DESC, doc_id LIMIT 10
+""",
+        # similarity modules: per-doc closed forms over the toks/dl
+        # CTEs — one float-op order shared with the engine
+        "fts_lmd_top10": f"""
+WITH {_TOKS_CTE},
+{_DL_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('data','join','spark','the') GROUP BY doc_id, term),
+cs AS (SELECT term, count(*) AS cf FROM toks
+       WHERE term IN ('data','join','spark','the') GROUP BY term),
+tot AS (SELECT count(*) AS tc FROM toks),
+sc AS (
+  SELECT tf.doc_id,
+         sum(greatest(0, ln(1 + tf.tf * (tot.tc / (2000.0 * cs.cf)))
+                         + ln(2000.0 / (dl.dl + 2000.0)))) AS score
+  FROM tf JOIN cs USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM sc ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "fts_classic_top10": f"""
+WITH {_TOKS_CTE},
+{_DL_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('data','join','spark','the') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('data','join','spark','the') GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id,
+         sum(sqrt(tf.tf) * (1 + ln(n.n / (dfs.df + 1.0)))
+                         * (1 + ln(n.n / (dfs.df + 1.0)))) AS s,
+         count(*) AS m
+  FROM tf JOIN dfs USING (term) CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT sc.doc_id,
+       CAST(round(sc.s * sc.m / 4 / sqrt(dl.dl) * 1e6) AS BIGINT)
+         AS score_e6
+FROM sc JOIN dl USING (doc_id)
+ORDER BY sc.s * sc.m / 4 / sqrt(dl.dl) DESC, sc.doc_id LIMIT 10
+""",
+        "fts_boolean_top10": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       CAST(count(DISTINCT term) * 1000000 AS BIGINT) AS score_e6
+FROM toks WHERE term IN ('data','join','spark','the')
+GROUP BY doc_id
+ORDER BY count(DISTINCT term) DESC, doc_id LIMIT 10
 """,
     }

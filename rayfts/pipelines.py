@@ -3185,3 +3185,41 @@ def fts_var_width_hist(sf_dir: str) -> pa.Table:
         "n_docs": pa.array([r[2] for r in rows], pa.int64()),
         "total": pa.array([int(r[3]) for r in rows], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 6: ES similarity modules (the mapping-level `similarity`
+# setting — reference-era ES defaulted to Lucene classic TF-IDF)
+# ---------------------------------------------------------------------------
+
+
+def _sim_table(sf_dir: str, similarity: str) -> pa.Table:
+    s = Searcher(documents_index(sf_dir))
+    rows = s.search_similarity(BM25_QUERY, k=10, similarity=similarity)
+    dense_to_src = _dense_to_src(documents_index(sf_dir))
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[d]) for d, _ in rows], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in rows], pa.int64()
+        ),
+    })
+
+
+def fts_lmd_top10(sf_dir: str) -> pa.Table:
+    """LM Dirichlet similarity (Lucene LMDirichletSimilarity, mu=2000)
+    over BM25_QUERY — same index, different scoring model."""
+    return _sim_table(sf_dir, "lmd")
+
+
+def fts_classic_top10(sf_dir: str) -> pa.Table:
+    """Lucene classic TF-IDF (the reference-era ES default similarity):
+    coord * sum(sqrt(tf) * idf^2) / sqrt(dl), queryNorm omitted
+    (rank-invariant), norms exact (no byte quantization)."""
+    return _sim_table(sf_dir, "classic")
+
+
+def fts_boolean_top10(sf_dir: str) -> pa.Table:
+    """BooleanSimilarity: score = matched clause count (boost sum)."""
+    return _sim_table(sf_dir, "boolean")

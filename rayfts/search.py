@@ -1245,6 +1245,107 @@ class Searcher(SuggestAPI):
         order = pick[np.lexsort((idx[pick], -sc[pick]))][:take]
         return [(int(idx[i]), float(sc[i])) for i in order]
 
+    SIMILARITIES = ("lmd", "classic", "boolean")
+    LMD_MU = 2000.0  # Lucene LMDirichletSimilarity default
+
+    def _sim_accumulate(self, qtf: dict, stats: dict, N: int, TC: float,
+                        similarity: str, mu: float):
+        """One index's (score buffer, matched-clause counts) under a
+        non-BM25 similarity, GLOBAL stats injected (a MultiSearcher
+        passes merged df/cf/N/total-tokens so sharded == single by
+        construction). Vectorized per term over live postings."""
+        buf = np.zeros(self.N, dtype=np.float64)
+        cnt = np.zeros(self.N, dtype=np.int32)
+        for term in sorted(qtf):
+            st = stats.get(term)
+            if st is None:
+                continue
+            df, cf = st
+            p = self.lookup(term)
+            if p is None:
+                continue
+            if p.live_mask is None:
+                ids, tfs = p.doc_ids, p.tfs
+            else:
+                ids, tfs = p.doc_ids[p.live_mask], p.tfs[p.live_mask]
+            if ids.size == 0:
+                continue
+            w = qtf[term]
+            if similarity == "boolean":
+                buf[ids] += w
+            elif similarity == "lmd":
+                dls = self.dl[ids].astype(np.float64)
+                sc = np.log1p(tfs.astype(np.float64) * (TC / (mu * cf))) \
+                    + np.log(mu / (dls + mu))
+                buf[ids] += w * np.maximum(sc, 0.0)
+            else:  # classic
+                idf = 1.0 + math.log(N / (df + 1.0))
+                buf[ids] += w * np.sqrt(tfs.astype(np.float64)) * idf * idf
+            cnt[ids] += 1
+        return buf, cnt
+
+    def search_similarity(self, query: str, k: int = 10,
+                          similarity: str = "lmd",
+                          mu: float = LMD_MU) -> list[tuple]:
+        """ES similarity-module analog: the SAME index served under a
+        non-BM25 scoring model, the per-field ``similarity`` setting of
+        ES mappings. The reference plugin's ES generation (0.90/1.x)
+        defaulted to Lucene CLASSIC TF-IDF, so this closes the era-parity
+        gap; 'lmd' and 'boolean' are the other stock Lucene modules that
+        need no extra index state.
+
+        Pinned formulas (one float-op order, shared with the SQL
+        oracles; per-term, summed over matching clauses):
+        - lmd (LMDirichletSimilarity, ``mu`` default 2000): qtf ·
+          max(0, ln(1 + tf·(TC/(mu·cf))) + ln(mu/(dl+mu))), TC = total
+          corpus tokens — Lucene's per-clause >= 0 clamp included;
+        - classic (ClassicSimilarity): [Σ qtf·sqrt(tf)·idf²] · coord /
+          sqrt(dl), idf = 1 + ln(N/(df+1)), coord = matched/total query
+          clauses (absent-from-index clauses still count in the
+          denominator, the BooleanQuery maxOverlap rule). DIVERGENCES,
+          documented: queryNorm omitted (a per-query constant — rank
+          order unchanged) and norms kept EXACT instead of Lucene's
+          lossy byte quantization;
+        - boolean (BooleanSimilarity): qtf (the clause boost) per match.
+
+        Candidates = docs matching >= 1 live clause (an all-common-terms
+        lmd doc may legitimately score 0.0 but still hits). Order
+        (score desc, doc asc). Returns [(doc_id, score)]."""
+        if similarity not in self.SIMILARITIES:
+            raise ValueError(f"unknown similarity {similarity!r}")
+        qtf = self._qweights(query)
+        stats = {}
+        for t in qtf:
+            p = self.lookup(t)
+            if p is not None:
+                stats[t] = (int(p.df), int(p.cf))
+        buf, cnt = self._sim_accumulate(
+            qtf, stats, self.N, self._total_tokens(), similarity, mu
+        )
+        return self._sim_finalize(buf, cnt, len(qtf), similarity, k,
+                                  dl=self.dl)
+
+    @staticmethod
+    def _sim_finalize(buf, cnt, n_clauses: int, similarity: str,
+                      k: int, dl=None) -> list[tuple]:
+        """coord/norm finalization + top-k (score desc, doc asc)."""
+        idx = np.flatnonzero(cnt > 0)
+        if idx.size == 0:
+            return []
+        sc = buf[idx]
+        if similarity == "classic":
+            sc = sc * cnt[idx] / n_clauses / np.sqrt(
+                np.maximum(dl[idx].astype(np.float64), 1.0)
+            )
+        take = min(k, idx.size)
+        if idx.size > take:
+            kth = np.partition(-sc, take - 1)[take - 1]
+            pick = np.flatnonzero(-sc <= kth)
+        else:
+            pick = np.arange(idx.size)
+        order = pick[np.lexsort((idx[pick], -sc[pick]))][:take]
+        return [(int(idx[i]), float(sc[i])) for i in order]
+
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",
                         must_not: str | None = None) -> int:
@@ -5299,6 +5400,44 @@ class MultiSearcher(SuggestAPI):
         return n, s, ss
 
     t_test_agg = Searcher.t_test_agg
+
+    def search_similarity(self, query: str, k: int = 10,
+                          similarity: str = "lmd",
+                          mu: float = Searcher.LMD_MU) -> list[tuple]:
+        """Sharded similarity-module search: GLOBAL df/cf/N/total-tokens
+        feed every segment's accumulate (the _global_weights pattern for
+        non-BM25 models), each segment finalizes + takes a local top-k
+        with its own dl array, and the driver merges O(k·segments) rows
+        — identical to the single-index run by construction."""
+        if similarity not in Searcher.SIMILARITIES:
+            raise ValueError(f"unknown similarity {similarity!r}")
+        qtf = self._qweights(query)
+        stats: dict = {}
+        for t in qtf:
+            df_g = 0
+            cf_g = 0
+            for seg in self.segments:
+                p = seg.lookup(t)
+                if p is not None:
+                    df_g += int(p.df)
+                    cf_g += int(p.cf)
+            if df_g:
+                stats[t] = (df_g, cf_g)
+        TC = self._total_tokens()
+        rows: list[tuple] = []
+        for si, seg in enumerate(self.segments):
+            buf, cnt = seg._sim_accumulate(
+                qtf, stats, self.N, TC, similarity, mu
+            )
+            off = int(self.offsets[si])
+            rows.extend(
+                (d + off, sc)
+                for d, sc in Searcher._sim_finalize(
+                    buf, cnt, len(qtf), similarity, k, dl=seg.dl
+                )
+            )
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
 
     def _numeric_value_hist(self, query: str, field: str,
                             where: dict | None = None, mode: str = "or",

@@ -2216,3 +2216,59 @@ def test_variable_width_agg_mtermvectors_shards(index_dir, oracle):
     sh = s.shards()
     assert len(sh) == 1 and sh[0]["n_docs"] == idx.N \
         and sh[0]["live_docs"] == idx.N
+
+
+def test_search_similarity_matches_bruteforce(index_dir, oracle):
+    """Similarity modules: lmd / classic / boolean recomputed from raw
+    token streams (python floats, same op order) — rank + score(1e-9)
+    identical; tombstones and unknown names covered."""
+    import math
+
+    from collections import Counter
+
+    _, t = oracle
+    s = Searcher(index_dir)
+    toks = [tokenize(x) for x in t["text"].to_pylist()]
+    tfs = [Counter(x) for x in toks]
+    dl = [len(x) for x in toks]
+    TC = float(sum(dl))
+    N = len(toks)
+    q = "the w0007 bash"
+    q_terms = sorted(set(tokenize(q)))
+    df = {w: sum(1 for c in tfs if c[w] > 0) for w in q_terms}
+    cf = {w: sum(c[w] for c in tfs) for w in q_terms}
+    mu = 2000.0
+
+    def brute(sim):
+        rows = []
+        for d in range(N):
+            m = [w for w in q_terms if tfs[d][w] > 0]
+            if not m:
+                continue
+            if sim == "boolean":
+                sc = float(len(m))
+            elif sim == "lmd":
+                sc = sum(
+                    max(0.0, math.log1p(tfs[d][w] * (TC / (mu * cf[w])))
+                        + math.log(mu / (dl[d] + mu)))
+                    for w in m
+                )
+            else:
+                sc = sum(
+                    math.sqrt(tfs[d][w])
+                    * (1 + math.log(N / (df[w] + 1.0))) ** 2
+                    for w in m
+                ) * len(m) / len(q_terms) / math.sqrt(dl[d])
+            rows.append((d, sc))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:10]
+
+    for sim in ("lmd", "classic", "boolean"):
+        got = s.search_similarity(q, k=10, similarity=sim)
+        want = brute(sim)
+        assert [d for d, _ in got] == [d for d, _ in want], sim
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, rel=1e-9), sim
+    assert s.search_similarity("zzzz_absent", similarity="lmd") == []
+    with pytest.raises(ValueError):
+        s.search_similarity(q, similarity="bm42")

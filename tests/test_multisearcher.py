@@ -465,3 +465,17 @@ def test_sharded_var_width_mtv_shards_equal_global(indexes):
     assert len(sh) == 2
     assert sh[0]["offset"] == 0 and sh[1]["offset"] == sh[0]["n_docs"]
     assert sum(x["n_docs"] for x in sh) == single.N
+
+
+def test_sharded_similarity_equals_global(indexes):
+    """Similarity modules: global df/cf/N/total-token stats make the
+    sharded run bit-identical to the single index."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for sim in ("lmd", "classic", "boolean"):
+        for q in REFERENCE_QUERIES[:3] + ["the w0007 bash"]:
+            hs = single.search_similarity(q, k=15, similarity=sim)
+            hm = multi.search_similarity(q, k=15, similarity=sim)
+            assert [d for d, _ in hm] == [d for d, _ in hs], (sim, q)
+            for (_, a), (_, b) in zip(hm, hs):
+                assert abs(a - b) < 1e-12, (sim, q)
