@@ -369,6 +369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_lmd_top10": P.fts_lmd_top10,
         "fts_classic_top10": P.fts_classic_top10,
         "fts_boolean_top10": P.fts_boolean_top10,
+        # round-5 batch 7: ES-default OSA fuzzy + LM quality signal
+        "fts_fuzzy_osa_docs": P.fts_fuzzy_osa_docs,
+        "text_unigram_xent": P.text_unigram_xent,
     }
 
 
@@ -2356,5 +2359,36 @@ SELECT doc_id,
 FROM toks WHERE term IN ('data','join','spark','the')
 GROUP BY doc_id
 ORDER BY count(DISTINCT term) DESC, doc_id LIMIT 10
+""",
+        # OSA fuzzy: at max_edits=1, OSA == full Damerau-Levenshtein,
+        # so the duckdb function is exact
+        "fts_fuzzy_osa_docs": f"""
+WITH {_TOKS_CTE},
+fz AS (
+  SELECT term FROM (SELECT DISTINCT term FROM toks)
+  WHERE damerau_levenshtein(term, '{P.FUZZY_OSA_QUERY}') <= 1
+  ORDER BY damerau_levenshtein(term, '{P.FUZZY_OSA_QUERY}'), term LIMIT 50
+)
+SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
+WHERE term IN (SELECT term FROM fz)
+GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
+        # unigram-LM cross-entropy: tf rows JOIN vocab stats (the
+        # distributed hash join) -> per-doc sum / dl
+        "text_unigram_xent": f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+cs AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS tc FROM toks),
+d AS (
+  SELECT tf.doc_id,
+         sum(tf.tf * -ln(cs.cf / tot.tc::DOUBLE)) AS s,
+         sum(tf.tf) AS dl
+  FROM tf JOIN cs USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST(round(s / dl * 1e6) AS BIGINT) AS xent_e6
+FROM d
 """,
     }

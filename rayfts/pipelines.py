@@ -3223,3 +3223,93 @@ def fts_classic_top10(sf_dir: str) -> pa.Table:
 def fts_boolean_top10(sf_dir: str) -> pa.Table:
     """BooleanSimilarity: score = matched clause count (boost sum)."""
     return _sim_table(sf_dir, "boolean")
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 7: unigram-LM cross-entropy quality signal (distributed
+# hash join on term — the stats side is vocab-sized, too big to broadcast
+# at web scale, so this is the repo's true shuffle-join shape)
+# ---------------------------------------------------------------------------
+
+
+def text_unigram_xent(sf_dir: str) -> pa.Table:
+    """Corpus-LM quality scoring: per-doc unigram cross-entropy
+    xent(d) = Σ_t tf(d,t) · (−ln(cf(t)/TC)) / dl(d) — high values flag
+    rare-token-heavy (noisy) docs, low values boilerplate; the classic
+    cheap LM filter for pretraining corpora. Pipeline: map-side tf rows
+    → vocab stats (map-combine + term groupby, the fts_term_stats
+    machinery) → DISTRIBUTED hash join on term (vocab is unbounded at
+    corpus scale — never a broadcast) → per-doc groupby sum. Empty docs
+    drop (inner-join semantics, as in the SQL twin)."""
+    stats = fts_term_stats(sf_dir)
+    tc = float(
+        stats.map_batches(
+            lambda t: pa.table(
+                {"cf_p": pa.array([pc.sum(t["cf"]).as_py() or 0],
+                                  pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("cf_p")
+    )
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        tf, _ = analyze_batch(batch)
+        return tf.select(["doc_id", "term", "tf"])
+
+    joined = (
+        _docs(sf_dir)
+        .map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .join(
+            stats.map_batches(
+                lambda t: t.select(["term", "cf"]), batch_format="pyarrow"
+            ),
+            join_type="inner", num_partitions=8, on=("term",),
+        )
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cf = t["cf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tf_p": pc.cast(t["tf"], pa.int64()),
+            "s_p": pa.array(tf * -np.log(cf / tc), pa.float64()),
+        })
+
+    agg = (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("tf_p"), Sum("s_p"))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    dl = agg["sum(tf_p)"].to_numpy().astype(np.int64)
+    s = agg["sum(s_p)"].to_numpy()
+    return pa.table({
+        "doc_id": pa.array(agg["doc_id"].to_numpy().astype(np.int64)),
+        "dl": pa.array(dl),
+        "xent_e6": pa.array(
+            np.round(s / dl * 1e6).astype(np.int64)
+        ),
+    })
+
+
+FUZZY_OSA_QUERY = "saprk"   # transposed 'spark': OSA distance 1, plain 2
+
+
+def fts_fuzzy_osa_docs(sf_dir: str) -> pa.Table:
+    """ES-default fuzzy matching (transpositions=true — OSA metric):
+    docs within ONE OSA edit of FUZZY_OSA_QUERY. The probe is a
+    transposed vocabulary word, so the plain-Levenshtein path finds
+    nothing at max_edits=1 while OSA matches — pinning the metric. At
+    max_edits=1 OSA == full Damerau-Levenshtein, so DuckDB's
+    damerau_levenshtein() is an exact oracle."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    rows = s.fuzzy_docs(FUZZY_OSA_QUERY, max_edits=1, limit=20,
+                        transpositions=True)
+    to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array([int(to_src[d]) for d, _ in rows], pa.int64()),
+        "n_terms": pa.array([n for _, n in rows], pa.int64()),
+    })

@@ -405,14 +405,20 @@ def _where_expr(where: dict):
     return expr
 
 
-def levenshtein_vec(q: str, cands: np.ndarray) -> np.ndarray:
+def levenshtein_vec(q: str, cands: np.ndarray,
+                    transpositions: bool = False) -> np.ndarray:
     """Levenshtein distance from ``q`` to every candidate string at once.
 
     Classic DP with the CANDIDATE axis vectorized: the two scalar loops
     run over query chars x padded positions (m x L, ~hundreds of numpy
     ops), never over candidates — one call scores a whole pruned
     vocabulary slice. Candidates are padded to a fixed-width UCS4 matrix;
-    each row's distance is read at its own true length column."""
+    each row's distance is read at its own true length column.
+
+    ``transpositions=True`` switches to OSA (optimal string alignment —
+    restricted Damerau-Levenshtein): an adjacent swap costs ONE edit,
+    exactly Lucene's FuzzyQuery ``transpositions`` flag (ES default
+    true). Same vectorization, one extra row of history."""
     n = cands.size
     if n == 0:
         return np.empty(0, np.int32)
@@ -427,6 +433,7 @@ def levenshtein_vec(q: str, cands: np.ndarray) -> np.ndarray:
     prev = np.broadcast_to(
         np.arange(L + 1, dtype=np.int32), (n, L + 1)
     ).copy()
+    prev2 = None
     for i in range(1, m + 1):
         cur = np.empty_like(prev)
         cur[:, 0] = i
@@ -434,7 +441,13 @@ def levenshtein_vec(q: str, cands: np.ndarray) -> np.ndarray:
         for j in range(1, L + 1):
             d = np.minimum(prev[:, j] + 1, prev[:, j - 1] + neq[:, j - 1])
             np.minimum(d, cur[:, j - 1] + 1, out=d)
+            if transpositions and i >= 2 and j >= 2:
+                # q[i-2:i] swapped equals cand[j-2:j]
+                sw = (qc[i - 1] == codes[:, j - 2]) & \
+                     (qc[i - 2] == codes[:, j - 1])
+                np.minimum(d, np.where(sw, prev2[:, j - 2] + 1, d), out=d)
             cur[:, j] = d
+        prev2 = prev
         prev = cur
     return prev[np.arange(n), clens].astype(np.int32)
 
@@ -3042,9 +3055,12 @@ class Searcher(SuggestAPI):
 
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      prefix_length: int = 0,
-                     max_expansions: int = 50) -> list[tuple[str, int]]:
-        """ES FuzzyQuery term expansion (Lucene TopTermsRewrite analog):
-        vocabulary terms within Levenshtein distance <= ``max_edits`` of
+                     max_expansions: int = 50,
+                     transpositions: bool = False) -> list[tuple[str, int]]:
+        """ES FuzzyQuery term expansion (Lucene TopTermsRewrite analog);
+        ``transpositions=True`` = the ES-default OSA metric (adjacent
+        swap costs one edit).
+        Vocabulary terms within edit distance <= ``max_edits`` of
         the analyzed term, selected CLOSEST-FIRST with lexicographic
         tie-break, truncated to ``max_expansions``. ``prefix_length``
         leading chars must match exactly (the ES knob — never fuzzed).
@@ -3073,7 +3089,7 @@ class Searcher(SuggestAPI):
             cand = terms.filter(band).to_numpy(zero_copy_only=False)
             if cand.size == 0:
                 continue
-            dist = levenshtein_vec(q, cand)
+            dist = levenshtein_vec(q, cand, transpositions=transpositions)
             keep = dist <= max_edits
             hits.extend(zip(dist[keep].tolist(), cand[keep].tolist()))
         hits.sort()
@@ -3252,12 +3268,16 @@ class Searcher(SuggestAPI):
 
     def fuzzy_docs(self, term: str, max_edits: int = 1, limit: int = 20,
                    prefix_length: int = 0,
-                   max_expansions: int = 50) -> list[tuple[int, int]]:
+                   max_expansions: int = 50,
+                   transpositions: bool = False) -> list[tuple[int, int]]:
         """ES fuzzy-query analog (constant-score rewrite over the fuzzy
         expansion): docs containing >=1 term within ``max_edits`` of the
         query term, ascending doc_id, first ``limit``, each with its
-        count of DISTINCT matching terms."""
-        exp = self.expand_fuzzy(term, max_edits, prefix_length, max_expansions)
+        count of DISTINCT matching terms. ``transpositions`` selects the
+        OSA metric (the ES default true; this engine defaults False to
+        keep the plain-Levenshtein contract its oracles pinned first)."""
+        exp = self.expand_fuzzy(term, max_edits, prefix_length,
+                                max_expansions, transpositions)
         return self._docs_for_terms([t for t, _ in exp], limit)
 
     # ------------------------------------------------------------------
@@ -5072,7 +5092,8 @@ class MultiSearcher(SuggestAPI):
 
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      prefix_length: int = 0,
-                     max_expansions: int = 50) -> list[tuple[str, int]]:
+                     max_expansions: int = 50,
+                     transpositions: bool = False) -> list[tuple[str, int]]:
         """Sharded fuzzy expansion, EXACT vs a single global index: each
         segment returns its own top-``max_expansions`` by (distance,
         term); any term in the global top-K is necessarily in its
@@ -5082,7 +5103,8 @@ class MultiSearcher(SuggestAPI):
         best: dict[str, int] = {}
         for seg in self.segments:
             for t, d in seg.expand_fuzzy(
-                term, max_edits, prefix_length, max_expansions
+                term, max_edits, prefix_length, max_expansions,
+                transpositions,
             ):
                 best[t] = d
         ranked = sorted(best.items(), key=lambda e: (e[1], e[0]))
@@ -5169,14 +5191,16 @@ class MultiSearcher(SuggestAPI):
 
     def fuzzy_docs(self, term: str, max_edits: int = 1, limit: int = 20,
                    prefix_length: int = 0,
-                   max_expansions: int = 50) -> list[tuple[int, int]]:
+                   max_expansions: int = 50,
+                   transpositions: bool = False) -> list[tuple[int, int]]:
         """Sharded fuzzy-docs: the expansion set is computed GLOBALLY
         (exact, above) and then scattered to segments, whose ascending
         global id ranges concatenate in order — unlike prefix_docs, no
         per-segment max_expansions caveat applies."""
         exp = [
             t for t, _ in self.expand_fuzzy(
-                term, max_edits, prefix_length, max_expansions
+                term, max_edits, prefix_length, max_expansions,
+                transpositions,
             )
         ]
         out: list[tuple[int, int]] = []

@@ -2272,3 +2272,52 @@ def test_search_similarity_matches_bruteforce(index_dir, oracle):
     assert s.search_similarity("zzzz_absent", similarity="lmd") == []
     with pytest.raises(ValueError):
         s.search_similarity(q, similarity="bm42")
+
+
+def test_levenshtein_vec_osa_transpositions(index_dir, oracle):
+    """OSA (transpositions=True) kernel vs a scalar reference DP on
+    random strings, and end-to-end: a transposed vocab word matches at
+    one edit only under the ES-default metric."""
+    import random
+
+    from rayfts.search import levenshtein_vec
+
+    def osa_ref(a, b):
+        m, n = len(a), len(b)
+        D = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(m + 1):
+            D[i][0] = i
+        for j in range(n + 1):
+            D[0][j] = j
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                D[i][j] = min(
+                    D[i - 1][j] + 1, D[i][j - 1] + 1,
+                    D[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+                if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                        and a[i - 2] == b[j - 1]):
+                    D[i][j] = min(D[i][j], D[i - 2][j - 2] + 1)
+        return D[m][n]
+
+    rng = random.Random(5)
+    for _ in range(40):
+        q = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+        cands = np.array([
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8)))
+            for _ in range(30)
+        ])
+        got = levenshtein_vec(q, cands, transpositions=True)
+        assert got.tolist() == [osa_ref(q, c) for c in cands], q
+        # plain stays plain
+        got_p = levenshtein_vec(q, cands)
+        assert all(a <= b for a, b in zip(got, got_p))
+    s = Searcher(index_dir)
+    # 'whta' = transposed 'what'-like probe: use a term from the corpus
+    # vocabulary ('bash' -> 'absh' transposes the first pair)
+    assert s.expand_fuzzy("absh", max_edits=1) == []
+    osa = s.expand_fuzzy("absh", max_edits=1, transpositions=True)
+    assert ("bash", 1) in osa
+    d_plain = s.fuzzy_docs("absh", max_edits=1)
+    d_osa = s.fuzzy_docs("absh", max_edits=1, transpositions=True)
+    assert d_plain == [] and len(d_osa) > 0

@@ -479,3 +479,14 @@ def test_sharded_similarity_equals_global(indexes):
             assert [d for d, _ in hm] == [d for d, _ in hs], (sim, q)
             for (_, a), (_, b) in zip(hm, hs):
                 assert abs(a - b) < 1e-12, (sim, q)
+
+
+def test_sharded_osa_fuzzy_equals_global(indexes):
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for probe in ("absh", "w0100", "bath"):
+        assert multi.expand_fuzzy(probe, 2, transpositions=True) == \
+            single.expand_fuzzy(probe, 2, transpositions=True), probe
+        assert multi.fuzzy_docs(probe, 2, limit=50,
+                                transpositions=True) == \
+            single.fuzzy_docs(probe, 2, limit=50, transpositions=True)
