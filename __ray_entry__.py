@@ -372,6 +372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 batch 7: ES-default OSA fuzzy + LM quality signal
         "fts_fuzzy_osa_docs": P.fts_fuzzy_osa_docs,
         "text_unigram_xent": P.text_unigram_xent,
+        # span family completion: enclosing span queries
+        "fts_span_containing_docs": P.fts_span_containing_docs,
+        "fts_span_within_docs": P.fts_span_within_docs,
     }
 
 
@@ -2390,5 +2393,61 @@ d AS (
 SELECT doc_id, CAST(dl AS BIGINT) AS dl,
        CAST(round(s / dl * 1e6) AS BIGINT) AS xent_e6
 FROM d
+""",
+        # enclosing spans: the chains CTE is the span_near spec, the
+        # little clause a positional EXISTS within [s, e]
+        "fts_span_containing_docs": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+{",".join(
+    f"p{i} AS (SELECT doc_id, pos FROM ptoks WHERE term = '{t}')"
+    for i, t in enumerate(P.SPAN_TERMS)
+)},
+pl AS (SELECT doc_id, pos FROM ptoks WHERE term = '{P.SPAN_LITTLE}'),
+chains AS (
+  SELECT a.doc_id, a.pos AS s, s{len(P.SPAN_TERMS) - 1}.pos AS e
+  FROM p0 a
+  {" ".join(
+    f"JOIN p{i} s{i} ON s{i}.doc_id = a.doc_id AND s{i}.pos > "
+    + ("a.pos" if i == 1 else f"s{i - 1}.pos")
+    for i in range(1, len(P.SPAN_TERMS))
+  )}
+  WHERE s{len(P.SPAN_TERMS) - 1}.pos
+        <= a.pos + {len(P.SPAN_TERMS) - 1 + P.SPAN_SLOP}
+)
+SELECT c.doc_id, count(*) AS n_matches
+FROM chains c
+WHERE EXISTS (SELECT 1 FROM pl WHERE pl.doc_id = c.doc_id
+              AND pl.pos >= c.s AND pl.pos <= c.e)
+GROUP BY c.doc_id ORDER BY c.doc_id LIMIT 20
+""",
+        "fts_span_within_docs": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+{",".join(
+    f"p{i} AS (SELECT doc_id, pos FROM ptoks WHERE term = '{t}')"
+    for i, t in enumerate(P.SPAN_TERMS)
+)},
+pl AS (SELECT doc_id, pos FROM ptoks WHERE term = '{P.SPAN_LITTLE}'),
+chains AS (
+  SELECT a.doc_id, a.pos AS s, s{len(P.SPAN_TERMS) - 1}.pos AS e
+  FROM p0 a
+  {" ".join(
+    f"JOIN p{i} s{i} ON s{i}.doc_id = a.doc_id AND s{i}.pos > "
+    + ("a.pos" if i == 1 else f"s{i - 1}.pos")
+    for i in range(1, len(P.SPAN_TERMS))
+  )}
+  WHERE s{len(P.SPAN_TERMS) - 1}.pos
+        <= a.pos + {len(P.SPAN_TERMS) - 1 + P.SPAN_SLOP}
+)
+SELECT pl.doc_id, count(*) AS n_matches
+FROM pl
+WHERE EXISTS (SELECT 1 FROM chains c WHERE c.doc_id = pl.doc_id
+              AND c.s <= pl.pos AND c.e >= pl.pos)
+GROUP BY pl.doc_id ORDER BY pl.doc_id LIMIT 20
 """,
     }

@@ -3313,3 +3313,32 @@ def fts_fuzzy_osa_docs(sf_dir: str) -> pa.Table:
         "doc_id": pa.array([int(to_src[d]) for d, _ in rows], pa.int64()),
         "n_terms": pa.array([n for _, n in rows], pa.int64()),
     })
+
+
+SPAN_LITTLE = "hash"    # little clause of span_within / span_containing
+
+
+def fts_span_containing_docs(sf_dir: str) -> pa.Table:
+    """ES span_containing: SPAN_TERMS chains (slop SPAN_SLOP) that
+    enclose a SPAN_LITTLE occurrence; per-doc surviving chain count."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.span_containing_docs(
+        list(SPAN_TERMS), SPAN_SLOP, SPAN_LITTLE, limit=20
+    )
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "n_matches": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
+def fts_span_within_docs(sf_dir: str) -> pa.Table:
+    """ES span_within — the dual: SPAN_LITTLE occurrences enclosed by a
+    SPAN_TERMS chain; per-doc enclosed occurrence count."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.span_within_docs(
+        SPAN_LITTLE, list(SPAN_TERMS), SPAN_SLOP, limit=20
+    )
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "n_matches": pa.array([c for _, c in rows], pa.int64()),
+    })

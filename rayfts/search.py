@@ -2724,17 +2724,36 @@ class Searcher(SuggestAPI):
         (run_ranges/run_spread) — work O(total chains), never a per-doc
         Python loop. Returns [(doc_id, n_matches)] ascending, first
         ``limit``."""
+        chains = self._span_chains(terms, slop)
+        if chains is None:
+            return []
+        start, _, L = chains
+        docs, m = np.unique(start // L, return_counts=True)
+        return [
+            (int(d), int(c)) for d, c in zip(docs[:limit], m[:limit])
+        ]
+
+    def _span_chains(self, terms: list[str], slop: int,
+                     min_L: int = 0):
+        """All in-order span_near chains: (start_keys, end_keys, L) in
+        the doc*L + pos key space (both arrays chain-aligned; start keys
+        non-decreasing), or None when nothing matches. ``min_L`` lets a
+        caller force a larger key stride so FOREIGN position sets (the
+        little clause of span_within/containing) share the key space
+        without cross-doc collisions. The vectorized chain expansion from
+        span_near_docs, factored so the enclosing span queries reuse
+        it."""
         from .codec import run_ranges, run_spread
 
         if slop < 0:
             raise ValueError("slop must be >= 0")
         if not terms:
-            return []
+            return None
         n = len(terms)
         uniq = sorted(set(terms))
         post = {t: self.lookup(t) for t in uniq}
         if any(post[t] is None for t in uniq):
-            return []
+            return None
         ordered = sorted(uniq, key=lambda t: post[t].df)
         cand = post[ordered[0]].doc_ids
         for t in ordered[1:]:
@@ -2742,7 +2761,7 @@ class Searcher(SuggestAPI):
         if self.excluded.size:
             cand = cand[~np.isin(cand, self.excluded)]
         if cand.size == 0:
-            return []
+            return None
         # key space margin covers pos + (n-1) + slop staying in-doc; like
         # _phrase_freqs, L derives from the postings' own max STORED
         # position (dl under-bounds it on a stopword index — positions
@@ -2750,7 +2769,7 @@ class Searcher(SuggestAPI):
         maxpos = max(
             int(self._positions(post[t])[0].max(initial=0)) for t in uniq
         )
-        L = maxpos + n + slop + 2
+        L = max(maxpos + n + slop + 2, min_L)
 
         def slot_keys(term: str) -> np.ndarray:
             p = post[term]
@@ -2776,17 +2795,90 @@ class Searcher(SuggestAPI):
             keep = cnt > 0
             lo, start, cnt = lo[keep], start[keep], cnt[keep]
             if start.size == 0:
-                return []
+                return None
             out_starts = np.zeros(start.size, np.int64)
             np.cumsum(cnt[:-1], out=out_starts[1:])
             tot = int(cnt.sum())
             gi = run_ranges(lo, out_starts, tot)
             cur = ki[gi]
             start = run_spread(start, out_starts, tot)
-        docs, m = np.unique(start // L, return_counts=True)
-        return [
-            (int(d), int(c)) for d, c in zip(docs[:limit], m[:limit])
-        ]
+        return start, cur, L
+
+    def _little_keys(self, little: str, L: int):
+        """Live occurrence keys (doc*L + pos, ascending) of a span_term
+        clause — the little side of span_within/containing."""
+        p = self.lookup(little)
+        if p is None:
+            return None
+        pos, occ = self._positions(p)
+        lens = (occ[1:] - occ[:-1]).astype(np.int64)
+        docs = np.repeat(p.doc_ids, lens)
+        keys = docs * L + pos
+        if self.excluded.size:
+            keys = keys[~np.isin(docs, self.excluded)]
+        return keys
+
+    def span_containing_docs(self, big_terms: list[str], slop: int,
+                             little: str,
+                             limit: int = 20) -> list[tuple[int, int]]:
+        """ES span_containing-query analog: matches of the BIG clause
+        (span_near over ``big_terms``, in_order, ``slop``) that ENCLOSE
+        at least one occurrence of the LITTLE span_term — Lucene's
+        SpanContainingQuery (big kept when little lies within
+        [start, end]). n_matches counts surviving big chains per doc.
+        Vectorized: two searchsorted bounds of the little key set per
+        chain — O(chains + occurrences). Returns [(doc_id, n_matches)]
+        ascending, first ``limit``."""
+        pl = self.lookup(little)
+        if pl is None:
+            return []
+        min_L = int(self._positions(pl)[0].max(initial=0)) + 2
+        chains = self._span_chains(big_terms, slop, min_L=min_L)
+        if chains is None:
+            return []
+        start, end, L = chains
+        kl = self._little_keys(little, L)
+        if kl is None or kl.size == 0:
+            return []
+        lo = np.searchsorted(kl, start, side="left")
+        hi = np.searchsorted(kl, end, side="right")
+        keep = hi > lo
+        if not keep.any():
+            return []
+        docs, m = np.unique(start[keep] // L, return_counts=True)
+        return [(int(d), int(c)) for d, c in zip(docs[:limit], m[:limit])]
+
+    def span_within_docs(self, little: str, big_terms: list[str],
+                         slop: int,
+                         limit: int = 20) -> list[tuple[int, int]]:
+        """ES span_within-query analog — the dual: occurrences of the
+        LITTLE span_term that lie WITHIN a match of the BIG span_near
+        clause (Lucene SpanWithinQuery). n_matches counts enclosed
+        little occurrences per doc. Vectorized: chains sorted by start
+        carry a running max of ends; one searchsorted per occurrence
+        (prefix-max ends of earlier docs cannot reach a later doc's key
+        range, so the scan never leaks across docs)."""
+        pl = self.lookup(little)
+        if pl is None:
+            return []
+        min_L = int(self._positions(pl)[0].max(initial=0)) + 2
+        chains = self._span_chains(big_terms, slop, min_L=min_L)
+        if chains is None:
+            return []
+        start, end, L = chains
+        kl = self._little_keys(little, L)
+        if kl is None or kl.size == 0:
+            return []
+        order = np.argsort(start, kind="stable")
+        starts_s = start[order]
+        prefmax = np.maximum.accumulate(end[order])
+        idx = np.searchsorted(starts_s, kl, side="right") - 1
+        covered = (idx >= 0)
+        covered[covered] = prefmax[idx[covered]] >= kl[covered]
+        if not covered.any():
+            return []
+        docs, m = np.unique(kl[covered] // L, return_counts=True)
+        return [(int(d), int(c)) for d, c in zip(docs[:limit], m[:limit])]
 
     def span_first_docs(self, term: str, end: int,
                         limit: int = 20) -> list[tuple[int, int]]:
@@ -4949,6 +5041,40 @@ class MultiSearcher(SuggestAPI):
             out.extend(
                 (d + off, c)
                 for d, c in seg.span_near_docs(terms, slop, limit)
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
+
+    def span_containing_docs(self, big_terms: list[str], slop: int,
+                             little: str,
+                             limit: int = 20) -> list[tuple[int, int]]:
+        """Sharded span_containing: spans never cross docs — per-segment
+        results concatenate in ascending global order."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, c) for d, c in seg.span_containing_docs(
+                    big_terms, slop, little, limit
+                )
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
+
+    def span_within_docs(self, little: str, big_terms: list[str],
+                         slop: int,
+                         limit: int = 20) -> list[tuple[int, int]]:
+        """Sharded span_within: per-segment concatenation, like every
+        span query."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, c) for d, c in seg.span_within_docs(
+                    little, big_terms, slop, limit
+                )
             )
             if len(out) >= limit:
                 break

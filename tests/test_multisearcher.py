@@ -490,3 +490,4 @@ def test_sharded_osa_fuzzy_equals_global(indexes):
         assert multi.fuzzy_docs(probe, 2, limit=50,
                                 transpositions=True) == \
             single.fuzzy_docs(probe, 2, limit=50, transpositions=True)
+

@@ -112,6 +112,14 @@ def test_phrase_shared_and_sharded_identical(corpus, pos_index, oracle, tmp_path
     for terms, slop in [(["the", "w0007"], 3), (["the", "a", "the"], 2)]:
         assert ms.span_near_docs(terms, slop, limit=10**6) == \
             single.span_near_docs(terms, slop, limit=10**6), (terms, slop)
+    # sharded enclosing spans == single-index
+    assert ms.span_containing_docs(["the", "bash"], 4, "w0000",
+                                   limit=10**6) == \
+        single.span_containing_docs(["the", "bash"], 4, "w0000",
+                                    limit=10**6)
+    assert ms.span_within_docs("w0000", ["the", "bash"], 4,
+                               limit=10**6) == \
+        single.span_within_docs("w0000", ["the", "bash"], 4, limit=10**6)
 
 
 def test_run_queries_mixed_kinds(pos_index, oracle):
@@ -774,3 +782,55 @@ def test_span_not_matches_bruteforce(pos_index, oracle):
         s.span_not_docs("the", "a", pre=1, post=2, limit=10**6)[:5]
     with pytest.raises(ValueError):
         s.span_not_docs("the", "a", pre=-1)
+
+
+def _chains_ref(toks, terms, slop):
+    """All in-order chains (start, end) of `terms` within total slack."""
+    n = len(terms)
+    out = []
+    positions = [
+        [i for i, w in enumerate(toks) if w == t] for t in terms
+    ]
+
+    def rec(slot, prev, start):
+        if slot == n:
+            out.append((start, prev))
+            return
+        for p in positions[slot]:
+            if p > prev and (slot < n - 1 or p - start - (n - 1) <= slop):
+                if p - start - (n - 1) <= slop:
+                    rec(slot + 1, p, start)
+    for p0 in positions[0]:
+        rec(1, p0, p0)
+    return out
+
+
+def test_span_containing_and_within_bruteforce(pos_index):
+    """Enclosing span queries vs a per-doc reference enumeration."""
+    s = Searcher(pos_index)
+    t = generate_transcripts(N_CONVS, seed=SEED)
+    t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    texts = t["text"].to_pylist()
+    big = ["the", "bash"]
+    little = "w0000"
+    slop = 4
+    want_c, want_w = [], []
+    for d, tx in enumerate(texts):
+        toks = tokenize(tx)
+        chains = _chains_ref(toks, big, slop)
+        lp = {i for i, w in enumerate(toks) if w == little}
+        nc = sum(1 for a, b in chains if any(a <= p <= b for p in lp))
+        nw = sum(1 for p in lp if any(a <= p <= b for a, b in chains))
+        if nc:
+            want_c.append((d, nc))
+        if nw:
+            want_w.append((d, nw))
+    got_c = s.span_containing_docs(big, slop, little, limit=10 ** 6)
+    got_w = s.span_within_docs(little, big, slop, limit=10 ** 6)
+    assert got_c == want_c
+    assert got_w == want_w
+    assert want_c and want_w  # non-trivial probe
+    # absent little / big clauses
+    assert s.span_containing_docs(big, slop, "zzzz_absent") == []
+    assert s.span_within_docs("zzzz_absent", big, slop) == []
+    assert s.span_containing_docs(["zzzz_absent"], slop, little) == []
