@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span family completion: enclosing span queries
         "fts_span_containing_docs": P.fts_span_containing_docs,
         "fts_span_within_docs": P.fts_span_within_docs,
+        # tokenizer-merge prep: corpus bigram statistic
+        "vocab_top_bigrams": P.vocab_top_bigrams,
     }
 
 
@@ -2449,5 +2451,17 @@ FROM pl
 WHERE EXISTS (SELECT 1 FROM chains c WHERE c.doc_id = pl.doc_id
               AND c.s <= pl.pos AND c.e >= pl.pos)
 GROUP BY pl.doc_id ORDER BY pl.doc_id LIMIT 20
+""",
+        # corpus bigrams: positional self-join, (n desc, pair asc)
+        "vocab_top_bigrams": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists)
+SELECT a.term AS w1, b.term AS w2, count(*) AS n
+FROM ptoks a JOIN ptoks b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY a.term, b.term
+ORDER BY n DESC, w1, w2 LIMIT {P.BIGRAM_TOP_N}
 """,
     }

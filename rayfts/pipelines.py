@@ -3342,3 +3342,64 @@ def fts_span_within_docs(sf_dir: str) -> pa.Table:
         "doc_id": pa.array([d for d, _ in rows], pa.int64()),
         "n_matches": pa.array([c for _, c in rows], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch 8: corpus bigram statistics (tokenizer-merge prep — the
+# BPE first-merge statistic at corpus scale)
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOP_N = 15
+
+
+def vocab_top_bigrams(sf_dir: str) -> pa.Table:
+    """Top adjacent token pairs corpus-wide (n desc, pair asc) — the
+    statistic a BPE/merge-table trainer computes each round. Map-side
+    combine (one row per distinct pair per batch, never per occurrence),
+    one (w1, w2) groupby shuffle, then EXACT top-N without a global
+    sort: after the groupby each pair exists once, so any global top-N
+    row is inside its block's local top-N — blocks ship O(N) candidate
+    rows to the driver. 2-grams never cross doc boundaries."""
+    from .analysis import tokens_flat
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        adj = parent[1:] == parent[:-1]
+        t = pa.table({
+            "w1": flat.slice(0, len(flat) - 1).filter(pa.array(adj)),
+            "w2": flat.slice(1).filter(pa.array(adj)),
+        })
+        g = t.group_by(["w1", "w2"], use_threads=False).aggregate(
+            [("w1", "count")]
+        )
+        return g.rename_columns(["w1", "w2", "c"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        keys = [("n", "descending"), ("w1", "ascending"),
+                ("w2", "ascending")]
+        return t.take(pc.sort_indices(t, sort_keys=keys)
+                      .slice(0, BIGRAM_TOP_N))
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c"))
+        .map_batches(
+            lambda t: local_top(pa.table({
+                "w1": t["w1"], "w2": t["w2"],
+                "n": pc.cast(t["sum(c)"], pa.int64()),
+            })),
+            batch_format="pyarrow",
+        )
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(agg.to_arrow_refs()) if b.num_rows]
+    )
+    keys = [("n", "descending"), ("w1", "ascending"), ("w2", "ascending")]
+    return t.take(pc.sort_indices(t, sort_keys=keys)
+                  .slice(0, BIGRAM_TOP_N))

@@ -906,3 +906,40 @@ def test_pack_chunks_matches_bruteforce_and_never_splits():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_chunks(rd.from_arrow(t), 0)
+
+
+def test_vocab_top_bigrams_matches_bruteforce():
+    """Corpus bigram statistic: map-combine + groupby + local-top-N
+    merge == the sequential count; 2-grams never cross docs; ties
+    break (n desc, pair asc)."""
+    from collections import Counter
+
+    from rayfts.pipelines import BIGRAM_TOP_N
+    from rayfts.oracle import tokenize
+
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 15))))
+        for _ in range(300)
+    ]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    from rayfts.pipelines import vocab_top_bigrams
+
+    got = vocab_top_bigrams(d).to_pandas()
+    want = Counter()
+    for tx in texts:
+        toks = tokenize(tx)
+        for a, b in zip(toks, toks[1:]):
+            want[(a, b)] += 1
+    rows = sorted(want.items(), key=lambda e: (-e[1], e[0]))[:BIGRAM_TOP_N]
+    assert list(zip(got.w1, got.w2, got.n)) == \
+        [(a, b, c) for (a, b), c in rows]
