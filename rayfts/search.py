@@ -3454,6 +3454,26 @@ class Searcher(SuggestAPI):
             rows.extend(zip(terms[pm].tolist(), dfs[pm].tolist()))
         return rows
 
+    def validate_query(self, query: str) -> dict:
+        """ES _validate/query?explain analog: parse + analyze + rewrite
+        WITHOUT executing — what a client calls to sanity-check a query
+        before paying for it. Returns {valid, terms: [(term, df, cf)]
+        for each analyzed clause (df 0 = clause matches nothing),
+        n_clauses, stopped: tokens the index stop list removed}.
+        Dictionary lookups only — no posting decode, no scoring."""
+        raw = tokenize_query(query)
+        qtf = self._qweights(query)
+        rows = []
+        for t in sorted(qtf):
+            df, cf = self._dict_stats(t)
+            rows.append((t, df, cf))
+        return {
+            "valid": True,
+            "n_clauses": len(qtf),
+            "terms": rows,
+            "stopped": sorted(set(raw) - set(qtf)),
+        }
+
     def terms_enum(self, prefix: str, size: int = 10,
                    min_df: int = 1) -> list[tuple[str, int]]:
         """ES _terms_enum API analog: the first ``size`` index terms with
@@ -5589,6 +5609,46 @@ class MultiSearcher(SuggestAPI):
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
 
+    def search_indices_boost(self, query: str, boosts: list[float],
+                             k: int = 10) -> list[tuple]:
+        """ES indices_boost analog: one query over every segment
+        (index) with a PER-INDEX score multiplier — the ES knob for
+        preferring fresh indices in a rollover chain. Scores are the
+        sharded-TAAT global-stats scores times ``boosts[si]``; order
+        (boosted score desc, global doc asc). ``boosts`` aligns with
+        the segment list; 1.0 everywhere reproduces search() exactly
+        (pinned by test). Per-segment top-k + merge — a positive
+        constant per segment preserves each segment's internal order,
+        so local top-k stays exact."""
+        if len(boosts) != len(self.segments):
+            raise ValueError("boosts must align with segments")
+        if any(b <= 0 for b in boosts):
+            raise ValueError("indices_boost factors must be > 0")
+        terms, weights = self._global_weights(query)
+        if not weights:
+            return []
+        rows: list[tuple] = []
+        for si, seg in enumerate(self.segments):
+            hits = seg._hit_mask(query)
+            if hits is None:
+                continue
+            idx = np.flatnonzero(hits)
+            if idx.size == 0:
+                continue
+            sc = self._seg_dense_scores(si, seg, terms, weights)[idx] \
+                * boosts[si]
+            take = min(k, idx.size)
+            if idx.size > take:
+                kth = np.partition(-sc, take - 1)[take - 1]
+                pick = np.flatnonzero(-sc <= kth)
+            else:
+                pick = np.arange(idx.size)
+            order = pick[np.lexsort((idx[pick], -sc[pick]))][:take]
+            off = int(self.offsets[si])
+            rows.extend((int(idx[i]) + off, float(sc[i])) for i in order)
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
+
     def _numeric_value_hist(self, query: str, field: str,
                             where: dict | None = None, mode: str = "or",
                             must_not: str | None = None) -> dict:
@@ -5604,6 +5664,7 @@ class MultiSearcher(SuggestAPI):
         return total
 
     variable_width_histogram_agg = Searcher.variable_width_histogram_agg
+    validate_query = Searcher.validate_query
 
     def mtermvectors(self, doc_ids: list[int]) -> list[tuple]:
         """Sharded _mtermvectors: each doc routes to its owning segment

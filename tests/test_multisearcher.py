@@ -491,3 +491,35 @@ def test_sharded_osa_fuzzy_equals_global(indexes):
                                 transpositions=True) == \
             single.fuzzy_docs(probe, 2, limit=50, transpositions=True)
 
+
+
+def test_indices_boost_and_validate_query(indexes):
+    """indices_boost: 1.0 everywhere == search(); a fresh-index boost
+    multiplies that segment's scores; validate_query reports per-clause
+    stats without executing, identically on both searchers."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    q = "the w0007 bash"
+    base = multi.search(q, k=15)
+    flat = multi.search_indices_boost(q, [1.0, 1.0], k=15)
+    assert [(d, round(s, 9)) for d, s in flat] == \
+        [(d, round(s, 9)) for d, s in base]
+    boosted = multi.search_indices_boost(q, [1.0, 3.0], k=10 ** 6)
+    want = sorted(
+        ((d, s * (3.0 if d >= multi.offsets[1] else 1.0))
+         for d, s in multi.search(q, k=10 ** 6)),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert [(d, round(s, 9)) for d, s in boosted] == \
+        [(d, round(s, 9)) for d, s in want]
+    with pytest.raises(ValueError):
+        multi.search_indices_boost(q, [1.0])
+    with pytest.raises(ValueError):
+        multi.search_indices_boost(q, [1.0, 0.0])
+    vs = single.validate_query(q)
+    vm = multi.validate_query(q)
+    assert vm == vs
+    assert vm["valid"] and vm["n_clauses"] == 3
+    for t, df, cf in vm["terms"]:
+        p = single.lookup(t)
+        assert (p.df if p else 0) == df and (p.cf if p else 0) == cf
