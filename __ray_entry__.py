@@ -377,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_span_within_docs": P.fts_span_within_docs,
         # tokenizer-merge prep: corpus bigram statistic
         "vocab_top_bigrams": P.vocab_top_bigrams,
+        # embedding clustering: distributed Lloyd k-means
+        "embedding_kmeans_sizes": P.embedding_kmeans_sizes,
     }
 
 
@@ -2463,5 +2465,51 @@ FROM ptoks a JOIN ptoks b
   ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 GROUP BY a.term, b.term
 ORDER BY n DESC, w1, w2 LIMIT {P.BIGRAM_TOP_N}
+""",
+        # k-means: two Lloyd iterations unrolled as CTEs; init =
+        # smallest-id vectors, dist surrogate |c|^2 - 2 v.c, ties ->
+        # smaller cid — all shared with the engine. Float means may
+        # differ in the last ulp (sum order), flipping an assignment
+        # only on a near-exact tie — none exist in this corpus
+        "embedding_kmeans_sizes": f"""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, i, val FROM v WHERE vec_id < {P.KMEANS_K}),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY sum(c.val * c.val) - 2 * sum(v.val * c.val),
+                      c.cid) AS rn
+    FROM v JOIN c0 c USING (i) GROUP BY v.vec_id, c.cid
+  ) WHERE rn = 1
+),
+c1 AS (SELECT a1.cid, v.i, avg(v.val) AS val
+       FROM v JOIN a1 USING (vec_id) GROUP BY a1.cid, v.i),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY sum(c.val * c.val) - 2 * sum(v.val * c.val),
+                      c.cid) AS rn
+    FROM v JOIN c1 c USING (i) GROUP BY v.vec_id, c.cid
+  ) WHERE rn = 1
+),
+c2 AS (SELECT a2.cid, v.i, avg(v.val) AS val
+       FROM v JOIN a2 USING (vec_id) GROUP BY a2.cid, v.i),
+a3 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY sum(c.val * c.val) - 2 * sum(v.val * c.val),
+                      c.cid) AS rn
+    FROM v JOIN c2 c USING (i) GROUP BY v.vec_id, c.cid
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster, count(*) AS n_vecs
+FROM a3 GROUP BY cid ORDER BY cid
 """,
     }

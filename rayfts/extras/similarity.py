@@ -422,3 +422,103 @@ def knn_cosine_ivf(
             vec_col=vec_col,
         )
     return ivf_search(index_dir, query_vec, k=k, nprobe=nprobe)
+
+
+class _KMeansAssign:
+    """Actor stage for one Lloyd iteration: centroids fetched from the
+    object store ONCE per actor; per batch, squared-euclidean argmin
+    (ties -> smallest centroid id, the deterministic rule shared with
+    the SQL oracle) and EXACT partial sums (count + per-dim vector sum)
+    per cluster — O(k*dim) out per batch, rows never leave."""
+
+    def __init__(self, cent_ref, id_col: str, vec_col: str,
+                 emit: str):
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) \
+            else cent_ref
+        self.c = np.asarray(c, dtype=np.float64)
+        self.cn = (self.c * self.c).sum(axis=1)
+        self.id_col, self.vec_col, self.emit = id_col, vec_col, emit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.vec_col)
+        # dist^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is per-row constant, so
+        # argmin over (-2 v.c + |c|^2) suffices and is tie-stable
+        d = self.cn[None, :] - 2.0 * (m @ self.c.T)
+        assign = np.argmin(d, axis=1)  # first (smallest id) wins ties
+        if self.emit == "assign":
+            return pa.table({
+                self.id_col: batch[self.id_col],
+                "cluster": pa.array(assign.astype(np.int64)),
+            })
+        k = self.c.shape[0]
+        cnt = np.bincount(assign, minlength=k).astype(np.int64)
+        sums = np.zeros_like(self.c)
+        np.add.at(sums, assign, m)
+        return pa.table({
+            "cluster": pa.array(np.arange(k, dtype=np.int64)),
+            "n_p": pa.array(cnt),
+            "vsum_p": pa.array(list(sums), pa.list_(pa.float64())),
+        })
+
+
+def kmeans_lloyd(
+    ds: rd.Dataset,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+):
+    """Distributed Lloyd's k-means over an embedding column, the
+    embedding-clustering stage a training pipeline runs before
+    per-cluster sampling / dedup. DETERMINISTIC by construction (no
+    RNG): init = the k vectors with the smallest ids; each iteration is
+    one streaming map_batches pass emitting O(k*dim) partial sums per
+    batch, reduced to new centroids on the driver (means in cluster-id
+    order); assignment ties break to the smallest centroid id.
+
+    Scale shape: rows stream, the driver holds k*dim floats; iterations
+    are sequential passes (the textbook map-reduce k-means). Returns
+    (centroids ndarray [k, dim], assignments Dataset(id_col, cluster))
+    with assignments from the FINAL centroids."""
+    if k < 1 or iters < 0:
+        raise ValueError("k >= 1 and iters >= 0 required")
+    first = pa.concat_tables(
+        [t for t in ray.get(
+            ds.sort(id_col).limit(k).map_batches(
+                lambda b: b.select([id_col, vec_col]),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        ) if t.num_rows]
+    )
+    cents = _batch_matrix(first, vec_col)[:k].copy()
+    for _ in range(iters):
+        parts = ds.map_batches(
+            _KMeansAssign,
+            fn_constructor_kwargs={
+                "cent_ref": ray.put(cents), "id_col": id_col,
+                "vec_col": vec_col, "emit": "partial",
+            },
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+        t = pa.concat_tables(
+            [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+        )
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        n = t["n_p"].to_numpy(zero_copy_only=False)
+        vs = _batch_matrix(t, "vsum_p")
+        cnt = np.zeros(k, dtype=np.int64)
+        np.add.at(cnt, cl, n)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, cl, vs)
+        nz = cnt > 0  # empty cluster keeps its old centroid (documented)
+        cents[nz] = sums[nz] / cnt[nz][:, None]
+    assigns = ds.map_batches(
+        _KMeansAssign,
+        fn_constructor_kwargs={
+            "cent_ref": ray.put(cents), "id_col": id_col,
+            "vec_col": vec_col, "emit": "assign",
+        },
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+    return cents, assigns

@@ -3403,3 +3403,27 @@ def vocab_top_bigrams(sf_dir: str) -> pa.Table:
     keys = [("n", "descending"), ("w1", "ascending"), ("w2", "ascending")]
     return t.take(pc.sort_indices(t, sort_keys=keys)
                   .slice(0, BIGRAM_TOP_N))
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def embedding_kmeans_sizes(sf_dir: str) -> pa.Table:
+    """Distributed Lloyd k-means over the embeddings table (k=KMEANS_K,
+    KMEANS_ITERS iterations, deterministic smallest-id init and
+    smallest-id tie-break) — the embedding-clustering stage before
+    per-cluster sampling/dedup. Emits final cluster sizes; the SQL twin
+    unrolls the same two iterations as CTEs."""
+    from .extras.similarity import kmeans_lloyd
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    _, assigns = kmeans_lloyd(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    out = (
+        assigns.groupby("cluster").count().to_pandas()
+        .sort_values("cluster")
+    )
+    return pa.table({
+        "cluster": pa.array(out["cluster"].astype("int64")),
+        "n_vecs": pa.array(out["count()"].astype("int64")),
+    })

@@ -943,3 +943,53 @@ def test_vocab_top_bigrams_matches_bruteforce():
     rows = sorted(want.items(), key=lambda e: (-e[1], e[0]))[:BIGRAM_TOP_N]
     assert list(zip(got.w1, got.w2, got.n)) == \
         [(a, b, c) for (a, b), c in rows]
+
+
+def test_kmeans_lloyd_matches_sequential():
+    """Distributed Lloyd == the sequential recompute (same init, same
+    tie rule): identical assignments, approx-equal centroids; empty
+    clusters keep their centroid; iters=0 = assignment under init."""
+    from rayfts.extras.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(9)
+    k, n, dim = 5, 400, 16
+    true_c = rng.normal(size=(k, dim)) * 5
+    vecs = true_c[rng.integers(0, k, n)] + rng.normal(size=(n, dim))
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(6)
+    cents, assigns = kmeans_lloyd(ds, k=k, iters=3)
+    got = (
+        assigns.to_pandas().sort_values("vec_id").cluster.to_numpy()
+    )
+    # sequential reference (float32 storage round-trip like the engine)
+    m = np.asarray(
+        t["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+    ).reshape(n, dim)
+    c = m[:k].copy()
+    for _ in range(3):
+        d = (c * c).sum(1)[None, :] - 2.0 * (m @ c.T)
+        a = np.argmin(d, axis=1)
+        for j in range(k):
+            sel = a == j
+            if sel.any():
+                c[j] = m[sel].sum(axis=0) / sel.sum()
+    d = (c * c).sum(1)[None, :] - 2.0 * (m @ c.T)
+    want = np.argmin(d, axis=1)
+    assert (got == want).all()
+    assert np.allclose(cents, c, rtol=1e-9)
+    # iters=0: assignment under the init centroids
+    _, a0 = kmeans_lloyd(ds, k=k, iters=0)
+    d0 = (m[:k] ** 2).sum(1)[None, :] - 2.0 * (m @ m[:k].T)
+    assert (
+        a0.to_pandas().sort_values("vec_id").cluster.to_numpy()
+        == np.argmin(d0, axis=1)
+    ).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(ds, k=0)
