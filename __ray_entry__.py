@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_bigrams": P.vocab_top_bigrams,
         # embedding clustering: distributed Lloyd k-means
         "embedding_kmeans_sizes": P.embedding_kmeans_sizes,
+        "fts_min_score_top10": P.fts_min_score_top10,  # min_score option
     }
 
 
@@ -2511,5 +2512,11 @@ a3 AS (
 )
 SELECT cid AS cluster, count(*) AS n_vecs
 FROM a3 GROUP BY cid ORDER BY cid
+""",
+        "fts_min_score_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores WHERE score >= {P.MIN_SCORE}
+ORDER BY score DESC, doc_id LIMIT 10
 """,
     }

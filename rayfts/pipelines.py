@@ -3427,3 +3427,21 @@ def embedding_kmeans_sizes(sf_dir: str) -> pa.Table:
         "cluster": pa.array(out["cluster"].astype("int64")),
         "n_vecs": pa.array(out["count()"].astype("int64")),
     })
+
+
+MIN_SCORE = 1.6   # min_score search-option probe (cuts inside the top-10)
+
+
+def fts_min_score_top10(sf_dir: str) -> pa.Table:
+    """ES min_score option: BM25_QUERY top-10 restricted to scores >=
+    MIN_SCORE (exact prefix-filter rewrite of the sorted top-k)."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    rows = s.search_min_score(BM25_QUERY, k=10, min_score=MIN_SCORE)
+    to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array([int(to_src[d]) for d, _ in rows], pa.int64()),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in rows], pa.int64()
+        ),
+    })

@@ -3454,6 +3454,31 @@ class Searcher(SuggestAPI):
             rows.extend(zip(terms[pm].tolist(), dfs[pm].tolist()))
         return rows
 
+    def search_min_score(self, query: str, k: int = 10,
+                         min_score: float = 0.0, **kw) -> list[tuple]:
+        """ES min_score search option: top-k restricted to docs scoring
+        >= ``min_score``. Results are score-descending, so filtering the
+        top-k prefix IS the top-k of the qualified set — an exact
+        rewrite, no extra scoring work. Accepts every search() kwarg."""
+        return [
+            (d, sc) for d, sc in self.search(query, k=k, **kw)
+            if sc >= min_score
+        ]
+
+    def analyze(self, text: str) -> list[tuple[str, int]]:
+        """ES _analyze API: run the INDEX analyzer over arbitrary text
+        and return [(token, position)] — the call clients use to debug
+        why a query does or doesn't match. Positions are the raw token
+        slots; stop-filtered tokens vanish but LEAVE THEIR GAP
+        (enablePositionIncrements — the same convention the positional
+        index stores), so phrase-slop reasoning over the output matches
+        the index exactly."""
+        raw = tokenize_query(text)
+        stops = self.stopwords or ()
+        return [
+            (t, i) for i, t in enumerate(raw) if t not in stops
+        ]
+
     def validate_query(self, query: str) -> dict:
         """ES _validate/query?explain analog: parse + analyze + rewrite
         WITHOUT executing — what a client calls to sanity-check a query
@@ -5665,6 +5690,12 @@ class MultiSearcher(SuggestAPI):
 
     variable_width_histogram_agg = Searcher.variable_width_histogram_agg
     validate_query = Searcher.validate_query
+    search_min_score = Searcher.search_min_score
+
+    def analyze(self, text: str) -> list[tuple[str, int]]:
+        """Sharded _analyze: segments share one analyzer config, so the
+        first segment's analyzer IS the analyzer."""
+        return self.segments[0].analyze(text)
 
     def mtermvectors(self, doc_ids: list[int]) -> list[tuple]:
         """Sharded _mtermvectors: each doc routes to its owning segment

@@ -2321,3 +2321,20 @@ def test_levenshtein_vec_osa_transpositions(index_dir, oracle):
     d_plain = s.fuzzy_docs("absh", max_edits=1)
     d_osa = s.fuzzy_docs("absh", max_edits=1, transpositions=True)
     assert d_plain == [] and len(d_osa) > 0
+
+
+def test_min_score_and_analyze_api(index_dir, oracle):
+    """min_score = exact prefix filter of the sorted top-k; _analyze
+    returns index-analyzer tokens with stop gaps preserved."""
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    q = "the w0007 bash"
+    full = s.search(q, k=10)
+    cut = full[4][1]  # 5th score as threshold
+    got = s.search_min_score(q, k=10, min_score=cut)
+    assert got == [(d, sc) for d, sc in full if sc >= cut]
+    assert 1 <= len(got) <= 10
+    assert s.search_min_score(q, k=10, min_score=1e9) == []
+    # analyze: no stop list on this index -> every token, 0-based slots
+    toks = s.analyze("The W0007   bash!")
+    assert toks == [("the", 0), ("w0007", 1), ("bash", 2)]

@@ -221,3 +221,11 @@ def test_sharded_stop_index_equals_global(stop_index, tmp_path_factory):
             single.search(q, k=10), q
     assert multi.search_phrase("the w0007", k=10) == \
         single.search_phrase("the w0007", k=10)
+
+
+def test_analyze_preserves_stop_gaps(stop_index):
+    """_analyze on a stop-filtered index: stop tokens vanish but their
+    position slots remain (enablePositionIncrements)."""
+    s = Searcher(stop_index)
+    assert s.analyze("the big cat a dog") == \
+        [("big", 1), ("cat", 2), ("dog", 4)]
