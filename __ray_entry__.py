@@ -27,6 +27,48 @@ _TOKS_CTE = (
     f"'{_TOK}')) AS term FROM documents)"
 )
 
+# k-means oracle: two Lloyd iterations unrolled (init = smallest-id
+# vectors, dist surrogate |c|^2 - 2 v.c, ties -> smaller cid — all
+# shared with extras.similarity.kmeans_lloyd); a3 = final assignment
+_KMEANS_CTES = f"""WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, i, val FROM v WHERE vec_id < {P.KMEANS_K}),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY sum(c.val * c.val) - 2 * sum(v.val * c.val),
+                      c.cid) AS rn
+    FROM v JOIN c0 c USING (i) GROUP BY v.vec_id, c.cid
+  ) WHERE rn = 1
+),
+c1 AS (SELECT a1.cid, v.i, avg(v.val) AS val
+       FROM v JOIN a1 USING (vec_id) GROUP BY a1.cid, v.i),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY sum(c.val * c.val) - 2 * sum(v.val * c.val),
+                      c.cid) AS rn
+    FROM v JOIN c1 c USING (i) GROUP BY v.vec_id, c.cid
+  ) WHERE rn = 1
+),
+c2 AS (SELECT a2.cid, v.i, avg(v.val) AS val
+       FROM v JOIN a2 USING (vec_id) GROUP BY a2.cid, v.i),
+a3 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY sum(c.val * c.val) - 2 * sum(v.val * c.val),
+                      c.cid) AS rn
+    FROM v JOIN c2 c USING (i) GROUP BY v.vec_id, c.cid
+  ) WHERE rn = 1
+)"""
+
+
 _DL_CTE = (
     "dl AS (SELECT d.doc_id, count(t.term) AS dl "
     "FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id)"
@@ -380,6 +422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding clustering: distributed Lloyd k-means
         "embedding_kmeans_sizes": P.embedding_kmeans_sizes,
         "fts_min_score_top10": P.fts_min_score_top10,  # min_score option
+        # composed stage: k-means clusters as sampling strata
+        "cluster_balanced_sample": P.cluster_balanced_sample,
     }
 
 
@@ -2473,43 +2517,7 @@ ORDER BY n DESC, w1, w2 LIMIT {P.BIGRAM_TOP_N}
         # differ in the last ulp (sum order), flipping an assignment
         # only on a near-exact tie — none exist in this corpus
         "embedding_kmeans_sizes": f"""
-WITH v AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         unnest(embedding)::DOUBLE AS val
-  FROM embeddings
-),
-c0 AS (SELECT vec_id AS cid, i, val FROM v WHERE vec_id < {P.KMEANS_K}),
-a1 AS (
-  SELECT vec_id, cid FROM (
-    SELECT v.vec_id, c.cid,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY sum(c.val * c.val) - 2 * sum(v.val * c.val),
-                      c.cid) AS rn
-    FROM v JOIN c0 c USING (i) GROUP BY v.vec_id, c.cid
-  ) WHERE rn = 1
-),
-c1 AS (SELECT a1.cid, v.i, avg(v.val) AS val
-       FROM v JOIN a1 USING (vec_id) GROUP BY a1.cid, v.i),
-a2 AS (
-  SELECT vec_id, cid FROM (
-    SELECT v.vec_id, c.cid,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY sum(c.val * c.val) - 2 * sum(v.val * c.val),
-                      c.cid) AS rn
-    FROM v JOIN c1 c USING (i) GROUP BY v.vec_id, c.cid
-  ) WHERE rn = 1
-),
-c2 AS (SELECT a2.cid, v.i, avg(v.val) AS val
-       FROM v JOIN a2 USING (vec_id) GROUP BY a2.cid, v.i),
-a3 AS (
-  SELECT vec_id, cid FROM (
-    SELECT v.vec_id, c.cid,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY sum(c.val * c.val) - 2 * sum(v.val * c.val),
-                      c.cid) AS rn
-    FROM v JOIN c2 c USING (i) GROUP BY v.vec_id, c.cid
-  ) WHERE rn = 1
-)
+{_KMEANS_CTES}
 SELECT cid AS cluster, count(*) AS n_vecs
 FROM a3 GROUP BY cid ORDER BY cid
 """,
@@ -2518,5 +2526,25 @@ FROM a3 GROUP BY cid ORDER BY cid
 SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
 FROM scores WHERE score >= {P.MIN_SCORE}
 ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # composed: kmeans assignment CTEs + the md5-rank quota window
+        "cluster_balanced_sample": f"""
+{_KMEANS_CTES},
+r AS (
+  SELECT cid, vec_id,
+         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS rnk
+  FROM a3
+),
+k AS (
+  SELECT cid, vec_id,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY rnk, CAST(vec_id AS VARCHAR)) AS rn
+  FROM r
+)
+SELECT cid AS cluster, count(*) AS n_kept,
+       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+FROM k WHERE rn <= {P.CLUSTER_QUOTA}
+GROUP BY cid ORDER BY cid
 """,
     }

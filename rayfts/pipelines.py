@@ -3445,3 +3445,34 @@ def fts_min_score_top10(sf_dir: str) -> pa.Table:
             [int(round(sc * 1e6)) for _, sc in rows], pa.int64()
         ),
     })
+
+
+CLUSTER_QUOTA = 40   # per-cluster cap of the balanced sample
+
+
+def cluster_balanced_sample(sf_dir: str) -> pa.Table:
+    """Cluster-balanced sampling — the composed training-data stage:
+    distributed k-means assigns every embedding a cluster, then the
+    deterministic md5-rank quota sampler caps each cluster at
+    CLUSTER_QUOTA rows (the per-domain-cap machinery with cluster as
+    the stratum). Emits per-cluster kept counts + exact vec_id sums."""
+    from .extras.sampling import stratified_sample
+    from .extras.similarity import kmeans_lloyd
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    _, assigns = kmeans_lloyd(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    kept = stratified_sample(
+        assigns, key_col="vec_id", stratum_col="cluster",
+        quota=CLUSTER_QUOTA,
+    )
+    out = (
+        kept.groupby("cluster")
+        .aggregate(Count(), Sum("vec_id"))
+        .to_pandas()
+        .sort_values("cluster")
+    )
+    return pa.table({
+        "cluster": pa.array(out["cluster"].astype("int64")),
+        "n_kept": pa.array(out["count()"].astype("int64")),
+        "sum_vec_id": pa.array(out["sum(vec_id)"].astype("int64")),
+    })

@@ -993,3 +993,41 @@ def test_kmeans_lloyd_matches_sequential():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         kmeans_lloyd(ds, k=0)
+
+
+def test_cluster_balanced_sample_quota_rule():
+    """Composition: stratified quota over kmeans clusters == the
+    row_number-over-(md5rank, key) rule applied per cluster."""
+    import hashlib
+
+    from rayfts.extras.sampling import stratified_sample
+    from rayfts.extras.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(13)
+    n, dim, k = 300, 8, 3
+    true_c = rng.normal(size=(k, dim)) * 6
+    vecs = true_c[rng.integers(0, k, n)] + rng.normal(size=(n, dim))
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    _, assigns = kmeans_lloyd(ds, k=k, iters=2)
+    adf = assigns.to_pandas()
+    quota = 20
+    kept = stratified_sample(
+        rd.from_arrow(pa.Table.from_pandas(adf, preserve_index=False))
+        .repartition(4),
+        key_col="vec_id", stratum_col="cluster", quota=quota,
+    ).to_pandas()
+
+    def rank(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    for c, grp in adf.groupby("cluster"):
+        want = sorted(
+            ((rank(v), str(v), v) for v in grp.vec_id),
+        )[:quota]
+        got = sorted(kept[kept.cluster == c].vec_id.tolist())
+        assert got == sorted(v for _, _, v in want), c
