@@ -213,6 +213,32 @@ def cmd_alias(args) -> int:
     return 0
 
 
+def cmd_terms_enum(args) -> int:
+    from .search import Searcher
+
+    rows = Searcher(args.index).terms_enum(
+        args.prefix, size=args.size, min_df=args.min_df
+    )
+    for t, df in rows:
+        print(json.dumps({"term": t, "df": df}))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    from .search import Searcher
+
+    toks = Searcher(args.index).analyze(args.text)
+    print(json.dumps([{"token": t, "position": p} for t, p in toks]))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from .search import Searcher
+
+    print(json.dumps(Searcher(args.index).validate_query(args.query)))
+    return 0
+
+
 def cmd_info(args) -> int:
     from .manifest import load_manifest
 
@@ -301,6 +327,23 @@ def main(argv=None) -> int:
     sr.add_argument("--shared", action="store_true",
                     help="decode segments once into the object store")
     sr.set_defaults(fn=cmd_search_root)
+
+    te = sub.add_parser("terms-enum", help="ES _terms_enum analog")
+    te.add_argument("--index", required=True)
+    te.add_argument("--prefix", required=True)
+    te.add_argument("--size", type=int, default=10)
+    te.add_argument("--min-df", dest="min_df", type=int, default=1)
+    te.set_defaults(fn=cmd_terms_enum)
+
+    an = sub.add_parser("analyze", help="ES _analyze analog")
+    an.add_argument("--index", required=True)
+    an.add_argument("--text", required=True)
+    an.set_defaults(fn=cmd_analyze)
+
+    vq = sub.add_parser("validate", help="ES _validate/query analog")
+    vq.add_argument("--index", required=True)
+    vq.add_argument("--query", required=True)
+    vq.set_defaults(fn=cmd_validate)
 
     i = sub.add_parser("info")
     i.add_argument("--index", required=True)

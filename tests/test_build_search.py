@@ -2338,3 +2338,31 @@ def test_min_score_and_analyze_api(index_dir, oracle):
     # analyze: no stop list on this index -> every token, 0-based slots
     toks = s.analyze("The W0007   bash!")
     assert toks == [("the", 0), ("w0007", 1), ("bash", 2)]
+
+
+def test_cli_introspection_subcommands(index_dir, capsys):
+    """CLI terms-enum / analyze / validate drive the same APIs (read-only
+    subcommands — no Ray session of their own)."""
+    import json as _json
+
+    from rayfts.cli import main
+
+    assert main(["terms-enum", "--index", index_dir,
+                 "--prefix", "w00", "--size", "3"]) == 0
+    rows = [_json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    s = Searcher(index_dir)
+    assert [(r["term"], r["df"]) for r in rows] == \
+        s.terms_enum("w00", size=3)
+    assert main(["analyze", "--index", index_dir,
+                 "--text", "The w0007 Bash"]) == 0
+    assert _json.loads(capsys.readouterr().out) == [
+        {"token": "the", "position": 0},
+        {"token": "w0007", "position": 1},
+        {"token": "bash", "position": 2},
+    ]
+    assert main(["validate", "--index", index_dir,
+                 "--query", "the zzzz_absent"]) == 0
+    v = _json.loads(capsys.readouterr().out)
+    assert v["valid"] and v["n_clauses"] == 2
+    assert ["zzzz_absent", 0, 0] in v["terms"]
