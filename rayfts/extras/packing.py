@@ -74,18 +74,27 @@ def pack_chunks(ds: rd.Dataset, budget: int, bucket_docs: int = 4096,
         .to_pandas()
         .sort_values("bucket")
     )
-    buckets = totals["bucket"].to_numpy()
+    buckets = totals["bucket"].to_numpy().astype(np.int64)
     csum = np.concatenate(
         [[0], np.cumsum(totals["sum(tok_p)"].to_numpy())[:-1]]
-    )
-    offsets = {int(b): int(o) for b, o in zip(buckets, csum)}
+    ).astype(np.int64)
+    # offsets ship through the object store ONCE (zero-copy numpy views
+    # per task), never inside the task closure — at 10^12 rows the
+    # bucket table is itself large
+    import ray
+
+    offsets_ref = ray.put((buckets, csum))
 
     def assign(group: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        bks, offs = _ray.get(offsets_ref)
         group = group.sort_values(id_col)
         tbl = pa.Table.from_pandas(group, preserve_index=False)
         ntok = _token_counts(tbl, text_col)
         bucket = int(group[id_col].iloc[0]) // bucket_docs
-        before = offsets[bucket] + np.concatenate(
+        off = int(offs[np.searchsorted(bks, bucket)])
+        before = off + np.concatenate(
             [[0], np.cumsum(ntok)[:-1]]
         )
         return pd.DataFrame({

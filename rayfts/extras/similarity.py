@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -483,15 +484,25 @@ def kmeans_lloyd(
     with assignments from the FINAL centroids."""
     if k < 1 or iters < 0:
         raise ValueError("k >= 1 and iters >= 0 required")
-    first = pa.concat_tables(
+
+    # init = the k smallest-id vectors WITHOUT a global sort: each block
+    # ships its own k-head (O(k) rows), the driver merges — the
+    # block-head pattern stratified sampling uses
+    def head(b: pa.Table) -> pa.Table:
+        b = b.select([id_col, vec_col])
+        idx = pc.sort_indices(b, sort_keys=[(id_col, "ascending")])
+        return b.take(idx.slice(0, k))
+
+    heads = pa.concat_tables(
         [t for t in ray.get(
-            ds.sort(id_col).limit(k).map_batches(
-                lambda b: b.select([id_col, vec_col]),
-                batch_format="pyarrow",
-            ).to_arrow_refs()
+            ds.map_batches(head, batch_format="pyarrow").to_arrow_refs()
         ) if t.num_rows]
     )
-    cents = _batch_matrix(first, vec_col)[:k].copy()
+    heads = heads.take(
+        pc.sort_indices(heads, sort_keys=[(id_col, "ascending")])
+        .slice(0, k)
+    )
+    cents = _batch_matrix(heads, vec_col).copy()
     for _ in range(iters):
         parts = ds.map_batches(
             _KMeansAssign,
