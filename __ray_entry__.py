@@ -46,7 +46,10 @@ a1 AS (
   ) WHERE rn = 1
 ),
 c1 AS (SELECT a1.cid, v.i, avg(v.val) AS val
-       FROM v JOIN a1 USING (vec_id) GROUP BY a1.cid, v.i),
+       FROM v JOIN a1 USING (vec_id) GROUP BY a1.cid, v.i
+       UNION ALL  -- empty cluster keeps its centroid (engine rule)
+       SELECT cid, i, val FROM c0
+       WHERE cid NOT IN (SELECT DISTINCT cid FROM a1)),
 a2 AS (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,
@@ -57,7 +60,10 @@ a2 AS (
   ) WHERE rn = 1
 ),
 c2 AS (SELECT a2.cid, v.i, avg(v.val) AS val
-       FROM v JOIN a2 USING (vec_id) GROUP BY a2.cid, v.i),
+       FROM v JOIN a2 USING (vec_id) GROUP BY a2.cid, v.i
+       UNION ALL  -- empty cluster keeps its centroid (engine rule)
+       SELECT cid, i, val FROM c1
+       WHERE cid NOT IN (SELECT DISTINCT cid FROM a2)),
 a3 AS (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,

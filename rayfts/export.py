@@ -72,6 +72,8 @@ def export_hits(
     hits = s._hit_mask(query, where, mode, must_not)
     if hits is None:
         hits = np.zeros(s.N, dtype=bool)
+    if slice_id is not None and slice_max is None:
+        raise ValueError("slice_id requires slice_max")
     if slice_max is not None:
         if slice_id is None or not (0 <= slice_id < slice_max):
             raise ValueError("slice_id must be in [0, slice_max)")

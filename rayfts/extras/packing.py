@@ -98,7 +98,7 @@ def pack_chunks(ds: rd.Dataset, budget: int, bucket_docs: int = 4096,
             [[0], np.cumsum(ntok)[:-1]]
         )
         return pd.DataFrame({
-            "doc_id": group[id_col].to_numpy(),
+            id_col: group[id_col].to_numpy(),
             "n_tokens": ntok,
             "chunk_id": before // budget,
         })
@@ -117,10 +117,12 @@ def pack_chunks(ds: rd.Dataset, budget: int, bucket_docs: int = 4096,
 
 
 def chunk_stats(ds: rd.Dataset, budget: int,
-                bucket_docs: int = 4096) -> pa.Table:
+                bucket_docs: int = 4096, text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
     """Per-chunk (chunk_id, n_docs, tokens) summary — the packing QA
     view (budget adherence / tail chunk). O(chunks) result."""
-    packed = pack_chunks(ds, budget, bucket_docs=bucket_docs)
+    packed = pack_chunks(ds, budget, bucket_docs=bucket_docs,
+                         text_col=text_col, id_col=id_col)
     out = (
         packed.groupby("chunk_id")
         .aggregate(Count(), Sum("n_tokens"))

@@ -294,6 +294,98 @@ def sibling_bucket_aggs(buckets: list[tuple]) -> dict:
     }
 
 
+def _exact_int_sum(a: np.ndarray) -> int:
+    """EXACT sum of an int64 array: int64 partial sums over chunks sized
+    so no partial can wrap (|partial| < 2^62), accumulated as Python
+    ints. O(n) numpy work + O(n/chunk) Python ops — the widening twin of
+    DuckDB's HUGEINT sum() used by the oracles."""
+    if a.size == 0:
+        return 0
+    m = int(np.abs(a).max())
+    if m == 0:
+        return 0
+    chunk = max(1, (1 << 62) // m)
+    if a.size <= chunk:
+        return int(a.sum())
+    return sum(int(a[i:i + chunk].sum()) for i in range(0, a.size, chunk))
+
+
+def _exact_prod_sum(x: np.ndarray, y: np.ndarray) -> int:
+    """EXACT sum(x*y) for int64 arrays. Per-term products that fit int64
+    go through the chunked exact sum; wider per-term products (e.g.
+    epoch-ms squares) fall back to an object-dtype dot (Python ints,
+    exact at any width)."""
+    if x.size == 0:
+        return 0
+    mx = int(np.abs(x).max())
+    my = int(np.abs(y).max())
+    if mx and my and mx * my >= (1 << 62):
+        return int(np.dot(x.astype(object), y.astype(object)))
+    return _exact_int_sum(x * y)
+
+
+def _topk_pairs(docs: np.ndarray, scores: np.ndarray,
+                k: int) -> list[tuple]:
+    """(score desc, doc asc) top-k as [(doc, score)] — the shared
+    kth-partition + tie-keeping-lexsort kernel behind every ranked
+    surface (O(n + k log k); the partition keeps boundary ties so the
+    lexsort's doc-asc rule decides them deterministically)."""
+    take = min(k, docs.size)
+    if take <= 0:
+        return []
+    if docs.size > take:
+        kth = np.partition(-scores, take - 1)[take - 1]
+        cand = np.flatnonzero(-scores <= kth)
+    else:
+        cand = np.arange(docs.size)
+    order = cand[np.lexsort((docs[cand], -scores[cand]))][:take]
+    return [(int(docs[i]), float(scores[i])) for i in order]
+
+
+def _per_key_rank_keep(idx: np.ndarray, scores: np.ndarray,
+                       codes: np.ndarray, max_per_key: int) -> np.ndarray:
+    """Rank hits (score desc, doc asc) and keep each whose per-key
+    cumcount is < ``max_per_key``; missing-key rows (code < 0) always
+    survive. Returns positions INTO idx/scores, in rank order — the
+    diversified_sampler candidate walk the single-index and sharded
+    paths share (one lexsort + a vectorized per-key cumcount)."""
+    order = np.lexsort((idx, -scores))
+    oc = codes[idx][order]
+    pos = np.arange(oc.size)
+    srt = np.lexsort((pos, oc))
+    sc = oc[srt]
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    grp_start = np.repeat(
+        starts, np.diff(np.r_[starts, np.int64(sc.size)])
+    )
+    cum = np.empty(oc.size, np.int64)
+    cum[srt] = pos - grp_start
+    keep = (oc < 0) | (cum < max_per_key)
+    return order[keep]
+
+
+def _rank_eval_metrics(hits: list[tuple], is_relevant, n_rel: int,
+                       k: int) -> dict:
+    """The rank_eval metric suite over a ranked hit list — shared by the
+    single-index and sharded paths so a metric change can never
+    desynchronize them. ``is_relevant`` maps a (global) doc id to its
+    judgment; see Searcher.rank_eval for the metric definitions."""
+    rel_ranks = [i for i, (d, _) in enumerate(hits) if is_relevant(d)]
+    r = len(rel_ranks)
+    dcg = 0.0
+    for i in rel_ranks:
+        dcg += 1.0 / math.log2(i + 2)
+    return {
+        "k": k,
+        "rel_at_k": r,
+        "n_rel": n_rel,
+        "precision": r / k,
+        "recall": (r / n_rel) if n_rel else None,
+        "rr": (1.0 / (rel_ranks[0] + 1)) if rel_ranks else 0.0,
+        "dcg": dcg,
+    }
+
+
 def variable_width_buckets(hist: dict, k: int) -> list[tuple]:
     """ES variable_width_histogram analog, made DETERMINISTIC: ES ships a
     one-pass approximate clusterer (results depend on shard/collection
@@ -323,26 +415,30 @@ def variable_width_buckets(hist: dict, k: int) -> list[tuple]:
     cs = np.concatenate([[0.0], np.cumsum(w * vals)])
     cq = np.concatenate([[0.0], np.cumsum(w * vals * vals)])
 
-    def cost(a: int, b: int) -> float:
-        # weighted SSE of vals[a..b] inclusive (0-indexed)
-        W = cw[b + 1] - cw[a]
-        S = cs[b + 1] - cs[a]
-        Q = cq[b + 1] - cq[a]
-        return Q - S * S / W
-
     INF = float("inf")
     D = np.full((k + 1, m + 1), INF)
     back = np.zeros((k + 1, m + 1), dtype=np.int64)
     D[0][0] = 0.0
+    # vectorized DP: for each (j, i) the candidate split points a form a
+    # contiguous range, and cost(a, i-1) has O(1) prefix-sum form, so the
+    # inner argmin is one numpy pass — O(k*m^2) numpy element-ops instead
+    # of O(k*m^2) Python-level cost() calls (the driver holds only the
+    # exactly-merged value histogram, never corpus rows)
     for j in range(1, k + 1):
+        prev = D[j - 1]
         for i in range(j, m + 1):
-            best, barg = INF, j - 1
-            for a in range(j - 1, i):
-                c = D[j - 1][a] + cost(a, i - 1)
-                if c < best - 1e-12:  # strict: ties keep smaller a
-                    best, barg = c, a
-            D[j][i] = best
-            back[j][i] = barg
+            a = np.arange(j - 1, i)
+            W = cw[i] - cw[a]
+            S = cs[i] - cs[a]
+            Q = cq[i] - cq[a]
+            c = prev[a] + (Q - S * S / W)
+            # strict tie rule: improvements must beat best - 1e-12, so
+            # ties keep the SMALLER a — np.argmin returns the first
+            # minimum, and masking sub-tolerance dips preserves the rule
+            barg = int(np.argmin(np.where(c <= c.min() + 1e-12,
+                                          c.min(), c)))
+            D[j][i] = float(c[barg])
+            back[j][i] = j - 1 + barg
     # reconstruct
     cuts = []
     i = m
@@ -943,16 +1039,8 @@ class Searcher(SuggestAPI):
         out = []
         for v, c, code in ranked:
             idx = np.flatnonzero(hits & (codes == code))
-            scores = buf[idx]
-            take = min(top_n, idx.size)
-            if idx.size > take:
-                kth = np.partition(-scores, take - 1)[take - 1]
-                cand = np.flatnonzero(-scores <= kth)
-            else:
-                cand = np.arange(idx.size)
-            order = cand[np.lexsort((idx[cand], -scores[cand]))][:take]
             out.append(
-                (v, c, [(int(idx[i]), float(scores[i])) for i in order])
+                (v, c, _topk_pairs(idx, buf[idx], top_n))
             )
         return out
 
@@ -1134,15 +1222,7 @@ class Searcher(SuggestAPI):
             idx = np.flatnonzero(hits & (codes == code))
             if idx.size == 0:
                 continue
-            scores = buf[idx]
-            take = min(top_n, idx.size)
-            if idx.size > take:
-                kth = np.partition(-scores, take - 1)[take - 1]
-                cand = np.flatnonzero(-scores <= kth)
-            else:
-                cand = np.arange(idx.size)
-            order = cand[np.lexsort((idx[cand], -scores[cand]))][:take]
-            out[v] = [(int(idx[i]), float(scores[i])) for i in order]
+            out[v] = _topk_pairs(idx, buf[idx], top_n)
         return out
 
     def has_parent_search(self, parent_query: str, parent_field: str,
@@ -1248,15 +1328,7 @@ class Searcher(SuggestAPI):
         idx = np.flatnonzero(cand)
         if idx.size == 0:
             return []
-        sc = buf[idx]
-        take = min(k, idx.size)
-        if idx.size > take:
-            kth = np.partition(-sc, take - 1)[take - 1]
-            pick = np.flatnonzero(-sc <= kth)
-        else:
-            pick = np.arange(idx.size)
-        order = pick[np.lexsort((idx[pick], -sc[pick]))][:take]
-        return [(int(idx[i]), float(sc[i])) for i in order]
+        return _topk_pairs(idx, buf[idx], k)
 
     SIMILARITIES = ("lmd", "classic", "boolean")
     LMD_MU = 2000.0  # Lucene LMDirichletSimilarity default
@@ -1350,14 +1422,7 @@ class Searcher(SuggestAPI):
             sc = sc * cnt[idx] / n_clauses / np.sqrt(
                 np.maximum(dl[idx].astype(np.float64), 1.0)
             )
-        take = min(k, idx.size)
-        if idx.size > take:
-            kth = np.partition(-sc, take - 1)[take - 1]
-            pick = np.flatnonzero(-sc <= kth)
-        else:
-            pick = np.arange(idx.size)
-        order = pick[np.lexsort((idx[pick], -sc[pick]))][:take]
-        return [(int(idx[i]), float(sc[i])) for i in order]
+        return _topk_pairs(idx, sc, k)
 
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",
@@ -1499,8 +1564,8 @@ class Searcher(SuggestAPI):
         n = int(sel.size)
         if np.all(sel == np.floor(sel)):  # integral column: exact int path
             s_i = sel.astype(np.int64)
-            total = int(s_i.sum())
-            sum_sq = int((s_i * s_i).sum())
+            total = _exact_int_sum(s_i)
+            sum_sq = _exact_prod_sum(s_i, s_i)
             var = (n * sum_sq - total * total) / (n * n)
         else:
             total = float(sel.sum())
@@ -1533,7 +1598,8 @@ class Searcher(SuggestAPI):
             return 0, 0, 0
         if np.all(sel == np.floor(sel)):
             s_i = sel.astype(np.int64)
-            return int(sel.size), int(s_i.sum()), int((s_i * s_i).sum())
+            return (int(sel.size), _exact_int_sum(s_i),
+                    _exact_prod_sum(s_i, s_i))
         return int(sel.size), float(sel.sum()), float((sel * sel).sum())
 
     def t_test_agg(self, query: str, field: str, where_a: dict,
@@ -1676,8 +1742,8 @@ class Searcher(SuggestAPI):
         vs, ws = v[m], w[m]
         if np.all(vs == np.floor(vs)) and np.all(ws == np.floor(ws)):
             vi, wi = vs.astype(np.int64), ws.astype(np.int64)
-            num = int((vi * wi).sum())
-            den = int(wi.sum())
+            num = _exact_prod_sum(vi, wi)
+            den = _exact_int_sum(wi)
         else:
             num = float((vs * ws).sum())
             den = float(ws.sum())
@@ -1826,10 +1892,10 @@ class Searcher(SuggestAPI):
         if np.all(xs == np.floor(xs)) and np.all(ys == np.floor(ys)):
             xi = xs.astype(np.int64)
             yi = ys.astype(np.int64)
-            sx, sy = int(xi.sum()), int(yi.sum())
-            sxx = int((xi * xi).sum())
-            syy = int((yi * yi).sum())
-            sxy = int((xi * yi).sum())
+            sx, sy = _exact_int_sum(xi), _exact_int_sum(yi)
+            sxx = _exact_prod_sum(xi, xi)
+            syy = _exact_prod_sum(yi, yi)
+            sxy = _exact_prod_sum(xi, yi)
         else:
             sx, sy = float(xs.sum()), float(ys.sum())
             sxx = float((xs * xs).sum())
@@ -2115,21 +2181,8 @@ class Searcher(SuggestAPI):
         if idx.size == 0:
             return []
         scores = buf[idx]
-        order = np.lexsort((idx, -scores))
         codes, values = self._field_codes(field)
-        oc = codes[idx][order]
-        # vectorized per-key cumcount in rank order
-        pos = np.arange(oc.size)
-        srt = np.lexsort((pos, oc))
-        sc = oc[srt]
-        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
-        grp_start = np.repeat(
-            starts, np.diff(np.r_[starts, np.int64(sc.size)])
-        )
-        cum = np.empty(oc.size, np.int64)
-        cum[srt] = pos - grp_start
-        keep = (oc < 0) | (cum < max_per_key)
-        sel = order[keep]
+        sel = _per_key_rank_keep(idx, scores, codes, max_per_key)
         return [
             (int(idx[i]), float(scores[i]),
              None if codes[idx[i]] < 0 else values[int(codes[idx[i]])])
@@ -2208,21 +2261,8 @@ class Searcher(SuggestAPI):
         if self.excluded.size:
             rel = rel.copy()
             rel[self.excluded] = False
-        n_rel = int(rel.sum())
-        rel_ranks = [i for i, (d, _) in enumerate(hits) if rel[d]]
-        r = len(rel_ranks)
-        dcg = 0.0
-        for i in rel_ranks:
-            dcg += 1.0 / math.log2(i + 2)
-        return {
-            "k": k,
-            "rel_at_k": r,
-            "n_rel": n_rel,
-            "precision": r / k,
-            "recall": (r / n_rel) if n_rel else None,
-            "rr": (1.0 / (rel_ranks[0] + 1)) if rel_ranks else 0.0,
-            "dcg": dcg,
-        }
+        return _rank_eval_metrics(hits, lambda d: bool(rel[d]),
+                                  int(rel.sum()), k)
 
     def search_geo_distance(self, lat_col: str, lon_col: str,
                             origin: tuple, k: int = 10,
@@ -3741,14 +3781,7 @@ class Searcher(SuggestAPI):
         return self._topk_from(pool_docs, pool_scores, k)
 
     def _topk_from(self, docs, scores, k):
-        take = min(k, docs.size)
-        if docs.size > take:
-            kth = np.partition(-scores, take - 1)[take - 1]
-            cand = np.flatnonzero(-scores <= kth)
-        else:
-            cand = np.arange(docs.size)
-        order = cand[np.lexsort((docs[cand], -scores[cand]))][:take]
-        return [(int(docs[i]), float(scores[i])) for i in order]
+        return _topk_pairs(docs, scores, k)
 
     # docs-per-term cap under which a term is "essential" for MaxScore
     MAXSCORE_DF_CAP = 4096
@@ -3853,14 +3886,7 @@ class Searcher(SuggestAPI):
         if after is not None:
             keep = _after_keep(scores, idx, after)
             idx, scores = idx[keep], scores[keep]
-        take = min(k, idx.size)
-        if idx.size > take:
-            kth = np.partition(-scores, take - 1)[take - 1]
-            cand = np.flatnonzero(-scores <= kth)  # keep boundary ties
-        else:
-            cand = np.arange(idx.size)
-        order = cand[np.lexsort((idx[cand], -scores[cand]))][:take]
-        return [(int(idx[i]), float(scores[i])) for i in order]
+        return _topk_pairs(idx, scores, k)
 
     def _search_wand(self, plist, k, weights: dict | None = None,
                      excluded_set=None, mask=None, after=None):
@@ -4927,16 +4953,7 @@ class MultiSearcher(SuggestAPI):
         if g_after is not None:
             keep = _after_keep(scores, docs, g_after)
             docs, scores = docs[keep], scores[keep]
-        take = min(inner_k, docs.size)
-        if take == 0:
-            return []
-        if docs.size > take:
-            kth = np.partition(-scores, take - 1)[take - 1]
-            cand = np.flatnonzero(-scores <= kth)
-        else:
-            cand = np.arange(docs.size)
-        order = cand[np.lexsort((docs[cand], -scores[cand]))][:take]
-        return [(int(docs[i]), float(scores[i])) for i in order][offset:]
+        return _topk_pairs(docs, scores, inner_k)[offset:]
 
     def search_phrase(self, phrase: str, k: int = 10,
                       where: dict | None = None):
@@ -4995,14 +5012,7 @@ class MultiSearcher(SuggestAPI):
             return []
         docs = np.concatenate(all_docs)
         scores = np.concatenate(all_scores)
-        take = min(k, docs.size)
-        if docs.size > take:
-            kth = np.partition(-scores, take - 1)[take - 1]
-            cand = np.flatnonzero(-scores <= kth)
-        else:
-            cand = np.arange(docs.size)
-        order = cand[np.lexsort((docs[cand], -scores[cand]))][:take]
-        return [(int(docs[i]), float(scores[i])) for i in order]
+        return _topk_pairs(docs, scores, k)
 
     def prefix_docs(self, prefix: str, limit: int = 20,
                     max_expansions: int = 4096) -> list[tuple[int, int]]:
@@ -5171,13 +5181,15 @@ class MultiSearcher(SuggestAPI):
         return out[:limit]
 
     def match_bool_prefix(self, query: str, k: int = 10,
+                          where: dict | None = None,
                           max_expansions: int = 4096) -> list[tuple]:
         """Sharded match_bool_prefix, exact vs a single global index:
         term-clause weights use GLOBAL df/avgdl (the _tf_part recompute)
         and the prefix expansion set is the union of per-segment
         expansions re-truncated globally (lossless: a term in the global
         first-``max_expansions`` is in its segment's first-K), so every
-        doc's score is bit-identical; per-segment top-k merge."""
+        doc's score is bit-identical; per-segment top-k merge. ``where``
+        filters hits per segment, mirroring the single-index kwarg."""
         if k <= 0:
             return []
         toks = tokenize_query(query)
@@ -5216,6 +5228,8 @@ class MultiSearcher(SuggestAPI):
                 hits |= pm
             if seg.excluded.size:
                 hits[seg.excluded] = False
+            if where:
+                hits &= seg.filter_mask(**where)
             idx = np.flatnonzero(hits)
             if idx.size == 0:
                 continue
@@ -5226,16 +5240,18 @@ class MultiSearcher(SuggestAPI):
         merged.sort(key=lambda e: (-e[1], e[0]))
         return merged[:k]
 
-    def pinned_search(self, ids: list[int], query: str,
-                      k: int = 10) -> list[tuple]:
+    def pinned_search(self, ids: list[int], query: str, k: int = 10,
+                      where: dict | None = None) -> list[tuple]:
         """Sharded pinned query, exact vs a single global index: pinned
         ids route to their owning segment (offset bisect) and score
         under the global-stats dense pass; organic = self.search minus
-        the pinned set."""
+        the pinned set. ``where`` filters pinned AND organic hits,
+        mirroring the single-index kwarg."""
         if k <= 0:
             return []
         terms, weights = self._global_weights(query)
         bufs: dict[int, np.ndarray] = {}
+        fms: dict[int, np.ndarray] = {}
         out: list[tuple] = []
         seen: set[int] = set()
         for d in ids:
@@ -5248,12 +5264,17 @@ class MultiSearcher(SuggestAPI):
             loc = d - int(self.offsets[si])
             if seg.excluded.size and bool(np.isin(loc, seg.excluded)):
                 continue
+            if where:
+                if si not in fms:
+                    fms[si] = seg.filter_mask(**where)
+                if not fms[si][loc]:
+                    continue
             if si not in bufs:
                 bufs[si] = self._seg_dense_scores(si, seg, terms, weights)
             out.append((d, float(bufs[si][loc]), True))
             if len(out) >= k:
                 return out[:k]
-        for d, s in self.search(query, k=k + len(seen)):
+        for d, s in self.search(query, k=k + len(seen), where=where):
             if d in seen:
                 continue
             out.append((d, s, False))
@@ -5438,17 +5459,9 @@ class MultiSearcher(SuggestAPI):
                 if idx.size == 0:
                     continue
                 scores = buf[idx]
-                take = min(top_n, idx.size)
-                if idx.size > take:
-                    kth = np.partition(-scores, take - 1)[take - 1]
-                    cand = np.flatnonzero(-scores <= kth)
-                else:
-                    cand = np.arange(idx.size)
-                order = cand[
-                    np.lexsort((idx[cand], -scores[cand]))
-                ][:take]
                 heads[v].extend(
-                    (int(idx[i]) + off, float(scores[i])) for i in order
+                    (d + off, s)
+                    for d, s in _topk_pairs(idx, scores, top_n)
                 )
         return [
             (
@@ -5565,14 +5578,9 @@ class MultiSearcher(SuggestAPI):
             if idx.size == 0:
                 continue
             sc = buf[idx]
-            take = min(k, idx.size)
-            if idx.size > take:
-                kth = np.partition(-sc, take - 1)[take - 1]
-                pick = np.flatnonzero(-sc <= kth)
-            else:
-                pick = np.arange(idx.size)
-            order = pick[np.lexsort((idx[pick], -sc[pick]))][:take]
-            rows.extend((int(idx[i]) + off, float(sc[i])) for i in order)
+            rows.extend(
+                (d + off, s) for d, s in _topk_pairs(idx, sc, k)
+            )
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
 
@@ -5662,15 +5670,10 @@ class MultiSearcher(SuggestAPI):
                 continue
             sc = self._seg_dense_scores(si, seg, terms, weights)[idx] \
                 * boosts[si]
-            take = min(k, idx.size)
-            if idx.size > take:
-                kth = np.partition(-sc, take - 1)[take - 1]
-                pick = np.flatnonzero(-sc <= kth)
-            else:
-                pick = np.arange(idx.size)
-            order = pick[np.lexsort((idx[pick], -sc[pick]))][:take]
             off = int(self.offsets[si])
-            rows.extend((int(idx[i]) + off, float(sc[i])) for i in order)
+            rows.extend(
+                (d + off, s) for d, s in _topk_pairs(idx, sc, k)
+            )
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
 
@@ -5765,16 +5768,9 @@ class MultiSearcher(SuggestAPI):
                 idx = np.flatnonzero(hits & (codes == code))
                 if idx.size == 0:
                     continue
-                scores = buf[idx]
-                take = min(top_n, idx.size)
-                if idx.size > take:
-                    kth = np.partition(-scores, take - 1)[take - 1]
-                    cand = np.flatnonzero(-scores <= kth)
-                else:
-                    cand = np.arange(idx.size)
-                order = cand[np.lexsort((idx[cand], -scores[cand]))][:take]
                 heads[v].extend(
-                    (int(idx[i]) + off, float(scores[i])) for i in order
+                    (d + off, s)
+                    for d, s in _topk_pairs(idx, buf[idx], top_n)
                 )
         return {
             v: sorted(h, key=lambda e: (-e[1], e[0]))[:top_n]
@@ -6091,21 +6087,10 @@ class MultiSearcher(SuggestAPI):
             if idx.size == 0:
                 continue
             scores = buf[idx]
-            order = np.lexsort((idx, -scores))
             codes, values = seg._field_codes(field)
-            oc = codes[idx][order]
-            pos = np.arange(oc.size)
-            srt = np.lexsort((pos, oc))
-            sc = oc[srt]
-            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
-            grp_start = np.repeat(
-                starts, np.diff(np.r_[starts, np.int64(sc.size)])
-            )
-            cum = np.empty(oc.size, np.int64)
-            cum[srt] = pos - grp_start
-            keep = (oc < 0) | (cum < max_per_key)
+            sel = _per_key_rank_keep(idx, scores, codes, max_per_key)
             off = int(self.offsets[si])
-            for i in order[keep]:
+            for i in sel:
                 c = int(codes[idx[i]])
                 cand.append((
                     int(idx[i]) + off, float(scores[i]),
@@ -6142,24 +6127,12 @@ class MultiSearcher(SuggestAPI):
                 m[seg.excluded] = False
             masks.append(m)
             n_rel += int(m.sum())
-        rel_ranks = []
-        for i, (d, _) in enumerate(hits):
+
+        def is_rel(d: int) -> bool:
             si = int(np.searchsorted(self.offsets, d, side="right")) - 1
-            if masks[si][d - int(self.offsets[si])]:
-                rel_ranks.append(i)
-        r = len(rel_ranks)
-        dcg = 0.0
-        for i in rel_ranks:
-            dcg += 1.0 / math.log2(i + 2)
-        return {
-            "k": k,
-            "rel_at_k": r,
-            "n_rel": n_rel,
-            "precision": r / k,
-            "recall": (r / n_rel) if n_rel else None,
-            "rr": (1.0 / (rel_ranks[0] + 1)) if rel_ranks else 0.0,
-            "dcg": dcg,
-        }
+            return bool(masks[si][d - int(self.offsets[si])])
+
+        return _rank_eval_metrics(hits, is_rel, n_rel, k)
 
     def date_histogram_agg(self, query: str, field: str,
                            calendar_interval: str = "day",
@@ -6295,8 +6268,10 @@ class MultiSearcher(SuggestAPI):
         for ch in sorted(chars):
             p = chars[ch] / len_sum
             ent += p * math.log2(p)
+        # all-empty-string hit set: single index reports None, not -0.0
         return {"count": n, "min_length": min_len, "max_length": max_len,
-                "len_sum": len_sum, "entropy": -ent}
+                "len_sum": len_sum,
+                "entropy": -ent if len_sum else None}
 
     def matrix_stats_agg(self, query: str, field_x: str, field_y: str,
                          where: dict | None = None, mode: str = "or",

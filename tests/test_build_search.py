@@ -1696,6 +1696,32 @@ def test_export_hits_streams_full_hit_set(index_dir, oracle):
     assert set(filt["role"]) == {"user"}
     assert len(filt) == int(s._hit_mask(q, where={"role": "user"}).sum())
     assert export_hits(index_dir, "zzzz_absent").count() == 0
+    # slice_id without slice_max is a caller bug (would silently export
+    # the FULL hit set per consumer) — must raise, not ignore
+    with pytest.raises(ValueError, match="slice_max"):
+        export_hits(index_dir, q, slice_id=2)
+
+
+def test_exact_int_sums_widen_past_int64():
+    """The exact-sum helpers behind extended_stats/t_test/weighted_avg/
+    matrix_stats must not wrap where naive int64 sums do (doc_id^2 sums
+    pass int64 at ~3.1M docs; epoch-ms squares overflow per term)."""
+    from rayfts.search import _exact_int_sum, _exact_prod_sum
+
+    a = np.full(10_000, (1 << 60), dtype=np.int64)  # naive sum wraps
+    assert _exact_int_sum(a) == 10_000 * (1 << 60)
+    assert _exact_int_sum(np.array([], dtype=np.int64)) == 0
+    assert _exact_int_sum(np.array([0, 0], dtype=np.int64)) == 0
+    rng = np.random.default_rng(7)
+    b = rng.integers(-(1 << 40), 1 << 40, size=5_000)
+    assert _exact_int_sum(b) == sum(int(x) for x in b)
+    # per-term product fits int64 but the sum wraps
+    c = np.full(100, 1 << 31, dtype=np.int64)
+    assert _exact_prod_sum(c, c) == 100 * (1 << 62)
+    # per-term product itself exceeds int64 -> object-dtype fallback
+    d = np.full(10, 1 << 33, dtype=np.int64)
+    assert _exact_prod_sum(d, d) == 10 * (1 << 66)
+    assert _exact_prod_sum(b, b) == sum(int(x) * int(x) for x in b)
 
 
 def test_facet_top_hits_matches_search(index_dir, oracle):

@@ -906,6 +906,15 @@ def test_pack_chunks_matches_bruteforce_and_never_splits():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_chunks(rd.from_arrow(t), 0)
+    # custom column names flow through to the OUTPUT schema too
+    t2 = t.rename_columns(["vec_id", "body"])
+    got2 = (
+        pack_chunks(rd.from_arrow(t2), budget, bucket_docs=32,
+                    text_col="body", id_col="vec_id")
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert sorted(got2.columns) == ["chunk_id", "n_tokens", "vec_id"]
+    assert got2.chunk_id.tolist() == got.chunk_id.tolist()
 
 
 def test_vocab_top_bigrams_matches_bruteforce():

@@ -340,6 +340,13 @@ def test_sharded_match_bool_prefix_and_pinned_equal_global(indexes):
         single.pinned_search(pin, "the w0007", k=10)
     assert multi.pinned_search(pin, "the w0007", k=2) == \
         single.pinned_search(pin, "the w0007", k=2)
+    # where kwarg parity (the sharded twins accept and honor it)
+    w = {"role": "user"}
+    for q in ["the w00", "bash w0007 ed"]:
+        assert multi.match_bool_prefix(q, k=10, where=w) == \
+            single.match_bool_prefix(q, k=10, where=w), q
+    assert multi.pinned_search(pin, "the w0007", k=10, where=w) == \
+        single.pinned_search(pin, "the w0007", k=10, where=w)
 
 
 def test_sharded_new_metric_aggs_equal_global(indexes):
