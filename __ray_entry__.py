@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_wildcard_docs": P.fts_wildcard_docs,    # WildcardQuery glob
         "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
+        "fts_rare_terms_hits": P.fts_rare_terms,     # rare_terms over hit set
+        "fts_multi_terms_hits": P.fts_multi_terms,   # multi_terms over hit set
         "fts_top_hits_by_source": P.fts_top_hits_by_source,  # top_hits sub-agg
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
@@ -698,6 +700,28 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT source, count(*) AS n_docs FROM documents JOIN hits USING (doc_id)
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
+""",
+        # rare_terms over the QUERY HIT SET (the Searcher-surface twin
+        # of the Dataset-level fts_rare_terms): buckets with count <=
+        # cutoff, (count asc, value asc); exact, no CuckooFilter
+        "fts_rare_terms_hits": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT lang, count(*) AS n_docs FROM documents JOIN hits USING (doc_id)
+GROUP BY lang HAVING count(*) <= {P.RARE_MAX_DOC_COUNT}
+ORDER BY n_docs, lang
+""",
+        # multi_terms over the QUERY HIT SET (Searcher-surface twin of
+        # the Dataset-level fts_multi_terms): (lang, source) pair
+        # buckets, (count desc, key asc), top 6
+        "fts_multi_terms_hits": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT lang, source, count(*) AS n_docs
+FROM documents JOIN hits USING (doc_id)
+GROUP BY lang, source ORDER BY n_docs DESC, lang, source LIMIT 6
 """,
         # terms + top_hits: bucket selection = facet order (count desc,
         # value asc, top 3); in-bucket ranking = (score desc, doc_id)

@@ -475,6 +475,36 @@ def fts_facet_source(sf_dir: str) -> pa.Table:
     )
 
 
+RARE_MAX_DOC_COUNT = 80   # rare_terms cutoff (drops the majority lang)
+
+
+def fts_rare_terms(sf_dir: str) -> pa.Table:
+    """ES rare_terms-aggregation analog (exact, not CuckooFilter-
+    approximate): `lang` values whose doc count over the BM25_QUERY hit
+    set is <= RARE_MAX_DOC_COUNT, ordered (count asc, value asc) — the
+    long-tail complement of the terms agg."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.rare_terms_agg(BM25_QUERY, "lang",
+                            max_doc_count=RARE_MAX_DOC_COUNT)
+    return pa.table({
+        "lang": pa.array([v for v, _ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
+def fts_multi_terms(sf_dir: str) -> pa.Table:
+    """ES multi_terms-aggregation analog: buckets keyed by the
+    (lang, source) value pair over the BM25_QUERY hit set, ordered
+    (count desc, key asc), top 6."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.multi_terms_agg(BM25_QUERY, ["lang", "source"], size=6)
+    return pa.table({
+        "lang": pa.array([k[0] for k, _ in rows], pa.string()),
+        "source": pa.array([k[1] for k, _ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
 def fts_top_hits_by_source(sf_dir: str) -> pa.Table:
     """ES terms + top_hits sub-aggregation analog: the 3 biggest `source`
     buckets over the BM25_QUERY hit set, each with its 2 best-BM25 hits —

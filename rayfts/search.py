@@ -1000,6 +1000,76 @@ class Searcher(SuggestAPI):
         ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
+    def rare_terms_agg(self, query: str, field: str,
+                       max_doc_count: int = 1, size: int | None = None,
+                       where: dict | None = None, mode: str = "or",
+                       must_not: str | None = None) -> list[tuple]:
+        """ES rare_terms-aggregation analog, made EXACT: buckets of
+        keyword ``field`` whose doc count over the query hit set is <=
+        ``max_doc_count``, ordered (count asc, value asc) — the
+        long-tail complement of the terms agg. DIVERGENCE, pinned for
+        the oracle: ES approximates with a CuckooFilter (documented
+        false-positive rate); this engine's facet machinery already
+        carries the exact histogram, so rare-ness is exact — and the
+        sharded path sums untruncated per-segment histograms BEFORE the
+        cutoff, making rare-ness a global property (a value rare in one
+        shard but common overall is correctly dropped)."""
+        if max_doc_count < 1:
+            raise ValueError("max_doc_count must be >= 1")
+        hist = self._facet_hist(query, field, where, mode, must_not)
+        out = sorted(
+            ((v, c) for v, c in hist.items() if c <= max_doc_count),
+            key=lambda e: (e[1], e[0]),
+        )
+        return out if size is None else out[:size]
+
+    def multi_terms_agg(self, query: str, fields: list[str],
+                        size: int = 10, where: dict | None = None,
+                        mode: str = "or",
+                        must_not: str | None = None) -> list[tuple]:
+        """ES multi_terms-aggregation analog: buckets keyed by the VALUE
+        TUPLE of two or more keyword fields over the query hit set,
+        ordered (count desc, key asc) and truncated to ``size``. Docs
+        missing ANY of the fields drop (the ES multi_terms missing
+        rule). One bincount over a mixed-radix code — O(hits) per
+        segment, payload O(observed key combinations). Returns
+        [((v1, v2, ...), count)]."""
+        if len(fields) < 2:
+            raise ValueError("multi_terms needs >= 2 fields")
+        hist = self._multi_terms_hist(query, fields, where, mode,
+                                      must_not)
+        ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
+        return ranked[:size]
+
+    def _multi_terms_hist(self, query: str, fields: list[str],
+                          where=None, mode="or", must_not=None) -> dict:
+        """Exact (value-tuple -> doc count) histogram — the sharded
+        merge payload behind multi_terms_agg."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {}
+        cols = [self._field_codes(f) for f in fields]
+        m = hits.copy()
+        for codes, _ in cols:
+            m &= codes >= 0
+        idx = np.flatnonzero(m)
+        if idx.size == 0:
+            return {}
+        # mixed-radix combined code over the per-field dictionaries
+        key = np.zeros(idx.size, dtype=np.int64)
+        for codes, values in cols:
+            key = key * np.int64(len(values)) + codes[idx]
+        uniq, cnt = np.unique(key, return_counts=True)
+        out: dict = {}
+        for kcode, c in zip(uniq, cnt):
+            parts = []
+            rem = int(kcode)
+            for codes, values in reversed(cols):
+                parts.append(values[rem % len(values)])
+                rem //= len(values)
+            out[tuple(reversed(parts))] = int(c)
+        return out
+
     def _qweights(self, query: str) -> dict[str, float]:
         """Query-side analyzer: clause weights with the index's stop list
         applied (the query runs through the same analyzer as indexing)."""
@@ -5419,6 +5489,46 @@ class MultiSearcher(SuggestAPI):
                 query, field, where, mode, must_not
             ).items():
                 total[v] = total.get(v, 0) + c
+        ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
+        return ranked[:size]
+
+    def rare_terms_agg(self, query: str, field: str,
+                       max_doc_count: int = 1, size: int | None = None,
+                       where: dict | None = None, mode: str = "or",
+                       must_not: str | None = None) -> list[tuple]:
+        """Sharded rare_terms, EXACT: untruncated per-segment histograms
+        sum BEFORE the max_doc_count cutoff, so rare-ness is a global
+        property — a value rare per shard but common overall is
+        correctly dropped (the error mode of ES's per-shard filter)."""
+        if max_doc_count < 1:
+            raise ValueError("max_doc_count must be >= 1")
+        total: dict = {}
+        for seg in self.segments:
+            for v, c in seg._facet_hist(
+                query, field, where, mode, must_not
+            ).items():
+                total[v] = total.get(v, 0) + c
+        out = sorted(
+            ((v, c) for v, c in total.items() if c <= max_doc_count),
+            key=lambda e: (e[1], e[0]),
+        )
+        return out if size is None else out[:size]
+
+    def multi_terms_agg(self, query: str, fields: list[str],
+                        size: int = 10, where: dict | None = None,
+                        mode: str = "or",
+                        must_not: str | None = None) -> list[tuple]:
+        """Sharded multi_terms, EXACT: per-segment value-tuple histograms
+        (disjoint hit sets) sum on the driver; payload O(observed key
+        combinations) per segment."""
+        if len(fields) < 2:
+            raise ValueError("multi_terms needs >= 2 fields")
+        total: dict = {}
+        for seg in self.segments:
+            for k, c in seg._multi_terms_hist(
+                query, fields, where, mode, must_not
+            ).items():
+                total[k] = total.get(k, 0) + c
         ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 

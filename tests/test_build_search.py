@@ -1724,6 +1724,45 @@ def test_exact_int_sums_widen_past_int64():
     assert _exact_prod_sum(b, b) == sum(int(x) * int(x) for x in b)
 
 
+def test_rare_and_multi_terms_match_bruteforce(index_dir, oracle):
+    """rare_terms == facet histogram filtered/reordered; multi_terms ==
+    pair-count brute force with the (count desc, key asc) order and the
+    drop-if-any-field-missing rule; both reject bad params."""
+    import pyarrow.parquet as pq
+
+    s = Searcher(index_dir)
+    q = "the w0007"
+    full = dict(s.facet_counts(q, "role", size=10_000))
+    for mdc in (1, 2, max(full.values())):
+        want = sorted(((v, c) for v, c in full.items() if c <= mdc),
+                      key=lambda e: (e[1], e[0]))
+        assert s.rare_terms_agg(q, "role", max_doc_count=mdc) == want
+    assert s.rare_terms_agg(q, "role",
+                            max_doc_count=max(full.values()),
+                            size=1) == \
+        s.rare_terms_agg(q, "role", max_doc_count=max(full.values()))[:1]
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "role", "tool"])
+    by_doc = {
+        int(d): (r, tl) for d, r, tl in zip(
+            t["doc_id"].to_pylist(), t["role"].to_pylist(),
+            t["tool"].to_pylist())
+    }
+    hits = np.flatnonzero(s._hit_mask(q))
+    pairs: dict = {}
+    for d in hits:
+        r, tl = by_doc[int(d)]
+        if r is None or tl is None:
+            continue
+        pairs[(r, tl)] = pairs.get((r, tl), 0) + 1
+    want = sorted(pairs.items(), key=lambda e: (-e[1], e[0]))[:5]
+    assert s.multi_terms_agg(q, ["role", "tool"], size=5) == want
+    with pytest.raises(ValueError):
+        s.rare_terms_agg(q, "role", max_doc_count=0)
+    with pytest.raises(ValueError):
+        s.multi_terms_agg(q, ["role"])
+
+
 def test_facet_top_hits_matches_search(index_dir, oracle):
     """terms + top_hits: bucket order == facet_counts; in-bucket hits ==
     the full ranking filtered to the bucket (identical scores — the

@@ -349,6 +349,20 @@ def test_sharded_match_bool_prefix_and_pinned_equal_global(indexes):
         single.pinned_search(pin, "the w0007", k=10, where=w)
 
 
+def test_sharded_rare_and_multi_terms_equal_global(indexes):
+    """rare_terms: per-segment histograms sum BEFORE the cutoff (global
+    rare-ness); multi_terms: value-tuple histograms sum exactly."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the w0007", "zzz_absent"]:
+        for mdc in (1, 3, 10_000):
+            assert multi.rare_terms_agg(q, "role", max_doc_count=mdc) \
+                == single.rare_terms_agg(q, "role", max_doc_count=mdc), \
+                (q, mdc)
+        assert multi.multi_terms_agg(q, ["role", "tool"], size=7) == \
+            single.multi_terms_agg(q, ["role", "tool"], size=7), q
+
+
 def test_sharded_new_metric_aggs_equal_global(indexes):
     single = Searcher(indexes["full"])
     multi = MultiSearcher([indexes["a"], indexes["b"]])
