@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": P.events_sessionize,    # session windows
         "sample_split_counts": P.sample_split_counts,  # hash holdout split
         "sample_stratified_counts": P.sample_stratified_counts,  # per-key quota
+        "temperature_mix_counts": P.temperature_mix_counts,  # n^alpha mixing
         "q1_pricing": P.q1_pricing,
         "join_revenue_by_segment": P.join_revenue_by_segment,
         "semi_join_lineitem_part": P.semi_join_lineitem_part,
@@ -1850,6 +1851,33 @@ SELECT source, count(*) AS n_kept,
        CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
 FROM k WHERE rn <= {P.SAMPLE_QUOTA}
 GROUP BY source ORDER BY source
+""",
+        # temperature mixing: per-stratum quota = floor(sqrt(n_s)) * MULT
+        # (alpha = 0.5; floor of a correctly-rounded sqrt is the exact
+        # isqrt for n < 2^52, so both sides compute the SAME quota),
+        # then the md5-rank row_number rule
+        "temperature_mix_counts": f"""
+WITH r AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS rnk
+  FROM documents WHERE source IS NOT NULL
+),
+q AS (
+  SELECT source,
+         CAST(floor(sqrt(count(*))) AS BIGINT) * {P.TEMP_MULT} AS quota
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+),
+k AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY rnk, CAST(doc_id AS VARCHAR)) AS rn
+  FROM r
+)
+SELECT k.source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM k JOIN q ON k.source = q.source
+WHERE rn <= quota GROUP BY k.source ORDER BY k.source
 """,
         # session windows: lag-gap break flags + running sum = session id
         "events_sessionize": f"""

@@ -91,12 +91,15 @@ def split_dataset(ds: rd.Dataset, key_col: str, buckets: int = 100,
 
 
 def _block_heads(batch: pa.Table, key_col: str, stratum_col: str,
-                 quota: int) -> pa.Table:
+                 quota, quota_map_ref=None) -> pa.Table:
     """Per-block per-stratum q-smallest (rank, key) heads — the exact
     candidate set (any global top-q member is in its block's top-q).
     Null strata drop (the documented rule). Vectorized: one lexsort by
     (stratum code, rank, key) + the per-group cumcount cut — no per-row
-    Python beyond the md5 ranks themselves."""
+    Python beyond the md5 ranks themselves. ``quota_map_ref`` (a
+    ray.put dict stratum -> quota) overrides the scalar: the per-code
+    quota gathers from the broadcast map, O(distinct strata in block)
+    lookups."""
     enc = pc.dictionary_encode(batch[stratum_col].combine_chunks())
     codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
     keys = np.array(
@@ -108,7 +111,18 @@ def _block_heads(batch: pa.Table, key_col: str, stratum_col: str,
     pos = np.arange(oc.size)
     starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
     grp_start = np.repeat(starts, np.diff(np.r_[starts, np.int64(oc.size)]))
-    keep = (oc >= 0) & ((pos - grp_start) < quota)
+    if quota_map_ref is not None:
+        import ray
+
+        qmap = ray.get(quota_map_ref)
+        per_code = np.array(
+            [int(qmap.get(v, 0)) for v in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        qvec = per_code[np.clip(oc, 0, None)]
+    else:
+        qvec = np.int64(quota)
+    keep = (oc >= 0) & ((pos - grp_start) < qvec)
     sel = order[keep]
     return pa.table({
         "stratum": pc.take(enc.dictionary, pa.array(codes[sel])),
@@ -118,34 +132,51 @@ def _block_heads(batch: pa.Table, key_col: str, stratum_col: str,
 
 
 def stratified_boundaries(ds: rd.Dataset, key_col: str, stratum_col: str,
-                          quota: int) -> dict:
+                          quota) -> dict:
     """Phase 1 of stratified quota sampling: per-stratum selection
     boundary = the quota-th smallest (md5rank, key) pair. Each block
     ships at most ``quota`` candidate rows per stratum it contains
     (O(blocks x strata x quota) total — the small side), the driver
     merges the heads. Returns {stratum: (rank, key)} — the LARGEST kept
-    pair per stratum."""
-    if quota < 1:
-        raise ValueError("quota must be >= 1")
+    pair per stratum. ``quota`` is a scalar or a {stratum: quota} dict
+    (per-stratum targets — the temperature-mixing input); zero/absent
+    dict strata select nothing."""
+    import ray
+
+    fn_kwargs: dict = {"key_col": key_col, "stratum_col": stratum_col}
+    if isinstance(quota, dict):
+        if any(q < 0 for q in quota.values()):
+            raise ValueError("quotas must be >= 0")
+        # broadcast the quota map ONCE (object store), not per task
+        fn_kwargs.update(quota=0, quota_map_ref=ray.put(dict(quota)))
+
+        def qof(s):
+            return int(quota.get(s, 0))
+    else:
+        if quota < 1:
+            raise ValueError("quota must be >= 1")
+        fn_kwargs.update(quota=quota)
+
+        def qof(s):
+            return int(quota)
     parts = ds.map_batches(
-        _block_heads,
-        fn_kwargs={"key_col": key_col, "stratum_col": stratum_col,
-                   "quota": quota},
-        batch_format="pyarrow",
+        _block_heads, fn_kwargs=fn_kwargs, batch_format="pyarrow"
     ).take_all()
     per: dict = {}
     for row in parts:
         per.setdefault(row["stratum"], []).append((row["rank"], row["key"]))
     return {
-        s: sorted(pairs)[: quota][-1] for s, pairs in per.items()
+        s: sorted(pairs)[: qof(s)][-1]
+        for s, pairs in per.items() if qof(s) > 0
     }
 
 
 def stratified_sample(ds: rd.Dataset, key_col: str, stratum_col: str,
-                      quota: int) -> rd.Dataset:
+                      quota) -> rd.Dataset:
     """Deterministic per-stratum quota sampling — the per-domain-cap
     stage of a web-scale training pipeline: keep each stratum's
-    ``quota`` rows with the SMALLEST (md5-prefix rank, key) pairs.
+    ``quota`` rows (a scalar, or a {stratum: quota} dict for
+    per-stratum targets) with the SMALLEST (md5-prefix rank, key) pairs.
     Rerun-stable and machine-independent (the hash-split recipe
     extended with a quota); equivalent to
     row_number() OVER (PARTITION BY stratum ORDER BY md5rank, key)
@@ -184,3 +215,58 @@ def stratified_sample(ds: rd.Dataset, key_col: str, stratum_col: str,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratum_counts(ds: rd.Dataset, stratum_col: str) -> dict:
+    """Exact per-stratum row counts via map-side combine + one
+    O(strata) groupby — the small side every mixing rule starts from.
+    Null strata drop (the sampler's rule)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(stratum_col).aggregate([([], "count_all")])
+        return pa.table({"stratum": g[stratum_col], "n": g["count_all"]})
+
+    out: dict = {}
+    for r in (
+        ds.map_batches(partial, batch_format="pyarrow").take_all()
+    ):
+        s = r["stratum"]
+        if s is None:
+            continue
+        out[s] = out.get(s, 0) + int(r["n"])
+    return out
+
+
+def temperature_resample(ds: rd.Dataset, key_col: str, stratum_col: str,
+                         alpha: float = 0.5,
+                         mult: int = 1) -> tuple[rd.Dataset, dict]:
+    """Temperature-based mixture resampling — the multinomial
+    data-mixing rule of multilingual/multi-domain pretraining (sample
+    stratum s with probability proportional to n_s^alpha, alpha < 1
+    flattening the mixture toward the tail): per-stratum quota =
+    floor(n_s^alpha) * mult, then the deterministic md5-rank quota
+    sampler keeps exactly that many rows per stratum. Returns
+    (lazy kept Dataset, the quota map).
+
+    Exactness note, pinned for the SQL oracle: at the alpha = 0.5
+    default the quota is floor(sqrt(n_s)) * mult — for n < 2^52 a
+    correctly-rounded double sqrt (numpy and DuckDB both) floors to
+    the exact integer sqrt, so the engine and the oracle compute the
+    SAME quota from the same counts; other alphas share one float
+    ``n ** alpha`` expression with the oracle's pow() (document the
+    ulp caveat if you pick one).
+
+    Scale shape: counts are a map-combined O(strata) groupby, the
+    quota map broadcasts once, and the sampler is block-head
+    candidates -> O(strata) boundary merge -> ONE streaming filter —
+    rows never shuffle."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if mult < 1:
+        raise ValueError("mult must be >= 1")
+    counts = stratum_counts(ds, stratum_col)
+    quota = {
+        s: int(np.floor(np.float64(n) ** np.float64(alpha))) * mult
+        for s, n in counts.items()
+    }
+    return stratified_sample(ds, key_col, stratum_col, quota), quota

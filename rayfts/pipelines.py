@@ -1869,6 +1869,53 @@ def sample_stratified_counts(sf_dir: str) -> pa.Table:
     })
 
 
+TEMP_MULT = 3   # temperature-resample quota multiplier (3 * isqrt(n_s))
+
+
+def temperature_mix_counts(sf_dir: str) -> pa.Table:
+    """Temperature-based mixture resampling of documents (stratum =
+    source, alpha = 0.5, quota_s = floor(sqrt(n_s)) * TEMP_MULT): the
+    multinomial data-mixing rule of multi-domain pretraining, alpha < 1
+    flattening the mixture toward tail domains. Deterministic md5-rank
+    selection per stratum; the contract row fingerprints each stratum's
+    kept set with its exact doc_id sum (the sample_stratified_counts
+    convention)."""
+    from .extras.sampling import temperature_resample
+
+    kept, quota = temperature_resample(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+        ),
+        key_col="doc_id",
+        stratum_col="source",
+        alpha=0.5,
+        mult=TEMP_MULT,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source", use_threads=False).aggregate(
+            [("doc_id", "count"), ("doc_id", "sum")]
+        )
+        return pa.table({
+            "source": g["source"],
+            "n": g["doc_id_count"],
+            "s": g["doc_id_sum"],
+        })
+
+    rows = kept.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = rows.groupby("source", as_index=False).agg(
+        n_kept=("n", "sum"), sum_doc_id=("s", "sum")
+    ).sort_values("source")
+    return pa.table({
+        "source": pa.array(g["source"].tolist(), pa.string()),
+        "n_kept": pa.array([int(v) for v in g["n_kept"]], pa.int64()),
+        "sum_doc_id": pa.array(
+            [int(v) for v in g["sum_doc_id"]], pa.int64()
+        ),
+    })
+
+
 SESSION_GAP_US = 1_800_000_000  # 30-min inactivity gap
 
 

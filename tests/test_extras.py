@@ -787,13 +787,64 @@ def test_stratified_sample_matches_row_number_rule():
     b = stratified_boundaries(ds, "k", "s", quota)
     assert set(b) == {"a", "b", "c"}
     assert b["a"] == tuple(sorted(want["a"])[:quota][-1][:2])
-    # rerun identical
-    out2 = stratified_sample(rd.from_arrow(t).repartition(4),
-                             "k", "s", quota).to_pandas()
-    assert sorted(out2.k.tolist()) == sorted(out.k.tolist())
+    # per-stratum quota DICT: each stratum gets its own cutoff, absent
+    # or zero-quota strata select nothing
+    qmap = {"a": 5, "b": 2, "c": 0}
+    out2 = stratified_sample(ds, "k", "s", qmap).to_pandas()
+    for s, q in qmap.items():
+        got = sorted(out2[out2.s == s].k.tolist())
+        assert got == sorted(k for _, _, k in sorted(want[s])[:q]), s
     import pytest as _pytest
     with _pytest.raises(ValueError):
+        stratified_sample(ds, "k", "s", {"a": -1})
+    # rerun identical
+    out3 = stratified_sample(rd.from_arrow(t).repartition(4),
+                             "k", "s", quota).to_pandas()
+    assert sorted(out3.k.tolist()) == sorted(out.k.tolist())
+    with _pytest.raises(ValueError):
         stratified_boundaries(ds, "k", "s", 0)
+
+
+def test_temperature_resample_quota_law():
+    """temperature_resample: quota_s == floor(n_s^alpha) * mult and the
+    kept set is exactly the md5-rank stratified sample at those
+    quotas."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayfts.extras.sampling import (
+        stratified_sample, stratum_counts, temperature_resample,
+    )
+
+    strata = ["a"] * 100 + ["b"] * 25 + ["c"] * 4 + [None] * 3
+    t = pa.table({
+        "s": pa.array(strata),
+        "k": pa.array(range(len(strata)), pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    assert stratum_counts(ds, "s") == {"a": 100, "b": 25, "c": 4}
+    kept, quota = temperature_resample(ds, "k", "s", alpha=0.5, mult=2)
+    assert quota == {"a": 20, "b": 10, "c": 4}  # isqrt * 2
+    got = kept.to_pandas().sort_values("k").reset_index(drop=True)
+    want = (
+        stratified_sample(ds, "k", "s", quota)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert got.groupby("s").size().to_dict() == {"a": 20, "b": 10, "c": 4}
+    # alpha=1/3-ish law check via the float pow path
+    _, q3 = temperature_resample(ds, "k", "s", alpha=1 / 3)
+    assert q3 == {
+        s: int(math.floor(n ** (1 / 3)))
+        for s, n in {"a": 100, "b": 25, "c": 4}.items()
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_resample(ds, "k", "s", alpha=0.0)
+    with _pytest.raises(ValueError):
+        temperature_resample(ds, "k", "s", mult=0)
 
 
 def test_redact_batch_patterns_order_and_counts():
