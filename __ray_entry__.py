@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split_counts": P.sample_split_counts,  # hash holdout split
         "sample_stratified_counts": P.sample_stratified_counts,  # per-key quota
         "temperature_mix_counts": P.temperature_mix_counts,  # n^alpha mixing
+        "quality_ntile_counts": P.quality_ntile_counts,  # curriculum deciles
         "q1_pricing": P.q1_pricing,
         "join_revenue_by_segment": P.join_revenue_by_segment,
         "semi_join_lineitem_part": P.semi_join_lineitem_part,
@@ -1878,6 +1879,16 @@ SELECT k.source, count(*) AS n_kept,
        CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
 FROM k JOIN q ON k.source = q.source
 WHERE rn <= quota GROUP BY k.source ORDER BY k.source
+""",
+        # curriculum deciles: exact ntile over (n_chars, doc_id)
+        "quality_ntile_counts": f"""
+WITH b AS (
+  SELECT doc_id,
+         ntile({P.NTILE_BINS}) OVER (ORDER BY n_chars, doc_id) AS bin
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT bin, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM b GROUP BY bin ORDER BY bin
 """,
         # session windows: lag-gap break flags + running sum = session id
         "events_sessionize": f"""

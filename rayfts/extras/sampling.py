@@ -270,3 +270,117 @@ def temperature_resample(ds: rd.Dataset, key_col: str, stratum_col: str,
         for s, n in counts.items()
     }
     return stratified_sample(ds, key_col, stratum_col, quota), quota
+
+
+def _ntile_of(r0: np.ndarray, n_rows: int, n_bins: int) -> np.ndarray:
+    """SQL ntile bucket (1-based) for 0-based ranks: the first
+    ``n_rows % n_bins`` buckets take ceil(n/b) rows, the rest floor —
+    exactly DuckDB/ANSI ntile over the same total order."""
+    q, rem = divmod(n_rows, n_bins)
+    cutoff = rem * (q + 1)
+    r0 = np.asarray(r0, dtype=np.int64)
+    return np.where(
+        r0 < cutoff, r0 // (q + 1), rem + (r0 - cutoff) // max(q, 1)
+    ) + 1
+
+
+def ntile_bins(ds: rd.Dataset, value_col: str, key_col: str,
+               n_bins: int = 10) -> rd.Dataset:
+    """Exact percentile binning — curriculum/quality bucketing for a
+    training mix: append ``bin`` = ntile(``n_bins``) OVER (ORDER BY
+    value, key), bit-identical to the SQL window twin. Null values
+    drop (the sampler family's rule).
+
+    Distributed shape: rows never shuffle. Pass 1 is a map-combined
+    exact VALUE histogram (driver holds O(distinct values) — bounded
+    for the integral quality metrics this bins: lengths, token counts,
+    scaled scores). Value groups whose global rank range falls inside
+    one bucket (all but <= n_bins-1 of them) are assigned by a
+    broadcast value->bin map in ONE streaming pass; only the straddling
+    groups — the <= n_bins-1 values sitting on bucket boundaries — go
+    through a keyed ``map_groups`` that ranks within the group by key.
+    Caveat (documented bound): one straddling group sorts on one
+    worker, so a single value covering a large corpus fraction needs
+    that group to fit a worker heap — same bound class as sessionize's
+    per-user groups."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+
+    def vpart(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(value_col).aggregate([([], "count_all")])
+        return pa.table({"v": g[value_col], "n": g["count_all"]})
+
+    hist: dict = {}
+    for r in ds.map_batches(vpart, batch_format="pyarrow").take_all():
+        if r["v"] is None:
+            continue
+        hist[r["v"]] = hist.get(r["v"], 0) + int(r["n"])
+    if not hist:
+        raise ValueError(f"no non-null values in {value_col!r}")
+    svals = sorted(hist)
+    cnts = np.array([hist[v] for v in svals], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    n_rows = int(cnts.sum())
+    first = _ntile_of(starts, n_rows, n_bins)
+    last = _ntile_of(starts + cnts - 1, n_rows, n_bins)
+    whole = {
+        v: int(b) for v, b, f in zip(svals, first, first == last) if f
+    }
+    straddle = {
+        v: int(s) for v, s, f in zip(svals, starts, first == last)
+        if not f
+    }
+    import ray
+
+    maps_ref = ray.put((whole, straddle, n_rows, n_bins))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        # vectorized gather: searchsorted into the sorted whole-value
+        # array (integral metrics — the documented use); nulls and
+        # straddling values drop here (the hard branch owns the latter)
+        w, st, nr, nb = ray.get(maps_ref)
+        wv = np.array(sorted(w), dtype=np.int64)
+        wb = np.array([w[v] for v in sorted(w)], dtype=np.int64)
+        col = batch[value_col].combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(col, int(wv[0])).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pos = np.searchsorted(wv, vals)
+        cp = np.clip(pos, 0, wv.size - 1)
+        hit = valid & (pos < wv.size) & (wv[cp] == vals)
+        b = batch.filter(pa.array(hit.tolist(), type=pa.bool_()))
+        return b.append_column(
+            "bin", pa.array(wb[cp[hit]], pa.int64())
+        )
+
+    easy = (ds.map_batches(assign, batch_format="pyarrow")
+            if whole else None)
+    if not straddle:
+        return easy  # hist is non-empty, so whole is too
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        w, st, nr, nb = ray.get(maps_ref)
+        v = group[value_col][0].as_py()
+        order = np.argsort(
+            np.asarray(group[key_col].to_numpy(zero_copy_only=False)),
+            kind="stable",
+        )
+        r0 = np.empty(group.num_rows, dtype=np.int64)
+        r0[order] = st[v] + np.arange(group.num_rows)
+        return group.append_column(
+            "bin", pa.array(_ntile_of(r0, nr, nb), pa.int64())
+        )
+
+    hard = (
+        ds.map_batches(
+            lambda t: t.filter(pa.array(
+                [v in straddle for v in t[value_col].to_pylist()],
+                type=pa.bool_(),
+            )),
+            batch_format="pyarrow",
+        )
+        .groupby(value_col)
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
+    return hard if easy is None else easy.union(hard)

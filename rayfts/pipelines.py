@@ -1916,6 +1916,51 @@ def temperature_mix_counts(sf_dir: str) -> pa.Table:
     })
 
 
+NTILE_BINS = 10   # curriculum decile binning
+
+
+def quality_ntile_counts(sf_dir: str) -> pa.Table:
+    """Curriculum/quality percentile binning: documents bucketed into
+    NTILE_BINS exact ntiles by n_chars (ties broken by doc_id — the SQL
+    ntile total order), emitting per-bin (n_docs, sum_doc_id). The
+    distributed shape is one exact value histogram + a broadcast
+    value->bin map + a streaming pass; only boundary-straddling value
+    groups (<= bins-1 of them) rank within-group."""
+    from .extras.sampling import ntile_bins
+
+    binned = ntile_bins(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        ),
+        value_col="n_chars",
+        key_col="doc_id",
+        n_bins=NTILE_BINS,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("bin", use_threads=False).aggregate(
+            [("doc_id", "count"), ("doc_id", "sum")]
+        )
+        return pa.table({
+            "bin": g["bin"],
+            "n": g["doc_id_count"],
+            "s": g["doc_id_sum"],
+        })
+
+    rows = binned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = rows.groupby("bin", as_index=False).agg(
+        n_docs=("n", "sum"), sum_doc_id=("s", "sum")
+    ).sort_values("bin")
+    return pa.table({
+        "bin": pa.array([int(v) for v in g["bin"]], pa.int64()),
+        "n_docs": pa.array([int(v) for v in g["n_docs"]], pa.int64()),
+        "sum_doc_id": pa.array(
+            [int(v) for v in g["sum_doc_id"]], pa.int64()
+        ),
+    })
+
+
 SESSION_GAP_US = 1_800_000_000  # 30-min inactivity gap
 
 

@@ -1091,3 +1091,39 @@ def test_cluster_balanced_sample_quota_rule():
         )[:quota]
         got = sorted(kept[kept.cluster == c].vec_id.tolist())
         assert got == sorted(v for _, _, v in want), c
+
+
+def test_ntile_bins_matches_sql_ntile():
+    """Exact percentile binning == ntile(n) OVER (ORDER BY value, key)
+    brute force, including boundary-straddling value groups, duplicate
+    values, nulls dropping, and n_bins > rows."""
+    import duckdb
+
+    from rayfts.extras.sampling import ntile_bins
+
+    rng = np.random.default_rng(11)
+    n = 400
+    vals = rng.integers(0, 25, size=n).tolist()  # heavy duplication
+    vals[7] = None
+    vals[123] = None
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "n_chars": pa.array(vals, pa.int64()),
+    })
+    for n_bins in (1, 3, 10, 500):
+        got = (
+            ntile_bins(rd.from_arrow(t).repartition(5), "n_chars",
+                       "doc_id", n_bins=n_bins)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"""SELECT doc_id, n_chars,
+                       ntile({n_bins}) OVER (ORDER BY n_chars, doc_id)
+                       AS bin
+                FROM t WHERE n_chars IS NOT NULL ORDER BY doc_id"""
+        ).df()
+        assert got.doc_id.tolist() == want.doc_id.tolist()
+        assert got.bin.tolist() == want.bin.tolist(), n_bins
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ntile_bins(rd.from_arrow(t), "n_chars", "doc_id", n_bins=0)
