@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified_counts": P.sample_stratified_counts,  # per-key quota
         "temperature_mix_counts": P.temperature_mix_counts,  # n^alpha mixing
         "quality_ntile_counts": P.quality_ntile_counts,  # curriculum deciles
+        "split_leakage_audit": P.split_leakage_audit,  # cross-split leakage
         "q1_pricing": P.q1_pricing,
         "join_revenue_by_segment": P.join_revenue_by_segment,
         "semi_join_lineitem_part": P.semi_join_lineitem_part,
@@ -1879,6 +1880,31 @@ SELECT k.source, count(*) AS n_kept,
        CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
 FROM k JOIN q ON k.source = q.source
 WHERE rn <= quota GROUP BY k.source ORDER BY k.source
+""",
+        # split-leakage audit: md5-bucket split + opening-fingerprint
+        # (first K analyzed tokens) overlap between splits
+        "split_leakage_audit": f"""
+WITH p AS (
+  SELECT doc_id,
+         array_to_string(list_slice(
+           regexp_extract_all(lower(text), '{_TOK}'),
+           1, {P.LEAK_PREFIX_TOKENS}), ' ') AS opening,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 100 < 90
+              THEN 1 ELSE 0 END AS tr
+  FROM documents
+),
+a AS (
+  SELECT opening, sum(tr) AS nt, sum(1 - tr) AS nh
+  FROM p GROUP BY opening
+)
+SELECT
+  CAST(sum(CASE WHEN nt > 0 AND nh > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS overlap_keys,
+  CAST(sum(CASE WHEN nt > 0 AND nh > 0 THEN nh ELSE 0 END) AS BIGINT)
+    AS contaminated_holdout_docs,
+  CAST(sum(nh) AS BIGINT) AS holdout_docs
+FROM a
 """,
         # curriculum deciles: exact ntile over (n_chars, doc_id)
         "quality_ntile_counts": f"""

@@ -128,3 +128,92 @@ def decontaminate(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def split_leakage(ds: rd.Dataset, key_col: str = "doc_id",
+                  text_col: str = "text", prefix_tokens: int = 5,
+                  buckets: int = 100,
+                  train_buckets: int = 90) -> pa.Table:
+    """Train/holdout LEAKAGE AUDIT: after the deterministic md5-bucket
+    split (the split_dataset rule on ``key_col``), count holdout docs
+    whose DOCUMENT OPENING — the first ``prefix_tokens`` analyzed
+    tokens, the cheap opening-fingerprint heuristic of dedup studies —
+    also opens at least one TRAIN doc. Returns one row
+    (overlap_keys, contaminated_holdout_docs, holdout_docs).
+
+    Distributed shape: one streaming pass emits per-batch per-opening
+    (n_train, n_holdout) partials (map-side combine), one groupby on
+    the opening key sums them (hash shuffle over O(distinct openings)
+    partial rows, never documents), and the final reduce is a pair of
+    Sum aggregates over indicator columns — the driver sees scalars.
+    Tokenizer and split rule are pinned shared specs, so the SQL twin
+    (regexp_extract_all + list_slice + the md5-prefix bucket CAST)
+    reproduces both bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    from .sampling import hash_bucket
+
+    if prefix_tokens < 1:
+        raise ValueError("prefix_tokens must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch[text_col])
+        toks = flat.to_pylist()
+        n = batch.num_rows
+        # first prefix_tokens per doc, in order (flatten order is
+        # doc-major): positions within each parent via running starts
+        firsts: list[list[str]] = [[] for _ in range(n)]
+        for t, p in zip(toks, parent):
+            row = firsts[p]
+            if len(row) < prefix_tokens:
+                row.append(t)
+        keys = [" ".join(r) for r in firsts]
+        ids = [str(k) for k in batch[key_col].to_pylist()]
+        is_train = hash_bucket(ids, buckets) < train_buckets
+        agg: dict = {}
+        for k, tr in zip(keys, is_train):
+            a = agg.setdefault(k, [0, 0])
+            a[0 if tr else 1] += 1
+        ks = sorted(agg)
+        return pa.table({
+            "opening": pa.array(ks, pa.string()),
+            "nt": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "nh": pa.array([agg[k][1] for k in ks], pa.int64()),
+        })
+
+    per_key = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("opening")
+        .aggregate(Sum("nt"), Sum("nh"))
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        nt = batch["sum(nt)"].to_numpy(zero_copy_only=False)
+        nh = batch["sum(nh)"].to_numpy(zero_copy_only=False)
+        leak = (nt > 0) & (nh > 0)
+        return pa.table({
+            "overlap_keys": pa.array(
+                leak.astype(np.int64), pa.int64()
+            ),
+            "contaminated": pa.array(
+                np.where(leak, nh, 0).astype(np.int64), pa.int64()
+            ),
+            "holdout": pa.array(nh.astype(np.int64), pa.int64()),
+        })
+
+    tot = (
+        per_key.map_batches(flags, batch_format="pyarrow")
+        .aggregate(Sum("overlap_keys"), Sum("contaminated"),
+                   Sum("holdout"))
+    )
+    return pa.table({
+        "overlap_keys": pa.array(
+            [int(tot["sum(overlap_keys)"] or 0)], pa.int64()
+        ),
+        "contaminated_holdout_docs": pa.array(
+            [int(tot["sum(contaminated)"] or 0)], pa.int64()
+        ),
+        "holdout_docs": pa.array(
+            [int(tot["sum(holdout)"] or 0)], pa.int64()
+        ),
+    })

@@ -1916,6 +1916,26 @@ def temperature_mix_counts(sf_dir: str) -> pa.Table:
     })
 
 
+LEAK_PREFIX_TOKENS = 5   # opening-fingerprint width for the leakage audit
+
+
+def split_leakage_audit(sf_dir: str) -> pa.Table:
+    """Train/holdout leakage audit over documents: after the md5-bucket
+    90/10 split, how many holdout docs share their first
+    LEAK_PREFIX_TOKENS analyzed tokens (the opening fingerprint) with a
+    train doc. One streaming pass + one O(distinct openings) groupby;
+    the driver sees three scalars."""
+    from .extras.decontam import split_leakage
+
+    return split_leakage(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ),
+        prefix_tokens=LEAK_PREFIX_TOKENS,
+    )
+
+
 NTILE_BINS = 10   # curriculum decile binning
 
 

@@ -1127,3 +1127,52 @@ def test_ntile_bins_matches_sql_ntile():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ntile_bins(rd.from_arrow(t), "n_chars", "doc_id", n_bins=0)
+
+
+def test_split_leakage_counts_cross_split_openings():
+    """Leakage audit == brute force on controlled data: only openings
+    present in BOTH md5-split sides count, holdout side is the
+    contaminated tally; tokens come from the index analyzer (case
+    folds, punctuation splits)."""
+    import hashlib
+
+    from rayfts.extras.decontam import split_leakage
+
+    def is_train(doc_id: int) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return h % 100 < 90
+
+    # craft texts so one opening spans both splits and one does not
+    n = 200
+    ids = list(range(n))
+    tr = [is_train(i) for i in ids]
+    texts = []
+    for i in ids:
+        if i % 3 == 0:
+            texts.append(f"Shared Opening words here always tail{i}")
+        elif i % 3 == 1:
+            texts.append(f"solo opening {i} never repeats x{i} y{i}")
+        else:
+            texts.append("short doc")  # < prefix_tokens: whole text
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    got = split_leakage(
+        rd.from_arrow(t).repartition(4), prefix_tokens=5
+    ).to_pylist()[0]
+    # brute force
+    def opening(s):
+        import re
+        return " ".join(re.findall(r"[a-z0-9_]+", s.lower())[:5])
+    agg: dict = {}
+    for i, s in zip(ids, texts):
+        a = agg.setdefault(opening(s), [0, 0])
+        a[0 if tr[i] else 1] += 1
+    overlap = {k for k, (a, b) in agg.items() if a > 0 and b > 0}
+    want_cont = sum(b for k, (a, b) in agg.items() if k in overlap)
+    assert got["overlap_keys"] == len(overlap)
+    assert got["contaminated_holdout_docs"] == want_cont
+    assert got["holdout_docs"] == sum(1 for x in tr if not x)
+    assert got["overlap_keys"] >= 1  # the crafted shared opening fired
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_leakage(rd.from_arrow(t), prefix_tokens=0)
