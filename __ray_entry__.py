@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 batch 7: ES-default OSA fuzzy + LM quality signal
         "fts_fuzzy_osa_docs": P.fts_fuzzy_osa_docs,
         "text_unigram_xent": P.text_unigram_xent,
+        "text_bigram_xent": P.text_bigram_xent,   # conditional-LM fluency
         # span family completion: enclosing span queries
         "fts_span_containing_docs": P.fts_span_containing_docs,
         "fts_span_within_docs": P.fts_span_within_docs,
@@ -2536,6 +2537,33 @@ d AS (
 )
 SELECT doc_id, CAST(dl AS BIGINT) AS dl,
        CAST(round(s / dl * 1e6) AS BIGINT) AS xent_e6
+FROM d
+""",
+        # bigram conditional LM: p(w2|w1) = cf(w1,w2)/cf1(w1) MLE,
+        # positional self-join pairs; < 2-token docs drop (inner joins)
+        "text_bigram_xent": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+big AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM ptoks a JOIN ptoks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+dtf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big
+        GROUP BY doc_id, w1, w2),
+cf2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+cf1 AS (SELECT w1, sum(c2) AS c1 FROM cf2 GROUP BY w1),
+d AS (
+  SELECT dtf.doc_id,
+         sum(dtf.tf * -ln(cf2.c2 / cf1.c1::DOUBLE)) AS s,
+         sum(dtf.tf) AS nb
+  FROM dtf JOIN cf2 USING (w1, w2) JOIN cf1 USING (w1)
+  GROUP BY dtf.doc_id
+)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_pairs,
+       CAST(round(s / nb * 1e6) AS BIGINT) AS xent_e6
 FROM d
 """,
         # enclosing spans: the chains CTE is the span_near spec, the

@@ -3404,7 +3404,10 @@ def text_unigram_xent(sf_dir: str) -> pa.Table:
         .join(
             stats.map_batches(
                 lambda t: t.select(["term", "cf"]), batch_format="pyarrow"
-            ),
+            # .repartition: normalize possible 0-column empty blocks out
+            # of the groupby-output right side (Ray 2.49 join crash —
+            # see text_bigram_xent)
+            ).repartition(8),
             join_type="inner", num_partitions=8, on=("term",),
         )
     )
@@ -3492,6 +3495,122 @@ def fts_span_within_docs(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 BIGRAM_TOP_N = 15
+
+
+def _bigram_rows(batch: pa.Table, per_doc: bool) -> pa.Table:
+    """Adjacent-pair rows: corpus counts (w1, w2, c) or per-doc tfs
+    (doc_id, w1, w2, tf) — one analyzer pass, pairs never cross docs."""
+    from .analysis import tokens_flat
+
+    flat, parent = tokens_flat(batch["text"])
+    empty_cols = {"w1": pa.array([], pa.string()),
+                  "w2": pa.array([], pa.string())}
+    if len(flat) < 2:
+        if per_doc:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             **empty_cols,
+                             "tf": pa.array([], pa.int64())})
+        return pa.table({**empty_cols, "c": pa.array([], pa.int64())})
+    adj = parent[1:] == parent[:-1]
+    cols = {
+        "w1": flat.slice(0, len(flat) - 1).filter(pa.array(adj)),
+        "w2": flat.slice(1).filter(pa.array(adj)),
+    }
+    if per_doc:
+        ids = batch["doc_id"].combine_chunks().take(
+            pa.array(parent[1:][adj])
+        )
+        t = pa.table({"doc_id": ids, **cols})
+        g = t.group_by(["doc_id", "w1", "w2"], use_threads=False) \
+             .aggregate([("w1", "count")])
+        return g.rename_columns(["doc_id", "w1", "w2", "tf"])
+    g = pa.table(cols).group_by(["w1", "w2"], use_threads=False) \
+          .aggregate([("w1", "count")])
+    return g.rename_columns(["w1", "w2", "c"])
+
+
+def text_bigram_xent(sf_dir: str) -> pa.Table:
+    """Bigram-LM quality scoring — the conditional upgrade of
+    text_unigram_xent: xent(d) = Σ_pairs tf(d,w1w2) ·
+    (−ln(cf(w1,w2) / cf1(w1))) / n_pairs(d), where cf1(w1) sums the
+    corpus bigram counts left-marginally (the MLE p(w2|w1) — the
+    KenLM-style fluency filter, exact instead of smoothed). Docs with
+    < 2 tokens drop (no pairs — the SQL twin's inner joins agree).
+
+    Pipeline: per-doc pair tfs and corpus pair counts are two
+    map-combined passes over the same analyzer output; the conditional
+    join is DISTRIBUTED on (w1, w2) then w1 (bigram vocab is unbounded
+    at corpus scale — never a broadcast); one per-doc groupby sum."""
+    docs = _docs(sf_dir)
+    bg = (
+        docs.map_batches(
+            lambda b: _bigram_rows(b, per_doc=False),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c"))
+        .map_batches(
+            lambda t: pa.table({
+                "w1": t["w1"], "w2": t["w2"],
+                "cf2": pc.cast(t["sum(c)"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    lm = (
+        bg.map_batches(
+            lambda t: t.select(["w1", "cf2"]), batch_format="pyarrow"
+        )
+        .groupby("w1")
+        .aggregate(Sum("cf2"))
+        .map_batches(
+            lambda t: pa.table({
+                "w1": t["w1"],
+                "cf1": pc.cast(t["sum(cf2)"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    joined = (
+        docs.map_batches(
+            lambda b: _bigram_rows(b, per_doc=True),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        # Ray 2.49: hash-shuffle outputs (join/groupby) can carry
+        # 0-column empty partition blocks that crash a downstream
+        # join's acero key lookup; a no-shuffle repartition rebuilds
+        # them with the real schema
+        .join(bg.repartition(8), join_type="inner", num_partitions=8,
+              on=("w1", "w2"))
+        .repartition(8)
+        .join(lm.repartition(8), join_type="inner", num_partitions=8,
+              on=("w1",))
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cf2 = t["cf2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cf1 = t["cf1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tf_p": pc.cast(t["tf"], pa.int64()),
+            "s_p": pa.array(tf * -np.log(cf2 / cf1), pa.float64()),
+        })
+
+    agg = (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("tf_p"), Sum("s_p"))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    nb = agg["sum(tf_p)"].to_numpy().astype(np.int64)
+    s = agg["sum(s_p)"].to_numpy()
+    return pa.table({
+        "doc_id": pa.array(agg["doc_id"].to_numpy().astype(np.int64)),
+        "n_pairs": pa.array(nb),
+        "xent_e6": pa.array(np.round(s / nb * 1e6).astype(np.int64)),
+    })
 
 
 def vocab_top_bigrams(sf_dir: str) -> pa.Table:

@@ -1176,3 +1176,50 @@ def test_split_leakage_counts_cross_split_openings():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         split_leakage(rd.from_arrow(t), prefix_tokens=0)
+
+
+def test_bigram_xent_matches_bruteforce():
+    """Conditional bigram LM scoring: the two distributed joins compute
+    exactly sum(tf * -ln(cf2/cf1)) / n_pairs per doc; < 2-token docs
+    drop; pairs never cross docs."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from rayfts.oracle import tokenize
+    from rayfts.pipelines import text_bigram_xent
+
+    rng = np.random.default_rng(5)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 12))))
+        for _ in range(150)
+    ]
+    texts[0] = ""          # no tokens -> drops
+    texts[1] = "solo"      # one token -> drops
+    t = pa.table({"doc_id": pa.array(range(150), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = text_bigram_xent(d).to_pandas().set_index("doc_id")
+
+    cf2: Counter = Counter()
+    per_doc: dict = {}
+    for i, tx in enumerate(texts):
+        toks = tokenize(tx)
+        prs = list(zip(toks, toks[1:]))
+        if prs:
+            per_doc[i] = Counter(prs)
+            cf2.update(prs)
+    cf1: Counter = Counter()
+    for (w1, _), c in cf2.items():
+        cf1[w1] += c
+    assert sorted(got.index) == sorted(per_doc)
+    for i, tf in per_doc.items():
+        nb = sum(tf.values())
+        s = sum(c * -math.log(cf2[p] / cf1[p[0]]) for p, c in tf.items())
+        assert got.loc[i, "n_pairs"] == nb
+        assert got.loc[i, "xent_e6"] == int(np.round(s / nb * 1e6)), i
