@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_fuzzy_osa_docs": P.fts_fuzzy_osa_docs,
         "text_unigram_xent": P.text_unigram_xent,
         "text_bigram_xent": P.text_bigram_xent,   # conditional-LM fluency
+        "fts_rrf_top10": P.fts_rrf_top10,         # reciprocal rank fusion
         # span family completion: enclosing span queries
         "fts_span_containing_docs": P.fts_span_containing_docs,
         "fts_span_within_docs": P.fts_span_within_docs,
@@ -2428,6 +2429,50 @@ FROM c GROUP BY chunk_id ORDER BY chunk_id
 
         # hybrid retrieval: BM25 scores CTE + knn cosine section (the
         # knn_cosine_top10 formula), sum rule over a FULL OUTER JOIN
+        # RRF hybrid: rank_window-truncated row_number ranks per list,
+        # fused = 1/(K + r_bm25) + 1/(K + r_knn), same add order as the
+        # engine's two-pass accumulate
+        "fts_rrf_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+kq AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = {P.HYBRID_QUERY_VEC}
+),
+kv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+kd AS (
+  SELECT kv.vec_id, sum(kv.val * kq.val) AS dot,
+         sum(kv.val * kv.val) AS n2, sum(kq.val * kq.val) AS q2
+  FROM kv JOIN kq USING (i) GROUP BY kv.vec_id
+),
+kr AS (
+  SELECT doc_id, r FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY dot / (sqrt(n2) * sqrt(q2)) DESC, vec_id) AS r
+    FROM kd
+  ) WHERE r <= {P.RRF_WINDOW}
+),
+br AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM scores
+  ) WHERE r <= {P.RRF_WINDOW}
+),
+f AS (
+  SELECT coalesce(br.doc_id, kr.doc_id) AS doc_id,
+         coalesce(1.0 / ({P.RRF_RANK_K} + br.r), 0.0)
+           + coalesce(1.0 / ({P.RRF_RANK_K} + kr.r), 0.0) AS fused
+  FROM br FULL OUTER JOIN kr USING (doc_id)
+)
+SELECT doc_id, CAST(round(fused * 1e9) AS BIGINT) AS fused_e9
+FROM f ORDER BY fused DESC, doc_id LIMIT 10
+""",
         "fts_hybrid_knn": f"""
 {_bm25_with(sorted(set(P.BM25_QUERY.split())))},
 kq AS (

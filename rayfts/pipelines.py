@@ -3266,6 +3266,48 @@ HYBRID_KNN_BOOST = 2.0  # knn section boost
 HYBRID_QUERY_VEC = 0    # query vector = embeddings row 0 (deterministic)
 
 
+RRF_WINDOW = 40   # rank_window_size per retriever list
+RRF_RANK_K = 60   # the ES rank_constant default
+
+
+def fts_rrf_top10(sf_dir: str) -> pa.Table:
+    """ES retriever-API rrf analog (the ES 8.8+ hybrid default):
+    reciprocal-rank fusion of the BM25_QUERY ranking and the cosine-kNN
+    ranking (query vector = embeddings row HYBRID_QUERY_VEC), each
+    truncated to RRF_WINDOW; fused = Σ 1/(RRF_RANK_K + rank). Rank
+    arithmetic only — no score normalization, the point of RRF."""
+    import pyarrow.dataset as pads
+
+    from .extras.similarity import knn_cosine
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qrow = pads.dataset(emb_path).to_table(
+        filter=(pads.field("vec_id") == HYBRID_QUERY_VEC)
+    )
+    qvec = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+    knn = knn_cosine(rd.read_parquet(emb_path), qvec, k=RRF_WINDOW)
+
+    index_dir = documents_index(sf_dir)
+    dense_to_src = _dense_to_src(index_dir)
+    src_to_dense = np.zeros(dense_to_src.size, dtype=np.int64)
+    src_to_dense[dense_to_src] = np.arange(dense_to_src.size)
+    # order-preserving map: the ANN stage's (cos desc, vec_id) ranking
+    # IS the knn rank list
+    knn_ranked = [int(src_to_dense[v])
+                  for v in knn["vec_id"].to_pylist()]
+    s = Searcher(index_dir)
+    rows = s.rrf_search(BM25_QUERY, knn_ranked, k=10,
+                        rank_window=RRF_WINDOW, rrf_k=RRF_RANK_K)
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[d]) for d, _ in rows], pa.int64()
+        ),
+        "fused_e9": pa.array(
+            [int(round(sc * 1e9)) for _, sc in rows], pa.int64()
+        ),
+    })
+
+
 def fts_hybrid_knn(sf_dir: str) -> pa.Table:
     """ES 8 hybrid retrieval: top-level `knn` (cosine top-HYBRID_KNN_K
     over the embeddings table — the DISTRIBUTED ANN stage, per-block

@@ -1400,6 +1400,39 @@ class Searcher(SuggestAPI):
             return []
         return _topk_pairs(idx, buf[idx], k)
 
+    def rrf_search(self, query: str, knn_ranked_ids: list[int],
+                   k: int = 10, rank_window: int = 100,
+                   rrf_k: int = 60) -> list[tuple]:
+        """ES retriever-API ``rrf`` analog (the ES 8.8+ hybrid default):
+        reciprocal-rank fusion of the BM25 ranking and a kNN ranking —
+        fused(d) = Σ_lists 1/(rrf_k + rank_d), ranks 1-based within
+        each list truncated to ``rank_window`` (the ES rank_window_size;
+        rrf_k is the ES rank_constant, default 60). ``knn_ranked_ids``
+        is the ANN stage's ALREADY-ORDERED candidate list (the
+        distributed num_candidates phase runs over the embeddings
+        Dataset; this is the O(window) driver fuse). Rank-based, so no
+        score normalization is needed — the point of RRF. Tombstoned
+        and out-of-range knn ids drop WITHOUT renumbering ranks (their
+        rank is spent, matching ES's post-filter semantics). Final
+        order (fused desc, doc asc); returns [(doc_id, fused_score)]."""
+        if k <= 0:
+            return []
+        if rank_window < 1 or rrf_k < 0:
+            raise ValueError("rank_window must be >= 1, rrf_k >= 0")
+        fused: dict[int, float] = {}
+        bm25 = self.search(query, k=rank_window)
+        for r, (d, _) in enumerate(bm25, 1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (rrf_k + r)
+        for r, d in enumerate(knn_ranked_ids[:rank_window], 1):
+            d = int(d)
+            if not 0 <= d < self.N:
+                continue
+            if self.excluded.size and bool(np.isin(d, self.excluded)):
+                continue
+            fused[d] = fused.get(d, 0.0) + 1.0 / (rrf_k + r)
+        out = sorted(fused.items(), key=lambda e: (-e[1], e[0]))
+        return out[:k]
+
     SIMILARITIES = ("lmd", "classic", "boolean")
     LMD_MU = 2000.0  # Lucene LMDirichletSimilarity default
 
@@ -5693,6 +5726,33 @@ class MultiSearcher(SuggestAPI):
             )
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
+
+    def rrf_search(self, query: str, knn_ranked_ids: list[int],
+                   k: int = 10, rank_window: int = 100,
+                   rrf_k: int = 60) -> list[tuple]:
+        """Sharded RRF, exact vs a single global index: the BM25 list
+        is the exact sharded search (rank-identical by construction),
+        the knn list is global, and the fuse is pure rank arithmetic —
+        so fused scores are bit-identical to the single-index walk."""
+        if k <= 0:
+            return []
+        if rank_window < 1 or rrf_k < 0:
+            raise ValueError("rank_window must be >= 1, rrf_k >= 0")
+        fused: dict[int, float] = {}
+        for r, (d, _) in enumerate(self.search(query, k=rank_window), 1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (rrf_k + r)
+        for r, d in enumerate(knn_ranked_ids[:rank_window], 1):
+            d = int(d)
+            if not 0 <= d < self.N:
+                continue
+            si = int(np.searchsorted(self.offsets, d, side="right")) - 1
+            seg = self.segments[si]
+            ld = d - int(self.offsets[si])
+            if seg.excluded.size and bool(np.isin(ld, seg.excluded)):
+                continue
+            fused[d] = fused.get(d, 0.0) + 1.0 / (rrf_k + r)
+        out = sorted(fused.items(), key=lambda e: (-e[1], e[0]))
+        return out[:k]
 
     def _moment_stats(self, query: str, field: str,
                       where: dict | None = None, mode: str = "or",

@@ -2431,3 +2431,32 @@ def test_cli_introspection_subcommands(index_dir, capsys):
     v = _json.loads(capsys.readouterr().out)
     assert v["valid"] and v["n_clauses"] == 2
     assert ["zzzz_absent", 0, 0] in v["terms"]
+
+
+def test_rrf_search_fuse_semantics(index_dir, oracle):
+    """RRF: fused == 1/(K+r_bm25) + 1/(K+r_knn) recomputed from the two
+    rankings; ranks are spent (not renumbered) by dropped knn ids;
+    text-only and knn-only docs both surface."""
+    s = Searcher(index_dir)
+    q = "the w0007"
+    window, K = 25, 60
+    bm25 = s.search(q, k=window)
+    knn = [d for d, _ in s.search("bash", k=10)] + [s.N + 9]
+    got = dict(s.rrf_search(q, knn, k=1000, rank_window=window, rrf_k=K))
+    want: dict = {}
+    for r, (d, _) in enumerate(bm25, 1):
+        want[d] = want.get(d, 0.0) + 1.0 / (K + r)
+    for r, d in enumerate(knn[:window], 1):
+        if 0 <= d < s.N:   # invalid id SPENDS rank r
+            want[d] = want.get(d, 0.0) + 1.0 / (K + r)
+    assert got == want
+    # both-list docs beat single-list docs at comparable ranks
+    both = [d for d in want if d in dict(bm25) and d in set(knn)]
+    if both:
+        assert got[both[0]] > 1.0 / (K + window)
+    assert s.rrf_search(q, [], k=5) == [
+        (d, 1.0 / (K + r)) for r, (d, _) in enumerate(bm25[:5], 1)
+    ]
+    assert s.rrf_search(q, knn, k=0) == []
+    with pytest.raises(ValueError):
+        s.rrf_search(q, knn, rrf_k=-1)

@@ -349,6 +349,21 @@ def test_sharded_match_bool_prefix_and_pinned_equal_global(indexes):
         single.pinned_search(pin, "the w0007", k=10, where=w)
 
 
+def test_sharded_rrf_equals_global(indexes):
+    """RRF fuse is pure rank arithmetic over the exact sharded BM25
+    ranking plus a global knn list — fused scores bit-identical."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    knn = [5, 3, single.N - 1, 0, 7, single.N + 50]  # incl. out-of-range
+    for q in ["the w0007", "zzz_absent"]:
+        for window in (5, 50):
+            assert multi.rrf_search(q, knn, k=10, rank_window=window) \
+                == single.rrf_search(q, knn, k=10, rank_window=window), \
+                (q, window)
+    with pytest.raises(ValueError):
+        multi.rrf_search("the", knn, rank_window=0)
+
+
 def test_sharded_rare_and_multi_terms_equal_global(indexes):
     """rare_terms: per-segment histograms sum BEFORE the cutoff (global
     rare-ness); multi_terms: value-tuple histograms sum exactly."""
