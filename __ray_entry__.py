@@ -75,6 +75,43 @@ a3 AS (
 )"""
 
 
+def _kmeans_ctes_sub(p: str, lo: int, hi: int, k: int) -> str:
+    """Per-SUBSPACE Lloyd CTEs (dims lo < i <= hi of the shared ``vv``
+    unnest) — the _KMEANS_CTES shape with prefixed names; the PQ oracle
+    trains one block per subspace. Same pinned spec: smallest-id init,
+    |c|^2 - 2 v.c surrogate, ties -> smaller cid, empty clusters keep
+    their centroid."""
+    def assign(src_v: str, src_c: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY sum(c.val * c.val) - 2 * sum(v.val * c.val),
+                      c.cid) AS rn
+    FROM {src_v} v JOIN {src_c} c USING (i) GROUP BY v.vec_id, c.cid
+  ) WHERE rn = 1
+)"""
+
+    def means(src_a: str, prev_c: str, out: str) -> str:
+        return f"""{out} AS (SELECT a.cid, v.i, avg(v.val) AS val
+       FROM v{p} v JOIN {src_a} a USING (vec_id) GROUP BY a.cid, v.i
+       UNION ALL
+       SELECT cid, i, val FROM {prev_c}
+       WHERE cid NOT IN (SELECT DISTINCT cid FROM {src_a}))"""
+
+    return ",\n".join([
+        f"v{p} AS (SELECT vec_id, i, val FROM vv "
+        f"WHERE i > {lo} AND i <= {hi})",
+        f"c0{p} AS (SELECT vec_id AS cid, i, val FROM v{p} "
+        f"WHERE vec_id < {k})",
+        assign(f"v{p}", f"c0{p}", f"a1{p}"),
+        means(f"a1{p}", f"c0{p}", f"c1{p}"),
+        assign(f"v{p}", f"c1{p}", f"a2{p}"),
+        means(f"a2{p}", f"c1{p}", f"c2{p}"),
+        assign(f"v{p}", f"c2{p}", f"a3{p}"),
+    ])
+
+
 _DL_CTE = (
     "dl AS (SELECT d.doc_id, count(t.term) AS dl "
     "FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id)"
@@ -427,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_unigram_xent": P.text_unigram_xent,
         "text_bigram_xent": P.text_bigram_xent,   # conditional-LM fluency
         "fts_rrf_top10": P.fts_rrf_top10,         # reciprocal rank fusion
+        "pq_adc_top10": P.pq_adc_top10,           # product quantization
         # span family completion: enclosing span queries
         "fts_span_containing_docs": P.fts_span_containing_docs,
         "fts_span_within_docs": P.fts_span_within_docs,
@@ -2429,6 +2467,35 @@ FROM c GROUP BY chunk_id ORDER BY chunk_id
 
         # hybrid retrieval: BM25 scores CTE + knn cosine section (the
         # knn_cosine_top10 formula), sum rule over a FULL OUTER JOIN
+        # PQ ADC: two per-subspace Lloyd blocks (pinned kmeans spec)
+        # -> per-code squared-distance LUT vs the query slice -> code
+        # gather + subspace sum, (dist asc, vec_id) top-10
+        "pq_adc_top10": f"""
+WITH vv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+{_kmeans_ctes_sub('s0', 0, 32, P.PQ_CODES)},
+{_kmeans_ctes_sub('s1', 32, 64, P.PQ_CODES)},
+kq AS (SELECT i, val FROM vv WHERE vec_id = {P.HYBRID_QUERY_VEC}),
+lut0 AS (
+  SELECT c.cid, sum((k.val - c.val) * (k.val - c.val)) AS d2
+  FROM c2s0 c JOIN kq k USING (i) GROUP BY c.cid
+),
+lut1 AS (
+  SELECT c.cid, sum((k.val - c.val) * (k.val - c.val)) AS d2
+  FROM c2s1 c JOIN kq k USING (i) GROUP BY c.cid
+),
+adc AS (
+  SELECT a.vec_id, l0.d2 + l1.d2 AS dist
+  FROM a3s0 a JOIN a3s1 b USING (vec_id)
+       JOIN lut0 l0 ON l0.cid = a.cid
+       JOIN lut1 l1 ON l1.cid = b.cid
+)
+SELECT vec_id, CAST(round(dist * 1e6) AS BIGINT) AS adc_e6
+FROM adc ORDER BY dist, vec_id LIMIT 10
+""",
         # RRF hybrid: rank_window-truncated row_number ranks per list,
         # fused = 1/(K + r_bm25) + 1/(K + r_knn), same add order as the
         # engine's two-pass accumulate

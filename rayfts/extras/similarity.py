@@ -533,3 +533,124 @@ def kmeans_lloyd(
         batch_format="pyarrow", concurrency=concurrency,
     )
     return cents, assigns
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 10^12-vector compression + ADC path
+# ---------------------------------------------------------------------------
+
+def _slice_vec_ds(ds: rd.Dataset, lo: int, hi: int,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> rd.Dataset:
+    """Dataset view carrying only dims [lo, hi) of the vector column —
+    one zero-copy-in map pass; the per-subspace k-means input."""
+    def cut(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)[:, lo:hi]
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: pa.array(list(m), pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(cut, batch_format="pyarrow")
+
+
+def pq_train(ds: rd.Dataset, m_subspaces: int = 2, k_codes: int = 4,
+             iters: int = 2, dim: int | None = None,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list[np.ndarray]:
+    """Train product-quantization codebooks: the vector splits into
+    ``m_subspaces`` contiguous slices, each clustered independently by
+    the DETERMINISTIC distributed Lloyd pass (smallest-id init,
+    smallest-id ties — kmeans_lloyd, whose SQL-CTE parity is already
+    pinned). Returns m [k, dim/m] centroid arrays. At 10^12 vectors
+    this is m short map-reduce k-means runs; rows never leave workers.
+
+    PQ is the standard memory-scale ANN path (Jégou, Douze, Schmid,
+    'Product Quantization for Nearest Neighbor Search', TPAMI 2011 —
+    public algorithm): codes are m·log2(k) bits per vector instead of
+    dim·32, and search scans codes with a lookup table."""
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[vec_col])
+    if dim % m_subspaces:
+        raise ValueError("dim must divide evenly into subspaces")
+    w = dim // m_subspaces
+    books = []
+    for s in range(m_subspaces):
+        sub = _slice_vec_ds(ds, s * w, (s + 1) * w, id_col, vec_col)
+        cents, _ = kmeans_lloyd(sub, k=k_codes, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+        books.append(cents)
+    return books
+
+
+def pq_encode(ds: rd.Dataset, codebooks: list[np.ndarray],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> rd.Dataset:
+    """Compress vectors to PQ codes: per subspace the argmin of the
+    kmeans dist surrogate |c|^2 - 2 v.c (ties -> smaller code — the
+    EXACT assignment rule of the trained clustering, so codes == the
+    per-subspace kmeans assignments). One streaming pass, codebooks
+    broadcast once; emits (id, code_0..code_{m-1}) uint8 columns —
+    the m·log2(k)-bit index a 10^12-vector corpus actually stores."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    ref = ray.put(books)
+    widths = [b.shape[1] for b in books]
+    offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        bks = ray.get(ref)
+        m = _batch_matrix(batch, vec_col)
+        cols = {id_col: batch[id_col]}
+        for s, b in enumerate(bks):
+            sub = m[:, offs[s]:offs[s + 1]]
+            d = (b * b).sum(axis=1)[None, :] - 2.0 * (sub @ b.T)
+            cols[f"code_{s}"] = pa.array(
+                np.argmin(d, axis=1).astype(np.uint8)
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_adc_search(codes_ds: rd.Dataset, codebooks: list[np.ndarray],
+                  query: np.ndarray, k: int = 10,
+                  id_col: str = "vec_id") -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over a PQ-CODES Dataset:
+    dist(q, x) ~= sum_s ||q_s - centroid_s(code_s(x))||^2 — the query
+    builds one [m, k_codes] lookup table, every batch is a pure gather
+    + row sum over uint8 codes (no float vectors touched), per-block
+    exact top-k heads merge on the driver (the knn_cosine pattern,
+    O(blocks·k) driver rows). Ascending distance, id tiebreak."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    q = np.asarray(query, dtype=np.float64)
+    offs = np.concatenate(
+        [[0], np.cumsum([b.shape[1] for b in books])]
+    ).astype(int)
+    lut = np.stack([
+        ((q[offs[s]:offs[s + 1]][None, :] - b) ** 2).sum(axis=1)
+        for s, b in enumerate(books)
+    ])  # [m, k_codes]
+    lut_ref = ray.put(lut)
+
+    def head(batch: pa.Table) -> pa.Table:
+        tbl = ray.get(lut_ref)
+        dist = np.zeros(batch.num_rows, dtype=np.float64)
+        for s in range(tbl.shape[0]):
+            codes = batch[f"code_{s}"].to_numpy(zero_copy_only=False)
+            dist += tbl[s][codes]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order].astype(np.int64)),
+            "adc_dist": pa.array(dist[order]),
+        })
+
+    t = pa.concat_tables([
+        b for b in ray.get(
+            codes_ds.map_batches(head, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if b.num_rows
+    ])
+    keys = [("adc_dist", "ascending"), (id_col, "ascending")]
+    return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, k))

@@ -3266,6 +3266,42 @@ HYBRID_KNN_BOOST = 2.0  # knn section boost
 HYBRID_QUERY_VEC = 0    # query vector = embeddings row 0 (deterministic)
 
 
+PQ_SUBSPACES = 2   # PQ: m contiguous subspaces
+PQ_CODES = 4       # PQ: k centroids per subspace (m*log2 k bits/vec)
+
+
+def pq_adc_top10(sf_dir: str) -> pa.Table:
+    """Product-quantization ADC retrieval over the embeddings table:
+    train PQ_SUBSPACES deterministic per-subspace codebooks (the pinned
+    Lloyd spec), compress every vector to PQ codes, and answer the
+    query (vector = embeddings row HYBRID_QUERY_VEC) by asymmetric
+    distance — a [m, k] lookup table gathered over uint8 codes. The
+    memory-scale ANN path: at 10^12 vectors the scan touches m bytes
+    per vector, not dim floats."""
+    from .extras.similarity import pq_adc_search, pq_encode, pq_train
+
+    import pyarrow.dataset as pads
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = rd.read_parquet(emb_path)
+    books = pq_train(emb, m_subspaces=PQ_SUBSPACES, k_codes=PQ_CODES,
+                     iters=KMEANS_ITERS)
+    codes = pq_encode(emb, books)
+    qrow = pads.dataset(emb_path).to_table(
+        filter=(pads.field("vec_id") == HYBRID_QUERY_VEC)
+    )
+    qvec = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+    t = pq_adc_search(codes, books, qvec, k=10)
+    return pa.table({
+        "vec_id": pa.array(t["vec_id"].to_pylist(), pa.int64()),
+        "adc_e6": pa.array(
+            [int(np.round(d * 1e6))
+             for d in t["adc_dist"].to_pylist()],
+            pa.int64(),
+        ),
+    })
+
+
 RRF_WINDOW = 40   # rank_window_size per retriever list
 RRF_RANK_K = 60   # the ES rank_constant default
 

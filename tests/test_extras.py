@@ -1223,3 +1223,64 @@ def test_bigram_xent_matches_bruteforce():
         s = sum(c * -math.log(cf2[p] / cf1[p[0]]) for p, c in tf.items())
         assert got.loc[i, "n_pairs"] == nb
         assert got.loc[i, "xent_e6"] == int(np.round(s / nb * 1e6)), i
+
+
+def test_pq_train_encode_adc_match_reference():
+    """PQ: codes == the per-subspace kmeans assignments (same argmin
+    rule); ADC top-k == the numpy recompute over the full code table;
+    dim guard raises."""
+    from rayfts.extras.similarity import (
+        kmeans_lloyd, pq_adc_search, pq_encode, pq_train,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim = 120, 8
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })).repartition(3)
+    books = pq_train(ds, m_subspaces=2, k_codes=4, iters=2)
+    assert [b.shape for b in books] == [(4, 4), (4, 4)]
+    codes = (
+        pq_encode(ds, books).to_pandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    # codes == assignments of a kmeans over each slice (shared kernel)
+    for s in range(2):
+        sub = ds.map_batches(
+            lambda t, s=s: pa.table({
+                "vec_id": t["vec_id"],
+                "embedding": pa.array(
+                    [r[s * 4:(s + 1) * 4] for r in
+                     t["embedding"].to_pylist()],
+                    pa.list_(pa.float32()),
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        _, asg = kmeans_lloyd(sub, k=4, iters=2)
+        want = (
+            asg.to_pandas().sort_values("vec_id")["cluster"]
+            .to_numpy()
+        )
+        np.testing.assert_array_equal(
+            codes[f"code_{s}"].to_numpy().astype(np.int64), want, s
+        )
+    # ADC == numpy recompute
+    q = vecs[11].astype(np.float64)
+    lut = np.stack([
+        ((q[s * 4:(s + 1) * 4][None, :] - books[s]) ** 2).sum(axis=1)
+        for s in range(2)
+    ])
+    dist = (lut[0][codes["code_0"].to_numpy()]
+            + lut[1][codes["code_1"].to_numpy()])
+    order = np.lexsort((codes["vec_id"].to_numpy(), dist))[:7]
+    got = pq_adc_search(pq_encode(ds, books), books, q, k=7)
+    assert got["vec_id"].to_pylist() == \
+        codes["vec_id"].to_numpy()[order].tolist()
+    np.testing.assert_allclose(
+        got["adc_dist"].to_numpy(), dist[order], rtol=0, atol=1e-12
+    )
+    with pytest.raises(ValueError):
+        pq_train(ds, m_subspaces=3)
