@@ -112,6 +112,39 @@ def _kmeans_ctes_sub(p: str, lo: int, hi: int, k: int) -> str:
     ])
 
 
+# PQ ADC oracle: two per-subspace Lloyd blocks (pinned kmeans spec) ->
+# per-code squared-distance LUT vs the query slice -> code gather +
+# subspace sum, (dist asc, vec_id) top-10. Shared by pq_adc_top10 (flat
+# code scan) and pq_ivf_adc_top10 (probe-pruned partition files with
+# nprobe == n_centroids — same exact ADC result).
+_PQ_ADC_SQL = f"""
+WITH vv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+{_kmeans_ctes_sub('s0', 0, 32, P.PQ_CODES)},
+{_kmeans_ctes_sub('s1', 32, 64, P.PQ_CODES)},
+kq AS (SELECT i, val FROM vv WHERE vec_id = {P.HYBRID_QUERY_VEC}),
+lut0 AS (
+  SELECT c.cid, sum((k.val - c.val) * (k.val - c.val)) AS d2
+  FROM c2s0 c JOIN kq k USING (i) GROUP BY c.cid
+),
+lut1 AS (
+  SELECT c.cid, sum((k.val - c.val) * (k.val - c.val)) AS d2
+  FROM c2s1 c JOIN kq k USING (i) GROUP BY c.cid
+),
+adc AS (
+  SELECT a.vec_id, l0.d2 + l1.d2 AS dist
+  FROM a3s0 a JOIN a3s1 b USING (vec_id)
+       JOIN lut0 l0 ON l0.cid = a.cid
+       JOIN lut1 l1 ON l1.cid = b.cid
+)
+SELECT vec_id, CAST(round(dist * 1e6) AS BIGINT) AS adc_e6
+FROM adc ORDER BY dist, vec_id LIMIT 10
+"""
+
+
 _DL_CTE = (
     "dl AS (SELECT d.doc_id, count(t.term) AS dl "
     "FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id)"
@@ -465,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigram_xent": P.text_bigram_xent,   # conditional-LM fluency
         "fts_rrf_top10": P.fts_rrf_top10,         # reciprocal rank fusion
         "pq_adc_top10": P.pq_adc_top10,           # product quantization
+        "pq_ivf_adc_top10": P.pq_ivf_adc_top10,   # IVF-PQ (code partitions)
         # span family completion: enclosing span queries
         "fts_span_containing_docs": P.fts_span_containing_docs,
         "fts_span_within_docs": P.fts_span_within_docs,
@@ -2470,32 +2504,11 @@ FROM c GROUP BY chunk_id ORDER BY chunk_id
         # PQ ADC: two per-subspace Lloyd blocks (pinned kmeans spec)
         # -> per-code squared-distance LUT vs the query slice -> code
         # gather + subspace sum, (dist asc, vec_id) top-10
-        "pq_adc_top10": f"""
-WITH vv AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         unnest(embedding)::DOUBLE AS val
-  FROM embeddings
-),
-{_kmeans_ctes_sub('s0', 0, 32, P.PQ_CODES)},
-{_kmeans_ctes_sub('s1', 32, 64, P.PQ_CODES)},
-kq AS (SELECT i, val FROM vv WHERE vec_id = {P.HYBRID_QUERY_VEC}),
-lut0 AS (
-  SELECT c.cid, sum((k.val - c.val) * (k.val - c.val)) AS d2
-  FROM c2s0 c JOIN kq k USING (i) GROUP BY c.cid
-),
-lut1 AS (
-  SELECT c.cid, sum((k.val - c.val) * (k.val - c.val)) AS d2
-  FROM c2s1 c JOIN kq k USING (i) GROUP BY c.cid
-),
-adc AS (
-  SELECT a.vec_id, l0.d2 + l1.d2 AS dist
-  FROM a3s0 a JOIN a3s1 b USING (vec_id)
-       JOIN lut0 l0 ON l0.cid = a.cid
-       JOIN lut1 l1 ON l1.cid = b.cid
-)
-SELECT vec_id, CAST(round(dist * 1e6) AS BIGINT) AS adc_e6
-FROM adc ORDER BY dist, vec_id LIMIT 10
-""",
+        "pq_adc_top10": _PQ_ADC_SQL,
+        # IVF-PQ with nprobe == n_centroids reads every partition, so
+        # the result is the SAME exact ADC — one oracle, two engines
+        # (flat code scan vs probe-pruned partition files)
+        "pq_ivf_adc_top10": _PQ_ADC_SQL,
         # RRF hybrid: rank_window-truncated row_number ranks per list,
         # fused = 1/(K + r_bm25) + 1/(K + r_knn), same add order as the
         # engine's two-pass accumulate

@@ -654,3 +654,114 @@ def pq_adc_search(codes_ds: rd.Dataset, codebooks: list[np.ndarray],
     ])
     keys = [("adc_dist", "ascending"), (id_col, "ascending")]
     return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, k))
+
+
+def build_ivfpq_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    m_subspaces: int = 2,
+    k_codes: int = 4,
+    iters: int = 2,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build a persisted IVF-PQ index (the Faiss IndexIVFPQ shape —
+    Jégou et al. 2011): the coarse quantizer routes vectors to
+    per-centroid PARTITION FILES (probe-pruned reads, as build_ivf_index)
+    and each partition stores ONLY (id, m uint8 PQ codes) — the raw
+    vectors never land in the index, so a 10^12-vector index is
+    m bytes/vector on disk and a query reads ~nprobe/C of that.
+
+    Coarse quantizer: driver-sample k-means (IVFQuantizer — documented
+    bounded sample). Fine quantizer: the DISTRIBUTED deterministic
+    pq_train codebooks. One streaming pass assigns + encodes + writes."""
+    import json
+    import os
+
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows],
+                        dtype=np.float64)
+    quant = IVFQuantizer.train(sample, n_centroids)
+    books = pq_train(ds, m_subspaces=m_subspaces, k_codes=k_codes,
+                     iters=iters, id_col=id_col, vec_col=vec_col)
+    cent_ref = ray.put(quant.centroids)
+    books_ref = ray.put([np.asarray(b, np.float64) for b in books])
+    widths = [b.shape[1] for b in books]
+    offs = np.concatenate([[0], np.cumsum(widths)]).astype(int)
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        q = IVFQuantizer(ray.get(cent_ref))
+        bks = ray.get(books_ref)
+        m = _batch_matrix(batch, vec_col)
+        cols = {id_col: batch[id_col]}
+        for s, b in enumerate(bks):
+            sub = m[:, offs[s]:offs[s + 1]]
+            d = (b * b).sum(axis=1)[None, :] - 2.0 * (sub @ b.T)
+            cols[f"code_{s}"] = pa.array(
+                np.argmin(d, axis=1).astype(np.uint8)
+            )
+        cols["centroid"] = pa.array(
+            q.assign(m).astype(np.int32), pa.int32()
+        )
+        return pa.table(cols)  # NO vector column — codes only
+
+    vec_dir = os.path.join(index_dir, "codes")
+    ds.map_batches(
+        assign_encode, batch_format="pyarrow"
+    ).write_parquet(vec_dir, partition_cols=["centroid"])
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), quant.centroids)
+    np.save(os.path.join(index_dir, "pq_books.npy"),
+            np.stack([np.asarray(b, np.float64) for b in books]))
+    meta = {
+        "n_centroids": int(quant.centroids.shape[0]),
+        "m_subspaces": m_subspaces,
+        "k_codes": k_codes,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    with open(os.path.join(index_dir, "ivfpq.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_search(index_dir: str, query_vec: np.ndarray, k: int = 10,
+                 nprobe: int = 4) -> pa.Table:
+    """Probe-pruned ADC over a built IVF-PQ index: reads ONLY the
+    nprobe ``codes/centroid=K`` partition directories (uint8 codes —
+    never vectors), then the lookup-table scan. nprobe == n_centroids
+    is exact-ADC (every partition read)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ivfpq.json")) as f:
+        meta = json.load(f)
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = list(np.load(os.path.join(index_dir, "pq_books.npy")))
+    quant = IVFQuantizer(centroids)
+    probes = quant.probe(np.asarray(query_vec, np.float64), nprobe)
+    dirs = [
+        os.path.join(index_dir, "codes", f"centroid={int(p)}")
+        for p in probes
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return pa.table({
+            meta["id_col"]: pa.array([], pa.int64()),
+            "adc_dist": pa.array([], pa.float64()),
+        })
+    files = sorted(
+        os.path.join(d, f)
+        for d in dirs
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    sub = rd.read_parquet(
+        files,
+        columns=[meta["id_col"]]
+        + [f"code_{s}" for s in range(meta["m_subspaces"])],
+    )
+    return pq_adc_search(sub, books, query_vec, k=k,
+                         id_col=meta["id_col"])

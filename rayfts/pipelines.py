@@ -3302,6 +3302,47 @@ def pq_adc_top10(sf_dir: str) -> pa.Table:
     })
 
 
+PQ_IVF_CENTROIDS = 8   # coarse lists in the IVF-PQ gate query
+
+
+def pq_ivf_adc_top10(sf_dir: str) -> pa.Table:
+    """IVF-PQ retrieval (Faiss IndexIVFPQ shape): coarse partition
+    routing over code-only partition files + ADC within. The gate
+    query probes ALL centroids, so the result is EXACT ADC — identical
+    to pq_adc_top10's oracle — while the probe-pruned read path is
+    what executes (partition files hold m uint8 codes per vector,
+    never the vectors)."""
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    from .extras.similarity import build_ivfpq_index, ivfpq_search
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"rayfts_ivfpq_{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+    )
+    if not os.path.exists(os.path.join(idx, "ivfpq.json")):
+        build_ivfpq_index(
+            rd.read_parquet(emb_path), idx,
+            n_centroids=PQ_IVF_CENTROIDS, m_subspaces=PQ_SUBSPACES,
+            k_codes=PQ_CODES, iters=KMEANS_ITERS,
+        )
+    qrow = pads.dataset(emb_path).to_table(
+        filter=(pads.field("vec_id") == HYBRID_QUERY_VEC)
+    )
+    qvec = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+    t = ivfpq_search(idx, qvec, k=10, nprobe=PQ_IVF_CENTROIDS)
+    return pa.table({
+        "vec_id": pa.array(t["vec_id"].to_pylist(), pa.int64()),
+        "adc_e6": pa.array(
+            [int(np.round(d * 1e6)) for d in t["adc_dist"].to_pylist()],
+            pa.int64(),
+        ),
+    })
+
+
 RRF_WINDOW = 40   # rank_window_size per retriever list
 RRF_RANK_K = 60   # the ES rank_constant default
 

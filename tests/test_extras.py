@@ -1284,3 +1284,65 @@ def test_pq_train_encode_adc_match_reference():
     )
     with pytest.raises(ValueError):
         pq_train(ds, m_subspaces=3)
+
+
+def test_ivfpq_codes_only_and_exact_at_full_probe(tmp_path):
+    """IVF-PQ: partition files store ONLY (id, uint8 codes) — never
+    vectors; nprobe == n_centroids equals the flat ADC scan; a pruned
+    probe returns hits only from its probed partitions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayfts.extras.similarity import (
+        build_ivfpq_index, ivfpq_search, pq_adc_search, pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((300, 8)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })).repartition(3)
+    idx = str(tmp_path / "ivfpq")
+    meta = build_ivfpq_index(ds, idx, n_centroids=6, m_subspaces=2,
+                             k_codes=4, iters=2, train_sample=300)
+    code_dirs = [d for d in os.listdir(os.path.join(idx, "codes"))
+                 if "=" in d]
+    assert 1 < len(code_dirs) <= meta["n_centroids"]
+    for d in code_dirs:
+        sch = pq.read_table(os.path.join(idx, "codes", d)).schema
+        assert "embedding" not in sch.names   # codes only, no vectors
+        assert {"vec_id", "code_0", "code_1"} <= set(sch.names)
+    q = vecs[17].astype(np.float64)
+    # full probe == flat exact ADC (same codebooks by determinism)
+    books = pq_train(ds, m_subspaces=2, k_codes=4, iters=2)
+    flat = pq_adc_search(pq_encode(ds, books), books, q, k=10)
+    full = ivfpq_search(idx, q, k=10, nprobe=6)
+    assert full["vec_id"].to_pylist() == flat["vec_id"].to_pylist()
+    np.testing.assert_allclose(
+        full["adc_dist"].to_numpy(), flat["adc_dist"].to_numpy(),
+        rtol=0, atol=1e-12,
+    )
+    # pruned probe: hits come only from probed partitions
+    import json
+
+    import numpy as _np
+
+    from rayfts.extras.similarity import IVFQuantizer
+
+    cents = _np.load(os.path.join(idx, "centroids.npy"))
+    probes = set(
+        int(p) for p in IVFQuantizer(cents).probe(q, 2)
+    )
+    allowed = set()
+    for p in probes:
+        d = os.path.join(idx, "codes", f"centroid={p}")
+        if os.path.isdir(d):
+            allowed |= set(
+                pq.read_table(d, columns=["vec_id"])["vec_id"]
+                .to_pylist()
+            )
+    pruned = ivfpq_search(idx, q, k=10, nprobe=2)
+    assert set(pruned["vec_id"].to_pylist()) <= allowed
