@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_rank_eval": P.fts_rank_eval,      # rank_eval API
         "fts_diversified_top10": P.fts_diversified_top10,  # diversified_sampler
         "fts_percentiles_nchars": P.fts_percentiles_nchars,  # percentiles agg
+        "fts_percentile_ranks": P.fts_percentile_ranks,  # CDF inverse
         "fts_highlight_top10": P.fts_highlight_top10,  # highlight / snippets
         "fts_more_like_this": P.fts_more_like_this,  # MLT query
         "fts_function_score_top10": P.fts_function_score_top10,  # function_score
@@ -499,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_rrf_top10": P.fts_rrf_top10,         # reciprocal rank fusion
         "pq_adc_top10": P.pq_adc_top10,           # product quantization
         "pq_ivf_adc_top10": P.pq_ivf_adc_top10,   # IVF-PQ (code partitions)
+        "knn_filtered_top10": P.knn_filtered_top10,  # ES 8 knn.filter
         # span family completion: enclosing span queries
         "fts_span_containing_docs": P.fts_span_containing_docs,
         "fts_span_within_docs": P.fts_span_within_docs,
@@ -1394,6 +1396,21 @@ v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
     f"SELECT {p} AS pct, CAST(round(quantile_cont(n_chars, {p / 100.0}) * 1e6)"
     f" AS BIGINT) AS value_e6 FROM v"
     for p in P.PERCENTS
+)}
+""",
+        # percentile_ranks: exact CDF — (count(v <= x) / n) * 100, the
+        # pinned divide-then-multiply order the engine uses
+        "fts_percentile_ranks": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id)
+      WHERE n_chars IS NOT NULL)
+{" UNION ALL ".join(
+    f"SELECT CAST({x} AS DOUBLE) AS value, CAST(round("
+    f"(sum(CASE WHEN n_chars <= {x} THEN 1 ELSE 0 END)::DOUBLE"
+    f" / count(*)) * 100.0 * 1e6) AS BIGINT) AS pct_e6 FROM v"
+    for x in P.PR_VALUES
 )}
 """,
         # value_count: non-null field values over the hit set
@@ -2509,6 +2526,30 @@ FROM c GROUP BY chunk_id ORDER BY chunk_id
         # the result is the SAME exact ADC — one oracle, two engines
         # (flat code scan vs probe-pruned partition files)
         "pq_ivf_adc_top10": _PQ_ADC_SQL,
+        # filtered kNN: cosine top-10 restricted to lang-qualified docs
+        # (pre-filtering — the restriction applies before the top-k)
+        "knn_filtered_top10": f"""
+WITH kq AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = {P.HYBRID_QUERY_VEC}
+),
+kv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = '{P.KNN_FILTER_LANG}'
+),
+kd AS (
+  SELECT kv.vec_id, sum(kv.val * kq.val) AS dot,
+         sum(kv.val * kv.val) AS n2, sum(kq.val * kq.val) AS q2
+  FROM kv JOIN kq USING (i) GROUP BY kv.vec_id
+)
+SELECT vec_id,
+       CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT)
+         AS cos_e6
+FROM kd ORDER BY dot / (sqrt(n2) * sqrt(q2)) DESC, vec_id LIMIT 10
+""",
         # RRF hybrid: rank_window-truncated row_number ranks per list,
         # fused = 1/(K + r_bm25) + 1/(K + r_knn), same add order as the
         # engine's two-pass accumulate

@@ -765,3 +765,39 @@ def ivfpq_search(index_dir: str, query_vec: np.ndarray, k: int = 10,
     )
     return pq_adc_search(sub, books, query_vec, k=k,
                          id_col=meta["id_col"])
+
+
+def knn_cosine_filtered(
+    ds: rd.Dataset,
+    query_vec: np.ndarray,
+    allowed_ids: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+) -> pa.Table:
+    """ES 8 filtered kNN (the ``knn.filter`` clause) — PRE-filtering
+    semantics: the restriction applies DURING the scan, so the result
+    is exactly the top-k among qualifying vectors (post-filtering a
+    plain top-k can starve below k — the documented ES pitfall this
+    clause exists to avoid). ``allowed_ids`` broadcasts ONCE as a
+    packed bitmask (the export_hits pattern, 1 bit per id of the dense
+    id space); each batch applies one vectorized gather-mask before
+    the cosine kernel."""
+    allowed = np.asarray(allowed_ids, dtype=np.int64)
+    size = int(allowed.max()) + 1 if allowed.size else 1
+    mask = np.zeros(size, dtype=bool)
+    mask[allowed] = True
+    packed_ref = ray.put(np.packbits(mask))
+
+    def pre(batch: pa.Table) -> pa.Table:
+        bits = np.unpackbits(ray.get(packed_ref))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ok = (ids < size) & (bits[np.clip(ids, 0, size - 1)] > 0)
+        return batch.filter(pa.array(ok.tolist(), type=pa.bool_()))
+
+    return knn_cosine(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        query_vec, k=k, id_col=id_col, vec_col=vec_col,
+        concurrency=concurrency,
+    )

@@ -1177,6 +1177,24 @@ def fts_percentiles_nchars(sf_dir: str) -> pa.Table:
     )
 
 
+PR_VALUES = (100.0, 300.0, 800.0)   # percentile_ranks probe values
+
+
+def fts_percentile_ranks(sf_dir: str) -> pa.Table:
+    """ES percentile_ranks analog (the percentiles inverse), EXACT:
+    percent of BM25_QUERY-hit n_chars values <= each probe — the CDF
+    partials (count, n) merge exactly across shards, unlike the
+    forward percentiles."""
+    s = Searcher(documents_index(sf_dir))
+    pr = s.percentile_ranks_agg(BM25_QUERY, "n_chars", PR_VALUES)
+    return pa.table({
+        "value": pa.array(list(PR_VALUES), pa.float64()),
+        "pct_e6": pa.array(
+            [int(round(pr[v] * 1e6)) for v in PR_VALUES], pa.int64()
+        ),
+    })
+
+
 def fts_value_count(sf_dir: str) -> pa.Table:
     """ES value_count aggregation: non-null n_chars values over the
     BM25_QUERY hit set."""
@@ -3297,6 +3315,42 @@ def pq_adc_top10(sf_dir: str) -> pa.Table:
         "adc_e6": pa.array(
             [int(np.round(d * 1e6))
              for d in t["adc_dist"].to_pylist()],
+            pa.int64(),
+        ),
+    })
+
+
+KNN_FILTER_LANG = "en"   # the knn.filter restriction of the gate query
+
+
+def knn_filtered_top10(sf_dir: str) -> pa.Table:
+    """ES 8 filtered kNN (`knn.filter`) — PRE-filtering semantics:
+    exact top-10 by cosine among vectors whose document has
+    lang == KNN_FILTER_LANG (post-filtering a plain top-k can starve
+    below k; this never does). The allowed-id set comes from one
+    pruned documents read and broadcasts as a packed bitmask."""
+    import pyarrow.dataset as pads
+
+    from .extras.similarity import knn_cosine_filtered
+
+    docs = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet")
+    ).to_table(columns=["doc_id", "lang"])
+    allowed = docs.filter(
+        pc.equal(docs["lang"], KNN_FILTER_LANG)
+    )["doc_id"].to_numpy()
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qrow = pads.dataset(emb_path).to_table(
+        filter=(pads.field("vec_id") == HYBRID_QUERY_VEC)
+    )
+    qvec = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+    t = knn_cosine_filtered(
+        rd.read_parquet(emb_path), qvec, allowed, k=10
+    )
+    return pa.table({
+        "vec_id": pa.array(t["vec_id"].to_pylist(), pa.int64()),
+        "cos_e6": pa.array(
+            [int(round(c * 1e6)) for c in t["cosine_sim"].to_pylist()],
             pa.int64(),
         ),
     })

@@ -2217,6 +2217,46 @@ class Searcher(SuggestAPI):
             return {float(p): None for p in percents}
         return _percentiles_from_sorted(np.sort(sel), percents)
 
+    def percentile_ranks_agg(self, query: str, field: str,
+                             values: tuple, where: dict | None = None,
+                             mode: str = "or",
+                             must_not: str | None = None) -> dict:
+        """ES percentile_ranks-aggregation analog (the inverse of
+        percentiles), made EXACT: for each probe value x, the percent
+        of hit values <= x — 100 * count(v <= x) / n (ES's t-digest
+        CDF collapses to this exact fraction; the pinned float op
+        order is one division then one multiply, shared with the SQL
+        twin). Empty hit set -> None per value (the ES null shape).
+        Per segment this is one searchsorted over the sorted hit
+        values; sharded merges sum the (count, n) integer partials
+        exactly."""
+        base = {float(x): None for x in values}
+        counts, n = self._pr_partials(query, field, values, where,
+                                      mode, must_not)
+        if n == 0:
+            return base
+        return {
+            float(x): counts[i] / n * 100.0
+            for i, x in enumerate(values)
+        }
+
+    def _pr_partials(self, query: str, field: str, values: tuple,
+                     where=None, mode="or", must_not=None):
+        """(count(v <= x) per probe value, n) — the integer sufficient
+        statistics percentile_ranks merges exactly across segments."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return [0] * len(values), 0
+        vals, valid = self._numeric_col(field)
+        sel = np.sort(vals[hits & valid])
+        if sel.size == 0:
+            return [0] * len(values), 0
+        counts = [
+            int(np.searchsorted(sel, float(x), side="right"))
+            for x in values
+        ]
+        return counts, int(sel.size)
+
     def search_by_field(self, query: str, field: str, order: str = "desc",
                         k: int = 10, where: dict | None = None,
                         mode: str = "or", must_not: str | None = None):
@@ -6346,6 +6386,28 @@ class MultiSearcher(SuggestAPI):
         return _percentiles_from_sorted(
             np.sort(np.concatenate(parts)), percents
         )
+
+    def percentile_ranks_agg(self, query: str, field: str,
+                             values: tuple, where: dict | None = None,
+                             mode: str = "or",
+                             must_not: str | None = None) -> dict:
+        """Sharded percentile_ranks, EXACT with O(segments·probes)
+        payload (unlike percentiles, the CDF partials merge): each
+        segment ships (count(v <= x) per probe, n) integers; the
+        driver sums and applies the single pinned division."""
+        counts = np.zeros(len(values), dtype=np.int64)
+        n = 0
+        for seg in self.segments:
+            c, pn = seg._pr_partials(query, field, values, where,
+                                     mode, must_not)
+            counts += np.asarray(c, dtype=np.int64)
+            n += pn
+        if n == 0:
+            return {float(x): None for x in values}
+        return {
+            float(x): int(counts[i]) / n * 100.0
+            for i, x in enumerate(values)
+        }
 
     def _hit_values(self, query: str, field: str, where=None, mode="or",
                     must_not=None) -> np.ndarray | None:

@@ -1346,3 +1346,30 @@ def test_ivfpq_codes_only_and_exact_at_full_probe(tmp_path):
             )
     pruned = ivfpq_search(idx, q, k=10, nprobe=2)
     assert set(pruned["vec_id"].to_pylist()) <= allowed
+
+
+def test_knn_filtered_prefilter_semantics():
+    """Filtered kNN == brute force over the qualifying subset only —
+    always k results when >= k qualify (pre-filtering, not
+    post-filter starvation)."""
+    from rayfts.extras.similarity import knn_cosine_filtered
+
+    rng = np.random.default_rng(9)
+    n, dim = 200, 12
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })).repartition(4)
+    q = vecs[3].astype(np.float64)
+    allowed = np.arange(0, n, 3)   # every third id qualifies
+    got = knn_cosine_filtered(ds, q, allowed, k=8)
+    ids = got["vec_id"].to_pylist()
+    assert len(ids) == 8 and all(i % 3 == 0 for i in ids)
+    v = vecs.astype(np.float64)
+    sims = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    sub = allowed[np.lexsort((allowed, -sims[allowed]))][:8]
+    assert ids == sub.tolist()
+    # filter tighter than k: returns all qualifiers, not k
+    tiny = knn_cosine_filtered(ds, q, np.array([6, 9]), k=8)
+    assert sorted(tiny["vec_id"].to_pylist()) == [6, 9]

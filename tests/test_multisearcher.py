@@ -349,6 +349,17 @@ def test_sharded_match_bool_prefix_and_pinned_equal_global(indexes):
         single.pinned_search(pin, "the w0007", k=10, where=w)
 
 
+def test_sharded_percentile_ranks_equal_global(indexes):
+    """percentile_ranks: integer (count, n) partials merge exactly."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the w0007", "zzz_absent"]:
+        assert multi.percentile_ranks_agg(q, "turn_idx",
+                                          (0.0, 2.0, 5.5, 99.0)) == \
+            single.percentile_ranks_agg(q, "turn_idx",
+                                        (0.0, 2.0, 5.5, 99.0)), q
+
+
 def test_sharded_rrf_equals_global(indexes):
     """RRF fuse is pure rank arithmetic over the exact sharded BM25
     ranking plus a global knn list — fused scores bit-identical."""
