@@ -501,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_adc_top10": P.pq_adc_top10,           # product quantization
         "pq_ivf_adc_top10": P.pq_ivf_adc_top10,   # IVF-PQ (code partitions)
         "knn_filtered_top10": P.knn_filtered_top10,  # ES 8 knn.filter
+        "passage_chunk_stats": P.passage_chunk_stats,  # RAG passage windows
         # span family completion: enclosing span queries
         "fts_span_containing_docs": P.fts_span_containing_docs,
         "fts_span_within_docs": P.fts_span_within_docs,
@@ -2526,6 +2527,30 @@ FROM c GROUP BY chunk_id ORDER BY chunk_id
         # the result is the SAME exact ADC — one oracle, two engines
         # (flat code scan vs probe-pruned partition files)
         "pq_ivf_adc_top10": _PQ_ADC_SQL,
+        # passage chunking: window p covers pos in [p*stride,
+        # p*stride+width); md5 of the space-joined window pins content
+        "passage_chunk_stats": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+nd AS (SELECT doc_id, count(*) AS n FROM ptoks GROUP BY doc_id),
+pid AS (
+  SELECT doc_id,
+         unnest(generate_series(0, (n - 1) // {P.PASSAGE_STRIDE}))
+           AS passage_id
+  FROM nd WHERE n > 0
+),
+pass AS (
+  SELECT p.doc_id, p.passage_id, t.pos, t.term
+  FROM pid p JOIN ptoks t ON t.doc_id = p.doc_id
+    AND t.pos >= p.passage_id * {P.PASSAGE_STRIDE}
+    AND t.pos < p.passage_id * {P.PASSAGE_STRIDE} + {P.PASSAGE_WIDTH}
+)
+SELECT doc_id, passage_id, count(*) AS n_tokens,
+       md5(string_agg(term, ' ' ORDER BY pos)) AS passage_md5
+FROM pass GROUP BY doc_id, passage_id
+""",
         # filtered kNN: cosine top-10 restricted to lang-qualified docs
         # (pre-filtering — the restriction applies before the top-k)
         "knn_filtered_top10": f"""

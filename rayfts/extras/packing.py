@@ -134,3 +134,57 @@ def chunk_stats(ds: rd.Dataset, budget: int,
         "n_docs": pa.array(out["count()"].astype("int64")),
         "tokens": pa.array(out["sum(n_tokens)"].astype("int64")),
     })
+
+
+def chunk_passages(ds: rd.Dataset, width: int, stride: int | None = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> rd.Dataset:
+    """Token-window passage chunking — the RAG / eval-harness prep op:
+    each doc explodes into overlapping passages, passage p covering
+    analyzed tokens [p*stride, p*stride + width). Deterministic rule,
+    pinned for the SQL twin: passages start at every stride multiple
+    BELOW n_tokens (so the tail passage may be short, and a doc shorter
+    than one stride still emits passage 0); token text joins with a
+    single space (the analyzer's lossy-but-deterministic rendering —
+    passage ids and hashes are the durable artifact, not byte
+    offsets). Empty docs emit nothing. One streaming flat-map pass —
+    no shuffle, no driver state. Returns
+    (id, passage_id, n_tokens, passage_md5)."""
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    stride = width if stride is None else stride
+    if not 1 <= stride <= width:
+        raise ValueError("stride must be in [1, width]")
+
+    import hashlib
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch[text_col])
+        toks = flat.to_pylist()
+        n_rows = batch.num_rows
+        per_doc: list[list[str]] = [[] for _ in range(n_rows)]
+        for t, p in zip(toks, parent):
+            per_doc[p].append(t)
+        ids = batch[id_col].to_pylist()
+        out_id, out_pid, out_n, out_md5 = [], [], [], []
+        for rid, row in zip(ids, per_doc):
+            n = len(row)
+            if n == 0:
+                continue
+            for pid, start in enumerate(range(0, n, stride)):
+                window = row[start:start + width]
+                out_id.append(rid)
+                out_pid.append(pid)
+                out_n.append(len(window))
+                out_md5.append(
+                    hashlib.md5(" ".join(window).encode()).hexdigest()
+                )
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "passage_id": pa.array(out_pid, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "passage_md5": pa.array(out_md5, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)

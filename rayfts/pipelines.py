@@ -3320,6 +3320,23 @@ def pq_adc_top10(sf_dir: str) -> pa.Table:
     })
 
 
+PASSAGE_WIDTH = 6    # tokens per RAG passage window
+PASSAGE_STRIDE = 4   # window start step (overlap = width - stride)
+
+
+def passage_chunk_stats(sf_dir: str) -> rd.Dataset:
+    """Token-window passage chunking of documents (RAG prep): one
+    row per overlapping passage — (doc_id, passage_id, n_tokens,
+    passage_md5), the md5 fingerprinting the space-joined analyzed
+    tokens so the oracle can value-check passage CONTENT without
+    shipping strings."""
+    from .extras.packing import chunk_passages
+
+    return chunk_passages(
+        _docs(sf_dir), width=PASSAGE_WIDTH, stride=PASSAGE_STRIDE
+    )
+
+
 KNN_FILTER_LANG = "en"   # the knn.filter restriction of the gate query
 
 

@@ -1373,3 +1373,41 @@ def test_knn_filtered_prefilter_semantics():
     # filter tighter than k: returns all qualifiers, not k
     tiny = knn_cosine_filtered(ds, q, np.array([6, 9]), k=8)
     assert sorted(tiny["vec_id"].to_pylist()) == [6, 9]
+
+
+def test_chunk_passages_windows_and_edges():
+    """Passage chunking: window starts at every stride multiple below
+    n_tokens; tail windows shrink; empty docs vanish; stride == width
+    is non-overlapping; invalid params raise."""
+    import hashlib
+
+    from rayfts.extras.packing import chunk_passages
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c d e f g", "x y", ""]),
+    })
+    got = (
+        chunk_passages(rd.from_arrow(t).repartition(2), width=4,
+                       stride=2)
+        .to_pandas().sort_values(["doc_id", "passage_id"])
+        .reset_index(drop=True)
+    )
+    toks0 = "a b c d e f g".split()
+    want0 = [toks0[s:s + 4] for s in range(0, 7, 2)]  # starts 0,2,4,6
+    d0 = got[got.doc_id == 0]
+    assert d0.passage_id.tolist() == list(range(len(want0)))
+    assert d0.n_tokens.tolist() == [len(w) for w in want0]
+    assert d0.passage_md5.tolist() == [
+        hashlib.md5(" ".join(w).encode()).hexdigest() for w in want0
+    ]
+    d1 = got[got.doc_id == 1]
+    assert d1.passage_id.tolist() == [0] and d1.n_tokens.tolist() == [2]
+    assert 2 not in set(got.doc_id)  # empty doc emits nothing
+    nono = chunk_passages(rd.from_arrow(t), width=3).to_pandas()
+    n0 = nono[nono.doc_id == 0]
+    assert n0.n_tokens.tolist() == [3, 3, 1]  # stride defaults to width
+    with pytest.raises(ValueError):
+        chunk_passages(rd.from_arrow(t), width=0)
+    with pytest.raises(ValueError):
+        chunk_passages(rd.from_arrow(t), width=3, stride=4)
