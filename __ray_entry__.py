@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
         "fts_percolate": P.fts_percolate,            # percolator (streaming)
         "fts_span_near_docs": P.fts_span_near_docs,  # span_near query
+        "fts_span_unordered_docs": P.fts_span_unordered_docs,  # in_order=false
         "fts_span_first_docs": P.fts_span_first_docs,  # span_first query
         "fts_span_or_docs": P.fts_span_or_docs,  # span_or query
         "fts_span_not_docs": P.fts_span_not_docs,  # span_not query
@@ -929,6 +930,28 @@ FROM p0 a
 WHERE s{len(P.SPAN_TERMS) - 1}.pos
       <= a.pos + {len(P.SPAN_TERMS) - 1 + P.SPAN_SLOP}
 GROUP BY a.doc_id ORDER BY a.doc_id LIMIT 20
+""",
+        # unordered span_near: any-order window tuples,
+        # greatest - least <= slop + k - 1 (the Lucene matchLength rule)
+        "fts_span_unordered_docs": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+{",".join(
+    f"p{i} AS (SELECT doc_id, pos FROM ptoks WHERE term = '{t}')"
+    for i, t in enumerate(P.SPAN_TERMS)
+)}
+SELECT p0.doc_id, count(*) AS n_matches
+FROM p0
+{" ".join(
+    f"JOIN p{i} ON p{i}.doc_id = p0.doc_id"
+    for i in range(1, len(P.SPAN_TERMS))
+)}
+WHERE greatest({", ".join(f"p{i}.pos" for i in range(len(P.SPAN_TERMS)))})
+    - least({", ".join(f"p{i}.pos" for i in range(len(P.SPAN_TERMS)))})
+    <= {P.SPAN_SLOP + len(P.SPAN_TERMS) - 1}
+GROUP BY p0.doc_id ORDER BY p0.doc_id LIMIT 20
 """,
         # span_first: 0-based position < end, per-doc qualifying count
         "fts_span_first_docs": f"""

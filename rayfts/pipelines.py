@@ -710,6 +710,23 @@ def fts_span_near_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_span_unordered_docs(sf_dir: str) -> pa.Table:
+    """ES span_near with in_order=false: docs where all SPAN_TERMS
+    appear in ANY order within a window of slop SPAN_SLOP (Lucene's
+    matchLength rule: max(p) - min(p) <= slop + k - 1), with the exact
+    tuple count per doc."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.span_near_unordered_docs(
+        list(SPAN_TERMS), SPAN_SLOP, limit=20
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "n_matches": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
 SPAN_FIRST_TERM = "data"
 SPAN_FIRST_END = 5
 

@@ -2916,16 +2916,13 @@ class Searcher(SuggestAPI):
             (int(d), int(c)) for d, c in zip(docs[:limit], m[:limit])
         ]
 
-    def _span_chains(self, terms: list[str], slop: int,
-                     min_L: int = 0):
-        """All in-order span_near chains: (start_keys, end_keys, L) in
-        the doc*L + pos key space (both arrays chain-aligned; start keys
-        non-decreasing), or None when nothing matches. ``min_L`` lets a
-        caller force a larger key stride so FOREIGN position sets (the
-        little clause of span_within/containing) share the key space
-        without cross-doc collisions. The vectorized chain expansion from
-        span_near_docs, factored so the enclosing span queries reuse
-        it."""
+    def _span_slot_keys(self, terms: list[str], slop: int,
+                        min_L: int = 0):
+        """Per-slot position keys in the doc*L + pos key space over the
+        CANDIDATE docs (posting intersection, tombstones dropped) —
+        (keys list aligned to ``terms``, L), or None when any term is
+        absent / no doc holds all terms. Shared by the ordered chain
+        expansion and the unordered window counter."""
         from .codec import run_ranges, run_spread
 
         if slop < 0:
@@ -2940,7 +2937,8 @@ class Searcher(SuggestAPI):
         ordered = sorted(uniq, key=lambda t: post[t].df)
         cand = post[ordered[0]].doc_ids
         for t in ordered[1:]:
-            cand = np.intersect1d(cand, post[t].doc_ids, assume_unique=True)
+            cand = np.intersect1d(cand, post[t].doc_ids,
+                                  assume_unique=True)
         if self.excluded.size:
             cand = cand[~np.isin(cand, self.excluded)]
         if cand.size == 0:
@@ -2963,10 +2961,73 @@ class Searcher(SuggestAPI):
             np.cumsum(lens[:-1], out=out_starts[1:])
             tot = int(lens.sum())
             gi = run_ranges(occ[j], out_starts, tot)
-            doc_key = run_spread((cand * L).astype(np.int64), out_starts, tot)
+            doc_key = run_spread(
+                (cand * L).astype(np.int64), out_starts, tot
+            )
             return doc_key + pos[gi]
 
-        keys = [slot_keys(t) for t in terms]
+        return [slot_keys(t) for t in terms], L
+
+    def span_near_unordered_docs(self, terms: list[str], slop: int = 0,
+                                 limit: int = 20) -> list[tuple[int, int]]:
+        """ES span_near with in_order=false (constant score): docs where
+        all DISTINCT ``terms`` appear in ANY order inside a window —
+        a match is a position tuple (one per term) with
+        max(p) - min(p) <= slop + k - 1 (Lucene's matchLength-minus-
+        totalLength slop rule for unit-length clauses); ``n_matches``
+        counts ALL such tuples, the relational spec the SQL oracle
+        replicates with a greatest/least join.
+
+        Vectorized tuple counting without enumerating tuples: for every
+        candidate window anchor v (any position of any term),
+        #tuples whose MIN position is exactly v and max <= v + S equals
+        prod_i c_i[v, v+S] - prod_i c_i(v, v+S] — two searchsorted
+        bounds per slot per anchor, summed per doc. O(total positions ·
+        k log) — never a per-doc Python loop."""
+        if len(set(terms)) != len(terms):
+            raise ValueError("unordered span terms must be distinct")
+        got = self._span_slot_keys(terms, slop, 0)
+        if got is None:
+            return []
+        keys, L = got
+        S = slop + len(terms) - 1
+        anchors = np.unique(np.concatenate(keys))
+        inc = np.ones(anchors.size, dtype=np.int64)   # min >= v
+        exc = np.ones(anchors.size, dtype=np.int64)   # min >  v
+        for ki in keys:
+            lo = np.searchsorted(ki, anchors, side="left")
+            lo_x = np.searchsorted(ki, anchors, side="right")
+            hi = np.searchsorted(ki, anchors + S, side="right")
+            inc *= hi - lo
+            exc *= hi - lo_x
+        per_anchor = inc - exc
+        keep = per_anchor > 0
+        # per-doc sums of per-anchor tuple counts
+        d = anchors[keep] // L
+        uniq_d, inv = np.unique(d, return_inverse=True)
+        sums = np.bincount(inv, weights=per_anchor[keep]).astype(np.int64)
+        return [
+            (int(dd), int(c))
+            for dd, c in zip(uniq_d[:limit], sums[:limit])
+        ]
+
+    def _span_chains(self, terms: list[str], slop: int,
+                     min_L: int = 0):
+        """All in-order span_near chains: (start_keys, end_keys, L) in
+        the doc*L + pos key space (both arrays chain-aligned; start keys
+        non-decreasing), or None when nothing matches. ``min_L`` lets a
+        caller force a larger key stride so FOREIGN position sets (the
+        little clause of span_within/containing) share the key space
+        without cross-doc collisions. The vectorized chain expansion from
+        span_near_docs, factored so the enclosing span queries reuse
+        it."""
+        from .codec import run_ranges, run_spread
+
+        got = self._span_slot_keys(terms, slop, min_L)
+        if got is None:
+            return None
+        keys, L = got
+        n = len(terms)
         start = keys[0]
         cur = start
         bound_off = n - 1 + slop
@@ -5239,6 +5300,22 @@ class MultiSearcher(SuggestAPI):
             out.extend(
                 (d + off, c)
                 for d, c in seg.span_near_docs(terms, slop, limit)
+            )
+            if len(out) >= limit:
+                break
+        return out[:limit]
+
+    def span_near_unordered_docs(self, terms: list[str], slop: int = 0,
+                                 limit: int = 20) -> list[tuple[int, int]]:
+        """Sharded unordered span_near: window tuples never cross docs,
+        so per-segment results concatenate in ascending global order."""
+        out: list[tuple[int, int]] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            out.extend(
+                (d + off, c)
+                for d, c in seg.span_near_unordered_docs(
+                    terms, slop, limit)
             )
             if len(out) >= limit:
                 break

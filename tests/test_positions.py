@@ -732,6 +732,11 @@ def test_sharded_span_first_equals_global(pos_index, corpus, tmp_path_factory):
                                    limit=10**6) == \
             single.span_not_docs(inc, exc, pre=pre, post=post,
                                  limit=10**6), (inc, exc)
+    for terms, slop in [(["the", "w0007"], 2), (["w0007", "bash"], 5)]:
+        assert multi.span_near_unordered_docs(terms, slop,
+                                              limit=10**6) == \
+            single.span_near_unordered_docs(terms, slop, limit=10**6), \
+            (terms, slop)
 
 
 def test_span_or_matches_bruteforce(pos_index, oracle):
@@ -834,3 +839,46 @@ def test_span_containing_and_within_bruteforce(pos_index):
     assert s.span_containing_docs(big, slop, "zzzz_absent") == []
     assert s.span_within_docs("zzzz_absent", big, slop) == []
     assert s.span_containing_docs(["zzzz_absent"], slop, little) == []
+
+
+def test_span_near_unordered_matches_bruteforce(pos_index, oracle):
+    """Unordered window counting: all position tuples (one per distinct
+    term, any order) with max - min <= slop + k - 1, recomputed with
+    nested loops; duplicate terms rejected."""
+    from itertools import product
+
+    s = Searcher(pos_index)
+    tok_docs = {d: tokenize(t) for d, t in oracle.texts.items()}
+    cases = [
+        (["the", "w0007"], 0), (["the", "w0007"], 3),
+        (["w0007", "the"], 3),       # order of TERMS is irrelevant
+        (["the", "a", "w0007"], 2), (["w0007", "bash"], 5),
+        (["the", "zzzz_absent"], 4),
+    ]
+    for terms, slop in cases:
+        k = len(terms)
+        want = []
+        for d, toks in tok_docs.items():
+            slots = [
+                [i for i, t in enumerate(toks) if t == term]
+                for term in terms
+            ]
+            c = sum(
+                1 for tup in product(*slots)
+                if max(tup) - min(tup) <= slop + k - 1
+            )
+            if c:
+                want.append((d, c))
+        want.sort()
+        got = s.span_near_unordered_docs(terms, slop, limit=10**6)
+        assert got == want, (terms, slop)
+    # term-order invariance, limit, errors
+    a = s.span_near_unordered_docs(["the", "w0007"], 2, limit=10**6)
+    b = s.span_near_unordered_docs(["w0007", "the"], 2, limit=10**6)
+    assert a == b
+    assert s.span_near_unordered_docs(["the", "w0007"], 2, limit=3) \
+        == a[:3]
+    with pytest.raises(ValueError):
+        s.span_near_unordered_docs(["the", "the"], 1)
+    with pytest.raises(ValueError):
+        s.span_near_unordered_docs(["the", "w0007"], -1)
