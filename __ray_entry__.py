@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_unigram_xent": P.text_unigram_xent,
         "text_bigram_xent": P.text_bigram_xent,   # conditional-LM fluency
         "fts_rrf_top10": P.fts_rrf_top10,         # reciprocal rank fusion
+        "fts_linear_retriever_top10": P.fts_linear_retriever_top10,  # linear
         "pq_adc_top10": P.pq_adc_top10,           # product quantization
         "pq_ivf_adc_top10": P.pq_ivf_adc_top10,   # IVF-PQ (code partitions)
         "knn_filtered_top10": P.knn_filtered_top10,  # ES 8 knn.filter
@@ -2597,6 +2598,63 @@ SELECT vec_id,
        CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT)
          AS cos_e6
 FROM kd ORDER BY dot / (sqrt(n2) * sqrt(q2)) DESC, vec_id LIMIT 10
+""",
+        # linear retriever: per-list minmax normalize (degenerate range
+        # -> 1.0) then weighted sum — the engine's exact float op order
+        "fts_linear_retriever_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+kq AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = {P.HYBRID_QUERY_VEC}
+),
+kv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+kd AS (
+  SELECT kv.vec_id, sum(kv.val * kq.val) AS dot,
+         sum(kv.val * kv.val) AS n2, sum(kq.val * kq.val) AS q2
+  FROM kv JOIN kq USING (i) GROUP BY kv.vec_id
+),
+kt AS (
+  SELECT doc_id, s FROM (
+    SELECT vec_id AS doc_id, dot / (sqrt(n2) * sqrt(q2)) AS s,
+           row_number() OVER (
+             ORDER BY dot / (sqrt(n2) * sqrt(q2)) DESC, vec_id) AS r
+    FROM kd
+  ) WHERE r <= {P.RRF_WINDOW}
+),
+kn AS (
+  SELECT doc_id, CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+                      ELSE (s - min(s) OVER ())
+                           / (max(s) OVER () - min(s) OVER ()) END AS v
+  FROM kt
+),
+bt AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM scores
+  ) WHERE r <= {P.RRF_WINDOW}
+),
+bn AS (
+  SELECT doc_id, CASE WHEN max(score) OVER () = min(score) OVER ()
+                      THEN 1.0
+                      ELSE (score - min(score) OVER ())
+                           / (max(score) OVER () - min(score) OVER ())
+                 END AS v
+  FROM bt
+),
+f AS (
+  SELECT coalesce(bn.doc_id, kn.doc_id) AS doc_id,
+         {P.LINEAR_TEXT_W} * coalesce(bn.v, 0.0)
+           + {P.LINEAR_KNN_W} * coalesce(kn.v, 0.0) AS combined
+  FROM bn FULL OUTER JOIN kn USING (doc_id)
+)
+SELECT doc_id, CAST(round(combined * 1e6) AS BIGINT) AS combined_e6
+FROM f ORDER BY combined DESC, doc_id LIMIT 10
 """,
         # RRF hybrid: rank_window-truncated row_number ranks per list,
         # fused = 1/(K + r_bm25) + 1/(K + r_knn), same add order as the

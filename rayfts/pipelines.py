@@ -3473,6 +3473,50 @@ def fts_rrf_top10(sf_dir: str) -> pa.Table:
     })
 
 
+LINEAR_TEXT_W = 1.0   # linear-retriever weights
+LINEAR_KNN_W = 2.0
+
+
+def fts_linear_retriever_top10(sf_dir: str) -> pa.Table:
+    """ES retriever-API `linear` analog: minmax-normalize each
+    retriever's top-RRF_WINDOW scores independently, then weighted sum
+    (text 1.0, knn 2.0) — the score-calibrated hybrid beside rrf's
+    rank-based one."""
+    import pyarrow.dataset as pads
+
+    from .extras.similarity import knn_cosine
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qrow = pads.dataset(emb_path).to_table(
+        filter=(pads.field("vec_id") == HYBRID_QUERY_VEC)
+    )
+    qvec = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+    knn = knn_cosine(rd.read_parquet(emb_path), qvec, k=RRF_WINDOW)
+
+    index_dir = documents_index(sf_dir)
+    dense_to_src = _dense_to_src(index_dir)
+    src_to_dense = np.zeros(dense_to_src.size, dtype=np.int64)
+    src_to_dense[dense_to_src] = np.arange(dense_to_src.size)
+    knn_hits = [
+        (int(src_to_dense[v]), float(c))
+        for v, c in zip(knn["vec_id"].to_pylist(),
+                        knn["cosine_sim"].to_pylist())
+    ]
+    s = Searcher(index_dir)
+    rows = s.linear_retriever_search(
+        BM25_QUERY, knn_hits, k=10, rank_window=RRF_WINDOW,
+        text_weight=LINEAR_TEXT_W, knn_weight=LINEAR_KNN_W,
+    )
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[d]) for d, _ in rows], pa.int64()
+        ),
+        "combined_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in rows], pa.int64()
+        ),
+    })
+
+
 def fts_hybrid_knn(sf_dir: str) -> pa.Table:
     """ES 8 hybrid retrieval: top-level `knn` (cosine top-HYBRID_KNN_K
     over the embeddings table — the DISTRIBUTED ANN stage, per-block

@@ -364,6 +364,36 @@ def _per_key_rank_keep(idx: np.ndarray, scores: np.ndarray,
     return order[keep]
 
 
+def _linear_fuse(text_pairs: list[tuple], knn_pairs: list[tuple],
+                 text_weight: float, knn_weight: float,
+                 normalizer: str, k: int) -> list[tuple]:
+    """The linear-retriever combine shared by the single-index and
+    sharded paths: per-list normalize (minmax -> [0,1], degenerate
+    range -> 1.0, or none), then weighted sum, (combined desc, doc asc)
+    top-k. See Searcher.linear_retriever_search for the contract."""
+    if normalizer not in ("minmax", "none"):
+        raise ValueError("normalizer must be 'minmax' or 'none'")
+
+    def norm(pairs: list[tuple]) -> dict[int, float]:
+        if not pairs:
+            return {}
+        if normalizer == "none":
+            return {d: float(s) for d, s in pairs}
+        lo = min(s for _, s in pairs)
+        hi = max(s for _, s in pairs)
+        if hi == lo:
+            return {d: 1.0 for d, _ in pairs}
+        return {d: (s - lo) / (hi - lo) for d, s in pairs}
+
+    text = norm(text_pairs)
+    knn = norm(knn_pairs)
+    out = {
+        d: text_weight * text.get(d, 0.0) + knn_weight * knn.get(d, 0.0)
+        for d in set(text) | set(knn)
+    }
+    return sorted(out.items(), key=lambda e: (-e[1], e[0]))[:k]
+
+
 def _rank_eval_metrics(hits: list[tuple], is_relevant, n_rel: int,
                        k: int) -> dict:
     """The rank_eval metric suite over a ranked hit list — shared by the
@@ -1432,6 +1462,37 @@ class Searcher(SuggestAPI):
             fused[d] = fused.get(d, 0.0) + 1.0 / (rrf_k + r)
         out = sorted(fused.items(), key=lambda e: (-e[1], e[0]))
         return out[:k]
+
+    def linear_retriever_search(self, query: str,
+                                knn_hits: list[tuple], k: int = 10,
+                                rank_window: int = 100,
+                                text_weight: float = 1.0,
+                                knn_weight: float = 1.0,
+                                normalizer: str = "minmax"
+                                ) -> list[tuple]:
+        """ES retriever-API ``linear`` analog (the weighted-sum hybrid
+        beside rrf): each retriever's top-``rank_window`` scores
+        normalize independently — ``minmax`` maps [min, max] -> [0, 1]
+        (single-score lists and zero ranges map to 1.0, the ES
+        degenerate rule pinned here), ``none`` keeps raw scores — then
+        combined(d) = text_weight · norm_text(d) + knn_weight ·
+        norm_knn(d), absent-list contributions 0. ``knn_hits`` is the
+        ANN stage's [(doc_id, similarity)] output. Final order
+        (combined desc, doc asc). The float op order (per-list
+        normalize, then weight, then one add) is pinned for the SQL
+        twin."""
+        if k <= 0:
+            return []
+        if rank_window < 1:
+            raise ValueError("rank_window must be >= 1")
+        knn = [
+            (int(d), float(s)) for d, s in knn_hits[:rank_window]
+            if 0 <= int(d) < self.N
+            and not (self.excluded.size
+                     and bool(np.isin(int(d), self.excluded)))
+        ]
+        return _linear_fuse(self.search(query, k=rank_window), knn,
+                            text_weight, knn_weight, normalizer, k)
 
     SIMILARITIES = ("lmd", "classic", "boolean")
     LMD_MU = 2000.0  # Lucene LMDirichletSimilarity default
@@ -5870,6 +5931,43 @@ class MultiSearcher(SuggestAPI):
             fused[d] = fused.get(d, 0.0) + 1.0 / (rrf_k + r)
         out = sorted(fused.items(), key=lambda e: (-e[1], e[0]))
         return out[:k]
+
+    def _knn_live(self, knn_hits: list[tuple], rank_window: int):
+        """Validity-filter a global knn hit list: in-range, not
+        tombstoned in its owning segment."""
+        out = []
+        for d, s in knn_hits[:rank_window]:
+            d = int(d)
+            if not 0 <= d < self.N:
+                continue
+            si = int(np.searchsorted(self.offsets, d, side="right")) - 1
+            seg = self.segments[si]
+            ld = d - int(self.offsets[si])
+            if seg.excluded.size and bool(np.isin(ld, seg.excluded)):
+                continue
+            out.append((d, float(s)))
+        return out
+
+    def linear_retriever_search(self, query: str,
+                                knn_hits: list[tuple], k: int = 10,
+                                rank_window: int = 100,
+                                text_weight: float = 1.0,
+                                knn_weight: float = 1.0,
+                                normalizer: str = "minmax"
+                                ) -> list[tuple]:
+        """Sharded linear retriever, exact vs a single global index:
+        the text list is the exact sharded search (score- and
+        rank-identical), the knn list is global, and the fuse is the
+        shared _linear_fuse kernel."""
+        if k <= 0:
+            return []
+        if rank_window < 1:
+            raise ValueError("rank_window must be >= 1")
+        return _linear_fuse(
+            self.search(query, k=rank_window),
+            self._knn_live(knn_hits, rank_window),
+            text_weight, knn_weight, normalizer, k,
+        )
 
     def _moment_stats(self, query: str, field: str,
                       where: dict | None = None, mode: str = "or",

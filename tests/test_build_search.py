@@ -2460,3 +2460,45 @@ def test_rrf_search_fuse_semantics(index_dir, oracle):
     assert s.rrf_search(q, knn, k=0) == []
     with pytest.raises(ValueError):
         s.rrf_search(q, knn, rrf_k=-1)
+
+
+def test_linear_retriever_fuse_semantics(index_dir, oracle):
+    """Linear retriever: combined == weighted sum of independently
+    minmax-normalized lists recomputed by hand; degenerate single-item
+    list normalizes to 1.0; normalizer='none' keeps raw scores."""
+    s = Searcher(index_dir)
+    q = "the w0007"
+    window = 25
+    bm25 = s.search(q, k=window)
+    knn = [(d, 0.5 + 0.01 * i) for i, (d, _) in
+           enumerate(s.search("bash", k=8))]
+    got = dict(s.linear_retriever_search(
+        q, knn, k=1000, rank_window=window,
+        text_weight=1.0, knn_weight=2.0,
+    ))
+    lo = min(sc for _, sc in bm25)
+    hi = max(sc for _, sc in bm25)
+    tn = {d: (sc - lo) / (hi - lo) for d, sc in bm25}
+    klo = min(sc for _, sc in knn)
+    khi = max(sc for _, sc in knn)
+    kn = {d: (sc - klo) / (khi - klo) for d, sc in knn}
+    want = {
+        d: 1.0 * tn.get(d, 0.0) + 2.0 * kn.get(d, 0.0)
+        for d in set(tn) | set(kn)
+    }
+    assert got == want
+    # degenerate: one knn hit -> normalized 1.0
+    one = dict(s.linear_retriever_search(q, [(3, 0.42)], k=1000,
+                                         rank_window=window))
+    assert one[3] == 1.0 * tn.get(3, 0.0) + 1.0
+    # none normalizer keeps raw scores
+    raw = dict(s.linear_retriever_search(
+        q, knn, k=1000, rank_window=window, normalizer="none"
+    ))
+    want_raw = {
+        d: dict(bm25).get(d, 0.0) + dict(knn).get(d, 0.0)
+        for d in set(tn) | set(kn)
+    }
+    assert raw == want_raw
+    with pytest.raises(ValueError):
+        s.linear_retriever_search(q, knn, normalizer="zscore")

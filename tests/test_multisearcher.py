@@ -373,6 +373,14 @@ def test_sharded_rrf_equals_global(indexes):
                 (q, window)
     with pytest.raises(ValueError):
         multi.rrf_search("the", knn, rank_window=0)
+    # linear retriever rides the same exact sharded search + knn list
+    knn_sc = [(d, 0.9 - 0.1 * i) for i, d in enumerate(knn[:4])]
+    for q in ["the w0007", "zzz_absent"]:
+        assert multi.linear_retriever_search(
+            q, knn_sc, k=10, rank_window=25, knn_weight=2.0
+        ) == single.linear_retriever_search(
+            q, knn_sc, k=10, rank_window=25, knn_weight=2.0
+        ), q
 
 
 def test_sharded_rare_and_multi_terms_equal_global(indexes):
