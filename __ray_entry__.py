@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
         "fts_rare_terms_hits": P.fts_rare_terms,     # rare_terms over hit set
+        "fts_sig_keyword_source": P.fts_sig_keyword_source,  # keyword JLH
         "fts_multi_terms_hits": P.fts_multi_terms,   # multi_terms over hit set
         "fts_top_hits_by_source": P.fts_top_hits_by_source,  # top_hits sub-agg
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
@@ -782,6 +783,28 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT source, count(*) AS n_docs FROM documents JOIN hits USING (doc_id)
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
+""",
+        # keyword significant_terms: exact fg/bg histograms, JLH with
+        # the engine's op order (fgp - bgp) * (fgp / bgp)
+        "fts_sig_keyword_source": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks
+         WHERE term = '{P.SIG_KEYWORD_QUERY}'),
+fg AS (SELECT source, count(*) AS fdf
+       FROM documents JOIN hits USING (doc_id) GROUP BY source),
+tot AS (SELECT count(*) AS nh FROM hits),
+bg AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
+nl AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT fg.source, fdf, df,
+         ((fdf::DOUBLE / nh) - (df::DOUBLE / n))
+           * ((fdf::DOUBLE / nh) / (df::DOUBLE / n)) AS score
+  FROM fg JOIN bg USING (source) CROSS JOIN tot CROSS JOIN nl
+  WHERE fdf >= 2 AND fdf::DOUBLE / nh > df::DOUBLE / n
+)
+SELECT source, fdf AS fg_df, df,
+       CAST(round(score * 1e9) AS BIGINT) AS score_e9
+FROM sc ORDER BY score DESC, source LIMIT 6
 """,
         # rare_terms over the QUERY HIT SET (the Searcher-surface twin
         # of the Dataset-level fts_rare_terms): buckets with count <=

@@ -475,6 +475,27 @@ def fts_facet_source(sf_dir: str) -> pa.Table:
     )
 
 
+SIG_KEYWORD_QUERY = "spark"   # keyword-significance foreground query
+
+
+def fts_sig_keyword_source(sf_dir: str) -> pa.Table:
+    """ES significant_terms over the `source` KEYWORD field (doc-values
+    form): sources overrepresented in the SIG_KEYWORD_QUERY hit set vs
+    the corpus, exact JLH over exact histograms."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.significant_keyword_terms(
+        SIG_KEYWORD_QUERY, "source", size=6, min_doc_count=2
+    )
+    return pa.table({
+        "source": pa.array([v for v, _, _, _ in rows], pa.string()),
+        "fg_df": pa.array([f for _, f, _, _ in rows], pa.int64()),
+        "df": pa.array([d for _, _, d, _ in rows], pa.int64()),
+        "score_e9": pa.array(
+            [int(round(sc * 1e9)) for _, _, _, sc in rows], pa.int64()
+        ),
+    })
+
+
 RARE_MAX_DOC_COUNT = 80   # rare_terms cutoff (drops the majority lang)
 
 

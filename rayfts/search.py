@@ -394,6 +394,30 @@ def _linear_fuse(text_pairs: list[tuple], knn_pairs: list[tuple],
     return sorted(out.items(), key=lambda e: (-e[1], e[0]))[:k]
 
 
+def _jlh_ranked(fg: dict, n_hits: int, bg: dict, n_live: int,
+                min_doc_count: int, size: int) -> list[tuple]:
+    """JLH significance ranking over exact (foreground, background)
+    histograms — shared by the single-index and sharded keyword paths.
+    score = (fgp - bgp) * (fgp / bgp); drops fg_df < min_doc_count and
+    fgp <= bgp; (score desc, value asc) first ``size``."""
+    if not n_hits or not n_live:
+        return []
+    out = []
+    for v, fdf in fg.items():
+        if fdf < min_doc_count:
+            continue
+        df = bg.get(v, 0)
+        if df == 0:
+            continue
+        fgp = fdf / n_hits
+        bgp = df / n_live
+        if fgp <= bgp:
+            continue
+        out.append((v, int(fdf), int(df), (fgp - bgp) * (fgp / bgp)))
+    out.sort(key=lambda e: (-e[3], e[0]))
+    return out[:size]
+
+
 def _rank_eval_metrics(hits: list[tuple], is_relevant, n_rel: int,
                        k: int) -> dict:
     """The rank_eval metric suite over a ranked hit list — shared by the
@@ -1099,6 +1123,49 @@ class Searcher(SuggestAPI):
                 rem //= len(values)
             out[tuple(reversed(parts))] = int(c)
         return out
+
+    def significant_keyword_terms(self, query: str, field: str,
+                                  size: int = 10,
+                                  min_doc_count: int = 3,
+                                  where: dict | None = None,
+                                  mode: str = "or",
+                                  must_not: str | None = None
+                                  ) -> list[tuple]:
+        """ES significant_terms over a KEYWORD field (the doc-values
+        form — the text-re-analysis form, i.e. ES significant_text, is
+        the existing significant_terms method): field values
+        overrepresented in the query hit set vs the LIVE corpus,
+        JLH-scored with the same pinned op order — score =
+        (fgp - bgp) * (fgp / bgp), fgp = fg_df/n_hits, bgp = df/N_live.
+        Values with fg_df < min_doc_count or fgp <= bgp drop (the ES
+        noise floor). Foreground = the exact facet histogram;
+        background = one bincount over live docs — both O(field
+        cardinality) payloads, so the sharded merge is exact. Returns
+        [(value, fg_df, df, score)] (score desc, value asc), first
+        ``size``."""
+        fg = self._facet_hist(query, field, where, mode, must_not)
+        n_hits = self._hit_count(query, where, mode, must_not)
+        bg, n_live = self._field_hist_live(field)
+        return _jlh_ranked(fg, n_hits, bg, n_live, min_doc_count, size)
+
+    def _hit_count(self, query: str, where=None, mode="or",
+                   must_not=None) -> int:
+        hits = self._hit_mask(query, where, mode, must_not)
+        return 0 if hits is None else int(hits.sum())
+
+    def _field_hist_live(self, field: str) -> tuple[dict, int]:
+        """(value -> live doc count, live N) — the background side of
+        keyword significance; tombstones excluded on both counts."""
+        codes, values = self._field_codes(field)
+        live = np.ones(self.N, dtype=bool)
+        if self.excluded.size:
+            live[self.excluded] = False
+        sel = codes[live]
+        cnt = np.bincount(sel[sel >= 0], minlength=len(values))
+        return (
+            {v: int(c) for v, c in zip(values, cnt) if c > 0},
+            int(live.sum()),
+        )
 
     def _qweights(self, query: str) -> dict[str, float]:
         """Query-side analyzer: clause weights with the index's stop list
@@ -5724,6 +5791,33 @@ class MultiSearcher(SuggestAPI):
             key=lambda e: (e[1], e[0]),
         )
         return out if size is None else out[:size]
+
+    def significant_keyword_terms(self, query: str, field: str,
+                                  size: int = 10,
+                                  min_doc_count: int = 3,
+                                  where: dict | None = None,
+                                  mode: str = "or",
+                                  must_not: str | None = None
+                                  ) -> list[tuple]:
+        """Sharded keyword significant_terms, EXACT: per-segment
+        foreground/background histograms and counts are integers that
+        sum (disjoint doc sets); JLH recomputes from the merged exact
+        totals with the single-index op order."""
+        fg: dict = {}
+        bg: dict = {}
+        n_hits = 0
+        n_live = 0
+        for seg in self.segments:
+            for v, c in seg._facet_hist(
+                query, field, where, mode, must_not
+            ).items():
+                fg[v] = fg.get(v, 0) + c
+            n_hits += seg._hit_count(query, where, mode, must_not)
+            sb, sn = seg._field_hist_live(field)
+            for v, c in sb.items():
+                bg[v] = bg.get(v, 0) + c
+            n_live += sn
+        return _jlh_ranked(fg, n_hits, bg, n_live, min_doc_count, size)
 
     def multi_terms_agg(self, query: str, fields: list[str],
                         size: int = 10, where: dict | None = None,

@@ -385,9 +385,15 @@ def test_sharded_rrf_equals_global(indexes):
 
 def test_sharded_rare_and_multi_terms_equal_global(indexes):
     """rare_terms: per-segment histograms sum BEFORE the cutoff (global
-    rare-ness); multi_terms: value-tuple histograms sum exactly."""
+    rare-ness); multi_terms: value-tuple histograms sum exactly;
+    keyword significant_terms: fg/bg integer partials merge exactly."""
     single = Searcher(indexes["full"])
     multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the w0007", "w0003", "zzz_absent"]:
+        assert multi.significant_keyword_terms(q, "role",
+                                               min_doc_count=1) == \
+            single.significant_keyword_terms(q, "role",
+                                             min_doc_count=1), q
     for q in ["the w0007", "zzz_absent"]:
         for mdc in (1, 3, 10_000):
             assert multi.rare_terms_agg(q, "role", max_doc_count=mdc) \
