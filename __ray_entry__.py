@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
         "fts_rare_terms_hits": P.fts_rare_terms,     # rare_terms over hit set
         "fts_sig_keyword_source": P.fts_sig_keyword_source,  # keyword JLH
+        "fts_dsl_bool_top10": P.fts_dsl_bool_top10,  # ES request-body exec
         "fts_multi_terms_hits": P.fts_multi_terms,   # multi_terms over hit set
         "fts_top_hits_by_source": P.fts_top_hits_by_source,  # top_hits sub-agg
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
@@ -723,6 +724,13 @@ SELECT doc_id, dl FROM dl
         "fts_bm25_top10_wand": _bm25_sql(sorted(set(P.BM25_QUERY.split())), 10),
         "fts_bm25_filtered_top10": _bm25_sql(
             sorted(set(P.BM25_QUERY.split())), 10, "WHERE d2.lang = 'en'"
+        ),
+        # ES request-body executor: bool{match must, term+range filter}
+        # == the direct filtered search, one oracle for both layers
+        "fts_dsl_bool_top10": _bm25_sql(
+            sorted(set(P.BM25_QUERY.split())), 10,
+            "WHERE d2.lang = 'en' AND d2.n_chars >= 100 "
+            "AND d2.n_chars <= 700",
         ),
         "fts_bm25_range_top10": _bm25_sql(
             sorted(set(P.BM25_QUERY.split())), 10,

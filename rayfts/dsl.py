@@ -1,0 +1,314 @@
+"""ES _search request-body executor — the switch-over surface.
+
+A consumer of the reference plugin queries Elasticsearch with the JSON
+query DSL; this module lets those request bodies run against a
+:class:`rayfts.search.Searcher` (or a sharded ``MultiSearcher`` — every
+dispatched method has an exact sharded twin) without rewriting them into
+engine calls. The executor NORMALIZES the ``query`` clause into the
+engine's (text, mode, min_should_match, where, must_not) spec, runs the
+ranked search or the filter-context scan, then dispatches each ``aggs``
+entry to the engine's exact aggregation of the same name.
+
+Deliberately a SUBSET, failing loudly: clause shapes the engine cannot
+reproduce exactly raise ``UnsupportedDSL`` instead of approximating —
+the contract is "what runs, runs with ES semantics", not "everything
+parses". Supported today:
+
+  query:  match (operator and/or, minimum_should_match), match_all,
+          match_phrase, match_phrase_prefix, match_bool_prefix,
+          query_string, constant_score(filter), term / terms / range
+          (filter context), bool{must: one match-family clause,
+          filter: term/terms/range list, must_not: one match/term}
+  body:   size, from, sort ([{field: {order}}], doc-id tiebreak),
+          min_score
+  aggs:   terms, rare_terms, multi_terms, significant_terms (keyword
+          field), stats, extended_stats, value_count, cardinality,
+          percentiles, percentile_ranks, histogram, date_histogram,
+          range, missing, filters
+
+Filter-context-only requests (no scoring clause) hit every live doc
+with the ES constant_score value 1.0, ordered doc_id ascending.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+
+class UnsupportedDSL(ValueError):
+    """The request uses a clause shape this executor does not map."""
+
+
+@dataclass
+class QuerySpec:
+    """The engine-normal form of a DSL query clause."""
+
+    text: str | None = None          # analyzed match text (None = all)
+    mode: str = "or"
+    min_should_match: int | None = None
+    where: dict = dc_field(default_factory=dict)
+    must_not: str | None = None
+    kind: str = "match"              # match | phrase | phrase_prefix |
+    #                                  bool_prefix | query_string | all
+
+
+def _as_match(field: str, body) -> tuple[str, str, int | None]:
+    """(text, mode, msm) of a match clause; str body = default or."""
+    if isinstance(body, str):
+        return body, "or", None
+    if not isinstance(body, dict) or "query" not in body:
+        raise UnsupportedDSL(f"match[{field}] needs a query")
+    op = body.get("operator", "or")
+    if op not in ("or", "and"):
+        raise UnsupportedDSL(f"match operator {op!r}")
+    msm = body.get("minimum_should_match")
+    if msm is not None:
+        msm = int(msm)
+    return str(body["query"]), op, msm
+
+
+def _filter_clause(spec: QuerySpec, clause: dict) -> None:
+    """Fold one filter-context clause (term/terms/range) into where."""
+    if len(clause) != 1:
+        raise UnsupportedDSL(f"filter clause {sorted(clause)}")
+    kind, body = next(iter(clause.items()))
+    if kind == "term":
+        (f, v), = body.items()
+        spec.where[f] = v.get("value") if isinstance(v, dict) else v
+    elif kind == "terms":
+        (f, vs), = body.items()
+        if not isinstance(vs, list):
+            raise UnsupportedDSL("terms filter needs a value list")
+        spec.where[f] = tuple(vs)
+    elif kind == "range":
+        (f, b), = body.items()
+        if not b or set(b) - {"gte", "gt", "lte", "lt"}:
+            raise UnsupportedDSL("range filter bounds gte/gt/lte/lt")
+        spec.where[f] = dict(b)  # the engine's native ES-range where
+    else:
+        raise UnsupportedDSL(f"filter clause {kind!r}")
+
+
+def normalize_query(q: dict | None) -> QuerySpec:
+    """DSL query dict -> engine QuerySpec (raises UnsupportedDSL)."""
+    spec = QuerySpec()
+    if q is None or q == {} or "match_all" in (q or {}):
+        spec.kind = "all"
+        return spec
+    if len(q) != 1:
+        raise UnsupportedDSL(f"query with keys {sorted(q)}")
+    kind, body = next(iter(q.items()))
+    if kind == "match":
+        (f, b), = body.items()
+        spec.text, spec.mode, spec.min_should_match = _as_match(f, b)
+    elif kind in ("match_phrase", "match_phrase_prefix",
+                  "match_bool_prefix"):
+        (f, b), = body.items()
+        spec.text = b["query"] if isinstance(b, dict) else str(b)
+        spec.kind = {
+            "match_phrase": "phrase",
+            "match_phrase_prefix": "phrase_prefix",
+            "match_bool_prefix": "bool_prefix",
+        }[kind]
+    elif kind == "query_string":
+        spec.text = str(body["query"])
+        spec.kind = "query_string"
+    elif kind == "constant_score":
+        inner = normalize_query(body.get("filter"))
+        if inner.text is not None:
+            raise UnsupportedDSL("constant_score over a scoring clause")
+        inner.kind = "all"
+        return inner
+    elif kind in ("term", "terms", "range"):
+        spec.kind = "all"
+        _filter_clause(spec, {kind: body})
+    elif kind == "bool":
+        must = body.get("must", [])
+        if isinstance(must, dict):
+            must = [must]
+        if len(must) > 1:
+            raise UnsupportedDSL("bool.must supports one scoring clause")
+        if must:
+            inner = normalize_query(must[0])
+            if inner.where or inner.must_not:
+                raise UnsupportedDSL("nested bool in must")
+            spec.text = inner.text
+            spec.mode = inner.mode
+            spec.min_should_match = inner.min_should_match
+            spec.kind = inner.kind if inner.text is not None else "all"
+        should = body.get("should", [])
+        if should:
+            if must:
+                raise UnsupportedDSL("bool.should beside must")
+            texts, msm = [], body.get("minimum_should_match")
+            for c in should:
+                if set(c) != {"match"}:
+                    raise UnsupportedDSL("bool.should supports match")
+                (f, b), = c["match"].items()
+                t, op, _ = _as_match(f, b)
+                if op != "or":
+                    raise UnsupportedDSL("should clause operator=and")
+                texts.append(t)
+            spec.text = " ".join(texts)
+            spec.min_should_match = int(msm) if msm is not None else None
+        for c in body.get("filter", []) if isinstance(
+                body.get("filter", []), list) else [body["filter"]]:
+            _filter_clause(spec, c)
+        mn = body.get("must_not", [])
+        if isinstance(mn, dict):
+            mn = [mn]
+        if len(mn) > 1:
+            raise UnsupportedDSL("bool.must_not supports one clause")
+        if mn:
+            c = mn[0]
+            if set(c) == {"match"}:
+                (f, b), = c["match"].items()
+                spec.must_not = _as_match(f, b)[0]
+            elif set(c) == {"term"}:
+                # term-level exclusion of an ANALYZED token
+                (f, v), = c["term"].items()
+                spec.must_not = str(
+                    v.get("value") if isinstance(v, dict) else v
+                )
+            else:
+                raise UnsupportedDSL("must_not supports match/term")
+        if spec.text is None:
+            spec.kind = "all"
+    else:
+        raise UnsupportedDSL(f"query clause {kind!r}")
+    return spec
+
+
+_AGG_DISPATCH = {
+    "terms": lambda s, sp, b: s.facet_counts(
+        sp.text, b["field"], size=int(b.get("size", 10)),
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "rare_terms": lambda s, sp, b: s.rare_terms_agg(
+        sp.text, b["field"],
+        max_doc_count=int(b.get("max_doc_count", 1)),
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "multi_terms": lambda s, sp, b: s.multi_terms_agg(
+        sp.text, [t["field"] for t in b["terms"]],
+        size=int(b.get("size", 10)),
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "significant_terms": lambda s, sp, b: s.significant_keyword_terms(
+        sp.text, b["field"], size=int(b.get("size", 10)),
+        min_doc_count=int(b.get("min_doc_count", 3)),
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "stats": lambda s, sp, b: s.stats_agg(
+        sp.text, b["field"], where=sp.where or None, mode=sp.mode,
+        must_not=sp.must_not),
+    "extended_stats": lambda s, sp, b: s.extended_stats_agg(
+        sp.text, b["field"], where=sp.where or None, mode=sp.mode,
+        must_not=sp.must_not),
+    "value_count": lambda s, sp, b: s.value_count_agg(
+        sp.text, b["field"], where=sp.where or None, mode=sp.mode,
+        must_not=sp.must_not),
+    "cardinality": lambda s, sp, b: s.cardinality_agg(
+        sp.text, b["field"], where=sp.where or None, mode=sp.mode,
+        must_not=sp.must_not),
+    "percentiles": lambda s, sp, b: s.percentiles_agg(
+        sp.text, b["field"],
+        percents=tuple(b.get("percents", (25.0, 50.0, 75.0, 95.0,
+                                          99.0))),
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "percentile_ranks": lambda s, sp, b: s.percentile_ranks_agg(
+        sp.text, b["field"], values=tuple(b["values"]),
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "histogram": lambda s, sp, b: s.histogram_agg(
+        sp.text, b["field"], float(b["interval"]),
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "date_histogram": lambda s, sp, b: s.date_histogram_agg(
+        sp.text, b["field"],
+        calendar_interval=b.get("calendar_interval", "day"),
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "range": lambda s, sp, b: s.range_agg(
+        sp.text, b["field"],
+        [(r.get("from"), r.get("to")) for r in b["ranges"]],
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "missing": lambda s, sp, b: s.missing_agg(
+        sp.text, b["field"], where=sp.where or None, mode=sp.mode,
+        must_not=sp.must_not),
+    "filters": lambda s, sp, b: s.filters_agg(
+        sp.text, {k: v.get("term", v) for k, v in
+                  b["filters"].items()},
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+}
+
+
+def execute_dsl(searcher, body: dict) -> dict:
+    """Run one ES _search request body. Returns
+    {"hits": {"hits": [{"_id", "_score"|"_sort"}...]},
+     "aggregations": {name: engine-native result}}; raises
+    UnsupportedDSL on clause shapes the engine does not map."""
+    spec = normalize_query(body.get("query"))
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    min_score = body.get("min_score")
+
+    sort = body.get("sort")
+    if sort is not None:
+        if (not isinstance(sort, list) or len(sort) != 1
+                or not isinstance(sort[0], dict)):
+            raise UnsupportedDSL("sort supports one {field: order}")
+        (f, o), = sort[0].items()
+        order = o.get("order", "asc") if isinstance(o, dict) else o
+        rows = searcher.search_by_field(
+            spec.text, f, order=order, k=offset + size,
+            where=spec.where or None, mode=spec.mode,
+            must_not=spec.must_not,
+        )[offset:]
+        hits = [{"_id": d, "_sort": v} for d, v in rows]
+    elif spec.kind == "all" and spec.text is None:
+        # pure filter context: constant_score 1.0, doc_id ascending
+        import numpy as np
+
+        m = searcher._hit_mask(None, spec.where or None,
+                               must_not=spec.must_not)
+        ids = np.flatnonzero(m)[offset:offset + size] if m is not None \
+            else []
+        hits = [{"_id": int(d), "_score": 1.0} for d in ids]
+    else:
+        if spec.kind == "phrase":
+            rows = searcher.search_phrase(spec.text, k=offset + size,
+                                          where=spec.where or None)
+            rows = rows[offset:]
+        elif spec.kind == "phrase_prefix":
+            rows = searcher.search_phrase_prefix(
+                spec.text, k=offset + size, where=spec.where or None
+            )[offset:]
+        elif spec.kind == "bool_prefix":
+            rows = searcher.match_bool_prefix(
+                spec.text, k=offset + size, where=spec.where or None
+            )[offset:]
+        elif spec.kind == "query_string":
+            rows = searcher.query_string(
+                spec.text, k=offset + size, where=spec.where or None
+            )[offset:]
+        elif min_score is not None:
+            rows = searcher.search_min_score(
+                spec.text, k=offset + size, min_score=float(min_score),
+                where=spec.where or None,
+            )[offset:]
+        else:
+            rows = searcher.search(
+                spec.text, k=size, where=spec.where or None,
+                mode=spec.mode, must_not=spec.must_not, offset=offset,
+                min_should_match=spec.min_should_match,
+            )
+        hits = [{"_id": d, "_score": s} for d, s in rows]
+
+    out = {"hits": {"hits": hits}}
+    aggs = body.get("aggs") or body.get("aggregations") or {}
+    if aggs:
+        res = {}
+        for name, node in aggs.items():
+            if len(node) != 1:
+                raise UnsupportedDSL(f"agg {name}: sub-aggs unsupported")
+            akind, abody = next(iter(node.items()))
+            fn = _AGG_DISPATCH.get(akind)
+            if fn is None:
+                raise UnsupportedDSL(f"agg kind {akind!r}")
+            res[name] = fn(searcher, spec, abody)
+        out["aggregations"] = res
+    return out

@@ -475,6 +475,37 @@ def fts_facet_source(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_dsl_bool_top10(sf_dir: str) -> pa.Table:
+    """ES request-body execution (the switch-over surface): an ES JSON
+    bool query — match must + term filter — runs through
+    `rayfts.dsl.execute_dsl` verbatim and must equal the engine's
+    direct filtered search bit-for-bit (same oracle shape as
+    fts_bm25_filtered_top10 with range composed in)."""
+    from .dsl import execute_dsl
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": BM25_QUERY}}],
+            "filter": [{"term": {"lang": "en"}},
+                       {"range": {"n_chars": {"gte": 100,
+                                              "lte": 700}}}],
+        }},
+        "size": 10,
+    }
+    rows = execute_dsl(s, body)["hits"]["hits"]
+    to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array(
+            [int(to_src[h["_id"]]) for h in rows], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(h["_score"] * 1e6)) for h in rows], pa.int64()
+        ),
+    })
+
+
 SIG_KEYWORD_QUERY = "spark"   # keyword-significance foreground query
 
 

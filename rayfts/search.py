@@ -512,10 +512,16 @@ def variable_width_buckets(hist: dict, k: int) -> list[tuple]:
 
 
 def _where_key(where: dict) -> tuple:
-    """Hashable cache key for a ``where`` spec (scalar equality, None for
-    is-null, or an ES-style range dict {gte/gt/lte/lt: bound})."""
+    """Hashable cache key for a ``where`` spec (scalar equality, None
+    for is-null, list/tuple for terms membership, or an ES-style range
+    dict {gte/gt/lte/lt: bound})."""
     return tuple(
-        (c, tuple(sorted(v.items())) if isinstance(v, dict) else v)
+        (
+            c,
+            tuple(sorted(v.items())) if isinstance(v, dict)
+            else ("in", tuple(v)) if isinstance(v, (list, tuple))
+            else v,
+        )
         for c, v in sorted(where.items())
     )
 
@@ -523,7 +529,8 @@ def _where_key(where: dict) -> tuple:
 def _where_expr(where: dict):
     """``where`` spec -> pyarrow.dataset filter expression.
 
-    Scalar value = keyword equality; None = is-null; dict = ES range query
+    Scalar value = keyword equality; None = is-null; list/tuple = ES
+    terms-query membership (isin); dict = ES range query
     (``{"gte": lo, "lt": hi}`` etc — ref analog: the ES range filters the
     plugin's mappings enable on numeric/date fields, plugin.properties:10-11;
     same doc-set-restriction semantics as the keyword filters)."""
@@ -532,6 +539,8 @@ def _where_expr(where: dict):
         f = pads.field(col)
         if val is None:
             e = f.is_null()
+        elif isinstance(val, (list, tuple)):
+            e = f.isin(list(val))
         elif isinstance(val, dict):
             bad = set(val) - set(_RANGE_OPS)
             if bad or not val:
@@ -1005,7 +1014,20 @@ class Searcher(SuggestAPI):
         no BM25 work), composed with keyword/range filters, bool-query
         restrictions, and tombstones — the shared hit-set primitive under
         every aggregation (terms facets, stats, histograms) and the hit
-        export. Returns None when nothing can match."""
+        export. Returns None when nothing can match. ``query=None`` is
+        match_all (every live doc) — the filter-context entry the DSL
+        executor uses for term/range-only requests."""
+        if query is None:
+            hits = np.ones(self.N, dtype=bool)
+            if self.excluded.size:
+                hits[self.excluded] = False
+            if where:
+                hits &= self.filter_mask(**where)
+            if must_not:
+                bm = self._bool_mask(None, must_not)
+                if bm is not None:
+                    hits &= bm
+            return hits
         qtf = self._qweights(query)
         terms = sorted(qtf)
         plist = [(t, qtf[t], self.lookup(t)) for t in terms]

@@ -1,0 +1,155 @@
+"""ES request-body executor: every supported DSL shape must equal the
+direct engine call it normalizes to, and unsupported shapes must raise
+UnsupportedDSL (never approximate)."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from rayfts.build import build_index
+from rayfts.config import IndexJobConfig
+from rayfts.dsl import UnsupportedDSL, execute_dsl, normalize_query
+from rayfts.fixtures import generate_transcripts
+from rayfts.search import MultiSearcher, Searcher
+
+
+@pytest.fixture(scope="module")
+def dsl_index(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dsl") / "idx")
+    build_index(
+        rd.from_arrow(generate_transcripts(40, seed=42)),
+        cfg=IndexJobConfig(index_dir=d, term_buckets=4,
+                           index_positions=True),
+    )
+    return d
+
+
+def _hits(res):
+    return [(h["_id"], h["_score"]) for h in res["hits"]["hits"]]
+
+
+def test_dsl_queries_equal_direct_calls(dsl_index):
+    s = Searcher(dsl_index)
+    q = "the w0007 bash"
+    assert _hits(execute_dsl(s, {"query": {"match": {"text": q}},
+                                 "size": 7})) == s.search(q, k=7)
+    assert _hits(execute_dsl(s, {
+        "query": {"match": {"text": {"query": q, "operator": "and"}}},
+        "size": 5,
+    })) == s.search(q, k=5, mode="and")
+    assert _hits(execute_dsl(s, {
+        "query": {"match": {"text": {"query": q,
+                                     "minimum_should_match": 2}}},
+    })) == s.search(q, k=10, min_should_match=2)
+    assert _hits(execute_dsl(s, {
+        "query": {"match_phrase": {"text": "the w0007"}}, "size": 4,
+    })) == s.search_phrase("the w0007", k=4)
+    assert _hits(execute_dsl(s, {
+        "query": {"query_string": {"query": "+the w0007 -bash"}},
+    })) == s.query_string("+the w0007 -bash", k=10)
+    # from/size pagination == offset
+    assert _hits(execute_dsl(s, {"query": {"match": {"text": q}},
+                                 "size": 3, "from": 2})) == \
+        s.search(q, k=3, offset=2)
+    # min_score option
+    assert _hits(execute_dsl(s, {"query": {"match": {"text": q}},
+                                 "min_score": 1.0, "size": 5})) == \
+        s.search_min_score(q, k=5, min_score=1.0)
+
+
+def test_dsl_bool_filter_context_and_sort(dsl_index):
+    s = Searcher(dsl_index)
+    q = "the w0007"
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": q}}],
+        "filter": [{"term": {"role": "user"}},
+                   {"range": {"turn_idx": {"gte": 1, "lte": 6}}}],
+        "must_not": [{"term": {"text": "bash"}}],
+    }}, "size": 8}
+    want = s.search(q, k=8,
+                    where={"role": "user",
+                           "turn_idx": {"gte": 1, "lte": 6}},
+                    must_not="bash")
+    assert _hits(execute_dsl(s, body)) == want
+    # terms membership filter (engine isin extension)
+    got = execute_dsl(s, {"query": {"bool": {
+        "must": [{"match": {"text": q}}],
+        "filter": [{"terms": {"role": ["user", "tool"]}}],
+    }}})
+    assert _hits(got) == s.search(q, k=10,
+                                  where={"role": ("user", "tool")})
+    # pure filter context: every live doc passing, constant score 1.0
+    fc = execute_dsl(s, {"query": {"term": {"role": "tool"}},
+                         "size": 10**6})
+    ids = [h["_id"] for h in fc["hits"]["hits"]]
+    mask = s.filter_mask(role="tool")
+    assert ids == [int(d) for d in np.flatnonzero(mask)]
+    assert all(h["_score"] == 1.0 for h in fc["hits"]["hits"])
+    # sort-by-field
+    st = execute_dsl(s, {"query": {"match": {"text": q}},
+                         "sort": [{"turn_idx": {"order": "desc"}}],
+                         "size": 5})
+    assert [(h["_id"], h["_sort"]) for h in st["hits"]["hits"]] == \
+        s.search_by_field(q, "turn_idx", order="desc", k=5)
+    # bool.should merge with minimum_should_match
+    sh = execute_dsl(s, {"query": {"bool": {
+        "should": [{"match": {"text": "the"}},
+                   {"match": {"text": "w0007"}}],
+        "minimum_should_match": 2,
+    }}})
+    assert _hits(sh) == s.search("the w0007", k=10, min_should_match=2)
+
+
+def test_dsl_aggs_equal_direct_calls(dsl_index):
+    s = Searcher(dsl_index)
+    q = "the w0007"
+    res = execute_dsl(s, {
+        "query": {"match": {"text": q}},
+        "aggs": {
+            "roles": {"terms": {"field": "role", "size": 4}},
+            "ti": {"stats": {"field": "turn_idx"}},
+            "card": {"cardinality": {"field": "role"}},
+            "hist": {"histogram": {"field": "turn_idx",
+                                   "interval": 3}},
+            "pr": {"percentile_ranks": {"field": "turn_idx",
+                                        "values": [2, 5]}},
+        },
+    })["aggregations"]
+    assert res["roles"] == s.facet_counts(q, "role", size=4)
+    assert res["ti"] == s.stats_agg(q, "turn_idx")
+    assert res["card"] == s.cardinality_agg(q, "role")
+    assert res["hist"] == s.histogram_agg(q, "turn_idx", 3)
+    assert res["pr"] == s.percentile_ranks_agg(q, "turn_idx", (2, 5))
+    # filter-context aggs (match_all + where) — the query=None path
+    fa = execute_dsl(s, {
+        "query": {"term": {"role": "user"}},
+        "aggs": {"ti": {"stats": {"field": "turn_idx"}}},
+    })["aggregations"]
+    assert fa["ti"] == s.stats_agg(None, "turn_idx",
+                                   where={"role": "user"})
+
+
+def test_dsl_works_sharded_and_rejects_unsupported(dsl_index):
+    multi = MultiSearcher([dsl_index])
+    single = Searcher(dsl_index)
+    body = {"query": {"match": {"text": "the w0007"}}, "size": 6}
+    assert _hits(execute_dsl(multi, body)) == \
+        _hits(execute_dsl(single, body))
+    for bad in [
+        {"query": {"fuzzy_weird": {}}},
+        {"query": {"bool": {"must": [{"match": {"text": "a"}},
+                                     {"match": {"text": "b"}}]}}},
+        {"query": {"bool": {"filter": [{"geo_shape": {}}]}}},
+        {"query": {"match": {"text": {"query": "x",
+                                      "operator": "xor"}}}},
+        {"query": {"match": {"text": "x"}},
+         "sort": [{"a": "asc"}, {"b": "asc"}]},
+        {"query": {"match": {"text": "x"}},
+         "aggs": {"g": {"geo_grid": {}}}},
+    ]:
+        with pytest.raises(UnsupportedDSL):
+            execute_dsl(single, bad)
+    # normalize_query is pure and reports the filter-only kind
+    spec = normalize_query({"term": {"role": "user"}})
+    assert spec.kind == "all" and spec.where == {"role": "user"}
