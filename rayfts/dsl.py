@@ -261,28 +261,52 @@ def execute_dsl(searcher, body: dict) -> dict:
         hits = [{"_id": d, "_sort": v} for d, v in rows]
     elif spec.kind == "all" and spec.text is None:
         # pure filter context: constant_score 1.0, doc_id ascending
+        # (per-segment masks concatenate in global order when sharded)
         import numpy as np
 
-        m = searcher._hit_mask(None, spec.where or None,
-                               must_not=spec.must_not)
-        ids = np.flatnonzero(m)[offset:offset + size] if m is not None \
-            else []
-        hits = [{"_id": int(d), "_score": 1.0} for d in ids]
+        ids: list[int] = []
+        segs = getattr(searcher, "segments", None)
+        if segs is not None:
+            for si, seg in enumerate(segs):
+                m = seg._hit_mask(None, spec.where or None,
+                                  must_not=spec.must_not)
+                if m is None:
+                    continue
+                off = int(searcher.offsets[si])
+                ids.extend(int(d) + off for d in np.flatnonzero(m))
+                if len(ids) >= offset + size:
+                    break
+        else:
+            m = searcher._hit_mask(None, spec.where or None,
+                                   must_not=spec.must_not)
+            if m is not None:
+                ids = [int(d) for d in np.flatnonzero(m)]
+        hits = [{"_id": d, "_score": 1.0}
+                for d in ids[offset:offset + size]]
     else:
+        def method(name: str):
+            fn = getattr(searcher, name, None)
+            if fn is None:
+                raise UnsupportedDSL(
+                    f"{name} not available on "
+                    f"{type(searcher).__name__}"
+                )
+            return fn
+
         if spec.kind == "phrase":
-            rows = searcher.search_phrase(spec.text, k=offset + size,
-                                          where=spec.where or None)
-            rows = rows[offset:]
+            rows = method("search_phrase")(
+                spec.text, k=offset + size, where=spec.where or None
+            )[offset:]
         elif spec.kind == "phrase_prefix":
-            rows = searcher.search_phrase_prefix(
+            rows = method("search_phrase_prefix")(
                 spec.text, k=offset + size, where=spec.where or None
             )[offset:]
         elif spec.kind == "bool_prefix":
-            rows = searcher.match_bool_prefix(
+            rows = method("match_bool_prefix")(
                 spec.text, k=offset + size, where=spec.where or None
             )[offset:]
         elif spec.kind == "query_string":
-            rows = searcher.query_string(
+            rows = method("query_string")(
                 spec.text, k=offset + size, where=spec.where or None
             )[offset:]
         elif min_score is not None:

@@ -136,6 +136,17 @@ def test_dsl_works_sharded_and_rejects_unsupported(dsl_index):
     body = {"query": {"match": {"text": "the w0007"}}, "size": 6}
     assert _hits(execute_dsl(multi, body)) == \
         _hits(execute_dsl(single, body))
+    # sharded filter context concatenates per-segment masks globally
+    fc = {"query": {"term": {"role": "user"}}, "size": 50}
+    assert _hits(execute_dsl(multi, fc)) == _hits(execute_dsl(single, fc))
+    # sharded aggs dispatch to the exact MultiSearcher twins
+    ag = {"query": {"match": {"text": "the w0007"}},
+          "aggs": {"r": {"terms": {"field": "role"}}}}
+    assert execute_dsl(multi, ag)["aggregations"] == \
+        execute_dsl(single, ag)["aggregations"]
+    # a query kind the sharded surface lacks fails loudly, not wrongly
+    with pytest.raises(UnsupportedDSL, match="not available"):
+        execute_dsl(multi, {"query": {"query_string": {"query": "a b"}}})
     for bad in [
         {"query": {"fuzzy_weird": {}}},
         {"query": {"bool": {"must": [{"match": {"text": "a"}},
