@@ -85,6 +85,22 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_dsl(args) -> int:
+    """ES _search request-body execution: --body is the JSON request
+    (or @path to read it from a file); prints the response JSON."""
+    from .dsl import execute_dsl
+    from .search import Searcher
+
+    raw = args.body
+    if raw.startswith("@"):
+        with open(raw[1:]) as f:
+            raw = f.read()
+    body = json.loads(raw)
+    out = execute_dsl(Searcher(args.index), body)
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_suggest(args) -> int:
     from .search import Searcher
 
@@ -275,6 +291,14 @@ def main(argv=None) -> int:
                    choices=["match", "phrase", "query_string"],
                    help="query body type (the msearch per-line analog)")
     s.set_defaults(fn=cmd_search)
+
+    ds = sub.add_parser(
+        "dsl", help="ES _search request-body executor (JSON in/out)"
+    )
+    ds.add_argument("--index", required=True)
+    ds.add_argument("--body", required=True,
+                    help="request JSON, or @file to read from disk")
+    ds.set_defaults(fn=cmd_dsl)
 
     sg = sub.add_parser("suggest", help="ES _suggest API analog")
     sg.add_argument("--index", required=True)

@@ -2431,6 +2431,17 @@ def test_cli_introspection_subcommands(index_dir, capsys):
     v = _json.loads(capsys.readouterr().out)
     assert v["valid"] and v["n_clauses"] == 2
     assert ["zzzz_absent", 0, 0] in v["terms"]
+    # dsl: the request-body executor from the command line
+    assert main(["dsl", "--index", index_dir, "--body",
+                 '{"query": {"match": {"text": "the w0007"}},'
+                 ' "size": 3,'
+                 ' "aggs": {"r": {"terms": {"field": "role"}}}}']) == 0
+    out = _json.loads(capsys.readouterr().out)
+    s2 = Searcher(index_dir)
+    assert [(h["_id"], h["_score"]) for h in out["hits"]["hits"]] == \
+        s2.search("the w0007", k=3)
+    assert [tuple(r) for r in out["aggregations"]["r"]] == \
+        s2.facet_counts("the w0007", "role")
 
 
 def test_rrf_search_fuse_semantics(index_dir, oracle):
