@@ -511,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_span_within_docs": P.fts_span_within_docs,
         # tokenizer-merge prep: corpus bigram statistic
         "vocab_top_bigrams": P.vocab_top_bigrams,
+        "bpe_merge_table": P.bpe_merge_table,   # rows-only: iterative alg
         # embedding clustering: distributed Lloyd k-means
         "embedding_kmeans_sizes": P.embedding_kmeans_sizes,
         "fts_min_score_top10": P.fts_min_score_top10,  # min_score option

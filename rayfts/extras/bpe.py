@@ -1,0 +1,168 @@
+"""Distributed BPE tokenizer training — the iterative merge loop.
+
+``vocab_top_bigrams`` computes the FIRST merge's statistic; this module
+runs the whole loop (Sennrich, Haddow, Birch, "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016 — the public
+algorithm): represent each distinct WORD as a symbol sequence with an
+end-of-word marker, repeatedly pick the adjacent symbol pair with the
+highest corpus count (weighted by word frequency) and merge it
+everywhere, left-greedily within each word.
+
+Distributed shape — the key observation the scale design leans on: after
+ONE corpus pass (map-side combined word counts, one groupby), the
+working set is the WORD VOCAB (word -> freq), which is sublinear in the
+corpus and independent of it from then on. Each merge round is one
+map_batches pass over the vocab Dataset (apply the newest merge, emit
+per-block pair partials) + one O(distinct pairs) groupby; the driver
+holds the merge table (n_merges pairs) and each round's argmax — never
+words. At 10^12 turns the corpus is touched exactly once.
+
+Determinism, pinned for the tests: merge choice = (count desc, pair
+lexicographic asc); within-word application is the classic left-greedy
+non-overlapping scan ("aaaa" + merge (a,a) -> "aa","aa"). No SQL twin —
+the left-greedy scan is an iterative algorithm outside relational
+expressibility (the driver records the rows-only check); the conformance
+anchor is the sequential reference implementation in the test suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..analysis import tokens_flat
+
+EOW = "</w>"   # end-of-word marker (the Sennrich convention)
+
+
+def word_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """One corpus pass: analyzed-word frequencies as a Dataset
+    (word, n) — map-side combine then one vocab-sized groupby; the only
+    stage that touches the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_flat(batch[text_col])
+        t = pa.table({"word": flat})
+        g = t.group_by("word", use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"word": g["word"], "n": g["count_all"]})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda t: pa.table({
+                "word": t["word"],
+                "n": pa.array(
+                    t["sum(n)"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Left-greedy non-overlapping merge of the adjacent pair (a, b) —
+    the classic BPE application order; the single definition the
+    distributed pass and the test reference both call."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _pair_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (pair_a, pair_b, c) partials over symbolized words,
+    weighted by word frequency — the map-side combine of each round."""
+    counts: dict = {}
+    ns = batch["n"].to_numpy(zero_copy_only=False)
+    for syms, n in zip(batch["syms"].to_pylist(), ns):
+        n = int(n)
+        for x, y in zip(syms, syms[1:]):
+            k = (x, y)
+            counts[k] = counts.get(k, 0) + n
+    ks = sorted(counts)
+    return pa.table({
+        "a": pa.array([k[0] for k in ks], pa.string()),
+        "b": pa.array([k[1] for k in ks], pa.string()),
+        "c": pa.array([counts[k] for k in ks], pa.int64()),
+    })
+
+
+def bpe_train(ds: rd.Dataset, n_merges: int,
+              text_col: str = "text") -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges over the corpus. Returns the merge
+    table [(a, b, count_at_merge_time)] in merge order. Merge choice is
+    deterministic: (count desc, (a, b) lexicographic asc); ties can
+    never depend on partitioning because the per-pair groupby is an
+    exact integer sum."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    vocab = word_counts(ds, text_col).map_batches(
+        lambda t: pa.table({
+            "syms": pa.array(
+                [list(w) + [EOW] for w in t["word"].to_pylist()],
+                pa.list_(pa.string()),
+            ),
+            "n": t["n"],
+        }),
+        batch_format="pyarrow",
+    ).materialize()   # the vocab working set (sublinear in corpus)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.map_batches(_pair_partials, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Sum("c"))
+            .to_pandas()
+        )
+        if pairs.empty:
+            break
+        pairs = pairs.sort_values(
+            ["sum(c)", "a", "b"], ascending=[False, True, True]
+        )
+        top = pairs.iloc[0]
+        a, b, c = str(top["a"]), str(top["b"]), int(top["sum(c)"])
+        merges.append((a, b, c))
+
+        def apply(batch: pa.Table, a=a, b=b) -> pa.Table:
+            return pa.table({
+                "syms": pa.array(
+                    [merge_word(s, a, b)
+                     for s in batch["syms"].to_pylist()],
+                    pa.list_(pa.string()),
+                ),
+                "n": batch["n"],
+            })
+
+        vocab = vocab.map_batches(
+            apply, batch_format="pyarrow"
+        ).materialize()   # apply ONLY the newest merge, once per round
+    return merges
+
+
+def bpe_segment(word: str, merges: list) -> list[str]:
+    """Segment one word with a trained merge table (training-order
+    replay — the reference BPE encoder for held-out text)."""
+    syms = list(word) + [EOW]
+    for m in merges:
+        a, b = m[0], m[1]
+        syms = merge_word(syms, a, b)
+    return syms

@@ -3916,6 +3916,28 @@ def text_bigram_xent(sf_dir: str) -> pa.Table:
     })
 
 
+BPE_MERGES = 10   # tokenizer-training merge rounds in the gate query
+
+
+def bpe_merge_table(sf_dir: str) -> pa.Table:
+    """Distributed BPE tokenizer training over documents (the full
+    iterative merge loop — vocab_top_bigrams is round 1's statistic):
+    BPE_MERGES deterministic merges, each one vocab-Dataset pass + an
+    exact pair groupby; the corpus is read once. No SQL twin (the
+    left-greedy merge scan is an iterative algorithm outside relational
+    expressibility — rows-only check); conformance is pinned by the
+    sequential-reference test."""
+    from .extras.bpe import bpe_train
+
+    merges = bpe_train(_docs(sf_dir), BPE_MERGES)
+    return pa.table({
+        "merge_idx": pa.array(range(len(merges)), pa.int64()),
+        "a": pa.array([m[0] for m in merges], pa.string()),
+        "b": pa.array([m[1] for m in merges], pa.string()),
+        "n": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
 def vocab_top_bigrams(sf_dir: str) -> pa.Table:
     """Top adjacent token pairs corpus-wide (n desc, pair asc) — the
     statistic a BPE/merge-table trainer computes each round. Map-side

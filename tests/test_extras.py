@@ -1411,3 +1411,61 @@ def test_chunk_passages_windows_and_edges():
         chunk_passages(rd.from_arrow(t), width=0)
     with pytest.raises(ValueError):
         chunk_passages(rd.from_arrow(t), width=3, stride=4)
+
+
+def test_bpe_train_matches_sequential_reference():
+    """Distributed BPE == the classic sequential trainer (Sennrich
+    merge rule: count desc, pair lexicographic asc; left-greedy
+    application), merge by merge, on a corpus with overlapping-pair
+    and tie cases; segmentation replays the table."""
+    from collections import Counter
+
+    from rayfts.extras.bpe import (
+        EOW, bpe_segment, bpe_train, merge_word, word_counts,
+    )
+    from rayfts.oracle import tokenize
+
+    texts = [
+        "aaaa aaab banana banana bandana",
+        "aaaa low lower lowest low low",
+        "banana band bandana abba aaab",
+    ] * 3
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(4)
+
+    # sequential reference
+    wc = Counter(w for tx in texts for w in tokenize(tx))
+    vocab = {w: list(w) + [EOW] for w in wc}
+
+    def ref_round():
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += wc[w]
+        if not pc:
+            return None
+        best = min(pc.items(), key=lambda e: (-e[1], e[0]))
+        (a, b), c = best
+        for w in vocab:
+            vocab[w] = merge_word(vocab[w], a, b)
+        return (a, b, c)
+
+    want = [ref_round() for _ in range(8)]
+    got = bpe_train(ds, 8)
+    assert got == want
+    # word counts themselves are exact
+    wcds = dict(
+        (r["word"], r["n"]) for r in word_counts(ds).take_all()
+    )
+    assert wcds == dict(wc)
+    # overlapping pairs merge left-greedily ("aaaa" -> "aa","aa")
+    assert merge_word(list("aaaa") + [EOW], "a", "a") == \
+        ["aa", "aa", EOW]
+    # segmentation replays training: a trained word re-segments to its
+    # final reference symbols
+    for w in ("banana", "aaaa", "low"):
+        assert bpe_segment(w, got) == vocab[w], w
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bpe_train(ds, -1)
