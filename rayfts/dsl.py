@@ -92,12 +92,15 @@ def _filter_clause(spec: QuerySpec, clause: dict) -> None:
 def normalize_query(q: dict | None) -> QuerySpec:
     """DSL query dict -> engine QuerySpec (raises UnsupportedDSL)."""
     spec = QuerySpec()
-    if q is None or q == {} or "match_all" in (q or {}):
+    if q is None or q == {}:
         spec.kind = "all"
         return spec
     if len(q) != 1:
         raise UnsupportedDSL(f"query with keys {sorted(q)}")
     kind, body = next(iter(q.items()))
+    if kind == "match_all":
+        spec.kind = "all"
+        return spec
     if kind == "match":
         (f, b), = body.items()
         spec.text, spec.mode, spec.min_should_match = _as_match(f, b)
@@ -218,10 +221,7 @@ _AGG_DISPATCH = {
     "histogram": lambda s, sp, b: s.histogram_agg(
         sp.text, b["field"], float(b["interval"]),
         where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
-    "date_histogram": lambda s, sp, b: s.date_histogram_agg(
-        sp.text, b["field"],
-        calendar_interval=b.get("calendar_interval", "day"),
-        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "date_histogram": lambda s, sp, b: _agg_date_histogram(s, sp, b),
     "range": lambda s, sp, b: s.range_agg(
         sp.text, b["field"],
         [(r.get("from"), r.get("to")) for r in b["ranges"]],
@@ -229,11 +229,35 @@ _AGG_DISPATCH = {
     "missing": lambda s, sp, b: s.missing_agg(
         sp.text, b["field"], where=sp.where or None, mode=sp.mode,
         must_not=sp.must_not),
-    "filters": lambda s, sp, b: s.filters_agg(
-        sp.text, {k: v.get("term", v) for k, v in
-                  b["filters"].items()},
-        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    "filters": lambda s, sp, b: _agg_filters(s, sp, b),
 }
+
+
+def _agg_date_histogram(s, sp, b):
+    extra = set(b) - {"field", "calendar_interval"}
+    if extra:   # e.g. fixed_interval — refuse, never silently default
+        raise UnsupportedDSL(f"date_histogram options {sorted(extra)}")
+    return s.date_histogram_agg(
+        sp.text, b["field"],
+        calendar_interval=b.get("calendar_interval", "day"),
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not,
+    )
+
+
+def _agg_filters(s, sp, b):
+    # each named filter is a filter-context clause — reuse the query
+    # normalizer so term value-objects and ranges map correctly
+    if "filters" not in b:
+        raise UnsupportedDSL(
+            "filters agg needs the ES {'filters': {name: clause}} body"
+        )
+    named = {}
+    for name, clause in b["filters"].items():
+        sub = QuerySpec()
+        _filter_clause(sub, clause)
+        named[name] = sub.where
+    return s.filters_agg(sp.text, named, where=sp.where or None,
+                         mode=sp.mode, must_not=sp.must_not)
 
 
 def execute_dsl(searcher, body: dict) -> dict:
@@ -246,11 +270,27 @@ def execute_dsl(searcher, body: dict) -> dict:
     offset = int(body.get("from", 0))
     min_score = body.get("min_score")
 
+    # fail-loudly guards: options only exact on the plain-match path
+    plain = spec.kind in ("match", "all")
+    if min_score is not None and not plain:
+        raise UnsupportedDSL(f"min_score with a {spec.kind} query")
+    if min_score is not None and spec.text is None:
+        raise UnsupportedDSL("min_score in pure filter context")
+    if spec.must_not is not None and not plain:
+        raise UnsupportedDSL(f"must_not beside a {spec.kind} clause")
+
     sort = body.get("sort")
     if sort is not None:
         if (not isinstance(sort, list) or len(sort) != 1
                 or not isinstance(sort[0], dict)):
             raise UnsupportedDSL("sort supports one {field: order}")
+        if not plain or spec.min_should_match is not None:
+            # search_by_field's hit set is the plain match mask —
+            # sorting a phrase/msm hit set would silently widen it
+            raise UnsupportedDSL(
+                f"sort with a {spec.kind} query"
+                if not plain else "sort with minimum_should_match"
+            )
         (f, o), = sort[0].items()
         order = o.get("order", "asc") if isinstance(o, dict) else o
         rows = searcher.search_by_field(
@@ -310,9 +350,14 @@ def execute_dsl(searcher, body: dict) -> dict:
                 spec.text, k=offset + size, where=spec.where or None
             )[offset:]
         elif min_score is not None:
+            if spec.min_should_match is not None:
+                raise UnsupportedDSL(
+                    "min_score with minimum_should_match"
+                )
             rows = searcher.search_min_score(
                 spec.text, k=offset + size, min_score=float(min_score),
-                where=spec.where or None,
+                where=spec.where or None, mode=spec.mode,
+                must_not=spec.must_not,
             )[offset:]
         else:
             rows = searcher.search(
@@ -325,6 +370,14 @@ def execute_dsl(searcher, body: dict) -> dict:
     out = {"hits": {"hits": hits}}
     aggs = body.get("aggs") or body.get("aggregations") or {}
     if aggs:
+        if not plain or spec.min_should_match is not None:
+            # the agg hit set is the plain match mask — aggregating a
+            # phrase/prefix/query_string/msm hit set would silently
+            # widen it to the OR-match set
+            raise UnsupportedDSL(
+                f"aggs with a {spec.kind} query" if not plain
+                else "aggs with minimum_should_match"
+            )
         res = {}
         for name, node in aggs.items():
             if len(node) != 1:

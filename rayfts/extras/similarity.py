@@ -646,12 +646,18 @@ def pq_adc_search(codes_ds: rd.Dataset, codebooks: list[np.ndarray],
             "adc_dist": pa.array(dist[order]),
         })
 
-    t = pa.concat_tables([
+    heads = [
         b for b in ray.get(
             codes_ds.map_batches(head, batch_format="pyarrow")
             .to_arrow_refs()
         ) if b.num_rows
-    ])
+    ]
+    if not heads:   # empty codes Dataset -> empty result, not a crash
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "adc_dist": pa.array([], pa.float64()),
+        })
+    t = pa.concat_tables(heads)
     keys = [("adc_dist", "ascending"), (id_col, "ascending")]
     return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, k))
 

@@ -1165,10 +1165,26 @@ class Searcher(SuggestAPI):
         cardinality) payloads, so the sharded merge is exact. Returns
         [(value, fg_df, df, score)] (score desc, value asc), first
         ``size``."""
-        fg = self._facet_hist(query, field, where, mode, must_not)
-        n_hits = self._hit_count(query, where, mode, must_not)
+        fg, n_hits = self._keyword_sig_foreground(query, field, where,
+                                                  mode, must_not)
         bg, n_live = self._field_hist_live(field)
         return _jlh_ranked(fg, n_hits, bg, n_live, min_doc_count, size)
+
+    def _keyword_sig_foreground(self, query: str, field: str,
+                                where=None, mode="or",
+                                must_not=None) -> tuple[dict, int]:
+        """(foreground histogram, n_hits) from ONE hit-mask pass — the
+        per-segment partial keyword significance merges."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {}, 0
+        codes, values = self._field_codes(field)
+        sel = codes[hits]
+        cnt = np.bincount(sel[sel >= 0], minlength=len(values))
+        return (
+            {v: int(c) for v, c in zip(values, cnt) if c > 0},
+            int(hits.sum()),
+        )
 
     def _hit_count(self, query: str, where=None, mode="or",
                    must_not=None) -> int:
@@ -5830,11 +5846,11 @@ class MultiSearcher(SuggestAPI):
         n_hits = 0
         n_live = 0
         for seg in self.segments:
-            for v, c in seg._facet_hist(
-                query, field, where, mode, must_not
-            ).items():
+            sf, sh = seg._keyword_sig_foreground(query, field, where,
+                                                 mode, must_not)
+            for v, c in sf.items():
                 fg[v] = fg.get(v, 0) + c
-            n_hits += seg._hit_count(query, where, mode, must_not)
+            n_hits += sh
             sb, sn = seg._field_hist_live(field)
             for v, c in sb.items():
                 bg[v] = bg.get(v, 0) + c

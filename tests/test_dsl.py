@@ -147,8 +147,32 @@ def test_dsl_works_sharded_and_rejects_unsupported(dsl_index):
     # a query kind the sharded surface lacks fails loudly, not wrongly
     with pytest.raises(UnsupportedDSL, match="not available"):
         execute_dsl(multi, {"query": {"query_string": {"query": "a b"}}})
+    # min_score composes with bool restrictions exactly
+    ms = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "the w0007",
+                                     "operator": "and"}}}],
+        "must_not": [{"term": {"text": "bash"}}],
+    }}, "min_score": 0.5, "size": 5}
+    assert _hits(execute_dsl(single, ms)) == single.search_min_score(
+        "the w0007", k=5, min_score=0.5, mode="and", must_not="bash"
+    )
     for bad in [
         {"query": {"fuzzy_weird": {}}},
+        # options that would silently change the hit set must refuse
+        {"query": {"match_phrase": {"text": "a b"}},
+         "sort": [{"turn_idx": "asc"}]},
+        {"query": {"match_phrase": {"text": "a b"}},
+         "aggs": {"r": {"terms": {"field": "role"}}}},
+        {"query": {"match": {"text": {"query": "a b",
+                                      "minimum_should_match": 2}}},
+         "aggs": {"r": {"terms": {"field": "role"}}}},
+        {"query": {"match_phrase": {"text": "a b"}}, "min_score": 1.0},
+        {"query": {"term": {"role": "user"}}, "min_score": 1.0},
+        {"query": {"bool": {"must": [{"match_phrase": {"text": "a"}}],
+                            "must_not": [{"term": {"text": "b"}}]}}},
+        {"query": {"match": {"text": "a"}},
+         "aggs": {"d": {"date_histogram": {"field": "ts",
+                                           "fixed_interval": "30d"}}}},
         {"query": {"bool": {"must": [{"match": {"text": "a"}},
                                      {"match": {"text": "b"}}]}}},
         {"query": {"bool": {"filter": [{"geo_shape": {}}]}}},

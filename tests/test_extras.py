@@ -1284,6 +1284,12 @@ def test_pq_train_encode_adc_match_reference():
     )
     with pytest.raises(ValueError):
         pq_train(ds, m_subspaces=3)
+    # empty codes Dataset -> empty result, not a concat crash
+    empty = pq_adc_search(
+        pq_encode(ds.filter(lambda r: False), books), books, q, k=5
+    )
+    assert empty.num_rows == 0
+    assert empty.column_names == ["vec_id", "adc_dist"]
 
 
 def test_ivfpq_codes_only_and_exact_at_full_probe(tmp_path):
