@@ -233,6 +233,52 @@ _AGG_DISPATCH = {
 }
 
 
+def _execute_retriever(searcher, body: dict, knn_hits) -> dict:
+    """ES retriever-API trees: rrf / linear over {standard: {query},
+    knn} legs. The knn leg consumes ``knn_hits`` (rank order for rrf,
+    (id, score) pairs for linear)."""
+    tree = body["retriever"]
+    if len(tree) != 1:
+        raise UnsupportedDSL(f"retriever with keys {sorted(tree)}")
+    kind, node = next(iter(tree.items()))
+    if kind not in ("rrf", "linear"):
+        raise UnsupportedDSL(f"retriever kind {kind!r}")
+    if knn_hits is None:
+        raise UnsupportedDSL(
+            "retriever needs knn_hits from the ANN stage"
+        )
+    legs = node.get("retrievers", [])
+    texts = [
+        leg["standard"]["query"] for leg in legs if "standard" in leg
+    ]
+    if len(texts) != 1:
+        raise UnsupportedDSL("retriever needs exactly one standard leg")
+    spec = normalize_query(texts[0])
+    if spec.kind != "match" or spec.where or spec.must_not:
+        raise UnsupportedDSL(
+            "retriever standard leg supports a plain match query"
+        )
+    size = int(body.get("size", 10))
+    window = int(node.get("rank_window_size", 100))
+    if kind == "rrf":
+        rows = searcher.rrf_search(
+            spec.text, [d for d, _ in knn_hits], k=size,
+            rank_window=window,
+            rrf_k=int(node.get("rank_constant", 60)),
+        )
+    else:
+        weights = node.get("weights", [1.0, 1.0])
+        rows = searcher.linear_retriever_search(
+            spec.text, list(knn_hits), k=size, rank_window=window,
+            text_weight=float(weights[0]),
+            knn_weight=float(weights[1] if len(weights) > 1 else 1.0),
+            normalizer=node.get("normalizer", "minmax"),
+        )
+    return {"hits": {"hits": [
+        {"_id": d, "_score": s} for d, s in rows
+    ]}}
+
+
 def _agg_date_histogram(s, sp, b):
     extra = set(b) - {"field", "calendar_interval"}
     if extra:   # e.g. fixed_interval — refuse, never silently default
@@ -260,11 +306,39 @@ def _agg_filters(s, sp, b):
                          mode=sp.mode, must_not=sp.must_not)
 
 
-def execute_dsl(searcher, body: dict) -> dict:
+def execute_dsl(searcher, body: dict, knn_hits=None) -> dict:
     """Run one ES _search request body. Returns
     {"hits": {"hits": [{"_id", "_score"|"_sort"}...]},
      "aggregations": {name: engine-native result}}; raises
-    UnsupportedDSL on clause shapes the engine does not map."""
+    UnsupportedDSL on clause shapes the engine does not map.
+
+    Hybrid clauses: a top-level ``knn`` clause (ES 8 sum rule) or a
+    ``retriever`` tree (``rrf`` / ``linear``) needs the ANN stage's
+    result — pass it as ``knn_hits`` ([(doc_id, similarity)], the
+    extras.similarity output mapped to this index's id space); the
+    vector-search phase runs out in Ray Data, this call is the driver
+    combine. ``highlight`` (positional builds) and ``explain: true``
+    ride the hit list."""
+    if "retriever" in body:
+        return _execute_retriever(searcher, body, knn_hits)
+    if "knn" in body:
+        if knn_hits is None:
+            raise UnsupportedDSL(
+                "knn clause needs knn_hits from the ANN stage"
+            )
+        spec = normalize_query(body.get("query"))
+        if spec.kind != "match" or spec.where or spec.must_not:
+            raise UnsupportedDSL(
+                "knn combines with a plain match query only"
+            )
+        boost = float(body["knn"].get("boost", 1.0))
+        rows = searcher.knn_hybrid_search(
+            spec.text, list(knn_hits), k=int(body.get("size", 10)),
+            knn_boost=boost,
+        )
+        return {"hits": {"hits": [
+            {"_id": d, "_score": s} for d, s in rows
+        ]}}
     spec = normalize_query(body.get("query"))
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
@@ -366,6 +440,28 @@ def execute_dsl(searcher, body: dict) -> dict:
                 min_should_match=spec.min_should_match,
             )
         hits = [{"_id": d, "_score": s} for d, s in rows]
+
+    if body.get("highlight") is not None:
+        if (spec.kind != "match" or spec.text is None
+                or spec.min_should_match is not None or sort):
+            raise UnsupportedDSL("highlight on a non-plain-match query")
+        hl = body["highlight"]
+        window = int(hl.get("window", 3)) if isinstance(hl, dict) else 3
+        snips = {
+            d: {"first_pos": p, "first_term": t, "snippet": sn}
+            for d, _, p, t, sn in searcher.highlight(
+                spec.text, k=offset + size, window=window,
+                where=spec.where or None,
+            )
+        }
+        for h in hits:
+            if h["_id"] in snips:
+                h["highlight"] = snips[h["_id"]]
+    if body.get("explain"):
+        if spec.kind != "match" or spec.text is None or sort:
+            raise UnsupportedDSL("explain on a non-plain-match query")
+        for h in hits:
+            h["_explanation"] = searcher.explain(spec.text, h["_id"])
 
     out = {"hits": {"hits": hits}}
     aggs = body.get("aggs") or body.get("aggregations") or {}

@@ -188,3 +188,61 @@ def test_dsl_works_sharded_and_rejects_unsupported(dsl_index):
     # normalize_query is pure and reports the filter-only kind
     spec = normalize_query({"term": {"role": "user"}})
     assert spec.kind == "all" and spec.where == {"role": "user"}
+
+
+@pytest.fixture(scope="module")
+def pos_dsl_index(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dslpos") / "idx")
+    build_index(
+        rd.from_arrow(generate_transcripts(30, seed=42)),
+        cfg=IndexJobConfig(index_dir=d, term_buckets=4,
+                           index_positions=True),
+    )
+    return d
+
+
+def test_dsl_hybrid_retriever_highlight_explain(pos_dsl_index):
+    s = Searcher(pos_dsl_index)
+    q = "the w0007"
+    knn = [(d, 0.9 - 0.05 * i) for i, (d, _) in
+           enumerate(s.search("bash", k=6))]
+    # top-level knn clause == knn_hybrid_search sum rule
+    got = execute_dsl(s, {"query": {"match": {"text": q}},
+                          "knn": {"boost": 2.0}, "size": 5},
+                      knn_hits=knn)
+    assert _hits(got) == s.knn_hybrid_search(q, knn, k=5, knn_boost=2.0)
+    # retriever rrf / linear trees
+    rrf = execute_dsl(s, {"retriever": {"rrf": {
+        "retrievers": [{"standard": {"query": {"match": {"text": q}}}},
+                       {"knn": {}}],
+        "rank_window_size": 20, "rank_constant": 60,
+    }}, "size": 5}, knn_hits=knn)
+    assert _hits(rrf) == s.rrf_search(q, [d for d, _ in knn], k=5,
+                                      rank_window=20, rrf_k=60)
+    lin = execute_dsl(s, {"retriever": {"linear": {
+        "retrievers": [{"standard": {"query": {"match": {"text": q}}}},
+                       {"knn": {}}],
+        "rank_window_size": 20, "weights": [1.0, 2.0],
+    }}, "size": 5}, knn_hits=knn)
+    assert _hits(lin) == s.linear_retriever_search(
+        q, knn, k=5, rank_window=20, text_weight=1.0, knn_weight=2.0)
+    # highlight + explain ride the ranked hits
+    res = execute_dsl(s, {"query": {"match": {"text": q}}, "size": 3,
+                          "highlight": {"window": 2}, "explain": True})
+    want_hl = {d: (p, t, sn) for d, _, p, t, sn in
+               s.highlight(q, k=3, window=2)}
+    for h in res["hits"]["hits"]:
+        hl = h["highlight"]
+        assert (hl["first_pos"], hl["first_term"], hl["snippet"]) == \
+            want_hl[h["_id"]]
+        ex = h["_explanation"]
+        assert ex["matched"] and abs(ex["score"] - h["_score"]) < 1e-12
+    # missing knn_hits and malformed trees refuse
+    with pytest.raises(UnsupportedDSL):
+        execute_dsl(s, {"query": {"match": {"text": q}}, "knn": {}})
+    with pytest.raises(UnsupportedDSL):
+        execute_dsl(s, {"retriever": {"rrf": {"retrievers": []}}},
+                    knn_hits=knn)
+    with pytest.raises(UnsupportedDSL):
+        execute_dsl(s, {"query": {"match_phrase": {"text": q}},
+                        "highlight": {}})
