@@ -166,3 +166,61 @@ def bpe_segment(word: str, merges: list) -> list[str]:
         a, b = m[0], m[1]
         syms = merge_word(syms, a, b)
     return syms
+
+
+class BPETokenizer:
+    """Actor-pool stage: apply a trained merge table to a corpus —
+    the tokenize-everything pass after training. The merge table ships
+    through the object store ONCE per actor; each actor keeps a
+    word -> segmentation cache (Zipf's law makes the hit rate ~1 after
+    the head of the distribution, so per-row work collapses to a dict
+    lookup). Emits (id, n_words, n_subwords) per doc — the
+    compression-ratio accounting a tokenizer change is judged by."""
+
+    def __init__(self, merges_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.merges = (
+            ray.get(merges_ref)
+            if isinstance(merges_ref, ray.ObjectRef) else merges_ref
+        )
+        self.id_col, self.text_col = id_col, text_col
+        self.cache: dict[str, int] = {}
+
+    def _n_subwords(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            n = len(bpe_segment(word, self.merges))
+            self.cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch[self.text_col])
+        words = flat.to_pylist()
+        n_rows = batch.num_rows
+        nw = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        ns = np.zeros(n_rows, dtype=np.int64)
+        for w, p in zip(words, parent):
+            ns[p] += self._n_subwords(w)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_words": pa.array(nw),
+            "n_subwords": pa.array(ns),
+        })
+
+
+def bpe_tokenize_stats(ds: rd.Dataset, merges: list,
+                       id_col: str = "doc_id",
+                       text_col: str = "text",
+                       concurrency=(1, 8)) -> rd.Dataset:
+    """Corpus-wide BPE application (lazy): one actor-pool map_batches
+    pass, merges broadcast once; see BPETokenizer."""
+    return ds.map_batches(
+        BPETokenizer,
+        fn_constructor_kwargs={
+            "merges_ref": ray.put(list(merges)),
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -1475,3 +1475,27 @@ def test_bpe_train_matches_sequential_reference():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bpe_train(ds, -1)
+
+
+def test_bpe_tokenize_stats_matches_segment_replay():
+    """Corpus BPE application: per-doc subword counts == replaying
+    bpe_segment word by word (incl. the end-of-word symbol); empty
+    docs count zero; subwords <= chars+1 and >= 1 per word."""
+    from rayfts.extras.bpe import bpe_segment, bpe_tokenize_stats, bpe_train
+    from rayfts.oracle import tokenize
+
+    texts = ["banana band bandana", "aaaa aaab", "", "low lower lowest"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(2)
+    merges = bpe_train(ds, 6)
+    got = (
+        bpe_tokenize_stats(ds, merges)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, tx in enumerate(texts):
+        toks = tokenize(tx)
+        want_ns = sum(len(bpe_segment(w, merges)) for w in toks)
+        assert got.loc[i, "n_words"] == len(toks)
+        assert got.loc[i, "n_subwords"] == want_ns, i
+    assert got.loc[2, "n_subwords"] == 0
