@@ -517,6 +517,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_min_score_top10": P.fts_min_score_top10,  # min_score option
         # composed stage: k-means clusters as sampling strata
         "cluster_balanced_sample": P.cluster_balanced_sample,
+        # intervals query: ordered max_gaps chain with any_of slots
+        "fts_intervals_docs": P.fts_intervals_docs,
+        # simple_query_string: lenient OR-of-AND-groups grammar
+        "fts_simple_query_string_top10": P.fts_simple_query_string_top10,
     }
 
 
@@ -2973,5 +2977,61 @@ SELECT cid AS cluster, count(*) AS n_kept,
        CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
 FROM k WHERE rn <= {P.CLUSTER_QUOTA}
 GROUP BY cid ORDER BY cid
+""",
+        # intervals query: ordered chain whose slots are term IN (...)
+        # alternative sets — width rule end - start - (k-1) <= max_gaps
+        "fts_intervals_docs": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+{",".join(
+    "p{i} AS (SELECT doc_id, pos FROM ptoks WHERE term IN ({alts}))".format(
+        i=i,
+        alts=",".join(
+            "'{}'".format(t)
+            for t in (s if isinstance(s, tuple) else (s,))
+        ),
+    )
+    for i, s in enumerate(P.INTERVALS_SLOTS)
+)}
+SELECT a.doc_id, count(*) AS n_matches
+FROM p0 a
+{" ".join(
+    f"JOIN p{i} s{i} ON s{i}.doc_id = a.doc_id AND s{i}.pos > "
+    + ("a.pos" if i == 1 else f"s{i - 1}.pos")
+    for i in range(1, len(P.INTERVALS_SLOTS))
+)}
+WHERE s{len(P.INTERVALS_SLOTS) - 1}.pos
+      <= a.pos + {len(P.INTERVALS_SLOTS) - 1 + P.INTERVALS_MAX_GAPS}
+GROUP BY a.doc_id ORDER BY a.doc_id LIMIT 20
+""",
+        # simple_query_string: (spark AND data) | "the customer" |
+        # (sma* AND NOT window) — matched groups sum their positive
+        # atoms' scores: require-all BM25 + phrase spec + prefix 1.0
+        "fts_simple_query_string_top10": f"""
+{_bm25_with(["data", "spark"], require_all=True)},
+{_phrase_scores_ctes(["the", "customer"])},
+sqs_pref AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'sma%'
+  AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'window')
+),
+sqs_hits AS (
+  SELECT doc_id FROM scores
+  UNION SELECT doc_id FROM ph_scores
+  UNION SELECT doc_id FROM sqs_pref
+)
+SELECT h.doc_id,
+       CAST(round((coalesce(s2.score, 0.0) + coalesce(p.score, 0.0)
+                   + (CASE WHEN pr.doc_id IS NULL THEN 0.0 ELSE 1.0 END))
+                  * 1e6) AS BIGINT) AS score_e6
+FROM sqs_hits h
+LEFT JOIN scores s2 USING (doc_id)
+LEFT JOIN ph_scores p USING (doc_id)
+LEFT JOIN sqs_pref pr USING (doc_id)
+ORDER BY (coalesce(s2.score, 0.0) + coalesce(p.score, 0.0)
+          + (CASE WHEN pr.doc_id IS NULL THEN 0.0 ELSE 1.0 END)) DESC,
+         h.doc_id
+LIMIT 10
 """,
     }

@@ -4062,3 +4062,49 @@ def cluster_balanced_sample(sf_dir: str) -> pa.Table:
         "n_kept": pa.array(out["count()"].astype("int64")),
         "sum_vec_id": pa.array(out["sum(vec_id)"].astype("int64")),
     })
+
+
+# ---------------------------------------------------------------------------
+# round-5 session F: intervals query (the last positional-query family
+# member ES has that the span family can't express — per-slot any_of
+# alternatives inside an ordered max_gaps chain)
+# ---------------------------------------------------------------------------
+
+INTERVALS_SLOTS = ("the", ("data", "batch"), "join")
+INTERVALS_MAX_GAPS = 3
+
+
+def fts_intervals_docs(sf_dir: str) -> pa.Table:
+    """ES intervals query analog — ``all_of(ordered=true,
+    max_gaps=INTERVALS_MAX_GAPS)`` whose middle slot is an ``any_of``
+    of two match intervals: docs with a strictly-increasing chain
+    the < (data|batch) < join of width <= slots + max_gaps, with the
+    exact chain count (the relational spec; SQL twin uses term IN
+    inequality joins). doc_id asc, first 20."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.intervals_ordered_docs(
+        list(INTERVALS_SLOTS), INTERVALS_MAX_GAPS, limit=20
+    )
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "n_matches": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
+SQS_QUERY = 'spark + data | "the customer" | sma* + -window'
+
+
+def fts_simple_query_string_top10(sf_dir: str) -> pa.Table:
+    """ES simple_query_string analog — the lenient never-raising
+    sibling of query_string: OR of AND-groups
+    (spark AND data) | "the customer" | (sma* AND NOT window), each
+    matched group contributing its positive atoms' scores (term BM25 +
+    phrase spec + constant-score prefix)."""
+    s = Searcher(documents_index(sf_dir))
+    hits = s.simple_query_string(SQS_QUERY, k=10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+        ),
+    })

@@ -187,6 +187,71 @@ def parse_query_string(q: str) -> dict:
     return out
 
 
+_SQS_TOKEN_RE = re.compile(r'"([^"]*)"?|([+|()])|(-)|([\w*]+)')
+
+
+def parse_simple_query_string(q: str) -> list[list[tuple]]:
+    """ES simple_query_string mini-grammar parser (the lenient sibling
+    of query_string — never raises; flags analog AND|OR|NOT|PHRASE|
+    PREFIX|WHITESPACE, i.e. no parens-PRECEDENCE / FUZZY / NEAR /
+    ESCAPE, the restricted ``flags`` surface ES exposes):
+
+    - whitespace and ``|`` are OR (default_operator=OR, the ES
+      default); ``+`` joins the surrounding atoms into an AND group
+      (AND binds tighter than OR, the Lucene SimpleQueryParser rule);
+    - ``-atom`` negates the atom within its group (a must_not clause;
+      a group with ONLY negative atoms matches nothing — the Lucene
+      pure-negative rule, enforced at execution);
+    - ``"a b"`` is a phrase atom; ``term*`` a prefix atom; a lone
+      ``*`` (match-all) is dropped; parens read as whitespace
+      (PRECEDENCE flag off); dangling operators are ignored.
+
+    Returns OR-groups: a list of groups, each a list of
+    ``(neg: bool, kind: 'term'|'phrase'|'prefix', payload: str)``
+    atoms. Analysis (tokenize + stop filter) happens at execution so
+    the index analyzer governs, like every other query."""
+    groups: list[list[tuple]] = []
+    cur: list[tuple] = []
+    join_and = False
+    neg = False
+    for m in _SQS_TOKEN_RE.finditer(q):
+        phrase, op, minus, word = m.group(1), m.group(2), m.group(3), \
+            m.group(4)
+        if op is not None:
+            if op == "+":
+                join_and = True
+            else:
+                # '|', '(' and ')' are OR/whitespace separators: the
+                # implicit flush happens when the next atom arrives
+                join_and = False
+                neg = False
+            continue
+        if minus is not None:
+            neg = True
+            continue
+        if phrase is not None:
+            atom = (neg, "phrase", phrase)
+        else:
+            if word == "*":
+                neg, join_and = False, False  # match-all atom dropped
+                continue
+            if word.endswith("*") and len(word.rstrip("*")) > 0:
+                atom = (neg, "prefix", word.rstrip("*"))
+            else:
+                atom = (neg, "term", word.replace("*", ""))
+        if join_and and cur:
+            cur.append(atom)
+        else:
+            if cur:
+                groups.append(cur)
+            cur = [atom]
+        neg = False
+        join_and = False
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def _range_agg_key(f, t) -> str:
     """ES range-agg bucket key: "from-to" with '*' for an open end."""
     return f"{'*' if f is None else f}-{'*' if t is None else t}"
@@ -3057,6 +3122,116 @@ class Searcher(SuggestAPI):
             return []
         return self._topk_from(idx, buf[idx], k)
 
+    def simple_query_string(self, q: str, k: int = 10,
+                            where: dict | None = None) -> list[tuple]:
+        """ES simple_query_string analog (see
+        :func:`parse_simple_query_string` for the grammar/flags):
+        evaluates the OR of AND-groups; a doc matches when at least one
+        group matches (every positive atom present, every negated atom
+        absent; pure-negative groups match nothing — the Lucene rule).
+
+        Scoring (the BooleanQuery SHOULD-sum spec, mirrored by the SQL
+        oracle): each MATCHED group contributes the sum of its positive
+        atoms' scores — term atoms score BM25 (idf·tf_part), phrase
+        atoms the phrase spec (W = slot-df idf sum, saturated pf),
+        prefix atoms constant 1.0 (the CONSTANT_SCORE multi-term
+        rewrite). Per-doc accumulation order: all term contributions
+        (term asc, group order), then phrases (input order), then
+        prefixes — three separate buffers summed bm25 + phrase +
+        prefix, which the oracle reproduces with coalesce sums.
+        Returns [(doc_id, score)] (score desc, doc_id asc), top k."""
+        if k <= 0:
+            return []
+        groups = parse_simple_query_string(q)
+        bm25 = np.zeros(self.N, dtype=np.float64)
+        phr = np.zeros(self.N, dtype=np.float64)
+        pref = np.zeros(self.N, dtype=np.float64)
+        matched = np.zeros(self.N, dtype=bool)
+        term_adds: list[tuple[str, int, np.ndarray]] = []
+        for gi, group in enumerate(groups):
+            m = np.ones(self.N, dtype=bool)
+            pos_terms: list[str] = []
+            pos_phrases: list[tuple] = []
+            pos_prefixes: list[str] = []
+            n_pos = 0
+            for neg, kind, payload in group:
+                if kind == "term":
+                    toks = [
+                        t for t in tokenize_query(payload)
+                        if not (self.stopwords and t in self.stopwords)
+                    ]
+                    if not toks:
+                        continue  # stop/empty atom drops (lenient)
+                    leaf = self._present_mask(toks)
+                    if not neg:
+                        pos_terms.extend(toks)
+                elif kind == "phrase":
+                    slots = tokenize_query(payload)
+                    if self.stopwords:
+                        slots = [
+                            (t, i) for i, t in enumerate(slots)
+                            if t not in self.stopwords
+                        ]
+                    if not slots:
+                        continue
+                    docs, pf, dfs = self._phrase_freqs(slots)
+                    leaf = np.zeros(self.N, dtype=bool)
+                    leaf[docs] = True
+                    if not neg:
+                        pos_phrases.append((docs, pf, dfs))
+                else:  # prefix
+                    terms = self.expand_prefix(payload)
+                    leaf = (self._present_mask(terms) if terms
+                            else np.zeros(self.N, dtype=bool))
+                    if not neg:
+                        pos_prefixes.append(payload)
+                if neg:
+                    m &= ~leaf
+                else:
+                    m &= leaf
+                    n_pos += 1
+            if n_pos == 0:
+                continue  # pure-negative / empty group matches nothing
+            matched |= m
+            for t in pos_terms:
+                term_adds.append((t, gi, m))
+            for docs, pf, dfs in pos_phrases:
+                keep = m[docs]
+                docs, pff = docs[keep], pf[keep].astype(np.float64)
+                if docs.size == 0:
+                    continue
+                W = 0.0
+                for df in dfs:
+                    W += self.idf(df)
+                dls = self.dl[docs].astype(np.float64)
+                phr[docs] += W * (
+                    pff * (self.k1 + 1.0)
+                    / (pff + self.k1
+                       * (1.0 - self.b + self.b * dls / self.avgdl))
+                )
+            for _ in pos_prefixes:
+                pref[m] += 1.0
+        for t, _, m in sorted(term_adds, key=lambda x: (x[0], x[1])):
+            p = self.lookup(t)
+            if p is None:
+                continue
+            w = self.idf(p.df)
+            ids = p.doc_ids if p.live_mask is None else p.doc_ids[p.live_mask]
+            tfp = p.tf_part if p.live_mask is None else p.tf_part[p.live_mask]
+            sel = m[ids]
+            bm25[ids[sel]] += w * tfp[sel]
+        ok = matched
+        if self.excluded.size:
+            ok = ok.copy()
+            ok[self.excluded] = False
+        if where:
+            ok = ok & self.filter_mask(**where)
+        idx = np.flatnonzero(ok)
+        if idx.size == 0:
+            return []
+        total = bm25[idx] + phr[idx] + pref[idx]
+        return self._topk_from(idx, total, k)
+
     def span_near_docs(self, terms: list[str], slop: int = 0,
                        limit: int = 20) -> list[tuple[int, int]]:
         """ES span_near-query analog (in_order=true, constant score):
@@ -3394,6 +3569,111 @@ class Searcher(SuggestAPI):
             live = ~np.isin(docs, self.excluded)
             docs, cnt = docs[live], cnt[live]
         return [(int(d), int(c)) for d, c in zip(docs[:limit], cnt[:limit])]
+
+    def intervals_ordered_docs(self, slots: list, max_gaps: int = 0,
+                               limit: int = 20) -> list[tuple[int, int]]:
+        """ES intervals-query analog: ``all_of(ordered=true,
+        max_gaps=max_gaps)`` over a list of slots, each slot either a
+        single ``match`` term or an ``any_of`` group of alternative
+        terms (pass a str, or a list/tuple of strs). A match is a
+        strictly-increasing position chain p1 < p2 < ... < pn where
+        p_i matches ANY alternative of slot i and
+        pn - p1 - (n-1) <= max_gaps (Lucene's interval width rule
+        ``end - start + 1 - k <= max_gaps``); ``n_matches`` counts ALL
+        such chains — the relational spec the SQL oracle replicates
+        with ``term IN (...)`` inequality joins. Generalizes
+        span_near_docs (every slot a singleton reduces to it exactly).
+
+        Vectorized like _span_chains: per-slot keys are the sorted
+        union of the alternatives' doc*L + pos keys over the candidate
+        docs (docs holding >= 1 alternative of EVERY slot); the chain
+        expansion is the same two-searchsorted-per-state segmented
+        gather. O(total chains), no per-doc Python loop."""
+        from .codec import run_ranges, run_spread
+
+        if max_gaps < 0:
+            raise ValueError("max_gaps must be >= 0")
+        if not slots:
+            return []
+        alts = [
+            tuple(s) if isinstance(s, (list, tuple)) else (s,)
+            for s in slots
+        ]
+        uniq = sorted({t for a in alts for t in a})
+        post = {t: self.lookup(t) for t in uniq}
+        slot_docs = []
+        for a in alts:
+            present = [post[t] for t in a if post[t] is not None]
+            if not present:
+                return []  # a slot with no present alternative
+            docs = (present[0].doc_ids if len(present) == 1
+                    else np.unique(np.concatenate(
+                        [p.doc_ids for p in present])))
+            slot_docs.append(docs)
+        cand = slot_docs[0]
+        for d in sorted(slot_docs[1:], key=lambda x: x.size):
+            cand = np.intersect1d(cand, d, assume_unique=True)
+        if self.excluded.size:
+            cand = cand[~np.isin(cand, self.excluded)]
+        if cand.size == 0:
+            return []
+        n = len(alts)
+        used = [t for a in alts for t in a if post[t] is not None]
+        maxpos = max(
+            int(self._positions(post[t])[0].max(initial=0)) for t in used
+        )
+        L = maxpos + n + max_gaps + 2
+
+        def term_keys(term: str) -> np.ndarray | None:
+            p = post[term]
+            if p is None:
+                return None
+            pos, occ = self._positions(p)
+            # candidate docs this term actually holds (an any_of slot's
+            # alternatives each cover only part of the candidate set)
+            j = np.searchsorted(p.doc_ids, cand)
+            hit = j < p.doc_ids.size
+            jj, cd = j[hit], cand[hit]
+            m = p.doc_ids[jj] == cd
+            jj, cd = jj[m], cd[m]
+            if jj.size == 0:
+                return None
+            lens = (occ[jj + 1] - occ[jj]).astype(np.int64)
+            out_starts = np.zeros(jj.size, np.int64)
+            np.cumsum(lens[:-1], out=out_starts[1:])
+            tot = int(lens.sum())
+            gi = run_ranges(occ[jj], out_starts, tot)
+            doc_key = run_spread((cd * L).astype(np.int64), out_starts, tot)
+            return doc_key + pos[gi]
+
+        keys = []
+        for a in alts:
+            parts = [k for k in (term_keys(t) for t in a) if k is not None]
+            if not parts:
+                return []
+            k = parts[0] if len(parts) == 1 else np.sort(
+                np.concatenate(parts))
+            keys.append(k)
+        start = keys[0]
+        cur = start
+        bound_off = n - 1 + max_gaps
+        for i in range(1, n):
+            ki = keys[i]
+            lo = np.searchsorted(ki, cur, side="right")
+            hi = np.searchsorted(ki, start + bound_off, side="right")
+            cnt = hi - lo
+            keep = cnt > 0
+            lo, start, cnt = lo[keep], start[keep], cnt[keep]
+            if start.size == 0:
+                return []
+            out_starts = np.zeros(start.size, np.int64)
+            np.cumsum(cnt[:-1], out=out_starts[1:])
+            tot = int(cnt.sum())
+            gi = run_ranges(lo, out_starts, tot)
+            cur = ki[gi]
+            start = run_spread(start, out_starts, tot)
+        docs, m = np.unique(start // L, return_counts=True)
+        return [(int(d), int(c)) for d, c in zip(docs[:limit], m[:limit])]
 
     def synonym_search(self, query: str, synonyms: dict, k: int = 10,
                        where: dict | None = None,

@@ -163,3 +163,45 @@ def test_parse_query_string_total(q):
         assert sign in ("", "+", "-")
         assert isinstance(raw, str)
         assert isinstance(boost, float) and boost > 0
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_parse_simple_query_string_total(q):
+    """The simple_query_string grammar is TOTAL (the ES contract: this
+    query never raises on any input): every atom is structurally
+    sound — non-empty group lists, known kinds, prefix payloads free of
+    '*', term payloads free of operator characters."""
+    from rayfts.search import parse_simple_query_string
+
+    groups = parse_simple_query_string(q)
+    for g in groups:
+        assert g  # no empty groups
+        for neg, kind, payload in g:
+            assert isinstance(neg, bool)
+            assert kind in ("term", "phrase", "prefix")
+            assert isinstance(payload, str)
+            if kind == "prefix":
+                assert payload and "*" not in payload
+            if kind == "term":
+                assert "*" not in payload and "|" not in payload
+
+
+def test_parse_simple_query_string_shapes():
+    """Pinned parses: operator precedence (AND > OR), whitespace-OR,
+    negation binding, prefix/phrase atoms, lenient degradation."""
+    from rayfts.search import parse_simple_query_string as p
+
+    assert p("a + b | c") == [
+        [(False, "term", "a"), (False, "term", "b")],
+        [(False, "term", "c")],
+    ]
+    assert p("a b") == [[(False, "term", "a")], [(False, "term", "b")]]
+    assert p('sma* + -window | "x y"') == [
+        [(False, "prefix", "sma"), (True, "term", "window")],
+        [(False, "phrase", "x y")],
+    ]
+    assert p('"unterminated ph') == [[(False, "phrase", "unterminated ph")]]
+    assert p("( a + b )") == [[(False, "term", "a"), (False, "term", "b")]]
+    assert p("* | + - |") == []
+    assert p("-a") == [[(True, "term", "a")]]

@@ -882,3 +882,81 @@ def test_span_near_unordered_matches_bruteforce(pos_index, oracle):
         s.span_near_unordered_docs(["the", "the"], 1)
     with pytest.raises(ValueError):
         s.span_near_unordered_docs(["the", "w0007"], -1)
+
+
+def test_intervals_ordered_matches_bruteforce(pos_index, oracle):
+    """Intervals all_of(ordered, max_gaps) with any_of slots: all
+    strictly-increasing chains where slot i matches ANY alternative,
+    end - start - (n-1) <= max_gaps — recomputed with nested loops."""
+    from itertools import product
+
+    s = Searcher(pos_index)
+    tok_docs = {d: tokenize(t) for d, t in oracle.texts.items()}
+    cases = [
+        ([("the",), ("w0007", "bash")], 2),
+        ([("the",), ("a", "ok"), ("the",)], 3),
+        ([("w0007", "zzzz_absent")], 0),          # single any_of slot
+        ([("the",), ("zzzz_absent",)], 4),        # dead slot -> empty
+    ]
+    for slots, gaps in cases:
+        n = len(slots)
+        want = []
+        for d, toks in tok_docs.items():
+            idx = [
+                [i for i, t in enumerate(toks) if t in alts]
+                for alts in slots
+            ]
+            c = sum(
+                1 for chain in product(*idx)
+                if all(b > a for a, b in zip(chain, chain[1:]))
+                and chain[-1] - chain[0] - (n - 1) <= gaps
+            )
+            if c:
+                want.append((d, c))
+        want.sort()
+        got = s.intervals_ordered_docs(list(slots), gaps, limit=10**6)
+        assert got == want, (slots, gaps)
+    # singleton slots reduce exactly to span_near
+    assert s.intervals_ordered_docs(["the", "a", "the"], 2, limit=10**6) \
+        == s.span_near_docs(["the", "a", "the"], 2, limit=10**6)
+    assert s.intervals_ordered_docs([], 3) == []
+    with pytest.raises(ValueError):
+        s.intervals_ordered_docs(["the"], -1)
+
+
+def test_simple_query_string_semantics(pos_index, oracle):
+    """simple_query_string against its own spec via equivalences with
+    already-verified queries: OR of singleton term groups == match OR
+    (same BM25 sum); an AND group == query_string's +musts; a lone
+    phrase group == query_string's phrase; prefix groups add constant
+    1.0; pure-negative input matches nothing."""
+    s = Searcher(pos_index)
+    # OR of two term groups == the match query (BM25 spec shared)
+    assert s.simple_query_string("the w0007", k=50) == \
+        s.search("the w0007", k=50)
+    # AND group == query_string must clauses
+    assert s.simple_query_string("the + w0007", k=50) == \
+        s.query_string("+the +w0007", k=50)
+    # lone phrase group == query_string phrase clause
+    assert s.simple_query_string('"the w0007"', k=50) == \
+        s.query_string('"the w0007"', k=50)
+    # negation: AND NOT == query_string must + must_not
+    assert s.simple_query_string("the + -w0007", k=50) == \
+        s.query_string("+the -w0007", k=50)
+    # prefix group: every doc holding an expansion, constant score 1.0
+    hits = s.simple_query_string("w000*", k=10**6)
+    terms = s.expand_prefix("w000")
+    want = sorted(
+        int(d) for d in np.flatnonzero(s._present_mask(terms))
+    )
+    assert sorted(d for d, _ in hits) == want
+    assert all(sc == 1.0 for _, sc in hits)
+    # pure-negative group matches nothing (Lucene rule)
+    assert s.simple_query_string("-the", k=50) == []
+    # lenient: operator soup is empty, never raises
+    assert s.simple_query_string("| + - ( * )", k=10) == []
+    # group match is all-positive-atoms: doc set of 'the + w0007'
+    # is the posting intersection
+    got = {d for d, _ in s.simple_query_string("the + w0007", k=10**6)}
+    m = s._present_mask(["the"]) & s._present_mask(["w0007"])
+    assert got == set(np.flatnonzero(m).tolist())
