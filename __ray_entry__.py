@@ -521,7 +521,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_intervals_docs": P.fts_intervals_docs,
         # simple_query_string: lenient OR-of-AND-groups grammar
         "fts_simple_query_string_top10": P.fts_simple_query_string_top10,
+        # aggregation-surface completion
+        "fts_missing_count": P.fts_missing_count,      # missing agg
+        "fts_global_agg": P.fts_global_agg,            # global agg
+        "fts_sampler_terms": P.fts_sampler_terms,      # sampler agg
+        "fts_date_range_agg": P.fts_date_range_agg,    # date_range agg
+        "fts_date_hist_normalize": P.fts_date_hist_normalize,  # normalize
+        "fts_date_hist_bucket_sort": P.fts_date_hist_bucket_sort,
     }
+
+
+def _iso_epoch(iso: str) -> int:
+    """UTC-midnight epoch seconds for an ISO date — the date_range
+    oracle's boundary constant (mirrors Searcher.date_range_agg)."""
+    import datetime as _dt
+
+    return int(_dt.datetime.strptime(iso, "%Y-%m-%d").replace(
+        tzinfo=_dt.timezone.utc).timestamp())
 
 
 def _adjacency_values() -> str:
@@ -3033,5 +3049,91 @@ ORDER BY (coalesce(s2.score, 0.0) + coalesce(p.score, 0.0)
           + (CASE WHEN pr.doc_id IS NULL THEN 0.0 ELSE 1.0 END)) DESC,
          h.doc_id
 LIMIT 10
+""",
+        # missing agg: NULL size_tag == n_chars below the tag threshold
+        "fts_missing_count": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT CAST(sum(CASE WHEN n_chars < {P.SIZE_TAG_MIN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missing,
+       CAST(sum(CASE WHEN n_chars >= {P.SIZE_TAG_MIN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_present
+FROM documents JOIN hits USING (doc_id)
+""",
+        # global agg: whole-corpus bucket next to the query hit count
+        "fts_global_agg": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT (SELECT count(*) FROM hits) AS n_hits,
+       (SELECT count(*) FROM documents) AS n_global,
+       (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS sum_nchars
+""",
+        # sampler agg: terms on source inside the top-100 BM25 sample
+        "fts_sampler_terms": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+sample AS (
+  SELECT doc_id FROM scores
+  ORDER BY score DESC, doc_id LIMIT {P.SAMPLER_SHARD_SIZE}
+)
+SELECT source, count(*) AS doc_count
+FROM documents JOIN sample USING (doc_id)
+GROUP BY source ORDER BY doc_count DESC, source LIMIT 10
+""",
+        # date_range agg: ISO-keyed [from, to) buckets on ts_epoch
+        "fts_date_range_agg": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+h AS (SELECT ({P.TS_EPOCH0} + doc_id * 25200) AS ts
+      FROM documents JOIN hits USING (doc_id))
+{" UNION ALL ".join(
+    "SELECT '{key}' AS key, count(*) AS doc_count FROM h WHERE {cond}"
+    .format(
+        key=f"{f or '*'}-{t or '*'}",
+        cond=" AND ".join(
+            c for c in (
+                None if f is None else f"ts >= {_iso_epoch(f)}",
+                None if t is None else f"ts < {_iso_epoch(t)}",
+            ) if c
+        ) or "TRUE",
+    )
+    for f, t in P.DATE_RANGES_ISO
+)}
+""",
+        # normalize pipeline agg: percent_of_sum over date-hist buckets
+        "fts_date_hist_normalize": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT CAST(epoch(date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+           AS month_start,
+         count(*) AS n_docs
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+)
+SELECT month_start, n_docs,
+       CAST(floor(n_docs * 100.0 * 1000000
+                  / (SELECT sum(n_docs) FROM hist) + 0.5) AS BIGINT)
+         AS pct_e6
+FROM hist ORDER BY month_start
+""",
+        # bucket_selector + bucket_sort over the date-hist buckets
+        "fts_date_hist_bucket_sort": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT CAST(epoch(date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+           AS month_start,
+         count(*) AS n_docs
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+)
+SELECT month_start, n_docs FROM hist
+WHERE n_docs >= {P.BUCKET_SORT_MIN}
+ORDER BY n_docs DESC, month_start LIMIT {P.BUCKET_SORT_K}
 """,
     }

@@ -230,6 +230,18 @@ _AGG_DISPATCH = {
         sp.text, b["field"], where=sp.where or None, mode=sp.mode,
         must_not=sp.must_not),
     "filters": lambda s, sp, b: _agg_filters(s, sp, b),
+    "date_range": lambda s, sp, b: s.date_range_agg(
+        sp.text, b["field"],
+        [(r.get("from"), r.get("to")) for r in b["ranges"]],
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not),
+    # global escapes the query scope; the stats sub-agg field rides
+    # flattened in the body ({"global": {"field": ...}}) since this
+    # executor takes no nested sub-aggs
+    "global": lambda s, sp, b: s.global_stats_agg(sp.text, b["field"]),
+    "sampler": lambda s, sp, b: s.sampler_terms_agg(
+        sp.text, b["field"],
+        shard_size=int(b.get("shard_size", 100)),
+        size=int(b.get("size", 10))),
 }
 
 

@@ -77,7 +77,7 @@ def documents_index(sf_dir: str) -> str:
     # content fingerprint in the tag: a changed documents.parquet at the
     # same path must never serve results from a stale cached index
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|pos2".encode()
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|pos3".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/rayfts_qidx/{tag}"
     manifest_path = os.path.join(index_dir, "manifest.json")
@@ -101,7 +101,15 @@ def documents_index(sf_dir: str) -> str:
             pc.multiply(t["src_doc_id"], pa.scalar(25_200, pa.int64())),
             pa.scalar(TS_EPOCH0, pa.int64()),
         )
-        return t.append_column("ts_epoch", ts)
+        t = t.append_column("ts_epoch", ts)
+        # nullable keyword: 'big' for long docs, NULL otherwise — gives
+        # the missing aggregation a field that is genuinely absent on
+        # some docs (lang/source are always present)
+        big = pc.if_else(
+            pc.greater_equal(t["n_chars"], pa.scalar(SIZE_TAG_MIN)),
+            pa.scalar("big", pa.string()), pa.scalar(None, pa.string()),
+        )
+        return t.append_column("size_tag", big)
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet")).map_batches(
         prep, batch_format="pyarrow"
@@ -109,7 +117,7 @@ def documents_index(sf_dir: str) -> str:
     cfg = IndexJobConfig(
         index_dir=index_dir,
         key_cols=("src_doc_id",),
-        keyword_cols=("lang", "source"),
+        keyword_cols=("lang", "source", "size_tag"),
         # F7 dynamic tags: carry (lang, source) as a map<string,string>
         # column through the docstore too
         tag_map_cols=("lang", "source"),
@@ -4107,4 +4115,117 @@ def fts_simple_query_string_top10(sf_dir: str) -> pa.Table:
         "score_e6": pa.array(
             [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
         ),
+    })
+
+
+# ---------------------------------------------------------------------------
+# round-5 session F: aggregation-surface completion — missing / global /
+# sampler / date_range aggs, normalize + bucket_selector/bucket_sort
+# pipeline aggs as driver-gated entries
+# ---------------------------------------------------------------------------
+
+SIZE_TAG_MIN = 1200   # n_chars >= this -> size_tag='big', else NULL
+
+
+def fts_missing_count(sf_dir: str) -> pa.Table:
+    """ES missing aggregation: BM25_QUERY hits whose nullable keyword
+    ``size_tag`` is NULL (docs under SIZE_TAG_MIN chars), next to the
+    present-count complement."""
+    s = Searcher(documents_index(sf_dir))
+    n_missing = s.missing_agg(BM25_QUERY, "size_tag")
+    n_hits = s._hit_count(BM25_QUERY)
+    return pa.table({
+        "n_missing": pa.array([n_missing], pa.int64()),
+        "n_present": pa.array([n_hits - n_missing], pa.int64()),
+    })
+
+
+def fts_global_agg(sf_dir: str) -> pa.Table:
+    """ES global aggregation: a bucket escaping the query scope —
+    query hit count alongside whole-index doc count and n_chars sum
+    (the global+stats composition)."""
+    s = Searcher(documents_index(sf_dir))
+    g = s.global_stats_agg(BM25_QUERY, "n_chars")
+    return pa.table({
+        "n_hits": pa.array([g["n_hits"]], pa.int64()),
+        "n_global": pa.array([g["n_global"]], pa.int64()),
+        "sum_nchars": pa.array([int(g["sum_field"])], pa.int64()),
+    })
+
+
+SAMPLER_SHARD_SIZE = 100
+
+
+def fts_sampler_terms(sf_dir: str) -> pa.Table:
+    """ES sampler aggregation (plain): terms agg on ``source`` inside
+    the top SAMPLER_SHARD_SIZE hits by relevance (score desc, doc_id
+    asc), count desc then value asc."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.sampler_terms_agg(
+        BM25_QUERY, "source", shard_size=SAMPLER_SHARD_SIZE, size=10
+    )
+    return pa.table({
+        "source": pa.array([v for v, _ in rows], pa.string()),
+        "doc_count": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
+DATE_RANGES_ISO = (
+    (None, "2025-04-01"),
+    ("2025-04-01", "2025-08-01"),
+    ("2025-08-01", None),
+)
+
+
+def fts_date_range_agg(sf_dir: str) -> pa.Table:
+    """ES date_range aggregation over the synthetic ts_epoch column:
+    ISO-keyed [from, to) buckets (UTC midnight boundaries), in input
+    order like the range agg."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.date_range_agg(
+        BM25_QUERY, "ts_epoch", list(DATE_RANGES_ISO)
+    )
+    return pa.table({
+        "key": pa.array([k for k, _ in rows], pa.string()),
+        "doc_count": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
+def fts_date_hist_normalize(sf_dir: str) -> pa.Table:
+    """ES normalize pipeline agg (percent_of_sum) over the calendar
+    date_histogram buckets: each month's share of the hit total,
+    e6-rounded percent."""
+    from .search import normalize_aggs
+
+    s = Searcher(documents_index(sf_dir))
+    rows = normalize_aggs(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "month")
+    )
+    return pa.table({
+        "month_start": pa.array([r[0] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "pct_e6": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+BUCKET_SORT_MIN = 50   # bucket_selector floor
+BUCKET_SORT_K = 3      # bucket_sort truncation
+
+
+def fts_date_hist_bucket_sort(sf_dir: str) -> pa.Table:
+    """ES bucket_selector + bucket_sort pipeline aggs over the calendar
+    date_histogram: keep months with >= BUCKET_SORT_MIN hits, re-order
+    count desc then month asc, truncate to BUCKET_SORT_K."""
+    from .search import pipeline_aggs
+
+    s = Searcher(documents_index(sf_dir))
+    rows = pipeline_aggs(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "month"),
+        cumulative=False, derivative=False,
+        selector=lambda k, c: c >= BUCKET_SORT_MIN,
+        sort_desc_by_count=BUCKET_SORT_K,
+    )
+    return pa.table({
+        "month_start": pa.array([r[0] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
     })

@@ -295,6 +295,39 @@ def pipeline_aggs(buckets: list[tuple], cumulative: bool = True,
     return out
 
 
+def _iso_epoch_ranges(ranges_iso: list) -> list[tuple]:
+    """ISO-date [from, to) pairs -> UTC-midnight epoch-second pairs
+    (None passes through) — shared by the file and sharded
+    date_range_agg so boundaries agree bit-for-bit."""
+    import datetime as _dt
+
+    def ep(sv):
+        if sv is None:
+            return None
+        return int(_dt.datetime.strptime(sv, "%Y-%m-%d").replace(
+            tzinfo=_dt.timezone.utc).timestamp())
+
+    return [(ep(f), ep(t)) for f, t in ranges_iso]
+
+
+def normalize_aggs(buckets: list[tuple]) -> list[tuple]:
+    """ES normalize pipeline-aggregation analog (method =
+    percent_of_sum) over parent buckets [(key, count)]: each bucket's
+    share of the total as a percent, exposed e6-rounded via
+    floor(x + 0.5) (identical per-double on numpy and SQL, unlike
+    round's half-even vs half-away split). Empty parent -> empty.
+    Returns [(key, count, pct_e6)] in key order."""
+    import math
+
+    total = sum(c for _, c in buckets)
+    if total == 0:
+        return []
+    return [
+        (k, c, int(math.floor(c * 100.0 * 1e6 / total + 0.5)))
+        for k, c in buckets
+    ]
+
+
 def moving_window_aggs(buckets: list[tuple], window: int = 3,
                        lag: int = 1) -> list[tuple]:
     """ES moving_fn + serial_diff pipeline-aggregation analogs over
@@ -2359,6 +2392,68 @@ class Searcher(SuggestAPI):
             return 0
         codes, _ = self._field_codes(field)
         return int((hits & (codes < 0)).sum())
+
+    def global_stats_agg(self, query: str, field: str) -> dict:
+        """ES global-aggregation analog: a bucket that ESCAPES the
+        query scope — alongside the query's own hit count it reports
+        count/sum of numeric ``field`` over the WHOLE live index
+        (tombstones out, nulls out), the ES global+stats composition.
+        Exactness bound: float64 sum, exact for integral columns while
+        the total stays under 2^53 (the stats_agg convention)."""
+        n_hits = self._hit_count(query)
+        vals, valid = self._numeric_col(field)
+        live = np.ones(self.N, dtype=bool)
+        if self.excluded.size:
+            live[self.excluded] = False
+        sel = vals[live & valid]
+        return {
+            "n_hits": n_hits,
+            "n_global": int(live.sum()),
+            "n_field": int(sel.size),
+            "sum_field": float(sel.sum()),
+        }
+
+    def sampler_terms_agg(self, query: str, field: str,
+                          shard_size: int = 100,
+                          size: int = 10) -> list[tuple]:
+        """ES sampler-aggregation analog (the plain, non-diversified
+        one): restrict the sub-aggregation to the top ``shard_size``
+        hits by relevance (score desc, doc_id asc — the ES
+        best-matching sample), then run a terms agg on keyword
+        ``field`` inside the sample. Returns [(value, count)] count
+        desc then value asc, top ``size``; null field values form no
+        bucket (ES default)."""
+        hits = self.search(query, k=shard_size)
+        if not hits:
+            return []
+        codes, vocab = self._field_codes(field)
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        cc = codes[ids]
+        cc = cc[cc >= 0]
+        if cc.size == 0:
+            return []
+        binc = np.bincount(cc, minlength=len(vocab))
+        rows = [(vocab[i], int(n)) for i, n in enumerate(binc) if n > 0]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:size]
+
+    def date_range_agg(self, query: str, field: str,
+                       ranges_iso: list, where: dict | None = None,
+                       mode: str = "or",
+                       must_not: str | None = None) -> list[tuple]:
+        """ES date_range-aggregation analog over an epoch-seconds
+        ``field``: boundaries are ISO dates (UTC midnight),
+        from-inclusive / to-exclusive like range_agg; bucket keys are
+        the ES "from-to" strings built from the ISO forms with '*' for
+        an open end. Returns [(key, count)] in input order."""
+        rows = self.range_agg(
+            query, field, _iso_epoch_ranges(ranges_iso),
+            where=where, mode=mode, must_not=must_not,
+        )
+        return [
+            (f"{f or '*'}-{t or '*'}", c)
+            for (f, t), (_, c) in zip(ranges_iso, rows)
+        ]
 
     def adjacency_matrix_agg(self, query: str, filters: dict,
                              where: dict | None = None, mode: str = "or",
@@ -6771,6 +6866,57 @@ class MultiSearcher(SuggestAPI):
             seg.missing_agg(query, field, where, mode, must_not)
             for seg in self.segments
         )
+
+    def date_range_agg(self, query: str, field: str,
+                       ranges_iso: list, where: dict | None = None,
+                       mode: str = "or",
+                       must_not: str | None = None) -> list[tuple]:
+        """Sharded date_range: per-segment counts sum per bucket
+        (shared _iso_epoch_ranges boundaries)."""
+        rows = self.range_agg(
+            query, field, _iso_epoch_ranges(ranges_iso),
+            where=where, mode=mode, must_not=must_not,
+        )
+        return [
+            (f"{f or '*'}-{t or '*'}", c)
+            for (f, t), (_, c) in zip(ranges_iso, rows)
+        ]
+
+    def global_stats_agg(self, query: str, field: str) -> dict:
+        """Sharded global agg: per-segment buckets sum field-wise (the
+        whole-index scope is the union of segment scopes)."""
+        out = {"n_hits": 0, "n_global": 0, "n_field": 0,
+               "sum_field": 0.0}
+        for seg in self.segments:
+            g = seg.global_stats_agg(query, field)
+            for key in out:
+                out[key] += g[key]
+        return out
+
+    def sampler_terms_agg(self, query: str, field: str,
+                          shard_size: int = 100,
+                          size: int = 10) -> list[tuple]:
+        """Sharded sampler: the sample is the GLOBAL top shard_size
+        (merged global-stats search), then per-segment keyword lookups
+        on the sampled docs — identical to the single-index sample."""
+        hits = self.search(query, k=shard_size)
+        if not hits:
+            return []
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        si = np.searchsorted(self.offsets, ids, side="right") - 1
+        for s_idx in np.unique(si):
+            seg = self.segments[int(s_idx)]
+            local = ids[si == s_idx] - int(self.offsets[int(s_idx)])
+            codes, vocab = seg._field_codes(field)
+            cc = codes[local]
+            cc = cc[cc >= 0]
+            for c, n in zip(*np.unique(cc, return_counts=True)):
+                cnt[vocab[int(c)]] += int(n)
+        rows = sorted(cnt.items(), key=lambda r: (-r[1], r[0]))
+        return rows[:size]
 
     def adjacency_matrix_agg(self, query: str, filters: dict,
                              where: dict | None = None, mode: str = "or",

@@ -2513,3 +2513,49 @@ def test_linear_retriever_fuse_semantics(index_dir, oracle):
     assert raw == want_raw
     with pytest.raises(ValueError):
         s.linear_retriever_search(q, knn, normalizer="zscore")
+
+
+def test_new_aggs_match_bruteforce(index_dir, oracle):
+    """Round-5 agg additions against direct recomputation: global
+    (query-scope escape), sampler (terms inside the top-N sample),
+    date_range (ISO boundaries on an epoch field), normalize
+    (percent_of_sum)."""
+    import math
+
+    from rayfts.search import normalize_aggs
+
+    idx, t = oracle
+    s = Searcher(index_dir)
+    q = "the w0007"
+    hits = {d for d, _ in idx.search(q, k=10**6)}
+    # global: n_hits is query-scoped, the rest whole-corpus
+    g = s.global_stats_agg(q, "turn_idx")
+    turn = t["turn_idx"].to_pylist()
+    assert g == {
+        "n_hits": len(hits), "n_global": s.N, "n_field": s.N,
+        "sum_field": float(sum(turn)),
+    }
+    # sampler: top-shard_size sample then role counts
+    roles = t["role"].to_pylist()
+    for shard in (7, 40):
+        sample = [d for d, _ in idx.search(q, k=shard)]
+        want: dict = {}
+        for d in sample:
+            want[roles[d]] = want.get(roles[d], 0) + 1
+        rows = sorted(want.items(), key=lambda r: (-r[1], r[0]))
+        assert s.sampler_terms_agg(q, "role", shard, 10) == rows, shard
+    assert s.sampler_terms_agg("zzzz_absent", "role") == []
+    # date_range on turn_idx-as-epoch: 1970-01-02 == 86400 s
+    got = s.date_range_agg(
+        q, "turn_idx", [(None, "1970-01-02"), ("1970-01-01", None)]
+    )
+    n_all = len(hits)  # every turn_idx < 86400 and >= 0
+    assert got == [("*-1970-01-02", n_all), ("1970-01-01-*", n_all)]
+    # normalize: shares of the month histogram sum to ~100%
+    buckets = [("a", 3), ("b", 1)]
+    assert normalize_aggs(buckets) == [
+        ("a", 3, int(math.floor(75e6 + 0.5))),
+        ("b", 1, int(math.floor(25e6 + 0.5))),
+    ]
+    assert normalize_aggs([]) == []
+    assert normalize_aggs([("a", 0)]) == []

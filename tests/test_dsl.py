@@ -121,6 +121,20 @@ def test_dsl_aggs_equal_direct_calls(dsl_index):
     assert res["card"] == s.cardinality_agg(q, "role")
     assert res["hist"] == s.histogram_agg(q, "turn_idx", 3)
     assert res["pr"] == s.percentile_ranks_agg(q, "turn_idx", (2, 5))
+    # round-5 agg clauses: date_range / global / sampler
+    r5 = execute_dsl(s, {
+        "query": {"match": {"text": q}},
+        "aggs": {
+            "dr": {"date_range": {"field": "turn_idx", "ranges": [
+                {"to": "1970-01-02"}, {"from": "1970-01-01"}]}},
+            "g": {"global": {"field": "turn_idx"}},
+            "samp": {"sampler": {"field": "role", "shard_size": 7}},
+        },
+    })["aggregations"]
+    assert r5["dr"] == s.date_range_agg(
+        q, "turn_idx", [(None, "1970-01-02"), ("1970-01-01", None)])
+    assert r5["g"] == s.global_stats_agg(q, "turn_idx")
+    assert r5["samp"] == s.sampler_terms_agg(q, "role", shard_size=7)
     # filter-context aggs (match_all + where) — the query=None path
     fa = execute_dsl(s, {
         "query": {"term": {"role": "user"}},

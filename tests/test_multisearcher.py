@@ -584,3 +584,23 @@ def test_indices_boost_and_validate_query(indexes):
     for t, df, cf in vm["terms"]:
         p = single.lookup(t)
         assert (p.df if p else 0) == df and (p.cf if p else 0) == cf
+
+
+def test_sharded_new_aggs_equal_global(indexes):
+    """Round-5 agg additions: date_range / global / sampler sharded ==
+    single-index, including the ISO boundary keys and the global-scope
+    escape."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    q = "the w0007"
+    ranges = ((None, "1970-01-02"), ("1970-01-01", None))
+    assert multi.date_range_agg(q, "turn_idx", list(ranges)) == \
+        single.date_range_agg(q, "turn_idx", list(ranges))
+    sg = single.global_stats_agg(q, "turn_idx")
+    mg = multi.global_stats_agg(q, "turn_idx")
+    assert {k: mg[k] for k in ("n_hits", "n_global", "n_field")} == \
+        {k: sg[k] for k in ("n_hits", "n_global", "n_field")}
+    assert mg["sum_field"] == pytest.approx(sg["sum_field"], abs=1e-9)
+    for shard_size in (5, 50, 10**6):
+        assert multi.sampler_terms_agg(q, "role", shard_size, 10) == \
+            single.sampler_terms_agg(q, "role", shard_size, 10), shard_size
