@@ -528,6 +528,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_date_range_agg": P.fts_date_range_agg,    # date_range agg
         "fts_date_hist_normalize": P.fts_date_hist_normalize,  # normalize
         "fts_date_hist_bucket_sort": P.fts_date_hist_bucket_sort,
+        # substring-level dedup: duplicated token-window counts per doc
+        "dedup_window_spans": P.dedup_window_spans,
+        # filter-context query rewrites: exists / constant_score / ids
+        "fts_exists_docs": P.fts_exists_docs,
+        "fts_constant_score_docs": P.fts_constant_score_docs,
+        "fts_ids_docs": P.fts_ids_docs,
     }
 
 
@@ -2411,6 +2417,7 @@ FROM kid k JOIN par p USING (source) WHERE k.rk <= 3
         # get REAL value oracles (generated in rayfts.extras.oracles).
         "dedup_minhash": _X.minhash_dedup_sql(),
         "decontaminate_ngrams": _X.decontaminate_sql(),
+        "dedup_window_spans": _X.dup_window_sql(),
         "dedup_simhash": _X.simhash_dedup_sql(),
         "embedding_near_dup": _X.embedding_near_dup_sql(threshold=0.95, dim=64),
         "knn_cosine_lsh": _X.knn_lsh_sql(k=10, n_planes=4, dim=64),
@@ -3135,5 +3142,31 @@ hist AS (
 SELECT month_start, n_docs FROM hist
 WHERE n_docs >= {P.BUCKET_SORT_MIN}
 ORDER BY n_docs DESC, month_start LIMIT {P.BUCKET_SORT_K}
+""",
+        # exists query: non-null size_tag == n_chars >= the tag floor
+        "fts_exists_docs": f"""
+SELECT doc_id,
+       (SELECT count(*) FROM documents
+        WHERE n_chars >= {P.SIZE_TAG_MIN}) AS n_exists
+FROM documents WHERE n_chars >= {P.SIZE_TAG_MIN}
+ORDER BY doc_id LIMIT 20
+""",
+        # constant_score: filter context, every hit scores the boost
+        "fts_constant_score_docs": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks
+         WHERE term = '{P.CONST_SCORE_TERM}')
+SELECT doc_id,
+       CAST({int(round(P.CONST_SCORE_BOOST * 1e6))} AS BIGINT) AS score_e6
+FROM documents JOIN hits USING (doc_id)
+WHERE n_chars >= {P.CONST_SCORE_MIN_NCHARS}
+ORDER BY doc_id LIMIT 20
+""",
+        # ids query: distinct ascending id filter, constant score
+        "fts_ids_docs": f"""
+SELECT doc_id, n_chars, CAST(1000000 AS BIGINT) AS score_e6
+FROM documents
+WHERE doc_id IN ({",".join(str(i) for i in sorted(set(P.IDS_PROBE)))})
+ORDER BY doc_id
 """,
     }

@@ -46,6 +46,7 @@ from .hashing import (
     md5_lower64,
     spanning_edges,
     u64_to_i64,
+    u64_view_i64,
 )
 
 # ---------------------------------------------------------------------------
@@ -780,3 +781,107 @@ def simhash_dedup(
         ver_ds.iter_batches(batch_format="pyarrow")
     )
     return label_dataset(ds.select_columns(["doc_id"]), roots, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# substring-level duplicate-window detection (round-5 session F)
+# ---------------------------------------------------------------------------
+
+DUP_WINDOW_W = 5        # token-window width
+DUP_WINDOW_BUCKETS = 64  # window-hash shuffle buckets
+
+
+def dup_window_counts(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    w: int = DUP_WINDOW_W, n_buckets: int = DUP_WINDOW_BUCKETS,
+) -> rd.Dataset:
+    """Substring-level duplicate-window detection — the window-hash
+    core of suffix-array-style training-data dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022,
+    arXiv:2107.06499): every width-``w`` token window is fold-hashed
+    with the family shingle spec (md5-lower64 tokens, C-fold mod 2^64;
+    docs with 0 < L < w tokens fold once — ``shingle_hashes_batch``);
+    a window VALUE seen in >= 2 DISTINCT docs is duplicated, and each
+    doc is charged every window POSITION whose value is duplicated.
+
+    Distributed shape (the dedup-family bucket pattern): one vectorized
+    map_batches emits map-side pre-aggregated (window-hash, doc, n_pos)
+    rows — docs never span batches, so the pairs are globally distinct;
+    one hash-bucket groupby marks cross-doc window values with a numpy
+    segment kernel (no per-window Python); one groupby(id) sum. Window
+    hashes shuffle as int64, never strings; u64 fold collisions conflate
+    windows identically on both engine and SQL sides (same arithmetic),
+    so parity is exact. Returns a Dataset (doc_id, n_dup), docs with
+    n_dup > 0 only."""
+    from ray.data.aggregate import Sum
+
+    def windows(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch[text_col])
+        empty = pa.table({
+            "wh": pa.array([], pa.int64()),
+            "doc": pa.array([], pa.int64()),
+            "n_pos": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+        })
+        if len(flat) == 0:
+            return empty
+        flat_h = hash_tokens_unique(flat)
+        sh, sh_parent = shingle_hashes_batch(
+            flat_h, parent, batch.num_rows, w
+        )
+        if sh.size == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[sh_parent]
+        t = pa.table({
+            "wh": pa.array(u64_view_i64(sh), pa.int64()),
+            "doc": pa.array(ids, pa.int64()),
+        })
+        g = t.group_by(["wh", "doc"], use_threads=False).aggregate(
+            [("wh", "count")]
+        )
+        wh = g["wh"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "wh": g["wh"],
+            "doc": g["doc"],
+            "n_pos": g["wh_count"].cast(pa.int64()),
+            "bucket": pa.array(
+                wh.view(np.uint64) % np.uint64(n_buckets), pa.int64()
+            ),
+        })
+
+    def mark_bucket(g: pa.Table) -> pa.Table:
+        wh = g["wh"].to_numpy(zero_copy_only=False)
+        doc = g["doc"].to_numpy(zero_copy_only=False)
+        npos = g["n_pos"].to_numpy(zero_copy_only=False)
+        order = np.argsort(wh, kind="stable")
+        wh, doc, npos = wh[order], doc[order], npos[order]
+        # rows are distinct (window, doc) pairs -> segment length ==
+        # distinct-doc count for that window value
+        change = np.flatnonzero(np.diff(wh)) + 1
+        seg_starts = np.concatenate([[0], change])
+        seg_lens = np.diff(np.concatenate([seg_starts, [wh.size]]))
+        dup_rows = np.repeat(seg_lens >= 2, seg_lens)
+        if not dup_rows.any():
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_dup": pa.array([], pa.int64()),
+            })
+        d, inv = np.unique(doc[dup_rows], return_inverse=True)
+        sums = np.bincount(inv, weights=npos[dup_rows]).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "n_dup": pa.array(sums, pa.int64()),
+        })
+
+    pairs = ds.map_batches(windows, batch_format="pyarrow")
+    partial = pairs.groupby("bucket").map_groups(
+        mark_bucket, batch_format="pyarrow"
+    )
+    out = partial.groupby("doc_id").aggregate(Sum("n_dup"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["doc_id" if c == "doc_id" else "n_dup" for c in t.column_names]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -408,3 +408,47 @@ edges AS (
 ),
 {_cc_sql("embeddings", "vec_id", "vec_id")}
 """
+
+
+def dup_window_sql(w: int = 5, limit: int = 20) -> str:
+    """Duplicate-window detection twin of dedup.dup_window_counts: the
+    same fold-shingle windows (md5_number_lower tokens, C-fold mod
+    2^64, docs with 0 < L < w folding once), a window value in >= 2
+    distinct docs is duplicated, each doc charged every duplicated
+    window position. Top ``limit`` docs by (n_dup desc, doc_id asc)."""
+    C = FOLD_C
+    leads = ",\n        ".join(
+        f"lead(h,{i}) OVER win AS h{i}" for i in range(1, w)
+    )
+    # full-window fold: ((...(h*C + h1)*C + h2 ...) mod 2^64
+    acc = "h"
+    for i in range(1, w):
+        acc = f"(({acc}*{C})%{W} + h{i})%{W}"
+    # short-doc fold (pos=1, L<w): fold of the doc's L tokens
+    short_accs = ["h"]
+    for i in range(1, w - 1):
+        short_accs.append(f"(({short_accs[-1]}*{C})%{W} + h{i})%{W}")
+    short_case = "CASE L " + " ".join(
+        f"WHEN {ln} THEN {short_accs[ln - 1]}" for ln in range(1, w)
+    ) + " END"
+    return f"""
+WITH {_toks_cte()},
+th AS (SELECT doc_id, pos, md5_number_lower(term)::HUGEINT AS h FROM tok),
+wn AS (SELECT doc_id, pos, h,
+        {leads},
+        count(*) OVER (PARTITION BY doc_id) AS L
+      FROM th
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (
+  SELECT doc_id, {acc} AS sh FROM wn WHERE h{w - 1} IS NOT NULL
+  UNION ALL
+  SELECT doc_id, {short_case} FROM wn WHERE L < {w} AND pos = 1
+),
+dup AS (
+  SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sh)
+  WHERE nd >= 2
+)
+SELECT doc_id, count(*) AS n_dup FROM sh
+WHERE sh IN (SELECT sh FROM dup)
+GROUP BY doc_id ORDER BY n_dup DESC, doc_id LIMIT {limit}
+"""

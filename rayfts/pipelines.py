@@ -77,7 +77,7 @@ def documents_index(sf_dir: str) -> str:
     # content fingerprint in the tag: a changed documents.parquet at the
     # same path must never serve results from a stale cached index
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|pos3".encode()
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|pos4".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/rayfts_qidx/{tag}"
     manifest_path = os.path.join(index_dir, "manifest.json")
@@ -4124,7 +4124,7 @@ def fts_simple_query_string_top10(sf_dir: str) -> pa.Table:
 # pipeline aggs as driver-gated entries
 # ---------------------------------------------------------------------------
 
-SIZE_TAG_MIN = 1200   # n_chars >= this -> size_tag='big', else NULL
+SIZE_TAG_MIN = 300    # n_chars >= this -> size_tag='big', else NULL
 
 
 def fts_missing_count(sf_dir: str) -> pa.Table:
@@ -4228,4 +4228,93 @@ def fts_date_hist_bucket_sort(sf_dir: str) -> pa.Table:
     return pa.table({
         "month_start": pa.array([r[0] for r in rows], pa.int64()),
         "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def dedup_window_spans(sf_dir: str, limit: int = 20) -> pa.Table:
+    """Substring-level duplicate detection over documents: width-5
+    token windows fold-hashed (the dedup-family shingle spec); each doc
+    charged every window position whose value appears in >= 2 distinct
+    docs. Top docs by duplicated-window count (n_dup desc, doc_id asc)
+    — the per-document signal suffix-array dedup pipelines threshold
+    on. Distributed: map-side distinct pairs, hash-bucket groupby,
+    per-doc sum; driver sees only block-local top-k candidates."""
+    from .extras.dedup import dup_window_counts
+
+    counts = dup_window_counts(
+        _docs(sf_dir), text_col="text", id_col="doc_id"
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        keys = [("n_dup", "descending"), ("doc_id", "ascending")]
+        return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, limit))
+
+    cand = pa.concat_tables([
+        b for b in ray.get(
+            counts.map_batches(
+                local_topk, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ) if b.num_rows
+    ])
+    keys = [("n_dup", "descending"), ("doc_id", "ascending")]
+    return cand.take(pc.sort_indices(cand, sort_keys=keys).slice(0, limit))
+
+
+CONST_SCORE_BOOST = 2.5
+CONST_SCORE_TERM = "spark"
+CONST_SCORE_MIN_NCHARS = 350
+IDS_PROBE = (3, 1, 4, 1, 5, 9, 2, 6)   # dups + order preserved by ES
+
+
+def fts_exists_docs(sf_dir: str) -> pa.Table:
+    """ES exists query over the nullable ``size_tag`` keyword: total
+    count plus the first 20 matching doc_ids ascending (constant-score
+    rewrite — the doc list is the result)."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    n = s.exists_count("size_tag")
+    docs = s.exists_docs("size_tag", limit=20)
+    to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array([int(to_src[d]) for d in docs], pa.int64()),
+        "n_exists": pa.array([n] * len(docs), pa.int64()),
+    })
+
+
+def fts_constant_score_docs(sf_dir: str) -> pa.Table:
+    """ES constant_score query: a filter context (term CONST_SCORE_TERM
+    AND n_chars >= CONST_SCORE_MIN_NCHARS) wrapped with boost — every
+    hit scores exactly the boost, ranking degrades to doc_id asc."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    mask = s._hit_mask(
+        CONST_SCORE_TERM,
+        where={"n_chars": {"gte": CONST_SCORE_MIN_NCHARS}},
+    )
+    docs = [] if mask is None else np.flatnonzero(mask)[:20]
+    to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array([int(to_src[d]) for d in docs], pa.int64()),
+        "score_e6": pa.array(
+            [int(round(CONST_SCORE_BOOST * 1e6))] * len(docs), pa.int64()
+        ),
+    })
+
+
+def fts_ids_docs(sf_dir: str) -> pa.Table:
+    """ES ids query: the IDS_PROBE set as a filter (distinct, ascending
+    like any other filter rewrite), constant score 1.0, joined with
+    each doc's n_chars through the order-preserving multiget."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    ids = sorted(set(IDS_PROBE))
+    # src ids -> dense ids through the explicit mapping (identity for
+    # this table, but never assumed)
+    to_src = _dense_to_src(index_dir)
+    src_to_dense = {int(v): i for i, v in enumerate(to_src)}
+    t = s.get_by_doc_id([src_to_dense[i] for i in ids])
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_chars": t["n_chars"].cast(pa.int64()),
+        "score_e6": pa.array([1_000_000] * len(ids), pa.int64()),
     })

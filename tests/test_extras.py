@@ -1499,3 +1499,54 @@ def test_bpe_tokenize_stats_matches_segment_replay():
         assert got.loc[i, "n_words"] == len(toks)
         assert got.loc[i, "n_subwords"] == want_ns, i
     assert got.loc[2, "n_subwords"] == 0
+
+
+def test_dup_window_counts_matches_bruteforce():
+    """Width-w duplicate-window detection against a direct recompute:
+    cross-doc duplicated windows charge every position (repeats inside
+    one doc count each), doc-unique windows charge nothing, short docs
+    (L < w) fold once and pair doc-level."""
+    import numpy as np
+
+    from rayfts.extras.dedup import dup_window_counts
+    from rayfts.oracle import tokenize
+
+    texts = {
+        0: "a b c d e f g h",          # shares window a..e with doc 1
+        1: "x a b c d e y z",
+        2: "p q r s t u v w",          # no shared windows
+        3: "m n o",                    # short: L < 5, folds once
+        4: "m n o",                    # exact short dup of doc 3
+        5: "a b c d e a b c d e",      # internal repeat + cross-doc dup
+        6: "",                         # empty doc: no windows
+    }
+    w = 5
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+    })
+    got = {
+        int(r["doc_id"]): int(r["n_dup"])
+        for r in dup_window_counts(
+            rd.from_arrow(t), w=w, n_buckets=3
+        ).take_all()
+    }
+    # brute force over token tuples (hashing is injective here)
+    wins: dict = {}
+    for d, txt in texts.items():
+        toks = tokenize(txt)
+        if not toks:
+            continue
+        ws = ([tuple(toks)] if len(toks) < w else
+              [tuple(toks[i:i + w]) for i in range(len(toks) - w + 1)])
+        for win in ws:
+            wins.setdefault(win, []).append(d)
+    want: dict = {}
+    for win, docs in wins.items():
+        if len(set(docs)) >= 2:
+            for d in docs:
+                want[d] = want.get(d, 0) + 1
+    assert got == want
+    assert 2 not in got and 6 not in got      # unique / empty docs absent
+    assert got[3] == 1 and got[4] == 1        # short-doc fold pairs
+    assert got[5] == 2                        # internal repeat: both positions
