@@ -534,6 +534,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_exists_docs": P.fts_exists_docs,
         "fts_constant_score_docs": P.fts_constant_score_docs,
         "fts_ids_docs": P.fts_ids_docs,
+        # match + fuzziness: blended scoring over OSA expansions
+        "fts_match_fuzzy_top10": P.fts_match_fuzzy_top10,
+        # text analysis: per-source TF-IDF keyword extraction
+        "doc_tfidf_keywords": P.doc_tfidf_keywords,
     }
 
 
@@ -3168,5 +3172,76 @@ SELECT doc_id, n_chars, CAST(1000000 AS BIGINT) AS score_e6
 FROM documents
 WHERE doc_id IN ({",".join(str(i) for i in sorted(set(P.IDS_PROBE)))})
 ORDER BY doc_id
+""",
+        # match + fuzziness: per-token OSA<=1 expansions (closest-first
+        # cap 50 — damerau_levenshtein is DuckDB's OSA), each scoring
+        # BM25 with its own df, decayed (E+1-ed)/(E+1), same-term
+        # weights summed, accumulation ORDER BY term
+        "fts_match_fuzzy_top10": f"""
+WITH {_TOKS_CTE},
+{_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+vocab AS (SELECT DISTINCT term FROM toks),
+{",".join(
+    "exp{i} AS (SELECT term, damerau_levenshtein(term, '{q}') AS ed "
+    "FROM vocab WHERE damerau_levenshtein(term, '{q}') <= {e} "
+    "ORDER BY ed, term LIMIT 50)".format(
+        i=i, q=q, e=P.FUZZY_MATCH_EDITS)
+    for i, q in enumerate(P.FUZZY_MATCH_QUERY.split())
+)},
+qt AS (
+  SELECT term,
+         sum(({P.FUZZY_MATCH_EDITS} + 1 - ed)
+             / ({P.FUZZY_MATCH_EDITS} + 1.0)) AS boost
+  FROM ({" UNION ALL ".join(
+      f"SELECT * FROM exp{i}"
+      for i in range(len(P.FUZZY_MATCH_QUERY.split()))
+  )})
+  GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( (q.boost * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)))
+              * ( tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+              ORDER BY tf.term ) AS score
+  FROM tf JOIN df USING (term) JOIN qt q USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # per-source TF-IDF keywords: group tf * ln(1 + N/df), top 3
+        "doc_tfidf_keywords": f"""
+WITH {_TOKS_CTE},
+tf AS (
+  SELECT d.source AS grp, t.term, count(*) AS tf
+  FROM toks t JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT grp, term,
+         CAST(floor(tf * ln(1 + nn.n / dfx.df::DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS score_e6
+  FROM tf JOIN dfx USING (term) CROSS JOIN nn
+),
+r AS (
+  SELECT grp, term, score_e6,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY score_e6 DESC, term) AS rk
+  FROM sc
+)
+SELECT grp AS source, term, score_e6 FROM r WHERE rk <= {P.TFIDF_TOP_K}
 """,
     }

@@ -208,3 +208,87 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "fingerprint": pa.array(fp.view(np.int64)),
         }
     )
+
+
+def tfidf_keywords(
+    ds, text_col: str = "text", group_col: str = "source",
+    id_col: str = "doc_id", top_k: int = 3,
+):
+    """TF-IDF keyword extraction per group (the classic corpus-keyword
+    op): score(term, group) = total_tf_in_group * ln(1 + N / df) with
+    df = DISTINCT docs containing the term corpus-wide; per group the
+    ``top_k`` terms by (score desc, term asc).
+
+    Distributed shape: one map_batches emits BOTH per-(group, term) tf
+    partials and per-(term, doc) presence rows; a groupby sums group
+    tfs; the df side groups on term — its output is vocab-bounded, so
+    it collects to a driver dict and broadcasts into a final vectorized
+    scoring pass (the broadcast-small-side rule; a web-scale open vocab
+    would hash-join instead — documented divergence). Returns a list of
+    (group, term, score_e6) rows, group asc then rank."""
+    import math
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch[text_col])
+        if len(flat) == 0:
+            return pa.table({
+                "grp": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            })
+        grp = batch[group_col].to_numpy(zero_copy_only=False)[parent]
+        t = pa.table({
+            "grp": pa.array(grp, pa.string()),
+            "term": flat if isinstance(flat, pa.Array) else pa.array(flat),
+        })
+        g = t.group_by(["grp", "term"], use_threads=False).aggregate(
+            [("term", "count")]
+        )
+        return pa.table({
+            "grp": g["grp"], "term": g["term"],
+            "tf": g["term_count"].cast(pa.int64()),
+        })
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch[text_col])
+        if len(flat) == 0:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "doc": pa.array([], pa.int64()),
+            })
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[parent]
+        t = pa.table({
+            "term": flat if isinstance(flat, pa.Array) else pa.array(flat),
+            "doc": pa.array(ids, pa.int64()),
+        })
+        # distinct (term, doc) per batch; docs never span batches, so
+        # these rows are globally distinct
+        return t.group_by(["term", "doc"], use_threads=False).aggregate([])
+
+    n_docs = ds.count()
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow") \
+        .groupby(["grp", "term"]).aggregate(Sum("tf"))
+    dfs = ds.map_batches(df_rows, batch_format="pyarrow") \
+        .groupby("term").aggregate(Count())
+    df_map = {
+        r["term"]: r["count()"]
+        for b in ray.get(dfs.to_arrow_refs())
+        for r in b.to_pylist()
+    }
+    rows = []
+    for b in ray.get(tf.to_arrow_refs()):
+        for r in b.to_pylist():
+            w = r["sum(tf)"] * math.log(1.0 + n_docs / df_map[r["term"]])
+            rows.append((r["grp"], r["term"],
+                         int(math.floor(w * 1e6 + 0.5))))
+    rows.sort(key=lambda x: (x[0], -x[2], x[1]))
+    out, seen = [], {}
+    for g, t, s in rows:
+        if seen.get(g, 0) < top_k:
+            out.append((g, t, s))
+            seen[g] = seen.get(g, 0) + 1
+    return out

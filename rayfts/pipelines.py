@@ -4318,3 +4318,47 @@ def fts_ids_docs(sf_dir: str) -> pa.Table:
         "n_chars": t["n_chars"].cast(pa.int64()),
         "score_e6": pa.array([1_000_000] * len(ids), pa.int64()),
     })
+
+
+FUZZY_MATCH_QUERY = "batch jion"   # one in-vocab token + one OOV typo
+FUZZY_MATCH_EDITS = 1
+
+
+def fts_match_fuzzy_top10(sf_dir: str) -> pa.Table:
+    """ES match query with fuzziness (scored): each query token's
+    OSA-1 dictionary neighborhood scores BM25 with its own stats,
+    decayed (max_edits + 1 - ed) / (max_edits + 1) — exact 1.0, one
+    edit 1/2; top 10 by the blended sum."""
+    s = Searcher(documents_index(sf_dir))
+    hits = s.match_fuzzy(
+        FUZZY_MATCH_QUERY, k=10, max_edits=FUZZY_MATCH_EDITS
+    )
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+        ),
+    })
+
+
+TFIDF_TOP_K = 3
+
+
+def doc_tfidf_keywords(sf_dir: str) -> pa.Table:
+    """TF-IDF keyword extraction per source: top TFIDF_TOP_K terms by
+    group-tf * ln(1 + N/df) (df = distinct docs corpus-wide), score
+    desc then term asc within each source."""
+    from .extras.textstats import tfidf_keywords
+
+    rows = tfidf_keywords(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        ),
+        top_k=TFIDF_TOP_K,
+    )
+    return pa.table({
+        "source": pa.array([g for g, _, _ in rows], pa.string()),
+        "term": pa.array([t for _, t, _ in rows], pa.string()),
+        "score_e6": pa.array([s for _, _, s in rows], pa.int64()),
+    })

@@ -3972,6 +3972,56 @@ class Searcher(SuggestAPI):
         hits.sort()
         return [(t, d) for d, t in hits[:max_expansions]]
 
+    def match_fuzzy(self, query: str, k: int = 10, max_edits: int = 1,
+                    prefix_length: int = 0, max_expansions: int = 50,
+                    transpositions: bool = True,
+                    where: dict | None = None) -> list[tuple]:
+        """ES match query with ``fuzziness`` (the scored form — unlike
+        fuzzy_docs' constant-score doc list): every analyzed query
+        token expands to its OSA-<= max_edits dictionary neighborhood
+        (closest-first, capped — expand_fuzzy, the ES default
+        transpositions=true metric); each expanded term scores BM25
+        with its OWN postings stats, weighted by the documented decay
+        ``(max_edits + 1 - ed) / (max_edits + 1)`` (exact term 1.0, one
+        edit 1/2, ...), same-term weights from different query tokens
+        SUMMED (repeated-clause rule). Weights are exact binary
+        fractions so the sum is order-free; per-doc accumulation is
+        term-ascending (the engine float op order the SQL twin
+        mirrors). A doc matches when any expanded term is present.
+        Returns [(doc_id, score)] score desc, doc_id asc, top k."""
+        if k <= 0:
+            return []
+        weights: dict[str, float] = {}
+        for tok in tokenize_query(query):
+            if self.stopwords and tok in self.stopwords:
+                continue
+            for t, ed in self.expand_fuzzy(
+                tok, max_edits, prefix_length, max_expansions,
+                transpositions,
+            ):
+                w = (max_edits + 1 - ed) / (max_edits + 1)
+                weights[t] = weights.get(t, 0.0) + w
+        buf = np.zeros(self.N, dtype=np.float64)
+        hit = np.zeros(self.N, dtype=bool)
+        for term in sorted(weights):
+            p = self.lookup(term)
+            if p is None:
+                continue
+            w = weights[term] * self.idf(p.df)
+            ids = p.doc_ids if p.live_mask is None else p.doc_ids[p.live_mask]
+            tfp = p.tf_part if p.live_mask is None else p.tf_part[p.live_mask]
+            buf[ids] += w * tfp
+            hit[ids] = True
+        if self.excluded.size:
+            hit = hit.copy()
+            hit[self.excluded] = False
+        if where:
+            hit = hit & self.filter_mask(**where)
+        idx = np.flatnonzero(hit)
+        if idx.size == 0:
+            return []
+        return self._topk_from(idx, buf[idx], k)
+
     def _docs_for_terms(self, terms: list[str],
                         limit: int) -> list[tuple[int, int]]:
         """Constant-score multi-term rewrite core: docs containing at

@@ -2559,3 +2559,24 @@ def test_new_aggs_match_bruteforce(index_dir, oracle):
     ]
     assert normalize_aggs([]) == []
     assert normalize_aggs([("a", 0)]) == []
+
+
+def test_match_fuzzy_matches_composition(index_dir, oracle):
+    """Scored fuzzy match: max_edits=0 degrades to the plain match
+    query exactly; for an OOV token the blended score equals the sum of
+    0.5 * single-term BM25 over the OSA-1 expansion set."""
+    s = Searcher(index_dir)
+    for q in ("the w0007", "bash"):
+        assert s.match_fuzzy(q, k=30, max_edits=0) == s.search(q, k=30)
+    exp = s.expand_fuzzy("teh", 1, transpositions=True)
+    assert exp  # 'the' is an OSA-1 transposition neighbor of 'teh'
+    want: dict = {}
+    for term, ed in exp:
+        w = (2 - ed) / 2.0
+        for d, sc in s.search(term, k=10**6):
+            want[d] = want.get(d, 0.0) + w * sc
+    got = s.match_fuzzy("teh", k=10**6, max_edits=1)
+    assert sorted(d for d, _ in got) == sorted(want)
+    for d, sc in got:
+        assert sc == pytest.approx(want[d], abs=1e-12)
+    assert s.match_fuzzy("zzqqzzqq", k=10) == []  # no neighbors at 1

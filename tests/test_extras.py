@@ -1550,3 +1550,48 @@ def test_dup_window_counts_matches_bruteforce():
     assert 2 not in got and 6 not in got      # unique / empty docs absent
     assert got[3] == 1 and got[4] == 1        # short-doc fold pairs
     assert got[5] == 2                        # internal repeat: both positions
+
+
+def test_tfidf_keywords_matches_bruteforce():
+    """Per-group TF-IDF keywords against a direct recompute (group tf *
+    ln(1 + N/df), df = distinct docs, top-k by score desc / term asc)."""
+    import math
+
+    from rayfts.extras.textstats import tfidf_keywords
+    from rayfts.oracle import tokenize
+
+    rows = [
+        (0, "alpha beta beta gamma", "s1"),
+        (1, "alpha alpha delta", "s1"),
+        (2, "beta gamma gamma gamma", "s2"),
+        (3, "", "s2"),
+        (4, "epsilon", "s3"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = tfidf_keywords(rd.from_arrow(t), top_k=2)
+    n = len(rows)
+    df: dict = {}
+    for d, txt, _ in rows:
+        for term in set(tokenize(txt)):
+            df[term] = df.get(term, 0) + 1
+    tf: dict = {}
+    for _, txt, g in rows:
+        for term in tokenize(txt):
+            tf[(g, term)] = tf.get((g, term), 0) + 1
+    want_all = sorted(
+        (g, term,
+         int(math.floor(c * math.log(1 + n / df[term]) * 1e6 + 0.5)))
+        for (g, term), c in tf.items()
+    )
+    want_all.sort(key=lambda x: (x[0], -x[2], x[1]))
+    want, seen = [], {}
+    for g, term, sc in want_all:
+        if seen.get(g, 0) < 2:
+            want.append((g, term, sc))
+            seen[g] = seen.get(g, 0) + 1
+    assert got == want
+    assert [g for g, _, _ in got] == ["s1", "s1", "s2", "s2", "s3"]
