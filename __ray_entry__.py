@@ -17,6 +17,7 @@ from typing import Any
 
 from rayfts import pipelines as P
 from rayfts.extras import oracles as _X
+from rayfts.extras import textstats as _QF  # quality-funnel thresholds
 from rayfts.search import Searcher as _S  # AUTO_DATE_LADDER for the oracle
 
 # Token class shared with rayfts.analysis.SPLIT_PATTERN (RE2 in both engines).
@@ -538,6 +539,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_match_fuzzy_top10": P.fts_match_fuzzy_top10,
         # text analysis: per-source TF-IDF keyword extraction
         "doc_tfidf_keywords": P.doc_tfidf_keywords,
+        # quality-filter funnel: C4/Gopher rule stack with drop counts
+        "quality_filter_counts": P.quality_filter_counts,
+        # terms lookup: filter values fetched from another doc
+        "fts_terms_lookup_docs": P.fts_terms_lookup_docs,
+        # search template: mustache render -> standard search
+        "fts_search_template_top10": P.fts_search_template_top10,
+        # cumulative_cardinality: running distinct under the date hist
+        "fts_cumulative_cardinality": P.fts_cumulative_cardinality,
     }
 
 
@@ -3243,5 +3252,78 @@ r AS (
   FROM sc
 )
 SELECT grp AS source, term, score_e6 FROM r WHERE rk <= {P.TFIDF_TOP_K}
+""",
+        # quality funnel: first-failing-rule attribution, integer
+        # cross-multiplied thresholds (no float compares)
+        "quality_filter_counts": f"""
+WITH docs_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS arr
+  FROM documents
+),
+toksq AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(range(1, len(arr) + 1)) AS pos
+  FROM docs_arr
+),
+tc AS (SELECT doc_id, term, count(*) AS c FROM toksq GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS tcnt, max(c) AS topc FROM tc GROUP BY 1),
+grams AS (
+  SELECT a.doc_id, a.term AS t1, b.term AS t2
+  FROM toksq a JOIN toksq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+gc AS (SELECT doc_id, t1, t2, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+gagg AS (SELECT doc_id, sum(c) AS ng,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dp
+         FROM gc GROUP BY 1),
+cls AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN coalesce(a.tcnt, 0) < {_QF.QF_MIN_TOKENS} THEN 'min_tokens'
+           WHEN a.topc * {_QF.QF_TOP_Q} > a.tcnt * {_QF.QF_TOP_P}
+             THEN 'top_token'
+           WHEN coalesce(g.dp, 0) * {_QF.QF_GRAM_Q}
+                > coalesce(g.ng, 0) * {_QF.QF_GRAM_P} THEN 'dup_2gram'
+           ELSE 'kept'
+         END AS rule
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+       LEFT JOIN gagg g USING (doc_id)
+),
+names(rule) AS (VALUES ('min_tokens'), ('top_token'), ('dup_2gram'),
+                       ('kept'))
+SELECT n.rule, CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+FROM names n LEFT JOIN (SELECT rule, count(*) AS n FROM cls GROUP BY 1) c
+  USING (rule)
+""",
+        # terms lookup: values read from TERMS_LOOKUP_DOC's lang field
+        "fts_terms_lookup_docs": f"""
+WITH lk AS (SELECT lang FROM documents
+            WHERE doc_id = {P.TERMS_LOOKUP_DOC}),
+hits AS (SELECT doc_id FROM documents
+         WHERE lang IN (SELECT lang FROM lk))
+SELECT doc_id, (SELECT count(*) FROM hits) AS n_hits
+FROM hits ORDER BY doc_id LIMIT 20
+""",
+        # search template: the render resolves to BM25_QUERY verbatim,
+        # so the oracle is the flagship BM25 top-10
+        "fts_search_template_top10": _bm25_sql(
+            sorted(set(P.BM25_QUERY.split())), 10
+        ),
+        # cumulative_cardinality: correlated running distinct per month
+        "fts_cumulative_cardinality": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+h AS (
+  SELECT CAST(epoch(date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+           AS month_start,
+         source
+  FROM documents JOIN hits USING (doc_id)
+),
+hist AS (SELECT month_start, count(*) AS n_docs FROM h GROUP BY 1)
+SELECT hist.month_start, hist.n_docs,
+       (SELECT count(DISTINCT h2.source) FROM h h2
+        WHERE h2.month_start <= hist.month_start) AS cum_distinct
+FROM hist ORDER BY hist.month_start
 """,
     }

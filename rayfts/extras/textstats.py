@@ -292,3 +292,81 @@ def tfidf_keywords(
             out.append((g, t, s))
             seen[g] = seen.get(g, 0) + 1
     return out
+
+
+# C4/Gopher-style quality-filter funnel: integer-ratio thresholds so the
+# SQL twin compares with cross-multiplication, never floats
+QF_MIN_TOKENS = 25          # rule 1: doc shorter than this drops
+QF_TOP_P, QF_TOP_Q = 1, 8   # rule 2: top-token frac > 1/8 drops
+QF_GRAM_P, QF_GRAM_Q = 1, 10  # rule 3: dup-2gram frac > 1/10 drops
+
+
+def quality_filter_funnel(ds, text_col: str = "text"):
+    """Composed quality-filter funnel (the C4 / Gopher rule-stack
+    shape): each doc is attributed to its FIRST failing rule —
+    min_tokens, then top-token concentration, then duplicate-2gram
+    coverage — or 'kept'. Thresholds are integer ratios compared by
+    cross-multiplication (top_c * Q > token_cnt * P), so engine and SQL
+    agree exactly with no float comparisons.
+
+    Distributed shape: one vectorized map_batches computes the three
+    repetition integers per doc (the repetition_stats kernels) and
+    emits per-rule partial counts; the driver sums O(rules) rows.
+    Returns [(rule, n_docs)] in funnel order + 'kept'."""
+    import ray
+
+    rules = ("min_tokens", "top_token", "dup_2gram", "kept")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parent = tokens_flat(batch[text_col])
+        token_cnt = np.bincount(parent, minlength=n).astype(np.int64)
+        top_c = np.zeros(n, dtype=np.int64)
+        ng = np.zeros(n, dtype=np.int64)
+        dp = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            enc = pc.dictionary_encode(
+                flat if not isinstance(flat, pa.ChunkedArray)
+                else flat.combine_chunks()
+            )
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            nv = len(enc.dictionary)
+            # per-doc top token count: bincount on (row, code) pairs
+            pair = parent * nv + codes
+            uniq, cnt = np.unique(pair, return_counts=True)
+            rows_u = uniq // nv
+            np.maximum.at(top_c, rows_u, cnt)
+            # 2-grams within rows: adjacent positions, same parent
+            if codes.size >= 2:
+                same = parent[1:] == parent[:-1]
+                g_parent = parent[:-1][same]
+                g_key = (parent[:-1] * nv + codes[:-1])[same] * nv \
+                    + codes[1:][same]
+                gu, gcnt = np.unique(g_key, return_counts=True)
+                g_rows = gu // (nv * nv)
+                ng = np.bincount(
+                    g_parent, minlength=n
+                ).astype(np.int64)
+                dup = gcnt > 1
+                dp = np.zeros(n, dtype=np.int64)
+                np.add.at(dp, g_rows[dup], gcnt[dup])
+        r1 = token_cnt < QF_MIN_TOKENS
+        r2 = ~r1 & (top_c * QF_TOP_Q > token_cnt * QF_TOP_P)
+        r3 = ~r1 & ~r2 & (dp * QF_GRAM_Q > ng * QF_GRAM_P)
+        kept = ~r1 & ~r2 & ~r3
+        return pa.table({
+            "rule": pa.array(rules, pa.string()),
+            "n": pa.array(
+                [int(r1.sum()), int(r2.sum()), int(r3.sum()),
+                 int(kept.sum())], pa.int64(),
+            ),
+        })
+
+    totals = {r: 0 for r in rules}
+    parts = ds.map_batches(classify, batch_format="pyarrow")
+    for b in ray.get(parts.to_arrow_refs()):
+        for r in b.to_pylist():
+            totals[r["rule"]] += r["n"]
+    return [(r, totals[r]) for r in rules]

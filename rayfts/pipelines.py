@@ -4362,3 +4362,79 @@ def doc_tfidf_keywords(sf_dir: str) -> pa.Table:
         "term": pa.array([t for _, t, _ in rows], pa.string()),
         "score_e6": pa.array([s for _, _, s in rows], pa.int64()),
     })
+
+
+def quality_filter_counts(sf_dir: str) -> pa.Table:
+    """C4/Gopher-style quality-filter funnel over documents: per-rule
+    drop counts (first failing rule wins) + kept — min_tokens,
+    top-token concentration, duplicate-2gram coverage, all integer-
+    ratio thresholds shared with the SQL twin."""
+    from .extras.textstats import quality_filter_funnel
+
+    rows = quality_filter_funnel(_docs(sf_dir))
+    return pa.table({
+        "rule": pa.array([r for r, _ in rows], pa.string()),
+        "n_docs": pa.array([n for _, n in rows], pa.int64()),
+    })
+
+
+TERMS_LOOKUP_DOC = 7   # ES terms-lookup: values fetched from this doc
+
+
+def fts_terms_lookup_docs(sf_dir: str) -> pa.Table:
+    """ES terms query with terms LOOKUP (the {index, id, path} form):
+    the filter values are read from document TERMS_LOOKUP_DOC's ``lang``
+    field at query time, then applied as a keyword filter — total count
+    and first 20 doc_ids ascending, constant score."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    to_src = _dense_to_src(index_dir)
+    src_to_dense = {int(v): i for i, v in enumerate(to_src)}
+    lookup = s.get_by_doc_id([src_to_dense[TERMS_LOOKUP_DOC]])
+    langs = [lookup["lang"][0].as_py()]
+    mask = s.filter_mask(lang=langs)
+    docs = np.flatnonzero(mask)
+    return pa.table({
+        "doc_id": pa.array(
+            [int(to_src[d]) for d in docs[:20]], pa.int64()
+        ),
+        "n_hits": pa.array([int(mask.sum())] * min(docs.size, 20),
+                           pa.int64()),
+    })
+
+
+SEARCH_TEMPLATE = "{{t1}} join the {{t2}}"
+SEARCH_TEMPLATE_PARAMS = {"t1": "spark", "t2": "data"}
+
+
+def fts_search_template_top10(sf_dir: str) -> pa.Table:
+    """ES search-template (_search/template): mustache-subset
+    {{param}} substitution rendered at query time, then the standard
+    match search — the render resolves to BM25_QUERY, so scores face
+    the same oracle."""
+    from .search import render_search_template
+
+    s = Searcher(documents_index(sf_dir))
+    q = render_search_template(SEARCH_TEMPLATE, SEARCH_TEMPLATE_PARAMS)
+    hits = s.search(q, k=10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+        ),
+    })
+
+
+def fts_cumulative_cardinality(sf_dir: str) -> pa.Table:
+    """ES cumulative_cardinality pipeline agg (exact): running distinct
+    ``source`` count under the monthly date_histogram of BM25_QUERY
+    hits."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.cumulative_cardinality_agg(
+        BM25_QUERY, "ts_epoch", "source", "month"
+    )
+    return pa.table({
+        "month_start": pa.array([r[0] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "cum_distinct": pa.array([r[2] for r in rows], pa.int64()),
+    })

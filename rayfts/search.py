@@ -187,6 +187,19 @@ def parse_query_string(q: str) -> dict:
     return out
 
 
+_TEMPLATE_RE = re.compile(r"\{\{\s*([\w.]+)\s*\}\}")
+
+
+def render_search_template(source: str, params: dict) -> str:
+    """ES search-template render (_render/template): the mustache
+    subset ES documents for plain value substitution — ``{{name}}`` ->
+    str(params[name]); a missing param renders empty (the mustache
+    null rule). No sections/partials — the ES docs' core use case."""
+    return _TEMPLATE_RE.sub(
+        lambda m: str(params.get(m.group(1), "")), source
+    )
+
+
 _SQS_TOKEN_RE = re.compile(r'"([^"]*)"?|([+|()])|(-)|([\w*]+)')
 
 
@@ -2521,6 +2534,53 @@ class Searcher(SuggestAPI):
         keys = calendar_floor(sel.astype(np.int64), unit)
         uniq, cnt = np.unique(keys, return_counts=True)
         return [(int(u), int(c)) for u, c in zip(uniq, cnt)]
+
+    def cumulative_cardinality_agg(self, query: str, field: str,
+                                   key_field: str,
+                                   calendar_interval: str = "month",
+                                   where: dict | None = None,
+                                   mode: str = "or",
+                                   must_not: str | None = None
+                                   ) -> list[tuple]:
+        """ES cumulative_cardinality pipeline-aggregation analog (EXACT
+        — ES stacks HLL sketches; this engine's cardinality family is
+        exact, documented at cardinality_agg): under a calendar
+        date_histogram on ``field``, the running count of DISTINCT
+        keyword ``key_field`` values seen in the query hits up to and
+        including each bucket. Returns [(bucket_start, n_docs,
+        cum_distinct)] ascending.
+
+        Vectorized: one (bucket, code) unique pass; the running union is
+        a first-seen-bucket argmin per code, then a cumsum over buckets
+        — O(hits) + O(buckets), no per-bucket set building."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        vals, valid = self._numeric_col(field)
+        codes, _ = self._field_codes(key_field)
+        sel = hits & valid & (codes >= 0)
+        idx = np.flatnonzero(sel)
+        if idx.size == 0:
+            return []
+        unit = self._CALENDAR_UNITS.get(calendar_interval)
+        if unit is None:
+            raise ValueError(
+                f"unsupported calendar_interval: {calendar_interval!r}"
+            )
+        keys = calendar_floor(vals[idx].astype(np.int64), unit)
+        uniq_b, cnt = np.unique(keys, return_counts=True)
+        # first bucket each key value appears in
+        order = np.lexsort((keys, codes[idx]))
+        c_s, k_s = codes[idx][order], keys[order]
+        first = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        first_bucket = k_s[first]
+        pos = np.searchsorted(uniq_b, first_bucket)
+        news = np.bincount(pos, minlength=uniq_b.size)
+        cum = np.cumsum(news)
+        return [
+            (int(b), int(c), int(cd))
+            for b, c, cd in zip(uniq_b, cnt, cum)
+        ]
 
     def percentiles_agg(self, query: str, field: str,
                         percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),

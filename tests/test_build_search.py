@@ -2580,3 +2580,30 @@ def test_match_fuzzy_matches_composition(index_dir, oracle):
     for d, sc in got:
         assert sc == pytest.approx(want[d], abs=1e-12)
     assert s.match_fuzzy("zzqqzzqq", k=10) == []  # no neighbors at 1
+
+
+def test_cumulative_cardinality_and_template(index_dir, oracle):
+    """cumulative_cardinality: single-bucket case == (n_hits, distinct
+    roles among hits); render_search_template: mustache substitution
+    incl. the missing-param empty rule."""
+    import pyarrow.dataset as pads
+
+    from rayfts.search import render_search_template
+
+    idx, t = oracle
+    s = Searcher(index_dir)
+    q = "the w0007"
+    hits = {d for d, _ in idx.search(q, k=10**6)}
+    roles = t["role"].to_pylist()
+    rows = s.cumulative_cardinality_agg(q, "turn_idx", "role", "minute")
+    assert rows == [(0, len(hits), len({roles[d] for d in hits}))]
+    assert s.cumulative_cardinality_agg("zzzz_absent", "turn_idx",
+                                        "role") == []
+    with pytest.raises(ValueError):
+        s.cumulative_cardinality_agg(q, "turn_idx", "role", "fortnight")
+    assert render_search_template(
+        "{{a}} x {{ b }} {{missing}}!", {"a": "one", "b": 2}
+    ) == "one x 2 !"
+    # template render + search == direct search
+    assert s.search(render_search_template("{{q}}", {"q": q}), k=10) == \
+        s.search(q, k=10)

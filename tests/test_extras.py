@@ -1595,3 +1595,51 @@ def test_tfidf_keywords_matches_bruteforce():
             seen[g] = seen.get(g, 0) + 1
     assert got == want
     assert [g for g, _, _ in got] == ["s1", "s1", "s2", "s2", "s3"]
+
+
+def test_quality_filter_funnel_matches_bruteforce():
+    """Funnel attribution (first failing rule) against a per-doc
+    recompute with plain Python counting."""
+    from collections import Counter
+
+    from rayfts.extras.textstats import (
+        QF_GRAM_P,
+        QF_GRAM_Q,
+        QF_MIN_TOKENS,
+        QF_TOP_P,
+        QF_TOP_Q,
+        quality_filter_funnel,
+    )
+    from rayfts.oracle import tokenize
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(n)))
+        for n in rng.integers(1, 90, size=120)
+    ]
+    texts += ["", "x " * 400, ("a b " * 30) + "c"]  # edge rows
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = dict(quality_filter_funnel(rd.from_arrow(t)))
+    want = Counter()
+    for txt in texts:
+        toks = tokenize(txt)
+        tc = len(toks)
+        top = max(Counter(toks).values()) if toks else 0
+        grams = Counter(zip(toks, toks[1:]))
+        ng = sum(grams.values())
+        dp = sum(c for c in grams.values() if c > 1)
+        if tc < QF_MIN_TOKENS:
+            want["min_tokens"] += 1
+        elif top * QF_TOP_Q > tc * QF_TOP_P:
+            want["top_token"] += 1
+        elif dp * QF_GRAM_Q > ng * QF_GRAM_P:
+            want["dup_2gram"] += 1
+        else:
+            want["kept"] += 1
+    assert got == {r: want.get(r, 0) for r in got}
+    assert sum(got.values()) == len(texts)
+    assert all(got[r] > 0 for r in got), got  # every rule exercised
