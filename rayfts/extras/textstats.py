@@ -222,10 +222,12 @@ def tfidf_keywords(
     Distributed shape: one map_batches emits BOTH per-(group, term) tf
     partials and per-(term, doc) presence rows; a groupby sums group
     tfs; the df side groups on term — its output is vocab-bounded, so
-    it collects to a driver dict and broadcasts into a final vectorized
-    scoring pass (the broadcast-small-side rule; a web-scale open vocab
-    would hash-join instead — documented divergence). Returns a list of
-    (group, term, score_e6) rows, group asc then rank."""
+    it collects to a driver dict and is BROADCAST (ray.put once) into a
+    distributed per-group top-k (groupby(grp).map_groups with a
+    vectorized kernel — the driver sees only groups * top_k rows; a
+    web-scale open vocab would hash-join the df side instead —
+    documented divergence). Returns a list of (group, term, score_e6)
+    rows, group asc then rank."""
     import math
 
     import ray
@@ -279,19 +281,37 @@ def tfidf_keywords(
         for b in ray.get(dfs.to_arrow_refs())
         for r in b.to_pylist()
     }
-    rows = []
-    for b in ray.get(tf.to_arrow_refs()):
-        for r in b.to_pylist():
-            w = r["sum(tf)"] * math.log(1.0 + n_docs / df_map[r["term"]])
-            rows.append((r["grp"], r["term"],
-                         int(math.floor(w * 1e6 + 0.5))))
+    df_ref = ray.put(df_map)  # broadcast once, read per group task
+
+    def group_topk(g: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        terms = g["term"].to_pylist()
+        tfs = g["sum(tf)"].to_numpy(zero_copy_only=False)
+        scores = [
+            int(math.floor(
+                int(c) * math.log(1.0 + n_docs / dfm[t]) * 1e6 + 0.5
+            ))
+            for t, c in zip(terms, tfs)
+        ]
+        order = sorted(
+            range(len(terms)), key=lambda i: (-scores[i], terms[i])
+        )[:top_k]
+        return pa.table({
+            "grp": pa.array([g["grp"][0].as_py()] * len(order)),
+            "term": pa.array([terms[i] for i in order], pa.string()),
+            "score_e6": pa.array([scores[i] for i in order], pa.int64()),
+        })
+
+    picked = tf.groupby("grp").map_groups(
+        group_topk, batch_format="pyarrow"
+    )
+    rows = [
+        (r["grp"], r["term"], r["score_e6"])
+        for b in ray.get(picked.to_arrow_refs())
+        for r in b.to_pylist()
+    ]
     rows.sort(key=lambda x: (x[0], -x[2], x[1]))
-    out, seen = [], {}
-    for g, t, s in rows:
-        if seen.get(g, 0) < top_k:
-            out.append((g, t, s))
-            seen[g] = seen.get(g, 0) + 1
-    return out
+    return rows
 
 
 # C4/Gopher-style quality-filter funnel: integer-ratio thresholds so the
