@@ -547,6 +547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_search_template_top10": P.fts_search_template_top10,
         # cumulative_cardinality: running distinct under the date hist
         "fts_cumulative_cardinality": P.fts_cumulative_cardinality,
+        # moving_percentiles: trailing-window quantiles of bucket counts
+        "fts_date_hist_moving_pct": P.fts_date_hist_moving_pct,
     }
 
 
@@ -3325,5 +3327,29 @@ SELECT hist.month_start, hist.n_docs,
        (SELECT count(DISTINCT h2.source) FROM h h2
         WHERE h2.month_start <= hist.month_start) AS cum_distinct
 FROM hist ORDER BY hist.month_start
+""",
+        # moving_percentiles: quantile_cont over the trailing frame
+        "fts_date_hist_moving_pct": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT CAST(epoch(date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+           AS month_start,
+         count(*) AS n_docs
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+)
+SELECT month_start, n_docs,
+{",".join(
+    "       CAST(round(quantile_cont(n_docs, {q}) OVER w * 1e6) AS BIGINT)"
+    " AS p{n}_e6".format(q=p / 100.0, n=int(p))
+    for p in P.MOVING_PCTS
+)}
+FROM hist
+WINDOW w AS (ORDER BY month_start
+             ROWS BETWEEN {P.MOVING_PCT_WINDOW - 1} PRECEDING
+             AND CURRENT ROW)
+ORDER BY month_start
 """,
     }

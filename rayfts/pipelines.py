@@ -4438,3 +4438,30 @@ def fts_cumulative_cardinality(sf_dir: str) -> pa.Table:
         "n_docs": pa.array([r[1] for r in rows], pa.int64()),
         "cum_distinct": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+MOVING_PCT_WINDOW = 3
+MOVING_PCTS = (25.0, 50.0, 75.0)
+
+
+def fts_date_hist_moving_pct(sf_dir: str) -> pa.Table:
+    """ES moving_percentiles pipeline agg (exact form) over the monthly
+    date_histogram: trailing-window linear-interpolation percentiles of
+    the bucket counts, e6-rounded."""
+    from .search import moving_percentiles_aggs
+
+    s = Searcher(documents_index(sf_dir))
+    rows = moving_percentiles_aggs(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "month"),
+        window=MOVING_PCT_WINDOW, percents=MOVING_PCTS,
+    )
+    return pa.table({
+        "month_start": pa.array([r[0] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "p25_e6": pa.array(
+            [int(round(r[2] * 1e6)) for r in rows], pa.int64()),
+        "p50_e6": pa.array(
+            [int(round(r[3] * 1e6)) for r in rows], pa.int64()),
+        "p75_e6": pa.array(
+            [int(round(r[4] * 1e6)) for r in rows], pa.int64()),
+    })

@@ -374,6 +374,30 @@ def moving_window_aggs(buckets: list[tuple], window: int = 3,
     return out
 
 
+def moving_percentiles_aggs(buckets: list[tuple], window: int = 3,
+                            percents: tuple = (50.0,)) -> list[tuple]:
+    """ES moving_percentiles pipeline-aggregation analog (EXACT — ES
+    shifts TDigest sketches; this engine's percentile family is exact,
+    the cardinality-agg convention) over parent buckets [(key, count)]:
+    per bucket, the linear-interpolation percentiles of the trailing
+    ``window`` counts INCLUDING the current (the moving_fn frame; head
+    windows are short, not null). Percentile spec = the engine's
+    percentiles_agg rule (numpy linear interpolation == DuckDB
+    quantile_cont). Returns [(key, count, p_1, ..., p_m)] floats in
+    ``percents`` order. O(buckets · window log window) driver-side."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    counts = [c for _, c in buckets]
+    out = []
+    for i, (key, cnt) in enumerate(buckets):
+        w = np.sort(np.asarray(
+            counts[max(0, i - window + 1): i + 1], dtype=np.float64
+        ))
+        pr = _percentiles_from_sorted(w, percents)
+        out.append((key, cnt) + tuple(pr[float(p)] for p in percents))
+    return out
+
+
 def sibling_bucket_aggs(buckets: list[tuple]) -> dict:
     """ES sibling pipeline-aggregation analogs (max_bucket / min_bucket /
     sum_bucket / avg_bucket / stats_bucket) over parent-agg buckets

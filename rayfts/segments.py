@@ -106,6 +106,55 @@ def build_segments(
     return dirs
 
 
+def append_segment(
+    root_dir: str,
+    source,
+    cfg: IndexJobConfig | None = None,
+    rows_per_part: int = 250_000,
+) -> str:
+    """Incremental ingest: index ``source`` as a NEW segment of an
+    existing segment root and republish the root manifest atomically —
+    the ES bulk-index-then-refresh lifecycle (new docs land in a fresh
+    segment; readers see them only at the manifest swap, never a
+    half-built segment). The new segment's key range must start after
+    the current last segment's (the disjoint-ascending invariant
+    build_segments enforces); queries over the reopened MultiSearcher
+    are bit-identical to a single fresh build over the union corpus
+    (global-stats merge)."""
+    cfg = cfg or IndexJobConfig()
+    path = os.path.join(root_dir, ROOT_MANIFEST)
+    with open(path) as f:
+        meta = json.load(f)
+    if list(cfg.key_cols) != list(meta["key_cols"]):
+        raise ValueError(
+            f"append_segment key_cols {list(cfg.key_cols)!r} disagree "
+            f"with the root's {meta['key_cols']!r}"
+        )
+    i = len(meta["segments"])
+    d = os.path.join(root_dir, f"segment-{i:04d}")
+    build_index(source, index_dir=d, cfg=cfg.replace(index_dir=d),
+                rows_per_part=rows_per_part)
+    rng = _segment_key_range(d, cfg.key_cols)
+    prev = [r for r in meta["key_ranges"] if r is not None]
+    if rng is not None and prev:
+        prev_hi = tuple(prev[-1][1])
+        if tuple(rng[0]) <= prev_hi:
+            raise ValueError(
+                f"appended segment starts at {rng[0]!r} but the root "
+                f"ends at {prev_hi!r} — incremental segments must cover "
+                "a strictly later key range"
+            )
+    meta["segments"].append(os.path.basename(d))
+    meta["key_ranges"].append(
+        [list(rng[0]), list(rng[1])] if rng else None
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+    return d
+
+
 def open_multisearcher(root_dir: str, shared: bool = False):
     """Open a MultiSearcher over a built segment root. ``shared=True``
     decodes every segment into the object store once (SharedIndexHandle
@@ -120,4 +169,7 @@ def open_multisearcher(root_dir: str, shared: bool = False):
     return MultiSearcher(dirs)
 
 
-__all__ = ["build_segments", "open_multisearcher", "ROOT_MANIFEST"]
+__all__ = [
+    "append_segment", "build_segments", "open_multisearcher",
+    "ROOT_MANIFEST",
+]

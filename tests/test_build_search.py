@@ -2607,3 +2607,23 @@ def test_cumulative_cardinality_and_template(index_dir, oracle):
     # template render + search == direct search
     assert s.search(render_search_template("{{q}}", {"q": q}), k=10) == \
         s.search(q, k=10)
+
+
+def test_moving_percentiles_matches_numpy():
+    """moving_percentiles over a pinned bucket series == trailing-frame
+    numpy linear-interpolation percentiles (incl. short head frames)."""
+    from rayfts.search import moving_percentiles_aggs
+
+    buckets = [(0, 5), (1, 1), (2, 9), (3, 4), (4, 4), (5, 100)]
+    rows = moving_percentiles_aggs(buckets, window=3,
+                                   percents=(25.0, 50.0, 90.0))
+    counts = [c for _, c in buckets]
+    for i, r in enumerate(rows):
+        frame = counts[max(0, i - 2): i + 1]
+        want = np.percentile(np.asarray(frame, float),
+                             [25.0, 50.0, 90.0], method="linear")
+        assert r[0] == buckets[i][0] and r[1] == buckets[i][1]
+        for got, w in zip(r[2:], want):
+            assert got == pytest.approx(w, abs=1e-12), (i, r)
+    with pytest.raises(ValueError):
+        moving_percentiles_aggs(buckets, window=0)

@@ -604,3 +604,45 @@ def test_sharded_new_aggs_equal_global(indexes):
     for shard_size in (5, 50, 10**6):
         assert multi.sampler_terms_agg(q, "role", shard_size, 10) == \
             single.sampler_terms_agg(q, "role", shard_size, 10), shard_size
+
+
+def test_append_segment_incremental_ingest(tmp_path_factory):
+    """append_segment: new docs land in a fresh segment with an atomic
+    manifest republish; the reopened MultiSearcher is bit-identical to
+    a fresh global build over the union; overlapping key ranges and
+    disagreeing key_cols refuse."""
+    import ray.data as rd
+
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.segments import (
+        append_segment,
+        build_segments,
+        open_multisearcher,
+    )
+
+    root = str(tmp_path_factory.mktemp("aroot"))
+    t = generate_transcripts(30, seed=11)
+    cut = "conv-0000020"
+    base = t.filter(pc.less(t["conv_id"], cut))
+    extra = t.filter(pc.greater_equal(t["conv_id"], cut))
+    cfg = IndexJobConfig(term_buckets=4)
+    build_segments([rd.from_arrow(base)], root, cfg=cfg)
+    before = open_multisearcher(root)
+    n_before = before.N
+    d = append_segment(root, rd.from_arrow(extra), cfg=cfg)
+    assert d.endswith("segment-0001")
+    multi = open_multisearcher(root)
+    assert multi.N == t.num_rows and n_before < multi.N
+    full_dir = str(tmp_path_factory.mktemp("afull"))
+    build_index(rd.from_arrow(t),
+                cfg=IndexJobConfig(index_dir=full_dir, term_buckets=4))
+    single = Searcher(full_dir)
+    for q in REFERENCE_QUERIES:
+        assert multi.search(q, k=20) == single.search(q, k=20), q
+    # overlapping append refuses (same range again)
+    with pytest.raises(ValueError, match="strictly later"):
+        append_segment(root, rd.from_arrow(extra), cfg=cfg)
+    with pytest.raises(ValueError, match="key_cols"):
+        append_segment(root, rd.from_arrow(extra),
+                       cfg=IndexJobConfig(key_cols=("conv_id",)))
