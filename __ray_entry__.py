@@ -549,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cumulative_cardinality": P.fts_cumulative_cardinality,
         # moving_percentiles: trailing-window quantiles of bucket counts
         "fts_date_hist_moving_pct": P.fts_date_hist_moving_pct,
+        # runtime fields: query-time derived numeric column in aggs
+        "fts_runtime_field_stats": P.fts_runtime_field_stats,
     }
 
 
@@ -3351,5 +3353,21 @@ WINDOW w AS (ORDER BY month_start
              ROWS BETWEEN {P.MOVING_PCT_WINDOW - 1} PRECEDING
              AND CURRENT ROW)
 ORDER BY month_start
+""",
+        # runtime field: (n_chars*7 - 100)/4 evaluated at query time —
+        # quarters, so min/max/sum are float-order-free
+        "fts_runtime_field_stats": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+rt AS (SELECT doc_id, (n_chars * 7 - 100) / 4.0 AS v
+       FROM documents JOIN hits USING (doc_id))
+SELECT count(*) AS n,
+       CAST(round(min(v) * 1e6) AS BIGINT) AS min_e6,
+       CAST(round(max(v) * 1e6) AS BIGINT) AS max_e6,
+       CAST(round(sum(v) * 1e6) AS BIGINT) AS sum_e6,
+       CAST(sum(CASE WHEN v < 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN v >= 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM rt
 """,
     }

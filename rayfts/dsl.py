@@ -331,6 +331,13 @@ def execute_dsl(searcher, body: dict, knn_hits=None) -> dict:
     vector-search phase runs out in Ray Data, this call is the driver
     combine. ``highlight`` (positional builds) and ``explain: true``
     ride the hit list."""
+    if "runtime_mappings" in body:
+        # ES runtime fields: {name: {"type": "double", "script": AST}}
+        # — the engine's arithmetic AST stands in for Painless source
+        for name, node in body["runtime_mappings"].items():
+            expr = node.get("script") if isinstance(node, dict) and \
+                "script" in node else node
+            searcher.define_runtime_field(name, expr)
     if "retriever" in body:
         return _execute_retriever(searcher, body, knn_hits)
     if "knn" in body:

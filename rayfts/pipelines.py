@@ -4465,3 +4465,32 @@ def fts_date_hist_moving_pct(sf_dir: str) -> pa.Table:
         "p75_e6": pa.array(
             [int(round(r[4] * 1e6)) for r in rows], pa.int64()),
     })
+
+
+# runtime field: (n_chars * 7 - 100) / 4 — quarters are exact binary
+# fractions, so sums/extrema are float-order-free on both sides
+RUNTIME_FIELD_EXPR = {
+    "op": "/",
+    "a": {"op": "-", "b": 100,
+          "a": {"op": "*", "a": {"col": "n_chars"}, "b": 7}},
+    "b": 4,
+}
+
+
+def fts_runtime_field_stats(sf_dir: str) -> pa.Table:
+    """ES runtime-mappings analog: a query-time derived numeric field
+    ((n_chars * 7 - 100) / 4 — the Painless stand-in AST) feeding the
+    standard stats aggregation over BM25_QUERY hits, plus a range
+    bucket on the same field — no index change, defined per search."""
+    s = Searcher(documents_index(sf_dir))
+    s.define_runtime_field("rt_score", RUNTIME_FIELD_EXPR)
+    st = s.stats_agg(BM25_QUERY, "rt_score")
+    rng = s.range_agg(BM25_QUERY, "rt_score", [(None, 500.0), (500.0, None)])
+    return pa.table({
+        "n": pa.array([st["count"]], pa.int64()),
+        "min_e6": pa.array([int(round(st["min"] * 1e6))], pa.int64()),
+        "max_e6": pa.array([int(round(st["max"] * 1e6))], pa.int64()),
+        "sum_e6": pa.array([int(round(st["sum"] * 1e6))], pa.int64()),
+        "n_low": pa.array([rng[0][1]], pa.int64()),
+        "n_high": pa.array([rng[1][1]], pa.int64()),
+    })

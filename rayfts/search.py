@@ -1024,6 +1024,7 @@ class Searcher(SuggestAPI):
         self._filter_masks: dict[tuple, np.ndarray] = {}
         self._facet_cols: dict[str, tuple] = {}
         self._numeric_cols: dict[str, tuple] = {}
+        self._runtime_fields: dict[str, object] = {}
         self._blocks_scored = 0  # pruning instrumentation (tests/diagnostics)
         # bucket -> {term: encoded row dict}; a query term loads its whole
         # hash bucket once (one columnar file read) and every later term in
@@ -1898,14 +1899,58 @@ class Searcher(SuggestAPI):
 
     _merged_sig_foreground = _sig_foreground
 
+    def define_runtime_field(self, name: str, expr) -> None:
+        """ES runtime-mappings analog: register a QUERY-TIME derived
+        numeric field usable anywhere a docstore numeric column is
+        (stats / extended_stats / range / histogram / percentiles
+        aggs, sort-by-field, decay / rank_feature scoring, ...).
+        ``expr`` is a tiny arithmetic AST instead of Painless — either
+        a number, {"col": <docstore column>}, or {"op": one of
+        '+ - * /', "a": expr, "b": expr}. Evaluated vectorized ONCE and
+        cached like any numeric column; validity = AND of every
+        referenced column's (plus denominator != 0 for '/')."""
+        if name in self._numeric_cols:
+            del self._numeric_cols[name]
+        self._runtime_fields[name] = expr
+
+    def _eval_runtime(self, expr) -> tuple:
+        if isinstance(expr, (int, float)):
+            return (np.full(self.N, float(expr)),
+                    np.ones(self.N, dtype=bool))
+        if "col" in expr:
+            return self._numeric_col(expr["col"])
+        a, va = self._eval_runtime(expr["a"])
+        b, vb = self._eval_runtime(expr["b"])
+        op = expr["op"]
+        valid = va & vb
+        if op == "+":
+            vals = a + b
+        elif op == "-":
+            vals = a - b
+        elif op == "*":
+            vals = a * b
+        elif op == "/":
+            valid = valid & (b != 0)
+            vals = np.divide(a, b, out=np.zeros_like(a),
+                             where=b != 0)
+        else:
+            raise ValueError(f"runtime field op {op!r} (one of + - * /)")
+        return vals, valid
+
     def _numeric_col(self, field: str):
         """Dense doc_id -> value array for a numeric docstore column plus
         a validity mask (nulls excluded from aggregations, like ES).
         Column-pruned read, cached per searcher — the numeric analog of
-        ``_field_codes``."""
+        ``_field_codes``. Runtime fields (define_runtime_field) resolve
+        here too, so every numeric agg/sort accepts them untouched."""
         cached = self._numeric_cols.get(field)
         if cached is not None:
             return cached
+        rt = self._runtime_fields.get(field)
+        if rt is not None:
+            out = self._eval_runtime(rt)
+            self._numeric_cols[field] = out
+            return out
         ds = pads.dataset(self._docstore_dir)
         cols = ["doc_id"] if field == "doc_id" else ["doc_id", field]
         t = ds.to_table(columns=cols)
@@ -7001,6 +7046,12 @@ class MultiSearcher(SuggestAPI):
             for seg in self.segments
         )
 
+    def define_runtime_field(self, name: str, expr) -> None:
+        """Sharded runtime field: registered on every segment (the ES
+        runtime mapping travels with the search, not the index)."""
+        for seg in self.segments:
+            seg.define_runtime_field(name, expr)
+
     def date_range_agg(self, query: str, field: str,
                        ranges_iso: list, where: dict | None = None,
                        mode: str = "or",
@@ -7734,6 +7785,7 @@ class SharedSearcher(Searcher):
         self._filter_masks: dict[tuple, np.ndarray] = {}
         self._facet_cols: dict[str, tuple] = {}
         self._numeric_cols: dict[str, tuple] = {}
+        self._runtime_fields: dict[str, object] = {}
         self._blocks_scored = 0
         # tombstones snapshot travels with the handle (all actors see the
         # same exclusion state the handle was built with)

@@ -2627,3 +2627,37 @@ def test_moving_percentiles_matches_numpy():
             assert got == pytest.approx(w, abs=1e-12), (i, r)
     with pytest.raises(ValueError):
         moving_percentiles_aggs(buckets, window=0)
+
+
+def test_runtime_fields_match_direct_columns(index_dir, oracle):
+    """Runtime fields: the derived column equals hand-computed values
+    through stats/range/sort; division marks zero denominators invalid;
+    unknown ops refuse."""
+    idx, t = oracle
+    s = Searcher(index_dir)
+    q = "the w0007"
+    s.define_runtime_field(
+        "rt", {"op": "+", "a": {"op": "*", "b": 2,
+                                "a": {"col": "turn_idx"}}, "b": 1})
+    hits = {d for d, _ in idx.search(q, k=10**6)}
+    turn = t["turn_idx"].to_pylist()
+    st = s.stats_agg(q, "rt")
+    want = [turn[d] * 2 + 1 for d in hits]
+    assert st == {"count": len(want), "min": float(min(want)),
+                  "max": float(max(want)), "sum": float(sum(want))}
+    rng = s.range_agg(q, "rt", [(None, 5), (5, None)])
+    assert rng == [("*-5", sum(1 for v in want if v < 5)),
+                   ("5-*", sum(1 for v in want if v >= 5))]
+    # identity against the direct column
+    s.define_runtime_field("same", {"col": "turn_idx"})
+    assert s.stats_agg(q, "same") == s.stats_agg(q, "turn_idx")
+    # zero denominators drop from the agg (validity), like nulls
+    s.define_runtime_field(
+        "inv", {"op": "/", "a": 1, "b": {"col": "turn_idx"}})
+    st = s.stats_agg(q, "inv")
+    nz = [1.0 / turn[d] for d in hits if turn[d] != 0]
+    assert st["count"] == len(nz)
+    assert st["sum"] == pytest.approx(sum(sorted(nz)), rel=1e-12)
+    with pytest.raises(ValueError, match="runtime field op"):
+        s.define_runtime_field("bad", {"op": "^", "a": 1, "b": 2})
+        s.stats_agg(q, "bad")

@@ -135,6 +135,19 @@ def test_dsl_aggs_equal_direct_calls(dsl_index):
         q, "turn_idx", [(None, "1970-01-02"), ("1970-01-01", None)])
     assert r5["g"] == s.global_stats_agg(q, "turn_idx")
     assert r5["samp"] == s.sampler_terms_agg(q, "role", shard_size=7)
+    # runtime_mappings: derived field flows into any numeric agg
+    rt = execute_dsl(s, {
+        "runtime_mappings": {"rt": {"type": "double", "script": {
+            "op": "*", "a": {"col": "turn_idx"}, "b": 3}}},
+        "query": {"match": {"text": q}},
+        "aggs": {"st": {"stats": {"field": "rt"}}},
+    })["aggregations"]
+    base = execute_dsl(s, {
+        "query": {"match": {"text": q}},
+        "aggs": {"st": {"stats": {"field": "turn_idx"}}},
+    })["aggregations"]
+    assert rt["st"]["count"] == base["st"]["count"]
+    assert rt["st"]["sum"] == base["st"]["sum"] * 3
     # filter-context aggs (match_all + where) — the query=None path
     fa = execute_dsl(s, {
         "query": {"term": {"role": "user"}},
