@@ -551,6 +551,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_date_hist_moving_pct": P.fts_date_hist_moving_pct,
         # runtime fields: query-time derived numeric column in aggs
         "fts_runtime_field_stats": P.fts_runtime_field_stats,
+        # Heaps-law vocabulary growth (first-occurrence histogram)
+        "vocab_growth_curve": P.vocab_growth_curve,
+        # ANN eval harness: LSH recall@k vs the exact baseline
+        "knn_recall_at_k": P.knn_recall_at_k,
     }
 
 
@@ -3369,5 +3373,83 @@ SELECT count(*) AS n,
        CAST(sum(CASE WHEN v < 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
        CAST(sum(CASE WHEN v >= 500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM rt
+""",
+        # vocab growth: first-occurrence doc per term, bucket histogram
+        # + running cumsum (Heaps curve)
+        "vocab_growth_curve": f"""
+WITH {_TOKS_CTE},
+firsts AS (SELECT term, min(doc_id) AS min_doc FROM toks GROUP BY term),
+hist AS (
+  SELECT min_doc // {P.VOCAB_GROWTH_BUCKET} AS bucket,
+         count(*) AS n_new
+  FROM firsts GROUP BY 1
+)
+SELECT (bucket + 1) * {P.VOCAB_GROWTH_BUCKET} AS bucket_end,
+       n_new AS n_new_terms,
+       CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+FROM hist ORDER BY bucket
+""",
+        # ANN recall@k: per-probe exact top-k vs LSH-bucketed top-k
+        # (same seeded plane literals as the knn_cosine_lsh oracle)
+        "knn_recall_at_k": f"""
+WITH
+planes(pid, i, val) AS (VALUES {_X._planes_values(P.RECALL_PLANES, 64, 11)}),
+probes(qid) AS (VALUES {",".join(f"({q})" for q in P.RECALL_PROBES)}),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+qv AS (SELECT p.qid, v.i, v.val FROM v JOIN probes p ON v.vec_id = p.qid),
+dots AS (
+  SELECT q.qid, v.vec_id, sum(v.val * q.val) AS dot,
+         sum(v.val * v.val) AS n2, sum(q.val * q.val) AS q2
+  FROM v JOIN qv q USING (i) GROUP BY q.qid, v.vec_id
+),
+sims AS (
+  SELECT qid, vec_id,
+         CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS s
+  FROM dots
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY s DESC, vec_id) AS rk
+    FROM sims
+  ) WHERE rk <= {P.RECALL_K}
+),
+vdot AS (
+  SELECT v.vec_id, p.pid, sum(v.val * p.val) AS dot
+  FROM v JOIN planes p USING (i) GROUP BY v.vec_id, p.pid
+),
+vb AS (
+  SELECT vec_id, sum(CASE WHEN dot > 0 THEN 1 << pid ELSE 0 END) AS b
+  FROM vdot GROUP BY vec_id
+),
+qb AS (SELECT p.qid, vb.b FROM probes p JOIN vb ON vb.vec_id = p.qid),
+lsh AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.s DESC, s.vec_id) AS rk
+    FROM sims s
+    JOIN vb ON vb.vec_id = s.vec_id
+    JOIN qb ON qb.qid = s.qid AND qb.b = vb.b
+  ) WHERE rk <= {P.RECALL_K}
+)
+SELECT p.qid AS query_id,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(l.n, 0) AS BIGINT) AS n_lsh,
+       CAST(floor(coalesce(o.n, 0) * 1e6 / {P.RECALL_K} + 0.5) AS BIGINT)
+         AS recall_e6
+FROM probes p
+LEFT JOIN (
+  SELECT e.qid, count(*) AS n FROM exact e
+  JOIN lsh USING (qid, vec_id) GROUP BY e.qid
+) o ON o.qid = p.qid
+LEFT JOIN (SELECT qid, count(*) AS n FROM lsh GROUP BY qid) l
+  ON l.qid = p.qid
+ORDER BY p.qid
 """,
     }

@@ -4494,3 +4494,126 @@ def fts_runtime_field_stats(sf_dir: str) -> pa.Table:
         "n_low": pa.array([rng[0][1]], pa.int64()),
         "n_high": pa.array([rng[1][1]], pa.int64()),
     })
+
+
+VOCAB_GROWTH_BUCKET = 2   # docs per growth checkpoint (tiny synthetic vocab saturates fast)
+
+
+def vocab_growth_curve(sf_dir: str) -> pa.Table:
+    """Heaps-law vocabulary-growth curve: distinct analyzed terms seen
+    in documents [0, bucket_end) at every VOCAB_GROWTH_BUCKET-doc
+    checkpoint — the corpus statistic tokenizer/vocab sizing reads off.
+
+    Distributed shape: a term's first occurrence is min(doc_id) over
+    its postings — one map-side (term, min_doc) combine + one term
+    groupby (NO positional data, no sort of the corpus); the growth
+    curve is then a vocabulary-sized histogram of first-occurrence
+    buckets + one cumsum over O(buckets) driver rows."""
+    from ray.data.aggregate import Min
+
+    def term_mins(batch: pa.Table) -> pa.Table:
+        from .analysis import tokens_flat
+
+        flat, parent = tokens_flat(batch["text"])
+        if len(flat) == 0:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "min_doc": pa.array([], pa.int64()),
+            })
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        t = pa.table({
+            "term": flat if isinstance(flat, pa.Array) else pa.array(flat),
+            "min_doc": pa.array(ids, pa.int64()),
+        })
+        g = t.group_by("term", use_threads=False).aggregate(
+            [("min_doc", "min")]
+        )
+        return pa.table({"term": g["term"], "min_doc": g["min_doc_min"]})
+
+    firsts = (
+        _docs(sf_dir)
+        .map_batches(term_mins, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Min("min_doc"))
+    )
+
+    def bucket_hist(t: pa.Table) -> pa.Table:
+        b = t["min(min_doc)"].to_numpy(zero_copy_only=False) \
+            // VOCAB_GROWTH_BUCKET
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(u, pa.int64()),
+            "n_new": pa.array(c, pa.int64()),
+        })
+
+    rows = pa.concat_tables([
+        b for b in ray.get(
+            firsts.map_batches(
+                bucket_hist, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ) if b.num_rows
+    ])
+    g = rows.group_by("bucket", use_threads=False).aggregate(
+        [("n_new", "sum")]
+    )
+    order = pc.sort_indices(g, sort_keys=[("bucket", "ascending")])
+    g = g.take(order)
+    buckets = g["bucket"].to_numpy(zero_copy_only=False)
+    new = g["n_new_sum"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "bucket_end": pa.array(
+            (buckets + 1) * VOCAB_GROWTH_BUCKET, pa.int64()
+        ),
+        "n_new_terms": pa.array(new, pa.int64()),
+        "vocab_size": pa.array(np.cumsum(new), pa.int64()),
+    })
+
+
+RECALL_PROBES = (0, 1, 2, 3, 4)   # query vec_ids for the recall eval
+RECALL_K = 10
+RECALL_PLANES = 4
+
+
+def knn_recall_at_k(sf_dir: str) -> pa.Table:
+    """ANN evaluation harness: recall@k of the LSH-bucketed search
+    against the exact brute-force baseline, per probe query — the
+    measurement that justifies (or rejects) an approximate index
+    configuration before a corpus-wide rollout. One exact multi-query
+    pass + one bucket-filtered pass per probe (at scale the probes
+    batch by bucket; the per-probe loop here keeps the single-query
+    LSH path — the measured path — untouched)."""
+    from .extras.similarity import knn_cosine, knn_cosine_lsh
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qvecs = np.stack([
+        np.asarray(
+            q0.filter(pc.equal(q0["vec_id"], qid))["embedding"][0].as_py(),
+            dtype=np.float64,
+        )
+        for qid in RECALL_PROBES
+    ])
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    exact = knn_cosine(ds, qvecs, k=RECALL_K)
+    by_probe = {}
+    qi = exact["query_idx"].to_numpy(zero_copy_only=False)
+    vid = exact["vec_id"].to_numpy(zero_copy_only=False)
+    for i, qid in enumerate(RECALL_PROBES):
+        by_probe[qid] = set(vid[qi == i].tolist())
+    rows = []
+    for qid in RECALL_PROBES:
+        lsh = knn_cosine_lsh(
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+            qvecs[RECALL_PROBES.index(qid)],
+            k=RECALL_K, n_planes=RECALL_PLANES,
+        )
+        got = set(lsh["vec_id"].to_pylist())
+        n_overlap = len(got & by_probe[qid])
+        rows.append((qid, n_overlap, len(got),
+                     int(np.floor(n_overlap * 1e6 / RECALL_K + 0.5))))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_overlap": pa.array([r[1] for r in rows], pa.int64()),
+        "n_lsh": pa.array([r[2] for r in rows], pa.int64()),
+        "recall_e6": pa.array([r[3] for r in rows], pa.int64()),
+    })

@@ -1643,3 +1643,45 @@ def test_quality_filter_funnel_matches_bruteforce():
     assert got == {r: want.get(r, 0) for r in got}
     assert sum(got.values()) == len(texts)
     assert all(got[r] > 0 for r in got), got  # every rule exercised
+
+
+def test_vocab_growth_curve_matches_bruteforce(tmp_path):
+    """Heaps curve against a sequential scan over a synthetic corpus
+    with a long-tail vocabulary (new terms keep appearing late)."""
+    import pyarrow.parquet as pq
+
+    from rayfts.oracle import tokenize
+    from rayfts.pipelines import VOCAB_GROWTH_BUCKET, vocab_growth_curve
+
+    rng = np.random.default_rng(9)
+    texts = []
+    for d in range(37):
+        toks = [f"w{int(v)}" for v in rng.zipf(1.6, size=20) % 500]
+        texts.append(" ".join(toks))
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    got = vocab_growth_curve(str(d)).to_pylist()
+    seen: set = set()
+    firsts: dict = {}
+    for i, txt in enumerate(texts):
+        for term in tokenize(txt):
+            if term not in seen:
+                seen.add(term)
+                firsts[term] = i
+    hist: dict = {}
+    for term, i in firsts.items():
+        b = i // VOCAB_GROWTH_BUCKET
+        hist[b] = hist.get(b, 0) + 1
+    cum, want = 0, []
+    for b in sorted(hist):
+        cum += hist[b]
+        want.append({"bucket_end": (b + 1) * VOCAB_GROWTH_BUCKET,
+                     "n_new_terms": hist[b], "vocab_size": cum})
+    assert got == want
+    assert len(got) > 3          # the long tail produces a real curve
+    assert got[-1]["vocab_size"] == len(seen)
