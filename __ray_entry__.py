@@ -555,7 +555,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_curve": P.vocab_growth_curve,
         # ANN eval harness: LSH recall@k vs the exact baseline
         "knn_recall_at_k": P.knn_recall_at_k,
+        # MMR diversity reranking (retrieve-then-diversify)
+        "fts_mmr_rerank": P.fts_mmr_rerank,
     }
+
+
+def _mmr_sql() -> str:
+    """MMR rerank twin: BM25 top-MMR_CANDS candidates, minmax rel,
+    candidate-pairwise cosine, then the MMR_K greedy picks UNROLLED as
+    CTE stages (the kmeans-oracle precedent — greedy selection has no
+    closed relational form, so each pick is one argmax CTE)."""
+    lam = P.MMR_LAMBDA
+    stages = []
+    stages.append(
+        "sel1 AS (SELECT doc_id FROM cands ORDER BY rel DESC, doc_id "
+        "LIMIT 1),\nacc1 AS (SELECT doc_id FROM sel1)"
+    )
+    for i in range(2, P.MMR_K + 1):
+        stages.append(f"""sel{i} AS (
+  SELECT c.doc_id FROM cands c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM acc{i - 1})
+  ORDER BY {lam!r} * c.rel - {1.0 - lam!r} * (
+      SELECT max(s.s) FROM sims s
+      JOIN acc{i - 1} t ON s.db = t.doc_id
+      WHERE s.da = c.doc_id
+    ) DESC, c.doc_id
+  LIMIT 1
+),
+acc{i} AS (SELECT doc_id FROM acc{i - 1}
+           UNION ALL SELECT doc_id FROM sel{i})""")
+    ranks = " UNION ALL ".join(
+        f"SELECT {i} AS rank, doc_id FROM sel{i}"
+        for i in range(1, P.MMR_K + 1)
+    )
+    return f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+top AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id LIMIT {P.MMR_CANDS}
+),
+bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM top),
+cands AS (
+  SELECT doc_id,
+         CASE WHEN b.hi = b.lo THEN 1.0
+              ELSE (score - b.lo) / (b.hi - b.lo) END AS rel
+  FROM top CROSS JOIN bounds b
+),
+ce AS (
+  SELECT e.vec_id AS doc_id, generate_subscripts(e.embedding, 1) AS i,
+         unnest(e.embedding)::DOUBLE AS val
+  FROM embeddings e
+  WHERE e.vec_id IN (SELECT doc_id FROM cands)
+),
+nrm AS (SELECT doc_id, sqrt(sum(val * val)) AS n FROM ce GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.val * b.val) AS d
+  FROM ce a JOIN ce b USING (i) GROUP BY 1, 2
+),
+sims AS (
+  SELECT da, db, d / (na.n * nb.n) AS s
+  FROM dots JOIN nrm na ON na.doc_id = da JOIN nrm nb ON nb.doc_id = db
+),
+{",".join(stages)}
+SELECT rank, doc_id FROM ({ranks}) ORDER BY rank
+"""
 
 
 def _iso_epoch(iso: str) -> int:
@@ -3452,4 +3515,6 @@ LEFT JOIN (SELECT qid, count(*) AS n FROM lsh GROUP BY qid) l
   ON l.qid = p.qid
 ORDER BY p.qid
 """,
+        # MMR rerank: greedy picks unrolled as CTE stages
+        "fts_mmr_rerank": _mmr_sql(),
     }

@@ -4617,3 +4617,68 @@ def knn_recall_at_k(sf_dir: str) -> pa.Table:
         "n_lsh": pa.array([r[2] for r in rows], pa.int64()),
         "recall_e6": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+MMR_LAMBDA = 0.7
+MMR_K = 5
+MMR_CANDS = 20
+
+
+def fts_mmr_rerank(sf_dir: str) -> pa.Table:
+    """Maximal-Marginal-Relevance diversity reranking (Carbonell &
+    Goldstein 1998) — the classic retrieve-then-diversify stage: the
+    top MMR_CANDS BM25 hits are greedily reranked by
+    λ·rel − (1−λ)·max-cosine-to-selected, rel = minmax-normalized BM25
+    (degenerate range -> 1.0, the linear-retriever rule), embeddings
+    keyed by the testdata doc_id==vec_id contract. Ties break doc asc.
+    The SQL twin unrolls the MMR_K greedy picks as CTE stages (the
+    kmeans-oracle precedent). O(k · candidates) driver math over an
+    O(candidates) hit list — the distributed work is the BM25 search
+    and the candidate-pruned embedding read."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search(BM25_QUERY, k=MMR_CANDS)
+    to_src = _dense_to_src(index_dir)
+    docs = np.array([int(to_src[d]) for d, _ in hits], dtype=np.int64)
+    scores = np.array([sc for _, sc in hits], dtype=np.float64)
+    lo, hi = scores.min(), scores.max()
+    rel = (np.ones_like(scores) if hi == lo
+           else (scores - lo) / (hi - lo))
+    emb_t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", docs.tolist())],
+    )
+    by_id = dict(zip(
+        emb_t["vec_id"].to_pylist(),
+        emb_t["embedding"].to_pylist(),
+    ))
+    m = np.array([by_id[int(d)] for d in docs], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    selected = mmr_select(docs, rel, m @ m.T, MMR_K, MMR_LAMBDA)
+    return pa.table({
+        "rank": pa.array(range(1, len(selected) + 1), pa.int64()),
+        "doc_id": pa.array([int(docs[i]) for i in selected], pa.int64()),
+    })
+
+
+def mmr_select(docs: np.ndarray, rel: np.ndarray, sims: np.ndarray,
+               k: int, lam: float) -> list[int]:
+    """The MMR greedy: k argmax rounds of λ·rel − (1−λ)·max-sim-to-
+    selected (first round pure rel), ties by ascending doc id. Returns
+    selected CANDIDATE INDICES in pick order."""
+    n = docs.size
+    selected: list[int] = []
+    remaining = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if not selected:
+            mmr = rel.astype(np.float64).copy()
+        else:
+            max_sim = sims[:, selected].max(axis=1)
+            mmr = lam * rel - (1.0 - lam) * max_sim
+        mmr = np.where(remaining, mmr, -np.inf)
+        cand = np.flatnonzero(mmr == mmr.max())
+        best = int(cand[np.argmin(docs[cand])])
+        selected.append(best)
+        remaining[best] = False
+    return selected

@@ -1685,3 +1685,38 @@ def test_vocab_growth_curve_matches_bruteforce(tmp_path):
     assert got == want
     assert len(got) > 3          # the long tail produces a real curve
     assert got[-1]["vocab_size"] == len(seen)
+
+
+def test_mmr_select_matches_bruteforce():
+    """MMR greedy against a plain-loop recompute: relevance-first pick,
+    diversity penalty, doc-asc ties, lambda=1 degrades to pure
+    relevance order."""
+    from rayfts.pipelines import mmr_select
+
+    rng = np.random.default_rng(4)
+    n, k, lam = 12, 6, 0.7
+    docs = np.array(sorted(rng.choice(1000, size=n, replace=False)),
+                    dtype=np.int64)
+    rel = np.round(rng.random(n), 3)   # coarse grid -> real ties
+    m = rng.standard_normal((n, 8))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    got = mmr_select(docs, rel, sims, k, lam)
+    sel: list = []
+    for _ in range(k):
+        best, best_v = None, None
+        for i in range(n):
+            if i in sel:
+                continue
+            v = rel[i] if not sel else \
+                lam * rel[i] - (1 - lam) * max(sims[i][j] for j in sel)
+            if best is None or v > best_v or (v == best_v
+                                              and docs[i] < docs[best]):
+                best, best_v = i, v
+        sel.append(best)
+    assert got == sel
+    # lambda=1: pure relevance order (rel desc, doc asc)
+    order = sorted(range(n), key=lambda i: (-rel[i], docs[i]))[:k]
+    assert mmr_select(docs, rel, sims, k, 1.0) == order
+    # k >= n: every candidate picked exactly once
+    assert sorted(mmr_select(docs, rel, sims, 99, lam)) == list(range(n))
