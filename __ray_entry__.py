@@ -557,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_recall_at_k": P.knn_recall_at_k,
         # MMR diversity reranking (retrieve-then-diversify)
         "fts_mmr_rerank": P.fts_mmr_rerank,
+        # SemDeDup: kmeans clusters + within-cluster cosine dedup
+        "semantic_dedup_counts": P.semantic_dedup_counts,
     }
 
 
@@ -3058,6 +3060,39 @@ ORDER BY n DESC, w1, w2 LIMIT {P.BIGRAM_TOP_N}
 {_KMEANS_CTES}
 SELECT cid AS cluster, count(*) AS n_vecs
 FROM a3 GROUP BY cid ORDER BY cid
+""",
+        # SemDeDup: final kmeans assignment (a3) + one within-cluster
+        # smaller-id pair join; dropped = EXISTS cos >= tau witness
+        "semantic_dedup_counts": f"""
+{_KMEANS_CTES},
+sd_norm AS (SELECT vec_id, sqrt(sum(val * val)) AS n FROM v GROUP BY 1),
+sd_pairs AS (
+  SELECT lo.vec_id AS a, hi.vec_id AS b
+  FROM a3 lo JOIN a3 hi
+    ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+),
+sd_dot AS (
+  SELECT p.a, p.b, sum(x.val * y.val) AS dot
+  FROM sd_pairs p
+  JOIN v x ON x.vec_id = p.a
+  JOIN v y ON y.vec_id = p.b AND y.i = x.i
+  GROUP BY p.a, p.b
+),
+sd_drop AS (
+  SELECT DISTINCT d.b AS vec_id
+  FROM sd_dot d
+  JOIN sd_norm na ON na.vec_id = d.a
+  JOIN sd_norm nb ON nb.vec_id = d.b
+  WHERE d.dot / (na.n * nb.n) >= {P.SEMDEDUP_TAU}
+)
+SELECT a3.cid AS cluster,
+       count(*) AS n_members,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN a3.vec_id ELSE 0 END)
+            AS BIGINT) AS sum_kept_id
+FROM a3 LEFT JOIN sd_drop d USING (vec_id)
+GROUP BY a3.cid ORDER BY a3.cid
 """,
         "fts_min_score_top10": f"""
 {_bm25_with(sorted(set(P.BM25_QUERY.split())))}

@@ -451,6 +451,12 @@ class _KMeansAssign:
                 self.id_col: batch[self.id_col],
                 "cluster": pa.array(assign.astype(np.int64)),
             })
+        if self.emit == "assign_vec":  # semantic_dedup keeps the vector
+            return pa.table({
+                self.id_col: batch[self.id_col],
+                "cluster": pa.array(assign.astype(np.int64)),
+                self.vec_col: batch[self.vec_col],
+            })
         k = self.c.shape[0]
         cnt = np.bincount(assign, minlength=k).astype(np.int64)
         sums = np.zeros_like(self.c)
@@ -533,6 +539,84 @@ def kmeans_lloyd(
         batch_format="pyarrow", concurrency=concurrency,
     )
     return cents, assigns
+
+
+def semantic_dedup(
+    ds: rd.Dataset,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+    chunk: int = PAIRWISE_CHUNK,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then deduplicate WITHIN each cluster — the
+    semantic-dedup stage of a pretraining pipeline, where clustering
+    makes the quadratic cosine pass tractable (g^2 per cluster instead
+    of N^2 corpus-wide). Returns Dataset(id, cluster, kept).
+
+    Deterministic drop rule (the order-independent relational form of
+    the paper's keep-one-per-duplicate-group): a vector is DROPPED iff
+    some SMALLER-ID member of the SAME cluster has cosine >= threshold
+    to it — dropped vectors still suppress later ones, so the rule is
+    a plain EXISTS over within-cluster pairs and the SQL twin needs no
+    iteration. Cosine = dot / (|a|·|b|), computed dot-first (the
+    embedding_near_dup convention shared with the oracle).
+
+    Scale shape: clustering is the streaming kmeans_lloyd; the dedup
+    pass is ONE groupby(cluster) shuffle + a per-group kernel whose
+    similarity blocks are chunked PAIRWISE_CHUNK x PAIRWISE_CHUNK (never
+    g x g in memory). Per-cluster work is O(g^2 * dim) flops — that IS
+    SemDeDup's cost model; size k so corpus/k groups fit the budget (a
+    degenerate giant cluster calls for a larger k or the LSH-bucketed
+    embedding_near_dup path instead)."""
+    cents, _ = kmeans_lloyd(ds, k=k, iters=iters, id_col=id_col,
+                            vec_col=vec_col, concurrency=concurrency)
+    with_vec = ds.map_batches(
+        _KMeansAssign,
+        fn_constructor_kwargs={
+            "cent_ref": ray.put(cents), "id_col": id_col,
+            "vec_col": vec_col, "emit": "assign_vec",
+        },
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def dedup_kernel(g: pa.Table) -> pa.Table:
+        ids = g[id_col].combine_chunks().to_numpy()
+        order = np.argsort(ids)            # ids unique -> total order
+        ids = ids[order]
+        m = _batch_matrix(g, vec_col)[order]
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = 1.0          # zero vector: cos defined 0
+        n = ids.size
+        dropped = np.zeros(n, dtype=bool)
+        ch = chunk
+        for i0 in range(0, n, ch):         # rows being judged
+            i1 = min(i0 + ch, n)
+            blk = np.zeros(i1 - i0, dtype=bool)
+            for j0 in range(0, i1, ch):    # candidate smaller-id side
+                j1 = min(j0 + ch, i1)
+                s = (m[i0:i1] @ m[j0:j1].T) / (
+                    norms[i0:i1, None] * norms[None, j0:j1]
+                )
+                # strictly-smaller-id mask within the diagonal block
+                if j1 > i0:
+                    rows = np.arange(i0, i1)[:, None]
+                    s = np.where(np.arange(j0, j1)[None, :] < rows,
+                                 s, -np.inf)
+                blk |= (s >= threshold).any(axis=1)
+            dropped[i0:i1] = blk
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": g["cluster"].take(pa.array(order)),
+            "kept": pa.array(~dropped),
+        })
+
+    return with_vec.groupby("cluster").map_groups(
+        dedup_kernel, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------

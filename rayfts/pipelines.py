@@ -4072,6 +4072,54 @@ def cluster_balanced_sample(sf_dir: str) -> pa.Table:
     })
 
 
+# within-cluster cosine drop threshold: the synthetic embeddings carry
+# no planted near-dups (max pairwise cos ~0.51), so the knob sits inside
+# the real similarity tail (a few hundred crossing pairs at every sf,
+# nearest pair >= 1e-6 from the threshold — ulp-safe vs the SQL twin);
+# a production corpus would run the paper's 0.95-ish setting
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup_counts(sf_dir: str) -> pa.Table:
+    """SemDeDup over the embeddings table (k=KMEANS_K clusters,
+    KMEANS_ITERS Lloyd iterations, tau=SEMDEDUP_TAU): per-cluster member
+    / kept counts with the exact kept-id sum fingerprinting the kept
+    set. The drop rule (smaller-id witness with cosine >= tau inside
+    the final cluster) is a plain EXISTS, so the SQL twin is the kmeans
+    CTEs + one within-cluster pair join."""
+    from .extras.similarity import semantic_dedup
+
+    flags = semantic_dedup(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]),
+        k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_TAU,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        kept = b["kept"].combine_chunks().to_numpy(zero_copy_only=False)
+        vid = b["vec_id"].combine_chunks().to_numpy()
+        return pa.table({
+            "cluster": b["cluster"],
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "kept_i": pa.array(kept.astype(np.int64)),
+            "kept_id": pa.array(np.where(kept, vid, 0).astype(np.int64)),
+        })
+
+    out = (
+        flags.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("one"), Sum("kept_i"), Sum("kept_id"))
+        .to_pandas()
+        .sort_values("cluster")
+    )
+    return pa.table({
+        "cluster": pa.array(out["cluster"].astype("int64")),
+        "n_members": pa.array(out["sum(one)"].astype("int64")),
+        "n_kept": pa.array(out["sum(kept_i)"].astype("int64")),
+        "sum_kept_id": pa.array(out["sum(kept_id)"].astype("int64")),
+    })
+
+
 # ---------------------------------------------------------------------------
 # round-5 session F: intervals query (the last positional-query family
 # member ES has that the span family can't express — per-slot any_of

@@ -1720,3 +1720,49 @@ def test_mmr_select_matches_bruteforce():
     assert mmr_select(docs, rel, sims, k, 1.0) == order
     # k >= n: every candidate picked exactly once
     assert sorted(mmr_select(docs, rel, sims, 99, lam)) == list(range(n))
+
+
+def test_semantic_dedup_matches_bruteforce():
+    """SemDeDup flags == a plain double-loop recompute of the rule
+    (dropped iff a smaller-id SAME-CLUSTER mate has cos >= tau), with a
+    tiny chunk so the nested block loops and the diagonal-block mask are
+    exercised; planted duplicates must actually drop."""
+    from rayfts.extras.similarity import semantic_dedup
+
+    rng = np.random.default_rng(17)
+    k, n, dim, tau = 3, 90, 8, 0.9
+    base = rng.normal(size=(n, dim))
+    # plant near-dup runs: every 10th vector copies its predecessor
+    for i in range(1, n):
+        if i % 10 == 0:
+            base[i] = base[i - 1] + rng.normal(size=dim) * 1e-3
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    out = (
+        semantic_dedup(ds, k=k, iters=2, threshold=tau, chunk=7)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert out.vec_id.tolist() == list(range(n))
+    # brute force over the float32-round-tripped vectors (engine input)
+    m = np.asarray(
+        t["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+    ).reshape(n, dim)
+    cl = out.cluster.to_numpy()
+    nr = np.linalg.norm(m, axis=1)
+    want = []
+    for i in range(n):
+        dropped = any(
+            cl[j] == cl[i]
+            and (m[i] @ m[j]) / (nr[i] * nr[j]) >= tau
+            for j in range(i)
+        )
+        want.append(not dropped)
+    assert out.kept.tolist() == want
+    assert sum(want) < n          # planted dups actually dropped
+    assert sum(want) > n // 2     # and non-dups survive
