@@ -559,6 +559,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_mmr_rerank": P.fts_mmr_rerank,
         # SemDeDup: kmeans clusters + within-cluster cosine dedup
         "semantic_dedup_counts": P.semantic_dedup_counts,
+        # rate agg: calendar-month counts normalized to per-day
+        "fts_date_hist_rate": P.fts_date_hist_rate,
+        # bucket_correlation pipeline agg (count_correlation)
+        "fts_bucket_correlation": P.fts_bucket_correlation,
+        # change_point agg: scaled mean-shift scan over weekly buckets
+        "fts_change_point": P.fts_change_point,
     }
 
 
@@ -3552,4 +3558,81 @@ ORDER BY p.qid
 """,
         # MMR rerank: greedy picks unrolled as CTE stages
         "fts_mmr_rerank": _mmr_sql(),
+        # rate agg: month count / true calendar days, floor(x+0.5) e6
+        "fts_date_hist_rate": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))
+           AS m,
+         count(*) AS n_docs
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+)
+SELECT CAST(epoch(m) AS BIGINT) AS month_start,
+       n_docs,
+       CAST(date_diff('day', m, m + INTERVAL 1 MONTH) AS BIGINT) AS days,
+       CAST(floor(n_docs * 1e6
+                  / date_diff('day', m, m + INTERVAL 1 MONTH) + 0.5)
+            AS BIGINT) AS rate_e6
+FROM hist ORDER BY 1
+""",
+        # bucket_correlation: weekly series of both queries aligned on
+        # the union of weeks (missing -> 0), exact integer moments
+        "fts_bucket_correlation": f"""
+WITH {_TOKS_CTE},
+ha AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hb AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{P.CORR_QUERY_B}'),
+wa AS (SELECT CAST(epoch(date_trunc('week',
+         make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000)))
+         AS BIGINT) AS wk, count(*) AS n
+       FROM documents JOIN ha USING (doc_id) GROUP BY 1),
+wb AS (SELECT CAST(epoch(date_trunc('week',
+         make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000)))
+         AS BIGINT) AS wk, count(*) AS n
+       FROM documents JOIN hb USING (doc_id) GROUP BY 1),
+u AS (SELECT coalesce(wa.n, 0) AS x, coalesce(wb.n, 0) AS y
+      FROM wa FULL OUTER JOIN wb ON wa.wk = wb.wk),
+mo AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       FROM u)
+SELECT CAST(n AS BIGINT) AS n_buckets,
+       CAST(floor((n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                  * 1e6 + 0.5) AS BIGINT) AS corr_e6
+FROM mo
+""",
+        # change_point: argmax of |mean_l - mean_r| * sqrt(t(n-t)/n)
+        # over weekly prefix splits, ties -> smallest t
+        "fts_change_point": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT CAST(epoch(date_trunc('week',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000)))
+           AS BIGINT) AS wk, count(*) AS n
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+),
+ser AS (
+  SELECT wk, n,
+         row_number() OVER (ORDER BY wk) AS rn,
+         count(*) OVER () AS nb,
+         sum(n) OVER () AS s,
+         sum(n) OVER (ORDER BY wk) AS p,
+         lead(wk) OVER (ORDER BY wk) AS right_key
+  FROM hist
+),
+st AS (
+  SELECT right_key, rn AS t,
+         abs(p / rn - (s - p) / (nb - rn))
+           * sqrt(rn * (nb - rn) / nb) AS stat
+  FROM ser WHERE rn < nb
+)
+SELECT right_key AS split_key, CAST(t AS BIGINT) AS left_n,
+       CAST(floor(stat * 1e6 + 0.5) AS BIGINT) AS stat_e6
+FROM st ORDER BY stat DESC, t LIMIT 1
+""",
     }

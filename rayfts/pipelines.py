@@ -1121,6 +1121,64 @@ def fts_date_hist_pipeline(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_date_hist_rate(sf_dir: str) -> pa.Table:
+    """ES rate aggregation (unit=day) under the calendar-month
+    date_histogram of BM25_QUERY hits: per-bucket docs-per-day with the
+    bucket's TRUE month length in the denominator."""
+    from .search import rate_buckets
+
+    s = Searcher(documents_index(sf_dir))
+    rows = rate_buckets(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "month"),
+        "month", "day",
+    )
+    return pa.table({
+        "month_start": pa.array([r[0] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "days": pa.array([r[2] for r in rows], pa.int64()),
+        "rate_e6": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+CORR_QUERY_B = "customer"   # the second count series of the correlation
+
+
+def fts_bucket_correlation(sf_dir: str) -> pa.Table:
+    """ES bucket_correlation pipeline agg (count_correlation): Pearson
+    correlation between the WEEKLY hit-count series of BM25_QUERY and of
+    CORR_QUERY_B, aligned on the union of weeks (missing -> 0). One
+    (n_buckets, corr_e6) row from exact integer moments."""
+    from .search import bucket_correlation
+
+    s = Searcher(documents_index(sf_dir))
+    n, corr_e6 = bucket_correlation(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "week"),
+        s.date_histogram_agg(CORR_QUERY_B, "ts_epoch", "week"),
+    )
+    return pa.table({
+        "n_buckets": pa.array([n], pa.int64()),
+        "corr_e6": pa.array([corr_e6], pa.int64()),
+    })
+
+
+def fts_change_point(sf_dir: str) -> pa.Table:
+    """ES change_point aggregation over the weekly date_histogram of
+    BM25_QUERY hits: the split maximizing the scaled mean-shift
+    statistic (ties -> smallest prefix), as (right-segment first bucket,
+    left length, stat_e6)."""
+    from .search import change_point
+
+    s = Searcher(documents_index(sf_dir))
+    key, t, stat_e6 = change_point(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "week")
+    )
+    return pa.table({
+        "split_key": pa.array([key], pa.int64()),
+        "left_n": pa.array([t], pa.int64()),
+        "stat_e6": pa.array([stat_e6], pa.int64()),
+    })
+
+
 DIVERSIFIED_MAX_PER_KEY = 2
 
 

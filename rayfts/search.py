@@ -398,6 +398,115 @@ def moving_percentiles_aggs(buckets: list[tuple], window: int = 3,
     return out
 
 
+_RATE_UNIT_SECS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def rate_buckets(buckets: list[tuple], calendar_interval: str = "month",
+                 unit: str = "day") -> list[tuple]:
+    """ES rate-aggregation analog under a calendar date_histogram
+    parent: each bucket's doc count normalized to ``unit`` — count
+    divided by the bucket's TRUE calendar length in units (months keep
+    their 28/29/30/31-day lengths, the reason the agg exists). Bucket
+    keys are the parent's epoch-second calendar starts, so lengths come
+    from the same numpy datetime64 casts as calendar_floor. Exposed
+    e6-rounded via floor(x + 0.5) (the normalize_aggs convention — the
+    SQL twin computes the identical double). Returns
+    [(key, count, n_units, rate_e6)] in key order; O(buckets)
+    driver-side post-processing, like pipeline_aggs."""
+    import math
+
+    if unit not in _RATE_UNIT_SECS:
+        raise ValueError(f"unsupported rate unit: {unit!r}")
+    if not buckets:
+        return []
+    s64 = np.asarray(
+        [k for k, _ in buckets], np.int64
+    ).astype("datetime64[s]")
+    if calendar_interval == "month":
+        nxt = (s64.astype("datetime64[M]") + 1).astype("datetime64[s]")
+    elif calendar_interval == "year":
+        nxt = (s64.astype("datetime64[Y]") + 1).astype("datetime64[s]")
+    elif calendar_interval == "week":
+        nxt = s64 + np.timedelta64(7 * 86400, "s")
+    elif calendar_interval == "day":
+        nxt = s64 + np.timedelta64(86400, "s")
+    else:
+        raise ValueError(
+            f"unsupported calendar_interval: {calendar_interval!r}"
+        )
+    secs = (nxt - s64).astype("timedelta64[s]").astype(np.int64)
+    out = []
+    for (k, c), s in zip(buckets, secs):
+        units = int(s) // _RATE_UNIT_SECS[unit]  # starts unit-aligned
+        out.append((k, c, units,
+                    int(math.floor(c * 1e6 / units + 0.5))))
+    return out
+
+
+def bucket_correlation(a: list[tuple], b: list[tuple]):
+    """ES bucket_correlation pipeline-aggregation analog (function:
+    count_correlation — Pearson over two parent bucket series
+    [(key, count)]), aligned on the UNION of keys with missing buckets
+    counting 0. Computed from EXACT integer moments so the SQL twin is
+    bit-identical double-for-double:
+
+        corr = (n·Σxy − Σx·Σy)
+               / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+
+    Returns (n_buckets, corr_e6) — corr_e6 is None when either side is
+    constant (zero variance, the SQL NULL). O(buckets) driver-side."""
+    import math
+
+    da, db = dict(a), dict(b)
+    keys = sorted(set(da) | set(db))
+    n = len(keys)
+    x = [da.get(k, 0) for k in keys]
+    y = [db.get(k, 0) for k in keys]
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    syy = sum(v * v for v in y)
+    sxy = sum(u * v for u, v in zip(x, y))
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    if n == 0 or den_x == 0 or den_y == 0:
+        return (n, None)
+    corr = (n * sxy - sx * sy) / (math.sqrt(den_x) * math.sqrt(den_y))
+    return (n, int(math.floor(corr * 1e6 + 0.5)))
+
+
+def change_point(buckets: list[tuple]):
+    """ES change_point aggregation analog over a parent bucket series
+    [(key, count)] in key order: the split maximizing the scaled
+    mean-shift statistic
+
+        stat(t) = |p/t − (S−p)/(n−t)| · sqrt(t·(n−t)/n)
+
+    (p = left-prefix sum after t buckets, S = total) — the two-sample
+    z-statistic scan a CUSUM detector reduces to under a constant-
+    variance model. Ties break to the SMALLEST t (the SQL twin's ORDER
+    BY stat DESC, t). Every double comes from exact integer prefix
+    sums via the identical expression, so engine == SQL bit-for-bit.
+    Returns (right_key, t, stat_e6) — the first bucket of the right
+    segment, the left-segment length, and the floor(x+0.5)-e6 stat —
+    or None when the series has < 2 buckets. O(buckets) driver-side."""
+    import math
+
+    n = len(buckets)
+    if n < 2:
+        return None
+    counts = [c for _, c in buckets]
+    total = sum(counts)
+    best = None
+    p = 0
+    for t in range(1, n):
+        p += counts[t - 1]
+        stat = (abs(p / t - (total - p) / (n - t))
+                * math.sqrt(t * (n - t) / n))
+        if best is None or stat > best[2]:
+            best = (buckets[t][0], t, stat)
+    return (best[0], best[1], int(math.floor(best[2] * 1e6 + 0.5)))
+
+
 def sibling_bucket_aggs(buckets: list[tuple]) -> dict:
     """ES sibling pipeline-aggregation analogs (max_bucket / min_bucket /
     sum_bucket / avg_bucket / stats_bucket) over parent-agg buckets

@@ -2661,3 +2661,71 @@ def test_runtime_fields_match_direct_columns(index_dir, oracle):
     with pytest.raises(ValueError, match="runtime field op"):
         s.define_runtime_field("bad", {"op": "^", "a": 1, "b": 2})
         s.stats_agg(q, "bad")
+
+
+def test_rate_buckets_calendar_lengths():
+    """rate: true calendar month/year lengths in the denominator (leap
+    February included), floor(x+0.5) e6 rounding, week/day fixed."""
+    import math
+
+    from rayfts.search import rate_buckets
+
+    feb24 = 1706745600   # 2024-02-01 (leap: 29 days)
+    mar24 = 1709251200   # 2024-03-01 (31 days)
+    rows = rate_buckets([(feb24, 58), (mar24, 62)], "month", "day")
+    assert rows == [
+        (feb24, 58, 29, 2_000_000),
+        (mar24, 62, 31, int(math.floor(62 * 1e6 / 31 + 0.5))),
+    ]
+    y24 = 1704067200     # 2024-01-01 (leap year: 366 days)
+    assert rate_buckets([(y24, 366)], "year", "day") == \
+        [(y24, 366, 366, 1_000_000)]
+    wk = 1704672000      # 2024-01-08, a Monday
+    assert rate_buckets([(wk, 7)], "week", "day") == \
+        [(wk, 7, 7, 1_000_000)]
+    assert rate_buckets([(wk, 48)], "day", "hour") == \
+        [(wk, 48, 24, 2_000_000)]
+    assert rate_buckets([], "month", "day") == []
+    with pytest.raises(ValueError):
+        rate_buckets([(wk, 1)], "month", "fortnight")
+    with pytest.raises(ValueError):
+        rate_buckets([(wk, 1)], "quarter", "day")
+
+
+def test_bucket_correlation_matches_numpy():
+    """bucket_correlation == np.corrcoef on the union-aligned series;
+    missing buckets count 0; constant side -> None."""
+    from rayfts.search import bucket_correlation
+
+    a = [(1, 3), (2, 5), (4, 9)]
+    b = [(1, 2), (3, 7), (4, 4)]
+    keys = [1, 2, 3, 4]
+    x = np.array([3, 5, 0, 9], float)
+    y = np.array([2, 0, 7, 4], float)
+    n, corr_e6 = bucket_correlation(a, b)
+    assert n == len(keys)
+    want = np.corrcoef(x, y)[0, 1]
+    assert abs(corr_e6 / 1e6 - want) < 1e-6
+    assert bucket_correlation([(1, 2), (2, 2)], [(1, 1), (2, 9)])[1] is None
+    assert bucket_correlation([], []) == (0, None)
+    # perfect correlation is exactly 1.0
+    assert bucket_correlation([(1, 1), (2, 2)], [(1, 10), (2, 20)]) \
+        == (2, 1_000_000)
+
+
+def test_change_point_mean_shift():
+    """change_point finds a planted level shift; ties break to the
+    smallest prefix; < 2 buckets -> None."""
+    import math
+
+    from rayfts.search import change_point
+
+    series = [(10, 5), (20, 5), (30, 5), (40, 50), (50, 50)]
+    key, t, stat_e6 = change_point(series)
+    assert (key, t) == (40, 3)       # split right before the jump
+    n, tot, p = 5, 115, 15
+    want = abs(p / 3 - (tot - p) / 2) * math.sqrt(3 * 2 / 5)
+    assert stat_e6 == int(math.floor(want * 1e6 + 0.5))
+    # symmetric series: both splits tie -> smallest t wins
+    assert change_point([(1, 1), (2, 2), (3, 1)])[1] == 1
+    assert change_point([(1, 1)]) is None
