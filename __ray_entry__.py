@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
         "fts_percolate": P.fts_percolate,            # percolator (streaming)
         "fts_span_near_docs": P.fts_span_near_docs,  # span_near query
+        "fts_span_multi_docs": P.fts_span_multi_docs,  # span_multi wrapper
         "fts_span_unordered_docs": P.fts_span_unordered_docs,  # in_order=false
         "fts_span_first_docs": P.fts_span_first_docs,  # span_first query
         "fts_span_or_docs": P.fts_span_or_docs,  # span_or query
@@ -3152,6 +3153,20 @@ FROM p0 a
 )}
 WHERE s{len(P.INTERVALS_SLOTS) - 1}.pos
       <= a.pos + {len(P.INTERVALS_SLOTS) - 1 + P.INTERVALS_MAX_GAPS}
+GROUP BY a.doc_id ORDER BY a.doc_id LIMIT 20
+""",
+        # span_multi: multi-term slots as LIKE predicates (prefix ->
+        # 'p%', wildcard ? -> '_'), then the 2-slot ordered chain rule
+        "fts_span_multi_docs": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+p0 AS (SELECT doc_id, pos FROM ptoks WHERE term LIKE 'dat%'),
+p1 AS (SELECT doc_id, pos FROM ptoks WHERE term LIKE 'jo_n')
+SELECT a.doc_id, count(*) AS n_matches
+FROM p0 a JOIN p1 s1 ON s1.doc_id = a.doc_id AND s1.pos > a.pos
+WHERE s1.pos <= a.pos + {1 + P.SPAN_MULTI_SLOP}
 GROUP BY a.doc_id ORDER BY a.doc_id LIMIT 20
 """,
         # simple_query_string: (spark AND data) | "the customer" |

@@ -770,6 +770,28 @@ def fts_span_near_docs(sf_dir: str) -> pa.Table:
     )
 
 
+SPAN_MULTI_SLOTS = (("prefix", "dat"), ("wildcard", "jo?n"))
+SPAN_MULTI_SLOP = 3
+
+
+def fts_span_multi_docs(sf_dir: str) -> pa.Table:
+    """ES span_multi analog (SpanMultiTermQueryWrapper): an ordered
+    span_near whose slots are a prefix and a wildcard multi-term query,
+    each rewritten to the SpanOr of its term-dictionary expansions.
+    Docs with a dat* < jo?n chain within SPAN_MULTI_SLOP, chain
+    counts, doc asc, first 20."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.span_multi_near_docs(
+        list(SPAN_MULTI_SLOTS), SPAN_MULTI_SLOP, limit=20
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "n_matches": pa.array([c for _, c in rows], pa.int64()),
+        }
+    )
+
+
 def fts_span_unordered_docs(sf_dir: str) -> pa.Table:
     """ES span_near with in_order=false: docs where all SPAN_TERMS
     appear in ANY order within a window of slop SPAN_SLOP (Lucene's

@@ -4137,6 +4137,41 @@ class Searcher(SuggestAPI):
         out.sort()
         return out[:max_expansions]
 
+    def span_multi_near_docs(self, slots: list, slop: int = 0,
+                             limit: int = 20,
+                             max_expansions: int = 4096) -> list:
+        """ES span_multi analog — Lucene's SpanMultiTermQueryWrapper:
+        multi-term queries (prefix / wildcard) used as span_near
+        clauses. Each slot is a literal term (str), ``('prefix', p)``
+        or ``('wildcard', pat)``; multi-term slots rewrite to the
+        SpanOr of their term-dictionary expansions (deterministic
+        lowest-terms-first ``max_expansions`` guard, the expand_prefix
+        rule) and the ordered chain runs through
+        :meth:`intervals_ordered_docs` (an any_of slot IS a
+        SpanOrQuery — exactly the wrapper's rewrite). A slot with no
+        matching terms matches nothing. Returns [(doc_id, n_matches)]
+        doc asc, the span_near_docs contract."""
+        alts: list[tuple] = []
+        for s in slots:
+            if isinstance(s, str):
+                alts.append((s,))
+                continue
+            kind, pat = s
+            if kind == "prefix":
+                terms = self.expand_prefix(pat, max_expansions)
+            elif kind == "wildcard":
+                terms = self.expand_wildcard(pat, max_expansions)
+            else:
+                raise ValueError(
+                    f"unsupported span_multi wrapper: {kind!r}"
+                )
+            if not terms:
+                return []
+            alts.append(tuple(terms))
+        return self.intervals_ordered_docs(
+            alts, max_gaps=slop, limit=limit
+        )
+
     def expand_wildcard(self, pattern: str,
                         max_expansions: int = 4096) -> list[str]:
         """ES WildcardQuery term expansion: ``*`` matches any character

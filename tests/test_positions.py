@@ -960,3 +960,43 @@ def test_simple_query_string_semantics(pos_index, oracle):
     got = {d for d, _ in s.simple_query_string("the + w0007", k=10**6)}
     m = s._present_mask(["the"]) & s._present_mask(["w0007"])
     assert got == set(np.flatnonzero(m).tolist())
+
+
+def test_span_multi_matches_expanded_intervals(pos_index, oracle):
+    """span_multi == intervals over the explicit term-dictionary
+    expansions (Lucene's SpanMultiTermQueryWrapper rewrite), with a
+    brute-force chain recount; empty expansions match nothing; unknown
+    wrappers raise."""
+    from itertools import product
+
+    s = Searcher(pos_index)
+    slots = [("prefix", "w00"), "the"]
+    exp = s.expand_prefix("w00")
+    assert exp                     # the corpus has w00xx tokens
+    got = s.span_multi_near_docs(slots, slop=2, limit=10**6)
+    assert got == s.intervals_ordered_docs(
+        [tuple(exp), ("the",)], max_gaps=2, limit=10**6
+    )
+    want = []
+    for d, toks in {d: tokenize(t) for d, t in oracle.texts.items()}.items():
+        idx = [
+            [i for i, t in enumerate(toks) if t.startswith("w00")],
+            [i for i, t in enumerate(toks) if t == "the"],
+        ]
+        c = sum(
+            1 for ch in product(*idx)
+            if ch[1] > ch[0] and ch[1] - ch[0] - 1 <= 2
+        )
+        if c:
+            want.append((d, c))
+    assert got == sorted(want)
+    # wildcard wrapper goes through expand_wildcard
+    assert s.span_multi_near_docs([("wildcard", "w00?7"), "the"], 2,
+                                  limit=10**6) == \
+        s.intervals_ordered_docs(
+            [tuple(s.expand_wildcard("w00?7")), ("the",)], 2, limit=10**6
+        )
+    # a slot expanding to nothing matches nothing
+    assert s.span_multi_near_docs([("prefix", "zzzz"), "the"], 2) == []
+    with pytest.raises(ValueError):
+        s.span_multi_near_docs([("regexp", "w0+"), "the"], 1)
