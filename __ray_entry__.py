@@ -566,6 +566,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bucket_correlation": P.fts_bucket_correlation,
         # change_point agg: scaled mean-shift scan over weekly buckets
         "fts_change_point": P.fts_change_point,
+        # _analyze API: the analyzer's (token, position) stream
+        "fts_analyze_text": P.fts_analyze_text,
+        # categorize_text agg: masked-template buckets, top-N
+        "fts_categorize_text": P.fts_categorize_text,
     }
 
 
@@ -3573,6 +3577,30 @@ ORDER BY p.qid
 """,
         # MMR rerank: greedy picks unrolled as CTE stages
         "fts_mmr_rerank": _mmr_sql(),
+        # _analyze: the ptoks token stream restricted to the probe docs
+        "fts_analyze_text": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents WHERE doc_id < {P.ANALYZE_DOCS})
+SELECT doc_id, generate_subscripts(l, 1) - 1 AS position,
+       unnest(l) AS token
+FROM lists ORDER BY doc_id, position
+""",
+        # categorize_text: first-k digit-masked tokens joined as the
+        # template key, top-N (count desc, key asc)
+        "fts_categorize_text": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+keys AS (
+  SELECT array_to_string(
+           list_transform(l[1:{P.CAT_K_TOKENS}],
+                          t -> regexp_replace(t, '[0-9]+', '#', 'g')),
+           ' ') AS category
+  FROM lists
+)
+SELECT category, count(*) AS n_docs
+FROM keys GROUP BY 1
+ORDER BY n_docs DESC, category LIMIT {P.CAT_TOP_N}
+""",
         # rate agg: month count / true calendar days, floor(x+0.5) e6
         "fts_date_hist_rate": f"""
 WITH {_TOKS_CTE},

@@ -390,3 +390,62 @@ def quality_filter_funnel(ds, text_col: str = "text"):
         for r in b.to_pylist():
             totals[r["rule"]] += r["n"]
     return [(r, totals[r]) for r in rules]
+
+
+def categorize_batch(batch: pa.Table, text_col: str = "text",
+                     k_tokens: int = 3) -> pa.Table:
+    """Per-batch partial of the categorize_text aggregation: each doc's
+    category key = its first ``k_tokens`` analyzer tokens with digit
+    runs masked to ``#`` (the drain-style template rule), joined with
+    spaces; emits one (category, n_p) row per distinct key per batch
+    (map-side combine). Fully vectorized: tokens_flat + one RE2
+    replace + position-sliced element-wise join."""
+    n = batch.num_rows
+    flat, parent = tokens_flat(batch[text_col])
+    masked = pc.replace_substring_regex(flat, pattern="[0-9]+",
+                                        replacement="#")
+    # rebuild per-doc token lists (parent is sorted asc), head-slice,
+    # join — all Arrow kernels, no Python rows
+    counts = np.bincount(parent, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets), masked)
+    keys = pc.binary_join(
+        pc.list_slice(lists, 0, k_tokens), pa.scalar(" ")
+    )
+    enc = keys.dictionary_encode()
+    cnt = np.bincount(
+        enc.indices.to_numpy(zero_copy_only=False),
+        minlength=len(enc.dictionary),
+    )
+    return pa.table({
+        "category": enc.dictionary,
+        "n_p": pa.array(cnt.astype(np.int64)),
+    })
+
+
+def categorize_texts(ds, k_tokens: int = 3, top_n: int = 10,
+                     text_col: str = "text"):
+    """ES categorize_text aggregation analog (the ML log-template
+    bucketing, reduced to a deterministic template: first-k masked
+    tokens): map-side per-batch partial counts -> ONE small groupby on
+    category -> top_n (count desc, key asc) on the O(categories)
+    result. Returns [(category, n_docs)]."""
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(
+            lambda b: categorize_batch(b, text_col, k_tokens),
+            batch_format="pyarrow",
+        )
+        .groupby("category")
+        .aggregate(Sum("n_p"))
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["sum(n_p)", "category"], ascending=[False, True]
+    ).head(top_n)
+    return [
+        (str(c), int(v))
+        for c, v in zip(out["category"], out["sum(n_p)"])
+    ]

@@ -770,6 +770,51 @@ def fts_span_near_docs(sf_dir: str) -> pa.Table:
     )
 
 
+ANALYZE_DOCS = 3       # _analyze probe: token streams of doc_id < 3
+CAT_K_TOKENS = 3       # categorize_text template width
+CAT_TOP_N = 10
+
+
+def fts_analyze_text(sf_dir: str) -> pa.Table:
+    """ES _analyze API analog: the (token, position) stream each of the
+    first ANALYZE_DOCS documents produces under the index's analyzer
+    (no stopwords on this index, so positions are consecutive). Rows
+    (doc_id, position, token) ordered doc, position."""
+    s = Searcher(documents_index(sf_dir))
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", ANALYZE_DOCS)],
+    )
+    rows = []
+    for d, x in sorted(zip(t["doc_id"].to_pylist(),
+                           t["text"].to_pylist())):
+        rows.extend((int(d), p, tok) for tok, p in s.analyze(x))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "position": pa.array([r[1] for r in rows], pa.int64()),
+        "token": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def fts_categorize_text(sf_dir: str) -> pa.Table:
+    """ES categorize_text aggregation analog over the documents table:
+    drain-style template buckets (first CAT_K_TOKENS analyzer tokens,
+    digit runs masked to '#'), top CAT_TOP_N by (count desc, key asc).
+    Map-side combine + one O(categories) groupby."""
+    from .extras.textstats import categorize_texts
+
+    rows = categorize_texts(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["text"]),
+        k_tokens=CAT_K_TOKENS, top_n=CAT_TOP_N,
+    )
+    return pa.table({
+        "category": pa.array([c for c, _ in rows], pa.string()),
+        "n_docs": pa.array([v for _, v in rows], pa.int64()),
+    })
+
+
 SPAN_MULTI_SLOTS = (("prefix", "dat"), ("wildcard", "jo?n"))
 SPAN_MULTI_SLOP = 3
 

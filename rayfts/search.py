@@ -4573,14 +4573,22 @@ class Searcher(SuggestAPI):
             if sc >= min_score
         ]
 
-    def analyze(self, text: str) -> list[tuple[str, int]]:
+    def analyze(self, text: str,
+                fold: bool = False) -> list[tuple[str, int]]:
         """ES _analyze API: run the INDEX analyzer over arbitrary text
         and return [(token, position)] — the call clients use to debug
         why a query does or doesn't match. Positions are the raw token
         slots; stop-filtered tokens vanish but LEAVE THEIR GAP
         (enablePositionIncrements — the same convention the positional
         index stores), so phrase-slop reasoning over the output matches
-        the index exactly."""
+        the index exactly. ``fold=True`` applies the asciifolding
+        corpus-prep kernel first (fold_query — folding lives in the
+        data pipeline, the one analyzer component the manifest doesn't
+        carry, so it's a caller knob here)."""
+        if fold:
+            from .analysis import fold_query
+
+            text = fold_query(text)
         raw = tokenize_query(text)
         stops = self.stopwords or ()
         return [

@@ -1766,3 +1766,31 @@ def test_semantic_dedup_matches_bruteforce():
     assert out.kept.tolist() == want
     assert sum(want) < n          # planted dups actually dropped
     assert sum(want) > n // 2     # and non-dups survive
+
+
+def test_categorize_texts_matches_bruteforce():
+    """categorize_text buckets == a plain recompute of the template
+    rule (first-k tokens, digit runs -> '#', space-joined), count desc
+    then key asc, short and empty docs included."""
+    from collections import Counter
+    import re
+
+    from rayfts.extras.textstats import categorize_texts
+    from rayfts.oracle import tokenize as otok
+
+    texts = (
+        ["error 404 at node7 again"] * 3
+        + ["error 500 at node9"] * 2
+        + ["warn disk 81 full", "warn disk 92 full", "ok"]
+        + ["", "   ", "a b"]
+    )
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = categorize_texts(rd.from_arrow(t).repartition(4),
+                           k_tokens=3, top_n=5)
+    want = Counter(
+        " ".join(re.sub(r"[0-9]+", "#", w) for w in otok(x)[:3])
+        for x in texts
+    )
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == expect
+    assert got[0] == ("error # at", 5)   # digit runs collapsed

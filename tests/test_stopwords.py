@@ -229,3 +229,17 @@ def test_analyze_preserves_stop_gaps(stop_index):
     s = Searcher(stop_index)
     assert s.analyze("the big cat a dog") == \
         [("big", 1), ("cat", 2), ("dog", 4)]
+
+
+def test_analyze_api_stop_gaps_and_fold(stop_index):
+    """_analyze: token stream under the index's analyzer — stopwords
+    removed, positions keep gaps; fold=True folds accents first."""
+    s = Searcher(stop_index)
+    got = s.analyze("The quick ok fox to jumps")
+    assert got == [("quick", 1), ("fox", 3), ("jumps", 5)]
+    assert s.analyze("the a to ok") == []
+    assert s.analyze("") == []
+    # fold knob: accents collapse with the asciifolding kernel
+    assert s.analyze("Crème brûlée", fold=True) == \
+        [("creme", 0), ("brulee", 1)]
+    assert s.analyze("Crème brûlée") == [("crème", 0), ("brûlée", 1)]
