@@ -566,6 +566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bucket_correlation": P.fts_bucket_correlation,
         # change_point agg: scaled mean-shift scan over weekly buckets
         "fts_change_point": P.fts_change_point,
+        # DSIR: hashed-unigram importance-weight data selection
+        "dsir_select_top": P.dsir_select_top,
         # _analyze API: the analyzer's (token, position) stream
         "fts_analyze_text": P.fts_analyze_text,
         # categorize_text agg: masked-template buckets, top-N
@@ -3577,6 +3579,34 @@ ORDER BY p.qid
 """,
         # MMR rerank: greedy picks unrolled as CTE stages
         "fts_mmr_rerank": _mmr_sql(),
+        # DSIR: md5-bucket histograms of target slice vs corpus,
+        # Laplace log-ratio per bucket, per-doc instance sum
+        "dsir_select_top": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+th AS (SELECT doc_id,
+              CAST(md5_number_lower(unnest(l)) % {P.DSIR_BUCKETS}
+                   AS BIGINT) AS b
+       FROM lists),
+raw AS (SELECT b, count(*) AS n FROM th GROUP BY 1),
+tgt AS (SELECT th.b, count(*) AS n FROM th
+        JOIN documents d USING (doc_id)
+        WHERE d.source = '{P.DSIR_TARGET_SOURCE}' GROUP BY 1),
+tots AS (SELECT (SELECT count(*) FROM th) AS nr,
+                (SELECT count(*) FROM th
+                 JOIN documents d USING (doc_id)
+                 WHERE d.source = '{P.DSIR_TARGET_SOURCE}') AS nt),
+lr AS (
+  SELECT r.b,
+         ln((coalesce(t.n, 0) + 1) / (tots.nt + {P.DSIR_BUCKETS}))
+         - ln((r.n + 1) / (tots.nr + {P.DSIR_BUCKETS})) AS lw
+  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+),
+sc AS (SELECT th.doc_id, sum(lr.lw) AS logw
+       FROM th JOIN lr USING (b) GROUP BY 1)
+SELECT doc_id, CAST(floor(logw * 1e6 + 0.5) AS BIGINT) AS logw_e6
+FROM sc ORDER BY logw DESC, doc_id LIMIT {P.DSIR_TOP_N}
+""",
         # _analyze: the ptoks token stream restricted to the probe docs
         "fts_analyze_text": f"""
 WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l

@@ -384,3 +384,111 @@ def ntile_bins(ds: rd.Dataset, value_col: str, key_col: str,
         .map_groups(rank_group, batch_format="pyarrow")
     )
     return hard if easy is None else easy.union(hard)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169): hashed-unigram importance weights
+# ---------------------------------------------------------------------------
+
+def dsir_bucket_counts(ds: rd.Dataset, target_col: str,
+                       target_value, n_buckets: int = 256,
+                       text_col: str = "text"):
+    """Pass 1 of DSIR: hashed-token bucket histograms of the TARGET
+    slice (rows where ``target_col == target_value`` — the trusted
+    domain) and of the RAW corpus. Token hash = md5-lower64 % n_buckets
+    (the family rule, == DuckDB ``md5_number_lower(term) %``). One
+    map-combined streaming pass (each batch emits O(n_buckets) partial
+    rows) + a tiny groupby; the driver holds 2·n_buckets ints.
+    Returns (raw_counts, tgt_counts) int64 arrays of token INSTANCE
+    counts."""
+    from ray.data.aggregate import Sum
+
+    from ..analysis import tokens_flat
+    from .hashing import hash_tokens_unique
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(b[text_col])
+        if len(flat) == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "raw_p": pa.array([], pa.int64()),
+                "tgt_p": pa.array([], pa.int64()),
+            })
+        h = (hash_tokens_unique(flat) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        raw = np.bincount(h, minlength=n_buckets)
+        is_t = pc.equal(b[target_col], pa.scalar(target_value)) \
+            .to_numpy(zero_copy_only=False)
+        tgt = np.bincount(h[is_t[parent]], minlength=n_buckets)
+        return pa.table({
+            "bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+            "raw_p": pa.array(raw.astype(np.int64)),
+            "tgt_p": pa.array(tgt.astype(np.int64)),
+        })
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("raw_p"), Sum("tgt_p"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    raw = np.zeros(n_buckets, dtype=np.int64)
+    tgt = np.zeros(n_buckets, dtype=np.int64)
+    raw[t["bucket"].to_numpy()] = t["sum(raw_p)"].to_numpy()
+    tgt[t["bucket"].to_numpy()] = t["sum(tgt_p)"].to_numpy()
+    return raw, tgt
+
+
+def dsir_log_ratio(raw: np.ndarray, tgt: np.ndarray) -> np.ndarray:
+    """Laplace-smoothed per-bucket log importance ratio:
+    ln((tgt_b + 1) / (NT + B)) − ln((raw_b + 1) / (NR + B)) — every
+    double from exact integer counts via the expression the SQL twin
+    repeats."""
+    B = raw.size
+    nt, nr = int(tgt.sum()), int(raw.sum())
+    return (np.log((tgt + 1).astype(np.float64) / (nt + B))
+            - np.log((raw + 1).astype(np.float64) / (nr + B)))
+
+
+def dsir_scores(ds: rd.Dataset, log_ratio: np.ndarray,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> rd.Dataset:
+    """Pass 2 of DSIR: per-document log importance weight
+    logw(d) = Σ_instances log_ratio[h(token)] — the log of the paper's
+    product-of-features weight. The O(n_buckets) ratio table broadcasts
+    once via ray.put (read per actor, not per batch); docs with zero
+    tokens DROP (the SQL twin's inner-join semantics). Returns
+    Dataset(id_col, logw)."""
+    import ray
+
+    ref = ray.put(np.asarray(log_ratio, dtype=np.float64))
+
+    class Scorer:
+        def __init__(self):
+            from ..analysis import tokens_flat as tf
+
+            self.lr = ray.get(ref)
+            self.nb = np.uint64(self.lr.size)
+            self.tf = tf
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from .hashing import hash_tokens_unique
+
+            flat, parent = self.tf(b[text_col])
+            n = b.num_rows
+            logw = np.zeros(n, dtype=np.float64)
+            if len(flat):
+                h = (hash_tokens_unique(flat) % self.nb).astype(np.int64)
+                np.add.at(logw, parent, self.lr[h])
+            has = np.zeros(n, dtype=bool)
+            has[parent] = True
+            return pa.table({
+                id_col: b[id_col].filter(pa.array(has)),
+                "logw": pa.array(logw[has]),
+            })
+
+    return ds.map_batches(Scorer, batch_format="pyarrow",
+                          concurrency=(1, 8))

@@ -770,6 +770,58 @@ def fts_span_near_docs(sf_dir: str) -> pa.Table:
     )
 
 
+DSIR_BUCKETS = 256         # hashed-unigram feature buckets
+DSIR_TARGET_SOURCE = "src3"  # the trusted-domain slice
+DSIR_TOP_N = 20
+
+
+def dsir_select_top(sf_dir: str) -> pa.Table:
+    """DSIR data selection (Xie et al. 2023): importance-weight every
+    document against the DSIR_TARGET_SOURCE slice via hashed-unigram
+    bucket ratios (DSIR_BUCKETS buckets, Laplace smoothing), keep the
+    DSIR_TOP_N highest log-weights (logw desc, doc_id asc). Two
+    streaming passes (count histograms -> broadcast ratio table ->
+    score) + a block-head top-N merge; the driver holds O(buckets)
+    ints and O(blocks · top_n) head rows."""
+    from .extras.sampling import (
+        dsir_bucket_counts,
+        dsir_log_ratio,
+        dsir_scores,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    raw, tgt = dsir_bucket_counts(
+        docs, "source", DSIR_TARGET_SOURCE, DSIR_BUCKETS
+    )
+    scores = dsir_scores(docs, dsir_log_ratio(raw, tgt))
+
+    def head(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[
+            ("logw", "descending"), ("doc_id", "ascending"),
+        ])
+        return b.take(idx.slice(0, DSIR_TOP_N))
+
+    heads = pa.concat_tables([
+        t for t in ray.get(
+            scores.map_batches(head, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if t.num_rows
+    ])
+    top = heads.take(pc.sort_indices(heads, sort_keys=[
+        ("logw", "descending"), ("doc_id", "ascending"),
+    ]).slice(0, DSIR_TOP_N))
+    logw = top["logw"].to_numpy()
+    return pa.table({
+        "doc_id": pc.cast(top["doc_id"], pa.int64()),
+        "logw_e6": pa.array(
+            np.floor(logw * 1e6 + 0.5).astype(np.int64)
+        ),
+    })
+
+
 ANALYZE_DOCS = 3       # _analyze probe: token streams of doc_id < 3
 CAT_K_TOKENS = 3       # categorize_text template width
 CAT_TOP_N = 10

@@ -1794,3 +1794,53 @@ def test_categorize_texts_matches_bruteforce():
     expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == expect
     assert got[0] == ("error # at", 5)   # digit runs collapsed
+
+
+def test_dsir_weights_match_bruteforce():
+    """DSIR bucket counts, smoothed log-ratios and per-doc scores == a
+    plain Python recompute with the md5_lower64 reference hash; empty
+    docs drop; target-slice docs outrank the rest on average."""
+    from rayfts.extras.hashing import md5_lower64
+    from rayfts.extras.sampling import (
+        dsir_bucket_counts,
+        dsir_log_ratio,
+        dsir_scores,
+    )
+    from rayfts.oracle import tokenize as otok
+
+    B = 16
+    texts = (
+        ["alpha beta gamma common"] * 4          # target-style docs
+        + ["delta epsilon zeta common"] * 5      # background docs
+        + ["alpha beta"]                         # target-ish non-target
+        + [""]                                   # empty: must drop
+    )
+    srcs = ["good"] * 4 + ["web"] * 5 + ["web", "web"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "source": pa.array(srcs, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    raw, tgt = dsir_bucket_counts(ds, "source", "good", B)
+    want_raw = np.zeros(B, np.int64)
+    want_tgt = np.zeros(B, np.int64)
+    for x, s in zip(texts, srcs):
+        for tok in otok(x):
+            b = md5_lower64(tok) % B
+            want_raw[b] += 1
+            if s == "good":
+                want_tgt[b] += 1
+    assert raw.tolist() == want_raw.tolist()
+    assert tgt.tolist() == want_tgt.tolist()
+    lr = dsir_log_ratio(raw, tgt)
+    got = (
+        dsir_scores(ds, lr).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == list(range(len(texts) - 1))  # "" drops
+    for d, x in enumerate(texts[:-1]):
+        want = sum(lr[md5_lower64(tok) % B] for tok in otok(x))
+        assert abs(got.logw[d] - want) < 1e-12
+    # the target-vocab doc scores above the background docs
+    assert got.logw[9] > got.logw[4]
