@@ -568,6 +568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_change_point": P.fts_change_point,
         # DSIR: hashed-unigram importance-weight data selection
         "dsir_select_top": P.dsir_select_top,
+        # frequent_item_sets agg: market-basket over keyword fields
+        "fts_frequent_item_sets": P.fts_frequent_item_sets,
         # _analyze API: the analyzer's (token, position) stream
         "fts_analyze_text": P.fts_analyze_text,
         # categorize_text agg: masked-template buckets, top-N
@@ -3579,6 +3581,31 @@ ORDER BY p.qid
 """,
         # MMR rerank: greedy picks unrolled as CTE stages
         "fts_mmr_rerank": _mmr_sql(),
+        # frequent_item_sets: UNION ALL of the 7 subset shapes, support
+        # floor, (support desc, n_items desc, key asc)
+        "fts_frequent_item_sets": f"""
+WITH d AS (
+  SELECT 'lang=' || lang AS la, 'source=' || source AS so,
+         CASE WHEN n_chars >= {P.SIZE_TAG_MIN} THEN 'size=big' END AS sz
+  FROM documents
+),
+sets AS (
+  SELECT la AS key FROM d
+  UNION ALL SELECT so FROM d
+  UNION ALL SELECT sz FROM d WHERE sz IS NOT NULL
+  UNION ALL SELECT la || '|' || so FROM d
+  UNION ALL SELECT la || '|' || sz FROM d WHERE sz IS NOT NULL
+  UNION ALL SELECT so || '|' || sz FROM d WHERE sz IS NOT NULL
+  UNION ALL SELECT la || '|' || so || '|' || sz FROM d
+    WHERE sz IS NOT NULL
+),
+f AS (SELECT key, count(*) AS support FROM sets GROUP BY 1
+      HAVING count(*) >= {P.FIS_MIN_SUPPORT})
+SELECT key, support,
+       CAST(length(key) - length(replace(key, '|', '')) + 1 AS BIGINT)
+         AS n_items
+FROM f ORDER BY support DESC, n_items DESC, key LIMIT {P.FIS_TOP_N}
+""",
         # DSIR: md5-bucket histograms of target slice vs corpus,
         # Laplace log-ratio per bucket, per-doc instance sum
         "dsir_select_top": f"""

@@ -770,6 +770,86 @@ def fts_span_near_docs(sf_dir: str) -> pa.Table:
     )
 
 
+FIS_MIN_SUPPORT = 20   # frequent_item_sets support floor
+FIS_TOP_N = 15
+
+
+def fts_frequent_item_sets(sf_dir: str) -> pa.Table:
+    """ES frequent_item_sets aggregation analog (the 8.4 market-basket
+    agg) over the keyword fields (lang, source, size_tag): every
+    non-empty subset of a doc's PRESENT field items is an itemset
+    (key 'lang=en|source=src1|size=big' in field order; NULL size_tag
+    means the item is absent), support >= FIS_MIN_SUPPORT, top
+    FIS_TOP_N by (support desc, n_items desc, key asc). EXACT where ES
+    samples, and every frequent subset reports (no closed-set pruning
+    — documented divergence the SQL twin repeats). Map-side combine
+    (one row per distinct itemset per batch) + one O(itemsets)
+    groupby."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        def col(name: str) -> pa.Array:
+            c = b[name]
+            return (c.combine_chunks()
+                    if isinstance(c, pa.ChunkedArray) else c)
+
+        pre = pa.array(["lang="] * b.num_rows)
+        la = pc.binary_join_element_wise(pre, col("lang"), "")
+        so = pc.binary_join_element_wise(
+            pa.array(["source="] * b.num_rows), col("source"), ""
+        )
+        sz = pc.if_else(
+            pc.greater_equal(col("n_chars"), pa.scalar(SIZE_TAG_MIN)),
+            pa.scalar("size=big", pa.string()),
+            pa.scalar(None, pa.string()),
+        )
+        parts = []
+        for mask in ((la,), (so,), (sz,), (la, so), (la, sz),
+                     (so, sz), (la, so, sz)):
+            keys = (mask[0] if len(mask) == 1
+                    else pc.binary_join_element_wise(*mask, "|"))
+            keys = keys.drop_null()
+            if len(keys) == 0:
+                continue
+            enc = keys.dictionary_encode()
+            cnt = np.bincount(
+                enc.indices.to_numpy(zero_copy_only=False),
+                minlength=len(enc.dictionary),
+            )
+            parts.append(pa.table({
+                "key": enc.dictionary,
+                "n_p": pa.array(cnt.astype(np.int64)),
+            }))
+        if not parts:
+            return pa.table({
+                "key": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+            })
+        return pa.concat_tables(parts)
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n_p"))
+        .to_pandas()
+    )
+    out = out[out["sum(n_p)"] >= FIS_MIN_SUPPORT].copy()
+    out["n_items"] = out["key"].str.count(r"\|") + 1
+    out = out.sort_values(
+        ["sum(n_p)", "n_items", "key"], ascending=[False, False, True]
+    ).head(FIS_TOP_N)
+    return pa.table({
+        "key": pa.array(out["key"].tolist(), pa.string()),
+        "support": pa.array(
+            [int(v) for v in out["sum(n_p)"]], pa.int64()
+        ),
+        "n_items": pa.array(
+            [int(v) for v in out["n_items"]], pa.int64()
+        ),
+    })
+
+
 DSIR_BUCKETS = 256         # hashed-unigram feature buckets
 DSIR_TARGET_SOURCE = "src3"  # the trusted-domain slice
 DSIR_TOP_N = 20

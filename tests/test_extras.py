@@ -1844,3 +1844,43 @@ def test_dsir_weights_match_bruteforce():
         assert abs(got.logw[d] - want) < 1e-12
     # the target-vocab doc scores above the background docs
     assert got.logw[9] > got.logw[4]
+
+
+def test_frequent_item_sets_matches_bruteforce():
+    """frequent_item_sets == a plain itertools recompute over the
+    (lang, source, size_tag) items of sf0.001: all non-empty present
+    subsets, support floor, (support desc, n_items desc, key asc)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pyarrow.parquet as pq_
+
+    from rayfts.pipelines import (
+        FIS_MIN_SUPPORT,
+        FIS_TOP_N,
+        SIZE_TAG_MIN,
+        fts_frequent_item_sets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = fts_frequent_item_sets(sf)
+    t = pq_.read_table(sf + "/documents.parquet",
+                       columns=["lang", "source", "n_chars"])
+    cnt = Counter()
+    for la, so, nc in zip(t["lang"].to_pylist(), t["source"].to_pylist(),
+                          t["n_chars"].to_pylist()):
+        items = [f"lang={la}", f"source={so}"]
+        if nc >= SIZE_TAG_MIN:
+            items.append("size=big")
+        for r in range(1, len(items) + 1):
+            for sub in combinations(items, r):
+                cnt["|".join(sub)] += 1
+    want = sorted(
+        ((k, v, k.count("|") + 1) for k, v in cnt.items()
+         if v >= FIS_MIN_SUPPORT),
+        key=lambda kv: (-kv[1], -kv[2], kv[0]),
+    )[:FIS_TOP_N]
+    rows = list(zip(got["key"].to_pylist(), got["support"].to_pylist(),
+                    got["n_items"].to_pylist()))
+    assert rows == want
+    assert any(n == 2 for _, _, n in rows)   # multi-item sets survive
