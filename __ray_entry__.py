@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": P.dedup_simhash_q,
         "embedding_near_dup": P.embedding_near_dup_q,
         "knn_cosine_top10": P.knn_cosine_top10,
+        # ES 8.8 knn similarity floor over the exact path
+        "knn_similarity_cutoff": P.knn_similarity_cutoff,
         "knn_cosine_lsh": P.knn_cosine_lsh_q,
         "knn_cosine_ivf": P.knn_cosine_ivf_q,
         "text_token_stats": P.text_token_stats,
@@ -2429,6 +2431,28 @@ dots AS (
 SELECT vec_id,
        CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
 FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
+""",
+        # knn similarity floor: same cosine CTE, below-floor candidates
+        # are not matches (exact path: post-filter == pre-k drop)
+        "knn_similarity_cutoff": f"""
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = 0
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+dots AS (
+  SELECT v.vec_id, sum(v.val * q.val) AS dot,
+         sum(v.val * v.val) AS n2, sum(q.val * q.val) AS q2
+  FROM v JOIN q USING (i) GROUP BY v.vec_id
+)
+SELECT vec_id,
+       CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
+FROM dots WHERE dot / (sqrt(n2) * sqrt(q2)) >= {P.KNN_SIM_FLOOR}
+ORDER BY cosine_sim_e6 DESC, vec_id LIMIT {P.KNN_SIM_K}
 """,
         "text_token_stats": f"""{token_stats_core}
 SELECT doc_id, token_cnt, stop_cnt,

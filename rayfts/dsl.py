@@ -351,8 +351,17 @@ def execute_dsl(searcher, body: dict, knn_hits=None) -> dict:
                 "knn combines with a plain match query only"
             )
         boost = float(body["knn"].get("boost", 1.0))
+        hits_in = list(knn_hits)
+        sim_floor = body["knn"].get("similarity")
+        if sim_floor is not None:
+            # ES 8.8 knn.similarity: candidates below the floor are not
+            # matches — they drop BEFORE the hybrid combine, so they
+            # neither score nor spend a rank
+            hits_in = [
+                (d, s) for d, s in hits_in if s >= float(sim_floor)
+            ]
         rows = searcher.knn_hybrid_search(
-            spec.text, list(knn_hits), k=int(body.get("size", 10)),
+            spec.text, hits_in, k=int(body.get("size", 10)),
             knn_boost=boost,
         )
         return {"hits": {"hits": [

@@ -3182,6 +3182,39 @@ def knn_cosine_top10(sf_dir: str) -> pa.Table:
     )
 
 
+KNN_SIM_FLOOR = 0.25   # ES 8.8 knn `similarity` minimum
+KNN_SIM_K = 50
+
+
+def knn_similarity_cutoff(sf_dir: str) -> pa.Table:
+    """ES 8.8 knn ``similarity`` floor: exact cosine search around the
+    vec-0 query with candidates below KNN_SIM_FLOOR not matching. For
+    an EXACT search, dropping below-floor candidates before k and
+    post-filtering the top-k are the same set (both = the best
+    min(k, |{sim >= floor}|) hits), so this rides knn_cosine + one
+    filter; the floor cuts inside the top-KNN_SIM_K at every sf
+    (picked against the real similarity tail, >= 6e-4 from any
+    value). The same floor is a DSL knob (knn.similarity)."""
+    from .extras.similarity import knn_cosine
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q0.filter(pc.equal(q0["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    t = knn_cosine(ds, qvec, k=KNN_SIM_K)
+    t = t.filter(pc.greater_equal(t["cosine_sim"],
+                                  pa.scalar(KNN_SIM_FLOOR)))
+    return pa.table({
+        "vec_id": t["vec_id"],
+        "cosine_sim_e6": pc.cast(
+            pc.round(pc.multiply(t["cosine_sim"], 1e6)), pa.int64()
+        ),
+    })
+
+
 def knn_cosine_lsh_q(sf_dir: str) -> pa.Table:
     from .extras.similarity import knn_cosine_lsh
 

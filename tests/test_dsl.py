@@ -273,3 +273,24 @@ def test_dsl_hybrid_retriever_highlight_explain(pos_dsl_index):
     with pytest.raises(UnsupportedDSL):
         execute_dsl(s, {"query": {"match_phrase": {"text": q}},
                         "highlight": {}})
+
+
+def test_dsl_knn_similarity_floor(pos_dsl_index):
+    """ES 8.8 knn.similarity: below-floor ANN candidates drop BEFORE
+    the hybrid combine — equal to pre-filtering the knn_hits list; no
+    floor = the full list; an all-dropping floor leaves pure BM25."""
+    s = Searcher(pos_dsl_index)
+    q = "the w0007"
+    knn = [(d, 0.9 - 0.05 * i) for i, (d, _) in
+           enumerate(s.search("bash", k=6))]
+    body = {"query": {"match": {"text": q}},
+            "knn": {"boost": 2.0, "similarity": 0.8}, "size": 5}
+    got = execute_dsl(s, body, knn_hits=knn)
+    kept = [(d, v) for d, v in knn if v >= 0.8]
+    assert len(kept) < len(knn)          # the floor actually cuts
+    assert _hits(got) == s.knn_hybrid_search(q, kept, k=5,
+                                             knn_boost=2.0)
+    hi = execute_dsl(s, {"query": {"match": {"text": q}},
+                         "knn": {"similarity": 99.0}, "size": 5},
+                     knn_hits=knn)
+    assert _hits(hi) == s.knn_hybrid_search(q, [], k=5)
