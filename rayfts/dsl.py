@@ -98,6 +98,18 @@ def normalize_query(q: dict | None) -> QuerySpec:
     if len(q) != 1:
         raise UnsupportedDSL(f"query with keys {sorted(q)}")
     kind, body = next(iter(q.items()))
+    if kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON clause — decode and
+        # normalize the inner clause (the whole point of the wrapper is
+        # that it is transparent to execution)
+        import base64
+        import json
+
+        try:
+            inner = json.loads(base64.b64decode(body["query"]))
+        except Exception as e:
+            raise UnsupportedDSL(f"wrapper query undecodable: {e}")
+        return normalize_query(inner)
     if kind == "match_all":
         spec.kind = "all"
         return spec

@@ -294,3 +294,26 @@ def test_dsl_knn_similarity_floor(pos_dsl_index):
                          "knn": {"similarity": 99.0}, "size": 5},
                      knn_hits=knn)
     assert _hits(hi) == s.knn_hybrid_search(q, [], k=5)
+
+
+def test_dsl_wrapper_query_transparent(pos_dsl_index):
+    """wrapper query: base64-encoded clause == the clause itself;
+    garbage payloads refuse loudly."""
+    import base64
+    import json
+
+    s = Searcher(pos_dsl_index)
+    inner = {"match": {"text": "the w0007"}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    got = execute_dsl(s, {"query": {"wrapper": {"query": b64}},
+                          "size": 5})
+    assert _hits(got) == _hits(execute_dsl(s, {"query": inner,
+                                               "size": 5}))
+    # nested wrapper unwraps recursively
+    b64b = base64.b64encode(json.dumps(
+        {"wrapper": {"query": b64}}).encode()).decode()
+    got2 = execute_dsl(s, {"query": {"wrapper": {"query": b64b}},
+                           "size": 5})
+    assert _hits(got2) == _hits(got)
+    with pytest.raises(UnsupportedDSL):
+        execute_dsl(s, {"query": {"wrapper": {"query": "!!notb64!!"}}})
