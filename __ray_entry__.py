@@ -466,6 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top10": P.knn_cosine_top10,
         # ES 8.8 knn similarity floor over the exact path
         "knn_similarity_cutoff": P.knn_similarity_cutoff,
+        # sparse_vector / rank_features dot-product query
+        "fts_sparse_vector_top10": P.fts_sparse_vector_top10,
         "knn_cosine_lsh": P.knn_cosine_lsh_q,
         "knn_cosine_ivf": P.knn_cosine_ivf_q,
         "text_token_stats": P.text_token_stats,
@@ -503,6 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 batch 7: ES-default OSA fuzzy + LM quality signal
         "fts_fuzzy_osa_docs": P.fts_fuzzy_osa_docs,
         "text_unigram_xent": P.text_unigram_xent,
+        # CCNet-style perplexity quartiles over the exact xent score
+        "perplexity_bucket_counts": P.perplexity_bucket_counts,
         "text_bigram_xent": P.text_bigram_xent,   # conditional-LM fluency
         "fts_rrf_top10": P.fts_rrf_top10,         # reciprocal rank fusion
         "fts_linear_retriever_top10": P.fts_linear_retriever_top10,  # linear
@@ -2994,6 +2998,41 @@ d AS (
 SELECT doc_id, CAST(dl AS BIGINT) AS dl,
        CAST(round(s / dl * 1e6) AS BIGINT) AS xent_e6
 FROM d
+""",
+        # sparse_vector: weighted tf dot via a VALUES weight table
+        "fts_sparse_vector_top10": f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+w(term, wt) AS (VALUES {",".join(
+    f"('{t}', {v})" for t, v in sorted(P.SPARSE_WEIGHTS.items())
+)}),
+sc AS (SELECT doc_id, sum(w.wt * tf.tf) AS score
+       FROM tf JOIN w USING (term) GROUP BY 1)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM sc ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # perplexity buckets: the xent CTE + one ntile window (the
+        # quality_ntile_counts rule: ORDER BY value, key)
+        "perplexity_bucket_counts": f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+cs AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS tc FROM toks),
+d AS (
+  SELECT tf.doc_id,
+         sum(tf.tf * -ln(cs.cf / tot.tc::DOUBLE)) AS s,
+         sum(tf.tf) AS dl
+  FROM tf JOIN cs USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id
+),
+x AS (SELECT doc_id, CAST(round(s / dl * 1e6) AS BIGINT) AS xent_e6
+      FROM d),
+nt AS (SELECT doc_id, xent_e6,
+              ntile({P.PPL_BINS}) OVER (ORDER BY xent_e6, doc_id) AS bin
+       FROM x)
+SELECT bin, count(*) AS n_docs,
+       CAST(sum(xent_e6) AS BIGINT) AS sum_xent_e6
+FROM nt GROUP BY 1 ORDER BY 1
 """,
         # bigram conditional LM: p(w2|w1) = cf(w1,w2)/cf1(w1) MLE,
         # positional self-join pairs; < 2-token docs drop (inner joins)

@@ -286,6 +286,31 @@ def fts_bm25_hot_top20(sf_dir: str) -> pa.Table:
     return _bm25(sf_dir, BM25_QUERY_HOT, 20, "wand")
 
 
+# ELSER-style token->weight query; the absent token pins the
+# missing-feature rule (contributes nothing, costs nothing)
+SPARSE_WEIGHTS = {"spark": 2.0, "join": 1.5, "data": 1.0,
+                  "zz_absent_token": 4.0}
+
+
+def fts_sparse_vector_top10(sf_dir: str) -> pa.Table:
+    """ES sparse_vector / rank_features query (learned sparse
+    retrieval): top-10 by the Σ w_t · tf(d,t) dot product over the
+    inverted index — weights exactly representable, so scores are
+    exact integers-in-doubles on both sides."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    rows = s.sparse_vector_search(SPARSE_WEIGHTS, k=10)
+    to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array(
+            [int(to_src[d]) for d, _ in rows], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in rows], pa.int64()
+        ),
+    })
+
+
 def fts_bm25_page2_offset(sf_dir: str) -> pa.Table:
     """ES from/size pagination: hits ranked 11-20 via offset=10 — faces a
     plain SQL LIMIT/OFFSET oracle (the engine slices a top-20 pool)."""
@@ -3975,15 +4000,11 @@ def fts_boolean_top10(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def text_unigram_xent(sf_dir: str) -> pa.Table:
-    """Corpus-LM quality scoring: per-doc unigram cross-entropy
-    xent(d) = Σ_t tf(d,t) · (−ln(cf(t)/TC)) / dl(d) — high values flag
-    rare-token-heavy (noisy) docs, low values boilerplate; the classic
-    cheap LM filter for pretraining corpora. Pipeline: map-side tf rows
-    → vocab stats (map-combine + term groupby, the fts_term_stats
-    machinery) → DISTRIBUTED hash join on term (vocab is unbounded at
-    corpus scale — never a broadcast) → per-doc groupby sum. Empty docs
-    drop (inner-join semantics, as in the SQL twin)."""
+def unigram_xent_ds(sf_dir: str) -> rd.Dataset:
+    """Distributed core of text_unigram_xent: Dataset(doc_id, dl,
+    xent_e6) with the per-doc cross-entropy as an e6-rounded INTEGER —
+    the form downstream consumers (perplexity bucketing) can bin with
+    exact parity. Same stages as the table twin below."""
     stats = fts_term_stats(sf_dir)
     tc = float(
         stats.map_batches(
@@ -4022,21 +4043,75 @@ def text_unigram_xent(sf_dir: str) -> pa.Table:
             "s_p": pa.array(tf * -np.log(cf / tc), pa.float64()),
         })
 
-    agg = (
+    def finish(t: pa.Table) -> pa.Table:
+        dl = t["sum(tf_p)"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        s = t["sum(s_p)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "dl": pa.array(dl),
+            "xent_e6": pa.array(
+                np.round(s / dl * 1e6).astype(np.int64)
+            ),
+        })
+
+    return (
         joined.map_batches(partials, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("tf_p"), Sum("s_p"))
-        .to_pandas()
-        .sort_values("doc_id")
+        .map_batches(finish, batch_format="pyarrow")
     )
-    dl = agg["sum(tf_p)"].to_numpy().astype(np.int64)
-    s = agg["sum(s_p)"].to_numpy()
-    return pa.table({
-        "doc_id": pa.array(agg["doc_id"].to_numpy().astype(np.int64)),
-        "dl": pa.array(dl),
-        "xent_e6": pa.array(
-            np.round(s / dl * 1e6).astype(np.int64)
+
+
+def text_unigram_xent(sf_dir: str) -> pa.Table:
+    """Corpus-LM quality scoring: per-doc unigram cross-entropy
+    xent(d) = Σ_t tf(d,t) · (−ln(cf(t)/TC)) / dl(d) — high values flag
+    rare-token-heavy (noisy) docs, low values boilerplate; the classic
+    cheap LM filter for pretraining corpora. Pipeline: map-side tf rows
+    → vocab stats (map-combine + term groupby, the fts_term_stats
+    machinery) → DISTRIBUTED hash join on term (vocab is unbounded at
+    corpus scale — never a broadcast) → per-doc groupby sum. Empty docs
+    drop (inner-join semantics, as in the SQL twin)."""
+    t = pa.concat_tables([
+        b for b in ray.get(unigram_xent_ds(sf_dir).to_arrow_refs())
+        if b.num_rows
+    ])
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+PPL_BINS = 4   # CCNet-style perplexity quartiles
+
+
+def perplexity_bucket_counts(sf_dir: str) -> pa.Table:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): the
+    per-doc LM cross-entropy (text_unigram_xent's exact e6-INTEGER
+    score) cut into PPL_BINS exact ntiles — the head/middle/tail split
+    a pretraining mix filters on. Per-bin doc counts + exact score
+    sums fingerprint the assignment. Composition: the distributed xent
+    Dataset feeds the exact-ntile sampler on an integer column, so
+    bit-parity with the SQL window twin is inherited from both
+    parents; rows never shuffle (ntile_bins' histogram + broadcast
+    passes)."""
+    from .extras.sampling import ntile_bins
+
+    binned = ntile_bins(
+        unigram_xent_ds(sf_dir).map_batches(
+            lambda t: t.select(["doc_id", "xent_e6"]),
+            batch_format="pyarrow",
         ),
+        value_col="xent_e6", key_col="doc_id", n_bins=PPL_BINS,
+    )
+    out = (
+        binned.groupby("bin")
+        .aggregate(Count(), Sum("xent_e6"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    return pa.table({
+        "bin": pa.array(out["bin"].astype("int64")),
+        "n_docs": pa.array(out["count()"].astype("int64")),
+        "sum_xent_e6": pa.array(out["sum(xent_e6)"].astype("int64")),
     })
 
 

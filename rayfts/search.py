@@ -1780,6 +1780,38 @@ class Searcher(SuggestAPI):
             return []
         return _topk_pairs(idx, buf[idx], k)
 
+    def sparse_vector_search(self, weights: dict,
+                             k: int = 10) -> list[tuple]:
+        """ES sparse_vector / rank_features dot-product query (the
+        learned-sparse-retrieval shape — ELSER-style token→weight
+        queries, ES 8.15 ``sparse_vector``): score(d) = Σ_t w_t ·
+        tf(d, t), a saturation-free linear dot over the inverted
+        index's stored term frequencies (the doc-side features), no
+        idf/norms — exactly the rank_features ``linear`` form. One
+        dense TAAT pass over the query tokens' posting lists, terms
+        accumulated in sorted order (deterministic float sums, the
+        sharded twin repeats it). Absent / stop-filtered tokens
+        contribute nothing; non-positive k → []. Order (score desc,
+        doc asc)."""
+        if k <= 0:
+            return []
+        buf = np.zeros(self.N, dtype=np.float64)
+        cand = np.zeros(self.N, dtype=bool)
+        for t in sorted(weights):
+            if self.stopwords and t in self.stopwords:
+                continue
+            p = self.lookup(t)
+            if p is None:
+                continue
+            buf[p.doc_ids] += float(weights[t]) * p.tfs
+            cand[p.doc_ids] = True
+        if self.excluded.size:
+            cand[self.excluded] = False
+        idx = np.flatnonzero(cand)
+        if idx.size == 0:
+            return []
+        return _topk_pairs(idx, buf[idx], k)
+
     def rrf_search(self, query: str, knn_ranked_ids: list[int],
                    k: int = 10, rank_window: int = 100,
                    rrf_k: int = 60) -> list[tuple]:
@@ -6769,6 +6801,25 @@ class MultiSearcher(SuggestAPI):
             fused[d] = fused.get(d, 0.0) + 1.0 / (rrf_k + r)
         out = sorted(fused.items(), key=lambda e: (-e[1], e[0]))
         return out[:k]
+
+    def sparse_vector_search(self, weights: dict,
+                             k: int = 10) -> list[tuple]:
+        """Sharded sparse_vector, exact vs a single global index: the
+        score is a pure per-doc tf dot (no corpus stats), so each
+        segment's TAAT is already globally-correct; the global top-k is
+        contained in the union of per-segment top-k's. Offset-mapped
+        merge, (score desc, doc asc)."""
+        if k <= 0:
+            return []
+        rows: list[tuple] = []
+        for si, seg in enumerate(self.segments):
+            off = int(self.offsets[si])
+            rows.extend(
+                (d + off, s)
+                for d, s in seg.sparse_vector_search(weights, k)
+            )
+        rows.sort(key=lambda e: (-e[1], e[0]))
+        return rows[:k]
 
     def _knn_live(self, knn_hits: list[tuple], rank_window: int):
         """Validity-filter a global knn hit list: in-range, not

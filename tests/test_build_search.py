@@ -2729,3 +2729,19 @@ def test_change_point_mean_shift():
     # symmetric series: both splits tie -> smallest t wins
     assert change_point([(1, 1), (2, 2), (3, 1)])[1] == 1
     assert change_point([(1, 1)]) is None
+
+
+def test_sparse_vector_matches_bruteforce(index_dir, oracle):
+    """sparse_vector == the plain Σ w_t · tf(d,t) recompute over the
+    oracle's term frequencies; order (score desc, doc asc)."""
+    idx, _ = oracle
+    s = Searcher(index_dir)
+    w = {"the": 2.0, "w0007": 1.5, "bash": 1.0, "zz_none": 7.0}
+    got = s.sparse_vector_search(w, k=15)
+    want = {}
+    for d, toks in idx.doc_tfs.items():
+        sc = sum(wt * toks.get(t, 0) for t, wt in w.items())
+        if sc > 0:
+            want[d] = sc
+    top = sorted(want.items(), key=lambda e: (-e[1], e[0]))[:15]
+    assert [(d, pytest.approx(sc)) for d, sc in top] == got

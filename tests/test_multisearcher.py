@@ -646,3 +646,19 @@ def test_append_segment_incremental_ingest(tmp_path_factory):
     with pytest.raises(ValueError, match="key_cols"):
         append_segment(root, rd.from_arrow(extra),
                        cfg=IndexJobConfig(key_cols=("conv_id",)))
+
+
+def test_sharded_sparse_vector_equals_global(indexes):
+    """sparse_vector: per-doc tf dot has no corpus stats, so the
+    sharded merge is bit-identical to the single index; absent tokens
+    contribute nothing."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for w in [
+        {"the": 1.0, "w0007": 3.0, "bash": 0.5},
+        {"zzz_absent": 9.0},
+        {"the": 0.25},
+    ]:
+        assert multi.sparse_vector_search(w, k=12) == \
+            single.sparse_vector_search(w, k=12), w
+    assert multi.sparse_vector_search({"the": 1.0}, k=0) == []
