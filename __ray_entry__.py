@@ -572,6 +572,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_bucket_correlation": P.fts_bucket_correlation,
         # change_point agg: scaled mean-shift scan over weekly buckets
         "fts_change_point": P.fts_change_point,
+        # bucket_count_ks_test: two-sample KS over weekly CDFs
+        "fts_ks_test": P.fts_ks_test,
+        # ip_prefix / ip_range aggs over the derived IPv4 column
+        "fts_ip_prefix": P.fts_ip_prefix,
+        "fts_ip_range": P.fts_ip_range,
         # DSIR: hashed-unigram importance-weight data selection
         "dsir_select_top": P.dsir_select_top,
         # frequent_item_sets agg: market-basket over keyword fields
@@ -3766,6 +3771,70 @@ SELECT CAST(n AS BIGINT) AS n_buckets,
                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
                   * 1e6 + 0.5) AS BIGINT) AS corr_e6
 FROM mo
+""",
+        # bucket_count_ks_test: max |cdf_a - cdf_b| over union-aligned
+        # weekly buckets, exact integer prefix sums
+        "fts_ks_test": f"""
+WITH {_TOKS_CTE},
+ha AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hb AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{P.CORR_QUERY_B}'),
+wa AS (SELECT CAST(epoch(date_trunc('week',
+         make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000)))
+         AS BIGINT) AS wk, count(*) AS n
+       FROM documents JOIN ha USING (doc_id) GROUP BY 1),
+wb AS (SELECT CAST(epoch(date_trunc('week',
+         make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000)))
+         AS BIGINT) AS wk, count(*) AS n
+       FROM documents JOIN hb USING (doc_id) GROUP BY 1),
+u AS (SELECT coalesce(wa.wk, wb.wk) AS wk,
+             coalesce(wa.n, 0) AS x, coalesce(wb.n, 0) AS y
+      FROM wa FULL OUTER JOIN wb ON wa.wk = wb.wk),
+c AS (SELECT wk,
+             sum(x) OVER (ORDER BY wk) AS p,
+             sum(y) OVER (ORDER BY wk) AS q,
+             sum(x) OVER () AS na, sum(y) OVER () AS nb
+      FROM u)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(floor(max(abs(p / na - q / nb)) * 1e6 + 0.5) AS BIGINT)
+         AS ks_e6
+FROM c
+""",
+        # ip_prefix: /len blocks of the derived IPv4 ints, dotted keys
+        "fts_ip_prefix": f"""
+WITH e AS (
+  SELECT {P.IP_BASE} + (user_id * {P.IP_MULT}) % 16777216 AS ip
+  FROM events
+),
+p AS (SELECT (ip // {1 << (32 - P.IP_PREFIX_LEN)})
+               * {1 << (32 - P.IP_PREFIX_LEN)} AS pfx,
+             count(*) AS doc_count
+      FROM e GROUP BY 1)
+SELECT CAST(pfx // 16777216 % 256 AS VARCHAR) || '.'
+       || CAST(pfx // 65536 % 256 AS VARCHAR) || '.'
+       || CAST(pfx // 256 % 256 AS VARCHAR) || '.'
+       || CAST(pfx % 256 AS VARCHAR) || '/{P.IP_PREFIX_LEN}' AS prefix,
+       doc_count
+FROM p ORDER BY pfx
+""",
+        # ip_range: [from, to) rings with '*' open ends
+        "fts_ip_range": f"""
+WITH e AS (
+  SELECT {P.IP_BASE} + (user_id * {P.IP_MULT}) % 16777216 AS ip
+  FROM events
+)
+{" UNION ALL ".join(
+    "SELECT '{key}' AS key, count(*) AS doc_count FROM e WHERE {cond}"
+    .format(
+        key=("*" if f is None else P._dotted(f)) + "-"
+            + ("*" if t is None else P._dotted(t)),
+        cond=" AND ".join(
+            ([f"ip >= {f}"] if f is not None else [])
+            + ([f"ip < {t}"] if t is not None else [])
+        ) or "TRUE",
+    )
+    for f, t in P.IP_RANGE_EDGES
+)}
 """,
         # change_point: argmax of |mean_l - mean_r| * sqrt(t(n-t)/n)
         # over weekly prefix splits, ties -> smallest t

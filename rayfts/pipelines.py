@@ -1385,6 +1385,132 @@ def fts_bucket_correlation(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_ks_test(sf_dir: str) -> pa.Table:
+    """ES bucket_count_ks_test pipeline agg: two-sample KS statistic
+    between the WEEKLY hit-count CDFs of BM25_QUERY and CORR_QUERY_B
+    (union-aligned buckets, missing -> 0). One (n_buckets, ks_e6) row
+    from exact integer prefix sums."""
+    from .search import bucket_count_ks_test
+
+    s = Searcher(documents_index(sf_dir))
+    n, ks_e6 = bucket_count_ks_test(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "week"),
+        s.date_histogram_agg(CORR_QUERY_B, "ts_epoch", "week"),
+    )
+    return pa.table({
+        "n_buckets": pa.array([n], pa.int64()),
+        "ks_e6": pa.array([ks_e6], pa.int64()),
+    })
+
+
+IP_BASE = 167772160            # 10.0.0.0 — the derived-IP space
+IP_MULT = 2654435761           # Knuth multiplicative hash
+IP_PREFIX_LEN = 12
+# ip_range boundaries ([from, to), None = open):
+# *-10.64.0.0, 10.64.0.0-10.128.0.0, 10.128.0.0-*
+IP_RANGE_EDGES = (
+    (None, IP_BASE + (1 << 22)),
+    (IP_BASE + (1 << 22), IP_BASE + (2 << 22)),
+    (IP_BASE + (2 << 22), None),
+)
+
+
+def _event_ips(sf_dir: str) -> rd.Dataset:
+    """events + a derived IPv4 column (integer form): ip = 10.0.0.0 +
+    (user_id · IP_MULT) mod 2^24 — deterministic, exact int64
+    arithmetic the SQL twin repeats verbatim (the ts_epoch
+    precedent)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].combine_chunks().to_numpy().astype(np.int64)
+        ip = IP_BASE + (uid * IP_MULT) % (1 << 24)
+        return pa.table({"ip": pa.array(ip, pa.int64())})
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def _dotted(ip: int) -> str:
+    return f"{(ip >> 24) & 255}.{(ip >> 16) & 255}." \
+           f"{(ip >> 8) & 255}.{ip & 255}"
+
+
+def fts_ip_prefix(sf_dir: str) -> pa.Table:
+    """ES ip_prefix aggregation: event counts per /IP_PREFIX_LEN
+    network of the derived IPv4 column, keys 'a.b.c.d/len' ascending.
+    Map-side combine (per-batch prefix bincount rows) + one
+    O(prefixes) groupby."""
+    mask = ~((1 << (32 - IP_PREFIX_LEN)) - 1) & 0xFFFFFFFF
+
+    def partial(b: pa.Table) -> pa.Table:
+        ip = b["ip"].combine_chunks().to_numpy()
+        pfx = ip & mask
+        u, c = np.unique(pfx, return_counts=True)
+        return pa.table({
+            "pfx": pa.array(u.astype(np.int64)),
+            "n_p": pa.array(c.astype(np.int64)),
+        })
+
+    out = (
+        _event_ips(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pfx")
+        .aggregate(Sum("n_p"))
+        .to_pandas()
+        .sort_values("pfx")
+    )
+    return pa.table({
+        "prefix": pa.array(
+            [f"{_dotted(int(p))}/{IP_PREFIX_LEN}" for p in out["pfx"]],
+            pa.string(),
+        ),
+        "doc_count": pa.array(
+            [int(v) for v in out["sum(n_p)"]], pa.int64()
+        ),
+    })
+
+
+def fts_ip_range(sf_dir: str) -> pa.Table:
+    """ES ip_range aggregation: event counts per [from, to) ring of the
+    derived IPv4 column, keys 'from-to' with '*' open ends (the range
+    agg convention), in IP_RANGE_EDGES order."""
+    edges = IP_RANGE_EDGES
+
+    def partial(b: pa.Table) -> pa.Table:
+        ip = b["ip"].combine_chunks().to_numpy()
+        cnt = [
+            int((((ip >= f) if f is not None else True)
+                 & ((ip < t) if t is not None else True)).sum())
+            for f, t in edges
+        ]
+        return pa.table({
+            "ridx": pa.array(range(len(edges)), pa.int64()),
+            "n_p": pa.array(cnt, pa.int64()),
+        })
+
+    out = (
+        _event_ips(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ridx")
+        .aggregate(Sum("n_p"))
+        .to_pandas()
+        .sort_values("ridx")
+    )
+    keys = [
+        f"{'*' if f is None else _dotted(f)}-"
+        f"{'*' if t is None else _dotted(t)}"
+        for f, t in edges
+    ]
+    return pa.table({
+        "key": pa.array([keys[int(i)] for i in out["ridx"]], pa.string()),
+        "doc_count": pa.array(
+            [int(v) for v in out["sum(n_p)"]], pa.int64()
+        ),
+    })
+
+
 def fts_change_point(sf_dir: str) -> pa.Table:
     """ES change_point aggregation over the weekly date_histogram of
     BM25_QUERY hits: the split maximizing the scaled mean-shift

@@ -474,6 +474,35 @@ def bucket_correlation(a: list[tuple], b: list[tuple]):
     return (n, int(math.floor(corr * 1e6 + 0.5)))
 
 
+def bucket_count_ks_test(a: list[tuple], b: list[tuple]):
+    """ES bucket_count_ks_test pipeline-aggregation analog (two-sample
+    Kolmogorov–Smirnov over two parent bucket-count series): the series
+    align on the UNION of keys (missing → 0), each becomes an empirical
+    CDF over its own total, and the statistic is max |cdf_a − cdf_b|.
+    Every double comes from exact integer prefix sums via the identical
+    expression (p/na − q/nb), so engine == SQL bit-for-bit. Returns
+    (n_buckets, ks_e6) — ks_e6 floor(x+0.5)-rounded, None when either
+    side is empty (zero total, the SQL NULL)."""
+    import math
+
+    da, db = dict(a), dict(b)
+    keys = sorted(set(da) | set(db))
+    n = len(keys)
+    na = sum(da.values())
+    nb = sum(db.values())
+    if n == 0 or na == 0 or nb == 0:
+        return (n, None)
+    p = q = 0
+    ks = 0.0
+    for k in keys:
+        p += da.get(k, 0)
+        q += db.get(k, 0)
+        d = abs(p / na - q / nb)
+        if d > ks:
+            ks = d
+    return (n, int(math.floor(ks * 1e6 + 0.5)))
+
+
 def change_point(buckets: list[tuple]):
     """ES change_point aggregation analog over a parent bucket series
     [(key, count)] in key order: the split maximizing the scaled

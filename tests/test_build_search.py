@@ -2745,3 +2745,21 @@ def test_sparse_vector_matches_bruteforce(index_dir, oracle):
             want[d] = sc
     top = sorted(want.items(), key=lambda e: (-e[1], e[0]))[:15]
     assert [(d, pytest.approx(sc)) for d, sc in top] == got
+
+
+def test_bucket_count_ks_test_bruteforce():
+    """KS statistic == max CDF gap on union-aligned series; identical
+    series -> 0; disjoint series -> 1; empty side -> None."""
+    from rayfts.search import bucket_count_ks_test
+
+    a = [(1, 4), (2, 4), (3, 2)]
+    n, ks = bucket_count_ks_test(a, a)
+    assert (n, ks) == (3, 0)
+    n, ks = bucket_count_ks_test([(1, 5)], [(9, 5)])
+    assert (n, ks) == (2, 1_000_000)
+    a = [(1, 1), (2, 3)]
+    b = [(1, 3), (2, 1)]
+    # cdfs: a = .25, 1 ; b = .75, 1 -> max gap .5
+    assert bucket_count_ks_test(a, b) == (2, 500_000)
+    assert bucket_count_ks_test([], [(1, 1)]) == (1, None)
+    assert bucket_count_ks_test([(1, 0)], [(1, 1)])[1] is None
