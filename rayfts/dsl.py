@@ -265,12 +265,39 @@ def _execute_retriever(searcher, body: dict, knn_hits) -> dict:
     if len(tree) != 1:
         raise UnsupportedDSL(f"retriever with keys {sorted(tree)}")
     kind, node = next(iter(tree.items()))
-    if kind not in ("rrf", "linear"):
+    if kind not in ("rrf", "linear", "text_similarity_reranker"):
         raise UnsupportedDSL(f"retriever kind {kind!r}")
     if knn_hits is None:
         raise UnsupportedDSL(
             "retriever needs knn_hits from the ANN stage"
         )
+    if kind == "text_similarity_reranker":
+        # ES 8.15 semantic reranker: the child retriever's top
+        # rank_window hits reorder by the inference score — here the
+        # ANN/scoring stage's (id, score) output, the knn_hits
+        # contract standing in for the inference endpoint. Docs the
+        # model did not score DROP (they have no rerank score).
+        child = node.get("retriever")
+        if not isinstance(child, dict) or "standard" not in child:
+            raise UnsupportedDSL(
+                "text_similarity_reranker needs a standard child"
+            )
+        spec = normalize_query(child["standard"]["query"])
+        if spec.kind != "match" or spec.where or spec.must_not:
+            raise UnsupportedDSL(
+                "reranker child supports a plain match query"
+            )
+        window = int(node.get("rank_window_size", 100))
+        size = int(body.get("size", 10))
+        simmap = {int(d): float(s) for d, s in knn_hits}
+        rows = sorted(
+            ((d, simmap[d]) for d, _ in
+             searcher.search(spec.text, k=window) if d in simmap),
+            key=lambda e: (-e[1], e[0]),
+        )[:size]
+        return {"hits": {"hits": [
+            {"_id": d, "_score": s} for d, s in rows
+        ]}}
     legs = node.get("retrievers", [])
     texts = [
         leg["standard"]["query"] for leg in legs if "standard" in leg

@@ -317,3 +317,28 @@ def test_dsl_wrapper_query_transparent(pos_dsl_index):
     assert _hits(got2) == _hits(got)
     with pytest.raises(UnsupportedDSL):
         execute_dsl(s, {"query": {"wrapper": {"query": "!!notb64!!"}}})
+
+
+def test_dsl_text_similarity_reranker(pos_dsl_index):
+    """text_similarity_reranker: the child's top rank_window hits
+    reorder by the provided inference scores; unscored docs drop;
+    malformed trees refuse."""
+    s = Searcher(pos_dsl_index)
+    q = "the w0007"
+    window = s.search(q, k=8)
+    assert len(window) >= 4
+    # score the first, third and fourth hits (reversed preference)
+    knn = [(window[0][0], 0.2), (window[2][0], 0.9),
+           (window[3][0], 0.5)]
+    got = execute_dsl(s, {"retriever": {"text_similarity_reranker": {
+        "retriever": {"standard": {"query": {"match": {"text": q}}}},
+        "rank_window_size": 8,
+    }}, "size": 2}, knn_hits=knn)
+    assert _hits(got) == [(window[2][0], 0.9), (window[3][0], 0.5)]
+    with pytest.raises(UnsupportedDSL):
+        execute_dsl(s, {"retriever": {"text_similarity_reranker": {}}},
+                    knn_hits=knn)
+    with pytest.raises(UnsupportedDSL):
+        execute_dsl(s, {"retriever": {"text_similarity_reranker": {
+            "retriever": {"standard": {"query": {"match": {"text": q}}}},
+        }}})   # no knn_hits
