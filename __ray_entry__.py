@@ -579,6 +579,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_ip_range": P.fts_ip_range,
         # DSIR: hashed-unigram importance-weight data selection
         "dsir_select_top": P.dsir_select_top,
+        # semantic decontamination: max-cosine-vs-benchmark flags
+        "semantic_decontaminate_counts": P.semantic_decontaminate_counts,
         # frequent_item_sets agg: market-basket over keyword fields
         "fts_frequent_item_sets": P.fts_frequent_item_sets,
         # _analyze API: the analyzer's (token, position) stream
@@ -3649,6 +3651,38 @@ ORDER BY p.qid
 """,
         # MMR rerank: greedy picks unrolled as CTE stages
         "fts_mmr_rerank": _mmr_sql(),
+        # semantic decontamination: per-corpus-row max cosine vs the
+        # benchmark slice, flag at the tau floor
+        "semantic_decontaminate_counts": f"""
+WITH bv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id < {P.SEMDECON_BENCH_N}
+),
+cv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id >= {P.SEMDECON_BENCH_N}
+),
+bn AS (SELECT vec_id, sqrt(sum(val * val)) AS n FROM bv GROUP BY 1),
+cn AS (SELECT vec_id, sqrt(sum(val * val)) AS n FROM cv GROUP BY 1),
+dots AS (
+  SELECT c.vec_id AS cid, b.vec_id AS bid, sum(c.val * b.val) AS dot
+  FROM cv c JOIN bv b USING (i) GROUP BY 1, 2
+),
+mx AS (
+  SELECT d.cid AS vec_id, max(d.dot / (cn.n * bn.n)) AS m
+  FROM dots d JOIN cn ON cn.vec_id = d.cid
+  JOIN bn ON bn.vec_id = d.bid
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+       CAST(sum(CASE WHEN m >= {P.SEMDECON_TAU} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN m >= {P.SEMDECON_TAU} THEN vec_id ELSE 0 END)
+            AS BIGINT) AS sum_flagged_id
+FROM mx
+""",
         # frequent_item_sets: UNION ALL of the 7 subset shapes, support
         # floor, (support desc, n_items desc, key asc)
         "fts_frequent_item_sets": f"""

@@ -217,3 +217,53 @@ def split_leakage(ds: rd.Dataset, key_col: str = "doc_id",
             [int(tot["sum(holdout)"] or 0)], pa.int64()
         ),
     })
+
+
+def semantic_decontaminate(
+    corpus: rd.Dataset,
+    benchmark_vecs: "np.ndarray",
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Semantic (embedding-level) decontamination: flag corpus rows
+    whose max cosine to ANY benchmark embedding reaches ``threshold``
+    — the paraphrase-robust complement of the n-gram shingle check
+    (n-grams miss reworded eval leakage; embeddings catch it). Same
+    broadcast asymmetry as the shingle path: the benchmark matrix is
+    small, so it ships ONCE via ray.put and the corpus streams through
+    one vectorized map_batches (a [batch, bench] matmul per batch, no
+    shuffle, corpus touched exactly once). Returns Dataset(id_col,
+    max_sim, flagged); zero-norm rows score 0."""
+    import ray
+
+    m = np.asarray(benchmark_vecs, dtype=np.float64)
+    ref = ray.put(m)
+
+    class SemScan:
+        def __init__(self):
+            self.bench = ray.get(ref)
+            bn = np.sqrt((self.bench * self.bench).sum(axis=1))
+            bn[bn == 0.0] = 1.0
+            self.bnorm = bn
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = np.asarray(
+                b[vec_col].combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False
+                ), dtype=np.float64,
+            ).reshape(b.num_rows, -1)
+            nrm = np.sqrt((v * v).sum(axis=1, keepdims=True))
+            nrm[nrm == 0.0] = 1.0
+            # dot first, one divide — the SQL twin's rounding order
+            sims = (v @ self.bench.T) / (nrm * self.bnorm[None, :])
+            mx = sims.max(axis=1) if sims.size else np.zeros(b.num_rows)
+            return pa.table({
+                id_col: b[id_col],
+                "max_sim": pa.array(mx, pa.float64()),
+                "flagged": pa.array(mx >= threshold),
+            })
+
+    return corpus.map_batches(SemScan, batch_format="pyarrow",
+                              concurrency=concurrency)

@@ -795,6 +795,68 @@ def fts_span_near_docs(sf_dir: str) -> pa.Table:
     )
 
 
+SEMDECON_BENCH_N = 32   # benchmark slice: vec_id < this
+SEMDECON_TAU = 0.32     # max-cosine contamination floor (gap >= 3e-5)
+
+
+def semantic_decontaminate_counts(sf_dir: str) -> pa.Table:
+    """Semantic decontamination: corpus embeddings (vec_id >=
+    SEMDECON_BENCH_N) whose max cosine to ANY benchmark embedding
+    (vec_id < SEMDECON_BENCH_N) reaches SEMDECON_TAU are contamination
+    flags — the paraphrase-robust complement of the n-gram
+    decontaminate_ngrams check. Benchmark matrix broadcasts once; the
+    corpus streams through ONE map_batches; the driver sees three ints
+    (count, flagged count, exact flagged-id sum)."""
+    from .extras.decontam import semantic_decontaminate
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    bench = pq.read_table(
+        emb_path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", SEMDECON_BENCH_N)],
+    )
+    bvecs = np.asarray(
+        bench["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ), dtype=np.float64,
+    ).reshape(bench.num_rows, -1)
+    corpus = rd.read_parquet(
+        emb_path, columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["vec_id"], SEMDECON_BENCH_N)
+        ),
+        batch_format="pyarrow",
+    )
+    flags = semantic_decontaminate(corpus, bvecs, SEMDECON_TAU)
+
+    def partial(b: pa.Table) -> pa.Table:
+        fl = b["flagged"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        vid = b["vec_id"].combine_chunks().to_numpy()
+        return pa.table({
+            "n_p": pa.array([b.num_rows], pa.int64()),
+            "f_p": pa.array([int(fl.sum())], pa.int64()),
+            "s_p": pa.array(
+                [int(vid[fl].sum()) if fl.any() else 0], pa.int64()
+            ),
+        })
+
+    t = pa.concat_tables([
+        b for b in ray.get(
+            flags.map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if b.num_rows
+    ])
+    return pa.table({
+        "n_corpus": pa.array([pc.sum(t["n_p"]).as_py()], pa.int64()),
+        "n_flagged": pa.array([pc.sum(t["f_p"]).as_py()], pa.int64()),
+        "sum_flagged_id": pa.array(
+            [pc.sum(t["s_p"]).as_py()], pa.int64()
+        ),
+    })
+
+
 FIS_MIN_SUPPORT = 20   # frequent_item_sets support floor
 FIS_TOP_N = 15
 

@@ -1884,3 +1884,35 @@ def test_frequent_item_sets_matches_bruteforce():
                     got["n_items"].to_pylist()))
     assert rows == want
     assert any(n == 2 for _, _, n in rows)   # multi-item sets survive
+
+
+def test_semantic_decontaminate_matches_bruteforce():
+    """semantic_decontaminate flags == a plain max-cosine recompute vs
+    the benchmark matrix; zero vectors score 0; planted paraphrase
+    (near-copy of a benchmark vector) flags."""
+    from rayfts.extras.decontam import semantic_decontaminate
+
+    rng = np.random.default_rng(23)
+    nb, nc, dim, tau = 5, 40, 8, 0.9
+    bench = rng.standard_normal((nb, dim))
+    corp = rng.standard_normal((nc, dim))
+    corp[7] = bench[2] * 3.0 + rng.standard_normal(dim) * 1e-3  # leak
+    corp[11] = 0.0                                              # zero
+    t = pa.table({
+        "vec_id": pa.array(range(100, 100 + nc), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in corp],
+                              pa.list_(pa.float64())),
+    })
+    out = (
+        semantic_decontaminate(rd.from_arrow(t).repartition(4), bench,
+                               threshold=tau)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    nrm = np.linalg.norm(corp, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    bn = np.linalg.norm(bench, axis=1)
+    want = ((corp @ bench.T) / (nrm * bn[None, :])).max(axis=1)
+    assert np.allclose(out.max_sim.to_numpy(), want, atol=1e-12)
+    assert out.flagged.tolist() == (want >= tau).tolist()
+    assert bool(out.flagged[7]) and not bool(out.flagged[11])
+    assert out.max_sim[11] == 0.0
