@@ -16,6 +16,7 @@ from collections.abc import Callable
 from typing import Any
 
 from rayfts import pipelines as P
+from rayfts.extras import dedup as _DD  # winnow spec constants
 from rayfts.extras import oracles as _X
 from rayfts.extras import textstats as _QF  # quality-funnel thresholds
 from rayfts.search import Searcher as _S  # AUTO_DATE_LADDER for the oracle
@@ -475,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": P.text_repetition_q,
         "lang_id": P.lang_id_q,
         "text_fingerprint": P.text_fingerprint_q,
+        "text_winnow_fingerprints": P.text_winnow_fingerprints,
         "fts_terms_subagg": P.terms_subagg_q,
         "fts_multi_terms": P.multi_terms_q,
         "fts_rare_terms": P.rare_terms_q,
@@ -2559,6 +2561,9 @@ FROM kid k JOIN par p USING (source) WHERE k.rk <= 3
         "knn_cosine_lsh": _X.knn_lsh_sql(k=10, n_planes=4, dim=64),
         "lang_id": _X.lang_id_sql(),
         "text_fingerprint": _X.fingerprint_sql(),
+        "text_winnow_fingerprints": _X.winnow_sql(
+            k=_DD.WINNOW_K, w=_DD.WINNOW_W
+        ),
         # knn_cosine_ivf: the gate query probes ALL centroids — exact by
         # construction — so the partitioned-storage round-trip faces the
         # same top-k value oracle as brute force. (Replicating the seeded

@@ -885,3 +885,111 @@ def dup_window_counts(
         )
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4          # k-gram width fed to the winnow
+WINNOW_W = 5          # winnow window (k-gram hashes per window)
+_WINNOW_H_BITS = 40   # hash bits kept in the packed (hash, pos) key
+_WINNOW_P_BITS = 24   # position bits (docs must have < 2^24 k-grams)
+_WINNOW_SUM_MOD = 1 << 61  # fingerprint checksum modulus (HUGEINT-safe)
+
+
+def winnow_fingerprint_counts(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    k: int = WINNOW_K, w: int = WINNOW_W,
+) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS selection rule): k-gram fold hashes (the family
+    shingle spec: md5-lower64 tokens, C-fold mod 2^64, docs with
+    0 < L < k tokens folding once) are packed into a single orderable
+    key ``(hash mod 2^40) * 2^24 + (2^24 - 1 - pos)`` so that the
+    window MINIMUM is the minimal hash with RIGHTMOST-position
+    tie-break — exactly the winnowing selection. Every width-``w``
+    window of consecutive k-gram keys (docs with fewer than ``w``
+    k-grams form one whole-doc window) selects its min; the doc's
+    fingerprint set is the DISTINCT selected keys. Emits per doc:
+    ``n_fp`` (fingerprint count) and ``fp_sum`` (sum of selected keys
+    mod 2^61 — the order-insensitive checksum the SQL twin can
+    reproduce in HUGEINT).
+
+    Scale shape: docs never span batches, so the whole selection is
+    ONE vectorized map_batches — no shuffle at all; windows never
+    cross docs (each doc's key block is padded with w-1 max-u64
+    sentinels, which can never win a min strictly). Position bound:
+    docs with >= 2^24 k-grams would alias in the packed key — far
+    beyond any transcript turn; the guard is documented, not paid for.
+    """
+    u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
+    hmod = np.uint64(1 << _WINNOW_H_BITS)
+    pmul = np.uint64(1 << _WINNOW_P_BITS)
+    pmax = np.uint64((1 << _WINNOW_P_BITS) - 1)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_fp": pa.array([], pa.int64()),
+            "fp_sum": pa.array([], pa.int64()),
+        })
+        flat, parent = tokens_flat(batch[text_col])
+        if len(flat) == 0:
+            return empty
+        flat_h = hash_tokens_unique(flat)
+        sh, sp = shingle_hashes_batch(flat_h, parent, batch.num_rows, k)
+        if sh.size == 0:
+            return empty
+        # per-doc k-gram counts / in-doc positions (sh is parent-major,
+        # positional within each doc)
+        counts = np.bincount(sp, minlength=batch.num_rows)
+        doc_rows = np.flatnonzero(counts > 0)
+        ld = counts[doc_rows].astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(ld)])
+        pos = (np.arange(sh.size, dtype=np.int64)
+               - np.repeat(starts[:-1], ld)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            kv = (sh % hmod) * pmul + (pmax - pos)
+        # sentinel-padded per-doc blocks: windows never cross docs
+        nblk = ld + (w - 1)
+        blk_starts = np.concatenate([[0], np.cumsum(nblk)])
+        padded = np.full(int(blk_starts[-1]), u64max, dtype=np.uint64)
+        padded[np.arange(sh.size, dtype=np.int64)
+               + np.repeat(blk_starts[:-1] - starts[:-1], ld)] = kv
+        wins = np.lib.stride_tricks.sliding_window_view(padded, w).min(axis=1)
+        # valid window starts per doc: max(L - w + 1, 1)
+        nval = np.maximum(ld - (w - 1), 1)
+        voff = np.concatenate([[0], np.cumsum(nval)])
+        within = (np.arange(int(voff[-1]), dtype=np.int64)
+                  - np.repeat(voff[:-1], nval))
+        sel = wins[np.repeat(blk_starts[:-1], nval) + within]
+        sel_doc = np.repeat(np.arange(doc_rows.size, dtype=np.int64), nval)
+        # distinct (doc, selected key)
+        order = np.lexsort((sel, sel_doc))
+        sd, sk = sel_doc[order], sel[order]
+        keep = np.ones(sd.size, dtype=bool)
+        keep[1:] = (sd[1:] != sd[:-1]) | (sk[1:] != sk[:-1])
+        sd, sk = sd[keep], sk[keep]
+        n_fp = np.bincount(sd, minlength=doc_rows.size).astype(np.int64)
+        # exact sum(kv) mod 2^61 without overflow: split into 32-bit
+        # limbs; 2^61 = 2^29 * 2^32, so (hi*2^32 + lo) mod 2^61 =
+        # ((hi mod 2^29)*2^32 + lo) mod 2^61
+        hi = (sk >> np.uint64(32)).astype(np.int64)
+        lo = (sk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        # every present doc has >= 1 fingerprint, so sd covers
+        # range(doc_rows.size) and reduceat segments align 1:1
+        seg = np.concatenate([[0], np.cumsum(n_fp)[:-1]])
+        hi_s = np.add.reduceat(hi, seg) % (1 << 29)
+        lo_s = np.add.reduceat(lo, seg)
+        fp_sum = ((hi_s.astype(np.uint64) << np.uint64(32))
+                  + lo_s.astype(np.uint64)) % np.uint64(_WINNOW_SUM_MOD)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_rows]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_fp": pa.array(n_fp, pa.int64()),
+            "fp_sum": pa.array(fp_sum.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)

@@ -452,3 +452,61 @@ SELECT doc_id, count(*) AS n_dup FROM sh
 WHERE sh IN (SELECT sh FROM dup)
 GROUP BY doc_id ORDER BY n_dup DESC, doc_id LIMIT {limit}
 """
+
+
+def winnow_sql(k: int = 4, w: int = 5) -> str:
+    """Winnowing-fingerprint twin of dedup.winnow_fingerprint_counts:
+    the same k-gram fold hashes (md5_number_lower tokens, C-fold mod
+    2^64, short docs folding once), packed key
+    (hash mod 2^40)*2^24 + (2^24-1-pos), rightmost-min-per-window
+    selection via a ROWS frame min, distinct selected keys per doc,
+    (count, sum mod 2^61). Window starts are positions
+    p <= greatest(L - w, 0) — docs with fewer than w k-grams form one
+    whole-doc window, exactly the engine's sentinel-padded blocks."""
+    C = FOLD_C
+    leads = ",\n        ".join(
+        f"lead(h,{i}) OVER win AS h{i}" for i in range(1, k)
+    )
+    acc = "h"
+    for i in range(1, k):
+        acc = f"(({acc}*{C})%{W} + h{i})%{W}"
+    short_accs = ["h"]
+    for i in range(1, k - 1):
+        short_accs.append(f"(({short_accs[-1]}*{C})%{W} + h{i})%{W}")
+    short_case = "CASE Lt " + " ".join(
+        f"WHEN {ln} THEN {short_accs[ln - 1]}" for ln in range(1, k)
+    ) + " END"
+    hmod = 1 << 40
+    pmul = 1 << 24
+    return f"""
+WITH {_toks_cte()},
+th AS (SELECT doc_id, pos, md5_number_lower(term)::HUGEINT AS h FROM tok),
+wn AS (SELECT doc_id, pos, h,
+        {leads},
+        count(*) OVER (PARTITION BY doc_id) AS Lt
+      FROM th
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+kg AS (
+  SELECT doc_id, pos, {acc} AS sh FROM wn WHERE h{k - 1} IS NOT NULL
+  UNION ALL
+  SELECT doc_id, pos, {short_case} FROM wn WHERE Lt < {k} AND pos = 1
+),
+kp AS (SELECT doc_id,
+        row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p,
+        sh,
+        count(*) OVER (PARTITION BY doc_id) AS L
+       FROM kg),
+kv AS (SELECT doc_id, p, L,
+        (sh % {hmod}) * {pmul} + ({pmul - 1} - p) AS kvv
+       FROM kp),
+wm AS (SELECT doc_id, p, L,
+        min(kvv) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+          AS kmin
+       FROM kv),
+sel AS (SELECT DISTINCT doc_id, kmin FROM wm
+        WHERE p <= greatest(L - {w}, 0))
+SELECT doc_id, count(*)::BIGINT AS n_fp,
+       (sum(kmin) % {1 << 61})::BIGINT AS fp_sum
+FROM sel GROUP BY doc_id ORDER BY doc_id
+"""

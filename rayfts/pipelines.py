@@ -5283,3 +5283,13 @@ def mmr_select(docs: np.ndarray, rel: np.ndarray, sims: np.ndarray,
         selected.append(best)
         remaining[best] = False
     return selected
+
+
+def text_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowing document fingerprints (MOSS selection rule) over the
+    documents corpus: per doc, the count of distinct winnow-selected
+    k-gram keys and their checksum — one shuffle-free vectorized
+    map_batches (see extras.dedup.winnow_fingerprint_counts)."""
+    from .extras.dedup import winnow_fingerprint_counts
+
+    return winnow_fingerprint_counts(_docs(sf_dir))

@@ -1916,3 +1916,73 @@ def test_semantic_decontaminate_matches_bruteforce():
     assert out.flagged.tolist() == (want >= tau).tolist()
     assert bool(out.flagged[7]) and not bool(out.flagged[11])
     assert out.max_sim[11] == 0.0
+
+
+def test_winnow_fingerprints_matches_bruteforce():
+    """Winnowing fingerprint selection against a direct per-doc
+    recompute of the SIGMOD'03 rule: rightmost minimal k-gram hash per
+    width-w window, distinct selected (hash, pos) keys; short docs
+    (fewer than w k-grams, or even fewer than k tokens) form one
+    window; empty docs emit nothing."""
+    from rayfts.extras.dedup import (
+        FOLD_C, WINNOW_K, WINNOW_W, winnow_fingerprint_counts,
+    )
+    from rayfts.extras.hashing import md5_lower64
+    from rayfts.oracle import tokenize
+
+    texts = {
+        0: "a b c d e f g h i j k l m n",      # plenty of windows
+        1: "a b c d e f g h i j k l m n",      # identical twin
+        2: "z z z z z z z z z z",              # all-equal hashes: ties
+        3: "q r s",                            # L < k: one folded gram
+        4: "q r s t u v",                      # k <= L < k+w-1
+        5: "",                                 # empty
+        6: "m",                                # single token
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[d] for d in sorted(texts)], pa.string()),
+    })
+    got = {
+        int(r["doc_id"]): (int(r["n_fp"]), int(r["fp_sum"]))
+        for r in winnow_fingerprint_counts(
+            rd.from_arrow(t).repartition(2)
+        ).take_all()
+    }
+
+    def kgrams(toks):
+        hs = [md5_lower64(w) for w in toks]
+        if not hs:
+            return []
+        if len(hs) < WINNOW_K:
+            acc = hs[0]
+            for h in hs[1:]:
+                acc = (acc * FOLD_C + h) % (1 << 64)
+            return [acc]
+        out = []
+        for i in range(len(hs) - WINNOW_K + 1):
+            acc = hs[i]
+            for j in range(1, WINNOW_K):
+                acc = (acc * FOLD_C + hs[i + j]) % (1 << 64)
+            out.append(acc)
+        return out
+
+    want = {}
+    for d, txt in texts.items():
+        grams = kgrams(tokenize(txt))
+        if not grams:
+            assert d not in got
+            continue
+        keys = [
+            (g % (1 << 40)) * (1 << 24) + ((1 << 24) - 1 - p)
+            for p, g in enumerate(grams)
+        ]
+        n = len(keys)
+        sel = set()
+        if n < WINNOW_W:
+            sel.add(min(keys))
+        else:
+            for s in range(n - WINNOW_W + 1):
+                sel.add(min(keys[s:s + WINNOW_W]))
+        want[d] = (len(sel), sum(sel) % (1 << 61))
+    assert got == want
