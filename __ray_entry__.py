@@ -17,12 +17,14 @@ from typing import Any
 
 from rayfts import pipelines as P
 from rayfts.extras import dedup as _DD  # winnow spec constants
+from rayfts.extras import similarity as _SIM  # maxsim sub-vector spec
 from rayfts.extras import oracles as _X
 from rayfts.extras import textstats as _QF  # quality-funnel thresholds
 from rayfts.search import Searcher as _S  # AUTO_DATE_LADDER for the oracle
 
 # Token class shared with rayfts.analysis.SPLIT_PATTERN (RE2 in both engines).
 _TOK = r"[\p{L}\p{N}_]+"
+_MAXSIM_D = 64 // _SIM.MAXSIM_SUBS  # dims per maxsim sub-vector
 
 _TOKS_CTE = (
     "toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
@@ -465,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": P.dedup_simhash_q,
         "embedding_near_dup": P.embedding_near_dup_q,
         "knn_cosine_top10": P.knn_cosine_top10,
+        "fts_maxsim_top10": P.fts_maxsim_top10,
         # ES 8.8 knn similarity floor over the exact path
         "knn_similarity_cutoff": P.knn_similarity_cutoff,
         # sparse_vector / rank_features dot-product query
@@ -2444,6 +2447,41 @@ dots AS (
 SELECT vec_id,
        CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
 FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
+""",
+        # late-interaction maxsim: embeddings sliced into SUBS contiguous
+        # sub-vectors; score = sum over query slices of max doc-slice
+        # cosine (ES rank_vectors maxSim / ColBERT)
+        "fts_maxsim_top10": f"""
+WITH qe AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = {P.MAXSIM_QUERY_VEC_ID}
+),
+q AS (SELECT i // {_MAXSIM_D} AS qi, i % {_MAXSIM_D} AS di, val FROM qe),
+ve AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+v AS (SELECT vec_id, i // {_MAXSIM_D} AS vj, i % {_MAXSIM_D} AS di, val
+      FROM ve),
+qn AS (SELECT qi, sqrt(sum(val * val)) AS qn FROM q GROUP BY qi),
+vn AS (SELECT vec_id, vj, sqrt(sum(val * val)) AS vn
+       FROM v GROUP BY vec_id, vj),
+dots AS (
+  SELECT v.vec_id, q.qi, v.vj, sum(v.val * q.val) AS dot
+  FROM v JOIN q USING (di) GROUP BY v.vec_id, q.qi, v.vj
+),
+cos AS (
+  SELECT d.vec_id, d.qi, max(d.dot / (vn.vn * qn.qn)) AS best
+  FROM dots d
+  JOIN vn ON d.vec_id = vn.vec_id AND d.vj = vn.vj
+  JOIN qn ON d.qi = qn.qi
+  GROUP BY d.vec_id, d.qi
+),
+sc AS (SELECT vec_id, sum(best) AS score FROM cos GROUP BY vec_id)
+SELECT vec_id, CAST(round(score * 1e6) AS BIGINT) AS maxsim_e6
+FROM sc ORDER BY maxsim_e6 DESC, vec_id LIMIT 10
 """,
         # knn similarity floor: same cosine CTE, below-floor candidates
         # are not matches (exact path: post-filter == pre-k drop)

@@ -891,3 +891,81 @@ def knn_cosine_filtered(
         query_vec, k=k, id_col=id_col, vec_col=vec_col,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# late-interaction maxsim (ES rank_vectors / ColBERT scoring)
+# ---------------------------------------------------------------------------
+
+MAXSIM_SUBS = 8  # sub-vectors per embedding (dim must divide evenly)
+
+
+class MaxSimScorer:
+    """Actor stage for late-interaction scoring (ES ``rank_vectors``
+    maxSimDotProduct / ColBERT, Khattab & Zaharia SIGIR'20): the doc's
+    multi-vector view is its embedding sliced into ``subs`` contiguous
+    sub-vectors; score = sum over QUERY sub-vectors of the max cosine
+    against any DOC sub-vector. Query sub-vectors are pre-normalized
+    once per actor; per batch the whole interaction is one einsum."""
+
+    def __init__(self, query_ref, k: int, subs: int, id_col: str,
+                 vec_col: str):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) \
+            else query_ref
+        q = np.asarray(q, dtype=np.float64).reshape(subs, -1)
+        qn = np.sqrt((q * q).sum(axis=1, keepdims=True))
+        qn[qn == 0] = 1.0
+        self.q = q / qn
+        self.k, self.subs = k, subs
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.vec_col)
+        n = m.shape[0]
+        e = m.reshape(n, self.subs, -1)
+        vn = np.sqrt((e * e).sum(axis=2))
+        vn[vn == 0] = 1.0
+        # cos[n, qi, vj]: q rows are unit, so dot / doc-sub norm
+        cos = np.einsum("nvd,qd->nqv", e, self.q, optimize=True) \
+            / vn[:, None, :]
+        score = cos.max(axis=2).sum(axis=1)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        take = min(self.k, n)
+        part = np.argpartition(-score, take - 1)[:take] if take else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids[part], pa.int64()),
+            "maxsim": pa.array(score[part], pa.float64()),
+        })
+
+
+def maxsim_topk(
+    ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
+    subs: int = MAXSIM_SUBS, id_col: str = "vec_id",
+    vec_col: str = "embedding", concurrency=(1, 4),
+) -> pa.Table:
+    """Exact late-interaction top-k: per-batch maxsim scoring on an
+    actor pool (query broadcast via ray.put once), O(k) candidates per
+    batch to the driver, final order (round(maxsim*1e6) desc, vec_id
+    asc) — the rounded key IS the sort key so the SQL twin's ordering
+    is reproduced exactly. Returns pa.Table(vec_id, maxsim_e6)."""
+    query_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    cands = ds.map_batches(
+        MaxSimScorer,
+        fn_constructor_kwargs={
+            "query_ref": query_ref, "k": k, "subs": subs,
+            "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    t = pa.concat_tables(
+        [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows]
+    )
+    ids = t["vec_id"].to_numpy()
+    e6 = np.round(t["maxsim"].to_numpy() * 1e6).astype(np.int64)
+    order = np.lexsort((ids, -e6))[:k]
+    return pa.table({
+        "vec_id": pa.array(ids[order], pa.int64()),
+        "maxsim_e6": pa.array(e6[order], pa.int64()),
+    })

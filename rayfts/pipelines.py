@@ -5293,3 +5293,25 @@ def text_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
     from .extras.dedup import winnow_fingerprint_counts
 
     return winnow_fingerprint_counts(_docs(sf_dir))
+
+
+MAXSIM_QUERY_VEC_ID = 0
+
+
+def fts_maxsim_top10(sf_dir: str) -> pa.Table:
+    """ES rank_vectors late-interaction retrieval (maxSimDotProduct
+    over cosine, ColBERT-style): each embedding sliced into
+    MAXSIM_SUBS contiguous sub-vectors is the doc's multi-vector view;
+    score = sum over query sub-vectors of the best doc sub-vector
+    cosine; query = vec MAXSIM_QUERY_VEC_ID's slices. Top-10 by
+    (maxsim e6 desc, vec_id asc)."""
+    from .extras.similarity import MAXSIM_SUBS, maxsim_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q0.filter(pc.equal(q0["vec_id"], MAXSIM_QUERY_VEC_ID))
+        ["embedding"][0].as_py(), dtype=np.float64,
+    )
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return maxsim_topk(ds, qvec, k=10, subs=MAXSIM_SUBS)

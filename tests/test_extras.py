@@ -1986,3 +1986,40 @@ def test_winnow_fingerprints_matches_bruteforce():
                 sel.add(min(keys[s:s + WINNOW_W]))
         want[d] = (len(sel), sum(sel) % (1 << 61))
     assert got == want
+
+
+def test_maxsim_topk_matches_bruteforce():
+    """Late-interaction maxsim against a per-row recompute: slice into
+    sub-vectors, per query slice take the best doc-slice cosine, sum;
+    ordering is (rounded e6 desc, vec_id asc) with exact k rows."""
+    from rayfts.extras.similarity import maxsim_topk
+
+    rng = np.random.default_rng(7)
+    n, subs, d = 40, 4, 3
+    vecs = rng.standard_normal((n, subs * d))
+    vecs[5] = vecs[9]  # exact twin -> e6 tie broken by vec_id
+    q = vecs[0].copy()
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    # engine reads float32 storage: brute-force from the same cast
+    vecs32 = np.asarray(vecs, np.float32).astype(np.float64)
+    q32 = np.asarray(q, np.float32).astype(np.float64)
+    k = 10
+    got = maxsim_topk(
+        rd.from_arrow(t).repartition(3), q32, k=k, subs=subs
+    ).to_pandas()
+
+    qs = q32.reshape(subs, d)
+    qs = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    scores = []
+    for i in range(n):
+        e = vecs32[i].reshape(subs, d)
+        e = e / np.linalg.norm(e, axis=1, keepdims=True)
+        scores.append(float((qs @ e.T).max(axis=1).sum()))
+    e6 = np.round(np.asarray(scores) * 1e6).astype(np.int64)
+    order = np.lexsort((np.arange(n), -e6))[:k]
+    assert list(got["vec_id"]) == [int(i) for i in order]
+    assert list(got["maxsim_e6"]) == [int(e6[i]) for i in order]
