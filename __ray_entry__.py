@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_t_test": P.fts_t_test,
         "fts_scripted_metric": P.fts_scripted_metric,
         "fts_has_parent": P.fts_has_parent,
+        "fts_parent_id_docs": P.fts_parent_id_docs,
         "fts_export_slice": P.fts_export_slice,
         # round-5 batch 3: training-data prep — PII redaction (RE2
         # kernel chain) + sequence packing (distributed prefix scan)
@@ -2701,6 +2702,13 @@ FROM documents JOIN hits USING (doc_id)
         # has_parent (join field): children inherit their parent group's
         # best-child BM25 score; child-side lang filter; order
         # (parent score desc, doc asc)
+        # parent_id: children of one parent on the join field — constant
+        # score 1.0 in filter context, doc ascending
+        "fts_parent_id_docs": f"""
+SELECT doc_id, 1000000::BIGINT AS score_e6
+FROM documents WHERE source = '{P.PARENT_ID_PARENT}'
+ORDER BY doc_id LIMIT {P.PARENT_ID_SIZE}
+""",
         "fts_has_parent": f"""
 {_bm25_with(sorted(set(P.BM25_QUERY.split())))},
 pscore AS (

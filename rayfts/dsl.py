@@ -16,9 +16,11 @@ parses". Supported today:
 
   query:  match (operator and/or, minimum_should_match), match_all,
           match_phrase, match_phrase_prefix, match_bool_prefix,
-          query_string, constant_score(filter), term / terms / range
-          (filter context), bool{must: one match-family clause,
-          filter: term/terms/range list, must_not: one match/term}
+          query_string, constant_score(filter), term / terms / range /
+          parent_id (filter context; the join relation name is the
+          join field), bool{must: one match-family clause,
+          filter: term/terms/range/parent_id list, must_not: one
+          match/term}
   body:   size, from, sort ([{field: {order}}], doc-id tiebreak),
           min_score
   aggs:   terms, rare_terms, multi_terms, significant_terms (keyword
@@ -85,6 +87,16 @@ def _filter_clause(spec: QuerySpec, clause: dict) -> None:
         if not b or set(b) - {"gte", "gt", "lte", "lt"}:
             raise UnsupportedDSL("range filter bounds gte/gt/lte/lt")
         spec.where[f] = dict(b)  # the engine's native ES-range where
+    elif kind == "parent_id":
+        # ES parent_id query: children joined to ONE parent. The join
+        # relation name IS the join field in this engine (the same
+        # convention has_child/has_parent use), so this is an exact
+        # keyword filter on that field.
+        if (not isinstance(body, dict) or "type" not in body
+                or "id" not in body
+                or set(body) - {"type", "id", "ignore_unmapped"}):
+            raise UnsupportedDSL("parent_id needs type + id")
+        spec.where[str(body["type"])] = body["id"]
     else:
         raise UnsupportedDSL(f"filter clause {kind!r}")
 
@@ -134,7 +146,7 @@ def normalize_query(q: dict | None) -> QuerySpec:
             raise UnsupportedDSL("constant_score over a scoring clause")
         inner.kind = "all"
         return inner
-    elif kind in ("term", "terms", "range"):
+    elif kind in ("term", "terms", "range", "parent_id"):
         spec.kind = "all"
         _filter_clause(spec, {kind: body})
     elif kind == "bool":

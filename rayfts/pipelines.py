@@ -5315,3 +5315,33 @@ def fts_maxsim_top10(sf_dir: str) -> pa.Table:
     )
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
     return maxsim_topk(ds, qvec, k=10, subs=MAXSIM_SUBS)
+
+
+PARENT_ID_PARENT = "src7"
+PARENT_ID_SIZE = 20
+
+
+def fts_parent_id_docs(sf_dir: str) -> pa.Table:
+    """ES parent_id query (children of ONE parent on the source join
+    field — the point-lookup sibling of has_child/has_parent), run as
+    an ES request body through the DSL executor: filter-context
+    constant score 1.0, doc_id ascending, first PARENT_ID_SIZE."""
+    from .dsl import execute_dsl
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    body = {
+        "query": {"parent_id": {"type": "source",
+                                "id": PARENT_ID_PARENT}},
+        "size": PARENT_ID_SIZE,
+    }
+    rows = execute_dsl(s, body)["hits"]["hits"]
+    to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array(
+            [int(to_src[h["_id"]]) for h in rows], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(h["_score"] * 1e6)) for h in rows], pa.int64()
+        ),
+    })

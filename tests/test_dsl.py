@@ -342,3 +342,46 @@ def test_dsl_text_similarity_reranker(pos_dsl_index):
         execute_dsl(s, {"retriever": {"text_similarity_reranker": {
             "retriever": {"standard": {"query": {"match": {"text": q}}}},
         }}})   # no knn_hits
+
+
+def test_dsl_parent_id_clause(dsl_index):
+    """ES parent_id query: exact keyword filter on the join field
+    (relation name == join field), constant score in filter context,
+    composable inside bool.filter; malformed bodies refuse."""
+    spec = normalize_query(
+        {"parent_id": {"type": "role", "id": "user"}}
+    )
+    assert spec.kind == "all" and spec.where == {"role": "user"}
+
+    s = Searcher(dsl_index)
+    got = execute_dsl(s, {
+        "query": {"parent_id": {"type": "role", "id": "user"}},
+        "size": 5,
+    })["hits"]["hits"]
+    want = execute_dsl(s, {
+        "query": {"constant_score": {
+            "filter": {"term": {"role": "user"}}}},
+        "size": 5,
+    })["hits"]["hits"]
+    assert [(h["_id"], h["_score"]) for h in got] \
+        == [(h["_id"], h["_score"]) for h in want]
+    assert all(h["_score"] == 1.0 for h in got) and len(got) == 5
+
+    # bool.filter composition: parent_id beside a scoring match
+    mixed = execute_dsl(s, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "the w0007"}}],
+            "filter": [{"parent_id": {"type": "role", "id": "user"}}],
+        }},
+        "size": 5,
+    })["hits"]["hits"]
+    assert [(h["_id"], h["_score"]) for h in mixed] \
+        == s.search("the w0007", k=5, where={"role": "user"})
+
+    with pytest.raises(UnsupportedDSL):
+        normalize_query({"parent_id": {"type": "role"}})
+    with pytest.raises(UnsupportedDSL):
+        normalize_query({"parent_id": {"id": "user"}})
+    with pytest.raises(UnsupportedDSL):
+        normalize_query({"parent_id": {"type": "role", "id": "user",
+                                       "boost": 2.0}})
