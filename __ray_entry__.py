@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": P.embedding_near_dup_q,
         "knn_cosine_top10": P.knn_cosine_top10,
         "fts_maxsim_top10": P.fts_maxsim_top10,
+        "knn_hard_negatives": P.knn_hard_negatives,
         # ES 8.8 knn similarity floor over the exact path
         "knn_similarity_cutoff": P.knn_similarity_cutoff,
         # sparse_vector / rank_features dot-product query
@@ -2448,6 +2449,43 @@ dots AS (
 SELECT vec_id,
        CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
 FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
+""",
+        # hard-negative mining: per query vector, top-k cosine among
+        # DIFFERENT-label candidates (rounded-e6 rank, vec_id tiebreak)
+        "knn_hard_negatives": f"""
+WITH ql AS (
+  SELECT vec_id AS qid, label AS qlabel FROM embeddings
+  WHERE vec_id < {P.HARDNEG_QUERIES}
+),
+q AS (
+  SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id < {P.HARDNEG_QUERIES}
+),
+v AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+dots AS (
+  SELECT q.qid, v.vec_id, v.label,
+         sum(v.val * q.val) AS dot,
+         sum(v.val * v.val) AS n2, sum(q.val * q.val) AS q2
+  FROM v JOIN q USING (i) GROUP BY q.qid, v.vec_id, v.label
+),
+sc AS (
+  SELECT d.qid, d.vec_id,
+         CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT)
+           AS cosine_sim_e6
+  FROM dots d JOIN ql ON d.qid = ql.qid
+  WHERE d.label <> ql.qlabel
+)
+SELECT qid AS query_idx, vec_id, cosine_sim_e6 FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine_sim_e6 DESC, vec_id) AS rn
+  FROM sc
+) WHERE rn <= {P.HARDNEG_K}
+ORDER BY query_idx, cosine_sim_e6 DESC, vec_id
 """,
         # late-interaction maxsim: embeddings sliced into SUBS contiguous
         # sub-vectors; score = sum over query slices of max doc-slice

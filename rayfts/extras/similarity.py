@@ -969,3 +969,98 @@ def maxsim_topk(
         "vec_id": pa.array(ids[order], pa.int64()),
         "maxsim_e6": pa.array(e6[order], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (retrieval-training data prep)
+# ---------------------------------------------------------------------------
+
+
+class HardNegativeScorer:
+    """Actor stage for hard-negative mining (e.g. DPR, Karpukhin et al.
+    EMNLP'20; ANCE): for each query vector (with its label), score all
+    candidates by cosine but mask SAME-LABEL candidates to -inf before
+    the local top-k — the returned candidates are the most confusable
+    wrong-label examples. Query matrix + labels broadcast once per
+    actor; the mask is one vectorized label comparison per batch."""
+
+    def __init__(self, query_ref, k: int, id_col: str, vec_col: str,
+                 label_col: str):
+        q, ql = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) \
+            else query_ref
+        self.q = np.asarray(q, dtype=np.float64)
+        qn = np.sqrt((self.q * self.q).sum(axis=1))
+        qn[qn == 0] = 1.0
+        self.qnorm = qn
+        self.qlabels = np.asarray(ql, dtype=np.int64)
+        self.k = k
+        self.id_col, self.vec_col, self.label_col = id_col, vec_col, label_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.vec_col)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        sims = (m @ self.q.T) / (norms[:, None] * self.qnorm[None, :])
+        labels = batch[self.label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sims[labels[:, None] == self.qlabels[None, :]] = -np.inf
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            take = min(self.k, s.size)
+            part = np.argpartition(-s, take - 1)[:take] if take else []
+            for j in part:
+                if np.isfinite(s[j]):
+                    out_q.append(qi)
+                    out_id.append(int(ids[j]))
+                    out_sim.append(float(s[j]))
+        return pa.table({
+            "query_idx": pa.array(out_q, pa.int32()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cosine_sim": pa.array(out_sim, pa.float64()),
+        })
+
+
+def hard_negatives(
+    ds: rd.Dataset, query_vecs: np.ndarray, query_labels: np.ndarray,
+    k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label", concurrency=(1, 4),
+) -> pa.Table:
+    """Exact hard-negative top-k per query: per-batch masked cosine on
+    an actor pool (query matrix + labels ray.put once), O(k) survivors
+    per batch, final order (query_idx, round(sim*1e6) desc, vec_id asc)
+    on the ROUNDED key so the SQL twin's ordering is exact. Returns
+    pa.Table(query_idx, vec_id, cosine_sim_e6)."""
+    query_ref = ray.put((
+        np.asarray(query_vecs, dtype=np.float64),
+        np.asarray(query_labels, dtype=np.int64),
+    ))
+    cands = ds.map_batches(
+        HardNegativeScorer,
+        fn_constructor_kwargs={
+            "query_ref": query_ref, "k": k, "id_col": id_col,
+            "vec_col": vec_col, "label_col": label_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    t = pa.concat_tables(
+        [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows]
+    )
+    qs = t["query_idx"].to_numpy()
+    ids = t["vec_id"].to_numpy()
+    e6 = np.round(t["cosine_sim"].to_numpy() * 1e6).astype(np.int64)
+    order = np.lexsort((ids, -e6, qs))
+    keep = []
+    seen: dict[int, int] = {}
+    for i in order:
+        q = int(qs[i])
+        if seen.get(q, 0) < k:
+            seen[q] = seen.get(q, 0) + 1
+            keep.append(i)
+    return pa.table({
+        "query_idx": pa.array(qs[keep].astype(np.int64), pa.int64()),
+        "vec_id": pa.array(ids[keep], pa.int64()),
+        "cosine_sim_e6": pa.array(e6[keep], pa.int64()),
+    })

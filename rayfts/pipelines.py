@@ -5345,3 +5345,33 @@ def fts_parent_id_docs(sf_dir: str) -> pa.Table:
             [int(round(h["_score"] * 1e6)) for h in rows], pa.int64()
         ),
     })
+
+
+HARDNEG_QUERIES = 4   # query vectors: vec_id < this
+HARDNEG_K = 5
+
+
+def knn_hard_negatives(sf_dir: str) -> pa.Table:
+    """Hard-negative mining for retrieval training (DPR/ANCE recipe):
+    for each of the first HARDNEG_QUERIES embeddings (with their
+    labels), the HARDNEG_K most-cosine-similar DIFFERENT-label
+    candidates — the confusable negatives a contrastive trainer would
+    pair with each anchor. Order (query_idx, sim e6 desc, vec_id)."""
+    from .extras.similarity import hard_negatives
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(
+        emb_path, columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", HARDNEG_QUERIES)],
+    )
+    qt = qt.sort_by("vec_id")
+    qvecs = np.asarray(
+        qt["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ), dtype=np.float64,
+    ).reshape(qt.num_rows, -1)
+    qlabels = qt["label"].to_numpy(zero_copy_only=False)
+    ds = rd.read_parquet(
+        emb_path, columns=["vec_id", "embedding", "label"]
+    )
+    return hard_negatives(ds, qvecs, qlabels, k=HARDNEG_K)

@@ -2023,3 +2023,43 @@ def test_maxsim_topk_matches_bruteforce():
     order = np.lexsort((np.arange(n), -e6))[:k]
     assert list(got["vec_id"]) == [int(i) for i in order]
     assert list(got["maxsim_e6"]) == [int(e6[i]) for i in order]
+
+
+def test_hard_negatives_masks_same_label():
+    """Hard-negative mining against a direct recompute: same-label
+    candidates never appear (even when most similar), exactly k
+    wrong-label rows per query ranked by rounded-e6 cosine with
+    vec_id tiebreak; a label with no negatives yields zero rows."""
+    from rayfts.extras.similarity import hard_negatives
+
+    rng = np.random.default_rng(3)
+    n = 30
+    vecs = rng.standard_normal((n, 6))
+    labels = np.arange(n) % 3
+    labels[:10] = 2            # make label 2 dominant
+    vecs[4] = vecs[0] * 2.0    # same direction: cos=1 — but check label
+    labels[0] = 0
+    labels[4] = 0              # same label as query 0 -> must be masked
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    v32 = np.asarray(vecs, np.float32).astype(np.float64)
+    k = 4
+    got = hard_negatives(
+        rd.from_arrow(t).repartition(3), v32[:2], labels[:2], k=k
+    ).to_pandas()
+
+    vn = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    for qi in range(2):
+        sims = vn @ vn[qi]
+        cand = [(int(np.round(sims[j] * 1e6)), j) for j in range(n)
+                if labels[j] != labels[qi]]
+        cand.sort(key=lambda p: (-p[0], p[1]))
+        want = cand[:k]
+        sub = got[got["query_idx"] == qi]
+        assert list(sub["vec_id"]) == [j for _, j in want]
+        assert list(sub["cosine_sim_e6"]) == [e for e, _ in want]
+        assert 4 not in list(got[got["query_idx"] == 0]["vec_id"])
