@@ -567,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_runtime_field_stats": P.fts_runtime_field_stats,
         # Heaps-law vocabulary growth (first-occurrence histogram)
         "vocab_growth_curve": P.vocab_growth_curve,
+        "vocab_zipf_slope": P.vocab_zipf_slope,
         # ANN eval harness: LSH recall@k vs the exact baseline
         "knn_recall_at_k": P.knn_recall_at_k,
         # MMR diversity reranking (retrieve-then-diversify)
@@ -3662,6 +3663,21 @@ FROM rt
 """,
         # vocab growth: first-occurrence doc per term, bucket histogram
         # + running cumsum (Heaps curve)
+        # Zipf slope: OLS of ln(tf) on ln(rank) over the exact top-R
+        # terms (tf desc, term asc); e6 rounding absorbs sum-order ulps
+        "vocab_zipf_slope": f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY term),
+top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r
+  FROM tf ORDER BY n DESC, term LIMIT {P.ZIPF_TOP_R}
+)
+SELECT count(*)::BIGINT AS n_terms,
+       CAST(round(regr_slope(ln(n), ln(r)) * 1e6) AS BIGINT) AS slope_e6,
+       CAST(round(regr_intercept(ln(n), ln(r)) * 1e6) AS BIGINT)
+         AS intercept_e6
+FROM top
+""",
         "vocab_growth_curve": f"""
 WITH {_TOKS_CTE},
 firsts AS (SELECT term, min(doc_id) AS min_doc FROM toks GROUP BY term),

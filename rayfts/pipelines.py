@@ -5375,3 +5375,62 @@ def knn_hard_negatives(sf_dir: str) -> pa.Table:
         emb_path, columns=["vec_id", "embedding", "label"]
     )
     return hard_negatives(ds, qvecs, qlabels, k=HARDNEG_K)
+
+
+ZIPF_TOP_R = 256
+
+
+def vocab_zipf_slope(sf_dir: str) -> pa.Table:
+    """Zipf-law fit over the corpus term-frequency spectrum — the
+    rank/frequency power-law slope data-quality audits report next to
+    the Heaps curve (vocab_growth_curve): OLS of ln(tf) on ln(rank)
+    over the EXACT top ZIPF_TOP_R terms by (tf desc, term asc).
+
+    Distributed shape: map-side per-batch term counts (one row per
+    distinct term per batch), one groupby(term) sum, then exact top-R
+    without a global sort (each post-groupby block ships its local
+    top-R, any global top-R row is inside one of them); the regression
+    runs on the driver over R points — the small side by design."""
+    from .analysis import tokens_flat
+
+    def counts(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_flat(batch["text"])
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        g = pa.table({"term": flat}).group_by(
+            ["term"], use_threads=False
+        ).aggregate([("term", "count")])
+        return g.rename_columns(["term", "c"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "term": t["term"], "n": pc.cast(t["sum(c)"], pa.int64()),
+        })
+        keys = [("n", "descending"), ("term", "ascending")]
+        return out.take(pc.sort_indices(out, sort_keys=keys)
+                        .slice(0, ZIPF_TOP_R))
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("c"))
+        .map_batches(local_top, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(agg.to_arrow_refs()) if b.num_rows]
+    )
+    keys = [("n", "descending"), ("term", "ascending")]
+    t = t.take(pc.sort_indices(t, sort_keys=keys).slice(0, ZIPF_TOP_R))
+    y = np.log(t["n"].to_numpy().astype(np.float64))
+    x = np.log(np.arange(1, t.num_rows + 1, dtype=np.float64))
+    xm, ym = x.mean(), y.mean()
+    slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    intercept = float(ym - slope * xm)
+    return pa.table({
+        "n_terms": pa.array([t.num_rows], pa.int64()),
+        "slope_e6": pa.array([int(round(slope * 1e6))], pa.int64()),
+        "intercept_e6": pa.array([int(round(intercept * 1e6))],
+                                 pa.int64()),
+    })

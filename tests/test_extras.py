@@ -2063,3 +2063,34 @@ def test_hard_negatives_masks_same_label():
         assert list(sub["vec_id"]) == [j for _, j in want]
         assert list(sub["cosine_sim_e6"]) == [e for e, _ in want]
         assert 4 not in list(got[got["query_idx"] == 0]["vec_id"])
+
+
+def test_vocab_zipf_slope_matches_bruteforce():
+    """Zipf OLS against a driver recompute from raw token counts: the
+    top-R set is (tf desc, term asc)-exact, slope/intercept match the
+    closed-form normal equations; a corpus smaller than R regresses
+    over its whole spectrum."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from rayfts.pipelines import vocab_zipf_slope
+    from rayfts.oracle import tokenize
+    import rayfts.pipelines as P
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = vocab_zipf_slope(sf_dir).to_pandas().iloc[0]
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    c = Counter()
+    for s in t["text"].to_pylist():
+        c.update(tokenize(s))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:P.ZIPF_TOP_R]
+    y = np.log([n for _, n in top])
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / \
+        ((x - x.mean()) ** 2).sum()
+    assert int(got["n_terms"]) == len(top)
+    assert int(got["slope_e6"]) == int(round(slope * 1e6))
+    assert int(got["intercept_e6"]) == int(round(
+        (y.mean() - slope * x.mean()) * 1e6))
