@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_wildcard_docs": P.fts_wildcard_docs,    # WildcardQuery glob
         "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
+        "fts_terms_avg_order": P.fts_terms_avg_order,
         "fts_rare_terms_hits": P.fts_rare_terms,     # rare_terms over hit set
         "fts_sig_keyword_source": P.fts_sig_keyword_source,  # keyword JLH
         "fts_dsl_bool_top10": P.fts_dsl_bool_top10,  # ES request-body exec
@@ -940,6 +941,20 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT source, count(*) AS n_docs FROM documents JOIN hits USING (doc_id)
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
+""",
+        # terms ordered by a metric sub-agg: exact-integer e6 avg
+        # ((2e6·sum + n) // 2n — round half-up), key-asc ties
+        "fts_terms_avg_order": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+b AS (SELECT source, count(*)::BIGINT AS n_docs,
+             count(n_chars)::BIGINT AS n_vals,
+             sum(n_chars)::HUGEINT AS s
+      FROM documents JOIN hits USING (doc_id) GROUP BY source)
+SELECT source, n_docs, n_vals,
+       ((2000000 * s + n_vals) // (2 * n_vals))::BIGINT AS avg_nchars_e6
+FROM b ORDER BY avg_nchars_e6 DESC, source LIMIT {P.TERMS_METRIC_SIZE}
 """,
         # keyword significant_terms: exact fg/bg histograms, JLH with
         # the engine's op order (fgp - bgp) * (fgp / bgp)

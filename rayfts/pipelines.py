@@ -5434,3 +5434,25 @@ def vocab_zipf_slope(sf_dir: str) -> pa.Table:
         "intercept_e6": pa.array([int(round(intercept * 1e6))],
                                  pa.int64()),
     })
+
+
+TERMS_METRIC_SIZE = 8
+
+
+def fts_terms_avg_order(sf_dir: str) -> pa.Table:
+    """ES terms aggregation ordered by a metric sub-agg (order:
+    {avg_nchars: desc}) over BM25_QUERY hits: source buckets ranked by
+    their exact-integer avg(n_chars) e6, key-ascending ties,
+    metric-less buckets last."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.terms_metric_agg(
+        BM25_QUERY, "source", "n_chars", size=TERMS_METRIC_SIZE
+    )
+    return pa.table({
+        "source": pa.array([v for v, _, _, _ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c, _, _ in rows], pa.int64()),
+        "n_vals": pa.array([n for _, _, n, _ in rows], pa.int64()),
+        "avg_nchars_e6": pa.array(
+            [a for _, _, _, a in rows], pa.int64()
+        ),
+    })

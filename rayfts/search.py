@@ -1337,6 +1337,80 @@ class Searcher(SuggestAPI):
         cnt = np.bincount(sel[sel >= 0], minlength=len(values))
         return {v: int(c) for v, c in zip(values, cnt) if c > 0}
 
+    def _terms_metric_hist(self, query: str, field: str,
+                           metric_field: str, where=None, mode="or",
+                           must_not=None) -> dict:
+        """Untruncated value -> (doc_count, metric_n, metric_sum)
+        histogram over ALL query hits — the exact per-segment payload
+        behind a terms agg ordered by a metric sub-agg. doc_count
+        follows the terms missing rule (keyword present); metric_n /
+        metric_sum additionally require the metric present (the ES
+        sub-agg null rule). The metric must be integral so the sums —
+        and therefore the sharded merge and the SQL twin — are exact."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {}
+        codes, values = self._field_codes(field)
+        v, vok = self._numeric_col(metric_field)
+        mk = hits & (codes >= 0)
+        if not mk.any():
+            return {}
+        k = len(values)
+        cnt = np.bincount(codes[mk], minlength=k)
+        mm = mk & vok
+        vs = v[mm]
+        if vs.size and not np.all(vs == np.floor(vs)):
+            raise ValueError(
+                f"terms_metric_agg needs an integral metric, got "
+                f"{metric_field!r} with fractional values"
+            )
+        sums = np.zeros(k, dtype=np.int64)
+        np.add.at(sums, codes[mm], vs.astype(np.int64))
+        nm = np.bincount(codes[mm], minlength=k)
+        return {
+            values[i]: (int(cnt[i]), int(nm[i]), int(sums[i]))
+            for i in range(k) if cnt[i] > 0
+        }
+
+    @staticmethod
+    def _rank_terms_metric(hist: dict, size: int) -> list[tuple]:
+        """Shared ranking rule for terms-ordered-by-metric: avg_e6 =
+        round-half-up((sum * 1e6) / n) in EXACT integer arithmetic
+        ((2·1e6·sum + n) // (2n)); buckets with no metric values sort
+        LAST (null avg, the ES order:{metric:desc} missing rule); ties
+        break key ascending. Returns [(value, doc_count, metric_n,
+        avg_e6-or-None)]."""
+        def key(item):
+            v, (c, n, s) = item
+            if n == 0:
+                return (1, 0, v)
+            return (0, -((2_000_000 * s + n) // (2 * n)), v)
+
+        ranked = sorted(hist.items(), key=key)[:size]
+        return [
+            (v, c, n,
+             ((2_000_000 * s + n) // (2 * n)) if n else None)
+            for v, (c, n, s) in ranked
+        ]
+
+    def terms_metric_agg(self, query: str, field: str,
+                         metric_field: str, size: int = 10,
+                         where: dict | None = None, mode: str = "or",
+                         must_not: str | None = None) -> list[tuple]:
+        """ES terms aggregation ORDERED BY A METRIC SUB-AGG
+        (``order: {"m": "desc"}`` with ``m: {avg: {field: ...}}``) —
+        the bucket order the default (count desc) terms agg cannot
+        express: buckets of keyword ``field`` over ALL query hits,
+        ranked by the bucket's avg(metric_field) descending, key
+        ascending on ties, metric-less buckets last. avg is carried as
+        an exact integer e6 (round half-up), so the sharded merge and
+        the SQL twin are bit-identical. Returns [(value, doc_count,
+        metric_n, avg_e6)]."""
+        return self._rank_terms_metric(
+            self._terms_metric_hist(query, field, metric_field, where,
+                                    mode, must_not), size
+        )
+
     def facet_counts(self, query: str, field: str, size: int = 10,
                      where: dict | None = None, mode: str = "or",
                      must_not: str | None = None) -> list[tuple]:
@@ -6574,6 +6648,24 @@ class MultiSearcher(SuggestAPI):
                 total[v] = total.get(v, 0) + c
         ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
+
+    def terms_metric_agg(self, query: str, field: str,
+                         metric_field: str, size: int = 10,
+                         where: dict | None = None, mode: str = "or",
+                         must_not: str | None = None) -> list[tuple]:
+        """Sharded terms-ordered-by-metric, EXACT: per-segment
+        (doc_count, metric_n, metric_sum) triples are integers over
+        disjoint hit sets, so the merge is a component-wise sum and
+        the avg_e6 ranking runs once on the global triples — identical
+        to the single-index result by construction."""
+        total: dict = {}
+        for seg in self.segments:
+            for v, t in seg._terms_metric_hist(
+                query, field, metric_field, where, mode, must_not
+            ).items():
+                c, n, s = total.get(v, (0, 0, 0))
+                total[v] = (c + t[0], n + t[1], s + t[2])
+        return Searcher._rank_terms_metric(total, size)
 
     def rare_terms_agg(self, query: str, field: str,
                        max_doc_count: int = 1, size: int | None = None,

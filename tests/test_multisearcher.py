@@ -662,3 +662,34 @@ def test_sharded_sparse_vector_equals_global(indexes):
         assert multi.sparse_vector_search(w, k=12) == \
             single.sparse_vector_search(w, k=12), w
     assert multi.sparse_vector_search({"the": 1.0}, k=0) == []
+
+
+def test_terms_metric_agg_bruteforce_and_sharded(indexes):
+    """terms agg ordered by a metric sub-agg: buckets ranked by exact
+    integer avg_e6 (round half-up) desc, key asc — vs a raw-table
+    recompute; sharded merge (summed integer triples) is identical."""
+    from rayfts.oracle import tokenize
+
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    t = generate_transcripts(40, seed=42)
+    roles = t["role"].to_pylist()
+    idxs = t["turn_idx"].to_pylist()
+    texts = t["text"].to_pylist()
+    for q in ("the", "the w0007 bash", "zzz_absent"):
+        qt = set(q.split())
+        agg: dict = {}
+        for r, ti, tx in zip(roles, idxs, texts):
+            if qt & set(tokenize(tx)):
+                c, n, s = agg.get(r, (0, 0, 0))
+                agg[r] = (c + 1, n + 1, s + int(ti))
+        want = sorted(
+            ((v, c, n, (2_000_000 * s + n) // (2 * n))
+             for v, (c, n, s) in agg.items()),
+            key=lambda e: (-e[3], e[0]),
+        )[:10]
+        got = single.terms_metric_agg(q, "role", "turn_idx", size=10)
+        assert got == want, q
+        assert multi.terms_metric_agg(
+            q, "role", "turn_idx", size=10
+        ) == got, q
