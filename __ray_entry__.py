@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_random_score_top10": P.fts_random_score_top10,  # seeded random
         "fts_decay_nchars_top10": P.fts_decay_nchars_top10,  # gauss decay
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
+        "fts_collapse_inner_hits": P.fts_collapse_inner_hits,
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
         "fts_query_string_top10": P.fts_query_string_top10,  # query_string
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
@@ -1359,6 +1360,26 @@ grp AS (
 )
 SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6, source
 FROM grp WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # collapse + inner_hits: top-k groups by best hit, each with its
+        # own top-n hits (rn = the engine's 1-based inner rank)
+        "fts_collapse_inner_hits": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+grp AS (
+  SELECT s2.doc_id, s2.score, d2.source,
+         row_number() OVER (PARTITION BY d2.source
+                            ORDER BY s2.score DESC, s2.doc_id) AS rn
+  FROM scores s2 JOIN documents d2 USING (doc_id)
+),
+heads AS (
+  SELECT source, row_number() OVER (ORDER BY score DESC, doc_id) AS gr
+  FROM grp WHERE rn = 1
+)
+SELECT g.source, g.rn AS inner_rank, g.doc_id,
+       CAST(round(g.score * 1e6) AS BIGINT) AS score_e6
+FROM grp g JOIN heads h USING (source)
+WHERE h.gr <= {P.COLLAPSE_IH_GROUPS} AND g.rn <= {P.COLLAPSE_IH_N}
+ORDER BY h.gr, g.rn
 """,
         # term suggester: normalized-Levenshtein rule replicated exactly
         # (score = 1 - dist/max(len(token), len(term)); missing-mode inputs

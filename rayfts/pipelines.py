@@ -5456,3 +5456,26 @@ def fts_terms_avg_order(sf_dir: str) -> pa.Table:
             [a for _, _, _, a in rows], pa.int64()
         ),
     })
+
+
+COLLAPSE_IH_GROUPS = 6
+COLLAPSE_IH_N = 3
+
+
+def fts_collapse_inner_hits(sf_dir: str) -> pa.Table:
+    """ES collapse + inner_hits: the top COLLAPSE_IH_GROUPS collapsed
+    `source` groups of BM25_QUERY (group rank = best hit), each
+    expanded with its own top COLLAPSE_IH_N hits (score desc, doc
+    asc)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.collapse_inner_hits(
+        BM25_QUERY, "source", k=COLLAPSE_IH_GROUPS, n=COLLAPSE_IH_N
+    )
+    return pa.table({
+        "source": pa.array([v for v, _, _, _ in rows], pa.string()),
+        "inner_rank": pa.array([r for _, r, _, _ in rows], pa.int64()),
+        "doc_id": pa.array([d for _, _, d, _ in rows], pa.int64()),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, _, _, sc in rows], pa.int64()
+        ),
+    })

@@ -1652,6 +1652,74 @@ class Searcher(SuggestAPI):
         groups.sort(key=lambda g: (-g[2], g[1]))
         return [(d, s, v) for v, d, s in groups[:k]]
 
+    def _collapse_topn_rows(self, query: str, field: str, n: int,
+                            where: dict | None = None, mode: str = "or",
+                            must_not: str | None = None) -> list[tuple]:
+        """UNTRUNCATED groups × top-``n`` rows: [(value, doc_id, score)]
+        group-major, within-group (score desc, doc_id asc), at most n
+        rows per group — the exact sharded-merge payload behind collapse
+        inner_hits (groups span segments; per-segment top-n supersets
+        the global top-n because segment hit sets are disjoint). One
+        lexsort + segment-position mask, no per-group scan."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return []
+        codes, values = self._field_codes(field)
+        buf = self._dense_scores(query)
+        scores = buf[idx]
+        grp = codes[idx]
+        order = np.lexsort((idx, -scores, grp))
+        g = grp[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(g)) + 1])
+        lens = np.diff(np.concatenate([starts, [g.size]]))
+        pos = np.arange(g.size) - np.repeat(starts, lens)
+        keep = order[pos < n]
+        return [
+            (values[int(grp[i])] if grp[i] >= 0 else None,
+             int(idx[i]), float(scores[i]))
+            for i in keep
+        ]
+
+    @staticmethod
+    def _rank_inner_hits(rows: list[tuple], k: int, n: int) -> list[tuple]:
+        """Shared collapse-inner_hits ranking: group rows by value,
+        re-rank within group (score desc, doc asc — a no-op on a single
+        index, the real merge when segments contribute rows), rank
+        groups by their best row, keep k groups × n rows, flatten as
+        [(value, inner_rank 1-based, doc_id, score)]."""
+        by_val: dict = {}
+        for v, d, s in rows:
+            by_val.setdefault(v, []).append((d, s))
+        for rs in by_val.values():
+            rs.sort(key=lambda r: (-r[1], r[0]))
+        groups = sorted(
+            by_val.items(),
+            key=lambda e: (-e[1][0][1], e[1][0][0]),
+        )[:k]
+        return [
+            (v, r + 1, d, s)
+            for v, rs in groups
+            for r, (d, s) in enumerate(rs[:n])
+        ]
+
+    def collapse_inner_hits(self, query: str, field: str, k: int = 10,
+                            n: int = 3, where: dict | None = None,
+                            mode: str = "or",
+                            must_not: str | None = None) -> list[tuple]:
+        """ES collapse + inner_hits: the top-``k`` collapsed groups
+        (ranked by their best hit — search_collapse's group order), each
+        expanded with its own top-``n`` hits (score desc, doc_id asc).
+        Docs missing the field form the single null group, same as
+        collapse. Returns [(value, inner_rank, doc_id, score)] flattened
+        group-major."""
+        return self._rank_inner_hits(
+            self._collapse_topn_rows(query, field, n, where, mode,
+                                     must_not), k, n
+        )
+
     def _parent_group_stats(self, query: str, parent_field: str,
                             where: dict | None = None, mode: str = "or",
                             must_not: str | None = None) -> dict:
@@ -7207,6 +7275,44 @@ class MultiSearcher(SuggestAPI):
         rows = [(d, s, v) for v, (s, d) in best.items()]
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
+
+    def collapse_inner_hits(self, query: str, field: str, k: int = 10,
+                            n: int = 3, where: dict | None = None,
+                            mode: str = "or",
+                            must_not: str | None = None) -> list[tuple]:
+        """Sharded collapse + inner_hits, EXACT: groups span segments,
+        so every segment returns its per-group top-n scored with
+        GLOBAL-df weights (segment hit sets are disjoint, so the global
+        per-group top-n is inside the union of per-segment top-ns); the
+        driver re-ranks within group and applies the single-index group
+        order. Payload ∝ distinct values × n per segment."""
+        terms, weights = self._global_weights(query)
+        rows: list[tuple] = []
+        for si, seg in enumerate(self.segments):
+            hits = seg._hit_mask(query, where, mode, must_not)
+            if hits is None:
+                continue
+            idx = np.flatnonzero(hits)
+            if idx.size == 0:
+                continue
+            buf = self._seg_dense_scores(si, seg, terms, weights)
+            codes, values = seg._field_codes(field)
+            scores = buf[idx]
+            grp = codes[idx]
+            order = np.lexsort((idx, -scores, grp))
+            g = grp[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(g)) + 1]
+            )
+            lens = np.diff(np.concatenate([starts, [g.size]]))
+            pos = np.arange(g.size) - np.repeat(starts, lens)
+            off = int(self.offsets[si])
+            for i in order[pos < n]:
+                rows.append((
+                    values[int(grp[i])] if grp[i] >= 0 else None,
+                    int(idx[i]) + off, float(scores[i]),
+                ))
+        return Searcher._rank_inner_hits(rows, k, n)
 
     def cardinality_agg(self, query: str, field: str,
                         where: dict | None = None, mode: str = "or",

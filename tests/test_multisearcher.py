@@ -693,3 +693,34 @@ def test_terms_metric_agg_bruteforce_and_sharded(indexes):
         assert multi.terms_metric_agg(
             q, "role", "turn_idx", size=10
         ) == got, q
+
+
+def test_collapse_inner_hits_bruteforce_and_sharded(indexes):
+    """collapse.inner_hits: top-k groups by best hit, each group's own
+    top-n (score desc, doc asc) — vs a recompute from search_collapse +
+    the full ranked hit list; sharded == single bit-for-bit."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ("the", "the w0007 bash"):
+        k, n = 5, 2
+        got = single.collapse_inner_hits(q, "tool", k=k, n=n)
+        # brute force: full ranked hits (k=N upper bound), group by tool
+        allhits = single.search(q, k=single.N)
+        groups: dict = {}
+        codes, values = single._field_codes("tool")
+        for d, s in allhits:
+            v = values[codes[d]] if codes[d] >= 0 else None
+            groups.setdefault(v, []).append((d, s))
+        ranked_groups = sorted(
+            groups.items(), key=lambda e: (-e[1][0][1], e[1][0][0])
+        )[:k]
+        want = [
+            (v, r + 1, d, s)
+            for v, rs in ranked_groups
+            for r, (d, s) in enumerate(rs[:n])
+        ]
+        assert got == want, q
+        assert multi.collapse_inner_hits(q, "tool", k=k, n=n) == got, q
+        # group heads must agree with plain collapse's group order
+        heads = [(r[2], r[3], r[0]) for r in got if r[1] == 1]
+        assert heads == single.search_collapse(q, "tool", k=k), q
