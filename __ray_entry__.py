@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Heaps-law vocabulary growth (first-occurrence histogram)
         "vocab_growth_curve": P.vocab_growth_curve,
         "vocab_zipf_slope": P.vocab_zipf_slope,
+        "text_length_gini": P.text_length_gini,
         # ANN eval harness: LSH recall@k vs the exact baseline
         "knn_recall_at_k": P.knn_recall_at_k,
         # MMR diversity reranking (retrieve-then-diversify)
@@ -3699,6 +3700,32 @@ FROM rt
 """,
         # vocab growth: first-occurrence doc per term, bucket histogram
         # + running cumsum (Heaps curve)
+        # length Gini: exact pairwise-difference identity over the
+        # length histogram, HUGEINT throughout, round-half-up e6
+        "text_length_gini": f"""
+WITH {_TOKS_CTE},
+dl AS (
+  SELECT d.doc_id, count(t.term)::HUGEINT AS L
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+),
+h AS (SELECT L, count(*)::HUGEINT AS c FROM dl GROUP BY L),
+w AS (
+  SELECT L, c,
+    coalesce(sum(c) OVER (ORDER BY L
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bn,
+    coalesce(sum(L * c) OVER (ORDER BY L
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bs
+  FROM h
+),
+agg AS (
+  SELECT sum(c) AS n, sum(L * c) AS s,
+         sum(c * (L * bn - bs)) AS p
+  FROM w
+)
+SELECT n::BIGINT AS n_docs, s::BIGINT AS total_tokens,
+       ((2000000 * p + n * s) // (2 * n * s))::BIGINT AS gini_e6
+FROM agg
+""",
         # Zipf slope: OLS of ln(tf) on ln(rank) over the exact top-R
         # terms (tf desc, term asc); e6 rounding absorbs sum-order ulps
         "vocab_zipf_slope": f"""

@@ -5479,3 +5479,57 @@ def fts_collapse_inner_hits(sf_dir: str) -> pa.Table:
             [int(round(sc * 1e6)) for _, _, _, sc in rows], pa.int64()
         ),
     })
+
+
+def text_length_gini(sf_dir: str) -> pa.Table:
+    """Gini coefficient of the document token-length distribution — the
+    corpus-balance audit (how concentrated the token mass is in long
+    docs) reported alongside Zipf/Heaps. EXACT integer arithmetic via
+    the pairwise-difference identity: G = P / (n·S) with
+    P = Σ_{i<j} (x_j − x_i) over the sorted multiset, computed from the
+    LENGTH HISTOGRAM — P = Σ_v c_v·(v·below_n(v) − below_s(v)) — so
+    only O(distinct lengths) rows ever reach the driver. Emits
+    (n_docs, total_tokens, gini_e6) with gini_e6 round-half-up
+    ((2e6·P + nS) // 2nS).
+
+    Distributed shape: one vectorized map_batches emits per-batch
+    (length, count) partials (map-side combine), one tiny
+    groupby(length) sum; the prefix scan runs on the driver over the
+    distinct-length spectrum — the small side by construction."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .analysis import tokens_flat
+
+    def lens(batch: pa.Table) -> pa.Table:
+        flat, parent = tokens_flat(batch["text"])
+        dl = np.bincount(parent, minlength=batch.num_rows) \
+            .astype(np.int64)
+        u, c = np.unique(dl, return_counts=True)
+        return pa.table({
+            "dl": pa.array(u, pa.int64()),
+            "c": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    hist = (
+        _docs(sf_dir)
+        .map_batches(lens, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dl")
+        .aggregate(_Sum("c"))
+        .to_pandas()
+        .sort_values("dl")
+    )
+    v = hist["dl"].to_numpy().astype(object)       # exact Python ints
+    c = hist["sum(c)"].to_numpy().astype(object)
+    n = int(sum(c))
+    s = int(sum(ci * vi for ci, vi in zip(c, v)))
+    p, below_n, below_s = 0, 0, 0
+    for vi, ci in zip(v, c):
+        p += int(ci) * (int(vi) * below_n - below_s)
+        below_n += int(ci)
+        below_s += int(ci) * int(vi)
+    gini_e6 = (2_000_000 * p + n * s) // (2 * n * s) if n and s else 0
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "total_tokens": pa.array([s], pa.int64()),
+        "gini_e6": pa.array([int(gini_e6)], pa.int64()),
+    })

@@ -2094,3 +2094,24 @@ def test_vocab_zipf_slope_matches_bruteforce():
     assert int(got["slope_e6"]) == int(round(slope * 1e6))
     assert int(got["intercept_e6"]) == int(round(
         (y.mean() - slope * x.mean()) * 1e6))
+
+
+def test_text_length_gini_matches_bruteforce():
+    """Length Gini against the O(n^2) definition Σ|xi−xj| / (2 n Σx)
+    on raw token counts (zero-length docs included), exact e6
+    round-half-up."""
+    import pyarrow.parquet as pq
+
+    from rayfts.pipelines import text_length_gini
+    from rayfts.oracle import tokenize
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = text_length_gini(sf_dir).to_pandas().iloc[0]
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    xs = [len(tokenize(s)) for s in t["text"].to_pylist()]
+    n, s = len(xs), sum(xs)
+    total = sum(abs(a - b) for a in xs for b in xs)  # = 2P
+    want = (2_000_000 * (total // 2) + n * s) // (2 * n * s)
+    assert int(got["n_docs"]) == n
+    assert int(got["total_tokens"]) == s
+    assert int(got["gini_e6"]) == want
