@@ -26,7 +26,8 @@ parses". Supported today:
   aggs:   terms, rare_terms, multi_terms, significant_terms (keyword
           field), stats, extended_stats, value_count, cardinality,
           percentiles, percentile_ranks, histogram, date_histogram,
-          range, missing, filters
+          range, missing, filters; terms + order:{m: desc} with one
+          avg metric sub-agg (the exact terms_metric_agg path)
 
 Filter-context-only requests (no scoring clause) hit every live doc
 with the ES constant_score value 1.0, ordered doc_id ascending.
@@ -369,6 +370,33 @@ def _agg_filters(s, sp, b):
                          mode=sp.mode, must_not=sp.must_not)
 
 
+def _terms_ordered_by_metric(s, sp: QuerySpec, node: dict) -> list:
+    """ES terms agg with order: {m: desc} and one avg metric sub-agg —
+    dispatches to the engine's exact terms_metric_agg. Every other
+    sub-agg shape raises (the fail-loudly contract)."""
+    tb, subs = node["terms"], node["aggs"]
+    order = tb.get("order")
+    if (not isinstance(order, dict) or len(order) != 1
+            or len(subs) != 1):
+        raise UnsupportedDSL(
+            "terms sub-agg supports exactly order:{metric: desc} "
+            "with one metric sub-agg"
+        )
+    (oname, direction), = order.items()
+    if direction != "desc" or oname not in subs:
+        raise UnsupportedDSL(
+            f"terms order {order!r} must be {{<sub-agg name>: 'desc'}}"
+        )
+    sub = subs[oname]
+    if set(sub) != {"avg"} or "field" not in sub["avg"]:
+        raise UnsupportedDSL("terms order metric supports avg{field}")
+    return s.terms_metric_agg(
+        sp.text, tb["field"], sub["avg"]["field"],
+        size=int(tb.get("size", 10)),
+        where=sp.where or None, mode=sp.mode, must_not=sp.must_not,
+    )
+
+
 def execute_dsl(searcher, body: dict, knn_hits=None) -> dict:
     """Run one ES _search request body. Returns
     {"hits": {"hits": [{"_id", "_score"|"_sort"}...]},
@@ -555,6 +583,11 @@ def execute_dsl(searcher, body: dict, knn_hits=None) -> dict:
             )
         res = {}
         for name, node in aggs.items():
+            if set(node) == {"terms", "aggs"}:
+                # the ONE supported sub-agg shape: terms ordered by its
+                # single avg metric sub-agg (order: {m: desc})
+                res[name] = _terms_ordered_by_metric(searcher, spec, node)
+                continue
             if len(node) != 1:
                 raise UnsupportedDSL(f"agg {name}: sub-aggs unsupported")
             akind, abody = next(iter(node.items()))

@@ -385,3 +385,31 @@ def test_dsl_parent_id_clause(dsl_index):
     with pytest.raises(UnsupportedDSL):
         normalize_query({"parent_id": {"type": "role", "id": "user",
                                        "boost": 2.0}})
+
+
+def test_dsl_terms_ordered_by_metric_subagg(dsl_index):
+    """terms agg with order:{m: desc} + one avg sub-agg dispatches to
+    terms_metric_agg; every other sub-agg shape refuses."""
+    s = Searcher(dsl_index)
+    node = {"terms": {"field": "role", "size": 5,
+                      "order": {"m": "desc"}},
+            "aggs": {"m": {"avg": {"field": "turn_idx"}}}}
+    got = execute_dsl(s, {"query": {"match": {"text": "the"}},
+                          "size": 0, "aggs": {"by_role": node}})
+    assert got["aggregations"]["by_role"] == s.terms_metric_agg(
+        "the", "role", "turn_idx", size=5
+    )
+    bad_shapes = [
+        {"terms": {"field": "role"}, "aggs": {"m": {"avg": {
+            "field": "turn_idx"}}}},                       # no order
+        {"terms": {"field": "role", "order": {"m": "asc"}},
+         "aggs": {"m": {"avg": {"field": "turn_idx"}}}},   # asc
+        {"terms": {"field": "role", "order": {"x": "desc"}},
+         "aggs": {"m": {"avg": {"field": "turn_idx"}}}},   # name miss
+        {"terms": {"field": "role", "order": {"m": "desc"}},
+         "aggs": {"m": {"sum": {"field": "turn_idx"}}}},   # not avg
+    ]
+    for node in bad_shapes:
+        with pytest.raises(UnsupportedDSL):
+            execute_dsl(s, {"query": {"match": {"text": "the"}},
+                            "size": 0, "aggs": {"a": node}})
