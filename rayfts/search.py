@@ -1122,7 +1122,7 @@ class Searcher(SuggestAPI):
     this sandbox a single instance covers the whole index.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, excluded=None):
         import os
 
         self.index_dir = index_dir
@@ -1153,10 +1153,14 @@ class Searcher(SuggestAPI):
         self._docstore_dir = os.path.join(index_dir, "docstore")
         # doc-exclusion tombstones (per-doc delete analog): loaded at
         # construction — the refresh semantic, like Lucene's deleted-docs
-        # bitset being segment-reader state
-        from .admin import excluded_docs
+        # bitset being segment-reader state. ``excluded`` pins the set
+        # instead (the point-in-time reader: open_pit captured it when
+        # the PIT was opened, later deletes must stay invisible).
+        if excluded is None:
+            from .admin import excluded_docs
 
-        self.excluded = np.array(excluded_docs(index_dir), dtype=np.int64)
+            excluded = excluded_docs(index_dir)
+        self.excluded = np.array(sorted(excluded), dtype=np.int64)
         self._excluded_set = set(self.excluded.tolist())
         self._cache: dict[str, Postings | None] = {}
         self._filter_masks: dict[tuple, np.ndarray] = {}
@@ -5987,11 +5991,26 @@ class MultiSearcher(SuggestAPI):
     global-stats recompute works identically).
     """
 
-    def __init__(self, index_dirs: list):
-        self.segments = [
-            SharedSearcher(d) if isinstance(d, SharedIndexHandle) else Searcher(d)
-            for d in index_dirs
-        ]
+    def __init__(self, index_dirs: list, excluded: list | None = None):
+        # ``excluded``: optional per-segment pinned tombstone lists (the
+        # point-in-time reader — see segments.open_pit); None entries
+        # load from disk as usual. Shared handles carry their exclusions
+        # in the decoded payload, so pinning only applies to dir entries.
+        if excluded is None:
+            excluded = [None] * len(index_dirs)
+        if len(excluded) != len(index_dirs):
+            raise ValueError("excluded must parallel index_dirs")
+        self.segments = []
+        for d, ex in zip(index_dirs, excluded):
+            if isinstance(d, SharedIndexHandle):
+                if ex is not None:
+                    raise ValueError(
+                        "pinned tombstones require dir segments, not "
+                        "SharedIndexHandle"
+                    )
+                self.segments.append(SharedSearcher(d))
+            else:
+                self.segments.append(Searcher(d, excluded=ex))
         # analyzer/scoring config must agree across segments: queries are
         # analyzed ONCE with segments[0]'s stop list and scored with its
         # k1/b, so a disagreeing segment would silently get the wrong

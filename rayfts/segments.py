@@ -169,7 +169,42 @@ def open_multisearcher(root_dir: str, shared: bool = False):
     return MultiSearcher(dirs)
 
 
+def open_pit(root_dir: str) -> dict:
+    """ES point-in-time (PIT) analog: capture the root's segment list
+    AND every segment's tombstone set as they stand right now. Searches
+    opened from the returned token (``open_pit_searcher``) see exactly
+    this state — a later ``append_segment`` (new segment dir + atomic
+    root-manifest swap) or ``delete_docs`` (tombstones.json grows,
+    posting files untouched) never leaks in, because segment files are
+    immutable once published. This is the keep_alive contract minus
+    expiry: the token is a plain dict, serializable, valid as long as
+    the captured segment dirs exist (i.e. until a compaction replaces
+    the root — the ES analog being a merged-away PIT)."""
+    from .admin import excluded_docs
+
+    with open(os.path.join(root_dir, ROOT_MANIFEST)) as f:
+        meta = json.load(f)
+    return {
+        "root": root_dir,
+        "segments": list(meta["segments"]),
+        "excluded": [
+            excluded_docs(os.path.join(root_dir, name))
+            for name in meta["segments"]
+        ],
+    }
+
+
+def open_pit_searcher(pit: dict):
+    """MultiSearcher pinned to a PIT token from ``open_pit``: exactly
+    the captured segments with exactly the captured tombstones —
+    bit-identical results to the moment the PIT was opened."""
+    from .search import MultiSearcher
+
+    dirs = [os.path.join(pit["root"], name) for name in pit["segments"]]
+    return MultiSearcher(dirs, excluded=pit["excluded"])
+
+
 __all__ = [
     "append_segment", "build_segments", "open_multisearcher",
-    "ROOT_MANIFEST",
+    "open_pit", "open_pit_searcher", "ROOT_MANIFEST",
 ]

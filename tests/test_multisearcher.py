@@ -724,3 +724,56 @@ def test_collapse_inner_hits_bruteforce_and_sharded(indexes):
         # group heads must agree with plain collapse's group order
         heads = [(r[2], r[3], r[0]) for r in got if r[1] == 1]
         assert heads == single.search_collapse(q, "tool", k=k), q
+
+
+def test_point_in_time_pins_segments_and_tombstones(tmp_path_factory):
+    """ES PIT analog: a token from open_pit keeps serving the state at
+    open time — a later append_segment and a later delete are both
+    invisible under the PIT, while a fresh open sees them; PIT results
+    are bit-identical to the pre-change searcher."""
+    import ray.data as rd
+
+    from rayfts.admin import exclude_docs
+    from rayfts.segments import (
+        append_segment, build_segments, open_multisearcher, open_pit,
+        open_pit_searcher,
+    )
+
+    root = str(tmp_path_factory.mktemp("pitroot"))
+    t = generate_transcripts(40, seed=42)
+    cut = "conv-0000020"
+    a = t.filter(pc.less(t["conv_id"], cut))
+    b = t.filter(
+        pc.and_(pc.greater_equal(t["conv_id"], cut),
+                pc.less(t["conv_id"], "conv-0000030"))
+    )
+    c = t.filter(pc.greater_equal(t["conv_id"], "conv-0000030"))
+    build_segments(
+        [rd.from_arrow(a), rd.from_arrow(b)], root,
+        cfg=IndexJobConfig(term_buckets=4),
+    )
+    pit = open_pit(root)
+    before = {
+        q: open_multisearcher(root).search(q, k=15)
+        for q in REFERENCE_QUERIES
+    }
+    # mutate: append a third segment AND tombstone a hit in segment 0
+    append_segment(root, rd.from_arrow(c),
+                   cfg=IndexJobConfig(term_buckets=4))
+    victim = before[REFERENCE_QUERIES[0]][0][0]
+    exclude_docs(f"{root}/segment-0000", [victim])
+
+    fresh = open_multisearcher(root)
+    pinned = open_pit_searcher(pit)
+    assert pinned.N < fresh.N
+    for q in REFERENCE_QUERIES:
+        assert pinned.search(q, k=15) == before[q], q
+    # the fresh reader sees both mutations
+    assert victim not in [
+        d for d, _ in fresh.search(REFERENCE_QUERIES[0], k=15)
+    ]
+    # a second PIT opened NOW pins the post-mutation state
+    pit2 = open_pit(root)
+    for q in REFERENCE_QUERIES:
+        assert open_pit_searcher(pit2).search(q, k=15) == \
+            fresh.search(q, k=15), q
