@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_decay_nchars_top10": P.fts_decay_nchars_top10,  # gauss decay
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_collapse_inner_hits": P.fts_collapse_inner_hits,
+        "fts_script_score_top10": P.fts_script_score_top10,
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
         "fts_query_string_top10": P.fts_query_string_top10,  # query_string
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
@@ -1361,6 +1362,16 @@ grp AS (
 )
 SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6, source
 FROM grp WHERE rn = 1 ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # script_score: 2·bm25 + n_chars/100 (the pinned AST), raw-score
+        # order with doc tiebreak, e6 emit — the collapse precedent
+        "fts_script_score_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+SELECT s.doc_id,
+       CAST(round((s.score * 2 + d.n_chars / 100) * 1e6) AS BIGINT)
+         AS score_e6
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY (s.score * 2 + d.n_chars / 100) DESC, s.doc_id LIMIT 10
 """,
         # collapse + inner_hits: top-k groups by best hit, each with its
         # own top-n hits (rn = the engine's 1-based inner rank)

@@ -5533,3 +5533,24 @@ def text_length_gini(sf_dir: str) -> pa.Table:
         "total_tokens": pa.array([s], pa.int64()),
         "gini_e6": pa.array([int(gini_e6)], pa.int64()),
     })
+
+
+SCRIPT_SCORE_EXPR = {
+    "op": "+",
+    "a": {"op": "*", "a": {"col": "_score"}, "b": 2},
+    "b": {"op": "/", "a": {"col": "n_chars"}, "b": 100},
+}
+
+
+def fts_script_score_top10(sf_dir: str) -> pa.Table:
+    """ES script_score query: BM25_QUERY hits re-scored by the pinned
+    arithmetic script 2·_score + n_chars/100 (the runtime-mappings AST
+    with _score resolution), top-10 by (script score desc, doc asc)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.script_score_search(BM25_QUERY, SCRIPT_SCORE_EXPR, k=10)
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in rows], pa.int64()
+        ),
+    })

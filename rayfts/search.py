@@ -2229,14 +2229,16 @@ class Searcher(SuggestAPI):
             del self._numeric_cols[name]
         self._runtime_fields[name] = expr
 
-    def _eval_runtime(self, expr) -> tuple:
+    def _eval_runtime(self, expr, extra: dict | None = None) -> tuple:
         if isinstance(expr, (int, float)):
             return (np.full(self.N, float(expr)),
                     np.ones(self.N, dtype=bool))
         if "col" in expr:
+            if extra is not None and expr["col"] in extra:
+                return extra[expr["col"]]
             return self._numeric_col(expr["col"])
-        a, va = self._eval_runtime(expr["a"])
-        b, vb = self._eval_runtime(expr["b"])
+        a, va = self._eval_runtime(expr["a"], extra)
+        b, vb = self._eval_runtime(expr["b"], extra)
         op = expr["op"]
         valid = va & vb
         if op == "+":
@@ -2252,6 +2254,38 @@ class Searcher(SuggestAPI):
         else:
             raise ValueError(f"runtime field op {op!r} (one of + - * /)")
         return vals, valid
+
+    def script_score_search(self, query: str, script, k: int = 10,
+                            where: dict | None = None, mode: str = "or",
+                            must_not: str | None = None) -> list[tuple]:
+        """ES script_score query: every hit of the inner query re-scored
+        by an expression over docstore numeric columns and ``_score``
+        (the hit's BM25 score) — the runtime-mappings arithmetic AST
+        with ``{"col": "_score"}`` resolving to the query score. Docs
+        where any referenced column is null drop (the ES null-access
+        script error, resolved the engine's fail-closed way); a script
+        producing a NEGATIVE score raises, the ES script_score
+        contract. Order (script score desc, doc_id asc), top-``k``.
+        Returns [(doc_id, script_score)]."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        buf = self._dense_scores(query)
+        vals, valid = self._eval_runtime(
+            script, extra={"_score": (buf, hits)}
+        )
+        m = hits & valid
+        idx = np.flatnonzero(m)
+        if idx.size == 0:
+            return []
+        s = vals[idx]
+        if (s < 0).any():
+            raise ValueError(
+                "script_score produced a negative score — ES requires "
+                "script scores to be non-negative"
+            )
+        order = np.lexsort((idx, -s))[:k]
+        return [(int(idx[i]), float(s[i])) for i in order]
 
     def _numeric_col(self, field: str):
         """Dense doc_id -> value array for a numeric docstore column plus

@@ -2763,3 +2763,28 @@ def test_bucket_count_ks_test_bruteforce():
     assert bucket_count_ks_test(a, b) == (2, 500_000)
     assert bucket_count_ks_test([], [(1, 1)]) == (1, None)
     assert bucket_count_ks_test([(1, 0)], [(1, 1)])[1] is None
+
+
+def test_script_score_search_semantics(index_dir):
+    """script_score: expression over numeric cols + _score recomputed
+    per hit; null-column docs drop; negative scripts raise; constant
+    script = constant score with doc-asc order."""
+    s = Searcher(index_dir)
+    q = "the w0007"
+    base = dict(s.search(q, k=s.N))
+    expr = {"op": "+", "a": {"op": "*", "a": {"col": "_score"}, "b": 2},
+            "b": {"op": "/", "a": {"col": "turn_idx"}, "b": 10}}
+    got = s.script_score_search(q, expr, k=8)
+    ti, tok = s._numeric_col("turn_idx")
+    want = sorted(
+        ((d, 2 * sc + ti[d] / 10) for d, sc in base.items() if tok[d]),
+        key=lambda e: (-e[1], e[0]),
+    )[:8]
+    assert [(d, pytest.approx(v)) for d, v in want] == got
+    # negative script refuses (the ES contract)
+    with pytest.raises(ValueError, match="negative"):
+        s.script_score_search(q, {"op": "-", "a": 0, "b": 1}, k=3)
+    # constant script: every hit scores the constant, doc-asc
+    const = s.script_score_search(q, 1.5, k=5)
+    hits_sorted = sorted(base)[:5]
+    assert const == [(d, 1.5) for d in hits_sorted]
