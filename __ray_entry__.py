@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_keywords": P.doc_tfidf_keywords,
         # quality-filter funnel: C4/Gopher rule stack with drop counts
         "quality_filter_counts": P.quality_filter_counts,
+        "prep_funnel_counts": P.prep_funnel_counts,
         # terms lookup: filter values fetched from another doc
         "fts_terms_lookup_docs": P.fts_terms_lookup_docs,
         # search template: mustache render -> standard search
@@ -853,6 +854,40 @@ ORDER BY area_e6 DESC, length_m DESC, user_id LIMIT 20
 
 def oracle_sql() -> dict[str, str]:
     stop_list = ",".join(f"'{s}'" for s in P.STOPWORDS_SQL)
+    # quality-funnel first-failing-rule classifier — shared between the
+    # standalone funnel and the composed prep pipeline
+    qf_cls = f"""docs_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS arr
+  FROM documents
+),
+toksq AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(range(1, len(arr) + 1)) AS pos
+  FROM docs_arr
+),
+tc AS (SELECT doc_id, term, count(*) AS c FROM toksq GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS tcnt, max(c) AS topc FROM tc GROUP BY 1),
+grams AS (
+  SELECT a.doc_id, a.term AS t1, b.term AS t2
+  FROM toksq a JOIN toksq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+gc AS (SELECT doc_id, t1, t2, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+gagg AS (SELECT doc_id, sum(c) AS ng,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dp
+         FROM gc GROUP BY 1),
+cls AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN coalesce(a.tcnt, 0) < {_QF.QF_MIN_TOKENS} THEN 'min_tokens'
+           WHEN a.topc * {_QF.QF_TOP_Q} > a.tcnt * {_QF.QF_TOP_P}
+             THEN 'top_token'
+           WHEN coalesce(g.dp, 0) * {_QF.QF_GRAM_Q}
+                > coalesce(g.ng, 0) * {_QF.QF_GRAM_P} THEN 'dup_2gram'
+           ELSE 'kept'
+         END AS rule
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+       LEFT JOIN gagg g USING (doc_id)
+)"""
     token_stats_core = f"""
 WITH {_TOKS_CTE},
 st AS (
@@ -3598,39 +3633,40 @@ SELECT grp AS source, term, score_e6 FROM r WHERE rk <= {P.TFIDF_TOP_K}
 """,
         # quality funnel: first-failing-rule attribution, integer
         # cross-multiplied thresholds (no float compares)
+        # composed prep funnel: quality kept -> exact dedup (min-id per
+        # md5(text) within kept) -> md5-bucket split; (count, id_sum)
+        # per stage checks membership, not just totals
+        "prep_funnel_counts": f"""
+WITH {qf_cls},
+kept AS (SELECT doc_id FROM cls WHERE rule = 'kept'),
+dk AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN kept USING (doc_id)
+  GROUP BY md5(d.text)
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 100) < 90
+              THEN 'train' ELSE 'holdout' END AS split
+  FROM dk
+)
+SELECT 'input' AS stage, count(*)::BIGINT AS n_docs,
+       coalesce(sum(doc_id), 0)::BIGINT AS id_sum FROM documents
+UNION ALL
+SELECT 'quality_kept', count(*)::BIGINT,
+       coalesce(sum(doc_id), 0)::BIGINT FROM kept
+UNION ALL
+SELECT 'dedup_kept', count(*)::BIGINT,
+       coalesce(sum(doc_id), 0)::BIGINT FROM dk
+UNION ALL
+SELECT s.n, coalesce(t.c, 0)::BIGINT, coalesce(t.s, 0)::BIGINT
+FROM (VALUES ('train'), ('holdout')) s(n)
+LEFT JOIN (SELECT split, count(*) AS c, sum(doc_id) AS s
+           FROM sp GROUP BY split) t ON t.split = s.n
+""",
         "quality_filter_counts": f"""
-WITH docs_arr AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS arr
-  FROM documents
-),
-toksq AS (
-  SELECT doc_id, unnest(arr) AS term,
-         unnest(range(1, len(arr) + 1)) AS pos
-  FROM docs_arr
-),
-tc AS (SELECT doc_id, term, count(*) AS c FROM toksq GROUP BY 1, 2),
-agg AS (SELECT doc_id, sum(c) AS tcnt, max(c) AS topc FROM tc GROUP BY 1),
-grams AS (
-  SELECT a.doc_id, a.term AS t1, b.term AS t2
-  FROM toksq a JOIN toksq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-),
-gc AS (SELECT doc_id, t1, t2, count(*) AS c FROM grams GROUP BY 1, 2, 3),
-gagg AS (SELECT doc_id, sum(c) AS ng,
-                sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dp
-         FROM gc GROUP BY 1),
-cls AS (
-  SELECT d.doc_id,
-         CASE
-           WHEN coalesce(a.tcnt, 0) < {_QF.QF_MIN_TOKENS} THEN 'min_tokens'
-           WHEN a.topc * {_QF.QF_TOP_Q} > a.tcnt * {_QF.QF_TOP_P}
-             THEN 'top_token'
-           WHEN coalesce(g.dp, 0) * {_QF.QF_GRAM_Q}
-                > coalesce(g.ng, 0) * {_QF.QF_GRAM_P} THEN 'dup_2gram'
-           ELSE 'kept'
-         END AS rule
-  FROM documents d LEFT JOIN agg a USING (doc_id)
-       LEFT JOIN gagg g USING (doc_id)
-),
+WITH {qf_cls},
 names(rule) AS (VALUES ('min_tokens'), ('top_token'), ('dup_2gram'),
                        ('kept'))
 SELECT n.rule, CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs

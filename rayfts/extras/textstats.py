@@ -321,6 +321,50 @@ QF_TOP_P, QF_TOP_Q = 1, 8   # rule 2: top-token frac > 1/8 drops
 QF_GRAM_P, QF_GRAM_Q = 1, 10  # rule 3: dup-2gram frac > 1/10 drops
 
 
+def qf_rule_flags(batch: pa.Table, text_col: str = "text"):
+    """Per-doc quality-rule flags (r1 min_tokens, r2 top_token, r3
+    dup_2gram, kept) — the shared first-failing-rule kernel behind the
+    funnel AND the composed prep pipeline. Integer cross-multiplied
+    thresholds only; fully vectorized (bincount / unique / add.at)."""
+    n = batch.num_rows
+    flat, parent = tokens_flat(batch[text_col])
+    token_cnt = np.bincount(parent, minlength=n).astype(np.int64)
+    top_c = np.zeros(n, dtype=np.int64)
+    ng = np.zeros(n, dtype=np.int64)
+    dp = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        enc = pc.dictionary_encode(
+            flat if not isinstance(flat, pa.ChunkedArray)
+            else flat.combine_chunks()
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nv = len(enc.dictionary)
+        # per-doc top token count: bincount on (row, code) pairs
+        pair = parent * nv + codes
+        uniq, cnt = np.unique(pair, return_counts=True)
+        rows_u = uniq // nv
+        np.maximum.at(top_c, rows_u, cnt)
+        # 2-grams within rows: adjacent positions, same parent
+        if codes.size >= 2:
+            same = parent[1:] == parent[:-1]
+            g_parent = parent[:-1][same]
+            g_key = (parent[:-1] * nv + codes[:-1])[same] * nv \
+                + codes[1:][same]
+            gu, gcnt = np.unique(g_key, return_counts=True)
+            g_rows = gu // (nv * nv)
+            ng = np.bincount(g_parent, minlength=n).astype(np.int64)
+            dup = gcnt > 1
+            dp = np.zeros(n, dtype=np.int64)
+            np.add.at(dp, g_rows[dup], gcnt[dup])
+    r1 = token_cnt < QF_MIN_TOKENS
+    r2 = ~r1 & (top_c * QF_TOP_Q > token_cnt * QF_TOP_P)
+    r3 = ~r1 & ~r2 & (dp * QF_GRAM_Q > ng * QF_GRAM_P)
+    kept = ~r1 & ~r2 & ~r3
+    return r1, r2, r3, kept
+
+
 def quality_filter_funnel(ds, text_col: str = "text"):
     """Composed quality-filter funnel (the C4 / Gopher rule-stack
     shape): each doc is attributed to its FIRST failing rule —
@@ -338,44 +382,7 @@ def quality_filter_funnel(ds, text_col: str = "text"):
     rules = ("min_tokens", "top_token", "dup_2gram", "kept")
 
     def classify(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        flat, parent = tokens_flat(batch[text_col])
-        token_cnt = np.bincount(parent, minlength=n).astype(np.int64)
-        top_c = np.zeros(n, dtype=np.int64)
-        ng = np.zeros(n, dtype=np.int64)
-        dp = np.zeros(n, dtype=np.int64)
-        if len(flat):
-            enc = pc.dictionary_encode(
-                flat if not isinstance(flat, pa.ChunkedArray)
-                else flat.combine_chunks()
-            )
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            nv = len(enc.dictionary)
-            # per-doc top token count: bincount on (row, code) pairs
-            pair = parent * nv + codes
-            uniq, cnt = np.unique(pair, return_counts=True)
-            rows_u = uniq // nv
-            np.maximum.at(top_c, rows_u, cnt)
-            # 2-grams within rows: adjacent positions, same parent
-            if codes.size >= 2:
-                same = parent[1:] == parent[:-1]
-                g_parent = parent[:-1][same]
-                g_key = (parent[:-1] * nv + codes[:-1])[same] * nv \
-                    + codes[1:][same]
-                gu, gcnt = np.unique(g_key, return_counts=True)
-                g_rows = gu // (nv * nv)
-                ng = np.bincount(
-                    g_parent, minlength=n
-                ).astype(np.int64)
-                dup = gcnt > 1
-                dp = np.zeros(n, dtype=np.int64)
-                np.add.at(dp, g_rows[dup], gcnt[dup])
-        r1 = token_cnt < QF_MIN_TOKENS
-        r2 = ~r1 & (top_c * QF_TOP_Q > token_cnt * QF_TOP_P)
-        r3 = ~r1 & ~r2 & (dp * QF_GRAM_Q > ng * QF_GRAM_P)
-        kept = ~r1 & ~r2 & ~r3
+        r1, r2, r3, kept = qf_rule_flags(batch, text_col)
         return pa.table({
             "rule": pa.array(rules, pa.string()),
             "n": pa.array(

@@ -5554,3 +5554,96 @@ def fts_script_score_top10(sf_dir: str) -> pa.Table:
             [int(round(sc * 1e6)) for _, sc in rows], pa.int64()
         ),
     })
+
+
+def prep_funnel_counts(sf_dir: str) -> pa.Table:
+    """The composed end-to-end training-data prep funnel — the pipeline
+    a corpus actually runs, each stage reusing its already-oracled
+    building block: (1) quality filter (first-failing-rule kept mask,
+    extras.textstats.qf_rule_flags), (2) exact dedup WITHIN the kept
+    set (md5(text) groups keep min doc_id — extras.dedup's rule), (3)
+    deterministic train/holdout split of the survivors (md5-prefix
+    bucket rule, 90/100). Emits one row per stage — (stage, n_docs,
+    id_sum) with id_sum the exact surviving-doc_id sum, so the oracle
+    checks membership, not just counts.
+
+    Distributed shape: one vectorized map_batches for the kept mask +
+    content hash, ONE groupby(text_hash) shuffle for the dedup winner,
+    a vectorized split-rule map, then an O(stages) driver summary. The
+    only all-to-all is the dedup groupby — hash-partitioned on content,
+    the same key the standalone dedup_exact shuffles on."""
+    from .extras.dedup import _md5_hex
+    from .extras.sampling import md5_prefix_u32
+    from .extras.textstats import qf_rule_flags
+
+    def kept_hash(batch: pa.Table) -> pa.Table:
+        *_, kept = qf_rule_flags(batch)
+        t = batch.filter(pa.array(kept))
+        return pa.table({
+            "text_hash": pa.array(_md5_hex(t["text"].to_pylist())),
+            "doc_id": t["doc_id"],
+        })
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array([int(ids.min())], pa.int64())})
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        train = (md5_prefix_u32(
+            [str(int(i)) for i in ids]
+        ) % 100) < 90
+        return pa.table({
+            "split": pa.array(
+                np.where(train, "train", "holdout"), pa.string()
+            ),
+            "n": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+            "id_sum": pa.array(ids.astype(np.int64), pa.int64()),
+        })
+
+    docs = _docs(sf_dir)
+    kept = docs.map_batches(
+        kept_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+    survivors = kept.groupby("text_hash").map_groups(
+        keep_min, batch_format="pyarrow"
+    )
+    split_stats = (
+        survivors
+        .map_batches(split_partial, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Sum("n"), Sum("id_sum"))
+        .to_pandas()
+    )
+    # input + kept stage totals: exact count/id sums from tiny
+    # per-batch partials (no extra corpus pass for the input row — the
+    # doc_id column only)
+    def id_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(ids)], pa.int64()),
+            "id_sum": pa.array([int(ids.sum())], pa.int64()),
+        })
+
+    def tot(ds: rd.Dataset) -> tuple:
+        p = ds.map_batches(id_partial, batch_format="pyarrow") \
+            .to_pandas()
+        return int(p["n"].sum()), int(p["id_sum"].sum())
+
+    n_in, s_in = tot(docs.select_columns(["doc_id"]))
+    n_kept, s_kept = tot(kept)
+    n_ded, s_ded = tot(survivors)
+    rows = [("input", n_in, s_in), ("quality_kept", n_kept, s_kept),
+            ("dedup_kept", n_ded, s_ded)]
+    for split in ("train", "holdout"):
+        sub = split_stats[split_stats["split"] == split]
+        rows.append((
+            split,
+            int(sub["sum(n)"].iloc[0]) if len(sub) else 0,
+            int(sub["sum(id_sum)"].iloc[0]) if len(sub) else 0,
+        ))
+    return pa.table({
+        "stage": pa.array([r for r, _, _ in rows], pa.string()),
+        "n_docs": pa.array([n for _, n, _ in rows], pa.int64()),
+        "id_sum": pa.array([s for _, _, s in rows], pa.int64()),
+    })

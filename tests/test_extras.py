@@ -2115,3 +2115,41 @@ def test_text_length_gini_matches_bruteforce():
     assert int(got["n_docs"]) == n
     assert int(got["total_tokens"]) == s
     assert int(got["gini_e6"]) == want
+
+
+def test_prep_funnel_counts_stage_consistency():
+    """Composed prep funnel: stage rows replay from the building blocks
+    run standalone — kept set == qf_rule_flags kept docs, dedup
+    winners == min-id per md5(text) among kept, split == the md5-prefix
+    bucket rule; counts and id sums chain monotonically."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from rayfts.extras.textstats import qf_rule_flags
+    from rayfts.pipelines import prep_funnel_counts
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["stage"]: (r["n_docs"], r["id_sum"])
+           for r in prep_funnel_counts(sf_dir).to_pylist()}
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    *_, kept = qf_rule_flags(t)
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_pylist()
+    kept_ids = [int(i) for i, k in zip(ids, kept) if k]
+    by_hash: dict = {}
+    for i, tx, k in zip(ids, texts, kept):
+        if k:
+            h = hashlib.md5(tx.encode()).hexdigest()
+            by_hash[h] = min(by_hash.get(h, 1 << 62), int(i))
+    winners = sorted(by_hash.values())
+    tr = [d for d in winners if int(
+        hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100 < 90]
+    ho = [d for d in winners if d not in set(tr)]
+    assert got["input"] == (len(ids), int(ids.sum()))
+    assert got["quality_kept"] == (len(kept_ids), sum(kept_ids))
+    assert got["dedup_kept"] == (len(winners), sum(winners))
+    assert got["train"] == (len(tr), sum(tr))
+    assert got["holdout"] == (len(ho), sum(ho))
+    assert got["train"][0] + got["holdout"][0] == got["dedup_kept"][0]
