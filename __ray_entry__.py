@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": P.events_tumbling_1h,
         "events_sessionize": P.events_sessionize,    # session windows
         "sample_split_counts": P.sample_split_counts,  # hash holdout split
+        "events_hopping_2h1h": P.events_hopping_2h1h,
         "sample_stratified_counts": P.sample_stratified_counts,  # per-key quota
         "temperature_mix_counts": P.temperature_mix_counts,  # n^alpha mixing
         "quality_ntile_counts": P.quality_ntile_counts,  # curriculum deciles
@@ -2201,6 +2202,18 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
+""",
+        # hopping window (size 2h, hop 1h): each event doubled into its
+        # two covering window starts — engine's integer-us floor shared
+        "events_hopping_2h1h": f"""
+SELECT event_type,
+       make_timestamp(((epoch_us(ts) // 3600000000) - k.k)
+                      * 3600000000) AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+GROUP BY 1, 2
 """,
         # hash split: md5-prefix bucket rule replicated verbatim
         "sample_split_counts": """

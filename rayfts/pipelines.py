@@ -5647,3 +5647,61 @@ def prep_funnel_counts(sf_dir: str) -> pa.Table:
         "n_docs": pa.array([n for _, n, _ in rows], pa.int64()),
         "id_sum": pa.array([s for _, _, s in rows], pa.int64()),
     })
+
+
+HOP_SIZE_H = 2   # hopping-window size (hours)
+
+
+def events_hopping_2h1h(sf_dir: str) -> rd.Dataset:
+    """Hopping (sliding) window per event_type — size 2 h, hop 1 h, the
+    overlapping-window member of the W-series next to tumbling and
+    session windows: every event lands in exactly size/hop = 2 windows
+    (starts floor(ts/hop)·hop and one hop earlier). Map-side combine
+    emits per-(type, window) partials with the rows DOUBLED inside the
+    batch kernel (vectorized concat, never per-event Python), then one
+    groupby — the shuffle moves window aggregates, not events.
+    Returns (event_type, window_start, n_events, sum_value_cents)."""
+    HOUR_US = 3_600_000_000
+
+    def window_partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        base = pc.multiply(pc.divide(us, HOUR_US), HOUR_US)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["value"], 100.0)), pa.int64()
+        )
+        parts = []
+        for k in range(HOP_SIZE_H):
+            parts.append(pa.table({
+                "event_type": batch["event_type"],
+                "window_start": pc.cast(
+                    pc.subtract(base, k * HOUR_US), pa.timestamp("us")
+                ),
+                "value_c": cents,
+            }))
+        t = pa.concat_tables(parts)
+        g = t.group_by(
+            ["event_type", "window_start"], use_threads=False
+        ).aggregate([("value_c", "count"), ("value_c", "sum")])
+        return g.rename_columns(
+            ["event_type", "window_start", "n_p", "sum_p"]
+        )
+
+    agg = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "value"],
+        )
+        .map_batches(window_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_p"), Sum("sum_p"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n_events": pc.cast(t["sum(n_p)"], pa.int64()),
+            "sum_value_cents": pc.cast(t["sum(sum_p)"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )

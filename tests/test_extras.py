@@ -2153,3 +2153,38 @@ def test_prep_funnel_counts_stage_consistency():
     assert got["train"] == (len(tr), sum(tr))
     assert got["holdout"] == (len(ho), sum(ho))
     assert got["train"][0] + got["holdout"][0] == got["dedup_kept"][0]
+
+
+def test_events_hopping_windows_cover_twice():
+    """Hopping 2h/1h: every event lands in exactly two windows — the
+    per-window totals replay from a per-event recompute, and the sum of
+    n_events over all windows is exactly 2x the event count."""
+    import pyarrow.parquet as pq
+
+    from rayfts.pipelines import events_hopping_2h1h
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["window_start"]):
+            (r["n_events"], r["sum_value_cents"])
+        for r in events_hopping_2h1h(sf_dir).take_all()
+    }
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "ts", "value"])
+    H = 3_600_000_000
+    want: dict = {}
+    for et, ts, v in zip(t["event_type"].to_pylist(),
+                         t["ts"].cast("int64").to_pylist(),
+                         t["value"].to_pylist()):
+        c = int(round(v * 100.0))
+        for k in (0, 1):
+            w = (ts // H - k) * H
+            key = (et, w)
+            n, s = want.get(key, (0, 0))
+            want[key] = (n + 1, s + c)
+    got_us = {(et, ws.timestamp() * 1e6 if hasattr(ws, "timestamp")
+               else ws): v for (et, ws), v in got.items()}
+    assert sum(n for n, _ in got.values()) == 2 * t.num_rows
+    assert len(got) == len(want)
+    for (et, w), v in want.items():
+        assert got_us[(et, float(w))] == v, (et, w)
