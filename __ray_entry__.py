@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_curve": P.vocab_growth_curve,
         "vocab_zipf_slope": P.vocab_zipf_slope,
         "text_length_gini": P.text_length_gini,
+        "text_token_entropy": P.text_token_entropy,
         # ANN eval harness: LSH recall@k vs the exact baseline
         "knn_recall_at_k": P.knn_recall_at_k,
         # MMR diversity reranking (retrieve-then-diversify)
@@ -3760,6 +3761,19 @@ FROM rt
 """,
         # vocab growth: first-occurrence doc per term, bucket histogram
         # + running cumsum (Heaps curve)
+        # token entropy: H = ln(n) - (sum c*ln c)/n per doc, e6; empty
+        # docs coalesce to 0 (the engine's pos-mask rule)
+        "text_token_entropy": f"""
+WITH {_TOKS_CTE},
+tc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+ag AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s
+       FROM tc GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n, 0)::BIGINT AS n_tokens,
+       CASE WHEN coalesce(a.n, 0) > 0
+            THEN CAST(round((ln(a.n) - a.s / a.n) * 1e6) AS BIGINT)
+            ELSE 0 END AS entropy_e6
+FROM documents d LEFT JOIN ag a USING (doc_id)
+""",
         # length Gini: exact pairwise-difference identity over the
         # length histogram, HUGEINT throughout, round-half-up e6
         "text_length_gini": f"""

@@ -456,3 +456,39 @@ def categorize_texts(ds, k_tokens: int = 3, top_n: int = 10,
         (str(c), int(v))
         for c, v in zip(out["category"], out["sum(n_p)"])
     ]
+
+
+def token_entropy_batch(batch: pa.Table,
+                        text_col: str = "text") -> pa.Table:
+    """Per-doc Shannon entropy of the token distribution — the
+    repetitiveness/diversity quality signal (low entropy = a few tokens
+    dominate): H = ln(n) − (Σ_t c_t·ln c_t)/n in nats, emitted as e6.
+    Empty docs emit n_tokens = 0, entropy_e6 = 0 (the SQL coalesce
+    rule). Fully vectorized: one dictionary encode, one unique over
+    (row, code) pairs, one scatter-add of c·ln c per row."""
+    n = batch.num_rows
+    flat, parent = tokens_flat(batch[text_col])
+    tok_n = np.bincount(parent, minlength=n).astype(np.int64)
+    s = np.zeros(n, dtype=np.float64)
+    if len(flat):
+        enc = pc.dictionary_encode(
+            flat if not isinstance(flat, pa.ChunkedArray)
+            else flat.combine_chunks()
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nv = len(enc.dictionary)
+        pair = parent * nv + codes
+        uniq, cnt = np.unique(pair, return_counts=True)
+        np.add.at(s, uniq // nv, cnt * np.log(cnt))
+    ent = np.zeros(n, dtype=np.float64)
+    pos = tok_n > 0
+    ent[pos] = np.log(tok_n[pos]) - s[pos] / tok_n[pos]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(tok_n, pa.int64()),
+        "entropy_e6": pa.array(
+            np.round(ent * 1e6).astype(np.int64), pa.int64()
+        ),
+    })

@@ -5705,3 +5705,14 @@ def events_hopping_2h1h(sf_dir: str) -> rd.Dataset:
         }),
         batch_format="pyarrow",
     )
+
+
+def text_token_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-doc token-distribution Shannon entropy (nats, e6) — the
+    repetition/diversity quality signal; one shuffle-free vectorized
+    map_batches (extras.textstats.token_entropy_batch)."""
+    from .extras.textstats import token_entropy_batch
+
+    return _docs(sf_dir).map_batches(
+        token_entropy_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -2188,3 +2188,33 @@ def test_events_hopping_windows_cover_twice():
     assert len(got) == len(want)
     for (et, w), v in want.items():
         assert got_us[(et, float(w))] == v, (et, w)
+
+
+def test_token_entropy_matches_bruteforce():
+    """Per-doc token entropy vs math.fsum recompute of
+    −Σ p·ln p; empty docs 0, uniform docs ln(n), all-same-token docs
+    0."""
+    import math
+
+    from rayfts.extras.textstats import token_entropy_batch
+    from rayfts.oracle import tokenize
+
+    texts = ["a b c d", "x x x x x", "", "a a b b c c",
+             "one two two three three three"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = token_entropy_batch(t).to_pandas()
+    for i, tx in enumerate(texts):
+        toks = tokenize(tx)
+        n = len(toks)
+        if n == 0:
+            want = 0.0
+        else:
+            from collections import Counter
+            want = math.log(n) - math.fsum(
+                c * math.log(c) for c in Counter(toks).values()
+            ) / n
+        assert got.loc[i, "n_tokens"] == n
+        assert got.loc[i, "entropy_e6"] == int(round(want * 1e6)), tx
+    assert got.loc[1, "entropy_e6"] == 0          # all-same-token
+    assert got.loc[0, "entropy_e6"] == int(round(np.log(4) * 1e6))
