@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_collapse_by_source": P.fts_collapse_by_source,  # field collapsing
         "fts_collapse_inner_hits": P.fts_collapse_inner_hits,
         "fts_script_score_top10": P.fts_script_score_top10,
+        "fts_rrf3_top10": P.fts_rrf3_top10,
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
         "fts_query_string_top10": P.fts_query_string_top10,  # query_string
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
@@ -3078,6 +3079,57 @@ f AS (
          coalesce(1.0 / ({P.RRF_RANK_K} + br.r), 0.0)
            + coalesce(1.0 / ({P.RRF_RANK_K} + kr.r), 0.0) AS fused
   FROM br FULL OUTER JOIN kr USING (doc_id)
+)
+SELECT doc_id, CAST(round(fused * 1e9) AS BIGINT) AS fused_e9
+FROM f ORDER BY fused DESC, doc_id LIMIT 10
+""",
+        # 3-leg rrf: bm25 + knn + n_chars-sorted standard retriever
+        # (fused contributions summed per doc)
+        "fts_rrf3_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+kq AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = {P.HYBRID_QUERY_VEC}
+),
+kv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+kd AS (
+  SELECT kv.vec_id, sum(kv.val * kq.val) AS dot,
+         sum(kv.val * kv.val) AS n2, sum(kq.val * kq.val) AS q2
+  FROM kv JOIN kq USING (i) GROUP BY kv.vec_id
+),
+kr AS (
+  SELECT doc_id, r FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY dot / (sqrt(n2) * sqrt(q2)) DESC, vec_id) AS r
+    FROM kd
+  ) WHERE r <= {P.RRF_WINDOW}
+),
+br AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM scores
+  ) WHERE r <= {P.RRF_WINDOW}
+),
+nr AS (
+  SELECT doc_id, r FROM (
+    SELECT s.doc_id,
+           row_number() OVER (ORDER BY d.n_chars DESC, s.doc_id) AS r
+    FROM scores s JOIN documents d USING (doc_id)
+  ) WHERE r <= {P.RRF_WINDOW}
+),
+f AS (
+  SELECT doc_id, sum(c) AS fused FROM (
+    SELECT doc_id, 1.0 / ({P.RRF_RANK_K} + r) AS c FROM br
+    UNION ALL SELECT doc_id, 1.0 / ({P.RRF_RANK_K} + r) FROM kr
+    UNION ALL SELECT doc_id, 1.0 / ({P.RRF_RANK_K} + r) FROM nr
+  ) GROUP BY doc_id
 )
 SELECT doc_id, CAST(round(fused * 1e9) AS BIGINT) AS fused_e9
 FROM f ORDER BY fused DESC, doc_id LIMIT 10

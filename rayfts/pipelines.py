@@ -5716,3 +5716,45 @@ def text_token_entropy(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir).map_batches(
         token_entropy_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def fts_rrf3_top10(sf_dir: str) -> pa.Table:
+    """ES multi-retriever rrf (three legs — the N-retriever form of the
+    retriever API): the BM25_QUERY ranking, the cosine-kNN ranking
+    (vector HYBRID_QUERY_VEC), and a standard retriever sorted by
+    n_chars desc over the same query's hits — each truncated to
+    RRF_WINDOW, fused Σ 1/(RRF_RANK_K + rank)."""
+    import pyarrow.dataset as pads
+
+    from .extras.similarity import knn_cosine
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qrow = pads.dataset(emb_path).to_table(
+        filter=(pads.field("vec_id") == HYBRID_QUERY_VEC)
+    )
+    qvec = np.asarray(qrow["embedding"].to_pylist()[0], dtype=np.float64)
+    knn = knn_cosine(rd.read_parquet(emb_path), qvec, k=RRF_WINDOW)
+
+    index_dir = documents_index(sf_dir)
+    dense_to_src = _dense_to_src(index_dir)
+    src_to_dense = np.zeros(dense_to_src.size, dtype=np.int64)
+    src_to_dense[dense_to_src] = np.arange(dense_to_src.size)
+    knn_ranked = [int(src_to_dense[v])
+                  for v in knn["vec_id"].to_pylist()]
+    s = Searcher(index_dir)
+    bm25_ranked = [d for d, _ in s.search(BM25_QUERY, k=RRF_WINDOW)]
+    nchars_ranked = [d for d, _ in s.search_by_field(
+        BM25_QUERY, "n_chars", order="desc", k=RRF_WINDOW
+    )]
+    rows = s.rrf_multi_search(
+        [bm25_ranked, knn_ranked, nchars_ranked], k=10,
+        rrf_k=RRF_RANK_K,
+    )
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[d]) for d, _ in rows], pa.int64()
+        ),
+        "fused_e9": pa.array(
+            [int(round(sc * 1e9)) for _, sc in rows], pa.int64()
+        ),
+    })

@@ -1987,6 +1987,30 @@ class Searcher(SuggestAPI):
             return []
         return _topk_pairs(idx, buf[idx], k)
 
+    def rrf_multi_search(self, rank_lists: list[list[int]],
+                         k: int = 10, rrf_k: int = 60) -> list[tuple]:
+        """ES multi-retriever ``rrf``: fuse ANY number of already-ranked
+        id lists (each leg truncated by its producer to its own
+        rank_window) — fused(d) = Σ_legs 1/(rrf_k + rank_d), ranks
+        1-based per leg. Tombstoned and out-of-range ids drop WITHOUT
+        renumbering ranks (the spent-rank post-filter rule shared with
+        the two-leg rrf_search). Order (fused desc, doc asc)."""
+        if k <= 0:
+            return []
+        if rrf_k < 0:
+            raise ValueError("rrf_k must be >= 0")
+        fused: dict[int, float] = {}
+        for ids in rank_lists:
+            for r, d in enumerate(ids, 1):
+                d = int(d)
+                if not 0 <= d < self.N:
+                    continue
+                if self.excluded.size and d in self._excluded_set:
+                    continue
+                fused[d] = fused.get(d, 0.0) + 1.0 / (rrf_k + r)
+        out = sorted(fused.items(), key=lambda e: (-e[1], e[0]))
+        return out[:k]
+
     def rrf_search(self, query: str, knn_ranked_ids: list[int],
                    k: int = 10, rank_window: int = 100,
                    rrf_k: int = 60) -> list[tuple]:

@@ -2788,3 +2788,29 @@ def test_script_score_search_semantics(index_dir):
     const = s.script_score_search(q, 1.5, k=5)
     hits_sorted = sorted(base)[:5]
     assert const == [(d, 1.5) for d in hits_sorted]
+
+
+def test_rrf_multi_search_generalizes_two_leg(index_dir):
+    """N-leg rrf: with the same two legs it equals rrf_search exactly;
+    a third leg adds its reciprocal contributions; tombstoned /
+    out-of-range ids spend their rank without renumbering."""
+    s = Searcher(index_dir)
+    q = "the w0007"
+    W = 20
+    bm25 = [d for d, _ in s.search(q, k=W)]
+    knn = list(range(0, 40, 2))
+    two = s.rrf_search(q, knn, k=10, rank_window=W, rrf_k=60)
+    multi = s.rrf_multi_search([bm25, knn[:W]], k=10, rrf_k=60)
+    assert multi == two
+    # third leg shifts scores by exactly its contributions
+    leg3 = [d for d, _ in s.search_by_field(q, "turn_idx",
+                                            order="desc", k=W)]
+    three = dict(s.rrf_multi_search([bm25, knn[:W], leg3], k=s.N,
+                                    rrf_k=60))
+    base = dict(s.rrf_multi_search([bm25, knn[:W]], k=s.N, rrf_k=60))
+    for r, d in enumerate(leg3, 1):
+        assert three[d] == pytest.approx(
+            base.get(d, 0.0) + 1.0 / (60 + r))
+    # out-of-range ids contribute nothing but spend their rank
+    spent = s.rrf_multi_search([[10**9, bm25[0]]], k=5, rrf_k=60)
+    assert spent[0] == (bm25[0], pytest.approx(1.0 / 62))
