@@ -7041,6 +7041,30 @@ class MultiSearcher(SuggestAPI):
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
 
+    def rrf_multi_search(self, rank_lists: list[list[int]],
+                         k: int = 10, rrf_k: int = 60) -> list[tuple]:
+        """Sharded N-leg RRF: rank lists carry GLOBAL doc ids already,
+        so the fuse is the same pure rank arithmetic as the single
+        index — exclusions resolve per owning segment."""
+        if k <= 0:
+            return []
+        if rrf_k < 0:
+            raise ValueError("rrf_k must be >= 0")
+        fused: dict[int, float] = {}
+        for ids in rank_lists:
+            for r, d in enumerate(ids, 1):
+                d = int(d)
+                if not 0 <= d < self.N:
+                    continue
+                si = int(np.searchsorted(self.offsets, d, "right")) - 1
+                seg = self.segments[si]
+                if seg.excluded.size and \
+                        (d - int(self.offsets[si])) in seg._excluded_set:
+                    continue
+                fused[d] = fused.get(d, 0.0) + 1.0 / (rrf_k + r)
+        out = sorted(fused.items(), key=lambda e: (-e[1], e[0]))
+        return out[:k]
+
     def rrf_search(self, query: str, knn_ranked_ids: list[int],
                    k: int = 10, rank_window: int = 100,
                    rrf_k: int = 60) -> list[tuple]:

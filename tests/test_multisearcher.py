@@ -777,3 +777,19 @@ def test_point_in_time_pins_segments_and_tombstones(tmp_path_factory):
     for q in REFERENCE_QUERIES:
         assert open_pit_searcher(pit2).search(q, k=15) == \
             fresh.search(q, k=15), q
+
+
+def test_sharded_rrf_multi_equals_global(indexes):
+    """N-leg RRF sharded == single (pure rank arithmetic, exclusions
+    resolved per owning segment)."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    q = "the w0007"
+    legs = [
+        [d for d, _ in single.search(q, k=20)],
+        list(range(0, 30, 3)),
+        [d for d, _ in single.search_by_field(q, "turn_idx",
+                                              order="desc", k=20)],
+    ]
+    assert multi.rrf_multi_search(legs, k=12) == \
+        single.rrf_multi_search(legs, k=12)
