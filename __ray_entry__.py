@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_zipf_slope": P.vocab_zipf_slope,
         "text_length_gini": P.text_length_gini,
         "text_token_entropy": P.text_token_entropy,
+        "text_ingest_processors": P.text_ingest_processors,
         # ANN eval harness: LSH recall@k vs the exact baseline
         "knn_recall_at_k": P.knn_recall_at_k,
         # MMR diversity reranking (retrieve-then-diversify)
@@ -3813,6 +3814,15 @@ FROM rt
 """,
         # vocab growth: first-occurrence doc per term, bucket histogram
         # + running cumsum (Heaps curve)
+        # ingest pipeline: the processor chain replayed in SQL — nested
+        # transforms IN ORDER (lowercase -> digit gsub -> trim), set ->
+        # constant, rename -> aliased column
+        "text_ingest_processors": """
+SELECT doc_id, lang AS lang_code, 'norm_v1' AS pipeline,
+       length(trim(regexp_replace(lower(text), '[0-9]+', '#', 'g')))
+         ::BIGINT AS n_out_chars
+FROM documents
+""",
         # token entropy: H = ln(n) - (sum c*ln c)/n per doc, e6; empty
         # docs coalesce to 0 (the engine's pos-mask rule)
         "text_token_entropy": f"""

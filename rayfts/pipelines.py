@@ -5758,3 +5758,41 @@ def fts_rrf3_top10(sf_dir: str) -> pa.Table:
             [int(round(sc * 1e9)) for _, sc in rows], pa.int64()
         ),
     })
+
+
+INGEST_CHAIN = [
+    {"lowercase": {"field": "text"}},
+    {"gsub": {"field": "text", "pattern": "[0-9]+",
+              "replacement": "#"}},
+    {"trim": {"field": "text"}},
+    {"set": {"field": "pipeline", "value": "norm_v1"}},
+    {"rename": {"field": "lang", "target_field": "lang_code"}},
+]
+
+
+def text_ingest_processors(sf_dir: str) -> rd.Dataset:
+    """ES ingest-pipeline analog (rayfts.ingest): the pinned processor
+    chain INGEST_CHAIN (lowercase → digit-masking gsub → trim → set
+    constant → rename) applied in order to every document — emitted as
+    (doc_id, lang_code, pipeline, n_out_chars) so the oracle checks the
+    transformed text exactly (length after the chain) plus the schema
+    operations."""
+    from .ingest import IngestPipeline
+
+    out = IngestPipeline(INGEST_CHAIN).apply(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+    )
+
+    def present(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_code": t["lang_code"],
+            "pipeline": t["pipeline"],
+            "n_out_chars": pc.cast(pc.utf8_length(t["text"]),
+                                   pa.int64()),
+        })
+
+    return out.map_batches(present, batch_format="pyarrow")

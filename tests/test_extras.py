@@ -2218,3 +2218,69 @@ def test_token_entropy_matches_bruteforce():
         assert got.loc[i, "entropy_e6"] == int(round(want * 1e6)), tx
     assert got.loc[1, "entropy_e6"] == 0          # all-same-token
     assert got.loc[0, "entropy_e6"] == int(round(np.log(4) * 1e6))
+
+
+def test_ingest_pipeline_processors_and_build_integration():
+    """Ingest chain: processors apply IN ORDER on the progressively
+    transformed batch (gsub sees lowercase's output); set overwrites,
+    rename moves, remove drops; malformed processors refuse; and the
+    transformed Dataset feeds build_index unchanged (the
+    index?pipeline= composition)."""
+    import pytest as _pt
+
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.ingest import IngestPipeline, UnsupportedProcessor
+    from rayfts.search import Searcher
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["  Alpha 42 BETA  ", "Xy7z"]),
+        "lang": pa.array(["EN", "DE"]),
+    })
+    p = IngestPipeline([
+        {"lowercase": {"field": "text"}},
+        {"gsub": {"field": "text", "pattern": "[0-9]+",
+                  "replacement": "#"}},
+        {"trim": {"field": "text"}},
+        {"set": {"field": "lang", "value": "und"}},
+        {"rename": {"field": "lang", "target_field": "lang_code"}},
+        {"remove": {"field": "doc_id"}},
+    ])
+    out = p.transform_batch(t)
+    assert out.column_names == ["text", "lang_code"]
+    assert out["text"].to_pylist() == ["alpha # beta", "xy#z"]
+    assert out["lang_code"].to_pylist() == ["und", "und"]
+    for bad in (
+        [{"nope": {"field": "text"}}],
+        [{"set": {"field": "x"}}],                      # missing value
+        [{"gsub": {"field": "x", "pattern": "a"}}],     # missing repl
+        [{"lowercase": {"field": "x", "extra": 1}}],
+    ):
+        with _pt.raises(UnsupportedProcessor):
+            IngestPipeline(bad)
+    with _pt.raises(UnsupportedProcessor, match="exists"):
+        IngestPipeline([{"rename": {
+            "field": "text", "target_field": "lang"}}]).transform_batch(t)
+
+    # build over the ingested stream: the index sees transformed text
+    import tempfile
+
+    conv = pa.table({
+        "conv_id": pa.array(["c0", "c0"]),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "text": pa.array(["Hello WORLD 99", "foo BAR"]),
+    })
+    chain = IngestPipeline([
+        {"lowercase": {"field": "text"}},
+        {"gsub": {"field": "text", "pattern": "[0-9]+",
+                  "replacement": "num"}},
+    ])
+    with tempfile.TemporaryDirectory() as d:
+        build_index(
+            chain.apply(rd.from_arrow(conv)),
+            cfg=IndexJobConfig(index_dir=f"{d}/idx", term_buckets=2),
+        )
+        s = Searcher(f"{d}/idx")
+        assert [h for h, _ in s.search("num", k=5)]  # masked digits hit
+        assert not s.search("99", k=5)
