@@ -442,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": P.events_sessionize,    # session windows
         "sample_split_counts": P.sample_split_counts,  # hash holdout split
         "events_hopping_2h1h": P.events_hopping_2h1h,
+        "events_pivot_transform": P.events_pivot_transform,
         "sample_stratified_counts": P.sample_stratified_counts,  # per-key quota
         "temperature_mix_counts": P.temperature_mix_counts,  # n^alpha mixing
         "quality_ntile_counts": P.quality_ntile_counts,  # curriculum deciles
@@ -2204,6 +2205,17 @@ FROM documents WHERE doc_id % 10 != 3
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
+        # transform pivot: (type, day) summary — integer-cents sums so
+        # the incremental-merge dest equals this full GROUP BY exactly
+        "events_pivot_transform": """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100.0) AS BIGINT))::BIGINT
+         AS sum_value_cents,
+       max(CAST(round(value * 100.0) AS BIGINT))::BIGINT
+         AS max_value_cents
 FROM events GROUP BY 1, 2
 """,
         # hopping window (size 2h, hop 1h): each event doubled into its

@@ -5796,3 +5796,31 @@ def text_ingest_processors(sf_dir: str) -> rd.Dataset:
         })
 
     return out.map_batches(present, batch_format="pyarrow")
+
+
+def events_pivot_transform(sf_dir: str) -> pa.Table:
+    """ES transform (pivot) analog: events pivoted by
+    (event_type, day) into a dest summary store with
+    count / value-cents sum / value-cents max — one full run of
+    rayfts.transform.run_transform into a fresh dest (the incremental
+    checkpoint merge is pinned by its own test). Reads back the
+    published dest parquet."""
+    import tempfile
+
+    from .transform import DEST_NAME, run_transform
+
+    DAY_US = 86_400_000_000
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.multiply(pc.divide(us, DAY_US), DAY_US)
+        return t.append_column(
+            "day", pc.cast(day, pa.timestamp("us"))
+        )
+
+    with tempfile.TemporaryDirectory() as d:
+        run_transform(
+            os.path.join(sf_dir, "events.parquet"), d,
+            group_by=["event_type", "day"], derive=derive,
+        )
+        return pq.read_table(os.path.join(d, DEST_NAME))

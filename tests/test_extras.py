@@ -2284,3 +2284,58 @@ def test_ingest_pipeline_processors_and_build_integration():
         s = Searcher(f"{d}/idx")
         assert [h for h, _ in s.search("num", k=5)]  # masked digits hit
         assert not s.search("99", k=5)
+
+
+def test_transform_incremental_equals_full():
+    """Continuous transform: two incremental runs over disjoint ts
+    slices produce a dest BIT-IDENTICAL to one full pivot; an idle
+    rerun (no rows past the checkpoint) is a no-op; the checkpoint
+    advances to the max processed microsecond."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rayfts.transform import CHECKPOINT_NAME, DEST_NAME, run_transform
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ts = pa.array(
+        np.sort(rng.integers(1_600_000_000_000_000,
+                             1_600_100_000_000_000, n)),
+        pa.timestamp("us"),
+    )
+    t = pa.table({
+        "ts": ts,
+        "event_type": pa.array(
+            [f"e{int(i)}" for i in rng.integers(0, 5, n)]
+        ),
+        "value": pa.array(rng.normal(10, 3, n), pa.float64()),
+    })
+    cut = t["ts"][n // 2].as_py()
+    with tempfile.TemporaryDirectory() as d:
+        src_a = f"{d}/a.parquet"
+        src_full = f"{d}/full.parquet"
+        pq.write_table(t.filter(pc.less_equal(t["ts"], cut)), src_a)
+        pq.write_table(t, src_full)
+        inc, full = f"{d}/inc", f"{d}/full_dest"
+        r1 = run_transform(src_a, inc, ["event_type"])
+        assert r1["rows_processed"] == len(
+            t.filter(pc.less_equal(t["ts"], cut))["ts"]
+        )
+        # second run sees the FULL source but only processes the tail
+        r2 = run_transform(src_full, inc, ["event_type"])
+        assert 0 < r2["rows_processed"] < n
+        assert r1["rows_processed"] + r2["rows_processed"] == n
+        run_transform(src_full, full, ["event_type"])
+        got = pq.read_table(f"{inc}/{DEST_NAME}")
+        want = pq.read_table(f"{full}/{DEST_NAME}")
+        assert got.equals(want)
+        # idle rerun: nothing newer than the checkpoint
+        r3 = run_transform(src_full, inc, ["event_type"])
+        assert r3["rows_processed"] == 0
+        assert pq.read_table(f"{inc}/{DEST_NAME}").equals(want)
+        import json as _json
+        with open(f"{inc}/{CHECKPOINT_NAME}") as f:
+            assert _json.load(f)["checkpoint_us"] == \
+                t["ts"][n - 1].cast("int64").as_py()
