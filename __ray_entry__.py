@@ -578,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_length_gini": P.text_length_gini,
         "text_token_entropy": P.text_token_entropy,
         "text_ingest_processors": P.text_ingest_processors,
+        "keyword_count_by_family": P.keyword_count_by_family,
         # ANN eval harness: LSH recall@k vs the exact baseline
         "knn_recall_at_k": P.knn_recall_at_k,
         # MMR diversity reranking (retrieve-then-diversify)
@@ -3834,6 +3835,18 @@ SELECT doc_id, lang AS lang_code, 'norm_v1' AS pipeline,
        length(trim(regexp_replace(lower(text), '[0-9]+', '#', 'g')))
          ::BIGINT AS n_out_chars
 FROM documents
+""",
+        # enrich processor: the broadcast lookup replayed as a VALUES
+        # join (unmatched -> null family; engine groupby counts nulls
+        # under the pandas string 'None' — match via coalesce... the
+        # synthetic langs all match, pinned by the pytest instead)
+        "keyword_count_by_family": f"""
+WITH fam(lang, family) AS (VALUES
+  {", ".join(f"('{k}', '{v}')" for k, v in sorted(P.LANG_FAMILY.items()))}
+)
+SELECT f.family, count(*)::BIGINT AS n_docs
+FROM documents d JOIN fam f USING (lang)
+GROUP BY f.family ORDER BY f.family
 """,
         # token entropy: H = ln(n) - (sum c*ln c)/n per doc, e6; empty
         # docs coalesce to 0 (the engine's pos-mask rule)

@@ -14,6 +14,10 @@ processors or option shapes raise, never approximate):
   lowercase  {field} / uppercase {field}
   trim       {field}                   — strip ascii whitespace
   gsub       {field, pattern, replacement} — RE2 regexp_replace
+  enrich     {field, target_field, lookup}  — ES enrich-processor
+             analog: the policy's match index is the small ``lookup``
+             dict broadcast with the pipeline (index_in + take, one
+             kernel pair); unmatched keys enrich to null
 
 Every string processor is one Arrow compute kernel per batch — no
 Python rows; the chain applies IN ORDER on the progressively-
@@ -30,7 +34,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 _KNOWN = ("set", "rename", "remove", "lowercase", "uppercase", "trim",
-          "gsub")
+          "gsub", "enrich")
 
 
 class UnsupportedProcessor(ValueError):
@@ -52,6 +56,7 @@ def _check(procs: list[dict]) -> None:
             "uppercase": {"field"},
             "trim": {"field"},
             "gsub": {"field", "pattern", "replacement"},
+            "enrich": {"field", "target_field", "lookup"},
         }[kind]
         if not isinstance(body, dict) or set(body) != need:
             raise UnsupportedProcessor(
@@ -90,6 +95,23 @@ class IngestPipeline:
                 ])
             elif kind == "remove":
                 t = t.drop_columns([b["field"]])
+            elif kind == "enrich":
+                # ES enrich-processor analog: the enrich policy's match
+                # index is the (small) ``lookup`` dict, broadcast with
+                # the pipeline; unmatched keys enrich to null (the ES
+                # missing-match rule without ignore_missing errors)
+                keys = list(b["lookup"].keys())
+                vals = [b["lookup"][k] for k in keys]
+                idx = pc.index_in(t[b["field"]],
+                                  value_set=pa.array(keys))
+                enriched = pc.take(pa.array(vals), idx)
+                if b["target_field"] in t.column_names:
+                    t = t.set_column(
+                        t.column_names.index(b["target_field"]),
+                        b["target_field"], enriched,
+                    )
+                else:
+                    t = t.append_column(b["target_field"], enriched)
             else:
                 i = t.column_names.index(b["field"])
                 col = t.column(b["field"])

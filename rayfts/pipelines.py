@@ -5824,3 +5824,33 @@ def events_pivot_transform(sf_dir: str) -> pa.Table:
             group_by=["event_type", "day"], derive=derive,
         )
         return pq.read_table(os.path.join(d, DEST_NAME))
+
+
+LANG_FAMILY = {"en": "germanic", "de": "germanic", "fr": "romance",
+               "es": "romance", "zh": "sinitic"}
+
+
+def keyword_count_by_family(sf_dir: str) -> pa.Table:
+    """ES enrich-processor analog inside the ingest chain: each doc's
+    lang enriched to its language family from the broadcast LANG_FAMILY
+    policy (unmatched → null), then counted per family — the classic
+    enrich-then-aggregate ingest composition."""
+    from ray.data.aggregate import Count
+
+    from .ingest import IngestPipeline
+
+    out = IngestPipeline([
+        {"enrich": {"field": "lang", "target_field": "family",
+                    "lookup": LANG_FAMILY}},
+    ]).apply(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+    )
+    g = out.groupby("family").aggregate(Count()).to_pandas()
+    g = g.sort_values("family").reset_index(drop=True)
+    return pa.table({
+        "family": pa.array(g["family"].astype(str), pa.string()),
+        "n_docs": pa.array(g["count()"].astype("int64"), pa.int64()),
+    })

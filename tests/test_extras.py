@@ -2339,3 +2339,21 @@ def test_transform_incremental_equals_full():
         with open(f"{inc}/{CHECKPOINT_NAME}") as f:
             assert _json.load(f)["checkpoint_us"] == \
                 t["ts"][n - 1].cast("int64").as_py()
+
+
+def test_ingest_enrich_processor_null_rule():
+    """enrich: matched keys gain the lookup value, unmatched enrich to
+    NULL (the ES missing-match rule); target overwrite works; chain
+    order holds (enrich sees lowercase's output)."""
+    from rayfts.ingest import IngestPipeline
+
+    t = pa.table({
+        "lang": pa.array(["EN", "de", "xx"]),
+        "family": pa.array(["stale", "stale", "stale"]),
+    })
+    out = IngestPipeline([
+        {"lowercase": {"field": "lang"}},
+        {"enrich": {"field": "lang", "target_field": "family",
+                    "lookup": {"en": "germanic", "de": "germanic"}}},
+    ]).transform_batch(t)
+    assert out["family"].to_pylist() == ["germanic", "germanic", None]
