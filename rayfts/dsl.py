@@ -278,8 +278,43 @@ def _execute_retriever(searcher, body: dict, knn_hits) -> dict:
     if len(tree) != 1:
         raise UnsupportedDSL(f"retriever with keys {sorted(tree)}")
     kind, node = next(iter(tree.items()))
-    if kind not in ("rrf", "linear", "text_similarity_reranker"):
+    if kind not in ("rrf", "linear", "text_similarity_reranker",
+                    "rule"):
         raise UnsupportedDSL(f"retriever kind {kind!r}")
+    if kind == "rule":
+        # ES query-rules retriever: rules whose criteria ALL match the
+        # request's match_criteria pin their ids (ruleset order, first
+        # occurrence wins) ahead of the child retriever's organic
+        # ranking — dispatched to the engine's pinned_search.
+        child = node.get("retriever")
+        if not isinstance(child, dict) or "standard" not in child:
+            raise UnsupportedDSL("rule retriever needs a standard child")
+        spec = normalize_query(child["standard"]["query"])
+        if spec.kind != "match" or spec.where or spec.must_not:
+            raise UnsupportedDSL(
+                "rule retriever child supports a plain match query"
+            )
+        ruleset = node.get("ruleset")
+        mc = node.get("match_criteria")
+        if not isinstance(ruleset, list) or not isinstance(mc, dict):
+            raise UnsupportedDSL(
+                "rule retriever needs ruleset (list) + match_criteria"
+            )
+        pinned, seen = [], set()
+        for rule in ruleset:
+            if set(rule) != {"criteria", "pinned_ids"}:
+                raise UnsupportedDSL(f"rule shape {sorted(rule)}")
+            if all(mc.get(k) == v for k, v in rule["criteria"].items()):
+                for d in rule["pinned_ids"]:
+                    if int(d) not in seen:
+                        seen.add(int(d))
+                        pinned.append(int(d))
+        rows = searcher.pinned_search(
+            pinned, spec.text, k=int(body.get("size", 10))
+        )
+        return {"hits": {"hits": [
+            {"_id": d, "_score": s, "_pinned": p} for d, s, p in rows
+        ]}}
     if knn_hits is None:
         raise UnsupportedDSL(
             "retriever needs knn_hits from the ANN stage"

@@ -413,3 +413,36 @@ def test_dsl_terms_ordered_by_metric_subagg(dsl_index):
         with pytest.raises(UnsupportedDSL):
             execute_dsl(s, {"query": {"match": {"text": "the"}},
                             "size": 0, "aggs": {"a": node}})
+
+
+def test_dsl_rule_retriever_pins_by_criteria(dsl_index):
+    """rule retriever: rules whose criteria all match pin their ids in
+    ruleset order ahead of the organic ranking (== pinned_search);
+    non-matching rules contribute nothing; malformed shapes refuse."""
+    s = Searcher(dsl_index)
+    q = "the w0007"
+    organic = s.search(q, k=8)
+    pin = [organic[3][0], organic[1][0]]
+    body = {"retriever": {"rule": {
+        "retriever": {"standard": {"query": {"match": {"text": q}}}},
+        "ruleset": [
+            {"criteria": {"user_segment": "vip"}, "pinned_ids": pin},
+            {"criteria": {"user_segment": "other"},
+             "pinned_ids": [organic[0][0]]},
+        ],
+        "match_criteria": {"user_segment": "vip", "extra": "x"},
+    }}, "size": 6}
+    got = execute_dsl(s, body)["hits"]["hits"]
+    want = s.pinned_search(pin, q, k=6)
+    assert [(h["_id"], h["_score"], h["_pinned"]) for h in got] == want
+    assert [h["_id"] for h in got][:2] == pin
+    # no matching rule: pure organic order
+    body["retriever"]["rule"]["match_criteria"] = {"user_segment": "no"}
+    got2 = execute_dsl(s, body)["hits"]["hits"]
+    assert [h["_id"] for h in got2] == [d for d, _ in organic[:6]]
+    with pytest.raises(UnsupportedDSL):
+        execute_dsl(s, {"retriever": {"rule": {
+            "retriever": {"standard": {"query": {"match": {"text": q}}}},
+            "ruleset": [{"pinned_ids": [1]}],
+            "match_criteria": {},
+        }}})
