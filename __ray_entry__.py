@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": P.events_tumbling_1h,
         "events_sessionize": P.events_sessionize,    # session windows
         "sample_split_counts": P.sample_split_counts,  # hash holdout split
+        "sample_shuffle_order": P.sample_shuffle_order,
         "events_hopping_2h1h": P.events_hopping_2h1h,
         "events_pivot_transform": P.events_pivot_transform,
         "sample_stratified_counts": P.sample_stratified_counts,  # per-key quota
@@ -2230,6 +2231,18 @@ SELECT event_type,
          AS sum_value_cents
 FROM events CROSS JOIN (VALUES (0), (1)) k(k)
 GROUP BY 1, 2
+""",
+        # deterministic shuffle: global order by (md5rank, doc_id),
+        # positions 0-based — the permutation itself is checked
+        "sample_shuffle_order": f"""
+SELECT row_number() OVER (ORDER BY rnk, doc_id) - 1 AS position,
+       doc_id
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS rnk
+  FROM documents
+) ORDER BY position LIMIT {P.SHUFFLE_HEAD}
 """,
         # hash split: md5-prefix bucket rule replicated verbatim
         "sample_split_counts": """

@@ -5854,3 +5854,40 @@ def keyword_count_by_family(sf_dir: str) -> pa.Table:
         "family": pa.array(g["family"].astype(str), pa.string()),
         "n_docs": pa.array(g["count()"].astype("int64"), pa.int64()),
     })
+
+
+SHUFFLE_HEAD = 20
+
+
+def sample_shuffle_order(sf_dir: str) -> pa.Table:
+    """Deterministic training-order shuffle: the corpus permuted by
+    the md5-prefix rank of doc_id (rerun-stable, seedless — the same
+    rule the split/stratified samplers pin) via ONE distributed sort;
+    emits the first SHUFFLE_HEAD docs in shuffle order plus each one's
+    exact global position — a value-level check that the permutation,
+    not just the head set, matches."""
+    from .extras.sampling import md5_prefix_u32
+
+    def rank(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "rnk": pa.array(
+                md5_prefix_u32([str(int(i)) for i in ids]), pa.int64()
+            ),
+        })
+
+    ds = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"],
+        )
+        .map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["rnk", "doc_id"])
+    )
+    head = ds.take(SHUFFLE_HEAD)
+    return pa.table({
+        "position": pa.array(range(len(head)), pa.int64()),
+        "doc_id": pa.array([int(r["doc_id"]) for r in head],
+                           pa.int64()),
+    })

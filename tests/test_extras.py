@@ -2357,3 +2357,23 @@ def test_ingest_enrich_processor_null_rule():
                     "lookup": {"en": "germanic", "de": "germanic"}}},
     ]).transform_batch(t)
     assert out["family"].to_pylist() == ["germanic", "germanic", None]
+
+
+def test_sample_shuffle_order_is_md5_permutation():
+    """Deterministic shuffle: the emitted head is the global
+    (md5rank, doc_id) order with 0-based positions; rerun-stable."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from rayfts.pipelines import SHUFFLE_HEAD, sample_shuffle_order
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sample_shuffle_order(sf_dir).to_pylist()
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    order = sorted(ids, key=lambda d: (
+        int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16), d))
+    assert [(r["position"], r["doc_id"]) for r in got] == \
+        list(enumerate(order[:SHUFFLE_HEAD]))
+    assert sample_shuffle_order(sf_dir).to_pylist() == got  # stable
