@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_collapse_inner_hits": P.fts_collapse_inner_hits,
         "fts_script_score_top10": P.fts_script_score_top10,
         "fts_rrf3_top10": P.fts_rrf3_top10,
+        "fts_sig_terms_bg_filter": P.fts_sig_terms_bg_filter,
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
         "fts_query_string_top10": P.fts_query_string_top10,  # query_string
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
@@ -1012,6 +1013,30 @@ fg AS (SELECT source, count(*) AS fdf
 tot AS (SELECT count(*) AS nh FROM hits),
 bg AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
 nl AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT fg.source, fdf, df,
+         ((fdf::DOUBLE / nh) - (df::DOUBLE / n))
+           * ((fdf::DOUBLE / nh) / (df::DOUBLE / n)) AS score
+  FROM fg JOIN bg USING (source) CROSS JOIN tot CROSS JOIN nl
+  WHERE fdf >= 2 AND fdf::DOUBLE / nh > df::DOUBLE / n
+)
+SELECT source, fdf AS fg_df, df,
+       CAST(round(score * 1e9) AS BIGINT) AS score_e9
+FROM sc ORDER BY score DESC, source LIMIT 6
+""",
+        # significant_terms + background_filter: bg histogram and N
+        # restricted to the lang slice (the reference-population knob)
+        "fts_sig_terms_bg_filter": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks
+         WHERE term = '{P.SIG_KEYWORD_QUERY}'),
+fg AS (SELECT source, count(*) AS fdf
+       FROM documents JOIN hits USING (doc_id) GROUP BY source),
+tot AS (SELECT count(*) AS nh FROM hits),
+bg AS (SELECT source, count(*) AS df FROM documents
+       WHERE lang = '{P.SIG_BG_LANG}' GROUP BY source),
+nl AS (SELECT count(*) AS n FROM documents
+       WHERE lang = '{P.SIG_BG_LANG}'),
 sc AS (
   SELECT fg.source, fdf, df,
          ((fdf::DOUBLE / nh) - (df::DOUBLE / n))

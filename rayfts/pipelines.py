@@ -5891,3 +5891,27 @@ def sample_shuffle_order(sf_dir: str) -> pa.Table:
         "doc_id": pa.array([int(r["doc_id"]) for r in head],
                            pa.int64()),
     })
+
+
+SIG_BG_LANG = "en"
+
+
+def fts_sig_terms_bg_filter(sf_dir: str) -> pa.Table:
+    """ES significant_terms with background_filter: sources
+    overrepresented in the SIG_KEYWORD_QUERY hit set vs ONLY the
+    lang=SIG_BG_LANG slice of the corpus (the reference-population
+    knob) — same exact JLH machinery, narrowed background histogram
+    and N."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.significant_keyword_terms(
+        SIG_KEYWORD_QUERY, "source", size=6, min_doc_count=2,
+        background_where={"lang": SIG_BG_LANG},
+    )
+    return pa.table({
+        "source": pa.array([v for v, _, _, _ in rows], pa.string()),
+        "fg_df": pa.array([f for _, f, _, _ in rows], pa.int64()),
+        "df": pa.array([d for _, _, d, _ in rows], pa.int64()),
+        "score_e9": pa.array(
+            [int(round(sc * 1e9)) for _, _, _, sc in rows], pa.int64()
+        ),
+    })

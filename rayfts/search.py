@@ -1503,7 +1503,8 @@ class Searcher(SuggestAPI):
                                   min_doc_count: int = 3,
                                   where: dict | None = None,
                                   mode: str = "or",
-                                  must_not: str | None = None
+                                  must_not: str | None = None,
+                                  background_where: dict | None = None
                                   ) -> list[tuple]:
         """ES significant_terms over a KEYWORD field (the doc-values
         form — the text-re-analysis form, i.e. ES significant_text, is
@@ -1519,7 +1520,7 @@ class Searcher(SuggestAPI):
         ``size``."""
         fg, n_hits = self._keyword_sig_foreground(query, field, where,
                                                   mode, must_not)
-        bg, n_live = self._field_hist_live(field)
+        bg, n_live = self._field_hist_live(field, background_where)
         return _jlh_ranked(fg, n_hits, bg, n_live, min_doc_count, size)
 
     def _keyword_sig_foreground(self, query: str, field: str,
@@ -1543,13 +1544,21 @@ class Searcher(SuggestAPI):
         hits = self._hit_mask(query, where, mode, must_not)
         return 0 if hits is None else int(hits.sum())
 
-    def _field_hist_live(self, field: str) -> tuple[dict, int]:
+    def _field_hist_live(self, field: str,
+                         background_where: dict | None = None
+                         ) -> tuple[dict, int]:
         """(value -> live doc count, live N) — the background side of
-        keyword significance; tombstones excluded on both counts."""
+        keyword significance; tombstones excluded on both counts.
+        ``background_where`` narrows the background population (the ES
+        significant_terms ``background_filter`` knob): counts and N
+        both come from the filtered live set, so scores compare the
+        foreground against the chosen reference corpus."""
         codes, values = self._field_codes(field)
         live = np.ones(self.N, dtype=bool)
         if self.excluded.size:
             live[self.excluded] = False
+        if background_where:
+            live &= self.filter_mask(**background_where)
         sel = codes[live]
         cnt = np.bincount(sel[sel >= 0], minlength=len(values))
         return (
@@ -6839,7 +6848,8 @@ class MultiSearcher(SuggestAPI):
                                   min_doc_count: int = 3,
                                   where: dict | None = None,
                                   mode: str = "or",
-                                  must_not: str | None = None
+                                  must_not: str | None = None,
+                                  background_where: dict | None = None
                                   ) -> list[tuple]:
         """Sharded keyword significant_terms, EXACT: per-segment
         foreground/background histograms and counts are integers that
@@ -6855,7 +6865,7 @@ class MultiSearcher(SuggestAPI):
             for v, c in sf.items():
                 fg[v] = fg.get(v, 0) + c
             n_hits += sh
-            sb, sn = seg._field_hist_live(field)
+            sb, sn = seg._field_hist_live(field, background_where)
             for v, c in sb.items():
                 bg[v] = bg.get(v, 0) + c
             n_live += sn

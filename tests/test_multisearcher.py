@@ -793,3 +793,20 @@ def test_sharded_rrf_multi_equals_global(indexes):
     ]
     assert multi.rrf_multi_search(legs, k=12) == \
         single.rrf_multi_search(legs, k=12)
+
+
+def test_sig_terms_background_filter_sharded(indexes):
+    """significant_terms background_filter: the narrowed background
+    changes scores exactly as a hand-filtered recompute; sharded ==
+    single with the filter applied per segment."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    kw = {"size": 20, "min_doc_count": 1,
+          "background_where": {"role": "user"}}
+    got = single.significant_keyword_terms("the", "tool", **kw)
+    assert multi.significant_keyword_terms("the", "tool", **kw) == got
+    # the filtered background must differ from the unfiltered one
+    # whenever the role slice has a different tool mix
+    plain = single.significant_keyword_terms(
+        "the", "tool", size=20, min_doc_count=1)
+    assert got != plain
