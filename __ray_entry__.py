@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_script_score_top10": P.fts_script_score_top10,
         "fts_rrf3_top10": P.fts_rrf3_top10,
         "fts_sig_terms_bg_filter": P.fts_sig_terms_bg_filter,
+        "fts_date_hist_empty_buckets": P.fts_date_hist_empty_buckets,
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
         "fts_query_string_top10": P.fts_query_string_top10,  # query_string
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
@@ -1576,6 +1577,29 @@ LIMIT 10
         # ts_epoch is the docstore's synthetic timestamp column — derived
         # from doc_id with the SAME constants on both sides (TS_EPOCH0 +
         # 7h per doc); month buckets are true calendar months
+        # min_doc_count=0: generate_series over the in-range day axis,
+        # zero-coalesced left join — the engine's calendar_range fill
+        "fts_date_hist_empty_buckets": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+b AS (
+  SELECT CAST(epoch(date_trunc('day',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000)))
+         AS BIGINT) AS day_start,
+         count(*) AS n
+  FROM documents JOIN hits USING (doc_id)
+  WHERE lang = 'zh' GROUP BY 1
+),
+axis AS (
+  SELECT CAST(epoch(unnest(generate_series(
+    (SELECT to_timestamp(min(day_start)) FROM b),
+    (SELECT to_timestamp(max(day_start)) FROM b),
+    INTERVAL 1 DAY))) AS BIGINT) AS day_start
+)
+SELECT a.day_start, coalesce(b.n, 0)::BIGINT AS n_docs
+FROM axis a LEFT JOIN b USING (day_start) ORDER BY a.day_start
+""",
         "fts_date_hist_month": f"""
 WITH {_TOKS_CTE},
 hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN

@@ -5915,3 +5915,19 @@ def fts_sig_terms_bg_filter(sf_dir: str) -> pa.Table:
             [int(round(sc * 1e9)) for _, _, _, sc in rows], pa.int64()
         ),
     })
+
+
+def fts_date_hist_empty_buckets(sf_dir: str) -> pa.Table:
+    """ES date_histogram min_doc_count=0: daily buckets of BM25_QUERY
+    hits restricted to lang=zh — a sparse slice, so in-range gap days
+    emit explicit zero rows (the dashboard contract that dense bucket
+    axes rely on)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.date_histogram_agg(
+        BM25_QUERY, "ts_epoch", "day", where={"lang": "zh"},
+        min_doc_count=0,
+    )
+    return pa.table({
+        "day_start": pa.array([b for b, _ in rows], pa.int64()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+    })

@@ -75,6 +75,22 @@ def calendar_floor(epoch_s: np.ndarray, unit: str) -> np.ndarray:
     )
 
 
+def calendar_range(lo_s: int, hi_s: int, unit: str) -> np.ndarray:
+    """All calendar-period starts from ``lo_s`` to ``hi_s`` inclusive
+    (both must already be period starts under :func:`calendar_floor`) —
+    the bucket axis a min_doc_count=0 date_histogram fills. Fixed-width
+    units step in seconds; months/years step in datetime64 units (true
+    calendar lengths)."""
+    step = {"m": 60, "h": 3600, "D": 86400, "W": 7 * 86400}.get(unit)
+    if step is not None:
+        return np.arange(lo_s, hi_s + 1, step, dtype=np.int64)
+    a = np.datetime64(int(lo_s), "s").astype(f"datetime64[{unit}]")
+    b = np.datetime64(int(hi_s), "s").astype(f"datetime64[{unit}]")
+    return (
+        np.arange(a, b + 1).astype("datetime64[s]").astype(np.int64)
+    )
+
+
 def _snippet(text: str, pos: int, window: int) -> str:
     """Analyzed-token snippet: the tokens within ±window of token index
     ``pos``, space-joined (the deterministic, SQL-replicable fragment
@@ -2968,7 +2984,8 @@ class Searcher(SuggestAPI):
     def date_histogram_agg(self, query: str, field: str,
                            calendar_interval: str = "day",
                            where: dict | None = None, mode: str = "or",
-                           must_not: str | None = None) -> list[tuple]:
+                           must_not: str | None = None,
+                           min_doc_count: int = 1) -> list[tuple]:
         """ES date_histogram with a CALENDAR interval (minute/hour/day/
         week/month/year) over ALL query hits. ``field`` holds UTC epoch
         SECONDS (ES date fields are epoch millis internally; fixed
@@ -2977,7 +2994,10 @@ class Searcher(SuggestAPI):
         months/years are true calendar buckets (variable length), weeks
         start Monday (ISO, the ES default) — via vectorized numpy
         datetime64 unit casts, no Python date objects. Non-empty buckets
-        ascending, like ES."""
+        ascending, like ES; ``min_doc_count=0`` fills every calendar
+        period between the first and last non-empty bucket with a zero
+        row (the ES gap-filling knob — in-range fill; extended_bounds
+        beyond the data is not modeled)."""
         sel, unit = self._date_hist_values(
             query, field, calendar_interval, where, mode, must_not
         )
@@ -2985,6 +3005,11 @@ class Searcher(SuggestAPI):
             return []
         keys = calendar_floor(sel.astype(np.int64), unit)
         uniq, cnt = np.unique(keys, return_counts=True)
+        if min_doc_count == 0 and uniq.size:
+            axis = calendar_range(int(uniq[0]), int(uniq[-1]), unit)
+            full = np.zeros(axis.size, dtype=np.int64)
+            full[np.searchsorted(axis, uniq)] = cnt
+            return [(int(u), int(c)) for u, c in zip(axis, full)]
         return [(int(u), int(c)) for u, c in zip(uniq, cnt)]
 
     def cumulative_cardinality_agg(self, query: str, field: str,
@@ -7806,17 +7831,28 @@ class MultiSearcher(SuggestAPI):
     def date_histogram_agg(self, query: str, field: str,
                            calendar_interval: str = "day",
                            where: dict | None = None, mode: str = "or",
-                           must_not: str | None = None) -> list[tuple]:
+                           must_not: str | None = None,
+                           min_doc_count: int = 1) -> list[tuple]:
         """Sharded date_histogram: calendar bucket keys are global epoch
         values, so per-segment bucket maps sum exactly; payload
-        O(buckets) per segment."""
+        O(buckets) per segment. min_doc_count=0 gap-fills AFTER the
+        merge (the global first/last non-empty bounds)."""
         total: dict = {}
         for seg in self.segments:
             for key, c in seg.date_histogram_agg(
                 query, field, calendar_interval, where, mode, must_not
             ):
                 total[key] = total.get(key, 0) + c
-        return sorted(total.items())
+        rows = sorted(total.items())
+        if min_doc_count == 0 and rows:
+            unit = {"minute": "m", "hour": "h", "day": "D",
+                    "week": "W", "month": "M", "year": "Y"}[
+                calendar_interval]
+            axis = calendar_range(rows[0][0], rows[-1][0], unit)
+            filled = dict.fromkeys(axis.tolist(), 0)
+            filled.update(dict(rows))
+            rows = sorted(filled.items())
+        return rows
 
     def percentiles_agg(self, query: str, field: str,
                         percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),

@@ -810,3 +810,21 @@ def test_sig_terms_background_filter_sharded(indexes):
     plain = single.significant_keyword_terms(
         "the", "tool", size=20, min_doc_count=1)
     assert got != plain
+
+
+def test_date_histogram_min_doc_count_zero(indexes):
+    """min_doc_count=0: every in-range calendar period appears, zeros
+    included, non-zero rows identical to the default agg; month unit
+    steps true calendar lengths; sharded fill == single."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for unit in ("day", "month"):
+        dense = single.date_histogram_agg(
+            "w0007", "turn_idx", unit, min_doc_count=0)
+        sparse = dict(single.date_histogram_agg(
+            "w0007", "turn_idx", unit))
+        assert dict((k, v) for k, v in dense if v > 0) == sparse
+        keys = [k for k, _ in dense]
+        assert keys == sorted(keys)
+        assert multi.date_histogram_agg(
+            "w0007", "turn_idx", unit, min_doc_count=0) == dense
