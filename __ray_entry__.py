@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_rrf3_top10": P.fts_rrf3_top10,
         "fts_sig_terms_bg_filter": P.fts_sig_terms_bg_filter,
         "fts_date_hist_empty_buckets": P.fts_date_hist_empty_buckets,
+        "fts_date_hist_timezone": P.fts_date_hist_timezone,
         "fts_phrase_prefix_top10": P.fts_phrase_prefix_top10,  # match_phrase_prefix
         "fts_query_string_top10": P.fts_query_string_top10,  # query_string
         "fts_has_child_by_source": P.fts_has_child_by_source,  # join-field
@@ -1577,6 +1578,20 @@ LIMIT 10
         # ts_epoch is the docstore's synthetic timestamp column — derived
         # from doc_id with the SAME constants on both sides (TS_EPOCH0 +
         # 7h per doc); month buckets are true calendar months
+        # time_zone fixed offset: truncate shifted wall time, unshift —
+        # keys are UTC epoch of the LOCAL day start
+        "fts_date_hist_timezone": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT CAST(epoch(date_trunc('day',
+         make_timestamp(({P.TS_EPOCH0} + doc_id * 25200
+                         + {P.DATE_HIST_TZ_OFFSET_S}) * 1000000)))
+       AS BIGINT) - {P.DATE_HIST_TZ_OFFSET_S} AS day_start,
+       count(*) AS n_docs
+FROM documents JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""",
         # min_doc_count=0: generate_series over the in-range day axis,
         # zero-coalesced left join — the engine's calendar_range fill
         "fts_date_hist_empty_buckets": f"""

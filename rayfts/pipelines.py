@@ -5931,3 +5931,23 @@ def fts_date_hist_empty_buckets(sf_dir: str) -> pa.Table:
         "day_start": pa.array([b for b, _ in rows], pa.int64()),
         "n_docs": pa.array([c for _, c in rows], pa.int64()),
     })
+
+
+DATE_HIST_TZ_OFFSET_S = 7200   # the ES time_zone "+02:00" knob
+
+
+def fts_date_hist_timezone(sf_dir: str) -> pa.Table:
+    """ES date_histogram time_zone (fixed offset "+02:00"): daily
+    buckets of BM25_QUERY hits truncated in LOCAL wall time, keys
+    emitted as UTC epoch seconds of the local day start — days split
+    differently than UTC whenever a hit lands within the offset of
+    midnight."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.date_histogram_agg(
+        BM25_QUERY, "ts_epoch", "day",
+        time_zone_offset_s=DATE_HIST_TZ_OFFSET_S,
+    )
+    return pa.table({
+        "day_start": pa.array([b for b, _ in rows], pa.int64()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+    })

@@ -2985,7 +2985,8 @@ class Searcher(SuggestAPI):
                            calendar_interval: str = "day",
                            where: dict | None = None, mode: str = "or",
                            must_not: str | None = None,
-                           min_doc_count: int = 1) -> list[tuple]:
+                           min_doc_count: int = 1,
+                           time_zone_offset_s: int = 0) -> list[tuple]:
         """ES date_histogram with a CALENDAR interval (minute/hour/day/
         week/month/year) over ALL query hits. ``field`` holds UTC epoch
         SECONDS (ES date fields are epoch millis internally; fixed
@@ -2997,16 +2998,27 @@ class Searcher(SuggestAPI):
         ascending, like ES; ``min_doc_count=0`` fills every calendar
         period between the first and last non-empty bucket with a zero
         row (the ES gap-filling knob — in-range fill; extended_bounds
-        beyond the data is not modeled)."""
+        beyond the data is not modeled). ``time_zone_offset_s`` is the
+        ES ``time_zone`` knob for FIXED-offset zones (e.g. "+02:00" =
+        7200): periods truncate in local wall time, bucket keys stay
+        UTC epoch seconds of the LOCAL period start — shift, floor,
+        unshift (DST-rule zones are out of scope, documented)."""
         sel, unit = self._date_hist_values(
             query, field, calendar_interval, where, mode, must_not
         )
         if sel is None or sel.size == 0:
             return []
-        keys = calendar_floor(sel.astype(np.int64), unit)
+        off = int(time_zone_offset_s)
+        keys = calendar_floor(
+            sel.astype(np.int64) + off, unit
+        ) - off
         uniq, cnt = np.unique(keys, return_counts=True)
         if min_doc_count == 0 and uniq.size:
-            axis = calendar_range(int(uniq[0]), int(uniq[-1]), unit)
+            # fill on the LOCAL period axis (keys + off are true
+            # period starts), then unshift back to UTC keys
+            axis = calendar_range(
+                int(uniq[0]) + off, int(uniq[-1]) + off, unit
+            ) - off
             full = np.zeros(axis.size, dtype=np.int64)
             full[np.searchsorted(axis, uniq)] = cnt
             return [(int(u), int(c)) for u, c in zip(axis, full)]
@@ -7832,15 +7844,18 @@ class MultiSearcher(SuggestAPI):
                            calendar_interval: str = "day",
                            where: dict | None = None, mode: str = "or",
                            must_not: str | None = None,
-                           min_doc_count: int = 1) -> list[tuple]:
+                           min_doc_count: int = 1,
+                           time_zone_offset_s: int = 0) -> list[tuple]:
         """Sharded date_histogram: calendar bucket keys are global epoch
         values, so per-segment bucket maps sum exactly; payload
         O(buckets) per segment. min_doc_count=0 gap-fills AFTER the
-        merge (the global first/last non-empty bounds)."""
+        merge (the global first/last non-empty bounds); the fixed
+        time_zone offset shifts per segment identically, so keys agree."""
         total: dict = {}
         for seg in self.segments:
             for key, c in seg.date_histogram_agg(
-                query, field, calendar_interval, where, mode, must_not
+                query, field, calendar_interval, where, mode, must_not,
+                time_zone_offset_s=time_zone_offset_s,
             ):
                 total[key] = total.get(key, 0) + c
         rows = sorted(total.items())
@@ -7848,7 +7863,10 @@ class MultiSearcher(SuggestAPI):
             unit = {"minute": "m", "hour": "h", "day": "D",
                     "week": "W", "month": "M", "year": "Y"}[
                 calendar_interval]
-            axis = calendar_range(rows[0][0], rows[-1][0], unit)
+            off = int(time_zone_offset_s)
+            axis = calendar_range(
+                rows[0][0] + off, rows[-1][0] + off, unit
+            ) - off
             filled = dict.fromkeys(axis.tolist(), 0)
             filled.update(dict(rows))
             rows = sorted(filled.items())

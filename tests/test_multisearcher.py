@@ -828,3 +828,31 @@ def test_date_histogram_min_doc_count_zero(indexes):
         assert keys == sorted(keys)
         assert multi.date_histogram_agg(
             "w0007", "turn_idx", unit, min_doc_count=0) == dense
+
+
+def test_date_histogram_time_zone_offset(indexes):
+    """time_zone fixed offset: buckets == shift-floor-unshift recompute
+    from the raw values; composes with min_doc_count=0 (local-axis
+    fill); sharded == single."""
+    import numpy as np
+
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    off = 7200
+    got = single.date_histogram_agg("the", "turn_idx", "day",
+                                    time_zone_offset_s=off)
+    sel, _ = single._date_hist_values("the", "turn_idx", "day",
+                                      None, "or", None)
+    days = ((sel.astype(np.int64) + off) // 86400) * 86400 - off
+    want = sorted(
+        (int(k), int(c))
+        for k, c in zip(*np.unique(days, return_counts=True))
+    )
+    assert got == want
+    assert multi.date_histogram_agg(
+        "the", "turn_idx", "day", time_zone_offset_s=off) == got
+    dense = single.date_histogram_agg(
+        "the", "turn_idx", "day", min_doc_count=0,
+        time_zone_offset_s=off)
+    assert dict((k, v) for k, v in dense if v > 0) == dict(got)
+    assert all((k + off) % 86400 == 0 for k, _ in dense)
