@@ -574,6 +574,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cumulative_cardinality": P.fts_cumulative_cardinality,
         # moving_percentiles: trailing-window quantiles of bucket counts
         "fts_date_hist_moving_pct": P.fts_date_hist_moving_pct,
+        # percentiles_bucket: sibling quantiles of the month counts
+        "fts_percentiles_bucket": P.fts_percentiles_bucket,
+        # random_sampler: md5-rule probability sample + terms sub-agg
+        "fts_random_sampler": P.fts_random_sampler,
         # runtime fields: query-time derived numeric column in aggs
         "fts_runtime_field_stats": P.fts_runtime_field_stats,
         # Heaps-law vocabulary growth (first-occurrence histogram)
@@ -3885,6 +3889,42 @@ WINDOW w AS (ORDER BY month_start
              ROWS BETWEEN {P.MOVING_PCT_WINDOW - 1} PRECEDING
              AND CURRENT ROW)
 ORDER BY month_start
+""",
+        # percentiles_bucket: quantile_cont over the month-bucket counts
+        "fts_percentiles_bucket": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT CAST(epoch(date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+           AS month_start,
+         count(*) AS n_docs
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+)
+SELECT
+{",".join(
+    "  CAST(round(quantile_cont(n_docs, {q}) * 1e6) AS BIGINT) AS p{n}_e6"
+    .format(q=p / 100.0, n=int(p)) for p in P.PCT_BUCKET_PCTS
+)}
+FROM hist
+""",
+        # random_sampler: md5-prefix rule (the random_score / hash-split
+        # twin) at probability {P.RANDOM_SAMPLER_PROB}, terms sub-agg
+        "fts_random_sampler": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+samp AS (
+  SELECT doc_id FROM hits
+  WHERE CAST(('0x' || substr(md5('{P.RANDOM_SAMPLER_SEED}:'
+          || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < {int(P.RANDOM_SAMPLER_PROB * 4294967296.0)}
+)
+SELECT source, count(*) AS n_docs,
+       (SELECT count(*) FROM samp) AS n_sampled
+FROM documents JOIN samp USING (doc_id)
+GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
 """,
         # runtime field: (n_chars*7 - 100)/4 evaluated at query time —
         # quarters, so min/max/sum are float-order-free

@@ -5068,6 +5068,50 @@ def fts_date_hist_moving_pct(sf_dir: str) -> pa.Table:
     })
 
 
+PCT_BUCKET_PCTS = (25.0, 50.0, 75.0)
+
+
+def fts_percentiles_bucket(sf_dir: str) -> pa.Table:
+    """ES percentiles_bucket sibling pipeline agg NEXT TO the monthly
+    date_histogram of BM25_QUERY hits: linear-interpolation percentiles
+    of the bucket counts, one summary row, e6-rounded (quartiles of
+    integer counts land on exact .25 multiples — the rounding is
+    exact on both sides, the boxplot-agg convention)."""
+    from .search import percentiles_bucket_aggs
+
+    s = Searcher(documents_index(sf_dir))
+    pr = percentiles_bucket_aggs(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "month"),
+        percents=PCT_BUCKET_PCTS,
+    )
+    return pa.table({
+        f"p{int(p)}_e6": pa.array([int(round(pr[p] * 1e6))], pa.int64())
+        for p in PCT_BUCKET_PCTS
+    })
+
+
+RANDOM_SAMPLER_PROB = 0.5   # random_sampler inclusion probability
+RANDOM_SAMPLER_SEED = 7     # shared with the SQL twin's md5 rule
+
+
+def fts_random_sampler(sf_dir: str) -> pa.Table:
+    """ES random_sampler aggregation (8.2) over the BM25_QUERY hit set:
+    terms sub-agg on `source` inside a deterministic md5-rule sample at
+    probability RANDOM_SAMPLER_PROB — each bucket row carries the
+    sampler bucket's doc_count (n_sampled) beside the sub-agg count."""
+    s = Searcher(documents_index(sf_dir))
+    n_sampled, rows = s.random_sampler_terms_agg(
+        BM25_QUERY, "source",
+        probability=RANDOM_SAMPLER_PROB, seed=RANDOM_SAMPLER_SEED,
+        size=8,
+    )
+    return pa.table({
+        "source": pa.array([v for v, _ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+        "n_sampled": pa.array([n_sampled] * len(rows), pa.int64()),
+    })
+
+
 # runtime field: (n_chars * 7 - 100) / 4 — quarters are exact binary
 # fractions, so sums/extrema are float-order-free on both sides
 RUNTIME_FIELD_EXPR = {

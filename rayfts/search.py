@@ -583,6 +583,25 @@ def sibling_bucket_aggs(buckets: list[tuple]) -> dict:
     }
 
 
+def percentiles_bucket_aggs(buckets: list[tuple],
+                            percents=(25.0, 50.0, 75.0)) -> dict:
+    """ES percentiles_bucket sibling pipeline-aggregation analog over
+    parent-agg buckets [(key, count)]: linear-interpolation percentiles
+    of the bucket counts, one summary row NEXT TO the parent (the
+    sibling_bucket_aggs convention). Percentile rule =
+    ``_percentiles_from_sorted`` (numpy linear interpolation == DuckDB
+    quantile_cont — the engine's exact-percentile contract; ES uses a
+    TDigest here, the documented cardinality-family divergence). Empty
+    parent -> {} (the ES null shape). O(buckets log buckets)
+    driver-side post-processing like pipeline_aggs; sharded executors
+    run this verbatim on their exactly-merged buckets."""
+    if not buckets:
+        return {}
+    counts = np.sort(np.asarray([c for _, c in buckets],
+                                dtype=np.float64))
+    return _percentiles_from_sorted(counts, percents)
+
+
 def _exact_int_sum(a: np.ndarray) -> int:
     """EXACT sum of an int64 array: int64 partial sums over chunks sized
     so no partial can wrap (|partial| < 2^62), accumulated as Python
@@ -2917,6 +2936,65 @@ class Searcher(SuggestAPI):
         rows = [(vocab[i], int(n)) for i, n in enumerate(binc) if n > 0]
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:size]
+
+    def _random_sample_ids(self, query: str, probability: float,
+                           seed: int, where: dict | None = None,
+                           mode: str = "or", must_not: str | None = None,
+                           offset: int = 0) -> np.ndarray:
+        """Deterministic pseudo-random subset of the hit set (LOCAL
+        dense ids): a doc survives iff md5-prefix-u32 of
+        ``f"{seed}:{global_id}"`` < floor(probability * 2^32) — the ONE
+        md5 rule (extras.sampling.md5_prefix_u32, shared with
+        random_score and the hash-split stage) so the DuckDB twin stays
+        pinned. ``offset`` maps local to GLOBAL ids, making the sharded
+        run exact: a doc hashes identically wherever it lives."""
+        from .extras.sampling import md5_prefix_u32
+
+        if not 0.0 < probability <= 1.0:
+            raise ValueError("probability must be in (0, 1]")
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return np.empty(0, dtype=np.int64)
+        idx = np.flatnonzero(hits).astype(np.int64)
+        if idx.size == 0 or probability == 1.0:
+            return idx
+        thresh = int(probability * 4294967296.0)
+        u = md5_prefix_u32([f"{seed}:{d + offset}" for d in idx.tolist()])
+        return idx[u < thresh]
+
+    def random_sampler_terms_agg(self, query: str, field: str,
+                                 probability: float = 0.5, seed: int = 0,
+                                 size: int = 10,
+                                 where: dict | None = None,
+                                 mode: str = "or",
+                                 must_not: str | None = None,
+                                 _offset: int = 0) -> tuple:
+        """ES random_sampler-aggregation analog (ES 8.2): run the terms
+        sub-aggregation over a probability-``probability`` pseudo-random
+        subset of the hit set instead of every hit — the
+        read-less-of-the-corpus agg for dashboard-speed estimates. ES
+        samples with a splittable RNG keyed on (seed, doc); this engine
+        pins the md5-prefix rule (see _random_sample_ids) so the sample
+        is reproducible on any machine AND expressible in the SQL twin.
+        Returns ``(n_sampled, [(value, count)])`` — the sampler bucket's
+        doc_count plus the sub-agg buckets (count desc, value asc, top
+        ``size``; null field values form no bucket). Per-shard work is
+        one hash pass over the hit ids + one bincount over the sample;
+        the driver merge (sharded twin) sums exact integers."""
+        ids = self._random_sample_ids(
+            query, probability, seed, where, mode, must_not, _offset
+        )
+        if ids.size == 0:
+            return 0, []
+        codes, vocab = self._field_codes(field)
+        cc = codes[ids]
+        cc = cc[cc >= 0]
+        if cc.size == 0:
+            return int(ids.size), []
+        binc = np.bincount(cc, minlength=len(vocab))
+        rows = [(vocab[i], int(n)) for i, n in enumerate(binc) if n > 0]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return int(ids.size), rows[:size]
 
     def date_range_agg(self, query: str, field: str,
                        ranges_iso: list, where: dict | None = None,
@@ -7680,6 +7758,33 @@ class MultiSearcher(SuggestAPI):
                 cnt[vocab[int(c)]] += int(n)
         rows = sorted(cnt.items(), key=lambda r: (-r[1], r[0]))
         return rows[:size]
+
+    def random_sampler_terms_agg(self, query: str, field: str,
+                                 probability: float = 0.5, seed: int = 0,
+                                 size: int = 10,
+                                 where: dict | None = None,
+                                 mode: str = "or",
+                                 must_not: str | None = None) -> tuple:
+        """Sharded random_sampler, EXACT vs the single index: each
+        segment hashes its hits under their GLOBAL ids (offset passed
+        down), so membership in the sample is location-independent;
+        per-segment sub-agg histograms are integers over disjoint doc
+        sets and sum on the driver. Truncation to ``size`` happens only
+        AFTER the merge (untruncated per-segment payloads — the
+        rare_terms convention)."""
+        total: dict = {}
+        n_sampled = 0
+        for si, seg in enumerate(self.segments):
+            n, rows = seg.random_sampler_terms_agg(
+                query, field, probability, seed, size=10**9,
+                where=where, mode=mode, must_not=must_not,
+                _offset=int(self.offsets[si]),
+            )
+            n_sampled += n
+            for v, c in rows:
+                total[v] = total.get(v, 0) + c
+        ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
+        return n_sampled, ranked[:size]
 
     def adjacency_matrix_agg(self, query: str, filters: dict,
                              where: dict | None = None, mode: str = "or",

@@ -2814,3 +2814,54 @@ def test_rrf_multi_search_generalizes_two_leg(index_dir):
     # out-of-range ids contribute nothing but spend their rank
     spent = s.rrf_multi_search([[10**9, bm25[0]]], k=5, rrf_k=60)
     assert spent[0] == (bm25[0], pytest.approx(1.0 / 62))
+
+
+def test_random_sampler_matches_bruteforce(index_dir, oracle):
+    """random_sampler == the md5-rule recompute over the brute-force hit
+    set; probability=1.0 degenerates to the plain terms agg over every
+    hit; invalid probability raises."""
+    import hashlib as _hl
+
+    idx, t = oracle
+    s = Searcher(index_dir)
+    roles = t["role"].to_pylist()
+    for q in ["the a", "w0007 bash"]:
+        hits = sorted(d for d, _ in idx.search(q, k=10**6))
+        for p, seed in [(0.5, 7), (0.25, 0)]:
+            thresh = int(p * 4294967296.0)
+            sample = [
+                d for d in hits
+                if int(_hl.md5(f"{seed}:{d}".encode()).hexdigest()[:8],
+                       16) < thresh
+            ]
+            want: dict = {}
+            for d in sample:
+                want[roles[d]] = want.get(roles[d], 0) + 1
+            rows = sorted(want.items(), key=lambda r: (-r[1], r[0]))
+            got_n, got_rows = s.random_sampler_terms_agg(
+                q, "role", probability=p, seed=seed, size=10)
+            assert got_n == len(sample), (q, p)
+            assert got_rows == rows, (q, p)
+        n1, rows1 = s.random_sampler_terms_agg(q, "role", probability=1.0)
+        assert n1 == len(hits)
+        assert rows1 == s.facet_counts(q, "role", size=10)
+    assert s.random_sampler_terms_agg("zzzz_absent", "role") == (0, [])
+    with pytest.raises(ValueError):
+        s.random_sampler_terms_agg("the", "role", probability=0.0)
+    with pytest.raises(ValueError):
+        s.random_sampler_terms_agg("the", "role", probability=1.5)
+
+
+def test_percentiles_bucket_aggs():
+    """percentiles_bucket: quantile_cont rule over bucket counts; empty
+    parent -> the ES null shape."""
+    from rayfts.search import percentiles_bucket_aggs
+
+    buckets = [("a", 1), ("b", 2), ("c", 3), ("d", 10)]
+    pr = percentiles_bucket_aggs(buckets, (0.0, 50.0, 100.0))
+    assert pr[0.0] == 1.0 and pr[100.0] == 10.0
+    assert pr[50.0] == 2.5  # linear interpolation between 2 and 3
+    # quartile grid: rank 0.25*(n-1) = 0.75 -> 1 + 0.75*(2-1)
+    pr = percentiles_bucket_aggs(buckets, (25.0,))
+    assert pr[25.0] == 1.75
+    assert percentiles_bucket_aggs([], (50.0,)) == {}

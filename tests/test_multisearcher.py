@@ -856,3 +856,17 @@ def test_date_histogram_time_zone_offset(indexes):
         time_zone_offset_s=off)
     assert dict((k, v) for k, v in dense if v > 0) == dict(got)
     assert all((k + off) % 86400 == 0 for k, _ in dense)
+
+
+def test_sharded_random_sampler_equals_global(indexes):
+    """random_sampler: hashing GLOBAL ids makes sample membership
+    location-independent, so sharded == single exactly (n_sampled and
+    every sub-agg bucket)."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a", "w0007 bash", "zzzz_absent"]:
+        for p, seed in [(0.5, 7), (0.25, 0), (1.0, 3)]:
+            assert multi.random_sampler_terms_agg(
+                q, "role", probability=p, seed=seed, size=10) == \
+                single.random_sampler_terms_agg(
+                    q, "role", probability=p, seed=seed, size=10), (q, p)
