@@ -578,6 +578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_percentiles_bucket": P.fts_percentiles_bucket,
         # random_sampler: md5-rule probability sample + terms sub-agg
         "fts_random_sampler": P.fts_random_sampler,
+        # children agg: parent select -> step down -> terms sub-agg
+        "fts_children_agg": P.fts_children_agg,
         # runtime fields: query-time derived numeric column in aggs
         "fts_runtime_field_stats": P.fts_runtime_field_stats,
         # Heaps-law vocabulary growth (first-occurrence histogram)
@@ -3925,6 +3927,21 @@ SELECT source, count(*) AS n_docs,
        (SELECT count(*) FROM samp) AS n_sampled
 FROM documents JOIN samp USING (doc_id)
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
+""",
+        # children agg: parents = sources with a long-doc hit, children
+        # bucket = every doc under them, lang terms sub-agg
+        "fts_children_agg": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+parents AS (
+  SELECT DISTINCT source FROM documents JOIN hits USING (doc_id)
+  WHERE n_chars >= {P.CHILDREN_MIN_NCHARS}
+),
+kids AS (SELECT d.lang FROM documents d JOIN parents USING (source))
+SELECT lang, count(*) AS n_docs,
+       (SELECT count(*) FROM kids) AS n_children
+FROM kids GROUP BY lang ORDER BY n_docs DESC, lang LIMIT 10
 """,
         # runtime field: (n_chars*7 - 100)/4 evaluated at query time —
         # quarters, so min/max/sum are float-order-free

@@ -5112,6 +5112,27 @@ def fts_random_sampler(sf_dir: str) -> pa.Table:
     })
 
 
+CHILDREN_MIN_NCHARS = 530   # parent-selection floor (subset of sources)
+
+
+def fts_children_agg(sf_dir: str) -> pa.Table:
+    """ES children aggregation over the `source` join field: parents =
+    sources with a BM25_QUERY hit of n_chars >= CHILDREN_MIN_NCHARS (a
+    proper subset), children bucket = every doc under those sources,
+    terms sub-agg on `lang`; each row carries the children bucket's
+    doc_count."""
+    s = Searcher(documents_index(sf_dir))
+    n_children, rows = s.children_terms_agg(
+        BM25_QUERY, "source", "lang", size=10,
+        where={"n_chars": {"gte": CHILDREN_MIN_NCHARS}},
+    )
+    return pa.table({
+        "lang": pa.array([v for v, _ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+        "n_children": pa.array([n_children] * len(rows), pa.int64()),
+    })
+
+
 # runtime field: (n_chars * 7 - 100) / 4 — quarters are exact binary
 # fractions, so sums/extrema are float-order-free on both sides
 RUNTIME_FIELD_EXPR = {

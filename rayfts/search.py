@@ -1894,6 +1894,74 @@ class Searcher(SuggestAPI):
             out[v] = _topk_pairs(idx, buf[idx], top_n)
         return out
 
+    def _matched_parent_values(self, query: str, parent_field: str,
+                               where: dict | None = None,
+                               mode: str = "or",
+                               must_not: str | None = None) -> set:
+        """Distinct parent-key VALUES of docs matching the query — the
+        parent-selection half of the children agg (values, not codes,
+        so sharded segments with different dictionaries can union)."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return set()
+        codes, vocab = self._field_codes(parent_field)
+        sel = codes[hits]
+        return {vocab[int(c)] for c in np.unique(sel[sel >= 0])}
+
+    def _children_hist_for_parents(self, parent_field: str, values: set,
+                                   field: str) -> tuple:
+        """(n_children, {value: count}) over ALL live docs whose parent
+        key is in ``values`` — the step-down half of the children agg.
+        One isin mask over the parent codes + one bincount; null
+        ``field`` values form no bucket (ES terms default)."""
+        if not values:
+            return 0, {}
+        pcodes, pvocab = self._field_codes(parent_field)
+        want = np.array(
+            [i for i, v in enumerate(pvocab) if v in values],
+            dtype=np.int64,
+        )
+        in_set = np.isin(pcodes, want)
+        if self.excluded.size:
+            in_set[self.excluded] = False
+        n_children = int(in_set.sum())
+        if n_children == 0:
+            return 0, {}
+        fcodes, fvocab = self._field_codes(field)
+        cc = fcodes[in_set]
+        cc = cc[cc >= 0]
+        if cc.size == 0:
+            return n_children, {}
+        binc = np.bincount(cc, minlength=len(fvocab))
+        return n_children, {
+            fvocab[i]: int(n) for i, n in enumerate(binc) if n > 0
+        }
+
+    def children_terms_agg(self, query: str, parent_field: str,
+                           field: str, size: int = 10,
+                           where: dict | None = None, mode: str = "or",
+                           must_not: str | None = None) -> tuple:
+        """ES children-aggregation analog over a join FIELD: select
+        parents (the distinct ``parent_field`` keys of docs matching
+        the query), step DOWN into the children bucket (every live doc
+        under a selected parent — the flat-model reading of ES's
+        parent-doc -> child-doc step, where this index stores children
+        carrying their parent key), and run a terms sub-agg on child
+        keyword ``field``. Returns ``(n_children, [(value, count)])``
+        — the children bucket's doc_count plus the sub-agg rows (count
+        desc, value asc, top ``size``). Two vectorized passes (one
+        parent-code unique, one isin + bincount); the sharded twin
+        unions parent VALUE sets before the step-down, so membership
+        is global exactly like ES's cross-shard routing on parent."""
+        vals = self._matched_parent_values(
+            query, parent_field, where, mode, must_not
+        )
+        n_children, hist = self._children_hist_for_parents(
+            parent_field, vals, field
+        )
+        rows = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
+        return n_children, rows[:size]
+
     def has_parent_search(self, parent_query: str, parent_field: str,
                           k: int = 10, score: bool = True,
                           child_where: dict | None = None,
@@ -7785,6 +7853,32 @@ class MultiSearcher(SuggestAPI):
                 total[v] = total.get(v, 0) + c
         ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
         return n_sampled, ranked[:size]
+
+    def children_terms_agg(self, query: str, parent_field: str,
+                           field: str, size: int = 10,
+                           where: dict | None = None, mode: str = "or",
+                           must_not: str | None = None) -> tuple:
+        """Sharded children agg, EXACT: parent VALUE sets union across
+        segments BEFORE the step-down (a parent whose matching child
+        lives on another shard still pulls this shard's children —
+        ES's routing-on-parent guarantee), then per-segment child
+        histograms (disjoint doc sets) sum on the driver."""
+        vals: set = set()
+        for seg in self.segments:
+            vals |= seg._matched_parent_values(
+                query, parent_field, where, mode, must_not
+            )
+        total: dict = {}
+        n_children = 0
+        for seg in self.segments:
+            n, hist = seg._children_hist_for_parents(
+                parent_field, vals, field
+            )
+            n_children += n
+            for v, c in hist.items():
+                total[v] = total.get(v, 0) + c
+        ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
+        return n_children, ranked[:size]
 
     def adjacency_matrix_agg(self, query: str, filters: dict,
                              where: dict | None = None, mode: str = "or",

@@ -2865,3 +2865,25 @@ def test_percentiles_bucket_aggs():
     pr = percentiles_bucket_aggs(buckets, (25.0,))
     assert pr[25.0] == 1.75
     assert percentiles_bucket_aggs([], (50.0,)) == {}
+
+
+def test_children_terms_agg_matches_bruteforce(index_dir, oracle):
+    """children agg == two-hop recompute over the brute-force hit set:
+    matched parents -> all their docs -> field histogram."""
+    idx, t = oracle
+    s = Searcher(index_dir)
+    tools = t["tool"].to_pylist()
+    roles = t["role"].to_pylist()
+    for q in ["the a", "w0007 bash"]:
+        hits = {d for d, _ in idx.search(q, k=10**6)}
+        parents = {tools[d] for d in hits if tools[d] is not None}
+        kids = [d for d in range(len(tools)) if tools[d] in parents]
+        want: dict = {}
+        for d in kids:
+            if roles[d] is not None:
+                want[roles[d]] = want.get(roles[d], 0) + 1
+        rows = sorted(want.items(), key=lambda r: (-r[1], r[0]))
+        got_n, got_rows = s.children_terms_agg(q, "tool", "role", size=10)
+        assert got_n == len(kids), q
+        assert got_rows == rows, q
+    assert s.children_terms_agg("zzzz_absent", "tool", "role") == (0, [])

@@ -870,3 +870,13 @@ def test_sharded_random_sampler_equals_global(indexes):
                 q, "role", probability=p, seed=seed, size=10) == \
                 single.random_sampler_terms_agg(
                     q, "role", probability=p, seed=seed, size=10), (q, p)
+
+
+def test_sharded_children_agg_equals_global(indexes):
+    """children agg: parent value sets union across segments BEFORE the
+    step-down, so sharded == single exactly."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a", "w0007 bash", "zzzz_absent"]:
+        assert multi.children_terms_agg(q, "tool", "role", size=10) == \
+            single.children_terms_agg(q, "tool", "role", size=10), q
