@@ -580,6 +580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_random_sampler": P.fts_random_sampler,
         # children agg: parent select -> step down -> terms sub-agg
         "fts_children_agg": P.fts_children_agg,
+        # field_masking_span: cross-field span chain on one pos axis
+        "fts_field_masked_span": P.fts_field_masked_span,
         # runtime fields: query-time derived numeric column in aggs
         "fts_runtime_field_stats": P.fts_runtime_field_stats,
         # Heaps-law vocabulary growth (first-occurrence histogram)
@@ -3927,6 +3929,22 @@ SELECT source, count(*) AS n_docs,
        (SELECT count(*) FROM samp) AS n_sampled
 FROM documents JOIN samp USING (doc_id)
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
+""",
+        # field_masking_span: the cross-field chain equals the raw-stream
+        # two-term span_near spec (stop filter preserves positions)
+        "fts_field_masked_span": f"""
+WITH lists AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+               FROM documents),
+ptoks AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) - 1 AS pos FROM lists),
+p0 AS (SELECT doc_id, pos FROM ptoks
+       WHERE term = '{P.MASKED_SPAN_TERMS[0]}'),
+p1 AS (SELECT doc_id, pos FROM ptoks
+       WHERE term = '{P.MASKED_SPAN_TERMS[1]}')
+SELECT a.doc_id, count(*) AS n_matches
+FROM p0 a JOIN p1 b ON b.doc_id = a.doc_id AND b.pos > a.pos
+WHERE b.pos <= a.pos + {1 + P.MASKED_SPAN_SLOP}
+GROUP BY a.doc_id ORDER BY a.doc_id LIMIT 20
 """,
         # children agg: parents = sources with a long-doc hit, children
         # bucket = every doc under them, lang terms sub-agg

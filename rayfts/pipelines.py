@@ -140,7 +140,7 @@ def documents_stop_index(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|stop1".encode()
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|stop2".encode()
     ).hexdigest()[:12]
     index_dir = f"/tmp/rayfts_qidx/{tag}"
     manifest_path = os.path.join(index_dir, "manifest.json")
@@ -164,6 +164,7 @@ def documents_stop_index(sf_dir: str) -> str:
         keyword_cols=("lang", "source"),
         term_buckets=16,
         stopwords=STOPWORDS_SQL,
+        index_positions=True,
     )
     build_index(ds, cfg=cfg, rows_per_part=100_000)
     return index_dir
@@ -5109,6 +5110,37 @@ def fts_random_sampler(sf_dir: str) -> pa.Table:
         "source": pa.array([v for v, _ in rows], pa.string()),
         "n_docs": pa.array([c for _, c in rows], pa.int64()),
         "n_sampled": pa.array([n_sampled] * len(rows), pa.int64()),
+    })
+
+
+MASKED_SPAN_TERMS = ("the", "spark")  # text-index stopword, stop-index term
+MASKED_SPAN_SLOP = 3
+
+
+def fts_field_masked_span(sf_dir: str) -> pa.Table:
+    """ES field_masking_span: a span_near whose first slot is the TEXT
+    index's 'the' (stopped out of the subfield) and second slot the
+    STOP-FILTERED index's 'spark', masked onto one position axis — legal
+    because the stop filter preserves raw-stream positions
+    (enablePositionIncrements), the exact ES subfield use case. The
+    result equals the raw-stream two-term span_near relational spec,
+    which neither index alone could serve (the text index serves it only
+    because it happens to index both terms; the masked form is the one
+    that still works when the main field is the stopped one)."""
+    from .search import field_masked_span_near_docs
+
+    text_s = Searcher(documents_index(sf_dir))
+    stop_s = Searcher(documents_stop_index(sf_dir))
+    rows = field_masked_span_near_docs(
+        [(text_s, MASKED_SPAN_TERMS[0]), (stop_s, MASKED_SPAN_TERMS[1])],
+        slop=MASKED_SPAN_SLOP, limit=20,
+    )
+    dense_to_src = _dense_to_src(documents_index(sf_dir))
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[d]) for d, _ in rows], pa.int64()
+        ),
+        "n_matches": pa.array([c for _, c in rows], pa.int64()),
     })
 
 

@@ -602,6 +602,105 @@ def percentiles_bucket_aggs(buckets: list[tuple],
     return _percentiles_from_sorted(counts, percents)
 
 
+def _expand_span_chains(keys: list, slop: int):
+    """The vectorized in-order span chain expansion over per-slot
+    position keys (doc*L + pos space): strictly-increasing chains with
+    end - start - (n-1) <= slop. Factored out of Searcher._span_chains
+    so the field-masked form (slots from DIFFERENT field indexes over
+    one doc space) reuses the identical kernel. Returns (start_keys,
+    end_keys) chain-aligned, or None when nothing survives."""
+    from .codec import run_ranges, run_spread
+
+    n = len(keys)
+    start = keys[0]
+    cur = start
+    bound_off = n - 1 + slop
+    for i in range(1, n):
+        ki = keys[i]
+        lo = np.searchsorted(ki, cur, side="right")
+        hi = np.searchsorted(ki, start + bound_off, side="right")
+        cnt = hi - lo
+        keep = cnt > 0
+        lo, start, cnt = lo[keep], start[keep], cnt[keep]
+        if start.size == 0:
+            return None
+        out_starts = np.zeros(start.size, np.int64)
+        np.cumsum(cnt[:-1], out=out_starts[1:])
+        tot = int(cnt.sum())
+        gi = run_ranges(lo, out_starts, tot)
+        cur = ki[gi]
+        start = run_spread(start, out_starts, tot)
+    return start, cur
+
+
+def field_masked_span_near_docs(clauses: list, slop: int = 0,
+                                limit: int = 20) -> list:
+    """ES field_masking_span analog: an in-order span_near whose slots
+    come from DIFFERENT field indexes over ONE doc space — the ES use
+    case is combining a subfield indexed with another analyzer (here: a
+    stop-filtered index, whose positional sidecar keeps the raw-stream
+    positions the stop filter's gaps preserve — enablePositionIncrements)
+    with the main field in one span chain, 'masking' the subfield's
+    spans as the main field. Lucene requires the masked fields to share
+    position semantics; this engine enforces the shared doc space and
+    trusts the caller on position alignment (the same contract).
+
+    ``clauses`` = [(searcher, term)] in slot order. Matching rule =
+    span_near_docs verbatim (chains p1 < p2 < ... with
+    end - start - (n-1) <= slop, n_matches = ALL chains); union of the
+    clauses' tombstone sets drops. Returns [(doc_id, n_matches)]
+    ascending, first ``limit``."""
+    from .codec import run_ranges, run_spread
+
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if not clauses:
+        return []
+    ns = {s.N for s, _ in clauses}
+    if len(ns) != 1:
+        raise ValueError(
+            f"field indexes disagree on doc count: {sorted(ns)} — "
+            "field_masking_span requires one shared doc space"
+        )
+    post = [(s, t, s.lookup(t)) for s, t in clauses]
+    if any(p is None for _, _, p in post):
+        return []
+    n = len(clauses)
+    # candidate docs: every slot's postings must hold the doc
+    arrs = sorted((p.doc_ids for _, _, p in post), key=lambda a: a.size)
+    cand = arrs[0]
+    for a in arrs[1:]:
+        cand = np.intersect1d(cand, a, assume_unique=True)
+    for s, _, _ in post:
+        if s.excluded.size:
+            cand = cand[~np.isin(cand, s.excluded)]
+    if cand.size == 0:
+        return []
+    maxpos = max(
+        int(s._positions(p)[0].max(initial=0)) for s, _, p in post
+    )
+    L = maxpos + n + slop + 2
+
+    def slot_keys(s, p) -> np.ndarray:
+        pos, occ = s._positions(p)
+        j = np.searchsorted(p.doc_ids, cand)
+        lens = occ[j + 1] - occ[j]
+        out_starts = np.zeros(j.size, np.int64)
+        np.cumsum(lens[:-1], out=out_starts[1:])
+        tot = int(lens.sum())
+        gi = run_ranges(occ[j], out_starts, tot)
+        doc_key = run_spread((cand * L).astype(np.int64), out_starts, tot)
+        return doc_key + pos[gi]
+
+    keys = [slot_keys(s, p) for s, _, p in post]
+    res = _expand_span_chains(keys, slop)
+    if res is None:
+        return []
+    start, _ = res
+    docs, m = np.unique(start // L, return_counts=True)
+    return [(int(d), int(c)) for d, c in zip(docs[:limit], m[:limit])]
+
+
 def _exact_int_sum(a: np.ndarray) -> int:
     """EXACT sum of an int64 array: int64 partial sums over chunks sized
     so no partial can wrap (|partial| < 2^62), accumulated as Python
@@ -4158,26 +4257,10 @@ class Searcher(SuggestAPI):
         if got is None:
             return None
         keys, L = got
-        n = len(terms)
-        start = keys[0]
-        cur = start
-        bound_off = n - 1 + slop
-        for i in range(1, n):
-            ki = keys[i]
-            lo = np.searchsorted(ki, cur, side="right")
-            hi = np.searchsorted(ki, start + bound_off, side="right")
-            cnt = hi - lo
-            keep = cnt > 0
-            lo, start, cnt = lo[keep], start[keep], cnt[keep]
-            if start.size == 0:
-                return None
-            out_starts = np.zeros(start.size, np.int64)
-            np.cumsum(cnt[:-1], out=out_starts[1:])
-            tot = int(cnt.sum())
-            gi = run_ranges(lo, out_starts, tot)
-            cur = ki[gi]
-            start = run_spread(start, out_starts, tot)
-        return start, cur, L
+        res = _expand_span_chains(keys, slop)
+        if res is None:
+            return None
+        return res[0], res[1], L
 
     def _little_keys(self, little: str, L: int):
         """Live occurrence keys (doc*L + pos, ascending) of a span_term

@@ -243,3 +243,49 @@ def test_analyze_api_stop_gaps_and_fold(stop_index):
     assert s.analyze("Crème brûlée", fold=True) == \
         [("creme", 0), ("brulee", 1)]
     assert s.analyze("Crème brûlée") == [("crème", 0), ("brûlée", 1)]
+
+
+def test_field_masked_span_cross_index(stop_index, tmp_path_factory):
+    """field_masking_span: slots from the UNSTOPPED index ('the' — which
+    the stop subfield doesn't even hold) and the STOP index (content
+    term at raw-stream positions) chain on one position axis; the result
+    equals the raw-stream span_near spec. Degenerate masking (all slots
+    one index) is exactly span_near_docs; mismatched doc spaces raise."""
+    from rayfts.search import field_masked_span_near_docs
+
+    d = tmp_path_factory.mktemp("fullidx")
+    build_index(
+        rd.from_arrow(_table()),
+        cfg=IndexJobConfig(
+            index_dir=str(d), term_buckets=8, index_positions=True,
+        ),
+    )
+    full = Searcher(str(d))
+    stop = Searcher(stop_index)
+    assert stop.lookup("the") is None  # the masked field can't serve it
+    big = 10**6
+    for t2, slop in [("bash", 3), ("w0007", 5)]:
+        got = field_masked_span_near_docs(
+            [(full, "the"), (stop, t2)], slop=slop, limit=big
+        )
+        want = full.span_near_docs(["the", t2], slop=slop, limit=big)
+        assert got == want, t2
+        assert want, t2  # fixture must exercise real chains
+    got = field_masked_span_near_docs(
+        [(full, "the"), (full, "bash")], slop=2, limit=50
+    )
+    assert got == full.span_near_docs(["the", "bash"], slop=2, limit=50)
+    assert field_masked_span_near_docs(
+        [(full, "zzzz_absent"), (stop, "bash")]
+    ) == []
+    tiny_dir = tmp_path_factory.mktemp("tinyidx")
+    build_index(
+        rd.from_arrow(generate_transcripts(3, seed=7)),
+        cfg=IndexJobConfig(
+            index_dir=str(tiny_dir), term_buckets=2, index_positions=True,
+        ),
+    )
+    with pytest.raises(ValueError, match="doc space"):
+        field_masked_span_near_docs(
+            [(full, "the"), (Searcher(str(tiny_dir)), "bash")]
+        )
