@@ -407,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_adjacency_matrix": P.fts_adjacency_matrix,  # adjacency_matrix
         "fts_suggest_term": P.fts_suggest_term,      # term suggester
         "fts_suggest_completion": P.fts_suggest_completion,  # completion
+        # completion with category contexts (in-context df weight)
+        "fts_suggest_completion_ctx": P.fts_suggest_completion_ctx,
         "fts_suggest_phrase": P.fts_suggest_phrase,  # phrase suggester (LM)
         "fts_composite_page2": P.fts_composite_page2,  # composite agg cursor
         "fts_significant_terms": P.fts_significant_terms,  # significant_terms
@@ -1499,6 +1501,17 @@ WITH {_TOKS_CTE},
 v AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
 SELECT term, df FROM v WHERE term LIKE '{P.COMPLETE_PREFIX}%'
 ORDER BY df DESC, term LIMIT 10
+""",
+        # completion contexts: df within the lang filter
+        "fts_suggest_completion_ctx": f"""
+WITH {_TOKS_CTE},
+v AS (
+  SELECT term, count(DISTINCT t.doc_id) AS df
+  FROM toks t JOIN documents d USING (doc_id)
+  WHERE d.lang = '{P.COMPLETE_CTX_LANG}' GROUP BY term
+)
+SELECT term, df FROM v WHERE term LIKE '{P.COMPLETE_PREFIX}%'
+ORDER BY df DESC, term LIMIT 8
 """,
         # phrase suggester: StupidBackoff bigram LM replicated float-op
         # exact — uni(w) = (cf+0.5)/(total+1), S = bg/cf(a) | 0.4*uni(b),

@@ -1347,6 +1347,25 @@ def fts_suggest_completion(sf_dir: str) -> pa.Table:
     )
 
 
+COMPLETE_CTX_LANG = "en"           # completion-context category probe
+
+
+def fts_suggest_completion_ctx(sf_dir: str) -> pa.Table:
+    """ES completion suggester with CONTEXTS: prefix completions ranked
+    by df WITHIN the lang=COMPLETE_CTX_LANG context (category contexts
+    as a filter — the ES semantics), top 8."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.suggest_completion_ctx(
+        COMPLETE_PREFIX, {"lang": COMPLETE_CTX_LANG}, size=8
+    )
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in rows], pa.string()),
+            "df": pa.array([d for _, d in rows], pa.int64()),
+        }
+    )
+
+
 def fts_suggest_phrase(sf_dir: str) -> pa.Table:
     """ES phrase-suggester analog: whole-phrase corrections of the 2-slot
     OOV probe ranked by the StupidBackoff bigram LM over the positional

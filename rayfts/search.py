@@ -1108,6 +1108,21 @@ class SuggestAPI:
         rows.sort(key=lambda r: (-r[1], r[0]))
         return [(str(t), int(d)) for t, d in rows[:size]]
 
+    def suggest_completion_ctx(self, prefix: str, where: dict,
+                               size: int = 5) -> list[tuple]:
+        """ES completion suggester WITH CONTEXTS (category contexts):
+        completions ranked by their weight inside the context filter —
+        weight = df over the docs matching ``where`` (the keyword/range
+        filter syntax every search shares), the context-category analog
+        of suggest_completion's df weight. Terms with zero in-context
+        df drop (the ES contexts-as-filter semantics). Returns
+        [(term, df_in_ctx)] (df desc, term asc), first ``size``. The
+        sharded primitive sums per-segment in-context dfs (disjoint doc
+        sets), so sharded == single exactly."""
+        rows = self._completion_ctx_rows(prefix, where)
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return [(str(t), int(c)) for t, c in rows[:size]]
+
     def suggest_phrase(self, text: str, size: int = 3,
                        max_errors: int = 1, candidates_per_slot: int = 3,
                        discount: float = 0.4, max_edits: int = 2,
@@ -5102,6 +5117,25 @@ class Searcher(SuggestAPI):
             rows.extend(zip(terms[pm].tolist(), dfs[pm].tolist()))
         return rows
 
+    def _completion_ctx_rows(self, prefix: str, where: dict) -> list:
+        """UNTRUNCATED (term, df-within-context) rows with ``prefix`` —
+        the context-filtered twin of _completion_rows: per candidate
+        term one live-posting gather + one mask sum (O(postings of the
+        prefix terms), never a corpus scan). Zero-count terms drop."""
+        mask = self.filter_mask(**where)
+        out: list[tuple] = []
+        for t, _ in self._completion_rows(prefix):
+            p = self.lookup(t)
+            if p is None:
+                continue
+            ids = (
+                p.doc_ids if p.live_mask is None else p.doc_ids[p.live_mask]
+            )
+            c = int(mask[ids].sum())
+            if c:
+                out.append((t, c))
+        return out
+
     def search_min_score(self, query: str, k: int = 10,
                          min_score: float = 0.0, **kw) -> list[tuple]:
         """ES min_score search option: top-k restricted to docs scoring
@@ -6990,6 +7024,15 @@ class MultiSearcher(SuggestAPI):
         for seg in self.segments:
             for t, d in seg._completion_rows(prefix):
                 agg[t] = agg.get(t, 0) + int(d)
+        return list(agg.items())
+
+    def _completion_ctx_rows(self, prefix: str, where: dict) -> list:
+        """Sharded context completion rows: per-segment in-context dfs
+        (disjoint doc sets) sum exactly."""
+        agg: dict[str, int] = {}
+        for seg in self.segments:
+            for t, c in seg._completion_ctx_rows(prefix, where):
+                agg[t] = agg.get(t, 0) + int(c)
         return list(agg.items())
 
     def _bigram_count(self, a: str, b: str) -> int:

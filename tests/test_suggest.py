@@ -211,3 +211,63 @@ def test_sharded_and_shared_suggest_equal_global(corpus, pos_index,
         for text, me in [("the bsah", 1), ("bsah greb", 2)]:
             assert ex.suggest_phrase(text, max_errors=me) == \
                 single.suggest_phrase(text, max_errors=me), (name, text)
+
+
+def test_suggest_completion_ctx_matches_bruteforce(pos_index):
+    """context completion: weight = df within the keyword filter —
+    recomputed from the raw table; empty context -> []; context that
+    matches everything == the plain completion ranking."""
+    t = generate_transcripts(N_CONVS, seed=SEED).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    texts = t["text"].to_pylist()
+    roles = t["role"].to_pylist()
+    s = Searcher(pos_index)
+    for prefix in ["w00", "ba", "zzz_absent"]:
+        for role in ["user", "assistant"]:
+            df: dict = {}
+            for i, txt in enumerate(texts):
+                if roles[i] != role:
+                    continue
+                for tok in set(tokenize(txt)):
+                    if tok.startswith(prefix):
+                        df[tok] = df.get(tok, 0) + 1
+            want = sorted(df.items(), key=lambda r: (-r[1], r[0]))[:7]
+            got = s.suggest_completion_ctx(
+                prefix, {"role": role}, size=7
+            )
+            assert got == want, (prefix, role)
+    assert s.suggest_completion_ctx("w00", {"role": "no_such"}) == []
+
+
+def test_sharded_suggest_completion_ctx_equal_global(corpus, pos_index,
+                                                     tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from rayfts.segments import build_segments, open_multisearcher
+
+    root = tmp_path_factory.mktemp("ctxsegs")
+    files = sorted(
+        os.path.join(corpus, f)
+        for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )
+    t = pq.read_table(files).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(root / "h0.parquet"))
+    pq.write_table(t.slice(half), str(root / "h1.parquet"))
+    cfg = IndexJobConfig(term_buckets=8, index_positions=True)
+    build_segments(
+        [str(root / "h0.parquet"), str(root / "h1.parquet")],
+        str(root / "idx"), cfg, rows_per_part=100,
+    )
+    single = Searcher(pos_index)
+    multi = open_multisearcher(str(root / "idx"))
+    for prefix in ["w0", "ba"]:
+        assert multi.suggest_completion_ctx(
+            prefix, {"role": "user"}, size=9
+        ) == single.suggest_completion_ctx(
+            prefix, {"role": "user"}, size=9
+        ), prefix
