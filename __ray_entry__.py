@@ -584,6 +584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_children_agg": P.fts_children_agg,
         # field_masking_span: cross-field span chain on one pos axis
         "fts_field_masked_span": P.fts_field_masked_span,
+        # _delete_by_query: tombstone the hit set, survivors re-agg
+        "fts_delete_by_query": P.fts_delete_by_query,
         # runtime fields: query-time derived numeric column in aggs
         "fts_runtime_field_stats": P.fts_runtime_field_stats,
         # Heaps-law vocabulary growth (first-occurrence histogram)
@@ -3942,6 +3944,19 @@ SELECT source, count(*) AS n_docs,
        (SELECT count(*) FROM samp) AS n_sampled
 FROM documents JOIN samp USING (doc_id)
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
+""",
+        # _delete_by_query: survivors = documents minus lang-filtered hits
+        "fts_delete_by_query": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+del AS (
+  SELECT d.doc_id FROM documents d JOIN hits USING (doc_id)
+  WHERE d.lang = '{P.DBQ_LANG}'
+)
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM del)
+GROUP BY lang ORDER BY n_docs DESC, lang LIMIT 10
 """,
         # field_masking_span: the cross-field chain equals the raw-stream
         # two-term span_near spec (stop filter preserves positions)

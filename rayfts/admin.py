@@ -78,6 +78,33 @@ def exclude_docs(index_dir: str, doc_ids) -> list[int]:
     return out
 
 
+def delete_by_query(index_dir: str, query: str | None,
+                    where: dict | None = None, mode: str = "or",
+                    must_not: str | None = None) -> dict:
+    """ES _delete_by_query analog: tombstone every LIVE doc matching the
+    query (the same query/filter surface search exposes — ``query=None``
+    is match_all, so ``where``-only deletes work like ES's filter-context
+    bool). Built on the exclude_docs tombstone path (the Lucene
+    deleted-docs-bitset pattern), so it is cheap, reversible
+    (clear_exclusions) and physically purged by the forceMerge analog
+    (compact.compact_segments — ES's own delete_by_query + _forcemerge
+    composition). Returns {"deleted": n, "excluded_total": m} — deleted
+    counts only newly-tombstoned docs, the ES response shape."""
+    import numpy as np
+
+    from .search import Searcher
+
+    s = Searcher(index_dir)
+    hits = s._hit_mask(query, where, mode, must_not)
+    ids = [] if hits is None else np.flatnonzero(hits).tolist()
+    before = set(excluded_docs(index_dir))
+    out = exclude_docs(index_dir, ids)
+    return {
+        "deleted": len(set(int(i) for i in ids) - before),
+        "excluded_total": len(out),
+    }
+
+
 def clear_exclusions(index_dir: str) -> None:
     p = os.path.join(index_dir, TOMBSTONES_NAME)
     if os.path.exists(p):

@@ -5163,6 +5163,33 @@ def fts_field_masked_span(sf_dir: str) -> pa.Table:
     })
 
 
+DBQ_LANG = "de"   # delete_by_query victim context
+
+
+def fts_delete_by_query(sf_dir: str) -> pa.Table:
+    """ES _delete_by_query round-trip: copy the built index, tombstone
+    every BM25_QUERY hit with lang=DBQ_LANG through the real
+    delete_by_query path, and read back the surviving per-lang counts
+    (match_all facet over the reopened index — tombstones must be
+    invisible to every downstream aggregation)."""
+    import shutil
+
+    from .admin import clear_exclusions, delete_by_query
+
+    index_dir = documents_index(sf_dir)
+    scratch = index_dir + "-dbq"
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.copytree(index_dir, scratch)
+    clear_exclusions(scratch)
+    delete_by_query(scratch, BM25_QUERY, where={"lang": DBQ_LANG})
+    s = Searcher(scratch)
+    rows = s.facet_counts(None, "lang", size=10)
+    return pa.table({
+        "lang": pa.array([v for v, _ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
 CHILDREN_MIN_NCHARS = 530   # parent-selection floor (subset of sources)
 
 

@@ -418,3 +418,44 @@ def test_build_from_json_identical_to_parquet_build(tmp_path):
         [("doc_id", "ascending")]
     )
     assert s1.equals(s2.select(s1.column_names).cast(s1.schema))
+
+
+def test_delete_by_query_tombstones_hits(tmp_path):
+    """_delete_by_query: exactly the (query AND filter) hit set
+    tombstones; survivors serve every downstream path; idempotent
+    (deleted=0 on rerun); query=None + where deletes filter-context
+    style; clear_exclusions reverses."""
+    from rayfts.admin import clear_exclusions, delete_by_query
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+    from rayfts.search import Searcher
+
+    corpus = str(tmp_path / "c")
+    write_transcripts(corpus, n_convs=12, seed=42)
+    d = str(tmp_path / "idx")
+    build_index(corpus, cfg=IndexJobConfig(index_dir=d, term_buckets=4))
+    s0 = Searcher(d)
+    hits = {doc for doc, _ in s0.search("the", k=10**6)}
+    user_mask = s0.filter_mask(role="user")
+    victims = {doc for doc in hits if user_mask[doc]}
+    assert victims and victims != hits
+    r = delete_by_query(d, "the", where={"role": "user"})
+    assert r["deleted"] == len(victims)
+    assert r["excluded_total"] == len(victims)
+    s1 = Searcher(d)  # tombstones visible to readers opened after
+    left = {doc for doc, _ in s1.search("the", k=10**6)}
+    assert left == hits - victims
+    assert s1.count(role="user") == len(
+        {d2 for d2 in range(s0.N) if user_mask[d2]} - victims
+    )
+    # idempotent
+    assert delete_by_query(d, "the", where={"role": "user"})["deleted"] == 0
+    # match_all + filter (filter-context delete)
+    r2 = delete_by_query(d, None, where={"role": "tool"})
+    s2 = Searcher(d)
+    assert s2.count(role="tool") == 0
+    assert r2["deleted"] > 0
+    clear_exclusions(d)
+    s3 = Searcher(d)
+    assert {doc for doc, _ in s3.search("the", k=10**6)} == hits
