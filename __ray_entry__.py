@@ -586,6 +586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_field_masked_span": P.fts_field_masked_span,
         # _delete_by_query: tombstone the hit set, survivors re-agg
         "fts_delete_by_query": P.fts_delete_by_query,
+        # _update_by_query: ingest chain on hits + republish
+        "fts_update_by_query": P.fts_update_by_query,
         # runtime fields: query-time derived numeric column in aggs
         "fts_runtime_field_stats": P.fts_runtime_field_stats,
         # Heaps-law vocabulary growth (first-occurrence histogram)
@@ -3957,6 +3959,20 @@ del AS (
 SELECT lang, count(*) AS n_docs FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM del)
 GROUP BY lang ORDER BY n_docs DESC, lang LIMIT 10
+""",
+        # _update_by_query: hits re-case lang, everyone else unchanged
+        "fts_update_by_query": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+upd AS (
+  SELECT d.doc_id FROM documents d JOIN hits USING (doc_id)
+  WHERE d.n_chars >= {P.UBQ_MIN_NCHARS}
+)
+SELECT CASE WHEN doc_id IN (SELECT doc_id FROM upd)
+            THEN upper(lang) ELSE lang END AS lang,
+       count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY n_docs DESC, lang LIMIT 20
 """,
         # field_masking_span: the cross-field chain equals the raw-stream
         # two-term span_near spec (stop filter preserves positions)

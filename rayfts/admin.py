@@ -248,6 +248,111 @@ def reindex(src_index_dir: str, index_dir: str, where: dict | None = None,
     return build_index(ds, cfg=cfg, rows_per_part=rows_per_part)
 
 
+def update_by_query(src_index_dir: str, index_dir: str,
+                    query: str | None, processors: list[dict],
+                    where: dict | None = None, mode: str = "or",
+                    must_not: str | None = None,
+                    rows_per_part: int = 250_000,
+                    **cfg_overrides) -> dict:
+    """ES _update_by_query analog: apply an ingest-processor chain to
+    every LIVE doc matching the query and republish — ES itself
+    snapshots and reindexes each hit in place; an immutable batch index
+    republishes as a NEW index at ``index_dir`` (the reindex path),
+    which is also what makes the operation safely restartable at scale.
+    Non-matching docs pass through untouched; tombstoned docs DROP
+    (deletes don't survive a reindex, exactly ES). The processor chain
+    must PRESERVE the docstore schema (ES scripts mutate fields; a
+    rename/remove would leave matched and unmatched rows with different
+    shapes) — violations raise, never approximate. Per batch the chain
+    runs once vectorized and a doc-id mask ``if_else`` keeps the
+    untouched rows, so the whole update is streaming Arrow kernels; the
+    hit mask ships once via ``ray.put`` (object-store broadcast, one
+    copy per node). Returns {"updated": n, "manifest": <new manifest>}."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from .build import build_index
+    from .config import IndexJobConfig
+    from .ingest import IngestPipeline, UnsupportedProcessor
+    from .search import Searcher
+
+    pipe = IngestPipeline(processors)
+    s = Searcher(src_index_dir)
+    # fail fast, driver-side: the chain must preserve the docstore
+    # schema (run it on an empty schema-shaped table — cheap and exact)
+    import pyarrow.dataset as pads
+
+    ds_schema = pads.dataset(
+        os.path.join(src_index_dir, "docstore")
+    ).schema
+    probe = ds_schema.empty_table()
+    if pipe.transform_batch(probe).schema.names != probe.schema.names:
+        # names-only here (an empty probe can't type-check a `set`
+        # value); the per-batch full-schema check is the exact net
+        raise UnsupportedProcessor(
+            "update_by_query processors must preserve the docstore "
+            "schema (ES scripts mutate fields in place; rename/remove/"
+            "new-field chains would leave matched and unmatched rows "
+            "with different shapes)"
+        )
+    hits = s._hit_mask(query, where, mode, must_not)
+    if hits is None:
+        hits = np.zeros(s.N, dtype=bool)
+    n_updated = int(hits.sum())
+    mask_ref = ray.put(hits)
+
+    m = load_manifest(src_index_dir)
+    base = dict(
+        index_dir=index_dir,
+        key_cols=tuple(m["key_cols"]),
+        text_col=m["text_col"],
+        k1=m["k1"],
+        b=m["b"],
+        term_buckets=m["term_buckets"],
+        index_positions=bool(m.get("positions", False)),
+        stopwords=tuple(m.get("stopwords", ())),
+    )
+    base.update(cfg_overrides)
+    cfg = IndexJobConfig(**base)
+    excl = excluded_docs(src_index_dir)
+    expr = ~pc.field("doc_id").isin(excl) if excl else None
+    docstore = os.path.join(src_index_dir, "docstore")
+    ds = rd.read_parquet(
+        docstore, **({"filter": expr} if expr is not None else {})
+    )
+
+    def upd(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        mask = ray.get(mask_ref)
+        sel = mask[t["doc_id"].to_numpy(zero_copy_only=False)]
+        if not sel.any():
+            return t.drop_columns(["doc_id"])
+        tr = pipe.transform_batch(t).combine_chunks()
+        if tr.schema != t.schema:
+            raise UnsupportedProcessor(
+                "update_by_query processors must preserve the docstore "
+                f"schema; got {tr.schema.names} vs {t.schema.names}"
+            )
+        touched = {
+            b.get("field") for p in processors for b in p.values()
+        } | {
+            b.get("target_field") for p in processors for b in p.values()
+        }
+        selm = pa.array(sel)
+        out = pa.table({
+            c: pc.if_else(selm, tr[c], t[c]) if c in touched else t[c]
+            for c in t.column_names
+        })
+        return out.drop_columns(["doc_id"])
+
+    ds = ds.map_batches(upd, batch_format="pyarrow")
+    man = build_index(ds, cfg=cfg, rows_per_part=rows_per_part)
+    return {"updated": n_updated, "manifest": man}
+
+
 # ---------------------------------------------------------------------------
 # index aliases — the ES alias API analog
 # ---------------------------------------------------------------------------

@@ -5190,6 +5190,35 @@ def fts_delete_by_query(sf_dir: str) -> pa.Table:
     })
 
 
+UBQ_MIN_NCHARS = 530   # update_by_query victim floor (subset of docs)
+
+
+def fts_update_by_query(sf_dir: str) -> pa.Table:
+    """ES _update_by_query round-trip: uppercase the `lang` of every
+    BM25_QUERY hit with n_chars >= UBQ_MIN_NCHARS through the real
+    update path (vectorized ingest chain + mask if_else + republish) and
+    read back the per-lang counts from the NEW index — updated docs
+    must carry the transformed value, untouched docs the original."""
+    import shutil
+
+    from .admin import update_by_query
+
+    index_dir = documents_index(sf_dir)
+    out_dir = index_dir + "-ubq"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    update_by_query(
+        index_dir, out_dir, BM25_QUERY,
+        [{"uppercase": {"field": "lang"}}],
+        where={"n_chars": {"gte": UBQ_MIN_NCHARS}},
+    )
+    s = Searcher(out_dir)
+    rows = s.facet_counts(None, "lang", size=20)
+    return pa.table({
+        "lang": pa.array([v for v, _ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
 CHILDREN_MIN_NCHARS = 530   # parent-selection floor (subset of sources)
 
 

@@ -459,3 +459,44 @@ def test_delete_by_query_tombstones_hits(tmp_path):
     clear_exclusions(d)
     s3 = Searcher(d)
     assert {doc for doc, _ in s3.search("the", k=10**6)} == hits
+
+
+def test_update_by_query_rewrites_hits_only(tmp_path):
+    """_update_by_query: matched docs carry the transformed field in the
+    NEW index, unmatched docs the original; text edits reflect in the
+    rebuilt postings; tombstones drop; schema-breaking chains raise."""
+    import pyarrow.parquet as pq
+
+    from rayfts.admin import exclude_docs, update_by_query
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+    from rayfts.ingest import UnsupportedProcessor
+    from rayfts.search import Searcher
+
+    corpus = str(tmp_path / "c")
+    write_transcripts(corpus, n_convs=10, seed=42)
+    src = str(tmp_path / "src")
+    build_index(corpus, cfg=IndexJobConfig(index_dir=src, term_buckets=4))
+    s0 = Searcher(src)
+    hits = {d for d, _ in s0.search("bash", k=10**6)}
+    assert hits
+    exclude_docs(src, [0])
+    out = str(tmp_path / "out")
+    r = update_by_query(
+        src, out, "bash",
+        [{"gsub": {"field": "text", "pattern": "bash",
+                   "replacement": "zsh"}}],
+    )
+    assert r["updated"] == len(hits) - (1 if 0 in hits else 0)
+    s1 = Searcher(out)
+    # postings rebuilt: 'bash' is gone from the updated docs, 'zsh' in
+    assert {d for d, _ in s1.search("bash", k=10**6)} == set()
+    assert len({d for d, _ in s1.search("zsh", k=10**6)}) == r["updated"]
+    # tombstoned doc 0 dropped from the republished index
+    old = pq.read_table(src + "/docstore", columns=["doc_id"])
+    new = pq.read_table(out + "/docstore", columns=["doc_id"])
+    assert new.num_rows == old.num_rows - 1
+    with pytest.raises(UnsupportedProcessor):
+        update_by_query(src, str(tmp_path / "bad"), "bash",
+                        [{"remove": {"field": "role"}}])
