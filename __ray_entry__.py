@@ -183,10 +183,22 @@ ORDER BY s2.score DESC, s2.doc_id LIMIT {k} OFFSET {offset}
 """
 
 
+# minimal_english S-stemmer as a DuckDB CASE (RE2 both sides) — the SQL
+# twin of rayfts.analysis.minimal_english_stem; applied to the corpus
+# token stream when _bm25_with(stem=True)
+_STEM_CASE = (
+    "CASE WHEN regexp_matches({t}, '([^ae])ies$') "
+    r"THEN regexp_replace({t}, '([^ae])ies$', '\1y') "
+    "WHEN regexp_matches({t}, '^.{{2,}}s$') "
+    "AND NOT regexp_matches({t}, '(us|ss|[iaoe]es)$') "
+    "THEN regexp_replace({t}, 's$', '') ELSE {t} END"
+)
+
+
 def _bm25_with(query_terms: list[str], require_all: bool = False,
                min_match: int | None = None,
                boosts: dict[str, float] | None = None,
-               stops: tuple = ()) -> str:
+               stops: tuple = (), stem: bool = False) -> str:
     """The shared WITH prefix ending in a ``scores(doc_id, score)`` CTE —
     BM25 over the OR hit set, accumulation ORDER BY term (the engine's
     ascending-term float op order). ``stops`` filters the token stream
@@ -205,6 +217,16 @@ def _bm25_with(query_terms: list[str], require_all: bool = False,
             "toks AS (SELECT doc_id, term FROM (SELECT doc_id, "
             f"unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term "
             f"FROM documents) WHERE term NOT IN ({stop_list}))"
+        )
+    if stem:
+        # stemming is token->token 1:1, so dl (row count of toks) is
+        # unchanged — only the term strings map through the S-stemmer
+        stem_expr = _STEM_CASE.format(t="term")
+        toks_cte = (
+            f"toks AS (SELECT doc_id, {stem_expr} AS term "
+            "FROM (SELECT doc_id, "
+            f"unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term "
+            "FROM documents))"
         )
     return f"""
 WITH {toks_cte},
@@ -427,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_rank_feature_top10": P.fts_rank_feature_top10,  # saturation boost
         "fts_distance_feature_top10": P.fts_distance_feature_top10,
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
+        "fts_stem_bm25_top10": P.fts_stem_bm25_top10,  # stemmer filter
         "fts_rescore_top10": P.fts_rescore_top10,    # rescore window API
         "fts_synonym_top10": P.fts_synonym_top10,    # SynonymQuery expansion
         "fts_multi_match_top10": P.fts_multi_match_top10,  # most_fields
@@ -2159,6 +2182,16 @@ LIMIT 10
         # (df/dl/avgdl all shift) and the query — one analyzer both sides
         "fts_stop_bm25_top10": f"""
 {_bm25_with(sorted(set(P.BM25_QUERY.split())), stops=P.STOPWORDS_SQL)}
+SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6
+FROM scores s2
+ORDER BY s2.score DESC, s2.doc_id LIMIT 10
+""",
+        # analyzer stemmer (minimal_english S-stemmer): the corpus token
+        # stream maps through the SQL stem CASE; the engine's query-side
+        # stemming is pinned by the VALUES list — 'joins'+'join' merge to
+        # one clause of weight 2, so a broken query stemmer diverges
+        "fts_stem_bm25_top10": f"""
+{_bm25_with(["data", "join", "the"], boosts={"join": 2.0}, stem=True)}
 SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6
 FROM scores s2
 ORDER BY s2.score DESC, s2.doc_id LIMIT 10

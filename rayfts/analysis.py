@@ -132,7 +132,8 @@ def tokens_flat(texts: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray
 
 
 def analyze_batch(batch: pa.Table, text_col: str = "text",
-                  id_col: str = "doc_id", stopwords=None):
+                  id_col: str = "doc_id", stopwords=None,
+                  stemmer: str = ""):
     """One Arrow batch -> (term-frequency table, per-row doc lengths).
 
     Returns:
@@ -145,6 +146,7 @@ def analyze_batch(batch: pa.Table, text_col: str = "text",
     flat, parent = tokens_flat(batch[text_col])
     if stopwords and len(flat):
         flat, parent, _ = stop_filter(flat, parent, None, stopwords)
+    flat = apply_stemmer(flat, stemmer)
     doc_lens = np.bincount(parent, minlength=n_rows).astype(np.int32)
     doc_ids_col = batch[id_col].to_numpy(zero_copy_only=False)
     tok_docs = pa.array(doc_ids_col[parent], type=pa.int64())
@@ -202,6 +204,42 @@ def fold_query(q: str) -> str:
     return fold_ascii(pa.array([q]))[0].as_py()
 
 
+def minimal_english_stem(flat: pa.Array) -> pa.Array:
+    """Lucene ``EnglishMinimalStemFilter`` (the S-stemmer, Harman 1991 —
+    ES ``stemmer: minimal_english``), vectorized as three RE2 kernels.
+
+    Rules (exact port of the per-char switch, applied to each token):
+      * len < 3 or no trailing ``s``            -> unchanged
+      * ``<x>ies`` with x not in {a, e}, len>3  -> ``<x>y``  (ponies->pony)
+      * trailing ``us`` / ``ss`` / ``[iaoe]es`` -> unchanged (bus, mess, goes)
+      * otherwise                               -> drop the trailing ``s``
+
+    Token->token and 1:1, so positions, parents and norms (dl) are all
+    unaffected — only the term strings change. The same kernel classes
+    run in the DuckDB oracle (RE2 both sides); known residual divergence
+    vs Lucene: rules act on codepoints here vs UTF-16 units there —
+    identical on all fixture text (no astral-plane letters).
+    """
+    out = pc.replace_substring_regex(
+        flat, pattern=r"([^ae])ies$", replacement=r"\1y"
+    )
+    drop = pc.and_(
+        pc.match_substring_regex(out, r"^.{2,}s$"),
+        pc.invert(pc.match_substring_regex(out, r"(us|ss|[iaoe]es)$")),
+    )
+    stripped = pc.replace_substring_regex(out, pattern=r"s$", replacement="")
+    return pc.if_else(drop, stripped, out)
+
+
+def apply_stemmer(flat: pa.Array, stemmer: str) -> pa.Array:
+    """Dispatch on the manifest/config ``stemmer`` name ('' = off)."""
+    if not stemmer or len(flat) == 0:
+        return flat
+    if stemmer == "minimal_english":
+        return minimal_english_stem(flat)
+    raise ValueError(f"unknown stemmer {stemmer!r}")
+
+
 def stop_filter(flat: pa.Array, parent: np.ndarray,
                 pos_in_doc: np.ndarray | None, stopwords):
     """Lucene StopFilter semantics: drop stop tokens from the term
@@ -222,7 +260,7 @@ def stop_filter(flat: pa.Array, parent: np.ndarray,
 
 def partial_stream_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
-    positions: bool = False, stopwords=None,
+    positions: bool = False, stopwords=None, stemmer: str = "",
 ):
     """Map-side combiner, STREAM form (the shuffle-payload-optimized path):
     one batch -> term-major partial posting streams ready for one-shot
@@ -266,6 +304,8 @@ def partial_stream_batch(
         flat, parent, pos_in_doc = stop_filter(
             flat, parent, pos_in_doc, stopwords
         )
+    # token->token 1:1 map: positions/parents/dl all unaffected
+    flat = apply_stemmer(flat, stemmer)
     doc_lens = np.bincount(parent, minlength=n).astype(np.int32)
     if len(flat) == 0:
         return (

@@ -431,6 +431,7 @@ def _analyze_partition(
     hot_terms: list[str] | None = None,
     index_positions: bool = False,
     stopwords: tuple = (),
+    stemmer: str = "",
 ):
     """Map side of the hand-rolled hash shuffle: one docstore partition ->
     ``num_buckets`` stream-encoded shard dicts + the partition's dl array
@@ -477,7 +478,7 @@ def _analyze_partition(
         b = t.slice(off, batch_size)
         terms, df, gaps, tfs, dls, pgaps = partial_stream_batch(
             b, text_col=text_col, positions=index_positions,
-            stopwords=stopwords,
+            stopwords=stopwords, stemmer=stemmer,
         )
         _write_norms(norms_dir, b["doc_id"].combine_chunks(), dls)
         dl_l.append(dls)
@@ -1226,7 +1227,7 @@ def build_index(
             _analyze_partition.options(num_returns=B + H + 1).remote(
                 src, norms_dir, cfg.text_col, B, cfg.analyze_batch_size,
                 cfg.exchange_codec, hot_terms, cfg.index_positions,
-                tuple(cfg.stopwords),
+                tuple(cfg.stopwords), cfg.stemmer,
             )
             for src in sources
         ]
@@ -1366,6 +1367,7 @@ def build_index(
         "b": cfg.b,
         "positions": cfg.index_positions,
         "stopwords": sorted(cfg.stopwords),
+        "stemmer": cfg.stemmer,
         "key_cols": list(cfg.key_cols),
         "text_col": cfg.text_col,
         "docstore": doc_info,

@@ -36,6 +36,12 @@ class IndexJobConfig:
     # the manifest and applied to queries by every Searcher (same
     # analyzer at index and query time).
     stopwords: tuple[str, ...] = ()
+    # Index-time stemmer (ES analyzer ``stemmer`` token filter). Supported:
+    # "" (off) | "minimal_english" (Lucene EnglishMinimalStemFilter — the
+    # Harman S-stemmer). Runs AFTER the stop filter, token->token 1:1, so
+    # positions and norms are unaffected; recorded in the manifest and
+    # applied to query terms by every Searcher (one analyzer both sides).
+    stemmer: str = ""
 
     # F7 dynamic tags: pack these columns into a map<string,string> `tags`
     # column carried through the docstore (ref ESEntity.java:14,18-22 tags

@@ -31,6 +31,9 @@ from .search import Searcher
 
 # Frozen probe constants shared with oracle_sql (keep in sync).
 BM25_QUERY = "spark join the data"
+# stemmed-index query: plural forms stem onto corpus terms; 'joins' and
+# 'join' collapse to ONE clause of weight 2 (Lucene duplicate clauses)
+STEM_QUERY = "joins join the data"
 BM25_QUERY_HOT = "the customer"
 BM25_BOOSTED = "spark^3 join the^0.5 data"  # Lucene clause boosts
 BM25_BOOSTS = {"spark": 3.0, "the": 0.5}    # oracle twin of the ^ suffixes
@@ -168,6 +171,67 @@ def documents_stop_index(sf_dir: str) -> str:
     )
     build_index(ds, cfg=cfg, rows_per_part=100_000)
     return index_dir
+
+
+def documents_stem_index(sf_dir: str) -> str:
+    """Build (once, cached) the STEMMED index over `documents` — the ES
+    ``stemmer: minimal_english`` analyzer (Lucene EnglishMinimalStemFilter,
+    the Harman S-stemmer). Postings/df/tf meet on stemmed terms; dl and
+    avgdl are UNCHANGED (token->token 1:1 map, norms count emitted
+    tokens); the same kernel stems query terms in every Searcher."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|stem1".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/rayfts_qidx/{tag}"
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        import json
+
+        from .build import FORMAT_VERSION
+
+        with open(manifest_path) as f:
+            if json.load(f).get("format_version") == FORMAT_VERSION:
+                return index_dir
+    ds = rd.read_parquet(src).map_batches(
+        lambda t: t.rename_columns(
+            ["src_doc_id" if c == "doc_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    cfg = IndexJobConfig(
+        index_dir=index_dir,
+        key_cols=("src_doc_id",),
+        keyword_cols=("lang", "source"),
+        term_buckets=16,
+        stemmer="minimal_english",
+    )
+    build_index(ds, cfg=cfg, rows_per_part=100_000)
+    return index_dir
+
+
+def fts_stem_bm25_top10(sf_dir: str) -> pa.Table:
+    """BM25 over the minimal_english-STEMMED index: plural query forms in
+    STEM_QUERY collapse onto their corpus stems ('joins' and 'join' merge
+    to one clause of weight 2; df/tf meet on stemmed terms; dl/avgdl
+    unchanged) — the ES analyzer-with-stemmer configuration end to end.
+    The testdata vocab itself carries no plural tokens (the corpus-side
+    stem map is pinned by tests/test_stemmer.py on handcrafted docs)."""
+    index_dir = documents_stem_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search(STEM_QUERY, k=10)
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
 
 
 def documents_source_index(sf_dir: str) -> str:

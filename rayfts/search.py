@@ -1287,6 +1287,9 @@ class Searcher(SuggestAPI):
         # (mode="and" must not treat an index-absent stopword as a failed
         # required clause — the ES behavior)
         self.stopwords = frozenset(m.get("stopwords", ()))
+        # index-time stemmer (ES analyzer `stemmer` filter): query terms
+        # run through the same kernel so both sides meet on stemmed terms
+        self.stemmer = m.get("stemmer", "")
         # dense norms: doc_id -> dl (doc_ids are dense 0..N-1 by construction)
         self.dl = np.zeros(self.N, dtype=np.int32)
         norms_dir = os.path.join(index_dir, "norms")
@@ -1721,6 +1724,19 @@ class Searcher(SuggestAPI):
         qtf = parse_query_weights(query)
         if self.stopwords:
             qtf = {t: v for t, v in qtf.items() if t not in self.stopwords}
+        if self.stemmer:
+            # token->token map; clauses that stem to the same term merge
+            # with summed weights (Lucene keeps both duplicate clauses,
+            # which scores the shared term twice = one clause of weight 2)
+            from .analysis import apply_stemmer
+
+            stems = apply_stemmer(
+                pa.array(sorted(qtf), pa.string()), self.stemmer
+            ).to_pylist()
+            merged: dict[str, float] = {}
+            for t, st in zip(sorted(qtf), stems):
+                merged[st] = merged.get(st, 0.0) + qtf[t]
+            qtf = merged
         return qtf
 
     def _plist(self, query: str):
@@ -8689,6 +8705,7 @@ class SharedSearcher(Searcher):
         self.b = float(m["b"])
         self.num_buckets = m["term_buckets"]
         self.stopwords = frozenset(m.get("stopwords", ()))
+        self.stemmer = m.get("stemmer", "")
         self.dl = ray.get(handle.dl_ref)
         self._handle = handle
         import os as _os
