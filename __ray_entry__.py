@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_multi_match_top10": P.fts_multi_match_top10,  # most_fields
         "fts_combined_fields_top10": P.fts_combined_fields_top10,  # BM25F
         "fts_match_bool_prefix_top10": P.fts_match_bool_prefix_top10,
+        "fts_sayt_top10": P.fts_sayt_top10,  # search_as_you_type (_2gram)
         "fts_pinned_top10": P.fts_pinned_top10,  # pinned query
         "fts_dis_max_top10": P.fts_dis_max_top10,    # best_fields / dis_max
         "fts_cross_fields_top10": P.fts_cross_fields_top10,  # cross_fields
@@ -2103,6 +2104,77 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
   FROM scores s FULL OUTER JOIN pref p ON s.doc_id = p.doc_id)
 SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
 FROM allh ORDER BY score DESC, doc_id LIMIT 10
+""",
+        # search_as_you_type: root match_bool_prefix leg + ._2gram shingle
+        # leg (shingle BM25 clauses, LAST shingle prefix-matched), legs
+        # summed per doc — dl2/avgdl2/df2 all live on the shingle stream
+        "fts_sayt_top10": f"""
+WITH {_TOKS_CTE},
+{_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('join', 'spark') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+root_scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ( tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+              ORDER BY tf.term ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+root_pref AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'da%'),
+root_leg AS (
+  SELECT coalesce(sc.doc_id, p.doc_id) AS doc_id,
+         coalesce(sc.score, 0.0)
+           + (CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS score
+  FROM root_scores sc FULL OUTER JOIN root_pref p ON sc.doc_id = p.doc_id),
+ptk AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+        FROM documents)
+),
+sh2 AS (
+  SELECT doc_id, sterm FROM (
+    SELECT doc_id, term || ' ' ||
+           lead(term) OVER (PARTITION BY doc_id ORDER BY i) AS sterm
+    FROM ptk
+  ) WHERE sterm IS NOT NULL
+),
+dl2 AS (SELECT doc_id, count(*) AS dl FROM sh2 GROUP BY doc_id),
+stats2 AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM sh2) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf2 AS (SELECT doc_id, count(*) AS tf FROM sh2
+        WHERE sterm = 'spark join' GROUP BY doc_id),
+df2 AS (SELECT count(*) AS df FROM tf2),
+g2_scores AS (
+  SELECT tf2.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * ( tf2.tf * (1.2 + 1.0)
+               / (tf2.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl2.dl / s.avgdl)) )
+           AS score
+  FROM tf2 CROSS JOIN df2 d JOIN dl2 USING (doc_id) CROSS JOIN stats2 s
+),
+g2_pref AS (SELECT DISTINCT doc_id FROM sh2 WHERE sterm LIKE 'join da%'),
+g2_leg AS (
+  SELECT coalesce(sc.doc_id, p.doc_id) AS doc_id,
+         coalesce(sc.score, 0.0)
+           + (CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS score
+  FROM g2_scores sc FULL OUTER JOIN g2_pref p ON sc.doc_id = p.doc_id),
+total AS (
+  SELECT coalesce(r.doc_id, g.doc_id) AS doc_id,
+         coalesce(r.score, 0.0) + coalesce(g.score, 0.0) AS score
+  FROM root_leg r FULL OUTER JOIN g2_leg g ON r.doc_id = g.doc_id)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM total ORDER BY score DESC, doc_id LIMIT 10
 """,
         # pinned: pin rows (input order via prio) above organic hits;
         # absent pinned ids drop; the rank column pins the promotion

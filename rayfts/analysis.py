@@ -204,6 +204,27 @@ def fold_query(q: str) -> str:
     return fold_ascii(pa.array([q]))[0].as_py()
 
 
+def make_shingles(
+    flat: pa.Array, parent: np.ndarray, n: int
+) -> tuple[pa.Array, np.ndarray]:
+    """Lucene ShingleFilter / ES search_as_you_type ``._Ngram`` subfield:
+    adjacent n-token windows WITHIN each doc, space-joined (the Lucene
+    separator), one shingle per start position — fully vectorized (n-1
+    shifted slices + one element-wise join; no per-doc loop). A doc with
+    fewer than n tokens emits nothing. The shingle's position is its
+    start-token index (what the downstream position pass computes over
+    the shingle stream); dl becomes the shingle count (Lucene norms on
+    the subfield count its own emitted tokens)."""
+    m = len(flat)
+    if m < n:
+        return pa.array([], pa.string()), np.empty(0, parent.dtype)
+    valid = parent[: m - n + 1] == parent[n - 1:]
+    vmask = pa.array(valid)
+    parts = [flat.slice(i, m - n + 1).filter(vmask) for i in range(n)]
+    sh = pc.binary_join_element_wise(*parts, " ")
+    return sh, parent[: m - n + 1][valid]
+
+
 def minimal_english_stem(flat: pa.Array) -> pa.Array:
     """Lucene ``EnglishMinimalStemFilter`` (the S-stemmer, Harman 1991 —
     ES ``stemmer: minimal_english``), vectorized as three RE2 kernels.
@@ -261,6 +282,7 @@ def stop_filter(flat: pa.Array, parent: np.ndarray,
 def partial_stream_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
     positions: bool = False, stopwords=None, stemmer: str = "",
+    shingle_size: int = 0,
 ):
     """Map-side combiner, STREAM form (the shuffle-payload-optimized path):
     one batch -> term-major partial posting streams ready for one-shot
@@ -287,6 +309,10 @@ def partial_stream_batch(
     """
     n = batch.num_rows
     flat, parent = tokens_flat(batch[text_col])
+    if shingle_size and shingle_size > 1 and parent.size:
+        # the shingle stream REPLACES the unigram stream (this index IS
+        # the ._Ngram subfield); positions/dl below run on shingles
+        flat, parent = make_shingles(flat, parent, shingle_size)
     pos_in_doc = None
     if positions and parent.size:
         # within-doc position of EVERY token, computed BEFORE any stop

@@ -432,6 +432,7 @@ def _analyze_partition(
     index_positions: bool = False,
     stopwords: tuple = (),
     stemmer: str = "",
+    shingle_size: int = 0,
 ):
     """Map side of the hand-rolled hash shuffle: one docstore partition ->
     ``num_buckets`` stream-encoded shard dicts + the partition's dl array
@@ -479,6 +480,7 @@ def _analyze_partition(
         terms, df, gaps, tfs, dls, pgaps = partial_stream_batch(
             b, text_col=text_col, positions=index_positions,
             stopwords=stopwords, stemmer=stemmer,
+            shingle_size=shingle_size,
         )
         _write_norms(norms_dir, b["doc_id"].combine_chunks(), dls)
         dl_l.append(dls)
@@ -1227,7 +1229,7 @@ def build_index(
             _analyze_partition.options(num_returns=B + H + 1).remote(
                 src, norms_dir, cfg.text_col, B, cfg.analyze_batch_size,
                 cfg.exchange_codec, hot_terms, cfg.index_positions,
-                tuple(cfg.stopwords), cfg.stemmer,
+                tuple(cfg.stopwords), cfg.stemmer, cfg.shingle_size,
             )
             for src in sources
         ]
@@ -1368,6 +1370,7 @@ def build_index(
         "positions": cfg.index_positions,
         "stopwords": sorted(cfg.stopwords),
         "stemmer": cfg.stemmer,
+        "shingle_size": cfg.shingle_size,
         "key_cols": list(cfg.key_cols),
         "text_col": cfg.text_col,
         "docstore": doc_info,

@@ -42,6 +42,13 @@ class IndexJobConfig:
     # positions and norms are unaffected; recorded in the manifest and
     # applied to query terms by every Searcher (one analyzer both sides).
     stemmer: str = ""
+    # Index-time shingles (Lucene ShingleFilter / ES search_as_you_type
+    # ``._Ngram`` subfield): 0/1 = off; n>1 replaces the unigram stream
+    # with adjacent n-token space-joined windows per doc (one per start
+    # position; dl = shingle count). Recorded in the manifest; queries
+    # shingle with the same n in every Searcher, and match_bool_prefix
+    # prefix-matches the LAST shingle (the SAYT in-flight word).
+    shingle_size: int = 0
 
     # F7 dynamic tags: pack these columns into a map<string,string> `tags`
     # column carried through the docstore (ref ESEntity.java:14,18-22 tags

@@ -234,6 +234,78 @@ def fts_stem_bm25_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def documents_2gram_index(sf_dir: str) -> str:
+    """Build (once, cached) the 2-GRAM SHINGLE index over `documents` —
+    the ES search_as_you_type ``._2gram`` subfield (Lucene ShingleFilter):
+    terms are adjacent space-joined token pairs, dl = shingles per doc,
+    sharing the root index's dense doc space (same src_doc_id order)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|sh2g1".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/rayfts_qidx/{tag}"
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        import json
+
+        from .build import FORMAT_VERSION
+
+        with open(manifest_path) as f:
+            if json.load(f).get("format_version") == FORMAT_VERSION:
+                return index_dir
+    ds = rd.read_parquet(src).map_batches(
+        lambda t: t.rename_columns(
+            ["src_doc_id" if c == "doc_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    cfg = IndexJobConfig(
+        index_dir=index_dir,
+        key_cols=("src_doc_id",),
+        keyword_cols=("lang", "source"),
+        term_buckets=16,
+        shingle_size=2,
+    )
+    build_index(ds, cfg=cfg, rows_per_part=100_000)
+    return index_dir
+
+
+SAYT_QUERY = "spark join da"  # in-flight last word: the SAYT keystroke
+
+
+def fts_sayt_top10(sf_dir: str) -> pa.Table:
+    """ES search_as_you_type: multi_match type=bool_prefix over the root
+    field and its ``._2gram`` shingle subfield. Each leg is the pinned
+    match_bool_prefix form (BM25 should-clauses in sorted-term TAAT
+    order + constant 1.0 for the last clause's prefix expansion — on the
+    2-gram leg clauses are SHINGLES and the last shingle 'join da'
+    prefix-matches 'join data...'); the two legs' dense score buffers
+    add elementwise over the SHARED dense doc space (both indexes sort
+    by src_doc_id). Driver-side here for the contract query; the
+    sharded path sums the same per-segment buffers inside QueryRunner
+    actors (each segment holds both fields' buckets)."""
+    root = Searcher(documents_index(sf_dir))
+    g2 = Searcher(documents_2gram_index(sf_dir))
+    h1, b1 = root._mbp_dense(SAYT_QUERY)
+    h2, b2 = g2._mbp_dense(SAYT_QUERY)
+    hits = h1 | h2
+    buf = b1 + b2
+    idx = np.flatnonzero(hits)
+    top = root._topk_from(idx, buf[idx], 10)
+    dense_to_src = _dense_to_src(documents_index(sf_dir))
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in top], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in top], pa.int64()
+            ),
+        }
+    )
+
+
 def documents_source_index(sf_dir: str) -> str:
     """Build (once, cached) a SECOND field index over `documents` —
     text_col='source' — sharing the text index's doc space: the Lucene

@@ -43,6 +43,13 @@ def tokenize_query(q: str) -> list[str]:
     return _WORD.findall(q.lower())
 
 
+def query_shingles(toks: list[str], n: int) -> list[str]:
+    """Query-side twin of the index shingle filter (ES search_as_you_type
+    ``._Ngram`` subfield): adjacent n-token windows, space-joined, in
+    token order. Fewer than n tokens -> no shingles."""
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
 _RANGE_OPS = ("gte", "gt", "lte", "lt")
 
 
@@ -1290,6 +1297,9 @@ class Searcher(SuggestAPI):
         # index-time stemmer (ES analyzer `stemmer` filter): query terms
         # run through the same kernel so both sides meet on stemmed terms
         self.stemmer = m.get("stemmer", "")
+        # index-time shingles (ES search_as_you_type ._Ngram subfield):
+        # queries shingle with the same n so both sides meet on n-grams
+        self.shingle_size = int(m.get("shingle_size", 0))
         # dense norms: doc_id -> dl (doc_ids are dense 0..N-1 by construction)
         self.dl = np.zeros(self.N, dtype=np.int32)
         norms_dir = os.path.join(index_dir, "norms")
@@ -1721,6 +1731,13 @@ class Searcher(SuggestAPI):
     def _qweights(self, query: str) -> dict[str, float]:
         """Query-side analyzer: clause weights with the index's stop list
         applied (the query runs through the same analyzer as indexing)."""
+        if self.shingle_size > 1:
+            # shingle-field analyzer: n-gram windows in token order;
+            # clause-boost syntax doesn't apply to shingle subfields
+            qtf2: dict[str, float] = {}
+            for sh in query_shingles(tokenize_query(query), self.shingle_size):
+                qtf2[sh] = qtf2.get(sh, 0.0) + 1.0
+            return qtf2
         qtf = parse_query_weights(query)
         if self.stopwords:
             qtf = {t: v for t, v in qtf.items() if t not in self.stopwords}
@@ -4908,7 +4925,26 @@ class Searcher(SuggestAPI):
         filters hits."""
         if k <= 0:
             return []
+        hits, buf = self._mbp_dense(query, max_expansions)
+        if self.excluded.size:
+            hits[self.excluded] = False
+        if where:
+            hits &= self.filter_mask(**where)
+        idx = np.flatnonzero(hits)
+        if idx.size == 0:
+            return []
+        return self._topk_from(idx, buf[idx], k)
+
+    def _mbp_dense(self, query: str, max_expansions: int = 4096):
+        """match_bool_prefix as a dense (hit_mask, score_buf) pair over
+        the doc space — the composable form multi-field SAYT sums
+        (tombstones/where NOT applied; callers do that)."""
         toks = tokenize_query(query)
+        if self.shingle_size > 1:
+            # search_as_you_type ._Ngram leg: clauses are shingles; the
+            # LAST shingle is the prefix clause (its trailing token is
+            # the in-flight word), earlier shingles score as terms
+            toks = query_shingles(toks, self.shingle_size)
         prefix = (toks[-1] if toks and toks[-1] not in self.stopwords
                   else None)
         rest = [t for t in toks[:-1] if t not in self.stopwords]
@@ -4928,14 +4964,7 @@ class Searcher(SuggestAPI):
             )
             buf[pm] += 1.0
             hits |= pm
-        if self.excluded.size:
-            hits[self.excluded] = False
-        if where:
-            hits &= self.filter_mask(**where)
-        idx = np.flatnonzero(hits)
-        if idx.size == 0:
-            return []
-        return self._topk_from(idx, buf[idx], k)
+        return hits, buf
 
     def pinned_search(self, ids: list[int], query: str, k: int = 10,
                       where: dict | None = None) -> list[tuple]:
@@ -6463,12 +6492,29 @@ class MultiSearcher(SuggestAPI):
         return buf
 
     def _qweights(self, query: str) -> dict[str, float]:
-        """Stop-aware clause weights — segments share one analyzer config,
-        so the first segment's stop list is THE stop list."""
+        """Analyzer-aware clause weights — segments share one analyzer
+        config, so the first segment's stop/stem/shingle config is THE
+        config (same rules as Searcher._qweights)."""
+        seg0 = self.segments[0] if self.segments else None
+        if seg0 is not None and seg0.shingle_size > 1:
+            qtf2: dict[str, float] = {}
+            for sh in query_shingles(tokenize_query(query), seg0.shingle_size):
+                qtf2[sh] = qtf2.get(sh, 0.0) + 1.0
+            return qtf2
         qtf = parse_query_weights(query)
-        stops = self.segments[0].stopwords if self.segments else frozenset()
+        stops = seg0.stopwords if seg0 is not None else frozenset()
         if stops:
             qtf = {t: v for t, v in qtf.items() if t not in stops}
+        if seg0 is not None and seg0.stemmer:
+            from .analysis import apply_stemmer
+
+            stems = apply_stemmer(
+                pa.array(sorted(qtf), pa.string()), seg0.stemmer
+            ).to_pylist()
+            merged: dict[str, float] = {}
+            for t, st in zip(sorted(qtf), stems):
+                merged[st] = merged.get(st, 0.0) + qtf[t]
+            qtf = merged
         return qtf
 
     def _global_postings(self, si: int, term: str, p: Postings) -> Postings:
@@ -6890,6 +6936,9 @@ class MultiSearcher(SuggestAPI):
         if k <= 0:
             return []
         toks = tokenize_query(query)
+        n_sh = self.segments[0].shingle_size if self.segments else 0
+        if n_sh > 1:
+            toks = query_shingles(toks, n_sh)
         stops = self.segments[0].stopwords if self.segments else frozenset()
         prefix = toks[-1] if toks and toks[-1] not in stops else None
         rest = [t for t in toks[:-1] if t not in stops]
@@ -8706,6 +8755,7 @@ class SharedSearcher(Searcher):
         self.num_buckets = m["term_buckets"]
         self.stopwords = frozenset(m.get("stopwords", ()))
         self.stemmer = m.get("stemmer", "")
+        self.shingle_size = int(m.get("shingle_size", 0))
         self.dl = ray.get(handle.dl_ref)
         self._handle = handle
         import os as _os
