@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_sig_keyword_source": P.fts_sig_keyword_source,  # keyword JLH
         "fts_dsl_bool_top10": P.fts_dsl_bool_top10,  # ES request-body exec
         "fts_multi_terms_hits": P.fts_multi_terms,   # multi_terms over hit set
+        "fts_reverse_nested": P.fts_reverse_nested,  # reverse_nested agg
         "fts_top_hits_by_source": P.fts_top_hits_by_source,  # top_hits sub-agg
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
@@ -1109,6 +1110,17 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
 SELECT lang, source, count(*) AS n_docs
 FROM documents JOIN hits USING (doc_id)
 GROUP BY lang, source ORDER BY n_docs DESC, lang, source LIMIT 6
+""",
+        # reverse_nested: child terms buckets (lang) over the hit set,
+        # each counting DISTINCT parents (source = the join field)
+        "fts_reverse_nested": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT source) AS n_parents
+FROM documents JOIN hits USING (doc_id)
+GROUP BY lang ORDER BY n_docs DESC, lang LIMIT 20
 """,
         # terms + top_hits: bucket selection = facet order (count desc,
         # value asc, top 3); in-bucket ranking = (score desc, doc_id)

@@ -727,6 +727,21 @@ def fts_multi_terms(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_reverse_nested(sf_dir: str) -> pa.Table:
+    """ES reverse_nested analog over the join-field model: terms agg on
+    the CHILD axis (`lang`) over the BM25_QUERY hit set, each bucket
+    stepping back up to count DISTINCT parents (`source` — the join
+    field has_child/children use); n_docs = child doc count, n_parents
+    = reverse_nested doc_count."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.reverse_nested_agg(BM25_QUERY, "lang", "source", size=20)
+    return pa.table({
+        "lang": pa.array([v for v, _, _ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c, _ in rows], pa.int64()),
+        "n_parents": pa.array([p for _, _, p in rows], pa.int64()),
+    })
+
+
 def fts_top_hits_by_source(sf_dir: str) -> pa.Table:
     """ES terms + top_hits sub-aggregation analog: the 3 biggest `source`
     buckets over the BM25_QUERY hit set, each with its 2 best-BM25 hits —

@@ -1660,6 +1660,31 @@ class Searcher(SuggestAPI):
             out[tuple(reversed(parts))] = int(c)
         return out
 
+    def reverse_nested_agg(self, query: str, child_field: str,
+                           parent_field: str, size: int = 10,
+                           where: dict | None = None, mode: str = "or",
+                           must_not: str | None = None) -> list[tuple]:
+        """ES reverse_nested analog over the join-field model (nested
+        terms agg on the CHILD axis, then step back up to parents):
+        buckets the query hit set by ``child_field`` and reports, per
+        bucket, the child doc count AND the number of DISTINCT
+        ``parent_field`` values (the reverse_nested doc_count — each
+        root/parent counted once no matter how many of its children
+        fall in the bucket). One mixed-radix pair bincount (the
+        multi_terms kernel), then an O(observed pairs) reduction.
+        Buckets ordered (child count desc, value asc), first ``size``.
+        Returns [(child_value, n_docs, n_parents)]."""
+        hist = self._multi_terms_hist(
+            query, [child_field, parent_field], where, mode, must_not
+        )
+        n_docs: dict = {}
+        parents: dict = {}
+        for (cv, pv), c in hist.items():
+            n_docs[cv] = n_docs.get(cv, 0) + c
+            parents.setdefault(cv, set()).add(pv)
+        ranked = sorted(n_docs.items(), key=lambda e: (-e[1], e[0]))[:size]
+        return [(v, c, len(parents[v])) for v, c in ranked]
+
     def significant_keyword_terms(self, query: str, field: str,
                                   size: int = 10,
                                   min_doc_count: int = 3,
@@ -7216,6 +7241,29 @@ class MultiSearcher(SuggestAPI):
             key=lambda e: (e[1], e[0]),
         )
         return out if size is None else out[:size]
+
+    def reverse_nested_agg(self, query: str, child_field: str,
+                           parent_field: str, size: int = 10,
+                           where: dict | None = None, mode: str = "or",
+                           must_not: str | None = None) -> list[tuple]:
+        """Sharded reverse_nested, EXACT: per-segment (child, parent)
+        VALUE-pair histograms sum on the driver, so a parent spanning
+        segments still counts once per child bucket (distinctness is a
+        property of the value-keyed merged histogram, not of any
+        segment). Payload O(observed pairs) per segment."""
+        total: dict = {}
+        for seg in self.segments:
+            for k, c in seg._multi_terms_hist(
+                query, [child_field, parent_field], where, mode, must_not
+            ).items():
+                total[k] = total.get(k, 0) + c
+        n_docs: dict = {}
+        parents: dict = {}
+        for (cv, pv), c in total.items():
+            n_docs[cv] = n_docs.get(cv, 0) + c
+            parents.setdefault(cv, set()).add(pv)
+        ranked = sorted(n_docs.items(), key=lambda e: (-e[1], e[0]))[:size]
+        return [(v, c, len(parents[v])) for v, c in ranked]
 
     def significant_keyword_terms(self, query: str, field: str,
                                   size: int = 10,

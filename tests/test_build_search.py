@@ -1763,6 +1763,36 @@ def test_rare_and_multi_terms_match_bruteforce(index_dir, oracle):
         s.multi_terms_agg(q, ["role"])
 
 
+def test_reverse_nested_matches_bruteforce(index_dir):
+    """reverse_nested == per-child-bucket (doc count, DISTINCT parent
+    count) brute force over the hit set, (n_docs desc, value asc)."""
+    import pyarrow.parquet as pq
+
+    s = Searcher(index_dir)
+    q = "the w0007"
+    t = pq.read_table(os.path.join(index_dir, "docstore"),
+                      columns=["doc_id", "role", "tool"])
+    by_doc = {
+        int(d): (r, tl) for d, r, tl in zip(
+            t["doc_id"].to_pylist(), t["role"].to_pylist(),
+            t["tool"].to_pylist())
+    }
+    hits = np.flatnonzero(s._hit_mask(q))
+    n_docs: dict = {}
+    parents: dict = {}
+    for d in hits:
+        r, tl = by_doc[int(d)]
+        if r is None or tl is None:
+            continue
+        n_docs[r] = n_docs.get(r, 0) + 1
+        parents.setdefault(r, set()).add(tl)
+    want = [
+        (v, c, len(parents[v]))
+        for v, c in sorted(n_docs.items(), key=lambda e: (-e[1], e[0]))
+    ][:10]
+    assert s.reverse_nested_agg(q, "role", "tool", size=10) == want
+
+
 def test_facet_top_hits_matches_search(index_dir, oracle):
     """terms + top_hits: bucket order == facet_counts; in-bucket hits ==
     the full ranking filtered to the bucket (identical scores — the

@@ -401,6 +401,8 @@ def test_sharded_rare_and_multi_terms_equal_global(indexes):
                 (q, mdc)
         assert multi.multi_terms_agg(q, ["role", "tool"], size=7) == \
             single.multi_terms_agg(q, ["role", "tool"], size=7), q
+        assert multi.reverse_nested_agg(q, "role", "tool", size=7) == \
+            single.reverse_nested_agg(q, "role", "tool", size=7), q
 
 
 def test_sharded_new_metric_aggs_equal_global(indexes):
