@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_shuffle_order": P.sample_shuffle_order,
         "events_hopping_2h1h": P.events_hopping_2h1h,
         "events_pivot_transform": P.events_pivot_transform,
+        "events_downsample_1h": P.events_downsample_1h,  # _downsample API
         "sample_stratified_counts": P.sample_stratified_counts,  # per-key quota
         "temperature_mix_counts": P.temperature_mix_counts,  # n^alpha mixing
         "quality_ntile_counts": P.quality_ntile_counts,  # curriculum deciles
@@ -2413,6 +2414,18 @@ FROM documents WHERE doc_id % 10 != 3
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
+        # downsample: fixed_interval 1h rollup, gauge stat tuple
+        # (value_count/min/max/sum) in exact integer cents; epoch-floor
+        # bucket start (ts is UTC microseconds, so date_trunc('hour')
+        # equals the engine's 3.6e9-us integer floor)
+        "events_downsample_1h": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(value)::BIGINT AS n_values,
+       min(CAST(round(value * 100.0) AS BIGINT))::BIGINT AS min_cents,
+       max(CAST(round(value * 100.0) AS BIGINT))::BIGINT AS max_cents,
+       sum(CAST(round(value * 100.0) AS BIGINT))::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2
 """,
         # transform pivot: (type, day) summary — integer-cents sums so

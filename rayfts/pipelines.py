@@ -6149,6 +6149,64 @@ def events_pivot_transform(sf_dir: str) -> pa.Table:
         return pq.read_table(os.path.join(d, DEST_NAME))
 
 
+def events_downsample_1h(sf_dir: str) -> pa.Table:
+    """ES _downsample API analog: roll the events TSDB index up to
+    fixed_interval=1h buckets keyed by the dimension (`event_type`);
+    the gauge metric `value` emits the full downsample stat tuple —
+    value_count / min / max / sum — in exact integer cents (the pinned
+    rounding the transform family uses, so sums are float-order-free).
+    @timestamp becomes the bucket start (epoch-floor, not calendar).
+
+    Shape: map-side per-batch partials (count/min/max/sum per
+    (dimension, hour) — the combiner) -> ONE small groupby over
+    O(dimensions × hours) partial rows -> dest table. The source
+    never shuffles; at 10^12 rows the exchange payload stays
+    O(groups × map tasks)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = pc.multiply(pc.divide(us, HOUR_US), HOUR_US)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        g = pa.table({
+            "event_type": t["event_type"],
+            "h_us": hour,
+            "c": cents,
+        }).group_by(["event_type", "h_us"], use_threads=False).aggregate(
+            [("c", "count"), ("c", "min"), ("c", "max"), ("c", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "h_us", "n_p", "mn_p", "mx_p", "s_p"]
+        )
+
+    agg = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "h_us"])
+        .aggregate(Sum("n_p"), Min("mn_p"), Max("mx_p"), Sum("s_p"))
+    )
+    blocks = [b for b in ray.get(agg.to_arrow_refs()) if b.num_rows]
+    t = pa.concat_tables(blocks)
+    out = pa.table({
+        "event_type": t["event_type"],
+        "window_start": pc.cast(t["h_us"], pa.timestamp("us")),
+        "n_values": pc.cast(t["sum(n_p)"], pa.int64()),
+        "min_cents": pc.cast(t["min(mn_p)"], pa.int64()),
+        "max_cents": pc.cast(t["max(mx_p)"], pa.int64()),
+        "sum_cents": pc.cast(t["sum(s_p)"], pa.int64()),
+    })
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("event_type", "ascending"),
+                        ("window_start", "ascending")]
+    ))
+
+
 LANG_FAMILY = {"en": "germanic", "de": "germanic", "fr": "romance",
                "es": "romance", "zh": "sinitic"}
 
