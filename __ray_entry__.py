@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_sparse_vector_top10": P.fts_sparse_vector_top10,
         "knn_cosine_lsh": P.knn_cosine_lsh_q,
         "knn_cosine_ivf": P.knn_cosine_ivf_q,
+        "knn_int8_rescore_top10": P.knn_int8_rescore_top10,  # SQ + rescore
         "text_token_stats": P.text_token_stats,
         "text_quality": P.text_quality,
         "text_repetition": P.text_repetition_q,
@@ -2794,6 +2795,49 @@ dots AS (
 SELECT vec_id,
        CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
 FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
+""",
+        # int8 scalar-quantized knn + rescore: per-dim min/max envelope,
+        # code = floor((v-mn)/(mx-mn)*255 + 0.5) (identical op order in
+        # the engine kernel), EXACT integer-dot candidate stage (k·3,
+        # dot desc / vec_id asc), float-cosine rescore of candidates only
+        "knn_int8_rescore_top10": f"""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+mm AS (SELECT i, min(val) AS mn, max(val) AS mx FROM v GROUP BY i),
+qv AS (SELECT i, val FROM v WHERE vec_id = 0),
+cq AS (
+  SELECT i, CASE WHEN mx = mn THEN 0
+                 ELSE CAST(floor((val - mn) / (mx - mn) * 255.0 + 0.5)
+                           AS BIGINT) END AS q
+  FROM qv JOIN mm USING (i)
+),
+cv AS (
+  SELECT vec_id, i,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(floor((val - mn) / (mx - mn) * 255.0 + 0.5)
+                        AS BIGINT) END AS q
+  FROM v JOIN mm USING (i)
+),
+dots_q AS (
+  SELECT cv.vec_id, sum(cv.q * cq.q) AS dot
+  FROM cv JOIN cq USING (i) GROUP BY cv.vec_id
+),
+cand AS (SELECT vec_id FROM dots_q
+         ORDER BY dot DESC, vec_id LIMIT {10 * P.KNN_SQ_OVERSAMPLE}),
+exact AS (
+  SELECT v.vec_id, sum(v.val * q.val) AS dot,
+         sum(v.val * v.val) AS n2, sum(q.val * q.val) AS q2
+  FROM v JOIN qv q USING (i)
+  WHERE v.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY v.vec_id
+)
+SELECT vec_id,
+       CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT)
+         AS cosine_sim_e6
+FROM exact ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
 """,
         # hard-negative mining: per query vector, top-k cosine among
         # DIFFERENT-label candidates (rounded-e6 rank, vec_id tiebreak)

@@ -857,6 +857,167 @@ def ivfpq_search(index_dir: str, query_vec: np.ndarray, k: int = 10,
                          id_col=meta["id_col"])
 
 
+def sq_train(ds: rd.Dataset, vec_col: str = "embedding"):
+    """Scalar-quantization params (ES quantized dense_vector): per-
+    dimension (min, max) over the corpus. One streaming map_batches
+    pass emitting a 2-row partial per batch; the driver reduce holds
+    2·dim floats. (ES trims with confidence intervals; the pinned spec
+    here is the exact min/max envelope — deterministic and oracle-
+    twinnable.)"""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)
+        return pa.table({
+            "mn": pa.array([m.min(axis=0).tolist()]),
+            "mx": pa.array([m.max(axis=0).tolist()]),
+        })
+
+    parts = [
+        b for b in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    mns = np.array(
+        [row for b in parts for row in b["mn"].to_pylist()], np.float64
+    )
+    mxs = np.array(
+        [row for b in parts for row in b["mx"].to_pylist()], np.float64
+    )
+    return mns.min(axis=0), mxs.max(axis=0)
+
+
+def sq_quantize(m: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """float matrix -> uint8 codes: floor((v-mn)/(mx-mn)*255 + 0.5),
+    constant dims -> 0. v in [mn, mx] by construction and float divide
+    of a<=b is <= 1.0, so codes land in [0, 255] without clipping. The
+    op order (sub, div, mul 255, +0.5, floor) is pinned — the SQL twin
+    runs the identical sequence per element."""
+    scale = mx - mn
+    safe = np.where(scale > 0, scale, 1.0)
+    q = np.floor((m - mn) / safe * 255.0 + 0.5)
+    q[:, scale == 0] = 0.0
+    return q.astype(np.uint8)
+
+
+def sq_encode(ds: rd.Dataset, mn: np.ndarray, mx: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> rd.Dataset:
+    """Corpus -> 1-byte-per-dim code table (vec_id, code:binary) — the
+    4x-smaller representation the integer scan reads; params broadcast
+    once via ray.put, one streaming pass."""
+    mn_ref, mx_ref = ray.put(mn), ray.put(mx)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        q = sq_quantize(
+            _batch_matrix(batch, vec_col), ray.get(mn_ref), ray.get(mx_ref)
+        )
+        code = pa.FixedSizeListArray.from_arrays(
+            pa.array(q.reshape(-1), pa.uint8()), q.shape[1]
+        )
+        return pa.table({id_col: batch[id_col], "code": code})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+class _SQScanner:
+    """Actor stage: quantized-query int dot scan over the code column,
+    per-batch top-``cand`` partial (dot desc, vec_id asc)."""
+
+    def __init__(self, q_code_ref, cand: int, id_col: str):
+        qc = ray.get(q_code_ref) if isinstance(q_code_ref, ray.ObjectRef) \
+            else q_code_ref
+        self.q = qc.astype(np.int64)
+        self.cand = cand
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes = batch["code"].combine_chunks()
+        buf = codes.flatten().to_numpy(zero_copy_only=False).reshape(
+            -1, self.q.size
+        )
+        dots = buf.astype(np.int64) @ self.q
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        take = min(self.cand, dots.size)
+        part = np.lexsort((ids, -dots))[:take]
+        return pa.table({
+            self.id_col: pa.array(ids[part], pa.int64()),
+            "dot_q": pa.array(dots[part], pa.int64()),
+        })
+
+
+def knn_int8_rescore(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
+                     oversample: int = 3, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     concurrency=(1, 4)) -> pa.Table:
+    """ES quantized-kNN with rescore (int8 dense_vector +
+    ``rescore_vector.oversample``): stage 1 scans 1-byte codes with an
+    EXACT integer dot product against the quantized query and keeps the
+    top k·oversample candidates (dot desc, vec_id asc — integer, so the
+    candidate set is bit-reproducible); stage 2 recomputes exact float
+    cosine for ONLY those candidates from the original vectors and
+    returns the float top-k. Memory scanned per vector: dim bytes vs
+    8·dim — the 10^12-vector reason to quantize; both stages stream
+    (params + candidate ids broadcast via ray.put, no shuffle)."""
+    mn, mx = sq_train(ds, vec_col)
+    q = np.asarray(query_vec, np.float64)
+    q_code = sq_quantize(q[None, :], mn, mx)[0]
+    codes = sq_encode(ds, mn, mx, id_col, vec_col)
+    n_cand = k * oversample
+    parts = pa.concat_tables([
+        b for b in ray.get(
+            codes.map_batches(
+                _SQScanner,
+                fn_constructor_kwargs={
+                    "q_code_ref": ray.put(q_code),
+                    "cand": n_cand,
+                    "id_col": id_col,
+                },
+                batch_format="pyarrow",
+                concurrency=concurrency,
+            ).to_arrow_refs()
+        )
+        if b.num_rows
+    ])
+    ids = parts[id_col].to_numpy()
+    dots = parts["dot_q"].to_numpy()
+    keep = np.lexsort((ids, -dots))[:n_cand]
+    cand_ids = np.sort(ids[keep])
+    cand_ref = ray.put(cand_ids)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = np.isin(bids, ray.get(cand_ref))
+        if not sel.any():
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cosine_sim": pa.array([], pa.float64()),
+            })
+        m = _batch_matrix(batch, vec_col)[sel]
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        sims = (m @ q) / (norms * qn)
+        return pa.table({
+            id_col: pa.array(bids[sel], pa.int64()),
+            "cosine_sim": pa.array(sims, pa.float64()),
+        })
+
+    exact = pa.concat_tables([
+        b for b in ray.get(
+            ds.map_batches(rescore, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows
+    ])
+    eids = exact[id_col].to_numpy()
+    sims = exact["cosine_sim"].to_numpy()
+    order = np.lexsort((eids, -sims))[:k]
+    return pa.table({
+        id_col: pa.array(eids[order], pa.int64()),
+        "cosine_sim": pa.array(sims[order], pa.float64()),
+    })
+
+
 def knn_cosine_filtered(
     ds: rd.Dataset,
     query_vec: np.ndarray,

@@ -3566,6 +3566,36 @@ def knn_cosine_top10(sf_dir: str) -> pa.Table:
     )
 
 
+KNN_SQ_OVERSAMPLE = 3  # ES rescore_vector.oversample
+
+
+def knn_int8_rescore_top10(sf_dir: str) -> pa.Table:
+    """ES int8-quantized kNN with oversample+rescore: stage 1 ranks the
+    corpus by the EXACT integer dot of per-dim min/max scalar-quantized
+    codes (1 byte/dim scanned) and keeps k·oversample candidates; stage
+    2 rescores only those with exact float cosine. Candidate selection
+    is integer arithmetic, so the final set is bit-reproducible and the
+    SQL twin replays it exactly."""
+    from .extras.similarity import knn_int8_rescore
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q0.filter(pc.equal(q0["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    t = knn_int8_rescore(ds, qvec, k=10, oversample=KNN_SQ_OVERSAMPLE)
+    return pa.table(
+        {
+            "vec_id": t["vec_id"],
+            "cosine_sim_e6": pc.cast(
+                pc.round(pc.multiply(t["cosine_sim"], 1e6)), pa.int64()
+            ),
+        }
+    )
+
+
 KNN_SIM_FLOOR = 0.25   # ES 8.8 knn `similarity` minimum
 KNN_SIM_K = 50
 

@@ -1225,6 +1225,56 @@ def test_bigram_xent_matches_bruteforce():
         assert got.loc[i, "xent_e6"] == int(np.round(s / nb * 1e6)), i
 
 
+def test_int8_sq_matches_sequential_reference():
+    """Scalar quantization: params == per-dim min/max; codes == the
+    pinned floor(x+0.5) formula; candidate stage == integer-dot ranking;
+    final top-k == the numpy two-stage recompute (oversample then exact
+    cosine rescore). Constant dims quantize to 0."""
+    import ray
+
+    from rayfts.extras.similarity import (
+        knn_int8_rescore, sq_encode, sq_quantize, sq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 150, 6
+    vecs = rng.standard_normal((n, dim))
+    vecs[:, 3] = 2.5  # constant dim -> scale 0 -> code 0
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })).repartition(4)
+    mn, mx = sq_train(ds)
+    assert np.allclose(mn, vecs.min(axis=0))
+    assert np.allclose(mx, vecs.max(axis=0))
+    codes_t = pa.concat_tables(
+        [b for b in ray.get(sq_encode(ds, mn, mx).to_arrow_refs())
+         if b.num_rows]
+    ).to_pandas().sort_values("vec_id")
+    got_codes = np.array([list(c) for c in codes_t["code"]], np.int64)
+    want_codes = sq_quantize(vecs, mn, mx).astype(np.int64)
+    assert (got_codes == want_codes).all()
+    assert (want_codes[:, 3] == 0).all()
+    assert want_codes.min() >= 0 and want_codes.max() <= 255
+
+    q = vecs[0]
+    k, ov = 7, 3
+    # sequential two-stage reference
+    qc = sq_quantize(q[None, :], mn, mx)[0].astype(np.int64)
+    dots = want_codes @ qc
+    cand = np.lexsort((np.arange(n), -dots))[: k * ov]
+    sims = (vecs[cand] @ q) / (
+        np.sqrt((vecs[cand] ** 2).sum(axis=1)) * np.sqrt((q * q).sum())
+    )
+    order = np.lexsort((cand, -sims))[:k]
+    want = list(zip(cand[order].tolist(), sims[order].tolist()))
+    t = knn_int8_rescore(ds, q, k=k, oversample=ov)
+    got = list(zip(t["vec_id"].to_pylist(), t["cosine_sim"].to_pylist()))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-12)
+
+
 def test_pq_train_encode_adc_match_reference():
     """PQ: codes == the per-subspace kmeans assignments (same argmin
     rule); ADC top-k == the numpy recompute over the full code table;
