@@ -437,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_significant_terms": P.fts_significant_terms,  # significant_terms
         "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
         "fts_date_hist_pipeline": P.fts_date_hist_pipeline,  # pipeline aggs
+        "fts_bucket_script": P.fts_bucket_script,  # bucket_script ratio
         "fts_date_hist_moving": P.fts_date_hist_moving,  # moving_fn+serial_diff
         "fts_auto_date_hist": P.fts_auto_date_hist,  # auto_date_histogram
         "fts_top_metrics": P.fts_top_metrics,  # top_metrics agg
@@ -1686,6 +1687,22 @@ SELECT CAST(epoch(date_trunc('month',
          make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
          AS month_start,
        count(*) AS n_docs
+FROM documents JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""",
+        # bucket_script: ratio of the sum sub-agg to doc_count per
+        # month bucket, pinned by flooring the single-divide double
+        "fts_bucket_script": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT CAST(epoch(date_trunc('month',
+         make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+         AS month_start,
+       count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS sum_nchars,
+       CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 1e6)
+            AS BIGINT) AS ratio_e6
 FROM documents JOIN hits USING (doc_id)
 GROUP BY 1 ORDER BY 1
 """,

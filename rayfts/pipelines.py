@@ -1578,6 +1578,34 @@ def fts_date_hist_pipeline(sf_dir: str) -> pa.Table:
     )
 
 
+# bucket_script: per-bucket chars-per-doc ratio over the buckets_path
+# pair (sum sub-agg / doc count) — the canonical ES ratio script
+BUCKET_SCRIPT_EXPR = {
+    "op": "/", "a": {"var": "metric_sum"}, "b": {"var": "_count"},
+}
+
+
+def fts_bucket_script(sf_dir: str) -> pa.Table:
+    """ES bucket_script pipeline agg: monthly date_histogram of
+    BM25_QUERY hits carrying a sum(n_chars) sub-agg, then the per-bucket
+    script metric_sum / _count (buckets_path → painless-AST). The float
+    ratio is pinned by FLOORING at e6 (identical single-divide op order
+    both sides — no round-half ambiguity)."""
+    from .search import bucket_script_buckets
+
+    s = Searcher(documents_index(sf_dir))
+    rows = s.date_hist_metric_agg(BM25_QUERY, "ts_epoch", "month", "n_chars")
+    out = bucket_script_buckets(rows, BUCKET_SCRIPT_EXPR)
+    return pa.table({
+        "month_start": pa.array([k for k, _, _, _ in out], pa.int64()),
+        "n_docs": pa.array([n for _, n, _, _ in out], pa.int64()),
+        "sum_nchars": pa.array([m for _, _, m, _ in out], pa.int64()),
+        "ratio_e6": pa.array(
+            [int(np.floor(v * 1e6)) for _, _, _, v in out], pa.int64()
+        ),
+    })
+
+
 def fts_date_hist_rate(sf_dir: str) -> pa.Table:
     """ES rate aggregation (unit=day) under the calendar-month
     date_histogram of BM25_QUERY hits: per-bucket docs-per-day with the

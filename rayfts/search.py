@@ -559,6 +559,47 @@ def change_point(buckets: list[tuple]):
     return (best[0], best[1], int(math.floor(best[2] * 1e6 + 0.5)))
 
 
+def bucket_script_buckets(rows: list[tuple], expr,
+                          names: tuple = ("_count", "metric_sum")):
+    """ES bucket_script pipeline aggregation: evaluate a per-bucket
+    arithmetic script over the parent multi-bucket agg's metric values
+    (the buckets_path map). ``rows`` are (key, v1, v2, ...) tuples;
+    ``names`` names the value slots; ``expr`` is the same tiny AST the
+    runtime-field family uses ({"var": name} leaves, {"op": '+ - * /',
+    "a":, "b":} nodes, numeric literals). Buckets where the script
+    divides by zero are SKIPPED (the ES skip gap policy). Returns
+    [(key, v1, v2, ..., value)] in input order."""
+
+    def ev(e, env):
+        if isinstance(e, (int, float)):
+            return float(e), True
+        if "var" in e:
+            return float(env[e["var"]]), True
+        a, oka = ev(e["a"], env)
+        b, okb = ev(e["b"], env)
+        ok = oka and okb
+        op = e["op"]
+        if op == "+":
+            return a + b, ok
+        if op == "-":
+            return a - b, ok
+        if op == "*":
+            return a * b, ok
+        if op == "/":
+            if b == 0:
+                return 0.0, False
+            return a / b, ok
+        raise ValueError(f"bucket_script op {op!r} (one of + - * /)")
+
+    out = []
+    for row in rows:
+        env = dict(zip(names, row[1:]))
+        val, ok = ev(expr, env)
+        if ok:
+            out.append((*row, val))
+    return out
+
+
 def sibling_bucket_aggs(buckets: list[tuple]) -> dict:
     """ES sibling pipeline-aggregation analogs (max_bucket / min_bucket /
     sum_bucket / avg_bucket / stats_bucket) over parent-agg buckets
@@ -3284,6 +3325,46 @@ class Searcher(SuggestAPI):
         "minute": "m", "hour": "h", "day": "D",
         "week": "W", "month": "M", "year": "Y",
     }
+
+    def date_hist_metric_agg(self, query: str, field: str,
+                             calendar_interval: str = "month",
+                             metric: str = "n_chars",
+                             where: dict | None = None, mode: str = "or",
+                             must_not: str | None = None) -> list[tuple]:
+        """Calendar date_histogram + SUM sub-agg on an integral docstore
+        column: [(bucket_start_epoch_s, doc_count, metric_sum)]
+        ascending — the multi-metric bucket stream bucket_script /
+        bucket_selector consume. Bucket membership needs a valid date;
+        a doc with a missing metric counts in doc_count but adds
+        nothing to the sum (the ES sum-sub-agg rule). Sums accumulate
+        via one float64 bincount — exact below 2^53 on integral
+        columns (the repo-wide exact-integer contract)."""
+        unit = self._CALENDAR_UNITS.get(calendar_interval)
+        if unit is None:
+            raise ValueError(
+                f"unsupported calendar_interval: {calendar_interval!r}"
+            )
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return []
+        tv, tvalid = self._numeric_col(field)
+        sel = hits & tvalid
+        if not sel.any():
+            return []
+        keys = calendar_floor(tv[sel].astype(np.int64), unit)
+        mv, mvalid = self._numeric_col(metric)
+        uniq, inv, cnt = np.unique(
+            keys, return_inverse=True, return_counts=True
+        )
+        ok = mvalid[sel]
+        sums = np.bincount(
+            inv[ok], weights=mv[sel][ok].astype(np.float64),
+            minlength=uniq.size,
+        )
+        return [
+            (int(k), int(c), int(s))
+            for k, c, s in zip(uniq, cnt, sums)
+        ]
 
     def _date_hist_values(self, query: str, field: str,
                           calendar_interval: str, where, mode, must_not):
@@ -8277,6 +8358,24 @@ class MultiSearcher(SuggestAPI):
             return bool(masks[si][d - int(self.offsets[si])])
 
         return _rank_eval_metrics(hits, is_rel, n_rel, k)
+
+    def date_hist_metric_agg(self, query: str, field: str,
+                             calendar_interval: str = "month",
+                             metric: str = "n_chars",
+                             where: dict | None = None, mode: str = "or",
+                             must_not: str | None = None) -> list[tuple]:
+        """Sharded date_histogram + sum sub-agg, EXACT: per-segment
+        (key, count, int sum) partials add by bucket key on the
+        driver; payload O(buckets) per segment."""
+        total: dict = {}
+        for seg in self.segments:
+            for k, c, s in seg.date_hist_metric_agg(
+                query, field, calendar_interval, metric,
+                where, mode, must_not
+            ):
+                cc, ss = total.get(k, (0, 0))
+                total[k] = (cc + c, ss + s)
+        return [(k, *total[k]) for k in sorted(total)]
 
     def date_histogram_agg(self, query: str, field: str,
                            calendar_interval: str = "day",

@@ -1763,6 +1763,43 @@ def test_rare_and_multi_terms_match_bruteforce(index_dir, oracle):
         s.multi_terms_agg(q, ["role"])
 
 
+def test_date_hist_metric_and_bucket_script(index_dir):
+    """date_hist_metric_agg == per-bucket (count, exact int sum) brute
+    force; bucket_script evaluates the ratio AST per bucket and SKIPS
+    zero-denominator buckets (the ES gap policy)."""
+    from rayfts.search import bucket_script_buckets
+
+    s = Searcher(index_dir)
+    q = "the w0007"
+    # the transcripts fixture has no ts_epoch/n_chars; use turn_idx as
+    # both the date axis (epoch seconds) and the metric
+    rows = s.date_hist_metric_agg(q, "turn_idx", "year", "turn_idx")
+    want: dict = {}
+    hits = np.flatnonzero(s._hit_mask(q))
+    tv, tvalid = s._numeric_col("turn_idx")
+    from rayfts.search import calendar_floor
+
+    for d in hits:
+        if not tvalid[d]:
+            continue
+        k = int(calendar_floor(np.array([int(tv[d])]), "Y")[0])
+        c, m = want.get(k, (0, 0))
+        want[k] = (c + 1, m + int(tv[d]))
+    assert rows == [(k, *want[k]) for k in sorted(want)]
+    out = bucket_script_buckets(
+        rows, {"op": "/", "a": {"var": "metric_sum"}, "b": {"var": "_count"}}
+    )
+    assert [(k, n, m) for k, n, m, _ in out] == rows
+    for k, n, m, v in out:
+        assert v == pytest.approx(m / n, abs=0)
+    # zero denominator -> bucket skipped
+    skip = bucket_script_buckets(
+        [(0, 1, 5)], {"op": "/", "a": 1.0, "b": {"var": "_count"}})
+    assert len(skip) == 1
+    assert bucket_script_buckets(
+        [(0, 0, 5)], {"op": "/", "a": 1.0, "b": {"var": "_count"}}) == []
+
+
 def test_reverse_nested_matches_bruteforce(index_dir):
     """reverse_nested == per-child-bucket (doc count, DISTINCT parent
     count) brute force over the hit set, (n_docs desc, value asc)."""

@@ -403,6 +403,10 @@ def test_sharded_rare_and_multi_terms_equal_global(indexes):
             single.multi_terms_agg(q, ["role", "tool"], size=7), q
         assert multi.reverse_nested_agg(q, "role", "tool", size=7) == \
             single.reverse_nested_agg(q, "role", "tool", size=7), q
+        assert multi.date_hist_metric_agg(q, "turn_idx", "year",
+                                          "turn_idx") == \
+            single.date_hist_metric_agg(q, "turn_idx", "year",
+                                        "turn_idx"), q
 
 
 def test_sharded_new_metric_aggs_equal_global(indexes):
