@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_phrase_top10": P.fts_phrase_top10,      # positional PhraseQuery
         "fts_bool_top10": P.fts_bool_top10,          # ES bool must/must_not
         "fts_prefix_docs": P.fts_prefix_docs,        # PrefixQuery expansion
+        "fts_index_prefix_docs": P.fts_index_prefix_docs,  # index_prefixes
         "fts_wildcard_docs": P.fts_wildcard_docs,    # WildcardQuery glob
         "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
@@ -1002,6 +1003,14 @@ WITH {_TOKS_CTE}
 SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
 WHERE term LIKE '{P.PREFIX_QUERY}%'
 GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
+        # index_prefixes fast path: same answer as LIKE 'da%', resolved
+        # engine-side by one exact probe of the prefix-subfield term
+        "fts_index_prefix_docs": f"""
+WITH {_TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks
+WHERE term LIKE '{P.IDX_PREFIX_QUERY}%'
+ORDER BY doc_id LIMIT 20
 """,
         # WILDCARD_QUERY "s?a*" == SQL LIKE 's_a%' (? -> _, * -> %)
         "fts_wildcard_docs": f"""

@@ -225,6 +225,31 @@ def make_shingles(
     return sh, parent[: m - n + 1][valid]
 
 
+def make_edge_prefixes(
+    flat: pa.Array, parent: np.ndarray, lo: int, hi: int
+) -> tuple[pa.Array, np.ndarray]:
+    """ES ``index_prefixes`` subfield (Lucene edge prefixes): for each
+    token, emit its codepoint prefixes of length lo..min(hi, len) — a
+    token shorter than ``lo`` emits nothing; a token of length n within
+    range emits itself once (prefix of its own length, the ES behavior
+    that lets a prefix query of that exact term hit). One slice kernel
+    per length — hi-lo+1 vectorized passes, no per-token loop."""
+    lens = pc.utf8_length(flat)
+    parts_f: list = []
+    parts_p: list = []
+    for n in range(lo, hi + 1):
+        mask = pc.greater_equal(lens, n)
+        sub = flat.filter(mask)
+        if len(sub) == 0:
+            continue
+        parts_f.append(pc.utf8_slice_codeunits(sub, 0, n))
+        parts_p.append(parent[mask.to_numpy(zero_copy_only=False)])
+    if not parts_f:
+        return pa.array([], pa.string()), np.empty(0, parent.dtype)
+    out = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts_f])
+    return out, np.concatenate(parts_p)
+
+
 def minimal_english_stem(flat: pa.Array) -> pa.Array:
     """Lucene ``EnglishMinimalStemFilter`` (the S-stemmer, Harman 1991 —
     ES ``stemmer: minimal_english``), vectorized as three RE2 kernels.
@@ -282,7 +307,7 @@ def stop_filter(flat: pa.Array, parent: np.ndarray,
 def partial_stream_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
     positions: bool = False, stopwords=None, stemmer: str = "",
-    shingle_size: int = 0,
+    shingle_size: int = 0, index_prefixes: tuple = (),
 ):
     """Map-side combiner, STREAM form (the shuffle-payload-optimized path):
     one batch -> term-major partial posting streams ready for one-shot
@@ -313,6 +338,13 @@ def partial_stream_batch(
         # the shingle stream REPLACES the unigram stream (this index IS
         # the ._Ngram subfield); positions/dl below run on shingles
         flat, parent = make_shingles(flat, parent, shingle_size)
+    if index_prefixes and parent.size:
+        # the edge-prefix stream REPLACES the unigram stream (this
+        # index IS the ._index_prefix subfield); constant-score only,
+        # so positions are unsupported here
+        flat, parent = make_edge_prefixes(
+            flat, parent, index_prefixes[0], index_prefixes[1]
+        )
     pos_in_doc = None
     if positions and parent.size:
         # within-doc position of EVERY token, computed BEFORE any stop

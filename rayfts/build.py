@@ -433,6 +433,7 @@ def _analyze_partition(
     stopwords: tuple = (),
     stemmer: str = "",
     shingle_size: int = 0,
+    index_prefixes: tuple = (),
 ):
     """Map side of the hand-rolled hash shuffle: one docstore partition ->
     ``num_buckets`` stream-encoded shard dicts + the partition's dl array
@@ -480,7 +481,7 @@ def _analyze_partition(
         terms, df, gaps, tfs, dls, pgaps = partial_stream_batch(
             b, text_col=text_col, positions=index_positions,
             stopwords=stopwords, stemmer=stemmer,
-            shingle_size=shingle_size,
+            shingle_size=shingle_size, index_prefixes=index_prefixes,
         )
         _write_norms(norms_dir, b["doc_id"].combine_chunks(), dls)
         dl_l.append(dls)
@@ -1230,6 +1231,7 @@ def build_index(
                 src, norms_dir, cfg.text_col, B, cfg.analyze_batch_size,
                 cfg.exchange_codec, hot_terms, cfg.index_positions,
                 tuple(cfg.stopwords), cfg.stemmer, cfg.shingle_size,
+                tuple(cfg.index_prefixes),
             )
             for src in sources
         ]
@@ -1371,6 +1373,7 @@ def build_index(
         "stopwords": sorted(cfg.stopwords),
         "stemmer": cfg.stemmer,
         "shingle_size": cfg.shingle_size,
+        "index_prefixes": list(cfg.index_prefixes),
         "key_cols": list(cfg.key_cols),
         "text_col": cfg.text_col,
         "docstore": doc_info,

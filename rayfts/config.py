@@ -49,6 +49,12 @@ class IndexJobConfig:
     # shingle with the same n in every Searcher, and match_bool_prefix
     # prefix-matches the LAST shingle (the SAYT in-flight word).
     shingle_size: int = 0
+    # Index-time edge prefixes (ES `index_prefixes` on text fields): ()
+    # = off; (min_chars, max_chars) replaces the unigram stream with
+    # each token's codepoint prefixes of those lengths, so a prefix
+    # query whose length is in range resolves by ONE exact dictionary
+    # probe (`Searcher.prefix_exact_docs`) instead of a term scan.
+    index_prefixes: tuple = ()
 
     # F7 dynamic tags: pack these columns into a map<string,string> `tags`
     # column carried through the docstore (ref ESEntity.java:14,18-22 tags

@@ -271,6 +271,60 @@ def documents_2gram_index(sf_dir: str) -> str:
     return index_dir
 
 
+def documents_prefix_index(sf_dir: str) -> str:
+    """Build (once, cached) the EDGE-PREFIX index over `documents` —
+    the ES ``index_prefixes`` subfield (min_chars=2, max_chars=4):
+    every token's 2..4-codepoint prefixes become terms, so an in-range
+    prefix query is ONE exact dictionary probe."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|pfx1".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/rayfts_qidx/{tag}"
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        import json
+
+        from .build import FORMAT_VERSION
+
+        with open(manifest_path) as f:
+            if json.load(f).get("format_version") == FORMAT_VERSION:
+                return index_dir
+    ds = rd.read_parquet(src).map_batches(
+        lambda t: t.rename_columns(
+            ["src_doc_id" if c == "doc_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    cfg = IndexJobConfig(
+        index_dir=index_dir,
+        key_cols=("src_doc_id",),
+        keyword_cols=("lang", "source"),
+        term_buckets=16,
+        index_prefixes=(2, 4),
+    )
+    build_index(ds, cfg=cfg, rows_per_part=100_000)
+    return index_dir
+
+
+IDX_PREFIX_QUERY = "da"  # length inside the subfield's [2, 4] range
+
+
+def fts_index_prefix_docs(sf_dir: str) -> pa.Table:
+    """ES index_prefixes fast path: IDX_PREFIX_QUERY (in the subfield's
+    [2,4] range) resolves by ONE exact dictionary probe on the prefix
+    index — first 20 matching docs ascending. Same answer set as the
+    scan-based prefix query, different (O(1)) execution plan."""
+    index_dir = documents_prefix_index(sf_dir)
+    s = Searcher(index_dir)
+    docs = s.prefix_exact_docs(IDX_PREFIX_QUERY, limit=20)
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {"doc_id": pa.array([int(to_src[d]) for d in docs], pa.int64())}
+    )
+
+
 SAYT_QUERY = "spark join da"  # in-flight last word: the SAYT keystroke
 
 

@@ -1341,6 +1341,8 @@ class Searcher(SuggestAPI):
         # index-time shingles (ES search_as_you_type ._Ngram subfield):
         # queries shingle with the same n so both sides meet on n-grams
         self.shingle_size = int(m.get("shingle_size", 0))
+        # index_prefixes subfield range (min_chars, max_chars) or ()
+        self.prefix_range = tuple(m.get("index_prefixes", ()) or ())
         # dense norms: doc_id -> dl (doc_ids are dense 0..N-1 by construction)
         self.dl = np.zeros(self.N, dtype=np.int32)
         norms_dir = os.path.join(index_dir, "norms")
@@ -5014,6 +5016,33 @@ class Searcher(SuggestAPI):
         return self._docs_for_terms(
             self.expand_prefix(prefix, max_expansions), limit
         )
+
+    def prefix_exact_docs(self, prefix: str, limit: int = 20,
+                          max_expansions: int = 4096,
+                          root: "Searcher | None" = None) -> list[int]:
+        """ES ``index_prefixes`` fast path: on a prefix-subfield index,
+        a prefix whose length lies in the manifest's [min, max] range
+        resolves by ONE exact dictionary probe (the subfield indexed
+        every in-range edge prefix as a term) — O(1) vs the dictionary
+        scan of :meth:`prefix_docs`. Out-of-range lengths fall back the
+        way ES does: LONGER than max goes to the ROOT-field searcher
+        (``root`` — shares this index's dense doc space; required for
+        that case), shorter than min scans this subfield's dictionary
+        (every root token of length >= min has its min-prefix here; only
+        sub-min tokens escape, the documented subfield gap). Ascending
+        doc_ids, first ``limit``, tombstones excluded."""
+        t = tokenize_query(prefix)
+        term = t[0] if t else ""
+        lo, hi = self.prefix_range if self.prefix_range else (1, 0)
+        if lo <= len(term) <= hi:
+            return [d for d, _ in self._docs_for_terms([term], limit)]
+        if len(term) > hi and root is not None:
+            return [
+                d for d, _ in root.prefix_docs(prefix, limit, max_expansions)
+            ]
+        return [
+            d for d, _ in self.prefix_docs(prefix, limit, max_expansions)
+        ]
 
     def match_bool_prefix(self, query: str, k: int = 10,
                           where: dict | None = None,
@@ -8903,6 +8932,7 @@ class SharedSearcher(Searcher):
         self.stopwords = frozenset(m.get("stopwords", ()))
         self.stemmer = m.get("stemmer", "")
         self.shingle_size = int(m.get("shingle_size", 0))
+        self.prefix_range = tuple(m.get("index_prefixes", ()) or ())
         self.dl = ray.get(handle.dl_ref)
         self._handle = handle
         import os as _os

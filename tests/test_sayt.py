@@ -123,6 +123,66 @@ def test_sayt_last_shingle_prefix(g2_index):
         assert got[d] == pytest.approx(want[d], abs=1e-9), d
 
 
+def test_make_edge_prefixes_matches_bruteforce():
+    from rayfts.analysis import make_edge_prefixes
+
+    texts = pa.array(["alpha be c", "", "dd eee ffff ggggg"], pa.string())
+    flat, parent = tokens_flat(texts)
+    got_f, got_p = make_edge_prefixes(flat, parent, 2, 4)
+    want = []
+    for row, t in enumerate(texts.to_pylist()):
+        for tok in tokenize(t):
+            for n in range(2, 5):
+                if len(tok) >= n:
+                    want.append((tok[:n], row))
+    # order within the stream is per-length-pass; compare as multisets
+    assert sorted(zip(got_f.to_pylist(), got_p.tolist())) == sorted(want)
+
+
+def test_index_prefixes_exact_probe(tmp_path_factory):
+    """On a (2,4) prefix index: in-range prefixes resolve by ONE exact
+    term probe and equal the brute-force LIKE set; out-of-range lengths
+    fall back to the dictionary scan and still agree."""
+    d = tmp_path_factory.mktemp("pfxidx")
+    docs = {0: "spark join", 1: "sparse data", 2: "join spin",
+            3: "data spa", 4: "unrelated words"}
+    t = pa.table({
+        "src_doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[i] for i in sorted(docs)], pa.string()),
+    })
+    build_index(
+        rd.from_arrow(t),
+        cfg=IndexJobConfig(
+            index_dir=str(d), key_cols=("src_doc_id",), keyword_cols=(),
+            term_buckets=4, index_prefixes=(2, 4),
+        ),
+    )
+    s = Searcher(str(d))
+    def brute(pre):
+        return sorted(
+            i for i, x in docs.items()
+            if any(tok.startswith(pre) for tok in tokenize(x))
+        )
+    for pre in ["sp", "spa", "spar", "jo", "da", "zz"]:   # in range
+        assert s.prefix_exact_docs(pre, limit=10) == brute(pre), pre
+        # the in-range probe IS one dictionary lookup
+        p = s.lookup(pre)
+        assert (p.df if p else 0) == len(brute(pre)), pre
+    # out of range: shorter-than-min scans the subfield dictionary;
+    # longer-than-max routes to the ROOT-field searcher (the ES split)
+    root_dir = tmp_path_factory.mktemp("pfxroot")
+    build_index(
+        rd.from_arrow(t),
+        cfg=IndexJobConfig(
+            index_dir=str(root_dir), key_cols=("src_doc_id",),
+            keyword_cols=(), term_buckets=4,
+        ),
+    )
+    root = Searcher(str(root_dir))
+    for pre in ["s", "spark"]:
+        assert s.prefix_exact_docs(pre, limit=10, root=root) == brute(pre), pre
+
+
 def test_sharded_shingle_mbp_equals_global(g2_index, tmp_path_factory):
     from rayfts.segments import build_segments, open_multisearcher
 
