@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_stem_bm25_top10": P.fts_stem_bm25_top10,  # stemmer filter
         "fts_rescore_top10": P.fts_rescore_top10,    # rescore window API
+        "fts_dsl_rescorer_top10": P.fts_dsl_rescorer_top10,  # rescorer retriever
         "fts_synonym_top10": P.fts_synonym_top10,    # SynonymQuery expansion
         "fts_multi_match_top10": P.fts_multi_match_top10,  # most_fields
         "fts_combined_fields_top10": P.fts_combined_fields_top10,  # BM25F
@@ -2288,6 +2289,24 @@ SELECT w.doc_id,
             AS BIGINT) AS score_e6
 FROM win w LEFT JOIN ph_scores p USING (doc_id)
 ORDER BY (1.0 * w.score + 2.0 * coalesce(p.score, 0)) DESC, w.doc_id
+LIMIT 10
+""",
+        # rescorer retriever (request-body form of rescore): window 25,
+        # combined = 1.5*base + 0.5*phrase
+        "fts_dsl_rescorer_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+{_phrase_scores_ctes(P.PHRASE_QUERY.split())},
+win AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id LIMIT {P.RESCORER_WINDOW}
+)
+SELECT w.doc_id,
+       CAST(round(({P.RESCORER_QW!r} * w.score
+              + {P.RESCORER_RW!r} * coalesce(p.score, 0)) * 1e6)
+            AS BIGINT) AS score_e6
+FROM win w LEFT JOIN ph_scores p USING (doc_id)
+ORDER BY ({P.RESCORER_QW!r} * w.score
+           + {P.RESCORER_RW!r} * coalesce(p.score, 0)) DESC, w.doc_id
 LIMIT 10
 """,
         # analyzer stopwords: the SAME stop list filters the token stream

@@ -279,8 +279,39 @@ def _execute_retriever(searcher, body: dict, knn_hits) -> dict:
         raise UnsupportedDSL(f"retriever with keys {sorted(tree)}")
     kind, node = next(iter(tree.items()))
     if kind not in ("rrf", "linear", "text_similarity_reranker",
-                    "rule"):
+                    "rule", "rescorer"):
         raise UnsupportedDSL(f"retriever kind {kind!r}")
+    if kind == "rescorer":
+        # ES 8.18 rescorer retriever: the child retriever's top
+        # window_size hits re-rank by query_weight*base +
+        # rescore_weight*rescore_query score — dispatched to the
+        # engine's rescore API (positional work never leaves the
+        # window). The rescore query must be a match_phrase.
+        child = node.get("retriever")
+        if not isinstance(child, dict) or "standard" not in child:
+            raise UnsupportedDSL("rescorer retriever needs a standard child")
+        spec = normalize_query(child["standard"]["query"])
+        if spec.kind != "match" or spec.where or spec.must_not:
+            raise UnsupportedDSL(
+                "rescorer child supports a plain match query"
+            )
+        rs = node.get("rescore")
+        if not isinstance(rs, dict) or "query" not in rs:
+            raise UnsupportedDSL("rescorer needs a rescore body")
+        rq = rs["query"].get("rescore_query", {})
+        if set(rq) != {"match_phrase"}:
+            raise UnsupportedDSL("rescore_query must be a match_phrase")
+        phrase = next(iter(rq["match_phrase"].values()))
+        rows = searcher.rescore(
+            spec.text, phrase,
+            window_size=int(rs.get("window_size", 10)),
+            k=int(body.get("size", 10)),
+            query_weight=float(rs["query"].get("query_weight", 1.0)),
+            rescore_weight=float(rs["query"].get("rescore_weight", 1.0)),
+        )
+        return {"hits": {"hits": [
+            {"_id": d, "_score": s} for d, s in rows
+        ]}}
     if kind == "rule":
         # ES query-rules retriever: rules whose criteria ALL match the
         # request's match_criteria pin their ids (ruleset order, first

@@ -796,6 +796,48 @@ def fts_reverse_nested(sf_dir: str) -> pa.Table:
     })
 
 
+RESCORER_WINDOW = 25
+RESCORER_QW, RESCORER_RW = 1.5, 0.5
+
+
+def fts_dsl_rescorer_top10(sf_dir: str) -> pa.Table:
+    """ES 8.18 rescorer retriever (request-body form): standard child
+    retrieves BM25_QUERY, the rescore node re-ranks its top
+    RESCORER_WINDOW hits by 1.5*base + 0.5*phrase — the full JSON tree
+    runs through execute_dsl and must equal the direct rescore API
+    bit-for-bit."""
+    from .dsl import execute_dsl
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    body = {
+        "retriever": {"rescorer": {
+            "retriever": {"standard": {
+                "query": {"match": {"text": BM25_QUERY}}}},
+            "rescore": {
+                "window_size": RESCORER_WINDOW,
+                "query": {
+                    "rescore_query": {
+                        "match_phrase": {"text": PHRASE_QUERY}},
+                    "query_weight": RESCORER_QW,
+                    "rescore_weight": RESCORER_RW,
+                },
+            },
+        }},
+        "size": 10,
+    }
+    rows = execute_dsl(s, body)["hits"]["hits"]
+    to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array(
+            [int(to_src[h["_id"]]) for h in rows], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(h["_score"] * 1e6)) for h in rows], pa.int64()
+        ),
+    })
+
+
 def fts_top_hits_by_source(sf_dir: str) -> pa.Table:
     """ES terms + top_hits sub-aggregation analog: the 3 biggest `source`
     buckets over the BM25_QUERY hit set, each with its 2 best-BM25 hits —

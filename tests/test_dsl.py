@@ -344,6 +344,35 @@ def test_dsl_text_similarity_reranker(pos_dsl_index):
         }}})   # no knn_hits
 
 
+def test_dsl_rescorer_retriever(pos_dsl_index):
+    """rescorer retriever == the direct rescore API bit-for-bit;
+    malformed trees refuse."""
+    s = Searcher(pos_dsl_index)
+    q, ph = "the w0007", "the w0007"
+    body = {"retriever": {"rescorer": {
+        "retriever": {"standard": {"query": {"match": {"text": q}}}},
+        "rescore": {
+            "window_size": 6,
+            "query": {"rescore_query": {"match_phrase": {"text": ph}},
+                      "query_weight": 1.5, "rescore_weight": 0.5},
+        },
+    }}, "size": 4}
+    got = _hits(execute_dsl(s, body))
+    want = s.rescore(q, ph, window_size=6, k=4,
+                     query_weight=1.5, rescore_weight=0.5)
+    assert got == want and got
+    with pytest.raises(UnsupportedDSL):
+        execute_dsl(s, {"retriever": {"rescorer": {
+            "retriever": {"standard": {"query": {"match": {"text": q}}}},
+        }}})  # no rescore body
+    with pytest.raises(UnsupportedDSL):
+        execute_dsl(s, {"retriever": {"rescorer": {
+            "retriever": {"standard": {"query": {"match": {"text": q}}}},
+            "rescore": {"query": {"rescore_query": {
+                "match": {"text": ph}}}},
+        }}})  # rescore_query must be a phrase
+
+
 def test_dsl_parent_id_clause(dsl_index):
     """ES parent_id query: exact keyword filter on the join field
     (relation name == join field), constant score in filter context,
