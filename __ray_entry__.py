@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_dsl_bool_top10": P.fts_dsl_bool_top10,  # ES request-body exec
         "fts_multi_terms_hits": P.fts_multi_terms,   # multi_terms over hit set
         "fts_reverse_nested": P.fts_reverse_nested,  # reverse_nested agg
+        "fts_terms_include": P.fts_terms_include,    # terms include/exclude
         "fts_top_hits_by_source": P.fts_top_hits_by_source,  # top_hits sub-agg
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
@@ -1123,6 +1124,18 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
 SELECT lang, source, count(*) AS n_docs
 FROM documents JOIN hits USING (doc_id)
 GROUP BY lang, source ORDER BY n_docs DESC, lang, source LIMIT 6
+""",
+        # terms include/exclude: full-match regexes filter bucket keys
+        # BEFORE truncation (regexp_full_match == Java matches())
+        "fts_terms_include": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT source, count(*) AS n_docs
+FROM documents JOIN hits USING (doc_id)
+WHERE regexp_full_match(source, '{P.TERMS_INCLUDE}')
+  AND NOT regexp_full_match(source, '{P.TERMS_EXCLUDE}')
+GROUP BY source ORDER BY n_docs DESC, source LIMIT 20
 """,
         # reverse_nested: child terms buckets (lang) over the hit set,
         # each counting DISTINCT parents (source = the join field)

@@ -781,6 +781,24 @@ def fts_multi_terms(sf_dir: str) -> pa.Table:
     })
 
 
+TERMS_INCLUDE, TERMS_EXCLUDE = r"src1\d", r"src15"
+
+
+def fts_terms_include(sf_dir: str) -> pa.Table:
+    """ES terms agg include/exclude regexes: `source` buckets over the
+    BM25_QUERY hit set keep only full-match src1\\d keys minus src15 —
+    filtering happens BEFORE size truncation (the ES order)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.facet_counts(
+        BM25_QUERY, "source", size=20,
+        include=TERMS_INCLUDE, exclude=TERMS_EXCLUDE,
+    )
+    return pa.table({
+        "source": pa.array([v for v, _ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
 def fts_reverse_nested(sf_dir: str) -> pa.Table:
     """ES reverse_nested analog over the join-field model: terms agg on
     the CHILD axis (`lang`) over the BM25_QUERY hit set, each bucket

@@ -559,6 +559,21 @@ def change_point(buckets: list[tuple]):
     return (best[0], best[1], int(math.floor(best[2] * 1e6 + 0.5)))
 
 
+def filter_bucket_keys(hist: dict, include: str | None,
+                       exclude: str | None) -> dict:
+    """ES terms-agg include/exclude (regex form): bucket keys must FULL-
+    match ``include`` (Java matches() semantics) and must not full-match
+    ``exclude`` — applied BEFORE ordering/size truncation, like ES.
+    Driver-side O(buckets); the oracle twin is regexp_full_match."""
+    if include is not None:
+        rx = re.compile(include)
+        hist = {v: c for v, c in hist.items() if rx.fullmatch(v)}
+    if exclude is not None:
+        rx = re.compile(exclude)
+        hist = {v: c for v, c in hist.items() if not rx.fullmatch(v)}
+    return hist
+
+
 def bucket_script_buckets(rows: list[tuple], expr,
                           names: tuple = ("_count", "metric_sum")):
     """ES bucket_script pipeline aggregation: evaluate a per-bucket
@@ -1622,14 +1637,19 @@ class Searcher(SuggestAPI):
 
     def facet_counts(self, query: str, field: str, size: int = 10,
                      where: dict | None = None, mode: str = "or",
-                     must_not: str | None = None) -> list[tuple]:
+                     must_not: str | None = None,
+                     include: str | None = None,
+                     exclude: str | None = None) -> list[tuple]:
         """ES terms-aggregation analog: doc counts per value of keyword
         column ``field`` over ALL docs matching the query (not just the
         top-k page). Buckets ordered (count desc, value asc), first
         ``size`` — the ES terms-agg default order. Composes with the same
         doc-set restrictions as search (where / mode="and" / must_not /
         tombstones); statistics are exact, not sharded approximations."""
-        hist = self._facet_hist(query, field, where, mode, must_not)
+        hist = filter_bucket_keys(
+            self._facet_hist(query, field, where, mode, must_not),
+            include, exclude,
+        )
         ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
@@ -7297,7 +7317,9 @@ class MultiSearcher(SuggestAPI):
 
     def facet_counts(self, query: str, field: str, size: int = 10,
                      where: dict | None = None, mode: str = "or",
-                     must_not: str | None = None) -> list[tuple]:
+                     must_not: str | None = None,
+                     include: str | None = None,
+                     exclude: str | None = None) -> list[tuple]:
         """Sharded terms-aggregation, EXACT: segments return UNTRUNCATED
         value histograms (hit sets are disjoint across segments), the
         driver sums and orders — no ES-style shard_size approximation
@@ -7309,6 +7331,7 @@ class MultiSearcher(SuggestAPI):
                 query, field, where, mode, must_not
             ).items():
                 total[v] = total.get(v, 0) + c
+        total = filter_bucket_keys(total, include, exclude)
         ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 

@@ -1763,6 +1763,28 @@ def test_rare_and_multi_terms_match_bruteforce(index_dir, oracle):
         s.multi_terms_agg(q, ["role"])
 
 
+def test_facet_include_exclude(index_dir):
+    """terms include/exclude full-match regexes filter bucket keys
+    BEFORE size truncation; plain call unchanged."""
+    import re
+
+    s = Searcher(index_dir)
+    q = "the w0007"
+    full = dict(s.facet_counts(q, "tool", size=10_000))
+    inc, exc = r".*a.*", r"bash"
+    want = sorted(
+        ((v, c) for v, c in full.items()
+         if re.fullmatch(inc, v) and not re.fullmatch(exc, v)),
+        key=lambda e: (-e[1], e[0]),
+    )
+    got = s.facet_counts(q, "tool", size=10_000, include=inc, exclude=exc)
+    assert got == want and got
+    # truncation happens AFTER filtering: size=1 returns the best
+    # SURVIVING bucket, not the best overall
+    assert s.facet_counts(q, "tool", size=1, include=inc,
+                          exclude=exc) == want[:1]
+
+
 def test_date_hist_metric_and_bucket_script(index_dir):
     """date_hist_metric_agg == per-bucket (count, exact int sum) brute
     force; bucket_script evaluates the ratio AST per bucket and SKIPS

@@ -407,6 +407,10 @@ def test_sharded_rare_and_multi_terms_equal_global(indexes):
                                           "turn_idx") == \
             single.date_hist_metric_agg(q, "turn_idx", "year",
                                         "turn_idx"), q
+        assert multi.facet_counts(q, "tool", size=5, include=r".*a.*",
+                                  exclude=r"bash") == \
+            single.facet_counts(q, "tool", size=5, include=r".*a.*",
+                                exclude=r"bash"), q
 
 
 def test_sharded_new_metric_aggs_equal_global(indexes):
