@@ -393,6 +393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_multi_terms_hits": P.fts_multi_terms,   # multi_terms over hit set
         "fts_reverse_nested": P.fts_reverse_nested,  # reverse_nested agg
         "fts_terms_include": P.fts_terms_include,    # terms include/exclude
+        "fts_terms_missing_knob": P.fts_terms_missing_knob,  # missing + mdc
+        "fts_hist_offset": P.fts_hist_offset,        # histogram offset
         "fts_top_hits_by_source": P.fts_top_hits_by_source,  # top_hits sub-agg
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
@@ -1136,6 +1138,32 @@ FROM documents JOIN hits USING (doc_id)
 WHERE regexp_full_match(source, '{P.TERMS_INCLUDE}')
   AND NOT regexp_full_match(source, '{P.TERMS_EXCLUDE}')
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 20
+""",
+        # terms missing + min_doc_count: NULL size_tag buckets under
+        # 'untagged'; merged counts below 3 drop before truncation
+        "fts_terms_missing_knob": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT coalesce(size_tag, '{P.TERMS_MISSING_VALUE}') AS size_tag,
+       count(*) AS n_docs
+FROM (SELECT doc_id,
+             CASE WHEN n_chars >= {P.SIZE_TAG_MIN} THEN 'big' END
+               AS size_tag
+      FROM documents) d JOIN hits USING (doc_id)
+GROUP BY 1 HAVING count(*) >= {P.TERMS_MDC}
+ORDER BY n_docs DESC, size_tag LIMIT 20
+""",
+        # histogram offset: boundaries shifted by 50
+        "fts_hist_offset": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT CAST(floor((n_chars - {P.HIST_OFFSET!r}) / 100.0) * 100.0
+            + {P.HIST_OFFSET!r} AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM documents JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY 1
 """,
         # reverse_nested: child terms buckets (lang) over the hit set,
         # each counting DISTINCT parents (source = the join field)

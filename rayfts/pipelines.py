@@ -781,6 +781,40 @@ def fts_multi_terms(sf_dir: str) -> pa.Table:
     })
 
 
+TERMS_MISSING_VALUE = "untagged"
+TERMS_MDC = 3
+
+
+def fts_terms_missing_knob(sf_dir: str) -> pa.Table:
+    """ES terms agg `missing` + `min_doc_count` knobs: `size_tag` is
+    NULL on short docs, so missing='untagged' buckets them explicitly;
+    min_doc_count=3 floors the merged counts before truncation."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.facet_counts(
+        BM25_QUERY, "size_tag", size=20,
+        missing=TERMS_MISSING_VALUE, min_doc_count=TERMS_MDC,
+    )
+    return pa.table({
+        "size_tag": pa.array([v for v, _ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
+HIST_OFFSET = 50.0
+
+
+def fts_hist_offset(sf_dir: str) -> pa.Table:
+    """ES histogram `offset` knob: n_chars buckets of width 100 with
+    boundaries shifted by 50 (key = floor((v-50)/100)*100 + 50)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.histogram_agg(BM25_QUERY, "n_chars", 100.0,
+                           offset=HIST_OFFSET)
+    return pa.table({
+        "bucket": pa.array([int(k) for k, _ in rows], pa.int64()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
 TERMS_INCLUDE, TERMS_EXCLUDE = r"src1\d", r"src15"
 
 

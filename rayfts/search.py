@@ -1639,17 +1639,31 @@ class Searcher(SuggestAPI):
                      where: dict | None = None, mode: str = "or",
                      must_not: str | None = None,
                      include: str | None = None,
-                     exclude: str | None = None) -> list[tuple]:
+                     exclude: str | None = None,
+                     missing: str | None = None,
+                     min_doc_count: int = 1) -> list[tuple]:
         """ES terms-aggregation analog: doc counts per value of keyword
         column ``field`` over ALL docs matching the query (not just the
         top-k page). Buckets ordered (count desc, value asc), first
         ``size`` — the ES terms-agg default order. Composes with the same
         doc-set restrictions as search (where / mode="and" / must_not /
         tombstones); statistics are exact, not sharded approximations."""
-        hist = filter_bucket_keys(
-            self._facet_hist(query, field, where, mode, must_not),
-            include, exclude,
-        )
+        hist = self._facet_hist(query, field, where, mode, must_not)
+        if missing is not None:
+            # ES terms `missing`: docs without the field bucket under
+            # the given value (added to any existing same-key bucket)
+            hits = self._hit_mask(query, where, mode, must_not)
+            n_missing = (
+                int(hits.sum()) - sum(hist.values())
+                if hits is not None else 0
+            )
+            if n_missing:
+                hist[missing] = hist.get(missing, 0) + n_missing
+        hist = filter_bucket_keys(hist, include, exclude)
+        if min_doc_count > 1:
+            # ES semantics: the floor applies to the MERGED count,
+            # before size truncation
+            hist = {v: c for v, c in hist.items() if c >= min_doc_count}
         ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
@@ -3087,12 +3101,15 @@ class Searcher(SuggestAPI):
 
     def histogram_agg(self, query: str, field: str, interval: float,
                       where: dict | None = None, mode: str = "or",
-                      must_not: str | None = None) -> list[tuple]:
+                      must_not: str | None = None,
+                      offset: float = 0.0) -> list[tuple]:
         """ES histogram-aggregation analog: fixed-interval buckets over
         numeric ``field`` for ALL query hits. Bucket key = ES's
-        ``floor(value / interval) * interval``; returns non-empty buckets
-        ascending by key (ES histogram order). A date_histogram with
-        fixed_interval is this exact computation over an epoch column."""
+        ``floor((value - offset) / interval) * interval + offset`` (the
+        ES ``offset`` knob shifts bucket boundaries; 0 = the classic
+        floor); returns non-empty buckets ascending by key (ES histogram
+        order). A date_histogram with fixed_interval is this exact
+        computation over an epoch column."""
         if interval <= 0:
             raise ValueError("interval must be positive")
         hits = self._hit_mask(query, where, mode, must_not)
@@ -3102,7 +3119,7 @@ class Searcher(SuggestAPI):
         sel = vals[hits & valid]
         if sel.size == 0:
             return []
-        keys = np.floor(sel / interval) * interval
+        keys = np.floor((sel - offset) / interval) * interval + offset
         uniq, cnt = np.unique(keys, return_counts=True)
         return [(float(u), int(c)) for u, c in zip(uniq, cnt)]
 
@@ -7319,7 +7336,9 @@ class MultiSearcher(SuggestAPI):
                      where: dict | None = None, mode: str = "or",
                      must_not: str | None = None,
                      include: str | None = None,
-                     exclude: str | None = None) -> list[tuple]:
+                     exclude: str | None = None,
+                     missing: str | None = None,
+                     min_doc_count: int = 1) -> list[tuple]:
         """Sharded terms-aggregation, EXACT: segments return UNTRUNCATED
         value histograms (hit sets are disjoint across segments), the
         driver sums and orders — no ES-style shard_size approximation
@@ -7327,11 +7346,19 @@ class MultiSearcher(SuggestAPI):
         O(docs)."""
         total: dict = {}
         for seg in self.segments:
-            for v, c in seg._facet_hist(
-                query, field, where, mode, must_not
-            ).items():
+            hist = seg._facet_hist(query, field, where, mode, must_not)
+            for v, c in hist.items():
                 total[v] = total.get(v, 0) + c
+            if missing is not None:
+                hits = seg._hit_mask(query, where, mode, must_not)
+                if hits is not None:
+                    n_m = int(hits.sum()) - sum(hist.values())
+                    if n_m:
+                        total[missing] = total.get(missing, 0) + n_m
         total = filter_bucket_keys(total, include, exclude)
+        if min_doc_count > 1:
+            total = {v: c for v, c in total.items()
+                     if c >= min_doc_count}
         ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
@@ -8018,13 +8045,14 @@ class MultiSearcher(SuggestAPI):
 
     def histogram_agg(self, query: str, field: str, interval: float,
                       where: dict | None = None, mode: str = "or",
-                      must_not: str | None = None) -> list[tuple]:
+                      must_not: str | None = None,
+                      offset: float = 0.0) -> list[tuple]:
         """Sharded histogram: per-segment bucket maps sum exactly (same
         fixed bucket keys everywhere); payload O(buckets) per segment."""
         total: dict = {}
         for seg in self.segments:
             for key, c in seg.histogram_agg(
-                query, field, interval, where, mode, must_not
+                query, field, interval, where, mode, must_not, offset
             ):
                 total[key] = total.get(key, 0) + c
         return sorted(total.items())

@@ -1785,6 +1785,39 @@ def test_facet_include_exclude(index_dir):
                           exclude=exc) == want[:1]
 
 
+def test_facet_missing_mdc_and_hist_offset(index_dir):
+    """terms `missing` buckets field-less hits under the given value;
+    `min_doc_count` floors merged counts pre-truncation; histogram
+    `offset` shifts boundaries."""
+    s = Searcher(index_dir)
+    q = "the w0007"
+    hits = s._hit_mask(q)
+    n_hits = int(hits.sum())
+    plain = dict(s.facet_counts(q, "tool", size=10_000))
+    with_missing = dict(s.facet_counts(q, "tool", size=10_000,
+                                       missing="none"))
+    n_missing = n_hits - sum(plain.values())
+    assert with_missing.get("none", 0) == plain.get("none", 0) + n_missing
+    assert sum(with_missing.values()) == n_hits
+    # min_doc_count floors the (merged, missing-included) counts
+    mdc = 2
+    floored = s.facet_counts(q, "tool", size=10_000, missing="none",
+                             min_doc_count=mdc)
+    assert floored == sorted(
+        ((v, c) for v, c in with_missing.items() if c >= mdc),
+        key=lambda e: (-e[1], e[0]))
+    # histogram offset: key = floor((v-off)/i)*i + off, brute force
+    vals, valid = s._numeric_col("turn_idx")
+    sel = vals[hits & valid]
+    import collections
+
+    off, interval = 1.5, 4.0
+    want_h = collections.Counter(
+        np.floor((sel - off) / interval) * interval + off)
+    assert s.histogram_agg(q, "turn_idx", interval, offset=off) == \
+        sorted((float(k), int(c)) for k, c in want_h.items())
+
+
 def test_date_hist_metric_and_bucket_script(index_dir):
     """date_hist_metric_agg == per-bucket (count, exact int sum) brute
     force; bucket_script evaluates the ratio AST per bucket and SKIPS

@@ -411,6 +411,12 @@ def test_sharded_rare_and_multi_terms_equal_global(indexes):
                                   exclude=r"bash") == \
             single.facet_counts(q, "tool", size=5, include=r".*a.*",
                                 exclude=r"bash"), q
+        assert multi.facet_counts(q, "tool", size=50, missing="none",
+                                  min_doc_count=2) == \
+            single.facet_counts(q, "tool", size=50, missing="none",
+                                min_doc_count=2), q
+        assert multi.histogram_agg(q, "turn_idx", 4.0, offset=1.5) == \
+            single.histogram_agg(q, "turn_idx", 4.0, offset=1.5), q
 
 
 def test_sharded_new_metric_aggs_equal_global(indexes):
