@@ -623,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_update_by_query": P.fts_update_by_query,
         # runtime fields: query-time derived numeric column in aggs
         "fts_runtime_field_stats": P.fts_runtime_field_stats,
+        "fts_dsl_script_filter_top10": P.fts_dsl_script_filter_top10,
         # Heaps-law vocabulary growth (first-occurrence histogram)
         "vocab_growth_curve": P.vocab_growth_curve,
         "vocab_zipf_slope": P.vocab_zipf_slope,
@@ -969,6 +970,13 @@ SELECT doc_id, dl FROM dl
         "fts_bm25_top10_wand": _bm25_sql(sorted(set(P.BM25_QUERY.split())), 10),
         "fts_bm25_filtered_top10": _bm25_sql(
             sorted(set(P.BM25_QUERY.split())), 10, "WHERE d2.lang = 'en'"
+        ),
+        # script query (filter context): the AST (n_chars*7 - 100)/4
+        # > 500 prunes hits; df/avgdl stay corpus-global; /4.0 and the
+        # integer pre-ops are exact in both float engines
+        "fts_dsl_script_filter_top10": _bm25_sql(
+            sorted(set(P.BM25_QUERY.split())), 10,
+            "WHERE (d2.n_chars * 7 - 100) / 4.0 > 500.0",
         ),
         # ES request-body executor: bool{match must, term+range filter}
         # == the direct filtered search, one oracle for both layers

@@ -53,6 +53,9 @@ class QuerySpec:
     must_not: str | None = None
     kind: str = "match"              # match | phrase | phrase_prefix |
     #                                  bool_prefix | query_string | all
+    # script filter clauses: [(runtime AST, {gte/gt/lte/lt bounds})] —
+    # materialized by execute_dsl as anonymous runtime fields
+    scripts: list = dc_field(default_factory=list)
 
 
 def _as_match(field: str, body) -> tuple[str, str, int | None]:
@@ -98,6 +101,18 @@ def _filter_clause(spec: QuerySpec, clause: dict) -> None:
                 or set(body) - {"type", "id", "ignore_unmapped"}):
             raise UnsupportedDSL("parent_id needs type + id")
         spec.where[str(body["type"])] = body["id"]
+    elif kind == "script":
+        # ES script query (filter context): the engine's runtime-field
+        # arithmetic AST stands in for a boolean Painless source — the
+        # doc matches when the expression satisfies the bound(s):
+        # {"script": {"expr": AST, "gt": 0}} (any of gte/gt/lte/lt)
+        if not isinstance(body, dict) or "expr" not in body:
+            raise UnsupportedDSL("script filter needs expr + bound(s)")
+        bounds = {k: v for k, v in body.items()
+                  if k in ("gte", "gt", "lte", "lt")}
+        if not bounds or set(body) - ({"expr"} | set(bounds)):
+            raise UnsupportedDSL("script filter bounds gte/gt/lte/lt")
+        spec.scripts.append((body["expr"], dict(bounds)))
     else:
         raise UnsupportedDSL(f"filter clause {kind!r}")
 
@@ -291,7 +306,7 @@ def _execute_retriever(searcher, body: dict, knn_hits) -> dict:
         if not isinstance(child, dict) or "standard" not in child:
             raise UnsupportedDSL("rescorer retriever needs a standard child")
         spec = normalize_query(child["standard"]["query"])
-        if spec.kind != "match" or spec.where or spec.must_not:
+        if spec.kind != "match" or spec.where or spec.must_not or spec.scripts:
             raise UnsupportedDSL(
                 "rescorer child supports a plain match query"
             )
@@ -321,7 +336,7 @@ def _execute_retriever(searcher, body: dict, knn_hits) -> dict:
         if not isinstance(child, dict) or "standard" not in child:
             raise UnsupportedDSL("rule retriever needs a standard child")
         spec = normalize_query(child["standard"]["query"])
-        if spec.kind != "match" or spec.where or spec.must_not:
+        if spec.kind != "match" or spec.where or spec.must_not or spec.scripts:
             raise UnsupportedDSL(
                 "rule retriever child supports a plain match query"
             )
@@ -362,7 +377,7 @@ def _execute_retriever(searcher, body: dict, knn_hits) -> dict:
                 "text_similarity_reranker needs a standard child"
             )
         spec = normalize_query(child["standard"]["query"])
-        if spec.kind != "match" or spec.where or spec.must_not:
+        if spec.kind != "match" or spec.where or spec.must_not or spec.scripts:
             raise UnsupportedDSL(
                 "reranker child supports a plain match query"
             )
@@ -384,7 +399,7 @@ def _execute_retriever(searcher, body: dict, knn_hits) -> dict:
     if len(texts) != 1:
         raise UnsupportedDSL("retriever needs exactly one standard leg")
     spec = normalize_query(texts[0])
-    if spec.kind != "match" or spec.where or spec.must_not:
+    if spec.kind != "match" or spec.where or spec.must_not or spec.scripts:
         raise UnsupportedDSL(
             "retriever standard leg supports a plain match query"
         )
@@ -491,7 +506,7 @@ def execute_dsl(searcher, body: dict, knn_hits=None) -> dict:
                 "knn clause needs knn_hits from the ANN stage"
             )
         spec = normalize_query(body.get("query"))
-        if spec.kind != "match" or spec.where or spec.must_not:
+        if spec.kind != "match" or spec.where or spec.must_not or spec.scripts:
             raise UnsupportedDSL(
                 "knn combines with a plain match query only"
             )
@@ -513,6 +528,11 @@ def execute_dsl(searcher, body: dict, knn_hits=None) -> dict:
             {"_id": d, "_score": s} for d, s in rows
         ]}}
     spec = normalize_query(body.get("query"))
+    for i, (expr, bounds) in enumerate(spec.scripts):
+        # script filters become anonymous runtime fields + range wheres
+        name = f"__script_{i}"
+        searcher.define_runtime_field(name, expr)
+        spec.where[name] = bounds
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
     min_score = body.get("min_score")

@@ -5607,6 +5607,35 @@ RUNTIME_FIELD_EXPR = {
 }
 
 
+def fts_dsl_script_filter_top10(sf_dir: str) -> pa.Table:
+    """ES script query (filter context): BM25_QUERY hits kept only when
+    the painless-AST expression (n_chars*7 - 100)/4 exceeds 500 — the
+    script materializes as an anonymous runtime field + range where
+    inside execute_dsl, composing with bool.filter."""
+    from .dsl import execute_dsl
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": BM25_QUERY}}],
+            "filter": [{"script": {"expr": RUNTIME_FIELD_EXPR,
+                                   "gt": 500.0}}],
+        }},
+        "size": 10,
+    }
+    rows = execute_dsl(s, body)["hits"]["hits"]
+    to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array(
+            [int(to_src[h["_id"]]) for h in rows], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(h["_score"] * 1e6)) for h in rows], pa.int64()
+        ),
+    })
+
+
 def fts_runtime_field_stats(sf_dir: str) -> pa.Table:
     """ES runtime-mappings analog: a query-time derived numeric field
     ((n_chars * 7 - 100) / 4 — the Painless stand-in AST) feeding the

@@ -3783,10 +3783,41 @@ class Searcher(SuggestAPI):
         cached = self._filter_masks.get(key)
         if cached is not None:
             return cached
+        # runtime fields (incl. anonymous script filters) have no
+        # docstore column — evaluate their bounds on the cached derived
+        # vector and AND with the pushed-down remainder
+        rt_keys = [
+            f for f in where
+            if f in getattr(self, "_runtime_fields", {})
+        ]
+        rt_mask = None
+        if rt_keys:
+            rt_mask = np.ones(self.N, dtype=bool)
+            for f in rt_keys:
+                vals, valid = self._numeric_col(f)
+                m = valid.copy()
+                for op, bound in dict(where[f]).items():
+                    if op == "gte":
+                        m &= vals >= float(bound)
+                    elif op == "gt":
+                        m &= vals > float(bound)
+                    elif op == "lte":
+                        m &= vals <= float(bound)
+                    elif op == "lt":
+                        m &= vals < float(bound)
+                    else:
+                        raise ValueError(f"runtime bound {op!r}")
+                rt_mask &= m
+            where = {f: v for f, v in where.items() if f not in rt_keys}
+            if not where:
+                self._filter_masks[key] = rt_mask
+                return rt_mask
         ds = pads.dataset(self._docstore_dir)
         t = ds.to_table(filter=_where_expr(where), columns=["doc_id"])
         mask = np.zeros(self.N, dtype=bool)
         mask[t["doc_id"].to_numpy(zero_copy_only=False)] = True
+        if rt_mask is not None:
+            mask &= rt_mask
         self._filter_masks[key] = mask
         return mask
 

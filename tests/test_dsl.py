@@ -344,6 +344,29 @@ def test_dsl_text_similarity_reranker(pos_dsl_index):
         }}})   # no knn_hits
 
 
+def test_dsl_script_filter(dsl_index):
+    """script query in filter context: the AST bound prunes hits like
+    the equivalent range where on a pre-registered runtime field;
+    malformed bodies refuse."""
+    s = Searcher(dsl_index)
+    q = "the w0007"
+    expr = {"op": "*", "a": {"col": "turn_idx"}, "b": 2}
+    got = execute_dsl(s, {
+        "query": {"bool": {"must": [{"match": {"text": q}}],
+                           "filter": [{"script": {"expr": expr,
+                                                  "gte": 4.0}}]}},
+        "size": 10,
+    })["hits"]["hits"]
+    s.define_runtime_field("rt_twice", expr)
+    want = s.search(q, k=10, where={"rt_twice": {"gte": 4.0}})
+    assert [(h["_id"], h["_score"]) for h in got] == want and got
+    with pytest.raises(UnsupportedDSL):
+        normalize_query({"bool": {"filter": [{"script": {"expr": expr}}]}})
+    with pytest.raises(UnsupportedDSL):
+        normalize_query({"bool": {"filter": [{"script": {
+            "expr": expr, "eq": 4}}]}})
+
+
 def test_dsl_rescorer_retriever(pos_dsl_index):
     """rescorer retriever == the direct rescore API bit-for-bit;
     malformed trees refuse."""
