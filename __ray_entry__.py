@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_count_by_lang": P.keyword_count_by_lang,
         "events_tumbling_1h": P.events_tumbling_1h,
         "events_sessionize": P.events_sessionize,    # session windows
+        "events_eql_sequence": P.events_eql_sequence,  # EQL sequence
         "sample_split_counts": P.sample_split_counts,  # hash holdout split
         "sample_shuffle_order": P.sample_shuffle_order,
         "events_hopping_2h1h": P.events_hopping_2h1h,
@@ -2510,6 +2511,19 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
+""",
+        # EQL sequence by user_id, maxspan 2h: click completed by ANY
+        # later purchase inside the span; one count per matching click
+        "events_eql_sequence": f"""
+SELECT user_id, count(*)::BIGINT AS n_seq FROM (
+  SELECT c.user_id FROM events c
+  WHERE c.event_type = 'click' AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+      AND epoch_us(p.ts) > epoch_us(c.ts)
+      AND epoch_us(p.ts) <= epoch_us(c.ts) + {P.EQL_MAXSPAN_US}
+  )
+) GROUP BY user_id ORDER BY user_id
 """,
         # downsample: fixed_interval 1h rollup, gauge stat tuple
         # (value_count/min/max/sum) in exact integer cents; epoch-floor

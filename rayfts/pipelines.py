@@ -2937,6 +2937,61 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
     )
 
 
+EQL_MAXSPAN_US = 7_200_000_000  # 2h
+
+
+def events_eql_sequence(sf_dir: str) -> pa.Table:
+    """ES EQL sequence query analog: ``sequence by user_id with
+    maxspan=2h [event_type=="click"] [event_type=="purchase"]``.
+    Pinned match rule (deterministic + relational): a click completes a
+    sequence when ANY purchase by the same user falls strictly inside
+    (ts_click, ts_click + maxspan]; each click counts at most once
+    (existence, so no tie-pick rule is needed). Same distributed shape
+    as sessionize: ONE hash shuffle on the `by` key, then a fully
+    vectorized per-group pass (sort + two searchsorted bounds per click
+    — O(n log n) per user, no Python loop). Returns (user_id, n_seq)
+    for users with >= 1 completed sequence, ascending."""
+
+    def seq_kernel(g: pa.Table) -> pa.Table:
+        et = g["event_type"].combine_chunks()
+        us = g["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        is_a = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        is_b = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        a_us = us[is_a]
+        b_us = np.sort(us[is_b])
+        if a_us.size == 0 or b_us.size == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_seq": pa.array([], pa.int64()),
+            })
+        lo = np.searchsorted(b_us, a_us, side="right")
+        hi = np.searchsorted(b_us, a_us + EQL_MAXSPAN_US, side="right")
+        n = int((hi > lo).sum())
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_seq": pa.array([], pa.int64()),
+            })
+        uid = int(g["user_id"][0].as_py())
+        return pa.table({
+            "user_id": pa.array([uid], pa.int64()),
+            "n_seq": pa.array([n], pa.int64()),
+        })
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+        .groupby("user_id")
+        .map_groups(seq_kernel, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+
+
 def q1_pricing(sf_dir: str) -> rd.Dataset:
     """TPC-H-Q1-style scan+filter+aggregate over lineitem (M1/A-series):
     pre-aggregated map-side, tiny global groupby.

@@ -1000,6 +1000,58 @@ def test_sessionize_gap_semantics():
     ]
 
 
+def test_eql_sequence_matches_bruteforce():
+    """EQL sequence semantics pinned: strictly-after lower bound,
+    inclusive maxspan upper bound, one count per matching click, users
+    without a completed sequence absent."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rayfts.pipelines import EQL_MAXSPAN_US, events_eql_sequence
+
+    rng = np.random.default_rng(5)
+    n = 400
+    users = rng.integers(0, 6, n)
+    ts = np.sort(rng.integers(0, 40 * EQL_MAXSPAN_US, n))
+    types = rng.choice(["click", "purchase", "view"], n)
+    # pin the boundary cases explicitly on user 9
+    extra_u = [9, 9, 9, 9]
+    extra_t = [0, EQL_MAXSPAN_US, 10 * EQL_MAXSPAN_US,
+               11 * EQL_MAXSPAN_US + 1]
+    extra_e = ["click", "purchase", "click", "purchase"]
+    users = np.concatenate([users, extra_u])
+    ts = np.concatenate([ts, extra_t])
+    types = np.array(list(types) + extra_e)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(range(users.size), pa.int64()),
+                "ts": pa.array(ts.astype("int64"), pa.timestamp("us")),
+                "user_id": pa.array(users.astype("int64"), pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+            }),
+            f"{d}/events.parquet",
+        )
+        got = {
+            int(r.user_id): int(r.n_seq)
+            for r in events_eql_sequence(d).to_pandas().itertuples()
+        }
+    want: dict = {}
+    for u in set(users.tolist()):
+        m = users == u
+        a = ts[m & (types == "click")]
+        b = ts[m & (types == "purchase")]
+        c = sum(
+            1 for x in a if ((b > x) & (b <= x + EQL_MAXSPAN_US)).any()
+        )
+        if c:
+            want[int(u)] = c
+    assert got == want
+    # boundary pins: purchase AT ts+maxspan matches; +1 past it doesn't
+    assert want.get(9, 0) == 1
+
+
 def test_pipeline_aggs_over_histogram(index_dir, oracle):
     from rayfts.search import pipeline_aggs
 
