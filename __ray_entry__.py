@@ -625,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # runtime fields: query-time derived numeric column in aggs
         "fts_runtime_field_stats": P.fts_runtime_field_stats,
         "fts_dsl_script_filter_top10": P.fts_dsl_script_filter_top10,
+        "fts_esql_stats": P.fts_esql_stats,  # ES|QL piped language
         # Heaps-law vocabulary growth (first-occurrence histogram)
         "vocab_growth_curve": P.vocab_growth_curve,
         "vocab_zipf_slope": P.vocab_zipf_slope,
@@ -972,6 +973,17 @@ SELECT doc_id, dl FROM dl
         "fts_bm25_filtered_top10": _bm25_sql(
             sorted(set(P.BM25_QUERY.split())), 10, "WHERE d2.lang = 'en'"
         ),
+        # ES|QL: the piped-language compile of MATCH + range + STATS BY
+        "fts_esql_stats": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total,
+       max(n_chars)::BIGINT AS biggest
+FROM documents JOIN hits USING (doc_id)
+WHERE n_chars >= 100
+GROUP BY lang ORDER BY n DESC, lang LIMIT 10
+""",
         # script query (filter context): the AST (n_chars*7 - 100)/4
         # > 500 prunes hits; df/avgdl stay corpus-global; /4.0 and the
         # integer pre-ops are exact in both float engines

@@ -5662,6 +5662,33 @@ RUNTIME_FIELD_EXPR = {
 }
 
 
+ESQL_QUERY = (
+    'FROM documents '
+    '| WHERE MATCH(text, "spark join the data") AND n_chars >= 100 '
+    '| STATS n = COUNT(*), total = SUM(n_chars), biggest = MAX(n_chars) '
+    'BY lang '
+    '| SORT n DESC, lang ASC '
+    '| LIMIT 10'
+)
+
+
+def fts_esql_stats(sf_dir: str) -> pa.Table:
+    """ES|QL (the 8.11+ piped language): ESQL_QUERY parses and compiles
+    onto the engine surface — MATCH -> hit mask, the n_chars bound ->
+    range where, STATS BY -> exact per-bucket int reductions, SORT +
+    LIMIT driver-side over O(buckets) rows."""
+    from .esql import execute_esql
+
+    s = Searcher(documents_index(sf_dir))
+    t = execute_esql(s, ESQL_QUERY)
+    return pa.table({
+        "lang": t["lang"].cast(pa.string()),
+        "n": t["n"].cast(pa.int64()),
+        "total": t["total"].cast(pa.int64()),
+        "biggest": t["biggest"].cast(pa.int64()),
+    })
+
+
 def fts_dsl_script_filter_top10(sf_dir: str) -> pa.Table:
     """ES script query (filter context): BM25_QUERY hits kept only when
     the painless-AST expression (n_chars*7 - 100)/4 exceeds 500 — the
