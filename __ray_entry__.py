@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cross_fields_top10": P.fts_cross_fields_top10,  # cross_fields
         "fts_export_hits": P.fts_export_hits,        # scroll / full-hit export
         "fts_term_doc_count": P.fts_term_doc_count,
+        "fts_terminate_after": P.fts_terminate_after,  # capped _count
         "fts_docstore_roundtrip": P.fts_docstore_roundtrip,
         "fts_compact_docstore": P.fts_compact_docstore,  # delete-by-query + forceMerge
         "fts_tags_filter_count": P.fts_tags_filter_count,  # F7 dynamic tags
@@ -1159,6 +1160,15 @@ FROM documents JOIN hits USING (doc_id)
 WHERE regexp_full_match(source, '{P.TERMS_INCLUDE}')
   AND NOT regexp_full_match(source, '{P.TERMS_EXCLUDE}')
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 20
+""",
+        # terminate_after: capped count + early-termination flag
+        "fts_terminate_after": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT least(count(*), {P.TERMINATE_AFTER})::BIGINT AS n,
+       (count(*) > {P.TERMINATE_AFTER})::BIGINT AS terminated_early
+FROM hits
 """,
         # terms missing + min_doc_count: NULL size_tag buckets under
         # 'untagged'; merged counts below 3 drop before truncation

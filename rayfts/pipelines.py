@@ -781,6 +781,21 @@ def fts_multi_terms(sf_dir: str) -> pa.Table:
     })
 
 
+TERMINATE_AFTER = 40
+
+
+def fts_terminate_after(sf_dir: str) -> pa.Table:
+    """ES _count with terminate_after: the BM25_QUERY hit count capped
+    at TERMINATE_AFTER with the terminated_early flag — deterministic
+    (collection order is dense doc order, so the cap is exact)."""
+    s = Searcher(documents_index(sf_dir))
+    n, term = s.count_hits(BM25_QUERY, terminate_after=TERMINATE_AFTER)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "terminated_early": pa.array([int(term)], pa.int64()),
+    })
+
+
 TERMS_MISSING_VALUE = "untagged"
 TERMS_MDC = 3
 

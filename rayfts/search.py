@@ -6281,6 +6281,22 @@ class Searcher(SuggestAPI):
             rows.append(index[int(d)])
         return t.take(pa.array(rows, pa.int64()))
 
+    def count_hits(self, query: str | None,
+                   where: dict | None = None,
+                   terminate_after: int | None = None,
+                   mode: str = "or",
+                   must_not: str | None = None) -> tuple[int, bool]:
+        """ES _count with ``terminate_after``: collect hits in doc_id
+        order until the cap, then stop — deterministic here because the
+        collection order IS dense doc order, so the capped count is
+        exactly ``min(n_hits, cap)`` and ``terminated_early`` is
+        ``n_hits > cap``. Returns (count, terminated_early)."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        n = int(hits.sum()) if hits is not None else 0
+        if terminate_after is None or n <= terminate_after:
+            return n, False
+        return int(terminate_after), True
+
     def count(self, **where) -> int:
         """Doc count with optional keyword-column equality / range filters
         (ref: index count API, PluginIntegrationITest.java:44-45)."""
@@ -7483,6 +7499,27 @@ class MultiSearcher(SuggestAPI):
                 bg[v] = bg.get(v, 0) + c
             n_live += sn
         return _jlh_ranked(fg, n_hits, bg, n_live, min_doc_count, size)
+
+    def count_hits(self, query: str | None,
+                   where: dict | None = None,
+                   terminate_after: int | None = None,
+                   mode: str = "or",
+                   must_not: str | None = None) -> tuple[int, bool]:
+        """Sharded _count with terminate_after — the cap applies PER
+        SEGMENT (the ES per-shard semantic), so the sharded result is
+        sum(min(seg_hits, cap)) and INTENTIONALLY differs from the
+        single-index run when any segment truncates; terminated_early
+        is true if any segment hit its cap. This is the one documented
+        exception to the repo's sharded==global invariant (pinned by
+        test, like ES)."""
+        total, term = 0, False
+        for seg in self.segments:
+            c, t = seg.count_hits(
+                query, where, terminate_after, mode, must_not
+            )
+            total += c
+            term = term or t
+        return total, term
 
     def multi_terms_agg(self, query: str, fields: list[str],
                         size: int = 10, where: dict | None = None,

@@ -419,6 +419,26 @@ def test_sharded_rare_and_multi_terms_equal_global(indexes):
             single.histogram_agg(q, "turn_idx", 4.0, offset=1.5), q
 
 
+def test_terminate_after_per_shard_semantics(indexes):
+    """count_hits: uncapped == exact hit count everywhere; capped is
+    min(n, cap) on one index and sum of PER-SEGMENT mins on the
+    sharded run (the ES per-shard semantic — the one documented
+    exception to sharded==global)."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    q = "the w0007"
+    n, t = single.count_hits(q)
+    assert (n, t) == (int(single._hit_mask(q).sum()), False)
+    assert multi.count_hits(q) == (n, False)
+    cap = max(1, n // 3)
+    assert single.count_hits(q, terminate_after=cap) == (cap, True)
+    per_seg = [
+        seg.count_hits(q, terminate_after=cap) for seg in multi.segments
+    ]
+    want = (sum(c for c, _ in per_seg), any(t for _, t in per_seg))
+    assert multi.count_hits(q, terminate_after=cap) == want
+
+
 def test_sharded_new_metric_aggs_equal_global(indexes):
     single = Searcher(indexes["full"])
     multi = MultiSearcher([indexes["a"], indexes["b"]])
