@@ -453,6 +453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_more_like_this": P.fts_more_like_this,  # MLT query
         "fts_function_score_top10": P.fts_function_score_top10,  # function_score
         "fts_rank_feature_top10": P.fts_rank_feature_top10,  # saturation boost
+        "fts_rank_feature_sigmoid_top10": P.fts_rank_feature_sigmoid_top10,
+        "fts_fields_top10": P.fts_fields_top10,  # fields fetch phase
         "fts_distance_feature_top10": P.fts_distance_feature_top10,
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_stem_bm25_top10": P.fts_stem_bm25_top10,  # stemmer filter
@@ -2422,6 +2424,31 @@ FROM scores s2 JOIN documents d2 USING (doc_id)
 ORDER BY s2.score + {P.RANK_FEATURE_BOOST!r} *
   (CAST(d2.n_chars AS DOUBLE)
    / (CAST(d2.n_chars AS DOUBLE) + {P.RANK_FEATURE_PIVOT!r})) DESC,
+  s2.doc_id
+LIMIT 10
+""",
+        # fields fetch phase: top-10 + requested doc fields
+        "fts_fields_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6,
+       d2.lang, d2.n_chars
+FROM scores s2 JOIN documents d2 USING (doc_id)
+ORDER BY s2.score DESC, s2.doc_id LIMIT 10
+""",
+        # rank_feature sigmoid (exponent pinned at 2): exact products
+        "fts_rank_feature_sigmoid_top10": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))}
+SELECT s2.doc_id,
+       CAST(round((s2.score + {P.RANK_FEATURE_BOOST!r} *
+         ((CAST(d2.n_chars AS DOUBLE) * d2.n_chars)
+          / (CAST(d2.n_chars AS DOUBLE) * d2.n_chars
+             + {P.RANK_FEATURE_PIVOT!r} * {P.RANK_FEATURE_PIVOT!r})))
+         * 1e6) AS BIGINT) AS score_e6
+FROM scores s2 JOIN documents d2 USING (doc_id)
+ORDER BY s2.score + {P.RANK_FEATURE_BOOST!r} *
+  ((CAST(d2.n_chars AS DOUBLE) * d2.n_chars)
+   / (CAST(d2.n_chars AS DOUBLE) * d2.n_chars
+      + {P.RANK_FEATURE_PIVOT!r} * {P.RANK_FEATURE_PIVOT!r})) DESC,
   s2.doc_id
 LIMIT 10
 """,

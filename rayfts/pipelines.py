@@ -2467,6 +2467,51 @@ def fts_rank_feature_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_fields_top10(sf_dir: str) -> pa.Table:
+    """ES `fields` response shaping (the query-then-fetch phase): the
+    BM25_QUERY top-10 plus requested doc fields (lang, n_chars) fetched
+    ONLY for the k hits via the manifest-routed multiget — the fetch
+    reads the owning docstore partitions, never the corpus."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search(BM25_QUERY, k=10)
+    docs = s.get_by_doc_id([d for d, _ in hits])
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+        ),
+        "lang": docs["lang"].combine_chunks().cast(pa.string()),
+        "n_chars": docs["n_chars"].combine_chunks().cast(pa.int64()),
+    })
+
+
+def fts_rank_feature_sigmoid_top10(sf_dir: str) -> pa.Table:
+    """ES rank_feature sigmoid variant (exponent pinned at 2): final =
+    BM25 + boost * n_chars^2/(n_chars^2 + pivot^2) — exact products, no
+    cross-engine pow()."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.rank_feature(
+        BM25_QUERY, "n_chars", pivot=RANK_FEATURE_PIVOT,
+        k=10, boost=RANK_FEATURE_BOOST, func="sigmoid",
+    )
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
 def fts_distance_feature_top10(sf_dir: str) -> pa.Table:
     """ES distance_feature analog over a numeric field: final = BM25 +
     boost * pivot/(pivot + |n_chars - origin|) — proximity-to-origin

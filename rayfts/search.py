@@ -5988,17 +5988,25 @@ class Searcher(SuggestAPI):
         scores = buf[idx] * fac
         return self._topk_from(idx, scores, k)
 
-    def rank_feature(self, query: str, field: str, pivot: float,
+    def rank_feature(self, query: str, field: str, pivot: float = 1.0,
                      k: int = 10, boost: float = 1.0,
-                     where: dict | None = None) -> list[tuple]:
-        """ES rank_feature query (saturation function, the default) as an
-        additive should clause: final = BM25(query) +
-        boost * (v / (v + pivot)). ES derives a default pivot from the
-        index-wide geometric mean; here it is explicit for determinism.
-        Docs missing the field contribute 0 from the feature (the
-        should-clause no-match). One dense pass + one vectorized
-        saturation add — float op order pinned for the SQL oracle:
-        boost * (v / (v + pivot)), then + base."""
+                     where: dict | None = None, func: str = "saturation",
+                     scaling_factor: float = 1.0) -> list[tuple]:
+        """ES rank_feature query as an additive should clause over BM25:
+
+          * ``saturation`` (the ES default): boost * (v / (v + pivot))
+          * ``log``:     boost * ln(scaling_factor + v)
+          * ``sigmoid``: boost * (v*v / (v*v + pivot*pivot)) — the ES
+            sigmoid pinned at exponent = 2 so every term is an exact
+            float product (a fractional exponent's pow() is not
+            correctly rounded the same way across engines, so it can't
+            sit in a hash-pinned contract)
+
+        ES derives a default pivot from the index-wide geometric mean;
+        here it is explicit for determinism. Docs missing the field
+        contribute 0 (the should-clause no-match). One dense pass + one
+        vectorized add — float op order pinned per variant for the SQL
+        oracle, then + base."""
         if pivot <= 0:
             raise ValueError("pivot must be positive")
         if k <= 0:
@@ -6014,7 +6022,16 @@ class Searcher(SuggestAPI):
         add = np.zeros(idx.size, np.float64)
         v = valid[idx]
         x = vals[idx][v]
-        add[v] = boost * (x / (x + pivot))
+        if func == "saturation":
+            add[v] = boost * (x / (x + pivot))
+        elif func == "log":
+            add[v] = boost * np.log(scaling_factor + x)
+        elif func == "sigmoid":
+            add[v] = boost * ((x * x) / (x * x + pivot * pivot))
+        else:
+            raise ValueError(
+                f"rank_feature func {func!r} (saturation|log|sigmoid)"
+            )
         return self._topk_from(idx, buf[idx] + add, k)
 
     def distance_feature(self, query: str, field: str, origin: float,
