@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": P.events_tumbling_1h,
         "events_sessionize": P.events_sessionize,    # session windows
         "events_eql_sequence": P.events_eql_sequence,  # EQL sequence
+        "events_eql_seq3": P.events_eql_seq3,  # 3-stage EQL sequence
         "sample_split_counts": P.sample_split_counts,  # hash holdout split
         "sample_shuffle_order": P.sample_shuffle_order,
         "events_hopping_2h1h": P.events_hopping_2h1h,
@@ -2571,6 +2572,22 @@ SELECT user_id, count(*)::BIGINT AS n_seq FROM (
     WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
       AND epoch_us(p.ts) > epoch_us(c.ts)
       AND epoch_us(p.ts) <= epoch_us(c.ts) + {P.EQL_MAXSPAN_US}
+  )
+) GROUP BY user_id ORDER BY user_id
+""",
+        # 3-stage EQL: click -> view -> purchase, each hop maxspan-
+        # bounded (8h); existence counting (any witness pair)
+        "events_eql_seq3": f"""
+SELECT user_id, count(*)::BIGINT AS n_seq FROM (
+  SELECT c.user_id FROM events c
+  WHERE c.event_type = 'click' AND EXISTS (
+    SELECT 1 FROM events v JOIN events p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) > epoch_us(v.ts)
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + {P.EQL3_MAXSPAN_US}
+    WHERE v.user_id = c.user_id AND v.event_type = 'view'
+      AND epoch_us(v.ts) > epoch_us(c.ts)
+      AND epoch_us(v.ts) <= epoch_us(c.ts) + {P.EQL3_MAXSPAN_US}
   )
 ) GROUP BY user_id ORDER BY user_id
 """,

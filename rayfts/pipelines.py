@@ -3052,6 +3052,66 @@ def events_eql_sequence(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
 
 
+EQL3_MAXSPAN_US = 28_800_000_000  # 8h — 3 hops are rarer, wider window
+
+
+def events_eql_seq3(sf_dir: str) -> pa.Table:
+    """Three-stage EQL sequence: ``sequence by user_id with maxspan=8h
+    [click] [view] [purchase]`` — a click completes when SOME view v in
+    (ts_c, ts_c+span] has SOME purchase in (ts_v, ts_v+span] (each hop
+    bounded by maxspan, the EQL per-adjacent-pair rule pinned here).
+    Vectorized per group: mark each view that has a purchase in its
+    forward window (two searchsorted passes), then count clicks whose
+    window holds >= 1 marked view via a prefix-sum range count — no
+    greedy tie-pick needed (pure existence, any witness works)."""
+
+    def seq_kernel(g: pa.Table) -> pa.Table:
+        et = g["event_type"].combine_chunks()
+        us = g["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        a_us = us[pc.equal(et, "click").to_numpy(zero_copy_only=False)]
+        v_us = np.sort(
+            us[pc.equal(et, "view").to_numpy(zero_copy_only=False)]
+        )
+        b_us = np.sort(
+            us[pc.equal(et, "purchase").to_numpy(zero_copy_only=False)]
+        )
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_seq": pa.array([], pa.int64()),
+        })
+        if a_us.size == 0 or v_us.size == 0 or b_us.size == 0:
+            return empty
+        # view v is "backed" iff a purchase falls in (v, v+span]
+        lo_b = np.searchsorted(b_us, v_us, side="right")
+        hi_b = np.searchsorted(b_us, v_us + EQL3_MAXSPAN_US, side="right")
+        backed = (hi_b > lo_b).astype(np.int64)
+        pref = np.concatenate([[0], np.cumsum(backed)])
+        # click c completes iff >= 1 backed view in (c, c+span]
+        lo_v = np.searchsorted(v_us, a_us, side="right")
+        hi_v = np.searchsorted(v_us, a_us + EQL3_MAXSPAN_US, side="right")
+        n = int((pref[hi_v] > pref[lo_v]).sum())
+        if n == 0:
+            return empty
+        uid = int(g["user_id"][0].as_py())
+        return pa.table({
+            "user_id": pa.array([uid], pa.int64()),
+            "n_seq": pa.array([n], pa.int64()),
+        })
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+        .groupby("user_id")
+        .map_groups(seq_kernel, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+
+
 def q1_pricing(sf_dir: str) -> rd.Dataset:
     """TPC-H-Q1-style scan+filter+aggregate over lineitem (M1/A-series):
     pre-aggregated map-side, tiny global groupby.

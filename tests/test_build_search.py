@@ -1052,6 +1052,53 @@ def test_eql_sequence_matches_bruteforce():
     assert want.get(9, 0) == 1
 
 
+def test_eql_seq3_matches_bruteforce():
+    """3-stage EQL: per-adjacent-pair maxspan bound, existence counting
+    (any (view, purchase) witness completes the click)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rayfts.pipelines import EQL3_MAXSPAN_US, events_eql_seq3
+
+    rng = np.random.default_rng(17)
+    n = 600
+    users = rng.integers(0, 5, n)
+    ts = np.sort(rng.integers(0, 30 * EQL3_MAXSPAN_US, n))
+    types = rng.choice(["click", "view", "purchase", "error"], n)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts.astype("int64"), pa.timestamp("us")),
+                "user_id": pa.array(users.astype("int64"), pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+            }),
+            f"{d}/events.parquet",
+        )
+        got = {
+            int(r.user_id): int(r.n_seq)
+            for r in events_eql_seq3(d).to_pandas().itertuples()
+        }
+    want: dict = {}
+    S = EQL3_MAXSPAN_US
+    for u in set(users.tolist()):
+        m = users == u
+        a = ts[m & (types == "click")]
+        v = ts[m & (types == "view")]
+        b = ts[m & (types == "purchase")]
+        c = sum(
+            1 for x in a
+            if any(
+                ((b > y) & (b <= y + S)).any()
+                for y in v[(v > x) & (v <= x + S)]
+            )
+        )
+        if c:
+            want[int(u)] = c
+    assert got == want and want
+
+
 def test_pipeline_aggs_over_histogram(index_dir, oracle):
     from rayfts.search import pipeline_aggs
 
