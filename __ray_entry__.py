@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_2h1h": P.events_hopping_2h1h,
         "events_pivot_transform": P.events_pivot_transform,
         "events_downsample_1h": P.events_downsample_1h,  # _downsample API
+        "events_transform_latest": P.events_transform_latest,  # latest mode
         "sample_stratified_counts": P.sample_stratified_counts,  # per-key quota
         "temperature_mix_counts": P.temperature_mix_counts,  # n^alpha mixing
         "quality_ntile_counts": P.quality_ntile_counts,  # curriculum deciles
@@ -2602,6 +2603,18 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        max(CAST(round(value * 100.0) AS BIGINT))::BIGINT AS max_cents,
        sum(CAST(round(value * 100.0) AS BIGINT))::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2
+""",
+        # transform latest: newest row per key by (ts, event_id)
+        "events_transform_latest": """
+SELECT event_type, event_id,
+       epoch_us(ts)::BIGINT AS ts_us,
+       CAST(round(value * 100.0) AS BIGINT) AS value_cents
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY event_type
 """,
         # transform pivot: (type, day) summary — integer-cents sums so
         # the incremental-merge dest equals this full GROUP BY exactly

@@ -6586,6 +6586,25 @@ def events_pivot_transform(sf_dir: str) -> pa.Table:
         return pq.read_table(os.path.join(d, DEST_NAME))
 
 
+def events_transform_latest(sf_dir: str) -> pa.Table:
+    """ES transform `latest` mode: per event_type, the newest event by
+    (ts, event_id) — map-side per-batch argmax partials, driver merge
+    over O(keys × map tasks) rows, no shuffle."""
+    from .transform import latest_transform
+
+    t = latest_transform(
+        os.path.join(sf_dir, "events.parquet"), ["event_type"]
+    )
+    return pa.table({
+        "event_type": t["event_type"],
+        "event_id": t["event_id"],
+        "ts_us": pc.cast(t["ts"], pa.int64()),
+        "value_cents": pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+        ),
+    })
+
+
 def events_downsample_1h(sf_dir: str) -> pa.Table:
     """ES _downsample API analog: roll the events TSDB index up to
     fixed_interval=1h buckets keyed by the dimension (`event_type`);

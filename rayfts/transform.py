@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -69,6 +70,60 @@ def _pivot(ds: rd.Dataset, group_by: list[str]) -> pa.Table:
         "sum_value_cents": pc.cast(t["sum(s_p)"], pa.int64()),
         "max_value_cents": pc.cast(t["max(m_p)"], pa.int64()),
     })
+    return out.take(pc.sort_indices(
+        out, sort_keys=[(k, "ascending") for k in group_by]
+    ))
+
+
+def _latest_rows(t: pa.Table, group_by: list[str], sort_col: str,
+                 tiebreak_col: str) -> pa.Table:
+    """One row per group_by key: max (sort_col, tiebreak_col). One
+    lexsort + last-of-run gather — no per-key Python."""
+    if t.num_rows == 0:
+        return t
+    us = pc.cast(t[sort_col], pa.int64()).combine_chunks().to_numpy()
+    tb = t[tiebreak_col].combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    codes = pc.dictionary_encode(
+        t[group_by[0]].combine_chunks()
+    ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    for k in group_by[1:]:
+        c2 = pc.dictionary_encode(
+            t[k].combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = codes * (int(c2.max(initial=0)) + 1) + c2
+    order = np.lexsort((tb, us, codes))
+    last = order[np.concatenate([
+        np.flatnonzero(np.diff(codes[order]) != 0),
+        [codes.size - 1],
+    ])]
+    return t.take(pa.array(np.sort(last), pa.int64()))
+
+
+def latest_transform(events_path: str, group_by: list[str],
+                     sort_col: str = "ts",
+                     tiebreak_col: str = "event_id") -> pa.Table:
+    """ES transform ``latest`` mode: one row per unique ``group_by``
+    key — the newest source row by ``sort_col`` (ties broken by the
+    max ``tiebreak_col``, pinned for determinism; ES uses ingest
+    order, which a distributed read cannot reproduce). Map-side
+    per-batch argmax partials (rows drop to one per observed key per
+    batch), then the SAME rule once more on the driver over
+    O(keys x map tasks) rows — the source never shuffles."""
+    part = (
+        rd.read_parquet(events_path)
+        .map_batches(
+            lambda t: _latest_rows(t, group_by, sort_col, tiebreak_col),
+            batch_format="pyarrow",
+        )
+    )
+    blocks = [b for b in ray.get(part.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return pa.table({})
+    out = _latest_rows(
+        pa.concat_tables(blocks), group_by, sort_col, tiebreak_col
+    )
     return out.take(pc.sort_indices(
         out, sort_keys=[(k, "ascending") for k in group_by]
     ))

@@ -2336,6 +2336,42 @@ def test_ingest_pipeline_processors_and_build_integration():
         assert not s.search("99", k=5)
 
 
+def test_transform_latest_matches_bruteforce():
+    """latest mode: one row per key, max (ts, event_id); batching-
+    independent (partials drop to one row per key per batch, the
+    driver merge applies the same rule)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rayfts.transform import latest_transform
+
+    rng = np.random.default_rng(23)
+    n = 500
+    types = rng.choice(["a", "b", "c", "d"], n)
+    ts = rng.integers(0, 10_000, n)  # collisions likely -> ties
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts.astype("int64"), pa.timestamp("us")),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array(rng.random(n), pa.float64()),
+            }),
+            f"{d}/events.parquet",
+        )
+        got = latest_transform(f"{d}/events.parquet", ["event_type"])
+    want = {}
+    for i in range(n):
+        k = types[i]
+        cur = want.get(k)
+        if cur is None or (int(ts[i]), i) > (int(ts[cur]), cur):
+            want[k] = i
+    rows = list(zip(got["event_type"].to_pylist(),
+                    got["event_id"].to_pylist()))
+    assert rows == [(k, want[k]) for k in sorted(want)]
+
+
 def test_transform_incremental_equals_full():
     """Continuous transform: two incremental runs over disjoint ts
     slices produce a dest BIT-IDENTICAL to one full pivot; an idle
