@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_terms_avg_order": P.fts_terms_avg_order,
         "fts_rare_terms_hits": P.fts_rare_terms,     # rare_terms over hit set
         "fts_sig_keyword_source": P.fts_sig_keyword_source,  # keyword JLH
+        "fts_sig_chi2_source": P.fts_sig_chi2_source,  # chi_square heuristic
         "fts_dsl_bool_top10": P.fts_dsl_bool_top10,  # ES request-body exec
         "fts_multi_terms_hits": P.fts_multi_terms,   # multi_terms over hit set
         "fts_reverse_nested": P.fts_reverse_nested,  # reverse_nested agg
@@ -1105,6 +1106,37 @@ sc AS (
 )
 SELECT source, fdf AS fg_df, df,
        CAST(round(score * 1e9) AS BIGINT) AS score_e9
+FROM sc ORDER BY score DESC, source LIMIT 6
+""",
+        # chi_square heuristic: exact int64 cross difference, float
+        # grouping N * (diff*diff) / ((ab*cd) * (ac*bd)) — parens pinned
+        "fts_sig_chi2_source": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks
+         WHERE term = '{P.SIG_KEYWORD_QUERY}'),
+fg AS (SELECT source, count(*) AS fdf
+       FROM documents JOIN hits USING (doc_id) GROUP BY source),
+tot AS (SELECT count(*) AS nh FROM hits),
+bg AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
+nl AS (SELECT count(*) AS n FROM documents),
+cells AS (
+  SELECT fg.source, fdf, df, nh, n,
+         fdf AS a, df - fdf AS b, nh - fdf AS c,
+         n - df - (nh - fdf) AS d
+  FROM fg JOIN bg USING (source) CROSS JOIN tot CROSS JOIN nl
+  WHERE fdf >= 2 AND fdf::DOUBLE / nh > df::DOUBLE / n
+),
+sc AS (
+  SELECT source, fdf, df,
+         (CAST(n AS DOUBLE)
+           * (CAST(a * d - b * c AS DOUBLE)
+              * CAST(a * d - b * c AS DOUBLE)))
+         / ((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+            * (CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))) AS score
+  FROM cells
+)
+SELECT source, fdf AS fg_df, df,
+       CAST(round(score * 1e6) AS BIGINT) AS score_e6
 FROM sc ORDER BY score DESC, source LIMIT 6
 """,
         # significant_terms + background_filter: bg histogram and N

@@ -751,6 +751,26 @@ def fts_sig_keyword_source(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_sig_chi2_source(sf_dir: str) -> pa.Table:
+    """ES significant_terms with the chi_square heuristic
+    (include_negatives=false, background_is_superset=true): the 2x2
+    contingency score over the same exact fg/bg histograms as the JLH
+    query — exact int64 cross difference, pinned float grouping."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.significant_keyword_terms(
+        SIG_KEYWORD_QUERY, "source", size=6, min_doc_count=2,
+        heuristic="chi_square",
+    )
+    return pa.table({
+        "source": pa.array([v for v, _, _, _ in rows], pa.string()),
+        "fg_df": pa.array([f for _, f, _, _ in rows], pa.int64()),
+        "df": pa.array([d for _, _, d, _ in rows], pa.int64()),
+        "score_e6": pa.array(
+            [int(round(sc * 1e6)) for _, _, _, sc in rows], pa.int64()
+        ),
+    })
+
+
 RARE_MAX_DOC_COUNT = 80   # rare_terms cutoff (drops the majority lang)
 
 

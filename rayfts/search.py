@@ -888,6 +888,43 @@ def _jlh_ranked(fg: dict, n_hits: int, bg: dict, n_live: int,
     return out[:size]
 
 
+def _chi2_ranked(fg: dict, n_hits: int, bg: dict, n_live: int,
+                 min_doc_count: int, size: int) -> list[tuple]:
+    """ES significant_terms chi_square heuristic (include_negatives =
+    false, background_is_superset = true): the 2x2 contingency score
+    N * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)) with a = fg_df,
+    b = df - fg_df, c = n_hits - fg_df, d = N - df - c. The cross
+    difference (ad - bc) is computed EXACTLY in int64 (|ad| < N^2 <
+    2^63 for N < 3e9) and squared/divided in float with a pinned
+    grouping: N * (diff*diff) / ((ab*cd) * (ac*bd)) — the SQL twin
+    mirrors the parentheses. Same drop rules as JLH (min_doc_count,
+    fgp <= bgp, bg-absent)."""
+    if not n_hits or not n_live:
+        return []
+    out = []
+    for v, a in fg.items():
+        if a < min_doc_count:
+            continue
+        df = bg.get(v, 0)
+        if df == 0:
+            continue
+        if a / n_hits <= df / n_live:
+            continue
+        b = df - a
+        c = n_hits - a
+        d = n_live - df - c
+        diff = float(a * d - b * c)
+        num = float(n_live) * (diff * diff)
+        den = (float(a + b) * float(c + d)) * (
+            float(a + c) * float(b + d)
+        )
+        if den == 0:
+            continue
+        out.append((v, int(a), int(df), num / den))
+    out.sort(key=lambda e: (-e[3], e[0]))
+    return out[:size]
+
+
 def _rank_eval_metrics(hits: list[tuple], is_relevant, n_rel: int,
                        k: int) -> dict:
     """The rank_eval metric suite over a ranked hit list — shared by the
@@ -1768,7 +1805,8 @@ class Searcher(SuggestAPI):
                                   where: dict | None = None,
                                   mode: str = "or",
                                   must_not: str | None = None,
-                                  background_where: dict | None = None
+                                  background_where: dict | None = None,
+                                  heuristic: str = "jlh"
                                   ) -> list[tuple]:
         """ES significant_terms over a KEYWORD field (the doc-values
         form — the text-re-analysis form, i.e. ES significant_text, is
@@ -1785,7 +1823,8 @@ class Searcher(SuggestAPI):
         fg, n_hits = self._keyword_sig_foreground(query, field, where,
                                                   mode, must_not)
         bg, n_live = self._field_hist_live(field, background_where)
-        return _jlh_ranked(fg, n_hits, bg, n_live, min_doc_count, size)
+        rank = _chi2_ranked if heuristic == "chi_square" else _jlh_ranked
+        return rank(fg, n_hits, bg, n_live, min_doc_count, size)
 
     def _keyword_sig_foreground(self, query: str, field: str,
                                 where=None, mode="or",
@@ -7495,7 +7534,8 @@ class MultiSearcher(SuggestAPI):
                                   where: dict | None = None,
                                   mode: str = "or",
                                   must_not: str | None = None,
-                                  background_where: dict | None = None
+                                  background_where: dict | None = None,
+                                  heuristic: str = "jlh"
                                   ) -> list[tuple]:
         """Sharded keyword significant_terms, EXACT: per-segment
         foreground/background histograms and counts are integers that
@@ -7515,7 +7555,8 @@ class MultiSearcher(SuggestAPI):
             for v, c in sb.items():
                 bg[v] = bg.get(v, 0) + c
             n_live += sn
-        return _jlh_ranked(fg, n_hits, bg, n_live, min_doc_count, size)
+        rank = _chi2_ranked if heuristic == "chi_square" else _jlh_ranked
+        return rank(fg, n_hits, bg, n_live, min_doc_count, size)
 
     def count_hits(self, query: str | None,
                    where: dict | None = None,
