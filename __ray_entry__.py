@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_distance_feature_top10": P.fts_distance_feature_top10,
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_stem_bm25_top10": P.fts_stem_bm25_top10,  # stemmer filter
+        "fts_bm25_k1b_top10": P.fts_bm25_k1b_top10,  # custom k1/b knobs
         "fts_rescore_top10": P.fts_rescore_top10,    # rescore window API
         "fts_dsl_rescorer_top10": P.fts_dsl_rescorer_top10,  # rescorer retriever
         "fts_synonym_top10": P.fts_synonym_top10,    # SynonymQuery expansion
@@ -2424,6 +2425,37 @@ LIMIT 10
 SELECT s2.doc_id, CAST(round(s2.score * 1e6) AS BIGINT) AS score_e6
 FROM scores s2
 ORDER BY s2.score DESC, s2.doc_id LIMIT 10
+""",
+        # custom BM25 parameters (k1=0.9, b=0.3) from the config
+        # cascade — same literals, same float op order both sides
+        "fts_bm25_k1b_top10": f"""
+WITH {_TOKS_CTE},
+{_DL_CTE},
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({",".join(
+      f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ( tf.tf * ({P.BM25_CUSTOM_K1!r} + 1.0)
+                  / (tf.tf + {P.BM25_CUSTOM_K1!r}
+                     * (1.0 - {P.BM25_CUSTOM_B!r}
+                        + {P.BM25_CUSTOM_B!r} * dl.dl / s.avgdl)) )
+              ORDER BY tf.term ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """,
         # analyzer stemmer (minimal_english S-stemmer): the corpus token
         # stream maps through the SQL stem CASE; the engine's query-side

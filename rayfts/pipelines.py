@@ -173,6 +173,68 @@ def documents_stop_index(sf_dir: str) -> str:
     return index_dir
 
 
+BM25_CUSTOM_K1, BM25_CUSTOM_B = 0.9, 0.3
+
+
+def documents_k1b_index(sf_dir: str) -> str:
+    """Build (once, cached) an index with NON-DEFAULT BM25 parameters
+    (k1=0.9, b=0.3 — the ES similarity-module knobs): the pair rides
+    the config cascade into the manifest and every Searcher scores
+    with it."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}|k1b1".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/rayfts_qidx/{tag}"
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        import json
+
+        from .build import FORMAT_VERSION
+
+        with open(manifest_path) as f:
+            if json.load(f).get("format_version") == FORMAT_VERSION:
+                return index_dir
+    ds = rd.read_parquet(src).map_batches(
+        lambda t: t.rename_columns(
+            ["src_doc_id" if c == "doc_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    cfg = IndexJobConfig(
+        index_dir=index_dir,
+        key_cols=("src_doc_id",),
+        keyword_cols=("lang", "source"),
+        term_buckets=16,
+        k1=BM25_CUSTOM_K1,
+        b=BM25_CUSTOM_B,
+    )
+    build_index(ds, cfg=cfg, rows_per_part=100_000)
+    return index_dir
+
+
+def fts_bm25_k1b_top10(sf_dir: str) -> pa.Table:
+    """BM25 with non-default (k1=0.9, b=0.3) from the config cascade:
+    saturation and length normalization both shift; postings/df/dl are
+    identical to the default index (parameters are scoring-time, like
+    the ES similarity module)."""
+    index_dir = documents_k1b_index(sf_dir)
+    s = Searcher(index_dir)
+    hits = s.search(BM25_QUERY, k=10)
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in hits], pa.int64()
+            ),
+            "score_e6": pa.array(
+                [int(round(sc * 1e6)) for _, sc in hits], pa.int64()
+            ),
+        }
+    )
+
+
 def documents_stem_index(sf_dir: str) -> str:
     """Build (once, cached) the STEMMED index over `documents` — the ES
     ``stemmer: minimal_english`` analyzer (Lucene EnglishMinimalStemFilter,
