@@ -437,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_suggest_completion": P.fts_suggest_completion,  # completion
         # completion with category contexts (in-context df weight)
         "fts_suggest_completion_ctx": P.fts_suggest_completion_ctx,
+        "fts_suggest_completion_fuzzy": P.fts_suggest_completion_fuzzy,
         "fts_suggest_phrase": P.fts_suggest_phrase,  # phrase suggester (LM)
         "fts_composite_page2": P.fts_composite_page2,  # composite agg cursor
         "fts_significant_terms": P.fts_significant_terms,  # significant_terms
@@ -1663,6 +1664,17 @@ WITH {_TOKS_CTE},
 v AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
 SELECT term, df FROM v WHERE term LIKE '{P.COMPLETE_PREFIX}%'
 ORDER BY df DESC, term LIMIT 10
+""",
+        # fuzzy completion: 1-char exact anchor + levenshtein <= 1 on
+        # the query-prefix-length head, rank unchanged (df desc, term)
+        "fts_suggest_completion_fuzzy": f"""
+WITH {_TOKS_CTE},
+v AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, df FROM v
+WHERE substr(term, 1, 1) = '{P.FUZZY_COMPLETION_PREFIX[0]}'
+  AND levenshtein('{P.FUZZY_COMPLETION_PREFIX}',
+                  substr(term, 1, {len(P.FUZZY_COMPLETION_PREFIX)})) <= 1
+ORDER BY df DESC, term LIMIT 5
 """,
         # completion contexts: df within the lang filter
         "fts_suggest_completion_ctx": f"""

@@ -813,6 +813,24 @@ def fts_sig_keyword_source(sf_dir: str) -> pa.Table:
     })
 
 
+FUZZY_COMPLETION_PREFIX = "sba"  # 'spa' with a typo; anchor 's' exact
+
+
+def fts_suggest_completion_fuzzy(sf_dir: str) -> pa.Table:
+    """ES completion suggester with fuzzy: 'sba' (a typo for 'spa')
+    still completes to the spark/span/... family — anchor = first char
+    exact, candidate head within Levenshtein 1 of the query prefix;
+    rank (df desc, term asc)."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.suggest_completion_fuzzy(
+        FUZZY_COMPLETION_PREFIX, size=5, fuzziness=1, prefix_length=1
+    )
+    return pa.table({
+        "term": pa.array([t for t, _ in rows], pa.string()),
+        "df": pa.array([d for _, d in rows], pa.int64()),
+    })
+
+
 def fts_sig_chi2_source(sf_dir: str) -> pa.Table:
     """ES significant_terms with the chi_square heuristic
     (include_negatives=false, background_is_superset=true): the 2x2

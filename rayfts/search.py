@@ -1208,6 +1208,22 @@ class SuggestAPI:
         rows.sort(key=lambda r: (-r[1], r[0]))
         return [(str(t), int(d)) for t, d in rows[:size]]
 
+    def suggest_completion_fuzzy(self, prefix: str, size: int = 5,
+                                 fuzziness: int = 1,
+                                 prefix_length: int = 1) -> list[tuple]:
+        """ES completion suggester with the ``fuzzy`` option: a
+        dictionary term t qualifies when its first ``prefix_length``
+        chars equal the query's (the ES exact anchor) and the
+        Levenshtein distance between the query prefix and t's
+        same-length prefix is <= ``fuzziness`` (exact matches are
+        distance 0 and always included). Ranking stays (weight=df desc,
+        term asc) — the ES score is the doc weight, unchanged by the
+        fuzzy expansion. Returns [(term, df)]."""
+        rows = self._completion_fuzzy_rows(prefix, fuzziness,
+                                           prefix_length)
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return [(str(t), int(d)) for t, d in rows[:size]]
+
     def suggest_completion_ctx(self, prefix: str, where: dict,
                                size: int = 5) -> list[tuple]:
         """ES completion suggester WITH CONTEXTS (category contexts):
@@ -5404,6 +5420,27 @@ class Searcher(SuggestAPI):
             rows.extend(zip(terms[pm].tolist(), dfs[pm].tolist()))
         return rows
 
+    def _completion_fuzzy_rows(self, prefix: str, fuzziness: int,
+                               prefix_length: int) -> list[tuple]:
+        """UNTRUNCATED fuzzy completion rows: anchor on the exact
+        ``prefix_length`` head, truncate candidates to the query-prefix
+        length with one vectorized astype('U<L>') cast, ONE banded-DP
+        levenshtein_vec call per dictionary bucket slice — no per-term
+        Python distance loops."""
+        L = len(prefix)
+        anchor = prefix[:prefix_length]
+        rows: list[tuple] = []
+        for terms, dfs, _, _ in self._term_dict():
+            pm = np.char.startswith(terms, anchor)
+            sub = terms[pm]
+            if sub.size == 0:
+                continue
+            heads = sub.astype(f"U{L}")  # truncating cast (vectorized)
+            dist = levenshtein_vec(prefix, heads)
+            ok = dist <= fuzziness
+            rows.extend(zip(sub[ok].tolist(), dfs[pm][ok].tolist()))
+        return rows
+
     def _completion_ctx_rows(self, prefix: str, where: dict) -> list:
         """UNTRUNCATED (term, df-within-context) rows with ``prefix`` —
         the context-filtered twin of _completion_rows: per candidate
@@ -7363,6 +7400,18 @@ class MultiSearcher(SuggestAPI):
         agg: dict[str, int] = {}
         for seg in self.segments:
             for t, d in seg._completion_rows(prefix):
+                agg[t] = agg.get(t, 0) + int(d)
+        return list(agg.items())
+
+    def _completion_fuzzy_rows(self, prefix: str, fuzziness: int,
+                               prefix_length: int) -> list[tuple]:
+        """Sharded fuzzy completion rows: per-segment dfs sum exactly
+        (same candidate rule everywhere)."""
+        agg: dict[str, int] = {}
+        for seg in self.segments:
+            for t, d in seg._completion_fuzzy_rows(
+                prefix, fuzziness, prefix_length
+            ):
                 agg[t] = agg.get(t, 0) + int(d)
         return list(agg.items())
 

@@ -109,6 +109,39 @@ def test_suggest_completion_matches_bruteforce(pos_index, oracle):
         assert s.suggest_completion(prefix, size=7) == want, prefix
 
 
+def test_suggest_completion_fuzzy_matches_bruteforce(pos_index, oracle):
+    """fuzzy completion: exact prefix_length anchor + levenshtein on
+    the query-length head; exact matches (distance 0) always included;
+    rank unchanged (df desc, term asc)."""
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    s = Searcher(pos_index)
+    for prefix, fz, pl in [("w00", 1, 1), ("bq", 1, 1), ("wash", 2, 2),
+                           ("zzz_absent", 1, 1)]:
+        want = sorted(
+            ((t, d) for t, d in oracle.df.items()
+             if t.startswith(prefix[:pl])
+             and lev(prefix, t[:len(prefix)]) <= fz),
+            key=lambda r: (-r[1], r[0]),
+        )[:7]
+        got = s.suggest_completion_fuzzy(prefix, size=7, fuzziness=fz,
+                                         prefix_length=pl)
+        assert got == want, (prefix, fz, pl)
+        # fuzzy set contains the exact-prefix completions
+        exact = dict(s.suggest_completion(prefix, size=10_000))
+        assert all(t in dict(s.suggest_completion_fuzzy(
+            prefix, size=10_000, fuzziness=fz, prefix_length=pl
+        )) for t in exact), prefix
+
+
 def _brute_phrase_suggest(idx, text, size=3, max_errors=1,
                           candidates_per_slot=3, discount=0.4):
     """StupidBackoff recompute from raw tokenized docs."""
