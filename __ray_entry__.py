@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_rare_terms_hits": P.fts_rare_terms,     # rare_terms over hit set
         "fts_sig_keyword_source": P.fts_sig_keyword_source,  # keyword JLH
         "fts_sig_chi2_source": P.fts_sig_chi2_source,  # chi_square heuristic
+        "fts_sig_mi_source": P.fts_sig_mi_source,  # mutual_information
         "fts_dsl_bool_top10": P.fts_dsl_bool_top10,  # ES request-body exec
         "fts_multi_terms_hits": P.fts_multi_terms,   # multi_terms over hit set
         "fts_reverse_nested": P.fts_reverse_nested,  # reverse_nested agg
@@ -1139,6 +1140,44 @@ sc AS (
 )
 SELECT source, fdf AS fg_df, df,
        CAST(round(score * 1e6) AS BIGINT) AS score_e6
+FROM sc ORDER BY score DESC, source LIMIT 6
+""",
+        # mutual_information: pointwise-MI over the 2x2 table, term
+        # order (11,10,01,00) and per-term op order pinned
+        "fts_sig_mi_source": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks
+         WHERE term = '{P.SIG_KEYWORD_QUERY}'),
+fg AS (SELECT source, count(*) AS fdf
+       FROM documents JOIN hits USING (doc_id) GROUP BY source),
+tot AS (SELECT count(*) AS nh FROM hits),
+bg AS (SELECT source, count(*) AS df FROM documents GROUP BY source),
+nl AS (SELECT count(*) AS n FROM documents),
+cells AS (
+  SELECT fg.source, fdf, df, nh, n,
+         fdf AS n11, nh - fdf AS n10, df - fdf AS n01,
+         n - df - (nh - fdf) AS n00
+  FROM fg JOIN bg USING (source) CROSS JOIN tot CROSS JOIN nl
+  WHERE fdf >= 2 AND fdf::DOUBLE / nh > df::DOUBLE / n
+),
+sc AS (
+  SELECT source, fdf, df,
+    ((CASE WHEN n11 = 0 THEN 0.0 ELSE (n11::DOUBLE / n)
+        * log2((CAST(n AS DOUBLE) * n11) / (CAST(nh AS DOUBLE) * df))
+      END
+      + CASE WHEN n10 = 0 THEN 0.0 ELSE (n10::DOUBLE / n)
+        * log2((CAST(n AS DOUBLE) * n10)
+               / (CAST(nh AS DOUBLE) * (n - df))) END)
+     + (CASE WHEN n01 = 0 THEN 0.0 ELSE (n01::DOUBLE / n)
+        * log2((CAST(n AS DOUBLE) * n01)
+               / (CAST(n - nh AS DOUBLE) * df)) END
+        + CASE WHEN n00 = 0 THEN 0.0 ELSE (n00::DOUBLE / n)
+        * log2((CAST(n AS DOUBLE) * n00)
+               / (CAST(n - nh AS DOUBLE) * (n - df))) END)) AS score
+  FROM cells
+)
+SELECT source, fdf AS fg_df, df,
+       CAST(round(score * 1e9) AS BIGINT) AS score_e9
 FROM sc ORDER BY score DESC, source LIMIT 6
 """,
         # significant_terms + background_filter: bg histogram and N

@@ -813,6 +813,25 @@ def fts_sig_keyword_source(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_sig_mi_source(sf_dir: str) -> pa.Table:
+    """ES significant_terms mutual_information heuristic over the same
+    exact fg/bg histograms: pointwise-MI sum over the 2x2 table, term
+    and float op order pinned."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.significant_keyword_terms(
+        SIG_KEYWORD_QUERY, "source", size=6, min_doc_count=2,
+        heuristic="mutual_information",
+    )
+    return pa.table({
+        "source": pa.array([v for v, _, _, _ in rows], pa.string()),
+        "fg_df": pa.array([f for _, f, _, _ in rows], pa.int64()),
+        "df": pa.array([d for _, _, d, _ in rows], pa.int64()),
+        "score_e9": pa.array(
+            [int(round(sc * 1e9)) for _, _, _, sc in rows], pa.int64()
+        ),
+    })
+
+
 FUZZY_COMPLETION_PREFIX = "sba"  # 'spa' with a typo; anchor 's' exact
 
 

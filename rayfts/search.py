@@ -925,6 +925,54 @@ def _chi2_ranked(fg: dict, n_hits: int, bg: dict, n_live: int,
     return out[:size]
 
 
+def _mi_ranked(fg: dict, n_hits: int, bg: dict, n_live: int,
+               min_doc_count: int, size: int) -> list[tuple]:
+    """ES significant_terms mutual_information heuristic (pinned to the
+    same include_negatives=false / background_is_superset=true frame as
+    the chi_square path): pointwise-MI sum over the 2x2 table,
+    MI = Σ (Nab/N)·log2((N·Nab)/(Na·Nb)), zero cells contribute 0.
+    Term order pinned (11, 10, 01, 00) with per-term float op order
+    (Nab/N) * log2((N*Nab)/(Na_*N_b)) — the SQL twin mirrors both."""
+    if not n_hits or not n_live:
+        return []
+
+    def term(nab: int, na: int, nb: int, n: int) -> float:
+        if nab == 0:
+            return 0.0
+        return (nab / n) * math.log2(
+            (float(n) * nab) / (float(na) * nb)
+        )
+
+    out = []
+    for v, a in fg.items():
+        if a < min_doc_count:
+            continue
+        df = bg.get(v, 0)
+        if df == 0:
+            continue
+        if a / n_hits <= df / n_live:
+            continue
+        n = n_live
+        n11 = a
+        n10 = n_hits - a          # in fg, term absent? NO — see below
+        n01 = df - a
+        n00 = n - df - (n_hits - a)
+        # axes: first index = in-foreground, second = term-present
+        # n11 = fg & present, n10 = fg & absent, n01 = bg-only &
+        # present, n00 = neither; marginals:
+        nf = n_hits               # fg total
+        nnf = n - n_hits
+        npres = df
+        nabs = n - df
+        score = (
+            (term(n11, nf, npres, n) + term(n10, nf, nabs, n))
+            + (term(n01, nnf, npres, n) + term(n00, nnf, nabs, n))
+        )
+        out.append((v, int(a), int(df), score))
+    out.sort(key=lambda e: (-e[3], e[0]))
+    return out[:size]
+
+
 def _rank_eval_metrics(hits: list[tuple], is_relevant, n_rel: int,
                        k: int) -> dict:
     """The rank_eval metric suite over a ranked hit list — shared by the
@@ -1839,7 +1887,9 @@ class Searcher(SuggestAPI):
         fg, n_hits = self._keyword_sig_foreground(query, field, where,
                                                   mode, must_not)
         bg, n_live = self._field_hist_live(field, background_where)
-        rank = _chi2_ranked if heuristic == "chi_square" else _jlh_ranked
+        rank = {"chi_square": _chi2_ranked,
+                "mutual_information": _mi_ranked}.get(heuristic,
+                                                      _jlh_ranked)
         return rank(fg, n_hits, bg, n_live, min_doc_count, size)
 
     def _keyword_sig_foreground(self, query: str, field: str,
@@ -7604,7 +7654,9 @@ class MultiSearcher(SuggestAPI):
             for v, c in sb.items():
                 bg[v] = bg.get(v, 0) + c
             n_live += sn
-        rank = _chi2_ranked if heuristic == "chi_square" else _jlh_ranked
+        rank = {"chi_square": _chi2_ranked,
+                "mutual_information": _mi_ranked}.get(heuristic,
+                                                      _jlh_ranked)
         return rank(fg, n_hits, bg, n_live, min_doc_count, size)
 
     def count_hits(self, query: str | None,

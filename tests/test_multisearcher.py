@@ -398,6 +398,12 @@ def test_sharded_rare_and_multi_terms_equal_global(indexes):
             q, "role", min_doc_count=1, heuristic="chi_square") == \
             single.significant_keyword_terms(
                 q, "role", min_doc_count=1, heuristic="chi_square"), q
+        assert multi.significant_keyword_terms(
+            q, "role", min_doc_count=1,
+            heuristic="mutual_information") == \
+            single.significant_keyword_terms(
+                q, "role", min_doc_count=1,
+                heuristic="mutual_information"), q
     for q in ["the w0007", "zzz_absent"]:
         for mdc in (1, 3, 10_000):
             assert multi.rare_terms_agg(q, "role", max_doc_count=mdc) \
