@@ -635,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_runtime_field_stats": P.fts_runtime_field_stats,
         "fts_dsl_script_filter_top10": P.fts_dsl_script_filter_top10,
         "fts_esql_stats": P.fts_esql_stats,  # ES|QL piped language
+        "fts_esql_eval": P.fts_esql_eval,    # ES|QL EVAL runtime field
         # Heaps-law vocabulary growth (first-occurrence histogram)
         "vocab_growth_curve": P.vocab_growth_curve,
         "vocab_zipf_slope": P.vocab_zipf_slope,
@@ -992,6 +993,16 @@ SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total,
 FROM documents JOIN hits USING (doc_id)
 WHERE n_chars >= 100
 GROUP BY lang ORDER BY n DESC, lang LIMIT 10
+""",
+        # ES|QL EVAL: derived integer column feeding STATS BY
+        "fts_esql_eval": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT source, sum(n_chars * 3)::BIGINT AS s,
+       max(n_chars * 3)::BIGINT AS mx
+FROM documents JOIN hits USING (doc_id)
+GROUP BY source ORDER BY s DESC, source LIMIT 5
 """,
         # script query (filter context): the AST (n_chars*7 - 100)/4
         # > 500 prunes hits; df/avgdl stay corpus-global; /4.0 and the

@@ -17,6 +17,11 @@ Supported grammar (case-insensitive keywords, one clause per pipe):
   WHERE <cond> [AND <cond>]*         cond := MATCH(field, "text")
                                           | field == "value" | field == n
                                           | field >= n | > | <= | <
+  EVAL name = col OP const           OP := + | - | *  (division is
+                                      excluded from this subset: its
+                                      fractional sums are not
+                                      hash-stable; the derived column
+                                      registers as a runtime field)
   STATS a = FUN [, b = FUN]* [BY f]  FUN := COUNT(*) | SUM(col) | MIN |
                                             MAX | AVG  (AVG emits the
                                             exact SUM/COUNT pair's
@@ -113,12 +118,25 @@ def parse_esql(query: str) -> dict:
     if not m:
         raise ESQLError("query must start with FROM <index>")
     plan: dict = {"from": m.group(1), "match": None, "where": {},
-                  "stats": None, "by": None, "sort": [], "limit": None}
+                  "evals": [], "stats": None, "by": None, "sort": [],
+                  "limit": None}
     for stage in stages[1:]:
         kw = stage.split(None, 1)[0].upper() if stage else ""
         body = stage[len(kw):].strip()
         if kw == "WHERE":
             plan["match"], plan["where"] = _parse_conditions(body)
+        elif kw == "EVAL":
+            m2 = re.fullmatch(
+                r"(\w+)\s*=\s*(\w+)\s*([+*-])\s*(-?\d+(?:\.\d+)?)",
+                body,
+            )
+            if not m2:
+                raise ESQLError(f"unsupported EVAL: {body!r}")
+            plan["evals"].append(
+                (m2.group(1),
+                 {"op": m2.group(3), "a": {"col": m2.group(2)},
+                  "b": float(m2.group(4))})
+            )
         elif kw == "STATS":
             plan["stats"], plan["by"] = _parse_stats(body)
         elif kw == "SORT":
@@ -147,6 +165,8 @@ def execute_esql(searcher, query: str) -> pa.Table:
     with the STATS output columns (+ the BY column first)."""
     plan = parse_esql(query)
     s = searcher
+    for name, expr in plan["evals"]:
+        s.define_runtime_field(name, expr)
     hits = s._hit_mask(plan["match"], plan["where"] or None)
     if hits is None:
         hits = np.zeros(s.N, dtype=bool)

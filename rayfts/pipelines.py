@@ -5928,6 +5928,31 @@ def fts_esql_stats(sf_dir: str) -> pa.Table:
     })
 
 
+ESQL_EVAL_QUERY = (
+    'FROM documents '
+    '| WHERE MATCH(text, "spark join the data") '
+    '| EVAL w = n_chars * 3 '
+    '| STATS s = SUM(w), mx = MAX(w) BY source '
+    '| SORT s DESC, source ASC '
+    '| LIMIT 5'
+)
+
+
+def fts_esql_eval(sf_dir: str) -> pa.Table:
+    """ES|QL EVAL stage: the derived column (n_chars * 3 — integer-
+    preserving, so SUM stays exact) registers as a runtime field and
+    feeds STATS BY like any docstore column."""
+    from .esql import execute_esql
+
+    s = Searcher(documents_index(sf_dir))
+    t = execute_esql(s, ESQL_EVAL_QUERY)
+    return pa.table({
+        "source": t["source"].cast(pa.string()),
+        "s": t["s"].cast(pa.int64()),
+        "mx": t["mx"].cast(pa.int64()),
+    })
+
+
 def fts_dsl_script_filter_top10(sf_dir: str) -> pa.Table:
     """ES script query (filter context): BM25_QUERY hits kept only when
     the painless-AST expression (n_chars*7 - 100)/4 exceeds 500 — the

@@ -71,6 +71,33 @@ def test_esql_scalar_equality_and_limit(esql_index):
     assert t2.to_pylist() == full.to_pylist()[:2]
 
 
+def test_esql_eval_runtime_field(esql_index):
+    """EVAL registers a runtime field; STATS over it equals the brute
+    force; division refuses (fractional sums are not hash-stable)."""
+    s = Searcher(esql_index)
+    t = execute_esql(
+        s, 'FROM x | WHERE MATCH(text, "the w0007") '
+           '| EVAL w = turn_idx * 5 '
+           '| STATS total = SUM(w), mx = MAX(w) BY role '
+           '| SORT total DESC, role ASC')
+    hits = s._hit_mask("the w0007")
+    codes, values = s._field_codes("role")
+    vals, valid = s._numeric_col("turn_idx")
+    want = []
+    for ci, v in enumerate(values):
+        grp = np.flatnonzero(hits & (codes == ci))
+        tv = vals[grp][valid[grp]] * 5
+        if grp.size:
+            want.append({"role": v, "total": int(tv.sum()),
+                         "mx": int(tv.max())})
+    want.sort(key=lambda r: r["role"])
+    want.sort(key=lambda r: r["total"], reverse=True)
+    assert t.to_pylist() == want and want
+    with pytest.raises(ESQLError):
+        parse_esql("FROM x | EVAL w = turn_idx / 2 "
+                   "| STATS n = COUNT(*)")
+
+
 def test_esql_refusals(esql_index):
     s = Searcher(esql_index)
     for bad in [
