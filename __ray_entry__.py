@@ -518,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": P.dedup_exact_q,
         "dedup_minhash": P.dedup_minhash_q,
         "decontaminate_ngrams": P.decontaminate_q,   # eval-set leak detection
+        "decontaminate_by_source": P.decontaminate_by_source_q,
         "dedup_simhash": P.dedup_simhash_q,
         "embedding_near_dup": P.embedding_near_dup_q,
         "knn_cosine_top10": P.knn_cosine_top10,
@@ -3334,6 +3335,17 @@ FROM kid k JOIN par p USING (source) WHERE k.rk <= 3
         # get REAL value oracles (generated in rayfts.extras.oracles).
         "dedup_minhash": _X.minhash_dedup_sql(),
         "decontaminate_ngrams": _X.decontaminate_sql(),
+        # per-source contamination report over the same flag pass
+        "decontaminate_by_source": f"""
+WITH base AS ({_X.decontaminate_sql()})
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN b.contaminated THEN 1 ELSE 0 END)::BIGINT
+         AS n_contaminated,
+       CAST(floor(sum(CASE WHEN b.contaminated THEN 1 ELSE 0 END)::DOUBLE
+                  / count(*) * 1e6) AS BIGINT) AS rate_e6
+FROM base b JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+""",
         "dedup_window_spans": _X.dup_window_sql(),
         "dedup_simhash": _X.simhash_dedup_sql(),
         "embedding_near_dup": _X.embedding_near_dup_sql(threshold=0.95, dim=64),

@@ -4001,6 +4001,44 @@ def decontaminate_q(sf_dir: str) -> pa.Table:
     return t.sort_by([("doc_id", "ascending")])
 
 
+def decontaminate_by_source_q(sf_dir: str) -> pa.Table:
+    """Per-SOURCE contamination report (the audit a data curator reads
+    before dropping a provider): the decontamination pass's flags
+    joined back to `source`, per-source doc/contaminated counts and a
+    floor-e6 rate. The flag pass is the same broadcast-membership
+    stream as decontaminate_ngrams; the join/groupby run over its
+    O(corpus-row flags) output, never the text."""
+    flags = decontaminate_q(sf_dir)
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    j = flags.select(["doc_id", "contaminated"]).join(src, "doc_id")
+    g = pa.table({
+        "source": j["source"],
+        "c": pc.cast(j["contaminated"], pa.int64()),
+    }).group_by(["source"], use_threads=False).aggregate(
+        [("c", "count"), ("c", "sum")]
+    ).rename_columns(["source", "n_docs", "n_contaminated"])
+    rate = pa.array(
+        [
+            int(np.floor(int(c) / int(n) * 1e6))
+            for n, c in zip(g["n_docs"].to_pylist(),
+                            g["n_contaminated"].to_pylist())
+        ],
+        pa.int64(),
+    )
+    out = pa.table({
+        "source": g["source"],
+        "n_docs": pc.cast(g["n_docs"], pa.int64()),
+        "n_contaminated": pc.cast(g["n_contaminated"], pa.int64()),
+        "rate_e6": rate,
+    })
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("source", "ascending")]
+    ))
+
+
 def dedup_simhash_q(sf_dir: str) -> pa.Table:
     from .extras.dedup import simhash_dedup
 
