@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_rank_feature_top10": P.fts_rank_feature_top10,  # saturation boost
         "fts_rank_feature_sigmoid_top10": P.fts_rank_feature_sigmoid_top10,
         "fts_fields_top10": P.fts_fields_top10,  # fields fetch phase
+        "fts_msearch": P.fts_msearch,            # _msearch body lines
         "fts_distance_feature_top10": P.fts_distance_feature_top10,
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_stem_bm25_top10": P.fts_stem_bm25_top10,  # stemmer filter
@@ -2555,6 +2556,21 @@ ORDER BY s2.score + {P.RANK_FEATURE_BOOST!r} *
    / (CAST(d2.n_chars AS DOUBLE) + {P.RANK_FEATURE_PIVOT!r})) DESC,
   s2.doc_id
 LIMIT 10
+""",
+        # _msearch: three body lines (match / phrase / query_string),
+        # each leg the corresponding single-query oracle, top-5 per line
+        "fts_msearch": f"""
+SELECT 0 AS query_id, doc_id, score_e6 FROM (
+{_bm25_sql(sorted(set(P.MSEARCH_LINES[0][0].split())), 5)}
+)
+UNION ALL
+SELECT 1 AS query_id, doc_id, score_e6 FROM (
+{_phrase_sql(P.MSEARCH_LINES[1][0].split(), 5)}
+)
+UNION ALL
+SELECT 2 AS query_id, doc_id, score_e6 FROM (
+{_bm25_sql(["customer"], 5, must_not=["slow"])}
+)
 """,
         # fields fetch phase: top-10 + requested doc fields
         "fts_fields_top10": f"""

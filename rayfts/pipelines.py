@@ -27,7 +27,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from .analysis import analyze_batch
 from .build import build_index
 from .config import IndexJobConfig
-from .search import Searcher
+from .search import Searcher, run_queries
 
 # Frozen probe constants shared with oracle_sql (keep in sync).
 BM25_QUERY = "spark join the data"
@@ -2584,6 +2584,39 @@ def fts_rank_feature_top10(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+MSEARCH_LINES = [
+    ("spark join the data", "match"),
+    ("the batch", "phrase"),
+    ("+customer -slow", "query_string"),
+]
+
+
+def fts_msearch(sf_dir: str) -> pa.Table:
+    """ES _msearch: a 3-line body (match / phrase / query_string kinds)
+    streamed through the distributed QueryRunner actor pool
+    (`search.run_queries` — a Dataset OF QUERIES); per-line top-5 rows
+    keyed by query_id, bit-identical to the single-query APIs."""
+    index_dir = documents_index(sf_dir)
+    out = run_queries(index_dir, MSEARCH_LINES, k=5)
+    t = pa.concat_tables(
+        [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+    )
+    dense_to_src = _dense_to_src(index_dir)
+    qid = t["query_id"].to_numpy(zero_copy_only=False)
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    sc = t["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, -sc, qid))
+    return pa.table({
+        "query_id": pa.array(qid[order].astype("int64"), pa.int64()),
+        "doc_id": pa.array(
+            [int(dense_to_src[d]) for d in did[order]], pa.int64()
+        ),
+        "score_e6": pa.array(
+            [int(round(s * 1e6)) for s in sc[order]], pa.int64()
+        ),
+    })
 
 
 def fts_fields_top10(sf_dir: str) -> pa.Table:
