@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_rank_feature_sigmoid_top10": P.fts_rank_feature_sigmoid_top10,
         "fts_fields_top10": P.fts_fields_top10,  # fields fetch phase
         "fts_msearch": P.fts_msearch,            # _msearch body lines
+        "fts_cat_stats": P.fts_cat_stats,        # _cat/_stats bookkeeping
         "fts_distance_feature_top10": P.fts_distance_feature_top10,
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_stem_bm25_top10": P.fts_stem_bm25_top10,  # stemmer filter
@@ -2556,6 +2557,14 @@ ORDER BY s2.score + {P.RANK_FEATURE_BOOST!r} *
    / (CAST(d2.n_chars AS DOUBLE) + {P.RANK_FEATURE_PIVOT!r})) DESC,
   s2.doc_id
 LIMIT 10
+""",
+        # _cat/_stats: manifest bookkeeping vs a full corpus recount
+        "fts_cat_stats": f"""
+WITH {_TOKS_CTE}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS total_dl
+FROM toks
 """,
         # _msearch: three body lines (match / phrase / query_string),
         # each leg the corresponding single-query oracle, top-5 per line

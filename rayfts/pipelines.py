@@ -2593,6 +2593,20 @@ MSEARCH_LINES = [
 ]
 
 
+def fts_cat_stats(sf_dir: str) -> pa.Table:
+    """ES _cat/indices + _stats analog: the index's headline stats read
+    from the MANIFEST (docs.count, distinct terms, total token count /
+    total_dl) — the gate cross-checks the build's bookkeeping against a
+    full SQL recount of the corpus, so a stats drift can't hide."""
+    s = Searcher(documents_index(sf_dir))
+    m = s.manifest
+    return pa.table({
+        "n_docs": pa.array([int(m["n_docs"])], pa.int64()),
+        "n_terms": pa.array([int(m["n_terms"])], pa.int64()),
+        "total_dl": pa.array([int(m["total_dl"])], pa.int64()),
+    })
+
+
 def fts_msearch(sf_dir: str) -> pa.Table:
     """ES _msearch: a 3-line body (match / phrase / query_string kinds)
     streamed through the distributed QueryRunner actor pool
