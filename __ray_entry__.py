@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_index_prefix_docs": P.fts_index_prefix_docs,  # index_prefixes
         "fts_wildcard_docs": P.fts_wildcard_docs,    # WildcardQuery glob
         "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
+        "fts_fuzzy_auto_docs": P.fts_fuzzy_auto_docs,  # fuzziness=AUTO
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
         "fts_terms_avg_order": P.fts_terms_avg_order,
         "fts_rare_terms_hits": P.fts_rare_terms,     # rare_terms over hit set
@@ -1075,6 +1076,19 @@ fz AS (
   SELECT term FROM (SELECT DISTINCT term FROM toks)
   WHERE levenshtein(term, '{P.FUZZY_QUERY}') <= {P.FUZZY_EDITS}
   ORDER BY levenshtein(term, '{P.FUZZY_QUERY}'), term LIMIT 50
+)
+SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
+WHERE term IN (SELECT term FROM fz)
+GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
+        # fuzziness=AUTO: 9-char query term -> the AUTO:3,6 ladder
+        # grants 2 edits (the {len(P.FUZZY_AUTO_QUERY)}-char length band)
+        "fts_fuzzy_auto_docs": f"""
+WITH {_TOKS_CTE},
+fz AS (
+  SELECT term FROM (SELECT DISTINCT term FROM toks)
+  WHERE levenshtein(term, '{P.FUZZY_AUTO_QUERY}') <= 2
+  ORDER BY levenshtein(term, '{P.FUZZY_AUTO_QUERY}'), term LIMIT 50
 )
 SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
 WHERE term IN (SELECT term FROM fz)

@@ -745,6 +745,31 @@ def fts_fuzzy_docs(sf_dir: str) -> pa.Table:
     )
 
 
+FUZZY_AUTO_QUERY = "cusstomer"  # 9 chars -> AUTO allows 2 edits
+
+
+def fts_fuzzy_auto_docs(sf_dir: str) -> pa.Table:
+    """ES fuzziness=AUTO: the edit budget comes from the TERM LENGTH
+    (AUTO:3,6 — 0 edits under 3 chars, 1 for 3-5, 2 for 6+); the
+    9-char misspelling 'cusstomer' gets 2 edits and reaches
+    'customer'."""
+    from .search import fuzziness_auto
+
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    rows = s.fuzzy_docs(
+        FUZZY_AUTO_QUERY, max_edits=fuzziness_auto(FUZZY_AUTO_QUERY),
+        limit=20,
+    )
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in rows], pa.int64()),
+            "n_terms": pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
+
+
 def fts_facet_source(sf_dir: str) -> pa.Table:
     """ES terms-aggregation analog: doc counts per `source` keyword value
     over ALL docs matching BM25_QUERY (OR semantics — the agg runs on the

@@ -864,6 +864,18 @@ def _linear_fuse(text_pairs: list[tuple], knn_pairs: list[tuple],
     return sorted(out.items(), key=lambda e: (-e[1], e[0]))[:k]
 
 
+def fuzziness_auto(term: str) -> int:
+    """ES ``fuzziness: AUTO`` edit-distance ladder (AUTO:3,6 — the
+    documented default): terms of 0-2 chars must match exactly, 3-5
+    chars allow one edit, 6+ allow two."""
+    n = len(term)
+    if n < 3:
+        return 0
+    if n < 6:
+        return 1
+    return 2
+
+
 def _jlh_ranked(fg: dict, n_hits: int, bg: dict, n_live: int,
                 min_doc_count: int, size: int) -> list[tuple]:
     """JLH significance ranking over exact (foreground, background)

@@ -1000,6 +1000,14 @@ def test_sessionize_gap_semantics():
     ]
 
 
+def test_fuzziness_auto_ladder():
+    from rayfts.search import fuzziness_auto
+
+    assert [fuzziness_auto(x) for x in
+            ["", "ab", "abc", "abcde", "abcdef", "cusstomer"]] == \
+        [0, 0, 1, 1, 2, 2]
+
+
 def test_eql_sequence_matches_bruteforce():
     """EQL sequence semantics pinned: strictly-after lower bound,
     inclusive maxspan upper bound, one count per matching click, users
