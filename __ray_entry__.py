@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_wildcard_docs": P.fts_wildcard_docs,    # WildcardQuery glob
         "fts_fuzzy_docs": P.fts_fuzzy_docs,          # FuzzyQuery (levenshtein)
         "fts_fuzzy_auto_docs": P.fts_fuzzy_auto_docs,  # fuzziness=AUTO
+        "fts_wildcard_infix_docs": P.fts_wildcard_infix_docs,  # wildcard field
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
         "fts_terms_avg_order": P.fts_terms_avg_order,
         "fts_rare_terms_hits": P.fts_rare_terms,     # rare_terms over hit set
@@ -1079,6 +1080,13 @@ fz AS (
 )
 SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
 WHERE term IN (SELECT term FROM fz)
+GROUP BY doc_id ORDER BY doc_id LIMIT 20
+""",
+        # wildcard field type: leading-wildcard glob == LIKE infix
+        "fts_wildcard_infix_docs": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, count(DISTINCT term) AS n_terms FROM toks
+WHERE term LIKE '%ustome%'
 GROUP BY doc_id ORDER BY doc_id LIMIT 20
 """,
         # fuzziness=AUTO: 9-char query term -> the AUTO:3,6 ladder

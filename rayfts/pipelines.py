@@ -745,6 +745,27 @@ def fts_fuzzy_docs(sf_dir: str) -> pa.Table:
     )
 
 
+WILDCARD_INFIX = "*ustome*"  # leading wildcard: the gram-plan case
+
+
+def fts_wildcard_infix_docs(sf_dir: str) -> pa.Table:
+    """ES `wildcard` field-type plan: the leading-wildcard glob
+    '*ustome*' resolves through the 3-gram prefilter + candidate-only
+    regex verify instead of a dictionary scan; first 20 docs with a
+    matching term + distinct-term counts (identical answer set to the
+    scan plan, pinned by test)."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    rows = s.wildcard_infix_docs(WILDCARD_INFIX, limit=20)
+    to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(to_src[d]) for d, _ in rows], pa.int64()),
+            "n_terms": pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
+
+
 FUZZY_AUTO_QUERY = "cusstomer"  # 9 chars -> AUTO allows 2 edits
 
 

@@ -5084,6 +5084,64 @@ class Searcher(SuggestAPI):
             self.expand_wildcard(pattern, max_expansions), limit
         )
 
+    def _gram_index(self):
+        """Cached 3-gram -> candidate-term prefilter over the term
+        dictionary — the ES ``wildcard`` FIELD TYPE architecture (an
+        n-gram index over values accelerates infix/leading-wildcard
+        patterns). Lazy, per searcher, dictionary-scale memory (the
+        same cost class as the spell checker's _term_dict); in a
+        multi-node deployment each query node grams only its bucket
+        share. Returns (gram -> np.int64 term ids, terms np.ndarray)."""
+        cached = getattr(self, "_gram_index_cache", None)
+        if cached is not None:
+            return cached
+        all_terms: list = []
+        for terms, _, _, _ in self._term_dict():
+            all_terms.append(terms)
+        flat = (np.concatenate(all_terms) if all_terms
+                else np.empty(0, dtype="U1"))
+        grams: dict = {}
+        for i, t in enumerate(flat.tolist()):
+            for j in range(len(t) - 2):
+                grams.setdefault(t[j:j + 3], []).append(i)
+        grams = {
+            g: np.array(ids, np.int64) for g, ids in grams.items()
+        }
+        self._gram_index_cache = (grams, flat)
+        return self._gram_index_cache
+
+    def wildcard_infix_docs(self, pattern: str, limit: int = 20,
+                            max_expansions: int = 4096
+                            ) -> list[tuple[int, int]]:
+        """ES ``wildcard`` field-type query plan: literal runs of >= 3
+        chars in the glob prefilter candidate terms through the 3-gram
+        index (posting-list intersection over the runs' grams), and the
+        anchored regex verifies ONLY those candidates — a leading ``*``
+        no longer scans the whole dictionary. Falls back to the
+        dictionary-scan plan when no run is long enough. Result set
+        IDENTICAL to :meth:`wildcard_docs` (pinned by test) — only the
+        plan differs."""
+        runs = [r for r in re.split(r"[*?]", pattern) if len(r) >= 3]
+        if not runs:
+            return self.wildcard_docs(pattern, limit, max_expansions)
+        grams, flat = self._gram_index()
+        cand = None
+        for r in runs:
+            for j in range(len(r) - 2):
+                ids = grams.get(r[j:j + 3])
+                if ids is None:
+                    return []
+                cand = ids if cand is None else np.intersect1d(
+                    cand, ids
+                )
+                if cand.size == 0:
+                    return []
+        rx = re.compile(_wildcard_to_regex(pattern))
+        matched = sorted(
+            t for t in flat[np.unique(cand)].tolist() if rx.search(t)
+        )[:max_expansions]
+        return self._docs_for_terms(matched, limit)
+
     def expand_fuzzy(self, term: str, max_edits: int = 1,
                      prefix_length: int = 0,
                      max_expansions: int = 50,

@@ -1000,6 +1000,17 @@ def test_sessionize_gap_semantics():
     ]
 
 
+def test_wildcard_infix_plan_equals_scan(index_dir):
+    """The gram-prefiltered wildcard plan returns the IDENTICAL answer
+    set to the dictionary-scan plan on every pattern shape: infix,
+    leading-*, trailing-*, ?-mixed, short-run fallback, no-match."""
+    s = Searcher(index_dir)
+    for pat in ["*ash*", "*w00*", "bas*", "*0007", "b?sh*", "*a*",
+                "*zzz_absent*", "w0?07*"]:
+        assert s.wildcard_infix_docs(pat, limit=50) == \
+            s.wildcard_docs(pat, limit=50), pat
+
+
 def test_fuzziness_auto_ladder():
     from rayfts.search import fuzziness_auto
 
