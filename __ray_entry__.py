@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_suggest_completion_fuzzy": P.fts_suggest_completion_fuzzy,
         "fts_suggest_phrase": P.fts_suggest_phrase,  # phrase suggester (LM)
         "fts_composite_page2": P.fts_composite_page2,  # composite agg cursor
+        "fts_composite_date_terms_page2": P.fts_composite_date_terms_page2,
         "fts_significant_terms": P.fts_significant_terms,  # significant_terms
         "fts_date_hist_month": P.fts_date_hist_month,  # calendar date_histogram
         "fts_date_hist_pipeline": P.fts_date_hist_pipeline,  # pipeline aggs
@@ -1895,6 +1896,20 @@ SELECT CAST(epoch(date_trunc('month',
        count(*) AS n_docs
 FROM documents JOIN hits USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        # two-source composite page 2: cursor == OFFSET on the ordered
+        # (month, source) key set
+        "fts_composite_date_terms_page2": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT CAST(epoch(date_trunc('month',
+         make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+         AS month_start,
+       source, count(*) AS n_docs
+FROM documents JOIN hits USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+LIMIT {P.COMPOSITE2_PAGE} OFFSET {P.COMPOSITE2_PAGE}
 """,
         # bucket_script: ratio of the sum sub-agg to doc_count per
         # month bucket, pinned by flooring the single-divide double

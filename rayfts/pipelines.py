@@ -2639,6 +2639,29 @@ MSEARCH_LINES = [
 ]
 
 
+COMPOSITE2_PAGE = 4
+
+
+def fts_composite_date_terms_page2(sf_dir: str) -> pa.Table:
+    """ES composite with TWO sources (date_histogram month + terms
+    source) over the BM25_QUERY hit set: page 1 (size 4) yields the
+    tuple after_key, page 2 resumes strictly after it — on the ordered
+    key set the cursor page equals rows [size, 2·size) (what the SQL
+    OFFSET twin checks)."""
+    s = Searcher(documents_index(sf_dir))
+    kw = dict(size=COMPOSITE2_PAGE)
+    p1 = s.composite_date_terms_agg(
+        BM25_QUERY, "ts_epoch", "month", "source", **kw)
+    after = p1[-1][0] if p1 else None
+    p2 = s.composite_date_terms_agg(
+        BM25_QUERY, "ts_epoch", "month", "source", after_key=after, **kw)
+    return pa.table({
+        "month_start": pa.array([k[0] for k, _ in p2], pa.int64()),
+        "source": pa.array([k[1] for k, _ in p2], pa.string()),
+        "n_docs": pa.array([c for _, c in p2], pa.int64()),
+    })
+
+
 def fts_cat_stats(sf_dir: str) -> pa.Table:
     """ES _cat/indices + _stats analog: the index's headline stats read
     from the MANIFEST (docs.count, distinct terms, total token count /

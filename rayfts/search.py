@@ -1372,6 +1372,35 @@ class SuggestAPI:
         return scored[:size]
 
 
+    def composite_date_terms_agg(self, query: str, date_field: str,
+                                 calendar_interval: str,
+                                 term_field: str, size: int = 10,
+                                 after_key=None,
+                                 where: dict | None = None,
+                                 mode: str = "or",
+                                 must_not: str | None = None
+                                 ) -> list[tuple]:
+        """ES composite aggregation with TWO sources (date_histogram +
+        terms): buckets keyed (month_start_epoch_s, term value),
+        ascending by the key TUPLE, paginated by the tuple
+        ``after_key`` — the same strictly-after stateless cursor as the
+        single-source composite. The host class provides
+        ``_merged_pairs_hist`` (single index: one pair bincount;
+        sharded: per-segment pair histograms summed by key, so every
+        page is exact). Returns [((month_start, value), count)]."""
+        hist = self._merged_pairs_hist(
+            query, date_field, calendar_interval, term_field,
+            where, mode, must_not,
+        )
+        import bisect
+
+        keys = sorted(hist)
+        start = 0
+        if after_key is not None:
+            start = bisect.bisect_right(keys, tuple(after_key))
+        page = keys[start:start + size]
+        return [(k, hist[k]) for k in page]
+
     def composite_agg(self, query: str, field: str, size: int = 10,
                       after_key=None,
                       where: dict | None = None, mode: str = "or",
@@ -2668,6 +2697,31 @@ class Searcher(SuggestAPI):
         """SuggestAPI.composite_agg primitive: the single-index value
         histogram IS the merged histogram."""
         return self._facet_hist(query, field, where, mode, must_not)
+
+    def _merged_pairs_hist(self, query: str, date_field: str,
+                           calendar_interval: str, term_field: str,
+                           where=None, mode="or", must_not=None) -> dict:
+        """Two-source composite primitive: ((month_start, value) ->
+        count) from ONE combined-key bincount (calendar_floor months x
+        term dictionary codes)."""
+        unit = self._CALENDAR_UNITS[calendar_interval]
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {}
+        tv, tvalid = self._numeric_col(date_field)
+        codes, values = self._field_codes(term_field)
+        sel = hits & tvalid & (codes >= 0)
+        idx = np.flatnonzero(sel)
+        if idx.size == 0:
+            return {}
+        months = calendar_floor(tv[idx].astype(np.int64), unit)
+        V = np.int64(len(values))
+        key = months * V + codes[idx]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return {
+            (int(k) // int(V), values[int(k) % int(V)]): int(c)
+            for k, c in zip(uniq, cnt)
+        }
 
     def _sig_foreground(self, query: str, where=None, mode="or",
                         must_not=None,
@@ -7546,6 +7600,20 @@ class MultiSearcher(SuggestAPI):
 
     def _bigram_count(self, a: str, b: str) -> int:
         return sum(seg._bigram_count(a, b) for seg in self.segments)
+
+    def _merged_pairs_hist(self, query: str, date_field: str,
+                           calendar_interval: str, term_field: str,
+                           where=None, mode="or", must_not=None) -> dict:
+        """Two-source composite primitive, sharded: per-segment pair
+        histograms sum by (month, value) key — exact pages."""
+        total: dict = {}
+        for seg in self.segments:
+            for k, c in seg._merged_pairs_hist(
+                query, date_field, calendar_interval, term_field,
+                where, mode, must_not,
+            ).items():
+                total[k] = total.get(k, 0) + c
+        return total
 
     def _merged_facet_hist(self, query: str, field: str,
                            where=None, mode="or", must_not=None) -> dict:

@@ -109,6 +109,17 @@ def test_sharded_range_filters_missing_equal_global(indexes):
     # composite + significant_terms: sharded == single
     pages_s = single.composite_agg(q, "role", size=2)
     assert multi.composite_agg(q, "role", size=2) == pages_s
+    # two-source composite: sharded pages == single, incl. the cursor
+    p2s = single.composite_date_terms_agg(q, "turn_idx", "year", "role",
+                                          size=2)
+    assert multi.composite_date_terms_agg(
+        q, "turn_idx", "year", "role", size=2) == p2s
+    if p2s:
+        ak2 = p2s[-1][0]
+        assert multi.composite_date_terms_agg(
+            q, "turn_idx", "year", "role", size=2, after_key=ak2) == \
+            single.composite_date_terms_agg(
+                q, "turn_idx", "year", "role", size=2, after_key=ak2)
     if pages_s:
         ak = pages_s[-1][0]
         assert multi.composite_agg(q, "role", size=2, after_key=ak) == \
