@@ -657,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_counts": P.semantic_dedup_counts,
         # rate agg: calendar-month counts normalized to per-day
         "fts_date_hist_rate": P.fts_date_hist_rate,
+        "fts_date_hist_rate_sum": P.fts_date_hist_rate_sum,  # rate w/ field
         # bucket_correlation pipeline agg (count_correlation)
         "fts_bucket_correlation": P.fts_bucket_correlation,
         # change_point agg: scaled mean-shift scan over weekly buckets
@@ -4862,6 +4863,26 @@ SELECT CAST(epoch(m) AS BIGINT) AS month_start,
        n_docs,
        CAST(date_diff('day', m, m + INTERVAL 1 MONTH) AS BIGINT) AS days,
        CAST(floor(n_docs * 1e6
+                  / date_diff('day', m, m + INTERVAL 1 MONTH) + 0.5)
+            AS BIGINT) AS rate_e6
+FROM hist ORDER BY 1
+""",
+        # rate with a field: sum(n_chars) per true month-length day
+        "fts_date_hist_rate_sum": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))
+           AS m,
+         sum(n_chars) AS s
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+)
+SELECT CAST(epoch(m) AS BIGINT) AS month_start,
+       s::BIGINT AS sum_nchars,
+       CAST(date_diff('day', m, m + INTERVAL 1 MONTH) AS BIGINT) AS days,
+       CAST(floor(s * 1e6
                   / date_diff('day', m, m + INTERVAL 1 MONTH) + 0.5)
             AS BIGINT) AS rate_e6
 FROM hist ORDER BY 1

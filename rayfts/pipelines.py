@@ -1953,6 +1953,24 @@ def fts_date_hist_rate(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_date_hist_rate_sum(sf_dir: str) -> pa.Table:
+    """ES rate aggregation with a FIELD (rate of sum(n_chars) per day)
+    under the calendar-month date_histogram: the metric sum rides the
+    same true-month-length normalization as the doc-count rate."""
+    from .search import rate_buckets
+
+    s = Searcher(documents_index(sf_dir))
+    rows3 = s.date_hist_metric_agg(BM25_QUERY, "ts_epoch", "month",
+                                   "n_chars")
+    rows = rate_buckets([(k, m) for k, _, m in rows3], "month", "day")
+    return pa.table({
+        "month_start": pa.array([r[0] for r in rows], pa.int64()),
+        "sum_nchars": pa.array([r[1] for r in rows], pa.int64()),
+        "days": pa.array([r[2] for r in rows], pa.int64()),
+        "rate_e6": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 CORR_QUERY_B = "customer"   # the second count series of the correlation
 
 
