@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_dsl_bool_top10": P.fts_dsl_bool_top10,  # ES request-body exec
         "fts_multi_terms_hits": P.fts_multi_terms,   # multi_terms over hit set
         "fts_reverse_nested": P.fts_reverse_nested,  # reverse_nested agg
+        "fts_terms_stats": P.fts_terms_stats,        # terms + stats sub-agg
         "fts_terms_include": P.fts_terms_include,    # terms include/exclude
         "fts_terms_missing_knob": P.fts_terms_missing_knob,  # missing + mdc
         "fts_hist_offset": P.fts_hist_offset,        # histogram offset
@@ -1310,6 +1311,17 @@ SELECT CAST(floor((n_chars - {P.HIST_OFFSET!r}) / 100.0) * 100.0
        count(*) AS n_docs
 FROM documents JOIN hits USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        # terms + stats sub-agg: per-bucket n_chars stat tuple
+        "fts_terms_stats": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT source, count(*) AS n_docs, count(n_chars)::BIGINT AS n_vals,
+       min(n_chars)::BIGINT AS mn, max(n_chars)::BIGINT AS mx,
+       sum(n_chars)::BIGINT AS total
+FROM documents JOIN hits USING (doc_id)
+GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
 """,
         # reverse_nested: child terms buckets (lang) over the hit set,
         # each counting DISTINCT parents (source = the join field)

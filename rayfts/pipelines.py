@@ -1013,6 +1013,22 @@ def fts_terms_include(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_terms_stats(sf_dir: str) -> pa.Table:
+    """ES terms + stats sub-agg: per `source` bucket of the BM25_QUERY
+    hit set, the n_chars stats tuple (count/min/max/sum) — one
+    bincount + minimum.at/maximum.at pass, exact ints."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.terms_stats_agg(BM25_QUERY, "source", "n_chars", size=8)
+    return pa.table({
+        "source": pa.array([v for v, *_ in rows], pa.string()),
+        "n_docs": pa.array([c for _, c, *_ in rows], pa.int64()),
+        "n_vals": pa.array([nv for _, _, nv, *_ in rows], pa.int64()),
+        "mn": pa.array([mn for *_, mn, _, _ in rows], pa.int64()),
+        "mx": pa.array([mx for *_, mx, _ in rows], pa.int64()),
+        "total": pa.array([t for *_, t in rows], pa.int64()),
+    })
+
+
 def fts_reverse_nested(sf_dir: str) -> pa.Table:
     """ES reverse_nested analog over the join-field model: terms agg on
     the CHILD axis (`lang`) over the BM25_QUERY hit set, each bucket

@@ -1879,6 +1879,65 @@ class Searcher(SuggestAPI):
             out[tuple(reversed(parts))] = int(c)
         return out
 
+    def terms_stats_agg(self, query: str, field: str, metric: str,
+                        size: int = 10, where: dict | None = None,
+                        mode: str = "or",
+                        must_not: str | None = None) -> list[tuple]:
+        """ES terms aggregation with a STATS sub-agg: per keyword
+        bucket over the query hit set, (doc_count, n_values, min, max,
+        sum) of the integral metric column — one pass of bincount +
+        minimum.at/maximum.at over dictionary codes (exact ints, no
+        per-bucket loop). Docs missing the metric count in doc_count
+        but not in the stats (the ES sub-agg rule). Buckets ordered
+        (doc_count desc, value asc), first ``size``. The sharded twin
+        merges per-segment partials exactly (counts/sums add, extrema
+        min/max). Returns [(value, n_docs, n_vals, mn, mx, total)]."""
+        hist = self._terms_stats_partials(query, field, metric, where,
+                                          mode, must_not)
+        ranked = sorted(hist.items(), key=lambda e: (-e[1][0], e[0]))
+        return [
+            (v, c, nv, mn, mx, tot)
+            for v, (c, nv, mn, mx, tot) in ranked[:size]
+        ]
+
+    def _terms_stats_partials(self, query: str, field: str,
+                              metric: str, where=None, mode="or",
+                              must_not=None) -> dict:
+        """value -> (doc_count, n_vals, min, max, sum) — the exact
+        sharded merge payload behind terms_stats_agg."""
+        hits = self._hit_mask(query, where, mode, must_not)
+        if hits is None:
+            return {}
+        codes, values = self._field_codes(field)
+        sel = hits & (codes >= 0)
+        idx = np.flatnonzero(sel)
+        if idx.size == 0:
+            return {}
+        V = len(values)
+        c_doc = np.bincount(codes[idx], minlength=V)
+        mv, mvalid = self._numeric_col(metric)
+        ok = mvalid[idx]
+        mi = idx[ok]
+        mcodes = codes[mi]
+        vals = mv[mi]
+        n_vals = np.bincount(mcodes, minlength=V)
+        mn = np.full(V, np.inf)
+        mx = np.full(V, -np.inf)
+        np.minimum.at(mn, mcodes, vals)
+        np.maximum.at(mx, mcodes, vals)
+        tot = np.bincount(mcodes, weights=vals.astype(np.float64),
+                          minlength=V)
+        out: dict = {}
+        for ci in np.flatnonzero(c_doc):
+            nv = int(n_vals[ci])
+            out[values[ci]] = (
+                int(c_doc[ci]), nv,
+                int(mn[ci]) if nv else None,
+                int(mx[ci]) if nv else None,
+                int(tot[ci]),
+            )
+        return out
+
     def reverse_nested_agg(self, query: str, child_field: str,
                            parent_field: str, size: int = 10,
                            where: dict | None = None, mode: str = "or",
@@ -7741,6 +7800,35 @@ class MultiSearcher(SuggestAPI):
             key=lambda e: (e[1], e[0]),
         )
         return out if size is None else out[:size]
+
+    def terms_stats_agg(self, query: str, field: str, metric: str,
+                        size: int = 10, where: dict | None = None,
+                        mode: str = "or",
+                        must_not: str | None = None) -> list[tuple]:
+        """Sharded terms+stats, EXACT: per-segment partials merge —
+        counts/sums add, extrema min/max (None-safe)."""
+        total: dict = {}
+        for seg in self.segments:
+            for v, (c, nv, mn, mx, tot) in seg._terms_stats_partials(
+                query, field, metric, where, mode, must_not
+            ).items():
+                if v not in total:
+                    total[v] = (c, nv, mn, mx, tot)
+                    continue
+                c0, nv0, mn0, mx0, t0 = total[v]
+                mns = [x for x in (mn0, mn) if x is not None]
+                mxs = [x for x in (mx0, mx) if x is not None]
+                total[v] = (
+                    c0 + c, nv0 + nv,
+                    min(mns) if mns else None,
+                    max(mxs) if mxs else None,
+                    t0 + tot,
+                )
+        ranked = sorted(total.items(), key=lambda e: (-e[1][0], e[0]))
+        return [
+            (v, c, nv, mn, mx, tot)
+            for v, (c, nv, mn, mx, tot) in ranked[:size]
+        ]
 
     def reverse_nested_agg(self, query: str, child_field: str,
                            parent_field: str, size: int = 10,

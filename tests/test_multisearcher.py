@@ -424,6 +424,8 @@ def test_sharded_rare_and_multi_terms_equal_global(indexes):
             single.multi_terms_agg(q, ["role", "tool"], size=7), q
         assert multi.reverse_nested_agg(q, "role", "tool", size=7) == \
             single.reverse_nested_agg(q, "role", "tool", size=7), q
+        assert multi.terms_stats_agg(q, "role", "turn_idx", size=7) == \
+            single.terms_stats_agg(q, "role", "turn_idx", size=7), q
         assert multi.date_hist_metric_agg(q, "turn_idx", "year",
                                           "turn_idx") == \
             single.date_hist_metric_agg(q, "turn_idx", "year",
