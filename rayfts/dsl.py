@@ -424,10 +424,35 @@ def _execute_retriever(searcher, body: dict, knn_hits) -> dict:
     ]}}
 
 
+_FIXED_UNIT_S = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
 def _agg_date_histogram(s, sp, b):
-    extra = set(b) - {"field", "calendar_interval"}
-    if extra:   # e.g. fixed_interval — refuse, never silently default
+    extra = set(b) - {"field", "calendar_interval", "fixed_interval"}
+    if extra:   # refuse unknown knobs, never silently default
         raise UnsupportedDSL(f"date_histogram options {sorted(extra)}")
+    if "fixed_interval" in b:
+        # ES fixed_interval ("90m", "1h", "7d"): a plain epoch-floor
+        # histogram over the date column — the documented equivalence
+        # the engine's histogram kernel implements
+        if "calendar_interval" in b:
+            raise UnsupportedDSL(
+                "date_histogram takes calendar_interval OR fixed_interval"
+            )
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)([smhd])", str(b["fixed_interval"]))
+        if not m:
+            raise UnsupportedDSL(
+                f"fixed_interval {b['fixed_interval']!r} (N + s|m|h|d)"
+            )
+        secs = int(m.group(1)) * _FIXED_UNIT_S[m.group(2)]
+        if secs <= 0:
+            raise UnsupportedDSL("fixed_interval must be positive")
+        return s.histogram_agg(
+            sp.text, b["field"], float(secs),
+            where=sp.where or None, mode=sp.mode, must_not=sp.must_not,
+        )
     return s.date_histogram_agg(
         sp.text, b["field"],
         calendar_interval=b.get("calendar_interval", "day"),

@@ -197,9 +197,11 @@ def test_dsl_works_sharded_and_rejects_unsupported(dsl_index):
         {"query": {"term": {"role": "user"}}, "min_score": 1.0},
         {"query": {"bool": {"must": [{"match_phrase": {"text": "a"}}],
                             "must_not": [{"term": {"text": "b"}}]}}},
+        # fixed_interval is supported since round 5 — the refusal is
+        # now the unsupported unit (weeks need calendar_interval)
         {"query": {"match": {"text": "a"}},
          "aggs": {"d": {"date_histogram": {"field": "ts",
-                                           "fixed_interval": "30d"}}}},
+                                           "fixed_interval": "4w"}}}},
         {"query": {"bool": {"must": [{"match": {"text": "a"}},
                                      {"match": {"text": "b"}}]}}},
         {"query": {"bool": {"filter": [{"geo_shape": {}}]}}},
@@ -342,6 +344,26 @@ def test_dsl_text_similarity_reranker(pos_dsl_index):
         execute_dsl(s, {"retriever": {"text_similarity_reranker": {
             "retriever": {"standard": {"query": {"match": {"text": q}}}},
         }}})   # no knn_hits
+
+
+def test_dsl_date_histogram_fixed_interval(dsl_index):
+    """fixed_interval compiles to the epoch-floor histogram kernel;
+    malformed/conflicting intervals refuse."""
+    s = Searcher(dsl_index)
+    q = "the w0007"
+    body = {"query": {"match": {"text": q}}, "size": 0,
+            "aggs": {"h": {"date_histogram": {
+                "field": "turn_idx", "fixed_interval": "2s"}}}}
+    got = execute_dsl(s, body)["aggregations"]["h"]
+    want = s.histogram_agg(q, "turn_idx", 2.0)
+    assert got == want and want
+    for bad in [{"field": "turn_idx", "fixed_interval": "2w"},
+                {"field": "turn_idx", "fixed_interval": "0s"},
+                {"field": "turn_idx", "fixed_interval": "1h",
+                 "calendar_interval": "day"}]:
+        with pytest.raises(UnsupportedDSL):
+            execute_dsl(s, {"query": {"match": {"text": q}}, "size": 0,
+                            "aggs": {"h": {"date_histogram": bad}}})
 
 
 def test_dsl_script_filter(dsl_index):
