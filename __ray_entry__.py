@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
         "fts_sort_by_nchars_top10": P.fts_sort_by_nchars_top10,  # sort-by-field
+        "fts_sort_after_page2": P.fts_sort_after_page2,  # search_after on sort
         "fts_cardinality_source": P.fts_cardinality_source,  # cardinality agg
         "fts_boosting_top10": P.fts_boosting_top10,  # boosting (soft must_not)
         "fts_random_score_top10": P.fts_random_score_top10,  # seeded random
@@ -1381,6 +1382,15 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT doc_id, n_chars FROM documents JOIN hits USING (doc_id)
 ORDER BY n_chars DESC, doc_id LIMIT 10
+""",
+        # search_after on a field sort: cursor page == OFFSET on the
+        # (n_chars desc, doc asc) total order
+        "fts_sort_after_page2": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT doc_id, n_chars FROM documents JOIN hits USING (doc_id)
+ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 10
 """,
         "fts_cardinality_source": f"""
 WITH {_TOKS_CTE},

@@ -1166,6 +1166,28 @@ def fts_sort_by_nchars_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_sort_after_page2(sf_dir: str) -> pa.Table:
+    """ES search_after on a FIELD sort (not _score): page 1 of the
+    n_chars-desc sort yields the (value, doc) cursor, page 2 resumes
+    strictly after it — equal to rows [10, 20) of the total order
+    (what the SQL OFFSET twin checks)."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    p1 = s.search_by_field(BM25_QUERY, "n_chars", order="desc", k=10)
+    after = (p1[-1][1], p1[-1][0]) if p1 else None
+    p2 = s.search_by_field(BM25_QUERY, "n_chars", order="desc", k=10,
+                           after=after)
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [int(dense_to_src[d]) for d, _ in p2], pa.int64()
+            ),
+            "n_chars": pa.array([int(v) for _, v in p2], pa.int64()),
+        }
+    )
+
+
 def fts_composite_page2(sf_dir: str) -> pa.Table:
     """ES composite-aggregation analog: value-ascending source buckets
     over the BM25_QUERY hit set, page 2 of size 5 via the after_key

@@ -3802,14 +3802,19 @@ class Searcher(SuggestAPI):
 
     def search_by_field(self, query: str, field: str, order: str = "desc",
                         k: int = 10, where: dict | None = None,
-                        mode: str = "or", must_not: str | None = None):
+                        mode: str = "or", must_not: str | None = None,
+                        after: tuple | None = None):
         """ES sort-by-field analog: top-k query hits ordered by a
         docstore column instead of _score (relevance is not computed at
         all — the ES fast path when sort omits _score). Ties break
         doc_id ascending; docs missing the field sort LAST (the ES
-        ``missing: _last`` default) in doc_id order. Returns
-        [(doc_id, value)] with value None for missing. Works on numeric
-        and keyword (string) columns; restrictions compose like search."""
+        ``missing: _last`` default) in doc_id order. ``after`` is the
+        ES search_after cursor on THIS sort: a (value, doc_id) pair —
+        only hits strictly after it in (field order, missing last,
+        doc asc) qualify; ``(None, d)`` means the cursor sits in the
+        missing tail. Returns [(doc_id, value)] with value None for
+        missing. Works on numeric and keyword (string) columns;
+        restrictions compose like search."""
         if order not in ("asc", "desc"):
             raise ValueError("order must be 'asc' or 'desc'")
         if k <= 0:
@@ -3823,16 +3828,43 @@ class Searcher(SuggestAPI):
             # lexicographic rank of each dictionary code (cached with the
             # codes themselves via _facet_cols; recomputing argsort on the
             # small dictionary is O(cardinality log cardinality))
+            order_ix = np.argsort(np.asarray(values, dtype=object))
             rank = np.empty(len(values), dtype=np.int64)
-            rank[np.argsort(np.asarray(values, dtype=object))] = np.arange(
-                len(values)
-            )
+            rank[order_ix] = np.arange(len(values))
             key = rank[np.clip(codes, 0, None)].astype(np.float64)
             valid = codes >= 0
             lookup = values
         else:
             key, valid = self._numeric_col(field)
             lookup = None
+        miss_mask = hits & ~valid
+        if after is not None:
+            av, ad = after
+            ids_ax = np.arange(hits.size)
+            if av is None:
+                # cursor in the missing tail: no valued hit qualifies
+                hits = np.zeros_like(hits)
+                miss_mask = miss_mask & (ids_ax > int(ad))
+            else:
+                if lookup is None:
+                    av_key = float(av)
+                else:
+                    import bisect
+
+                    svals = [values[i] for i in order_ix]
+                    j = bisect.bisect_left(svals, av)
+                    av_key = (float(j) if j < len(svals)
+                              and svals[j] == av else float(j) - 0.5)
+                if order == "desc":
+                    cut = (key < av_key) | (
+                        (key == av_key) & (ids_ax > int(ad))
+                    )
+                else:
+                    cut = (key > av_key) | (
+                        (key == av_key) & (ids_ax > int(ad))
+                    )
+                hits = hits & cut
+                # every missing hit sorts after any valued cursor
         idx = np.flatnonzero(hits & valid)
         vals = key[idx]
         primary = -vals if order == "desc" else vals
@@ -3847,7 +3879,7 @@ class Searcher(SuggestAPI):
         else:
             out = [(int(d), lookup[int(codes[d])]) for d in out_ids]
         if len(out) < k:  # underfilled pool: missing-field hits, _last
-            rest = np.flatnonzero(hits & ~valid)[: k - len(out)]
+            rest = np.flatnonzero(miss_mask)[: k - len(out)]
             out.extend((int(d), None) for d in rest)
         return out
 
@@ -8748,7 +8780,8 @@ class MultiSearcher(SuggestAPI):
 
     def search_by_field(self, query: str, field: str, order: str = "desc",
                         k: int = 10, where: dict | None = None,
-                        mode: str = "or", must_not: str | None = None):
+                        mode: str = "or", must_not: str | None = None,
+                        after: tuple | None = None):
         """Sharded sort-by-field: each segment returns its top-k by the
         field (values are RAW column values, comparable globally — never
         segment-local ranks), the driver merges k-sized heads. Missing-
@@ -8758,8 +8791,14 @@ class MultiSearcher(SuggestAPI):
         valued, missing = [], []
         for si, seg in enumerate(self.segments):
             off = int(self.offsets[si])
+            seg_after = None
+            if after is not None:
+                # the doc-id tie leg translates to segment-local ids
+                # (global = local + offset), value legs are global
+                seg_after = (after[0], int(after[1]) - off)
             for d, v in seg.search_by_field(
-                query, field, order, k, where, mode, must_not
+                query, field, order, k, where, mode, must_not,
+                after=seg_after,
             ):
                 (missing if v is None else valued).append((d + off, v))
         valued.sort(key=lambda e: e[0])

@@ -426,6 +426,22 @@ def test_sharded_rare_and_multi_terms_equal_global(indexes):
             single.reverse_nested_agg(q, "role", "tool", size=7), q
         assert multi.terms_stats_agg(q, "role", "turn_idx", size=7) == \
             single.terms_stats_agg(q, "role", "turn_idx", size=7), q
+        # search_after on a field sort: cursor pages == offset slices of
+        # the full order, on BOTH executors, numeric and keyword fields
+        for fld, order in [("turn_idx", "desc"), ("turn_idx", "asc"),
+                           ("tool", "asc")]:
+            full = single.search_by_field(q, fld, order=order, k=10_000)
+            for page in range(0, min(len(full), 9), 3):
+                if page == 0:
+                    continue
+                av, ad = full[page - 1][1], full[page - 1][0]
+                want = full[page:page + 3]
+                assert single.search_by_field(
+                    q, fld, order=order, k=3, after=(av, ad)) == want, \
+                    (q, fld, order, page)
+                assert multi.search_by_field(
+                    q, fld, order=order, k=3, after=(av, ad)) == want, \
+                    (q, fld, order, page)
         assert multi.date_hist_metric_agg(q, "turn_idx", "year",
                                           "turn_idx") == \
             single.date_hist_metric_agg(q, "turn_idx", "year",
