@@ -511,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geo-distance sort, geo_bounding_box, geo_centroid — over a
         # deterministic (lat, lon) grid derived from event ids)
         "fts_geo_distance_sort": P.geo_distance_sort_q,
+        "fts_geo_sort_after": P.geo_sort_after_q,  # geo-sort cursor page
         "fts_geo_bbox_count": P.geo_bbox_count_q,
         "fts_geo_centroid": P.geo_centroid_q,
         "fts_geo_polygon_count": P.geo_polygon_count_q,
@@ -3022,6 +3023,14 @@ SELECT event_id,
        CAST(round(dist_km * 1e6) AS BIGINT) AS dist_e6
 FROM d WHERE dist_km <= 3000.0
 ORDER BY dist_km, event_id LIMIT 20
+""",
+        # geo-sort search_after: cursor page == OFFSET on the
+        # (dist asc, id asc) order inside the radius
+        "fts_geo_sort_after": _GEO_DIST_CTE + """
+SELECT event_id,
+       CAST(round(dist_km * 1e6) AS BIGINT) AS dist_e6
+FROM d WHERE dist_km <= 3000.0
+ORDER BY dist_km, event_id LIMIT 20 OFFSET 20
 """,
         "fts_geo_bbox_count": """
 WITH pts AS (

@@ -90,6 +90,7 @@ def geo_distance_topk(
     ds: rd.Dataset, lat_col: str, lon_col: str,
     origin: tuple[float, float], k: int, id_col: str,
     radius_km: float | None = None,
+    after: tuple | None = None,
 ) -> pa.Table:
     """Geo-distance sort analog (ESNodeITest.java:167-194): the k rows
     nearest to ``origin``, ordered (dist_km asc, id asc) — the id
@@ -98,7 +99,13 @@ def geo_distance_topk(
 
     Per-block partial top-k inside map_batches, then one driver merge
     over the <= blocks*k candidates — no global sort shuffle for k
-    rows (same shape as pipelines.events_top20_by_value)."""
+    rows (same shape as pipelines.events_top20_by_value).
+
+    ``after`` is the ES search_after cursor on THIS sort: a
+    (dist_km, id) pair — only rows strictly after it in (dist asc,
+    id asc) qualify. The cursor distance is a previous page's own
+    haversine output, so float equality on the tie leg is sound (the
+    same-arithmetic argument _after_keep makes for scores)."""
     if k <= 0:
         return pa.table({})
     keys = [("dist_km", "ascending"), (id_col, "ascending")]
@@ -107,6 +114,13 @@ def geo_distance_topk(
         t = _with_dist(batch, lat_col, lon_col, origin)
         if radius_km is not None:
             t = t.filter(pc.less_equal(t["dist_km"], radius_km))
+        if after is not None:
+            ad, aid = float(after[0]), after[1]
+            t = t.filter(pc.or_(
+                pc.greater(t["dist_km"], ad),
+                pc.and_(pc.equal(t["dist_km"], ad),
+                        pc.greater(t[id_col], aid)),
+            ))
         return t.take(pc.sort_indices(t, sort_keys=keys).slice(0, k))
 
     cands = [

@@ -3711,6 +3711,30 @@ def geo_distance_sort_q(sf_dir: str) -> pa.Table:
     )
 
 
+def geo_sort_after_q(sf_dir: str) -> pa.Table:
+    """search_after on the geo-distance sort: page 1's last (dist, id)
+    cursors page 2 — rows [GEO_K, 2·GEO_K) of the (dist asc, id asc)
+    order inside the radius (the SQL OFFSET twin)."""
+    from .geo import geo_distance_topk
+
+    kw = dict(k=GEO_K, id_col="event_id", radius_km=GEO_RADIUS_KM)
+    p1 = geo_distance_topk(
+        _events_geo(sf_dir), "lat", "lon", GEO_ORIGIN, **kw)
+    after = None
+    if p1.num_rows:
+        after = (p1["dist_km"][-1].as_py(), p1["event_id"][-1].as_py())
+    p2 = geo_distance_topk(
+        _events_geo(sf_dir), "lat", "lon", GEO_ORIGIN, after=after, **kw)
+    return pa.table(
+        {
+            "event_id": pc.cast(p2["event_id"], pa.int64()),
+            "dist_e6": pc.cast(
+                pc.round(pc.multiply(p2["dist_km"], 1e6)), pa.int64()
+            ),
+        }
+    )
+
+
 def geo_bbox_count_q(sf_dir: str) -> pa.Table:
     """geo_bounding_box filter consumed as a count (pure comparisons on
     the derived grid — no trig, exact on both sides)."""
