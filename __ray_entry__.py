@@ -606,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_sampler_terms": P.fts_sampler_terms,      # sampler agg
         "fts_date_range_agg": P.fts_date_range_agg,    # date_range agg
         "fts_date_hist_normalize": P.fts_date_hist_normalize,  # normalize
+        "fts_date_hist_zscore": P.fts_date_hist_zscore,  # z-score method
         "fts_date_hist_bucket_sort": P.fts_date_hist_bucket_sort,
         # substring-level dedup: duplicated token-window counts per doc
         "dedup_window_spans": P.dedup_window_spans,
@@ -4292,6 +4293,32 @@ SELECT month_start, n_docs,
                   / (SELECT sum(n_docs) FROM hist) + 0.5) AS BIGINT)
          AS pct_e6
 FROM hist ORDER BY month_start
+""",
+        # normalize z-score: exact integer moments, pinned float order
+        # mean = S/n; std = sqrt(n*S2 - S^2)/n; z = (v-mean)/std
+        "fts_date_hist_zscore": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (
+  SELECT CAST(epoch(date_trunc('month',
+           make_timestamp(({P.TS_EPOCH0} + doc_id * 25200) * 1000000))) AS BIGINT)
+           AS month_start,
+         count(*) AS n_docs
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+),
+mo AS (
+  SELECT count(*) AS n, sum(n_docs) AS s,
+         sum(n_docs * n_docs) AS s2
+  FROM hist
+)
+SELECT h.month_start, h.n_docs,
+       CASE WHEN m.n * m.s2 - m.s * m.s = 0 THEN 0
+            ELSE CAST(floor(
+              (h.n_docs - CAST(m.s AS DOUBLE) / m.n)
+              / (sqrt(CAST(m.n * m.s2 - m.s * m.s AS DOUBLE)) / m.n)
+              * 1e6 + 0.5) AS BIGINT) END AS z_e6
+FROM hist h CROSS JOIN mo m ORDER BY h.month_start
 """,
         # bucket_selector + bucket_sort over the date-hist buckets
         "fts_date_hist_bucket_sort": f"""

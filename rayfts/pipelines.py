@@ -5697,6 +5697,23 @@ def fts_date_range_agg(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_date_hist_zscore(sf_dir: str) -> pa.Table:
+    """ES normalize pipeline agg, method=z-score, over the monthly
+    date_histogram of BM25_QUERY hits: exact integer moments, pinned
+    float sequence, floor-e6."""
+    from .search import zscore_aggs
+
+    s = Searcher(documents_index(sf_dir))
+    rows = zscore_aggs(
+        s.date_histogram_agg(BM25_QUERY, "ts_epoch", "month")
+    )
+    return pa.table({
+        "month_start": pa.array([k for k, _, _ in rows], pa.int64()),
+        "n_docs": pa.array([c for _, c, _ in rows], pa.int64()),
+        "z_e6": pa.array([z for _, _, z in rows], pa.int64()),
+    })
+
+
 def fts_date_hist_normalize(sf_dir: str) -> pa.Table:
     """ES normalize pipeline agg (percent_of_sum) over the calendar
     date_histogram buckets: each month's share of the hit total,

@@ -364,6 +364,33 @@ def normalize_aggs(buckets: list[tuple]) -> list[tuple]:
     ]
 
 
+def zscore_aggs(buckets: list[tuple]) -> list[tuple]:
+    """ES normalize pipeline agg, method = z-score (the ES ``z-score``
+    normalizer): per bucket (v - mean) / std over the parent series,
+    with mean and std derived from EXACT integer moments (n, Σv, Σv²;
+    variance = (n·Σv² - (Σv)²) / n² — the extended_stats identity) and
+    a pinned float op order: mean = S/n; std = sqrt(num)/n;
+    z = (v - mean) / std. Zero variance -> z = 0 for every bucket (the
+    constant series has no direction). Exposed e6 via floor(x + 0.5).
+    Returns [(key, count, z_e6)] in input order."""
+    import math
+
+    if not buckets:
+        return []
+    n = len(buckets)
+    s = sum(c for _, c in buckets)
+    s2 = sum(c * c for _, c in buckets)
+    num = n * s2 - s * s  # exact int >= 0
+    if num == 0:
+        return [(k, c, 0) for k, c in buckets]
+    mean = s / n
+    std = math.sqrt(float(num)) / n
+    return [
+        (k, c, int(math.floor((c - mean) / std * 1e6 + 0.5)))
+        for k, c in buckets
+    ]
+
+
 def moving_window_aggs(buckets: list[tuple], window: int = 3,
                        lag: int = 1) -> list[tuple]:
     """ES moving_fn + serial_diff pipeline-aggregation analogs over
