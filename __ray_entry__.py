@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_terms_include": P.fts_terms_include,    # terms include/exclude
         "fts_terms_missing_knob": P.fts_terms_missing_knob,  # missing + mdc
         "fts_hist_offset": P.fts_hist_offset,        # histogram offset
+        "fts_hist_empty_buckets": P.fts_hist_empty_buckets,  # mdc=0 fill
         "fts_top_hits_by_source": P.fts_top_hits_by_source,  # top_hits sub-agg
         "fts_stats_nchars": P.fts_stats_nchars,      # stats aggregation
         "fts_hist_nchars": P.fts_hist_nchars,        # histogram aggregation
@@ -1303,6 +1304,25 @@ FROM (SELECT doc_id,
       FROM documents) d JOIN hits USING (doc_id)
 GROUP BY 1 HAVING count(*) >= {P.TERMS_MDC}
 ORDER BY n_docs DESC, size_tag LIMIT 20
+""",
+        # histogram min_doc_count=0: generate_series gap fill between
+        # the first and last non-empty bucket
+        "fts_hist_empty_buckets": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks
+         WHERE term = '{P.SIG_KEYWORD_QUERY}'),
+hist AS (
+  SELECT CAST(floor(n_chars / 100.0) * 100.0 AS BIGINT) AS bucket,
+         count(*) AS n_docs
+  FROM documents JOIN hits USING (doc_id) GROUP BY 1
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT min(bucket) FROM hist),
+                                (SELECT max(bucket) FROM hist),
+                                100)) AS bucket
+)
+SELECT a.bucket, coalesce(h.n_docs, 0)::BIGINT AS n_docs
+FROM axis a LEFT JOIN hist h USING (bucket) ORDER BY a.bucket
 """,
         # histogram offset: boundaries shifted by 50
         "fts_hist_offset": f"""

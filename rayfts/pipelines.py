@@ -995,6 +995,20 @@ def fts_hist_offset(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_hist_empty_buckets(sf_dir: str) -> pa.Table:
+    """ES histogram min_doc_count=0: every 100-wide n_chars bucket
+    between the first and last non-empty one appears, zeros filled —
+    over a NARROW hit set (one rare term) so real gaps exist."""
+    s = Searcher(documents_index(sf_dir))
+    rows = s.histogram_agg(
+        SIG_KEYWORD_QUERY, "n_chars", 100.0, min_doc_count=0
+    )
+    return pa.table({
+        "bucket": pa.array([int(k) for k, _ in rows], pa.int64()),
+        "n_docs": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
 TERMS_INCLUDE, TERMS_EXCLUDE = r"src1\d", r"src15"
 
 

@@ -3359,7 +3359,8 @@ class Searcher(SuggestAPI):
     def histogram_agg(self, query: str, field: str, interval: float,
                       where: dict | None = None, mode: str = "or",
                       must_not: str | None = None,
-                      offset: float = 0.0) -> list[tuple]:
+                      offset: float = 0.0,
+                      min_doc_count: int = 1) -> list[tuple]:
         """ES histogram-aggregation analog: fixed-interval buckets over
         numeric ``field`` for ALL query hits. Bucket key = ES's
         ``floor((value - offset) / interval) * interval + offset`` (the
@@ -3378,6 +3379,15 @@ class Searcher(SuggestAPI):
             return []
         keys = np.floor((sel - offset) / interval) * interval + offset
         uniq, cnt = np.unique(keys, return_counts=True)
+        if min_doc_count == 0 and uniq.size:
+            # ES gap filling: every interval multiple between the first
+            # and last non-empty bucket appears, zero-count rows filled
+            steps = np.round((uniq - uniq[0]) / interval).astype(np.int64)
+            n_axis = int(steps[-1]) + 1
+            full = np.zeros(n_axis, dtype=np.int64)
+            full[steps] = cnt
+            axis = uniq[0] + np.arange(n_axis, dtype=np.float64) * interval
+            return [(float(a), int(c)) for a, c in zip(axis, full)]
         return [(float(u), int(c)) for u, c in zip(uniq, cnt)]
 
     # ES auto_date_histogram rounds on a calendar ladder; this engine
@@ -8558,16 +8568,29 @@ class MultiSearcher(SuggestAPI):
     def histogram_agg(self, query: str, field: str, interval: float,
                       where: dict | None = None, mode: str = "or",
                       must_not: str | None = None,
-                      offset: float = 0.0) -> list[tuple]:
+                      offset: float = 0.0,
+                      min_doc_count: int = 1) -> list[tuple]:
         """Sharded histogram: per-segment bucket maps sum exactly (same
-        fixed bucket keys everywhere); payload O(buckets) per segment."""
+        fixed bucket keys everywhere); payload O(buckets) per segment.
+        min_doc_count=0 gap-fills AFTER the merge (global bounds)."""
         total: dict = {}
         for seg in self.segments:
             for key, c in seg.histogram_agg(
                 query, field, interval, where, mode, must_not, offset
             ):
                 total[key] = total.get(key, 0) + c
-        return sorted(total.items())
+        rows = sorted(total.items())
+        if min_doc_count == 0 and rows:
+            lo = rows[0][0]
+            steps = {
+                int(round((k - lo) / interval)): c for k, c in rows
+            }
+            n_axis = max(steps) + 1
+            return [
+                (float(lo + i * interval), int(steps.get(i, 0)))
+                for i in range(n_axis)
+            ]
+        return rows
 
     def auto_date_histogram_agg(self, query: str, field: str,
                                 target_buckets: int = 10,

@@ -456,6 +456,16 @@ def test_sharded_rare_and_multi_terms_equal_global(indexes):
                                 min_doc_count=2), q
         assert multi.histogram_agg(q, "turn_idx", 4.0, offset=1.5) == \
             single.histogram_agg(q, "turn_idx", 4.0, offset=1.5), q
+        # min_doc_count=0: dense axis, zero fill, non-empty rows equal
+        filled_s = single.histogram_agg(q, "turn_idx", 5.0,
+                                        min_doc_count=0)
+        assert multi.histogram_agg(q, "turn_idx", 5.0,
+                                   min_doc_count=0) == filled_s, q
+        if filled_s:
+            keys = [k for k, _ in filled_s]
+            assert keys == [keys[0] + 5.0 * i for i in range(len(keys))]
+            assert [r for r in filled_s if r[1] > 0] == \
+                single.histogram_agg(q, "turn_idx", 5.0), q
 
 
 def test_terminate_after_per_shard_semantics(indexes):
