@@ -526,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extras (dedup / similarity / text analysis)
         "dedup_exact": P.dedup_exact_q,
         "dedup_minhash": P.dedup_minhash_q,
+        "dedup_cluster_sizes": P.dedup_cluster_sizes_q,  # size histogram
         "decontaminate_ngrams": P.decontaminate_q,   # eval-set leak detection
         "decontaminate_by_source": P.decontaminate_by_source_q,
         "dedup_simhash": P.dedup_simhash_q,
@@ -3449,6 +3450,13 @@ FROM kid k JOIN par p USING (source) WHERE k.rk <= 3
         # hyperplane literals) was chosen to be SQL-replicable, so these
         # get REAL value oracles (generated in rayfts.extras.oracles).
         "dedup_minhash": _X.minhash_dedup_sql(),
+        # cluster-size histogram over the same labeling
+        "dedup_cluster_sizes": f"""
+WITH base AS ({_X.minhash_dedup_sql()})
+SELECT sz, count(*)::BIGINT AS n_clusters FROM (
+  SELECT cluster_id, count(*)::BIGINT AS sz FROM base GROUP BY cluster_id
+) GROUP BY sz ORDER BY sz
+""",
         "decontaminate_ngrams": _X.decontaminate_sql(),
         # per-source contamination report over the same flag pass
         "decontaminate_by_source": f"""

@@ -4189,6 +4189,27 @@ def dedup_minhash_q(sf_dir: str) -> pa.Table:
     return minhash_dedup(_docs(sf_dir))
 
 
+def dedup_cluster_sizes_q(sf_dir: str) -> pa.Table:
+    """Dedup audit report: the MinHash+LSH cluster-SIZE histogram
+    (size -> number of clusters) — the curator-facing summary of how
+    much duplication the corpus carries, derived from the labeling
+    pass's O(docs) (doc_id, cluster_id) output."""
+    t = dedup_minhash_q(sf_dir)
+    if isinstance(t, rd.Dataset):
+        t = pa.concat_tables(ray.get(t.to_arrow_refs()))
+    sizes = t.group_by(["cluster_id"], use_threads=False).aggregate(
+        [("cluster_id", "count")]
+    ).rename_columns(["cluster_id", "sz"])
+    hist = sizes.group_by(["sz"], use_threads=False).aggregate(
+        [("sz", "count")]
+    ).rename_columns(["sz", "n_clusters"])
+    out = pa.table({
+        "sz": pc.cast(hist["sz"], pa.int64()),
+        "n_clusters": pc.cast(hist["n_clusters"], pa.int64()),
+    })
+    return out.take(pc.sort_indices(out, sort_keys=[("sz", "ascending")]))
+
+
 def decontaminate_q(sf_dir: str) -> pa.Table:
     """Benchmark decontamination over `documents`: docs with
     doc_id % 17 == 0 play the eval set; every other doc is scored for
