@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_fields_top10": P.fts_fields_top10,  # fields fetch phase
         "fts_msearch": P.fts_msearch,            # _msearch body lines
         "fts_cat_stats": P.fts_cat_stats,        # _cat/_stats bookkeeping
+        "fts_explain_top1": P.fts_explain_top1,  # _explain breakdown
         "fts_distance_feature_top10": P.fts_distance_feature_top10,
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_stem_bm25_top10": P.fts_stem_bm25_top10,  # stemmer filter
@@ -2640,6 +2641,22 @@ ORDER BY s2.score + {P.RANK_FEATURE_BOOST!r} *
    / (CAST(d2.n_chars AS DOUBLE) + {P.RANK_FEATURE_PIVOT!r})) DESC,
   s2.doc_id
 LIMIT 10
+""",
+        # _explain: per-clause recompute for the top-1 hit
+        "fts_explain_top1": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+top1 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 1)
+SELECT t.doc_id, tf.term, df.df, tf.tf,
+       CAST(round( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * ( tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) )
+              * 1e6) AS BIGINT) AS contrib_e6
+FROM top1 t
+JOIN tf ON tf.doc_id = t.doc_id
+JOIN df USING (term)
+JOIN dl ON dl.doc_id = t.doc_id
+CROSS JOIN stats s
+ORDER BY tf.term
 """,
         # _cat/_stats: manifest bookkeeping vs a full corpus recount
         "fts_cat_stats": f"""

@@ -2732,6 +2732,31 @@ def fts_composite_date_terms_page2(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_explain_top1(sf_dir: str) -> pa.Table:
+    """ES _explain API: the per-clause breakdown of BM25_QUERY against
+    its own top-1 hit — (term, df, tf, contribution_e6) per matched
+    clause; summing contributions in term order reproduces the search
+    score bit-for-bit (the gate recomputes each clause in SQL)."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    top = s.search(BM25_QUERY, k=1)
+    ex = s.explain(BM25_QUERY, top[0][0])
+    dense_to_src = _dense_to_src(index_dir)
+    rows = ex["details"]
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[ex["doc_id"]])] * len(rows), pa.int64()
+        ),
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "df": pa.array([int(r["df"]) for r in rows], pa.int64()),
+        "tf": pa.array([int(r["tf"]) for r in rows], pa.int64()),
+        "contrib_e6": pa.array(
+            [int(round(r["contribution"] * 1e6)) for r in rows],
+            pa.int64(),
+        ),
+    })
+
+
 def fts_cat_stats(sf_dir: str) -> pa.Table:
     """ES _cat/indices + _stats analog: the index's headline stats read
     from the MANIFEST (docs.count, distinct terms, total token count /
