@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_msearch": P.fts_msearch,            # _msearch body lines
         "fts_cat_stats": P.fts_cat_stats,        # _cat/_stats bookkeeping
         "fts_explain_top1": P.fts_explain_top1,  # _explain breakdown
+        "fts_validate_query": P.fts_validate_query,  # _validate/query
         "fts_distance_feature_top10": P.fts_distance_feature_top10,
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_stem_bm25_top10": P.fts_stem_bm25_top10,  # stemmer filter
@@ -2641,6 +2642,16 @@ ORDER BY s2.score + {P.RANK_FEATURE_BOOST!r} *
    / (CAST(d2.n_chars AS DOUBLE) + {P.RANK_FEATURE_PIVOT!r})) DESC,
   s2.doc_id
 LIMIT 10
+""",
+        # _validate/query: per-clause df/cf dictionary stats recounted
+        "fts_validate_query": f"""
+WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS cf
+FROM toks
+WHERE term IN ({",".join(
+    f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})
+GROUP BY term ORDER BY term
 """,
         # _explain: per-clause recompute for the top-1 hit
         "fts_explain_top1": f"""

@@ -2732,6 +2732,19 @@ def fts_composite_date_terms_page2(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_validate_query(sf_dir: str) -> pa.Table:
+    """ES _validate/query?explain: BM25_QUERY's per-clause (term, df,
+    cf) from dictionary lookups only — no execution; the gate recounts
+    df (distinct docs) and cf (total occurrences) from the corpus."""
+    s = Searcher(documents_index(sf_dir))
+    v = s.validate_query(BM25_QUERY)
+    return pa.table({
+        "term": pa.array([t for t, _, _ in v["terms"]], pa.string()),
+        "df": pa.array([int(d) for _, d, _ in v["terms"]], pa.int64()),
+        "cf": pa.array([int(c) for _, _, c in v["terms"]], pa.int64()),
+    })
+
+
 def fts_explain_top1(sf_dir: str) -> pa.Table:
     """ES _explain API: the per-clause breakdown of BM25_QUERY against
     its own top-1 hit — (term, df, tf, contribution_e6) per matched
