@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_cat_stats": P.fts_cat_stats,        # _cat/_stats bookkeeping
         "fts_explain_top1": P.fts_explain_top1,  # _explain breakdown
         "fts_validate_query": P.fts_validate_query,  # _validate/query
+        "fts_termvectors_top1": P.fts_termvectors_top1,  # _termvectors
         "fts_distance_feature_top10": P.fts_distance_feature_top10,
         "fts_stop_bm25_top10": P.fts_stop_bm25_top10,  # analyzer stopwords
         "fts_stem_bm25_top10": P.fts_stem_bm25_top10,  # stemmer filter
@@ -2642,6 +2643,22 @@ ORDER BY s2.score + {P.RANK_FEATURE_BOOST!r} *
    / (CAST(d2.n_chars AS DOUBLE) + {P.RANK_FEATURE_PIVOT!r})) DESC,
   s2.doc_id
 LIMIT 10
+""",
+        # _termvectors: per-term tf + first 0-based position for the
+        # top-1 hit, recounted from the positional token stream
+        "fts_termvectors_top1": f"""
+{_bm25_with(sorted(set(P.BM25_QUERY.split())))},
+top1 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 1),
+ptk AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos,
+         unnest(l) AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS l
+        FROM documents)
+)
+SELECT t.doc_id, p.term, count(*)::BIGINT AS tf,
+       min(p.pos)::BIGINT AS first_pos
+FROM top1 t JOIN ptk p USING (doc_id)
+GROUP BY t.doc_id, p.term ORDER BY p.term
 """,
         # _validate/query: per-clause df/cf dictionary stats recounted
         "fts_validate_query": f"""

@@ -2732,6 +2732,27 @@ def fts_composite_date_terms_page2(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_termvectors_top1(sf_dir: str) -> pa.Table:
+    """ES _termvectors API: (term, tf, first_pos) for the BM25_QUERY
+    top-1 hit — the gate recounts tf and the first 0-based token
+    position from the corpus text."""
+    index_dir = documents_index(sf_dir)
+    s = Searcher(index_dir)
+    top = s.search(BM25_QUERY, k=1)
+    rows = s.termvectors(top[0][0])
+    dense_to_src = _dense_to_src(index_dir)
+    return pa.table({
+        "doc_id": pa.array(
+            [int(dense_to_src[top[0][0]])] * len(rows), pa.int64()
+        ),
+        "term": pa.array([t for t, _, _ in rows], pa.string()),
+        "tf": pa.array([int(f) for _, f, _ in rows], pa.int64()),
+        "first_pos": pa.array(
+            [int(p[0]) for _, _, p in rows], pa.int64()
+        ),
+    })
+
+
 def fts_validate_query(sf_dir: str) -> pa.Table:
     """ES _validate/query?explain: BM25_QUERY's per-clause (term, df,
     cf) from dictionary lookups only — no execution; the gate recounts
