@@ -545,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": P.knn_cosine_ivf_q,
         "knn_int8_rescore_top10": P.knn_int8_rescore_top10,  # SQ + rescore
         "text_token_stats": P.text_token_stats,
+        "text_fertility_by_lang": P.text_fertility_by_lang,
         "text_quality": P.text_quality,
         "text_repetition": P.text_repetition_q,
         "lang_id": P.lang_id_q,
@@ -2643,6 +2644,19 @@ ORDER BY s2.score + {P.RANK_FEATURE_BOOST!r} *
    / (CAST(d2.n_chars AS DOUBLE) + {P.RANK_FEATURE_PIVOT!r})) DESC,
   s2.doc_id
 LIMIT 10
+""",
+        # tokenizer fertility: chars-per-token per lang; Σdl (norms)
+        # cross-checked against a full token recount
+        "text_fertility_by_lang": f"""
+WITH {_TOKS_CTE},
+tl AS (SELECT d.lang, count(*) AS n_tokens
+       FROM toks t JOIN documents d USING (doc_id) GROUP BY d.lang),
+cl AS (SELECT lang, sum(n_chars) AS n_chars FROM documents
+       GROUP BY lang)
+SELECT lang, n_tokens::BIGINT AS n_tokens, cl.n_chars::BIGINT AS n_chars,
+       CAST(floor(CAST(cl.n_chars AS DOUBLE) / tl.n_tokens * 1e6)
+            AS BIGINT) AS cpt_e6
+FROM tl JOIN cl USING (lang) ORDER BY lang
 """,
         # _termvectors: per-term tf + first 0-based position for the
         # top-1 hit, recounted from the positional token stream

@@ -2791,6 +2791,37 @@ def fts_explain_top1(sf_dir: str) -> pa.Table:
     })
 
 
+def text_fertility_by_lang(sf_dir: str) -> pa.Table:
+    """Tokenizer-fertility audit: per lang, chars-per-analyzed-token
+    (floor-e6 of Σn_chars / Σdl) — the compression proxy a tokenizer
+    evaluation reads per language; Σdl comes from the index NORMS (the
+    BM25 |d| array), so the gate also cross-checks norms against a full
+    SQL token recount per lang."""
+    s = Searcher(documents_index(sf_dir))
+    codes, values = s._field_codes("lang")
+    live = np.ones(s.N, dtype=bool)
+    if s.excluded.size:
+        live[s.excluded] = False
+    nch, nv = s._numeric_col("n_chars")
+    sel = live & nv & (codes >= 0)
+    V = len(values)
+    toks = np.bincount(codes[sel], weights=s.dl[sel].astype(np.float64),
+                       minlength=V)
+    chars = np.bincount(codes[sel], weights=nch[sel], minlength=V)
+    rows = [
+        (values[i], int(toks[i]), int(chars[i]),
+         int(np.floor(chars[i] / toks[i] * 1e6)))
+        for i in range(V) if toks[i] > 0
+    ]
+    rows.sort(key=lambda r: r[0])
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        "cpt_e6": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def fts_cat_stats(sf_dir: str) -> pa.Table:
     """ES _cat/indices + _stats analog: the index's headline stats read
     from the MANIFEST (docs.count, distinct terms, total token count /
