@@ -659,6 +659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_entropy": P.text_token_entropy,
         "text_ingest_processors": P.text_ingest_processors,
         "keyword_count_by_family": P.keyword_count_by_family,
+        # grok + dissect ingest processors (field extraction)
+        "text_grok_dissect": P.text_grok_dissect,
         # ANN eval harness: LSH recall@k vs the exact baseline
         "knn_recall_at_k": P.knn_recall_at_k,
         # MMR diversity reranking (retrieve-then-diversify)
@@ -4738,6 +4740,21 @@ SELECT doc_id, lang AS lang_code, 'norm_v1' AS pipeline,
        length(trim(regexp_replace(lower(text), '[0-9]+', '#', 'g')))
          ::BIGINT AS n_out_chars
 FROM documents
+""",
+        # grok %{WORD:w1} %{GREEDYDATA:rest} + dissect src%{src_num}:
+        # the SAME anchored RE2 the processors compile, through DuckDB's
+        # RE2; non-matching texts (no space) -> null w1 group (the
+        # regexp_matches guard — DuckDB regexp_extract returns '' on
+        # no-match, not null)
+        "text_grok_dissect": r"""
+SELECT CASE WHEN regexp_matches(text, '^(\w+) (.*)$')
+            THEN regexp_extract(text, '^(\w+) (.*)$', 1) END AS w1,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN regexp_matches(source, '^src(.*)$')
+                THEN CAST(regexp_extract(source, '^src(.*)$', 1)
+                          AS BIGINT) END)::BIGINT AS sum_src_num
+FROM documents
+GROUP BY 1 ORDER BY 1
 """,
         # enrich processor: the broadcast lookup replayed as a VALUES
         # join (unmatched -> null family; engine groupby counts nulls

@@ -18,6 +18,17 @@ processors or option shapes raise, never approximate):
              analog: the policy's match index is the small ``lookup``
              dict broadcast with the pipeline (index_in + take, one
              kernel pair); unmatched keys enrich to null
+  grok       {field, pattern}               — ES grok processor: the
+             %{SYNTAX:semantic} pattern compiles ONCE to an RE2 regex
+             with named groups (pinned pattern subset below); one
+             pc.extract_regex per batch, each named capture appended
+             as a column via pc.struct_field (parent-null propagating,
+             so non-matching rows yield null captures — the pipeline's
+             on_failure → null convention, matching SQL regexp_extract)
+  dissect    {field, pattern}               — ES dissect processor:
+             %{key} fields between literal delimiters; compiled to the
+             canonical anchored regex (non-greedy captures, greedy
+             tail) and executed on the grok kernel path
 
 Every string processor is one Arrow compute kernel per batch — no
 Python rows; the chain applies IN ORDER on the progressively-
@@ -28,13 +39,78 @@ stage fuses with the build's read in the streaming executor.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
 
 _KNOWN = ("set", "rename", "remove", "lowercase", "uppercase", "trim",
-          "gsub", "enrich")
+          "gsub", "enrich", "grok", "dissect")
+
+# The pinned grok pattern dictionary (the ES/logstash names this subset
+# maps; anything else raises — never approximate). Kept RE2-safe so the
+# compiled expression runs identically on Arrow's and DuckDB's RE2.
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def compile_grok(pattern: str) -> str:
+    """%{SYNTAX:semantic} grok pattern -> anchored RE2 with named
+    groups. Unnamed refs (%{WORD}) match without capturing; unknown
+    SYNTAX names raise UnsupportedProcessor."""
+    out, pos = ["^"], 0
+    for m in _GROK_REF.finditer(pattern):
+        out.append(re.escape(pattern[pos:m.start()]))
+        syntax, semantic = m.group(1), m.group(2)
+        if syntax not in _GROK_PATTERNS:
+            raise UnsupportedProcessor(f"grok pattern %{{{syntax}}}")
+        body = _GROK_PATTERNS[syntax]
+        out.append(f"(?P<{semantic}>{body})" if semantic
+                   else f"(?:{body})")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    out.append("$")
+    return "".join(out)
+
+
+_DISSECT_KEY = re.compile(r"%\{(\w*)\}")
+
+
+def compile_dissect(pattern: str) -> str:
+    """ES dissect pattern -> the canonical anchored regex: literals
+    escaped, every %{key} a non-greedy named capture except a
+    pattern-final key, which takes the greedy tail (the dissect
+    'consume up to the next delimiter' rule). Empty-name skip keys
+    (%{}) match without capturing; adjacent keys with no literal
+    between them are refused (dissect needs delimiters)."""
+    out, pos, last_end = ["^"], 0, None
+    matches = list(_DISSECT_KEY.finditer(pattern))
+    if not matches:
+        raise UnsupportedProcessor("dissect pattern has no %{key}")
+    for m in matches:
+        lit = pattern[pos:m.start()]
+        if last_end is not None and not lit:
+            raise UnsupportedProcessor(
+                "dissect keys need a literal delimiter between them"
+            )
+        out.append(re.escape(lit))
+        body = ".*" if m.end() == len(pattern) else ".*?"
+        name = m.group(1)
+        out.append(f"(?P<{name}>{body})" if name else f"(?:{body})")
+        pos = last_end = m.end()
+    out.append(re.escape(pattern[pos:]))
+    out.append("$")
+    return "".join(out)
 
 
 class UnsupportedProcessor(ValueError):
@@ -57,6 +133,8 @@ def _check(procs: list[dict]) -> None:
             "trim": {"field"},
             "gsub": {"field", "pattern", "replacement"},
             "enrich": {"field", "target_field", "lookup"},
+            "grok": {"field", "pattern"},
+            "dissect": {"field", "pattern"},
         }[kind]
         if not isinstance(body, dict) or set(body) != need:
             raise UnsupportedProcessor(
@@ -71,11 +149,47 @@ class IngestPipeline:
     def __init__(self, processors: list[dict]):
         _check(processors)
         self.processors = list(processors)
+        # grok/dissect regexes compile (and validate) ONCE here, so the
+        # broadcast pipeline object ships ready-to-run patterns and a
+        # bad pattern fails at PUT time, not mid-stream
+        self._compiled: dict[int, tuple[str, tuple[str, ...]]] = {}
+        for i, p in enumerate(self.processors):
+            kind, b = next(iter(p.items()))
+            if kind in ("grok", "dissect"):
+                rx = (compile_grok(b["pattern"]) if kind == "grok"
+                      else compile_dissect(b["pattern"]))
+                names = tuple(re.compile(rx).groupindex)
+                if not names:
+                    raise UnsupportedProcessor(
+                        f"{kind} pattern captures no fields"
+                    )
+                for n in names:
+                    if n in ("", b["field"]):
+                        raise UnsupportedProcessor(
+                            f"{kind} capture name {n!r}"
+                        )
+                self._compiled[i] = (rx, names)
 
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         t = batch
-        for p in self.processors:
+        for i, p in enumerate(self.processors):
             kind, b = next(iter(p.items()))
+            if kind in ("grok", "dissect"):
+                rx, names = self._compiled[i]
+                ext = pc.extract_regex(
+                    t[b["field"]].combine_chunks(), pattern=rx
+                )
+                for name in names:
+                    # struct_field propagates the parent (non-match)
+                    # null into the child — unlike StructArray.flatten
+                    col = pc.struct_field(ext, name)
+                    if name in t.column_names:
+                        t = t.set_column(
+                            t.column_names.index(name), name, col
+                        )
+                    else:
+                        t = t.append_column(name, col)
+                continue
             if kind == "set":
                 v = pa.array([b["value"]] * t.num_rows)
                 if b["field"] in t.column_names:

@@ -7078,6 +7078,58 @@ def text_ingest_processors(sf_dir: str) -> rd.Dataset:
     return out.map_batches(present, batch_format="pyarrow")
 
 
+# grok/dissect contract chain: first word of text + the numeric tail of
+# the source id. Patterns are RE2-safe so the SQL twin runs the SAME
+# compiled expressions through DuckDB's RE2.
+GROK_DISSECT_CHAIN = [
+    {"grok": {"field": "text",
+              "pattern": "%{WORD:w1} %{GREEDYDATA:rest}"}},
+    {"dissect": {"field": "source", "pattern": "src%{src_num}"}},
+]
+
+
+def text_grok_dissect(sf_dir: str) -> pa.Table:
+    """ES grok + dissect ingest processors (rayfts.ingest): extract the
+    first token of ``text`` (grok %{WORD}) and the numeric tail of
+    ``source`` (dissect src%{num}), then aggregate per first word —
+    doc count and exact integer sum of the dissected source numbers.
+    Non-matching texts (no space) grok to a null w1 and group under it,
+    the processor's on_failure → null convention. Map-side combine per
+    batch (one Table.group_by over the vocabulary-sized key space),
+    O(vocab) driver merge — no shuffle."""
+    from .ingest import IngestPipeline
+
+    out = IngestPipeline(GROK_DISSECT_CHAIN).apply(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["text", "source"],
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "w1": t["w1"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "s": pc.cast(t["src_num"], pa.int64()),
+        }).group_by("w1").aggregate([("n", "sum"), ("s", "sum")])
+
+    parts = pa.concat_tables(
+        b for b in ray.get(
+            out.map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if b.num_rows
+    )
+    merged = parts.group_by("w1").aggregate(
+        [("n_sum", "sum"), ("s_sum", "sum")]
+    )
+    t = pa.table({
+        "w1": merged["w1"],
+        "n_docs": pc.cast(merged["n_sum_sum"], pa.int64()),
+        "sum_src_num": pc.cast(merged["s_sum_sum"], pa.int64()),
+    })
+    return t.take(pc.sort_indices(t, sort_keys=[("w1", "ascending")]))
+
+
 def events_pivot_transform(sf_dir: str) -> pa.Table:
     """ES transform (pivot) analog: events pivoted by
     (event_type, day) into a dest summary store with

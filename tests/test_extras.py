@@ -2445,6 +2445,61 @@ def test_ingest_enrich_processor_null_rule():
     assert out["family"].to_pylist() == ["germanic", "germanic", None]
 
 
+def test_ingest_grok_dissect_processors():
+    """grok: %{SYNTAX:semantic} compiles to anchored named-group RE2
+    (python-re parity per row, non-match -> null captures); dissect:
+    non-greedy keys between literal delimiters, greedy pattern-final
+    key; unknown grok names / delimiter-less adjacent dissect keys /
+    capture-free patterns refuse at construction."""
+    import re as _re
+
+    import pytest as _pt
+
+    from rayfts.ingest import (IngestPipeline, UnsupportedProcessor,
+                               compile_dissect, compile_grok)
+
+    t = pa.table({
+        "text": pa.array(["alpha beta gamma delta", "oneword", None,
+                          "k=42 rest here"]),
+        "source": pa.array(["src12", "src7", "other", "src003"]),
+    })
+    out = IngestPipeline([
+        {"grok": {"field": "text",
+                  "pattern": "%{WORD:w1} %{GREEDYDATA:rest}"}},
+        {"dissect": {"field": "source", "pattern": "src%{num}"}},
+    ]).transform_batch(t)
+    # python-re twin of the compiled grok, row by row
+    rx = _re.compile(compile_grok("%{WORD:w1} %{GREEDYDATA:rest}"))
+    for i, s in enumerate(t["text"].to_pylist()):
+        m = rx.match(s) if s is not None else None
+        assert out["w1"][i].as_py() == (m.group("w1") if m else None)
+        assert out["rest"][i].as_py() == (m.group("rest") if m else None)
+    assert out["num"].to_pylist() == ["12", "7", None, "003"]
+
+    # dissect middle keys are non-greedy, the final key greedy
+    rx2 = _re.compile(compile_dissect("%{a}-%{b}"))
+    m2 = rx2.match("x-y-z")
+    assert (m2.group("a"), m2.group("b")) == ("x", "y-z")
+
+    # grok INT/NUMBER classes + unnamed (non-capturing) refs
+    out2 = IngestPipeline([
+        {"grok": {"field": "text",
+                  "pattern": "%{WORD}=%{INT:n} %{GREEDYDATA:tail}"}},
+    ]).transform_batch(t)
+    assert out2["n"].to_pylist() == [None, None, None, "42"]
+    assert out2["tail"].to_pylist() == [None, None, None, "rest here"]
+
+    for bad in (
+        [{"grok": {"field": "text", "pattern": "%{NOPE:x}"}}],
+        [{"grok": {"field": "text", "pattern": "%{WORD} plain"}}],
+        [{"dissect": {"field": "source", "pattern": "%{a}%{b}"}}],
+        [{"dissect": {"field": "source", "pattern": "no keys"}}],
+        [{"grok": {"field": "text", "pattern": "%{WORD:text}"}}],
+    ):
+        with _pt.raises(UnsupportedProcessor):
+            IngestPipeline(bad)
+
+
 def test_sample_shuffle_order_is_md5_permutation():
     """Deterministic shuffle: the emitted head is the global
     (md5rank, doc_id) order with 0-based positions; rerun-stable."""
