@@ -529,6 +529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extras (dedup / similarity / text analysis)
         "dedup_exact": P.dedup_exact_q,
         "dedup_minhash": P.dedup_minhash_q,
+        # exact blocked n-gram Jaccard pairs (recall-complete in-block)
+        "dedup_jaccard": P.dedup_jaccard_q,
         "dedup_cluster_sizes": P.dedup_cluster_sizes_q,  # size histogram
         "decontaminate_ngrams": P.decontaminate_q,   # eval-set leak detection
         "decontaminate_by_source": P.decontaminate_by_source_q,
@@ -3511,6 +3513,7 @@ FROM kid k JOIN par p USING (source) WHERE k.rk <= 3
         # hyperplane literals) was chosen to be SQL-replicable, so these
         # get REAL value oracles (generated in rayfts.extras.oracles).
         "dedup_minhash": _X.minhash_dedup_sql(),
+        "dedup_jaccard": _X.ngram_jaccard_sql(),
         # cluster-size histogram over the same labeling
         "dedup_cluster_sizes": f"""
 WITH base AS ({_X.minhash_dedup_sql()})

@@ -635,6 +635,117 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup (blocked pairwise)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    lb_chars: int = 64,
+) -> pa.Table:
+    """Exact word-k-shingle Jaccard near-dup PAIRS within
+    (lang, n_chars // lb_chars) blocks — the non-probabilistic twin of
+    minhash_dedup (which estimates the same Jaccard via signatures and
+    verifies candidates; here EVERY in-block pair is verified, so recall
+    within a block is total and the blocking key is the documented
+    recall boundary: near-dups differing in lang or crossing a length
+    bucket are out of contract).
+
+    One groupby shuffle on the block key; per-group kernel is fully
+    vectorized (batch shingle hashing + one incidence-matrix matmul for
+    all pairwise intersections). Blocks are bounded by the key design
+    (lang x length-bucket); a skewed block would salt by doc-id range
+    and merge, the sessionize convention. Docs with zero shingles
+    (empty after analysis) carry no pairs — documented, matching the
+    SQL oracle's join semantics.
+
+    Returns (a, b, inter, uni, jac_e6) for pairs with
+    jaccard >= threshold, compared in EXACT integer math
+    (inter * den >= num * uni); jac_e6 is integer round-half-up.
+    """
+    tnum, tden = threshold_fraction(threshold)
+
+    def add_block(t: pa.Table) -> pa.Table:
+        lb = pc.cast(
+            pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()),
+                               float(lb_chars))),
+            pa.int64(),
+        )
+        return pa.table({
+            "doc_id": t["doc_id"], "text": t["text"],
+            "block": pc.binary_join_element_wise(
+                t["lang"], pc.cast(lb, pa.string()), "|"
+            ),
+        })
+
+    def kernel(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "uni": pa.array([], pa.int64()),
+            "jac_e6": pa.array([], pa.int64()),
+        })
+        if n < 2:
+            return empty
+        ids = g["doc_id"].combine_chunks().to_numpy().astype(np.int64)
+        flat, parent = tokens_flat(g["text"])
+        flat_h = hash_tokens_unique(flat)
+        sh, shp = shingle_hashes_batch(flat_h, parent, n, shingle_k)
+        if sh.size == 0:
+            return empty
+        # distinct (doc, shingle): rows arrive sorted by parent; sort
+        # shingles within each doc run and mask repeats
+        order = np.lexsort((sh, shp))
+        sh, shp = sh[order], shp[order]
+        keep = np.ones(sh.size, bool)
+        keep[1:] = (sh[1:] != sh[:-1]) | (shp[1:] != shp[:-1])
+        sh, shp = sh[keep], shp[keep]
+        # incidence matrix over the block vocabulary -> all pairwise
+        # intersections in one matmul (block sizes are key-bounded)
+        us, inv = np.unique(sh, return_inverse=True)
+        M = np.zeros((n, us.size), dtype=np.int64)
+        M[shp, inv] = 1
+        inter = M @ M.T
+        nsh = M.sum(axis=1)
+        iu, ju = np.triu_indices(n, k=1)
+        iv = inter[iu, ju]
+        uni = nsh[iu] + nsh[ju] - iv
+        m = (uni > 0) & (iv * tden >= tnum * uni)
+        iu, ju, iv, uni = iu[m], ju[m], iv[m], uni[m]
+        a, b = ids[iu], ids[ju]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        jac_e6 = (2_000_000 * iv + uni) // (2 * uni)
+        return pa.table({
+            "a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64()),
+            "inter": pa.array(iv, pa.int64()),
+            "uni": pa.array(uni, pa.int64()),
+            "jac_e6": pa.array(jac_e6, pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(add_block, batch_format="pyarrow")
+        .groupby("block")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        b for b in ray.get(out.to_arrow_refs()) if b.num_rows
+    )
+    if t.num_rows == 0:
+        return pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "uni": pa.array([], pa.int64()),
+            "jac_e6": pa.array([], pa.int64()),
+        })
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("a", "ascending"), ("b", "ascending")]
+    ))
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dedup
 # ---------------------------------------------------------------------------
 

@@ -196,6 +196,61 @@ WHERE d.doc_id % {bench_mod} != 0
 """
 
 
+def ngram_jaccard_sql(threshold: float = 0.5,
+                      shingle_k: int = DEFAULT_SHINGLE_K,
+                      lb_chars: int = 64) -> str:
+    """Exact blocked n-gram Jaccard pairs — the oracle of
+    extras.dedup.ngram_jaccard_pairs. Shingle CTE identical to
+    minhash_dedup_sql (same fold spec); candidate pairs are ALL doc
+    pairs sharing (lang, n_chars // lb_chars); threshold and jac_e6 are
+    pure integer math on both sides."""
+    assert shingle_k == 3, "SQL generator written for the k=3 spec"
+    tnum, tden = threshold_fraction(threshold)
+    C = FOLD_C
+    return f"""
+WITH
+{_toks_cte()},
+th AS (SELECT doc_id, pos, md5_number_lower(term)::HUGEINT AS h FROM tok),
+wn AS (SELECT doc_id, pos, h,
+        lead(h,1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+        lead(h,2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2,
+        count(*) OVER (PARTITION BY doc_id) AS L
+      FROM th),
+sh AS (
+  SELECT doc_id, (((((h*{C})%{W} + h1)%{W})*{C})%{W} + h2)%{W} AS sh
+  FROM wn WHERE h2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, CASE WHEN L = 1 THEN h ELSE ((h*{C})%{W} + h1)%{W} END
+  FROM wn WHERE L < 3 AND pos = 1
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+sc AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+pairs AS (
+  SELECT d1.doc_id AS a, d2.doc_id AS b
+  FROM documents d1 JOIN documents d2
+    ON d1.lang = d2.lang
+   AND d1.n_chars // {lb_chars} = d2.n_chars // {lb_chars}
+   AND d1.doc_id < d2.doc_id
+),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p
+  JOIN shd sa ON sa.doc_id = p.a
+  JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+  GROUP BY p.a, p.b
+)
+SELECT i.a, i.b, i.i::BIGINT AS inter,
+       (na.n + nb.n - i.i)::BIGINT AS uni,
+       ((2000000 * i.i + (na.n + nb.n - i.i))
+        // (2 * (na.n + nb.n - i.i)))::BIGINT AS jac_e6
+FROM inter i
+JOIN sc na ON na.doc_id = i.a
+JOIN sc nb ON nb.doc_id = i.b
+WHERE i.i * {tden} >= {tnum} * (na.n + nb.n - i.i)
+ORDER BY i.a, i.b
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash dedup
 # ---------------------------------------------------------------------------

@@ -4279,6 +4279,21 @@ def dedup_minhash_q(sf_dir: str) -> pa.Table:
     return minhash_dedup(_docs(sf_dir))
 
 
+def dedup_jaccard_q(sf_dir: str) -> pa.Table:
+    """Exact n-gram Jaccard near-dup pairs (see
+    extras.dedup.ngram_jaccard_pairs): every (lang, length-bucket)
+    in-block pair exactly verified at threshold 0.5 — the
+    deterministic recall-complete twin of the MinHash estimate."""
+    from .extras.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang", "n_chars"],
+        )
+    )
+
+
 def dedup_cluster_sizes_q(sf_dir: str) -> pa.Table:
     """Dedup audit report: the MinHash+LSH cluster-SIZE histogram
     (size -> number of clusters) — the curator-facing summary of how

@@ -47,6 +47,57 @@ def test_minhash_clusters_near_duplicates():
     assert clusters[2] == 2
 
 
+def test_ngram_jaccard_pairs_matches_reference():
+    """Blocked exact-Jaccard pairs: the vectorized incidence-matmul
+    kernel must agree pair-for-pair with the per-doc reference
+    ``jaccard()`` over every in-block pair; cross-block pairs never
+    emit; zero-shingle docs carry no pairs; jac_e6 is integer
+    round-half-up of inter/union."""
+    from rayfts.analysis import tokens_flat
+    from rayfts.extras.dedup import jaccard, ngram_jaccard_pairs
+
+    base = " ".join(f"tok{i:03d}" for i in range(60))
+    near = base.replace("tok030", "changed")
+    half = " ".join(f"tok{i:03d}" for i in range(30)) + " " + \
+        " ".join(f"other{i}" for i in range(30))
+    texts = [base, near, half, "zz " * 40, "", base]
+    langs = ["en", "en", "en", "en", "en", "de"]  # last: other block
+    nch = [len(t) for t in texts]
+    nch[3] = nch[0]  # force doc 3 into doc 0/1/2's length bucket
+    nch[4] = nch[0]
+    nch[5] = nch[0]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "n_chars": pa.array(nch, pa.int64()),
+    }))
+    out = ngram_jaccard_pairs(ds, threshold=0.3)
+    got = {(r["a"], r["b"]): (r["inter"], r["uni"], r["jac_e6"])
+           for r in out.to_pylist()}
+    # reference: every same-(lang, bucket) pair with tokens on both sides
+    toks = []
+    for t in texts:
+        flat, _ = tokens_flat(pa.array([t]))
+        toks.append(flat.to_pylist())
+    exp = {}
+    for i in range(6):
+        for j in range(i + 1, 6):
+            if langs[i] != langs[j] or nch[i] // 64 != nch[j] // 64:
+                continue
+            if not toks[i] or not toks[j]:
+                continue
+            jac = jaccard(toks[i], toks[j])
+            if jac >= 0.3:
+                exp[(i, j)] = jac
+    assert set(got) == set(exp)
+    for (i, j), (inter, uni, jac_e6) in got.items():
+        assert abs(inter / uni - exp[(i, j)]) < 1e-12
+        assert jac_e6 == (2_000_000 * inter + uni) // (2 * uni)
+    assert (0, 1) in got and got[(0, 1)][0] > 0   # near-dups caught
+    assert all((a, b) != (0, 5) for a, b in got)  # cross-lang blocked
+
+
 def test_minhash_signature_deterministic():
     from rayfts.extras.dedup import MinHasher
 
