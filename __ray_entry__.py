@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_dsl_script_filter_top10": P.fts_dsl_script_filter_top10,
         "fts_esql_stats": P.fts_esql_stats,  # ES|QL piped language
         "fts_esql_eval": P.fts_esql_eval,    # ES|QL EVAL runtime field
+        "fts_esql_grok": P.fts_esql_grok,    # ES|QL GROK/DISSECT derive
         # Heaps-law vocabulary growth (first-occurrence histogram)
         "vocab_growth_curve": P.vocab_growth_curve,
         "vocab_zipf_slope": P.vocab_zipf_slope,
@@ -1024,6 +1025,22 @@ SELECT source, sum(n_chars * 3)::BIGINT AS s,
        max(n_chars * 3)::BIGINT AS mx
 FROM documents JOIN hits USING (doc_id)
 GROUP BY source ORDER BY s DESC, source LIMIT 5
+""",
+        # ES|QL GROK + DISSECT: the same anchored RE2 the commands
+        # compile, via DuckDB regexp (regexp_matches guard — DuckDB
+        # regexp_extract returns '' on no-match); null w1 forms no
+        # bucket (the _field_codes -1 rule)
+        "fts_esql_grok": r"""
+WITH g AS (
+  SELECT CASE WHEN regexp_matches(text, '^(\w+) (.*)$')
+              THEN regexp_extract(text, '^(\w+) (.*)$', 1) END AS w1
+  FROM documents
+  WHERE lang = 'en'
+    AND CASE WHEN regexp_matches(source, '^src(.*)$')
+             THEN regexp_extract(source, '^src(.*)$', 1) END = '3'
+)
+SELECT w1, count(*)::BIGINT AS n FROM g WHERE w1 IS NOT NULL
+GROUP BY w1 ORDER BY n DESC, w1 ASC LIMIT 10
 """,
         # script query (filter context): the AST (n_chars*7 - 100)/4
         # > 500 prunes hits; df/avgdl stay corpus-global; /4.0 and the

@@ -22,6 +22,17 @@ Supported grammar (case-insensitive keywords, one clause per pipe):
                                       fractional sums are not
                                       hash-stable; the derived column
                                       registers as a runtime field)
+  GROK col "pattern"                 the ES|QL GROK command: the ingest
+                                      grok pattern subset compiled to
+                                      anchored RE2; every named capture
+                                      becomes a derived KEYWORD column
+                                      (groupable in STATS BY, null on
+                                      no-match so non-matching docs form
+                                      no bucket — the _field_codes -1
+                                      rule). Captures shadowing a stored
+                                      column refuse.
+  DISSECT col "pattern"              same, via the dissect delimiter
+                                      pattern
   STATS a = FUN [, b = FUN]* [BY f]  FUN := COUNT(*) | SUM(col) | MIN |
                                             MAX | AVG  (AVG emits the
                                             exact SUM/COUNT pair's
@@ -42,6 +53,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _STR = r'"((?:[^"\\]|\\.)*)"'
 
@@ -118,8 +130,8 @@ def parse_esql(query: str) -> dict:
     if not m:
         raise ESQLError("query must start with FROM <index>")
     plan: dict = {"from": m.group(1), "match": None, "where": {},
-                  "evals": [], "stats": None, "by": None, "sort": [],
-                  "limit": None}
+                  "evals": [], "derives": [], "stats": None, "by": None,
+                  "sort": [], "limit": None}
     for stage in stages[1:]:
         kw = stage.split(None, 1)[0].upper() if stage else ""
         body = stage[len(kw):].strip()
@@ -137,6 +149,11 @@ def parse_esql(query: str) -> dict:
                  {"op": m2.group(3), "a": {"col": m2.group(2)},
                   "b": float(m2.group(4))})
             )
+        elif kw in ("GROK", "DISSECT"):
+            m2 = re.fullmatch(rf"(\w+)\s+{_STR}", body)
+            if not m2:
+                raise ESQLError(f"unsupported {kw}: {body!r}")
+            plan["derives"].append((kw, m2.group(1), m2.group(2)))
         elif kw == "STATS":
             plan["stats"], plan["by"] = _parse_stats(body)
         elif kw == "SORT":
@@ -160,6 +177,45 @@ def parse_esql(query: str) -> dict:
     return plan
 
 
+def _inject_derived(s, kind: str, col: str, pattern: str) -> None:
+    """GROK/DISSECT: run the compiled pattern over the stored source
+    column (one column-pruned docstore read, one pc.extract_regex) and
+    register every named capture as a derived keyword column in the
+    searcher's facet-code cache — BY/filters then see it exactly like a
+    stored column. No-match rows code to -1 (null, no bucket)."""
+    import pyarrow.dataset as pads
+
+    from .ingest import UnsupportedProcessor, compile_dissect, compile_grok
+
+    try:
+        rx = (compile_grok(pattern) if kind == "GROK"
+              else compile_dissect(pattern))
+    except UnsupportedProcessor as e:
+        raise ESQLError(str(e)) from e
+    names = tuple(re.compile(rx).groupindex)
+    if not names:
+        raise ESQLError(f"{kind} pattern captures no fields")
+    dset = pads.dataset(s._docstore_dir)
+    stored = set(dset.schema.names)
+    if col not in stored:
+        raise ESQLError(f"{kind} source column {col!r} not stored")
+    for n in names:
+        if n in stored:
+            raise ESQLError(f"{kind} capture {n!r} shadows a stored column")
+    t = dset.to_table(columns=["doc_id", col])
+    ext = pc.extract_regex(t[col].combine_chunks(), pattern=rx)
+    doc_ids = t["doc_id"].to_numpy()
+    for n in names:
+        enc = pc.dictionary_encode(pc.struct_field(ext, n))
+        idx = pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        codes = np.full(s.N, -1, np.int64)
+        codes[doc_ids] = idx
+        s._facet_cols[n] = (codes, enc.dictionary.to_pylist())
+    return set(names)
+
+
 def execute_esql(searcher, query: str) -> pa.Table:
     """Run an ES|QL string against a Searcher; returns an Arrow table
     with the STATS output columns (+ the BY column first)."""
@@ -167,9 +223,27 @@ def execute_esql(searcher, query: str) -> pa.Table:
     s = searcher
     for name, expr in plan["evals"]:
         s.define_runtime_field(name, expr)
-    hits = s._hit_mask(plan["match"], plan["where"] or None)
+    derived: set[str] = set()
+    for kind, col, pattern in plan["derives"]:
+        derived |= _inject_derived(s, kind, col, pattern)
+    # derived captures filter via their code arrays (keyword equality
+    # only — they never reach the docstore scan, which has no such
+    # column); stored columns take the normal filter_mask path
+    dwhere = {k: v for k, v in plan["where"].items() if k in derived}
+    swhere = {k: v for k, v in plan["where"].items() if k not in derived}
+    hits = s._hit_mask(plan["match"], swhere or None)
     if hits is None:
         hits = np.zeros(s.N, dtype=bool)
+    for k, v in dwhere.items():
+        if not isinstance(v, str):
+            raise ESQLError(
+                f"derived column {k!r} filters by string equality only"
+            )
+        codes, values = s._field_codes(k)
+        try:
+            hits = hits & (codes == values.index(v))
+        except ValueError:
+            hits = np.zeros(s.N, dtype=bool)
 
     def agg_columns(sel_idx: np.ndarray) -> dict:
         out: dict = {}

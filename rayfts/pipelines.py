@@ -6344,6 +6344,34 @@ def fts_esql_eval(sf_dir: str) -> pa.Table:
     })
 
 
+ESQL_GROK_QUERY = (
+    'FROM documents '
+    '| GROK text "%{WORD:w1} %{GREEDYDATA:w_rest}" '
+    '| DISSECT source "src%{src_num}" '
+    '| WHERE lang == "en" AND src_num == "3" '
+    '| STATS n = COUNT(*) BY w1 '
+    '| SORT n DESC, w1 ASC '
+    '| LIMIT 10'
+)
+
+
+def fts_esql_grok(sf_dir: str) -> pa.Table:
+    """ES|QL GROK + DISSECT commands: both patterns compile through the
+    ingest-processor subset to anchored RE2, the captures register as
+    derived keyword columns (null on no-match -> no bucket), the WHERE
+    mixes a stored column (lang, docstore scan) with a derived one
+    (src_num, code-mask equality), and STATS groups by the grokked
+    first word."""
+    from .esql import execute_esql
+
+    s = Searcher(documents_index(sf_dir))
+    t = execute_esql(s, ESQL_GROK_QUERY)
+    return pa.table({
+        "w1": t["w1"].cast(pa.string()),
+        "n": t["n"].cast(pa.int64()),
+    })
+
+
 def fts_dsl_script_filter_top10(sf_dir: str) -> pa.Table:
     """ES script query (filter context): BM25_QUERY hits kept only when
     the painless-AST expression (n_chars*7 - 100)/4 exceeds 500 — the

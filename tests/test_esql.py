@@ -98,6 +98,67 @@ def test_esql_eval_runtime_field(esql_index):
                    "| STATS n = COUNT(*)")
 
 
+def test_esql_grok_dissect_derived_columns(esql_index):
+    """GROK/DISSECT: captures group in STATS BY exactly like stored
+    keyword columns (python-re brute force over the stored text),
+    no-match rows form no bucket, derived WHERE equality composes with
+    a MATCH, and shadowing / unknown-column / range-filter shapes
+    refuse."""
+    import re as _re
+
+    import pyarrow.dataset as pads
+
+    from rayfts.ingest import compile_grok
+
+    s = Searcher(esql_index)
+    q = ('FROM transcripts '
+         '| GROK text "%{WORD:g_w1} %{GREEDYDATA:g_rest}" '
+         '| DISSECT conv_id "conv-%{g_cnum}" '
+         '| STATS n = COUNT(*) BY g_w1 '
+         '| SORT n DESC, g_w1 ASC')
+    t = execute_esql(s, q)
+    # brute force over the stored docstore text
+    doc = pads.dataset(s._docstore_dir).to_table(
+        columns=["doc_id", "text"]
+    )
+    rx = _re.compile(compile_grok("%{WORD:g_w1} %{GREEDYDATA:g_rest}"))
+    counts: dict[str, int] = {}
+    for txt in doc["text"].to_pylist():
+        m = rx.match(txt or "")
+        if m:
+            counts[m.group("g_w1")] = counts.get(m.group("g_w1"), 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r["g_w1"], r["n"]) for r in t.to_pylist()] == want and want
+
+    # derived WHERE equality composes with MATCH; result equals the
+    # python-re filter of the MATCH hit set
+    hits = s._hit_mask("the")
+    doc2 = pads.dataset(s._docstore_dir).to_table(
+        columns=["doc_id", "conv_id"]
+    )
+    conv = dict(zip(doc2["doc_id"].to_pylist(),
+                    doc2["conv_id"].to_pylist()))
+    probe = conv[int(np.flatnonzero(hits)[0])]  # a conv with hits
+    q2 = ('FROM transcripts | DISSECT conv_id "conv-%{g_c}" '
+          f'| WHERE MATCH(text, "the") AND g_c == "{probe[5:]}" '
+          '| STATS n = COUNT(*)')
+    n = execute_esql(s, q2)["n"][0].as_py()
+    want_n = sum(1 for d in np.flatnonzero(hits)
+                 if conv[int(d)] == probe)
+    assert n == want_n and want_n > 0
+
+    for bad in [
+        'FROM x | GROK text "%{WORD:conv_id} x" | STATS n = COUNT(*)',
+        'FROM x | GROK nosuch "%{WORD:q}" | STATS n = COUNT(*)',
+        'FROM x | GROK text "%{NOPE:q}" | STATS n = COUNT(*)',
+        'FROM x | GROK text "plain" | STATS n = COUNT(*)',
+        'FROM x | DISSECT conv_id "conv-%{g}" | WHERE g >= 3 '
+        '| STATS n = COUNT(*)',
+    ]:
+        with pytest.raises(ESQLError):
+            execute_esql(s, bad)
+
+
 def test_esql_refusals(esql_index):
     s = Searcher(esql_index)
     for bad in [
