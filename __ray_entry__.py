@@ -664,6 +664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_count_by_family": P.keyword_count_by_family,
         # grok + dissect ingest processors (field extraction)
         "text_grok_dissect": P.text_grok_dissect,
+        # split/fingerprint/convert/drop processors
+        "text_ingest_extract": P.text_ingest_extract,
         # ANN eval harness: LSH recall@k vs the exact baseline
         "knn_recall_at_k": P.knn_recall_at_k,
         # MMR diversity reranking (retrieve-then-diversify)
@@ -4775,6 +4777,16 @@ SELECT CASE WHEN regexp_matches(text, '^(\w+) (.*)$')
                           AS BIGINT) END)::BIGINT AS sum_src_num
 FROM documents
 GROUP BY 1 ORDER BY 1
+""",
+        # split/fingerprint/convert/drop: list length == regex-split
+        # cell count, md5 of the '|' join, int->varchar cast, and the
+        # drop processor's row filter
+        "text_ingest_extract": """
+SELECT doc_id,
+       len(string_split_regex(text, ' '))::BIGINT AS n_tokens,
+       md5(lang || '|' || source) AS fp,
+       n_chars::VARCHAR AS n_chars_str
+FROM documents WHERE lang != 'de'
 """,
         # enrich processor: the broadcast lookup replayed as a VALUES
         # join (unmatched -> null family; engine groupby counts nulls

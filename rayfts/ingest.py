@@ -29,6 +29,29 @@ processors or option shapes raise, never approximate):
              %{key} fields between literal delimiters; compiled to the
              canonical anchored regex (non-greedy captures, greedy
              tail) and executed on the grok kernel path
+  convert    {field, type}                  — type cast (integer/long ->
+             int64, double, string, boolean); bad input RAISES (the ES
+             convert default, no on_failure swallow)
+  split      {field, separator}             — regex split into a
+             list<string> column (ES split's separator is a regex)
+  join       {field, separator}             — list<string> -> string
+  csv        {field, target_fields, separator?} — unquoted-subset csv:
+             compiled to one anchored ([^sep]*) regex on the grok
+             kernel path (quote/empty handling beyond the subset
+             refuses; non-matching rows -> null fields)
+  date       {field, format, target_field}  — strptime into a
+             timestamp(us) column (single pinned format, the ES
+             formats-list subset); unparseable input raises
+  drop       {field, equals}                — the ES drop processor's
+             condition subset: remove documents whose field equals the
+             constant (a vectorized row filter — the one processor
+             that changes row count)
+  html_strip {field}                        — tag-removal subset of the
+             Lucene HTMLStripCharFilter: '<[^>]*>' -> '' (entities and
+             script/style bodies are out of this pinned subset)
+  fingerprint {fields, target_field}        — md5 hex of the
+             '|'-joined field values (one md5 per DISTINCT joined
+             string — the hash_tokens_unique trick)
 
 Every string processor is one Arrow compute kernel per batch — no
 Python rows; the chain applies IN ORDER on the progressively-
@@ -47,7 +70,13 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 _KNOWN = ("set", "rename", "remove", "lowercase", "uppercase", "trim",
-          "gsub", "enrich", "grok", "dissect")
+          "gsub", "enrich", "grok", "dissect", "convert", "split",
+          "join", "csv", "date", "drop", "html_strip", "fingerprint")
+
+_CONVERT_TYPES = {
+    "integer": pa.int64(), "long": pa.int64(), "double": pa.float64(),
+    "string": pa.string(), "boolean": pa.bool_(),
+}
 
 # The pinned grok pattern dictionary (the ES/logstash names this subset
 # maps; anything else raises — never approximate). Kept RE2-safe so the
@@ -135,10 +164,24 @@ def _check(procs: list[dict]) -> None:
             "enrich": {"field", "target_field", "lookup"},
             "grok": {"field", "pattern"},
             "dissect": {"field", "pattern"},
+            "convert": {"field", "type"},
+            "split": {"field", "separator"},
+            "join": {"field", "separator"},
+            "csv": ({"field", "target_fields"},
+                    {"field", "target_fields", "separator"}),
+            "date": {"field", "format", "target_field"},
+            "drop": {"field", "equals"},
+            "html_strip": {"field"},
+            "fingerprint": {"fields", "target_field"},
         }[kind]
-        if not isinstance(body, dict) or set(body) != need:
+        allowed = need if isinstance(need, tuple) else (need,)
+        if not isinstance(body, dict) or set(body) not in allowed:
             raise UnsupportedProcessor(
-                f"{kind} needs exactly options {sorted(need)}"
+                f"{kind} needs exactly options {sorted(allowed[0])}"
+            )
+        if kind == "convert" and body["type"] not in _CONVERT_TYPES:
+            raise UnsupportedProcessor(
+                f"convert type {body['type']!r}"
             )
 
 
@@ -155,6 +198,24 @@ class IngestPipeline:
         self._compiled: dict[int, tuple[str, tuple[str, ...]]] = {}
         for i, p in enumerate(self.processors):
             kind, b = next(iter(p.items()))
+            if kind == "csv":
+                sep = b.get("separator", ",")
+                if len(sep) != 1 or sep in ("\\", "]", "^", '"'):
+                    raise UnsupportedProcessor(
+                        f"csv separator {sep!r} (single plain char only)"
+                    )
+                names = b["target_fields"]
+                if (not names or not isinstance(names, list) or
+                        any(not re.fullmatch(r"\w+", str(n))
+                            for n in names)):
+                    raise UnsupportedProcessor(
+                        f"csv target_fields {names!r}"
+                    )
+                cell = f"[^{re.escape(sep)}]*"
+                rx = ("^" + re.escape(sep).join(
+                    f"(?P<{n}>{cell})" for n in names) + "$")
+                self._compiled[i] = (rx, tuple(names))
+                continue
             if kind in ("grok", "dissect"):
                 rx = (compile_grok(b["pattern"]) if kind == "grok"
                       else compile_dissect(b["pattern"]))
@@ -174,7 +235,7 @@ class IngestPipeline:
         t = batch
         for i, p in enumerate(self.processors):
             kind, b = next(iter(p.items()))
-            if kind in ("grok", "dissect"):
+            if kind in ("grok", "dissect", "csv"):
                 rx, names = self._compiled[i]
                 ext = pc.extract_regex(
                     t[b["field"]].combine_chunks(), pattern=rx
@@ -209,6 +270,60 @@ class IngestPipeline:
                 ])
             elif kind == "remove":
                 t = t.drop_columns([b["field"]])
+            elif kind == "convert":
+                i2 = t.column_names.index(b["field"])
+                t = t.set_column(
+                    i2, b["field"],
+                    pc.cast(t[b["field"]], _CONVERT_TYPES[b["type"]]),
+                )
+            elif kind == "split":
+                i2 = t.column_names.index(b["field"])
+                t = t.set_column(
+                    i2, b["field"],
+                    pc.split_pattern_regex(t[b["field"]],
+                                           pattern=b["separator"]),
+                )
+            elif kind == "join":
+                i2 = t.column_names.index(b["field"])
+                t = t.set_column(
+                    i2, b["field"],
+                    pc.binary_join(t[b["field"]], b["separator"]),
+                )
+            elif kind == "date":
+                parsed = pc.strptime(t[b["field"]], format=b["format"],
+                                     unit="us")
+                tf = b["target_field"]
+                if tf in t.column_names:
+                    t = t.set_column(t.column_names.index(tf), tf,
+                                     parsed)
+                else:
+                    t = t.append_column(tf, parsed)
+            elif kind == "drop":
+                keep = pc.invert(pc.fill_null(
+                    pc.equal(t[b["field"]], b["equals"]), False
+                ))
+                t = t.filter(keep)
+            elif kind == "fingerprint":
+                joined = pc.binary_join_element_wise(
+                    *[pc.cast(t[f], pa.string()) for f in b["fields"]],
+                    "|",
+                )
+                # one md5 per DISTINCT joined value (Zipf-friendly)
+                enc = pc.dictionary_encode(joined.combine_chunks())
+                import hashlib
+
+                hexes = pa.array(
+                    [None if v is None else
+                     hashlib.md5(v.encode()).hexdigest()
+                     for v in enc.dictionary.to_pylist()],
+                    pa.string(),
+                )
+                fp = pc.take(hexes, enc.indices)
+                tf = b["target_field"]
+                if tf in t.column_names:
+                    t = t.set_column(t.column_names.index(tf), tf, fp)
+                else:
+                    t = t.append_column(tf, fp)
             elif kind == "enrich":
                 # ES enrich-processor analog: the enrich policy's match
                 # index is the (small) ``lookup`` dict, broadcast with
@@ -239,6 +354,10 @@ class IngestPipeline:
                     col = pc.replace_substring_regex(
                         col, pattern=b["pattern"],
                         replacement=b["replacement"],
+                    )
+                elif kind == "html_strip":
+                    col = pc.replace_substring_regex(
+                        col, pattern="<[^>]*>", replacement="",
                     )
                 t = t.set_column(i, b["field"], col)
         return t

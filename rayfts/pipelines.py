@@ -7121,6 +7121,45 @@ def text_ingest_processors(sf_dir: str) -> rd.Dataset:
     return out.map_batches(present, batch_format="pyarrow")
 
 
+# second processor chain: split -> list column, fingerprint -> md5 of
+# joined fields, convert -> cast, drop -> row filter (the one
+# row-count-changing processor)
+INGEST_EXTRACT_CHAIN = [
+    {"split": {"field": "text", "separator": " "}},
+    {"fingerprint": {"fields": ["lang", "source"],
+                     "target_field": "fp"}},
+    {"convert": {"field": "n_chars", "type": "string"}},
+    {"drop": {"field": "lang", "equals": "de"}},
+]
+
+
+def text_ingest_extract(sf_dir: str) -> rd.Dataset:
+    """ES ingest processors round 2 (rayfts.ingest): split (regex ->
+    list column, presented as its length), fingerprint (md5 hex of
+    lang|source — one md5 per distinct pair), convert (int -> string
+    cast), drop (lang == 'de' documents removed — the row-count
+    change the oracle's WHERE mirrors)."""
+    from .ingest import IngestPipeline
+
+    out = IngestPipeline(INGEST_EXTRACT_CHAIN).apply(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+    )
+
+    def present(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(pc.list_value_length(t["text"]),
+                                pa.int64()),
+            "fp": t["fp"],
+            "n_chars_str": t["n_chars"],
+        })
+
+    return out.map_batches(present, batch_format="pyarrow")
+
+
 # grok/dissect contract chain: first word of text + the numeric tail of
 # the source id. Patterns are RE2-safe so the SQL twin runs the SAME
 # compiled expressions through DuckDB's RE2.

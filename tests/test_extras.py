@@ -2551,6 +2551,71 @@ def test_ingest_grok_dissect_processors():
             IngestPipeline(bad)
 
 
+def test_ingest_round2_processors():
+    """convert/split/join/csv/date/drop/html_strip/fingerprint: each an
+    Arrow kernel per batch; drop is the one row-count-changing
+    processor; csv rides the anchored-regex path (short rows -> null
+    cells); convert raises on bad input (the ES default); malformed
+    shapes refuse at construction."""
+    import hashlib
+
+    import pytest as _pt
+
+    from rayfts.ingest import IngestPipeline, UnsupportedProcessor
+
+    t = pa.table({
+        "num": pa.array(["12", "7", None]),
+        "csvline": pa.array(["a,b,c", "x,y,z", "only,two"]),
+        "tags": pa.array(["p;q;r", "s", None]),
+        "when": pa.array(["2024-01-02 03:04:05", "2024-06-07 08:09:10",
+                          "2024-01-01 00:00:00"]),
+        "kind": pa.array(["keep", "drop_me", "keep"]),
+        "html": pa.array(["<b>bold</b> text", "no tags",
+                          "<a href='x'>link</a>"]),
+        "u": pa.array(["alice", "bob", "carol"]),
+    })
+    out = IngestPipeline([
+        {"convert": {"field": "num", "type": "integer"}},
+        {"csv": {"field": "csvline",
+                 "target_fields": ["c1", "c2", "c3"]}},
+        {"split": {"field": "tags", "separator": ";"}},
+        {"date": {"field": "when", "format": "%Y-%m-%d %H:%M:%S",
+                  "target_field": "ts"}},
+        {"html_strip": {"field": "html"}},
+        {"fingerprint": {"fields": ["u", "kind"],
+                         "target_field": "fp"}},
+        {"drop": {"field": "kind", "equals": "drop_me"}},
+        {"join": {"field": "tags", "separator": ","}},
+    ]).transform_batch(t)
+    assert out.num_rows == 2                      # drop removed row 1
+    assert out["num"].to_pylist() == [12, None]   # convert cast
+    assert out["c1"].to_pylist() == ["a", None]   # short csv row: null
+    assert out["c3"].to_pylist() == ["c", None]
+    assert out["tags"].to_pylist() == ["p,q,r", None]  # split+join
+    assert out["ts"][0].as_py().year == 2024      # date parsed
+    assert out["html"].to_pylist() == ["bold text", "link"]
+    assert out["fp"].to_pylist() == [
+        hashlib.md5(b"alice|keep").hexdigest(),
+        hashlib.md5(b"carol|keep").hexdigest(),
+    ]
+    # convert raises on unparseable input (no on_failure swallow)
+    with _pt.raises(Exception):
+        IngestPipeline([
+            {"convert": {"field": "u", "type": "integer"}},
+        ]).transform_batch(t)
+    for bad in (
+        [{"csv": {"field": "x", "target_fields": ["a b"]}}],
+        [{"csv": {"field": "x", "target_fields": ["a"],
+                  "separator": "::"}}],
+        [{"csv": {"field": "x", "target_fields": []}}],
+        [{"convert": {"field": "x", "type": "ip"}}],
+        [{"drop": {"field": "x"}}],
+        [{"date": {"field": "x", "format": "%Y"}}],
+    ):
+        with _pt.raises(UnsupportedProcessor):
+            IngestPipeline(bad)
+
+
 def test_sample_shuffle_order_is_md5_permutation():
     """Deterministic shuffle: the emitted head is the global
     (md5rank, doc_id) order with 0-based positions; rerun-stable."""
