@@ -429,3 +429,59 @@ def open_alias(registry_dir: str, alias: str):
 
     dirs = resolve_alias(registry_dir, alias)
     return Searcher(dirs[0]) if len(dirs) == 1 else MultiSearcher(dirs)
+
+
+def disk_usage(index_dir: str) -> dict:
+    """ES ``_disk_usage`` API analog: on-disk footprint of a published
+    index, broken down two ways —
+
+    * per COMPONENT (the storage-role analog of ES's per-index
+      breakdown): ``docstore`` / ``postings`` / ``norms`` /
+      ``manifest`` / ``checkpoints`` / ``tombstones`` / ``other``,
+      each {files, bytes};
+    * per docstore FIELD (the ES per-field breakdown): compressed
+      column-chunk bytes summed from the parquet footers — the true
+      storage cost of each stored field, no data read.
+
+    Pure footer/stat walk: O(files) metadata reads, never row data.
+    """
+    comps: dict[str, dict] = {}
+    total = 0
+    for root, _dirs, files in os.walk(index_dir):
+        rel = os.path.relpath(root, index_dir)
+        top = rel.split(os.sep)[0] if rel != "." else ""
+        for fn in files:
+            sz = os.path.getsize(os.path.join(root, fn))
+            comp = {
+                "docstore": "docstore", "postings": "postings",
+                "norms": "norms", "_checkpoints": "checkpoints",
+            }.get(top)
+            if comp is None:
+                comp = ("manifest" if fn == MANIFEST_NAME
+                        else "tombstones" if fn == "tombstones.json"
+                        else "other")
+            c = comps.setdefault(comp, {"files": 0, "bytes": 0})
+            c["files"] += 1
+            c["bytes"] += sz
+            total += sz
+    fields: dict[str, int] = {}
+    doc_dir = os.path.join(index_dir, "docstore")
+    if os.path.isdir(doc_dir):
+        import pyarrow.parquet as pq
+
+        for fn in sorted(os.listdir(doc_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(doc_dir, fn))
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema.split(".")[0]
+                    fields[name] = (fields.get(name, 0) +
+                                    col.total_compressed_size)
+    return {
+        "total_bytes": total,
+        "components": comps,
+        "docstore_fields": fields,
+    }

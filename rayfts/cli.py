@@ -10,6 +10,7 @@ driven as ``python -m rayfts.cli <command>``:
   count   --index DIR [--role R] [--tool T]
   exclude --index DIR [--doc-ids 1,2,3 | --clear]
   info    --index DIR
+  disk-usage --index DIR        (ES _disk_usage analog)
 
 Owns its Ray session (guarded init — the driver contract forbids init
 inside library code, but a CLI process is its own driver).
@@ -265,6 +266,13 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_disk_usage(args) -> int:
+    from .admin import disk_usage
+
+    print(json.dumps(disk_usage(args.index)))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayfts")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -372,6 +380,10 @@ def main(argv=None) -> int:
     i = sub.add_parser("info")
     i.add_argument("--index", required=True)
     i.set_defaults(fn=cmd_info)
+
+    du = sub.add_parser("disk-usage", help="ES _disk_usage API analog")
+    du.add_argument("--index", required=True)
+    du.set_defaults(fn=cmd_disk_usage)
 
     al = sub.add_parser("alias", help="ES alias API analog")
     al.add_argument("action", choices=["set", "delete", "list"])

@@ -86,6 +86,41 @@ def test_admin_lifecycle(tmp_path):
     assert delete_index(idx) is False
 
 
+def test_disk_usage_breakdown(tmp_path):
+    """ES _disk_usage analog: component bytes partition the os.walk
+    total exactly; the per-field breakdown covers every docstore
+    column with positive parquet column-chunk bytes; the text field
+    dominates (it is the payload)."""
+    import os
+
+    from rayfts.admin import disk_usage
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+
+    corpus = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    write_transcripts(corpus, n_convs=20, seed=42)
+    build_index(corpus, cfg=IndexJobConfig(index_dir=idx,
+                                           term_buckets=4))
+    d = disk_usage(idx)
+    walk = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(idx) for f in fs
+    )
+    assert d["total_bytes"] == walk > 0
+    assert sum(c["bytes"] for c in d["components"].values()) == walk
+    assert {"docstore", "postings", "norms", "manifest"} <= \
+        set(d["components"])
+    f = d["docstore_fields"]
+    assert {"doc_id", "conv_id", "turn_idx", "role", "text"} <= set(f)
+    assert all(v > 0 for v in f.values())
+    assert f["text"] == max(f.values())
+    # the CLI surface prints the same dict
+    from rayfts.admin import disk_usage as du2
+    assert du2(idx) == d  # stat walk is deterministic
+
+
 def test_field_caps(tmp_path):
     from rayfts.build import build_index
     from rayfts.config import IndexJobConfig
