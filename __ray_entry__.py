@@ -2117,7 +2117,20 @@ SELECT {P.RANK_EVAL_K} AS k,
        AS BIGINT) AS rr_e6,
   CAST(round(coalesce(
       (SELECT sum(1.0 / log2(rn + 1) ORDER BY rn) FROM rel), 0.0) * 1e6)
-       AS BIGINT) AS dcg_e6
+       AS BIGINT) AS dcg_e6,
+  CAST(round(coalesce(
+      (SELECT sum(1.0 / log2(rn + 1) ORDER BY rn) FROM rel), 0.0)
+      / (SELECT sum(CASE WHEN i <= (SELECT count(*) FROM documents
+                                    WHERE lang = 'en')
+                         THEN 1.0 / log2(i + 1) ELSE 0.0 END
+                    ORDER BY i)
+         FROM generate_series(1, {P.RANK_EVAL_K}) AS t(i)) * 1e6)
+       AS BIGINT) AS ndcg_e6,
+  CAST(round(coalesce(
+      (SELECT sum(power(0.5, rj) / rn ORDER BY rn)
+       FROM (SELECT rn, row_number() OVER (ORDER BY rn) AS rj
+             FROM rel)), 0.0) * 1e6)
+       AS BIGINT) AS err_e6
 """,
         # quantile_cont == the engine's rank = q*(n-1) linear interpolation
         "fts_percentiles_nchars": f"""

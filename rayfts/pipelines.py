@@ -2252,6 +2252,11 @@ def fts_rank_eval(sf_dir: str) -> pa.Table:
         ),
         "rr_e6": pa.array([int(round(ev["rr"] * 1e6))], pa.int64()),
         "dcg_e6": pa.array([int(round(ev["dcg"] * 1e6))], pa.int64()),
+        "ndcg_e6": pa.array(
+            [None if ev["ndcg"] is None else
+             int(round(ev["ndcg"] * 1e6))], pa.int64()
+        ),
+        "err_e6": pa.array([int(round(ev["err"] * 1e6))], pa.int64()),
     })
 
 

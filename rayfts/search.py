@@ -1023,6 +1023,18 @@ def _rank_eval_metrics(hits: list[tuple], is_relevant, n_rel: int,
     dcg = 0.0
     for i in rel_ranks:
         dcg += 1.0 / math.log2(i + 2)
+    # ideal DCG: all relevant docs packed at the top (binary gains) —
+    # the ES dcg metric's normalize=true denominator
+    idcg = 0.0
+    for i in range(min(n_rel, k)):
+        idcg += 1.0 / math.log2(i + 2)
+    # ERR (Chapelle et al. 2009, the ES expected_reciprocal_rank
+    # metric): binary gains -> stop probability 1/2 at each relevant
+    # rank; ranks ascending so the float op order is pinned
+    err, p_continue = 0.0, 1.0
+    for i in rel_ranks:
+        err += p_continue * 0.5 / (i + 1)
+        p_continue *= 0.5
     return {
         "k": k,
         "rel_at_k": r,
@@ -1031,6 +1043,8 @@ def _rank_eval_metrics(hits: list[tuple], is_relevant, n_rel: int,
         "recall": (r / n_rel) if n_rel else None,
         "rr": (1.0 / (rel_ranks[0] + 1)) if rel_ranks else 0.0,
         "dcg": dcg,
+        "ndcg": (dcg / idcg) if idcg else None,
+        "err": err,
     }
 
 
@@ -4007,6 +4021,11 @@ class Searcher(SuggestAPI):
         - dcg       = sum over relevant hits of 1 / log2(rank + 1)
           (ES dcg metric, binary gains, ranks ascending — the pinned
           float op order)
+        - ndcg      = dcg / idcg with idcg over min(n_rel, k) top
+          ranks (the ES dcg normalize=true form; None when n_rel=0)
+        - err       = expected reciprocal rank (Chapelle 2009, the ES
+          expected_reciprocal_rank metric) with binary gains -> stop
+          probability 1/2 per relevant hit
 
         Tombstoned docs never rank and never count as relevant."""
         if k <= 0:

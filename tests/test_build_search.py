@@ -2227,8 +2227,15 @@ def test_top_metrics_and_rank_eval(index_dir, oracle):
     assert ev["dcg"] == pytest.approx(
         sum(1.0 / math.log2(i + 2) for i in rel_ranks), abs=1e-12
     )
+    idcg = sum(1.0 / math.log2(i + 2) for i in range(min(n_rel, 10)))
+    assert ev["ndcg"] == pytest.approx(ev["dcg"] / idcg, abs=1e-12)
+    assert ev["err"] == pytest.approx(
+        sum(0.5 ** (j + 1) / (i + 1) for j, i in enumerate(rel_ranks)),
+        abs=1e-12,
+    )
     none = s.rank_eval("zzzz_absent", {"role": "user"}, k=10)
     assert none["rel_at_k"] == 0 and none["rr"] == 0.0 and none["dcg"] == 0.0
+    assert none["ndcg"] == 0.0 and none["err"] == 0.0
     with pytest.raises(ValueError):
         s.rank_eval(q, {"role": "user"}, k=0)
 
