@@ -1570,6 +1570,10 @@ class Searcher(SuggestAPI):
         self._facet_cols: dict[str, tuple] = {}
         self._numeric_cols: dict[str, tuple] = {}
         self._runtime_fields: dict[str, object] = {}
+        # ES _field_usage_stats analog: per-field API-touch counters
+        # (one dict bump per call, never per row — see
+        # field_usage_stats for the counting rule)
+        self._field_usage: dict[str, int] = {}
         self._blocks_scored = 0  # pruning instrumentation (tests/diagnostics)
         # bucket -> {term: encoded row dict}; a query term loads its whole
         # hash bucket once (one columnar file read) and every later term in
@@ -1673,6 +1677,7 @@ class Searcher(SuggestAPI):
         """Dense doc_id -> dictionary-code array for a keyword column
         (one column-pruned docstore read per field per searcher; -1 =
         null/missing, which forms no bucket — ES terms-agg default)."""
+        self._field_usage[field] = self._field_usage.get(field, 0) + 1
         cached = self._facet_cols.get(field)
         if cached is not None:
             return cached
@@ -2079,6 +2084,7 @@ class Searcher(SuggestAPI):
     def _qweights(self, query: str) -> dict[str, float]:
         """Query-side analyzer: clause weights with the index's stop list
         applied (the query runs through the same analyzer as indexing)."""
+        self._field_usage["text"] = self._field_usage.get("text", 0) + 1
         if self.shingle_size > 1:
             # shingle-field analyzer: n-gram windows in token order;
             # clause-boost syntax doesn't apply to shingle subfields
@@ -2949,6 +2955,7 @@ class Searcher(SuggestAPI):
         Column-pruned read, cached per searcher — the numeric analog of
         ``_field_codes``. Runtime fields (define_runtime_field) resolve
         here too, so every numeric agg/sort accepts them untouched."""
+        self._field_usage[field] = self._field_usage.get(field, 0) + 1
         cached = self._numeric_cols.get(field)
         if cached is not None:
             return cached
@@ -4038,6 +4045,19 @@ class Searcher(SuggestAPI):
         return _rank_eval_metrics(hits, lambda d: bool(rel[d]),
                                   int(rel.sum()), k)
 
+    def field_usage_stats(self) -> dict[str, int]:
+        """ES ``_field_usage_stats`` API analog: per-field API-touch
+        counts since this searcher opened. 'text' bumps once per
+        analyzed query (terms/postings use); keyword fields once per
+        dictionary-code access (aggs / facets / sorts via
+        _field_codes); numeric fields once per doc-values access
+        (_numeric_col, incl. runtime-field resolution); filter fields
+        once per filter_mask call — cached masks still count, because
+        ES counts field USES per request, not disk reads. Every bump
+        is O(1) per call, never per row, so the counters are free in
+        the hot path."""
+        return dict(sorted(self._field_usage.items()))
+
     def search_geo_distance(self, lat_col: str, lon_col: str,
                             origin: tuple, k: int = 10,
                             radius_km: float | None = None,
@@ -4098,6 +4118,10 @@ class Searcher(SuggestAPI):
         ESNodeITest.java:61-172 with the payload swapped for keyword /
         numeric columns."""
         key = _where_key(where)
+        for f in where:
+            if f not in getattr(self, "_runtime_fields", {}):
+                # runtime keys count via their _numeric_col resolution
+                self._field_usage[f] = self._field_usage.get(f, 0) + 1
         cached = self._filter_masks.get(key)
         if cached is not None:
             return cached
@@ -6714,6 +6738,8 @@ class Searcher(SuggestAPI):
     def count(self, **where) -> int:
         """Doc count with optional keyword-column equality / range filters
         (ref: index count API, PluginIntegrationITest.java:44-45)."""
+        for f in where:
+            self._field_usage[f] = self._field_usage.get(f, 0) + 1
         if not where:
             return self.N - int(self.excluded.size)
         ds = pads.dataset(self._docstore_dir)
@@ -9000,6 +9026,15 @@ class MultiSearcher(SuggestAPI):
 
         return _rank_eval_metrics(hits, is_rel, n_rel, k)
 
+    def field_usage_stats(self) -> dict[str, int]:
+        """Sharded _field_usage_stats: the per-segment counters summed
+        (the ES API aggregates per-shard stats the same way)."""
+        out: dict[str, int] = {}
+        for seg in self.segments:
+            for f, n in seg.field_usage_stats().items():
+                out[f] = out.get(f, 0) + n
+        return dict(sorted(out.items()))
+
     def date_hist_metric_agg(self, query: str, field: str,
                              calendar_interval: str = "month",
                              metric: str = "n_chars",
@@ -9562,6 +9597,7 @@ class SharedSearcher(Searcher):
         self._facet_cols: dict[str, tuple] = {}
         self._numeric_cols: dict[str, tuple] = {}
         self._runtime_fields: dict[str, object] = {}
+        self._field_usage: dict[str, int] = {}
         self._blocks_scored = 0
         # tombstones snapshot travels with the handle (all actors see the
         # same exclusion state the handle was built with)

@@ -2240,6 +2240,28 @@ def test_top_metrics_and_rank_eval(index_dir, oracle):
         s.rank_eval(q, {"role": "user"}, k=0)
 
 
+def test_field_usage_stats_counters(index_dir):
+    """_field_usage_stats: 'text' bumps per analyzed query, keyword /
+    numeric fields per agg access, filter fields per filter_mask call
+    (cached masks still count); a fresh searcher starts empty."""
+    s = Searcher(index_dir)
+    assert s.field_usage_stats() == {}
+    s.search("the a", k=5)
+    u1 = s.field_usage_stats()
+    assert u1.get("text", 0) >= 1
+    base_role = u1.get("role", 0)
+    s.facet_counts("the", "role")
+    s.count(role="user")
+    s.count(role="user")  # repeated use still counts
+    u2 = s.field_usage_stats()
+    assert u2["role"] >= base_role + 3
+    assert "turn_idx" not in u2
+    s.stats_agg("the", "turn_idx")
+    assert s.field_usage_stats()["turn_idx"] >= 1
+    # monotone: counters only grow, text grew with the extra queries
+    assert s.field_usage_stats()["text"] >= u1["text"]
+
+
 def test_diversified_top_hits_matches_bruteforce(index_dir, oracle):
     """diversified_sampler: per-value rank cutoff over the full BM25
     ranking (missing keys unlimited), recomputed with a dict walk."""
