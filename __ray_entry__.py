@@ -655,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_esql_stats": P.fts_esql_stats,  # ES|QL piped language
         "fts_esql_eval": P.fts_esql_eval,    # ES|QL EVAL runtime field
         "fts_esql_grok": P.fts_esql_grok,    # ES|QL GROK/DISSECT derive
+        "fts_esql_lookup": P.fts_esql_lookup,  # ES|QL LOOKUP JOIN
         # Heaps-law vocabulary growth (first-occurrence histogram)
         "vocab_growth_curve": P.vocab_growth_curve,
         "vocab_zipf_slope": P.vocab_zipf_slope,
@@ -1043,6 +1044,16 @@ WITH g AS (
 )
 SELECT w1, count(*)::BIGINT AS n FROM g WHERE w1 IS NOT NULL
 GROUP BY w1 ORDER BY n DESC, w1 ASC LIMIT 10
+""",
+        # ES|QL LOOKUP JOIN: the broadcast dict replayed as a VALUES
+        # inner join (unmatched langs drop — the null-bucket rule)
+        "fts_esql_lookup": f"""
+WITH fam(lang, family) AS (VALUES
+  {", ".join(f"('{k}', '{v}')" for k, v in sorted(P.LANG_FAMILY.items()))}
+)
+SELECT f.family, count(*)::BIGINT AS n, sum(d.n_chars)::BIGINT AS total
+FROM documents d JOIN fam f USING (lang)
+GROUP BY f.family ORDER BY f.family
 """,
         # script query (filter context): the AST (n_chars*7 - 100)/4
         # > 500 prunes hits; df/avgdl stay corpus-global; /4.0 and the

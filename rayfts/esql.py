@@ -33,6 +33,16 @@ Supported grammar (case-insensitive keywords, one clause per pipe):
                                       column refuse.
   DISSECT col "pattern"              same, via the dissect delimiter
                                       pattern
+  LOOKUP JOIN name ON col            the ES|QL lookup-join command
+                                      against a BROADCAST lookup index:
+                                      the caller binds ``name`` to a
+                                      small key->value dict
+                                      (execute_esql(lookups=...)); the
+                                      matched value lands in a derived
+                                      keyword column named ``name``
+                                      (unmatched -> null -> no bucket),
+                                      computed on the O(distinct) code
+                                      dictionary, never per row
   STATS a = FUN [, b = FUN]* [BY f]  FUN := COUNT(*) | SUM(col) | MIN |
                                             MAX | AVG  (AVG emits the
                                             exact SUM/COUNT pair's
@@ -130,8 +140,8 @@ def parse_esql(query: str) -> dict:
     if not m:
         raise ESQLError("query must start with FROM <index>")
     plan: dict = {"from": m.group(1), "match": None, "where": {},
-                  "evals": [], "derives": [], "stats": None, "by": None,
-                  "sort": [], "limit": None}
+                  "evals": [], "derives": [], "lookups": [],
+                  "stats": None, "by": None, "sort": [], "limit": None}
     for stage in stages[1:]:
         kw = stage.split(None, 1)[0].upper() if stage else ""
         body = stage[len(kw):].strip()
@@ -154,6 +164,12 @@ def parse_esql(query: str) -> dict:
             if not m2:
                 raise ESQLError(f"unsupported {kw}: {body!r}")
             plan["derives"].append((kw, m2.group(1), m2.group(2)))
+        elif kw == "LOOKUP":
+            m2 = re.fullmatch(r"JOIN\s+(\w+)\s+ON\s+(\w+)", body,
+                              flags=re.I)
+            if not m2:
+                raise ESQLError(f"unsupported LOOKUP: {body!r}")
+            plan["lookups"].append((m2.group(1), m2.group(2)))
         elif kw == "STATS":
             plan["stats"], plan["by"] = _parse_stats(body)
         elif kw == "SORT":
@@ -216,9 +232,32 @@ def _inject_derived(s, kind: str, col: str, pattern: str) -> None:
     return set(names)
 
 
-def execute_esql(searcher, query: str) -> pa.Table:
+def _inject_lookup(s, name: str, field: str, lookup: dict) -> None:
+    """LOOKUP JOIN: map the join field's code DICTIONARY through the
+    broadcast lookup (O(distinct keys), never per doc) and register the
+    result as the derived keyword column ``name``."""
+    import pyarrow.dataset as pads
+
+    if name in pads.dataset(s._docstore_dir).schema.names:
+        raise ESQLError(f"LOOKUP column {name!r} shadows a stored column")
+    codes, values = s._field_codes(field)
+    mapped = [lookup.get(v) for v in values]
+    tgt_values = sorted({m for m in mapped if m is not None})
+    tgt_idx = {v: i for i, v in enumerate(tgt_values)}
+    remap = np.array([-1 if m is None else tgt_idx[m] for m in mapped],
+                     np.int64)
+    new_codes = np.full(s.N, -1, np.int64)
+    live = codes >= 0
+    new_codes[live] = remap[codes[live]]
+    s._facet_cols[name] = (new_codes, tgt_values)
+
+
+def execute_esql(searcher, query: str,
+                 lookups: dict[str, dict] | None = None) -> pa.Table:
     """Run an ES|QL string against a Searcher; returns an Arrow table
-    with the STATS output columns (+ the BY column first)."""
+    with the STATS output columns (+ the BY column first). ``lookups``
+    binds LOOKUP JOIN index names to small key->value dicts (the
+    broadcast lookup-index analog)."""
     plan = parse_esql(query)
     s = searcher
     for name, expr in plan["evals"]:
@@ -226,6 +265,11 @@ def execute_esql(searcher, query: str) -> pa.Table:
     derived: set[str] = set()
     for kind, col, pattern in plan["derives"]:
         derived |= _inject_derived(s, kind, col, pattern)
+    for name, field in plan["lookups"]:
+        if not lookups or name not in lookups:
+            raise ESQLError(f"LOOKUP JOIN index {name!r} not bound")
+        _inject_lookup(s, name, field, lookups[name])
+        derived.add(name)
     # derived captures filter via their code arrays (keyword equality
     # only — they never reach the docstore scan, which has no such
     # column); stored columns take the normal filter_mask path

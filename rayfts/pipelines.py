@@ -6377,6 +6377,32 @@ def fts_esql_grok(sf_dir: str) -> pa.Table:
     })
 
 
+ESQL_LOOKUP_QUERY = (
+    'FROM documents '
+    '| LOOKUP JOIN family ON lang '
+    '| STATS n = COUNT(*), total = SUM(n_chars) BY family '
+    '| SORT family ASC'
+)
+
+
+def fts_esql_lookup(sf_dir: str) -> pa.Table:
+    """ES|QL LOOKUP JOIN (the 8.18 lookup-index join) against the
+    broadcast LANG_FAMILY dict: the join maps the lang code DICTIONARY
+    (O(distinct), never per doc) into a derived keyword column that
+    STATS groups exactly like a stored one; unmatched keys -> null ->
+    no bucket (the inner-join twin)."""
+    from .esql import execute_esql
+
+    s = Searcher(documents_index(sf_dir))
+    t = execute_esql(s, ESQL_LOOKUP_QUERY,
+                     lookups={"family": LANG_FAMILY})
+    return pa.table({
+        "family": t["family"].cast(pa.string()),
+        "n": t["n"].cast(pa.int64()),
+        "total": t["total"].cast(pa.int64()),
+    })
+
+
 def fts_dsl_script_filter_top10(sf_dir: str) -> pa.Table:
     """ES script query (filter context): BM25_QUERY hits kept only when
     the painless-AST expression (n_chars*7 - 100)/4 exceeds 500 — the

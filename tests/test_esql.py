@@ -159,6 +159,36 @@ def test_esql_grok_dissect_derived_columns(esql_index):
             execute_esql(s, bad)
 
 
+def test_esql_lookup_join(esql_index):
+    """LOOKUP JOIN: the bound dict maps the join field's code
+    dictionary into a derived keyword column; unmatched keys form no
+    bucket; unbound names and stored-column shadowing refuse."""
+    import pyarrow.dataset as pads
+
+    s = Searcher(esql_index)
+    lk = {"user": "human", "assistant": "model"}  # 'tool' unmatched
+    q = ('FROM transcripts | LOOKUP JOIN side ON role '
+         '| STATS n = COUNT(*) BY side | SORT side ASC')
+    t = execute_esql(s, q, lookups={"side": lk})
+    roles = pads.dataset(s._docstore_dir).to_table(
+        columns=["role"]
+    )["role"].to_pylist()
+    want = {}
+    for r in roles:
+        v = lk.get(r)
+        if v is not None:
+            want[v] = want.get(v, 0) + 1
+    assert {r["side"]: r["n"] for r in t.to_pylist()} == want
+    assert set(want) == {"human", "model"}
+    with pytest.raises(ESQLError):
+        execute_esql(s, q)  # unbound lookup
+    with pytest.raises(ESQLError):
+        execute_esql(
+            s, 'FROM t | LOOKUP JOIN role ON role | STATS n = COUNT(*)',
+            lookups={"role": lk},
+        )  # shadows a stored column
+
+
 def test_esql_refusals(esql_index):
     s = Searcher(esql_index)
     for bad in [
