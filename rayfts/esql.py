@@ -43,6 +43,19 @@ Supported grammar (case-insensitive keywords, one clause per pipe):
                                       (unmatched -> null -> no bucket),
                                       computed on the O(distinct) code
                                       dictionary, never per row
+  CHANGE_POINT val ON key            the ES|QL change-point command
+                                      (8.18): the mean-shift scan
+                                      (search.change_point, exact
+                                      integer prefix sums) over the
+                                      STATS buckets in key-ascending
+                                      order; the detected right-segment
+                                      row gains cp_type='step_change'
+                                      (others null). Runs on the FULL
+                                      bucket series before SORT/LIMIT
+                                      trim — the pinned stage order of
+                                      this subset. Requires STATS BY
+                                      the same key and a numeric agg
+                                      named val.
   STATS a = FUN [, b = FUN]* [BY f]  FUN := COUNT(*) | SUM(col) | MIN |
                                             MAX | AVG  (AVG emits the
                                             exact SUM/COUNT pair's
@@ -141,7 +154,8 @@ def parse_esql(query: str) -> dict:
         raise ESQLError("query must start with FROM <index>")
     plan: dict = {"from": m.group(1), "match": None, "where": {},
                   "evals": [], "derives": [], "lookups": [],
-                  "stats": None, "by": None, "sort": [], "limit": None}
+                  "stats": None, "by": None, "sort": [], "limit": None,
+                  "change_point": None}
     for stage in stages[1:]:
         kw = stage.split(None, 1)[0].upper() if stage else ""
         body = stage[len(kw):].strip()
@@ -170,6 +184,13 @@ def parse_esql(query: str) -> dict:
             if not m2:
                 raise ESQLError(f"unsupported LOOKUP: {body!r}")
             plan["lookups"].append((m2.group(1), m2.group(2)))
+        elif kw == "CHANGE_POINT":
+            m2 = re.fullmatch(r"(\w+)\s+ON\s+(\w+)", body, flags=re.I)
+            if not m2:
+                raise ESQLError(f"unsupported CHANGE_POINT: {body!r}")
+            if plan["change_point"] is not None:
+                raise ESQLError("one CHANGE_POINT per query")
+            plan["change_point"] = (m2.group(1), m2.group(2))
         elif kw == "STATS":
             plan["stats"], plan["by"] = _parse_stats(body)
         elif kw == "SORT":
@@ -326,6 +347,25 @@ def execute_esql(searcher, query: str,
             if grp.size == 0:
                 continue
             rows.append({plan["by"]: val, **agg_columns(grp)})
+    if plan["change_point"] is not None:
+        from .search import change_point as _cp
+
+        val, keyc = plan["change_point"]
+        if plan["by"] != keyc:
+            raise ESQLError("CHANGE_POINT key must be the STATS BY field")
+        if val not in {n for n, _, _ in plan["stats"]}:
+            raise ESQLError(
+                f"CHANGE_POINT value {val!r} is not a STATS column"
+            )
+        if any(r[val] is None for r in rows):
+            raise ESQLError("CHANGE_POINT needs a non-null value series")
+        series = sorted(rows, key=lambda r: r[keyc])
+        got = _cp([(r[keyc], r[val]) for r in series])
+        mark = got[0] if got else None
+        for r in rows:
+            r["cp_type"] = ("step_change"
+                            if mark is not None and r[keyc] == mark
+                            else None)
     for col, desc in reversed(plan["sort"]):
         rows.sort(key=lambda r: r[col], reverse=desc)
     if plan["limit"] is not None:
@@ -336,4 +376,8 @@ def execute_esql(searcher, query: str,
         ]
         return pa.table({n: pa.array([]) for n in names})
     names = list(rows[0])
-    return pa.table({n: pa.array([r[n] for r in rows]) for n in names})
+    return pa.table({
+        n: (pa.array([r[n] for r in rows], pa.string())
+            if n == "cp_type" else pa.array([r[n] for r in rows]))
+        for n in names
+    })

@@ -189,6 +189,31 @@ def test_esql_lookup_join(esql_index):
         )  # shadows a stored column
 
 
+def test_esql_change_point_command(esql_index):
+    """CHANGE_POINT: marks exactly the kernel's detected right-segment
+    row with cp_type='step_change' over the key-ascending series
+    (before SORT reorders); mis-keyed / unknown-value shapes refuse."""
+    from rayfts.search import change_point
+
+    s = Searcher(esql_index)
+    q = ('FROM transcripts | STATS n = COUNT(*) BY turn_idx '
+         '| CHANGE_POINT n ON turn_idx | SORT n DESC, turn_idx ASC')
+    t = execute_esql(s, q)
+    rows = t.to_pylist()
+    series = sorted((r["turn_idx"], r["n"]) for r in rows)
+    want_key = change_point(series)[0]
+    marked = [r for r in rows if r["cp_type"] == "step_change"]
+    assert len(marked) == 1 and marked[0]["turn_idx"] == want_key
+    assert all(r["cp_type"] is None for r in rows
+               if r["turn_idx"] != want_key)
+    with pytest.raises(ESQLError):
+        execute_esql(s, 'FROM t | STATS n = COUNT(*) BY role '
+                        '| CHANGE_POINT n ON turn_idx')
+    with pytest.raises(ESQLError):
+        execute_esql(s, 'FROM t | STATS n = COUNT(*) BY turn_idx '
+                        '| CHANGE_POINT zz ON turn_idx')
+
+
 def test_esql_refusals(esql_index):
     s = Searcher(esql_index)
     for bad in [
