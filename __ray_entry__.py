@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": P.events_sessionize,    # session windows
         "events_eql_sequence": P.events_eql_sequence,  # EQL sequence
         "events_eql_seq3": P.events_eql_seq3,  # 3-stage EQL sequence
+        "events_eql_until": P.events_eql_until,  # EQL until clause
         "sample_split_counts": P.sample_split_counts,  # hash holdout split
         "sample_shuffle_order": P.sample_shuffle_order,
         "events_hopping_2h1h": P.events_hopping_2h1h,
@@ -2930,6 +2931,26 @@ SELECT user_id, count(*)::BIGINT AS n_seq FROM (
     WHERE v.user_id = c.user_id AND v.event_type = 'view'
       AND epoch_us(v.ts) > epoch_us(c.ts)
       AND epoch_us(v.ts) <= epoch_us(c.ts) + {P.EQL3_MAXSPAN_US}
+  )
+) GROUP BY user_id ORDER BY user_id
+""",
+        # EQL until: error strictly between click and purchase kills
+        # the pending sequence (ANY-purchase form == the kernel's
+        # first-purchase form — see events_eql_until docstring)
+        "events_eql_until": f"""
+SELECT user_id, count(*)::BIGINT AS n_seq FROM (
+  SELECT c.user_id FROM events c
+  WHERE c.event_type = 'click' AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+      AND epoch_us(p.ts) > epoch_us(c.ts)
+      AND epoch_us(p.ts) <= epoch_us(c.ts) + {P.EQL_MAXSPAN_US}
+      AND NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = c.user_id AND e.event_type = 'error'
+          AND epoch_us(e.ts) > epoch_us(c.ts)
+          AND epoch_us(e.ts) < epoch_us(p.ts)
+      )
   )
 ) GROUP BY user_id ORDER BY user_id
 """,

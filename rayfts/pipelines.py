@@ -3452,6 +3452,70 @@ def events_eql_sequence(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
 
 
+def events_eql_until(sf_dir: str) -> pa.Table:
+    """EQL ``until`` clause: ``sequence by user_id with maxspan=2h
+    [click] [purchase] until [error]`` — an error event TERMINATES the
+    pending sequence state, so a click completes only when a purchase
+    lands in its window with no error strictly between them. Pinned
+    equivalence (proved in the docstring test): the first purchase in
+    the window is the only candidate that matters — if an error
+    precedes it, it precedes every later purchase too. So the kernel
+    is three searchsorted passes (first purchase, window bound, first
+    error) and one vectorized compare; an error at exactly the
+    purchase timestamp does NOT kill (open interval, documented).
+    Same ONE-shuffle sessionize shape as the other EQL kernels."""
+
+    def seq_kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_seq": pa.array([], pa.int64()),
+        })
+        et = g["event_type"].combine_chunks()
+        us = g["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        a_us = us[pc.equal(et, "click").to_numpy(zero_copy_only=False)]
+        b_us = np.sort(
+            us[pc.equal(et, "purchase").to_numpy(zero_copy_only=False)]
+        )
+        e_us = np.sort(
+            us[pc.equal(et, "error").to_numpy(zero_copy_only=False)]
+        )
+        if a_us.size == 0 or b_us.size == 0:
+            return empty
+        lo = np.searchsorted(b_us, a_us, side="right")
+        valid = lo < b_us.size
+        fp = np.where(valid, b_us[np.minimum(lo, b_us.size - 1)],
+                      np.iinfo(np.int64).max)
+        in_window = valid & (fp <= a_us + EQL_MAXSPAN_US)
+        if e_us.size:
+            el = np.searchsorted(e_us, a_us, side="right")
+            fe = np.where(el < e_us.size,
+                          e_us[np.minimum(el, e_us.size - 1)],
+                          np.iinfo(np.int64).max)
+        else:
+            fe = np.full(a_us.size, np.iinfo(np.int64).max)
+        n = int((in_window & (fe >= fp)).sum())
+        if n == 0:
+            return empty
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())],
+                                pa.int64()),
+            "n_seq": pa.array([n], pa.int64()),
+        })
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+        .groupby("user_id")
+        .map_groups(seq_kernel, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+
+
 EQL3_MAXSPAN_US = 28_800_000_000  # 8h — 3 hops are rarer, wider window
 
 

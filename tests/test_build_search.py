@@ -1071,6 +1071,67 @@ def test_eql_sequence_matches_bruteforce():
     assert want.get(9, 0) == 1
 
 
+def test_eql_until_matches_bruteforce():
+    """EQL until: error strictly between click and purchase kills the
+    sequence; error at exactly the purchase ts does NOT (open
+    interval, the pinned rule); first-purchase kernel == ANY-purchase
+    brute force."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rayfts.pipelines import EQL_MAXSPAN_US, events_eql_until
+
+    rng = np.random.default_rng(11)
+    n = 600
+    users = rng.integers(0, 6, n)
+    ts = np.sort(rng.integers(0, 40 * EQL_MAXSPAN_US, n))
+    types = rng.choice(["click", "purchase", "error", "view"], n)
+    # boundary pins on user 9:
+    #  - click 0, error 50, purchase 100  -> killed
+    #  - click 10*S, purchase 10*S+60, error 10*S+60 (same ts) -> lives
+    extra_u = [9] * 6
+    S = EQL_MAXSPAN_US
+    extra_t = [0, 50, 100, 10 * S, 10 * S + 60, 10 * S + 60]
+    extra_e = ["click", "error", "purchase",
+               "click", "purchase", "error"]
+    users = np.concatenate([users, extra_u])
+    ts = np.concatenate([ts, extra_t])
+    types = np.array(list(types) + extra_e)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(range(users.size), pa.int64()),
+                "ts": pa.array(ts.astype("int64"), pa.timestamp("us")),
+                "user_id": pa.array(users.astype("int64"), pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+            }),
+            f"{d}/events.parquet",
+        )
+        got = {
+            int(r.user_id): int(r.n_seq)
+            for r in events_eql_until(d).to_pandas().itertuples()
+        }
+    want: dict = {}
+    for u in set(users.tolist()):
+        m = users == u
+        a = ts[m & (types == "click")]
+        b = ts[m & (types == "purchase")]
+        e = ts[m & (types == "error")]
+        c = 0
+        for x in a:
+            ok = False
+            for p in b[(b > x) & (b <= x + EQL_MAXSPAN_US)]:
+                if not ((e > x) & (e < p)).any():
+                    ok = True
+                    break
+            c += ok
+        if c:
+            want[int(u)] = c
+    assert got == want
+    assert want.get(9, 0) == 1  # killed + same-ts-survivor = exactly 1
+
+
 def test_eql_seq3_matches_bruteforce():
     """3-stage EQL: per-adjacent-pair maxspan bound, existence counting
     (any (view, purchase) witness completes the click)."""
