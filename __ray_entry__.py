@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_fuzzy_auto_docs": P.fts_fuzzy_auto_docs,  # fuzziness=AUTO
         "fts_wildcard_infix_docs": P.fts_wildcard_infix_docs,  # wildcard field
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
+        "fts_terms_other_count": P.fts_terms_other_count,  # sum_other
         "fts_terms_avg_order": P.fts_terms_avg_order,
         "fts_rare_terms_hits": P.fts_rare_terms,     # rare_terms over hit set
         "fts_sig_keyword_source": P.fts_sig_keyword_source,  # keyword JLH
@@ -1157,6 +1158,22 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT source, count(*) AS n_docs FROM documents JOIN hits USING (doc_id)
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
+""",
+        # terms-agg metadata: exact sum_other_doc_count (sentinel row)
+        # + error bound exactly 0 (untruncated-histogram merge)
+        "fts_terms_other_count": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})),
+hist AS (SELECT source AS v, count(*)::BIGINT AS c
+         FROM documents JOIN hits USING (doc_id) GROUP BY source),
+top5 AS (SELECT v, c FROM hist ORDER BY c DESC, v LIMIT 5)
+SELECT v AS source, c AS n_docs, 0::BIGINT AS err_bound FROM top5
+UNION ALL
+SELECT '__other__',
+       (SELECT coalesce(sum(c), 0)::BIGINT FROM hist
+        WHERE v NOT IN (SELECT v FROM top5)),
+       0::BIGINT
 """,
         # terms ordered by a metric sub-agg: exact-integer e6 avg
         # ((2e6·sum + n) // 2n — round half-up), key-asc ties

@@ -807,6 +807,22 @@ def fts_facet_source(sf_dir: str) -> pa.Table:
     )
 
 
+def fts_terms_other_count(sf_dir: str) -> pa.Table:
+    """ES terms-agg response metadata: top-5 source buckets PLUS the
+    exact sum_other_doc_count row ('__other__' sentinel) — the engine
+    merges untruncated histograms, so the ES doc_count_error_upper_bound
+    is exactly 0 (emitted as the sentinel row's err column; buckets
+    carry err 0 too)."""
+    s = Searcher(documents_index(sf_dir))
+    top, other, err = s.terms_agg_meta(BM25_QUERY, "source", size=5)
+    return pa.table({
+        "source": pa.array([v for v, _ in top] + ["__other__"],
+                           pa.string()),
+        "n_docs": pa.array([c for _, c in top] + [other], pa.int64()),
+        "err_bound": pa.array([err] * (len(top) + 1), pa.int64()),
+    })
+
+
 def fts_dsl_bool_top10(sf_dir: str) -> pa.Table:
     """ES request-body execution (the switch-over surface): an ES JSON
     bool query — match must + term filter — runs through

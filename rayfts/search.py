@@ -1855,6 +1855,22 @@ class Searcher(SuggestAPI):
         ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
 
+    def terms_agg_meta(self, query: str, field: str,
+                       size: int = 10) -> tuple[list[tuple], int, int]:
+        """ES terms-agg response metadata: (buckets,
+        sum_other_doc_count, doc_count_error_upper_bound). ES computes
+        a NONZERO error bound because each shard truncates to
+        shard_size before the merge; this engine merges UNTRUNCATED
+        per-segment histograms, so the bound is exactly 0 and
+        sum_other_doc_count is exact — the documented (stronger)
+        divergence. Buckets in facet_counts order (count desc, value
+        asc)."""
+        hist = self._facet_hist(query, field, None, "or", None)
+        ranked = sorted(hist.items(), key=lambda e: (-e[1], e[0]))
+        top = ranked[:size]
+        other = sum(hist.values()) - sum(c for _, c in top)
+        return top, int(other), 0
+
     def rare_terms_agg(self, query: str, field: str,
                        max_doc_count: int = 1, size: int | None = None,
                        where: dict | None = None, mode: str = "or",
@@ -7874,6 +7890,22 @@ class MultiSearcher(SuggestAPI):
                      if c >= min_doc_count}
         ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
         return ranked[:size]
+
+    def terms_agg_meta(self, query: str, field: str,
+                       size: int = 10) -> tuple[list[tuple], int, int]:
+        """Sharded terms-agg metadata: untruncated per-segment
+        histograms merge exactly, so sum_other_doc_count is exact and
+        the error bound is 0 — unlike ES's shard_size truncation (see
+        the Searcher twin)."""
+        total: dict = {}
+        for seg in self.segments:
+            for v, c in seg._facet_hist(query, field, None,
+                                        "or", None).items():
+                total[v] = total.get(v, 0) + c
+        ranked = sorted(total.items(), key=lambda e: (-e[1], e[0]))
+        top = ranked[:size]
+        other = sum(total.values()) - sum(c for _, c in top)
+        return top, int(other), 0
 
     def terms_metric_agg(self, query: str, field: str,
                          metric_field: str, size: int = 10,

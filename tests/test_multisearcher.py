@@ -525,6 +525,22 @@ def test_sharded_top_metrics_and_rank_eval_equal_global(indexes):
             single.rank_eval(q, {"role": "user"}, k=10), q
 
 
+def test_sharded_terms_agg_meta_equal_global(indexes):
+    """terms_agg_meta: untruncated-histogram merge makes buckets,
+    sum_other_doc_count and the 0 error bound identical sharded vs
+    global; sum_other == total hits minus top-bucket counts."""
+    single = Searcher(indexes["full"])
+    multi = MultiSearcher([indexes["a"], indexes["b"]])
+    for q in ["the a", "w0007", "zzzz_absent"]:
+        got = multi.terms_agg_meta(q, "role", size=1)
+        want = single.terms_agg_meta(q, "role", size=1)
+        assert got == want, q
+        top, other, err = want
+        full = dict(single.facet_counts(q, "role", size=10**6))
+        assert err == 0
+        assert other == sum(full.values()) - sum(c for _, c in top)
+
+
 def test_sharded_diversified_equals_global(indexes):
     single = Searcher(indexes["full"])
     multi = MultiSearcher([indexes["a"], indexes["b"]])
