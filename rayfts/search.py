@@ -4061,6 +4061,67 @@ class Searcher(SuggestAPI):
         return _rank_eval_metrics(hits, lambda d: bool(rel[d]),
                                   int(rel.sum()), k)
 
+    def profile_search(self, query: str, k: int = 10,
+                       algo: str = "taat"):
+        """ES ``"profile": true`` analog: run the query UNCACHED with
+        per-phase wall timings and deterministic collector counters.
+        Returns ``(hits, profile)`` where hits == search(query, k,
+        algo) (rank+score identical — same executors, cache bypassed)
+        and profile carries:
+
+        - per-clause rows {term, df, postings} (postings = LIVE
+          posting length after tombstone masking — what the executor
+          actually scans);
+        - postings_scanned (their sum — the TAAT work metric) and
+          blocks_scored (the block-max pruning metric: blocks the
+          single-term/WAND paths could NOT skip);
+        - breakdown_us: analyze / lookup / execute wall micros (host-
+          dependent; tests pin only the counters).
+        """
+        from time import perf_counter
+
+        if algo not in ("taat", "wand"):
+            raise ValueError(f"unknown algo {algo!r}")
+        t0 = perf_counter()
+        qtf = self._qweights(query)
+        terms = sorted(qtf)
+        t1 = perf_counter()
+        plist = [(t, qtf[t], self.lookup(t)) for t in terms]
+        plist = [(t, q, p) for t, q, p in plist if p is not None]
+        t2 = perf_counter()
+        bs0 = self._blocks_scored
+        if not plist:
+            hits = []
+        elif algo == "wand":
+            hits = self._search_wand(plist, k)
+        elif len(plist) == 1:
+            hits = self._search_single_pruned(plist[0], k)
+        else:
+            hits = self._search_taat(plist, k)
+        t3 = perf_counter()
+        clause_rows = []
+        scanned = 0
+        for t, _, p in plist:
+            live = int(p.doc_ids.size if p.live_mask is None
+                       else p.live_mask.sum())
+            scanned += live
+            clause_rows.append(
+                {"term": t, "df": int(p.df), "postings": live}
+            )
+        profile = {
+            "algo": algo,
+            "n_clauses": len(terms),
+            "clauses": clause_rows,
+            "postings_scanned": scanned,
+            "blocks_scored": int(self._blocks_scored - bs0),
+            "breakdown_us": {
+                "analyze": int((t1 - t0) * 1e6),
+                "lookup": int((t2 - t1) * 1e6),
+                "execute": int((t3 - t2) * 1e6),
+            },
+        }
+        return hits, profile
+
     def field_usage_stats(self) -> dict[str, int]:
         """ES ``_field_usage_stats`` API analog: per-field API-touch
         counts since this searcher opened. 'text' bumps once per

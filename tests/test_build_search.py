@@ -2301,6 +2301,33 @@ def test_top_metrics_and_rank_eval(index_dir, oracle):
         s.rank_eval(q, {"role": "user"}, k=0)
 
 
+def test_profile_search_counters(index_dir, oracle):
+    """profile API: hits identical to the normal (cached) search for
+    both executors; clause df == corpus df; postings_scanned == sum of
+    live clause postings; the absent-term query profiles to zero
+    clauses scanned."""
+    idx, t = oracle
+    s = Searcher(index_dir)
+    for algo in ("taat", "wand"):
+        for q in ("the a", "w0007"):
+            hits, prof = s.profile_search(q, k=10, algo=algo)
+            assert hits == s.search(q, k=10, algo=algo), (algo, q)
+            assert prof["algo"] == algo
+            assert prof["n_clauses"] == len(set(q.split()))
+            assert prof["postings_scanned"] == sum(
+                c["postings"] for c in prof["clauses"]
+            ) > 0
+            for c in prof["clauses"]:
+                assert c["df"] == idx.df[c["term"]]
+            assert set(prof["breakdown_us"]) == \
+                {"analyze", "lookup", "execute"}
+    hits, prof = s.profile_search("zzzz_absent", k=10)
+    assert hits == [] and prof["postings_scanned"] == 0
+    assert prof["clauses"] == []
+    with pytest.raises(ValueError):
+        s.profile_search("the", algo="frob")
+
+
 def test_field_usage_stats_counters(index_dir):
     """_field_usage_stats: 'text' bumps per analyzed query, keyword /
     numeric fields per agg access, filter fields per filter_mask call
