@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_wildcard_infix_docs": P.fts_wildcard_infix_docs,  # wildcard field
         "fts_facet_source": P.fts_facet_source,      # terms aggregation
         "fts_terms_other_count": P.fts_terms_other_count,  # sum_other
+        "fts_profile_clauses": P.fts_profile_clauses,  # profile API
         "fts_terms_avg_order": P.fts_terms_avg_order,
         "fts_rare_terms_hits": P.fts_rare_terms,     # rare_terms over hit set
         "fts_sig_keyword_source": P.fts_sig_keyword_source,  # keyword JLH
@@ -1158,6 +1159,19 @@ hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
   ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
 SELECT source, count(*) AS n_docs FROM documents JOIN hits USING (doc_id)
 GROUP BY source ORDER BY n_docs DESC, source LIMIT 8
+""",
+        # profile API deterministic slice: per-clause df == postings ==
+        # distinct-doc recount (no tombstones in the contract index),
+        # scanned = the clause sum
+        "fts_profile_clauses": f"""
+WITH {_TOKS_CTE},
+cl AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+       WHERE term IN
+         ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))})
+       GROUP BY term)
+SELECT term, df, df AS postings,
+       (SELECT sum(df) FROM cl)::BIGINT AS postings_scanned
+FROM cl ORDER BY term
 """,
         # terms-agg metadata: exact sum_other_doc_count (sentinel row)
         # + error bound exactly 0 (untruncated-histogram merge)

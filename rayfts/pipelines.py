@@ -823,6 +823,27 @@ def fts_terms_other_count(sf_dir: str) -> pa.Table:
     })
 
 
+def fts_profile_clauses(sf_dir: str) -> pa.Table:
+    """ES profile-API analog (deterministic slice): the per-clause
+    {term, df, postings} rows of profile_search(BM25_QUERY) plus the
+    postings_scanned total — the collector counters the oracle can
+    recount (wall timings stay out of the contract; the hits
+    themselves are pinned by fts_bm25_top10)."""
+    s = Searcher(documents_index(sf_dir))
+    _, prof = s.profile_search(BM25_QUERY, k=10)
+    return pa.table({
+        "term": pa.array([c["term"] for c in prof["clauses"]],
+                         pa.string()),
+        "df": pa.array([c["df"] for c in prof["clauses"]], pa.int64()),
+        "postings": pa.array([c["postings"] for c in prof["clauses"]],
+                             pa.int64()),
+        "postings_scanned": pa.array(
+            [prof["postings_scanned"]] * len(prof["clauses"]),
+            pa.int64(),
+        ),
+    })
+
+
 def fts_dsl_bool_top10(sf_dir: str) -> pa.Table:
     """ES request-body execution (the switch-over surface): an ES JSON
     bool query — match must + term filter — runs through
