@@ -58,6 +58,9 @@ DEFAULT_NUM_PERM = 64
 DEFAULT_BANDS = 8
 DEFAULT_SHINGLE_K = 3
 MAX_BUCKET_ALL_PAIRS = 4096  # above this, fall back to chain pairs (logged)
+# ngram_jaccard_pairs: incidence-matmul path only while n*vocab fits
+# this many matrix elements; bigger blocks use exact pair emission
+JACCARD_MATMUL_LIMIT = 2_000_000
 
 
 def perm_params(num_perm: int = DEFAULT_NUM_PERM, seed: int = 7):
@@ -644,6 +647,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = DEFAULT_SHINGLE_K,
     lb_chars: int = 64,
+    matmul_limit: int = JACCARD_MATMUL_LIMIT,
 ) -> pa.Table:
     """Exact word-k-shingle Jaccard near-dup PAIRS within
     (lang, n_chars // lb_chars) blocks — the non-probabilistic twin of
@@ -653,13 +657,14 @@ def ngram_jaccard_pairs(
     recall boundary: near-dups differing in lang or crossing a length
     bucket are out of contract).
 
-    One groupby shuffle on the block key; per-group kernel is fully
-    vectorized (batch shingle hashing + one incidence-matrix matmul for
-    all pairwise intersections). Blocks are bounded by the key design
-    (lang x length-bucket); a skewed block would salt by doc-id range
-    and merge, the sessionize convention. Docs with zero shingles
-    (empty after analysis) carry no pairs — documented, matching the
-    SQL oracle's join semantics.
+    One groupby shuffle on the block key; per-group kernel is exact
+    under both regimes — an incidence-matrix matmul when n*vocab is
+    small, else shingle-run pair emission whose memory is bounded by
+    the corpus's actual duplication (shared-shingle pair occurrences),
+    never O(n * vocab). A pathologically skewed block would salt by
+    doc-id range and merge, the sessionize convention. Docs with zero
+    shingles (empty after analysis) carry no pairs — documented,
+    matching the SQL oracle's join semantics.
 
     Returns (a, b, inter, uni, jac_e6) for pairs with
     jaccard >= threshold, compared in EXACT integer math
@@ -703,15 +708,40 @@ def ngram_jaccard_pairs(
         keep = np.ones(sh.size, bool)
         keep[1:] = (sh[1:] != sh[:-1]) | (shp[1:] != shp[:-1])
         sh, shp = sh[keep], shp[keep]
-        # incidence matrix over the block vocabulary -> all pairwise
-        # intersections in one matmul (block sizes are key-bounded)
+        nsh = np.bincount(shp, minlength=n)
         us, inv = np.unique(sh, return_inverse=True)
-        M = np.zeros((n, us.size), dtype=np.int64)
-        M[shp, inv] = 1
-        inter = M @ M.T
-        nsh = M.sum(axis=1)
-        iu, ju = np.triu_indices(n, k=1)
-        iv = inter[iu, ju]
+        if n * us.size <= matmul_limit:
+            # small block: incidence matrix, all pairwise intersections
+            # in one matmul
+            M = np.zeros((n, us.size), dtype=np.int32)
+            M[shp, inv] = 1
+            inter = M @ M.T
+            iu, ju = np.triu_indices(n, k=1)
+            iv = inter[iu, ju].astype(np.int64)
+        else:
+            # large block: EXACT shingle-run pair emission — sort by
+            # shingle, each run of r sharing docs contributes r(r-1)/2
+            # pair hits. Memory is O(shared-shingle pair occurrences)
+            # (duplication-bounded), not O(n * vocab) like the matmul;
+            # runs are overwhelmingly length 1 for 3-gram shingles.
+            order = np.argsort(inv, kind="stable")
+            ss, dd = inv[order], shp[order]
+            starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+            lens = np.diff(np.r_[starts, ss.size])
+            pair_counts: dict[tuple[int, int], int] = {}
+            for st, ln in zip(starts[lens > 1], lens[lens > 1]):
+                docs = np.sort(dd[st:st + ln])
+                for ii in range(ln - 1):
+                    di = docs[ii]
+                    for dj in docs[ii + 1:]:
+                        key = (int(di), int(dj))
+                        pair_counts[key] = pair_counts.get(key, 0) + 1
+            if not pair_counts:
+                return empty
+            keys = np.array(list(pair_counts), np.int64)
+            iu, ju = keys[:, 0], keys[:, 1]
+            iv = np.fromiter(pair_counts.values(), np.int64,
+                             len(pair_counts))
         uni = nsh[iu] + nsh[ju] - iv
         m = (uni > 0) & (iv * tden >= tnum * uni)
         iu, ju, iv, uni = iu[m], ju[m], iv[m], uni[m]

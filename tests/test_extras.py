@@ -97,6 +97,13 @@ def test_ngram_jaccard_pairs_matches_reference():
     assert (0, 1) in got and got[(0, 1)][0] > 0   # near-dups caught
     assert all((a, b) != (0, 5) for a, b in got)  # cross-lang blocked
 
+    # both kernel regimes are exact: force the pair-emission path and
+    # require bit-identical output to the matmul path
+    got2 = {(r["a"], r["b"]): (r["inter"], r["uni"], r["jac_e6"])
+            for r in ngram_jaccard_pairs(ds, threshold=0.3,
+                                         matmul_limit=0).to_pylist()}
+    assert got2 == got
+
 
 def test_minhash_signature_deterministic():
     from rayfts.extras.dedup import MinHasher
