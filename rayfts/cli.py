@@ -11,6 +11,7 @@ driven as ``python -m rayfts.cli <command>``:
   exclude --index DIR [--doc-ids 1,2,3 | --clear]
   info    --index DIR
   disk-usage --index DIR        (ES _disk_usage analog)
+  profile --index DIR --query "..." [-k 10] [--algo taat|wand]
 
 Owns its Ray session (guarded init — the driver contract forbids init
 inside library code, but a CLI process is its own driver).
@@ -273,6 +274,15 @@ def cmd_disk_usage(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    from .search import Searcher
+
+    s = Searcher(args.index)
+    hits, prof = s.profile_search(args.query, k=args.k, algo=args.algo)
+    print(json.dumps({"hits": hits, "profile": prof}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rayfts")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -384,6 +394,13 @@ def main(argv=None) -> int:
     du = sub.add_parser("disk-usage", help="ES _disk_usage API analog")
     du.add_argument("--index", required=True)
     du.set_defaults(fn=cmd_disk_usage)
+
+    pr = sub.add_parser("profile", help="ES profile-API analog")
+    pr.add_argument("--index", required=True)
+    pr.add_argument("--query", required=True)
+    pr.add_argument("-k", type=int, default=10)
+    pr.add_argument("--algo", choices=["taat", "wand"], default="taat")
+    pr.set_defaults(fn=cmd_profile)
 
     al = sub.add_parser("alias", help="ES alias API analog")
     al.add_argument("action", choices=["set", "delete", "list"])
