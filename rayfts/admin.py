@@ -431,6 +431,75 @@ def open_alias(registry_dir: str, alias: str):
     return Searcher(dirs[0]) if len(dirs) == 1 else MultiSearcher(dirs)
 
 
+_ES_TYPE = {
+    "int64": "long", "int32": "integer", "double": "double",
+    "float": "float", "string": "keyword", "large_string": "keyword",
+    "bool": "boolean",
+}
+
+
+def get_mapping(index_dir: str) -> dict:
+    """ES ``GET /index/_mapping`` analog, derived from the published
+    state: the docstore parquet schema maps to ES field types (int64 ->
+    long, string -> keyword, timestamp -> date, map -> flattened), the
+    manifest's analyzed ``text_col`` overrides to type "text" with the
+    index-analyzer knobs attached, and ``positions`` reports as the
+    text field's index_options (the Lucene positions/freqs split)."""
+    import pyarrow.dataset as pads
+
+    m = load_manifest(index_dir)
+    schema = pads.dataset(os.path.join(index_dir, "docstore")).schema
+    props: dict = {}
+    for f in schema:
+        t = str(f.type)
+        if f.name == m.get("text_col", "text"):
+            props[f.name] = {
+                "type": "text",
+                "index_options": ("positions" if m.get("positions")
+                                 else "freqs"),
+                "analyzer": "rayfts_standard",
+            }
+        elif t.startswith("timestamp"):
+            props[f.name] = {"type": "date"}
+        elif t.startswith("map") or t.startswith("struct"):
+            props[f.name] = {"type": "flattened"}
+        else:
+            props[f.name] = {"type": _ES_TYPE.get(t, t)}
+    return {"mappings": {"properties": props}}
+
+
+def get_settings(index_dir: str) -> dict:
+    """ES ``GET /index/_settings`` analog: the manifest's knobs in an
+    ES-shaped settings dict — the BM25 similarity pair, the analyzer
+    chain config (stopwords / stemmer / shingles / prefixes), and the
+    storage layout facts (term_buckets — the shard-count analog —
+    plus format_version and doc counts as read-only stats)."""
+    m = load_manifest(index_dir)
+    return {
+        "settings": {
+            "index": {
+                "number_of_buckets": m["term_buckets"],
+                "format_version": m["format_version"],
+                "similarity": {
+                    "default": {"type": "BM25",
+                                "k1": m["k1"], "b": m["b"]},
+                },
+                "analysis": {
+                    "stopwords": sorted(m.get("stopwords", []) or []),
+                    "stemmer": m.get("stemmer", ""),
+                    "shingle_size": m.get("shingle_size", 0),
+                    "index_prefixes": list(
+                        m.get("index_prefixes", []) or []
+                    ),
+                    "positions": bool(m.get("positions")),
+                },
+            },
+        },
+        "stats": {"n_docs": m["n_docs"], "n_terms": m["n_terms"],
+                  "postings_bytes": m["postings_bytes"]},
+    }
+
+
 def disk_usage(index_dir: str) -> dict:
     """ES ``_disk_usage`` API analog: on-disk footprint of a published
     index, broken down two ways —

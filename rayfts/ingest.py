@@ -367,3 +367,26 @@ class IngestPipeline:
             self.transform_batch, batch_format="pyarrow",
             zero_copy_batch=True,
         )
+
+    def simulate(self, docs: list[dict],
+                 verbose: bool = False) -> list:
+        """ES ``_ingest/pipeline/_simulate`` analog: run the chain on
+        sample docs WITHOUT indexing. Default form returns the final
+        transformed docs; ``verbose=True`` returns, per processor, the
+        doc states after that step (the ES verbose processor_results
+        shape) — same vectorized kernels, applied one processor at a
+        time over the whole sample batch. A ``drop`` processor removes
+        docs from subsequent steps, exactly as in the stream."""
+        t = pa.Table.from_pylist(docs)
+        if not verbose:
+            return self.transform_batch(t).to_pylist()
+        steps = []
+        for i, p in enumerate(self.processors):
+            sub = IngestPipeline([p])
+            sub._compiled = (
+                {0: self._compiled[i]} if i in self._compiled else {}
+            )
+            t = sub.transform_batch(t)
+            kind = next(iter(p))
+            steps.append({"processor": kind, "docs": t.to_pylist()})
+        return steps

@@ -121,6 +121,52 @@ def test_disk_usage_breakdown(tmp_path):
     assert du2(idx) == d  # stat walk is deterministic
 
 
+def test_mapping_settings_and_simulate(tmp_path):
+    """_mapping derives ES types from the docstore schema (text col ->
+    analyzed text with index_options, timestamp -> date, map ->
+    flattened); _settings carries the BM25 pair + analyzer knobs;
+    ingest _simulate returns final docs (and per-processor states
+    verbose), never touching an index."""
+    from rayfts.admin import get_mapping, get_settings
+    from rayfts.build import build_index
+    from rayfts.config import IndexJobConfig
+    from rayfts.fixtures import write_transcripts
+    from rayfts.ingest import IngestPipeline
+
+    corpus = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    write_transcripts(corpus, n_convs=5, seed=42)
+    build_index(corpus, cfg=IndexJobConfig(
+        index_dir=idx, term_buckets=4, stopwords=("the",)))
+    props = get_mapping(idx)["mappings"]["properties"]
+    assert props["text"]["type"] == "text"
+    assert props["text"]["index_options"] == "freqs"  # no positions
+    assert props["doc_id"] == {"type": "long"}
+    assert props["role"] == {"type": "keyword"}
+    assert props["ts"] == {"type": "date"}
+    assert props["turn_idx"] == {"type": "integer"}
+    st = get_settings(idx)["settings"]["index"]
+    assert st["similarity"]["default"] == {
+        "type": "BM25", "k1": 1.2, "b": 0.75}
+    assert st["analysis"]["stopwords"] == ["the"]
+    assert st["number_of_buckets"] == 4
+
+    pipe = IngestPipeline([
+        {"lowercase": {"field": "t"}},
+        {"grok": {"field": "t", "pattern": "%{WORD:w} %{GREEDYDATA:r}"}},
+        {"drop": {"field": "w", "equals": "skip"}},
+    ])
+    docs = [{"t": "Hello World now"}, {"t": "SKIP this row"}]
+    out = pipe.simulate(docs)
+    assert [d["w"] for d in out] == ["hello"]  # dropped row gone
+    steps = pipe.simulate(docs, verbose=True)
+    assert [s["processor"] for s in steps] == ["lowercase", "grok",
+                                               "drop"]
+    assert steps[0]["docs"][1]["t"] == "skip this row"
+    assert len(steps[1]["docs"]) == 2      # grok sees both
+    assert len(steps[2]["docs"]) == 1      # drop removes one
+
+
 def test_field_caps(tmp_path):
     from rayfts.build import build_index
     from rayfts.config import IndexJobConfig
