@@ -205,3 +205,79 @@ def test_parse_simple_query_string_shapes():
     assert p("( a + b )") == [[(False, "term", "a"), (False, "term", "b")]]
     assert p("* | + - |") == []
     assert p("-a") == [[(True, "term", "a")]]
+
+
+# ---------------------------------------------------------------------------
+# grok / dissect compiler properties
+# ---------------------------------------------------------------------------
+
+_KEY = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+_LIT = st.from_regex(r"[A-Za-z0-9 .,:=/()\[\]{}#@!?+*^$|\\-]{1,8}",
+                     fullmatch=True)
+_VAL = st.from_regex(r"[a-z0-9_]{1,8}", fullmatch=True)
+
+
+@given(
+    st.lists(st.tuples(_LIT, _KEY, _VAL), min_size=1, max_size=4),
+    _LIT,
+)
+@settings(max_examples=200, deadline=None)
+def test_dissect_compile_roundtrip(parts, tail):
+    """Property: for any delimiter/key/value composition whose values
+    avoid the adjacent delimiter characters, the compiled dissect
+    regex extracts exactly the substituted values. Keys are made
+    unique by suffixing; values are delimiter-free by construction."""
+    import re
+
+    from rayfts.ingest import compile_dissect
+
+    pattern, text, want = "", "", {}
+    for i, (lit, key, val) in enumerate(parts):
+        k = f"{key}{i}"
+        pattern += lit + "%{" + k + "}"
+        text += lit + val
+        want[k] = val
+    pattern += tail
+    text += tail
+    # exact round-trip only holds for UNAMBIGUOUS compositions: no
+    # value may contain its following delimiter (the documented
+    # dissect rule — a non-greedy capture stops at the first
+    # occurrence and misparses shift every later field)
+    from hypothesis import assume
+
+    for i, (lit, key, val) in enumerate(parts):
+        nxt = parts[i + 1][0] if i + 1 < len(parts) else tail
+        assume((val + nxt).find(nxt) == len(val))
+    rx = re.compile(compile_dissect(pattern))
+    m = rx.match(text)
+    assert m is not None, (pattern, text)
+    for i, (lit, key, val) in enumerate(parts):
+        assert m.group(f"{key}{i}") == val, (pattern, text,
+                                             m.groupdict())
+
+
+@given(st.lists(st.from_regex(r"[a-z0-9_]{1,8}", fullmatch=True),
+                min_size=2, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_grok_word_chain_roundtrip(words):
+    """Property: a grok %{WORD:wN} chain joined by single spaces
+    extracts every word exactly; the python-re twin of the compiled
+    RE2 agrees with the Arrow execution path."""
+    import re
+
+    import pyarrow as pa
+
+    from rayfts.ingest import IngestPipeline, compile_grok
+
+    pattern = " ".join(f"%{{WORD:w{i}}}" for i in range(len(words)))
+    text = " ".join(words)
+    rx = re.compile(compile_grok(pattern))
+    m = rx.match(text)
+    assert m is not None
+    assert [m.group(f"w{i}") for i in range(len(words))] == words
+    out = IngestPipeline([
+        {"grok": {"field": "t", "pattern": pattern}},
+    ]).transform_batch(pa.table({"t": [text, "x"]}))
+    assert [out[f"w{i}"][0].as_py() for i in range(len(words))] == words
+    assert all(out[f"w{i}"][1].as_py() is None
+               for i in range(len(words)) if len(words) > 1)
