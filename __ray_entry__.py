@@ -549,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": P.knn_cosine_lsh_q,
         "knn_cosine_ivf": P.knn_cosine_ivf_q,
         "knn_int8_rescore_top10": P.knn_int8_rescore_top10,  # SQ + rescore
+        "knn_binary_rescore_top10": P.knn_binary_rescore_top10,  # BBQ
+        "knn_matryoshka_top10": P.knn_matryoshka_top10,  # MRL prefix
         "text_token_stats": P.text_token_stats,
         "text_fertility_by_lang": P.text_fertility_by_lang,
         "text_quality": P.text_quality,
@@ -3379,6 +3381,66 @@ dots AS (
   SELECT v.vec_id, sum(v.val * q.val) AS dot,
          sum(v.val * v.val) AS n2, sum(q.val * q.val) AS q2
   FROM v JOIN q USING (i) GROUP BY v.vec_id
+)
+SELECT vec_id,
+       CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
+FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
+""",
+        # BBQ binary-quantized knn: sign-bit hamming candidates (exact
+        # ints, ham asc / vec_id asc), exact-cosine rescore
+        "knn_binary_rescore_top10": f"""
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = 0
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+ham AS (
+  SELECT v.vec_id,
+         sum(CASE WHEN (v.val > 0) != (q.val > 0) THEN 1 ELSE 0 END)::BIGINT AS h
+  FROM v JOIN q USING (i) GROUP BY v.vec_id
+),
+cand AS (SELECT vec_id FROM ham ORDER BY h, vec_id
+         LIMIT {10 * P.KNN_BBQ_OVERSAMPLE}),
+dots AS (
+  SELECT v.vec_id, sum(v.val * q.val) AS dot,
+         sum(v.val * v.val) AS n2, sum(q.val * q.val) AS q2
+  FROM v JOIN q USING (i)
+  WHERE v.vec_id IN (SELECT vec_id FROM cand) GROUP BY v.vec_id
+)
+SELECT vec_id,
+       CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
+FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
+""",
+        # Matryoshka truncated-dim knn: exact prefix-cosine candidates
+        # (first {KNN_MRL_DIMS} dims), exact full-dim rescore
+        "knn_matryoshka_top10": f"""
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = 0
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+pdots AS (
+  SELECT v.vec_id, sum(v.val * q.val) AS dot,
+         sum(v.val * v.val) AS n2, sum(q.val * q.val) AS q2
+  FROM v JOIN q USING (i) WHERE v.i <= {P.KNN_MRL_DIMS}
+  GROUP BY v.vec_id
+),
+cand AS (SELECT vec_id FROM pdots
+         ORDER BY dot / (sqrt(n2) * sqrt(q2)) DESC, vec_id
+         LIMIT {10 * P.KNN_MRL_OVERSAMPLE}),
+dots AS (
+  SELECT v.vec_id, sum(v.val * q.val) AS dot,
+         sum(v.val * v.val) AS n2, sum(q.val * q.val) AS q2
+  FROM v JOIN q USING (i)
+  WHERE v.vec_id IN (SELECT vec_id FROM cand) GROUP BY v.vec_id
 )
 SELECT vec_id,
        CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6

@@ -983,6 +983,16 @@ def knn_int8_rescore(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
     dots = parts["dot_q"].to_numpy()
     keep = np.lexsort((ids, -dots))[:n_cand]
     cand_ids = np.sort(ids[keep])
+    return _exact_rescore(ds, cand_ids, q, k, id_col, vec_col)
+
+
+def _exact_rescore(ds: rd.Dataset, cand_ids: np.ndarray,
+                   q: np.ndarray, k: int, id_col: str,
+                   vec_col: str) -> pa.Table:
+    """Shared stage 2 of every coarse-then-exact ANN path: exact float
+    cosine for ONLY the broadcast candidate ids (streaming map_batches
+    — the candidate set rides ray.put, never a shuffle), float top-k
+    (sim desc, id asc)."""
     cand_ref = ray.put(cand_ids)
     qn = float(np.sqrt((q * q).sum()))
 
@@ -1016,6 +1026,88 @@ def knn_int8_rescore(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
         id_col: pa.array(eids[order], pa.int64()),
         "cosine_sim": pa.array(sims[order], pa.float64()),
     })
+
+
+def knn_binary_rescore(ds: rd.Dataset, query_vec: np.ndarray,
+                       k: int = 10, oversample: int = 4,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> pa.Table:
+    """ES BBQ-style binary-quantized kNN (8.16 ``bbq_hnsw`` rescore
+    analog, flat scan): stage 1 ranks by the HAMMING distance between
+    sign bits (v > 0) — 1 bit/dim scanned, the 64x memory cut that
+    makes 10^12-vector candidate generation feasible — and keeps the
+    top k·oversample by (hamming asc, vec_id asc); integer distances
+    make the candidate set bit-reproducible, so the SQL twin replays
+    it exactly. Stage 2 = shared exact-cosine rescore. Per-block local
+    top-cand prune keeps the driver merge O(blocks · cand)."""
+    q = np.asarray(query_vec, np.float64)
+    qbits_ref = ray.put(q > 0)
+    n_cand = k * oversample
+
+    def scan(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)
+        ham = (
+            (m > 0) != ray.get(qbits_ref)[None, :]
+        ).sum(axis=1).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ids, ham))[:n_cand]
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        })
+
+    parts = pa.concat_tables([
+        b for b in ray.get(
+            ds.map_batches(scan, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows
+    ])
+    ids = parts[id_col].to_numpy()
+    ham = parts["hamming"].to_numpy()
+    keep = np.lexsort((ids, ham))[:n_cand]
+    return _exact_rescore(ds, np.sort(ids[keep]), q, k, id_col, vec_col)
+
+
+def knn_matryoshka_rescore(ds: rd.Dataset, query_vec: np.ndarray,
+                           k: int = 10, prefix_dims: int = 8,
+                           oversample: int = 4,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> pa.Table:
+    """Matryoshka-representation (MRL) truncated-dimension ANN: stage 1
+    ranks by exact cosine over the FIRST ``prefix_dims`` dimensions
+    (dim/prefix_dims times fewer bytes scanned — the MRL deployment
+    trick for web-scale candidate generation), keeps k·oversample by
+    (prefix sim desc, vec_id asc), stage 2 = shared exact full-dim
+    rescore. Zero-norm prefixes sort last (sim 0), the knn_cosine
+    convention."""
+    q = np.asarray(query_vec, np.float64)
+    qp = q[:prefix_dims]
+    qpn = float(np.sqrt((qp * qp).sum())) or 1.0
+    qp_ref = ray.put(qp)
+    n_cand = k * oversample
+
+    def scan(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)[:, :prefix_dims]
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        sims = (m @ ray.get(qp_ref)) / (norms * qpn)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ids, -sims))[:n_cand]
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "psim": pa.array(sims[keep], pa.float64()),
+        })
+
+    parts = pa.concat_tables([
+        b for b in ray.get(
+            ds.map_batches(scan, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows
+    ])
+    ids = parts[id_col].to_numpy()
+    sims = parts["psim"].to_numpy()
+    keep = np.lexsort((ids, -sims))[:n_cand]
+    return _exact_rescore(ds, np.sort(ids[keep]), q, k, id_col, vec_col)
 
 
 def knn_cosine_filtered(

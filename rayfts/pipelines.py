@@ -4546,6 +4546,58 @@ def knn_int8_rescore_top10(sf_dir: str) -> pa.Table:
     )
 
 
+KNN_BBQ_OVERSAMPLE = 4
+KNN_MRL_DIMS = 8
+KNN_MRL_OVERSAMPLE = 4
+
+
+def knn_binary_rescore_top10(sf_dir: str) -> pa.Table:
+    """ES BBQ-style binary-quantized kNN (sign-bit hamming candidate
+    stage — exact integers, bit-reproducible — then exact cosine
+    rescore of k·oversample candidates)."""
+    from .extras.similarity import knn_binary_rescore
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q0.filter(pc.equal(q0["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    t = knn_binary_rescore(ds, qvec, k=10, oversample=KNN_BBQ_OVERSAMPLE)
+    return pa.table({
+        "vec_id": t["vec_id"],
+        "cosine_sim_e6": pc.cast(
+            pc.round(pc.multiply(t["cosine_sim"], 1e6)), pa.int64()
+        ),
+    })
+
+
+def knn_matryoshka_top10(sf_dir: str) -> pa.Table:
+    """Matryoshka (MRL) truncated-dimension ANN: exact cosine over the
+    first KNN_MRL_DIMS dims ranks candidates (dim/8 fewer bytes
+    scanned), exact full-dim cosine rescores the k·oversample head."""
+    from .extras.similarity import knn_matryoshka_rescore
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q0.filter(pc.equal(q0["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    t = knn_matryoshka_rescore(
+        ds, qvec, k=10, prefix_dims=KNN_MRL_DIMS,
+        oversample=KNN_MRL_OVERSAMPLE,
+    )
+    return pa.table({
+        "vec_id": t["vec_id"],
+        "cosine_sim_e6": pc.cast(
+            pc.round(pc.multiply(t["cosine_sim"], 1e6)), pa.int64()
+        ),
+    })
+
+
 KNN_SIM_FLOOR = 0.25   # ES 8.8 knn `similarity` minimum
 KNN_SIM_K = 50
 

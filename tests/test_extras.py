@@ -166,6 +166,59 @@ def test_knn_cosine_exact_topk():
     assert t["vec_id"].to_pylist()[0] == 7  # self is the nearest
 
 
+def test_knn_binary_and_matryoshka_match_reference():
+    """BBQ hamming candidates + MRL prefix-cosine candidates both equal
+    a sequential numpy reference (candidate set AND final rescored
+    top-k); full-corpus oversample degenerates to exact knn."""
+    from rayfts.extras.similarity import (knn_binary_rescore,
+                                          knn_cosine,
+                                          knn_matryoshka_rescore)
+
+    rng = np.random.default_rng(3)
+    n, dim = 200, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }))
+    q = vecs[7].astype(np.float64)
+    v64 = vecs.astype(np.float64)
+    sims = (v64 @ q) / (np.linalg.norm(v64, axis=1) * np.linalg.norm(q))
+
+    # binary: reference hamming -> candidates -> exact rescore
+    ham = ((v64 > 0) != (q > 0)[None, :]).sum(axis=1)
+    cand = np.lexsort((np.arange(n), ham))[:40]
+    in_cand = np.zeros(n, bool)
+    in_cand[cand] = True
+    ref_sims = np.where(in_cand, sims, -np.inf)
+    want = np.lexsort((np.arange(n), -ref_sims))[:10]
+    got = knn_binary_rescore(ds, q, k=10, oversample=4)
+    assert got["vec_id"].to_pylist() == want.tolist()
+    assert got["vec_id"][0].as_py() == 7  # self survives quantization
+
+    # matryoshka: reference prefix cosine -> candidates -> rescore
+    pd_ = 8
+    vp, qp = v64[:, :pd_], q[:pd_]
+    psims = (vp @ qp) / (np.linalg.norm(vp, axis=1)
+                         * np.linalg.norm(qp))
+    cand = np.lexsort((np.arange(n), -psims))[:40]
+    in_cand = np.zeros(n, bool)
+    in_cand[cand] = True
+    ref_sims = np.where(in_cand, sims, -np.inf)
+    want = np.lexsort((np.arange(n), -ref_sims))[:10]
+    got = knn_matryoshka_rescore(ds, q, k=10, prefix_dims=pd_,
+                                 oversample=4)
+    assert got["vec_id"].to_pylist() == want.tolist()
+
+    # oversample covering the whole corpus == exact knn
+    exact = knn_cosine(ds, q, k=5)["vec_id"].to_pylist()
+    assert knn_binary_rescore(ds, q, k=5, oversample=n)[
+        "vec_id"].to_pylist() == exact
+    assert knn_matryoshka_rescore(ds, q, k=5, prefix_dims=pd_,
+                                  oversample=n)[
+        "vec_id"].to_pylist() == exact
+
+
 def test_textstats_quality_and_langid():
     from rayfts.extras.textstats import lang_id_batch, quality_score_batch
 
