@@ -551,6 +551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_int8_rescore_top10": P.knn_int8_rescore_top10,  # SQ + rescore
         "knn_binary_rescore_top10": P.knn_binary_rescore_top10,  # BBQ
         "knn_matryoshka_top10": P.knn_matryoshka_top10,  # MRL prefix
+        "knn_l2_top10": P.knn_l2_top10,  # similarity=l2_norm
+        "knn_mip_top10": P.knn_mip_top10,  # similarity=max_inner_product
         "text_token_stats": P.text_token_stats,
         "text_fertility_by_lang": P.text_fertility_by_lang,
         "text_quality": P.text_quality,
@@ -3385,6 +3387,44 @@ dots AS (
 SELECT vec_id,
        CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
 FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
+""",
+        # l2_norm similarity: ||v||^2 - 2 v.q + ||q||^2, distance asc
+        "knn_l2_top10": """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = 0
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+d AS (
+  SELECT v.vec_id,
+         sum(v.val * v.val) - 2.0 * sum(v.val * q.val)
+           + sum(q.val * q.val) AS dist
+  FROM v JOIN q USING (i) GROUP BY v.vec_id
+)
+SELECT vec_id, CAST(round(dist * 1e6) AS BIGINT) AS score_e6
+FROM d ORDER BY dist, vec_id LIMIT 10
+""",
+        # max_inner_product similarity: raw dot desc
+        "knn_mip_top10": """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS val
+  FROM embeddings WHERE vec_id = 0
+),
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+d AS (
+  SELECT v.vec_id, sum(v.val * q.val) AS dot
+  FROM v JOIN q USING (i) GROUP BY v.vec_id
+)
+SELECT vec_id, CAST(round(dot * 1e6) AS BIGINT) AS score_e6
+FROM d ORDER BY dot DESC, vec_id LIMIT 10
 """,
         # BBQ binary-quantized knn: sign-bit hamming candidates (exact
         # ints, ham asc / vec_id asc), exact-cosine rescore

@@ -103,6 +103,55 @@ def knn_cosine(
     return t
 
 
+def knn_metric(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
+               metric: str = "l2_norm", id_col: str = "vec_id",
+               vec_col: str = "embedding") -> pa.Table:
+    """The non-cosine ES dense_vector similarities on the exact
+    brute-force path: ``l2_norm`` ranks by squared euclidean distance
+    ASCENDING (||v-q||^2 = ||v||^2 - 2 v.q + ||q||^2, one matmul per
+    batch); ``max_inner_product`` by the raw dot DESCENDING. Per-block
+    local top-k + driver merge (the knn_cosine shape); ties break
+    vec_id asc. Returns (vec_id, score) with score = the metric value
+    (distance for l2_norm — the caller applies ES's 1/(1+d^2)
+    normalization if it wants _score semantics)."""
+    if metric not in ("l2_norm", "max_inner_product"):
+        raise ValueError(f"unknown metric {metric!r}")
+    q = np.asarray(query_vec, np.float64)
+    q_ref = ray.put(q)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)
+        qq = ray.get(q_ref)
+        dots = m @ qq
+        if metric == "l2_norm":
+            score = (m * m).sum(axis=1) - 2.0 * dots + float(qq @ qq)
+            order_key = score
+        else:
+            score = dots
+            order_key = -score
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ids, order_key))[:k]
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "score": pa.array(score[keep], pa.float64()),
+        })
+
+    parts = pa.concat_tables([
+        b for b in ray.get(
+            ds.map_batches(scan, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_rows
+    ])
+    ids = parts[id_col].to_numpy()
+    score = parts["score"].to_numpy()
+    key = score if metric == "l2_norm" else -score
+    keep = np.lexsort((ids, key))[:k]
+    return pa.table({
+        id_col: pa.array(ids[keep], pa.int64()),
+        "score": pa.array(score[keep], pa.float64()),
+    })
+
+
 class HyperplaneLSH:
     """Scale path: random-hyperplane sign buckets; candidates only from the
     query's bucket (and optionally neighboring buckets by Hamming radius)."""

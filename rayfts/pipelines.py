@@ -4598,6 +4598,38 @@ def knn_matryoshka_top10(sf_dir: str) -> pa.Table:
     })
 
 
+def _knn_metric_q(sf_dir: str, metric: str) -> pa.Table:
+    from .extras.similarity import knn_metric
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        q0.filter(pc.equal(q0["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    t = knn_metric(ds, qvec, k=10, metric=metric)
+    return pa.table({
+        "vec_id": t["vec_id"],
+        "score_e6": pc.cast(
+            pc.round(pc.multiply(t["score"], 1e6)), pa.int64()
+        ),
+    })
+
+
+def knn_l2_top10(sf_dir: str) -> pa.Table:
+    """ES dense_vector similarity=l2_norm: exact top-10 by squared
+    euclidean distance ascending (||v||^2 - 2 v.q + ||q||^2 — the
+    pinned op order the SQL twin replays), vec_id ties ascending."""
+    return _knn_metric_q(sf_dir, "l2_norm")
+
+
+def knn_mip_top10(sf_dir: str) -> pa.Table:
+    """ES dense_vector similarity=max_inner_product: exact top-10 by
+    raw dot product descending."""
+    return _knn_metric_q(sf_dir, "max_inner_product")
+
+
 KNN_SIM_FLOOR = 0.25   # ES 8.8 knn `similarity` minimum
 KNN_SIM_K = 50
 

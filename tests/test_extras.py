@@ -219,6 +219,35 @@ def test_knn_binary_and_matryoshka_match_reference():
         "vec_id"].to_pylist() == exact
 
 
+def test_knn_metric_l2_and_mip():
+    """l2_norm ranks by squared euclidean ascending, max_inner_product
+    by raw dot descending — both equal the numpy reference with
+    vec_id-asc ties; unknown metrics refuse."""
+    from rayfts.extras.similarity import knn_metric
+
+    rng = np.random.default_rng(4)
+    n = 150
+    vecs = rng.standard_normal((n, 12)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }))
+    q = vecs[3].astype(np.float64)
+    v64 = vecs.astype(np.float64)
+    d2 = (v64 * v64).sum(axis=1) - 2.0 * (v64 @ q) + float(q @ q)
+    want = np.lexsort((np.arange(n), d2))[:7]
+    got = knn_metric(ds, q, k=7, metric="l2_norm")
+    assert got["vec_id"].to_pylist() == want.tolist()
+    assert got["vec_id"][0].as_py() == 3          # self: distance ~0
+    assert abs(got["score"][0].as_py()) < 1e-9
+    dots = v64 @ q
+    want = np.lexsort((np.arange(n), -dots))[:7]
+    got = knn_metric(ds, q, k=7, metric="max_inner_product")
+    assert got["vec_id"].to_pylist() == want.tolist()
+    with pytest.raises(ValueError):
+        knn_metric(ds, q, metric="cosine")
+
+
 def test_textstats_quality_and_langid():
     from rayfts.extras.textstats import lang_id_batch, quality_score_batch
 
