@@ -663,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_esql_eval": P.fts_esql_eval,    # ES|QL EVAL runtime field
         "fts_esql_grok": P.fts_esql_grok,    # ES|QL GROK/DISSECT derive
         "fts_esql_lookup": P.fts_esql_lookup,  # ES|QL LOOKUP JOIN
+        "fts_esql_like": P.fts_esql_like,      # ES|QL LIKE + IN
         # Heaps-law vocabulary growth (first-occurrence histogram)
         "vocab_growth_curve": P.vocab_growth_curve,
         "vocab_zipf_slope": P.vocab_zipf_slope,
@@ -1051,6 +1052,13 @@ WITH g AS (
 )
 SELECT w1, count(*)::BIGINT AS n FROM g WHERE w1 IS NOT NULL
 GROUP BY w1 ORDER BY n DESC, w1 ASC LIMIT 10
+""",
+        # ES|QL LIKE (*->%, ?->_) + IN membership
+        "fts_esql_like": """
+SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total
+FROM documents
+WHERE source LIKE 'src1%' AND lang IN ('en', 'fr')
+GROUP BY source ORDER BY source
 """,
         # ES|QL LOOKUP JOIN: the broadcast dict replayed as a VALUES
         # inner join (unmatched langs drop — the null-bucket rule)

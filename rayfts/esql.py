@@ -17,6 +17,12 @@ Supported grammar (case-insensitive keywords, one clause per pipe):
   WHERE <cond> [AND <cond>]*         cond := MATCH(field, "text")
                                           | field == "value" | field == n
                                           | field >= n | > | <= | <
+                                          | field IN ("a", "b", ...)
+                                          | field LIKE "pat*t?rn"
+                                      (LIKE resolves its *,? wildcard
+                                      over the keyword column's code
+                                      dictionary — O(distinct), works
+                                      on derived columns too)
   EVAL name = col OP const           OP := + | - | *  (division is
                                       excluded from this subset: its
                                       fractional sums are not
@@ -85,12 +91,26 @@ class ESQLError(ValueError):
     pass
 
 
-def _parse_conditions(text: str) -> tuple[str | None, dict]:
-    """WHERE body -> (match_text, where_dict)."""
+def _parse_conditions(
+    text: str,
+) -> tuple[str | None, dict, list[tuple[str, str]]]:
+    """WHERE body -> (match_text, where_dict, like_conds)."""
     match_text = None
     where: dict = {}
+    likes: list[tuple[str, str]] = []
     for cond in re.split(r"\s+AND\s+", text.strip(), flags=re.I):
         cond = cond.strip()
+        m = re.fullmatch(rf"(\w+)\s+IN\s*\((.*)\)", cond, flags=re.I)
+        if m:
+            vals = re.findall(_STR, m.group(2))
+            if not vals:
+                raise ESQLError(f"IN needs string values: {cond!r}")
+            where[m.group(1)] = list(vals)
+            continue
+        m = re.fullmatch(rf"(\w+)\s+LIKE\s+{_STR}", cond, flags=re.I)
+        if m:
+            likes.append((m.group(1), m.group(2)))
+            continue
         m = re.fullmatch(rf"MATCH\(\s*(\w+)\s*,\s*{_STR}\s*\)", cond,
                          flags=re.I)
         if m:
@@ -119,7 +139,7 @@ def _parse_conditions(text: str) -> tuple[str | None, dict]:
                 where[f][key] = v
             continue
         raise ESQLError(f"unsupported condition: {cond!r}")
-    return match_text, where
+    return match_text, where, likes
 
 
 def _parse_stats(text: str) -> tuple[list[tuple], str | None]:
@@ -154,13 +174,14 @@ def parse_esql(query: str) -> dict:
         raise ESQLError("query must start with FROM <index>")
     plan: dict = {"from": m.group(1), "match": None, "where": {},
                   "evals": [], "derives": [], "lookups": [],
-                  "stats": None, "by": None, "sort": [], "limit": None,
-                  "change_point": None}
+                  "likes": [], "stats": None, "by": None, "sort": [],
+                  "limit": None, "change_point": None}
     for stage in stages[1:]:
         kw = stage.split(None, 1)[0].upper() if stage else ""
         body = stage[len(kw):].strip()
         if kw == "WHERE":
-            plan["match"], plan["where"] = _parse_conditions(body)
+            plan["match"], plan["where"], plan["likes"] = \
+                _parse_conditions(body)
         elif kw == "EVAL":
             m2 = re.fullmatch(
                 r"(\w+)\s*=\s*(\w+)\s*([+*-])\s*(-?\d+(?:\.\d+)?)",
@@ -309,6 +330,22 @@ def execute_esql(searcher, query: str,
             hits = hits & (codes == values.index(v))
         except ValueError:
             hits = np.zeros(s.N, dtype=bool)
+    # LIKE: the *, ? wildcard resolved over the field's code
+    # DICTIONARY (O(distinct values), never per doc) — works on stored
+    # and derived keyword columns alike
+    for f, patt in plan["likes"]:
+        rx = re.compile("".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in patt
+        ) + "$")
+        codes, values = s._field_codes(f)
+        allowed = np.fromiter(
+            (i for i, v in enumerate(values)
+             if v is not None and rx.match(v)),
+            np.int64,
+        )
+        hits = (hits & np.isin(codes, allowed) if allowed.size
+                else np.zeros(s.N, dtype=bool))
 
     def agg_columns(sel_idx: np.ndarray) -> dict:
         out: dict = {}

@@ -6588,6 +6588,29 @@ def fts_esql_lookup(sf_dir: str) -> pa.Table:
     })
 
 
+ESQL_LIKE_QUERY = (
+    'FROM documents '
+    '| WHERE source LIKE "src1*" AND lang IN ("en", "fr") '
+    '| STATS n = COUNT(*), total = SUM(n_chars) BY source '
+    '| SORT source ASC'
+)
+
+
+def fts_esql_like(sf_dir: str) -> pa.Table:
+    """ES|QL LIKE + IN conditions: the wildcard resolves over the
+    source column's code dictionary (O(distinct values)), IN compiles
+    to the terms-membership where — both compose with STATS BY."""
+    from .esql import execute_esql
+
+    s = Searcher(documents_index(sf_dir))
+    t = execute_esql(s, ESQL_LIKE_QUERY)
+    return pa.table({
+        "source": t["source"].cast(pa.string()),
+        "n": t["n"].cast(pa.int64()),
+        "total": t["total"].cast(pa.int64()),
+    })
+
+
 def fts_dsl_script_filter_top10(sf_dir: str) -> pa.Table:
     """ES script query (filter context): BM25_QUERY hits kept only when
     the painless-AST expression (n_chars*7 - 100)/4 exceeds 500 — the

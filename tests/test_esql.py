@@ -214,13 +214,41 @@ def test_esql_change_point_command(esql_index):
                         '| CHANGE_POINT zz ON turn_idx')
 
 
+def test_esql_like_and_in_conditions(esql_index):
+    """LIKE resolves *,? over the code dictionary; IN compiles to the
+    terms membership; both equal the docstore brute force."""
+    import pyarrow.dataset as pads
+
+    s = Searcher(esql_index)
+    t = execute_esql(s, 'FROM transcripts '
+                        '| WHERE conv_id LIKE "conv-000000?" '
+                        'AND role IN ("user", "tool") '
+                        '| STATS n = COUNT(*) BY role | SORT role ASC')
+    doc = pads.dataset(s._docstore_dir).to_table(
+        columns=["conv_id", "role"]
+    )
+    want: dict = {}
+    for cid, role in zip(doc["conv_id"].to_pylist(),
+                         doc["role"].to_pylist()):
+        if (len(cid) == 12 and cid.startswith("conv-000000")
+                and role in ("user", "tool")):
+            want[role] = want.get(role, 0) + 1
+    assert {r["role"]: r["n"] for r in t.to_pylist()} == want and want
+    # no dictionary value matches -> zero rows
+    t2 = execute_esql(s, 'FROM transcripts '
+                         '| WHERE conv_id LIKE "zz*" '
+                         '| STATS n = COUNT(*)')
+    assert t2["n"][0].as_py() == 0
+
+
 def test_esql_refusals(esql_index):
     s = Searcher(esql_index)
     for bad in [
         "FROM x",                                  # no STATS
         "STATS n = COUNT(*)",                      # no FROM
         "FROM x | FROB y | STATS n = COUNT(*)",    # unknown stage
-        'FROM x | WHERE text LIKE "a" | STATS n = COUNT(*)',
+        'FROM x | WHERE text ~ "a" | STATS n = COUNT(*)',
+        'FROM x | WHERE lang IN (1, 2) | STATS n = COUNT(*)',
         "FROM x | STATS n = COUNT(turn_idx)",      # COUNT takes *
         "FROM x | STATS n = SUM(*)",               # SUM takes a column
         "FROM x | STATS n = COUNT(*) | LIMIT x",
