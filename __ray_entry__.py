@@ -738,6 +738,7 @@ acc{i} AS (SELECT doc_id FROM acc{i - 1}
 {_bm25_with(sorted(set(P.BM25_QUERY.split())))},
 top AS (
   SELECT doc_id, score FROM scores
+  WHERE doc_id IN (SELECT vec_id FROM embeddings)
   ORDER BY score DESC, doc_id LIMIT {P.MMR_CANDS}
 ),
 bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM top),
@@ -940,15 +941,17 @@ SELECT user_id, n_pts,
              * (pi() / 180.0 * 6371.0088) * 1e3 + 0.5) AS BIGINT)
     AS length_m,
   CASE WHEN closed THEN
-    CAST(round(abs(s2::DOUBLE) / 2.0 / 1e4
+    CAST(floor(abs(s2::DOUBLE) / 2.0 / 1e4
                * ((pi() / 180.0 * 6371.0088) * (pi() / 180.0 * 6371.0088))
-               * 1e6) AS BIGINT)
+               * 1e6 + 0.5) AS BIGINT)
   ELSE 0 END AS area_e6,
   CASE WHEN closed AND s2 <> 0 THEN
-    CAST(round((cyn::DOUBLE / (3.0 * s2) / 100.0 - 90.0) * 1e6) AS BIGINT)
+    CAST(floor((cyn::DOUBLE / (3.0 * s2) / 100.0 - 90.0) * 1e6 + 0.5)
+         AS BIGINT)
   END AS clat_e6,
   CASE WHEN closed AND s2 <> 0 THEN
-    CAST(round((cxn::DOUBLE / (3.0 * s2) / 100.0 - 180.0) * 1e6) AS BIGINT)
+    CAST(floor((cxn::DOUBLE / (3.0 * s2) / 100.0 - 180.0) * 1e6 + 0.5)
+         AS BIGINT)
   END AS clon_e6
 FROM agg
 ORDER BY area_e6 DESC, length_m DESC, user_id LIMIT 20

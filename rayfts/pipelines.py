@@ -4197,12 +4197,16 @@ def way_shapes_q(sf_dir: str, k: int = 20) -> pa.Table:
 
             s2 = exact_sum(cross)  # terms ~6.5e8: wrap needs ~1.4e10 pts
             area_km2 = abs(float(s2)) / 2.0 / 1e4 * (DEG_TO_KM * DEG_TO_KM)
-            area_e6 = int(np.round(area_km2 * 1e6))
+            # floor(x + 0.5): big shoelace areas DO land on exact .5
+            # ulps (hit at sf0.1), where np.round's half-even and SQL
+            # round's half-away split — the snap convention used for
+            # length_m is the one identical on both sides
+            area_e6 = int(np.floor(area_km2 * 1e6 + 0.5))
             if s2 != 0:
                 cx = float(exact_sum((x[:-1] + x[1:]) * cross)) / (3.0 * s2)
                 cy = float(exact_sum((y[:-1] + y[1:]) * cross)) / (3.0 * s2)
-                clat_e6 = int(np.round((cy / 100.0 - 90.0) * 1e6))
-                clon_e6 = int(np.round((cx / 100.0 - 180.0) * 1e6))
+                clat_e6 = int(np.floor((cy / 100.0 - 90.0) * 1e6 + 0.5))
+                clon_e6 = int(np.floor((cx / 100.0 - 180.0) * 1e6 + 0.5))
         return pa.table({
             "user_id": pa.array([uid], pa.int64()),
             "n_pts": pa.array([n_pts], pa.int64()),
@@ -6794,14 +6798,33 @@ def fts_mmr_rerank(sf_dir: str) -> pa.Table:
     λ·rel − (1−λ)·max-cosine-to-selected, rel = minmax-normalized BM25
     (degenerate range -> 1.0, the linear-retriever rule), embeddings
     keyed by the testdata doc_id==vec_id contract. Ties break doc asc.
+    Candidates are the first MMR_CANDS hits of the BM25 ranking THAT
+    HAVE a vector (at sf>=0.1 the embeddings table covers only a
+    doc_id prefix — MMR is undefined without a vector, so vectorless
+    hits drop BEFORE the candidate cut, the rule the SQL twin's IN
+    filter mirrors); the search deepens geometrically until the
+    candidate quota fills or the ranking is exhausted.
     The SQL twin unrolls the MMR_K greedy picks as CTE stages (the
     kmeans-oracle precedent). O(k · candidates) driver math over an
     O(candidates) hit list — the distributed work is the BM25 search
     and the candidate-pruned embedding read."""
     index_dir = documents_index(sf_dir)
     s = Searcher(index_dir)
-    hits = s.search(BM25_QUERY, k=MMR_CANDS)
     to_src = _dense_to_src(index_dir)
+    vec_ids = set(
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id"],
+        )["vec_id"].to_pylist()
+    )
+    k = MMR_CANDS
+    while True:
+        raw = s.search(BM25_QUERY, k=k)
+        hits = [(d, sc) for d, sc in raw
+                if int(to_src[d]) in vec_ids][:MMR_CANDS]
+        if len(hits) >= MMR_CANDS or len(raw) < k:
+            break
+        k *= 4
     docs = np.array([int(to_src[d]) for d, _ in hits], dtype=np.int64)
     scores = np.array([sc for _, sc in hits], dtype=np.float64)
     lo, hi = scores.min(), scores.max()
