@@ -52,6 +52,17 @@ processors or option shapes raise, never approximate):
   fingerprint {fields, target_field}        — md5 hex of the
              '|'-joined field values (one md5 per DISTINCT joined
              string — the hash_tokens_unique trick)
+  inference  {model_id, field, target_field} — the ES inference
+             processor SHAPE with the model STUBBED (this sandbox has
+             no model runtime): model_id must start with "fake-" and
+             yields a deterministic bag-of-hashed-words projection
+             (md5-lower64 token hashes scattered into a seeded random
+             projection matrix, L2-normalized — rerun-stable across
+             processes). The projection matrix is built ONCE at
+             pipeline construction and ships with the broadcast
+             pipeline object (the model-load-once actor rule); any
+             other model_id raises NotImplementedError naming the
+             integration point. Output: list<float> embedding column.
 
 Every string processor is one Arrow compute kernel per batch — no
 Python rows; the chain applies IN ORDER on the progressively-
@@ -71,7 +82,10 @@ import ray.data as rd
 
 _KNOWN = ("set", "rename", "remove", "lowercase", "uppercase", "trim",
           "gsub", "enrich", "grok", "dissect", "convert", "split",
-          "join", "csv", "date", "drop", "html_strip", "fingerprint")
+          "join", "csv", "date", "drop", "html_strip", "fingerprint",
+          "inference")
+
+FAKE_EMBED_DIM = 32  # the fake inference model's output width
 
 _CONVERT_TYPES = {
     "integer": pa.int64(), "long": pa.int64(), "double": pa.float64(),
@@ -173,6 +187,7 @@ def _check(procs: list[dict]) -> None:
             "drop": {"field", "equals"},
             "html_strip": {"field"},
             "fingerprint": {"fields", "target_field"},
+            "inference": {"model_id", "field", "target_field"},
         }[kind]
         allowed = need if isinstance(need, tuple) else (need,)
         if not isinstance(body, dict) or set(body) not in allowed:
@@ -230,6 +245,25 @@ class IngestPipeline:
                             f"{kind} capture name {n!r}"
                         )
                 self._compiled[i] = (rx, names)
+            if kind == "inference":
+                if not str(b["model_id"]).startswith("fake-"):
+                    raise NotImplementedError(
+                        f"inference model {b['model_id']!r}: no model "
+                        "runtime in this environment — plug a real "
+                        "encoder here (load it in this constructor, "
+                        "batch-infer in transform_batch); only the "
+                        "deterministic 'fake-*' stub runs in-sandbox"
+                    )
+                import numpy as _np
+
+                # 'model load' happens ONCE here and ships with the
+                # pipeline object: a seeded random projection table
+                # (the stub's weights; seed pinned so reruns and the
+                # tests see identical embeddings)
+                rng = _np.random.default_rng(1234)
+                self._fake_proj = rng.standard_normal(
+                    (4096, FAKE_EMBED_DIM)
+                )
 
     def transform_batch(self, batch: pa.Table) -> pa.Table:
         t = batch
@@ -303,6 +337,30 @@ class IngestPipeline:
                     pc.equal(t[b["field"]], b["equals"]), False
                 ))
                 t = t.filter(keep)
+            elif kind == "inference":
+                import numpy as _np
+
+                from .analysis import tokens_flat
+                from .extras.hashing import hash_tokens_unique
+
+                flat, parent = tokens_flat(t[b["field"]])
+                h = hash_tokens_unique(flat)
+                vecs = _np.zeros((t.num_rows, FAKE_EMBED_DIM))
+                if h.size:
+                    rows = self._fake_proj[
+                        (h % self._fake_proj.shape[0]).astype(_np.int64)
+                    ]
+                    _np.add.at(vecs, parent, rows)
+                norms = _np.sqrt((vecs * vecs).sum(axis=1))
+                norms[norms == 0] = 1.0
+                vecs /= norms[:, None]
+                col = pa.array(vecs.tolist(),
+                               pa.list_(pa.float32()))
+                tf = b["target_field"]
+                if tf in t.column_names:
+                    t = t.set_column(t.column_names.index(tf), tf, col)
+                else:
+                    t = t.append_column(tf, col)
             elif kind == "fingerprint":
                 joined = pc.binary_join_element_wise(
                     *[pc.cast(t[f], pa.string()) for f in b["fields"]],

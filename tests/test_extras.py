@@ -2705,6 +2705,37 @@ def test_ingest_round2_processors():
             IngestPipeline(bad)
 
 
+def test_ingest_inference_stub():
+    """inference processor: 'fake-*' models yield deterministic
+    L2-normalized bag-of-hashed-words embeddings (identical across
+    fresh pipelines — the pinned-seed 'model'), empty docs embed to
+    the zero vector, and real model ids refuse with the integration
+    pointer (no model runtime in this sandbox)."""
+    import pytest as _pt
+
+    from rayfts.ingest import FAKE_EMBED_DIM, IngestPipeline
+
+    t = pa.table({"text": ["hello world", "hello world",
+                           "different words here", ""]})
+    spec = {"inference": {"model_id": "fake-minilm", "field": "text",
+                          "target_field": "embedding"}}
+    e = np.array(IngestPipeline([spec]).transform_batch(t)
+                 ["embedding"].to_pylist())
+    assert e.shape == (4, FAKE_EMBED_DIM)
+    np.testing.assert_allclose(e[0], e[1])
+    assert not np.allclose(e[0], e[2])
+    np.testing.assert_allclose(np.linalg.norm(e[:3], axis=1), 1.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(e[3], 0.0)
+    e2 = np.array(IngestPipeline([spec]).transform_batch(t)
+                  ["embedding"].to_pylist())
+    np.testing.assert_allclose(e2, e, atol=1e-7)
+    with _pt.raises(NotImplementedError):
+        IngestPipeline([{"inference": {
+            "model_id": "e5-base", "field": "text",
+            "target_field": "v"}}])
+
+
 def test_sample_shuffle_order_is_md5_permutation():
     """Deterministic shuffle: the emitted head is the global
     (md5rank, doc_id) order with 0-based positions; rerun-stable."""
