@@ -2176,18 +2176,18 @@ SELECT {P.RANK_EVAL_K} AS k,
   CAST(round(coalesce(
       (SELECT sum(1.0 / log2(rn + 1) ORDER BY rn) FROM rel), 0.0) * 1e6)
        AS BIGINT) AS dcg_e6,
-  CAST(round(coalesce(
+  CAST(floor(coalesce(
       (SELECT sum(1.0 / log2(rn + 1) ORDER BY rn) FROM rel), 0.0)
       / (SELECT sum(CASE WHEN i <= (SELECT count(*) FROM documents
                                     WHERE lang = 'en')
                          THEN 1.0 / log2(i + 1) ELSE 0.0 END
                     ORDER BY i)
-         FROM generate_series(1, {P.RANK_EVAL_K}) AS t(i)) * 1e6)
+         FROM generate_series(1, {P.RANK_EVAL_K}) AS t(i)) * 1e6 + 0.5)
        AS BIGINT) AS ndcg_e6,
-  CAST(round(coalesce(
+  CAST(floor(coalesce(
       (SELECT sum(power(0.5, rj) / rn ORDER BY rn)
        FROM (SELECT rn, row_number() OVER (ORDER BY rn) AS rj
-             FROM rel)), 0.0) * 1e6)
+             FROM rel)), 0.0) * 1e6 + 0.5)
        AS BIGINT) AS err_e6
 """,
         # quantile_cont == the engine's rank = q*(n-1) linear interpolation
@@ -3416,7 +3416,7 @@ d AS (
            + sum(q.val * q.val) AS dist
   FROM v JOIN q USING (i) GROUP BY v.vec_id
 )
-SELECT vec_id, CAST(round(dist * 1e6) AS BIGINT) AS score_e6
+SELECT vec_id, CAST(floor(dist * 1e6 + 0.5) AS BIGINT) AS score_e6
 FROM d ORDER BY dist, vec_id LIMIT 10
 """,
         # max_inner_product similarity: raw dot desc
@@ -3434,7 +3434,7 @@ d AS (
   SELECT v.vec_id, sum(v.val * q.val) AS dot
   FROM v JOIN q USING (i) GROUP BY v.vec_id
 )
-SELECT vec_id, CAST(round(dot * 1e6) AS BIGINT) AS score_e6
+SELECT vec_id, CAST(floor(dot * 1e6 + 0.5) AS BIGINT) AS score_e6
 FROM d ORDER BY dot DESC, vec_id LIMIT 10
 """,
         # BBQ binary-quantized knn: sign-bit hamming candidates (exact
@@ -3463,7 +3463,8 @@ dots AS (
   WHERE v.vec_id IN (SELECT vec_id FROM cand) GROUP BY v.vec_id
 )
 SELECT vec_id,
-       CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
+       CAST(floor(dot / (sqrt(n2) * sqrt(q2)) * 1e6 + 0.5) AS BIGINT)
+         AS cosine_sim_e6
 FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
 """,
         # Matryoshka truncated-dim knn: exact prefix-cosine candidates
@@ -3494,7 +3495,8 @@ dots AS (
   WHERE v.vec_id IN (SELECT vec_id FROM cand) GROUP BY v.vec_id
 )
 SELECT vec_id,
-       CAST(round(dot / (sqrt(n2) * sqrt(q2)) * 1e6) AS BIGINT) AS cosine_sim_e6
+       CAST(floor(dot / (sqrt(n2) * sqrt(q2)) * 1e6 + 0.5) AS BIGINT)
+         AS cosine_sim_e6
 FROM dots ORDER BY cosine_sim_e6 DESC, vec_id LIMIT 10
 """,
         # int8 scalar-quantized knn + rescore: per-dim min/max envelope,

@@ -235,7 +235,7 @@ def parse_esql(query: str) -> dict:
     return plan
 
 
-def _inject_derived(s, kind: str, col: str, pattern: str) -> None:
+def _inject_derived(s, kind: str, col: str, pattern: str) -> set[str]:
     """GROK/DISSECT: run the compiled pattern over the stored source
     column (one column-pruned docstore read, one pc.extract_regex) and
     register every named capture as a derived keyword column in the
@@ -250,7 +250,10 @@ def _inject_derived(s, kind: str, col: str, pattern: str) -> None:
               else compile_dissect(pattern))
     except UnsupportedProcessor as e:
         raise ESQLError(str(e)) from e
-    names = tuple(re.compile(rx).groupindex)
+    try:
+        names = tuple(re.compile(rx).groupindex)
+    except re.error as e:
+        raise ESQLError(f"{kind} pattern {pattern!r}: {e}") from e
     if not names:
         raise ESQLError(f"{kind} pattern captures no fields")
     dset = pads.dataset(s._docstore_dir)
@@ -304,14 +307,25 @@ def execute_esql(searcher, query: str,
     s = searcher
     for name, expr in plan["evals"]:
         s.define_runtime_field(name, expr)
+    # derived columns are a PER-QUERY overlay: inject, execute, then
+    # always evict from the facet-code cache so later queries on this
+    # searcher cannot see phantom columns (or a stale LOOKUP binding)
     derived: set[str] = set()
-    for kind, col, pattern in plan["derives"]:
-        derived |= _inject_derived(s, kind, col, pattern)
-    for name, field in plan["lookups"]:
-        if not lookups or name not in lookups:
-            raise ESQLError(f"LOOKUP JOIN index {name!r} not bound")
-        _inject_lookup(s, name, field, lookups[name])
-        derived.add(name)
+    try:
+        for kind, col, pattern in plan["derives"]:
+            derived |= _inject_derived(s, kind, col, pattern)
+        for name, field in plan["lookups"]:
+            if not lookups or name not in lookups:
+                raise ESQLError(f"LOOKUP JOIN index {name!r} not bound")
+            _inject_lookup(s, name, field, lookups[name])
+            derived.add(name)
+        return _execute_plan(s, plan, derived)
+    finally:
+        for n in derived:
+            s._facet_cols.pop(n, None)
+
+
+def _execute_plan(s, plan: dict, derived: set[str]) -> pa.Table:
     # derived captures filter via their code arrays (keyword equality
     # only — they never reach the docstore scan, which has no such
     # column); stored columns take the normal filter_mask path
@@ -334,10 +348,13 @@ def execute_esql(searcher, query: str,
     # DICTIONARY (O(distinct values), never per doc) — works on stored
     # and derived keyword columns alike
     for f, patt in plan["likes"]:
+        # \Z (not $: $ matches before a trailing newline) and DOTALL
+        # atoms so newline-bearing values follow SQL LIKE semantics
         rx = re.compile("".join(
-            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            "(?s:.*)" if ch == "*" else "(?s:.)" if ch == "?"
+            else re.escape(ch)
             for ch in patt
-        ) + "$")
+        ) + r"\Z")
         codes, values = s._field_codes(f)
         allowed = np.fromiter(
             (i for i, v in enumerate(values)

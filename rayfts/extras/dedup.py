@@ -743,7 +743,11 @@ def ngram_jaccard_pairs(
             iv = np.fromiter(pair_counts.values(), np.int64,
                              len(pair_counts))
         uni = nsh[iu] + nsh[ju] - iv
-        m = (uni > 0) & (iv * tden >= tnum * uni)
+        # iv > 0: zero-intersection pairs can never be near-dups and
+        # the pair-emission regime / SQL inner join cannot produce
+        # them — without this the matmul regime would emit them at a
+        # degenerate threshold 0, splitting the two regimes
+        m = (iv > 0) & (uni > 0) & (iv * tden >= tnum * uni)
         iu, ju, iv, uni = iu[m], ju[m], iv[m], uni[m]
         a, b = ids[iu], ids[ju]
         lo, hi = np.minimum(a, b), np.maximum(a, b)

@@ -221,10 +221,12 @@ class IngestPipeline:
                     )
                 names = b["target_fields"]
                 if (not names or not isinstance(names, list) or
-                        any(not re.fullmatch(r"\w+", str(n))
+                        len(set(names)) != len(names) or
+                        any(not re.fullmatch(r"[^\d\W]\w*", str(n))
                             for n in names)):
                     raise UnsupportedProcessor(
-                        f"csv target_fields {names!r}"
+                        f"csv target_fields {names!r} (unique "
+                        "identifiers required)"
                     )
                 cell = f"[^{re.escape(sep)}]*"
                 rx = ("^" + re.escape(sep).join(
@@ -234,7 +236,15 @@ class IngestPipeline:
             if kind in ("grok", "dissect"):
                 rx = (compile_grok(b["pattern"]) if kind == "grok"
                       else compile_dissect(b["pattern"]))
-                names = tuple(re.compile(rx).groupindex)
+                try:
+                    names = tuple(re.compile(rx).groupindex)
+                except re.error as e:
+                    # digit-leading / duplicated capture names reach
+                    # the regex compiler — keep the module's contract
+                    # (UnsupportedProcessor, never a raw re.error)
+                    raise UnsupportedProcessor(
+                        f"{kind} pattern {b['pattern']!r}: {e}"
+                    ) from e
                 if not names:
                     raise UnsupportedProcessor(
                         f"{kind} pattern captures no fields"

@@ -2291,9 +2291,10 @@ def fts_rank_eval(sf_dir: str) -> pa.Table:
         "dcg_e6": pa.array([int(round(ev["dcg"] * 1e6))], pa.int64()),
         "ndcg_e6": pa.array(
             [None if ev["ndcg"] is None else
-             int(round(ev["ndcg"] * 1e6))], pa.int64()
+             int(np.floor(ev["ndcg"] * 1e6 + 0.5))], pa.int64()
         ),
-        "err_e6": pa.array([int(round(ev["err"] * 1e6))], pa.int64()),
+        "err_e6": pa.array([int(np.floor(ev["err"] * 1e6 + 0.5))],
+                           pa.int64()),
     })
 
 
@@ -4571,9 +4572,8 @@ def knn_binary_rescore_top10(sf_dir: str) -> pa.Table:
     t = knn_binary_rescore(ds, qvec, k=10, oversample=KNN_BBQ_OVERSAMPLE)
     return pa.table({
         "vec_id": t["vec_id"],
-        "cosine_sim_e6": pc.cast(
-            pc.round(pc.multiply(t["cosine_sim"], 1e6)), pa.int64()
-        ),
+        "cosine_sim_e6": pc.cast(pc.floor(pc.add(
+            pc.multiply(t["cosine_sim"], 1e6), 0.5)), pa.int64()),
     })
 
 
@@ -4596,9 +4596,8 @@ def knn_matryoshka_top10(sf_dir: str) -> pa.Table:
     )
     return pa.table({
         "vec_id": t["vec_id"],
-        "cosine_sim_e6": pc.cast(
-            pc.round(pc.multiply(t["cosine_sim"], 1e6)), pa.int64()
-        ),
+        "cosine_sim_e6": pc.cast(pc.floor(pc.add(
+            pc.multiply(t["cosine_sim"], 1e6), 0.5)), pa.int64()),
     })
 
 
@@ -4613,11 +4612,13 @@ def _knn_metric_q(sf_dir: str, metric: str) -> pa.Table:
     )
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
     t = knn_metric(ds, qvec, k=10, metric=metric)
+    # floor(x + 0.5): the snap convention identical in numpy and
+    # DuckDB (pc.round is half-even, SQL round half-away — they split
+    # on exact .5 ulps, the way_shapes lesson)
     return pa.table({
         "vec_id": t["vec_id"],
-        "score_e6": pc.cast(
-            pc.round(pc.multiply(t["score"], 1e6)), pa.int64()
-        ),
+        "score_e6": pc.cast(pc.floor(pc.add(
+            pc.multiply(t["score"], 1e6), 0.5)), pa.int64()),
     })
 
 

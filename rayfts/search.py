@@ -2100,7 +2100,9 @@ class Searcher(SuggestAPI):
     def _qweights(self, query: str) -> dict[str, float]:
         """Query-side analyzer: clause weights with the index's stop list
         applied (the query runs through the same analyzer as indexing)."""
-        self._field_usage["text"] = self._field_usage.get("text", 0) + 1
+        tc = self.manifest.get("text_col", "text") if hasattr(
+            self, "manifest") else "text"
+        self._field_usage[tc] = self._field_usage.get(tc, 0) + 1
         if self.shingle_size > 1:
             # shingle-field analyzer: n-gram windows in token order;
             # clause-boost syntax doesn't apply to shingle subfields
@@ -4195,10 +4197,12 @@ class Searcher(SuggestAPI):
         ESNodeITest.java:61-172 with the payload swapped for keyword /
         numeric columns."""
         key = _where_key(where)
+        # every filter key counts per CALL (cached masks included —
+        # ES counts uses, not reads); a runtime field's FIRST mask
+        # build adds one extra doc-values touch via _numeric_col,
+        # which is itself a real resolution
         for f in where:
-            if f not in getattr(self, "_runtime_fields", {}):
-                # runtime keys count via their _numeric_col resolution
-                self._field_usage[f] = self._field_usage.get(f, 0) + 1
+            self._field_usage[f] = self._field_usage.get(f, 0) + 1
         cached = self._filter_masks.get(key)
         if cached is not None:
             return cached

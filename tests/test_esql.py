@@ -241,6 +241,30 @@ def test_esql_like_and_in_conditions(esql_index):
     assert t2["n"][0].as_py() == 0
 
 
+def test_esql_derived_columns_do_not_leak(esql_index):
+    """GROK/DISSECT/LOOKUP captures are a per-query overlay: after the
+    query returns (or raises), the searcher's facet cache has no
+    phantom columns — a later BY on the capture name fails instead of
+    silently reusing stale codes; bad capture names surface as
+    ESQLError, never raw re.error."""
+    s = Searcher(esql_index)
+    q = ('FROM t | GROK text "%{WORD:g_leak} %{GREEDYDATA:g_r}" '
+         '| STATS n = COUNT(*) BY g_leak')
+    execute_esql(s, q)
+    assert "g_leak" not in s._facet_cols
+    with pytest.raises(Exception):  # no such stored column anymore
+        execute_esql(s, "FROM t | STATS n = COUNT(*) BY g_leak")
+    # cleanup also runs on failure paths
+    with pytest.raises(ESQLError):
+        execute_esql(s, 'FROM t | DISSECT conv_id "conv-%{g_c}" '
+                        '| WHERE g_c >= 3 | STATS n = COUNT(*)')
+    assert "g_c" not in s._facet_cols
+    # digit-leading capture name: contract error, not re.error
+    with pytest.raises(ESQLError):
+        execute_esql(s, 'FROM t | GROK text "%{WORD:1bad} x" '
+                        '| STATS n = COUNT(*)')
+
+
 def test_esql_refusals(esql_index):
     s = Searcher(esql_index)
     for bad in [
