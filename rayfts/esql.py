@@ -68,6 +68,14 @@ Supported grammar (case-insensitive keywords, one clause per pipe):
                                             floor-e6 — float-order-free)
   SORT col [ASC|DESC] [, ...]
   LIMIT n
+  KEEP col [, ...]                   presentation stages, applied (in
+  DROP col [, ...]                    their pipe order) to the FINAL
+  RENAME old AS new [, ...]           result table — after STATS /
+                                      CHANGE_POINT / SORT / LIMIT, the
+                                      pinned stage order of this
+                                      subset; SORT keys refer to the
+                                      pre-RENAME names. Unknown
+                                      columns refuse.
 
 Execution maps onto the same kernels the agg surface uses: MATCH -> the
 query hit mask, comparisons -> keyword/range wheres, STATS BY -> one
@@ -175,7 +183,7 @@ def parse_esql(query: str) -> dict:
     plan: dict = {"from": m.group(1), "match": None, "where": {},
                   "evals": [], "derives": [], "lookups": [],
                   "likes": [], "stats": None, "by": None, "sort": [],
-                  "limit": None, "change_point": None}
+                  "limit": None, "change_point": None, "present": []}
     for stage in stages[1:]:
         kw = stage.split(None, 1)[0].upper() if stage else ""
         body = stage[len(kw):].strip()
@@ -205,6 +213,21 @@ def parse_esql(query: str) -> dict:
             if not m2:
                 raise ESQLError(f"unsupported LOOKUP: {body!r}")
             plan["lookups"].append((m2.group(1), m2.group(2)))
+        elif kw in ("KEEP", "DROP"):
+            cols = [c.strip() for c in body.split(",")]
+            if not cols or any(not re.fullmatch(r"\w+", c)
+                               for c in cols):
+                raise ESQLError(f"bad {kw} columns: {body!r}")
+            plan["present"].append((kw, cols))
+        elif kw == "RENAME":
+            pairs = []
+            for part in body.split(","):
+                m2 = re.fullmatch(r"\s*(\w+)\s+AS\s+(\w+)\s*", part,
+                                  flags=re.I)
+                if not m2:
+                    raise ESQLError(f"bad RENAME: {part!r}")
+                pairs.append((m2.group(1), m2.group(2)))
+            plan["present"].append(("RENAME", pairs))
         elif kw == "CHANGE_POINT":
             m2 = re.fullmatch(r"(\w+)\s+ON\s+(\w+)", body, flags=re.I)
             if not m2:
@@ -428,10 +451,34 @@ def _execute_plan(s, plan: dict, derived: set[str]) -> pa.Table:
         names = ([plan["by"]] if plan["by"] else []) + [
             n for n, _, _ in plan["stats"]
         ]
-        return pa.table({n: pa.array([]) for n in names})
+        return _present(pa.table({n: pa.array([]) for n in names}),
+                        plan["present"])
     names = list(rows[0])
-    return pa.table({
+    t = pa.table({
         n: (pa.array([r[n] for r in rows], pa.string())
             if n == "cp_type" else pa.array([r[n] for r in rows]))
         for n in names
     })
+    return _present(t, plan["present"])
+
+
+def _present(t: pa.Table, stages: list[tuple]) -> pa.Table:
+    """KEEP / DROP / RENAME applied in pipe order to the final table
+    (the pinned presentation position of this subset)."""
+    for kw, arg in stages:
+        if kw == "RENAME":
+            cols = list(t.column_names)
+            for old, new in arg:
+                if old not in cols:
+                    raise ESQLError(f"RENAME of unknown column {old!r}")
+                if new in cols:
+                    raise ESQLError(f"RENAME target {new!r} exists")
+                cols[cols.index(old)] = new
+            t = t.rename_columns(cols)
+        else:
+            missing = [c for c in arg if c not in t.column_names]
+            if missing:
+                raise ESQLError(f"{kw} of unknown columns {missing}")
+            t = (t.select(arg) if kw == "KEEP"
+                 else t.drop_columns(arg))
+    return t

@@ -265,6 +265,26 @@ def test_esql_derived_columns_do_not_leak(esql_index):
                         '| STATS n = COUNT(*)')
 
 
+def test_esql_keep_drop_rename(esql_index):
+    """KEEP/DROP/RENAME: presentation stages in pipe order on the
+    final table; KEEP defines column order, RENAME AS keeps values,
+    unknown columns refuse; SORT keys use pre-RENAME names."""
+    s = Searcher(esql_index)
+    base = ('FROM t | STATS n = COUNT(*), mx = MAX(turn_idx) BY role '
+            '| SORT n DESC, role ASC ')
+    ref = execute_esql(s, base)
+    t = execute_esql(s, base + '| RENAME n AS total | KEEP role, total')
+    assert t.column_names == ["role", "total"]
+    assert t["total"].to_pylist() == ref["n"].to_pylist()
+    assert t["role"].to_pylist() == ref["role"].to_pylist()
+    t2 = execute_esql(s, base + '| DROP mx')
+    assert t2.column_names == ["role", "n"]
+    for bad in ('| KEEP nope', '| DROP nope',
+                '| RENAME nope AS x', '| RENAME n AS role'):
+        with pytest.raises(ESQLError):
+            execute_esql(s, base + bad)
+
+
 def test_esql_refusals(esql_index):
     s = Searcher(esql_index)
     for bad in [
