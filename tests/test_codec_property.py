@@ -281,3 +281,34 @@ def test_grok_word_chain_roundtrip(words):
     assert [out[f"w{i}"][0].as_py() for i in range(len(words))] == words
     assert all(out[f"w{i}"][1].as_py() is None
                for i in range(len(words)) if len(words) > 1)
+
+
+@given(
+    st.text(alphabet="ab*?\n_% ", min_size=0, max_size=8),
+    st.text(alphabet="ab\n_% ", min_size=0, max_size=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_esql_like_matches_duckdb(pattern, value):
+    """Property: the ES|QL LIKE compiler (*,? wildcards over \\Z-anchored
+    DOTALL regex) agrees with DuckDB's LIKE (%,_ with ESCAPE) on every
+    pattern/value pair — including newline-bearing values, the case the
+    '$' anchor got wrong."""
+    import re
+
+    import duckdb
+
+    rx = re.compile("".join(
+        "(?s:.*)" if ch == "*" else "(?s:.)" if ch == "?"
+        else re.escape(ch)
+        for ch in pattern
+    ) + r"\Z")
+    got = bool(rx.match(value))
+    sql_pat = "".join(
+        "%" if ch == "*" else "_" if ch == "?"
+        else "\\" + ch if ch in ("%", "_", "\\") else ch
+        for ch in pattern
+    )
+    want = duckdb.sql(
+        "SELECT ? LIKE ? ESCAPE '\\'", params=[value, sql_pat]
+    ).fetchone()[0]
+    assert got == bool(want), (pattern, value, sql_pat)
