@@ -23,11 +23,13 @@ Supported grammar (case-insensitive keywords, one clause per pipe):
                                       over the keyword column's code
                                       dictionary — O(distinct), works
                                       on derived columns too)
-  EVAL name = col OP const           OP := + | - | *  (division is
-                                      excluded from this subset: its
-                                      fractional sums are not
-                                      hash-stable; the derived column
-                                      registers as a runtime field)
+  EVAL name = col OP rhs             OP := + | - | *, rhs a numeric
+                                      literal OR a second column
+                                      (division is excluded from this
+                                      subset: its fractional sums are
+                                      not hash-stable; the derived
+                                      column registers as a runtime
+                                      field)
   GROK col "pattern"                 the ES|QL GROK command: the ingest
                                       grok pattern subset compiled to
                                       anchored RE2; every named capture
@@ -192,15 +194,22 @@ def parse_esql(query: str) -> dict:
                 _parse_conditions(body)
         elif kw == "EVAL":
             m2 = re.fullmatch(
-                r"(\w+)\s*=\s*(\w+)\s*([+*-])\s*(-?\d+(?:\.\d+)?)",
+                r"(\w+)\s*=\s*(\w+)\s*([+*-])\s*(-?\d+(?:\.\d+)?|\w+)",
                 body,
             )
             if not m2:
                 raise ESQLError(f"unsupported EVAL: {body!r}")
+            rhs = m2.group(4)
+            # numeric literal -> constant leaf; otherwise a second
+            # COLUMN leaf (col OP col — the runtime-field AST takes
+            # both; division stays excluded for hash stability)
+            b_leaf = (float(rhs)
+                      if re.fullmatch(r"-?\d+(?:\.\d+)?", rhs)
+                      else {"col": rhs})
             plan["evals"].append(
                 (m2.group(1),
                  {"op": m2.group(3), "a": {"col": m2.group(2)},
-                  "b": float(m2.group(4))})
+                  "b": b_leaf})
             )
         elif kw in ("GROK", "DISSECT"):
             m2 = re.fullmatch(rf"(\w+)\s+{_STR}", body)

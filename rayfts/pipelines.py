@@ -6593,6 +6593,31 @@ def fts_esql_lookup(sf_dir: str) -> pa.Table:
     })
 
 
+ESQL_EVAL2_QUERY = (
+    'FROM documents '
+    '| WHERE MATCH(text, "spark join the data") '
+    '| EVAL c2 = n_chars * n_chars '
+    '| STATS s = SUM(c2), n = COUNT(*) BY lang '
+    '| SORT s DESC, lang ASC '
+    '| LIMIT 5'
+)
+
+
+def fts_esql_eval_cols(sf_dir: str) -> pa.Table:
+    """ES|QL EVAL with a COLUMN right-hand side (col OP col): the
+    squared-length runtime field feeds STATS BY with exact integer
+    sums (products < 2^53)."""
+    from .esql import execute_esql
+
+    s = Searcher(documents_index(sf_dir))
+    t = execute_esql(s, ESQL_EVAL2_QUERY)
+    return pa.table({
+        "lang": t["lang"].cast(pa.string()),
+        "s": t["s"].cast(pa.int64()),
+        "n": t["n"].cast(pa.int64()),
+    })
+
+
 ESQL_LIKE_QUERY = (
     'FROM documents '
     '| WHERE source LIKE "src1*" AND lang IN ("en", "fr") '

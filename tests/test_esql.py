@@ -265,6 +265,28 @@ def test_esql_derived_columns_do_not_leak(esql_index):
                         '| STATS n = COUNT(*)')
 
 
+def test_esql_eval_column_rhs(esql_index):
+    """EVAL col OP col: the two-column AST resolves both leaves via
+    _numeric_col and the derived sums equal the brute force; nulls in
+    EITHER column invalidate the row (valid-mask AND)."""
+    import pyarrow.dataset as pads
+
+    s = Searcher(esql_index)
+    t = execute_esql(s, 'FROM t | EVAL p = turn_idx * turn_idx '
+                        '| STATS sp = SUM(p), n = COUNT(*) BY role '
+                        '| SORT role ASC')
+    doc = pads.dataset(s._docstore_dir).to_table(
+        columns=["role", "turn_idx"]
+    )
+    want: dict = {}
+    for role, ti in zip(doc["role"].to_pylist(),
+                        doc["turn_idx"].to_pylist()):
+        a, b = want.get(role, (0, 0))
+        want[role] = (a + (ti * ti if ti is not None else 0), b + 1)
+    assert {(r["role"], r["sp"], r["n"]) for r in t.to_pylist()} == \
+        {(role, sp, n) for role, (sp, n) in want.items()}
+
+
 def test_esql_keep_drop_rename(esql_index):
     """KEEP/DROP/RENAME: presentation stages in pipe order on the
     final table; KEEP defines column order, RENAME AS keeps values,
