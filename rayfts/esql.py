@@ -65,9 +65,12 @@ Supported grammar (case-insensitive keywords, one clause per pipe):
                                       the same key and a numeric agg
                                       named val.
   STATS a = FUN [, b = FUN]* [BY f]  FUN := COUNT(*) | SUM(col) | MIN |
-                                            MAX | AVG  (AVG emits the
-                                            exact SUM/COUNT pair's
-                                            floor-e6 — float-order-free)
+                                            MAX | AVG | COUNT_DISTINCT
+                                      (AVG emits the exact SUM/COUNT
+                                      pair's floor-e6 — float-order-
+                                      free; COUNT_DISTINCT is EXACT
+                                      via dictionary codes where ES
+                                      approximates with HLL++)
   SORT col [ASC|DESC] [, ...]
   LIMIT n
   KEEP col [, ...]                   presentation stages, applied (in
@@ -162,7 +165,8 @@ def _parse_stats(text: str) -> tuple[list[tuple], str | None]:
     aggs = []
     for part in text.split(","):
         m = re.fullmatch(
-            r"\s*(\w+)\s*=\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|\w+)\s*\)\s*",
+            r"\s*(\w+)\s*=\s*(COUNT_DISTINCT|COUNT|SUM|MIN|MAX|AVG)"
+            r"\s*\(\s*(\*|\w+)\s*\)\s*",
             part, flags=re.I,
         )
         if not m:
@@ -401,6 +405,15 @@ def _execute_plan(s, plan: dict, derived: set[str]) -> pa.Table:
         for name, fun, col in plan["stats"]:
             if fun == "COUNT":
                 out[name] = int(sel_idx.size)
+                continue
+            if fun == "COUNT_DISTINCT":
+                # exact cardinality over the bucket via the column's
+                # dictionary codes (any column type dict-encodes;
+                # nulls code -1 and never count — the ES
+                # cardinality null rule); ES approximates with HLL++,
+                # this engine is exact — documented divergence
+                c = s._field_codes(col)[0][sel_idx]
+                out[name] = int(np.unique(c[c >= 0]).size)
                 continue
             vals, valid = s._numeric_col(col)
             v = vals[sel_idx][valid[sel_idx]]

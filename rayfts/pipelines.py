@@ -6618,6 +6618,30 @@ def fts_esql_eval_cols(sf_dir: str) -> pa.Table:
     })
 
 
+ESQL_DISTINCT_QUERY = (
+    'FROM documents '
+    '| WHERE MATCH(text, "spark join the data") '
+    '| STATS d = COUNT_DISTINCT(source), n = COUNT(*) BY lang '
+    '| SORT n DESC, lang ASC '
+    '| LIMIT 5'
+)
+
+
+def fts_esql_distinct(sf_dir: str) -> pa.Table:
+    """ES|QL COUNT_DISTINCT: exact per-bucket cardinality via the
+    column's dictionary codes (ES approximates with HLL++ — this
+    engine's exactness is the documented divergence)."""
+    from .esql import execute_esql
+
+    s = Searcher(documents_index(sf_dir))
+    t = execute_esql(s, ESQL_DISTINCT_QUERY)
+    return pa.table({
+        "lang": t["lang"].cast(pa.string()),
+        "d": t["d"].cast(pa.int64()),
+        "n": t["n"].cast(pa.int64()),
+    })
+
+
 ESQL_LIKE_QUERY = (
     'FROM documents '
     '| WHERE source LIKE "src1*" AND lang IN ("en", "fr") '

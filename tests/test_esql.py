@@ -287,6 +287,32 @@ def test_esql_eval_column_rhs(esql_index):
         {(role, sp, n) for role, (sp, n) in want.items()}
 
 
+def test_esql_count_distinct(esql_index):
+    """COUNT_DISTINCT: exact per-bucket cardinality over dictionary
+    codes, nulls excluded; works on keyword AND numeric columns."""
+    import pyarrow.dataset as pads
+
+    s = Searcher(esql_index)
+    t = execute_esql(s, 'FROM t '
+                        '| STATS d = COUNT_DISTINCT(conv_id), '
+                        'dn = COUNT_DISTINCT(turn_idx) BY role '
+                        '| SORT role ASC')
+    doc = pads.dataset(s._docstore_dir).to_table(
+        columns=["role", "conv_id", "turn_idx"]
+    )
+    want: dict = {}
+    for role, cid, ti in zip(doc["role"].to_pylist(),
+                             doc["conv_id"].to_pylist(),
+                             doc["turn_idx"].to_pylist()):
+        cs, ts_ = want.setdefault(role, (set(), set()))
+        if cid is not None:
+            cs.add(cid)
+        if ti is not None:
+            ts_.add(ti)
+    assert {(r["role"], r["d"], r["dn"]) for r in t.to_pylist()} == \
+        {(role, len(cs), len(ts_)) for role, (cs, ts_) in want.items()}
+
+
 def test_esql_keep_drop_rename(esql_index):
     """KEEP/DROP/RENAME: presentation stages in pipe order on the
     final table; KEEP defines column order, RENAME AS keeps values,
