@@ -666,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fts_esql_like": P.fts_esql_like,      # ES|QL LIKE + IN
         "fts_esql_eval_cols": P.fts_esql_eval_cols,  # EVAL col OP col
         "fts_esql_distinct": P.fts_esql_distinct,  # COUNT_DISTINCT
+        "fts_esql_median": P.fts_esql_median,  # MEDIAN quantile_cont
         # Heaps-law vocabulary growth (first-occurrence histogram)
         "vocab_growth_curve": P.vocab_growth_curve,
         "vocab_zipf_slope": P.vocab_zipf_slope,
@@ -1057,6 +1058,18 @@ WITH g AS (
 )
 SELECT w1, count(*)::BIGINT AS n FROM g WHERE w1 IS NOT NULL
 GROUP BY w1 ORDER BY n DESC, w1 ASC LIMIT 10
+""",
+        # ES|QL MEDIAN: quantile_cont(0.5), floor(+0.5)-e6 both sides
+        "fts_esql_median": f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN
+  ({",".join(f"'{t}'" for t in sorted(set(P.BM25_QUERY.split())))}))
+SELECT lang,
+       CAST(floor(quantile_cont(n_chars, 0.5) * 1e6 + 0.5) AS BIGINT)
+         AS m,
+       count(*)::BIGINT AS n
+FROM documents JOIN hits USING (doc_id)
+GROUP BY lang ORDER BY n DESC, lang LIMIT 5
 """,
         # ES|QL COUNT_DISTINCT: exact cardinality (engine dictionary
         # codes == SQL count(DISTINCT ...))

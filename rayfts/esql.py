@@ -66,11 +66,15 @@ Supported grammar (case-insensitive keywords, one clause per pipe):
                                       named val.
   STATS a = FUN [, b = FUN]* [BY f]  FUN := COUNT(*) | SUM(col) | MIN |
                                             MAX | AVG | COUNT_DISTINCT
+                                      | MEDIAN
                                       (AVG emits the exact SUM/COUNT
                                       pair's floor-e6 — float-order-
                                       free; COUNT_DISTINCT is EXACT
                                       via dictionary codes where ES
-                                      approximates with HLL++)
+                                      approximates with HLL++; MEDIAN
+                                      is quantile_cont(0.5) through
+                                      the shared interpolation kernel,
+                                      floor(x+0.5)-e6)
   SORT col [ASC|DESC] [, ...]
   LIMIT n
   KEEP col [, ...]                   presentation stages, applied (in
@@ -165,8 +169,8 @@ def _parse_stats(text: str) -> tuple[list[tuple], str | None]:
     aggs = []
     for part in text.split(","):
         m = re.fullmatch(
-            r"\s*(\w+)\s*=\s*(COUNT_DISTINCT|COUNT|SUM|MIN|MAX|AVG)"
-            r"\s*\(\s*(\*|\w+)\s*\)\s*",
+            r"\s*(\w+)\s*=\s*(COUNT_DISTINCT|COUNT|SUM|MIN|MAX|AVG"
+            r"|MEDIAN)\s*\(\s*(\*|\w+)\s*\)\s*",
             part, flags=re.I,
         )
         if not m:
@@ -428,6 +432,19 @@ def _execute_plan(s, plan: dict, derived: set[str]) -> pa.Table:
                     int(np.floor(float(v.sum()) / v.size * 1e6))
                     if v.size else None
                 )
+            elif fun == "MEDIAN":
+                # quantile_cont(0.5) via the shared exact-interpolation
+                # kernel (rank = q*(n-1)); floor(x+0.5)-e6 so the SQL
+                # twin is hash-identical
+                if v.size:
+                    from .search import _percentiles_from_sorted
+
+                    med = _percentiles_from_sorted(
+                        np.sort(v), (50.0,)
+                    )[50.0]
+                    out[name] = int(np.floor(med * 1e6 + 0.5))
+                else:
+                    out[name] = None
         return out
 
     rows: list[dict]

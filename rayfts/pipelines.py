@@ -6642,6 +6642,29 @@ def fts_esql_distinct(sf_dir: str) -> pa.Table:
     })
 
 
+ESQL_MEDIAN_QUERY = (
+    'FROM documents '
+    '| WHERE MATCH(text, "spark join the data") '
+    '| STATS m = MEDIAN(n_chars), n = COUNT(*) BY lang '
+    '| SORT n DESC, lang ASC '
+    '| LIMIT 5'
+)
+
+
+def fts_esql_median(sf_dir: str) -> pa.Table:
+    """ES|QL MEDIAN: quantile_cont(0.5) through the shared exact
+    linear-interpolation kernel, floor(x+0.5)-e6 pinned."""
+    from .esql import execute_esql
+
+    s = Searcher(documents_index(sf_dir))
+    t = execute_esql(s, ESQL_MEDIAN_QUERY)
+    return pa.table({
+        "lang": t["lang"].cast(pa.string()),
+        "m": t["m"].cast(pa.int64()),
+        "n": t["n"].cast(pa.int64()),
+    })
+
+
 ESQL_LIKE_QUERY = (
     'FROM documents '
     '| WHERE source LIKE "src1*" AND lang IN ("en", "fr") '

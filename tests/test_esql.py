@@ -313,6 +313,35 @@ def test_esql_count_distinct(esql_index):
         {(role, len(cs), len(ts_)) for role, (cs, ts_) in want.items()}
 
 
+def test_esql_median(esql_index):
+    """MEDIAN: quantile_cont(0.5) linear interpolation over the valid
+    values per bucket, floor(x+0.5)-e6; empty buckets absent."""
+    import pyarrow.dataset as pads
+
+    s = Searcher(esql_index)
+    t = execute_esql(s, 'FROM t | STATS m = MEDIAN(turn_idx) BY role '
+                        '| SORT role ASC')
+    doc = pads.dataset(s._docstore_dir).to_table(
+        columns=["role", "turn_idx"]
+    )
+    vals: dict = {}
+    for role, ti in zip(doc["role"].to_pylist(),
+                        doc["turn_idx"].to_pylist()):
+        if ti is not None:
+            vals.setdefault(role, []).append(ti)
+
+    def med(v):
+        v = sorted(v)
+        rank = 0.5 * (len(v) - 1)
+        lo = int(rank)
+        hi = min(lo + 1, len(v) - 1)
+        x = v[lo] + (rank - lo) * (v[hi] - v[lo])
+        return int(np.floor(x * 1e6 + 0.5))
+
+    assert {(r["role"], r["m"]) for r in t.to_pylist()} == \
+        {(role, med(v)) for role, v in vals.items()}
+
+
 def test_esql_keep_drop_rename(esql_index):
     """KEEP/DROP/RENAME: presentation stages in pipe order on the
     final table; KEEP defines column order, RENAME AS keeps values,
