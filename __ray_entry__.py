@@ -670,6 +670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Heaps-law vocabulary growth (first-occurrence histogram)
         "vocab_growth_curve": P.vocab_growth_curve,
         "vocab_zipf_slope": P.vocab_zipf_slope,
+        # per-doc OOV rate vs the exact top-K corpus vocabulary
+        "vocab_oov_rate": P.vocab_oov_rate,
         "text_length_gini": P.text_length_gini,
         "text_token_entropy": P.text_token_entropy,
         "text_ingest_processors": P.text_ingest_processors,
@@ -5066,6 +5068,23 @@ FROM agg
 """,
         # Zipf slope: OLS of ln(tf) on ln(rank) over the exact top-R
         # terms (tf desc, term asc); e6 rounding absorbs sum-order ulps
+        # per-doc OOV rate: exact top-K vocabulary (cf desc, term asc),
+        # exact integer (n_toks, n_oov) per doc; empty docs -> (0, 0)
+        "vocab_oov_rate": f"""
+WITH {_TOKS_CTE},
+cf AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
+vocab AS (SELECT term FROM cf ORDER BY c DESC, term
+          LIMIT {P.OOV_VOCAB_K}),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_toks,
+         sum(CASE WHEN term NOT IN (SELECT term FROM vocab)
+             THEN 1 ELSE 0 END)::BIGINT AS n_oov
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_toks, 0)::BIGINT AS n_toks,
+       coalesce(p.n_oov, 0)::BIGINT AS n_oov
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
         "vocab_zipf_slope": f"""
 WITH {_TOKS_CTE},
 tf AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY term),

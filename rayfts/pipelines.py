@@ -7094,6 +7094,82 @@ def vocab_zipf_slope(sf_dir: str) -> pa.Table:
     })
 
 
+OOV_VOCAB_K = 256   # top-K corpus vocabulary for the OOV-rate audit
+
+
+def vocab_oov_rate(sf_dir: str) -> rd.Dataset:
+    """Per-doc out-of-vocabulary rate against the EXACT top-OOV_VOCAB_K
+    corpus vocabulary (cf desc, term asc) — the tokenizer-coverage
+    audit a training-data pipeline runs before committing to a vocab:
+    docs dominated by OOV tokens are noise/foreign/code. Emits exact
+    integer (n_toks, n_oov) per doc so the ratio is derivable without
+    a float contract.
+
+    Distributed shape: pass 1 = the zipf machinery's map-side term
+    counts -> ONE groupby(term) -> per-block local-top prune -> exact
+    global top-K on the driver (K rows); pass 2 = the K-term set
+    BROADCAST via the closure into a streaming map_batches (isin on
+    the flat token stream + one bincount per batch, no second
+    shuffle). Empty docs emit (0, 0), the SQL coalesce rule."""
+    from .analysis import tokens_flat
+
+    def counts(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_flat(batch["text"])
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        g = pa.table({"term": flat}).group_by(
+            ["term"], use_threads=False
+        ).aggregate([("term", "count")])
+        return g.rename_columns(["term", "c"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "term": t["term"], "n": pc.cast(t["sum(c)"], pa.int64()),
+        })
+        keys = [("n", "descending"), ("term", "ascending")]
+        return out.take(pc.sort_indices(out, sort_keys=keys)
+                        .slice(0, OOV_VOCAB_K))
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(counts, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("c"))
+        .map_batches(local_top, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(
+        [b for b in ray.get(agg.to_arrow_refs()) if b.num_rows]
+    )
+    keys = [("n", "descending"), ("term", "ascending")]
+    t = t.take(pc.sort_indices(t, sort_keys=keys).slice(0, OOV_VOCAB_K))
+    vocab = pa.array(t["term"].to_pylist(), pa.string())
+
+    def oov(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, parent = tokens_flat(batch["text"])
+        n_toks = np.bincount(parent, minlength=n).astype(np.int64) \
+            if len(flat) else np.zeros(n, np.int64)
+        if len(flat):
+            in_v = pc.is_in(flat, value_set=vocab).to_numpy(
+                zero_copy_only=False
+            )
+            n_oov = np.bincount(
+                parent[~in_v], minlength=n
+            ).astype(np.int64)
+        else:
+            n_oov = np.zeros(n, np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_toks": pa.array(n_toks, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(oov, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
 TERMS_METRIC_SIZE = 8
 
 

@@ -2736,6 +2736,46 @@ def test_ingest_inference_stub():
             "target_field": "v"}}])
 
 
+def test_vocab_oov_rate_matches_bruteforce():
+    """OOV audit: per-doc (n_toks, n_oov) against the exact top-K
+    vocabulary (cf desc, term asc) equals a Counter brute force;
+    empty docs emit (0, 0)."""
+    from collections import Counter
+
+    import rayfts.pipelines as P
+    from rayfts.analysis import tokens_flat
+    from rayfts.pipelines import vocab_oov_rate
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: (r["n_toks"], r["n_oov"])
+           for r in vocab_oov_rate(sf_dir).take_all()}
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    toks_per_doc = {}
+    cf: Counter = Counter()
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        flat, _ = tokens_flat(pa.array([txt or ""]))
+        toks = flat.to_pylist()
+        toks_per_doc[d] = toks
+        cf.update(toks)
+    vocab = set(
+        term for term, _ in
+        sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))
+        [:P.OOV_VOCAB_K]
+    )
+    want = {
+        d: (len(toks), sum(1 for w in toks if w not in vocab))
+        for d, toks in toks_per_doc.items()
+    }
+    assert got == want
+    # signal check: OOV tokens exist iff the corpus vocabulary
+    # exceeds K (at sf0.001 it may not — then everything is in-vocab)
+    assert any(o > 0 for _, o in got.values()) == \
+        (len(cf) > P.OOV_VOCAB_K)
+
+
 def test_sample_shuffle_order_is_md5_permutation():
     """Deterministic shuffle: the emitted head is the global
     (md5rank, doc_id) order with 0-based positions; rerun-stable."""
